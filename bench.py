@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) and timed wall-clock; a short
+warm-up query first absorbs JVM/session startup so per-query numbers measure
+the plans, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ophidia_server_spark.registry import QUERIES  # noqa: E402
+from ophidia_server_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_nation_revenue",
+    "tpch_q6_forecast_revenue",
+    "cube_build",
+    "cube_reduce_sum",
+    "cube_reduce2_quarter_avg",
+    "cube_aggregate_sum",
+    "cube_apply_moving_avg",
+    "cube_intercube_div",
+    "mf_level_container",
+    "events_tumbling_1h",
+    "events_sessionize",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "sim_topk_cosine",
+    "multimodal_binary_meta",
+    "workflow_q1",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    # warm-up: session + parquet footer reads
+    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Cube catalog: the engine's metadata layer.
+
+Mirrors the reference's OphidiaDB relations (studied at /root/reference/src/
+oph_filters.c:572-573 `datacube ⋈ container`, oph_ophidiadb_fs_library.h:28-45
+folder tree, metadatainstance k/v :357-441, task/hasinput provenance :115-171)
+as plain DataFrames/tables:
+
+  cubes(cube_id, container_id, container, path, level, measure)
+  metadata(cube_id, key, value)
+  lineage(out_cube, task, in_cube)
+
+In production these are Delta/Parquet tables maintained by operator wrappers;
+they are tiny relative to the data (one row per cube) and always broadcast-
+joined against. For oracle-checked tests the catalog is *derived
+deterministically from the `part` fixture table* so the DuckDB oracle can
+reconstruct the exact same rows with plain SQL (see catalog_sql_* strings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_PREFIX = "/sess1"
+
+
+@dataclass
+class Catalog:
+    cubes: DataFrame
+    metadata: DataFrame
+    lineage: DataFrame
+    session_prefix: str = SESSION_PREFIX
+
+
+def catalog_from_part(part: DataFrame) -> Catalog:
+    """Derive a deterministic catalog from the `part` fixture.
+
+    cube_id=p_partkey, container=p_brand, level=p_size%5,
+    measure=lower(p_type), path=/sess1/<lower type>/<brand with '#'->'_'>.
+    Lineage: every cube with id>100 descends from id-100.
+    """
+    cubes = part.select(
+        F.col("p_partkey").alias("cube_id"),
+        (F.col("p_partkey") % 40).alias("container_id"),
+        F.col("p_brand").alias("container"),
+        F.concat(
+            F.lit(SESSION_PREFIX + "/"),
+            F.lower("p_type"),
+            F.lit("/"),
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("_"))),
+        ).alias("path"),
+        (F.col("p_size") % 5).alias("level"),
+        F.lower("p_type").alias("measure"),
+    )
+    metadata = part.select(
+        F.col("p_partkey").alias("cube_id"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("brand").alias("key"), F.col("p_brand").alias("value")),
+                F.struct(F.lit("type").alias("key"), F.col("p_type").alias("value")),
+                F.struct(F.lit("size").alias("key"), F.col("p_size").cast("string").alias("value")),
+            )
+        ).alias("kv"),
+    ).select("cube_id", "kv.key", "kv.value")
+    lineage = (
+        part.filter(F.col("p_partkey") > 100)
+        .select(
+            F.col("p_partkey").alias("out_cube"),
+            F.lit("derive").alias("task"),
+            (F.col("p_partkey") - 100).alias("in_cube"),
+        )
+    )
+    return Catalog(cubes=cubes, metadata=metadata, lineage=lineage)
+
+
+# DuckDB-SQL mirrors of the derivation above (for oracle parity): any oracle
+# query can `WITH cubes AS (...), metadata AS (...), lineage AS (...)` these.
+CATALOG_SQL_CUBES = """
+SELECT p_partkey AS cube_id,
+       p_partkey % 40 AS container_id,
+       p_brand AS container,
+       '/sess1/' || lower(p_type) || '/' || lower(replace(p_brand, '#', '_')) AS path,
+       p_size % 5 AS level,
+       lower(p_type) AS measure
+FROM part
+"""
+
+CATALOG_SQL_METADATA = """
+SELECT p_partkey AS cube_id, 'brand' AS key, p_brand AS value FROM part
+UNION ALL
+SELECT p_partkey, 'type', p_type FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part
+"""
+
+CATALOG_SQL_LINEAGE = """
+SELECT p_partkey AS out_cube, 'derive' AS task, p_partkey - 100 AS in_cube
+FROM part WHERE p_partkey > 100
+"""

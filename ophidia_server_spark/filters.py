@@ -1,0 +1,200 @@
+"""Massive-operation selection algebra: the reference server's own query
+language, compiled to catalog DataFrame predicates.
+
+Grammar (studied at /root/reference/src/oph_massive_operations.c:409-585 and
+oph_parser.h:89-94): a task argument of the form
+
+    cube=[filter;filter;...][more]|<explicit PID>|...
+
+where each `[...]` group is an implicit selector (semicolon-separated key=value
+filters) and `|`-separated bare items are explicit cube PIDs. A bare value with
+no '=' inside brackets is inferred as `cube_filter` (subset string over cube
+ids) — default-key inference per oph_massive_operations.c:76-116. Any filter
+key may be negated with a trailing '!' (OPH_MF_SYMBOL_NOT, oph_filters.h:62;
+applied oph_filters.c:567-569). Multivalue `a|b` lists OR-combine, and
+AND-combine when negated (oph_filters.c:61-76). The reference compiles all of
+this into one catalog SQL `SELECT DISTINCT datacube.iddatacube, ...`
+(oph_filters.c:718-721); here each filter becomes a Column predicate or a
+semi-join against the metadata/lineage tables — Catalyst then pushes the
+predicates into the (tiny, broadcastable) catalog scans.
+
+Supported filter keys (oph_filters.c): level, measure, container,
+container_pid, cube_filter, parent_cube, metadata_key, metadata_value, path
+(+recursive, depth), plus free key=value pairs treated as metadata LIKE
+filters (oph_filters.c:545-555). `run=no` yields the expansion list without
+executing (oph_massive_operations.c:151-153).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.catalog import Catalog
+from ophidia_server_spark.subset import subset_predicate
+
+NOT = "!"
+_KNOWN = {
+    "level", "measure", "container", "container_pid", "cube_filter",
+    "parent_cube", "metadata_key", "metadata_value", "path", "recursive",
+    "depth", "run",
+}
+
+
+def parse_massive(arg: str) -> tuple[list[dict[str, str]], list[str]]:
+    """Split a massive argument into bracket filter-groups and explicit PIDs.
+
+    Returns (groups, explicit_pids). Each group is an ordered {key: value}
+    dict (keys keep their '!' negation suffix). Default-key inference: a bare
+    value becomes cube_filter.
+    """
+    groups: list[dict[str, str]] = []
+    rest = arg.strip()
+    # extract [...] groups
+    for m in re.finditer(r"\[([^\]]*)\]", rest):
+        body = m.group(1)
+        kv: dict[str, str] = {}
+        for clause in body.split(";"):
+            clause = clause.strip()
+            if not clause:
+                continue
+            if "=" in clause:
+                k, v = clause.split("=", 1)
+                # tolerate both `key!=v` and `key! = v` spellings
+                kv[k.strip()] = v.strip()
+            else:
+                kv["cube_filter"] = clause  # default-key inference
+        groups.append(kv)
+    rest_no_groups = re.sub(r"\[[^\]]*\]", "", rest)
+    pids = [p.strip() for p in rest_no_groups.split("|") if p.strip()]
+    return groups, pids
+
+
+def _split_neg(key: str) -> tuple[str, bool]:
+    if key.endswith(NOT):
+        return key[:-1], True
+    return key, False
+
+
+def _multival(col: Column, value: str, negate: bool) -> Column:
+    """Multivalue 'a|b' => OR of equals; negated => AND of not-equals
+    (oph_filters.c:61-76)."""
+    vals = value.split("|")
+    if negate:
+        pred = None
+        for v in vals:
+            p = col != F.lit(v)
+            pred = p if pred is None else (pred & p)
+        return pred
+    return col.isin(vals)
+
+
+def pid_cube_id(pid: str) -> int:
+    """PID URL -> cube id: last path component
+    (oph_massive_operations.c:346 renders http://server/<container>/<cube>)."""
+    return int(str(pid).rstrip("/").rsplit("/", 1)[-1])
+
+
+def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
+    """Compile one bracket group into a DataFrame of matching cube_ids.
+
+    Predicates AND-combine across keys (the reference emits one WHERE
+    conjunction). Session scoping: path filters are prefixed with the session
+    prefix (oph_filters.c:576-601) — enforced here for every query.
+    """
+    df = cat.cubes
+    pred: Column | None = None
+
+    def add(p: Column) -> None:
+        nonlocal pred
+        pred = p if pred is None else (pred & p)
+
+    depth = int(kv.get("depth", "0") or 0)
+    recursive = kv.get("recursive", "no").lower() == "yes"
+
+    for rawk, value in kv.items():
+        key, neg = _split_neg(rawk)
+        if key in ("recursive", "depth", "run"):
+            continue
+        if key == "level":
+            add(_multival(F.col("level").cast("string"), value, neg))
+        elif key == "measure":
+            add(_multival(F.col("measure"), value, neg))
+        elif key == "container":
+            add(_multival(F.col("container"), value, neg))
+        elif key == "container_pid":
+            cid = int(str(value).rstrip("/").rsplit("/", 1)[-1])
+            p = F.col("container_id") == cid
+            add(~p if neg else p)
+        elif key == "cube_filter":
+            p = subset_predicate(F.col("cube_id"), value)
+            add(~p if neg else p)
+        elif key == "parent_cube":
+            parent = pid_cube_id(value)
+            kids = cat.lineage.filter(F.col("in_cube") == parent).select(
+                F.col("out_cube").alias("cube_id")
+            )
+            how = "left_anti" if neg else "left_semi"
+            df = df.join(F.broadcast(kids), on="cube_id", how=how)
+        elif key == "path":
+            base = value if value.startswith(cat.session_prefix) else cat.session_prefix + (
+                "" if value.startswith("/") else "/"
+            ) + value
+            base = base.rstrip("/")
+            if recursive:
+                p = (F.col("path") == base) | F.col("path").startswith(base + "/")
+                if depth > 0:
+                    # depth-limited recursion (oph_filters.c:476-489): path may
+                    # be at most `depth` components below the base
+                    maxslash = base.count("/") + depth
+                    p = p & (
+                        F.length("path") - F.length(F.replace(F.col("path"), F.lit("/"), F.lit("")))
+                        <= maxslash
+                    )
+            else:
+                p = F.col("path") == base
+            add(~p if neg else p)
+        elif key == "metadata_key":
+            # every listed key must exist for the cube (AND-combined,
+            # oph_filters.c:307-369); negation: none may exist
+            for k in value.split("|"):
+                hit = cat.metadata.filter(F.col("key") == k).select("cube_id").distinct()
+                df = df.join(F.broadcast(hit), "cube_id", "left_anti" if neg else "left_semi")
+        elif key == "metadata_value":
+            keys = kv.get("metadata_key", "").split("|") if kv.get("metadata_key") else [None]
+            for i, v in enumerate(value.split("|")):
+                k = keys[i] if i < len(keys) and keys[i] else None
+                cond = F.col("value").contains(v)
+                if k:
+                    cond = cond & (F.col("key") == k)
+                hit = cat.metadata.filter(cond).select("cube_id").distinct()
+                df = df.join(F.broadcast(hit), "cube_id", "left_anti" if neg else "left_semi")
+        elif key not in _KNOWN:
+            # free key=value -> metadata LIKE filter (oph_filters.c:545-555)
+            hit = cat.metadata.filter(
+                (F.col("key") == key) & F.col("value").contains(value)
+            ).select("cube_id").distinct()
+            df = df.join(F.broadcast(hit), "cube_id", "left_anti" if neg else "left_semi")
+    if pred is not None:
+        df = df.filter(pred)
+    return df.select("cube_id").distinct()
+
+
+def compile_massive(cat: Catalog, arg: str) -> DataFrame:
+    """Full massive expansion: union of all bracket groups plus explicit PIDs,
+    DISTINCT — mirroring `SELECT DISTINCT datacube.iddatacube ...`
+    (oph_filters.c:718-721). Returns DataFrame[cube_id]."""
+    groups, pids = parse_massive(arg)
+    parts: list[DataFrame] = [compile_group(cat, g) for g in groups]
+    if pids:
+        ids = [pid_cube_id(p) for p in pids]
+        spark = cat.cubes.sparkSession
+        parts.append(spark.createDataFrame([(i,) for i in ids], "cube_id long"))
+    if not parts:
+        raise ValueError(f"empty massive argument {arg!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

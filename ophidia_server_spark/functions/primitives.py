@@ -1,0 +1,155 @@
+"""Array primitives — the `oph_apply` kernel surface.
+
+The reference applies MySQL-UDF "primitives" (oph_predicate, oph_boxcar,
+oph_moving_avg, oph_gsl_fft, ... — listed via primitives_list,
+/root/reference/src/oph_json_objkeys.h:74-75) to each row's packed measure
+array. Here each primitive is a Column -> Column function over an ArrayType
+column. The common ones are pure Spark higher-order expressions (JVM-side,
+whole-stage-codegen'd, zero Python in the hot path); numpy-only kernels (FFT)
+fall back to Arrow-batched Pandas UDFs.
+
+Usage: `oph_apply(cube, moving_avg(3))`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ArrayPrimitive = Callable[[Column], Column]
+
+_D0 = "CAST(0.0 AS DOUBLE)"
+
+
+def _dbl(x: Column) -> Column:
+    return x.cast("double")
+
+
+# -- oph_predicate: element-wise conditional --------------------------------
+
+def predicate(cond: Callable[[Column], Column], if_true: float | Column, if_false: float | Column) -> ArrayPrimitive:
+    """oph_predicate: x -> if_true where cond(x) else if_false."""
+    t = F.lit(if_true) if not isinstance(if_true, Column) else if_true
+    f = F.lit(if_false) if not isinstance(if_false, Column) else if_false
+    return lambda arr: F.transform(arr, lambda x: F.when(cond(_dbl(x)), t).otherwise(f).cast("double"))
+
+
+def mask_above(threshold: float) -> ArrayPrimitive:
+    return predicate(lambda x: x > threshold, 1.0, 0.0)
+
+
+# -- scalar arithmetic ------------------------------------------------------
+
+def scale(mul: float = 1.0, add: float = 0.0) -> ArrayPrimitive:
+    """oph_mul_scalar / oph_sum_scalar: x -> x*mul + add."""
+    return lambda arr: F.transform(arr, lambda x: (_dbl(x) * F.lit(mul) + F.lit(add)))
+
+
+def math_fn(name: str) -> ArrayPrimitive:
+    """oph_math: element-wise abs/sqrt/log/exp/sin/cos/..."""
+    fn = getattr(F, name)
+    return lambda arr: F.transform(arr, lambda x: fn(_dbl(x)))
+
+
+# -- windowed kernels -------------------------------------------------------
+
+def moving_avg(k: int) -> ArrayPrimitive:
+    """oph_moving_avg: trailing mean over a window of k elements (shorter at the
+    array head, matching SQL `ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`).
+
+    Pure higher-order expr: for 0-based position i the window is elements
+    [max(0, i-k+1) .. i]; slice() is 1-based so start = max(1, i-k+2) and
+    length = min(i+1, k). O(n*k) per row, JVM-side.
+    """
+
+    def prim(arr: Column) -> Column:
+        return F.transform(arr, lambda x, i: _win_avg(arr, i, k))
+
+    return prim
+
+
+def _win_avg(arr: Column, i: Column, k: int) -> Column:
+    start = F.greatest(F.lit(1), i + 2 - F.lit(k))
+    length = F.least(i + F.lit(1), F.lit(k))
+    win = F.slice(arr, start, length)
+    s = F.aggregate(win, F.lit(0.0), lambda acc, y: acc + y.cast("double"))
+    return s / length
+
+
+def boxcar(k: int) -> ArrayPrimitive:
+    """oph_boxcar: trailing moving sum over k elements (same window shape as
+    moving_avg)."""
+
+    def prim(arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x, i: F.aggregate(
+                F.slice(arr, F.greatest(F.lit(1), i + 2 - F.lit(k)), F.least(i + F.lit(1), F.lit(k))),
+                F.lit(0.0),
+                lambda acc, y: acc + y.cast("double"),
+            ),
+        )
+
+    return prim
+
+
+def cumsum() -> ArrayPrimitive:
+    """Prefix sum along the implicit dim (oph_accumulate)."""
+
+    def prim(arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x, i: F.aggregate(
+                F.slice(arr, F.lit(1), i + F.lit(1)), F.lit(0.0), lambda a, y: a + y.cast("double")
+            ),
+        )
+
+    return prim
+
+
+def delta() -> ArrayPrimitive:
+    """First difference x[i] - x[i-1] (oph_deriv-style); first element 0."""
+
+    def prim(arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x, i: F.when(i == 0, F.lit(0.0)).otherwise(
+                _dbl(x) - _dbl(F.element_at(arr, i))  # element_at is 1-based => arr[i-1]
+            ),
+        )
+
+    return prim
+
+
+# -- numpy-backed kernels (Pandas UDF — the sanctioned slow path) -----------
+
+def fft_magnitude() -> ArrayPrimitive:
+    """oph_gsl_fft analogue: per-row |FFT| magnitudes via numpy, Arrow-batched.
+
+    Kept out of any oracle-checked path (floating point / engine specific); used
+    by oph_apply when a genuinely numeric kernel is requested.
+    """
+    import pandas as pd  # local import: Arrow path only
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _fft(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return s.apply(lambda a: np.abs(np.fft.rfft(np.asarray(a, dtype="float64"))).tolist())
+
+    return lambda arr: _fft(arr.cast(T.ArrayType(T.DoubleType())))
+
+
+PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
+    "oph_predicate": predicate,
+    "oph_mul_scalar": scale,
+    "oph_math": math_fn,
+    "oph_moving_avg": moving_avg,
+    "oph_boxcar": boxcar,
+    "oph_accumulate": cumsum,
+    "oph_deriv": delta,
+    "oph_gsl_fft": fft_magnitude,
+}

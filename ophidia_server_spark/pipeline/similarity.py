@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute-force top-k  — exact cosine against a query vector; one pure map stage
+                       + a top-k (TakeOrdered) — the correctness baseline and
+                       perfectly scalable for single-query scoring.
+  LSH-bucketed       — random-hyperplane signatures bucket the corpus; queries
+                       only score their bucket (multi-probe = flip one bit).
+                       The 100 TB path: candidate set shrinks ~2^bits-fold.
+
+All-pairs similarity uses the LSH buckets as the join key (never a cross
+join). Dot products are JVM-side zip_with/aggregate expressions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_cosine(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query is a literal array baked into the plan (broadcast-free); scoring
+    is one map stage; `orderBy ... limit k` compiles to TakeOrdered — each
+    partition keeps k candidates, driver merges. Scales to any corpus size.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(
+    vec_col: Column, dim: int, bits: int = 8
+) -> Column:
+    """Deterministic random-hyperplane LSH signature (sign of dot with pseudo
+    random planes). Planes are derived from a fixed integer hash of (bit, dim)
+    — reproducible across runs/engines, no stored model needed:
+        plane[j][d] = ((j*dim + d) * 2654435761 mod 1000003)/1000003 - 0.5
+    """
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        plane = F.array(
+            *[
+                F.lit((((j * dim + d) * 2654435761) % 1000003) / 1000003.0 - 0.5)
+                for d in range(dim)
+            ]
+        )
+        bit = F.when(_dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))
+    return sig
+
+
+def lsh_topk_cosine(
+    df: DataFrame, query_vec: list[float], k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature is
+    within hamming distance 1 of the query's (multi-probe LSH).
+
+    At scale the signature is a stored partition/bucket column: the filter
+    prunes partitions, so only ~ (bits+1)/2^bits of the corpus is read.
+    """
+    dim = len(query_vec)
+    qsig_col = hyperplane_signature(F.array(*[F.lit(float(v)) for v in query_vec]), dim, bits)
+    sig = hyperplane_signature(F.col(vec_col), dim, bits)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probes = F.array(
+        qsig_col, *[qsig_col.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(bits)]
+    )
+    scored = (
+        df.withColumn("__sig", sig)
+        .filter(F.array_contains(probes, F.col("__sig")))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def allpairs_above(
+    df: DataFrame, threshold: float = 0.9, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via LSH bucket self-join (embedding
+    near-dup dedup). Only same-bucket pairs are scored — sub-quadratic; high-
+    similarity pairs land in the same bucket with high probability."""
+    sig = hyperplane_signature(F.col(vec_col), dim, bits)
+    keyed = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__sig") == F.col("b.__sig"))
+        & (F.col("a." + id_col) < F.col("b." + id_col)),
+    ).select(
+        F.col("a." + id_col).alias("id_a"),
+        F.col("b." + id_col).alias("id_b"),
+        F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,93 @@
+"""Text-analysis operators over a documents table.
+
+All hot paths are JVM-side expressions (split/filter/aggregate higher-order
+functions) — no Python UDFs — so they scale linearly over 100 TB of text with
+zero shuffle (pure map stages; Catalyst fuses them into one WholeStageCodegen
+span per scan).
+
+Deterministic by construction so every operator is DuckDB-oracle checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small English function-word list for the language-ID / quality heuristics
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+TOKEN_SPLIT = r"\s+"
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    return F.filter(F.split(F.trim(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting (whitespace tokenizer): doc_id, n_tokens, n_chars."""
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length/stopword/mean-token-length features plus a
+    composite score. Mirrors common LLM-corpus quality filters (doc length,
+    stopword ratio, token-length sanity)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop_ratio = F.when(n > 0, stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    mean_tok = F.when(n > 0, tok_chars.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    ) / F.lit(3.0)
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID heuristic: English function-word hit ratio. Predicts 'en'
+    when >= 3% of tokens are English stopwords, else 'unknown'. (A real n-gram
+    model slots in behind the same signature; the point is the distributed
+    shape: pure map, no shuffle.)"""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    ratio = F.when(n > 0, stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over token codes.
+
+    code(tok) = length(tok)*131 + ascii(first char); fp = fold over tokens of
+    (acc*31 + code) mod 1e9+7. Deterministic, engine-portable (plain BIGINT
+    arithmetic — the DuckDB oracle reproduces it with list_reduce)."""
+    toks = tokens(F.col(text_col))
+    codes = F.transform(toks, lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,342 @@
+"""Workflow DAG engine — the reference server's core competence, re-built
+driver-side.
+
+Reference behavior studied (not copied) from /root/reference/src/:
+  - JSON workflow -> task list with dependency edges; Kahn topological
+    validation (oph_workflow_setup.c:113-300, algorithm comment :200-213).
+  - Variable substitution `@var` / `@{var}` while building each task's
+    submission string (oph_workflow_utils.c:104-272; prefixes
+    oph_workflow_define.h:35-40).
+  - Flow control served in-process: oph_for/endfor loop expansion
+    (oph_flow_control_operators.c:1574-2001), oph_if/elseif/else/endif with a
+    numeric condition evaluator and recursive branch-unselection
+    (:476-671), oph_set variable definition (:1150-1571), oph_wait clock wait
+    (:2003-2375).
+  - on_error actions nop|skip|continue|break|abort and retry counters
+    (oph_workflow_define.h:63-70, oph_workflow_structs.h:180-183).
+
+Spark mapping: tasks execute Python callables that build/execute DataFrame
+plans; Spark parallelizes *within* each task, the engine walks the DAG in
+dependency order (ready set = indegree 0, exactly the reference's
+residual_deps_num countdown). Flow-control operators never touch Spark.
+
+Workflow JSON shape (mirrors the reference request schema):
+  {"name": ..., "variables": {k: v},
+   "tasks": [{"name": t, "operator": op, "arguments": {k: v},
+              "dependencies": [task_name, ...], "on_error": "abort|skip"}]}
+"""
+
+from __future__ import annotations
+
+import ast
+import operator as _op
+import re
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+VAR_RE = re.compile(r"@\{(\w+)\}|@(\w+)")
+
+FLOW_OPERATORS = {
+    "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else", "oph_endif",
+    "oph_set", "oph_wait",
+}
+
+
+class WorkflowError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# safe arithmetic condition evaluator (libmatheval replacement for oph_if;
+# reference evaluates variable-free arithmetic strings,
+# oph_flow_control_operators.c:592-628: non-zero => true)
+# ---------------------------------------------------------------------------
+
+_ALLOWED_BINOPS = {
+    ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul, ast.Div: _op.truediv,
+    ast.Mod: _op.mod, ast.Pow: _op.pow, ast.FloorDiv: _op.floordiv,
+}
+_ALLOWED_CMPS = {
+    ast.Lt: _op.lt, ast.LtE: _op.le, ast.Gt: _op.gt, ast.GtE: _op.ge,
+    ast.Eq: _op.eq, ast.NotEq: _op.ne,
+}
+
+
+def eval_condition(expr: str) -> float:
+    """Safely evaluate an arithmetic/comparison expression string."""
+
+    def ev(node: ast.AST) -> Any:
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return node.value
+        if isinstance(node, ast.BinOp) and type(node.op) in _ALLOWED_BINOPS:
+            return _ALLOWED_BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd, ast.Not)):
+            v = ev(node.operand)
+            if isinstance(node.op, ast.USub):
+                return -v
+            if isinstance(node.op, ast.Not):
+                return not v
+            return v
+        if isinstance(node, ast.Compare):
+            left = ev(node.left)
+            for cmp_op, comparator in zip(node.ops, node.comparators):
+                right = ev(comparator)
+                if type(cmp_op) not in _ALLOWED_CMPS or not _ALLOWED_CMPS[type(cmp_op)](left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.BoolOp):
+            vals = [ev(v) for v in node.values]
+            return all(vals) if isinstance(node.op, ast.And) else any(vals)
+        raise WorkflowError(f"disallowed expression element: {ast.dump(node)}")
+
+    try:
+        return ev(ast.parse(str(expr).strip() or "0", mode="eval"))
+    except SyntaxError as e:  # pragma: no cover
+        raise WorkflowError(f"bad condition {expr!r}: {e}") from e
+
+
+def substitute(value: Any, variables: dict[str, Any]) -> Any:
+    """@var / @{var} substitution (oph_workflow_utils.c:104-272 semantics:
+    unknown variables are left untouched)."""
+    if not isinstance(value, str):
+        return value
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1) or m.group(2)
+        return str(variables.get(name, m.group(0)))
+
+    return VAR_RE.sub(repl, value)
+
+
+# ---------------------------------------------------------------------------
+# DAG validation — Kahn topological sort (oph_workflow_setup.c:200-297)
+# ---------------------------------------------------------------------------
+
+def validate_dag(tasks: list[dict]) -> list[str]:
+    """Unique names + all dependencies resolvable + acyclic. Returns a valid
+    topological order of task names."""
+    names = [t["name"] for t in tasks]
+    if len(set(names)) != len(names):
+        raise WorkflowError("duplicate task names")
+    idx = {n: t for n, t in zip(names, tasks)}
+    indeg = {n: 0 for n in names}
+    dependents: dict[str, list[str]] = {n: [] for n in names}
+    for t in tasks:
+        for dep in t.get("dependencies", []):
+            if dep not in idx:
+                raise WorkflowError(f"unknown dependency {dep!r} of task {t['name']!r}")
+            indeg[t["name"]] += 1
+            dependents[dep].append(t["name"])
+    queue = deque([n for n in names if indeg[n] == 0])
+    order: list[str] = []
+    while queue:
+        n = queue.popleft()
+        order.append(n)
+        for d in dependents[n]:
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                queue.append(d)
+    if len(order) != len(names):
+        cyc = [n for n in names if indeg[n] > 0]
+        raise WorkflowError(f"cycle detected among tasks {cyc}")
+    return order
+
+
+@dataclass
+class TaskResult:
+    name: str
+    status: str  # OPH_STATUS-style strings (oph_gather.h:188-218)
+    value: Any = None
+    error: str | None = None
+    attempts: int = 1
+
+
+@dataclass
+class WorkflowRun:
+    results: dict[str, TaskResult] = field(default_factory=dict)
+    variables: dict[str, Any] = field(default_factory=dict)
+    status: str = "OPH_ODB_STATUS_COMPLETED"
+
+
+class WorkflowEngine:
+    """Driver-side DAG orchestrator.
+
+    `operators` maps operator name -> callable(engine, task_args, inputs)
+    where inputs is {dep_name: TaskResult.value}. Flow-control operators
+    (for/if/set/wait) are interpreted by the engine itself, like the
+    reference's in-process serve path (oph_known_operators.c:95-134).
+    """
+
+    def __init__(self, operators: dict[str, Callable] | None = None):
+        self.operators = dict(operators or {})
+
+    # -- flow-control expansion ------------------------------------------------
+    def _expand_loops(self, tasks: list[dict], variables: dict[str, Any]) -> list[dict]:
+        """Unroll oph_for/oph_endfor blocks (reference expands the body per
+        loop value, oph_flow_control_operators.c:1574-1881 + engine expand
+        oph_workflow_engine.c:1207-1704). Loop bodies are duplicated per value
+        with `@key` bound; inner task names get a `_<i>` suffix; dependencies
+        are rewired so iteration i depends on nothing extra (parallel=yes
+        semantics) or on iteration i-1's endfor (serial default)."""
+        out: list[dict] = []
+        i = 0
+        while i < len(tasks):
+            t = tasks[i]
+            if t.get("operator") != "oph_for":
+                out.append(t)
+                i += 1
+                continue
+            # find matching endfor at same nesting depth
+            depth = 1
+            j = i + 1
+            while j < len(tasks) and depth:
+                if tasks[j].get("operator") == "oph_for":
+                    depth += 1
+                elif tasks[j].get("operator") == "oph_endfor":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise WorkflowError("oph_for without matching oph_endfor")
+            body = tasks[i + 1 : j - 1]
+            args = {k: substitute(v, variables) for k, v in t.get("arguments", {}).items()}
+            key = args.get("key", "i")
+            values = str(args.get("values", "")).split("|") if args.get("values") else []
+            parallel = str(args.get("parallel", "no")).lower() == "yes"
+            prev_iter_names: list[str] = []
+            for it, val in enumerate(values):
+                bound = dict(variables)
+                bound[key] = val
+                iter_names = []
+                for bt in self._expand_loops(body, bound):
+                    nt = dict(bt)
+                    nt["name"] = f"{bt['name']}_{it}"
+                    nt["arguments"] = {
+                        k: substitute(v, {key: val}) for k, v in bt.get("arguments", {}).items()
+                    }
+                    deps = []
+                    body_names = {b["name"] for b in body}
+                    for d in bt.get("dependencies", []):
+                        deps.append(f"{d}_{it}" if d in body_names else d)
+                    if not parallel and it > 0 and not deps:
+                        deps = list(prev_iter_names[-1:])  # serialize iterations
+                    nt["dependencies"] = deps
+                    out.append(nt)
+                    iter_names.append(nt["name"])
+                prev_iter_names = iter_names
+            i = j
+        return [t for t in out if t.get("operator") != "oph_endfor"]
+
+    def _select_branches(self, tasks: list[dict], variables: dict[str, Any]) -> list[dict]:
+        """Resolve if/elseif/else/endif selection blocks: evaluate guards and
+        drop unselected branches (reference marks them UNSELECTED recursively,
+        oph_flow_control_operators.c:476-544; here the block structure is
+        linear between the markers so dropping is equivalent)."""
+        out: list[dict] = []
+        i = 0
+        while i < len(tasks):
+            t = tasks[i]
+            if t.get("operator") != "oph_if":
+                out.append(t)
+                i += 1
+                continue
+            # segment the block into guarded branches
+            branches: list[tuple[bool, list[dict]]] = []
+            cond = bool(eval_condition(substitute(t.get("arguments", {}).get("condition", "1"), variables)))
+            cur: list[dict] = []
+            taken = cond
+            chosen: list[dict] | None = None
+            depth = 1
+            j = i + 1
+            while j < len(tasks):
+                op = tasks[j].get("operator")
+                if op == "oph_if":
+                    depth += 1
+                elif op == "oph_endif":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                if depth == 1 and op in ("oph_elseif", "oph_else"):
+                    if taken and chosen is None:
+                        chosen = cur
+                    cur = []
+                    if op == "oph_elseif":
+                        taken = bool(
+                            eval_condition(
+                                substitute(tasks[j].get("arguments", {}).get("condition", "0"), variables)
+                            )
+                        )
+                    else:
+                        taken = chosen is None
+                else:
+                    cur.append(tasks[j])
+                j += 1
+            if depth:
+                raise WorkflowError("oph_if without matching oph_endif")
+            if taken and chosen is None:
+                chosen = cur
+            if chosen:
+                out.extend(self._select_branches(chosen, variables))
+            i = j + 1
+        return out
+
+    # -- main entry ------------------------------------------------------------
+    def run(self, workflow: dict, extra_operators: dict[str, Callable] | None = None) -> WorkflowRun:
+        run = WorkflowRun(variables=dict(workflow.get("variables", {})))
+        ops = {**self.operators, **(extra_operators or {})}
+        tasks = self._select_branches(list(workflow.get("tasks", [])), run.variables)
+        tasks = self._expand_loops(tasks, run.variables)
+        order = validate_dag(tasks)
+        by_name = {t["name"]: t for t in tasks}
+        for name in order:
+            t = by_name[name]
+            op = t.get("operator")
+            deps = t.get("dependencies", [])
+            failed_dep = any(
+                run.results.get(d) and run.results[d].status == "OPH_ODB_STATUS_ERROR" for d in deps
+            )
+            skipped_dep = any(
+                run.results.get(d) and run.results[d].status == "OPH_ODB_STATUS_SKIPPED" for d in deps
+            )
+            if failed_dep or skipped_dep:
+                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_SKIPPED")
+                continue
+            args = {k: substitute(v, run.variables) for k, v in t.get("arguments", {}).items()}
+            if op == "oph_set":
+                run.variables[str(args.get("key"))] = args.get("value")
+                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED", args.get("value"))
+                continue
+            if op == "oph_wait":
+                if str(args.get("type", "clock")) == "clock":
+                    time.sleep(min(float(args.get("timeout", 0) or 0), 5.0))
+                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED")
+                continue
+            fn = ops.get(op)
+            if fn is None:
+                raise WorkflowError(f"unknown operator {op!r}")
+            inputs = {d: run.results[d].value for d in deps if d in run.results}
+            retries = int(t.get("retry", 1) or 1)
+            last_err: str | None = None
+            for attempt in range(1, retries + 1):
+                try:
+                    value = fn(self, args, inputs)
+                    run.results[name] = TaskResult(
+                        name, "OPH_ODB_STATUS_COMPLETED", value, attempts=attempt
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001 - operator errors feed on_error policy
+                    last_err = f"{type(e).__name__}: {e}"
+            else:
+                on_error = t.get("on_error", "abort")
+                run.results[name] = TaskResult(
+                    name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries
+                )
+                if on_error == "abort":
+                    run.status = "OPH_ODB_STATUS_ERROR"
+                    break
+                # skip: dependents will be marked skipped; continue: keep going
+        return run

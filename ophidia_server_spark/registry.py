@@ -1,0 +1,1072 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB oracle SQL string for the correctness gate.
+
+Conventions for engine-portable determinism (Spark vs DuckDB value-hash):
+  - monetary/metric sums go through DECIMAL casts (exact in both engines),
+    only the final value is CAST AS DOUBLE;
+  - averages are computed as exact-sum / count in double, ROUND(6);
+  - integer outputs are cast to BIGINT; dates/timestamps are formatted as
+    strings; every computed column is aliased identically on both sides.
+
+Cube-operator queries build a deterministic datacube from `lineitem`
+(explicit dims l_returnflag × l_linestatus, implicit dim month(l_shipdate),
+measure SUM(l_quantity) — FIXTURES.md §2) and compare the operator's *result*
+against plain SQL over the equivalent long form — verifying the whole
+build -> array-op -> export chain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_server_spark import catalog as cat_mod
+from ophidia_server_spark import filters as flt
+from ophidia_server_spark.catalog import (
+    CATALOG_SQL_CUBES,
+    CATALOG_SQL_LINEAGE,
+    CATALOG_SQL_METADATA,
+    catalog_from_part,
+)
+from ophidia_server_spark.cube import DIM_COL, MEASURE_COL, Cube, build_cube, randcube
+from ophidia_server_spark.functions import primitives as prim
+from ophidia_server_spark.operators import cube_ops as C
+from ophidia_server_spark.pipeline import dedup as dd
+from ophidia_server_spark.pipeline import multimodal as mm
+from ophidia_server_spark.pipeline import similarity as sim
+from ophidia_server_spark.pipeline import text as tx
+from ophidia_server_spark.plans.workflow import WorkflowEngine
+from ophidia_server_spark.session import load_tables
+from ophidia_server_spark.streaming import windows as win
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared cube builders + oracle CTE text
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+
+
+def cube_qty(spark: SparkSession, sf_dir: str) -> Cube:
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    return build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast(DEC), measure="qty",
+    )
+
+
+def cube_price(spark: SparkSession, sf_dir: str) -> Cube:
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    return build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_extendedprice").cast(DEC), measure="price",
+    )
+
+
+BASE_QTY = """base AS (
+  SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS BIGINT) AS month,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)"""
+
+BASE_PRICE = """pbase AS (
+  SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS BIGINT) AS month,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+  FROM lineitem GROUP BY 1, 2, 3
+)"""
+
+
+def _long_qty(cube: Cube) -> DataFrame:
+    return cube.long().select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-style; exercises Catalyst join/agg paths)
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    dqty = F.col("l_quantity").cast(DEC)
+    dprice = F.col("l_extendedprice").cast(DEC)
+    one = F.lit(1).cast("decimal(8,4)")
+    ddisc = F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dqty).cast("double").alias("sum_qty"),
+            F.sum(dprice).cast("double").alias("sum_base_price"),
+            F.sum(dprice * (one - ddisc)).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dqty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+         AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast("decimal(8,4)"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_nation_revenue",
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast("decimal(8,4)"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = 1997 AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@q(
+    "orders_mktsegment_stats",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+)
+def orders_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# datacube operators (build -> op -> export chain vs SQL long form)
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_build",
+    f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty FROM base",
+)
+def cube_build_q(spark, sf_dir):
+    return _long_qty(cube_qty(spark, sf_dir))
+
+
+@q(
+    "cube_subset_index",
+    f"""WITH {BASE_QTY},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY month) AS idx
+  FROM base
+)
+SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty
+FROM ranked
+WHERE idx >= 2 AND idx <= 10 AND ((idx - 2) % 2) = 0""",
+)
+def cube_subset_index(spark, sf_dir):
+    c = C.oph_subset(cube_qty(spark, sf_dir), {"month": "2:2:10"}, "index")
+    return _long_qty(c)
+
+
+@q(
+    "cube_subset_coord",
+    f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty "
+    "FROM base WHERE month >= 3 AND month <= 9",
+)
+def cube_subset_coord(spark, sf_dir):
+    c = C.oph_subset(cube_qty(spark, sf_dir), {"month": "3:9"}, "coord")
+    return _long_qty(c)
+
+
+@q(
+    "cube_subset_mixed",
+    f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty "
+    "FROM base WHERE l_linestatus = 'O' AND ((month >= 1 AND month <= 3) OR (month >= 11 AND month <= 12))",
+)
+def cube_subset_mixed(spark, sf_dir):
+    c = cube_qty(spark, sf_dir)
+    c = c.with_df(c.df.filter(F.col("l_linestatus") == "O"))
+    c = C.oph_subset(c, {"month": "1:3,11:12"}, "coord")
+    return _long_qty(c)
+
+
+def _reduce_oracle(agg_expr: str, out: str) -> str:
+    return (
+        f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, {agg_expr} AS {out} "
+        "FROM base GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+@q("cube_reduce_sum", _reduce_oracle("ROUND(CAST(SUM(qty) AS DOUBLE), 2)", "sum_qty"))
+def cube_reduce_sum(spark, sf_dir):
+    r = C.oph_reduce(cube_qty(spark, sf_dir), "sum", "sum_qty")
+    return r.withColumn("sum_qty", F.round("sum_qty", 2))
+
+
+@q("cube_reduce_avg", _reduce_oracle("ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)", "avg_qty"))
+def cube_reduce_avg(spark, sf_dir):
+    r = C.oph_reduce(cube_qty(spark, sf_dir), "avg", "avg_qty")
+    return r.withColumn("avg_qty", F.round("avg_qty", 6))
+
+
+@q("cube_reduce_max", _reduce_oracle("CAST(MAX(qty) AS DOUBLE)", "max_qty"))
+def cube_reduce_max(spark, sf_dir):
+    return C.oph_reduce(cube_qty(spark, sf_dir), "max", "max_qty")
+
+
+@q("cube_reduce_min", _reduce_oracle("CAST(MIN(qty) AS DOUBLE)", "min_qty"))
+def cube_reduce_min(spark, sf_dir):
+    return C.oph_reduce(cube_qty(spark, sf_dir), "min", "min_qty")
+
+
+@q("cube_reduce_count", _reduce_oracle("COUNT(*)", "n_months"))
+def cube_reduce_count(spark, sf_dir):
+    return C.oph_reduce(cube_qty(spark, sf_dir), "count", "n_months")
+
+
+@q(
+    "cube_reduce_std",
+    _reduce_oracle(
+        "ROUND(SQRT((CAST(SUM(qty*qty) AS DOUBLE) - CAST(SUM(qty) AS DOUBLE)*CAST(SUM(qty) AS DOUBLE)/COUNT(*)) / (COUNT(*) - 1)), 4)",
+        "std_qty",
+    ),
+)
+def cube_reduce_std(spark, sf_dir):
+    r = C.oph_reduce(cube_qty(spark, sf_dir), "std", "std_qty")
+    return r.withColumn("std_qty", F.round("std_qty", 4))
+
+
+@q(
+    "cube_reduce2_quarter_avg",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, CAST((month + 2) // 3 AS BIGINT) AS quarter,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS q_avg
+FROM base GROUP BY 1, 2, 3""",
+)
+def cube_reduce2_quarter(spark, sf_dir):
+    c = cube_qty(spark, sf_dir)
+    # concept level: month -> quarter (time-hierarchy walk, oph_reduce2)
+    r = C.oph_reduce2(c, "avg", lambda d: ((d + 2) / 3).cast("int"), "q_avg")
+    out = r.long()
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("month").cast("long").alias("quarter"),
+        F.round(F.col("q_avg").cast("double"), 6).alias("q_avg"),
+    )
+
+
+@q(
+    "cube_aggregate_sum",
+    f"WITH {BASE_QTY} SELECT l_returnflag, month, CAST(SUM(qty) AS DOUBLE) AS qty "
+    "FROM base GROUP BY l_returnflag, month",
+)
+def cube_aggregate_sum(spark, sf_dir):
+    a = C.oph_aggregate(cube_qty(spark, sf_dir), "sum", ["l_linestatus"])
+    return a.long().select(
+        "l_returnflag", F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_aggregate_max",
+    f"WITH {BASE_QTY} SELECT l_returnflag, month, CAST(MAX(qty) AS DOUBLE) AS qty "
+    "FROM base GROUP BY l_returnflag, month",
+)
+def cube_aggregate_max(spark, sf_dir):
+    a = C.oph_aggregate(cube_qty(spark, sf_dir), "max", ["l_linestatus"])
+    return a.long().select(
+        "l_returnflag", F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_rollup_reduce",
+    f"WITH {BASE_QTY} SELECT l_returnflag, ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS total_qty "
+    "FROM base GROUP BY l_returnflag",
+)
+def cube_rollup_reduce(spark, sf_dir):
+    ru = C.oph_rollup(cube_qty(spark, sf_dir), "l_linestatus")
+    r = C.oph_reduce(ru, "sum", "total_qty")
+    return r.withColumn("total_qty", F.round("total_qty", 2))
+
+
+@q(
+    "cube_drilldown",
+    f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty FROM base",
+)
+def cube_drilldown_q(spark, sf_dir):
+    c = cube_qty(spark, sf_dir)
+    return C.oph_drilldown(c).select(
+        "l_returnflag", "l_linestatus",
+        F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_permute_roundtrip",
+    f"WITH {BASE_QTY} SELECT l_returnflag, month, l_linestatus, CAST(qty AS DOUBLE) AS qty FROM base",
+)
+def cube_permute_roundtrip(spark, sf_dir):
+    ru = C.oph_rollup(cube_qty(spark, sf_dir), "l_linestatus")
+    pm = C.oph_permute(ru, ["month", "l_linestatus"])
+    return pm.long().select(
+        "l_returnflag", F.col("month").cast("long").alias("month"),
+        "l_linestatus", F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_intercube_div",
+    f"""WITH {BASE_QTY}, {BASE_PRICE}
+SELECT b.l_returnflag, b.l_linestatus, b.month,
+       ROUND(CAST(p.price AS DOUBLE) / CAST(b.qty AS DOUBLE), 6) AS unit_price
+FROM base b JOIN pbase p
+  ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month""",
+)
+def cube_intercube_div(spark, sf_dir):
+    a = cube_price(spark, sf_dir)
+    b = cube_qty(spark, sf_dir)
+    ic = C.oph_intercube(a, b, "div", "unit_price")
+    return ic.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("unit_price"), 6).alias("unit_price"),
+    )
+
+
+@q(
+    "cube_intercube_sub",
+    f"""WITH {BASE_QTY}, {BASE_PRICE}
+SELECT b.l_returnflag, b.l_linestatus, b.month,
+       ROUND(CAST(p.price AS DOUBLE) - CAST(b.qty AS DOUBLE), 2) AS diff
+FROM base b JOIN pbase p
+  ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month""",
+)
+def cube_intercube_sub(spark, sf_dir):
+    ic = C.oph_intercube(cube_price(spark, sf_dir), cube_qty(spark, sf_dir), "sub", "diff")
+    return ic.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("diff"), 2).alias("diff"),
+    )
+
+
+@q(
+    "cube_mergecubes",
+    f"""WITH {BASE_QTY}, {BASE_PRICE}
+SELECT l_returnflag, l_linestatus, CAST(0 AS BIGINT) AS src, month, CAST(qty AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT l_returnflag, l_linestatus, CAST(1 AS BIGINT) AS src, month, CAST(price AS DOUBLE) AS value FROM pbase""",
+)
+def cube_mergecubes(spark, sf_dir):
+    mc = C.oph_mergecubes(cube_qty(spark, sf_dir), cube_price(spark, sf_dir))
+    return mc.long().select(
+        "l_returnflag", "l_linestatus",
+        F.col("src").cast("long").alias("src"),
+        F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("value"),
+    )
+
+
+@q(
+    "cube_apply_moving_avg",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(AVG(CAST(qty AS DOUBLE)) OVER (
+         PARTITION BY l_returnflag, l_linestatus ORDER BY month
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+FROM base""",
+)
+def cube_apply_moving_avg(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.moving_avg(3), "ma3")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("ma3"), 4).alias("ma3"),
+    )
+
+
+@q(
+    "cube_apply_cumsum",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(SUM(CAST(qty AS DOUBLE)) OVER (
+         PARTITION BY l_returnflag, l_linestatus ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+FROM base""",
+)
+def cube_apply_cumsum(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.cumsum(), "running")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("running"), 4).alias("running"),
+    )
+
+
+@q(
+    "cube_apply_delta",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(CAST(qty AS DOUBLE) - COALESCE(lag(CAST(qty AS DOUBLE)) OVER (
+         PARTITION BY l_returnflag, l_linestatus ORDER BY month), CAST(qty AS DOUBLE)), 4) AS delta
+FROM base""",
+)
+def cube_apply_delta(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.delta(), "delta")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("delta"), 4).alias("delta"),
+    )
+
+
+@q(
+    "cube_apply_predicate",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CASE WHEN CAST(qty AS DOUBLE) > 2000 THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+         AS n_above
+FROM base GROUP BY 1, 2""",
+)
+def cube_apply_predicate(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.mask_above(2000.0), "mask")
+    return C.oph_reduce(ap, "sum", "n_above")
+
+
+@q(
+    "cube_elements",
+    f"""WITH {BASE_QTY}
+SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM base)) AS n_rows,
+       (SELECT COUNT(*) FROM base) AS n_cells""",
+)
+def cube_elements(spark, sf_dir):
+    c = cube_qty(spark, sf_dir)
+    return c.df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.size(MEASURE_COL)).cast("long").alias("n_cells"),
+    )
+
+
+@q(
+    "cube_randcube",
+    """SELECT CAST(r + 1 AS BIGINT) AS dim0, CAST(i + 1 AS BIGINT) AS idx,
+       CAST(((r * 12 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000.0 AS measure
+FROM range(20) t(r) CROSS JOIN range(12) s(i)""",
+)
+def cube_randcube(spark, sf_dir):
+    rc = randcube(spark, 20, 12)
+    return rc.long().select(
+        F.col("dim0").cast("long").alias("dim0"),
+        F.col("index").cast("long").alias("idx"),
+        F.col("measure").cast("double").alias("measure"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# massive-filter / catalog queries  (§2.B selection algebra)
+# ---------------------------------------------------------------------------
+
+_CAT_CTE = f"""cubes AS ({CATALOG_SQL_CUBES}), metadata AS ({CATALOG_SQL_METADATA}),
+lineage AS ({CATALOG_SQL_LINEAGE})"""
+
+
+def _mf(spark, sf_dir, arg: str) -> DataFrame:
+    cat = catalog_from_part(_t(spark, sf_dir)["part"])
+    return flt.compile_massive(cat, arg).select(F.col("cube_id").cast("long").alias("cube_id"))
+
+
+@q(
+    "mf_level_container",
+    f"WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes "
+    "WHERE level IN (1, 2) AND container = 'Brand#13'",
+)
+def mf_level_container(spark, sf_dir):
+    return _mf(spark, sf_dir, "[level=1|2;container=Brand#13]")
+
+
+@q(
+    "mf_measure_negation",
+    f"WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes "
+    "WHERE measure <> 'economy' AND level = 3",
+)
+def mf_measure_negation(spark, sf_dir):
+    # negation: '!' suffix on the filter key (OPH_MF_SYMBOL_NOT, oph_filters.h:62)
+    return _mf(spark, sf_dir, "[measure!=economy;level=3]")
+
+
+@q(
+    "mf_cube_filter",
+    f"""WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes
+WHERE ((cube_id >= 1 AND cube_id <= 150 AND ((cube_id - 1) % 7) = 0)
+    OR (cube_id >= 180 AND cube_id <= 185))""",
+)
+def mf_cube_filter(spark, sf_dir):
+    return _mf(spark, sf_dir, "[cube_filter=1:7:150,180:185]")
+
+
+@q(
+    "mf_metadata",
+    f"""WITH {_CAT_CTE} SELECT DISTINCT CAST(c.cube_id AS BIGINT) AS cube_id FROM cubes c
+WHERE EXISTS (SELECT 1 FROM metadata m WHERE m.cube_id = c.cube_id AND m.key = 'brand')
+  AND EXISTS (SELECT 1 FROM metadata m WHERE m.cube_id = c.cube_id
+              AND m.key = 'brand' AND m.value LIKE '%Brand#2%')""",
+)
+def mf_metadata(spark, sf_dir):
+    return _mf(spark, sf_dir, "[metadata_key=brand;metadata_value=Brand#2]")
+
+
+@q(
+    "mf_path_recursive",
+    f"""WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes
+WHERE path = '/sess1/economy' OR path LIKE '/sess1/economy/%'""",
+)
+def mf_path_recursive(spark, sf_dir):
+    return _mf(spark, sf_dir, "[path=/sess1/economy;recursive=yes]")
+
+
+@q(
+    "mf_parent_and_pid",
+    f"""WITH {_CAT_CTE}
+SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM (
+  SELECT out_cube AS cube_id FROM lineage WHERE in_cube = 5
+  UNION ALL SELECT 7
+)""",
+)
+def mf_parent_and_pid(spark, sf_dir):
+    return _mf(spark, sf_dir, "[parent_cube=http://srv/0/5]|http://srv/0/7")
+
+
+@q(
+    "mf_free_metadata",
+    f"""WITH {_CAT_CTE} SELECT DISTINCT CAST(c.cube_id AS BIGINT) AS cube_id FROM cubes c
+WHERE EXISTS (SELECT 1 FROM metadata m WHERE m.cube_id = c.cube_id
+              AND m.key = 'size' AND m.value LIKE '%3%')""",
+)
+def mf_free_metadata(spark, sf_dir):
+    return _mf(spark, sf_dir, "[size=3]")
+
+
+@q(
+    "catalog_list",
+    f"""WITH {_CAT_CTE}
+SELECT container, COUNT(*) AS n_cubes, CAST(MAX(level) AS BIGINT) AS max_level
+FROM cubes GROUP BY container""",
+)
+def catalog_list(spark, sf_dir):
+    cat = catalog_from_part(_t(spark, sf_dir)["part"])
+    return cat.cubes.groupBy("container").agg(
+        F.count("*").alias("n_cubes"), F.max("level").cast("long").alias("max_level")
+    )
+
+
+@q(
+    "catalog_search",
+    f"""WITH {_CAT_CTE}
+SELECT CAST(cube_id AS BIGINT) AS cube_id, container, path, CAST(level AS BIGINT) AS level
+FROM cubes WHERE measure = 'standard' AND level >= 2""",
+)
+def catalog_search(spark, sf_dir):
+    cat = catalog_from_part(_t(spark, sf_dir)["part"])
+    return cat.cubes.filter((F.col("measure") == "standard") & (F.col("level") >= 2)).select(
+        F.col("cube_id").cast("long").alias("cube_id"), "container", "path",
+        F.col("level").cast("long").alias("level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# workflow engine end-to-end (DAG of cube operators)
+# ---------------------------------------------------------------------------
+
+@q(
+    "workflow_q1",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, month, CAST(SUM(qty) AS DOUBLE) AS qty
+FROM base WHERE month <= 6 GROUP BY l_returnflag, month""",
+)
+def workflow_q1(spark, sf_dir):
+    """4-task workflow through the DAG engine: import -> subset -> aggregate
+    -> export (the SURVEY §7.2 minimum end-to-end slice)."""
+
+    def op_import(engine, args, inputs):
+        return cube_qty(spark, sf_dir)
+
+    def op_subset(engine, args, inputs):
+        (c,) = inputs.values()
+        return C.oph_subset(c, {"month": args["subset_filter"]}, args.get("subset_type", "coord"))
+
+    def op_aggregate(engine, args, inputs):
+        (c,) = inputs.values()
+        return C.oph_aggregate(c, args["operation"], args["collapse"].split("|"))
+
+    def op_export(engine, args, inputs):
+        (c,) = inputs.values()
+        return c.long().select(
+            "l_returnflag", F.col("month").cast("long").alias("month"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+
+    eng = WorkflowEngine(
+        {
+            "oph_importcube": op_import,
+            "oph_subset": op_subset,
+            "oph_aggregate": op_aggregate,
+            "oph_exportcube": op_export,
+        }
+    )
+    wf = {
+        "name": "q1_slice",
+        "variables": {"months": "1:6"},
+        "tasks": [
+            {"name": "import", "operator": "oph_importcube", "arguments": {}},
+            {
+                "name": "subset",
+                "operator": "oph_subset",
+                "arguments": {"subset_filter": "@months", "subset_type": "coord"},
+                "dependencies": ["import"],
+            },
+            {
+                "name": "aggregate",
+                "operator": "oph_aggregate",
+                "arguments": {"operation": "sum", "collapse": "l_linestatus"},
+                "dependencies": ["subset"],
+            },
+            {
+                "name": "export",
+                "operator": "oph_exportcube",
+                "arguments": {},
+                "dependencies": ["aggregate"],
+            },
+        ],
+    }
+    run = eng.run(wf)
+    if run.status != "OPH_ODB_STATUS_COMPLETED":
+        raise RuntimeError(f"workflow failed: {run.results}")
+    return run.results["export"].value
+
+
+# ---------------------------------------------------------------------------
+# text analysis  (LLM pipeline)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+@q(
+    "text_token_count",
+    f"""SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    return tx.token_count(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "text_quality",
+    f"""WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) AS tok_chars
+  FROM tk
+), ratios AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN CAST(stop AS DOUBLE)/n ELSE 0.0 END AS sr,
+         CASE WHEN n > 0 THEN CAST(tok_chars AS DOUBLE)/n ELSE 0.0 END AS mt
+  FROM feat
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(sr, 6) AS stopword_ratio, ROUND(mt, 6) AS mean_token_len,
+       ROUND(((CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN sr >= 0.01 AND sr <= 0.5 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mt >= 2.0 AND mt <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM ratios""",
+)
+def text_quality(spark, sf_dir):
+    return tx.quality_score(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "text_langid",
+    f"""WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+             AND CAST(len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS DOUBLE)/len(toks) >= 0.03
+            THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM tk""",
+)
+def text_langid(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "text_fingerprint",
+    f"""WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, t -> CAST(length(t)*131 + ascii(t) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM tk""",
+)
+def text_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_t(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# dedup  (LLM pipeline) — synthetic duplicates injected: every doc_id % 10 == 0
+# is re-added with doc_id+100000 so dedup finds real groups
+# ---------------------------------------------------------------------------
+
+_DUP_CTE = """dup_input AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def _dup_input(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(extra)
+
+
+@q(
+    "dedup_exact_groups",
+    f"""WITH {_DUP_CTE}
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM dup_input GROUP BY 1 HAVING COUNT(*) > 1""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dd.exact_duplicates(_dup_input(spark, sf_dir))
+
+
+@q(
+    "dedup_keep_first",
+    f"""WITH {_DUP_CTE},
+r AS (SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM dup_input)
+SELECT doc_id FROM r WHERE rn = 1""",
+)
+def dedup_keep_first(spark, sf_dir):
+    return dd.dedup_exact(_dup_input(spark, sf_dir)).select("doc_id")
+
+
+@q("dedup_minhash_pairs")  # xxhash64-based: Spark-only hash, rows-only check
+def dedup_minhash_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _dup_input(spark, sf_dir), num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+@q("dedup_simhash")  # xxhash64-based: rows-only check
+def dedup_simhash(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir)["documents"])
+
+
+@q("dedup_ngram_jaccard")  # LSH blocking is Spark-hash-based: rows-only check
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_dup_input(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search  (LLM pipeline)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _t(spark, sf_dir)["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(v) for v in row[0]]
+
+
+@q(
+    "sim_topk_cosine",
+    """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM qv)), 6)
+         AS cosine_sim
+FROM embeddings
+ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+)
+def sim_topk_cosine(spark, sf_dir):
+    return sim.topk_cosine(
+        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir), k=10
+    )
+
+
+@q(
+    "sim_embedding_norms",
+    """SELECT vec_id,
+       ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 6)
+         AS l2_norm
+FROM embeddings""",
+)
+def sim_embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )
+
+
+@q("sim_lsh_topk")  # approximate path: rows-only check
+def sim_lsh_topk(spark, sf_dir):
+    return sim.lsh_topk_cosine(
+        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir), k=10, bits=8
+    )
+
+
+@q("sim_allpairs_lsh")  # approximate path: rows-only check
+def sim_allpairs_lsh(spark, sf_dir):
+    # random embeddings concentrate near cosine 0: threshold low enough to
+    # produce candidate pairs so the bucket-join path is actually exercised
+    return sim.allpairs_above(_t(spark, sf_dir)["embeddings"], threshold=0.2, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# events / streaming windows
+# ---------------------------------------------------------------------------
+
+@q(
+    "events_type_stats",
+    """SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type""",
+)
+def events_type_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "events_tumbling_1h",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def events_tumbling_1h(spark, sf_dir):
+    return win.tumbling(_t(spark, sf_dir)["events"], "1 hour")
+
+
+@q(
+    "events_sliding_1h30m",
+    """WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS s FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n_events
+FROM starts GROUP BY 1""",
+)
+def events_sliding(spark, sf_dir):
+    return win.sliding(_t(spark, sf_dir)["events"], "1 hour", "30 minutes")
+
+
+@q(
+    "events_sessionize",
+    """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN CAST(epoch_us(ts) AS DOUBLE)/1000000
+                 - CAST(epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE)/1000000
+                 > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sess""",
+)
+def events_sessionize(spark, sf_dir):
+    return win.sessionize(_t(spark, sf_dir)["events"], gap_minutes=30)
+
+
+@q(
+    "events_user_topk",
+    """SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5""",
+)
+def events_user_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@q(
+    "multimodal_binary_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents""",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    return mm.binary_meta(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "multimodal_frame_sample",
+    """SELECT doc_id, CAST(o // 64 AS BIGINT) AS frame_no, CAST(o AS BIGINT) AS byte_offset
+FROM (SELECT doc_id, unnest(range(0, greatest(octet_length(encode(text)), 1), 64)) AS o
+      FROM documents)""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    blobs = mm.to_binary_table(_t(spark, sf_dir)["documents"])
+    return mm.frame_sample(blobs, 64).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+@q("multimodal_decode_stub")  # mapInPandas fake decode: rows-only check
+def multimodal_decode_stub(spark, sf_dir):
+    blobs = mm.to_binary_table(_t(spark, sf_dir)["documents"])
+    return mm.decode_images(blobs)

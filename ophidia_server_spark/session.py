@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+Tuned for the local[32] test harness but cluster-safe: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), Arrow on (fast pandas interchange for
+the few Pandas-UDF operators), UTC session timezone so timestamp semantics match
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster the master/memory come from spark-submit; everything set
+    here is safe to override externally. `spark.sql.shuffle.partitions` is kept
+    near core count locally — at 100 TB scale AQE coalescing makes a large
+    initial value cheap, so production configs should raise it (or rely on
+    `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
+    """
+    cpus = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata uses parquet TIMESTAMP(NANOS); read as int64 nanos and
+        # convert in load_tables (Spark has no native nanos timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_GRAFT_CPUS" in os.environ:
+        builder = builder.master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master("local[*]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver parquet tables as a dict of DataFrames and register temp views."""
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    # The driver may hand us a session built without these confs; both are
+    # runtime-settable. nanosAsLong unlocks the generator's TIMESTAMP(NANOS)
+    # parquet columns (read as timestamp_ntz on Spark 4); UTC keeps derived
+    # calendar fields aligned with the DuckDB oracle.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for col, is_ts in _NANOS_TS_COLS.get(n, ()):  # int64-nanos -> timestamp
+                if col in df.columns and dict(df.dtypes)[col] == "bigint":
+                    from pyspark.sql import functions as F
+
+                    df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
+
+
+# columns written as parquet TIMESTAMP(NANOS) by the data generator; with
+# nanosAsLong=true they surface as bigint and are converted above.
+_NANOS_TS_COLS = {
+    "lineitem": (("l_shipdate", True),),
+    "orders": (("o_orderdate", True),),
+    "events": (("ts", True),),
+}

@@ -1,0 +1,109 @@
+"""Windowed event-stream operators (Structured Streaming extension).
+
+The reference has no streaming operators — its closest analogue is
+`oph_wait type=file` polling for data arrival (/root/reference/src/
+oph_flow_control_operators.c:2060-2115). Per SURVEY.md §2 this module is an
+*extension*: tumbling/sliding windows (`F.window`), session windows, and
+watermarked late-data handling over the `events` fixture.
+
+Every transform below is defined on a plain DataFrame, so the same function
+body serves both batch (oracle-checkable vs DuckDB) and streaming
+(`spark.readStream` source piped through the identical expression — the
+Structured Streaming contract). `run_streaming_over_files` demonstrates the
+real streaming path with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling(df: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate per event_type. Window start is emitted as a
+    formatted string for engine-portable comparison."""
+    w = F.window("ts", width)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding(df: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window count: each event lands in width/slide windows."""
+    w = F.window("ts", width, slide)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format("w.start", TS_FMT).alias("window_start"), "n_events")
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user with an inactivity gap (batch formulation).
+
+    Classic lag/cumsum sessionization: a new session starts when the gap from
+    the previous event exceeds `gap_minutes`. One shuffle (partitionBy user).
+    In streaming mode the same semantics come from
+    `F.session_window("ts", f"{gap} minutes")` — see stream_sessionize.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__sess", sess_id)
+        .groupBy("user_id", "__sess")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+def stream_sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native streaming session windows (works on readStream DataFrames)."""
+    return (
+        df.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def run_streaming_over_files(
+    spark: SparkSession, parquet_path: str, schema, width: str = "1 hour"
+) -> DataFrame:
+    """True Structured Streaming run over a parquet directory with
+    Trigger.AvailableNow: watermark + tumbling window, results collected into
+    an in-memory sink and returned as a batch DataFrame. This is the pattern
+    for continuous ingestion at scale (file source -> windowed agg -> sink).
+    """
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withWatermark("ts", "2 hours")
+    )
+    agg = tumbling(stream, width)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("win_sink")

@@ -1,0 +1,99 @@
+"""Massive-filter grammar tests (golden-predicate style, mirroring the
+reference's oph_filters suite approach — /root/reference/test/
+oph_server_test.c:2438+ asserts compiled SQL; we assert the *result set* of
+cube ids over the deterministic part-derived catalog)."""
+
+import pytest
+
+from ophidia_server_spark.catalog import catalog_from_part
+from ophidia_server_spark.filters import compile_massive, parse_massive, pid_cube_id
+
+
+def ids(cat, arg):
+    return sorted(r.cube_id for r in compile_massive(cat, arg).collect())
+
+
+@pytest.fixture(scope="module")
+def cat(tables):
+    return catalog_from_part(tables["part"])
+
+
+@pytest.fixture(scope="module")
+def part_rows(tables):
+    return {r.p_partkey: r for r in tables["part"].collect()}
+
+
+def test_parse_groups_and_pids():
+    groups, pids = parse_massive("[level=2;measure=x][container=c]|http://s/3/7")
+    assert groups == [{"level": "2", "measure": "x"}, {"container": "c"}]
+    assert pids == ["http://s/3/7"]
+
+
+def test_parse_default_key_inference():
+    groups, _ = parse_massive("[2:5]")
+    assert groups == [{"cube_filter": "2:5"}]
+
+
+def test_pid_parsing():
+    assert pid_cube_id("http://server/12/345") == 345
+    assert pid_cube_id("345") == 345
+
+
+def test_level_multivalue(cat, part_rows):
+    got = ids(cat, "[level=1|2]")
+    want = sorted(k for k, r in part_rows.items() if r.p_size % 5 in (1, 2))
+    assert got == want
+
+
+def test_container_filter(cat, part_rows):
+    got = ids(cat, "[container=Brand#13]")
+    want = sorted(k for k, r in part_rows.items() if r.p_brand == "Brand#13")
+    assert got == want
+
+
+def test_negation_is_and_of_neq(cat, part_rows):
+    got = ids(cat, "[container!=Brand#13|Brand#14]")
+    want = sorted(k for k, r in part_rows.items() if r.p_brand not in ("Brand#13", "Brand#14"))
+    assert got == want
+
+
+def test_cube_filter_triplet(cat, part_rows):
+    got = ids(cat, "[cube_filter=1:7:50]")
+    want = sorted(k for k in part_rows if 1 <= k <= 50 and (k - 1) % 7 == 0)
+    assert got == want
+
+
+def test_explicit_pid_union(cat):
+    got = ids(cat, "[cube_filter=1:3]|http://s/0/42")
+    assert 42 in got and 1 in got
+
+
+def test_metadata_key_and_value(cat, part_rows):
+    got = ids(cat, "[metadata_key=brand;metadata_value=Brand#2]")
+    want = sorted(k for k, r in part_rows.items() if "Brand#2" in r.p_brand)
+    assert got == want
+
+
+def test_free_kv_is_metadata_like(cat, part_rows):
+    got = ids(cat, "[size=3]")
+    want = sorted(k for k, r in part_rows.items() if "3" in str(r.p_size))
+    assert got == want
+
+
+def test_path_exact_vs_recursive(cat, part_rows):
+    exact = ids(cat, "[path=/sess1/economy]")
+    rec = ids(cat, "[path=/sess1/economy;recursive=yes]")
+    assert exact == []  # cubes live one level deeper
+    want = sorted(k for k, r in part_rows.items() if r.p_type.lower() == "economy")
+    assert rec == want
+
+
+def test_parent_cube_lineage(cat, part_rows):
+    got = ids(cat, "[parent_cube=http://s/0/5]")
+    assert got == ([105] if 105 in part_rows else [])
+
+
+def test_dry_run_listing(cat):
+    # run=no returns the expansion without executing: id list is the expansion
+    got = ids(cat, "[cube_filter=2:4;run=no]")
+    assert got == [2, 3, 4]

@@ -1,0 +1,255 @@
+"""Workflow engine golden tests, modeled on the reference suite structure
+(/root/reference/test/oph_server_test.c: oph_if/else/for/endfor/set suites)
+but asserting our engine's observable behavior.
+"""
+
+import pytest
+
+from ophidia_server_spark.plans.workflow import (
+    WorkflowEngine,
+    WorkflowError,
+    eval_condition,
+    substitute,
+    validate_dag,
+)
+
+
+def _collect_op(log):
+    def fn(engine, args, inputs):
+        log.append(args.get("tag"))
+        return args.get("tag")
+
+    return fn
+
+
+def run_wf(tasks, variables=None, log=None):
+    log = log if log is not None else []
+    eng = WorkflowEngine({"op": _collect_op(log)})
+    run = eng.run({"name": "t", "variables": variables or {}, "tasks": tasks})
+    return run, log
+
+
+# -- condition evaluator (oph_if suite) -------------------------------------
+
+def test_eval_arithmetic():
+    assert eval_condition("1 + 2 * 3") == 7
+
+
+def test_eval_comparison():
+    assert eval_condition("3 > 2") is True
+    assert eval_condition("1 >= 2") is False
+
+
+def test_eval_boolean():
+    assert eval_condition("1 and 0") == 0
+    assert bool(eval_condition("0 or 5")) is True
+
+
+def test_eval_rejects_code():
+    with pytest.raises(WorkflowError):
+        eval_condition("__import__('os').system('true')")
+
+
+# -- variable substitution ---------------------------------------------------
+
+def test_substitute_forms():
+    v = {"x": "10", "name": "cube"}
+    assert substitute("a=@x", v) == "a=10"
+    assert substitute("a=@{name}_z", v) == "a=cube_z"
+    assert substitute("a=@missing", v) == "a=@missing"  # unknown left as-is
+
+
+# -- DAG validation (Kahn) ---------------------------------------------------
+
+def test_dag_cycle_detected():
+    with pytest.raises(WorkflowError, match="cycle"):
+        validate_dag(
+            [
+                {"name": "a", "dependencies": ["b"]},
+                {"name": "b", "dependencies": ["a"]},
+            ]
+        )
+
+
+def test_dag_unknown_dep():
+    with pytest.raises(WorkflowError, match="unknown dependency"):
+        validate_dag([{"name": "a", "dependencies": ["zz"]}])
+
+
+def test_dag_duplicate_names():
+    with pytest.raises(WorkflowError, match="duplicate"):
+        validate_dag([{"name": "a"}, {"name": "a"}])
+
+
+def test_dag_order_respects_deps():
+    order = validate_dag(
+        [
+            {"name": "c", "dependencies": ["b"]},
+            {"name": "a"},
+            {"name": "b", "dependencies": ["a"]},
+        ]
+    )
+    assert order.index("a") < order.index("b") < order.index("c")
+
+
+# -- execution / flow control ------------------------------------------------
+
+def test_linear_execution_and_inputs():
+    seen = {}
+
+    def op_a(engine, args, inputs):
+        return 41
+
+    def op_b(engine, args, inputs):
+        seen.update(inputs)
+        return inputs["a"] + 1
+
+    eng = WorkflowEngine({"a_op": op_a, "b_op": op_b})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "a", "operator": "a_op", "arguments": {}},
+                {"name": "b", "operator": "b_op", "arguments": {}, "dependencies": ["a"]},
+            ]
+        }
+    )
+    assert run.results["b"].value == 42
+    assert seen == {"a": 41}
+
+
+def test_oph_set_binds_variable():
+    run, log = run_wf(
+        [
+            {"name": "s", "operator": "oph_set", "arguments": {"key": "v", "value": "99"}},
+            {"name": "t", "operator": "op", "arguments": {"tag": "@v"}, "dependencies": ["s"]},
+        ]
+    )
+    assert log == ["99"]
+
+
+def test_if_true_branch():
+    run, log = run_wf(
+        [
+            {"name": "i", "operator": "oph_if", "arguments": {"condition": "2 > 1"}},
+            {"name": "a", "operator": "op", "arguments": {"tag": "then"}},
+            {"name": "e", "operator": "oph_else", "arguments": {}},
+            {"name": "b", "operator": "op", "arguments": {"tag": "else"}},
+            {"name": "f", "operator": "oph_endif", "arguments": {}},
+        ]
+    )
+    assert log == ["then"]
+
+
+def test_if_else_branch():
+    run, log = run_wf(
+        [
+            {"name": "i", "operator": "oph_if", "arguments": {"condition": "0"}},
+            {"name": "a", "operator": "op", "arguments": {"tag": "then"}},
+            {"name": "e", "operator": "oph_else", "arguments": {}},
+            {"name": "b", "operator": "op", "arguments": {"tag": "else"}},
+            {"name": "f", "operator": "oph_endif", "arguments": {}},
+        ]
+    )
+    assert log == ["else"]
+
+
+def test_elseif_chain():
+    run, log = run_wf(
+        [
+            {"name": "i", "operator": "oph_if", "arguments": {"condition": "0"}},
+            {"name": "a", "operator": "op", "arguments": {"tag": "A"}},
+            {"name": "ei", "operator": "oph_elseif", "arguments": {"condition": "1"}},
+            {"name": "b", "operator": "op", "arguments": {"tag": "B"}},
+            {"name": "e", "operator": "oph_else", "arguments": {}},
+            {"name": "c", "operator": "op", "arguments": {"tag": "C"}},
+            {"name": "f", "operator": "oph_endif", "arguments": {}},
+        ]
+    )
+    assert log == ["B"]
+
+
+def test_if_with_variable_condition():
+    run, log = run_wf(
+        [
+            {"name": "i", "operator": "oph_if", "arguments": {"condition": "@n > 2"}},
+            {"name": "a", "operator": "op", "arguments": {"tag": "big"}},
+            {"name": "f", "operator": "oph_endif", "arguments": {}},
+        ],
+        variables={"n": "5"},
+    )
+    assert log == ["big"]
+
+
+def test_for_unroll_serial():
+    run, log = run_wf(
+        [
+            {"name": "loop", "operator": "oph_for", "arguments": {"key": "i", "values": "x|y|z"}},
+            {"name": "body", "operator": "op", "arguments": {"tag": "@i"}},
+            {"name": "end", "operator": "oph_endfor", "arguments": {}},
+        ]
+    )
+    assert log == ["x", "y", "z"]
+    assert {r for r in run.results} == {"body_0", "body_1", "body_2"}
+
+
+def test_for_missing_endfor():
+    with pytest.raises(WorkflowError, match="endfor"):
+        run_wf(
+            [
+                {"name": "loop", "operator": "oph_for", "arguments": {"key": "i", "values": "1"}},
+                {"name": "body", "operator": "op", "arguments": {"tag": "@i"}},
+            ]
+        )
+
+
+def test_on_error_abort_skips_dependents():
+    def boom(engine, args, inputs):
+        raise RuntimeError("boom")
+
+    eng = WorkflowEngine({"boom": boom, "op": _collect_op([])})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "a", "operator": "boom", "arguments": {}, "on_error": "abort"},
+                {"name": "b", "operator": "op", "arguments": {}, "dependencies": ["a"]},
+            ]
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_ERROR"
+    assert run.results["a"].status == "OPH_ODB_STATUS_ERROR"
+    assert "b" not in run.results  # aborted before b
+
+
+def test_on_error_skip_marks_dependents_skipped():
+    def boom(engine, args, inputs):
+        raise RuntimeError("boom")
+
+    log = []
+    eng = WorkflowEngine({"boom": boom, "op": _collect_op(log)})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "a", "operator": "boom", "arguments": {}, "on_error": "skip"},
+                {"name": "b", "operator": "op", "arguments": {"tag": "b"}, "dependencies": ["a"]},
+                {"name": "c", "operator": "op", "arguments": {"tag": "c"}},
+            ]
+        }
+    )
+    assert run.results["b"].status == "OPH_ODB_STATUS_SKIPPED"
+    assert run.results["c"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert log == ["c"]
+
+
+def test_retry_attempts():
+    calls = {"n": 0}
+
+    def flaky(engine, args, inputs):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("flaky")
+        return "ok"
+
+    eng = WorkflowEngine({"flaky": flaky})
+    run = eng.run({"tasks": [{"name": "a", "operator": "flaky", "arguments": {}, "retry": 3}]})
+    assert run.results["a"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.results["a"].attempts == 3
