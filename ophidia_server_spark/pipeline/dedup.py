@@ -51,23 +51,46 @@ def _shingles(text_col: str, k: int) -> "F.Column":
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
+# 2^31-1 keeps a*x+b within long range under ANSI arithmetic (a < 2^31)
+_MINHASH_P = 2147483647
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    """(doc_id, shingles array) with empty docs dropped."""
+    return df.select(
+        "doc_id", F.array_distinct(_shingles(text_col, shingle_k)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def _sig_from_shingles(num_hashes: int):
+    """MinHash signature as ONE aggregate pass over the shingle-hash array.
+
+    Critical for performance: building each of the N permutation minima as its
+    own array_min(transform(...)) plants N copies of the whole shingle+hash
+    subtree in the plan (Catalyst collapses projections and re-inlines), which
+    measured ~100x slower. A single fold with an elementwise zip_with(least)
+    touches the shingle array once and keeps the plan linear in N.
+    """
+    P = _MINHASH_P
+
+    def perms(x):
+        return F.array(*[(x * (2 * i + 1) + (7919 * i + 13)) % P for i in range(num_hashes)])
+
+    init = F.array_repeat(F.lit(P).cast("long"), num_hashes)
+    hashes = F.transform(F.col("shingles"), lambda s: F.abs(F.xxhash64(s)) % P)
+    return F.aggregate(
+        hashes, init, lambda acc, x: F.zip_with(acc, perms(x), lambda u, v: F.least(u, v))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: num_hashes permutations h_i(x) = (a_i*x+b_i)
-    mod p over 64-bit shingle hashes (xxhash64). All JVM-side array exprs.
-    """
-    # 2^31-1 keeps a*x+b within long range under ANSI arithmetic (a < 2^31)
-    P = 2147483647
-    sh = F.array_distinct(_shingles(text_col, shingle_k))
-    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % P)
-
-    def perm_min(i: int):
-        a, b = 2 * i + 1, 7919 * i + 13
-        return F.array_min(F.transform(base, lambda x: (x * a + b) % P))
-
-    sigs = F.array(*[perm_min(i).alias(f"h{i}") for i in range(num_hashes)])
-    return df.select("doc_id", F.when(F.size(sh) > 0, sigs).alias("sig"))
+    mod p over 64-bit shingle hashes (xxhash64). All JVM-side array exprs."""
+    return shingle_sets(df, text_col, shingle_k).select(
+        "doc_id", _sig_from_shingles(num_hashes).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -89,6 +112,14 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).filter(
         F.col("sig").isNotNull()
     )
+    # Materialization boundary: without it Catalyst collapses the projection
+    # and inlines the signature expression into every band hash AND into both
+    # sides of the self-join (2*bands+1 recomputes of the shingle/minhash
+    # work). At production scale this boundary is a signatures table; here an
+    # in-memory persist.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -129,8 +160,10 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     sim(doc) bit j = 1 iff sum over tokens of (+1 if bit j of xxhash64(tok)
     else -1) > 0. Near-dups share most bits (hamming distance). JVM-side only.
     """
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    staged = df.select(
+        "doc_id", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h")
+    )
+    hashes = F.col("__h")
 
     def bit_term(j: int):
         # sign-sum for bit j across all token hashes (j is a plan-time int —
@@ -147,31 +180,36 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     sim = bit_term(0)
     for j in range(1, bits):
         sim = sim.bitwiseOR(bit_term(j))
-    return df.select("doc_id", sim.alias("simhash"))
+    return staged.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.8,
-    bucket_prefix: int = 2,
+    num_hashes: int = 16, bands: int = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity over candidate pairs.
+    """Exact n-gram Jaccard similarity over LSH-blocked candidate pairs.
 
-    Candidates come from shared shingle buckets (each doc emits its
-    `bucket_prefix` lexicographically-smallest shingle hashes — cheap LSH-ish
-    blocking that catches high-Jaccard pairs); exact Jaccard is then computed
-    via array intersection on the deduped shingle sets.
+    Candidates come from MinHash band buckets (same machinery as
+    minhash_lsh_pairs — bands of r=num_hashes/bands hashes target
+    J >= ~(1/bands)^(1/r), ~0.5 with 4x4); the exact Jaccard is then computed
+    by array intersection over the full shingle sets, keeping the verify join
+    proportional to the candidate count, not n^2. (Naive "min-k shingle
+    hashes" blocking skews: one globally-common shingle puts a large fraction
+    of the corpus in a single bucket.)
     """
-    sh = df.select(
-        "doc_id", F.array_distinct(_shingles(text_col, shingle_k)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    keyed = sh.select(
+    from pyspark.storagelevel import StorageLevel
+
+    r = num_hashes // bands
+    sh = shingle_sets(df, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sh.select("doc_id", "shingles", _sig_from_shingles(num_hashes).alias("sig"))
+    banded = sigs.select(
         "doc_id",
         "shingles",
         F.explode(
-            F.slice(F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))), 1, bucket_prefix)
+            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
         ).alias("bucket"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
