@@ -1,0 +1,245 @@
+"""Management operator shims: session/admin/infra surface of the reference
+server, mapped onto Spark driver state.
+
+Reference: oph_manage_session (oph_management_operators.c:218-2268),
+oph_get_config (oph_execute_main.c:1778-2030), oph_service (:671-960),
+oph_cancel (oph_management_operators.c:64-216), oph_cluster (:2684-4507),
+oph_log_info (:2270-2682), oph_resume (oph_execute_main.c:2193-2276),
+oph_script (allow-listed, oph_parser.h:108), oph_man/operators_list
+(oph_json_objkeys.h:64-71).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class Session:
+    session_id: str
+    owner: str
+    label: str = ""
+    active: bool = True
+    env: dict[str, str] = field(default_factory=dict)
+    users: dict[str, str] = field(default_factory=dict)  # user -> role
+    creation: float = field(default_factory=time.time)
+
+
+@dataclass
+class RunRecord:
+    """Run-ledger row (job/jobaccounting analogue, oph_ophidiadb_query.h:34-49)."""
+
+    workflow_id: int
+    marker: int
+    session_id: str
+    request: dict
+    response: Any = None
+    status: str = "OPH_ODB_STATUS_PENDING"
+
+
+class ManagementService:
+    """Driver-side server state: sessions, config, service flag, run ledger."""
+
+    ROLES = ("read", "write", "execute", "admin", "owner")  # oph_auth.h:79-96
+
+    def __init__(self, spark: SparkSession, config: dict[str, str] | None = None):
+        self.spark = spark
+        self.config = {
+            "SERVER_FARM_SIZE": "128",
+            "QUEUE_SIZE": "0",
+            "TASK_LIMIT": "0",
+            "CORE_LIMIT": "0",
+            "TIMEOUT": "3600",
+            "WORKFLOW_TIMEOUT": "2592000",
+            **(config or {}),
+        }
+        self.service_up = True
+        self.enabled_users: set[str] | None = None  # None = everyone
+        self.sessions: dict[str, Session] = {}
+        self.ledger: list[RunRecord] = []
+        self._next_wid = 1
+
+    # -- oph_manage_session ---------------------------------------------------
+    def manage_session(self, action: str, user: str, session: str | None = None, **kw):
+        if action == "new":
+            sid = f"sess-{len(self.sessions) + 1}"
+            self.sessions[sid] = Session(session_id=sid, owner=user, users={user: "owner"})
+            return sid
+        s = self.sessions[session]
+        if action == "list":
+            return [
+                {"session": x.session_id, "label": x.label, "active": x.active}
+                for x in self.sessions.values()
+                if user in x.users
+            ]
+        if user not in s.users and action != "list":
+            raise PermissionError(f"{user} has no grant on {session}")
+        if action == "remove":
+            del self.sessions[session]
+            return None
+        if action == "grant":
+            role = kw.get("role", "read")
+            if role not in self.ROLES:
+                raise ValueError(f"bad role {role}")
+            s.users[kw["grantee"]] = role
+            return None
+        if action == "revoke":
+            s.users.pop(kw["grantee"], None)
+            return None
+        if action == "listusers":
+            return dict(s.users)
+        if action == "setenv":
+            s.env[kw["key"]] = kw["value"]
+            return None
+        if action == "env":
+            return dict(s.env)
+        if action == "label":
+            s.label = kw["value"]
+            return None
+        if action == "disable":
+            s.active = False
+            return None
+        if action == "enable":
+            s.active = True
+            return None
+        raise ValueError(f"unknown action {action!r}")
+
+    # -- oph_get_config / oph_service -----------------------------------------
+    def get_config(self, key: str | None = None):
+        return dict(self.config) if key is None else {key: self.config.get(key)}
+
+    def service(self, status: str | None = None, enable_user: str | None = None,
+                disable_user: str | None = None) -> dict:
+        if status == "up":
+            self.service_up = True
+        elif status == "down":
+            self.service_up = False
+        if enable_user:
+            self.enabled_users = (self.enabled_users or set()) | {enable_user}
+        if disable_user and self.enabled_users:
+            self.enabled_users.discard(disable_user)
+        return {"status": "up" if self.service_up else "down"}
+
+    # -- oph_cluster ----------------------------------------------------------
+    def cluster(self, action: str = "info") -> dict:
+        """Executor-state report (the reference deploys I/O server clusters
+        over host partitions; Spark owns placement, so deploy/undeploy are
+        acknowledged no-ops reporting the real executor pool)."""
+        sc = self.spark.sparkContext
+        try:  # executor count via the JVM context (not exposed in the Python API)
+            n_exec = sc._jsc.sc().getExecutorMemoryStatus().size()
+        except Exception:
+            n_exec = 1
+        return {
+            "action": action,
+            "executors": n_exec,
+            "default_parallelism": sc.defaultParallelism,
+            "master": sc.master,
+        }
+
+    # -- oph_cancel -----------------------------------------------------------
+    def cancel(self, workflow_id: int) -> None:
+        """Kill a running workflow: Spark job-group cancel + ledger status."""
+        self.spark.sparkContext.cancelJobGroup(f"wf-{workflow_id}")
+        for r in self.ledger:
+            if r.workflow_id == workflow_id and r.status not in (
+                "OPH_ODB_STATUS_COMPLETED", "OPH_ODB_STATUS_ERROR",
+            ):
+                r.status = "OPH_ODB_STATUS_ABORTED"
+
+    # -- run ledger + oph_resume ----------------------------------------------
+    def record(self, session_id: str, request: dict) -> RunRecord:
+        rec = RunRecord(
+            workflow_id=self._next_wid, marker=self._next_wid, session_id=session_id,
+            request=request,
+        )
+        self._next_wid += 1
+        self.ledger.append(rec)
+        return rec
+
+    def resume(
+        self, session_id: str, workflow_id: int | None = None,
+        document_type: str = "response", status_filter: int = 0xFF,
+    ):
+        """oph_resume: read back stored requests/responses of a session,
+        optionally one workflow, with an 8-bit status mask
+        (oph_execute_main.c:2270-2276)."""
+        mask_statuses = {
+            0: "OPH_ODB_STATUS_PENDING",
+            1: "OPH_ODB_STATUS_RUNNING",
+            2: "OPH_ODB_STATUS_COMPLETED",
+            3: "OPH_ODB_STATUS_ERROR",
+            4: "OPH_ODB_STATUS_ABORTED",
+            5: "OPH_ODB_STATUS_SKIPPED",
+        }
+        allowed = {v for k, v in mask_statuses.items() if status_filter & (1 << k)}
+        out = []
+        for r in self.ledger:
+            if r.session_id != session_id:
+                continue
+            if workflow_id is not None and r.workflow_id != workflow_id:
+                continue
+            if r.status not in allowed:
+                continue
+            out.append(r.request if document_type == "request" else r.response)
+        return out
+
+    # -- oph_log_info ---------------------------------------------------------
+    def log_info(self, log_path: str, nlines: int = 10) -> list[str]:
+        if not os.path.exists(log_path):
+            return []
+        with open(log_path, "r", errors="replace") as f:
+            return f.readlines()[-nlines:]
+
+    # -- oph_script -----------------------------------------------------------
+    ALLOWED_SCRIPTS: dict[str, list[str]] = {"echo": ["echo"]}
+
+    def script(self, name: str, args: list[str] | None = None) -> str:
+        """Allow-listed script execution (the reference forwards registered
+        scripts only; arbitrary commands are rejected)."""
+        if name not in self.ALLOWED_SCRIPTS:
+            raise PermissionError(f"script {name!r} not registered")
+        cmd = self.ALLOWED_SCRIPTS[name] + list(args or [])
+        return subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
+
+
+# -- operator registry docs (oph_man / operators_list) -----------------------
+
+def operators_list() -> list[dict]:
+    """oph_operators_list (oph_json_objkeys.h:70-71): enumerate the engine's
+    operator registry with one-line docs, from the implementing modules."""
+    from ophidia_server_spark.operators import cube_ops, io_ops
+    from ophidia_server_spark.pipeline import dedup, similarity, text
+
+    out = []
+    for mod, kind in (
+        (cube_ops, "datacube"), (io_ops, "io"),
+        (dedup, "pipeline"), (similarity, "pipeline"), (text, "pipeline"),
+    ):
+        for name in dir(mod):
+            fn = getattr(mod, name)
+            if callable(fn) and (name.startswith("oph_") or kind == "pipeline") and fn.__doc__:
+                if name.startswith("_"):
+                    continue
+                out.append(
+                    {"operator": name, "kind": kind,
+                     "doc": fn.__doc__.strip().splitlines()[0]}
+                )
+    return sorted(out, key=lambda d: d["operator"])
+
+
+def oph_man(operator: str) -> dict:
+    """oph_man (oph_json_objkeys.h:64-67): full docstring for one operator."""
+    for entry in operators_list():
+        if entry["operator"] == operator:
+            import importlib
+
+            return entry
+    raise KeyError(operator)

@@ -582,6 +582,71 @@ def cube_randcube(spark, sf_dir):
     )
 
 
+@q(
+    "cube_split_invariant",
+    _reduce_oracle("ROUND(CAST(SUM(qty) AS DOUBLE), 2)", "sum_qty"),
+)
+def cube_split_invariant(spark, sf_dir):
+    """oph_split/oph_merge are physical-layout ops: repartition then coalesce
+    must leave every value unchanged (verified against the reduce oracle)."""
+    from ophidia_server_spark.operators import io_ops
+
+    c = cube_qty(spark, sf_dir)
+    c = io_ops.oph_split(c, 8)
+    c = io_ops.oph_merge(c, 4)
+    r = C.oph_reduce(c, "sum", "sum_qty")
+    return r.withColumn("sum_qty", F.round("sum_qty", 2))
+
+
+@q(
+    "cube_concat_rebuild",
+    f"WITH {BASE_QTY} SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty FROM base",
+)
+def cube_concat_rebuild(spark, sf_dir):
+    """oph_concatnc semantics: cube of months 1-6 + appended raw data for
+    months 7-12 must equal the full cube."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    first = build_cube(
+        li.filter(F.col("month") <= 6), ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast(DEC), measure="qty",
+    )
+    rest = li.filter(F.col("month") > 6)
+    full = io_ops.oph_concat(first, rest, "month", F.col("l_quantity").cast(DEC))
+    return _long_qty(full)
+
+
+@q(
+    "io_csv_roundtrip",
+    """SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem WHERE year(l_shipdate) = 1997
+GROUP BY 1, 2""",
+)
+def io_csv_roundtrip(spark, sf_dir):
+    """oph_exportcsv -> oph_importcsv roundtrip: write a lineitem slice to CSV,
+    re-import as a cube, aggregate — must match SQL over the parquet source."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_csv_{tag}"
+    (
+        li.filter(F.year("l_shipdate") == 1997)
+        .select("l_returnflag", F.month("l_shipdate").alias("month"), "l_quantity")
+        .write.mode("overwrite").option("header", "true").csv(path)
+    )
+    cube = io_ops.oph_importcsv(
+        spark, path, ["l_returnflag"], "month", "l_quantity",
+        schema="l_returnflag string, month int, l_quantity double",
+    )
+    # re-aggregate with decimal exactness for the oracle match
+    return cube.long().groupBy("l_returnflag", F.col("month").cast("long").alias("month")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------

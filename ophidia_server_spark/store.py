@@ -1,0 +1,292 @@
+"""CubeStore: cube lifecycle + catalog state (the engine's OphidiaDB).
+
+The reference keeps cubes/containers/folders/metadata/provenance in MySQL
+(/root/reference/src/oph_ophidiadb_query.h) and fragments on I/O nodes; here
+cube payloads are parquet directories under a workspace and the catalog is
+driver-side state exposed as DataFrames (tiny — one row per cube — and
+always broadcast when joined against data).
+
+Covers the lifecycle operator surface: importcsv/importparquet (oph_importnc
+analogue for the containerized environment — see io_ops for the NetCDF
+gate), duplicate (oph_duplicate), delete (oph_delete), deletecontainer,
+createcontainer/folder ops, metadata CRUD (oph_metadata), cubeschema/
+cubesize/cubeelements, explorecube, list, and the provenance graph (cubeio).
+Session scoping follows the reference's path-prefix model
+(oph_filters.c:576-601).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.cube import DIM_COL, MEASURE_COL, Cube, build_cube
+
+
+@dataclass
+class CubeEntry:
+    pid: str
+    cube_id: int
+    container: str
+    path: str
+    level: int
+    measure: str
+    explicit_dims: tuple[str, ...]
+    implicit_dims: tuple[str, ...]
+    storage: str | None = None  # parquet dir if materialized
+    cube: Cube | None = None  # lazy plan if virtual
+
+
+@dataclass
+class CubeStore:
+    spark: SparkSession
+    workspace: str
+    session_prefix: str = "/sess1"
+    base_url: str = "http://spark-engine"
+    _next_id: int = 1
+    entries: dict[str, CubeEntry] = field(default_factory=dict)
+    metadata: dict[int, dict[str, str]] = field(default_factory=dict)
+    lineage: list[tuple[int, str, int]] = field(default_factory=list)  # (out, task, in)
+    folders: set[str] = field(default_factory=set)
+
+    # -- containers / folders -------------------------------------------------
+    def createcontainer(self, container: str, path: str = "/") -> str:
+        """oph_createcontainer (oph_json_objkeys.h:122): register a namespace."""
+        full = self._scoped(path).rstrip("/") + "/" + container
+        self.folders.add(full)
+        return full
+
+    def folder(self, action: str, path: str) -> None:
+        """oph_folder (oph_json_objkeys.h:124): mkdir/rm on the virtual tree."""
+        full = self._scoped(path)
+        if action == "mkdir":
+            self.folders.add(full)
+        elif action == "rm":
+            self.folders.discard(full)
+        else:
+            raise ValueError(f"unsupported folder action {action!r}")
+
+    def _scoped(self, path: str) -> str:
+        if not path.startswith("/"):
+            path = "/" + path
+        if not path.startswith(self.session_prefix):
+            path = self.session_prefix + path
+        return path
+
+    # -- import / create ------------------------------------------------------
+    def register(
+        self,
+        cube: Cube,
+        container: str,
+        path: str = "/",
+        measure: str | None = None,
+        parents: list[str] | None = None,
+        task: str = "import",
+        materialize: bool = False,
+    ) -> str:
+        cid = self._next_id
+        self._next_id += 1
+        pid = f"{self.base_url}/{container}/{cid}"
+        storage = None
+        if materialize:
+            storage = os.path.join(self.workspace, f"cube_{cid}")
+            cube.df.write.mode("overwrite").parquet(storage)
+        entry = CubeEntry(
+            pid=pid,
+            cube_id=cid,
+            container=container,
+            path=self._scoped(path).rstrip("/") + "/" + container,
+            level=cube.level,
+            measure=measure or cube.measure,
+            explicit_dims=cube.explicit_dims,
+            implicit_dims=cube.implicit_dims,
+            storage=storage,
+            cube=None if materialize else cube,
+        )
+        self.entries[pid] = entry
+        for p in parents or []:
+            self.lineage.append((cid, task, self.entries[p].cube_id))
+        return pid
+
+    def importcsv(
+        self, csv_path: str, explicit_dims: list[str], implicit_dim: str,
+        value: str, container: str, schema: str | None = None, **read_opts,
+    ) -> str:
+        """oph_importcsv (oph_json_objkeys.h:115): CSV -> cube."""
+        reader = self.spark.read.option("header", "true")
+        if schema:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        for k, v in read_opts.items():
+            reader = reader.option(k, v)
+        df = reader.csv(csv_path)
+        cube = build_cube(df, explicit_dims, implicit_dim, F.col(value), measure=value)
+        return self.register(cube, container)
+
+    # -- fetch ----------------------------------------------------------------
+    def get(self, pid: str) -> Cube:
+        e = self.entries[pid]
+        if e.cube is not None:
+            return e.cube
+        df = self.spark.read.parquet(e.storage)
+        return Cube(
+            df=df,
+            explicit_dims=e.explicit_dims,
+            implicit_dims=e.implicit_dims,
+            measure=e.measure,
+            pid=pid,
+            level=e.level,
+        )
+
+    # -- lifecycle ------------------------------------------------------------
+    def duplicate(self, pid: str) -> str:
+        """oph_duplicate (oph_json_objkeys.h:78/102)."""
+        e = self.entries[pid]
+        cube = self.get(pid)
+        return self.register(
+            cube, e.container, path="/", measure=e.measure, parents=[pid], task="duplicate"
+        )
+
+    def delete(self, pid: str) -> None:
+        """oph_delete (oph_json_objkeys.h:105): drop storage + catalog row."""
+        e = self.entries.pop(pid)
+        self.metadata.pop(e.cube_id, None)
+        if e.storage and os.path.isdir(e.storage):
+            shutil.rmtree(e.storage)
+
+    def deletecontainer(self, container: str) -> int:
+        """oph_deletecontainer (oph_json_objkeys.h:107): drop all cubes in it."""
+        pids = [p for p, e in self.entries.items() if e.container == container]
+        for p in pids:
+            self.delete(p)
+        return len(pids)
+
+    # -- metadata (oph_metadata, oph_json_objkeys.h:132-133) ------------------
+    def metadata_put(self, pid: str, key: str, value: str) -> None:
+        self.metadata.setdefault(self.entries[pid].cube_id, {})[key] = value
+
+    def metadata_get(self, pid: str, key: str | None = None):
+        kv = self.metadata.get(self.entries[pid].cube_id, {})
+        return kv if key is None else kv.get(key)
+
+    def metadata_delete(self, pid: str, key: str) -> None:
+        self.metadata.get(self.entries[pid].cube_id, {}).pop(key, None)
+
+    # -- introspection --------------------------------------------------------
+    def cubeschema(self, pid: str) -> dict:
+        """oph_cubeschema (oph_json_objkeys.h:48-51)."""
+        e = self.entries[pid]
+        cube = self.get(pid)
+        return {
+            "pid": pid,
+            "measure": e.measure,
+            "measure_type": dict(cube.df.dtypes).get(MEASURE_COL, "array<double>"),
+            "explicit_dims": list(e.explicit_dims),
+            "implicit_dims": list(e.implicit_dims),
+            "level": e.level,
+            "container": e.container,
+        }
+
+    def cubeelements(self, pid: str) -> int:
+        """oph_cubeelements (oph_json_objkeys.h:45): total cell count."""
+        cube = self.get(pid)
+        row = cube.df.agg(F.sum(F.size(MEASURE_COL)).alias("n")).first()
+        return int(row["n"] or 0)
+
+    def cubesize(self, pid: str) -> int:
+        """oph_cubesize (oph_json_objkeys.h:42): bytes on storage (materialized)
+        or an 8-byte/cell estimate for virtual cubes."""
+        e = self.entries[pid]
+        if e.storage and os.path.isdir(e.storage):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(e.storage)
+                for f in fs
+            )
+        return self.cubeelements(pid) * 8
+
+    def explorecube(self, pid: str, limit: int = 100) -> DataFrame:
+        """oph_explorecube (oph_json_objkeys.h:81-83): peek the long form."""
+        return self.get(pid).long().limit(limit)
+
+    def list(self, level: int = 2, path: str | None = None) -> list[dict]:
+        """oph_list (oph_json_objkeys.h:35; levels oph_ophidiadb_fs_library.h:41-45):
+        0 = folders, 1 = +containers, 2 = +cubes."""
+        out: list[dict] = []
+        scope = self._scoped(path) if path else self.session_prefix
+        if level >= 0:
+            for f in sorted(self.folders):
+                if f.startswith(scope):
+                    out.append({"type": "folder", "path": f})
+        if level >= 1:
+            seen = set()
+            for e in self.entries.values():
+                if e.container not in seen and e.path.startswith(scope):
+                    seen.add(e.container)
+                    out.append({"type": "container", "container": e.container, "path": e.path})
+        if level >= 2:
+            for e in self.entries.values():
+                if e.path.startswith(scope):
+                    out.append(
+                        {"type": "cube", "pid": e.pid, "container": e.container,
+                         "measure": e.measure, "level": e.level}
+                    )
+        return out
+
+    def cubeio(self, pid: str) -> dict:
+        """oph_cubeio (oph_json_objkeys.h:38-39): provenance digraph around a
+        cube (nodes + edges), from the lineage ledger."""
+        cid = self.entries[pid].cube_id
+        nodes = {cid}
+        edges = []
+        changed = True
+        while changed:
+            changed = False
+            for out, task, inp in self.lineage:
+                if (out in nodes or inp in nodes) and (out, task, inp) not in edges:
+                    edges.append((out, task, inp))
+                    if out not in nodes or inp not in nodes:
+                        nodes.update((out, inp))
+                        changed = True
+        return {
+            "nodes": sorted(nodes),
+            "edges": [{"from": i, "task": t, "to": o} for o, t, i in edges],
+        }
+
+    # -- catalog as DataFrames (for the massive-filter compiler) ---------------
+    def as_catalog(self):
+        from ophidia_server_spark.catalog import Catalog
+
+        cube_rows = [
+            (e.cube_id, 0, e.container, e.path, e.level, e.measure)
+            for e in self.entries.values()
+        ]
+        md_rows = [
+            (cid, k, v) for cid, kv in self.metadata.items() for k, v in kv.items()
+        ]
+        lin_rows = list(self.lineage)
+        cubes = self.spark.createDataFrame(
+            cube_rows or [(0, 0, "", "", 0, "")],
+            "cube_id long, container_id long, container string, path string, level long, measure string",
+        )
+        if not cube_rows:
+            cubes = cubes.filter(F.lit(False))
+        metadata = self.spark.createDataFrame(
+            md_rows or [(0, "", "")], "cube_id long, key string, value string"
+        )
+        if not md_rows:
+            metadata = metadata.filter(F.lit(False))
+        lineage = self.spark.createDataFrame(
+            lin_rows or [(0, "", 0)], "out_cube long, task string, in_cube long"
+        )
+        if not lin_rows:
+            lineage = lineage.filter(F.lit(False))
+        return Catalog(
+            cubes=cubes, metadata=metadata, lineage=lineage,
+            session_prefix=self.session_prefix,
+        )

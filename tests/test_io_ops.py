@@ -1,0 +1,58 @@
+"""I/O operator pack tests: fs listing, glob expansion, publish, netCDF gate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.cube import build_cube
+from ophidia_server_spark.operators import io_ops
+
+
+def test_oph_fs_filter_and_recursion(tmp_path):
+    (tmp_path / "a_12.test").write_text("")
+    (tmp_path / "a_xx.dat").write_text("")
+    sub = tmp_path / "inner"
+    sub.mkdir()
+    (sub / "b_13.test").write_text("")
+    flat = io_ops.oph_fs(str(tmp_path), file_filter=r"\.test$")
+    assert [f["name"] for f in flat] == ["a_12.test"]
+    rec = io_ops.oph_fs(str(tmp_path), file_filter=r"\.test$", recursive=True)
+    assert [f["name"] for f in rec] == ["a_12.test", "b_13.test"]
+    assert all(f["type"] == "f" for f in rec)
+
+
+def test_expand_file_glob(tmp_path):
+    for n in ("x1.nc", "x2.nc", "y.nc"):
+        (tmp_path / n).write_text("")
+    got = io_ops.expand_file_glob(str(tmp_path / "x*.nc"))
+    assert [os.path.basename(p) for p in got] == ["x1.nc", "x2.nc"]
+
+
+def test_importnc_gate(spark):
+    with pytest.raises(NotImplementedError, match="xarray"):
+        io_ops.oph_importnc(spark, ["/nonexistent.nc"], "tas", ["lat"], "time")
+
+
+def test_publish_unpublish(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)], "g string, t int, v double")
+    cube = build_cube(df, ["g"], "t", F.col("v"), measure="v")
+    out = io_ops.oph_publish(cube, str(tmp_path), "mycube")
+    assert os.path.exists(out + ".html")
+    assert os.path.isdir(out + ".parquet")
+    html = open(out + ".html").read()
+    assert "<table>" in html and "<td>a</td>" in html
+    io_ops.oph_unpublish(str(tmp_path), "mycube")
+    assert not os.path.exists(out + ".html")
+    assert not os.path.isdir(out + ".parquet")
+
+
+def test_export_import_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 5.0)], "g string, t int, v double"
+    )
+    cube = build_cube(df, ["g"], "t", F.col("v"), measure="v")
+    io_ops.oph_exportparquet(cube, str(tmp_path / "c"))
+    back = spark.read.parquet(str(tmp_path / "c"))
+    assert back.count() == 2
+    assert set(back.columns) == {"g", "__dim", "__m"}

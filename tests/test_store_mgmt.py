@@ -1,0 +1,147 @@
+"""CubeStore lifecycle + management shims (golden behavior tests)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.cube import build_cube
+from ophidia_server_spark.filters import compile_massive
+from ophidia_server_spark.management import ManagementService, operators_list
+from ophidia_server_spark.store import CubeStore
+
+
+@pytest.fixture()
+def store(spark, tables, tmp_path):
+    st = CubeStore(spark=spark, workspace=str(tmp_path))
+    li = tables["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    st.createcontainer("c1", "/exp")
+    pid = st.register(cube, "c1", path="/exp", materialize=True)
+    return st, pid
+
+
+def test_register_and_get(store):
+    st, pid = store
+    cube = st.get(pid)
+    assert cube.explicit_dims == ("l_returnflag", "l_linestatus")
+    assert cube.df.count() == 6
+
+
+def test_cubeschema(store):
+    st, pid = store
+    s = st.cubeschema(pid)
+    assert s["measure"] == "qty"
+    assert s["explicit_dims"] == ["l_returnflag", "l_linestatus"]
+    assert s["implicit_dims"] == ["month"]
+
+
+def test_cubeelements_and_size(store):
+    st, pid = store
+    assert st.cubeelements(pid) == 72  # 6 groups x 12 months
+    assert st.cubesize(pid) > 0
+
+
+def test_duplicate_lineage_and_cubeio(store):
+    st, pid = store
+    dup = st.duplicate(pid)
+    assert st.cubeelements(dup) == st.cubeelements(pid)
+    g = st.cubeio(dup)
+    assert st.entries[pid].cube_id in g["nodes"]
+    assert any(e["task"] == "duplicate" for e in g["edges"])
+
+
+def test_metadata_crud(store):
+    st, pid = store
+    st.metadata_put(pid, "units", "kg")
+    assert st.metadata_get(pid, "units") == "kg"
+    st.metadata_delete(pid, "units")
+    assert st.metadata_get(pid, "units") is None
+
+
+def test_delete_and_deletecontainer(store):
+    st, pid = store
+    storage = st.entries[pid].storage
+    dup = st.duplicate(pid)
+    assert st.deletecontainer("c1") == 2
+    assert not st.entries
+    assert not os.path.isdir(storage)
+
+
+def test_list_levels(store):
+    st, pid = store
+    l0 = st.list(level=0)
+    assert any(d["type"] == "folder" for d in l0)
+    l2 = st.list(level=2)
+    assert any(d["type"] == "cube" and d["pid"] == pid for d in l2)
+
+
+def test_explorecube_limit(store):
+    st, pid = store
+    assert st.explorecube(pid, limit=5).count() == 5
+
+
+def test_store_catalog_feeds_massive_filter(store):
+    st, pid = store
+    st.metadata_put(pid, "experiment", "exp42")
+    cat = st.as_catalog()
+    got = [r.cube_id for r in compile_massive(cat, "[experiment=exp42]").collect()]
+    assert got == [st.entries[pid].cube_id]
+
+
+# -- management shims ---------------------------------------------------------
+
+def test_manage_session_roundtrip(spark):
+    m = ManagementService(spark)
+    sid = m.manage_session("new", user="alice")
+    m.manage_session("grant", user="alice", session=sid, grantee="bob", role="read")
+    assert m.manage_session("listusers", user="alice", session=sid) == {
+        "alice": "owner", "bob": "read",
+    }
+    m.manage_session("setenv", user="alice", session=sid, key="K", value="V")
+    assert m.manage_session("env", user="alice", session=sid) == {"K": "V"}
+    with pytest.raises(PermissionError):
+        m.manage_session("setenv", user="mallory", session=sid, key="K", value="X")
+
+
+def test_get_config_and_service(spark):
+    m = ManagementService(spark)
+    assert m.get_config("TIMEOUT") == {"TIMEOUT": "3600"}
+    assert m.service("down")["status"] == "down"
+    assert m.service("up")["status"] == "up"
+
+
+def test_cluster_info(spark):
+    m = ManagementService(spark)
+    info = m.cluster("info")
+    assert info["default_parallelism"] >= 1
+    assert info["master"].startswith("local")
+
+
+def test_ledger_resume_status_mask(spark):
+    m = ManagementService(spark)
+    sid = m.manage_session("new", user="a")
+    r1 = m.record(sid, {"op": "one"})
+    r2 = m.record(sid, {"op": "two"})
+    r1.status = "OPH_ODB_STATUS_COMPLETED"
+    r2.status = "OPH_ODB_STATUS_ERROR"
+    done = m.resume(sid, document_type="request", status_filter=1 << 2)
+    assert done == [{"op": "one"}]
+    failed = m.resume(sid, document_type="request", status_filter=1 << 3)
+    assert failed == [{"op": "two"}]
+
+
+def test_script_allowlist(spark):
+    m = ManagementService(spark)
+    assert m.script("echo", ["hi"]).strip() == "hi"
+    with pytest.raises(PermissionError):
+        m.script("rm", ["-rf", "/"])
+
+
+def test_operators_list_nonempty(spark):
+    ops = operators_list()
+    names = {o["operator"] for o in ops}
+    assert "oph_reduce" in names and "oph_importcsv" in names
