@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ophidia_server_spark.cube import DIM_COL, MEASURE_COL, Cube
-from ophidia_server_spark.subset import subset_predicate
+from ophidia_server_spark.subset import subset_predicate, time_predicate
 
 # ---------------------------------------------------------------------------
 # reduction kernels over the measure array (implicit dimension)
@@ -107,12 +107,14 @@ def oph_subset(
     subset_type="index": clauses address 1-based positions (implicit dim) or the
     dimension's own integer values (explicit dims, per reference cube_filter
     semantics, oph_filters.c:173-243). subset_type="coord": clauses are closed
-    coordinate ranges.
+    coordinate ranges. subset_type="time": clauses are `start_end` date ranges
+    with partial-date expansion (time_filter=yes semantics).
     """
+    pred_fn = time_predicate if subset_type == "time" else subset_predicate
     df = cube.df
     for dim, ss in subset_dims.items():
         if dim in cube.explicit_dims:
-            df = df.filter(subset_predicate(F.col(dim), ss))
+            df = df.filter(pred_fn(F.col(dim), ss))
         elif dim in cube.implicit_dims:
             if len(cube.implicit_dims) != 1:
                 raise NotImplementedError("subset on composite implicit dim: drilldown first")
@@ -124,7 +126,7 @@ def oph_subset(
                 z3 = F.arrays_zip(idx.alias("i"), F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
                 kept = F.filter(z3, lambda s: subset_predicate(s["i"], ss))
             else:
-                kept = F.filter(zipped, lambda s: subset_predicate(s["d"], ss))
+                kept = F.filter(zipped, lambda s: pred_fn(s["d"], ss))
             df = (
                 df.withColumn("__z", kept)
                 .withColumn(DIM_COL, F.col("__z.d"))
@@ -223,6 +225,32 @@ def oph_aggregate(cube: Cube, operation: str, collapse_dims: list[str]) -> Cube:
         implicit_dims=cube.implicit_dims,
         measure=cube.measure,
         level=cube.level + 1,
+    )
+
+
+def oph_aggregate2(
+    cube: Cube, operation: str, dim: str, concept_level: Callable[[Column], Column],
+) -> Cube:
+    """oph_aggregate2 (oph_json_objkeys.h:99): collapse an explicit dimension
+    to a coarser concept level (e.g. daily rows -> monthly rows), aggregating
+    measure cells element-wise within each coarse group."""
+    if dim not in cube.explicit_dims:
+        raise KeyError(dim)
+    kept = [d for d in cube.explicit_dims if d != dim]
+    lf = cube.long()
+    idim = cube.implicit_dims[0]
+    aggfn = AGG_FNS[operation.lower()]
+    cells = lf.groupBy(
+        *kept, concept_level(F.col(dim)).alias(dim), F.col(idim).alias("__d")
+    ).agg(aggfn(F.col(cube.measure)).alias("__v"))
+    packed = (
+        cells.groupBy(*kept, dim)
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__v"))).alias("__z"))
+        .select(*kept, dim, F.col("__z.__d").alias(DIM_COL), F.col("__z.__v").alias(MEASURE_COL))
+    )
+    return Cube(
+        df=packed, explicit_dims=(*kept, dim), implicit_dims=cube.implicit_dims,
+        measure=cube.measure, level=cube.level + 1,
     )
 
 
@@ -377,6 +405,38 @@ def oph_mergecubes(a: Cube, b: Cube, source_dim: str = "src") -> Cube:
         measure=a.measure,
         level=max(a.level, b.level) + 1,
     )
+
+
+def oph_intercube_corr(a: Cube, b: Cube, out: str = "corr") -> DataFrame:
+    """oph_intercube operation=corr: Pearson correlation of the two cubes'
+    measure arrays per explicit-dim row. One broadcast-able join + per-row
+    array folds; returns a relational DataFrame (explicit dims + corr)."""
+    if a.explicit_dims != b.explicit_dims:
+        raise ValueError("intercube requires identical explicit dims")
+    bt = b.df.select(
+        *b.explicit_dims,
+        F.col(MEASURE_COL).alias("__m_b"),
+    )
+    j = a.df.join(bt, on=list(a.explicit_dims), how="inner")
+
+    def fold(expr: Column) -> Column:
+        return F.aggregate(expr, F.lit(0.0), lambda acc, v: acc + v)
+
+    x = F.transform(F.col(MEASURE_COL), lambda v: v.cast("double"))
+    y = F.transform(F.col("__m_b"), lambda v: v.cast("double"))
+    staged = j.select(
+        *a.explicit_dims,
+        F.size(MEASURE_COL).cast("double").alias("__n"),
+        fold(x).alias("__sx"),
+        fold(y).alias("__sy"),
+        fold(F.zip_with(x, y, lambda u, v: u * v)).alias("__sxy"),
+        fold(F.transform(x, lambda u: u * u)).alias("__sxx"),
+        fold(F.transform(y, lambda v: v * v)).alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    num = n * F.col("__sxy") - sx * sy
+    den = F.sqrt((n * F.col("__sxx") - sx * sx) * (n * F.col("__syy") - sy * sy))
+    return staged.select(*a.explicit_dims, (num / den).alias(out))
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ VAR_RE = re.compile(r"@\{(\w+)\}|@(\w+)")
 
 FLOW_OPERATORS = {
     "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else", "oph_endif",
-    "oph_set", "oph_wait",
+    "oph_set", "oph_input", "oph_wait",
 }
 
 
@@ -172,8 +172,9 @@ class WorkflowEngine:
     reference's in-process serve path (oph_known_operators.c:95-134).
     """
 
-    def __init__(self, operators: dict[str, Callable] | None = None):
+    def __init__(self, operators: dict[str, Callable] | None = None, catalog=None):
         self.operators = dict(operators or {})
+        self.catalog = catalog  # Catalog for massive `cube=[...]` expansion
 
     # -- flow-control expansion ------------------------------------------------
     def _expand_loops(self, tasks: list[dict], variables: dict[str, Any]) -> list[dict]:
@@ -284,6 +285,46 @@ class WorkflowEngine:
             i = j + 1
         return out
 
+    # -- oph_wait (clock / file / input, oph_flow_control_operators.c:2003-2375)
+    def _wait(self, args: dict, run: "WorkflowRun") -> str:
+        wtype = str(args.get("type", "clock")).lower()
+        timeout = min(float(args.get("timeout", 0) or 0), 30.0)
+        if wtype == "clock":
+            time.sleep(timeout)
+            return "OPH_ODB_STATUS_COMPLETED"
+        if wtype == "file":
+            deadline = time.time() + timeout
+            path = str(args.get("filename", ""))
+            import os
+
+            while not os.path.exists(path):
+                if time.time() >= deadline:
+                    return "OPH_ODB_STATUS_ERROR"
+                time.sleep(min(0.05, timeout or 0.05))
+            return "OPH_ODB_STATUS_COMPLETED"
+        if wtype == "input":
+            # satisfied when the awaited variable exists (set by oph_input/
+            # oph_set earlier in the DAG; the reference blocks on a condition
+            # variable signalled by oph_notify)
+            key = str(args.get("key", ""))
+            return (
+                "OPH_ODB_STATUS_COMPLETED" if key in run.variables else "OPH_ODB_STATUS_ERROR"
+            )
+        raise WorkflowError(f"unknown wait type {wtype!r}")
+
+    def _massive_expand(self, args: dict) -> list[str] | None:
+        """If the task's `cube` argument is a massive selection, return the
+        expanded PID list (None = not massive)."""
+        cube_arg = args.get("cube")
+        if not cube_arg or "[" not in str(cube_arg):
+            return None
+        if self.catalog is None:
+            raise WorkflowError("massive cube argument but engine has no catalog")
+        from ophidia_server_spark.filters import compile_massive
+
+        rows = compile_massive(self.catalog, str(cube_arg)).collect()
+        return [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
+
     # -- main entry ------------------------------------------------------------
     def run(self, workflow: dict, extra_operators: dict[str, Callable] | None = None) -> WorkflowRun:
         run = WorkflowRun(variables=dict(workflow.get("variables", {})))
@@ -306,14 +347,15 @@ class WorkflowEngine:
                 run.results[name] = TaskResult(name, "OPH_ODB_STATUS_SKIPPED")
                 continue
             args = {k: substitute(v, run.variables) for k, v in t.get("arguments", {}).items()}
-            if op == "oph_set":
+            if op in ("oph_set", "oph_input"):
+                # oph_input = oph_set + wake a waiting task
+                # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)
                 run.variables[str(args.get("key"))] = args.get("value")
                 run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED", args.get("value"))
                 continue
             if op == "oph_wait":
-                if str(args.get("type", "clock")) == "clock":
-                    time.sleep(min(float(args.get("timeout", 0) or 0), 5.0))
-                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED")
+                status = self._wait(args, run)
+                run.results[name] = TaskResult(name, status)
                 continue
             fn = ops.get(op)
             if fn is None:
@@ -321,6 +363,35 @@ class WorkflowEngine:
             inputs = {d: run.results[d].value for d in deps if d in run.results}
             retries = int(t.get("retry", 1) or 1)
             last_err: str | None = None
+
+            # massive `cube=[...]` expansion -> light tasks
+            # (oph_check_for_massive_operation, oph_workflow_engine.c:843;
+            # light-task build :1010-1056; aggregate response :454-507)
+            massive_items = self._massive_expand(args)
+            if massive_items is not None:
+                if str(args.get("run", "yes")).lower() == "no":
+                    run.results[name] = TaskResult(
+                        name, "OPH_ODB_STATUS_COMPLETED", {"expansion": massive_items}
+                    )
+                    continue
+                values, err = [], None
+                for item in massive_items:
+                    largs = {**args, "cube": item}
+                    largs.pop("run", None)
+                    try:
+                        values.append(fn(self, largs, inputs))
+                    except Exception as e:  # noqa: BLE001
+                        err = f"{type(e).__name__}: {e}"
+                        break
+                if err is None:
+                    run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED", values)
+                else:
+                    run.results[name] = TaskResult(name, "OPH_ODB_STATUS_ERROR", error=err)
+                    if t.get("on_error", "abort") == "abort":
+                        run.status = "OPH_ODB_STATUS_ERROR"
+                        break
+                continue
+
             for attempt in range(1, retries + 1):
                 try:
                     value = fn(self, args, inputs)

@@ -100,6 +100,10 @@ BASE_PRICE = """pbase AS (
 )"""
 
 
+_CAT_CTE = f"""cubes AS ({CATALOG_SQL_CUBES}), metadata AS ({CATALOG_SQL_METADATA}),
+lineage AS ({CATALOG_SQL_LINEAGE})"""
+
+
 def _long_qty(cube: Cube) -> DataFrame:
     return cube.long().select(
         "l_returnflag",
@@ -583,6 +587,161 @@ def cube_randcube(spark, sf_dir):
 
 
 @q(
+    "cube_subset_time",
+    """WITH tbase AS (
+  SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS mstart,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, strftime(mstart, '%Y-%m-%d') AS month_start, CAST(qty AS DOUBLE) AS qty
+FROM tbase
+WHERE ((mstart >= DATE '1997-01-01' AND mstart <= DATE '1997-06-30')
+    OR (mstart >= DATE '1999-01-01' AND mstart <= DATE '1999-12-31'))""",
+)
+def cube_subset_time(spark, sf_dir):
+    """time_filter=yes subsetting: partial-date range clauses on a date-typed
+    implicit dimension (oph_subset time_filter semantics)."""
+    li = _t(spark, sf_dir)["lineitem"].withColumn(
+        "mstart", F.date_trunc("month", "l_shipdate").cast("date")
+    )
+    c = build_cube(li, ["l_returnflag"], "mstart", F.col("l_quantity").cast(DEC), measure="qty")
+    c = C.oph_subset(c, {"mstart": "1997-01_1997-06,1999"}, "time")
+    return c.long().select(
+        "l_returnflag",
+        F.date_format("mstart", "yyyy-MM-dd").alias("month_start"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_reduce2_monthly",
+    """WITH dbase AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, l_linestatus,
+       strftime(CAST(date_trunc('month', day) AS DATE), '%Y-%m-%d') AS month_start,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS m_avg
+FROM dbase GROUP BY 1, 2, 3""",
+)
+def cube_reduce2_monthly(spark, sf_dir):
+    """oph_reduce2 over the real time hierarchy: day-level implicit dim walked
+    to month concept level (functions/hierarchy.py date_trunc mapping)."""
+    from ophidia_server_spark.functions.hierarchy import concept_level
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("day", F.col("l_shipdate").cast("date"))
+    c = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "day", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    r = C.oph_reduce2(c, "avg", concept_level("month"), "m_avg")
+    return r.long().select(
+        "l_returnflag", "l_linestatus",
+        F.date_format("day", "yyyy-MM-dd").alias("month_start"),
+        F.round(F.col("m_avg").cast("double"), 6).alias("m_avg"),
+    )
+
+
+@q(
+    "cube_aggregate2_quarter",
+    """WITH mbase AS (
+  SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS mstart, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, strftime(CAST(date_trunc('quarter', mstart) AS DATE), '%Y-%m-%d') AS quarter,
+       l_linestatus, CAST(SUM(qty) AS DOUBLE) AS qty
+FROM mbase GROUP BY 1, 2, 3""",
+)
+def cube_aggregate2_quarter(spark, sf_dir):
+    """oph_aggregate2: collapse the explicit month dimension to quarters."""
+    from ophidia_server_spark.functions.hierarchy import concept_level
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn(
+        "mstart", F.date_trunc("month", "l_shipdate").cast("date")
+    )
+    c = build_cube(
+        li, ["l_returnflag", "mstart"], "l_linestatus",
+        F.col("l_quantity").cast(DEC), measure="qty",
+    )
+    a = C.oph_aggregate2(c, "sum", "mstart", concept_level("quarter"))
+    return a.long().select(
+        "l_returnflag",
+        F.date_format("mstart", "yyyy-MM-dd").alias("quarter"),
+        "l_linestatus",
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_intercube_corr",
+    f"""WITH {BASE_QTY}, {BASE_PRICE},
+j AS (
+  SELECT b.l_returnflag, b.l_linestatus,
+         CAST(b.qty AS DOUBLE) AS x, CAST(p.price AS DOUBLE) AS y
+  FROM base b JOIN pbase p
+    ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+             / sqrt((COUNT(*) * SUM(x*x) - SUM(x)*SUM(x))
+                  * (COUNT(*) * SUM(y*y) - SUM(y)*SUM(y))), 6) AS corr
+FROM j GROUP BY 1, 2""",
+)
+def cube_intercube_corr(spark, sf_dir):
+    r = C.oph_intercube_corr(cube_qty(spark, sf_dir), cube_price(spark, sf_dir), "corr")
+    return r.withColumn("corr", F.round("corr", 6))
+
+
+@q(
+    "workflow_massive_expansion",
+    f"""WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes
+WHERE container = 'Brand#13' AND cube_id >= 1 AND cube_id <= 120""",
+)
+def workflow_massive_expansion(spark, sf_dir):
+    """Massive `cube=[...]` argument expanded by the workflow engine into
+    light tasks, one per matched cube (oph_workflow_engine.c:1010-1056);
+    the aggregated light-task values become the task result."""
+    cat = catalog_from_part(_t(spark, sf_dir)["part"])
+
+    def op_touch(engine, args, inputs):
+        return int(args["cube"])  # one light task per expanded pid
+
+    eng = WorkflowEngine({"oph_cubeelements": op_touch}, catalog=cat)
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "massive",
+                    "operator": "oph_cubeelements",
+                    "arguments": {"cube": "[container=Brand#13;cube_filter=1:120]"},
+                }
+            ]
+        }
+    )
+    ids = run.results["massive"].value
+    return spark.createDataFrame([(i,) for i in ids], "cube_id long")
+
+
+@q(
+    "events_time_filter",
+    """SELECT event_type, COUNT(*) AS n_events
+FROM events
+WHERE ((CAST(ts AS DATE) >= DATE '2024-01-05' AND CAST(ts AS DATE) <= DATE '2024-01-10'))
+GROUP BY event_type""",
+)
+def events_time_filter(spark, sf_dir):
+    from ophidia_server_spark.subset import time_predicate
+
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.filter(time_predicate(F.col("ts").cast("date"), "2024-01-05_2024-01-10"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@q(
     "cube_split_invariant",
     _reduce_oracle("ROUND(CAST(SUM(qty) AS DOUBLE), 2)", "sum_qty"),
 )
@@ -650,10 +809,6 @@ def io_csv_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------
-
-_CAT_CTE = f"""cubes AS ({CATALOG_SQL_CUBES}), metadata AS ({CATALOG_SQL_METADATA}),
-lineage AS ({CATALOG_SQL_LINEAGE})"""
-
 
 def _mf(spark, sf_dir, arg: str) -> DataFrame:
     cat = catalog_from_part(_t(spark, sf_dir)["part"])

@@ -111,6 +111,56 @@ def subset_sql(colname: str, subset: str, max_index: int | None = None) -> str:
     return "(" + " OR ".join(parts) + ")"
 
 
+def time_predicate(col: Column, subset: str) -> Column:
+    """time_filter=yes subsetting (oph_subset/oph_wait time filters; the
+    reference parses '%Y-%m-%d %H:%M:%S' bounds,
+    oph_flow_control_operators.c:2190): clauses are `start_end` date ranges
+    over a date/timestamp dimension, comma-separated (OR).
+
+    Bounds may be partial — '1997' (whole year), '1997-03' (whole month),
+    '1997-03-15' (whole day) — start expands to the period floor, end to the
+    period's last day. A clause without '_' selects the whole period.
+    """
+    pred = None
+    for raw in str(subset).split(","):
+        raw = raw.strip()
+        if "_" in raw:
+            s, e = raw.split("_", 1)
+        else:
+            s = e = raw
+        lo = _expand_bound(s, end=False)
+        hi = _expand_bound(e, end=True)
+        p = (col >= F.lit(lo)) & (col <= F.lit(hi))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _expand_bound(tok: str, end: bool) -> str:
+    tok = tok.strip()
+    parts = tok.split("-")
+    if len(parts) == 1:  # year
+        return f"{tok}-12-31" if end else f"{tok}-01-01"
+    if len(parts) == 2:  # year-month
+        if not end:
+            return f"{tok}-01"
+        y, m = int(parts[0]), int(parts[1])
+        days = [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) else 28,
+                31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1]
+        return f"{tok}-{days:02d}"
+    return tok
+
+
+def time_sql(colname: str, subset: str) -> str:
+    """ANSI-SQL rendering of time_predicate for oracle parity."""
+    parts = []
+    for raw in str(subset).split(","):
+        raw = raw.strip()
+        s, e = (raw.split("_", 1) if "_" in raw else (raw, raw))
+        lo, hi = _expand_bound(s, False), _expand_bound(e, True)
+        parts.append(f"({colname} >= DATE '{lo}' AND {colname} <= DATE '{hi}')")
+    return "(" + " OR ".join(parts) + ")"
+
+
 def coord_predicate(col: Column, subset: str) -> Column:
     """Coordinate-space subset (subset_type=coord, oph_subset2): clauses are
     value ranges over the dimension's coordinate values instead of 1-based
