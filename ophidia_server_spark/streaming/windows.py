@@ -86,7 +86,8 @@ def stream_sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_streaming_over_files(
-    spark: SparkSession, parquet_path: str, schema, width: str = "1 hour"
+    spark: SparkSession, parquet_path: str, schema, width: str = "1 hour",
+    queryName: str = "win_sink",
 ) -> DataFrame:
     """True Structured Streaming run over a parquet directory with
     Trigger.AvailableNow: watermark + tumbling window, results collected into
@@ -100,10 +101,61 @@ def run_streaming_over_files(
     agg = tumbling(stream, width)
     q = (
         agg.writeStream.format("memory")
-        .queryName("win_sink")
+        .queryName(queryName)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    return spark.table("win_sink")
+    return spark.table(queryName)
+
+
+def stream_running_user_totals(
+    spark: SparkSession, parquet_path: str, schema, queryName: str = "state_sink"
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per-user
+    running event count + value total maintained in state across micro-batches
+    (the applyInPandasWithState extension point named in SURVEY §2 for
+    operators Spark lacks natively).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(queryName)
