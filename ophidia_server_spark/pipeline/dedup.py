@@ -62,24 +62,31 @@ def shingle_sets(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> D
     ).filter(F.size("shingles") > 0)
 
 
-def _sig_from_shingles(num_hashes: int):
-    """MinHash signature as ONE aggregate pass over the shingle-hash array.
+def _sigs_from_shingle_sets(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures via explode + codegen min-aggregates.
 
-    Critical for performance: building each of the N permutation minima as its
-    own array_min(transform(...)) plants N copies of the whole shingle+hash
-    subtree in the plan (Catalyst collapses projections and re-inlines), which
-    measured ~100x slower. A single fold with an elementwise zip_with(least)
-    touches the shingle array once and keeps the plan linear in N.
+    Performance history (sf0.1, 50k docs): N x array_min(transform(...)) plants
+    N copies of the shingle subtree in the plan (~211 s); one higher-order
+    aggregate() fold with zip_with(least) fixes the duplication but evaluates
+    the lambda interpreted, per shingle x per permutation (~17 s). Exploding
+    shingles and taking the N permutation minima as plain min() aggregates puts
+    the whole thing inside WholeStageCodegen hash aggregation (~6 s). At scale
+    the explode never shuffles raw shingles: partial (map-side) min aggregation
+    reduces each doc to num_hashes longs before the exchange.
     """
     P = _MINHASH_P
-
-    def perms(x):
-        return F.array(*[(x * (2 * i + 1) + (7919 * i + 13)) % P for i in range(num_hashes)])
-
-    init = F.array_repeat(F.lit(P).cast("long"), num_hashes)
-    hashes = F.transform(F.col("shingles"), lambda s: F.abs(F.xxhash64(s)) % P)
-    return F.aggregate(
-        hashes, init, lambda acc, x: F.zip_with(acc, perms(x), lambda u, v: F.least(u, v))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", (F.abs(F.xxhash64("s")) % P).alias("h")
+    )
+    # h < 2^31 and (2i+1) <= 63 keep a*h+b within long range under ANSI mode
+    aggs = [
+        F.min((F.col("h") * (2 * i + 1) + (7919 * i + 13)) % P).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -87,10 +94,11 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: num_hashes permutations h_i(x) = (a_i*x+b_i)
-    mod p over 64-bit shingle hashes (xxhash64). All JVM-side array exprs."""
-    return shingle_sets(df, text_col, shingle_k).select(
-        "doc_id", _sig_from_shingles(num_hashes).alias("sig")
-    )
+    mod p over 64-bit shingle hashes (xxhash64). All JVM-side, codegen'd.
+    Docs with no shingles drop out naturally (nothing to explode)."""
+    # no array_distinct needed: duplicate shingles cannot change a min()
+    sh = df.select("doc_id", _shingles(text_col, shingle_k).alias("shingles"))
+    return _sigs_from_shingle_sets(sh, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -201,7 +209,9 @@ def ngram_jaccard_pairs(
 
     r = num_hashes // bands
     sh = shingle_sets(df, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sh.select("doc_id", "shingles", _sig_from_shingles(num_hashes).alias("sig"))
+    # signatures via the codegen min-agg path, joined back to the persisted
+    # shingle sets (join key = doc_id; both sides read the cached sh)
+    sigs = sh.join(_sigs_from_shingle_sets(sh, num_hashes), "doc_id")
     banded = sigs.select(
         "doc_id",
         "shingles",
