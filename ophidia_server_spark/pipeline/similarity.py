@@ -106,6 +106,97 @@ def lsh_topk_cosine(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def exact_pairs_above(
+    df: DataFrame, threshold: float = 0.2, max_id: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (brute force, oracle path).
+
+    All (a, b) with id_a < id_b and cosine >= threshold. O(n^2) by design —
+    the exactness baseline the LSH/IVF paths approximate. `max_id` bounds the
+    corpus slice so the quadratic stays testable; at scale use
+    `allpairs_above` (LSH buckets) instead.
+    """
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    keyed = base.select(F.col(id_col), F.col(vec_col))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a." + id_col) < F.col("b." + id_col))
+        .select(
+            F.col("a." + id_col).alias("id_a"),
+            F.col("b." + id_col).alias("id_b"),
+            F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_leaders(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the n_cells lowest-id vectors,
+    L2-normalized driver-side. Stands in for a KMeans codebook (same IVF
+    geometry, reproducible with no trained model); at 100 TB the codebook
+    comes from pyspark.ml KMeans over a sample and is broadcast the same way.
+    """
+    rows = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    out = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def ivf_assign(df: DataFrame, leaders_unit: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Tag every vector with its IVF cell = argmax_j dot(vec, unit_leader_j).
+
+    The vector's own norm is constant across cells, so plain dot against unit
+    leaders gives the cosine argmax without per-row normalization. Cells are
+    the partition/bucket column at scale (write partitioned by __cell ->
+    probe-time partition pruning).
+    """
+    sims = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in L]))
+            for L in leaders_unit
+        ]
+    )
+    staged = df.withColumn("__sims", sims)
+    return staged.withColumn(
+        "__cell", F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+    ).drop("__sims")
+
+
+def ivf_topk_cosine(
+    df: DataFrame, query_vec: list[float], k: int = 10, n_cells: int = 16,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the nprobe cells whose leaders are
+    closest to the query, brute-force exact cosine inside them.
+
+    Scan fraction ~ nprobe/n_cells of the corpus (vs 1.0 for brute force);
+    with cells as a partition column the non-probed cells are never read.
+    """
+    leaders = ivf_leaders(df, n_cells, id_col, vec_col)
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qsims = [
+        sum(q / qn * l for q, l in zip(query_vec, L)) for L in leaders
+    ]
+    probe_cells = [
+        c + 1  # array_position is 1-based
+        for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned = ivf_assign(df, leaders, vec_col)
+    scored = assigned.filter(F.col("__cell").isin(probe_cells)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
 def allpairs_above(
     df: DataFrame, threshold: float = 0.9, bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,

@@ -1177,6 +1177,32 @@ def sim_allpairs_lsh(spark, sf_dir):
     return sim.allpairs_above(_t(spark, sf_dir)["embeddings"], threshold=0.2, bits=4)
 
 
+@q(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.2""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # exact embedding near-dup baseline (bounded slice keeps the n^2 testable;
+    # sim_allpairs_lsh is the same semantics at scale)
+    return sim.exact_pairs_above(
+        _t(spark, sf_dir)["embeddings"], threshold=0.2, max_id=300
+    )
+
+
+@q("sim_ivf_topk")  # approximate path: rows-only check
+def sim_ivf_topk(spark, sf_dir):
+    return sim.ivf_topk_cosine(
+        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir),
+        k=10, n_cells=16, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # events / streaming windows
 # ---------------------------------------------------------------------------

@@ -1,0 +1,42 @@
+"""Similarity-search paths: exact brute force is the ground truth; LSH and IVF
+are approximations whose top-k must overlap it substantially on the fixture
+embeddings (random vectors, so exact ties are rare and ordering is stable)."""
+
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import similarity as sim
+
+
+def _qvec(tables):
+    row = tables["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(v) for v in row[0]]
+
+
+def test_ivf_assign_covers_all(tables):
+    emb = tables["embeddings"]
+    leaders = sim.ivf_leaders(emb, n_cells=8)
+    assigned = sim.ivf_assign(emb, leaders)
+    cells = {r["__cell"] for r in assigned.select("__cell").distinct().collect()}
+    assert cells <= set(range(1, 9)) and len(cells) > 1
+    assert assigned.count() == emb.count()
+
+
+def test_ivf_topk_overlaps_exact(tables):
+    emb = tables["embeddings"]
+    q = _qvec(tables)
+    exact = [r.vec_id for r in sim.topk_cosine(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in sim.ivf_topk_cosine(emb, q, k=10, n_cells=8, nprobe=4).collect()]
+    # query vector itself lives in some probed cell (cosine 1 with itself)
+    assert 0 in approx
+    # half the corpus probed -> expect majority overlap on 500 random vectors
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_exact_pairs_symmetric_threshold(tables):
+    emb = tables["embeddings"]
+    pairs = sim.exact_pairs_above(emb, threshold=0.2, max_id=100)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b and r.cosine_sim >= 0.2 for r in rows)
+    # brute force over the same slice must find at least the LSH pairs
+    lsh = sim.allpairs_above(emb.filter(F.col("vec_id") < 100), threshold=0.2, bits=4)
+    assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(r.id_a, r.id_b) for r in rows}
