@@ -325,89 +325,207 @@ class WorkflowEngine:
         rows = compile_massive(self.catalog, str(cube_arg)).collect()
         return [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
 
+    # -- oph_set value handling (subset_filter compression + response-cell
+    #    addressing, oph_flow_control_operators.c:1150-1571 / :674-988) --------
+    def _set_value(self, args: dict, run: "WorkflowRun") -> Any:
+        value = args.get("value")
+        src_task = str(args.get("taskname", "") or "")
+        if src_task:
+            # value is an address into a prior task's response
+            # (oph_extract_from_json semantics)
+            from ophidia_server_spark.plans.response import extract_from_json
+
+            if src_task not in run.results:
+                raise WorkflowError(f"oph_set taskname {src_task!r} has no result")
+            value = extract_from_json(run.results[src_task].value, str(value))
+        sf = str(args.get("subset_filter", "no")).lower()
+        if sf in ("yes", "real") and value is not None:
+            # compress a |-separated value list into a 1-based index subset
+            # string (the reference turns coordinate lists into index lists;
+            # offset widens each index)
+            items = str(value).split("|")
+            off = int(float(args.get("offset", 0) or 0))
+            idxs = []
+            for i, _ in enumerate(items, start=1):
+                lo, hi = max(1, i - off), i + off
+                idxs.append(f"{lo}:{hi}" if off else str(i))
+            value = "|".join(idxs)
+        return value
+
+    @staticmethod
+    def _backoff_delay(t: dict, attempt: int, cap: float = 2.0) -> float:
+        """Retry backoff (oph_workflow_structs.h:205-206 backoff_time/type:
+        constant | linear | exponential; attempt is 1-based)."""
+        base = float(t.get("backoff_time", 0) or 0)
+        if base <= 0:
+            return 0.0
+        btype = str(t.get("backoff_type", "constant")).lower()
+        if btype == "linear":
+            d = base * attempt
+        elif btype == "exponential":
+            d = base * (2 ** (attempt - 1))
+        else:
+            d = base
+        return min(d, cap)
+
+    def _exec_task(self, t: dict, fn: Callable, args: dict, inputs: dict) -> TaskResult:
+        """Run one compute task with retry/backoff/repeat policy."""
+        name = t["name"]
+        retries = int(t.get("retry", 1) or 1)
+        if str(t.get("on_error", "")).lower() == "repeat":
+            retries += 1  # repeat = one extra attempt before failing
+        last_err: str | None = None
+        for attempt in range(1, retries + 1):
+            try:
+                value = fn(self, args, inputs)
+                return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", value, attempts=attempt)
+            except Exception as e:  # noqa: BLE001 - operator errors feed on_error policy
+                last_err = f"{type(e).__name__}: {e}"
+                delay = self._backoff_delay(t, attempt)
+                if delay and attempt < retries:
+                    time.sleep(delay)
+        return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries)
+
+    def _exec_massive(
+        self, t: dict, fn: Callable, args: dict, inputs: dict, items: list[str]
+    ) -> TaskResult:
+        """Massive expansion -> light tasks (oph_workflow_engine.c:1010-1056);
+        responses aggregate like oph_workflow_load_aggregate_response
+        (:454-507)."""
+        name = t["name"]
+        if str(args.get("run", "yes")).lower() == "no":
+            return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", {"expansion": items})
+        values = []
+        for item in items:
+            largs = {**args, "cube": item}
+            largs.pop("run", None)
+            try:
+                values.append(fn(self, largs, inputs))
+            except Exception as e:  # noqa: BLE001
+                return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=f"{type(e).__name__}: {e}")
+        return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", values)
+
     # -- main entry ------------------------------------------------------------
-    def run(self, workflow: dict, extra_operators: dict[str, Callable] | None = None) -> WorkflowRun:
+    def run(
+        self,
+        workflow: dict,
+        extra_operators: dict[str, Callable] | None = None,
+        max_workers: int = 1,
+        checkpoint_store: dict | None = None,
+        resume_from: dict | None = None,
+    ) -> WorkflowRun:
+        """Execute a workflow.
+
+        max_workers > 1 executes each dependency wave's compute tasks
+        concurrently (the reference's ready-set fan-out,
+        oph_workflow_engine.c:1706 — Spark local/FAIR handles concurrent jobs).
+        checkpoint_store collects completed TaskResults by name
+        (oph_workflow_save semantics); resume_from seeds results from a prior
+        store so finished tasks are not re-run (checkpoint restart,
+        oph_workflow_engine.c:244-288).
+        """
         run = WorkflowRun(variables=dict(workflow.get("variables", {})))
         ops = {**self.operators, **(extra_operators or {})}
         tasks = self._select_branches(list(workflow.get("tasks", [])), run.variables)
         tasks = self._expand_loops(tasks, run.variables)
         order = validate_dag(tasks)
         by_name = {t["name"]: t for t in tasks}
-        for name in order:
-            t = by_name[name]
-            op = t.get("operator")
-            deps = t.get("dependencies", [])
-            failed_dep = any(
-                run.results.get(d) and run.results[d].status == "OPH_ODB_STATUS_ERROR" for d in deps
-            )
-            skipped_dep = any(
-                run.results.get(d) and run.results[d].status == "OPH_ODB_STATUS_SKIPPED" for d in deps
-            )
-            if failed_dep or skipped_dep:
-                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_SKIPPED")
-                continue
-            args = {k: substitute(v, run.variables) for k, v in t.get("arguments", {}).items()}
-            if op in ("oph_set", "oph_input"):
-                # oph_input = oph_set + wake a waiting task
-                # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)
-                run.variables[str(args.get("key"))] = args.get("value")
-                run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED", args.get("value"))
-                continue
-            if op == "oph_wait":
-                status = self._wait(args, run)
-                run.results[name] = TaskResult(name, status)
-                continue
-            fn = ops.get(op)
-            if fn is None:
-                raise WorkflowError(f"unknown operator {op!r}")
-            inputs = {d: run.results[d].value for d in deps if d in run.results}
-            retries = int(t.get("retry", 1) or 1)
-            last_err: str | None = None
+        if resume_from:
+            for n, res in resume_from.items():
+                if n in by_name and getattr(res, "status", None) == "OPH_ODB_STATUS_COMPLETED":
+                    run.results[n] = res
 
-            # massive `cube=[...]` expansion -> light tasks
-            # (oph_check_for_massive_operation, oph_workflow_engine.c:843;
-            # light-task build :1010-1056; aggregate response :454-507)
-            massive_items = self._massive_expand(args)
-            if massive_items is not None:
-                if str(args.get("run", "yes")).lower() == "no":
-                    run.results[name] = TaskResult(
-                        name, "OPH_ODB_STATUS_COMPLETED", {"expansion": massive_items}
-                    )
+        def record(res: TaskResult) -> None:
+            run.results[res.name] = res
+            if checkpoint_store is not None and res.status == "OPH_ODB_STATUS_COMPLETED":
+                checkpoint_store[res.name] = res
+
+        # block propagation: a failed task skips its dependents unless its
+        # on_error is continue/nop (oph_workflow_define.h:63-70)
+        blocked: set[str] = set()
+        stop_scheduling = False
+        pending = [n for n in order if n not in run.results]
+        while pending and not stop_scheduling:
+            wave: list[str] = []
+            for n in pending:
+                deps = by_name[n].get("dependencies", [])
+                if all(d in run.results for d in deps):
+                    wave.append(n)
+            if not wave:
+                raise WorkflowError("deadlock: no ready tasks")  # pragma: no cover
+            compute_batch: list[tuple[dict, Callable, dict, dict]] = []
+            for name in wave:
+                t = by_name[name]
+                op = t.get("operator")
+                deps = t.get("dependencies", [])
+                if any(
+                    run.results[d].status == "OPH_ODB_STATUS_SKIPPED"
+                    or (run.results[d].status == "OPH_ODB_STATUS_ERROR" and d in blocked)
+                    for d in deps
+                ):
+                    record(TaskResult(name, "OPH_ODB_STATUS_SKIPPED"))
                     continue
-                values, err = [], None
-                for item in massive_items:
-                    largs = {**args, "cube": item}
-                    largs.pop("run", None)
-                    try:
-                        values.append(fn(self, largs, inputs))
-                    except Exception as e:  # noqa: BLE001
-                        err = f"{type(e).__name__}: {e}"
-                        break
-                if err is None:
-                    run.results[name] = TaskResult(name, "OPH_ODB_STATUS_COMPLETED", values)
-                else:
-                    run.results[name] = TaskResult(name, "OPH_ODB_STATUS_ERROR", error=err)
-                    if t.get("on_error", "abort") == "abort":
-                        run.status = "OPH_ODB_STATUS_ERROR"
-                        break
-                continue
+                args = {k: substitute(v, run.variables) for k, v in t.get("arguments", {}).items()}
+                if op in ("oph_set", "oph_input"):
+                    # oph_input = oph_set + wake a waiting task
+                    # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)
+                    value = self._set_value(args, run)
+                    for key in str(args.get("key", "")).split("|"):
+                        if key:
+                            run.variables[key] = value
+                    record(TaskResult(name, "OPH_ODB_STATUS_COMPLETED", value))
+                    continue
+                if op == "oph_wait":
+                    record(TaskResult(name, self._wait(args, run)))
+                    continue
+                fn = ops.get(op)
+                if fn is None:
+                    raise WorkflowError(f"unknown operator {op!r}")
+                inputs = {d: run.results[d].value for d in deps if d in run.results}
+                compute_batch.append((t, fn, args, inputs))
 
-            for attempt in range(1, retries + 1):
-                try:
-                    value = fn(self, args, inputs)
-                    run.results[name] = TaskResult(
-                        name, "OPH_ODB_STATUS_COMPLETED", value, attempts=attempt
-                    )
-                    break
-                except Exception as e:  # noqa: BLE001 - operator errors feed on_error policy
-                    last_err = f"{type(e).__name__}: {e}"
+            # execute the wave's compute tasks (concurrently when asked)
+            results: list[TaskResult] = []
+            if max_workers > 1 and len(compute_batch) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                def one(item):
+                    t, fn, args, inputs = item
+                    items = self._massive_expand(args)
+                    if items is not None:
+                        return self._exec_massive(t, fn, args, inputs, items)
+                    return self._exec_task(t, fn, args, inputs)
+
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    results = list(pool.map(one, compute_batch))
             else:
-                on_error = t.get("on_error", "abort")
-                run.results[name] = TaskResult(
-                    name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries
-                )
-                if on_error == "abort":
-                    run.status = "OPH_ODB_STATUS_ERROR"
-                    break
-                # skip: dependents will be marked skipped; continue: keep going
+                for t, fn, args, inputs in compute_batch:
+                    items = self._massive_expand(args)
+                    if items is not None:
+                        results.append(self._exec_massive(t, fn, args, inputs, items))
+                    else:
+                        results.append(self._exec_task(t, fn, args, inputs))
+
+            for res in results:
+                record(res)
+                if res.status == "OPH_ODB_STATUS_ERROR":
+                    on_error = str(by_name[res.name].get("on_error", "abort")).lower()
+                    if on_error in ("abort", "repeat"):
+                        run.status = "OPH_ODB_STATUS_ERROR"
+                        stop_scheduling = True
+                    elif on_error == "break":
+                        # leave the workflow COMPLETED but stop scheduling the
+                        # rest (loop-break semantics)
+                        stop_scheduling = True
+                        blocked.add(res.name)
+                    elif on_error == "skip":
+                        blocked.add(res.name)
+                    # continue / nop: dependents still run
+            pending = [n for n in order if n not in run.results]
+        if run.status != "OPH_ODB_STATUS_ERROR":
+            # break: unscheduled remainder is skipped; abort leaves it
+            # unrecorded (the reference stops the workflow outright)
+            for n in pending:
+                if n not in run.results:
+                    run.results[n] = TaskResult(n, "OPH_ODB_STATUS_SKIPPED")
         return run

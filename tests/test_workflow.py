@@ -253,3 +253,215 @@ def test_retry_attempts():
     run = eng.run({"tasks": [{"name": "a", "operator": "flaky", "arguments": {}, "retry": 3}]})
     assert run.results["a"].status == "OPH_ODB_STATUS_COMPLETED"
     assert run.results["a"].attempts == 3
+
+
+# -- round-1 engine completion: backoff, on_error set, checkpoint/resume,
+#    concurrent waves, set-from-response addressing ---------------------------
+
+
+def test_on_error_continue_runs_dependents():
+    def boom(engine, args, inputs):
+        raise RuntimeError("x")
+
+    log = []
+    eng = WorkflowEngine({"op": _collect_op(log), "boom": boom})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "a", "operator": "boom", "arguments": {}, "on_error": "continue"},
+                {"name": "b", "operator": "op", "arguments": {"tag": "b"}, "dependencies": ["a"]},
+            ]
+        }
+    )
+    assert run.results["a"].status == "OPH_ODB_STATUS_ERROR"
+    assert run.results["b"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_on_error_break_stops_scheduling():
+    def boom(engine, args, inputs):
+        raise RuntimeError("x")
+
+    log = []
+    eng = WorkflowEngine({"op": _collect_op(log), "boom": boom})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "a", "operator": "boom", "arguments": {}, "on_error": "break"},
+                {"name": "b", "operator": "op", "arguments": {"tag": "b"}, "dependencies": ["a"]},
+            ]
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"  # break != abort
+    assert run.results["b"].status == "OPH_ODB_STATUS_SKIPPED"
+
+
+def test_retry_backoff_and_repeat():
+    calls = {"n": 0}
+
+    def flaky(engine, args, inputs):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("flaky")
+        return "ok"
+
+    eng = WorkflowEngine({"flaky": flaky})
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "a", "operator": "flaky", "arguments": {},
+                    "retry": 3, "backoff_time": 0.01, "backoff_type": "exponential",
+                }
+            ]
+        }
+    )
+    assert run.results["a"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.results["a"].attempts == 3
+
+
+def test_checkpoint_resume_skips_done():
+    calls = []
+
+    def op(engine, args, inputs):
+        calls.append(args["tag"])
+        return args["tag"]
+
+    wf = {
+        "tasks": [
+            {"name": "a", "operator": "op", "arguments": {"tag": "a"}},
+            {"name": "b", "operator": "op", "arguments": {"tag": "b"}, "dependencies": ["a"]},
+        ]
+    }
+    eng = WorkflowEngine({"op": op})
+    store = {}
+    eng.run(wf, checkpoint_store=store)
+    assert set(store) == {"a", "b"}
+    calls.clear()
+    run2 = eng.run(wf, resume_from=store)
+    assert calls == []  # nothing re-ran
+    assert run2.results["b"].value == "b"
+
+
+def test_concurrent_wave_execution():
+    import threading
+
+    seen = []
+
+    def op(engine, args, inputs):
+        seen.append(threading.get_ident())
+        import time as _t
+
+        _t.sleep(0.05)
+        return args["tag"]
+
+    wf = {
+        "tasks": [
+            {"name": f"t{i}", "operator": "op", "arguments": {"tag": f"t{i}"}} for i in range(4)
+        ]
+    }
+    run = WorkflowEngine({"op": op}).run(wf, max_workers=4)
+    assert all(r.status == "OPH_ODB_STATUS_COMPLETED" for r in run.results.values())
+    assert len(set(seen)) > 1  # really ran on multiple threads
+
+
+def test_set_from_response_address():
+    def grid_op(engine, args, inputs):
+        return {
+            "objclass": "grid",
+            "rowkeys": ["cube", "rows"],
+            "rowvalues": [["pid1", 10], ["pid2", 20]],
+        }
+
+    def sink(engine, args, inputs):
+        return args["cube"]
+
+    eng = WorkflowEngine({"grid_op": grid_op, "sink": sink})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "src", "operator": "grid_op", "arguments": {}},
+                {
+                    "name": "pick", "operator": "oph_set", "dependencies": ["src"],
+                    "arguments": {"key": "picked", "value": "cube[1]", "taskname": "src"},
+                },
+                {
+                    "name": "use", "operator": "sink", "dependencies": ["pick"],
+                    "arguments": {"cube": "@picked"},
+                },
+            ]
+        }
+    )
+    assert run.variables["picked"] == "pid2"
+    assert run.results["use"].value == "pid2"
+
+
+def test_set_subset_filter_compression():
+    eng = WorkflowEngine({})
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "s", "operator": "oph_set",
+                    "arguments": {"key": "idx", "value": "a|b|c", "subset_filter": "yes"},
+                }
+            ]
+        }
+    )
+    assert run.variables["idx"] == "1|2|3"
+    run2 = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "s", "operator": "oph_set",
+                    "arguments": {
+                        "key": "idx", "value": "a|b", "subset_filter": "yes", "offset": 1,
+                    },
+                }
+            ]
+        }
+    )
+    assert run2.variables["idx"] == "1:2|1:3"
+
+
+def test_set_multi_key():
+    eng = WorkflowEngine({})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "s", "operator": "oph_set", "arguments": {"key": "x|y", "value": "7"}}
+            ]
+        }
+    )
+    assert run.variables["x"] == "7" and run.variables["y"] == "7"
+
+
+def test_workflow_response_formats():
+    from ophidia_server_spark.plans.response import workflow_response
+
+    log = []
+    run, _ = run_wf(
+        [{"name": "a", "operator": "op", "arguments": {"tag": "a"}}], log=log
+    )
+    classic = workflow_response(run, "wf", "classic")
+    assert classic["tasks"][0]["task"] == "a"
+    compact = workflow_response(run, "wf", "compact")
+    assert compact["summary"]["rowvalues"] == [["a", "OPH_ODB_STATUS_COMPLETED"]]
+    extended = workflow_response(run, "wf", "extended")
+    assert extended["tasks"][0]["attempts"] == 1 and "variables" in extended
+
+
+def test_extract_from_json_forms():
+    from ophidia_server_spark.plans.response import extract_from_json
+
+    grid = {
+        "objclass": "grid",
+        "rowkeys": ["pid", "n"],
+        "rowvalues": [["p1", 1], ["p2", 2], ["p3", 3]],
+    }
+    assert extract_from_json(grid, "pid[0]") == "p1"
+    assert extract_from_json(grid, "pid") == "p1|p2|p3"
+    assert extract_from_json(grid, "[1,1]") == 2
+    assert extract_from_json({"a": {"b": 5}}, "a.b") == 5
+    with pytest.raises(KeyError):
+        extract_from_json(grid, "nope[0]")
