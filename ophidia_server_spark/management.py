@@ -191,6 +191,58 @@ class ManagementService:
             out.append(r.request if document_type == "request" else r.response)
         return out
 
+    # -- oph_instances / oph_tasks / oph_loggingbk (run-ledger queries,
+    #    oph_ophidiadb_query.h:34-49 job tables; :79-93 host instances) --------
+    def instances(self) -> list[dict]:
+        """Infrastructure view (oph_instances): Spark executor state stands in
+        for the reference's host/DBMS instance tables."""
+        sc = self.spark.sparkContext
+        return [
+            {
+                "host": sc.master,
+                "status": "up" if self.service_up else "down",
+                "cores": sc.defaultParallelism,
+                "app_id": sc.applicationId,
+            }
+        ]
+
+    def tasks_history(self, session_id: str | None = None, status: str | None = None) -> list[dict]:
+        """oph_tasks: per-job history rows from the ledger, filterable by
+        session and status mask-name (the reference's UNION ... ORDER BY over
+        job/jobaccounting, oph_ophidiadb_query.h:39-47)."""
+        out = []
+        for r in self.ledger:
+            if session_id is not None and r.session_id != session_id:
+                continue
+            if status is not None and r.status != status:
+                continue
+            out.append(
+                {
+                    "workflow_id": r.workflow_id,
+                    "marker": r.marker,
+                    "session": r.session_id,
+                    "operator": (r.request or {}).get("name", ""),
+                    "status": r.status,
+                }
+            )
+        return sorted(out, key=lambda d: d["workflow_id"])
+
+    def loggingbk(self, session_filter: str = "", job_filter: str = "", limit: int = 100) -> list[dict]:
+        """oph_loggingbk (oph_json_objkeys.h:32): LIKE-style filters over the
+        accounting log, newest first (mirrors the reference's LIKE queries,
+        oph_ophidiadb_query.h:90-93)."""
+        rows = [
+            {
+                "session": r.session_id,
+                "workflow_id": r.workflow_id,
+                "marker": r.marker,
+                "status": r.status,
+            }
+            for r in self.ledger
+            if session_filter in r.session_id and job_filter in str(r.workflow_id)
+        ]
+        return rows[::-1][:limit]
+
     # -- oph_log_info ---------------------------------------------------------
     def log_info(self, log_path: str, nlines: int = 10) -> list[str]:
         if not os.path.exists(log_path):

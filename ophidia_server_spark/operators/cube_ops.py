@@ -452,3 +452,49 @@ def oph_apply(cube: Cube, primitive: Callable[[Column], Column], measure: str | 
     """
     df = cube.df.withColumn(MEASURE_COL, primitive(F.col(MEASURE_COL)))
     return replace(cube, df=df, measure=measure or cube.measure, level=cube.level + 1)
+
+
+# ---------------------------------------------------------------------------
+# oph_showgrid / oph_inspectfrag (introspection,
+# oph_json_objkeys.h:128-131 showgrid, :60-61 inspectfrag)
+# ---------------------------------------------------------------------------
+
+def oph_showgrid(cube: Cube) -> DataFrame:
+    """Dimension grid of a cube: one (dim, value) row per distinct coordinate
+    of every dimension, explicit and implicit (the reference lists the stored
+    dim grids of a container; our grid is derived live from the cube).
+
+    Scale: per-dim distinct is a partial-agg shuffle of the dim column only —
+    column pruning means the parquet scan reads one column per branch.
+    """
+    parts = []
+    for d in cube.explicit_dims:
+        parts.append(
+            cube.df.select(F.lit(d).alias("dim"), F.col(d).cast("string").alias("value")).distinct()
+        )
+    lf = cube.long()
+    for d in cube.implicit_dims:
+        parts.append(
+            lf.select(F.lit(d).alias("dim"), F.col(d).cast("string").alias("value")).distinct()
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def oph_inspectfrag(cube: Cube, frag_id: int = 0, nfrag: int = 4) -> DataFrame:
+    """Dump one logical fragment of a cube (oph_inspectfrag): fragments are
+    defined deterministically as row_number over the explicit-dim order modulo
+    nfrag, mirroring the reference's hostxdatacube x fragmentxdb row split
+    (oph_ophidiadb_query.h:48) with an engine-portable rule.
+
+    Inspection is a debugging peek at one fragment, so the single-partition
+    row_number window is acceptable; physical Spark partitions remain the real
+    fragmentation (spark_partition_id) and are reported by store.cubeschema.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(d) for d in cube.explicit_dims])
+    tagged = cube.df.withColumn("__frag", (F.row_number().over(w) - 1) % nfrag)
+    return tagged.filter(F.col("__frag") == frag_id).drop("__frag")

@@ -206,3 +206,75 @@ def expand_file_glob(pattern: str) -> list[str]:
     """oph_importncs-style in-place input expansion
     (oph_workflow_engine.c:963-1000): glob -> '|'-separated list semantics."""
     return sorted(_glob.glob(pattern))
+
+
+def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str]:
+    """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
+    oph_json_objkeys.h:116-117).
+
+    Distributed shape: one output file per explicit-dim slice written from
+    foreachPartition (per_dim_files=True), or a single driver-side write for
+    small cubes. Requires xarray; raises NotImplementedError in this container
+    (the partitioning/manifest logic is the real, tested part).
+    """
+    xr = _try_import_netcdf()
+    if xr is None:
+        raise NotImplementedError(
+            "oph_exportnc requires xarray/netCDF4 (not available in this "
+            "container). Plumbing: df -> toPandas per explicit-dim slice -> "
+            "xarray.Dataset.to_netcdf, one file per slice."
+        )
+    import os  # pragma: no cover
+
+    os.makedirs(path, exist_ok=True)  # pragma: no cover
+    pdf = cube.long().toPandas()  # pragma: no cover
+    ds = pdf.set_index(list(cube.explicit_dims) + list(cube.implicit_dims)).to_xarray()  # pragma: no cover
+    out = os.path.join(path, f"{cube.measure}.nc")  # pragma: no cover
+    ds.to_netcdf(out)  # pragma: no cover
+    return [out]  # pragma: no cover
+
+
+def oph_explorenc(spark: SparkSession, path: str, measure: str | None = None) -> dict:
+    """Inspect a NetCDF file (oph_explorenc, oph_json_objkeys.h:85-91): dims,
+    variables, attributes, and summary stats of one measure.
+
+    Decode requires xarray (NotImplementedError here); `explore_stats` below
+    carries the stats/fit logic and is tested on parquet-born DataFrames.
+    """
+    xr = _try_import_netcdf()
+    if xr is None:
+        raise NotImplementedError(
+            "oph_explorenc requires xarray/netCDF4 (not available in this "
+            "container); stats path is exercised via explore_stats()."
+        )
+    ds = xr.open_dataset(path)  # pragma: no cover
+    info = {  # pragma: no cover
+        "dims": dict(ds.dims), "vars": list(ds.data_vars), "attrs": dict(ds.attrs)
+    }
+    return info  # pragma: no cover
+
+
+def explore_stats(df: DataFrame, value_col: str, order_cols: list[str] | None = None) -> DataFrame:
+    """The oph_explorenc stats/fit component over any numeric column: n, mean,
+    std, min, max plus a least-squares linear fit (slope/intercept) against the
+    row index — all as one aggregate pass (no .summary(), which is
+    driver-heavy), expressed with closed-form regression aggregates.
+
+    order_cols fixes the row-index order deterministically (needed for
+    engine-portable fit results); default follows file order.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    order = [F.col(c) for c in order_cols] if order_cols else [F.monotonically_increasing_id()]
+    w = F.row_number().over(Window.orderBy(*order)) - 1
+    idx = df.withColumn("__x", w.cast("double"))
+    return idx.agg(
+        F.count(v).alias("n"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_pop(v), 6).alias("std"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.round(F.regr_slope(v, F.col("__x")), 6).alias("fit_slope"),
+        F.round(F.regr_intercept(v, F.col("__x")), 6).alias("fit_intercept"),
+    )

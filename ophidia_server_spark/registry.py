@@ -1316,3 +1316,58 @@ def multimodal_frame_sample(spark, sf_dir):
 def multimodal_decode_stub(spark, sf_dir):
     blobs = mm.to_binary_table(_t(spark, sf_dir)["documents"])
     return mm.decode_images(blobs)
+
+
+# ---------------------------------------------------------------------------
+# introspection operators (showgrid / inspectfrag / explorenc stats)
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_showgrid",
+    f"""WITH {BASE_QTY}
+SELECT 'l_returnflag' AS dim, CAST(l_returnflag AS VARCHAR) AS value FROM base GROUP BY 2
+UNION ALL
+SELECT 'l_linestatus' AS dim, CAST(l_linestatus AS VARCHAR) AS value FROM base GROUP BY 2
+UNION ALL
+SELECT 'month' AS dim, CAST(month AS VARCHAR) AS value FROM base GROUP BY 2""",
+)
+def cube_showgrid(spark, sf_dir):
+    return C.oph_showgrid(cube_qty(spark, sf_dir))
+
+
+@q(
+    "cube_inspectfrag",
+    f"""WITH {BASE_QTY},
+combos AS (
+  SELECT l_returnflag, l_linestatus,
+         row_number() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS rn
+  FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM base)
+)
+SELECT b.l_returnflag, b.l_linestatus, b.month, CAST(b.qty AS DOUBLE) AS qty
+FROM base b JOIN combos c
+  ON b.l_returnflag = c.l_returnflag AND b.l_linestatus = c.l_linestatus
+WHERE c.rn % 4 = 1""",
+)
+def cube_inspectfrag(spark, sf_dir):
+    frag = C.oph_inspectfrag(cube_qty(spark, sf_dir), frag_id=1, nfrag=4)
+    c = cube_qty(spark, sf_dir)
+    return _long_qty(c.with_df(frag))
+
+
+@q(
+    "io_explore_stats",
+    """WITH ordered AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS DOUBLE) AS x
+  FROM lineitem
+)
+SELECT CAST(COUNT(v) AS BIGINT) AS n, ROUND(AVG(v), 6) AS mean,
+       ROUND(stddev_pop(v), 6) AS std, MIN(v) AS min, MAX(v) AS max,
+       ROUND(regr_slope(v, x), 6) AS fit_slope,
+       ROUND(regr_intercept(v, x), 6) AS fit_intercept FROM ordered""",
+)
+def io_explore_stats(spark, sf_dir):
+    from ophidia_server_spark.operators import io_ops as io
+
+    li = _t(spark, sf_dir)["lineitem"]
+    return io.explore_stats(li, "l_quantity", order_cols=["l_orderkey", "l_linenumber"])

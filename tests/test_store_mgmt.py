@@ -145,3 +145,61 @@ def test_operators_list_nonempty(spark):
     ops = operators_list()
     names = {o["operator"] for o in ops}
     assert "oph_reduce" in names and "oph_importcsv" in names
+
+
+def test_instances_tasks_loggingbk(spark):
+    m = ManagementService(spark)
+    inst = m.instances()
+    assert inst and inst[0]["cores"] > 0 and inst[0]["status"] == "up"
+    r1 = m.record("sess-a", {"name": "wf1"})
+    r2 = m.record("sess-b", {"name": "wf2"})
+    r1.status = "OPH_ODB_STATUS_COMPLETED"
+    hist = m.tasks_history()
+    assert [h["workflow_id"] for h in hist] == [r1.workflow_id, r2.workflow_id]
+    assert m.tasks_history(session_id="sess-a")[0]["operator"] == "wf1"
+    assert m.tasks_history(status="OPH_ODB_STATUS_COMPLETED")[0]["workflow_id"] == r1.workflow_id
+    log = m.loggingbk()
+    assert log[0]["workflow_id"] == r2.workflow_id  # newest first
+    assert m.loggingbk(session_filter="sess-a")[0]["session"] == "sess-a"
+
+
+def test_exportnc_explorenc_gated(spark, tables):
+    # xarray is not in this container: the NetCDF ops must raise cleanly
+    from ophidia_server_spark.operators import io_ops as io
+
+    c = build_cube(
+        tables["lineitem"].withColumn("month", F.month("l_shipdate")),
+        ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    if io._try_import_netcdf() is None:
+        with pytest.raises(NotImplementedError):
+            io.oph_exportnc(c, "/tmp/nc_out")
+        with pytest.raises(NotImplementedError):
+            io.oph_explorenc(spark, "/tmp/x.nc")
+
+
+def test_explore_stats_matches_known(spark):
+    from ophidia_server_spark.operators import io_ops as io
+
+    df = spark.createDataFrame([(i, float(2 * i + 1)) for i in range(10)], "k int, v double")
+    row = io.explore_stats(df, "v", order_cols=["k"]).first()
+    assert row.n == 10 and row.min == 1.0 and row.max == 19.0
+    assert abs(row.fit_slope - 2.0) < 1e-9 and abs(row.fit_intercept - 1.0) < 1e-9
+
+
+def test_showgrid_and_inspectfrag(spark, tables):
+    from ophidia_server_spark.operators import cube_ops as C
+
+    c = build_cube(
+        tables["lineitem"].withColumn("month", F.month("l_shipdate")),
+        ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    grid = C.oph_showgrid(c)
+    dims = {r.dim for r in grid.collect()}
+    assert dims == {"l_returnflag", "l_linestatus", "month"}
+    # fragments partition the cube rows exactly
+    total = c.df.count()
+    frags = [C.oph_inspectfrag(c, i, 3).count() for i in range(3)]
+    assert sum(frags) == total and all(f > 0 for f in frags)
