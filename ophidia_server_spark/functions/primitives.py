@@ -124,6 +124,114 @@ def delta() -> ArrayPrimitive:
     return prim
 
 
+# -- positional kernels -----------------------------------------------------
+
+def shift(n: int = 1, fill: float = 0.0) -> ArrayPrimitive:
+    """oph_shift: move elements n positions right (n<0 = left), vacated slots
+    take `fill`. Pure index remap, shuffle-free."""
+
+    def prim(arr: Column) -> Column:
+        size = F.size(arr)
+        return F.transform(
+            arr,
+            # element_at is 1-based: target index for output slot i (0-based)
+            lambda x, i: F.when(
+                ((i - n) >= 0) & ((i - n) < size),
+                _dbl(F.element_at(arr, i - F.lit(n) + 1)),
+            ).otherwise(F.lit(float(fill))),
+        )
+
+    return prim
+
+
+def reverse_array() -> ArrayPrimitive:
+    """oph_reverse: flip the implicit dimension."""
+    return lambda arr: F.reverse(arr)
+
+
+def rotate(n: int = 1) -> ArrayPrimitive:
+    """oph_rotate: circular shift by n (wraps around)."""
+
+    def prim(arr: Column) -> Column:
+        size = F.size(arr)
+        return F.transform(
+            arr,
+            lambda x, i: _dbl(F.element_at(arr, ((i - F.lit(n)) % size + size) % size + 1)),
+        )
+
+    return prim
+
+
+# -- value transforms --------------------------------------------------------
+
+def clip(lo: float, hi: float) -> ArrayPrimitive:
+    """oph_clip: clamp values into [lo, hi]."""
+    return lambda arr: F.transform(
+        arr, lambda x: F.least(F.greatest(_dbl(x), F.lit(float(lo))), F.lit(float(hi)))
+    )
+
+
+def quantize(step: float) -> ArrayPrimitive:
+    """oph_quantize: snap values to multiples of `step` (floor binning)."""
+    return lambda arr: F.transform(
+        arr, lambda x: F.floor(_dbl(x) / F.lit(float(step))) * F.lit(float(step))
+    )
+
+
+def zscore() -> ArrayPrimitive:
+    """Standardize each row's array: (x - mean) / std_pop; constant arrays
+    (std 0) map to 0. Two passes over the array, one expression tree — the
+    mean/variance fold runs once per row via a named struct accumulator."""
+
+    def prim(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + _dbl(x))
+        s2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + _dbl(x) * _dbl(x))
+        mean = s / n
+        std = F.sqrt(s2 / n - mean * mean)
+        return F.transform(
+            arr,
+            lambda x: F.when(std > 0, (_dbl(x) - mean) / std).otherwise(F.lit(0.0)),
+        )
+
+    return prim
+
+
+# -- NaN / missing-value handling (oph_count_array missing values,
+#    oph_replace-style) -------------------------------------------------------
+
+def replace_nan(value: float = 0.0) -> ArrayPrimitive:
+    """Replace NaN/null elements with a constant."""
+    return lambda arr: F.transform(
+        arr,
+        lambda x: F.when(x.isNull() | F.isnan(_dbl(x)), F.lit(float(value))).otherwise(_dbl(x)),
+    )
+
+
+def count_nan(arr: Column) -> Column:
+    """Number of NaN/null elements per row (scalar output, not an array)."""
+    return F.size(F.filter(arr, lambda x: x.isNull() | F.isnan(x.cast("double"))))
+
+
+def percentile(p: float) -> Callable[[Column], Column]:
+    """Per-row percentile of the array (linear interpolation between closest
+    ranks, the numpy default) — scalar output. Sorts each row's array
+    (O(m log m) per row, shuffle-free)."""
+
+    def prim(arr: Column) -> Column:
+        s = F.array_sort(F.transform(arr, _dbl))
+        m = F.size(s)
+        # rank position h in [0, m-1]; h = (m-1) * p
+        h = (m.cast("double") - 1) * F.lit(float(p))
+        lo = F.floor(h).cast("int")
+        hi = F.ceil(h).cast("int")
+        vlo = F.element_at(s, lo + 1)
+        vhi = F.element_at(s, hi + 1)
+        return vlo + (vhi - vlo) * (h - lo.cast("double"))
+
+    return prim
+
+
 # -- numpy-backed kernels (Pandas UDF — the sanctioned slow path) -----------
 
 def fft_magnitude() -> ArrayPrimitive:
@@ -152,4 +260,12 @@ PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
     "oph_accumulate": cumsum,
     "oph_deriv": delta,
     "oph_gsl_fft": fft_magnitude,
+    "oph_shift": shift,
+    "oph_reverse": reverse_array,
+    "oph_rotate": rotate,
+    "oph_clip": clip,
+    "oph_quantize": quantize,
+    "oph_zscore": zscore,
+    "oph_replace_nan": replace_nan,
+    "oph_percentile": percentile,
 }

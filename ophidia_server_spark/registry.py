@@ -1371,3 +1371,73 @@ def io_explore_stats(spark, sf_dir):
 
     li = _t(spark, sf_dir)["lineitem"]
     return io.explore_stats(li, "l_quantity", order_cols=["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# oph_apply primitive pack, round-1 additions (shift/zscore/percentile/clip)
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_apply_shift",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(COALESCE(lag(CAST(qty AS DOUBLE)) OVER (
+         PARTITION BY l_returnflag, l_linestatus ORDER BY month), 0.0), 4) AS shifted
+FROM base""",
+)
+def cube_apply_shift(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.shift(1, 0.0), "shifted")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("shifted"), 4).alias("shifted"),
+    )
+
+
+@q(
+    "cube_apply_zscore",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(CASE WHEN stddev_pop(CAST(qty AS DOUBLE)) OVER w > 0
+             THEN (CAST(qty AS DOUBLE) - avg(CAST(qty AS DOUBLE)) OVER w)
+                  / stddev_pop(CAST(qty AS DOUBLE)) OVER w
+             ELSE 0.0 END, 4) AS z
+FROM base
+WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)""",
+)
+def cube_apply_zscore(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.zscore(), "z")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("z"), 4).alias("z"),
+    )
+
+
+@q(
+    "cube_apply_clip",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(least(greatest(CAST(qty AS DOUBLE), 1000.0), 5000.0), 4) AS clipped
+FROM base""",
+)
+def cube_apply_clip(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.clip(1000.0, 5000.0), "clipped")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("clipped"), 4).alias("clipped"),
+    )
+
+
+@q(
+    "cube_apply_percentile",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus,
+       ROUND(quantile_cont(CAST(qty AS DOUBLE), 0.5), 4) AS p50
+FROM base GROUP BY l_returnflag, l_linestatus""",
+)
+def cube_apply_percentile(spark, sf_dir):
+    c = cube_qty(spark, sf_dir)
+    out = c.df.select(
+        *c.explicit_dims,
+        F.round(prim.percentile(0.5)(F.col(MEASURE_COL)), 4).alias("p50"),
+    )
+    return out

@@ -89,3 +89,55 @@ def test_permute_reorders(small):
     pm = C.oph_permute(ru, ["t", "g"])
     first = pm.df.collect()[0]["__dim"][0]
     assert first["t"] == 1 and first["g"] == "a"
+
+
+# -- round-1 primitive pack additions ----------------------------------------
+
+def _apply_first_row(small, p, measure="out"):
+    ap = C.oph_apply(small, p, measure)
+    rows = {r.g: [float(x) for x in r[ap.df.columns[-1]]] for r in ap.df.collect()}
+    return rows
+
+
+def test_prim_shift_and_rotate(small):
+    rows = _apply_first_row(small, prim.shift(1, 0.0))
+    assert rows["a"] == [0.0, 1.0, 2.0]
+    rows = _apply_first_row(small, prim.shift(-1, -9.0))
+    assert rows["a"] == [2.0, 3.0, -9.0]
+    rows = _apply_first_row(small, prim.rotate(1))
+    assert rows["a"] == [3.0, 1.0, 2.0]
+
+
+def test_prim_reverse_clip_quantize(small):
+    assert _apply_first_row(small, prim.reverse_array())["a"] == [3.0, 2.0, 1.0]
+    assert _apply_first_row(small, prim.clip(1.5, 2.5))["a"] == [1.5, 2.0, 2.5]
+    assert _apply_first_row(small, prim.quantize(2.0))["a"] == [0.0, 2.0, 2.0]
+
+
+def test_prim_zscore(small):
+    z = _apply_first_row(small, prim.zscore())["a"]
+    # mean 2, std_pop sqrt(2/3)
+    import math
+
+    s = math.sqrt(2.0 / 3.0)
+    assert all(abs(got - want) < 1e-9 for got, want in zip(z, [-1 / s, 0.0, 1 / s]))
+
+
+def test_prim_nan_handling(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, float("nan"), 3.0])], "g string, arr array<double>"
+    )
+    out = df.select(
+        prim.count_nan(F.col("arr")).alias("n"),
+    ).first()
+    assert out.n == 1
+    rep = df.select(prim.replace_nan(0.0)(F.col("arr")).alias("r")).first().r
+    assert [float(x) for x in rep] == [1.0, 0.0, 3.0]
+
+
+def test_prim_percentile(spark):
+    df = spark.createDataFrame([("a", [1.0, 2.0, 3.0, 4.0])], "g string, arr array<double>")
+    p = df.select(prim.percentile(0.5)(F.col("arr")).alias("p")).first().p
+    assert abs(p - 2.5) < 1e-9
+    p25 = df.select(prim.percentile(0.25)(F.col("arr")).alias("p")).first().p
+    assert abs(p25 - 1.75) < 1e-9
