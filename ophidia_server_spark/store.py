@@ -60,15 +60,67 @@ class CubeStore:
         self.folders.add(full)
         return full
 
-    def folder(self, action: str, path: str) -> None:
-        """oph_folder (oph_json_objkeys.h:124): mkdir/rm on the virtual tree."""
+    def folder(self, action: str, path: str, to: str | None = None) -> None:
+        """oph_folder (oph_json_objkeys.h:124): mkdir/mv/rm on the virtual
+        tree. mv re-prefixes the folder and every cube path under it."""
         full = self._scoped(path)
         if action == "mkdir":
             self.folders.add(full)
         elif action == "rm":
             self.folders.discard(full)
+        elif action == "mv":
+            if to is None:
+                raise ValueError("folder mv requires a destination")
+            dest = self._scoped(to)
+            moved = {f for f in self.folders if f == full or f.startswith(full + "/")}
+            self.folders -= moved
+            self.folders |= {dest + f[len(full):] for f in moved}
+            for e in self.entries.values():
+                if e.path == full or e.path.startswith(full + "/"):
+                    e.path = dest + e.path[len(full):]
         else:
             raise ValueError(f"unsupported folder action {action!r}")
+
+    def movecontainer(self, container: str, to_path: str) -> None:
+        """oph_movecontainer (oph_json_objkeys.h:127): re-home every cube of a
+        container to another folder."""
+        dest = self._scoped(to_path)
+        found = False
+        for e in self.entries.values():
+            if e.container == container:
+                e.path = dest
+                found = True
+        if not found:
+            raise KeyError(f"container {container!r} not found")
+        self.folders.add(dest)
+
+    def restorecontainer(self, container: str) -> int:
+        """oph_restorecontainer (oph_json_objkeys.h:126): bring back a
+        soft-deleted (trashed) container's cubes. Returns restored count."""
+        n = 0
+        for e in self.entries.values():
+            if e.container == container and e.path.startswith(self._trash_prefix()):
+                e.path = e.path[len(self._trash_prefix()):] or "/"
+                if not e.path.startswith(self.session_prefix):
+                    e.path = self.session_prefix + e.path
+                n += 1
+        if n == 0:
+            raise KeyError(f"container {container!r} has no trashed cubes")
+        return n
+
+    def trashcontainer(self, container: str) -> int:
+        """Soft delete: move a container's cubes under the session trash
+        prefix (the reference's deletecontainer keeps a restorable copy the
+        restorecontainer operator recovers)."""
+        n = 0
+        for e in self.entries.values():
+            if e.container == container and not e.path.startswith(self._trash_prefix()):
+                e.path = self._trash_prefix() + e.path
+                n += 1
+        return n
+
+    def _trash_prefix(self) -> str:
+        return self.session_prefix + "/.trash"
 
     def _scoped(self, path: str) -> str:
         if not path.startswith("/"):

@@ -203,3 +203,33 @@ def test_showgrid_and_inspectfrag(spark, tables):
     total = c.df.count()
     frags = [C.oph_inspectfrag(c, i, 3).count() for i in range(3)]
     assert sum(frags) == total and all(f > 0 for f in frags)
+
+
+def test_folder_mv_and_container_moves(store):
+    store, _pid = store
+    store.folder("mkdir", "/expA")
+    store.folder("mkdir", "/expA/sub")
+    store.folder("mv", "/expA", to="/expB")
+    assert any(f.endswith("/expB/sub") for f in store.folders)
+    assert not any("/expA" in f for f in store.folders)
+
+
+def test_trash_restore_container(store):
+    store, pid = store
+    cont = store.entries[pid].container
+    orig_path = store.entries[pid].path
+    n = store.trashcontainer(cont)
+    assert n >= 1 and "/.trash" in store.entries[pid].path
+    got = store.restorecontainer(cont)
+    assert got == n and store.entries[pid].path == orig_path
+    with pytest.raises(KeyError):
+        store.restorecontainer(cont)  # nothing trashed now
+
+
+def test_movecontainer(store):
+    store, pid = store
+    cont = store.entries[pid].container
+    store.movecontainer(cont, "/elsewhere")
+    assert store.entries[pid].path.endswith("/elsewhere")
+    with pytest.raises(KeyError):
+        store.movecontainer("nope", "/x")
