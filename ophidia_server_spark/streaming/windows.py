@@ -159,3 +159,28 @@ def stream_running_user_totals(
     )
     q.awaitTermination(120)
     return spark.table(queryName)
+
+
+def stream_dedup_exact(
+    spark: SparkSession, parquet_path: str, schema, key_cols: list[str],
+    watermark_col: str = "ts", delay: str = "1 hour", queryName: str = "dedup_sink",
+) -> DataFrame:
+    """Streaming exact dedup on arrival (the ingest-side twin of
+    pipeline.dedup.dedup_exact): dropDuplicates over key columns with a
+    watermark bounding the dedup state store — at scale state holds only keys
+    newer than (max event time - delay), so memory is O(arrival rate x delay)
+    instead of O(corpus).
+    """
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    deduped = stream.withWatermark(watermark_col, delay).dropDuplicates(
+        key_cols + [watermark_col]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(queryName)

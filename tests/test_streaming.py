@@ -61,3 +61,15 @@ def test_session_window_streaming_shape(spark, events, tmp_path):
     assert {c for c in spark.table("sess_sink").columns} == {
         "session_window", "user_id", "n_events",
     }
+
+
+def test_stream_dedup_equals_batch_distinct(spark, events, tmp_path):
+    src = str(tmp_path / "events_dup")
+    # duplicate the stream: union with itself -> every row twice
+    events.unionByName(events).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    got = win.stream_dedup_exact(
+        spark, src, schema, key_cols=["user_id", "event_type", "value"], queryName="d_sink"
+    )
+    want = events.dropDuplicates(["user_id", "event_type", "value", "ts"])
+    assert got.count() == want.count() > 0
