@@ -96,6 +96,7 @@ def oph_subset(
     cube: Cube,
     subset_dims: dict[str, str],
     subset_type: str = "index",
+    offset: int = 0,
 ) -> Cube:
     """Slice the cube (oph_subset/oph_subset2, oph_json_objkeys.h:94-95).
 
@@ -110,7 +111,11 @@ def oph_subset(
     coordinate ranges. subset_type="time": clauses are `start_end` date ranges
     with partial-date expansion (time_filter=yes semantics).
     """
-    pred_fn = time_predicate if subset_type == "time" else subset_predicate
+    def pred_fn(col, ss):
+        if subset_type == "time":
+            return time_predicate(col, ss)
+        return subset_predicate(col, ss, offset=offset)
+
     df = cube.df
     for dim, ss in subset_dims.items():
         if dim in cube.explicit_dims:
@@ -124,7 +129,7 @@ def oph_subset(
                 n = F.size(F.col(DIM_COL))
                 idx = F.sequence(F.lit(1), n)
                 z3 = F.arrays_zip(idx.alias("i"), F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
-                kept = F.filter(z3, lambda s: subset_predicate(s["i"], ss))
+                kept = F.filter(z3, lambda s: subset_predicate(s["i"], ss, offset=offset))
             else:
                 kept = F.filter(zipped, lambda s: pred_fn(s["d"], ss))
             df = (

@@ -1441,3 +1441,79 @@ def cube_apply_percentile(spark, sf_dir):
         F.round(prim.percentile(0.5)(F.col(MEASURE_COL)), 4).alias("p50"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: subset offset widening + semi-join relational paths
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_subset_offset",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month, CAST(qty AS DOUBLE) AS qty
+FROM base WHERE month >= 4 AND month <= 7""",
+)
+def cube_subset_offset(spark, sf_dir):
+    # subset 5:6 widened by offset=1 -> coord range [4, 7]
+    c = C.oph_subset(cube_qty(spark, sf_dir), {"month": "5:6"}, "coord", offset=1)
+    return _long_qty(c)
+
+
+@q(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark, sf_dir):
+    # TPC-H Q4 shape on the synthetic schema: EXISTS -> left-semi join
+    # (the fixture lineitem has no commit/receipt dates; returned lines 'R'
+    # play the "late line" role)
+    t = _t(spark, sf_dir)
+    flagged = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        # left-semi join: Catalyst builds the existence join, no duplication
+        .join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q12_shipmode",
+    """SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+)
+def tpch_q12(spark, sf_dir):
+    # TPC-H Q12 shape (conditional counts over a fact-fact join) keyed by ship
+    # month (the fixture has no l_shipmode)
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -83,29 +83,34 @@ def _parse_bound(tok: str, allow_end: bool) -> int | None:
     return int(tok)
 
 
-def subset_predicate(col: Column, subset: str, max_index: int | None = None) -> Column:
+def subset_predicate(
+    col: Column, subset: str, max_index: int | None = None, offset: int = 0
+) -> Column:
     """Compile a subset string into a Column predicate over an integer index column.
 
     OR across clauses (multivalue OR-combine, oph_filters.c:61-76); each clause is
     range + stride arithmetic. Catalyst can push the range bounds to the scan.
+    `offset` widens every clause to [start-offset, end+offset] (the reference's
+    subset offset parameter; widened bounds ignore the stride).
     """
     clauses = [c.resolved(max_index) for c in parse_subset(subset)]
     pred = None
     for c in clauses:
-        p = (col >= F.lit(c.start)) & (col <= F.lit(c.end))
-        if c.stride != 1:
+        lo, hi = c.start - offset, c.end + offset
+        p = (col >= F.lit(lo)) & (col <= F.lit(hi))
+        if c.stride != 1 and not offset:
             p = p & (((col - F.lit(c.start)) % F.lit(c.stride)) == 0)
         pred = p if pred is None else (pred | p)
     return pred
 
 
-def subset_sql(colname: str, subset: str, max_index: int | None = None) -> str:
+def subset_sql(colname: str, subset: str, max_index: int | None = None, offset: int = 0) -> str:
     """ANSI-SQL rendering of the same predicate (for oracle parity checks)."""
     clauses = [c.resolved(max_index) for c in parse_subset(subset)]
     parts = []
     for c in clauses:
-        p = f"({colname} >= {c.start} AND {colname} <= {c.end}"
-        if c.stride != 1:
+        p = f"({colname} >= {c.start - offset} AND {colname} <= {c.end + offset}"
+        if c.stride != 1 and not offset:
             p += f" AND (({colname} - {c.start}) % {c.stride}) = 0"
         parts.append(p + ")")
     return "(" + " OR ".join(parts) + ")"

@@ -59,3 +59,14 @@ def test_empty_clause_rejected():
 def test_sql_rendering():
     s = subset_sql("id", "2:2:10,15")
     assert "id >= 2" in s and "% 2" in s and "id >= 15" in s
+
+
+def test_offset_widens_bounds():
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.subset import subset_predicate, subset_sql
+
+    assert subset_sql("x", "5:6", offset=1) == "((x >= 4 AND x <= 7))"
+    # offset disables stride arithmetic (widened window is contiguous)
+    assert "%" not in subset_sql("x", "2:2:8", offset=1)
+    assert subset_sql("x", "2:2:8") == "((x >= 2 AND x <= 8 AND ((x - 2) % 2) = 0))"
