@@ -40,6 +40,11 @@ HEADLINE = [
     "sim_topk_cosine",
     "multimodal_binary_meta",
     "workflow_q1",
+    # round-1 additions: semi-join, zscore primitive, IVF ANN, streaming window
+    "tpch_q4_order_priority",
+    "cube_apply_zscore",
+    "sim_ivf_topk",
+    "events_sliding_1h30m",
 ]
 
 
