@@ -528,4 +528,20 @@ class WorkflowEngine:
             for n in pending:
                 if n not in run.results:
                     run.results[n] = TaskResult(n, "OPH_ODB_STATUS_SKIPPED")
+        # exit-action GC (oph_workflow_define.h:72-79): tasks marked
+        # on_exit=oph_delete get their output cube deleted at workflow end
+        # via the registered oph_delete operator (errors are non-fatal, like
+        # the reference's best-effort final cleanup)
+        deleter = ops.get("oph_delete")
+        if deleter is not None:
+            for t in tasks:
+                if str(t.get("on_exit", "")).lower() != "oph_delete":
+                    continue
+                res = run.results.get(t["name"])
+                if res is None or res.status != "OPH_ODB_STATUS_COMPLETED" or res.value is None:
+                    continue
+                try:
+                    deleter(self, {"cube": res.value}, {})
+                except Exception:  # noqa: BLE001 - GC is best-effort
+                    pass
         return run

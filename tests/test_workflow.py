@@ -465,3 +465,25 @@ def test_extract_from_json_forms():
     assert extract_from_json({"a": {"b": 5}}, "a.b") == 5
     with pytest.raises(KeyError):
         extract_from_json(grid, "nope[0]")
+
+
+def test_on_exit_delete_gc():
+    deleted = []
+
+    def maker(engine, args, inputs):
+        return "pid-temp"
+
+    def deleter(engine, args, inputs):
+        deleted.append(args["cube"])
+
+    eng = WorkflowEngine({"maker": maker, "oph_delete": deleter})
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "tmp", "operator": "maker", "arguments": {}, "on_exit": "oph_delete"},
+                {"name": "keep", "operator": "maker", "arguments": {}},
+            ]
+        }
+    )
+    assert deleted == ["pid-temp"]
+    assert run.results["keep"].status == "OPH_ODB_STATUS_COMPLETED"
