@@ -164,6 +164,34 @@ class CubeStore:
             self.lineage.append((cid, task, self.entries[p].cube_id))
         return pid
 
+    def register_bucketed(self, cube: Cube, container: str, n_buckets: int = 16,
+                          path: str = "/", table_prefix: str = "cube_b") -> str:
+        """Materialize a cube bucketed by its explicit dims (saveAsTable +
+        bucketBy). Two cubes bucketed the same way join/aggregate on those
+        dims with NO exchange — the co-located join path for repeated
+        intercube/mergecubes pipelines at scale (bucket count picked per
+        deployment; 16 locally). Returns the PID; the entry's `storage` holds
+        the table name prefixed with 'table:'."""
+        cid = self._next_id
+        self._next_id += 1
+        pid = f"{self.base_url}/{container}/{cid}"
+        tbl = f"{table_prefix}_{cid}"
+        (
+            cube.df.write.mode("overwrite")
+            .bucketBy(n_buckets, *cube.explicit_dims)
+            .sortBy(*cube.explicit_dims)
+            .option("path", os.path.join(self.workspace, tbl))
+            .saveAsTable(tbl)
+        )
+        self.entries[pid] = CubeEntry(
+            pid=pid, cube_id=cid, container=container,
+            path=self._scoped(path).rstrip("/") + "/" + container,
+            level=cube.level, measure=cube.measure,
+            explicit_dims=cube.explicit_dims, implicit_dims=cube.implicit_dims,
+            storage=f"table:{tbl}", cube=None,
+        )
+        return pid
+
     def importcsv(
         self, csv_path: str, explicit_dims: list[str], implicit_dim: str,
         value: str, container: str, schema: str | None = None, **read_opts,
@@ -185,7 +213,10 @@ class CubeStore:
         e = self.entries[pid]
         if e.cube is not None:
             return e.cube
-        df = self.spark.read.parquet(e.storage)
+        if e.storage and e.storage.startswith("table:"):
+            df = self.spark.table(e.storage[len("table:"):])  # bucketed table
+        else:
+            df = self.spark.read.parquet(e.storage)
         return Cube(
             df=df,
             explicit_dims=e.explicit_dims,

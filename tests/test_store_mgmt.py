@@ -233,3 +233,37 @@ def test_movecontainer(store):
     assert store.entries[pid].path.endswith("/elsewhere")
     with pytest.raises(KeyError):
         store.movecontainer("nope", "/x")
+
+
+def test_bucketed_join_no_exchange(store, spark, tables):
+    # two cubes bucketed on the same explicit dims must intercube-join with
+    # no shuffle (the Exchange-free co-located path)
+    from ophidia_server_spark.operators.cube_ops import oph_intercube
+
+    store, _pid = store
+    li = tables["lineitem"].withColumn("month", F.month("l_shipdate"))
+    qty = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    price = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_extendedprice").cast("decimal(18,2)"), measure="price",
+    )
+    p1 = store.register_bucketed(qty, "cb", n_buckets=4)
+    p2 = store.register_bucketed(price, "cb", n_buckets=4)
+    a, b = store.get(p1), store.get(p2)
+    # tiny fixtures would broadcast (also exchange-free but not the path under
+    # test); force the sort-merge planner to show the bucketed co-location
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = oph_intercube(a, b, "div", measure="ratio")
+        assert out.df.count() > 0
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS cube_b_%d" % store.entries[p1].cube_id)
+    spark.sql("DROP TABLE IF EXISTS cube_b_%d" % store.entries[p2].cube_id)
