@@ -96,3 +96,26 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, payload_col: str = "pay
         "doc_id",
         F.posexplode(offsets).alias("frame_no", "byte_offset"),
     )
+
+
+def audio_chunk(
+    df: DataFrame, window_bytes: int = 128, hop_bytes: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB audio chunking: overlapping windows (hop < window, the STFT frame
+    shape) over each payload, emitting (chunk_no, start, length) with the tail
+    window truncated at the payload end. Real impl: per-chunk PCM decode +
+    feature UDF; the fan-out, bounded-output-per-row plumbing is the tested
+    part.
+    """
+    n = F.octet_length(F.col(payload_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(hop_bytes))
+    out = df.select(
+        "doc_id", n.alias("__n"), F.posexplode(starts).alias("chunk_no", "start_byte")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_no",
+        "start_byte",
+        F.least(F.lit(window_bytes), F.col("__n") - F.col("start_byte")).alias("chunk_len"),
+    )

@@ -1517,3 +1517,21 @@ def tpch_q12(spark, sf_dir):
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@q(
+    "multimodal_audio_chunk",
+    """SELECT doc_id, CAST(c AS BIGINT) AS chunk_no, CAST(c * 64 AS BIGINT) AS start_byte,
+       CAST(least(128, n - c * 64) AS BIGINT) AS chunk_len
+FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+             unnest(range(0, CAST(ceil(greatest(octet_length(encode(text)), 1) / 64.0) AS BIGINT))) AS c
+      FROM documents)""",
+)
+def multimodal_audio_chunk(spark, sf_dir):
+    blobs = mm.to_binary_table(_t(spark, sf_dir)["documents"])
+    return mm.audio_chunk(blobs, 128, 64).select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start_byte").cast("long").alias("start_byte"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
