@@ -1535,3 +1535,28 @@ def multimodal_audio_chunk(spark, sf_dir):
         F.col("start_byte").cast("long").alias("start_byte"),
         F.col("chunk_len").cast("long").alias("chunk_len"),
     )
+
+
+@q(
+    "events_stream_tumbling",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def events_stream_tumbling(spark, sf_dir):
+    # the REAL Structured Streaming path (readStream -> watermark -> window ->
+    # memory sink, Trigger.AvailableNow), checked against the same batch
+    # oracle as events_tumbling_1h: streaming and batch must agree exactly
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir)["events"]
+    src = os.path.join(
+        tempfile.gettempdir(), f"ophspark_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return win.run_streaming_over_files(
+        spark, src, schema, "1 hour", queryName="gate_stream_tumbling"
+    )
