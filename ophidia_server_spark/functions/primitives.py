@@ -227,7 +227,8 @@ def percentile(p: float) -> Callable[[Column], Column]:
         hi = F.ceil(h).cast("int")
         vlo = F.element_at(s, lo + 1)
         vhi = F.element_at(s, hi + 1)
-        return vlo + (vhi - vlo) * (h - lo.cast("double"))
+        # empty arrays: element_at(_, 0) is an ANSI error — return null instead
+        return F.when(m > 0, vlo + (vhi - vlo) * (h - lo.cast("double")))
 
     return prim
 

@@ -141,3 +141,22 @@ def test_prim_percentile(spark):
     assert abs(p - 2.5) < 1e-9
     p25 = df.select(prim.percentile(0.25)(F.col("arr")).alias("p")).first().p
     assert abs(p25 - 1.75) < 1e-9
+
+
+def test_prim_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("e", []), ("one", [7.0])], "g string, arr array<double>"
+    )
+    # percentile: null on empty, identity on singleton
+    rows = {r.g: r.p for r in df.select("g", prim.percentile(0.5)(F.col("arr")).alias("p")).collect()}
+    assert rows["e"] is None and rows["one"] == 7.0
+    # shift beyond length -> all fill
+    rows = {r.g: r.s for r in df.select("g", prim.shift(5, -1.0)(F.col("arr")).alias("s")).collect()}
+    assert rows["e"] == [] and rows["one"] == [-1.0]
+    # rotate by more than length wraps
+    df2 = spark.createDataFrame([("x", [1.0, 2.0, 3.0])], "g string, arr array<double>")
+    got = df2.select(prim.rotate(4)(F.col("arr")).alias("r")).first().r
+    assert [float(v) for v in got] == [3.0, 1.0, 2.0]
+    # zscore of empty stays empty
+    z = df.filter(F.col("g") == "e").select(prim.zscore()(F.col("arr")).alias("z")).first().z
+    assert z == []
