@@ -278,3 +278,22 @@ def explore_stats(df: DataFrame, value_col: str, order_cols: list[str] | None = 
         F.round(F.regr_slope(v, F.col("__x")), 6).alias("fit_slope"),
         F.round(F.regr_intercept(v, F.col("__x")), 6).alias("fit_intercept"),
     )
+
+
+def oph_exportjson(cube: Cube, path: str) -> None:
+    """Cube -> JSON lines (newline-delimited; splittable, the cluster-standard
+    JSON layout)."""
+    cube.df.write.mode("overwrite").json(path)
+
+
+def oph_importjson(
+    spark: SparkSession, path: str, explicit_dims: list[str], implicit_dim: str,
+    value: str, schema: str | None = None,
+) -> Cube:
+    """JSON lines -> cube. Explicit schema recommended at scale (schema
+    inference is a full extra pass over the data)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return build_cube(df, explicit_dims, implicit_dim, F.col(value), measure=value)

@@ -1560,3 +1560,28 @@ def events_stream_tumbling(spark, sf_dir):
     return win.run_streaming_over_files(
         spark, src, schema, "1 hour", queryName="gate_stream_tumbling"
     )
+
+
+@q(
+    "io_json_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1""",
+)
+def io_json_roundtrip(spark, sf_dir):
+    """oph_exportjson -> oph_importjson roundtrip over the orders table."""
+    from ophidia_server_spark.operators import io_ops
+
+    t = _t(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_json_{tag}"
+    t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+    )
