@@ -115,3 +115,23 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: alphabetic runs, digit runs, and individual
+    punctuation marks each count as one token (the pre-tokenization split most
+    BPE vocabularies start from). Engine-portable regex (no lookarounds), one
+    map stage."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        # tokens-per-whitespace-word ratio: fragmentation signal used by
+        # quality filters (high ratio = digit/punct heavy text)
+        F.round(
+            F.size(toks) / F.greatest(F.size(tokens(F.col(text_col))), F.lit(1)), 4
+        ).alias("fragmentation"),
+    )

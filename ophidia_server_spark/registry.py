@@ -1585,3 +1585,17 @@ def io_json_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
     )
+
+
+@q(
+    "text_token_bpe",
+    r"""SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       ROUND(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             / greatest(length(regexp_split_to_array(trim(text), '\s+')), 1), 4)
+         AS fragmentation
+FROM documents""",
+)
+def text_token_bpe(spark, sf_dir):
+    return tx.token_count_bpe(_t(spark, sf_dir)["documents"])
