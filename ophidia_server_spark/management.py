@@ -243,6 +243,43 @@ class ManagementService:
         ]
         return rows[::-1][:limit]
 
+    def persist_ledger(self, path: str) -> None:
+        """Write the run ledger as a parquet table (the reference's
+        job/jobaccounting MySQL tables; Delta on clusters with it — parquet
+        here). Requests/responses are stored as JSON strings like the
+        reference's sessions/<code>/json/ files (oph_gather.h:151-166)."""
+        import json
+
+        rows = [
+            (
+                r.workflow_id, r.marker, r.session_id, r.status,
+                json.dumps(r.request), json.dumps(r.response, default=str),
+            )
+            for r in self.ledger
+        ]
+        schema = (
+            "workflow_id int, marker int, session_id string, status string, "
+            "request string, response string"
+        )
+        self.spark.createDataFrame(rows or [], schema).write.mode("overwrite").parquet(path)
+
+    def load_ledger(self, path: str) -> int:
+        """Re-hydrate the ledger from a persisted parquet table (resume across
+        engine restarts). Returns the number of records loaded."""
+        import json
+
+        self.ledger = []
+        for r in self.spark.read.parquet(path).orderBy("workflow_id").collect():
+            rec = RunRecord(
+                workflow_id=r.workflow_id, marker=r.marker, session_id=r.session_id,
+                request=json.loads(r.request), status=r.status,
+            )
+            rec.response = json.loads(r.response) if r.response != "null" else None
+            self.ledger.append(rec)
+        if self.ledger:
+            self._next_wid = max(r.workflow_id for r in self.ledger) + 1
+        return len(self.ledger)
+
     # -- oph_log_info ---------------------------------------------------------
     def log_info(self, log_path: str, nlines: int = 10) -> list[str]:
         if not os.path.exists(log_path):

@@ -391,18 +391,29 @@ class WorkflowEngine:
     ) -> TaskResult:
         """Massive expansion -> light tasks (oph_workflow_engine.c:1010-1056);
         responses aggregate like oph_workflow_load_aggregate_response
-        (:454-507)."""
+        (:454-507). ncores>1 runs light tasks concurrently (the reference's
+        ncores inheritance policy, oph_workflow_engine.c:1019 — Spark
+        schedules the concurrent jobs' stages fairly)."""
         name = t["name"]
         if str(args.get("run", "yes")).lower() == "no":
             return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", {"expansion": items})
-        values = []
-        for item in items:
+        ncores = int(t.get("ncores", 1) or 1)
+
+        def one(item):
             largs = {**args, "cube": item}
             largs.pop("run", None)
-            try:
-                values.append(fn(self, largs, inputs))
-            except Exception as e:  # noqa: BLE001
-                return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=f"{type(e).__name__}: {e}")
+            return fn(self, largs, inputs)
+
+        try:
+            if ncores > 1 and len(items) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=ncores) as pool:
+                    values = list(pool.map(one, items))
+            else:
+                values = [one(item) for item in items]
+        except Exception as e:  # noqa: BLE001
+            return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=f"{type(e).__name__}: {e}")
         return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", values)
 
     # -- main entry ------------------------------------------------------------

@@ -267,3 +267,51 @@ def test_bucketed_join_no_exchange(store, spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS cube_b_%d" % store.entries[p1].cube_id)
     spark.sql("DROP TABLE IF EXISTS cube_b_%d" % store.entries[p2].cube_id)
+
+
+def test_ledger_persist_roundtrip(spark, tmp_path):
+    m = ManagementService(spark)
+    r1 = m.record("sess-p", {"name": "wfA"})
+    r1.status = "OPH_ODB_STATUS_COMPLETED"
+    r1.response = {"tasks": [{"task": "t1", "status": "OPH_ODB_STATUS_COMPLETED"}]}
+    m.record("sess-p", {"name": "wfB"})
+    path = str(tmp_path / "ledger")
+    m.persist_ledger(path)
+    m2 = ManagementService(spark)
+    assert m2.load_ledger(path) == 2
+    assert m2.ledger[0].request == {"name": "wfA"}
+    assert m2.ledger[0].response["tasks"][0]["task"] == "t1"
+    assert m2.ledger[1].response is None
+    nxt = m2.record("sess-p", {"name": "wfC"})
+    assert nxt.workflow_id == 3  # ids continue after reload
+
+
+def test_massive_parallel_light_tasks():
+    import threading
+
+    from ophidia_server_spark.plans.workflow import WorkflowEngine
+
+    class FakeCatalog:
+        pass
+
+    seen = []
+
+    def op(engine, args, inputs):
+        import time as _t
+
+        _t.sleep(0.05)
+        seen.append((args["cube"], threading.get_ident()))
+        return args["cube"]
+
+    eng = WorkflowEngine({"op": op})
+    # bypass catalog: patch _massive_expand to a fixed item list
+    eng._massive_expand = lambda args: ["p1", "p2", "p3", "p4"] if "cube" in args else None
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "m", "operator": "op", "arguments": {"cube": "[x]"}, "ncores": 4}
+            ]
+        }
+    )
+    assert run.results["m"].value == ["p1", "p2", "p3", "p4"]  # order preserved
+    assert len({t for _, t in seen}) > 1  # ran on multiple threads
