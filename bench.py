@@ -52,8 +52,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
-    # warm-up: session + parquet footer reads
-    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+    # Warm-up: run every headline query once at the smallest SF so the JVM
+    # JIT-compiles each plan's generated code (whole-stage codegen classes are
+    # per-plan-shape). The timed pass then measures steady-state throughput —
+    # what a long-lived cluster executor delivers — instead of one-shot JIT
+    # cost, and run-to-run variance drops several-fold. Falls back to the
+    # target SF when sf0.001 is absent.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).collect()
+        except Exception:  # noqa: BLE001 - warm-up is best-effort
+            pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
