@@ -197,6 +197,37 @@ def zscore() -> ArrayPrimitive:
     return prim
 
 
+def haar_step() -> ArrayPrimitive:
+    """One Haar wavelet level (the oph_explorenc wavelet view,
+    oph_json_objkeys.h:85-91): output = [approximations | details] where
+    a_i = (x_2i + x_2i+1)/2 and d_i = (x_2i - x_2i+1)/2. Odd tails keep the
+    last sample as its own approximation. Pure index arithmetic, JVM-side."""
+
+    def prim(arr: Column) -> Column:
+        n = F.size(arr)
+        half = F.floor(n / 2).cast("int")
+        # sequence(1, 0) DESCENDS in Spark — guard short arrays below instead
+        pairs = F.sequence(F.lit(1), F.greatest(half, F.lit(1)))
+        a = F.transform(
+            pairs,
+            lambda i: (_dbl(F.element_at(arr, 2 * i - 1)) + _dbl(F.element_at(arr, 2 * i))) / 2,
+        )
+        d = F.transform(
+            pairs,
+            lambda i: (_dbl(F.element_at(arr, 2 * i - 1)) - _dbl(F.element_at(arr, 2 * i))) / 2,
+        )
+        tail = F.when(
+            n % 2 == 1, F.array(_dbl(F.element_at(arr, n)))
+        ).otherwise(F.array().cast("array<double>"))
+        # n < 2: nothing to pair — the array (cast to double) is its own
+        # approximation level
+        return F.when(half >= 1, F.concat(a, tail, d)).otherwise(
+            F.transform(arr, _dbl)
+        )
+
+    return prim
+
+
 # -- NaN / missing-value handling (oph_count_array missing values,
 #    oph_replace-style) -------------------------------------------------------
 
@@ -269,4 +300,5 @@ PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
     "oph_zscore": zscore,
     "oph_replace_nan": replace_nan,
     "oph_percentile": percentile,
+    "oph_wavelet": haar_step,
 }

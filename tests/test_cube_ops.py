@@ -160,3 +160,17 @@ def test_prim_edge_cases(spark):
     # zscore of empty stays empty
     z = df.filter(F.col("g") == "e").select(prim.zscore()(F.col("arr")).alias("z")).first().z
     assert z == []
+
+
+def test_prim_haar_wavelet(spark):
+    df = spark.createDataFrame(
+        [("ev", [1.0, 3.0, 2.0, 6.0]), ("odd", [4.0, 8.0, 5.0])],
+        "g string, arr array<double>",
+    )
+    rows = {r.g: [float(x) for x in r.w] for r in
+            df.select("g", prim.haar_step()(F.col("arr")).alias("w")).collect()}
+    assert rows["ev"] == [2.0, 4.0, -1.0, -2.0]       # [a0, a1, d0, d1]
+    assert rows["odd"] == [6.0, 5.0, -2.0]            # [a0, tail, d0]
+    # empty array stays empty
+    e = spark.createDataFrame([("e", [])], "g string, arr array<double>")
+    assert e.select(prim.haar_step()(F.col("arr")).alias("w")).first().w == []
