@@ -125,11 +125,20 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
         elif key == "container":
             add(_multival(F.col("container"), value, neg))
         elif key == "container_pid":
-            cid = int(str(value).rstrip("/").rsplit("/", 1)[-1])
+            # container PID = http://server/<idcontainer>; tolerate a full
+            # cube PID (<idcontainer>/<iddatacube>) by taking the container
+            # component (oph_filters.c:272-305 parses the id from the URL)
+            nums = [p for p in str(value).rstrip("/").split("/") if p.isdigit()]
+            cid = int(nums[-2]) if len(nums) >= 2 else int(nums[-1])
             p = F.col("container_id") == cid
             add(~p if neg else p)
         elif key == "cube_filter":
-            p = subset_predicate(F.col("cube_id"), value)
+            # multivalue: each |-separated item is its own subset string,
+            # OR-combined (AND of complements when negated, oph_filters.c:61-76)
+            p = None
+            for item in str(value).split("|"):
+                q = subset_predicate(F.col("cube_id"), item)
+                p = q if p is None else (p | q)
             add(~p if neg else p)
         elif key == "parent_cube":
             parent = pid_cube_id(value)

@@ -97,3 +97,88 @@ def test_dry_run_listing(cat):
     # run=no returns the expansion without executing: id list is the expansion
     got = ids(cat, "[cube_filter=2:4;run=no]")
     assert got == [2, 3, 4]
+
+
+# -- round-1 widening: more golden cases mirroring the reference's 46-case
+#    oph_filters suite (combinations, negations, depth, measure, edge cases) --
+
+
+def test_level_and_container_combined(cat, part_rows):
+    got = ids(cat, "[level=1;container=Brand#13]")
+    want = sorted(
+        k for k, r in part_rows.items() if r.p_size % 5 == 1 and r.p_brand == "Brand#13"
+    )
+    assert got == want
+
+
+def test_level_negation(cat, part_rows):
+    got = ids(cat, "[level!=1|2|3]")
+    want = sorted(k for k, r in part_rows.items() if r.p_size % 5 not in (1, 2, 3))
+    assert got == want
+
+
+def test_measure_filter_and_negation(cat, part_rows):
+    # measure = lower(p_type) in the derived catalog
+    pos = ids(cat, "[measure=economy]")
+    assert pos == sorted(k for k, r in part_rows.items() if r.p_type.lower() == "economy")
+    neg = ids(cat, "[measure!=economy]")
+    assert neg == sorted(k for k, r in part_rows.items() if r.p_type.lower() != "economy")
+
+
+def test_two_groups_or_combine(cat, part_rows):
+    a = set(ids(cat, "[container=Brand#13]"))
+    b = set(ids(cat, "[container=Brand#14]"))
+    both = ids(cat, "[container=Brand#13][container=Brand#14]")
+    assert set(both) == a | b
+
+
+def test_cube_filter_multivalue_or(cat, part_rows):
+    got = ids(cat, "[cube_filter=1:3|10:12]")
+    want = sorted(k for k in part_rows if 1 <= k <= 3 or 10 <= k <= 12)
+    assert got == want
+
+
+def test_cube_filter_single_id(cat, part_rows):
+    some = min(part_rows)
+    assert ids(cat, f"[cube_filter={some}]") == [some]
+
+
+def test_path_depth_limit(cat, part_rows):
+    # depth bounds the recursion: depth=1 from / only reaches /sess1/<type>,
+    # not the container level where cubes live
+    shallow = ids(cat, "[path=/;recursive=yes;depth=1]")
+    deep = ids(cat, "[path=/;recursive=yes]")
+    assert shallow == []
+    assert deep == sorted(part_rows)
+
+
+def test_metadata_key_only(cat, part_rows):
+    got = ids(cat, "[metadata_key=brand]")
+    assert got == sorted(part_rows)  # all cubes carry the brand key
+    none = ids(cat, "[metadata_key=nonexistent_key]")
+    assert none == []
+
+
+def test_metadata_multi_key_and(cat, part_rows):
+    got = ids(cat, "[metadata_key=brand|type]")
+    assert got == sorted(part_rows)  # AND across keys; all cubes have both
+    got2 = ids(cat, "[metadata_key=brand|nonexistent]")
+    assert got2 == []
+
+
+def test_container_pid_filter(cat, part_rows):
+    # container_pid=URL selects by container id (p_partkey % 40) from the URL
+    got = ids(cat, "[container_pid=http://s/5]")
+    want = sorted(k for k in part_rows if k % 40 == 5)
+    assert got == want
+    # a full cube PID still resolves to its container component
+    assert ids(cat, "[container_pid=http://s/5/0]") == want
+
+
+def test_empty_selection_is_empty_not_error(cat):
+    assert ids(cat, "[container=NoSuchContainer]") == []
+
+
+def test_empty_clauses_tolerated():
+    groups, pids = parse_massive("[;]")
+    assert groups in ([], [{}]) and pids == []
