@@ -503,3 +503,57 @@ def oph_inspectfrag(cube: Cube, frag_id: int = 0, nfrag: int = 4) -> DataFrame:
     w = Window.orderBy(*[F.col(d) for d in cube.explicit_dims])
     tagged = cube.df.withColumn("__frag", (F.row_number().over(w) - 1) % nfrag)
     return tagged.filter(F.col("__frag") == frag_id).drop("__frag")
+
+
+def oph_mergecubes_n(cubes: list[Cube], source_dim: str = "src") -> Cube:
+    """n-ary oph_mergecubes (the reference's `cubes` argument takes a list,
+    oph_workflow_structs.h:29-35): one multi-way equi-join on the shared
+    explicit dims, arrays concatenated in argument order with the source index
+    tagged into the implicit coordinate. A single shuffle per input (all joins
+    on the same key are planned into one exchange per side by Catalyst) — no
+    pairwise re-merging of already-merged arrays."""
+    if len(cubes) < 2:
+        raise ValueError("mergecubes needs at least 2 cubes")
+    dims = cubes[0].explicit_dims
+    for c in cubes[1:]:
+        if c.explicit_dims != dims:
+            raise ValueError("mergecubes requires identical explicit dims")
+        if len(c.implicit_dims) != 1:
+            raise NotImplementedError("mergecubes on composite implicit dims")
+    inner = cubes[0].implicit_dims[0]
+
+    j = cubes[0].df.select(
+        *dims, F.col(DIM_COL).alias("__d0"), F.col(MEASURE_COL).alias("__v0")
+    )
+    for i, c in enumerate(cubes[1:], 1):
+        j = j.join(
+            c.df.select(
+                *dims, F.col(DIM_COL).alias(f"__d{i}"), F.col(MEASURE_COL).alias(f"__v{i}")
+            ),
+            on=list(dims),
+            how="inner",
+        )
+
+    def tag(i: int) -> Column:
+        return F.transform(
+            F.col(f"__d{i}"),
+            lambda d: F.struct(F.lit(i).alias(source_dim), d.alias(inner)),
+        )
+
+    out = j.select(
+        *dims,
+        F.concat(*[tag(i) for i in range(len(cubes))]).alias(DIM_COL),
+        F.concat(
+            *[
+                F.transform(f"__v{i}", lambda x: x.cast("double"))
+                for i in range(len(cubes))
+            ]
+        ).alias(MEASURE_COL),
+    )
+    return Cube(
+        df=out,
+        explicit_dims=dims,
+        implicit_dims=(source_dim, inner),
+        measure=cubes[0].measure,
+        level=max(c.level for c in cubes) + 1,
+    )

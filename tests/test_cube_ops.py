@@ -174,3 +174,16 @@ def test_prim_haar_wavelet(spark):
     # empty array stays empty
     e = spark.createDataFrame([("e", [])], "g string, arr array<double>")
     assert e.select(prim.haar_step()(F.col("arr")).alias("w")).first().w == []
+
+
+def test_mergecubes_n_ary(small):
+    m = C.oph_mergecubes_n([small, small, small])
+    rows = {r.g: r for r in m.df.collect()}
+    a = rows["a"]
+    assert [float(x) for x in a[m.df.columns[-1]]] == [1.0, 2.0, 3.0] * 3
+    srcs = [d["src"] for d in a["__dim"]]
+    assert srcs == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # binary helper and n-ary agree
+    b2 = C.oph_mergecubes(small, small)
+    n2 = C.oph_mergecubes_n([small, small])
+    assert b2.df.collect() == n2.df.collect()
