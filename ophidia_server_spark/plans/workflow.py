@@ -476,7 +476,10 @@ class WorkflowEngine:
                 ):
                     record(TaskResult(name, "OPH_ODB_STATUS_SKIPPED"))
                     continue
-                args = {k: substitute(v, run.variables) for k, v in t.get("arguments", {}).items()}
+                # task-level variables shadow workflow variables during this
+                # task's substitution (oph_workflow_utils.c:183-186 scoping)
+                scope = {**run.variables, **t.get("variables", {})}
+                args = {k: substitute(v, scope) for k, v in t.get("arguments", {}).items()}
                 if op in ("oph_set", "oph_input"):
                     # oph_input = oph_set + wake a waiting task
                     # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)

@@ -487,3 +487,23 @@ def test_on_exit_delete_gc():
     )
     assert deleted == ["pid-temp"]
     assert run.results["keep"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_task_variables_shadow_workflow():
+    log = []
+    eng = WorkflowEngine({"op": _collect_op(log)})
+    eng.run(
+        {
+            "variables": {"v": "global"},
+            "tasks": [
+                {"name": "a", "operator": "op", "arguments": {"tag": "@v"}},
+                {
+                    "name": "b", "operator": "op", "arguments": {"tag": "@v"},
+                    "variables": {"v": "local"},
+                },
+                {"name": "c", "operator": "op", "arguments": {"tag": "@v"},
+                 "dependencies": ["b"]},
+            ]
+        }
+    )
+    assert log == ["global", "local", "global"]  # shadowing does not leak
