@@ -1599,3 +1599,45 @@ FROM documents""",
 )
 def text_token_bpe(spark, sf_dir):
     return tx.token_count_bpe(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "events_user_distinct",
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type""",
+)
+def events_user_distinct(spark, sf_dir):
+    # exact distinct (two-phase hash agg); at 100 TB swap COUNT DISTINCT for
+    # approx_count_distinct (HLL) — same plan shape, no exact-dedup shuffle
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@q(
+    "orders_running_revenue",
+    """SELECT m, CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_revenue
+FROM (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)""",
+)
+def orders_running_revenue(spark, sf_dir):
+    # window over a pre-aggregated 12-row frame: the cheap-window pattern
+    # (aggregate first, window over the tiny result — never over the fact)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir)["orders"].filter(F.year("o_orderdate") == 1997)
+    monthly = o.groupBy(F.month("o_orderdate").cast("long").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "m",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("running_revenue"),
+    )

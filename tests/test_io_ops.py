@@ -56,3 +56,32 @@ def test_export_import_parquet_roundtrip(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "c"))
     assert back.count() == 2
     assert set(back.columns) == {"g", "__dim", "__m"}
+
+
+def test_fs_reference_fixture_layout(tmp_path):
+    """Mirror the reference's file-massive test fixtures
+    (/root/reference/test/testdata: a, a_12.test, a_123.test;
+    testdata2: b_1.tst, b_123.tst, b_124.test, b_13.test) and its file=regex +
+    recursion semantics."""
+    from ophidia_server_spark.operators.io_ops import oph_fs
+
+    d = tmp_path / "testdata"
+    d2 = d / "testdata2"
+    d2.mkdir(parents=True)
+    for f in ("a", "a_12.test", "a_123.test"):
+        (d / f).touch()
+    for f in ("b_1.tst", "b_123.tst", "b_124.test", "b_13.test"):
+        (d2 / f).touch()
+
+    # non-recursive: only the top dir
+    names = [e["name"] for e in oph_fs(str(d))]
+    assert names == ["a", "a_12.test", "a_123.test"]
+    # regex filter like file=.*\.test
+    names = [e["name"] for e in oph_fs(str(d), file_filter=r"\.test$")]
+    assert names == ["a_12.test", "a_123.test"]
+    # recursive + regex spans both levels
+    names = sorted(e["name"] for e in oph_fs(str(d), file_filter=r"\.test$", recursive=True))
+    assert names == ["a_12.test", "a_123.test", "b_124.test", "b_13.test"]
+    # digit-pattern filter (reference uses patterns like a_12x variants)
+    names = sorted(e["name"] for e in oph_fs(str(d), file_filter=r"_12\d", recursive=True))
+    assert names == ["a_123.test", "b_123.tst", "b_124.test"]
