@@ -1,0 +1,91 @@
+"""Plan-quality audit: for every registered query, print one line of physical
+-plan metrics (scans, pushed filters, join strategies, shuffles, codegen spans)
+and flag anti-patterns (sort-merge join where a broadcast was expected,
+cartesian products, missing pushdown on filtered scans).
+
+Usage: python scripts/plan_audit.py [sf_dir] [--md > PLANS.md]
+
+Metrics come from the *executed* plan (AQE final) for accuracy: each query is
+run once at the audit scale first.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ophidia_server_spark.registry import QUERIES  # noqa: E402
+from ophidia_server_spark.session import get_spark  # noqa: E402
+
+
+def audit_plan(df) -> dict:
+    qe = df._jdf.queryExecution()
+    spark = df.sparkSession
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+    return {
+        "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        or plan.count("Scan parquet") // 2,
+        "pushed": len(pushed),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct") + plan.count("BroadcastNestedLoop"),
+        "shuffles": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "python": plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
+        "final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else (
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    md = "--md" in sys.argv
+    spark = get_spark("plan_audit")
+    rows = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()  # drive AQE to the final plan
+            m = audit_plan(df)
+            flags = []
+            if m["cartesian"]:
+                flags.append("CARTESIAN")
+            if m["smj"] and not m["bhj"]:
+                flags.append("SMJ-only")
+            if m["python"]:
+                flags.append("py-udf")
+            rows.append((name, m, ",".join(flags) or "-"))
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, None, f"ERROR {type(e).__name__}"))
+    if md:
+        print("| query | scans | pushed | bhj | smj | shuffles | codegen | flags |")
+        print("|---|---|---|---|---|---|---|---|")
+        for name, m, flags in rows:
+            if m is None:
+                print(f"| {name} | - | - | - | - | - | - | {flags} |")
+            else:
+                print(
+                    f"| {name} | {m['scans']} | {m['pushed']} | {m['bhj']} | "
+                    f"{m['smj']} | {m['shuffles']} | {m['codegen']} | {flags} |"
+                )
+    else:
+        for name, m, flags in rows:
+            if m is None:
+                print(f"{name:32s} {flags}")
+            else:
+                print(
+                    f"{name:32s} scans={m['scans']} pushed={m['pushed']} bhj={m['bhj']} "
+                    f"smj={m['smj']} shuf={m['shuffles']} cg={m['codegen']} {flags}"
+                )
+
+
+if __name__ == "__main__":
+    main()
