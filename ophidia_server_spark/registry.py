@@ -1641,3 +1641,53 @@ def orders_running_revenue(spark, sf_dir):
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("running_revenue"),
     )
+
+
+@q(
+    "workflow_pipeline",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, CAST(CEIL(month / 3.0) AS BIGINT) AS q,
+       CAST(SUM(qty) AS DOUBLE) AS qty
+FROM base WHERE month <= 6 GROUP BY 1, 2""",
+)
+def workflow_pipeline(spark, sf_dir):
+    """Flow-control flagship: oph_for (parallel) expands per-quarter slices,
+    oph_if selects the combine branch, union merges the loop outputs — the
+    whole thing scheduled by the DAG engine with concurrent waves."""
+
+    def op_slice(engine, args, inputs):
+        qn = int(args["q"])
+        lo, hi = 3 * qn - 2, 3 * qn
+        c = C.oph_subset(cube_qty(spark, sf_dir), {"month": f"{lo}:{hi}"}, "coord")
+        agg = C.oph_aggregate(c, "sum", ["l_linestatus"])
+        red = C.oph_reduce(agg, "sum", "qty")
+        return red.select(
+            "l_returnflag", F.lit(qn).cast("long").alias("q"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+
+    def op_union(engine, args, inputs):
+        dfs = [inputs[k] for k in sorted(inputs)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    eng = WorkflowEngine({"oph_slice": op_slice, "oph_union": op_union})
+    wf = {
+        "name": "pipeline",
+        "variables": {"mode": "1"},
+        "tasks": [
+            {"name": "loop", "operator": "oph_for",
+             "arguments": {"key": "q", "values": "1|2", "parallel": "yes"}},
+            {"name": "slice", "operator": "oph_slice", "arguments": {"q": "@q"}},
+            {"name": "end", "operator": "oph_endfor", "arguments": {}},
+            {"name": "sel", "operator": "oph_if", "arguments": {"condition": "@mode > 0"}},
+            {"name": "combine", "operator": "oph_union", "arguments": {},
+             "dependencies": ["slice_0", "slice_1"]},
+            {"name": "selend", "operator": "oph_endif", "arguments": {}},
+        ],
+    }
+    run = eng.run(wf, max_workers=2)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"
+    return run.results["combine"].value
