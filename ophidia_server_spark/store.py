@@ -297,6 +297,24 @@ class CubeStore:
         """oph_explorecube (oph_json_objkeys.h:81-83): peek the long form."""
         return self.get(pid).long().limit(limit)
 
+    def explorecube_response(self, pid: str, limit: int = 100) -> dict:
+        """oph_explorecube rendered as the reference's multigrid objclass
+        (oph_json_multigrid.h:36-72): row keys = explicit dims, column keys =
+        the implicit dim's values, matrix = the measure arrays."""
+        from ophidia_server_spark.plans.response import multigrid
+
+        c = self.get(pid)
+        e = self.entries[pid]
+        return multigrid(
+            c.df,
+            explicit_dims=list(c.explicit_dims),
+            implicit_dim=DIM_COL,
+            measure_col=MEASURE_COL,
+            measure_name=e.measure,
+            title=f"explorecube {pid}",
+            limit=limit,
+        )
+
     def list(self, level: int = 2, path: str | None = None) -> list[dict]:
         """oph_list (oph_json_objkeys.h:35; levels oph_ophidiadb_fs_library.h:41-45):
         0 = folders, 1 = +containers, 2 = +cubes."""

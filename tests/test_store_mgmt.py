@@ -315,3 +315,14 @@ def test_massive_parallel_light_tasks():
     )
     assert run.results["m"].value == ["p1", "p2", "p3", "p4"]  # order preserved
     assert len({t for _, t in seen}) > 1  # ran on multiple threads
+
+
+def test_explorecube_multigrid_response(store):
+    store, pid = store
+    resp = store.explorecube_response(pid, limit=5)
+    assert resp["objclass"] == "multigrid"
+    assert resp["rowkeys"] == ["l_returnflag", "l_linestatus"]
+    assert resp["measurename"] == "qty"
+    assert len(resp["rowvalues"]) == len(resp["measurevalues"]) <= 5
+    # colvalues are the implicit dim coordinates of the first row
+    assert len(resp["colvalues"]) == len(resp["measurevalues"][0])
