@@ -312,18 +312,42 @@ class WorkflowEngine:
             )
         raise WorkflowError(f"unknown wait type {wtype!r}")
 
-    def _massive_expand(self, args: dict) -> list[str] | None:
-        """If the task's `cube` argument is a massive selection, return the
-        expanded PID list (None = not massive)."""
-        cube_arg = args.get("cube")
-        if not cube_arg or "[" not in str(cube_arg):
-            return None
-        if self.catalog is None:
-            raise WorkflowError("massive cube argument but engine has no catalog")
-        from ophidia_server_spark.filters import compile_massive
+    def _massive_expand(self, args: dict) -> tuple[str, list[str]] | None:
+        """Massive-selection expansion. Returns (arg_key, items) or None.
 
-        rows = compile_massive(self.catalog, str(cube_arg)).collect()
-        return [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
+        `cube=[filters]` expands against the catalog (§2.B algebra);
+        `src_path=[path=...;file=regex;recursive=yes]` expands against the
+        filesystem (the reference's file-massive path, which dispatches an
+        oph_fs scan — oph_massive_operations.c:158-301)."""
+        cube_arg = args.get("cube")
+        if cube_arg and "[" in str(cube_arg):
+            if self.catalog is None:
+                raise WorkflowError("massive cube argument but engine has no catalog")
+            from ophidia_server_spark.filters import compile_massive
+
+            rows = compile_massive(self.catalog, str(cube_arg)).collect()
+            return "cube", [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
+        src_arg = args.get("src_path")
+        if src_arg and "[" in str(src_arg):
+            from ophidia_server_spark.filters import parse_massive
+            from ophidia_server_spark.operators.io_ops import oph_fs
+
+            groups, explicit = parse_massive(str(src_arg))
+            files = list(explicit)
+            for g in groups:
+                # bare value inside brackets defaults to `path` for files
+                # (oph_massive_operations.c:76-116)
+                path = g.get("path") or g.get("cube_filter") or "."
+                files += [
+                    e["path"]
+                    for e in oph_fs(
+                        path,
+                        file_filter=g.get("file"),
+                        recursive=str(g.get("recursive", "no")).lower() == "yes",
+                    )
+                ]
+            return "src_path", sorted(set(files))
+        return None
 
     # -- oph_set value handling (subset_filter compression + response-cell
     #    addressing, oph_flow_control_operators.c:1150-1571 / :674-988) --------
@@ -387,7 +411,8 @@ class WorkflowEngine:
         return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries)
 
     def _exec_massive(
-        self, t: dict, fn: Callable, args: dict, inputs: dict, items: list[str]
+        self, t: dict, fn: Callable, args: dict, inputs: dict, items: list[str],
+        item_key: str = "cube",
     ) -> TaskResult:
         """Massive expansion -> light tasks (oph_workflow_engine.c:1010-1056);
         responses aggregate like oph_workflow_load_aggregate_response
@@ -400,7 +425,7 @@ class WorkflowEngine:
         ncores = int(t.get("ncores", 1) or 1)
 
         def one(item):
-            largs = {**args, "cube": item}
+            largs = {**args, item_key: item}
             largs.pop("run", None)
             return fn(self, largs, inputs)
 
@@ -505,18 +530,18 @@ class WorkflowEngine:
 
                 def one(item):
                     t, fn, args, inputs = item
-                    items = self._massive_expand(args)
-                    if items is not None:
-                        return self._exec_massive(t, fn, args, inputs, items)
+                    exp = self._massive_expand(args)
+                    if exp is not None:
+                        return self._exec_massive(t, fn, args, inputs, exp[1], exp[0])
                     return self._exec_task(t, fn, args, inputs)
 
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
                     results = list(pool.map(one, compute_batch))
             else:
                 for t, fn, args, inputs in compute_batch:
-                    items = self._massive_expand(args)
-                    if items is not None:
-                        results.append(self._exec_massive(t, fn, args, inputs, items))
+                    exp = self._massive_expand(args)
+                    if exp is not None:
+                        results.append(self._exec_massive(t, fn, args, inputs, exp[1], exp[0]))
                     else:
                         results.append(self._exec_task(t, fn, args, inputs))
 

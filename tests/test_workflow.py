@@ -507,3 +507,45 @@ def test_task_variables_shadow_workflow():
         }
     )
     assert log == ["global", "local", "global"]  # shadowing does not leak
+
+
+def test_file_massive_expansion(tmp_path):
+    d = tmp_path / "nc"
+    d.mkdir()
+    for f in ("x_1.nc", "x_2.nc", "y_1.txt"):
+        (d / f).touch()
+    seen = []
+
+    def importer(engine, args, inputs):
+        seen.append(args["src_path"])
+        return args["src_path"]
+
+    eng = WorkflowEngine({"oph_import": importer})
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "imp", "operator": "oph_import",
+                    "arguments": {"src_path": f"[path={d};file=\\.nc$]"},
+                }
+            ]
+        }
+    )
+    assert run.results["imp"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert sorted(seen) == [str(d / "x_1.nc"), str(d / "x_2.nc")]
+    # dry-run returns the expansion without executing
+    seen.clear()
+    run2 = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "imp", "operator": "oph_import",
+                    "arguments": {"src_path": f"[path={d};file=\\.nc$]", "run": "no"},
+                }
+            ]
+        }
+    )
+    assert seen == []
+    assert run2.results["imp"].value == {
+        "expansion": [str(d / "x_1.nc"), str(d / "x_2.nc")]
+    }
