@@ -237,3 +237,27 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_exact(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3,
+    threshold: float = 0.3, max_id: int | None = None, id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs of a bounded slice — the oracle
+    baseline for ngram_jaccard_pairs (which prunes candidates with LSH).
+    O(n^2); use max_id to keep the quadratic testable."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    sh = shingle_sets(base, text_col, shingle_k)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+    union = (F.size("a.shingles") + F.size("b.shingles")).cast("double") - inter
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / union).alias("__j"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )

@@ -1691,3 +1691,29 @@ def workflow_pipeline(spark, sf_dir):
     run = eng.run(wf, max_workers=2)
     assert run.status == "OPH_ODB_STATUS_COMPLETED"
     return run.results["combine"].value
+
+
+@q(
+    "dedup_ngram_exact",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents WHERE doc_id < 60
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""",
+)
+def dedup_ngram_exact(spark, sf_dir):
+    # exact all-pairs baseline for the LSH-pruned dedup_ngram_jaccard
+    return dd.ngram_jaccard_exact(
+        _t(spark, sf_dir)["documents"], threshold=0.3, max_id=60
+    )
