@@ -288,15 +288,26 @@ class ManagementService:
             return f.readlines()[-nlines:]
 
     # -- oph_script -----------------------------------------------------------
-    ALLOWED_SCRIPTS: dict[str, list[str]] = {"echo": ["echo"]}
+    ALLOWED_SCRIPTS: dict[str, list[str]] = {"echo": ["echo"], "print_env": ["sh", "-c", "echo $OPH_SESSION_ID:$OPH_WORKFLOW_ID"]}
 
-    def script(self, name: str, args: list[str] | None = None) -> str:
+    def script(
+        self, name: str, args: list[str] | None = None,
+        session_id: str = "", workflow_id: int = 0, marker_id: int = 0,
+    ) -> str:
         """Allow-listed script execution (the reference forwards registered
-        scripts only; arbitrary commands are rejected)."""
+        scripts only; arbitrary commands are rejected). The reference exports
+        session/workflow context as OPH_* environment variables to the script
+        — mirrored here."""
         if name not in self.ALLOWED_SCRIPTS:
             raise PermissionError(f"script {name!r} not registered")
         cmd = self.ALLOWED_SCRIPTS[name] + list(args or [])
-        return subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
+        env = {
+            **os.environ,
+            "OPH_SESSION_ID": session_id,
+            "OPH_WORKFLOW_ID": str(workflow_id),
+            "OPH_MARKER_ID": str(marker_id),
+        }
+        return subprocess.run(cmd, capture_output=True, text=True, check=True, env=env).stdout
 
 
 # -- operator registry docs (oph_man / operators_list) -----------------------

@@ -305,7 +305,9 @@ def test_massive_parallel_light_tasks():
 
     eng = WorkflowEngine({"op": op})
     # bypass catalog: patch _massive_expand to a fixed item list
-    eng._massive_expand = lambda args: ["p1", "p2", "p3", "p4"] if "cube" in args else None
+    eng._massive_expand = (
+        lambda args: ("cube", ["p1", "p2", "p3", "p4"]) if "cube" in args else None
+    )
     run = eng.run(
         {
             "tasks": [
@@ -326,3 +328,9 @@ def test_explorecube_multigrid_response(store):
     assert len(resp["rowvalues"]) == len(resp["measurevalues"]) <= 5
     # colvalues are the implicit dim coordinates of the first row
     assert len(resp["colvalues"]) == len(resp["measurevalues"][0])
+
+
+def test_script_env_injection(spark):
+    m = ManagementService(spark)
+    out = m.script("print_env", session_id="sessX", workflow_id=7).strip()
+    assert out == "sessX:7"
