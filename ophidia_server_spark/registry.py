@@ -1717,3 +1717,62 @@ def dedup_ngram_exact(spark, sf_dir):
     return dd.ngram_jaccard_exact(
         _t(spark, sf_dir)["documents"], threshold=0.3, max_id=60
     )
+
+
+@q(
+    "events_weekly",
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1""",
+)
+def events_weekly(spark, sf_dir):
+    # week concept level of the time hierarchy (both engines truncate to
+    # Monday) — the reduce2/aggregate2 hierarchy machinery at week grain
+    from ophidia_server_spark.functions.hierarchy import concept_level
+
+    ev = _t(spark, sf_dir)["events"]
+    wk = concept_level("week")(F.col("ts"))
+    return ev.groupBy(F.date_format(wk, "yyyy-MM-dd").alias("week_start")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "orders_status_pivot",
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders GROUP BY 1""",
+)
+def orders_status_pivot(spark, sf_dir):
+    # Spark pivot with an explicit value list: no extra distinct-values job,
+    # plans as conditional aggregation (same shape as the oracle's CASE sums)
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(F.month("o_orderdate").cast("long").alias("m"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select("m", F.col("F").cast("long").alias("F"),
+                F.col("O").cast("long").alias("O"), F.col("P").cast("long").alias("P"))
+    )
+
+
+@q(
+    "cube_apply_boxcar",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, month,
+       ROUND(SUM(CAST(qty AS DOUBLE)) OVER (
+         PARTITION BY l_returnflag, l_linestatus ORDER BY month
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS box
+FROM base""",
+)
+def cube_apply_boxcar(spark, sf_dir):
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.boxcar(3), "box")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("box"), 4).alias("box"),
+    )
