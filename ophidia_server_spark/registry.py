@@ -1776,3 +1776,28 @@ def cube_apply_boxcar(spark, sf_dir):
         "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
         F.round(F.col("box"), 4).alias("box"),
     )
+
+
+@q(
+    "lineitem_rollup_totals",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def lineitem_rollup_totals(spark, sf_dir):
+    # Catalyst native grouping sets: rollup -> (rf, ls), (rf), () subtotals in
+    # ONE pass (partial aggregation replicated per grouping set, no re-scan)
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "qty", "n",
+        )
+    )
