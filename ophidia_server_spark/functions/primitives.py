@@ -274,11 +274,15 @@ def fft_magnitude() -> ArrayPrimitive:
     """
     import pandas as pd  # local import: Arrow path only
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _fft(s: pd.Series) -> pd.Series:
+    def _fft_fn(s):
         import numpy as np
 
         return s.apply(lambda a: np.abs(np.fft.rfft(np.asarray(a, dtype="float64"))).tolist())
+
+    # `from __future__ import annotations` makes inline hints unresolvable
+    # strings for pandas_udf inference — set real annotation objects
+    _fft_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _fft = F.pandas_udf(_fft_fn, T.ArrayType(T.DoubleType()))
 
     return lambda arr: _fft(arr.cast(T.ArrayType(T.DoubleType())))
 

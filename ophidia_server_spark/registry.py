@@ -1801,3 +1801,54 @@ def lineitem_rollup_totals(spark, sf_dir):
             "qty", "n",
         )
     )
+
+
+@q(
+    "lineitem_quantiles",
+    """SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag""",
+)
+def lineitem_quantiles(spark, sf_dir):
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont); at 100 TB swap for percentile_approx (t-digest sketch,
+    # mergeable map-side) — same call shape
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@q(
+    "lineitem_moments",
+    """SELECT ROUND(AVG(l_quantity), 6) AS mean,
+       ROUND(stddev_pop(l_quantity), 6) AS std,
+       ROUND(AVG(POWER(l_quantity - m, 3)) / POWER(AVG(POWER(l_quantity - m, 2)), 1.5), 6)
+         AS skew,
+       ROUND(AVG(POWER(l_quantity - m, 4)) / POWER(AVG(POWER(l_quantity - m, 2)), 2) - 3, 6)
+         AS kurt
+FROM lineitem, (SELECT AVG(l_quantity) AS m FROM lineitem)""",
+)
+def lineitem_moments(spark, sf_dir):
+    # Spark skewness/kurtosis are the population (g1 / excess g2) statistics —
+    # the oracle states the moment formulas explicitly for engine parity
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+    )
+
+
+@q("cube_apply_fft")  # numpy kernel via Arrow pandas UDF: rows-only check
+def cube_apply_fft(spark, sf_dir):
+    # rfft output has n//2+1 bins (shorter than the input dim), so explode by
+    # frequency-bin position rather than zipping with the time coordinates
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.fft_magnitude(), "spectrum")
+    return ap.df.select(
+        "l_returnflag", "l_linestatus",
+        F.posexplode(F.col(ap.df.columns[-1])).alias("k", "magnitude"),
+    ).withColumn("magnitude", F.round("magnitude", 4))
