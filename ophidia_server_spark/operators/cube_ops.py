@@ -114,22 +114,36 @@ def oph_subset(
     def pred_fn(col, ss):
         if subset_type == "time":
             return time_predicate(col, ss)
-        return subset_predicate(col, ss, offset=offset)
+        try:
+            return subset_predicate(col, ss, offset=offset)
+        except ValueError:
+            # non-numeric coordinates (string dims): clauses are literal
+            # values, OR-combined
+            vals = [v for v in str(ss).replace("|", ",").split(",") if v]
+            return col.isin(vals)
 
     df = cube.df
     for dim, ss in subset_dims.items():
         if dim in cube.explicit_dims:
             df = df.filter(pred_fn(F.col(dim), ss))
         elif dim in cube.implicit_dims:
-            if len(cube.implicit_dims) != 1:
-                raise NotImplementedError("subset on composite implicit dim: drilldown first")
+            composite = len(cube.implicit_dims) != 1
             zipped = F.arrays_zip(F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
             if subset_type == "index":
+                if composite:
+                    raise NotImplementedError(
+                        "index subset on composite implicit dim is ambiguous: "
+                        "use coord subsets per named dim, or drilldown first"
+                    )
                 # positions are 1-based over the packed array
                 n = F.size(F.col(DIM_COL))
                 idx = F.sequence(F.lit(1), n)
                 z3 = F.arrays_zip(idx.alias("i"), F.col(DIM_COL).alias("d"), F.col(MEASURE_COL).alias("m"))
                 kept = F.filter(z3, lambda s: subset_predicate(s["i"], ss, offset=offset))
+            elif composite:
+                # composite implicit dim (post-rollup/mergecubes): coordinates
+                # are structs — subset on the named field of each struct
+                kept = F.filter(zipped, lambda s: pred_fn(s["d"][dim], ss))
             else:
                 kept = F.filter(zipped, lambda s: pred_fn(s["d"], ss))
             df = (

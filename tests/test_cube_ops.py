@@ -187,3 +187,20 @@ def test_mergecubes_n_ary(small):
     b2 = C.oph_mergecubes(small, small)
     n2 = C.oph_mergecubes_n([small, small])
     assert b2.df.collect() == n2.df.collect()
+
+
+def test_subset_composite_implicit_after_rollup(small):
+    # rollup g into the array -> composite implicit (g, t); coord-subset the
+    # rolled dim g, then the inner dim t, on the struct coordinates
+    rolled = C.oph_rollup(small, "g")
+    assert rolled.implicit_dims == ("g", "t")
+    only_a = C.oph_subset(rolled, {"g": "a"}, "coord")
+    row = only_a.df.first()
+    assert [d["g"] for d in row["__dim"]] == ["a", "a", "a"]
+    assert [float(v) for v in row[only_a.df.columns[-1]]] == [1.0, 2.0, 3.0]
+    t13 = C.oph_subset(rolled, {"t": "1:1"}, "coord")
+    row = t13.df.first()
+    assert [(d["g"], d["t"]) for d in row["__dim"]] == [("a", 1), ("b", 1)]
+    # index subset on composite stays explicitly unsupported
+    with pytest.raises(NotImplementedError):
+        C.oph_subset(rolled, {"g": "1:2"}, "index")
