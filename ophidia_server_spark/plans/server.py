@@ -1,0 +1,182 @@
+"""Request facade: reference-style JSON workflows over the default operator
+set, with tasks chained by cube PID.
+
+This is the user-facing parity layer: the reference's clients submit a JSON
+workflow whose tasks name operators (`oph_importcsv`, `oph_subset`,
+`oph_reduce`, ...) and reference cubes by PID; each data operator emits the
+PID of its output cube which dependents receive via their `cube` argument
+(dependency `cube` propagation, oph_workflow_engine.c notify path). Here the
+same contract runs on Spark: operators resolve PIDs through a CubeStore,
+build lazy DataFrame plans, register results back, and return the new PID.
+
+Argument conventions follow the reference XML descriptors: multivalue args are
+`|`-separated strings, subsets are `dim1|dim2` + `filter1|filter2` pairs,
+`operation` names the reduction kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.operators import cube_ops as C
+from ophidia_server_spark.operators import io_ops as IO
+from ophidia_server_spark.plans.workflow import WorkflowEngine
+from ophidia_server_spark.store import CubeStore
+
+
+def _resolve_cube_arg(args: dict, inputs: dict) -> str:
+    """The reference propagates the parent task's output cube into the `cube`
+    argument when the task does not set one (dep type `single`/`embedded`)."""
+    pid = args.get("cube")
+    if pid:
+        return str(pid)
+    for v in inputs.values():
+        if isinstance(v, str) and v:
+            return v
+    raise ValueError("no cube argument and no parent cube to inherit")
+
+
+def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngine:
+    """WorkflowEngine wired with the default datacube operator set.
+
+    Every data operator is a closure over (spark, store): resolve input PIDs,
+    build the Spark plan, register the output cube (lazily — no materialize
+    unless the operator is an export), return the new PID as the task value.
+    """
+
+    def op_importcsv(engine, args: dict[str, Any], inputs):
+        pid = store.importcsv(
+            args["src_path"],
+            explicit_dims=str(args["explicit_dims"]).split("|"),
+            implicit_dim=args["implicit_dim"],
+            value=args["measure"],
+            container=args.get("container", "default"),
+            schema=args.get("schema"),
+        )
+        return pid
+
+    def op_importparquet(engine, args, inputs):
+        cube = IO.oph_importparquet(
+            spark, args["src_path"],
+            explicit_dims=str(args["explicit_dims"]).split("|"),
+            implicit_dim=args["implicit_dim"],
+            value=args["measure"],
+        )
+        return store.register(cube, args.get("container", "default"), task="importparquet")
+
+    def op_randcube(engine, args, inputs):
+        from ophidia_server_spark.cube import randcube
+
+        cube = randcube(
+            spark,
+            nrows=int(args.get("nrows", 100)),
+            array_len=int(args.get("nvalues", 12)),
+        )
+        return store.register(cube, args.get("container", "default"), task="randcube")
+
+    def op_subset(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        dims = str(args["subset_dims"]).split("|")
+        filters = str(args["subset_filter"]).split("|")
+        cube = store.get(pid)
+        out = C.oph_subset(
+            cube,
+            dict(zip(dims, filters)),
+            subset_type=str(args.get("subset_type", "index")),
+            offset=int(args.get("offset", 0) or 0),
+        )
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="subset")
+
+    def op_reduce(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        cube = store.get(pid)
+        out = C.oph_reduce(cube, str(args.get("operation", "avg")))
+        # reduce collapses the implicit dim; re-pack the scalar per row as a
+        # length-1 array so the result stays a cube (the reference keeps
+        # reduced cubes addressable like any other)
+        from ophidia_server_spark.cube import build_cube
+
+        reduced_col = out.columns[-1]  # named <operation>_<measure>
+        packed = build_cube(
+            out.withColumn("__r", F.lit(0)),
+            list(cube.explicit_dims), "__r", F.col(reduced_col),
+            measure=cube.measure,
+        )
+        return store.register(packed, args.get("container", "default"),
+                              parents=[pid], task="reduce")
+
+    def op_aggregate(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        out = C.oph_aggregate(
+            store.get(pid), str(args.get("operation", "sum")),
+            str(args["group_dims"]).split("|") if args.get("group_dims") else
+            list(store.get(pid).explicit_dims)[1:],
+        )
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="aggregate")
+
+    def op_intercube(engine, args, inputs):
+        pids = str(args["cubes"]).split("|") if args.get("cubes") else [
+            v for v in inputs.values() if isinstance(v, str)
+        ]
+        if len(pids) != 2:
+            raise ValueError("oph_intercube needs exactly 2 cubes")
+        out = C.oph_intercube(
+            store.get(pids[0]), store.get(pids[1]), str(args.get("operation", "sub"))
+        )
+        return store.register(out, args.get("container", "default"),
+                              parents=pids, task="intercube")
+
+    def op_duplicate(engine, args, inputs):
+        return store.duplicate(_resolve_cube_arg(args, inputs))
+
+    def op_delete(engine, args, inputs):
+        store.delete(_resolve_cube_arg(args, inputs))
+        return None
+
+    def op_metadata(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        mode = str(args.get("mode", "read"))
+        if mode == "insert":
+            store.metadata_put(pid, args["metadata_key"], args["metadata_value"])
+            return pid
+        if mode == "delete":
+            store.metadata_delete(pid, args["metadata_key"])
+            return pid
+        return store.metadata_get(pid, args.get("metadata_key"))
+
+    def op_cubeschema(engine, args, inputs):
+        return store.cubeschema(_resolve_cube_arg(args, inputs))
+
+    def op_explorecube(engine, args, inputs):
+        return store.explorecube_response(
+            _resolve_cube_arg(args, inputs), limit=int(args.get("limit", 100))
+        )
+
+    def op_exportcsv(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        IO.oph_exportcsv(store.get(pid), args["output_path"])
+        return pid
+
+    return WorkflowEngine(
+        {
+            "oph_importcsv": op_importcsv,
+            "oph_importparquet": op_importparquet,
+            "oph_randcube": op_randcube,
+            "oph_subset": op_subset,
+            "oph_reduce": op_reduce,
+            "oph_aggregate": op_aggregate,
+            "oph_intercube": op_intercube,
+            "oph_duplicate": op_duplicate,
+            "oph_delete": op_delete,
+            "oph_metadata": op_metadata,
+            "oph_cubeschema": op_cubeschema,
+            "oph_explorecube": op_explorecube,
+            "oph_exportcsv": op_exportcsv,
+        },
+        catalog=store.as_catalog(),
+    )

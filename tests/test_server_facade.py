@@ -1,0 +1,123 @@
+"""End-to-end reference-UX test: submit a JSON workflow naming oph_* operators
+with tasks chained by cube PID (the `cube` argument inherited from the parent
+task), exactly like a reference client request."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.plans.server import build_default_engine
+from ophidia_server_spark.store import CubeStore
+
+
+@pytest.fixture()
+def env(spark, tables, tmp_path):
+    store = CubeStore(spark=spark, workspace=str(tmp_path))
+    # stage a CSV input like a reference client would provide
+    src = str(tmp_path / "lineitem_csv")
+    (
+        tables["lineitem"]
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.month("l_shipdate").alias("month"), "l_quantity",
+        )
+        .write.mode("overwrite").option("header", "true").csv(src)
+    )
+    return build_default_engine(spark, store), store, src
+
+
+def test_json_workflow_chains_by_pid(env, tmp_path):
+    eng, store, src = env
+    out_csv = str(tmp_path / "out_csv")
+    wf = {
+        "name": "client_request",
+        "variables": {"months": "3:9"},
+        "tasks": [
+            {
+                "name": "import", "operator": "oph_importcsv",
+                "arguments": {
+                    "src_path": src, "container": "exp",
+                    "explicit_dims": "l_returnflag|l_linestatus",
+                    "implicit_dim": "month", "measure": "l_quantity",
+                    "schema": "l_returnflag string, l_linestatus string, "
+                              "month int, l_quantity double",
+                },
+            },
+            {
+                "name": "subset", "operator": "oph_subset",
+                "arguments": {
+                    "subset_dims": "month", "subset_filter": "@months",
+                    "subset_type": "coord",
+                },
+                "dependencies": ["import"],
+            },
+            {
+                "name": "reduce", "operator": "oph_reduce",
+                "arguments": {"operation": "sum"},
+                "dependencies": ["subset"],
+            },
+            {
+                "name": "schema", "operator": "oph_cubeschema",
+                "arguments": {},
+                "dependencies": ["reduce"],
+            },
+            {
+                "name": "export", "operator": "oph_exportcsv",
+                "arguments": {"output_path": out_csv},
+                "dependencies": ["reduce"],
+            },
+        ],
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    # each data task emitted a PID; subset inherited import's cube
+    pids = [run.results[n].value for n in ("import", "subset", "reduce")]
+    assert all(isinstance(p, str) and "/" in p for p in pids)
+    # provenance chain recorded
+    ids = [store.entries[p].cube_id for p in pids]
+    assert (ids[1], "subset", ids[0]) in store.lineage
+    assert (ids[2], "reduce", ids[1]) in store.lineage
+    # schema response describes the reduced cube
+    assert run.results["schema"].value["measure"] == "l_quantity"
+    # exported CSV exists and re-reads with the right totals
+    spark = store.spark
+    back = spark.read.option("header", "true").csv(out_csv)
+    assert back.count() == 6  # 3 returnflags x 2 linestatus
+
+
+def test_intercube_by_explicit_pids(env):
+    eng, store, src = env
+    wf = {
+        "tasks": [
+            {
+                "name": "imp", "operator": "oph_importcsv",
+                "arguments": {
+                    "src_path": src, "container": "exp",
+                    "explicit_dims": "l_returnflag|l_linestatus",
+                    "implicit_dim": "month", "measure": "l_quantity",
+                    "schema": "l_returnflag string, l_linestatus string, "
+                              "month int, l_quantity double",
+                },
+            },
+            {
+                "name": "dup", "operator": "oph_duplicate", "arguments": {},
+                "dependencies": ["imp"],
+            },
+            {
+                "name": "diff", "operator": "oph_intercube",
+                "arguments": {"operation": "sub"},
+                "dependencies": ["imp", "dup"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    diff = store.get(run.results["diff"].value)
+    # cube minus its duplicate is identically zero
+    total = diff.df.select(
+        F.sum(F.aggregate(diff.df.columns[-1], F.lit(0.0), lambda a, x: a + F.abs(x)))
+    ).first()[0]
+    assert total == 0.0
