@@ -131,6 +131,52 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         return store.register(out, args.get("container", "default"),
                               parents=pids, task="intercube")
 
+    def op_rollup(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        out = C.oph_rollup(store.get(pid), args["dim"])
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="rollup")
+
+    def op_drilldown(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        # drilldown explodes to the long form; returned as a response value
+        # (the reference renders it as a grid)
+        from ophidia_server_spark.plans.response import grid
+
+        return grid(C.oph_drilldown(store.get(pid)), title=f"drilldown {pid}",
+                    limit=int(args.get("limit", 1000)))
+
+    def op_permute(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        out = C.oph_permute(store.get(pid), str(args["dim_order"]).split("|"))
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="permute")
+
+    def op_mergecubes(engine, args, inputs):
+        pids = str(args["cubes"]).split("|") if args.get("cubes") else [
+            v for v in inputs.values() if isinstance(v, str)
+        ]
+        cubes = [store.get(p) for p in pids]
+        out = C.oph_mergecubes_n(cubes) if len(cubes) > 2 else C.oph_mergecubes(*cubes)
+        return store.register(out, args.get("container", "default"),
+                              parents=pids, task="mergecubes")
+
+    def op_apply(engine, args, inputs):
+        from ophidia_server_spark.functions.primitives import PRIMITIVES
+
+        pid = _resolve_cube_arg(args, inputs)
+        name = str(args.get("query", "oph_mul_scalar"))
+        if name not in PRIMITIVES:
+            raise KeyError(f"unknown primitive {name!r}; known: {sorted(PRIMITIVES)}")
+        # primitive parameters come as |-separated floats, e.g. query=
+        # oph_mul_scalar;parameters=2.0|1.0 (mirrors the reference's
+        # primitive-call strings without embedding a SQL-ish parser)
+        params = [float(x) for x in str(args.get("parameters", "")).split("|") if x]
+        prim_fn = PRIMITIVES[name](*params)
+        out = C.oph_apply(store.get(pid), prim_fn)
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="apply")
+
     def op_duplicate(engine, args, inputs):
         return store.duplicate(_resolve_cube_arg(args, inputs))
 
@@ -171,6 +217,11 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_reduce": op_reduce,
             "oph_aggregate": op_aggregate,
             "oph_intercube": op_intercube,
+            "oph_rollup": op_rollup,
+            "oph_drilldown": op_drilldown,
+            "oph_permute": op_permute,
+            "oph_mergecubes": op_mergecubes,
+            "oph_apply": op_apply,
             "oph_duplicate": op_duplicate,
             "oph_delete": op_delete,
             "oph_metadata": op_metadata,

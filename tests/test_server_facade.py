@@ -121,3 +121,44 @@ def test_intercube_by_explicit_pids(env):
         F.sum(F.aggregate(diff.df.columns[-1], F.lit(0.0), lambda a, x: a + F.abs(x)))
     ).first()[0]
     assert total == 0.0
+
+
+def test_facade_apply_merge_drilldown(env):
+    eng, store, src = env
+    imp_args = {
+        "src_path": src, "container": "exp",
+        "explicit_dims": "l_returnflag|l_linestatus",
+        "implicit_dim": "month", "measure": "l_quantity",
+        "schema": "l_returnflag string, l_linestatus string, "
+                  "month int, l_quantity double",
+    }
+    wf = {
+        "tasks": [
+            {"name": "imp", "operator": "oph_importcsv", "arguments": imp_args},
+            {
+                "name": "scaled", "operator": "oph_apply",
+                "arguments": {"query": "oph_mul_scalar", "parameters": "2.0|0.0"},
+                "dependencies": ["imp"],
+            },
+            {
+                "name": "merged", "operator": "oph_mergecubes",
+                "arguments": {}, "dependencies": ["imp", "scaled"],
+            },
+            {
+                "name": "peek", "operator": "oph_drilldown",
+                "arguments": {"limit": 10}, "dependencies": ["imp"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    merged = store.get(run.results["merged"].value)
+    row = merged.df.first()
+    vals = [float(v) for v in row[merged.df.columns[-1]]]
+    n = len(vals) // 2
+    # second half is the scaled copy of the first half
+    assert vals[n:] == [2 * v for v in vals[:n]]
+    assert run.results["peek"].value["objclass"] == "grid"
+    assert len(run.results["peek"].value["rowvalues"]) == 10
