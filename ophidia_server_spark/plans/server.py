@@ -131,6 +131,32 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         return store.register(out, args.get("container", "default"),
                               parents=pids, task="intercube")
 
+    def op_reduce2(engine, args, inputs):
+        from ophidia_server_spark.functions.hierarchy import concept_level
+
+        pid = _resolve_cube_arg(args, inputs)
+        cube = store.get(pid)
+        out = C.oph_reduce2(
+            cube,
+            str(args.get("operation", "avg")),
+            concept_level(str(args.get("concept_level", "month"))),
+        )
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="reduce2")
+
+    def op_aggregate2(engine, args, inputs):
+        from ophidia_server_spark.functions.hierarchy import concept_level
+
+        pid = _resolve_cube_arg(args, inputs)
+        out = C.oph_aggregate2(
+            store.get(pid),
+            str(args.get("operation", "sum")),
+            args["dim"],
+            concept_level(str(args.get("concept_level", "month"))),
+        )
+        return store.register(out, args.get("container", "default"),
+                              parents=[pid], task="aggregate2")
+
     def op_rollup(engine, args, inputs):
         pid = _resolve_cube_arg(args, inputs)
         out = C.oph_rollup(store.get(pid), args["dim"])
@@ -215,7 +241,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_randcube": op_randcube,
             "oph_subset": op_subset,
             "oph_reduce": op_reduce,
+            "oph_reduce2": op_reduce2,
             "oph_aggregate": op_aggregate,
+            "oph_aggregate2": op_aggregate2,
             "oph_intercube": op_intercube,
             "oph_rollup": op_rollup,
             "oph_drilldown": op_drilldown,
