@@ -162,3 +162,43 @@ def test_facade_apply_merge_drilldown(env):
     assert vals[n:] == [2 * v for v in vals[:n]]
     assert run.results["peek"].value["objclass"] == "grid"
     assert len(run.results["peek"].value["rowvalues"]) == 10
+
+
+def test_facade_reduce2_monthly(env, spark, tables, tmp_path):
+    eng, store, _src = env
+    # stage a day-level CSV so reduce2 has a real time hierarchy to walk
+    src = str(tmp_path / "daily_csv")
+    (
+        tables["lineitem"]
+        .select(
+            "l_returnflag", F.col("l_shipdate").cast("date").cast("string").alias("day"),
+            "l_quantity",
+        )
+        .write.mode("overwrite").option("header", "true").csv(src)
+    )
+    wf = {
+        "tasks": [
+            {
+                "name": "imp", "operator": "oph_importcsv",
+                "arguments": {
+                    "src_path": src, "container": "exp",
+                    "explicit_dims": "l_returnflag", "implicit_dim": "day",
+                    "measure": "l_quantity",
+                    "schema": "l_returnflag string, day date, l_quantity double",
+                },
+            },
+            {
+                "name": "monthly", "operator": "oph_reduce2",
+                "arguments": {"operation": "avg", "concept_level": "month"},
+                "dependencies": ["imp"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    monthly = store.get(run.results["monthly"].value)
+    row = monthly.df.first()
+    # the implicit dim is now month starts: all coordinates are month floors
+    assert all(str(d).endswith("-01") for d in row["__dim"])
