@@ -135,3 +135,23 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(toks) / F.greatest(F.size(tokens(F.col(text_col))), F.lit(1)), 4
         ).alias("fragmentation"),
     )
+
+
+def contamination_flags(
+    df: DataFrame, probe_shingles: list[str], text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination check: flag documents sharing any k-token
+    shingle with a probe set (eval-set leakage detection, a standard
+    training-corpus hygiene pass). The probe set rides into the plan as a
+    literal array (broadcast-free for small sets; at scale use a broadcast
+    join against a probe table keyed by shingle hash)."""
+    from ophidia_server_spark.pipeline.dedup import _shingles
+
+    probe = F.array(*[F.lit(s) for s in sorted(set(probe_shingles))])
+    sh = F.array_distinct(_shingles(text_col, shingle_k))
+    overlap = F.array_intersect(sh, probe)
+    return df.select(
+        "doc_id",
+        F.size(overlap).cast("long").alias("n_shared_shingles"),
+        (F.size(overlap) > 0).alias("contaminated"),
+    )

@@ -1852,3 +1852,35 @@ def cube_apply_fft(spark, sf_dir):
         "l_returnflag", "l_linestatus",
         F.posexplode(F.col(ap.df.columns[-1])).alias("k", "magnitude"),
     ).withColumn("magnitude", F.round("magnitude", 4))
+
+
+@q(
+    "text_contamination",
+    r"""WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+  FROM tok
+),
+probe AS (SELECT s AS ps FROM sh WHERE doc_id = 0)
+SELECT sh.doc_id,
+       CAST(len(list_intersect(sh.s, probe.ps)) AS BIGINT) AS n_shared_shingles,
+       len(list_intersect(sh.s, probe.ps)) > 0 AS contaminated
+FROM sh, probe""",
+)
+def text_contamination(spark, sf_dir):
+    # probe = shingles of doc 0 (stand-in for an eval set); flags every doc
+    # sharing a 3-gram with it — doc 0 itself plus its near-duplicates
+    from ophidia_server_spark.pipeline.dedup import shingle_sets
+
+    docs = _t(spark, sf_dir)["documents"]
+    probe = [
+        r.s for r in
+        shingle_sets(docs.filter(F.col("doc_id") == 0))
+        .select(F.explode("shingles").alias("s")).collect()
+    ]
+    return tx.contamination_flags(docs, probe)
