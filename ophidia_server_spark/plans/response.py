@@ -189,3 +189,23 @@ def extract_from_json(response: Any, address: str) -> Any:
     if len(idx) == 2 and isinstance(node, list):
         return node[idx[0]][idx[1]]
     raise KeyError(f"bad address index in {address!r}")
+
+
+def workflow_progress(run) -> dict:
+    """Progress report (the reference's workflow_progress/exec_time objkeys:
+    progress ratio over tasks, oph_workflow_engine.c:7399-7500)."""
+    total = len(run.results)
+    done = sum(
+        1 for r in run.results.values()
+        if r.status in ("OPH_ODB_STATUS_COMPLETED", "OPH_ODB_STATUS_SKIPPED")
+    )
+    return {
+        "objclass": "grid",
+        "title": "Workflow Progress",
+        "rowkeys": ["task", "status", "exec_time"],
+        "rowfieldtypes": ["string", "string", "double"],
+        "rowvalues": [
+            [r.name, r.status, r.elapsed] for r in run.results.values()
+        ],
+        "progress": round(done / total, 4) if total else 1.0,
+    }

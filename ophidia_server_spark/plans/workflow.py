@@ -154,6 +154,7 @@ class TaskResult:
     value: Any = None
     error: str | None = None
     attempts: int = 1
+    elapsed: float = 0.0  # seconds (the reference's exec_time objkey)
 
 
 @dataclass
@@ -399,16 +400,23 @@ class WorkflowEngine:
         if str(t.get("on_error", "")).lower() == "repeat":
             retries += 1  # repeat = one extra attempt before failing
         last_err: str | None = None
+        t0 = time.perf_counter()
         for attempt in range(1, retries + 1):
             try:
                 value = fn(self, args, inputs)
-                return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", value, attempts=attempt)
+                return TaskResult(
+                    name, "OPH_ODB_STATUS_COMPLETED", value, attempts=attempt,
+                    elapsed=round(time.perf_counter() - t0, 6),
+                )
             except Exception as e:  # noqa: BLE001 - operator errors feed on_error policy
                 last_err = f"{type(e).__name__}: {e}"
                 delay = self._backoff_delay(t, attempt)
                 if delay and attempt < retries:
                     time.sleep(delay)
-        return TaskResult(name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries)
+        return TaskResult(
+            name, "OPH_ODB_STATUS_ERROR", error=last_err, attempts=retries,
+            elapsed=round(time.perf_counter() - t0, 6),
+        )
 
     def _exec_massive(
         self, t: dict, fn: Callable, args: dict, inputs: dict, items: list[str],

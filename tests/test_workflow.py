@@ -549,3 +549,21 @@ def test_file_massive_expansion(tmp_path):
     assert run2.results["imp"].value == {
         "expansion": [str(d / "x_1.nc"), str(d / "x_2.nc")]
     }
+
+
+def test_exec_time_and_progress():
+    from ophidia_server_spark.plans.response import workflow_progress
+
+    def slow(engine, args, inputs):
+        import time as _t
+
+        _t.sleep(0.05)
+        return "ok"
+
+    run = WorkflowEngine({"slow": slow}).run(
+        {"tasks": [{"name": "a", "operator": "slow", "arguments": {}}]}
+    )
+    assert run.results["a"].elapsed >= 0.05
+    prog = workflow_progress(run)
+    assert prog["progress"] == 1.0
+    assert prog["rowvalues"][0][0] == "a" and prog["rowvalues"][0][2] >= 0.05
