@@ -234,6 +234,52 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         IO.oph_exportcsv(store.get(pid), args["output_path"])
         return pid
 
+    # -- LLM-pipeline operators: corpus jobs as workflow tasks ---------------
+    def op_pipe_dedup(engine, args, inputs):
+        from ophidia_server_spark.pipeline.dedup import dedup_exact
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        dedup_exact(spark.read.parquet(src), args.get("text_col", "text")).write.mode(
+            "overwrite"
+        ).parquet(out)
+        return out
+
+    def op_pipe_quality_filter(engine, args, inputs):
+        from ophidia_server_spark.pipeline.text import quality_score
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        docs = spark.read.parquet(src)
+        scored = quality_score(docs, args.get("text_col", "text"))
+        kept = docs.join(
+            scored.filter(F.col("quality") >= float(args.get("min_quality", 0.5))).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        kept.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_minhash(engine, args, inputs):
+        from ophidia_server_spark.pipeline.dedup import minhash_lsh_pairs
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        minhash_lsh_pairs(
+            spark.read.parquet(src),
+            args.get("text_col", "text"),
+            jaccard_threshold=float(args.get("threshold", 0.5)),
+        ).write.mode("overwrite").parquet(out)
+        return out
+
     return WorkflowEngine(
         {
             "oph_importcsv": op_importcsv,
@@ -256,6 +302,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_cubeschema": op_cubeschema,
             "oph_explorecube": op_explorecube,
             "oph_exportcsv": op_exportcsv,
+            "pipeline_dedup_exact": op_pipe_dedup,
+            "pipeline_quality_filter": op_pipe_quality_filter,
+            "pipeline_minhash_pairs": op_pipe_minhash,
         },
         catalog=store.as_catalog(),
     )

@@ -202,3 +202,45 @@ def test_facade_reduce2_monthly(env, spark, tables, tmp_path):
     row = monthly.df.first()
     # the implicit dim is now month starts: all coordinates are month floors
     assert all(str(d).endswith("-01") for d in row["__dim"])
+
+
+def test_pipeline_workflow_chain(env, spark, tables, tmp_path):
+    eng, store, _src = env
+    src = str(tmp_path / "docs_src")
+    # duplicate every doc so the dedup stage has real work
+    docs = tables["documents"]
+    docs.unionByName(docs).write.mode("overwrite").parquet(src)
+    wf = {
+        "tasks": [
+            {
+                "name": "dedup", "operator": "pipeline_dedup_exact",
+                "arguments": {"src_path": src,
+                              "output_path": str(tmp_path / "deduped")},
+            },
+            {
+                "name": "filter", "operator": "pipeline_quality_filter",
+                "arguments": {"min_quality": 0.3,
+                              "output_path": str(tmp_path / "filtered")},
+                "dependencies": ["dedup"],
+            },
+            {
+                "name": "pairs", "operator": "pipeline_minhash_pairs",
+                "arguments": {"threshold": 0.5,
+                              "output_path": str(tmp_path / "pairs")},
+                "dependencies": ["filter"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    n_src = spark.read.parquet(src).count()
+    n_dedup = spark.read.parquet(run.results["dedup"].value).count()
+    n_filtered = spark.read.parquet(run.results["filter"].value).count()
+    assert n_dedup == n_src // 2          # exact dupes removed
+    assert 0 < n_filtered <= n_dedup      # quality filter kept a subset
+    # near-dup pairs table materialized (content checked by the parity gate)
+    assert spark.read.parquet(run.results["pairs"].value).columns == [
+        "doc_a", "doc_b", "est_jaccard",
+    ]
