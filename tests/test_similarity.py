@@ -40,3 +40,19 @@ def test_exact_pairs_symmetric_threshold(tables):
     # brute force over the same slice must find at least the LSH pairs
     lsh = sim.allpairs_above(emb.filter(F.col("vec_id") < 100), threshold=0.2, bits=4)
     assert {(r.id_a, r.id_b) for r in lsh.collect()} <= {(r.id_a, r.id_b) for r in rows}
+
+
+def test_ivf_partitioned_store_prunes(spark, tables, tmp_path):
+    # the documented scale path: cells as a partition column -> probing reads
+    # only nprobe/n_cells of the corpus, visible as partition pruning
+    emb = tables["embeddings"]
+    leaders = sim.ivf_leaders(emb, n_cells=8)
+    out = str(tmp_path / "ivf_store")
+    sim.ivf_assign(emb, leaders).write.partitionBy("__cell").parquet(out)
+    stored = spark.read.parquet(out)
+    probed = stored.filter(F.col("__cell").isin([1, 2]))
+    probed.collect()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__cell" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan reads fewer rows than the full store
+    assert 0 < probed.count() < stored.count()
