@@ -1884,3 +1884,22 @@ def text_contamination(spark, sf_dir):
         .select(F.explode("shingles").alias("s")).collect()
     ]
     return tx.contamination_flags(docs, probe)
+
+
+@q(
+    "events_resample_gapfill",
+    """WITH g AS (
+  SELECT unnest(generate_series(date_trunc('hour', MIN(ts)), MAX(ts),
+                                INTERVAL 30 MINUTE)) AS bin
+  FROM events
+),
+c AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bin, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(g.bin, '%Y-%m-%d %H:%M:%S') AS bin,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c ON g.bin = c.bin""",
+)
+def events_resample_gapfill(spark, sf_dir):
+    return win.resample_counts(_t(spark, sf_dir)["events"], "30 minutes")

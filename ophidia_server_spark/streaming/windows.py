@@ -184,3 +184,35 @@ def stream_dedup_exact(
     )
     q.awaitTermination(120)
     return spark.table(queryName)
+
+
+def resample_counts(df: DataFrame, width: str = "30 minutes", ts_col: str = "ts") -> DataFrame:
+    """Gap-filled resampling: event counts per fixed bin INCLUDING empty bins
+    (zero-filled) — the reshape step most downstream time-series models need,
+    which a plain groupBy(window) cannot produce (absent bins are absent).
+
+    The bin spine is a sequence() from the hour-floor of min(ts) to max(ts) —
+    one tiny driver-free row exploded into the grid, left-joined to the
+    windowed counts. The spine is O(time-range/width) rows, independent of
+    event volume, so the join broadcasts the counts' skeleton at any scale.
+    """
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"), F.max(ts_col).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {width}"))
+        ).alias("bin")
+    )
+    counts = (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bin"), "n_events")
+    )
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            F.date_format("bin", TS_FMT).alias("bin"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
