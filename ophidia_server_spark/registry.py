@@ -1903,3 +1903,26 @@ FROM g LEFT JOIN c ON g.bin = c.bin""",
 )
 def events_resample_gapfill(spark, sf_dir):
     return win.resample_counts(_t(spark, sf_dir)["events"], "30 minutes")
+
+
+@q(
+    "events_asof_join",
+    """SELECT c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       ROUND(CAST(p.value AS DOUBLE), 4) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def events_asof_join(spark, sf_dir):
+    # for each click: the user's most recent purchase value at that moment
+    ev = _t(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = win.asof_join(clicks, purchases, ts_col="ts", by="user_id", value_cols=["value"])
+    return j.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round(F.col("asof_value").cast("double"), 4).alias("asof_value"),
+    )

@@ -216,3 +216,56 @@ def resample_counts(df: DataFrame, width: str = "30 minutes", ts_col: str = "ts"
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, ts_col: str = "ts", by: str = "user_id",
+    value_cols: list[str] | None = None, tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the most recent right row with
+    right.ts <= left.ts within the same `by` key (the standard
+    point-in-time/trades-quotes join Spark lacks as a primitive).
+
+    Composition: tag both sides, union, one window sort per key carrying the
+    last seen right values forward (ignorenulls last_value), keep left rows.
+    Cost = ONE shuffle on `by` + a per-key sort — same plan shape as any
+    sessionization; no range cross-join, no per-row subquery. `tolerance`
+    (e.g. "3600 seconds") drops matches older than the window.
+    """
+    value_cols = value_cols or ["value"]
+    lt = left.select(
+        F.lit(1).alias("__is_left"), ts_col, by,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[c for c in left.columns if c not in (ts_col, by)],
+    )
+    rt = right.select(
+        F.lit(0).alias("__is_left"), ts_col, by,
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (ts_col, by)],
+    )
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (__is_left ascending) so a
+    # same-timestamp quote is visible to the trade
+    w = Window.partitionBy(by).orderBy(ts_col, "__is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols
+    ]
+    carried_ts = F.last(
+        F.when(F.col("__is_left") == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w).alias("__asof_ts")
+    out = u.select("*", *carried, carried_ts).filter(F.col("__is_left") == 1)
+    if tolerance:
+        within = F.col(ts_col).cast("long") - F.col("__asof_ts").cast("long") <= F.expr(
+            f"INTERVAL {tolerance}"
+        ).cast("long")
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return out.drop("__is_left", "__asof_ts", *[f"__r_{c}" for c in value_cols])

@@ -73,3 +73,20 @@ def test_stream_dedup_equals_batch_distinct(spark, events, tmp_path):
     )
     want = events.dropDuplicates(["user_id", "event_type", "value", "ts"])
     assert got.count() == want.count() > 0
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:30:00")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5.0), (1, "2024-01-01 11:00:00", 7.0),
+         (3, "2024-01-01 08:00:00", 9.0)],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    j = win.asof_join(left, right, value_cols=["value"])
+    got = {(r.user_id, str(r.ts)): r.asof_value for r in j.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 5.0   # most recent <= 10:00
+    assert got[(1, "2024-01-01 12:00:00")] == 7.0   # 11:00 quote wins
+    assert got[(2, "2024-01-01 10:30:00")] is None  # no right rows for key
