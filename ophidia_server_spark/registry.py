@@ -1926,3 +1926,27 @@ def events_asof_join(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round(F.col("asof_value").cast("double"), 4).alias("asof_value"),
     )
+
+
+@q(
+    "events_range_join",
+    """WITH iv AS (
+  SELECT event_type AS iv_type, MIN(ts) AS lo, MIN(ts) + INTERVAL 2 DAY AS hi
+  FROM events GROUP BY event_type
+)
+SELECT iv.iv_type, CAST(COUNT(*) AS BIGINT) AS n_in_window
+FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts <= iv.hi
+GROUP BY iv.iv_type""",
+)
+def events_range_join(spark, sf_dir):
+    # interval containment via the bucketized hash-join path (the theta
+    # BETWEEN join the oracle runs would be a nested loop at scale)
+    from ophidia_server_spark.functions.joins import bucketed_range_join
+
+    ev = _t(spark, sf_dir)["events"]
+    iv = ev.groupBy(F.col("event_type").alias("iv_type")).agg(
+        F.min("ts").alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL 2 DAYS")).alias("hi"),
+    )
+    j = bucketed_range_join(ev.select("ts"), iv, "ts", "lo", "hi")
+    return j.groupBy("iv_type").agg(F.count("*").cast("long").alias("n_in_window"))

@@ -32,3 +32,19 @@ def test_skew_stats_shape(tables):
     assert len(rows) == 3
     assert rows[0].n_rows >= rows[-1].n_rows
     assert 0 < rows[0].share <= 1.0
+
+
+def test_bucketed_range_join_equals_theta(spark, tables):
+    from ophidia_server_spark.functions.joins import bucketed_range_join
+
+    ev = tables["events"].select("ts", "user_id")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("lo"), (F.min("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi")
+    ).drop("user_id").limit(20)
+    theta = ev.join(iv, (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi"))).count()
+    bucketed = bucketed_range_join(ev, iv, "ts", "lo", "hi", bucket_seconds=3600).count()
+    assert theta == bucketed > 0
+    # and the bucketized plan is a real hash join, not a nested loop
+    plan = bucketed_range_join(ev, iv, "ts", "lo", "hi", 3600)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
