@@ -391,3 +391,68 @@ class CubeStore:
             cubes=cubes, metadata=metadata, lineage=lineage,
             session_prefix=self.session_prefix,
         )
+
+
+def save_store(store: CubeStore, path: str) -> None:
+    """Persist the catalog state (entries/metadata/lineage/folders) as parquet
+    tables — the OphidiaDB durability analogue (MySQL catalog in the
+    reference; Delta tables on a production cluster). Cube payloads already
+    live on disk (materialized parquet / bucketed tables); this makes the
+    *catalog* itself restartable."""
+    import json as _json
+
+    spark = store.spark
+    ent_rows = [
+        (
+            e.pid, e.cube_id, e.container, e.path, e.level, e.measure,
+            _json.dumps(list(e.explicit_dims)), _json.dumps(list(e.implicit_dims)),
+            e.storage,
+        )
+        for e in store.entries.values()
+    ]
+    spark.createDataFrame(
+        ent_rows or [],
+        "pid string, cube_id int, container string, path string, level int, "
+        "measure string, explicit_dims string, implicit_dims string, storage string",
+    ).write.mode("overwrite").parquet(os.path.join(path, "entries"))
+    md_rows = [
+        (cid, k, v) for cid, kv in store.metadata.items() for k, v in kv.items()
+    ]
+    spark.createDataFrame(md_rows or [], "cube_id int, key string, value string") \
+        .write.mode("overwrite").parquet(os.path.join(path, "metadata"))
+    spark.createDataFrame(
+        [(o, t, i) for o, t, i in store.lineage] or [],
+        "out_cube int, task string, in_cube int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "lineage"))
+    spark.createDataFrame(
+        [(f,) for f in sorted(store.folders)] or [], "folder string"
+    ).write.mode("overwrite").parquet(os.path.join(path, "folders"))
+
+
+def load_store(spark, path: str, workspace: str) -> CubeStore:
+    """Re-hydrate a persisted CubeStore (restart path). Only materialized
+    cubes survive a restart — virtual (lazy-plan) entries cannot be serialized
+    and are re-derivable from lineage."""
+    import json as _json
+
+    st = CubeStore(spark=spark, workspace=workspace)
+    for r in spark.read.parquet(os.path.join(path, "entries")).collect():
+        st.entries[r.pid] = CubeEntry(
+            pid=r.pid, cube_id=r.cube_id, container=r.container, path=r.path,
+            level=r.level, measure=r.measure,
+            explicit_dims=tuple(_json.loads(r.explicit_dims)),
+            implicit_dims=tuple(_json.loads(r.implicit_dims)),
+            storage=r.storage, cube=None,
+        )
+    for r in spark.read.parquet(os.path.join(path, "metadata")).collect():
+        st.metadata.setdefault(r.cube_id, {})[r.key] = r.value
+    st.lineage = [
+        (r.out_cube, r.task, r.in_cube)
+        for r in spark.read.parquet(os.path.join(path, "lineage")).collect()
+    ]
+    st.folders = {
+        r.folder for r in spark.read.parquet(os.path.join(path, "folders")).collect()
+    }
+    if st.entries:
+        st._next_id = max(e.cube_id for e in st.entries.values()) + 1
+    return st

@@ -334,3 +334,29 @@ def test_script_env_injection(spark):
     m = ManagementService(spark)
     out = m.script("print_env", session_id="sessX", workflow_id=7).strip()
     assert out == "sessX:7"
+
+
+def test_store_persist_reload(spark, tables, tmp_path):
+    from ophidia_server_spark.store import load_store, save_store
+
+    st = CubeStore(spark=spark, workspace=str(tmp_path / "ws"))
+    li = tables["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    st.createcontainer("c1", "/exp")
+    pid = st.register(cube, "c1", path="/exp", materialize=True)
+    dup = st.duplicate(pid)
+    st.metadata_put(pid, "units", "kg")
+    cat_path = str(tmp_path / "catalog")
+    save_store(st, cat_path)
+
+    st2 = load_store(spark, cat_path, workspace=str(tmp_path / "ws"))
+    assert set(st2.entries) == set(st.entries)
+    assert st2.metadata_get(pid, "units") == "kg"
+    assert st2.lineage == st.lineage
+    # the materialized cube is readable after reload and ids keep counting
+    assert st2.get(pid).df.count() == 6
+    pid3 = st2.register(cube, "c1", path="/exp")
+    assert st2.entries[pid3].cube_id > st2.entries[dup].cube_id
