@@ -1950,3 +1950,24 @@ def events_range_join(spark, sf_dir):
     )
     j = bucketed_range_join(ev.select("ts"), iv, "ts", "lo", "hi")
     return j.groupBy("iv_type").agg(F.count("*").cast("long").alias("n_in_window"))
+
+
+@q("events_user_approx_distinct")  # HLL sketch: approximate, rows-only check
+def events_user_approx_distinct(spark, sf_dir):
+    # the 100 TB path for events_user_distinct: HyperLogLog sketches merge
+    # map-side (mergeable-summary property), no exact-distinct shuffle
+    ev = _t(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@q("lineitem_approx_quantiles")  # t-digest sketch: approximate, rows-only
+def lineitem_approx_quantiles(spark, sf_dir):
+    # the 100 TB path for lineitem_quantiles (percentile_approx sketches are
+    # mergeable map-side; exact percentile re-sorts per group)
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )
