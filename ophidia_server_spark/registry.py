@@ -1971,3 +1971,87 @@ def lineitem_approx_quantiles(spark, sf_dir):
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# operator x operation matrix fills (aggregate avg/min, reduce var,
+# intercube mul/abs/max)
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_aggregate_avg",
+    f"WITH {BASE_QTY} SELECT l_returnflag, month, "
+    "ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS qty "
+    "FROM base GROUP BY l_returnflag, month",
+)
+def cube_aggregate_avg(spark, sf_dir):
+    a = C.oph_aggregate(cube_qty(spark, sf_dir), "avg", ["l_linestatus"])
+    return a.long().select(
+        "l_returnflag", F.col("month").cast("long").alias("month"),
+        F.round(F.col("qty").cast("double"), 6).alias("qty"),
+    )
+
+
+@q(
+    "cube_aggregate_min",
+    f"WITH {BASE_QTY} SELECT l_returnflag, month, CAST(MIN(qty) AS DOUBLE) AS qty "
+    "FROM base GROUP BY l_returnflag, month",
+)
+def cube_aggregate_min(spark, sf_dir):
+    a = C.oph_aggregate(cube_qty(spark, sf_dir), "min", ["l_linestatus"])
+    return a.long().select(
+        "l_returnflag", F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
+    "cube_reduce_var",
+    _reduce_oracle(
+        "ROUND((CAST(SUM(qty*qty) AS DOUBLE) - CAST(SUM(qty) AS DOUBLE)*CAST(SUM(qty) AS DOUBLE)/COUNT(*)) / (COUNT(*) - 1), 4)",
+        "var_qty",
+    ),
+)
+def cube_reduce_var(spark, sf_dir):
+    r = C.oph_reduce(cube_qty(spark, sf_dir), "var", "var_qty")
+    return r.withColumn("var_qty", F.round("var_qty", 4))
+
+
+@q(
+    "cube_intercube_mul",
+    f"""WITH {BASE_QTY}, {BASE_PRICE}
+SELECT b.l_returnflag, b.l_linestatus, b.month,
+       ROUND(CAST(p.price AS DOUBLE) * CAST(b.qty AS DOUBLE), 2) AS product
+FROM base b JOIN pbase p
+  ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month""",
+)
+def cube_intercube_mul(spark, sf_dir):
+    ic = C.oph_intercube(cube_price(spark, sf_dir), cube_qty(spark, sf_dir), "mul", "product")
+    return ic.long().select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("product"), 2).alias("product"),
+    )
+
+
+@q(
+    "cube_intercube_absmax",
+    f"""WITH {BASE_QTY}, {BASE_PRICE}
+SELECT b.l_returnflag, b.l_linestatus, b.month,
+       ROUND(ABS(CAST(p.price AS DOUBLE) - CAST(b.qty AS DOUBLE)), 2) AS absdiff,
+       ROUND(GREATEST(CAST(p.price AS DOUBLE), CAST(b.qty AS DOUBLE)), 2) AS mx
+FROM base b JOIN pbase p
+  ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month""",
+)
+def cube_intercube_absmax(spark, sf_dir):
+    a, b = cube_price(spark, sf_dir), cube_qty(spark, sf_dir)
+    ab = C.oph_intercube(a, b, "abs", "absdiff")
+    mx = C.oph_intercube(a, b, "max", "mx")
+    j = ab.long().join(
+        mx.long().withColumnRenamed("mx", "__mx"),
+        ["l_returnflag", "l_linestatus", "month"],
+    )
+    return j.select(
+        "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
+        F.round(F.col("absdiff"), 2).alias("absdiff"),
+        F.round(F.col("__mx"), 2).alias("mx"),
+    )
