@@ -306,5 +306,8 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_quality_filter": op_pipe_quality_filter,
             "pipeline_minhash_pairs": op_pipe_minhash,
         },
-        catalog=store.as_catalog(),
+        catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
+        pid_resolver=lambda cid: next(
+            pid for pid, e in store.entries.items() if str(e.cube_id) == cid
+        ),
     )

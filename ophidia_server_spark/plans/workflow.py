@@ -173,9 +173,13 @@ class WorkflowEngine:
     reference's in-process serve path (oph_known_operators.c:95-134).
     """
 
-    def __init__(self, operators: dict[str, Callable] | None = None, catalog=None):
+    def __init__(self, operators: dict[str, Callable] | None = None, catalog=None,
+                 pid_resolver: Callable[[str], str] | None = None):
         self.operators = dict(operators or {})
         self.catalog = catalog  # Catalog for massive `cube=[...]` expansion
+        # maps expanded cube ids to full PIDs (the reference renders PID URLs
+        # for light tasks, oph_massive_operations.c:342-348)
+        self.pid_resolver = pid_resolver
 
     # -- flow-control expansion ------------------------------------------------
     def _expand_loops(self, tasks: list[dict], variables: dict[str, Any]) -> list[dict]:
@@ -326,8 +330,14 @@ class WorkflowEngine:
                 raise WorkflowError("massive cube argument but engine has no catalog")
             from ophidia_server_spark.filters import compile_massive
 
-            rows = compile_massive(self.catalog, str(cube_arg)).collect()
-            return "cube", [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
+            # catalog may be a zero-arg callable so live stores (CubeStore)
+            # are re-snapshotted at expansion time, not engine-build time
+            cat = self.catalog() if callable(self.catalog) else self.catalog
+            rows = compile_massive(cat, str(cube_arg)).collect()
+            items = [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
+            if self.pid_resolver is not None:
+                items = [self.pid_resolver(i) for i in items]
+            return "cube", items
         src_arg = args.get("src_path")
         if src_arg and "[" in str(src_arg):
             from ophidia_server_spark.filters import parse_massive

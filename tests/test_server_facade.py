@@ -244,3 +244,34 @@ def test_pipeline_workflow_chain(env, spark, tables, tmp_path):
     assert spark.read.parquet(run.results["pairs"].value).columns == [
         "doc_a", "doc_b", "est_jaccard",
     ]
+
+
+def test_facade_massive_over_store_catalog(env):
+    eng, store, src = env
+    imp = {
+        "src_path": src, "container": "exp",
+        "explicit_dims": "l_returnflag|l_linestatus",
+        "implicit_dim": "month", "measure": "l_quantity",
+        "schema": "l_returnflag string, l_linestatus string, "
+                  "month int, l_quantity double",
+    }
+    wf = {
+        "tasks": [
+            {"name": "a", "operator": "oph_importcsv", "arguments": imp},
+            {"name": "b", "operator": "oph_importcsv", "arguments": imp},
+            # massive selection sees BOTH cubes imported earlier in this run
+            # (catalog resolved at expansion time, light task per match)
+            {
+                "name": "schemas", "operator": "oph_cubeschema",
+                "arguments": {"cube": "[container=exp]"},
+                "dependencies": ["a", "b"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    vals = run.results["schemas"].value
+    assert isinstance(vals, list) and len(vals) == 2
+    assert all(v["measure"] == "l_quantity" for v in vals)
