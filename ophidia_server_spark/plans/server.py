@@ -229,6 +229,32 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             _resolve_cube_arg(args, inputs), limit=int(args.get("limit", 100))
         )
 
+    def op_publish(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        out = IO.oph_publish(
+            store.get(pid), args["publish_dir"], args.get("name", f"cube_{store.entries[pid].cube_id}"),
+            limit=int(args.get("limit", 1000)),
+        )
+        return out
+
+    def op_unpublish(engine, args, inputs):
+        IO.oph_unpublish(args["publish_dir"], args["name"])
+        return None
+
+    def op_fs(engine, args, inputs):
+        from ophidia_server_spark.plans.response import grid as _grid  # noqa: F401
+
+        entries = IO.oph_fs(
+            args["path"], file_filter=args.get("file"),
+            recursive=str(args.get("recursive", "no")).lower() == "yes",
+        )
+        return {
+            "objclass": "grid", "title": f"fs ls {args['path']}",
+            "rowkeys": ["type", "name", "size"],
+            "rowfieldtypes": ["string", "string", "bigint"],
+            "rowvalues": [[e["type"], e["name"], e["size"]] for e in entries],
+        }
+
     def op_exportcsv(engine, args, inputs):
         pid = _resolve_cube_arg(args, inputs)
         IO.oph_exportcsv(store.get(pid), args["output_path"])
@@ -302,6 +328,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_cubeschema": op_cubeschema,
             "oph_explorecube": op_explorecube,
             "oph_exportcsv": op_exportcsv,
+            "oph_publish": op_publish,
+            "oph_unpublish": op_unpublish,
+            "oph_fs": op_fs,
             "pipeline_dedup_exact": op_pipe_dedup,
             "pipeline_quality_filter": op_pipe_quality_filter,
             "pipeline_minhash_pairs": op_pipe_minhash,

@@ -275,3 +275,46 @@ def test_facade_massive_over_store_catalog(env):
     vals = run.results["schemas"].value
     assert isinstance(vals, list) and len(vals) == 2
     assert all(v["measure"] == "l_quantity" for v in vals)
+
+
+def test_facade_publish_and_fs(env, tmp_path):
+    eng, store, src = env
+    pub = str(tmp_path / "www")
+    wf = {
+        "tasks": [
+            {
+                "name": "imp", "operator": "oph_importcsv",
+                "arguments": {
+                    "src_path": src, "container": "exp",
+                    "explicit_dims": "l_returnflag|l_linestatus",
+                    "implicit_dim": "month", "measure": "l_quantity",
+                    "schema": "l_returnflag string, l_linestatus string, "
+                              "month int, l_quantity double",
+                },
+            },
+            {
+                "name": "pub", "operator": "oph_publish",
+                "arguments": {"publish_dir": pub, "name": "mycube"},
+                "dependencies": ["imp"],
+            },
+            {
+                "name": "ls", "operator": "oph_fs",
+                "arguments": {"path": pub, "file": r"\.html$"},
+                "dependencies": ["pub"],
+            },
+            {
+                "name": "unpub", "operator": "oph_unpublish",
+                "arguments": {"publish_dir": pub, "name": "mycube"},
+                "dependencies": ["ls"],
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    names = [r[1] for r in run.results["ls"].value["rowvalues"]]
+    assert names == ["mycube.html"]
+    import os
+
+    assert not os.path.exists(os.path.join(pub, "mycube.html"))  # unpublished

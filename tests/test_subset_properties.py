@@ -63,3 +63,34 @@ def test_parse_rejects_bad_strings():
     for bad in ("", "1::", "a:b", "1:0:5", "end:3", "1,,2"):
         with pytest.raises(ValueError):
             parse_subset(bad)
+
+
+# -- massive-filter grammar robustness (hypothesis) ---------------------------
+
+filter_key_st = st.sampled_from(
+    ["level", "measure", "container", "cube_filter", "path", "metadata_key", "anyfree"]
+)
+filter_val_st = st.text(
+    alphabet="abcdefghij0123456789:_/", min_size=1, max_size=12
+).filter(lambda s: s.strip(":") != "")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(filter_key_st, filter_val_st), min_size=1, max_size=4))
+def test_parse_massive_never_crashes(pairs):
+    from ophidia_server_spark.filters import parse_massive
+
+    arg = "[" + ";".join(f"{k}={v}" for k, v in pairs) + "]"
+    groups, pids = parse_massive(arg)
+    assert len(groups) == 1 and pids == []
+    # every key survives parsing (last value wins on duplicates)
+    assert set(groups[0]).issubset({k for k, _ in pairs})
+
+
+@settings(max_examples=100, deadline=None)
+@given(filter_val_st)
+def test_parse_massive_bare_value_is_cube_filter(v):
+    from ophidia_server_spark.filters import parse_massive
+
+    groups, _ = parse_massive(f"[{v}]")
+    assert groups == [{"cube_filter": v}]
