@@ -2055,3 +2055,36 @@ def cube_intercube_absmax(spark, sf_dir):
         F.round(F.col("absdiff"), 2).alias("absdiff"),
         F.round(F.col("__mx"), 2).alias("mx"),
     )
+
+
+@q(
+    "cube_apply_wavelet",
+    f"""WITH {BASE_QTY},
+pos AS (
+  SELECT l_returnflag, l_linestatus, CAST(qty AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY month) AS rn
+  FROM base
+),
+pairs AS (
+  SELECT l_returnflag, l_linestatus, CAST(CEIL(rn / 2.0) AS BIGINT) AS i,
+         MAX(CASE WHEN rn % 2 = 1 THEN v END) AS odd_v,
+         MAX(CASE WHEN rn % 2 = 0 THEN v END) AS even_v
+  FROM pos GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, l_linestatus, i AS pos, ROUND((odd_v + even_v) / 2, 4) AS w
+FROM pairs
+UNION ALL
+SELECT l_returnflag, l_linestatus, i + 6 AS pos, ROUND((odd_v - even_v) / 2, 4) AS w
+FROM pairs""",
+)
+def cube_apply_wavelet(spark, sf_dir):
+    # one Haar level over the 12-month measure arrays: [a1..a6 | d1..d6]
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.haar_step(), "w")
+    return ap.df.select(
+        "l_returnflag", "l_linestatus",
+        F.posexplode(F.col(ap.df.columns[-1])).alias("__p", "w"),
+    ).select(
+        "l_returnflag", "l_linestatus",
+        (F.col("__p") + 1).cast("long").alias("pos"),
+        F.round("w", 4).alias("w"),
+    )
