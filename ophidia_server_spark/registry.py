@@ -2088,3 +2088,27 @@ def cube_apply_wavelet(spark, sf_dir):
         (F.col("__p") + 1).cast("long").alias("pos"),
         F.round("w", 4).alias("w"),
     )
+
+
+@q(
+    "supplier_nation_stats",
+    """SELECT n_name, r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name""",
+)
+def supplier_nation_stats(spark, sf_dir):
+    # two broadcast dim joins (nation/region are tiny) + hash agg
+    t = _t(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
