@@ -261,3 +261,39 @@ def ngram_jaccard_exact(
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
+
+
+def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over near-dup pairs: every doc mapped to its
+    cluster representative (the minimum doc id reachable through pair edges) —
+    the step that turns pairwise candidates into removable duplicate groups.
+
+    Near-dup edge lists are tiny relative to the corpus (pairs only exist for
+    actual near-dups), so components are solved driver-side with union-find
+    over the collected edges. At a scale where even the EDGE LIST overflows
+    the driver, swap for the iterative large-star/small-star map-reduce — the
+    output contract (doc_id, cluster_rep) is unchanged.
+    """
+    edges = [(r[a_col], r[b_col]) for r in pairs.select(a_col, b_col).collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min id wins as representative (deterministic)
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    rows = [(x, find(x)) for x in sorted(parent)]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(rows or [], "doc_id long, cluster_rep long")

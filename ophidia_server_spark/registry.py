@@ -2112,3 +2112,11 @@ def supplier_nation_stats(spark, sf_dir):
             F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
         )
     )
+
+
+@q("dedup_minhash_clusters")  # clusters over approximate pairs: rows-only
+def dedup_minhash_clusters(spark, sf_dir):
+    # full near-dup ladder: shingle -> minhash -> LSH pairs -> components
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = dd.minhash_lsh_pairs(docs)
+    return dd.cluster_pairs(pairs)

@@ -56,3 +56,14 @@ def test_ivf_partitioned_store_prunes(spark, tables, tmp_path):
     assert "PartitionFilters: [" in plan and "__cell" in plan.split("PartitionFilters")[1][:120]
     # pruned scan reads fewer rows than the full store
     assert 0 < probed.count() < stored.count()
+
+
+def test_cluster_pairs_transitive(spark):
+    from ophidia_server_spark.pipeline.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_rep for r in cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
