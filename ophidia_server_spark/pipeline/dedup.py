@@ -297,3 +297,13 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") 
     rows = [(x, find(x)) for x in sorted(parent)]
     spark = pairs.sparkSession
     return spark.createDataFrame(rows or [], "doc_id long, cluster_rep long")
+
+
+def dedup_near(df: DataFrame, text_col: str = "text", **lsh_kwargs) -> DataFrame:
+    """End of the ladder: drop near-duplicates, keeping each cluster's
+    representative (min doc_id). Composition: minhash LSH pairs -> connected
+    components -> anti-join of non-representative members."""
+    pairs = minhash_lsh_pairs(df, text_col, **lsh_kwargs)
+    clusters = cluster_pairs(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return df.join(losers, "doc_id", "left_anti")

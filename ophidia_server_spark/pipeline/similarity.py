@@ -228,3 +228,17 @@ def allpairs_above(
         F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         out_col: str = "unit") -> DataFrame:
+    """L2-normalize an embedding column (the standard ANN preprocessing:
+    cosine on unit vectors = plain dot product, so index-time normalization
+    buys a division-free score at query time). Zero vectors stay zero."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(
+            n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0))),
+    )

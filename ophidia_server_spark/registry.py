@@ -2120,3 +2120,35 @@ def dedup_minhash_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir)["documents"]
     pairs = dd.minhash_lsh_pairs(docs)
     return dd.cluster_pairs(pairs)
+
+
+@q("dedup_near_removal")  # approximate pipeline output: rows-only
+def dedup_near_removal(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    return dd.dedup_near(docs).select("doc_id")
+
+
+@q(
+    "sim_normalized_norms",
+    """SELECT vec_id,
+       ROUND(sqrt(list_aggregate(list_transform(
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_aggregate(
+                          list_transform(CAST(embedding AS DOUBLE[]), y -> y*y), 'sum'))),
+         z -> z*z), 'sum')), 6) AS unit_norm
+FROM embeddings""",
+)
+def sim_normalized_norms(spark, sf_dir):
+    # every normalized vector has unit L2 norm (fixture vectors are nonzero)
+    e = sim.normalize_embeddings(_t(spark, sf_dir)["embeddings"])
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("unit", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+                )
+            ),
+            6,
+        ).alias("unit_norm"),
+    )
