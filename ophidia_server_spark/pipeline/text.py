@@ -155,3 +155,31 @@ def contamination_flags(
         F.size(overlap).cast("long").alias("n_shared_shingles"),
         (F.size(overlap) > 0).alias("contaminated"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 64, overlap_tokens: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step of an LLM training/RAG pipeline. Emits
+    (doc_id, chunk_no, n_tokens, chunk_text); the final partial window is
+    kept. Pure array exprs: tokenize once, slice per chunk start.
+    """
+    step = chunk_tokens - overlap_tokens
+    if step <= 0:
+        raise ValueError("overlap must be smaller than the chunk size")
+    staged = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    # starts: 1, 1+step, ... while start <= n (1-based); empty docs get none
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    exploded = staged.filter(n > 0).select(
+        "doc_id", "__toks", F.posexplode(starts).alias("chunk_no", "__start")
+    )
+    piece = F.slice("__toks", F.col("__start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -2152,3 +2152,25 @@ def sim_normalized_norms(spark, sf_dir):
             6,
         ).alias("unit_norm"),
     )
+
+
+@q(
+    "text_chunking",
+    r"""WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS s,
+         CAST((unnest(range(1, greatest(len(toks), 1) + 1, 48)) - 1) / 48 AS BIGINT) AS chunk_no
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_no,
+       CAST(len(toks[s:least(s + 63, len(toks))]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s:least(s + 63, len(toks))], ' ') AS chunk_text
+FROM starts""",
+)
+def text_chunking(spark, sf_dir):
+    # 64-token chunks, 16-token overlap (step 48)
+    return tx.chunk_documents(_t(spark, sf_dir)["documents"], 64, 16)
