@@ -45,6 +45,13 @@ HEADLINE = [
     "cube_apply_zscore",
     "sim_ivf_topk",
     "events_sliding_1h30m",
+    # round-1 flagship extensions: point-in-time/range joins, chunking,
+    # contamination scan, exact embedding near-dup
+    "events_asof_join",
+    "events_range_join",
+    "text_chunking",
+    "text_contamination",
+    "dedup_embedding_cosine",
 ]
 
 
