@@ -306,6 +306,21 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_chunk(engine, args, inputs):
+        from ophidia_server_spark.pipeline.text import chunk_documents
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        chunk_documents(
+            spark.read.parquet(src),
+            int(args.get("chunk_tokens", 64)),
+            int(args.get("overlap_tokens", 16)),
+            args.get("text_col", "text"),
+        ).write.mode("overwrite").parquet(out)
+        return out
+
     return WorkflowEngine(
         {
             "oph_importcsv": op_importcsv,
@@ -334,6 +349,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_dedup_exact": op_pipe_dedup,
             "pipeline_quality_filter": op_pipe_quality_filter,
             "pipeline_minhash_pairs": op_pipe_minhash,
+            "pipeline_chunk": op_pipe_chunk,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -229,6 +229,12 @@ def test_pipeline_workflow_chain(env, spark, tables, tmp_path):
                               "output_path": str(tmp_path / "pairs")},
                 "dependencies": ["filter"],
             },
+            {
+                "name": "chunks", "operator": "pipeline_chunk",
+                "arguments": {"chunk_tokens": 32, "overlap_tokens": 8,
+                              "output_path": str(tmp_path / "chunks")},
+                "dependencies": ["filter"],
+            },
         ]
     }
     run = eng.run(wf)
@@ -244,6 +250,9 @@ def test_pipeline_workflow_chain(env, spark, tables, tmp_path):
     assert spark.read.parquet(run.results["pairs"].value).columns == [
         "doc_a", "doc_b", "est_jaccard",
     ]
+    chunks = spark.read.parquet(run.results["chunks"].value)
+    assert chunks.count() >= n_filtered  # every kept doc yields >= 1 chunk
+    assert chunks.agg(F.max("n_tokens")).first()[0] <= 32
 
 
 def test_facade_massive_over_store_catalog(env):
