@@ -321,6 +321,27 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_contamination(engine, args, inputs):
+        from ophidia_server_spark.pipeline.dedup import shingle_sets
+        from ophidia_server_spark.pipeline.text import contamination_flags
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        docs = spark.read.parquet(src)
+        probe_src = spark.read.parquet(str(args["probe_path"]))
+        probe = [
+            r.s for r in shingle_sets(probe_src, args.get("text_col", "text"))
+            .select(F.explode("shingles").alias("s")).collect()
+        ]
+        flags = contamination_flags(docs, probe, args.get("text_col", "text"))
+        kept = docs.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("overwrite").parquet(out)
+        return out
+
     return WorkflowEngine(
         {
             "oph_importcsv": op_importcsv,
@@ -350,6 +371,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_quality_filter": op_pipe_quality_filter,
             "pipeline_minhash_pairs": op_pipe_minhash,
             "pipeline_chunk": op_pipe_chunk,
+            "pipeline_decontaminate": op_pipe_contamination,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

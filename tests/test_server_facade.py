@@ -327,3 +327,30 @@ def test_facade_publish_and_fs(env, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(pub, "mycube.html"))  # unpublished
+
+
+def test_pipeline_decontaminate(env, spark, tables, tmp_path):
+    eng, store, _src = env
+    docs = tables["documents"]
+    src = str(tmp_path / "corpus")
+    docs.write.mode("overwrite").parquet(src)
+    probe = str(tmp_path / "evalset")
+    docs.filter(F.col("doc_id") == 0).write.mode("overwrite").parquet(probe)
+    out = str(tmp_path / "clean")
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "scrub", "operator": "pipeline_decontaminate",
+                    "arguments": {"src_path": src, "probe_path": probe,
+                                  "output_path": out},
+                }
+            ]
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    clean_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 0 not in clean_ids            # the probe doc itself is scrubbed
+    assert len(clean_ids) < docs.count()  # plus its near-duplicates
