@@ -138,22 +138,47 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def contamination_flags(
-    df: DataFrame, probe_shingles: list[str], text_col: str = "text", shingle_k: int = 3
+    df: DataFrame,
+    probe_shingles: "list[str] | DataFrame",
+    text_col: str = "text",
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Benchmark-contamination check: flag documents sharing any k-token
     shingle with a probe set (eval-set leakage detection, a standard
-    training-corpus hygiene pass). The probe set rides into the plan as a
-    literal array (broadcast-free for small sets; at scale use a broadcast
-    join against a probe table keyed by shingle hash)."""
+    training-corpus hygiene pass).
+
+    Scale path: explode per-doc distinct shingles and broadcast-semi-join the
+    probe set (a DataFrame with a string column `s`, or a driver-side list
+    parallelized into one). The corpus side never shuffles raw shingles — the
+    only exchange is the per-doc hit count (map-side partial count), and the
+    probe table (an eval set, ~MBs) broadcasts. This replaces an earlier
+    literal-`array_intersect` plan that embedded the probe in every task's
+    expression tree (plan-size blowup, ~5x slower at sf0.1)."""
     from ophidia_server_spark.pipeline.dedup import _shingles
 
-    probe = F.array(*[F.lit(s) for s in sorted(set(probe_shingles))])
-    sh = F.array_distinct(_shingles(text_col, shingle_k))
-    overlap = F.array_intersect(sh, probe)
-    return df.select(
-        "doc_id",
-        F.size(overlap).cast("long").alias("n_shared_shingles"),
-        (F.size(overlap) > 0).alias("contaminated"),
+    if isinstance(probe_shingles, DataFrame):
+        probe_df = probe_shingles.select(F.col(probe_shingles.columns[0]).alias("s"))
+    else:
+        probe_df = df.sparkSession.createDataFrame(
+            [(s,) for s in sorted(set(probe_shingles))], "s string"
+        )
+    ex = df.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("s")
+    )
+    hits = (
+        ex.join(F.broadcast(probe_df.distinct()), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    n = F.coalesce(F.col("__hits"), F.lit(0))
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_shared_shingles"),
+            (n > 0).alias("contaminated"),
+        )
     )
 
 

@@ -331,10 +331,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         out = str(args["output_path"])
         docs = spark.read.parquet(src)
         probe_src = spark.read.parquet(str(args["probe_path"]))
-        probe = [
-            r.s for r in shingle_sets(probe_src, args.get("text_col", "text"))
-            .select(F.explode("shingles").alias("s")).collect()
-        ]
+        probe = shingle_sets(probe_src, args.get("text_col", "text")).select(
+            F.explode("shingles").alias("s")
+        )
         flags = contamination_flags(docs, probe, args.get("text_col", "text"))
         kept = docs.join(
             flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"

@@ -1874,15 +1874,16 @@ FROM sh, probe""",
 )
 def text_contamination(spark, sf_dir):
     # probe = shingles of doc 0 (stand-in for an eval set); flags every doc
-    # sharing a 3-gram with it — doc 0 itself plus its near-duplicates
+    # sharing a 3-gram with it — doc 0 itself plus its near-duplicates.
+    # The probe stays a DataFrame end-to-end (no driver collect): it feeds the
+    # broadcast side of the semi-join inside contamination_flags.
     from ophidia_server_spark.pipeline.dedup import shingle_sets
 
     docs = _t(spark, sf_dir)["documents"]
-    probe = [
-        r.s for r in
+    probe = (
         shingle_sets(docs.filter(F.col("doc_id") == 0))
-        .select(F.explode("shingles").alias("s")).collect()
-    ]
+        .select(F.explode("shingles").alias("s"))
+    )
     return tx.contamination_flags(docs, probe)
 
 
