@@ -181,28 +181,42 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
 
     sim(doc) bit j = 1 iff sum over tokens of (+1 if bit j of xxhash64(tok)
     else -1) > 0. Near-dups share most bits (hamming distance). JVM-side only.
-    """
-    staged = df.select(
-        "doc_id", F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h")
-    )
-    hashes = F.col("__h")
 
-    def bit_term(j: int):
-        # sign-sum for bit j across all token hashes (j is a plan-time int —
-        # shiftright requires a literal shift amount)
-        s = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    Tokens are exploded and the 64 per-bit sign-sums run as plain sum()
+    hash aggregates (an earlier version folded each bit with an interpreted
+    aggregate() over the token array — 64 interpreted passes per doc).
+    Map-side partials reduce each doc to 64 longs before the shuffle, so the
+    plan holds at corpus scale. Docs with no tokens keep a row (simhash 0)
+    via the left join back."""
+    ex = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select("doc_id", F.xxhash64("__t").alias("h"))
+    # sum the raw bit, not ±1: sign-sum > 0  ⟺  2*popcount_j > n_tokens.
+    # NOTE: 65 aggregate buffer fields exceed spark.sql.codegen.maxFields
+    # (100 incl. keys/input), so this stage runs interpreted either way —
+    # explode+sum still wins over per-bit array folds via map-side partials,
+    # and raising maxFields restores codegen where the session allows it
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    sums = ex.groupBy("doc_id").agg(F.count("*").alias("__n"), *aggs)
+
+    def bit_val(j: int) -> int:
+        return (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(2 * F.col(f"__s{j}") > F.col("__n"), F.lit(bit_val(j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-        bit_val = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
-        return F.when(s > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sim = bit_term(0)
-    for j in range(1, bits):
-        sim = sim.bitwiseOR(bit_term(j))
-    return staged.select("doc_id", sim.alias("simhash"))
+    packed = sums.select("doc_id", sim.alias("simhash"))
+    return (
+        df.select("doc_id")
+        .join(packed, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(

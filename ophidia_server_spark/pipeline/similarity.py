@@ -58,14 +58,55 @@ def topk_cosine(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def _plane_matrix(dim: int, bits: int):
+    """Deterministic pseudo-random hyperplanes, (dim, bits) float64:
+        plane[j][d] = ((j*dim + d) * 2654435761 mod 1000003)/1000003 - 0.5
+    Derived from a fixed integer hash — reproducible across runs/engines with
+    no stored model."""
+    import numpy as np
+
+    idx = np.add.outer(np.arange(bits, dtype=np.int64) * dim,
+                       np.arange(dim, dtype=np.int64))  # (bits, dim)
+    return (((idx * 2654435761) % 1000003) / 1000003.0 - 0.5).T  # (dim, bits)
+
+
+def signature_of(vec: list[float], bits: int = 8) -> int:
+    """Driver-side signature of one vector (query-side of an LSH probe) —
+    the same matmul the corpus-side UDF runs, so the sign convention can
+    never drift between the two sides."""
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    b = (v @ _plane_matrix(len(vec), bits)) > 0
+    return int(b @ (1 << np.arange(bits, dtype=np.int64)))
+
+
+def signature_udf(dim: int, bits: int = 8):
+    """Arrow-batched hyperplane signature: (batch, dim) @ (dim, bits) matmul,
+    sign bits packed into a long. The plane matrix rides into each task as a
+    closure (dim x bits float64 — tiny). Replaces a per-bit interpreted
+    aggregate() fold that cost ~0.45 ms/row; the matmul is the sanctioned
+    Pandas-UDF path for dense linear algebra (same as IVF cell assignment)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    P = _plane_matrix(dim, bits)
+    w = (1 << np.arange(bits, dtype=np.int64))
+
+    def _sig_fn(v):
+        M = np.stack(v.to_numpy())  # (batch, dim)
+        return pd.Series(((M @ P) > 0) @ w)
+
+    _sig_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sig_fn, T.LongType())
+
+
 def hyperplane_signature(
     vec_col: Column, dim: int, bits: int = 8
 ) -> Column:
-    """Deterministic random-hyperplane LSH signature (sign of dot with pseudo
-    random planes). Planes are derived from a fixed integer hash of (bit, dim)
-    — reproducible across runs/engines, no stored model needed:
-        plane[j][d] = ((j*dim + d) * 2654435761 mod 1000003)/1000003 - 0.5
-    """
+    """Column-expression form of the hyperplane signature (kept for plans
+    that must stay pure-JVM; prefer signature_udf for bulk scoring)."""
     sig = F.lit(0).cast("long")
     for j in range(bits):
         plane = F.array(
@@ -92,15 +133,14 @@ def lsh_topk_cosine(
     prunes partitions, so only ~ (bits+1)/2^bits of the corpus is read.
     """
     dim = len(query_vec)
-    qsig_col = hyperplane_signature(F.array(*[F.lit(float(v)) for v in query_vec]), dim, bits)
-    sig = hyperplane_signature(F.col(vec_col), dim, bits)
+    qsig = signature_of(query_vec, bits)
+    probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    probes = F.array(
-        qsig_col, *[qsig_col.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(bits)]
-    )
     scored = (
-        df.withColumn("__sig", sig)
-        .filter(F.array_contains(probes, F.col("__sig")))
+        df.withColumn(
+            "__sig", signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
+        )
+        .filter(F.col("__sig").isin(probe_sigs))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
@@ -214,20 +254,46 @@ def allpairs_above(
 ) -> DataFrame:
     """All pairs with cosine >= threshold via LSH bucket self-join (embedding
     near-dup dedup). Only same-bucket pairs are scored — sub-quadratic; high-
-    similarity pairs land in the same bucket with high probability."""
-    sig = hyperplane_signature(F.col(vec_col), dim, bits)
-    keyed = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__sig") == F.col("b.__sig"))
-        & (F.col("a." + id_col) < F.col("b." + id_col)),
-    ).select(
-        F.col("a." + id_col).alias("id_a"),
-        F.col("b." + id_col).alias("id_b"),
-        F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias("cosine_sim"),
+    similarity pairs land in the same bucket with high probability.
+
+    One signature matmul per vector, then one normalized Gram matmul per
+    bucket via applyInPandas — no self-join, no per-pair interpreted dot
+    (the previous bucket self-join re-scored each candidate pair with an
+    interpreted 2*dim-element fold; the blocked matmul is ~100x fewer
+    Python/JVM boundary crossings). The bucket groupBy is the only shuffle,
+    and it moves each vector exactly once. Buckets must fit one task's
+    memory: size `bits` so n/2^bits stays bounded (at 100 TB, raise bits or
+    band multiple signatures; the quadratic is per-bucket by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__sig", signature_udf(dim, bits)(F.col("__v")))
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        M = np.stack(pdf["__v"].to_numpy())
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        S = (M / norms[:, None]) @ (M / norms[:, None]).T
+        ia, ib = np.triu_indices(len(ids), 1)
+        sims = S[ia, ib]
+        # Spark's round() is HALF_UP (away from zero) — mirror it exactly so
+        # the LSH pairs stay a subset of the JVM-rounded brute-force pairs
+        rounded = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        m = rounded >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[m]], "id_b": ids[ib[m]], "cosine_sim": rounded[m]}
+        )
+
+    return keyed.groupBy("__sig").applyInPandas(
+        _score, "id_a long, id_b long, cosine_sim double"
     )
-    return pairs.filter(F.col("cosine_sim") >= threshold)
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
