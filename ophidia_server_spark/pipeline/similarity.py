@@ -158,16 +158,23 @@ def exact_pairs_above(
     `allpairs_above` (LSH buckets) instead.
     """
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    keyed = base.select(F.col(id_col), F.col(vec_col))
+    # per-row norm computed once BEFORE the join — per-pair cosine() would
+    # re-fold both norms for every one of the O(n^2) pairs (3x the work).
+    # Same expression over the same rows, so the floats are bit-identical to
+    # the per-pair form (keeps the DuckDB oracle hash match)
+    keyed = base.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__norm")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
+    pair_cos = _dot(F.col("a." + vec_col), F.col("b." + vec_col)) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
     return (
         a.join(b, F.col("a." + id_col) < F.col("b." + id_col))
         .select(
             F.col("a." + id_col).alias("id_a"),
             F.col("b." + id_col).alias("id_b"),
-            F.round(cosine(F.col("a." + vec_col), F.col("b." + vec_col)), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(pair_cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
