@@ -52,6 +52,8 @@ HEADLINE = [
     "text_chunking",
     "text_contamination",
     "dedup_embedding_cosine",
+    # deterministic corpus mixing (hash-based stratified sampling + audit)
+    "sample_stratified_mix",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Deterministic sampling / splitting / corpus-mixing operators.
+
+The selection primitive everywhere is a content-addressed coin flip:
+
+    keep(key)  ⟺  substr(md5(key || ':' || salt), 1, 8) < hex_threshold(frac)
+
+md5 produces identical lowercase hex in Spark and DuckDB, and hex strings
+over [0-9a-f] order lexicographically exactly like their numeric value — so
+every operator here is an exact DuckDB-oracle query, needs no RNG state, is
+reproducible across engines/runs/cluster sizes, and re-samples stably when
+documents are added (a doc's fate depends only on its key and the salt).
+
+Scale shape: pure map-stage filters (one md5 per row, no shuffle, no
+collect), so Catalyst fuses them into the scan's codegen span and the same
+plan holds at 100 TB. Changing the mix = changing literal thresholds.
+
+Reference parity note: the reference server has no sampling operators —
+these extend the surface for LLM training-data pipelines (corpus mixing and
+held-out splits), per the project's extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 8  # first 8 md5 hex chars = 32 uniform bits
+
+
+def _threshold_hex(frac: float) -> str:
+    """Zero-padded 8-char lowercase hex threshold for a fraction in [0, 1].
+    frac >= 1 returns 'g', which sorts above every hex string — keep-all
+    without a boundary case at 'ffffffff'."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {frac}")
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * _HEX_SPAN), "08x")
+
+
+def _coin(key: Column, salt: str) -> Column:
+    """The 8-hex-char uniform draw for a key column."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, frac: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keeps ~frac of rows, decided purely by
+    md5(key, salt). Unlike df.sample(), membership is stable across runs,
+    engines, and partitionings — the property a training pipeline needs so a
+    re-run reproduces the same corpus."""
+    if frac >= 1.0:
+        return df
+    if frac <= 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(_coin(F.col(key_col), salt) < _threshold_hex(frac))
+
+
+def split_column(
+    key: Column, val_frac: float, test_frac: float, salt: str = "split"
+) -> Column:
+    """'train' / 'val' / 'test' assignment from one draw: the unit interval is
+    carved [0, val) -> val, [val, val+test) -> test, rest -> train."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac > 1.0:
+        raise ValueError("need val_frac, test_frac >= 0 and val+test <= 1")
+    h = _coin(key, salt)
+    return (
+        F.when(h < F.lit(_threshold_hex(val_frac)), F.lit("val"))
+        .when(h < F.lit(_threshold_hex(val_frac + test_frac)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Tag every row with a deterministic, disjoint 'split' column. One draw
+    per row decides all three buckets, so the split is exhaustive and
+    membership never migrates between buckets when fractions change only at
+    the carved boundaries."""
+    return df.withColumn(
+        "split", split_column(F.col(key_col), val_frac, test_frac, salt)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_frac: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing: keep a per-stratum fraction of rows (e.g. upweight
+    curated sources, downsample web crawl). fracs maps stratum value ->
+    fraction; strata not listed get default_frac. One md5 per row, threshold
+    chosen by a literal CASE on the stratum — no shuffle, no per-stratum
+    scans."""
+    thr = F.lit(_threshold_hex(default_frac))
+    for value, frac in sorted(fracs.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.filter(_coin(F.col(key_col), salt) < thr)
+
+
+def mix_report(
+    df: DataFrame, mixed: DataFrame, strata_col: str = "source"
+) -> DataFrame:
+    """Per-stratum before/after counts and achieved rate for a mixing pass —
+    the audit table a pipeline logs next to the mixed corpus."""
+    before = df.groupBy(strata_col).agg(F.count("*").alias("n_before"))
+    after = mixed.groupBy(strata_col).agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, strata_col, "left")
+        .select(
+            strata_col,
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.round(
+                F.coalesce("n_after", F.lit(0)) / F.col("n_before"), 4
+            ).alias("achieved_rate"),
+        )
+    )

@@ -321,6 +321,39 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_sample(engine, args, inputs):
+        from ophidia_server_spark.pipeline.sampling import (
+            hash_sample, stratified_sample, train_val_test_split,
+        )
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        mode = args.get("mode", "bernoulli")
+        if mode == "bernoulli":
+            res = hash_sample(
+                df, float(args["frac"]), args.get("key_col", "doc_id"),
+                args.get("salt", ""),
+            )
+        elif mode == "stratified":
+            res = stratified_sample(
+                df, dict(args["fracs"]), args.get("strata_col", "source"),
+                args.get("key_col", "doc_id"),
+                float(args.get("default_frac", 0.0)), args.get("salt", "mix"),
+            )
+        elif mode == "split":
+            res = train_val_test_split(
+                df, float(args.get("val_frac", 0.1)),
+                float(args.get("test_frac", 0.1)),
+                args.get("key_col", "doc_id"), args.get("salt", "split"),
+            )
+        else:
+            raise ValueError(f"unknown sampling mode: {mode}")
+        res.write.mode("overwrite").parquet(out)
+        return out
+
     def op_pipe_contamination(engine, args, inputs):
         from ophidia_server_spark.pipeline.dedup import shingle_sets
         from ophidia_server_spark.pipeline.text import contamination_flags
@@ -371,6 +404,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_minhash_pairs": op_pipe_minhash,
             "pipeline_chunk": op_pipe_chunk,
             "pipeline_decontaminate": op_pipe_contamination,
+            "pipeline_sample": op_pipe_sample,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -2175,3 +2175,84 @@ FROM starts""",
 def text_chunking(spark, sf_dir):
     # 64-token chunks, 16-token overlap (step 48)
     return tx.chunk_documents(_t(spark, sf_dir)["documents"], 64, 16)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting / corpus mixing (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+from ophidia_server_spark.pipeline import sampling as smp  # noqa: E402
+
+_BERNOULLI_THR = smp._threshold_hex(0.25)
+_VAL_THR = smp._threshold_hex(0.1)
+_VALTEST_THR = smp._threshold_hex(0.2)
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+_MIX_DEFAULT = 0.3
+
+
+@q(
+    "sample_bernoulli",
+    f"""SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8) < '{_BERNOULLI_THR}'""",
+)
+def sample_bernoulli(spark, sf_dir):
+    # content-addressed 25% Bernoulli sample: stable across runs/engines/
+    # partitionings (df.sample() is none of those)
+    return smp.hash_sample(_t(spark, sf_dir)["documents"], 0.25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@q(
+    "sample_train_val_test",
+    f"""WITH tagged AS (
+  SELECT n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_VAL_THR}' THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{_VALTEST_THR}' THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM tagged GROUP BY split""",
+)
+def sample_train_val_test(spark, sf_dir):
+    # disjoint, exhaustive 80/10/10 split from one draw per doc
+    tagged = smp.train_val_test_split(_t(spark, sf_dir)["documents"], 0.1, 0.1)
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+
+
+_MIX_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{v}' THEN '{smp._threshold_hex(f)}'"
+        for v, f in sorted(_MIX.items())
+    )
+    + f" ELSE '{smp._threshold_hex(_MIX_DEFAULT)}' END"
+)
+
+
+@q(
+    "sample_stratified_mix",
+    f"""WITH kept AS (
+  SELECT source FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < {_MIX_CASE}
+),
+before AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source),
+after AS (SELECT source, COUNT(*) AS n_after FROM kept GROUP BY source)
+SELECT before.source, CAST(n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       ROUND(COALESCE(n_after, 0) / CAST(n_before AS DOUBLE), 4) AS achieved_rate
+FROM before LEFT JOIN after ON before.source = after.source""",
+)
+def sample_stratified_mix(spark, sf_dir):
+    # corpus mixing: keep all of src0, half of src1, 10% of src2, 30% of the
+    # rest — plus the per-source audit table a pipeline logs with the mix
+    docs = _t(spark, sf_dir)["documents"]
+    mixed = smp.stratified_sample(docs, _MIX, default_frac=_MIX_DEFAULT)
+    return smp.mix_report(docs, mixed).withColumn(
+        "n_before", F.col("n_before").cast("long")
+    )

@@ -1,0 +1,76 @@
+"""Deterministic sampling / splitting / corpus-mixing semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import sampling as smp
+
+
+def test_hash_sample_deterministic_and_stable(tables):
+    docs = tables["documents"]
+    a = {r.doc_id for r in smp.hash_sample(docs, 0.25).select("doc_id").collect()}
+    b = {r.doc_id for r in smp.hash_sample(docs, 0.25).select("doc_id").collect()}
+    assert a == b
+    # membership survives repartitioning (content-addressed, not positional)
+    c = {
+        r.doc_id
+        for r in smp.hash_sample(docs.repartition(13), 0.25).select("doc_id").collect()
+    }
+    assert a == c
+    # roughly the requested rate (binomial tolerance on the small fixture)
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.45 * n
+
+
+def test_hash_sample_monotone_in_frac(tables):
+    docs = tables["documents"]
+    small = {r.doc_id for r in smp.hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in smp.hash_sample(docs, 0.5).select("doc_id").collect()}
+    # growing the fraction only ADDS documents (stable re-sampling)
+    assert small <= big
+
+
+def test_hash_sample_edges(tables):
+    docs = tables["documents"]
+    assert smp.hash_sample(docs, 1.0).count() == docs.count()
+    assert smp.hash_sample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        smp._threshold_hex(1.5)
+
+
+def test_split_disjoint_exhaustive(tables):
+    docs = tables["documents"]
+    tagged = smp.train_val_test_split(docs, 0.1, 0.1)
+    counts = {r.split: r.n for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_salt_independence(tables):
+    docs = tables["documents"]
+    s1 = {(r.doc_id, r.split) for r in smp.train_val_test_split(docs, 0.2, 0.2, salt="a").collect()}
+    s2 = {(r.doc_id, r.split) for r in smp.train_val_test_split(docs, 0.2, 0.2, salt="b").collect()}
+    # different salts draw different coins
+    assert s1 != s2
+
+
+def test_stratified_mix_rates(tables):
+    docs = tables["documents"]
+    mixed = smp.stratified_sample(docs, {"src0": 1.0, "src1": 0.0}, default_frac=0.3)
+    per = {r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == full["src0"]  # frac 1.0 keeps every row
+    assert "src1" not in per  # frac 0.0 keeps none
+    report = smp.mix_report(docs, mixed)
+    row = {r.source: r for r in report.collect()}
+    assert row["src0"].achieved_rate == 1.0
+    assert row["src1"].n_after == 0 and row["src1"].achieved_rate == 0.0
+
+
+def test_sampling_is_one_map_stage(tables):
+    # scale shape: the filter must reach the scan side (no shuffle, no UDF)
+    docs = tables["documents"]
+    plan = smp.hash_sample(docs, 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan

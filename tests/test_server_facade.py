@@ -354,3 +354,40 @@ def test_pipeline_decontaminate(env, spark, tables, tmp_path):
     clean_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 0 not in clean_ids            # the probe doc itself is scrubbed
     assert len(clean_ids) < docs.count()  # plus its near-duplicates
+
+
+def test_pipeline_sample_chain(env, spark, tables, tmp_path):
+    # corpus -> stratified mix -> train/val/test split, chained by path outputs
+    eng, store, _src = env
+    docs = tables["documents"]
+    src = str(tmp_path / "corpus")
+    docs.write.mode("overwrite").parquet(src)
+    mixed, split = str(tmp_path / "mixed"), str(tmp_path / "split")
+    run = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "mix", "operator": "pipeline_sample",
+                    "arguments": {"src_path": src, "output_path": mixed,
+                                  "mode": "stratified",
+                                  "fracs": {"src0": 1.0}, "default_frac": 0.5},
+                },
+                {
+                    "name": "split", "operator": "pipeline_sample",
+                    "arguments": {"output_path": split, "mode": "split",
+                                  "val_frac": 0.2, "test_frac": 0.2},
+                    "dependencies": ["mix"],
+                },
+            ]
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    out = spark.read.parquet(split)
+    n_mixed = spark.read.parquet(mixed).count()
+    assert 0 < n_mixed < docs.count()
+    assert out.count() == n_mixed  # split tags, never drops
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
