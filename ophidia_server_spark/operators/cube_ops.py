@@ -342,13 +342,18 @@ def oph_permute(cube: Cube, order: list[str]) -> Cube:
 # ---------------------------------------------------------------------------
 
 _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
-    "sum": lambda a, b: a + b,
-    "sub": lambda a, b: a - b,
+    # mul keeps natural types: DECIMAL x DECIMAL multiplies exactly (then a
+    # decimal ROUND is engine-portable), while ROUND(double, 2) at ~1e14
+    # magnitude is implementation-defined noise past double precision.
+    # The rest compute in double (div of decimals would otherwise pick an
+    # engine-specific quotient scale).
+    "sum": lambda a, b: a.cast("double") + b.cast("double"),
+    "sub": lambda a, b: a.cast("double") - b.cast("double"),
     "mul": lambda a, b: a * b,
-    "div": lambda a, b: a / b,
-    "abs": lambda a, b: F.abs(a - b),
-    "max": lambda a, b: F.greatest(a, b),
-    "min": lambda a, b: F.least(a, b),
+    "div": lambda a, b: a.cast("double") / b.cast("double"),
+    "abs": lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+    "max": lambda a, b: F.greatest(a.cast("double"), b.cast("double")),
+    "min": lambda a, b: F.least(a.cast("double"), b.cast("double")),
 }
 
 
@@ -375,9 +380,9 @@ def oph_intercube(a: Cube, b: Cube, operation: str, measure: str = "measure") ->
     out = j.select(
         *a.explicit_dims,
         F.col(DIM_COL),
-        F.zip_with(
-            F.col(MEASURE_COL), F.col("__m_b"), lambda x, y: op(x.cast("double"), y.cast("double"))
-        ).alias(MEASURE_COL),
+        F.zip_with(F.col(MEASURE_COL), F.col("__m_b"), lambda x, y: op(x, y)).alias(
+            MEASURE_COL
+        ),
     )
     return Cube(
         df=out,

@@ -275,8 +275,12 @@ def explore_stats(df: DataFrame, value_col: str, order_cols: list[str] | None = 
         F.round(F.stddev_pop(v), 6).alias("std"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
-        F.round(F.regr_slope(v, F.col("__x")), 6).alias("fit_slope"),
-        F.round(F.regr_intercept(v, F.col("__x")), 6).alias("fit_intercept"),
+        # + 0.0 collapses IEEE -0.0 (a tiny negative slope rounded to zero)
+        # to +0.0 so cross-engine value hashes agree
+        (F.round(F.regr_slope(v, F.col("__x")), 6) + F.lit(0.0)).alias("fit_slope"),
+        (F.round(F.regr_intercept(v, F.col("__x")), 6) + F.lit(0.0)).alias(
+            "fit_intercept"
+        ),
     )
 
 

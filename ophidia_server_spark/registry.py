@@ -1363,8 +1363,8 @@ def cube_inspectfrag(spark, sf_dir):
 )
 SELECT CAST(COUNT(v) AS BIGINT) AS n, ROUND(AVG(v), 6) AS mean,
        ROUND(stddev_pop(v), 6) AS std, MIN(v) AS min, MAX(v) AS max,
-       ROUND(regr_slope(v, x), 6) AS fit_slope,
-       ROUND(regr_intercept(v, x), 6) AS fit_intercept FROM ordered""",
+       ROUND(regr_slope(v, x), 6) + 0.0 AS fit_slope,
+       ROUND(regr_intercept(v, x), 6) + 0.0 AS fit_intercept FROM ordered""",
 )
 def io_explore_stats(spark, sf_dir):
     from ophidia_server_spark.operators import io_ops as io
@@ -2022,15 +2022,38 @@ def cube_reduce_var(spark, sf_dir):
     "cube_intercube_mul",
     f"""WITH {BASE_QTY}, {BASE_PRICE}
 SELECT b.l_returnflag, b.l_linestatus, b.month,
-       ROUND(CAST(p.price AS DOUBLE) * CAST(b.qty AS DOUBLE), 2) AS product
+       CAST(CAST(ROUND(CAST(p.price AS DECIMAL(19,2)) * CAST(b.qty AS DECIMAL(19,2)), 2)
+            AS VARCHAR) AS DOUBLE) AS product
 FROM base b JOIN pbase p
   ON b.l_returnflag = p.l_returnflag AND b.l_linestatus = p.l_linestatus AND b.month = p.month""",
 )
 def cube_intercube_mul(spark, sf_dir):
-    ic = C.oph_intercube(cube_price(spark, sf_dir), cube_qty(spark, sf_dir), "mul", "product")
+    # multiply and round in DECIMAL on both engines (exact), cast to double
+    # last: ROUND(double, 2) at ~1e14 magnitude is engine-defined noise past
+    # double precision. Both sides pin the factors to DECIMAL(18,2) first —
+    # the SUM-widened types ((28,2) in Spark, (38,2) in DuckDB) would push
+    # the product past 38 digits and fall into engine-specific precision loss.
+    # DuckDB gets DECIMAL(19,2) factors (width 19 forces int128 multiply; at
+    # 18 it overflows int64), Spark (18,2) -> (37,4); both products are exact.
+    # The oracle's final double goes through VARCHAR: DuckDB's direct
+    # int128-decimal -> double cast divides two separately-rounded doubles
+    # and loses the last two digits at 1e14 magnitude
+    import dataclasses
+
+    def _narrow(c):
+        df = c.df.withColumn(
+            MEASURE_COL,
+            F.transform(F.col(MEASURE_COL), lambda x: x.cast("decimal(18,2)")),
+        )
+        return dataclasses.replace(c, df=df)
+
+    ic = C.oph_intercube(
+        _narrow(cube_price(spark, sf_dir)), _narrow(cube_qty(spark, sf_dir)),
+        "mul", "product",
+    )
     return ic.long().select(
         "l_returnflag", "l_linestatus", F.col("month").cast("long").alias("month"),
-        F.round(F.col("product"), 2).alias("product"),
+        F.round(F.col("product"), 2).cast("double").alias("product"),
     )
 
 
