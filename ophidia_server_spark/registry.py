@@ -1563,6 +1563,32 @@ def events_stream_tumbling(spark, sf_dir):
 
 
 @q(
+    "events_stream_enrich",
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1""",
+)
+def events_stream_enrich(spark, sf_dir):
+    # stream-static join through a REAL readStream (broadcast dim side),
+    # AvailableNow => must equal the batch join the oracle runs
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir)["events"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_enrich_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return win.stream_static_enrich(
+        spark, src, schema, _t(spark, sf_dir)["customer"],
+        queryName="gate_stream_enrich",
+    )
+
+
+@q(
     "io_json_roundtrip",
     """SELECT o_orderstatus, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

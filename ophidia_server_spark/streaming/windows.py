@@ -110,6 +110,44 @@ def run_streaming_over_files(
     return spark.table(queryName)
 
 
+def stream_static_enrich(
+    spark: SparkSession, parquet_path: str, schema, dim: DataFrame,
+    queryName: str = "enrich_sink",
+) -> DataFrame:
+    """Stream-static join + aggregate: the standard streaming-enrichment
+    topology — an event stream joined to a dimension table (broadcast static
+    side; Spark re-reads it per micro-batch, so slowly-changing dims pick up
+    updates) and aggregated per dimension attribute. With
+    Trigger.AvailableNow the result is exactly the batch join, which is what
+    the DuckDB oracle checks. Sums go through DECIMAL so the streaming
+    partial-agg order can't perturb the float result."""
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(queryName)
+
+
 def stream_running_user_totals(
     spark: SparkSession, parquet_path: str, schema, queryName: str = "state_sink"
 ) -> DataFrame:

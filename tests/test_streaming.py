@@ -90,3 +90,27 @@ def test_asof_join_semantics(spark):
     assert got[(1, "2024-01-01 10:00:00")] == 5.0   # most recent <= 10:00
     assert got[(1, "2024-01-01 12:00:00")] == 7.0   # 11:00 quote wins
     assert got[(2, "2024-01-01 10:30:00")] is None  # no right rows for key
+
+
+def test_stream_static_enrich_equals_batch(spark, tables, events, tmp_path):
+    src = str(tmp_path / "enrich_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    cust = tables["customer"]
+    got = win.stream_static_enrich(spark, src, schema, cust, queryName="t_enrich")
+    want = (
+        events.join(cust, events["user_id"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
