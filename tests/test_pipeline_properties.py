@@ -1,0 +1,68 @@
+"""Property-based checks for pipeline primitives: the zip_with-folded shingle
+construction must agree with the naive Python definition for arbitrary token
+lists, and the deterministic sampling coin must agree with a Python md5
+re-implementation (the portability contract the DuckDB oracles rely on)."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import sampling as smp
+from ophidia_server_spark.pipeline.dedup import _shingles
+
+token_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=6,
+)
+doc_st = st.lists(token_st, min_size=0, max_size=12)
+
+
+def _naive_shingles(toks, k):
+    return [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(doc_st, min_size=1, max_size=8), st.integers(1, 4))
+def test_shingles_match_naive_python(spark, docs, k):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: list(r.s)
+        for r in df.select("doc_id", _shingles("text", k).alias("s")).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert got[i] == _naive_shingles(toks, k), (toks, k)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True),
+    st.floats(0.05, 0.95),
+    st.text(alphabet="abcxyz", max_size=4),
+)
+def test_sampling_coin_matches_python_md5(spark, keys, frac, salt):
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {r.doc_id for r in smp.hash_sample(df, frac, salt=salt).collect()}
+    thr = smp._threshold_hex(frac)
+    want = {
+        k
+        for k in keys
+        if hashlib.md5(f"{k}:{salt}".encode()).hexdigest()[:8] < thr
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+def test_split_fractions_partition_the_keys(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    tagged = smp.train_val_test_split(df, 0.3, 0.3).collect()
+    assert len(tagged) == len(keys)
+    assert {r.split for r in tagged} <= {"train", "val", "test"}
+    # same keys, same salt, different call -> identical assignment
+    again = {r.doc_id: r.split for r in smp.train_val_test_split(df, 0.3, 0.3).collect()}
+    assert {r.doc_id: r.split for r in tagged} == again
