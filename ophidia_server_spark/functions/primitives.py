@@ -264,7 +264,79 @@ def percentile(p: float) -> Callable[[Column], Column]:
     return prim
 
 
+def get_subarray(start: int, size: int) -> ArrayPrimitive:
+    """oph_get_subarray: 1-based slice of the implicit dimension
+    (start:start+size-1), the in-array counterpart of oph_subset."""
+    if start < 1 or size < 0:
+        raise ValueError("start is 1-based and size must be >= 0")
+    return lambda arr: F.slice(arr, start, size)
+
+
+def padding(length: int, value: float = 0.0) -> ArrayPrimitive:
+    """oph_padding: right-pad the array with `value` up to `length` elements
+    (arrays already >= length pass through unchanged)."""
+
+    def prim(arr: Column) -> Column:
+        n = F.size(arr)
+        # array_repeat handles count 0 cleanly (sequence(1, 0) would emit a
+        # descending [1, 0] and pad two elements)
+        pad = F.array_repeat(
+            F.lit(float(value)), F.greatest(F.lit(length) - n, F.lit(0))
+        )
+        return F.concat(F.transform(arr, _dbl), pad)
+
+    return prim
+
+
+def find_count(cond: Callable[[Column], Column]) -> Callable[[Column], Column]:
+    """oph_find: number of elements satisfying the predicate (scalar)."""
+    return lambda arr: F.size(F.filter(arr, cond)).cast("long")
+
+
+def sd() -> Callable[[Column], Column]:
+    """oph_gsl_sd: per-row population standard deviation (scalar). Two array
+    folds (sum, sum of squares) — shuffle-free."""
+
+    def prim(arr: Column) -> Column:
+        m = F.size(arr).cast("double")
+        s1 = F.aggregate(F.transform(arr, _dbl), F.lit(0.0), lambda a, x: a + x)
+        s2 = F.aggregate(
+            F.transform(arr, lambda x: _dbl(x) * _dbl(x)), F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(m > 0, F.sqrt(s2 / m - (s1 / m) * (s1 / m)))
+
+    return prim
+
+
 # -- numpy-backed kernels (Pandas UDF — the sanctioned slow path) -----------
+
+
+def interpolate_nan() -> ArrayPrimitive:
+    """oph_interpolate analogue: linear interpolation across NaN runs via
+    np.interp, Arrow-batched (neighbor scans don't vectorize as array exprs).
+    Leading/trailing NaNs take the nearest valid value; rows with no valid
+    points come back as all-null (the Arrow boundary maps NaN to null)."""
+    import pandas as pd
+
+    def _interp_fn(s):
+        import numpy as np
+
+        def one(a):
+            # copy: Arrow hands over read-only buffers
+            v = np.array(a, dtype="float64")
+            bad = np.isnan(v)
+            if not bad.any() or bad.all():
+                return v.tolist()
+            idx = np.arange(len(v))
+            v[bad] = np.interp(idx[bad], idx[~bad], v[~bad])
+            return v.tolist()
+
+        return s.apply(one)
+
+    _interp_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _interp = F.pandas_udf(_interp_fn, T.ArrayType(T.DoubleType()))
+    return lambda arr: _interp(arr.cast(T.ArrayType(T.DoubleType())))
 
 def fft_magnitude() -> ArrayPrimitive:
     """oph_gsl_fft analogue: per-row |FFT| magnitudes via numpy, Arrow-batched.
@@ -305,4 +377,12 @@ PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
     "oph_replace_nan": replace_nan,
     "oph_percentile": percentile,
     "oph_wavelet": haar_step,
+    "oph_affine": scale,          # a*x + b (reference name for scale)
+    "oph_sum_scalar": lambda add=0.0: scale(1.0, add),
+    "oph_mask": mask_above,
+    "oph_get_subarray": get_subarray,
+    "oph_padding": padding,
+    "oph_find": find_count,
+    "oph_gsl_sd": sd,
+    "oph_interpolate": interpolate_nan,
 }

@@ -2305,3 +2305,59 @@ def sample_stratified_mix(spark, sf_dir):
     return smp.mix_report(docs, mixed).withColumn(
         "n_before", F.col("n_before").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# oph_apply primitive pack: get_subarray / find / gsl_sd parity queries
+# ---------------------------------------------------------------------------
+
+@q(
+    "cube_apply_subarray",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus, CAST(month - 3 AS BIGINT) AS k,
+       CAST(qty AS DOUBLE) AS v
+FROM base WHERE month BETWEEN 3 AND 6""",
+)
+def cube_apply_subarray(spark, sf_dir):
+    # oph_get_subarray: months 3..6 of the implicit dim (1-based start 3,
+    # size 4). Length-changing primitive -> compare positionally (k), the
+    # same shape the fft query uses
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.get_subarray(3, 4), "sub")
+    return ap.df.select(
+        "l_returnflag", "l_linestatus",
+        F.posexplode(F.col(MEASURE_COL)).alias("k", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+
+
+@q(
+    "cube_apply_find",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) FILTER (WHERE CAST(qty AS DOUBLE) > 100000.0) AS BIGINT) AS n_hits
+FROM base GROUP BY 1, 2""",
+)
+def cube_apply_find(spark, sf_dir):
+    # oph_find: per-row count of elements over a threshold (scalar output)
+    c = cube_qty(spark, sf_dir)
+    return c.df.select(
+        *c.explicit_dims,
+        prim.find_count(lambda x: x.cast("double") > 100000.0)(
+            F.col(MEASURE_COL)
+        ).alias("n_hits"),
+    )
+
+
+@q(
+    "cube_apply_sd",
+    f"""WITH {BASE_QTY}
+SELECT l_returnflag, l_linestatus,
+       ROUND(stddev_pop(CAST(qty AS DOUBLE)), 4) AS sd
+FROM base GROUP BY 1, 2""",
+)
+def cube_apply_sd(spark, sf_dir):
+    # oph_gsl_sd: per-row population std-dev of the measure array
+    c = cube_qty(spark, sf_dir)
+    return c.df.select(
+        *c.explicit_dims,
+        F.round(prim.sd()(F.col(MEASURE_COL)), 4).alias("sd"),
+    )

@@ -204,3 +204,45 @@ def test_subset_composite_implicit_after_rollup(small):
     # index subset on composite stays explicitly unsupported
     with pytest.raises(NotImplementedError):
         C.oph_subset(rolled, {"g": "1:2"}, "index")
+
+
+def test_prim_subarray_padding_find_sd(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0, 4.0, 5.0])], "g string, arr array<double>"
+    )
+    sub = df.select(prim.get_subarray(2, 3)(F.col("arr")).alias("s")).first().s
+    assert [float(x) for x in sub] == [2.0, 3.0, 4.0]
+    pad = df.select(prim.padding(8, -1.0)(F.col("arr")).alias("p")).first().p
+    assert [float(x) for x in pad] == [1.0, 2.0, 3.0, 4.0, 5.0, -1.0, -1.0, -1.0]
+    # already long enough -> unchanged
+    same = df.select(prim.padding(3)(F.col("arr")).alias("p")).first().p
+    assert [float(x) for x in same] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    n = df.select(prim.find_count(lambda x: x > 2.5)(F.col("arr")).alias("n")).first().n
+    assert n == 3
+    s = df.select(prim.sd()(F.col("arr")).alias("s")).first().s
+    assert abs(s - 1.4142135623730951) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prim.get_subarray(0, 2)
+
+
+def test_prim_interpolate(spark):
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            ("mid", [1.0, nan, 3.0, nan, nan, 6.0]),
+            ("edges", [nan, 2.0, nan]),
+            ("allnan", [nan, nan]),
+            ("clean", [1.0, 2.0]),
+        ],
+        "g string, arr array<double>",
+    )
+    got = {r.g: r.i for r in df.select("g", prim.interpolate_nan()(F.col("arr")).alias("i")).collect()}
+    assert [float(x) for x in got["mid"]] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    assert [float(x) for x in got["edges"]] == [2.0, 2.0, 2.0]
+    import math
+
+    # no valid points -> all null/NaN through the Arrow boundary
+    assert all(x is None or math.isnan(x) for x in got["allnan"])
+    assert [float(x) for x in got["clean"]] == [1.0, 2.0]
