@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     # deterministic corpus mixing (hash-based stratified sampling + audit)
     "sample_stratified_mix",
+    # flagship composite: filter -> dedup -> decontaminate -> split -> audit
+    "pipeline_corpus_end_to_end",
 ]
 
 

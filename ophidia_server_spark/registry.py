@@ -2361,3 +2361,79 @@ def cube_apply_sd(spark, sf_dir):
         *c.explicit_dims,
         F.round(prim.sd()(F.col(MEASURE_COL)), 4).alias("sd"),
     )
+
+
+@q(
+    "pipeline_corpus_end_to_end",
+    rf"""WITH tok AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_toks
+  FROM documents
+),
+keep AS (SELECT * FROM tok WHERE n_toks >= 20),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM keep
+  ) WHERE rn = 1
+),
+ptok AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents WHERE doc_id = 0
+),
+probe AS (
+  SELECT list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ps
+  FROM ptok
+),
+dsh AS (
+  SELECT d.*, list_distinct(list_transform(
+           range(1, greatest(len(list_filter(string_split_regex(trim(d.text), '\s+'), x -> x != '')) - 2, 0) + 1),
+           i -> concat_ws(' ',
+                list_filter(string_split_regex(trim(d.text), '\s+'), x -> x != '')[i],
+                list_filter(string_split_regex(trim(d.text), '\s+'), x -> x != '')[i+1],
+                list_filter(string_split_regex(trim(d.text), '\s+'), x -> x != '')[i+2]))) AS s
+  FROM dedup d
+),
+clean AS (
+  SELECT dsh.* FROM dsh, probe WHERE len(list_intersect(dsh.s, probe.ps)) = 0
+),
+tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{smp._threshold_hex(0.1)}' THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '{smp._threshold_hex(0.2)}' THEN 'test'
+              ELSE 'train' END AS split
+  FROM clean
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM tagged GROUP BY 1, 2""",
+)
+def pipeline_corpus_end_to_end(spark, sf_dir):
+    """Flagship training-corpus pipeline, one lazy DataFrame chain:
+    length filter -> exact dedup (keep-first) -> eval-set decontamination
+    (broadcast shingle semi-join) -> deterministic train/val/test split ->
+    per-(source, split) audit counts. Every stage is the oracle-checked
+    operator used standalone elsewhere; this query asserts the COMPOSITION
+    is exact too. All map-side except the dedup window and the final small
+    aggregate — the same plan shape at 100 TB."""
+    from ophidia_server_spark.pipeline.dedup import shingle_sets
+
+    docs = _t(spark, sf_dir)["documents"]
+    keep = docs.join(
+        tx.token_count(docs).filter(F.col("n_tokens") >= 20).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    deduped = dd.dedup_exact(keep)
+    probe = (
+        shingle_sets(docs.filter(F.col("doc_id") == 0))
+        .select(F.explode("shingles").alias("s"))
+    )
+    flags = tx.contamination_flags(deduped, probe)
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    tagged = smp.train_val_test_split(clean, 0.1, 0.1)
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
