@@ -2437,3 +2437,120 @@ def pipeline_corpus_end_to_end(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations q7 / q10 / q14 (multi-join analytics breadth)
+# ---------------------------------------------------------------------------
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+
+
+def _rev_col() -> "F.Column":
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+
+
+@q(
+    "tpch_q7_nation_volume",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+)
+def tpch_q7(spark, sf_dir):
+    # volume shipping between two nations per year; dims broadcast, the
+    # lineitem-orders join is the only large shuffle
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q10_returned_items",
+    f"""SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf_dir):
+    # top-20 customers by returned-item revenue: TakeOrdered after a
+    # broadcast-dim join tree, deterministic tie-break on custkey
+    t = _t(spark, sf_dir)
+    j = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q14_promo_share",
+    f"""SELECT CAST(ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM({_REV}) AS DOUBLE), 6) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 9""",
+)
+def tpch_q14(spark, sf_dir):
+    # promo revenue share for one month: exact DECIMAL sums on both engines,
+    # the division happens once in double
+    t = _t(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .filter((F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 9))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
