@@ -1,0 +1,78 @@
+"""Scale smoke: representative operators over millions of generated rows.
+
+Not a benchmark — a guard against accidental driver-side materialization
+(collect/toPandas in a hot path) and against plans that only work at fixture
+size. Sizes are chosen to finish in seconds on local[8] while being ~50x the
+sf0.1 fixtures; the operators under test are the ones whose scale story the
+README claims (cube build -> reduce, sessionize, minhash signatures,
+deterministic sampling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+N_EVENTS = 2_000_000
+N_DOCS = 30_000
+
+
+@pytest.fixture(scope="module")
+def big_events(spark):
+    # 2M synthetic events across 5k users / 30 days, built distributed
+    return (
+        spark.range(N_EVENTS)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.timestamp_seconds(F.lit(1700000000) + (F.col("id") % 2_592_000))).alias("ts"),
+            (F.col("id") % 5000).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+            (F.col("id") % 1000 / 10.0).alias("value"),
+        )
+    )
+
+
+def test_cube_build_reduce_at_scale(spark, big_events):
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import cube_ops as C
+
+    c = build_cube(
+        big_events.withColumn("day", F.dayofmonth("ts")),
+        ["event_type", "user_id"], "day", F.col("value"), measure="v",
+    )
+    out = C.oph_reduce(c, "sum")
+    # 7 types x 5000 users rows, nothing collected until here
+    assert out.count() == 35_000
+
+
+def test_sessionize_at_scale(spark, big_events):
+    from ophidia_server_spark.streaming import windows as win
+
+    n = win.sessionize(big_events, gap_minutes=30).count()
+    assert n >= 5000  # at least one session per user
+
+
+def test_minhash_signatures_at_scale(spark):
+    from ophidia_server_spark.pipeline.dedup import minhash_signatures
+
+    words = F.array(*[F.lit(f"w{i}") for i in range(50)])
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda i: F.element_at(words, ((F.col("id") + i * 7) % 50 + 1).cast("int")),
+            ),
+        ).alias("text"),
+    )
+    sigs = minhash_signatures(docs)
+    assert sigs.count() == N_DOCS
+    row = sigs.first()
+    assert len(row.sig) == 32
+
+
+def test_sampling_at_scale_rate(spark):
+    from ophidia_server_spark.pipeline.sampling import hash_sample
+
+    df = spark.range(1_000_000).select(F.col("id").alias("doc_id"))
+    got = hash_sample(df, 0.2).count()
+    # binomial(1M, 0.2): 3 sigma ~ 1200
+    assert abs(got - 200_000) < 5_000
