@@ -56,6 +56,9 @@ HEADLINE = [
     "sample_stratified_mix",
     # flagship composite: filter -> dedup -> decontaminate -> split -> audit
     "pipeline_corpus_end_to_end",
+    # multi-join breadth: nation-pair volume, promo share
+    "tpch_q7_nation_volume",
+    "tpch_q14_promo_share",
 ]
 
 
