@@ -2463,8 +2463,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
 GROUP BY 1, 2, 3""",
 )
 def tpch_q7(spark, sf_dir):
@@ -2485,8 +2485,8 @@ def tpch_q7(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_3"))
         )
     )
     return (
