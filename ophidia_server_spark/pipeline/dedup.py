@@ -151,28 +151,28 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # score BEFORE deduplicating candidates: a pair colliding in k bands is
+    # scored k times (cheap, deterministic), but the distinct then shuffles
+    # three scalars per candidate instead of two 32-long signature arrays
     est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
     ).cast("double") / F.lit(num_hashes)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        est.alias("est_jaccard"),
+    )
     return (
-        cand.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        cand.filter(F.col("est_jaccard") >= jaccard_threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
