@@ -291,18 +291,13 @@ def ngram_jaccard_exact(
     )
 
 
-def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
-    """Connected components over near-dup pairs: every doc mapped to its
-    cluster representative (the minimum doc id reachable through pair edges) —
-    the step that turns pairwise candidates into removable duplicate groups.
+# Edge-count ceiling for the driver-side union-find fast path; above it the
+# iterative map-reduce algorithm runs and nothing is collected to the driver.
+DRIVER_CC_MAX_EDGES = 100_000
 
-    Near-dup edge lists are tiny relative to the corpus (pairs only exist for
-    actual near-dups), so components are solved driver-side with union-find
-    over the collected edges. At a scale where even the EDGE LIST overflows
-    the driver, swap for the iterative large-star/small-star map-reduce — the
-    output contract (doc_id, cluster_rep) is unchanged.
-    """
-    edges = [(r[a_col], r[b_col]) for r in pairs.select(a_col, b_col).collect()]
+
+def _cc_driver(edge_rows) -> list:
+    """Union-find over an in-memory edge list (fast path for small graphs)."""
     parent: dict = {}
 
     def find(x):
@@ -311,20 +306,110 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") 
             x = parent[x]
         return x
 
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            # min id wins as representative (deterministic)
-            lo, hi = (rx, ry) if rx < ry else (ry, rx)
-            parent[hi] = lo
-
-    for a, b in edges:
+    for a, b in edge_rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
-        union(a, b)
-    rows = [(x, find(x)) for x in sorted(parent)]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins as representative (deterministic)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in sorted(parent)]
+
+
+def _cc_distributed(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14). Converges
+    in O(log^2 n) rounds; every step is a groupBy-min plus a same-key join, so
+    nothing ever materializes on the driver — this is the 100 TB path.
+
+    Input: distinct undirected edges (u, v), u != v. Output: star edges
+    (u -> component minimum) for every non-representative node.
+    """
+    e = edges
+    prev_ckpt = None
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for each u, attach every larger neighbor to
+        # m = min(neighbors(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct edges at the larger endpoint; attach each smaller
+        # neighbor (and the node itself) to the minimum of that neighborhood
+        d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), "m")
+            .union(mins.select("u", "m"))
+            .select("u", F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # truncate lineage each round (iterative plans otherwise grow
+        # exponentially in Catalyst), then fixpoint-check via an
+        # order-independent signature
+        e = e.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = e
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return e
+
+
+def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over near-dup pairs: every doc mapped to its
+    cluster representative (the minimum doc id reachable through pair edges) —
+    the step that turns pairwise candidates into removable duplicate groups.
+
+    Small edge lists (<= DRIVER_CC_MAX_EDGES) are solved driver-side with
+    union-find; larger graphs run the distributed large-star/small-star
+    iteration (_cc_distributed) so that a 100 TB corpus whose near-dup edge
+    list is itself billions of rows never touches the driver. Both paths share
+    the (doc_id, cluster_rep) min-id contract.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .persist()
+    )
     spark = pairs.sparkSession
-    return spark.createDataFrame(rows or [], "doc_id long, cluster_rep long")
+    probe = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    if probe <= DRIVER_CC_MAX_EDGES:
+        rows = _cc_driver((r["u"], r["v"]) for r in edges.collect())
+        edges.unpersist()
+        return spark.createDataFrame(rows or [], "doc_id long, cluster_rep long")
+    star = _cc_distributed(edges)
+    nodes = edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
+    out = (
+        nodes.join(star.withColumnRenamed("v", "rep"), "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("rep", "u").alias("cluster_rep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    star.unpersist()
+    edges.unpersist()
+    return out
 
 
 def dedup_near(df: DataFrame, text_col: str = "text", **lsh_kwargs) -> DataFrame:

@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP: watermarks reject
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written
+    without isAdjustedToUTC reads back as NTZ in Spark 4. Session TZ is UTC in
+    this engine, so the instant is unchanged."""
+    if ts_col in df.columns and dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling(df: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregate per event_type. Window start is emitted as a
     formatted string for engine-portable comparison."""
@@ -59,7 +69,10 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     `F.session_window("ts", f"{gap} minutes")` — see stream_sessionize.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast through TIMESTAMP so TIMESTAMP_NTZ parquet columns work (NTZ->BIGINT
+    # is not a legal direct cast in Spark 4)
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess_id = F.sum(new_sess).over(
         Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
@@ -79,7 +92,7 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def stream_sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Native streaming session windows (works on readStream DataFrames)."""
     return (
-        df.withWatermark("ts", "1 hour")
+        _event_time(df).withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
@@ -94,10 +107,8 @@ def run_streaming_over_files(
     an in-memory sink and returned as a batch DataFrame. This is the pattern
     for continuous ingestion at scale (file source -> windowed agg -> sink).
     """
-    stream = (
-        spark.readStream.schema(schema).parquet(parquet_path)
-        .withWatermark("ts", "2 hours")
-    )
+    stream = _event_time(spark.readStream.schema(schema).parquet(parquet_path))
+    stream = stream.withWatermark("ts", "2 hours")
     agg = tumbling(stream, width)
     q = (
         agg.writeStream.format("memory")
@@ -121,7 +132,7 @@ def stream_static_enrich(
     Trigger.AvailableNow the result is exactly the batch join, which is what
     the DuckDB oracle checks. Sums go through DECIMAL so the streaming
     partial-agg order can't perturb the float result."""
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    stream = _event_time(spark.readStream.schema(schema).parquet(parquet_path))
     joined = stream.join(
         F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
     )
@@ -209,7 +220,7 @@ def stream_dedup_exact(
     newer than (max event time - delay), so memory is O(arrival rate x delay)
     instead of O(corpus).
     """
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    stream = _event_time(spark.readStream.schema(schema).parquet(parquet_path), watermark_col)
     deduped = stream.withWatermark(watermark_col, delay).dropDuplicates(
         key_cols + [watermark_col]
     )
@@ -296,7 +307,9 @@ def asof_join(
     ).over(w).alias("__asof_ts")
     out = u.select("*", *carried, carried_ts).filter(F.col("__is_left") == 1)
     if tolerance:
-        within = F.col(ts_col).cast("long") - F.col("__asof_ts").cast("long") <= F.expr(
+        within = F.col(ts_col).cast("timestamp").cast("long") - F.col(
+            "__asof_ts"
+        ).cast("timestamp").cast("long") <= F.expr(
             f"INTERVAL {tolerance}"
         ).cast("long")
         out = out.select(

@@ -76,3 +76,25 @@ def test_sampling_at_scale_rate(spark):
     got = hash_sample(df, 0.2).count()
     # binomial(1M, 0.2): 3 sigma ~ 1200
     assert abs(got - 200_000) < 5_000
+
+
+def test_connected_components_distributed_at_scale(spark):
+    # 400k edges (> DRIVER_CC_MAX_EDGES) -> the large-star/small-star path
+    # runs with no driver-side edge materialization; clusters of 100 nodes
+    # built as star+chain so convergence exercises both rules.
+    from ophidia_server_spark.pipeline import dedup as dd
+
+    n = 200_000
+    nodes = spark.range(n)
+    star = nodes.filter("id % 100 != 0").select(
+        F.col("id").alias("doc_a"), (F.col("id") - F.col("id") % 100).alias("doc_b")
+    )
+    chain = nodes.filter("id % 100 != 0").select(
+        F.col("id").alias("doc_a"), (F.col("id") - 1).alias("doc_b")
+    )
+    out = dd.cluster_pairs(star.union(chain))
+    assert out.count() == n
+    wrong = out.filter(
+        F.col("cluster_rep") != F.col("doc_id") - F.col("doc_id") % 100
+    ).count()
+    assert wrong == 0

@@ -67,3 +67,30 @@ def test_cluster_pairs_transitive(spark):
     )
     got = {r.doc_id: r.cluster_rep for r in cluster_pairs(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cluster_pairs_distributed_matches_driver(spark, monkeypatch):
+    import random
+
+    from ophidia_server_spark.pipeline import dedup as dd
+
+    random.seed(11)
+    edges, base = [], 0
+    for _ in range(25):
+        n = random.randint(2, 40)
+        ids = list(range(base, base + n))
+        base += n + random.randint(1, 5)  # id gaps between clusters
+        for i in range(1, n):
+            edges.append((ids[i], ids[random.randrange(i)]))
+        for _ in range(n // 2):
+            a, b = random.sample(ids, 2)
+            edges.append((a, b))
+    # a pure chain: worst case for naive min-propagation, fine for star-alternation
+    chain = list(range(5000, 5120))
+    edges += list(zip(chain[:-1], chain[1:]))
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    want = {(r.doc_id, r.cluster_rep) for r in dd.cluster_pairs(pairs).collect()}
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 0)  # force the map-reduce path
+    got = {(r.doc_id, r.cluster_rep) for r in dd.cluster_pairs(pairs).collect()}
+    assert got == want and len(got) > 0
