@@ -46,7 +46,7 @@ PRIORITY = [
     "workflow_massive_expansion",
     "workflow_pipeline",
     "io_csv_roundtrip",
-    "io_explore_stats",
+    "io_nc_roundtrip",
     "catalog_search",
     "dedup_exact_groups",
     "dedup_minhash_pairs",

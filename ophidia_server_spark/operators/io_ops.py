@@ -5,11 +5,11 @@ Reference surface: oph_importnc :114, oph_importcsv :115, oph_exportnc
 oph_merge :109, oph_split :108 (all /root/reference/src/oph_json_objkeys.h);
 oph_fs scan used by file-massive ops (oph_massive_operations.c:35).
 
-NetCDF: this container has no netCDF/xarray libraries, so oph_importnc /
-oph_exportnc are gated behind an import-try. The distributed shape is real
-and library-independent: the file list is parallelized and each task decodes
-its files into Arrow batches via mapInPandas (partition by file × hyperslab at
-scale); only the per-file decode callable needs the real library.
+NetCDF: classic / 64-bit-offset files decode and encode through the
+pure-Python codec in sources/netcdf3.py (no external library needed); the
+file list is parallelized and each task decodes its files into Arrow batches
+via mapInPandas (partition by file × hyperslab at scale). HDF5-backed
+netCDF-4 files fall back to xarray when it is installed.
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ def oph_exportparquet(cube: Cube, path: str) -> None:
     cube.df.write.mode("overwrite").parquet(path)
 
 
-def _try_import_netcdf():
+def _try_import_xarray():
     try:  # pragma: no cover - library not present in this container
         import xarray  # noqa: F401
 
@@ -67,36 +67,63 @@ def _try_import_netcdf():
         return None
 
 
+def _nc_long_frame(path: str, measure: str):
+    """Decode one NetCDF file into the long form (one row per grid cell):
+    coordinate columns (from same-named coordinate variables, else 0..n-1
+    index) + the measure column, all float64. Classic/64-bit-offset files go
+    through the pure-Python codec (sources/netcdf3.py); anything else (HDF5-
+    backed netCDF-4) falls back to xarray when present."""
+    import numpy as np
+    import pandas as pd
+
+    from ophidia_server_spark.sources import netcdf3
+
+    try:
+        ds = netcdf3.read(path)
+    except ValueError:
+        xr = _try_import_xarray()
+        if xr is None:
+            raise
+        xds = xr.open_dataset(path)  # pragma: no cover
+        return xds[measure].to_dataframe().reset_index()  # pragma: no cover
+    v = ds.variables[measure]
+    coords = []
+    for i, d in enumerate(v.dimensions):
+        cv = ds.variables.get(d)
+        if cv is not None and cv.dimensions == (d,):
+            coords.append(np.asarray(cv.data, dtype="float64"))
+        else:
+            coords.append(np.arange(v.data.shape[i], dtype="float64"))
+    grids = np.meshgrid(*coords, indexing="ij") if coords else []
+    out = {d: g.ravel() for d, g in zip(v.dimensions, grids)}
+    out[measure] = np.asarray(v.data, dtype="float64").ravel()
+    return pd.DataFrame(out)
+
+
 def oph_importnc(
     spark: SparkSession, paths: list[str], measure: str,
     explicit_dims: list[str], implicit_dim: str,
 ) -> Cube:
     """NetCDF -> cube (oph_importnc/importncs, oph_json_objkeys.h:114).
 
-    Distributed shape: parallelize the file list, decode per-file inside
-    mapInPandas (Arrow-batched), then build_cube. Requires xarray at runtime —
-    the decode step raises NotImplementedError here (no codec in container);
-    everything around it (file fan-out, schema, cube packing) is real.
+    Distributed shape: parallelize the file list (one task per file — the
+    reference fragments an import the same way, per-file x hyperslab), decode
+    each file inside mapInPandas (Arrow-batched) with the pure-Python
+    NetCDF3 codec, then build_cube. No driver-side decode at any file count.
     """
-    xr = _try_import_netcdf()
-    if xr is None:
-        raise NotImplementedError(
-            "oph_importnc requires xarray/netCDF4 (not available in this "
-            "container). The Spark plumbing is in place: parallelize paths -> "
-            "mapInPandas(decode) -> build_cube."
-        )
-    import pandas as pd  # pragma: no cover
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+    dims = explicit_dims + [implicit_dim]
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string")
-
-    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # pragma: no cover
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
         for pdf in batches:
             for p in pdf["path"]:
-                ds = xr.open_dataset(p)
-                yield ds[measure].to_dataframe().reset_index()
+                frame = _nc_long_frame(p, measure)
+                yield frame[dims + [measure]]
 
-    schema = ", ".join([f"{d} double" for d in explicit_dims + [implicit_dim]] + [f"{measure} double"])
-    long_df = files.mapInPandas(decode, schema)  # pragma: no cover
+    schema = ", ".join([f"{d} double" for d in dims] + [f"{measure} double"])
+    long_df = files.mapInPandas(decode, schema)
     return build_cube(long_df, explicit_dims, implicit_dim, F.col(measure), measure=measure)
 
 
@@ -208,50 +235,106 @@ def expand_file_glob(pattern: str) -> list[str]:
     return sorted(_glob.glob(pattern))
 
 
+def _grid_to_nc(pdf, dims: list[str], measure: str, out_path: str) -> None:
+    """Dense-grid a long-form pandas frame (dim cols + measure) and write one
+    classic NetCDF file: one coordinate variable per dim, NaN where the grid
+    has holes."""
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3
+
+    ds = netcdf3.Dataset()
+    idx = []
+    for d in dims:
+        vals = pdf[d]
+        try:
+            num = vals.astype("float64").to_numpy()
+            c = np.sort(np.unique(num))
+            idx.append(np.searchsorted(c, num))
+            coord, attrs = c, {}
+        except (TypeError, ValueError):
+            # non-numeric dim: coordinate variable is the 0..n-1 index, the
+            # labels ride along as an attribute (classic format has no
+            # string-array type)
+            s = vals.astype(str).to_numpy()
+            c = np.sort(np.unique(s))
+            idx.append(np.searchsorted(c, s))
+            coord, attrs = np.arange(len(c), dtype="float64"), {"labels": ",".join(c)}
+        ds.dimensions[d] = len(c)
+        ds.variables[d] = netcdf3.Variable(d, (d,), attrs, coord)
+    shape = tuple(ds.dimensions[d] for d in dims)
+    arr = np.full(shape, np.nan)
+    arr[tuple(idx)] = pdf[measure].astype("float64").to_numpy()
+    ds.variables[measure] = netcdf3.Variable(measure, tuple(dims), {}, arr)
+    netcdf3.write(out_path, ds)
+
+
 def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str]:
     """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
-    oph_json_objkeys.h:116-117).
+    oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec.
 
-    Distributed shape: one output file per explicit-dim slice written from
-    foreachPartition (per_dim_files=True), or a single driver-side write for
-    small cubes. Requires xarray; raises NotImplementedError in this container
-    (the partitioning/manifest logic is the real, tested part).
+    per_dim_files=True writes one file per value of the first explicit dim
+    from inside applyInPandas — each executor task grids and encodes its own
+    slice, so export parallelism = cardinality of that dim and the driver
+    never sees the data (the reference's exportnc2 shards output the same
+    way). per_dim_files=False collects the (already-reduced) cube grid to the
+    driver and writes a single file — the small-result path.
     """
-    xr = _try_import_netcdf()
-    if xr is None:
-        raise NotImplementedError(
-            "oph_exportnc requires xarray/netCDF4 (not available in this "
-            "container). Plumbing: df -> toPandas per explicit-dim slice -> "
-            "xarray.Dataset.to_netcdf, one file per slice."
-        )
-    import os  # pragma: no cover
+    os.makedirs(path, exist_ok=True)
+    dims = list(cube.explicit_dims) + list(cube.implicit_dims)
+    measure = cube.measure
+    long_df = cube.long()
+    if not per_dim_files:
+        out = os.path.join(path, f"{measure}.nc")
+        _grid_to_nc(long_df.toPandas(), dims, measure, out)
+        return [out]
 
-    os.makedirs(path, exist_ok=True)  # pragma: no cover
-    pdf = cube.long().toPandas()  # pragma: no cover
-    ds = pdf.set_index(list(cube.explicit_dims) + list(cube.implicit_dims)).to_xarray()  # pragma: no cover
-    out = os.path.join(path, f"{cube.measure}.nc")  # pragma: no cover
-    ds.to_netcdf(out)  # pragma: no cover
-    return [out]  # pragma: no cover
+    split_dim = dims[0]
+    rest = dims[1:]
+
+    def write_slice(pdf):
+        import pandas as pd
+
+        key = pdf[split_dim].iloc[0]
+        out = os.path.join(path, f"{measure}_{split_dim}_{key}.nc")
+        _grid_to_nc(pdf, rest, measure, out)
+        return pd.DataFrame({"file": [out], "rows": [len(pdf)]})
+
+    manifest = (
+        long_df.repartition(split_dim)
+        .groupBy(split_dim)
+        .applyInPandas(write_slice, "file string, rows long")
+    )
+    return sorted(r["file"] for r in manifest.collect())
 
 
 def oph_explorenc(spark: SparkSession, path: str, measure: str | None = None) -> dict:
     """Inspect a NetCDF file (oph_explorenc, oph_json_objkeys.h:85-91): dims,
-    variables, attributes, and summary stats of one measure.
-
-    Decode requires xarray (NotImplementedError here); `explore_stats` below
-    carries the stats/fit logic and is tested on parquet-born DataFrames.
+    variables, attributes, plus summary stats of one measure (numpy over the
+    single file being inspected — explorenc is a one-file peek by contract;
+    the distributed stats/fit path is `explore_stats` below).
     """
-    xr = _try_import_netcdf()
-    if xr is None:
-        raise NotImplementedError(
-            "oph_explorenc requires xarray/netCDF4 (not available in this "
-            "container); stats path is exercised via explore_stats()."
-        )
-    ds = xr.open_dataset(path)  # pragma: no cover
-    info = {  # pragma: no cover
-        "dims": dict(ds.dims), "vars": list(ds.data_vars), "attrs": dict(ds.attrs)
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3
+
+    ds = netcdf3.read(path)
+    info: dict = {
+        "dims": dict(ds.dimensions),
+        "vars": {n: list(v.dimensions) for n, v in ds.variables.items()},
+        "attrs": dict(ds.attributes),
     }
-    return info  # pragma: no cover
+    if measure and measure in ds.variables:
+        a = np.asarray(ds.variables[measure].data, dtype="float64")
+        a = a[~np.isnan(a)]
+        info["stats"] = {
+            "n": int(a.size),
+            "mean": round(float(a.mean()), 6) if a.size else None,
+            "std": round(float(a.std()), 6) if a.size else None,
+            "min": float(a.min()) if a.size else None,
+            "max": float(a.max()) if a.size else None,
+        }
+    return info
 
 
 def explore_stats(df: DataFrame, value_col: str, order_cols: list[str] | None = None) -> DataFrame:

@@ -806,6 +806,38 @@ def io_csv_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "io_nc_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_nc_roundtrip(spark, sf_dir):
+    """oph_exportnc -> oph_importnc roundtrip through the pure-Python NetCDF3
+    codec (sources/netcdf3.py): cube -> classic .nc file -> mapInPandas decode
+    -> cube; values must match SQL over the parquet source (reference ingest
+    surface: oph_importnc/oph_exportnc, oph_json_objkeys.h:114-117)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(cube, f"/tmp/ophidia_nc_{tag}")
+    c2 = io_ops.oph_importnc(spark, files, "qty", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))  # grid holes round-trip as NaN
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,289 @@
+"""Pure-Python NetCDF3 (classic / 64-bit-offset) codec.
+
+The reference's entire ingest surface is NetCDF (oph_importnc/oph_importncs,
+/root/reference/src/oph_json_objkeys.h:114-117); this container has no
+netCDF/xarray library, so the classic file format — a small, fully public
+on-disk spec (Unidata "NetCDF Classic Format Specification": CDF-1 magic
+'CDF\\x01', CDF-2 'CDF\\x02') — is implemented directly. Only what the
+engine needs is covered:
+
+  read:  dims, global/variable attributes, all six classic types
+         (byte, char, short, int, float, double), fixed and record
+         variables, CDF-1 and CDF-2 offsets.
+  write: CDF-1 files with fixed-size variables (what oph_exportnc emits).
+
+Everything is driven through numpy big-endian dtypes; per-file decode cost
+is one sequential read, which is the unit of parallelism for the Spark side
+(`operators/io_ops.py` fans the file list out with mapInPandas).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+
+_DTYPES = {
+    NC_BYTE: np.dtype(">i1"),
+    NC_CHAR: np.dtype("S1"),
+    NC_SHORT: np.dtype(">i2"),
+    NC_INT: np.dtype(">i4"),
+    NC_FLOAT: np.dtype(">f4"),
+    NC_DOUBLE: np.dtype(">f8"),
+}
+_NC_TYPE_OF = {
+    "int8": NC_BYTE,
+    "int16": NC_SHORT,
+    "int32": NC_INT,
+    "int64": NC_INT,  # classic format has no 64-bit int; narrow on write
+    "float32": NC_FLOAT,
+    "float64": NC_DOUBLE,
+}
+
+_ABSENT = b"\x00" * 8
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+
+@dataclass
+class Variable:
+    name: str
+    dimensions: tuple[str, ...]
+    attributes: dict
+    data: np.ndarray
+
+
+@dataclass
+class Dataset:
+    """In-memory image of one NetCDF3 file."""
+
+    dimensions: dict[str, int | None] = field(default_factory=dict)  # None = record dim
+    attributes: dict = field(default_factory=dict)
+    variables: dict[str, Variable] = field(default_factory=dict)
+
+
+def _pad(n: int) -> int:
+    return (4 - n % 4) % 4
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def bytes(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("truncated NetCDF3 file")
+        self.pos += n
+        return b
+
+    def i4(self) -> int:
+        return struct.unpack(">i", self.bytes(4))[0]
+
+    def i8(self) -> int:
+        return struct.unpack(">q", self.bytes(8))[0]
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.bytes(n).decode("utf-8")
+        self.bytes(_pad(n))
+        return s
+
+    def values(self, nc_type: int, n: int):
+        dt = _DTYPES[nc_type]
+        raw = self.bytes(dt.itemsize * n)
+        self.bytes(_pad(dt.itemsize * n))
+        if nc_type == NC_CHAR:
+            return raw.decode("utf-8", errors="replace")
+        arr = np.frombuffer(raw, dtype=dt)
+        return arr.tolist() if n != 1 else arr[0].item()
+
+    def att_list(self) -> dict:
+        tag, n = self.i4(), self.i4()
+        if tag not in (_NC_ATTRIBUTE, 0) or (tag == 0 and n != 0):
+            raise ValueError(f"bad attribute list header ({tag}, {n})")
+        out = {}
+        for _ in range(n):
+            nm = self.name()
+            t = self.i4()
+            cnt = self.i4()
+            out[nm] = self.values(t, cnt)
+        return out
+
+
+def read(path: str) -> Dataset:
+    """Parse a classic (CDF-1) or 64-bit-offset (CDF-2) NetCDF file."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    r = _Reader(buf)
+    magic = r.bytes(4)
+    if magic[:3] != b"CDF" or magic[3] not in (1, 2):
+        raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
+    large = magic[3] == 2
+    numrecs = r.i4()
+
+    ds = Dataset()
+    # dimension list
+    tag, ndims = r.i4(), r.i4()
+    if tag not in (_NC_DIMENSION, 0) or (tag == 0 and ndims != 0):
+        raise ValueError("bad dimension list header")
+    dim_names: list[str] = []
+    dim_sizes: list[int] = []
+    for _ in range(ndims):
+        nm = r.name()
+        sz = r.i4()
+        dim_names.append(nm)
+        dim_sizes.append(sz)
+        ds.dimensions[nm] = None if sz == 0 else sz
+
+    ds.attributes = r.att_list()
+
+    # variable headers
+    tag, nvars = r.i4(), r.i4()
+    if tag not in (_NC_VARIABLE, 0) or (tag == 0 and nvars != 0):
+        raise ValueError("bad variable list header")
+    headers = []
+    for _ in range(nvars):
+        nm = r.name()
+        nd = r.i4()
+        dimids = [r.i4() for _ in range(nd)]
+        atts = r.att_list()
+        nc_type = r.i4()
+        vsize = r.i4()
+        begin = r.i8() if large else r.i4()
+        headers.append((nm, dimids, atts, nc_type, vsize, begin))
+
+    rec_vars = [h for h in headers if h[1] and dim_sizes[h[1][0]] == 0]
+    recsize = sum(h[4] for h in rec_vars)
+
+    for nm, dimids, atts, nc_type, vsize, begin in headers:
+        dt = _DTYPES[nc_type]
+        shape = [dim_sizes[i] for i in dimids]
+        is_rec = bool(dimids) and shape[0] == 0
+        if is_rec:
+            shape[0] = numrecs
+            per_rec = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+            chunk = per_rec * dt.itemsize
+            # record variables interleave: one record of each var per stride.
+            # The special case (single record var) is packed with no padding.
+            stride = recsize if len(rec_vars) > 1 else chunk + _pad(chunk)
+            parts = [
+                np.frombuffer(buf, dtype=dt, count=per_rec, offset=begin + rec * stride)
+                for rec in range(numrecs)
+            ]
+            arr = np.concatenate(parts).reshape(shape) if parts else np.empty(shape, dt)
+        else:
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            arr = np.frombuffer(buf, dtype=dt, count=count, offset=begin).reshape(shape)
+        ds.variables[nm] = Variable(
+            name=nm,
+            dimensions=tuple(dim_names[i] for i in dimids),
+            attributes=atts,
+            data=arr,
+        )
+    return ds
+
+
+def _enc_name(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">i", len(b)) + b + b"\x00" * _pad(len(b))
+
+
+def _nc_type_for(arr: np.ndarray) -> int:
+    if arr.dtype.kind == "S" or arr.dtype.kind == "U":
+        return NC_CHAR
+    t = _NC_TYPE_OF.get(np.dtype(arr.dtype).name)
+    if t is None:
+        raise ValueError(f"unsupported dtype for NetCDF3: {arr.dtype}")
+    return t
+
+
+def _enc_values(nc_type: int, values) -> tuple[bytes, int]:
+    if nc_type == NC_CHAR:
+        raw = values.encode("utf-8") if isinstance(values, str) else bytes(values)
+        n = len(raw)
+    else:
+        arr = np.asarray(values, dtype=_DTYPES[nc_type])
+        raw = arr.tobytes()
+        n = arr.size
+    return raw + b"\x00" * _pad(len(raw)), n
+
+
+def _enc_att_list(atts: dict) -> bytes:
+    if not atts:
+        return _ABSENT
+    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(atts))]
+    for nm, val in atts.items():
+        if isinstance(val, str):
+            t = NC_CHAR
+        elif isinstance(val, (list, np.ndarray)):
+            t = _nc_type_for(np.asarray(val))
+        elif isinstance(val, float):
+            t = NC_DOUBLE
+        else:
+            t = NC_INT
+        raw, n = _enc_values(t, val)
+        out.append(_enc_name(nm) + struct.pack(">ii", t, n) + raw)
+    return b"".join(out)
+
+
+def write(path: str, ds: Dataset) -> None:
+    """Write a CDF-1 classic file. Fixed-size dimensions only (record
+    variables are read-side; the export operator always knows its sizes)."""
+    dim_names = list(ds.dimensions)
+    dim_index = {n: i for i, n in enumerate(dim_names)}
+    for n, sz in ds.dimensions.items():
+        if sz is None:
+            raise ValueError("write() supports fixed dimensions only")
+
+    header = [b"CDF\x01", struct.pack(">i", 0)]
+    if dim_names:
+        header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
+        for n in dim_names:
+            header.append(_enc_name(n) + struct.pack(">i", ds.dimensions[n]))
+    else:
+        header.append(_ABSENT)
+    header.append(_enc_att_list(ds.attributes))
+
+    # lay out payloads first; header size does not depend on begin values
+    # (CDF-1 begin is always 4 bytes), so encode twice: once with begin=0 to
+    # measure the header, then with the real offsets
+    payloads = []
+    var_heads = []
+    for v in ds.variables.values():
+        nc_type = _nc_type_for(v.data)
+        arr = np.ascontiguousarray(v.data, dtype=_DTYPES[nc_type])
+        raw = arr.tobytes()
+        raw += b"\x00" * _pad(len(raw))
+        payloads.append(raw)
+        var_heads.append((v, nc_type, len(raw)))
+
+    def var_block(begins: list[int]) -> bytes:
+        if not ds.variables:
+            return _ABSENT
+        parts = [struct.pack(">ii", _NC_VARIABLE, len(ds.variables))]
+        for (v, nc_type, vsize), begin in zip(var_heads, begins):
+            parts.append(_enc_name(v.name))
+            parts.append(struct.pack(">i", len(v.dimensions)))
+            parts.extend(struct.pack(">i", dim_index[d]) for d in v.dimensions)
+            parts.append(_enc_att_list(v.attributes))
+            parts.append(struct.pack(">ii", nc_type, vsize))
+            parts.append(struct.pack(">i", begin))
+        return b"".join(parts)
+
+    header_len = len(b"".join(header)) + len(var_block([0] * len(var_heads)))
+    begins, off = [], header_len
+    for _, _, vsize in var_heads:
+        begins.append(off)
+        off += vsize
+
+    with open(path, "wb") as f:
+        f.write(b"".join(header))
+        f.write(var_block(begins))
+        for raw in payloads:
+            f.write(raw)

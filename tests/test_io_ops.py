@@ -29,9 +29,28 @@ def test_expand_file_glob(tmp_path):
     assert [os.path.basename(p) for p in got] == ["x1.nc", "x2.nc"]
 
 
-def test_importnc_gate(spark):
-    with pytest.raises(NotImplementedError, match="xarray"):
-        io_ops.oph_importnc(spark, ["/nonexistent.nc"], "tas", ["lat"], "time")
+def test_importnc_multi_file(spark, tmp_path):
+    # importncs shape: several .nc files fan out to tasks, one cube out
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3 as nc
+
+    paths = []
+    for i in range(3):
+        ds = nc.Dataset()
+        ds.dimensions = {"lat": 2, "time": 2}
+        ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([10.0 * i, 10.0 * i + 5]))
+        ds.variables["time"] = nc.Variable("time", ("time",), {}, np.array([1.0, 2.0]))
+        ds.variables["tas"] = nc.Variable(
+            "tas", ("lat", "time"), {}, np.arange(4, dtype="float64").reshape(2, 2) + 10 * i
+        )
+        p = str(tmp_path / f"f{i}.nc")
+        nc.write(p, ds)
+        paths.append(p)
+    cube = io_ops.oph_importnc(spark, paths, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    assert len(rows) == 12
+    assert (0.0, 1.0, 0.0) in rows and (15.0, 2.0, 13.0) in rows
 
 
 def test_publish_unpublish(spark, tmp_path):

@@ -1,0 +1,142 @@
+"""NetCDF3 codec: golden-bytes fidelity against the public classic-format
+spec (hand-assembled files), writer/reader round-trip, record-variable
+interleaving. No Spark session needed."""
+
+import struct
+
+import numpy as np
+
+from ophidia_server_spark.sources import netcdf3 as nc
+
+
+def _golden_bytes() -> bytes:
+    # dims {x:2}, global att title='t', var v double[x]=[1.5,2.5] att units='m'
+    g = b"CDF\x01" + struct.pack(">i", 0)
+    g += struct.pack(">ii", 0x0A, 1) + struct.pack(">i", 1) + b"x\x00\x00\x00"
+    g += struct.pack(">i", 2)
+    g += struct.pack(">ii", 0x0C, 1) + struct.pack(">i", 5) + b"title\x00\x00\x00"
+    g += struct.pack(">ii", 2, 1) + b"t\x00\x00\x00"
+    g += struct.pack(">ii", 0x0B, 1)
+    g += struct.pack(">i", 1) + b"v\x00\x00\x00" + struct.pack(">i", 1)
+    g += struct.pack(">i", 0)
+    g += struct.pack(">ii", 0x0C, 1) + struct.pack(">i", 5) + b"units\x00\x00\x00"
+    g += struct.pack(">ii", 2, 1) + b"m\x00\x00\x00"
+    g += struct.pack(">ii", 6, 16) + struct.pack(">i", 128)
+    g += struct.pack(">d", 1.5) + struct.pack(">d", 2.5)
+    return g
+
+
+def test_reader_parses_golden_file(tmp_path):
+    p = str(tmp_path / "g.nc")
+    open(p, "wb").write(_golden_bytes())
+    ds = nc.read(p)
+    assert ds.dimensions == {"x": 2}
+    assert ds.attributes == {"title": "t"}
+    v = ds.variables["v"]
+    assert v.data.tolist() == [1.5, 2.5]
+    assert v.attributes == {"units": "m"} and v.dimensions == ("x",)
+
+
+def test_writer_reproduces_golden_bytes(tmp_path):
+    ds = nc.Dataset()
+    ds.dimensions = {"x": 2}
+    ds.attributes = {"title": "t"}
+    ds.variables["v"] = nc.Variable("v", ("x",), {"units": "m"}, np.array([1.5, 2.5]))
+    p = str(tmp_path / "w.nc")
+    nc.write(p, ds)
+    assert open(p, "rb").read() == _golden_bytes()
+
+
+def test_roundtrip_all_types(tmp_path):
+    ds = nc.Dataset()
+    ds.dimensions = {"x": 2, "y": 3}
+    ds.attributes = {"title": "test", "version": 2, "scale": 1.5, "levels": [1, 2, 3]}
+    ds.variables["x"] = nc.Variable("x", ("x",), {}, np.array([10.0, 20.0]))
+    ds.variables["m"] = nc.Variable(
+        "m", ("x", "y"), {"units": "K"}, np.arange(6, dtype="float32").reshape(2, 3)
+    )
+    ds.variables["c"] = nc.Variable("c", ("y",), {}, np.array([1, 2, 3], dtype="int16"))
+    ds.variables["b"] = nc.Variable("b", ("y",), {}, np.array([-1, 0, 1], dtype="int8"))
+    ds.variables["i"] = nc.Variable("i", ("x",), {}, np.array([7, 8], dtype="int32"))
+    p = str(tmp_path / "t.nc")
+    nc.write(p, ds)
+    r = nc.read(p)
+    assert r.dimensions == ds.dimensions
+    assert r.attributes == ds.attributes
+    assert r.variables["m"].data.tolist() == [[0, 1, 2], [3, 4, 5]]
+    assert r.variables["m"].attributes == {"units": "K"}
+    assert r.variables["c"].data.tolist() == [1, 2, 3]
+    assert r.variables["b"].data.tolist() == [-1, 0, 1]
+    assert r.variables["i"].data.tolist() == [7, 8]
+
+
+def test_reader_single_record_variable(tmp_path):
+    # unlimited dim t (numrecs=3), r short[t, x] — single record var packs
+    # contiguously with per-record padding
+    h = b"CDF\x01" + struct.pack(">i", 3)
+    h += struct.pack(">ii", 0x0A, 2)
+    h += struct.pack(">i", 1) + b"t\x00\x00\x00" + struct.pack(">i", 0)
+    h += struct.pack(">i", 1) + b"x\x00\x00\x00" + struct.pack(">i", 2)
+    h += b"\x00" * 8
+    h += struct.pack(">ii", 0x0B, 1)
+    h += struct.pack(">i", 1) + b"r\x00\x00\x00" + struct.pack(">i", 2)
+    h += struct.pack(">ii", 0, 1)
+    h += b"\x00" * 8 + struct.pack(">ii", 3, 4) + struct.pack(">i", 96)
+    assert len(h) == 96
+    h += struct.pack(">6h", 1, 2, 3, 4, 5, 6)
+    p = str(tmp_path / "rec.nc")
+    open(p, "wb").write(h)
+    ds = nc.read(p)
+    assert ds.dimensions == {"t": None, "x": 2}
+    assert ds.variables["r"].data.tolist() == [[1, 2], [3, 4], [5, 6]]
+
+
+def test_reader_interleaved_record_variables(tmp_path):
+    # two record vars: per-record stride is the summed padded chunk sizes
+    h = b"CDF\x01" + struct.pack(">i", 2)
+    h += struct.pack(">ii", 0x0A, 1)
+    h += struct.pack(">i", 1) + b"t\x00\x00\x00" + struct.pack(">i", 0)
+    h += b"\x00" * 8
+    h += struct.pack(">ii", 0x0B, 2)
+    h += struct.pack(">i", 2) + b"r1\x00\x00" + struct.pack(">i", 1)
+    h += struct.pack(">i", 0)
+    h += b"\x00" * 8 + struct.pack(">ii", 3, 4) + struct.pack(">i", 116)
+    h += struct.pack(">i", 2) + b"r2\x00\x00" + struct.pack(">i", 1)
+    h += struct.pack(">i", 0)
+    h += b"\x00" * 8 + struct.pack(">ii", 4, 4) + struct.pack(">i", 120)
+    assert len(h) == 116
+    h += struct.pack(">h", 1) + b"\x00\x00" + struct.pack(">i", 10)
+    h += struct.pack(">h", 2) + b"\x00\x00" + struct.pack(">i", 11)
+    p = str(tmp_path / "rec2.nc")
+    open(p, "wb").write(h)
+    ds = nc.read(p)
+    assert ds.variables["r1"].data.tolist() == [1, 2]
+    assert ds.variables["r2"].data.tolist() == [10, 11]
+
+
+def test_reader_rejects_non_netcdf(tmp_path):
+    p = str(tmp_path / "bad.nc")
+    open(p, "wb").write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    try:
+        nc.read(p)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_cdf2_64bit_offsets(tmp_path):
+    # CDF-2 only widens the begin field to 8 bytes
+    g = b"CDF\x02" + struct.pack(">i", 0)
+    g += struct.pack(">ii", 0x0A, 1) + struct.pack(">i", 1) + b"x\x00\x00\x00"
+    g += struct.pack(">i", 2)
+    g += b"\x00" * 8
+    g += struct.pack(">ii", 0x0B, 1)
+    g += struct.pack(">i", 1) + b"v\x00\x00\x00" + struct.pack(">i", 1)
+    g += struct.pack(">i", 0)
+    g += b"\x00" * 8 + struct.pack(">ii", 6, 16) + struct.pack(">q", 84)
+    assert len(g) == 84
+    g += struct.pack(">d", 3.0) + struct.pack(">d", 4.0)
+    p = str(tmp_path / "c2.nc")
+    open(p, "wb").write(g)
+    ds = nc.read(p)
+    assert ds.variables["v"].data.tolist() == [3.0, 4.0]

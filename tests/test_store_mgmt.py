@@ -163,8 +163,35 @@ def test_instances_tasks_loggingbk(spark):
     assert m.loggingbk(session_filter="sess-a")[0]["session"] == "sess-a"
 
 
-def test_exportnc_explorenc_gated(spark, tables):
-    # xarray is not in this container: the NetCDF ops must raise cleanly
+def test_exportnc_importnc_roundtrip(spark, tables, tmp_path):
+    # cube -> .nc (pure-Python NetCDF3 writer) -> importnc -> same values
+    from ophidia_server_spark.operators import io_ops as io
+
+    c = build_cube(
+        tables["lineitem"].withColumn("month", F.month("l_shipdate")),
+        ["l_linenumber"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    files = io.oph_exportnc(c, str(tmp_path / "nc_out"))
+    assert len(files) == 1 and files[0].endswith(".nc")
+    c2 = io.oph_importnc(spark, files, "qty", ["l_linenumber"], "month")
+    want = {
+        (int(r["l_linenumber"]), int(r["month"]), float(r["qty"]))
+        for r in c.long().collect()
+    }
+    got = {
+        (int(r["l_linenumber"]), int(r["month"]), float(r["qty"]))
+        for r in c2.long().collect()
+        if r["qty"] == r["qty"]  # drop NaN grid holes
+    }
+    assert got == want and len(got) > 0
+
+    info = io.oph_explorenc(spark, files[0], measure="qty")
+    assert set(info["dims"]) == {"l_linenumber", "month"}
+    assert info["stats"]["n"] == len(want)
+
+
+def test_exportnc_per_dim_files_and_string_dims(spark, tables, tmp_path):
     from ophidia_server_spark.operators import io_ops as io
 
     c = build_cube(
@@ -172,11 +199,16 @@ def test_exportnc_explorenc_gated(spark, tables):
         ["l_returnflag", "l_linestatus"], "month",
         F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
     )
-    if io._try_import_netcdf() is None:
-        with pytest.raises(NotImplementedError):
-            io.oph_exportnc(c, "/tmp/nc_out")
-        with pytest.raises(NotImplementedError):
-            io.oph_explorenc(spark, "/tmp/x.nc")
+    files = io.oph_exportnc(c, str(tmp_path / "nc_shards"), per_dim_files=True)
+    # one shard per l_returnflag value, written executor-side
+    flags = {r["l_returnflag"] for r in c.df.select("l_returnflag").distinct().collect()}
+    assert len(files) == len(flags)
+    info = io.oph_explorenc(spark, files[0], measure="qty")
+    # string dim -> index coordinate with labels attribute
+    from ophidia_server_spark.sources import netcdf3
+
+    ds = netcdf3.read(files[0])
+    assert "labels" in ds.variables["l_linestatus"].attributes
 
 
 def test_explore_stats_matches_known(spark):
