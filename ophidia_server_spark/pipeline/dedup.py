@@ -192,15 +192,27 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
         "doc_id", F.explode(tokens(F.col(text_col))).alias("__t")
     ).select("doc_id", F.xxhash64("__t").alias("h"))
     # sum the raw bit, not ±1: sign-sum > 0  ⟺  2*popcount_j > n_tokens.
-    # NOTE: 65 aggregate buffer fields exceed spark.sql.codegen.maxFields
-    # (100 incl. keys/input), so this stage runs interpreted either way —
-    # explode+sum still wins over per-bit array folds via map-side partials,
-    # and raising maxFields restores codegen where the session allows it
+    # Two bit-counters pack into each long buffer (low 32 bits count bit j,
+    # high 32 bits count bit j+32): 33 aggregate fields stay inside
+    # spark.sql.codegen.maxFields, so the hash aggregate runs whole-stage
+    # codegen'd with map-side partials — doc token counts < 2^32 cannot
+    # carry between the halves.
+    half = bits // 2
     aggs = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
-        for j in range(bits)
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright(F.col("h"), j + half).bitwiseAND(F.lit(1)), 32
+            )
+        ).alias(f"__p{j}")
+        for j in range(half)
     ]
     sums = ex.groupBy("doc_id").agg(F.count("*").alias("__n"), *aggs)
+
+    def bit_sum(j: int):
+        if j < half:
+            return F.col(f"__p{j}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.shiftrightunsigned(F.col(f"__p{j - half}"), 32)
 
     def bit_val(j: int) -> int:
         return (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
@@ -208,7 +220,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     sim = F.lit(0).cast("long")
     for j in range(bits):
         sim = sim.bitwiseOR(
-            F.when(2 * F.col(f"__s{j}") > F.col("__n"), F.lit(bit_val(j)).cast("long"))
+            F.when(2 * bit_sum(j) > F.col("__n"), F.lit(bit_val(j)).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
     packed = sums.select("doc_id", sim.alias("simhash"))

@@ -196,6 +196,52 @@ def ivf_leaders(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     return out
 
 
+def ivf_kmeans_codebook(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", sample_frac: float = 0.2, seed: int = 13,
+) -> list[list[float]]:
+    """Trained IVF codebook: spherical KMeans (pyspark.ml) over a
+    deterministic content-hash sample of the corpus, centroids L2-normalized.
+
+    The sample is hash_sample-stable (same rows every run/engine), the fit
+    cost is bounded by sample_frac, and the result is n_cells x dim floats —
+    broadcast-sized regardless of corpus size. On clustered real embeddings
+    this keeps recall up where a fixed id-ordered codebook (ivf_leaders)
+    collapses.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ophidia_server_spark.pipeline.sampling import hash_sample
+
+    sample = hash_sample(df, sample_frac, key_col=id_col, salt="ivf")
+    # spherical: cluster unit vectors so euclidean KMeans ~ cosine clustering
+    arr = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = (
+        sample.withColumn("__n", norm)
+        .filter(F.col("__n") > 0)
+        .select(
+            array_to_vector(F.transform(arr, lambda x: x / F.col("__n"))).alias("features")
+        )
+    )
+    if unit.limit(n_cells).count() < n_cells:
+        unit = (
+            df.withColumn("__n", norm)
+            .filter(F.col("__n") > 0)
+            .select(
+                array_to_vector(F.transform(arr, lambda x: x / F.col("__n"))).alias("features")
+            )
+        )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(unit)
+    out = []
+    for c in model.clusterCenters():
+        n = float(np.linalg.norm(c)) or 1.0
+        out.append([float(x) / n for x in c])
+    return out
+
+
 def ivf_assign(df: DataFrame, leaders_unit: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Tag every vector with its IVF cell = argmax_j dot(vec, unit_leader_j)
@@ -231,14 +277,20 @@ def ivf_assign(df: DataFrame, leaders_unit: list[list[float]],
 def ivf_topk_cosine(
     df: DataFrame, query_vec: list[float], k: int = 10, n_cells: int = 16,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    codebook: str = "kmeans",
 ) -> DataFrame:
     """IVF approximate top-k: probe only the nprobe cells whose leaders are
     closest to the query, brute-force exact cosine inside them.
 
     Scan fraction ~ nprobe/n_cells of the corpus (vs 1.0 for brute force);
     with cells as a partition column the non-probed cells are never read.
+    codebook='kmeans' trains a spherical-KMeans codebook on a hash sample
+    (the quality path); 'leaders' uses the deterministic id-ordered stand-in.
     """
-    leaders = ivf_leaders(df, n_cells, id_col, vec_col)
+    if codebook == "kmeans":
+        leaders = ivf_kmeans_codebook(df, n_cells, vec_col, id_col)
+    else:
+        leaders = ivf_leaders(df, n_cells, id_col, vec_col)
     qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qsims = [
         sum(q / qn * l for q, l in zip(query_vec, L)) for L in leaders

@@ -1755,7 +1755,7 @@ def workflow_pipeline(spark, sf_dir):
     "dedup_ngram_exact",
     r"""WITH t AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
-  FROM documents WHERE doc_id < 60
+  FROM documents WHERE doc_id < 400
 ),
 s AS (
   SELECT doc_id,
@@ -1768,12 +1768,14 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""",
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1""",
 )
 def dedup_ngram_exact(spark, sf_dir):
-    # exact all-pairs baseline for the LSH-pruned dedup_ngram_jaccard
+    # exact all-pairs baseline for the LSH-pruned dedup_ngram_jaccard;
+    # threshold/slice chosen so the oracle is non-vacuous (rows > 0) at
+    # sf0.001 and sf0.01 — a 0-row match can't distinguish wrong from empty
     return dd.ngram_jaccard_exact(
-        _t(spark, sf_dir)["documents"], threshold=0.3, max_id=60
+        _t(spark, sf_dir)["documents"], threshold=0.1, max_id=400
     )
 
 

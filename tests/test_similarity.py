@@ -32,6 +32,40 @@ def test_ivf_topk_overlaps_exact(tables):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def test_ivf_kmeans_codebook_recall(spark):
+    # clustered embeddings with the first n_cells ids all in ONE cluster:
+    # the id-ordered leaders codebook degenerates, the trained spherical
+    # KMeans codebook must keep recall@10 >= 0.9
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(12, 32)) * 4
+    vecs = []
+    for i in range(600):
+        c = 0 if i < 12 else i % 12
+        vecs.append((i, (centers[c] + rng.normal(size=32) * 0.5).astype("float32").tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def recalls(codebook):
+        out = []
+        for vid in range(20, 80, 13):
+            q = [float(x) for x in vecs[vid][1]]
+            exact = [r.vec_id for r in sim.topk_cosine(emb, q, k=10).collect()]
+            approx = [
+                r.vec_id
+                for r in sim.ivf_topk_cosine(
+                    emb, q, k=10, n_cells=12, nprobe=3, codebook=codebook
+                ).collect()
+            ]
+            out.append(len(set(exact) & set(approx)) / 10)
+        return out
+
+    km = recalls("kmeans")
+    assert min(km) >= 0.9, km
+    ld = recalls("leaders")
+    assert sum(km) >= sum(ld)  # trained codebook never loses to the stand-in
+
+
 def test_exact_pairs_symmetric_threshold(tables):
     emb = tables["embeddings"]
     pairs = sim.exact_pairs_above(emb, threshold=0.2, max_id=100)
