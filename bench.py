@@ -59,6 +59,10 @@ HEADLINE = [
     # multi-join breadth: nation-pair volume, promo share
     "tpch_q7_nation_volume",
     "tpch_q14_promo_share",
+    # round-3 additions: remaining TPC-H breadth + NetCDF ingest/export path
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode",
+    "io_nc_roundtrip",
 ]
 
 

@@ -69,6 +69,11 @@ def parse_massive(arg: str) -> tuple[list[dict[str, str]], list[str]]:
         groups.append(kv)
     rest_no_groups = re.sub(r"\[[^\]]*\]", "", rest)
     pids = [p.strip() for p in rest_no_groups.split("|") if p.strip()]
+    for p in pids:
+        # an unclosed/stray bracket is a parse error, not a PID
+        # (oph_server_test.c:2831 "[wrong" -> error)
+        if "[" in p or "]" in p:
+            raise ValueError(f"malformed massive filter near {p!r}")
     return groups, pids
 
 

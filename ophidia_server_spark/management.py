@@ -167,10 +167,40 @@ class ManagementService:
     def resume(
         self, session_id: str, workflow_id: int | None = None,
         document_type: str = "response", status_filter: int = 0xFF,
+        execute: bool = False, submit: "Any" = None,
     ):
         """oph_resume: read back stored requests/responses of a session,
         optionally one workflow, with an 8-bit status mask
-        (oph_execute_main.c:2270-2276)."""
+        (oph_execute_main.c:2270-2276).
+
+        Levels (oph_execute_main.c:2193-2268 document shapes):
+          0 session status only; 1 synthetic command line; 2 command or
+          workflow name; 3 full JSON request; 4 JSON response; 5 extended
+          response. This shim serves 3/4 via document_type
+          ('request'/'response'); 0-2 reduce to fields of those documents.
+
+        execute=True re-submits each matching stored REQUEST as a brand-new
+        request through `submit` (a callable taking the request dict — e.g.
+        ServerFacade.submit or WorkflowEngine.run), the reference's
+        `oph__ophExecuteMain(soap, jstring, response)` re-entry at
+        oph_execute_main.c:6026. Each re-run is recorded as a NEW ledger
+        entry with its own workflow_id; the new RunRecords are returned."""
+        if execute:
+            if submit is None:
+                raise ValueError("resume(execute=True) needs a submit callable")
+            reruns = []
+            for req in self.resume(session_id, workflow_id, "request", status_filter):
+                if req is None:
+                    continue
+                rec = self.record(session_id, req)
+                try:
+                    rec.response = submit(req)
+                    rec.status = "OPH_ODB_STATUS_COMPLETED"
+                except Exception as e:  # noqa: BLE001
+                    rec.response = {"error": f"{type(e).__name__}: {e}"}
+                    rec.status = "OPH_ODB_STATUS_ERROR"
+                reruns.append(rec)
+            return reruns
         mask_statuses = {
             0: "OPH_ODB_STATUS_PENDING",
             1: "OPH_ODB_STATUS_RUNNING",

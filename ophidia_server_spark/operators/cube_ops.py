@@ -507,20 +507,26 @@ def oph_showgrid(cube: Cube) -> DataFrame:
     return out
 
 
-def oph_inspectfrag(cube: Cube, frag_id: int = 0, nfrag: int = 4) -> DataFrame:
+def oph_inspectfrag(
+    cube: Cube, frag_id: int = 0, nfrag: int = 4, max_rows: int = 100_000
+) -> DataFrame:
     """Dump one logical fragment of a cube (oph_inspectfrag): fragments are
     defined deterministically as row_number over the explicit-dim order modulo
     nfrag, mirroring the reference's hostxdatacube x fragmentxdb row split
     (oph_ophidiadb_query.h:48) with an engine-portable rule.
 
-    Inspection is a debugging peek at one fragment, so the single-partition
-    row_number window is acceptable; physical Spark partitions remain the real
-    fragmentation (spark_partition_id) and are reported by store.cubeschema.
+    Inspection is a debugging peek at one fragment; the single-partition
+    row_number window is acceptable ONLY because the input is capped at
+    max_rows first (a limit pushes into the scan), so a 100x-scale cube can
+    never be accidentally funneled through one task. Physical Spark
+    partitions remain the real fragmentation (spark_partition_id) and are
+    reported by store.cubeschema.
     """
     from pyspark.sql import Window
 
     w = Window.orderBy(*[F.col(d) for d in cube.explicit_dims])
-    tagged = cube.df.withColumn("__frag", (F.row_number().over(w) - 1) % nfrag)
+    capped = cube.df.limit(max_rows)
+    tagged = capped.withColumn("__frag", (F.row_number().over(w) - 1) % nfrag)
     return tagged.filter(F.col("__frag") == frag_id).drop("__frag")
 
 

@@ -214,15 +214,27 @@ def oph_unpublish(publish_dir: str, name: str) -> None:
 
 def oph_fs(path: str, file_filter: str | None = None, recursive: bool = False) -> list[dict]:
     """oph_fs ls (oph_massive_operations.c:35): list a data directory with an
-    optional regex file filter — feeds file-massive expansion (src_path=[...])."""
-    rx = re.compile(file_filter) if file_filter else None
+    optional file filter — feeds file-massive expansion (src_path=[...]).
+
+    Filter syntax: a valid regex is applied as a search; anything that does
+    not compile as a regex (e.g. the reference's glob-style `file=*1*`,
+    oph_server_test.c:2814-2839) is matched with fnmatch glob semantics."""
+    match = None
+    if file_filter:
+        try:
+            rxc = re.compile(file_filter)
+            match = rxc.search
+        except re.error:
+            import fnmatch as _fn
+
+            match = lambda fn: _fn.fnmatch(fn, file_filter)  # noqa: E731
     out = []
     if recursive:
         walker = ((dp, fn) for dp, _, fs in os.walk(path) for fn in fs)
     else:
         walker = ((path, fn) for fn in os.listdir(path) if os.path.isfile(os.path.join(path, fn)))
     for dp, fn in walker:
-        if rx and not rx.search(fn):
+        if match and not match(fn):
             continue
         full = os.path.join(dp, fn)
         out.append({"type": "f", "name": fn, "path": full, "size": os.path.getsize(full)})

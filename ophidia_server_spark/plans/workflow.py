@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import ast
 import operator as _op
+import os
 import re
 import time
 from collections import deque
@@ -37,6 +38,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 VAR_RE = re.compile(r"@\{(\w+)\}|@(\w+)")
+IDX_RE = re.compile(r"&\{(\w+)\}|&(\w+)")
 
 FLOW_OPERATORS = {
     "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else", "oph_endif",
@@ -100,9 +102,14 @@ def eval_condition(expr: str) -> float:
         raise WorkflowError(f"bad condition {expr!r}: {e}") from e
 
 
-def substitute(value: Any, variables: dict[str, Any]) -> Any:
-    """@var / @{var} substitution (oph_workflow_utils.c:104-272 semantics:
-    unknown variables are left untouched)."""
+def substitute(
+    value: Any, variables: dict[str, Any], indexes: dict[str, Any] | None = None
+) -> Any:
+    """@var / @{var} value substitution plus &var / &{var} loop-index
+    substitution (oph_workflow_utils.c:104-272; prefixes "@&" from
+    oph_workflow_define.h:35-40 — '&' yields the 1-based iteration index,
+    "Non C-like indexing" per oph_flow_control_operators.c:1395). Unknown
+    variables are left untouched."""
     if not isinstance(value, str):
         return value
 
@@ -110,7 +117,88 @@ def substitute(value: Any, variables: dict[str, Any]) -> Any:
         name = m.group(1) or m.group(2)
         return str(variables.get(name, m.group(0)))
 
-    return VAR_RE.sub(repl, value)
+    out = VAR_RE.sub(repl, value)
+    if indexes:
+
+        def repl_idx(m: re.Match) -> str:
+            name = m.group(1) or m.group(2)
+            return str(indexes.get(name, m.group(0)))
+
+        out = IDX_RE.sub(repl_idx, out)
+    return out
+
+
+def _parse_counter(spec: str) -> list[int]:
+    """`counter=` index list: comma-separated ints and a:b / a:step:b subset
+    triplets (oph_flow_control_operators.c:1649-1675 uses the common subset
+    parser; indices are inclusive)."""
+    out: list[int] = []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(":")
+        if len(bits) == 1:
+            out.append(int(float(bits[0])))
+        elif len(bits) == 2:
+            out.extend(range(int(float(bits[0])), int(float(bits[1])) + 1))
+        elif len(bits) == 3:
+            out.extend(
+                range(int(float(bits[0])), int(float(bits[2])) + 1, int(float(bits[1])))
+            )
+        else:
+            raise WorkflowError(f"bad counter segment {part!r}")
+    return out
+
+
+def strip_json_comments(text: str) -> str:
+    """C-style comment stripping outside JSON strings, matching
+    _oph_workflow_skip_comments (oph_workflow_parsing.c:1776-1870): `//` runs
+    to end-of-line, `/* ... */` may span lines (newlines inside are kept so
+    error line numbers survive)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (text[i] == "*" and text[i + 1] == "/"):
+                if text[i] == "\n":
+                    out.append("\n")
+                i += 1
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_request(text: str) -> dict:
+    """Reference-style request JSON -> workflow dict (comment stripping
+    applied first, like oph_workflow_load at oph_workflow_parsing.c:70-80)."""
+    import json
+
+    return json.loads(strip_json_comments(text))
 
 
 # ---------------------------------------------------------------------------
@@ -212,17 +300,27 @@ class WorkflowEngine:
             args = {k: substitute(v, variables) for k, v in t.get("arguments", {}).items()}
             key = args.get("key", "i")
             values = str(args.get("values", "")).split("|") if args.get("values") else []
+            counter = args.get("counter")
+            if counter:
+                idxs = _parse_counter(str(counter))
+                if not values:
+                    # counter without values: the indices ARE the values
+                    values = [str(x) for x in idxs]
+            else:
+                idxs = list(range(1, len(values) + 1))  # non C-like indexing
             parallel = str(args.get("parallel", "no")).lower() == "yes"
             prev_iter_names: list[str] = []
             for it, val in enumerate(values):
                 bound = dict(variables)
                 bound[key] = val
+                idx_val = idxs[it] if it < len(idxs) else it + 1
                 iter_names = []
                 for bt in self._expand_loops(body, bound):
                     nt = dict(bt)
                     nt["name"] = f"{bt['name']}_{it}"
                     nt["arguments"] = {
-                        k: substitute(v, {key: val}) for k, v in bt.get("arguments", {}).items()
+                        k: substitute(v, {key: val}, {key: idx_val})
+                        for k, v in bt.get("arguments", {}).items()
                     }
                     deps = []
                     body_names = {b["name"] for b in body}
@@ -317,13 +415,20 @@ class WorkflowEngine:
             )
         raise WorkflowError(f"unknown wait type {wtype!r}")
 
-    def _massive_expand(self, args: dict) -> tuple[str, list[str]] | None:
-        """Massive-selection expansion. Returns (arg_key, items) or None.
+    def _massive_expand(
+        self, args: dict
+    ) -> tuple[str, list[str], list[dict] | None] | None:
+        """Massive-selection expansion. Returns (arg_key, items, extras) or
+        None; extras (when set) is a per-item dict of extra light-task
+        arguments.
 
         `cube=[filters]` expands against the catalog (§2.B algebra);
         `src_path=[path=...;file=regex;recursive=yes]` expands against the
         filesystem (the reference's file-massive path, which dispatches an
-        oph_fs scan — oph_massive_operations.c:158-301)."""
+        oph_fs scan — oph_massive_operations.c:158-301). With
+        `convention=cmip5` each expanded file also infers its measure from the
+        CMIP5 filename rule — basename truncated at the first '_'
+        (oph_massive_operations.c:350-363)."""
         cube_arg = args.get("cube")
         if cube_arg and "[" in str(cube_arg):
             if self.catalog is None:
@@ -337,27 +442,56 @@ class WorkflowEngine:
             items = [str(r.cube_id) for r in sorted(rows, key=lambda r: r.cube_id)]
             if self.pid_resolver is not None:
                 items = [self.pid_resolver(i) for i in items]
-            return "cube", items
+            return "cube", items, None
         src_arg = args.get("src_path")
         if src_arg and "[" in str(src_arg):
             from ophidia_server_spark.filters import parse_massive
             from ophidia_server_spark.operators.io_ops import oph_fs
 
             groups, explicit = parse_massive(str(src_arg))
-            files = list(explicit)
+            task_cmip5 = str(args.get("convention", "")).lower() == "cmip5"
+            # path -> measure|None; convention may sit at task level or inside
+            # each bracket group (the reference test passes
+            # "[path=...;convention=cmip5]|[path=...;convention=cmip5]",
+            # oph_server_test.c:2828)
+            measure_of: dict[str, str | None] = {p: None for p in explicit}
             for g in groups:
                 # bare value inside brackets defaults to `path` for files
                 # (oph_massive_operations.c:76-116)
-                path = g.get("path") or g.get("cube_filter") or "."
-                files += [
-                    e["path"]
-                    for e in oph_fs(
-                        path,
-                        file_filter=g.get("file"),
-                        recursive=str(g.get("recursive", "no")).lower() == "yes",
-                    )
+                path = str(g.get("path") or g.get("cube_filter") or ".").strip()
+                if any(ch in path for ch in "*?") and not os.path.isdir(path):
+                    # bare glob path like [testdata/*.test]
+                    # (oph_server_test.c:2815-2818): expand files directly
+                    import glob as _glob
+
+                    found = [p for p in _glob.glob(path) if os.path.isfile(p)]
+                else:
+                    found = [
+                        e["path"]
+                        for e in oph_fs(
+                            path,
+                            file_filter=g.get("file"),
+                            recursive=str(g.get("recursive", "no")).lower() == "yes",
+                        )
+                    ]
+                cmip5 = task_cmip5 or str(g.get("convention", "")).lower() == "cmip5"
+                for p in found:
+                    # CMIP5 filename convention: measure = basename up to the
+                    # first '_' (oph_massive_operations.c:350-363)
+                    m = os.path.basename(p).split("_", 1)[0] if cmip5 else None
+                    measure_of.setdefault(p, m)
+                    if m is not None:
+                        measure_of[p] = m
+            if task_cmip5:
+                for p in explicit:
+                    measure_of[p] = os.path.basename(p).split("_", 1)[0]
+            files = sorted(measure_of)
+            extras = None
+            if any(m is not None for m in measure_of.values()):
+                extras = [
+                    {"measure": measure_of[p]} if measure_of[p] else {} for p in files
                 ]
-            return "src_path", sorted(set(files))
+            return "src_path", files, extras
         return None
 
     # -- oph_set value handling (subset_filter compression + response-cell
@@ -430,7 +564,7 @@ class WorkflowEngine:
 
     def _exec_massive(
         self, t: dict, fn: Callable, args: dict, inputs: dict, items: list[str],
-        item_key: str = "cube",
+        item_key: str = "cube", extras: list[dict] | None = None,
     ) -> TaskResult:
         """Massive expansion -> light tasks (oph_workflow_engine.c:1010-1056);
         responses aggregate like oph_workflow_load_aggregate_response
@@ -442,8 +576,10 @@ class WorkflowEngine:
             return TaskResult(name, "OPH_ODB_STATUS_COMPLETED", {"expansion": items})
         ncores = int(t.get("ncores", 1) or 1)
 
+        by_item = dict(zip(items, extras)) if extras else {}
+
         def one(item):
-            largs = {**args, item_key: item}
+            largs = {**args, item_key: item, **by_item.get(item, {})}
             largs.pop("run", None)
             return fn(self, largs, inputs)
 
@@ -462,7 +598,7 @@ class WorkflowEngine:
     # -- main entry ------------------------------------------------------------
     def run(
         self,
-        workflow: dict,
+        workflow: dict | str,
         extra_operators: dict[str, Callable] | None = None,
         max_workers: int = 1,
         checkpoint_store: dict | None = None,
@@ -478,6 +614,8 @@ class WorkflowEngine:
         store so finished tasks are not re-run (checkpoint restart,
         oph_workflow_engine.c:244-288).
         """
+        if isinstance(workflow, str):
+            workflow = parse_request(workflow)
         run = WorkflowRun(variables=dict(workflow.get("variables", {})))
         ops = {**self.operators, **(extra_operators or {})}
         tasks = self._select_branches(list(workflow.get("tasks", [])), run.variables)
@@ -550,7 +688,9 @@ class WorkflowEngine:
                     t, fn, args, inputs = item
                     exp = self._massive_expand(args)
                     if exp is not None:
-                        return self._exec_massive(t, fn, args, inputs, exp[1], exp[0])
+                        return self._exec_massive(
+                            t, fn, args, inputs, exp[1], exp[0], exp[2]
+                        )
                     return self._exec_task(t, fn, args, inputs)
 
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
@@ -559,7 +699,9 @@ class WorkflowEngine:
                 for t, fn, args, inputs in compute_batch:
                     exp = self._massive_expand(args)
                     if exp is not None:
-                        results.append(self._exec_massive(t, fn, args, inputs, exp[1], exp[0]))
+                        results.append(
+                            self._exec_massive(t, fn, args, inputs, exp[1], exp[0], exp[2])
+                        )
                     else:
                         results.append(self._exec_task(t, fn, args, inputs))
 

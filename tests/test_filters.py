@@ -182,3 +182,117 @@ def test_empty_selection_is_empty_not_error(cat):
 def test_empty_clauses_tolerated():
     groups, pids = parse_massive("[;]")
     assert groups in ([], [{}]) and pids == []
+
+
+# -- reference file-massive golden corpus (oph_server_test.c:2814-2839 filter
+#    strings over the test/testdata tree, replicated here file-for-file) ------
+
+import os
+
+
+@pytest.fixture()
+def ref_tree(tmp_path):
+    d = tmp_path / "testdata"
+    (d / "testdata2").mkdir(parents=True)
+    (d / "a").mkdir()
+    for f in ("a_12.test", "a_123.test"):
+        (d / f).write_text("x")
+    (d / "a" / "c_3.test").write_text("x")
+    for f in ("b_1.tst", "b_123.tst", "b_124.test", "b_13.test"):
+        (d / "testdata2" / f).write_text("x")
+    return str(d)
+
+
+def _expand(src_path, extra_args=None):
+    from ophidia_server_spark.plans.workflow import WorkflowEngine
+
+    eng = WorkflowEngine({})
+    exp = eng._massive_expand({"src_path": src_path, **(extra_args or {})})
+    assert exp is not None and exp[0] == "src_path"
+    return exp
+
+
+def _names(exp):
+    return sorted(os.path.basename(p) for p in exp[1])
+
+
+def test_golden_bare_glob_paths(ref_tree):
+    assert _names(_expand(f"[{ref_tree}/*]")) == ["a_12.test", "a_123.test"]
+    assert _names(_expand(f"[{ref_tree}/*.test]")) == ["a_12.test", "a_123.test"]
+    assert _names(_expand(f"[{ref_tree}/testdata2/*]")) == [
+        "b_1.tst", "b_123.tst", "b_124.test", "b_13.test",
+    ]
+    assert _names(_expand(f"[{ref_tree}/testdata2/*.tst]")) == ["b_1.tst", "b_123.tst"]
+
+
+def test_golden_path_recursion(ref_tree):
+    assert len(_expand(f"[path={ref_tree};recursive=no]")[1]) == 2
+    # trailing ';' tolerated; recursion reaches both subdirs (7 files total)
+    assert len(_expand(f"[path={ref_tree};recursive=yes;]")[1]) == 7
+    assert len(_expand(f"[path={ref_tree}/testdata2;recursive=no]")[1]) == 4
+
+
+def test_golden_glob_file_filters(ref_tree):
+    # glob-style file= patterns (invalid as regex -> fnmatch semantics)
+    assert _names(_expand(f"[path={ref_tree};file=*1*]")) == ["a_12.test", "a_123.test"]
+    assert len(_expand(f"[path={ref_tree};file=*1*;recursive=yes]")[1]) == 6
+    assert _names(_expand(f"[path={ref_tree};file=*12*;recursive=yes]")) == [
+        "a_12.test", "a_123.test", "b_123.tst", "b_124.test",
+    ]
+    assert _names(
+        _expand(f"[path={ref_tree}/testdata2;file=*2*te*;recursive=yes]")
+    ) == ["b_124.test"]
+    assert _expand(f"[path={ref_tree};file=nofile]")[1] == []
+
+
+def test_golden_cmip5_group_and_union(ref_tree):
+    # convention inside each group; groups union with '|'
+    exp = _expand(
+        f"[path={ref_tree};convention=cmip5]|[path={ref_tree}/a;convention=cmip5]"
+    )
+    assert _names(exp) == ["a_12.test", "a_123.test", "c_3.test"]
+    got = {os.path.basename(p): e.get("measure") for p, e in zip(exp[1], exp[2])}
+    assert got == {"a_12.test": "a", "a_123.test": "a", "c_3.test": "c"}
+    # recursive variant covers all 7 files
+    exp = _expand(f"[path={ref_tree};convention=cmip5;recursive=yes]")
+    assert len(exp[1]) == 7
+    assert {e["measure"] for e in exp[2]} == {"a", "b", "c"}
+
+
+def test_golden_malformed_bracket_errors(ref_tree):
+    from ophidia_server_spark.plans.workflow import WorkflowEngine, WorkflowError
+
+    eng = WorkflowEngine({})
+    try:
+        eng._massive_expand({"src_path": "[wrong"})
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_golden_dry_run_with_measure(ref_tree):
+    # [path=...;run=no;...]: run=no rides at task level in this engine
+    from ophidia_server_spark.plans.workflow import WorkflowEngine
+
+    seen = []
+
+    def imp(engine, args, inputs):
+        seen.append(args)
+        return "ok"
+
+    run = WorkflowEngine({"oph_import": imp}).run(
+        {
+            "tasks": [
+                {
+                    "name": "m", "operator": "oph_import",
+                    "arguments": {
+                        "src_path": f"[path={ref_tree}]",
+                        "run": "no", "measure": "measure",
+                    },
+                }
+            ]
+        }
+    )
+    assert seen == []
+    assert len(run.results["m"].value["expansion"]) == 2

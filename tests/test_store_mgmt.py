@@ -134,6 +134,34 @@ def test_ledger_resume_status_mask(spark):
     assert failed == [{"op": "two"}]
 
 
+def test_resume_execute_resubmits(spark):
+    # oph_resume execute=yes: stored request re-enters the engine as a NEW
+    # request with its own workflow_id (oph_execute_main.c:6026)
+    from ophidia_server_spark.plans.workflow import WorkflowEngine
+
+    m = ManagementService(spark)
+    sid = m.manage_session("new", user="a")
+    calls = []
+
+    def op(engine, args, inputs):
+        calls.append(args["x"])
+        return args["x"]
+
+    engine = WorkflowEngine({"op": op})
+    req = {"tasks": [{"name": "t", "operator": "op", "arguments": {"x": "v1"}}]}
+    orig = m.record(sid, req)
+    orig.status = "OPH_ODB_STATUS_COMPLETED"
+
+    reruns = m.resume(sid, execute=True, submit=lambda r: engine.run(r))
+    assert calls == ["v1"]
+    assert len(reruns) == 1
+    assert reruns[0].workflow_id != orig.workflow_id
+    assert reruns[0].status == "OPH_ODB_STATUS_COMPLETED"
+    assert reruns[0].response.results["t"].value == "v1"
+    # the re-run landed in the ledger as its own row
+    assert len(m.tasks_history(session_id=sid)) == 2
+
+
 def test_script_allowlist(spark):
     m = ManagementService(spark)
     assert m.script("echo", ["hi"]).strip() == "hi"
@@ -338,7 +366,7 @@ def test_massive_parallel_light_tasks():
     eng = WorkflowEngine({"op": op})
     # bypass catalog: patch _massive_expand to a fixed item list
     eng._massive_expand = (
-        lambda args: ("cube", ["p1", "p2", "p3", "p4"]) if "cube" in args else None
+        lambda args: ("cube", ["p1", "p2", "p3", "p4"], None) if "cube" in args else None
     )
     run = eng.run(
         {

@@ -567,3 +567,102 @@ def test_exec_time_and_progress():
     prog = workflow_progress(run)
     assert prog["progress"] == 1.0
     assert prog["rowvalues"][0][0] == "a" and prog["rowvalues"][0][2] >= 0.05
+
+
+def test_cmip5_convention_infers_measure(tmp_path):
+    # convention=cmip5: each expanded file carries measure = basename up to
+    # the first '_' (oph_massive_operations.c:350-363)
+    d = tmp_path / "cmip"
+    d.mkdir()
+    for fn in ("tas_Amon_MPI_historical.nc", "pr_day_IPSL.nc"):
+        (d / fn).write_text("x")
+    seen = []
+
+    def imp(engine, args, inputs):
+        seen.append((args["src_path"], args.get("measure")))
+        return "ok"
+
+    WorkflowEngine({"oph_import": imp}).run(
+        {
+            "tasks": [
+                {
+                    "name": "imp", "operator": "oph_import",
+                    "arguments": {
+                        "src_path": f"[path={d};file=\\.nc$]",
+                        "convention": "cmip5",
+                    },
+                }
+            ]
+        }
+    )
+    assert sorted(seen) == [
+        (str(d / "pr_day_IPSL.nc"), "pr"),
+        (str(d / "tas_Amon_MPI_historical.nc"), "tas"),
+    ]
+
+
+def test_loop_index_substitution_and_counter():
+    # &key is the 1-based iteration index; counter= overrides the index list
+    seen = []
+
+    def op(engine, args, inputs):
+        seen.append(args["tag"])
+        return args["tag"]
+
+    WorkflowEngine({"op": op}).run(
+        {
+            "tasks": [
+                {
+                    "name": "for", "operator": "oph_for",
+                    "arguments": {"key": "m", "values": "jan|feb|mar"},
+                },
+                {"name": "t", "operator": "op", "arguments": {"tag": "@m:&m"}},
+                {"name": "endfor", "operator": "oph_endfor", "arguments": {}},
+            ]
+        }
+    )
+    assert seen == ["jan:1", "feb:2", "mar:3"]
+
+    seen.clear()
+    WorkflowEngine({"op": op}).run(
+        {
+            "tasks": [
+                {
+                    "name": "for", "operator": "oph_for",
+                    "arguments": {"key": "i", "counter": "2:2:6"},
+                },
+                {"name": "t", "operator": "op", "arguments": {"tag": "&i"}},
+                {"name": "endfor", "operator": "oph_endfor", "arguments": {}},
+            ]
+        }
+    )
+    assert seen == ["2", "4", "6"]
+
+
+def test_request_comment_stripping_roundtrip():
+    from ophidia_server_spark.plans.workflow import parse_request, strip_json_comments
+
+    text = """{
+  // workflow metadata
+  "name": "demo", /* inline
+  block comment */ "variables": {"v": "a//b /*not a comment*/"},
+  "tasks": [
+    {"name": "t", "operator": "op", "arguments": {"x": "@v"}} // trailing
+  ]
+}"""
+    wf = parse_request(text)
+    assert wf["name"] == "demo"
+    # comment-like text INSIDE strings must survive
+    assert wf["variables"]["v"] == "a//b /*not a comment*/"
+    # newlines in block comments preserved (error line numbers survive)
+    assert strip_json_comments("1/*\n\n*/2").count("\n") == 2
+
+    seen = []
+
+    def op(engine, args, inputs):
+        seen.append(args["x"])
+        return "ok"
+
+    run = WorkflowEngine({"op": op}).run(text)  # str accepted directly
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"
+    assert seen == ["a//b /*not a comment*/"]
