@@ -67,12 +67,48 @@ def _try_import_xarray():
         return None
 
 
-def _nc_long_frame(path: str, measure: str):
+def _hyperslab_mask(coord, spec: str, how: str):
+    """Per-dimension selection mask for import-time hyperslab subsetting.
+
+    how='index': 1-based start:stride:end triplets (subset.parse_subset,
+    mirroring oph_subset_library.c:64-190). how='coord': value / lo:hi clauses
+    over the coordinate values (oph_importnc subset_type=coord)."""
+    import numpy as np
+
+    n = len(coord)
+    mask = np.zeros(n, dtype=bool)
+    if how == "index":
+        from ophidia_server_spark.subset import parse_subset
+
+        idx = np.arange(1, n + 1)
+        for cl in parse_subset(spec):
+            cl = cl.resolved(n)
+            mask |= (idx >= cl.start) & (idx <= cl.end) & ((idx - cl.start) % cl.stride == 0)
+        return mask
+    for part in str(spec).split(","):
+        bits = [b.strip() for b in part.split(":")]
+        if len(bits) == 1:
+            mask |= coord == float(bits[0])
+        elif len(bits) == 2:
+            mask |= (coord >= float(bits[0])) & (coord <= float(bits[1]))
+        else:
+            raise ValueError(f"coord subset clause {part!r}: use value or lo:hi")
+    return mask
+
+
+def _nc_long_frame(
+    path: str, measure: str, subset: dict | None = None, subset_type: str = "coord"
+):
     """Decode one NetCDF file into the long form (one row per grid cell):
     coordinate columns (from same-named coordinate variables, else 0..n-1
     index) + the measure column, all float64. Classic/64-bit-offset files go
     through the pure-Python codec (sources/netcdf3.py); anything else (HDF5-
-    backed netCDF-4) falls back to xarray when present."""
+    backed netCDF-4) falls back to xarray when present.
+
+    `subset` maps dim name -> subset string and is applied as numpy slicing
+    BEFORE the long form materializes (the reference's import-time hyperslab,
+    oph_importnc subset_dims/subset_filter) — at scale only the requested
+    slab is ever expanded to rows."""
     import numpy as np
     import pandas as pd
 
@@ -88,21 +124,33 @@ def _nc_long_frame(path: str, measure: str):
         return xds[measure].to_dataframe().reset_index()  # pragma: no cover
     v = ds.variables[measure]
     coords = []
+    keep = []
     for i, d in enumerate(v.dimensions):
         cv = ds.variables.get(d)
         if cv is not None and cv.dimensions == (d,):
-            coords.append(np.asarray(cv.data, dtype="float64"))
+            c = np.asarray(cv.data, dtype="float64")
         else:
-            coords.append(np.arange(v.data.shape[i], dtype="float64"))
+            c = np.arange(v.data.shape[i], dtype="float64")
+        if subset and d in subset:
+            m = _hyperslab_mask(c, subset[d], subset_type)
+            keep.append(np.flatnonzero(m))
+            c = c[m]
+        else:
+            keep.append(np.arange(len(c)))
+        coords.append(c)
+    data = np.asarray(v.data, dtype="float64")
+    if subset:
+        data = data[np.ix_(*keep)]
     grids = np.meshgrid(*coords, indexing="ij") if coords else []
     out = {d: g.ravel() for d, g in zip(v.dimensions, grids)}
-    out[measure] = np.asarray(v.data, dtype="float64").ravel()
+    out[measure] = data.ravel()
     return pd.DataFrame(out)
 
 
 def oph_importnc(
     spark: SparkSession, paths: list[str], measure: str,
     explicit_dims: list[str], implicit_dim: str,
+    subset: dict | None = None, subset_type: str = "coord",
 ) -> Cube:
     """NetCDF -> cube (oph_importnc/importncs, oph_json_objkeys.h:114).
 
@@ -110,6 +158,10 @@ def oph_importnc(
     reference fragments an import the same way, per-file x hyperslab), decode
     each file inside mapInPandas (Arrow-batched) with the pure-Python
     NetCDF3 codec, then build_cube. No driver-side decode at any file count.
+
+    subset/subset_type apply the reference's import-time hyperslab
+    (subset_dims/subset_filter/subset_type args of oph_importnc): dims are
+    sliced in numpy inside each decode task before any row materializes.
     """
     files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         min(len(paths), 64)
@@ -119,7 +171,7 @@ def oph_importnc(
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
         for pdf in batches:
             for p in pdf["path"]:
-                frame = _nc_long_frame(p, measure)
+                frame = _nc_long_frame(p, measure, subset, subset_type)
                 yield frame[dims + [measure]]
 
     schema = ", ".join([f"{d} double" for d in dims] + [f"{measure} double"])

@@ -234,7 +234,7 @@ def ivf_kmeans_codebook(
                 array_to_vector(F.transform(arr, lambda x: x / F.col("__n"))).alias("features")
             )
         )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(unit)
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(unit)
     out = []
     for c in model.clusterCenters():
         n = float(np.linalg.norm(c)) or 1.0

@@ -104,3 +104,38 @@ def test_fs_reference_fixture_layout(tmp_path):
     # digit-pattern filter (reference uses patterns like a_12x variants)
     names = sorted(e["name"] for e in oph_fs(str(d), file_filter=r"_12\d", recursive=True))
     assert names == ["a_123.test", "b_123.tst", "b_124.test"]
+
+
+def test_importnc_hyperslab_subset(spark, tmp_path):
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3 as nc
+
+    ds = nc.Dataset()
+    ds.dimensions = {"lat": 4, "time": 6}
+    ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([0.0, 10.0, 20.0, 30.0]))
+    ds.variables["time"] = nc.Variable("time", ("time",), {}, np.arange(1.0, 7.0))
+    ds.variables["tas"] = nc.Variable(
+        "tas", ("lat", "time"), {}, np.arange(24, dtype="float64").reshape(4, 6)
+    )
+    p = str(tmp_path / "h.nc")
+    nc.write(p, ds)
+
+    # coord subset: lat in [10,20], time in [2,4] -> 2x3 slab
+    cube = io_ops.oph_importnc(
+        spark, [p], "tas", ["lat"], "time",
+        subset={"lat": "10:20", "time": "2:4"}, subset_type="coord",
+    )
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    assert len(rows) == 6
+    assert (10.0, 2.0, 7.0) in rows and (20.0, 4.0, 15.0) in rows
+    assert all(10.0 <= lat <= 20.0 and 2.0 <= t <= 4.0 for lat, t, _ in rows)
+
+    # index subset: every other time step (1-based triplet), 'end' keyword
+    cube = io_ops.oph_importnc(
+        spark, [p], "tas", ["lat"], "time",
+        subset={"time": "1:2:end"}, subset_type="index",
+    )
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    assert len(rows) == 12  # 4 lats x times {1,3,5}
+    assert {t for _, t, _ in rows} == {1.0, 3.0, 5.0}
