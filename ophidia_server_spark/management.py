@@ -164,20 +164,41 @@ class ManagementService:
         self.ledger.append(rec)
         return rec
 
+    def _synthetic_command(self, request: dict, level: int) -> str:
+        """Level 1/2 document: the submitted command line re-synthesized from
+        a stored request (oph_execute_main.c:6031-6060: level 1 prefers the
+        stored `command`, then a single direct-output task's submission
+        string, then the workflow name; level 2 prefers the task string)."""
+        tasks = request.get("tasks", [])
+
+        def task_string() -> str | None:
+            if len(tasks) == 1:
+                t = tasks[0]
+                args = ";".join(f"{k}={v}" for k, v in t.get("arguments", {}).items())
+                return f"{t.get('operator', '')} {args}".strip()
+            return None
+
+        command = request.get("command")
+        name = request.get("name", "")
+        if level == 1:
+            return command or task_string() or name
+        return task_string() or command or name
+
     def resume(
         self, session_id: str, workflow_id: int | None = None,
         document_type: str = "response", status_filter: int = 0xFF,
-        execute: bool = False, submit: "Any" = None,
+        execute: bool = False, submit: "Any" = None, level: int | None = None,
     ):
         """oph_resume: read back stored requests/responses of a session,
         optionally one workflow, with an 8-bit status mask
         (oph_execute_main.c:2270-2276).
 
-        Levels (oph_execute_main.c:2193-2268 document shapes):
-          0 session status only; 1 synthetic command line; 2 command or
-          workflow name; 3 full JSON request; 4 JSON response; 5 extended
-          response. This shim serves 3/4 via document_type
-          ('request'/'response'); 0-2 reduce to fields of those documents.
+        Levels (oph_execute_main.c:2193-2268 document shapes), selected via
+        `level`: 0 session status row per workflow; 1 synthetic command line
+        (stored command > single-task string > workflow name); 2 task string
+        > command > name; 3 full JSON request; 4 JSON response; 5 extended
+        response (response + status). level=None keeps the raw
+        document_type ('request'/'response') behavior.
 
         execute=True re-submits each matching stored REQUEST as a brand-new
         request through `submit` (a callable taking the request dict — e.g.
@@ -218,7 +239,22 @@ class ManagementService:
                 continue
             if r.status not in allowed:
                 continue
-            out.append(r.request if document_type == "request" else r.response)
+            if level is None:
+                out.append(r.request if document_type == "request" else r.response)
+            elif level == 0:
+                out.append(
+                    {"workflow_id": r.workflow_id, "marker": r.marker, "status": r.status}
+                )
+            elif level in (1, 2):
+                out.append(self._synthetic_command(r.request or {}, level))
+            elif level == 3:
+                out.append(r.request)
+            elif level == 4:
+                out.append(r.response)
+            else:  # level 5: extended response
+                out.append(
+                    {"workflow_id": r.workflow_id, "status": r.status, "response": r.response}
+                )
         return out
 
     # -- oph_instances / oph_tasks / oph_loggingbk (run-ledger queries,

@@ -1640,6 +1640,62 @@ def events_stream_enrich(spark, sf_dir):
 
 
 @q(
+    "events_stream_dedup",
+    """SELECT COUNT(*) AS n_rows
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)""",
+)
+def events_stream_dedup(spark, sf_dir):
+    # watermark-bounded streaming exact dedup (dropDuplicates over
+    # key+event-time); with AvailableNow the surviving row count equals
+    # batch DISTINCT — state is O(rate x delay) at scale, never O(corpus)
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir)["events"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_dedup_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = win.stream_dedup_exact(
+        spark, src, schema, ["user_id", "event_type"],
+        queryName="gate_stream_dedup",
+    )
+    return out.agg(F.count("*").cast("long").alias("n_rows"))
+
+
+@q(
+    "events_stream_stateful",
+    """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
+FROM events GROUP BY 1""",
+)
+def events_stream_stateful(spark, sf_dir):
+    # custom stateful operator (applyInPandasWithState running totals): after
+    # one AvailableNow pass the per-user state equals the batch GROUP BY
+    # (count compared; float totals are checked in pytest where summation
+    # order is controlled)
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir)["events"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_state_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = win.stream_running_user_totals(
+        spark, src, schema, queryName="gate_stream_state"
+    )
+    # update-mode sink keeps one row per state update; counts are monotone,
+    # so max() is the final state even if AvailableNow split into batches
+    return out.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
+
+
+@q(
     "io_json_roundtrip",
     """SELECT o_orderstatus, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -420,3 +420,31 @@ def test_store_persist_reload(spark, tables, tmp_path):
     assert st2.get(pid).df.count() == 6
     pid3 = st2.register(cube, "c1", path="/exp")
     assert st2.entries[pid3].cube_id > st2.entries[dup].cube_id
+
+
+def test_resume_document_levels(spark):
+    m = ManagementService(spark)
+    sid = m.manage_session("new", user="a")
+    req = {
+        "name": "wf-demo",
+        "command": "oph_list level=2",
+        "tasks": [
+            {"name": "t", "operator": "oph_reduce", "arguments": {"operation": "sum"}}
+        ],
+    }
+    rec = m.record(sid, req)
+    rec.response = {"rows": 3}
+    rec.status = "OPH_ODB_STATUS_COMPLETED"
+
+    assert m.resume(sid, level=0) == [
+        {"workflow_id": rec.workflow_id, "marker": rec.marker,
+         "status": "OPH_ODB_STATUS_COMPLETED"}
+    ]
+    # level 1 prefers the stored command; level 2 prefers the task string
+    assert m.resume(sid, level=1) == ["oph_list level=2"]
+    assert m.resume(sid, level=2) == ["oph_reduce operation=sum"]
+    assert m.resume(sid, level=3) == [req]
+    assert m.resume(sid, level=4) == [{"rows": 3}]
+    ext = m.resume(sid, level=5)
+    assert ext[0]["status"] == "OPH_ODB_STATUS_COMPLETED"
+    assert ext[0]["response"] == {"rows": 3}
