@@ -231,6 +231,69 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash signatures: band the 64-bit
+    signature into `bands` contiguous chunks (pigeonhole: two signatures
+    within hamming distance < bands must agree on at least one whole band),
+    bucket-join on (band index, band value), then verify the exact hamming
+    distance with bit_count(xor) — all JVM expressions, zero Python.
+
+    Scale shape: band join keys are chunks of an avalanche hash, so buckets
+    are balanced; each doc emits `bands` rows and the shuffle is
+    O(docs x bands), never O(docs^2). The exact-verify step is bounded by
+    candidate count. bands defaults to max_hamming + 1 (the smallest count
+    with a recall guarantee); band widths tile all 64 bits even when 64 %
+    bands != 0."""
+    if bands is None:
+        bands = max_hamming + 1
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    if bands > 64:
+        raise ValueError("at most 64 bands over a 64-bit signature")
+    sigs = simhash(df, text_col)
+    base_w, extra = divmod(64, bands)
+    chunks = []
+    off = 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        chunks.append((b, off, w))
+        off += w
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for b, off, w in chunks
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.8,
     num_hashes: int = 16, bands: int = 4,

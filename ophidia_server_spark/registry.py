@@ -1145,6 +1145,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_dup_input(spark, sf_dir), threshold=0.8)
 
 
+@q("dedup_simhash_pairs")  # xxhash64-based signatures: rows-only check
+def dedup_simhash_pairs(spark, sf_dir):
+    # banded hamming-ball candidate join over simhash signatures: exact
+    # duplicates planted by _dup_input land at hamming distance 0
+    return dd.simhash_pairs(_dup_input(spark, sf_dir), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # similarity search  (LLM pipeline)
 # ---------------------------------------------------------------------------

@@ -140,3 +140,44 @@ def test_cdf2_64bit_offsets(tmp_path):
     open(p, "wb").write(g)
     ds = nc.read(p)
     assert ds.variables["v"].data.tolist() == [3.0, 4.0]
+
+
+# -- property-based roundtrip (no Spark needed) -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_dim_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu")), min_size=1, max_size=6
+)
+_np_type = st.sampled_from(["int8", "int16", "int32", "float32", "float64"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    dims=st.dictionaries(_dim_name, st.integers(1, 5), min_size=1, max_size=3),
+    dtype=_np_type,
+    seed=st.integers(0, 2**31 - 1),
+    title=st.text(max_size=12),
+)
+def test_roundtrip_property(tmp_path_factory, dims, dtype, seed, title):
+    rng = np.random.default_rng(seed)
+    shape = tuple(dims.values())
+    if dtype.startswith("float"):
+        data = rng.normal(size=shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.integers(info.min, info.max, size=shape, dtype=dtype)
+    ds = nc.Dataset()
+    ds.dimensions = dict(dims)
+    if title:
+        ds.attributes = {"title": title}
+    ds.variables["m"] = nc.Variable("m", tuple(dims), {}, data)
+    p = str(tmp_path_factory.mktemp("ncprop") / "p.nc")
+    nc.write(p, ds)
+    r = nc.read(p)
+    assert r.dimensions == dims
+    assert r.attributes == ({"title": title} if title else {})
+    got = r.variables["m"].data
+    assert got.shape == shape
+    assert np.array_equal(got.astype(dtype), data)

@@ -128,3 +128,33 @@ def test_cluster_pairs_distributed_matches_driver(spark, monkeypatch):
     monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 0)  # force the map-reduce path
     got = {(r.doc_id, r.cluster_rep) for r in dd.cluster_pairs(pairs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_hamming_ball(spark):
+    from ophidia_server_spark.pipeline import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "while the rain falls gently on the quiet old town near the river"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup -> hamming 0
+            (3, base.replace("rain", "snow")),  # near dup -> small hamming
+            (4, "completely different words about spacecraft orbits and fuel"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 10
+    assert not any(4 in p for p in pairs)
+    # pigeonhole precondition enforced when bands is given explicitly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.simhash_pairs(docs, max_hamming=4, bands=4)
+    # default bands = max_hamming + 1 satisfies the guarantee automatically
+    auto = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs, max_hamming=10).collect()}
+    assert (1, 2) in auto
