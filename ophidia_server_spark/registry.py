@@ -1152,6 +1152,18 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dd.simhash_pairs(_dup_input(spark, sf_dir), max_hamming=3)
 
 
+@q("dedup_simhash_removal")  # approximate pipeline output: rows-only check
+def dedup_simhash_removal(spark, sf_dir):
+    # full simhash dedup ladder: signatures -> banded hamming pairs ->
+    # connected components -> drop non-representatives (same contract as
+    # dedup_near, different similarity engine)
+    docs = _dup_input(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=3)
+    clusters = dd.cluster_pairs(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search  (LLM pipeline)
 # ---------------------------------------------------------------------------
