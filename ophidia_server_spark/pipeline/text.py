@@ -208,3 +208,56 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text",
+    dup_bigram_max: float = 0.05, top_token_max: float = 0.12,
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-bigram fraction and
+    most-frequent-token fraction per document, with a composite `flagged`
+    verdict. High values mark boilerplate / degenerate generations — a
+    standard pre-training quality gate alongside quality_score.
+
+    All JVM expressions: the bigram list reuses the zip_with shingle fold
+    (no explode for the dup fraction); the top-token fraction runs one
+    explode + two-level hash aggregate with map-side partials, so the plan
+    is O(tokens) with no per-doc state on the driver.
+    """
+    from ophidia_server_spark.pipeline.dedup import _shingles
+
+    toks = tokens(F.col(text_col))
+    bg = _shingles(text_col, 2)
+    n_bg = F.size(bg)
+    dup_frac = F.when(n_bg <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bg)).cast("double") / n_bg
+    )
+    base = df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+    )
+    counts = (
+        df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__top"))
+    )
+    out = (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_bigram_frac",
+            F.round(
+                F.coalesce(F.col("__top") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("top_token_frac"),
+        )
+    )
+    return out.withColumn(
+        "flagged",
+        (
+            (F.col("dup_bigram_frac") > dup_bigram_max)
+            | (F.col("top_token_frac") > top_token_max)
+        ).cast("int"),
+    )

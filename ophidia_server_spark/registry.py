@@ -2368,6 +2368,37 @@ def sim_normalized_norms(spark, sf_dir):
 
 
 @q(
+    "text_repetition",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
+  FROM t
+), f AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN len(bg) <= 0 THEN 0
+          ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 6)
+      AS dup_bigram_frac,
+    ROUND(COALESCE((SELECT MAX(c) FROM (
+        SELECT COUNT(*) AS c FROM unnest(toks) AS u(tok) GROUP BY tok
+      )) * 1.0 / NULLIF(len(toks), 0), 0), 6) AS top_token_frac
+  FROM b
+)
+SELECT doc_id, dup_bigram_frac, top_token_frac,
+       CAST(dup_bigram_frac > 0.05 OR top_token_frac > 0.12 AS INT) AS flagged
+FROM f""",
+)
+def text_repetition(spark, sf_dir):
+    # Gopher-style repetition quality gate: duplicate-bigram and
+    # most-frequent-token fractions, thresholds chosen to split the fixture
+    # population (both flagged and unflagged docs exist at sf0.001/0.01)
+    return tx.repetition_signals(_t(spark, sf_dir)["documents"])
+
+
+@q(
     "text_chunking",
     r"""WITH tok AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks

@@ -66,3 +66,24 @@ def test_split_fractions_partition_the_keys(spark, keys):
     # same keys, same salt, different call -> identical assignment
     again = {r.doc_id: r.split for r in smp.train_val_test_split(df, 0.3, 0.3).collect()}
     assert {r.doc_id: r.split for r in tagged} == again
+
+
+def test_repetition_signals_flags_degenerate_docs(spark):
+    from ophidia_server_spark.pipeline.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),  # one token repeated
+            (2, "go go go go stop stop stop stop go go go go"),  # duplicate bigrams
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),  # all distinct
+            (4, ""),  # empty -> zero fractions, unflagged
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].flagged == 1 and got[1].top_token_frac == 1.0
+    assert got[2].flagged == 1 and got[2].dup_bigram_frac > 0.5
+    assert got[3].flagged == 0 and got[3].dup_bigram_frac == 0.0
+    assert got[4].flagged == 0
+    assert got[4].dup_bigram_frac == 0.0 and got[4].top_token_frac == 0.0
