@@ -119,3 +119,40 @@ def audio_chunk(
         "start_byte",
         F.least(F.lit(window_bytes), F.col("__n") - F.col("start_byte")).alias("chunk_len"),
     )
+
+
+def resize_raw_rgb(
+    df: DataFrame, src_w: int, src_h: int, out_w: int, out_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize over raw (uncompressed) RGB payloads — no codec
+    needed: the payload is interpreted as src_h x src_w x 3 bytes and
+    resampled with nearest-neighbor index math in numpy inside mapInPandas
+    (Arrow-batched; the same kernel shape a PIL/torchvision decode would
+    slot into). Payloads of the wrong length are passed through with
+    ok=0 rather than failing the batch — at corpus scale a poison payload
+    must never kill the job.
+    """
+    import numpy as np
+    import pandas as pd
+
+    need = src_w * src_h * 3
+    ys = (np.arange(out_h) * src_h // out_h).astype("int64")
+    xs = (np.arange(out_w) * src_w // out_w).astype("int64")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"doc_id": pdf["doc_id"], "ok": [], "resized": []}
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                if len(raw) != need:
+                    out_rows["ok"].append(0)
+                    out_rows["resized"].append(b"")
+                    continue
+                img = np.frombuffer(raw, dtype="uint8").reshape(src_h, src_w, 3)
+                small = img[np.ix_(ys, xs)]
+                out_rows["ok"].append(1)
+                out_rows["resized"].append(small.tobytes())
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(resize, "doc_id long, ok int, resized binary")

@@ -1388,6 +1388,24 @@ def multimodal_decode_stub(spark, sf_dir):
     return mm.decode_images(blobs)
 
 
+@q("multimodal_resize")  # numpy kernel output: rows-only check
+def multimodal_resize(spark, sf_dir):
+    # REAL nearest-neighbor resize over raw 8x8 RGB frames built from
+    # document bytes (rpad to exactly w*h*3); one poison-length payload per
+    # 50 docs proves the kernel degrades per-row, not per-batch
+    need = 8 * 8 * 3
+    docs = _t(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.col("text").cast("binary")
+        ).otherwise(
+            F.substring(F.rpad("text", need, "x"), 1, need).cast("binary")
+        ).alias("payload"),
+    )
+    out = mm.resize_raw_rgb(docs, 8, 8, 4, 4)
+    return out.select("doc_id", "ok", F.md5("resized").alias("resized_md5"))
+
+
 # ---------------------------------------------------------------------------
 # introspection operators (showgrid / inspectfrag / explorenc stats)
 # ---------------------------------------------------------------------------

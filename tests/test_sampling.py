@@ -74,3 +74,23 @@ def test_sampling_is_one_map_stage(tables):
     plan = smp.hash_sample(docs, 0.25)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_resize_raw_rgb_nearest_neighbor(spark):
+    import numpy as np
+
+    from ophidia_server_spark.pipeline.multimodal import resize_raw_rgb
+
+    # 4x4 gradient image, known bytes; plus one poison payload
+    img = np.arange(4 * 4 * 3, dtype="uint8").reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes())), (2, bytearray(b"\x00\x01"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_raw_rgb(df, 4, 4, 2, 2).collect()}
+    assert out[2].ok == 0 and bytes(out[2].resized) == b""
+    got = np.frombuffer(bytes(out[1].resized), dtype="uint8").reshape(2, 2, 3)
+    ys = (np.arange(2) * 4 // 2)
+    xs = (np.arange(2) * 4 // 2)
+    want = img[np.ix_(ys, xs)]
+    assert np.array_equal(got, want)
