@@ -116,6 +116,16 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
         nonlocal pred
         pred = p if pred is None else (pred & p)
 
+    if not kv:
+        # "[]" yields no query in the reference (oph_server_test.c case 22:
+        # "No query expected") — an empty group is a caller error, not
+        # select-all
+        raise ValueError("empty massive filter group []")
+    if "metadata_value" in kv and not kv.get("metadata_key"):
+        # metadata_value is only meaningful paired with metadata_key
+        # (oph_server_test.c case 9 -> "No query expected")
+        raise ValueError("metadata_value requires metadata_key")
+
     depth = int(kv.get("depth", "0") or 0)
     recursive = kv.get("recursive", "no").lower() == "yes"
 
@@ -138,8 +148,12 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
             p = F.col("container_id") == cid
             add(~p if neg else p)
         elif key == "cube_filter":
-            # multivalue: each |-separated item is its own subset string,
-            # OR-combined (AND of complements when negated, oph_filters.c:61-76)
+            # "[*]" / "[all]" select everything in scope (reference cases 0
+            # and 21 compile to the bare folder-scoped query); otherwise each
+            # |-separated item is its own subset string, OR-combined (AND of
+            # complements when negated, oph_filters.c:61-76)
+            if str(value).strip().lower() in ("*", "all"):
+                continue
             p = None
             for item in str(value).split("|"):
                 q = subset_predicate(F.col("cube_id"), item)

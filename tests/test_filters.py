@@ -296,3 +296,112 @@ def test_golden_dry_run_with_measure(ref_tree):
     )
     assert seen == []
     assert len(run.results["m"].value["expansion"]) == 2
+
+
+# -- 1:1 port of the reference's 23-case cube-filter golden list
+#    (oph_server_test.c:2412-2434; expectations re-derived against the
+#    deterministic part-backed catalog instead of MySQL SQL text) ------------
+
+def test_golden23_select_all_forms(cat, part_rows):
+    everything = sorted(part_rows)
+    assert ids(cat, "[*]") == everything          # case 0
+    assert ids(cat, "[run=no]") == everything     # case 1
+    assert ids(cat, "[all]") == everything        # case 21
+
+
+def test_golden23_measure_container(cat, part_rows):
+    some = next(iter(part_rows.values()))
+    m, c = some.p_type.lower(), some.p_brand
+    assert ids(cat, f"[measure={m}]") == sorted(
+        k for k, r in part_rows.items() if r.p_type.lower() == m
+    )  # case 2
+    assert ids(cat, f"[container={c}]") == sorted(
+        k for k, r in part_rows.items() if r.p_brand == c
+    )  # case 3
+
+
+def test_golden23_cube_filter_triplets(cat, part_rows):
+    keys = set(part_rows)
+    assert ids(cat, "[cube_filter=2]") == sorted({2} & keys)            # case 4
+    assert ids(cat, "[cube_filter=2:4]") == sorted({2, 3, 4} & keys)    # case 5
+    assert ids(cat, "[cube_filter=2:3:10]") == sorted({2, 5, 8} & keys)  # case 6
+    assert ids(cat, "[cube_filter=2,3,10]") == sorted({2, 3, 10} & keys)  # case 7
+    assert ids(cat, "[10]") == sorted({10} & keys)                      # case 18
+
+
+def test_golden23_metadata_forms(cat, part_rows):
+    everything = sorted(part_rows)
+    # case 8: key existence, AND across keys — every cube carries both
+    assert ids(cat, "[metadata_key=brand|type]") == everything
+    # case 9: metadata_value without metadata_key -> "No query expected"
+    with pytest.raises(ValueError):
+        ids(cat, "[metadata_value=value1|value2]")
+    # case 10: key + LIKE value
+    assert ids(cat, "[metadata_key=size;metadata_value=7]") == sorted(
+        k for k, r in part_rows.items() if "7" in str(r.p_size)
+    )
+    # case 11: paired keys/values AND-combined
+    some = next(iter(part_rows.values()))
+    b = some.p_brand
+    want = sorted(
+        k for k, r in part_rows.items() if b in r.p_brand and "7" in str(r.p_size)
+    )
+    assert ids(cat, f"[metadata_key=brand|size;metadata_value={b}|7]") == want
+
+
+def test_golden23_level_path_combined(cat, part_rows):
+    # case 12
+    assert ids(cat, "[level=2|3]") == sorted(
+        k for k, r in part_rows.items() if r.p_size % 5 in (2, 3)
+    )
+    some = next(iter(part_rows.values()))
+    t = some.p_type.lower()
+    leaf = f"/{t}/{some.p_brand.lower().replace('#', '_')}"
+    # case 13: exact path
+    assert ids(cat, f"[path={leaf}]") == sorted(
+        k for k, r in part_rows.items()
+        if r.p_type.lower() == t and r.p_brand == some.p_brand
+    )
+    # case 14: recursive under the type directory
+    assert ids(cat, f"[path=/{t};recursive=yes]") == sorted(
+        k for k, r in part_rows.items() if r.p_type.lower() == t
+    )
+    # case 15: everything at once
+    got = ids(
+        cat,
+        f"[container={some.p_brand};metadata_key=type;metadata_value={some.p_type};"
+        f"level={some.p_size % 5};path=/{t};recursive=yes]",
+    )
+    want = sorted(
+        k for k, r in part_rows.items()
+        if r.p_brand == some.p_brand and some.p_type in r.p_type
+        and r.p_size % 5 == some.p_size % 5 and r.p_type.lower() == t
+    )
+    assert got == want and len(got) > 0
+
+
+def test_golden23_pids_and_unions(cat, part_rows):
+    # case 16: explicit pid list, no catalog query
+    assert ids(cat, "1|3|5") == [1, 3, 5]
+    # case 17: group | group | pid union
+    some = next(iter(part_rows.values()))
+    m = some.p_type.lower()
+    want = sorted(
+        {k for k, r in part_rows.items() if r.p_size % 5 in (1, 3)}
+        | {k for k, r in part_rows.items() if r.p_type.lower() == m}
+        | {5}
+    )
+    assert ids(cat, f"[level=1|3]|[measure={m}]|5") == want
+
+
+def test_golden23_pid_lineage_and_empty(cat, part_rows):
+    # case 19: container_pid URL -> container id
+    assert ids(cat, "[container_pid=http://localhost/5]") == sorted(
+        k for k in part_rows if k % 40 == 5
+    )
+    # case 20: parent_cube -> children through lineage (id>100 descends id-100)
+    want = sorted(k for k in part_rows if k == 104)
+    assert ids(cat, "[parent_cube=http://localhost/3/4]") == want
+    # case 22: "[]" -> "No query expected"
+    with pytest.raises(ValueError):
+        ids(cat, "[]")
