@@ -367,3 +367,139 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
             n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
         ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0))),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame, m: int = 8, k: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", sample_frac: float = 0.2, seed: int = 13,
+    iters: int = 12,
+) -> list:
+    """Train per-subspace PQ codebooks (FAISS-style): split the dimension
+    into m contiguous subspaces (after unit-normalizing, so ADC L2 order ==
+    cosine order) and run Lloyd's k-means per subspace on a
+    deterministic hash sample. The sample is bounded (sample_frac of the
+    corpus, collected once — standard PQ practice trains on 10^4-10^5
+    vectors regardless of corpus size); everything after training is
+    distributed. Returns m arrays of shape (k, sub_dim)."""
+    import numpy as np
+
+    from ophidia_server_spark.pipeline.sampling import hash_sample
+
+    rows = (
+        hash_sample(df, sample_frac, key_col=id_col, salt="pq")
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < k:
+        rows = df.select(vec_col).limit(max(10 * k, 100)).collect()
+    X = np.asarray([[float(v) for v in r[0]] for r in rows], dtype="float64")
+    # unit-normalize: on unit vectors ||a-b||^2 = 2 - 2cos(a,b), so ADC L2
+    # ranking is exactly cosine ranking
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(n == 0, 1.0, n)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=k, replace=len(Xs) < k)]
+        for _ in range(iters):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                pts = Xs[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books.append(C.copy())
+    return books
+
+
+def pq_encode(
+    df: DataFrame, books: list, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Encode each vector to m uint8 codes (argmin centroid per subspace) —
+    a dense batched matmul per subspace inside an Arrow Pandas UDF. Output
+    is ~dim*4/m bytes per vector smaller (e.g. 64-dim float -> 8 bytes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def _enc(v):
+        X = np.stack([np.asarray(x, dtype="float64") for x in v])
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(n == 0, 1.0, n)
+        out = np.empty((len(X), m), dtype="int16")
+        for j in range(m):
+            Xs = X[:, j * sub : (j + 1) * sub]
+            d = ((Xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    enc = F.pandas_udf(_enc, T.ArrayType(T.ShortType()))
+    return df.select(id_col, enc(F.col(vec_col).cast("array<double>")).alias("pq_codes"))
+
+
+def pq_topk(
+    codes: DataFrame, books: list, query_vec: list, k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the (m x k) lookup table of
+    squared distances query-subvector -> centroid is built driver-side
+    (tiny), then scoring is PURE JVM — transform-with-index over the code
+    array reads the flattened table literal, aggregate sums it. No Python in
+    the scan, so the compressed corpus scores at full codegen speed;
+    orderBy+limit is Spark's TakeOrdered (k per partition, driver merge)."""
+    import numpy as np
+
+    m = len(books)
+    kcent = books[0].shape[0]
+    sub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    flat = []
+    for j in range(m):
+        qs = q[j * sub : (j + 1) * sub]
+        flat.extend(((books[j] - qs[None, :]) ** 2).sum(axis=1).tolist())
+    tbl = F.array(*[F.lit(float(x)) for x in flat])
+    contrib = F.transform(
+        F.col("pq_codes"),
+        lambda c, i: F.element_at(tbl, (i * kcent + c.cast("int") + 1).cast("int")),
+    )
+    dist = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    return (
+        codes.select(id_col, F.round(dist, 6).alias("pq_dist"))
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame, vectors: DataFrame, books: list, query_vec: list,
+    k: int = 10, shortlist: int | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard PQ serving pipeline: ADC over compressed codes produces a
+    shortlist (default 5k candidates per query k), then ONLY those rows'
+    full vectors are fetched (broadcast semi-join on id) and re-ranked with
+    exact cosine. Compressed scan does the heavy lifting; the exact pass
+    touches `shortlist` rows regardless of corpus size."""
+    shortlist = shortlist or 5 * k
+    cand = pq_topk(codes, books, query_vec, k=shortlist, id_col=id_col).select(id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = (
+        vectors.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)

@@ -1247,6 +1247,23 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 _IVF_CODEBOOK_CACHE: dict[tuple[int, str, int], list] = {}
+_PQ_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+@q("sim_pq_topk")  # trained-codebook ADC: rows-only check
+def sim_pq_topk(spark, sf_dir):
+    # product-quantization serving pipeline: ADC shortlist over 8-byte codes
+    # -> exact cosine rerank of the shortlist only (pipeline/similarity.py
+    # pq_*); codebooks+codes cached per dataset (build-once index artifacts)
+    emb = _t(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        books = sim.pq_codebooks(emb, m=8, k=16)
+        codes = sim.pq_encode(emb, books).persist()
+        codes.count()
+        _PQ_CACHE[key] = (books, codes)
+    books, codes = _PQ_CACHE[key]
+    return sim.pq_topk_rerank(codes, emb, books, _query_vec(spark, sf_dir), k=10)
 
 
 @q("sim_ivf_topk")  # approximate path: rows-only check

@@ -158,3 +158,52 @@ def test_simhash_pairs_hamming_ball(spark):
     # default bands = max_hamming + 1 satisfies the guarantee automatically
     auto = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs, max_hamming=10).collect()}
     assert (1, 2) in auto
+
+
+def test_pq_encode_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 32)) * 4
+    vecs = [
+        (i, (centers[i % 8] + rng.normal(size=32) * 0.4).astype("float32").tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    books = sim.pq_codebooks(emb, m=8, k=16, sample_frac=0.5)
+    assert len(books) == 8 and books[0].shape == (16, 4)
+    codes = sim.pq_encode(emb, books).persist()
+    row = codes.first()
+    assert len(row.pq_codes) == 8 and all(0 <= c < 16 for c in row.pq_codes)
+    assert codes.count() == 400
+
+    # raw ADC is a coarse ranker: its candidate shortlist must capture the
+    # exact top-10 (candidate recall), and the standard shortlist+exact
+    # rerank pipeline must then recover it nearly perfectly
+    cand_recalls, rerank_recalls = [], []
+    for qid in (10, 33, 77):
+        q = [float(x) for x in vecs[qid][1]]
+        exact = {r.vec_id for r in sim.topk_cosine(emb, q, k=10).collect()}
+        cand = {r.vec_id for r in sim.pq_topk(codes, books, q, k=50).collect()}
+        cand_recalls.append(len(exact & cand) / 10)
+        rr = {r.vec_id for r in sim.pq_topk_rerank(codes, emb, books, q, k=10).collect()}
+        rerank_recalls.append(len(exact & rr) / 10)
+    assert sum(cand_recalls) / len(cand_recalls) >= 0.8, cand_recalls
+    assert sum(rerank_recalls) / len(rerank_recalls) >= 0.9, rerank_recalls
+    codes.unpersist()
+
+
+def test_pq_topk_is_jvm_side(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    vecs = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = sim.pq_codebooks(emb, m=4, k=8, sample_frac=1.0)
+    codes = sim.pq_encode(emb, books)
+    stored = codes.collect()
+    codes2 = spark.createDataFrame(stored, codes.schema)
+    plan = sim.pq_topk(codes2, books, [0.0] * 16, k=5)._jdf.queryExecution().executedPlan().toString()
+    # scoring over stored codes must not invoke Python
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
