@@ -448,3 +448,35 @@ def oph_importjson(
         reader = reader.schema(schema)
     df = reader.json(path)
     return build_cube(df, explicit_dims, implicit_dim, F.col(value), measure=value)
+
+
+_CF_UNIT_SECONDS = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}
+
+
+def cf_time_column(col, units: str):
+    """Decode a CF-convention time coordinate ('<unit> since <origin>', the
+    encoding of every climate-model time axis the reference ingests) into a
+    TIMESTAMP column: origin parsed once driver-side, the scale/offset is a
+    pure JVM expression over the numeric coordinate."""
+    m = re.match(r"\s*(seconds|minutes|hours|days)\s+since\s+(.+)", units, re.I)
+    if not m:
+        raise ValueError(f"unsupported CF time units {units!r}")
+    scale = _CF_UNIT_SECONDS[m.group(1).lower()]
+    origin = m.group(2).strip()
+    return F.timestamp_seconds(
+        F.unix_timestamp(F.to_timestamp(F.lit(origin)))
+        + (col.cast("double") * scale).cast("long")
+    )
+
+
+def nc_time_units(path: str, dim: str) -> str | None:
+    """Read the `units` attribute of a coordinate variable (for feeding
+    cf_time_column) without decoding any data payload."""
+    from ophidia_server_spark.sources import netcdf3
+
+    ds = netcdf3.read(path)
+    v = ds.variables.get(dim)
+    if v is None:
+        return None
+    u = v.attributes.get("units")
+    return u if isinstance(u, str) else None

@@ -261,3 +261,35 @@ def repetition_signals(
             | (F.col("top_token_frac") > top_token_max)
         ).cast("int"),
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats, round 6)
+    — the lexical-diversity signal quality pipelines pair with
+    repetition_signals (low entropy = degenerate/boilerplate text). One
+    explode + two hash aggregates, map-side partials both times; no window
+    function, no Python."""
+    counts = (
+        df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    ent = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.log(F.col("__c").cast("double"))).alias("__clogc"),
+        )
+        # H = ln(n) - (1/n) * sum(c * ln c)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("__n").cast("double")) - F.col("__clogc") / F.col("__n"), 6
+            ).alias("entropy"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select("doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy"))
+    )

@@ -2434,6 +2434,25 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "text_entropy",
+    r"""WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+), e AS (
+  SELECT doc_id, ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""",
+)
+def text_entropy(spark, sf_dir):
+    # lexical-diversity signal: Shannon entropy of the token distribution
+    return tx.token_entropy(_t(spark, sf_dir)["documents"])
+
+
+@q(
     "text_chunking",
     r"""WITH tok AS (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks

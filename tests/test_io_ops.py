@@ -139,3 +139,33 @@ def test_importnc_hyperslab_subset(spark, tmp_path):
     rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
     assert len(rows) == 12  # 4 lats x times {1,3,5}
     assert {t for _, t, _ in rows} == {1.0, 3.0, 5.0}
+
+
+def test_cf_time_decode(spark, tmp_path):
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3 as nc
+
+    ds = nc.Dataset()
+    ds.dimensions = {"time": 3}
+    ds.variables["time"] = nc.Variable(
+        "time", ("time",), {"units": "days since 2000-01-01"}, np.array([0.0, 1.0, 31.0])
+    )
+    ds.variables["tas"] = nc.Variable("tas", ("time",), {}, np.array([1.0, 2.0, 3.0]))
+    p = str(tmp_path / "cf.nc")
+    nc.write(p, ds)
+
+    units = io_ops.nc_time_units(p, "time")
+    assert units == "days since 2000-01-01"
+    cube = io_ops.oph_importnc(spark, [p], "tas", [], "time")
+    out = cube.long().withColumn("ts", io_ops.cf_time_column(F.col("time"), units))
+    got = sorted(str(r["ts"]) for r in out.collect())
+    assert got == ["2000-01-01 00:00:00", "2000-01-02 00:00:00", "2000-02-01 00:00:00"]
+
+    # hours variant + error path
+    hrs = io_ops.cf_time_column(F.lit(25.0), "hours since 1999-12-31 00:00:00")
+    assert str(spark.range(1).select(hrs.alias("t")).first()["t"]) == "2000-01-01 01:00:00"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        io_ops.cf_time_column(F.lit(1), "fortnights since 2000-01-01")
