@@ -121,9 +121,10 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
         # "No query expected") — an empty group is a caller error, not
         # select-all
         raise ValueError("empty massive filter group []")
-    if "metadata_value" in kv and not kv.get("metadata_key"):
-        # metadata_value is only meaningful paired with metadata_key
-        # (oph_server_test.c case 9 -> "No query expected")
+    stripped = {_split_neg(k)[0] for k in kv}
+    if "metadata_value" in stripped and not kv.get("metadata_key"):
+        # metadata_value (negated or not) is only meaningful paired with
+        # metadata_key (oph_server_test.c case 9 -> "No query expected")
         raise ValueError("metadata_value requires metadata_key")
 
     depth = int(kv.get("depth", "0") or 0)
@@ -153,6 +154,8 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
             # |-separated item is its own subset string, OR-combined (AND of
             # complements when negated, oph_filters.c:61-76)
             if str(value).strip().lower() in ("*", "all"):
+                if neg:  # not-all selects nothing, not everything
+                    add(F.lit(False))
                 continue
             p = None
             for item in str(value).split("|"):

@@ -120,6 +120,11 @@ def _nc_long_frame(
         xr = _try_import_xarray()
         if xr is None:
             raise
+        if subset:  # pragma: no cover - xarray absent in this container
+            raise NotImplementedError(
+                "hyperslab subsetting is implemented for classic NetCDF3 "
+                "only; the xarray fallback would silently ignore it"
+            )
         xds = xr.open_dataset(path)  # pragma: no cover
         return xds[measure].to_dataframe().reset_index()  # pragma: no cover
     v = ds.variables[measure]
@@ -163,6 +168,8 @@ def oph_importnc(
     (subset_dims/subset_filter/subset_type args of oph_importnc): dims are
     sliced in numpy inside each decode task before any row materializes.
     """
+    if not paths:
+        raise ValueError("oph_importnc: no input files (empty path list)")
     files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         min(len(paths), 64)
     )
@@ -268,18 +275,27 @@ def oph_fs(path: str, file_filter: str | None = None, recursive: bool = False) -
     """oph_fs ls (oph_massive_operations.c:35): list a data directory with an
     optional file filter — feeds file-massive expansion (src_path=[...]).
 
-    Filter syntax: a valid regex is applied as a search; anything that does
-    not compile as a regex (e.g. the reference's glob-style `file=*1*`,
-    oph_server_test.c:2814-2839) is matched with fnmatch glob semantics."""
+    Filter syntax: patterns that look like globs — contain `*`/`?` but no
+    regex-only construct (backslash, anchors, classes, groups, braces,
+    alternation, `+`) — match with fnmatch semantics, like the reference's
+    `file=*1*` cases (oph_server_test.c:2814-2839); everything else is a
+    regex search. A pattern like `data*` is therefore a glob (prefix match),
+    not the regex "dat" + "a"*."""
     match = None
     if file_filter:
-        try:
-            rxc = re.compile(file_filter)
-            match = rxc.search
-        except re.error:
-            import fnmatch as _fn
+        import fnmatch as _fn
 
+        globish = any(c in file_filter for c in "*?") and not any(
+            c in file_filter for c in "\\^$()[]{}|+"
+        )
+        if globish:
             match = lambda fn: _fn.fnmatch(fn, file_filter)  # noqa: E731
+        else:
+            try:
+                rxc = re.compile(file_filter)
+                match = rxc.search
+            except re.error:
+                match = lambda fn: _fn.fnmatch(fn, file_filter)  # noqa: E731
     out = []
     if recursive:
         walker = ((dp, fn) for dp, _, fs in os.walk(path) for fn in fs)
@@ -463,9 +479,25 @@ def cf_time_column(col, units: str):
         raise ValueError(f"unsupported CF time units {units!r}")
     scale = _CF_UNIT_SECONDS[m.group(1).lower()]
     origin = m.group(2).strip()
+    # parse the origin driver-side and fail fast: to_timestamp(lit) would
+    # yield NULL for every row on an unparseable origin (legacy CF files use
+    # spellings like '1-1-1 00:00:0.0' that SQL parsing rejects silently)
+    import datetime as _dt
+
+    normalized = re.sub(r"\.\d*$", "", origin)
+    parts = re.match(
+        r"(\d{1,4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}):(\d{1,2}):(\d{1,2}))?$",
+        normalized,
+    )
+    if not parts:
+        raise ValueError(f"unparseable CF origin {origin!r}")
+    vals = [int(x) if x else 0 for x in parts.groups()]
+    epoch = (
+        _dt.datetime(*vals[:3], *vals[3:], tzinfo=_dt.timezone.utc)
+        - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    ).total_seconds()
     return F.timestamp_seconds(
-        F.unix_timestamp(F.to_timestamp(F.lit(origin)))
-        + (col.cast("double") * scale).cast("long")
+        (F.lit(float(epoch)) + col.cast("double") * scale).cast("long")
     )
 
 

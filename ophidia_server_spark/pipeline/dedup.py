@@ -458,6 +458,25 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") 
     list is itself billions of rows never touches the driver. Both paths share
     the (doc_id, cluster_rep) min-id contract.
     """
+    dtypes = dict(pairs.dtypes)
+    numeric_ids = all(
+        dtypes.get(c) in ("tinyint", "smallint", "int", "bigint") for c in (a_col, b_col)
+    )
+    if not numeric_ids:
+        # non-numeric ids: the long-cast would null them out silently; these
+        # go through the driver union-find (any hashable type), with a hard
+        # cap instead of a silent driver OOM
+        rows = pairs.select(a_col, b_col).limit(5_000_001).collect()
+        if len(rows) > 5_000_000:
+            raise ValueError(
+                "cluster_pairs: non-numeric ids above 5M edges — map ids to "
+                "longs first to use the distributed path"
+            )
+        out = _cc_driver((r[a_col], r[b_col]) for r in rows)
+        schema_t = "string" if dtypes.get(a_col) == "string" else dtypes.get(a_col, "string")
+        return pairs.sparkSession.createDataFrame(
+            out or [], f"doc_id {schema_t}, cluster_rep {schema_t}"
+        )
     edges = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")

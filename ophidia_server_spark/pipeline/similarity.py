@@ -277,7 +277,7 @@ def ivf_assign(df: DataFrame, leaders_unit: list[list[float]],
 def ivf_topk_cosine(
     df: DataFrame, query_vec: list[float], k: int = 10, n_cells: int = 16,
     nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    codebook: str = "kmeans",
+    codebook: str = "kmeans", leaders: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the nprobe cells whose leaders are
     closest to the query, brute-force exact cosine inside them.
@@ -285,9 +285,13 @@ def ivf_topk_cosine(
     Scan fraction ~ nprobe/n_cells of the corpus (vs 1.0 for brute force);
     with cells as a partition column the non-probed cells are never read.
     codebook='kmeans' trains a spherical-KMeans codebook on a hash sample
-    (the quality path); 'leaders' uses the deterministic id-ordered stand-in.
+    (the quality path); 'leaders' uses the deterministic id-ordered stand-in;
+    a precomputed `leaders` list (unit vectors) skips training entirely —
+    pass the cached build-once codebook at serving time.
     """
-    if codebook == "kmeans":
+    if leaders is not None:
+        pass
+    elif codebook == "kmeans":
         leaders = ivf_kmeans_codebook(df, n_cells, vec_col, id_col)
     else:
         leaders = ivf_leaders(df, n_cells, id_col, vec_col)

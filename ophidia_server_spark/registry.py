@@ -1276,18 +1276,10 @@ def sim_ivf_topk(spark, sf_dir):
         _IVF_CODEBOOK_CACHE[key] = sim.ivf_kmeans_codebook(
             _t(spark, sf_dir)["embeddings"], n_cells=16
         )
-    emb = _t(spark, sf_dir)["embeddings"]
-    q_vec = _query_vec(spark, sf_dir)
-    leaders = _IVF_CODEBOOK_CACHE[key]
-    qn = sum(x * x for x in q_vec) ** 0.5 or 1.0
-    qsims = [sum(q / qn * l for q, l in zip(q_vec, L)) for L in leaders]
-    probe_cells = [c + 1 for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:4]]
-    qcol = F.array(*[F.lit(float(v)) for v in q_vec])
-    assigned = sim.ivf_assign(emb, leaders)
-    scored = assigned.filter(F.col("__cell").isin(probe_cells)).select(
-        F.col("vec_id"), F.round(sim.cosine(F.col("embedding"), qcol), 6).alias("cosine_sim")
+    return sim.ivf_topk_cosine(
+        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir),
+        k=10, n_cells=16, nprobe=4, leaders=_IVF_CODEBOOK_CACHE[key],
     )
-    return scored.orderBy(F.desc("cosine_sim"), F.col("vec_id")).limit(10)
 
 
 # ---------------------------------------------------------------------------

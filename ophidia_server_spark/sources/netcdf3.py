@@ -169,9 +169,11 @@ def read(path: str) -> Dataset:
             shape[0] = numrecs
             per_rec = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
             chunk = per_rec * dt.itemsize
-            # record variables interleave: one record of each var per stride.
-            # The special case (single record var) is packed with no padding.
-            stride = recsize if len(rec_vars) > 1 else chunk + _pad(chunk)
+            # record variables interleave: one record of each var per
+            # stride. Spec special case: a SINGLE record variable packs its
+            # record slabs contiguously with no inter-record padding (matters
+            # for byte/char/short payloads whose chunk is not 4-aligned).
+            stride = recsize if len(rec_vars) > 1 else chunk
             parts = [
                 np.frombuffer(buf, dtype=dt, count=per_rec, offset=begin + rec * stride)
                 for rec in range(numrecs)

@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse 'N unit' tolerance strings to seconds driver-side. (Casting an
+    ANSI day-time INTERVAL to long yields the count of its end field — e.g.
+    INTERVAL 1 hour -> 1, not 3600 — so the SQL-side cast is a trap.)"""
+    import re as _re
+
+    m = _re.match(r"\s*(\d+)\s+(\w+)\s*$", str(spec))
+    if not m or m.group(2).lower() not in _INTERVAL_UNIT_SECONDS:
+        raise ValueError(f"unsupported interval {spec!r}; use e.g. '30 minutes'")
+    return int(m.group(1)) * _INTERVAL_UNIT_SECONDS[m.group(2).lower()]
+
+
 def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the event-time column to TIMESTAMP: watermarks reject
     TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written
@@ -309,9 +328,7 @@ def asof_join(
     if tolerance:
         within = F.col(ts_col).cast("timestamp").cast("long") - F.col(
             "__asof_ts"
-        ).cast("timestamp").cast("long") <= F.expr(
-            f"INTERVAL {tolerance}"
-        ).cast("long")
+        ).cast("timestamp").cast("long") <= F.lit(_interval_seconds(tolerance))
         out = out.select(
             *[c for c in out.columns if not c.startswith("asof_")],
             *[

@@ -405,3 +405,21 @@ def test_golden23_pid_lineage_and_empty(cat, part_rows):
     # case 22: "[]" -> "No query expected"
     with pytest.raises(ValueError):
         ids(cat, "[]")
+
+
+def test_negated_metadata_value_and_star_edge_cases(cat):
+    # metadata_value! without metadata_key is still a caller error
+    with pytest.raises(ValueError):
+        ids(cat, "[metadata_value!=x]")
+    # negated select-all selects nothing (not everything)
+    assert ids(cat, "[cube_filter!=*]") == []
+
+
+def test_oph_fs_glob_that_is_also_valid_regex(tmp_path):
+    # 'data*' compiles as a regex, but the intent is a glob: prefix match only
+    from ophidia_server_spark.operators.io_ops import oph_fs
+
+    for f in ("data1.txt", "database.txt", "otherdat.txt"):
+        (tmp_path / f).write_text("")
+    names = [e["name"] for e in oph_fs(str(tmp_path), file_filter="data*")]
+    assert names == ["data1.txt", "database.txt"]

@@ -169,3 +169,21 @@ def test_cf_time_decode(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         io_ops.cf_time_column(F.lit(1), "fortnights since 2000-01-01")
+
+
+def test_importnc_empty_paths_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no input files"):
+        io_ops.oph_importnc(spark, [], "tas", ["lat"], "time")
+
+
+def test_cf_time_legacy_origin(spark):
+    # legacy CF spellings ('1-1-1 00:00:0.0'-style) must either parse or fail
+    # fast — never silently produce NULL timestamps
+    col = io_ops.cf_time_column(F.lit(1.0), "days since 2000-1-1 0:0:0")
+    assert str(spark.range(1).select(col.alias("t")).first()["t"]) == "2000-01-02 00:00:00"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unparseable CF origin"):
+        io_ops.cf_time_column(F.lit(1.0), "days since sometime")

@@ -181,3 +181,22 @@ def test_roundtrip_property(tmp_path_factory, dims, dtype, seed, title):
     got = r.variables["m"].data
     assert got.shape == shape
     assert np.array_equal(got.astype(dtype), data)
+
+
+def test_reader_single_short_record_var_unpadded(tmp_path):
+    # spec special case: ONE record variable of short type with odd-sized
+    # records packs contiguously (no inter-record padding)
+    h = b"CDF\x01" + struct.pack(">i", 3)
+    h += struct.pack(">ii", 0x0A, 1)
+    h += struct.pack(">i", 1) + b"t\x00\x00\x00" + struct.pack(">i", 0)
+    h += b"\x00" * 8
+    h += struct.pack(">ii", 0x0B, 1)
+    h += struct.pack(">i", 1) + b"r\x00\x00\x00" + struct.pack(">i", 1)
+    h += struct.pack(">i", 0)
+    h += b"\x00" * 8 + struct.pack(">ii", 3, 4) + struct.pack(">i", 80)
+    assert len(h) == 80
+    h += struct.pack(">3h", 7, 8, 9)  # contiguous shorts, no padding
+    p = str(tmp_path / "short_rec.nc")
+    open(p, "wb").write(h)
+    ds = nc.read(p)
+    assert ds.variables["r"].data.tolist() == [7, 8, 9]

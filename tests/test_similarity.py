@@ -207,3 +207,18 @@ def test_pq_topk_is_jvm_side(spark):
     plan = sim.pq_topk(codes2, books, [0.0] * 16, k=5)._jdf.queryExecution().executedPlan().toString()
     # scoring over stored codes must not invoke Python
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_cluster_pairs_string_ids(spark):
+    # non-numeric ids must cluster correctly instead of being nulled out by a
+    # long cast
+    from ophidia_server_spark.pipeline.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_rep for r in cluster_pairs(pairs).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "x": "x", "y": "x",
+    }

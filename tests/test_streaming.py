@@ -114,3 +114,24 @@ def test_stream_static_enrich_equals_batch(spark, tables, events, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_asof_join_tolerance_units(spark):
+    # tolerance strings must mean what they say: '1 hour' == 3600 s (an ANSI
+    # INTERVAL cast to long yields 1, which once nulled nearly every match)
+    from ophidia_server_spark.streaming.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0), (2, "2024-01-01 09:00:00", 7.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    out = {r.user_id: r.asof_value for r in asof_join(
+        left, right, by="user_id", value_cols=["value"], tolerance="1 hour"
+    ).select("user_id", F.col("asof_value")).collect()}
+    assert out[1] == 5.0   # 30 min old -> inside 1 hour
+    assert out[2] is None  # 3 h old -> outside tolerance
