@@ -337,3 +337,31 @@ def asof_join(
             ],
         )
     return out.drop("__is_left", "__asof_ts", *[f"__r_{c}" for c in value_cols])
+
+
+def stream_append_cube_store(
+    spark: SparkSession, src_path: str, schema, store_path: str,
+    partition_cols: list[str], checkpoint_path: str, queryName: str = "cube_ingest",
+) -> None:
+    """Continuous cube ingestion — the streaming twin of oph_concatnc
+    (reference appends NetCDF time steps batch-wise; here new files stream
+    into a partitioned parquet store exactly-once via the checkpoint).
+
+    Topology: file source -> writeStream(parquet, partitionBy) with
+    Trigger.AvailableNow. Each invocation drains whatever arrived since the
+    last checkpointed offset — run it from a scheduler and the store grows
+    incrementally; build_cube over the store is then an ordinary
+    partition-pruned batch read. At scale the partition columns are the
+    cube's explicit dims, so rebuild work is proportional to touched slices.
+    """
+    stream = _event_time(spark.readStream.schema(schema).parquet(src_path))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .queryName(queryName)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -135,3 +135,42 @@ def test_asof_join_tolerance_units(spark):
     ).select("user_id", F.col("asof_value")).collect()}
     assert out[1] == 5.0   # 30 min old -> inside 1 hour
     assert out[2] is None  # 3 h old -> outside tolerance
+
+
+def test_stream_append_cube_store_incremental(spark, events, tmp_path):
+    # two micro-ingests: the second run only drains NEW files (checkpointed
+    # offsets), and the cube built over the store reflects both batches
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.streaming.windows import stream_append_cube_store
+
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    first.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream_append_cube_store(
+        spark, src, schema, store, ["event_type"], ckpt, queryName="ing1"
+    )
+    n1 = spark.read.parquet(store).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    stream_append_cube_store(
+        spark, src, schema, store, ["event_type"], ckpt, queryName="ing2"
+    )
+    stored = spark.read.parquet(store)
+    assert stored.count() == events.count()
+
+    cube = build_cube(
+        stored.withColumn("day", F.dayofmonth("ts")),
+        ["event_type"], "day", F.col("value").cast("double"), measure="v",
+    )
+    want = events.select("event_type").distinct().count()
+    assert cube.df.count() == want
+    # partitioned store -> explicit-dim filters prune at scan time
+    pruned = stored.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
