@@ -1246,6 +1246,37 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_embedding_removal",
+    """WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+),
+losers AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+SELECT e.vec_id FROM embeddings e
+LEFT JOIN losers l ON e.vec_id = l.vec_id
+WHERE l.vec_id IS NULL""",
+)
+def dedup_embedding_removal(spark, sf_dir):
+    """Embedding-cosine dedup, keep-first policy: drop any vector that has a
+    LOWER-id near-duplicate (survivors = ids never appearing as the greater
+    member of a qualifying pair). This greedy policy is oracle-exact; the
+    connected-components policy (keep one per transitive cluster) is the
+    dedup_near / dedup_simhash_removal ladder and is rows-only checked
+    there."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    losers = (
+        # threshold 0.4 removes ~60 of 500 fixture vectors at sf0.001/0.01
+        # — non-vacuous on BOTH sides of the oracle compare
+        sim.exact_pairs_above(emb, threshold=0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id")
+
+
 _IVF_CODEBOOK_CACHE: dict[tuple[int, str, int], list] = {}
 _PQ_CACHE: dict[tuple[int, str], tuple] = {}
 
