@@ -374,9 +374,41 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         kept.write.mode("overwrite").parquet(out)
         return out
 
+    def op_importnc(engine, args, inputs):
+        # src_path may come directly or from file-massive expansion (which
+        # also supplies measure under convention=cmip5); subset_dims/
+        # subset_filter apply the import-time hyperslab
+        paths = str(args["src_path"]).split("|")
+        subset = None
+        if args.get("subset_dims"):
+            dims = str(args["subset_dims"]).split("|")
+            filts = str(args.get("subset_filter", "")).split("|")
+            subset = dict(zip(dims, filts))
+        cube = IO.oph_importnc(
+            spark, paths, args["measure"],
+            explicit_dims=[d for d in str(args.get("explicit_dims", "")).split("|") if d],
+            implicit_dim=args["implicit_dim"],
+            subset=subset,
+            subset_type=str(args.get("subset_type", "coord")),
+        )
+        return store.register(cube, args.get("container", "default"), task="importnc")
+
+    def op_exportnc(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        return IO.oph_exportnc(
+            store.get(pid), str(args["output_path"]),
+            per_dim_files=str(args.get("per_dim_files", "no")).lower() == "yes",
+        )
+
+    def op_explorenc(engine, args, inputs):
+        return IO.oph_explorenc(spark, str(args["src_path"]), args.get("measure"))
+
     return WorkflowEngine(
         {
             "oph_importcsv": op_importcsv,
+            "oph_importnc": op_importnc,
+            "oph_exportnc": op_exportnc,
+            "oph_explorenc": op_explorenc,
             "oph_importparquet": op_importparquet,
             "oph_randcube": op_randcube,
             "oph_subset": op_subset,

@@ -391,3 +391,70 @@ def test_pipeline_sample_chain(env, spark, tables, tmp_path):
     assert set(r.split for r in out.select("split").distinct().collect()) <= {
         "train", "val", "test"
     }
+
+
+def test_facade_netcdf_cmip5_massive_workflow(env, spark, tmp_path):
+    # the reference's signature flow: CMIP5-named .nc files expanded by a
+    # file-massive src_path with convention=cmip5 (measure inferred per
+    # file), imported with a hyperslab, reduced, exported back to NetCDF
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3 as nc
+
+    eng, store, _ = env
+    d = tmp_path / "cmip"
+    d.mkdir()
+    for name, base in (("tas_Amon_MPI.nc", 0.0), ("tas_day_IPSL.nc", 100.0)):
+        ds = nc.Dataset()
+        ds.dimensions = {"lat": 2, "time": 4}
+        ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([10.0, 20.0]))
+        ds.variables["time"] = nc.Variable("time", ("time",), {}, np.arange(1.0, 5.0))
+        ds.variables["tas"] = nc.Variable(
+            "tas", ("lat", "time"), {},
+            np.arange(8, dtype="float64").reshape(2, 4) + base,
+        )
+        nc.write(str(d / name), ds)
+
+    out_nc = str(tmp_path / "nc_export")
+    run = eng.run(
+        {
+            "name": "climate_request",
+            "tasks": [
+                {
+                    "name": "imp", "operator": "oph_importnc",
+                    "arguments": {
+                        "src_path": f"[path={d};file=*.nc;convention=cmip5]",
+                        "explicit_dims": "lat", "implicit_dim": "time",
+                        "subset_dims": "time", "subset_filter": "2:4",
+                        "subset_type": "coord", "container": "clim",
+                    },
+                },
+            ],
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    pids = run.results["imp"].value  # one light task per expanded file
+    assert isinstance(pids, list) and len(pids) == 2
+    cube = store.get(pids[0])
+    rows = {(r["lat"], r["time"]) for r in cube.long().collect()}
+    assert rows == {(10.0, t) for t in (2.0, 3.0, 4.0)} | {
+        (20.0, t) for t in (2.0, 3.0, 4.0)
+    }
+
+    # chain export through a follow-up request on one produced PID
+    run2 = eng.run(
+        {
+            "tasks": [
+                {
+                    "name": "exp", "operator": "oph_exportnc",
+                    "arguments": {"cube": pids[1], "output_path": out_nc},
+                }
+            ]
+        }
+    )
+    assert run2.status == "OPH_ODB_STATUS_COMPLETED"
+    files = run2.results["exp"].value
+    info = eng.operators["oph_explorenc"](eng, {"src_path": files[0], "measure": "tas"}, {})
+    assert info["stats"]["n"] == 6
