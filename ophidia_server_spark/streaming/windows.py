@@ -289,17 +289,22 @@ def resample_counts(df: DataFrame, width: str = "30 minutes", ts_col: str = "ts"
 def asof_join(
     left: DataFrame, right: DataFrame, ts_col: str = "ts", by: str = "user_id",
     value_cols: list[str] | None = None, tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, the most recent right row with
     right.ts <= left.ts within the same `by` key (the standard
-    point-in-time/trades-quotes join Spark lacks as a primitive).
+    point-in-time/trades-quotes join Spark lacks as a primitive);
+    direction='forward' takes the NEXT right row with right.ts >= left.ts
+    instead (pandas merge_asof's direction semantics).
 
     Composition: tag both sides, union, one window sort per key carrying the
     last seen right values forward (ignorenulls last_value), keep left rows.
     Cost = ONE shuffle on `by` + a per-key sort — same plan shape as any
     sessionization; no range cross-join, no per-row subquery. `tolerance`
-    (e.g. "3600 seconds") drops matches older than the window.
+    (e.g. "30 minutes") drops matches further away than the window.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     value_cols = value_cols or ["value"]
     lt = left.select(
         F.lit(1).alias("__is_left"), ts_col, by,
@@ -314,10 +319,16 @@ def asof_join(
     )
     u = lt.unionByName(rt)
     # right rows sort before left rows at equal ts (__is_left ascending) so a
-    # same-timestamp quote is visible to the trade
-    w = Window.partitionBy(by).orderBy(ts_col, "__is_left").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # same-timestamp quote is visible to the trade; forward direction is the
+    # mirror image — descending time, so "last seen" is the next future row
+    if direction == "forward":
+        w = Window.partitionBy(by).orderBy(
+            F.col(ts_col).desc(), "__is_left"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        w = Window.partitionBy(by).orderBy(ts_col, "__is_left").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
     carried = [
         F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols
     ]
@@ -326,9 +337,12 @@ def asof_join(
     ).over(w).alias("__asof_ts")
     out = u.select("*", *carried, carried_ts).filter(F.col("__is_left") == 1)
     if tolerance:
-        within = F.col(ts_col).cast("timestamp").cast("long") - F.col(
+        gap = F.col(ts_col).cast("timestamp").cast("long") - F.col(
             "__asof_ts"
-        ).cast("timestamp").cast("long") <= F.lit(_interval_seconds(tolerance))
+        ).cast("timestamp").cast("long")
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(_interval_seconds(tolerance))
         out = out.select(
             *[c for c in out.columns if not c.startswith("asof_")],
             *[

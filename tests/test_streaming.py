@@ -174,3 +174,30 @@ def test_stream_append_cube_store_incremental(spark, events, tmp_path):
     pruned = stored.filter(F.col("event_type") == "click")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_asof_join_forward_direction(spark):
+    from ophidia_server_spark.streaming.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 14:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", 5.0), (1, "2024-01-01 09:00:00", 3.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    out = {str(r.ts): r.asof_value for r in asof_join(
+        left, right, by="user_id", value_cols=["value"], direction="forward"
+    ).collect()}
+    # 10:00 -> next right at 11:00 (value 5); 14:00 -> nothing ahead
+    assert out["2024-01-01 10:00:00"] == 5.0
+    assert out["2024-01-01 14:00:00"] is None
+
+    # forward + tolerance: only matches within the look-ahead window survive
+    out = {str(r.ts): r.asof_value for r in asof_join(
+        left, right, by="user_id", value_cols=["value"],
+        direction="forward", tolerance="30 minutes",
+    ).collect()}
+    assert out["2024-01-01 10:00:00"] is None  # next is 1 h ahead > 30 min
