@@ -12,17 +12,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# ordered fine -> coarse, matching the reference's time hierarchy document
-TIME_LEVELS = ("hour", "day", "week", "month", "quarter", "year")
+# ordered fine -> coarse, matching the reference's time hierarchy document;
+# "season" is the meteorological level (DJF/MAM/JJA/SON, December belonging
+# to the following year's DJF) climate rollups use between month and year
+TIME_LEVELS = ("hour", "day", "week", "month", "quarter", "season", "year")
 
 
 def concept_level(level: str):
-    """Column mapper for a time concept level: returns a date column at the
-    period floor. Usable as the `concept_level` arg of oph_reduce2 /
-    oph_aggregate2."""
+    """Column mapper for a time concept level: the period floor as a date
+    (date_trunc levels) or the season label "<year>-DJF|MAM|JJA|SON".
+    Usable as the `concept_level` arg of oph_reduce2 / oph_aggregate2."""
     level = level.lower()
     if level not in TIME_LEVELS:
         raise KeyError(f"unknown concept level {level!r}; known: {TIME_LEVELS}")
+
+    if level == "season":
+
+        def mapper(col: Column) -> Column:
+            m = F.month(col)
+            y = F.year(col) + F.when(m == 12, F.lit(1)).otherwise(F.lit(0))
+            name = (
+                F.when(m.isin(12, 1, 2), "DJF")
+                .when(m.isin(3, 4, 5), "MAM")
+                .when(m.isin(6, 7, 8), "JJA")
+                .otherwise("SON")
+            )
+            return F.concat_ws("-", y.cast("string"), name)
+
+        return mapper
 
     def mapper(col: Column) -> Column:
         return F.date_trunc(level, col).cast("date" if level != "hour" else "timestamp")

@@ -643,6 +643,42 @@ def cube_reduce2_monthly(spark, sf_dir):
 
 
 @q(
+    "cube_reduce2_season",
+    """WITH dbase AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, l_linestatus,
+       concat_ws('-',
+         CAST(year(day) + CASE WHEN month(day) = 12 THEN 1 ELSE 0 END AS VARCHAR),
+         CASE WHEN month(day) IN (12, 1, 2) THEN 'DJF'
+              WHEN month(day) IN (3, 4, 5) THEN 'MAM'
+              WHEN month(day) IN (6, 7, 8) THEN 'JJA'
+              ELSE 'SON' END) AS season,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS s_avg
+FROM dbase GROUP BY 1, 2, 3""",
+)
+def cube_reduce2_season(spark, sf_dir):
+    """oph_reduce2 at the meteorological-season concept level (DJF spans the
+    year boundary — December rolls into the following year's DJF), the
+    climate rollup the reference's time hierarchy serves between month and
+    year."""
+    from ophidia_server_spark.functions.hierarchy import concept_level
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("day", F.col("l_shipdate").cast("date"))
+    c = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "day", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    r = C.oph_reduce2(c, "avg", concept_level("season"), "s_avg")
+    return r.long().select(
+        "l_returnflag", "l_linestatus",
+        F.col("day").alias("season"),
+        F.round(F.col("s_avg").cast("double"), 6).alias("s_avg"),
+    )
+
+
+@q(
     "cube_aggregate2_quarter",
     """WITH mbase AS (
   SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS mstart, l_linestatus,
