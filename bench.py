@@ -43,7 +43,13 @@ HEADLINE = [
     # round-1 additions: semi-join, zscore primitive, IVF ANN, streaming window
     "tpch_q4_order_priority",
     "cube_apply_zscore",
+    # round-4: build-once/probe-many ANN — the build row pays codebook
+    # training + the partitioned-store write; the topk rows then measure
+    # partition-pruned probe cost only (the serving-path number)
+    "sim_ivf_build",
     "sim_ivf_topk",
+    "sim_lsh_build",
+    "sim_lsh_topk",
     "events_sliding_1h30m",
     # round-1 flagship extensions: point-in-time/range joins, chunking,
     # contamination scan, exact embedding near-dup

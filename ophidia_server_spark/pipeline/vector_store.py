@@ -1,0 +1,164 @@
+"""Materialized ANN index lifecycle: build once -> partitioned store -> probe.
+
+The reference engine's whole data model is import-once/query-many over a
+fragmented store (oph_ophidiadb_query.h:48 hostxdatacube x fragmentxdb): the
+expensive step — placing every row into its fragment — happens at import, and
+every later query touches only the fragments its subset needs.  This module is
+that model for ANN serving on Spark:
+
+  build  — assign every vector to its IVF cell (trained spherical-KMeans
+           codebook) or LSH bucket (hyperplane signature) ONCE, and write the
+           corpus as parquet partitioned by that column.  The Python/Arrow
+           matmul (the only non-JVM stage) runs exactly once, at build time.
+  probe  — read the store with a partition filter on the probed cells /
+           signatures.  Parquet directory partitioning turns the filter into
+           partition pruning: only ~nprobe/n_cells (IVF) or ~(bits+1)/2^bits
+           (LSH) of the corpus bytes are ever read, and the probe-time plan is
+           100% JVM (scan -> cosine fold -> TakeOrdered) — no Python stage.
+
+At 100 TB each cell/signature is a parquet directory of many files; probes
+read nprobe directories regardless of corpus size, and concurrent queries
+share the store read-only.  The codebook / plane parameters ride in a JSON
+sidecar (`_vector_index.json` — the underscore prefix keeps Spark's parquet
+reader from treating it as data), so a probe needs no driver-side recompute
+and no access to the original corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import similarity as sim
+
+_SIDECAR = "_vector_index.json"
+
+
+@dataclass
+class VectorIndex:
+    """Handle to a materialized, partition-pruned vector store."""
+
+    kind: str           # 'ivf' | 'lsh'
+    path: str           # parquet root, partitioned by __cell / __sig
+    id_col: str
+    vec_col: str
+    params: dict = field(default_factory=dict)
+    # ivf: {'n_cells': int, 'leaders': [[float]]}; lsh: {'bits': int, 'dim': int}
+
+    def save_sidecar(self) -> None:
+        with open(os.path.join(self.path, _SIDECAR), "w") as fh:
+            json.dump(
+                {
+                    "kind": self.kind,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "params": self.params,
+                },
+                fh,
+            )
+
+
+def load_index(path: str) -> VectorIndex:
+    """Re-open a store built earlier (possibly by another process/cluster)."""
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        meta = json.load(fh)
+    return VectorIndex(
+        kind=meta["kind"], path=path, id_col=meta["id_col"],
+        vec_col=meta["vec_col"], params=meta["params"],
+    )
+
+
+def ivf_build(
+    df: DataFrame, path: str, n_cells: int = 16, codebook: str = "kmeans",
+    leaders: list | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> VectorIndex:
+    """Build the IVF store: train (or accept) the codebook, cell-assign every
+    vector, write parquet partitioned by `__cell`.  Write-side shuffle-free:
+    partitionBy splits each task's output by cell, so vectors move zero times.
+    """
+    if leaders is None:
+        if codebook == "kmeans":
+            leaders = sim.ivf_kmeans_codebook(df, n_cells, vec_col, id_col)
+        else:
+            leaders = sim.ivf_leaders(df, n_cells, id_col, vec_col)
+    assigned = sim.ivf_assign(df, leaders, vec_col).select(id_col, vec_col, "__cell")
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    idx = VectorIndex(
+        kind="ivf", path=path, id_col=id_col, vec_col=vec_col,
+        params={"n_cells": len(leaders), "leaders": [list(map(float, L)) for L in leaders]},
+    )
+    idx.save_sidecar()
+    return idx
+
+
+def ivf_probe(
+    spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
+    k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Probe the materialized IVF store: pick the nprobe closest cells
+    driver-side (n_cells dot products on the tiny codebook), read ONLY those
+    parquet partitions, score exact cosine inside them.  Plan: pruned scan ->
+    JVM cosine fold -> TakeOrdered.  No Python stage, no full-corpus read."""
+    if isinstance(index, str):
+        index = load_index(index)
+    leaders = index.params["leaders"]
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qsims = [sum(q / qn * l for q, l in zip(query_vec, L)) for L in leaders]
+    probe_cells = [
+        c + 1 for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    stored = spark.read.parquet(index.path)
+    scored = stored.filter(F.col("__cell").isin(probe_cells)).select(
+        F.col(index.id_col),
+        F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(index.id_col)).limit(k)
+
+
+def lsh_build(
+    df: DataFrame, path: str, bits: int = 8, dim: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> VectorIndex:
+    """Build the LSH store: hyperplane-sign every vector once, write parquet
+    partitioned by `__sig` (2^bits directories)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    signed = df.withColumn(
+        "__sig", sim.signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
+    ).select(id_col, vec_col, "__sig")
+    signed.write.mode("overwrite").partitionBy("__sig").parquet(path)
+    idx = VectorIndex(
+        kind="lsh", path=path, id_col=id_col, vec_col=vec_col,
+        params={"bits": bits, "dim": dim},
+    )
+    idx.save_sidecar()
+    return idx
+
+
+def lsh_probe(
+    spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Probe the materialized LSH store: the query's signature plus its
+    hamming-1 neighbors (multi-probe) form the partition filter; only those
+    (bits+1) of 2^bits directories are read, then exact cosine + TakeOrdered.
+    The deterministic plane matrix means the driver-side `signature_of` can
+    never drift from the build-time corpus signatures."""
+    if isinstance(index, str):
+        index = load_index(index)
+    bits = index.params["bits"]
+    qsig = sim.signature_of(query_vec, bits)
+    probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    stored = spark.read.parquet(index.path)
+    scored = stored.filter(F.col("__sig").isin(probe_sigs)).select(
+        F.col(index.id_col),
+        F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(index.id_col)).limit(k)

@@ -37,6 +37,7 @@ from ophidia_server_spark.pipeline import dedup as dd
 from ophidia_server_spark.pipeline import multimodal as mm
 from ophidia_server_spark.pipeline import similarity as sim
 from ophidia_server_spark.pipeline import text as tx
+from ophidia_server_spark.pipeline import vector_store as vs
 from ophidia_server_spark.plans.workflow import WorkflowEngine
 from ophidia_server_spark.session import load_tables
 from ophidia_server_spark.streaming import windows as win
@@ -1250,10 +1251,58 @@ def sim_embedding_norms(spark, sf_dir):
     )
 
 
+_VSTORE_CACHE: dict[tuple[int, str, str], "vs.VectorIndex"] = {}
+
+
+def _vstore(spark, sf_dir, kind: str):
+    """Build-once vector store per (session, dataset): the import side of the
+    reference's import-once/query-many model (oph_ophidiadb_query.h:48).
+    First touch pays codebook training + assignment + partitioned write; every
+    probe after that is a partition-pruned read with no Python stage."""
+    import os as _os
+    import tempfile
+
+    key = (id(spark), sf_dir, kind)
+    if key not in _VSTORE_CACHE:
+        path = _os.path.join(
+            tempfile.gettempdir(),
+            f"ophspark_vstore_{_os.path.basename(sf_dir.rstrip('/'))}_{kind}_{_os.getpid()}",
+        )
+        emb = _t(spark, sf_dir)["embeddings"]
+        if kind == "ivf":
+            _VSTORE_CACHE[key] = vs.ivf_build(emb, path, n_cells=16)
+        else:
+            _VSTORE_CACHE[key] = vs.lsh_build(emb, path, bits=8)
+    return _VSTORE_CACHE[key]
+
+
+@q("sim_ivf_build")  # index build (rows-only): per-cell occupancy audit
+def sim_ivf_build(spark, sf_dir):
+    idx = _vstore(spark, sf_dir, "ivf")
+    return (
+        spark.read.parquet(idx.path)
+        .groupBy("__cell").agg(F.count("*").alias("n_vectors"))
+        .orderBy("__cell")
+    )
+
+
+@q("sim_lsh_build")  # index build (rows-only): per-bucket occupancy audit
+def sim_lsh_build(spark, sf_dir):
+    idx = _vstore(spark, sf_dir, "lsh")
+    return (
+        spark.read.parquet(idx.path)
+        .groupBy("__sig").agg(F.count("*").alias("n_vectors"))
+        .orderBy("__sig")
+    )
+
+
 @q("sim_lsh_topk")  # approximate path: rows-only check
 def sim_lsh_topk(spark, sf_dir):
-    return sim.lsh_topk_cosine(
-        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir), k=10, bits=8
+    # probe the materialized signature-partitioned store (pipeline/
+    # vector_store.py): only the (bits+1) probed buckets' parquet
+    # directories are read; plan is scan -> JVM cosine -> TakeOrdered
+    return vs.lsh_probe(
+        spark, _vstore(spark, sf_dir, "lsh"), _query_vec(spark, sf_dir), k=10
     )
 
 
@@ -1313,7 +1362,6 @@ def dedup_embedding_removal(spark, sf_dir):
     return emb.join(losers, "vec_id", "left_anti").select("vec_id")
 
 
-_IVF_CODEBOOK_CACHE: dict[tuple[int, str, int], list] = {}
 _PQ_CACHE: dict[tuple[int, str], tuple] = {}
 
 
@@ -1335,17 +1383,13 @@ def sim_pq_topk(spark, sf_dir):
 
 @q("sim_ivf_topk")  # approximate path: rows-only check
 def sim_ivf_topk(spark, sf_dir):
-    # the KMeans codebook is a build-once index artifact (stored alongside
-    # the partitioned vector store in production); cache it per dataset so
-    # repeated probes pay probe cost, not training cost
-    key = (id(spark), sf_dir, 16)
-    if key not in _IVF_CODEBOOK_CACHE:
-        _IVF_CODEBOOK_CACHE[key] = sim.ivf_kmeans_codebook(
-            _t(spark, sf_dir)["embeddings"], n_cells=16
-        )
-    return sim.ivf_topk_cosine(
-        _t(spark, sf_dir)["embeddings"], _query_vec(spark, sf_dir),
-        k=10, n_cells=16, nprobe=4, leaders=_IVF_CODEBOOK_CACHE[key],
+    # probe the materialized cell-partitioned store (pipeline/
+    # vector_store.py): codebook training + cell assignment happened once at
+    # sim_ivf_build time; this reads only the nprobe probed cells' parquet
+    # directories (partition pruning) and scores them JVM-side
+    return vs.ivf_probe(
+        spark, _vstore(spark, sf_dir, "ivf"), _query_vec(spark, sf_dir),
+        k=10, nprobe=4,
     )
 
 

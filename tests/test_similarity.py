@@ -92,6 +92,46 @@ def test_ivf_partitioned_store_prunes(spark, tables, tmp_path):
     assert 0 < probed.count() < stored.count()
 
 
+def test_ivf_build_probe_lifecycle(spark, tables, tmp_path):
+    # build-once/probe-many: the materialized store's probe must return the
+    # same rows as the inline ivf_topk_cosine with the same codebook, read
+    # only the probed cells (partition pruning), and keep the probe plan free
+    # of Python stages (assignment happened at build time)
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    q = _qvec(tables)
+    leaders = sim.ivf_leaders(emb, n_cells=8)
+    idx = vs.ivf_build(emb, str(tmp_path / "ivf"), leaders=leaders)
+    probed = vs.ivf_probe(spark, idx, q, k=10, nprobe=4)
+    inline = sim.ivf_topk_cosine(emb, q, k=10, n_cells=8, nprobe=4, leaders=leaders)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in inline.collect()]
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__cell" in plan.split("PartitionFilters")[1][:160]
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    # sidecar roundtrip: a fresh process re-opens the store without the corpus
+    reopened = vs.load_index(idx.path)
+    assert reopened.params["leaders"] == idx.params["leaders"]
+    again = vs.ivf_probe(spark, reopened, q, k=10, nprobe=4)
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in probed.collect()]
+
+
+def test_lsh_build_probe_lifecycle(spark, tables, tmp_path):
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    q = _qvec(tables)
+    idx = vs.lsh_build(emb, str(tmp_path / "lsh"), bits=8)
+    probed = vs.lsh_probe(spark, idx, q, k=10)
+    inline = sim.lsh_topk_cosine(emb, q, k=10, bits=8)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in inline.collect()]
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__sig" in plan.split("PartitionFilters")[1][:160]
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
 def test_cluster_pairs_transitive(spark):
     from ophidia_server_spark.pipeline.dedup import cluster_pairs
 
