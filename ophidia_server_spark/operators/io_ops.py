@@ -373,9 +373,14 @@ def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str
     rest = dims[1:]
 
     def write_slice(pdf):
+        import re
+
         import pandas as pd
 
-        key = pdf[split_dim].iloc[0]
+        # sanitize the split-dim value: a '/', whitespace, or other unsafe
+        # character in a string key would escape the export directory or
+        # break the executor-side open()
+        key = re.sub(r"[^A-Za-z0-9_.-]", "_", str(pdf[split_dim].iloc[0]))
         out = os.path.join(path, f"{measure}_{split_dim}_{key}.nc")
         _grid_to_nc(pdf, rest, measure, out)
         return pd.DataFrame({"file": [out], "rows": [len(pdf)]})

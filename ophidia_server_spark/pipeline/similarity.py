@@ -377,18 +377,23 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
 # Product quantization (PQ): memory-compressed ANN
 # ---------------------------------------------------------------------------
 
+PQ_MAX_TRAIN_ROWS = 100_000
+
+
 def pq_codebooks(
     df: DataFrame, m: int = 8, k: int = 16, vec_col: str = "embedding",
     id_col: str = "vec_id", sample_frac: float = 0.2, seed: int = 13,
-    iters: int = 12,
+    iters: int = 12, max_train: int = PQ_MAX_TRAIN_ROWS,
 ) -> list:
     """Train per-subspace PQ codebooks (FAISS-style): split the dimension
     into m contiguous subspaces (after unit-normalizing, so ADC L2 order ==
     cosine order) and run Lloyd's k-means per subspace on a
-    deterministic hash sample. The sample is bounded (sample_frac of the
-    corpus, collected once — standard PQ practice trains on 10^4-10^5
-    vectors regardless of corpus size); everything after training is
-    distributed. Returns m arrays of shape (k, sub_dim)."""
+    deterministic hash sample. The collected training set is bounded by an
+    ABSOLUTE row cap (`max_train`, default 100k — standard PQ practice
+    trains on 10^4-10^5 vectors regardless of corpus size), so the driver
+    collect stays fixed-size even when sample_frac of a 100 TB corpus would
+    not; everything after training is distributed. Returns m arrays of
+    shape (k, sub_dim)."""
     import numpy as np
 
     from ophidia_server_spark.pipeline.sampling import hash_sample
@@ -396,6 +401,7 @@ def pq_codebooks(
     rows = (
         hash_sample(df, sample_frac, key_col=id_col, salt="pq")
         .select(vec_col)
+        .limit(max_train)
         .collect()
     )
     if len(rows) < k:

@@ -1815,9 +1815,11 @@ def events_stream_dedup(spark, sf_dir):
     )
     ev.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
+    # single_batch pins the oracle equality: multi-batch drains would evict
+    # state at the watermark and re-emit old duplicates (windows.py docstring)
     out = win.stream_dedup_exact(
         spark, src, schema, ["user_id", "event_type"],
-        queryName="gate_stream_dedup",
+        queryName="gate_stream_dedup", single_batch=True,
     )
     return out.agg(F.count("*").cast("long").alias("n_rows"))
 

@@ -9,8 +9,16 @@ engine needs is covered:
 
   read:  dims, global/variable attributes, all six classic types
          (byte, char, short, int, float, double), fixed and record
-         variables, CDF-1 and CDF-2 offsets.
-  write: CDF-1 files with fixed-size variables (what oph_exportnc emits).
+         variables, CDF-1 and CDF-2 offsets, the STREAMING numrecs
+         sentinel (0xFFFFFFFF, left by interrupted writers).
+  write: CDF-1 by default, CDF-2 (64-bit offsets) automatically when any
+         variable's payload crosses the 2 GiB classic limit; record
+         variables along one unlimited dimension (interleaved record
+         slabs, matching the read side byte-for-byte).
+
+netCDF-4 files are HDF5 containers (magic '\\x89HDF') — a different,
+far larger format; read() detects the magic and raises a named error
+(COVERAGE.md "Documented unsupported") instead of a bad-magic puzzle.
 
 Everything is driven through numpy big-endian dtypes; per-file decode cost
 is one sequential read, which is the unit of parallelism for the Spark side
@@ -38,7 +46,7 @@ _NC_TYPE_OF = {
     "int8": NC_BYTE,
     "int16": NC_SHORT,
     "int32": NC_INT,
-    "int64": NC_INT,  # classic format has no 64-bit int; narrow on write
+    "int64": NC_INT,  # classic format has no 64-bit int; checked narrow on write
     "float32": NC_FLOAT,
     "float64": NC_DOUBLE,
 }
@@ -122,6 +130,12 @@ def read(path: str) -> Dataset:
         buf = f.read()
     r = _Reader(buf)
     magic = r.bytes(4)
+    if magic == b"\x89HDF":
+        raise ValueError(
+            "netCDF-4/HDF5 file detected (magic \\x89HDF): this engine reads "
+            "classic NetCDF3 only (CDF-1/CDF-2). Convert first, e.g. "
+            "`nccopy -k classic in.nc out.nc` or `cdo -f nc copy in.nc out.nc`."
+        )
     if magic[:3] != b"CDF" or magic[3] not in (1, 2):
         raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
     large = magic[3] == 2
@@ -160,6 +174,23 @@ def read(path: str) -> Dataset:
 
     rec_vars = [h for h in headers if h[1] and dim_sizes[h[1][0]] == 0]
     recsize = sum(h[4] for h in rec_vars)
+
+    if numrecs == -1:
+        # STREAMING sentinel 0xFFFFFFFF: an interrupted writer never patched
+        # numrecs. Derive the record count from the bytes actually present
+        # after the record section start (spec-sanctioned recovery).
+        if rec_vars:
+            first_begin = min(h[5] for h in rec_vars)
+            if len(rec_vars) == 1:
+                h = rec_vars[0]
+                shp = [dim_sizes[i] for i in h[1]]
+                per_rec = int(np.prod(shp[1:], dtype=np.int64)) if len(shp) > 1 else 1
+                stride = per_rec * _DTYPES[h[3]].itemsize
+            else:
+                stride = recsize
+            numrecs = (len(buf) - first_begin) // stride if stride else 0
+        else:
+            numrecs = 0
 
     for nm, dimids, atts, nc_type, vsize, begin in headers:
         dt = _DTYPES[nc_type]
@@ -234,58 +265,105 @@ def _enc_att_list(atts: dict) -> bytes:
     return b"".join(out)
 
 
-def write(path: str, ds: Dataset) -> None:
-    """Write a CDF-1 classic file. Fixed-size dimensions only (record
-    variables are read-side; the export operator always knows its sizes)."""
+def _checked_cast(v: Variable, nc_type: int) -> np.ndarray:
+    """Cast a payload to its on-disk dtype, refusing lossy narrowing: numpy's
+    int64 -> int32 cast silently wraps, which would corrupt exported data."""
+    arr = np.asarray(v.data)
+    if arr.dtype == np.int64 and nc_type == NC_INT:
+        if arr.size and (arr.max() > 2**31 - 1 or arr.min() < -(2**31)):
+            raise ValueError(
+                f"variable {v.name!r}: int64 values exceed the NC_INT range of "
+                "the classic format; cast to float64 (or rescale) before export"
+            )
+    return np.ascontiguousarray(arr, dtype=_DTYPES[nc_type])
+
+
+def write(path: str, ds: Dataset, version: str = "auto") -> None:
+    """Write a classic file: CDF-1, or CDF-2 (64-bit offsets) automatically
+    once any offset crosses the 2 GiB CDF-1 limit (version='64bit' forces
+    CDF-2). One dimension may be unlimited (size None): variables whose first
+    dim is unlimited are written as interleaved record slabs, mirroring
+    read()'s layout exactly (incl. the single-record-variable no-padding
+    special case)."""
     dim_names = list(ds.dimensions)
     dim_index = {n: i for i, n in enumerate(dim_names)}
-    for n, sz in ds.dimensions.items():
-        if sz is None:
-            raise ValueError("write() supports fixed dimensions only")
+    rec_dims = [n for n, sz in ds.dimensions.items() if sz is None]
+    if len(rec_dims) > 1:
+        raise ValueError("classic format allows at most one unlimited dimension")
+    rec_dim = rec_dims[0] if rec_dims else None
 
-    header = [b"CDF\x01", struct.pack(">i", 0)]
-    if dim_names:
-        header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
-        for n in dim_names:
-            header.append(_enc_name(n) + struct.pack(">i", ds.dimensions[n]))
-    else:
-        header.append(_ABSENT)
-    header.append(_enc_att_list(ds.attributes))
-
-    # lay out payloads first; header size does not depend on begin values
-    # (CDF-1 begin is always 4 bytes), so encode twice: once with begin=0 to
-    # measure the header, then with the real offsets
-    payloads = []
-    var_heads = []
+    fixed_heads, rec_heads = [], []  # (var, nc_type, vsize, payload-or-chunks)
+    numrecs = 0
     for v in ds.variables.values():
         nc_type = _nc_type_for(v.data)
-        arr = np.ascontiguousarray(v.data, dtype=_DTYPES[nc_type])
-        raw = arr.tobytes()
-        raw += b"\x00" * _pad(len(raw))
-        payloads.append(raw)
-        var_heads.append((v, nc_type, len(raw)))
+        arr = _checked_cast(v, nc_type)
+        if rec_dim is not None and v.dimensions and v.dimensions[0] == rec_dim:
+            if numrecs and arr.shape[0] != numrecs:
+                raise ValueError("record variables disagree on record count")
+            numrecs = arr.shape[0]
+            chunk = int(np.prod(arr.shape[1:], dtype=np.int64)) * arr.itemsize
+            rec_heads.append((v, nc_type, chunk + _pad(chunk), arr))
+        else:
+            raw = arr.tobytes()
+            raw += b"\x00" * _pad(len(raw))
+            fixed_heads.append((v, nc_type, len(raw), raw))
+    if len(rec_heads) == 1:  # spec: single record variable packs unpadded
+        v, t, vsize, arr = rec_heads[0]
+        chunk = int(np.prod(arr.shape[1:], dtype=np.int64)) * arr.itemsize
+        rec_heads[0] = (v, t, chunk, arr)
+    var_heads = fixed_heads + rec_heads
+    recsize = sum(h[2] for h in rec_heads)
 
-    def var_block(begins: list[int]) -> bytes:
-        if not ds.variables:
-            return _ABSENT
-        parts = [struct.pack(">ii", _NC_VARIABLE, len(ds.variables))]
-        for (v, nc_type, vsize), begin in zip(var_heads, begins):
-            parts.append(_enc_name(v.name))
-            parts.append(struct.pack(">i", len(v.dimensions)))
-            parts.extend(struct.pack(">i", dim_index[d]) for d in v.dimensions)
-            parts.append(_enc_att_list(v.attributes))
-            parts.append(struct.pack(">ii", nc_type, vsize))
-            parts.append(struct.pack(">i", begin))
-        return b"".join(parts)
+    def encode(large: bool) -> tuple[bytes, bytes, list[int], int]:
+        off_fmt = ">q" if large else ">i"
+        header = [b"CDF\x02" if large else b"CDF\x01", struct.pack(">i", numrecs)]
+        if dim_names:
+            header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
+            for n in dim_names:
+                header.append(
+                    _enc_name(n) + struct.pack(">i", ds.dimensions[n] or 0)
+                )
+        else:
+            header.append(_ABSENT)
+        header.append(_enc_att_list(ds.attributes))
+        head = b"".join(header)
 
-    header_len = len(b"".join(header)) + len(var_block([0] * len(var_heads)))
-    begins, off = [], header_len
-    for _, _, vsize in var_heads:
-        begins.append(off)
-        off += vsize
+        def var_block(begins: list[int]) -> bytes:
+            if not var_heads:
+                return _ABSENT
+            parts = [struct.pack(">ii", _NC_VARIABLE, len(var_heads))]
+            for (v, nc_type, vsize, _), begin in zip(var_heads, begins):
+                parts.append(_enc_name(v.name))
+                parts.append(struct.pack(">i", len(v.dimensions)))
+                parts.extend(struct.pack(">i", dim_index[d]) for d in v.dimensions)
+                parts.append(_enc_att_list(v.attributes))
+                parts.append(struct.pack(">ii", nc_type, vsize))
+                parts.append(struct.pack(off_fmt, begin))
+            return b"".join(parts)
+
+        header_len = len(head) + len(var_block([0] * len(var_heads)))
+        begins, off = [], header_len
+        for _, _, vsize, _ in fixed_heads:
+            begins.append(off)
+            off += vsize
+        for _, _, vsize, _ in rec_heads:  # record vars share the record section
+            begins.append(off)
+            off += vsize
+        end = begins[len(fixed_heads)] + numrecs * recsize if rec_heads else off
+        return head, var_block(begins), begins, end
+
+    head, vblock, begins, end = encode(large=version == "64bit")
+    if version == "auto" and end > 2**31 - 1:
+        head, vblock, begins, end = encode(large=True)
 
     with open(path, "wb") as f:
-        f.write(b"".join(header))
-        f.write(var_block(begins))
-        for raw in payloads:
+        f.write(head)
+        f.write(vblock)
+        for _, _, _, raw in fixed_heads:
             f.write(raw)
+        for rec in range(numrecs):
+            for v, nc_type, vsize, arr in rec_heads:
+                # slice (not index): indexing a 1-D big-endian array yields a
+                # NATIVE-endian numpy scalar, silently flipping byte order
+                slab = arr[rec : rec + 1].tobytes()
+                f.write(slab + b"\x00" * (vsize - len(slab)))

@@ -232,14 +232,29 @@ def stream_running_user_totals(
 def stream_dedup_exact(
     spark: SparkSession, parquet_path: str, schema, key_cols: list[str],
     watermark_col: str = "ts", delay: str = "1 hour", queryName: str = "dedup_sink",
+    single_batch: bool = False,
 ) -> DataFrame:
     """Streaming exact dedup on arrival (the ingest-side twin of
     pipeline.dedup.dedup_exact): dropDuplicates over key columns with a
     watermark bounding the dedup state store — at scale state holds only keys
     newer than (max event time - delay), so memory is O(arrival rate x delay)
     instead of O(corpus).
+
+    The result equals batch DISTINCT only for duplicates arriving within
+    `delay` of each other — once the watermark passes a key's event time its
+    state is evicted and a later duplicate is re-emitted (that bound is the
+    point: it is what caps state). Callers needing the exact-DISTINCT
+    contract (the oracle path) must either pass a `delay` covering the
+    data's full event-time span or set single_batch=True, which forces the
+    file source to drain in one micro-batch so no watermark advance happens
+    mid-stream.
     """
-    stream = _event_time(spark.readStream.schema(schema).parquet(parquet_path), watermark_col)
+    reader = spark.readStream.schema(schema)
+    if single_batch:
+        # one micro-batch regardless of file count: the watermark only
+        # advances BETWEEN batches, so a single batch never evicts state
+        reader = reader.option("maxFilesPerTrigger", 1_000_000)
+    stream = _event_time(reader.parquet(parquet_path), watermark_col)
     deduped = stream.withWatermark(watermark_col, delay).dropDuplicates(
         key_cols + [watermark_col]
     )

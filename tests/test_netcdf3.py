@@ -200,3 +200,105 @@ def test_reader_single_short_record_var_unpadded(tmp_path):
     open(p, "wb").write(h)
     ds = nc.read(p)
     assert ds.variables["r"].data.tolist() == [7, 8, 9]
+
+
+def test_hdf5_magic_raises_named_error(tmp_path):
+    # a netCDF-4 file is an HDF5 container; the error must name the format
+    # and the fix instead of a generic bad-magic message (COVERAGE.md line)
+    import pytest
+
+    p = str(tmp_path / "v4.nc")
+    open(p, "wb").write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="netCDF-4/HDF5"):
+        nc.read(p)
+
+
+def test_write_record_variables_roundtrip(tmp_path):
+    # two record variables along an unlimited dim: write interleaves record
+    # slabs; read must recover byte-identical data (importnc -> exportnc path)
+    ds = nc.Dataset()
+    ds.dimensions = {"time": None, "x": 3}
+    ds.variables["t"] = nc.Variable(
+        "t", ("time",), {}, np.array([0.0, 1.0, 2.0, 3.0])
+    )
+    ds.variables["m"] = nc.Variable(
+        "m", ("time", "x"), {"units": "K"},
+        np.arange(12, dtype="float32").reshape(4, 3),
+    )
+    ds.variables["lon"] = nc.Variable("lon", ("x",), {}, np.array([1.0, 2.0, 3.0]))
+    p = str(tmp_path / "rec.nc")
+    nc.write(p, ds)
+    back = nc.read(p)
+    assert back.dimensions == {"time": None, "x": 3}
+    assert back.variables["t"].data.tolist() == [0.0, 1.0, 2.0, 3.0]
+    assert back.variables["m"].data.tolist() == ds.variables["m"].data.tolist()
+    assert back.variables["lon"].data.tolist() == [1.0, 2.0, 3.0]
+    # single-record-variable special case: unpadded short payload
+    ds2 = nc.Dataset()
+    ds2.dimensions = {"time": None}
+    ds2.variables["s"] = nc.Variable(
+        "s", ("time",), {}, np.array([1, 2, 3], dtype="int16")
+    )
+    p2 = str(tmp_path / "rec1.nc")
+    nc.write(p2, ds2)
+    assert nc.read(p2).variables["s"].data.tolist() == [1, 2, 3]
+
+
+def test_write_cdf2_forced_roundtrip(tmp_path):
+    ds = nc.Dataset()
+    ds.dimensions = {"x": 4}
+    ds.variables["v"] = nc.Variable("v", ("x",), {}, np.array([1.0, 2.0, 3.0, 4.0]))
+    p = str(tmp_path / "big.nc")
+    nc.write(p, ds, version="64bit")
+    assert open(p, "rb").read(4) == b"CDF\x02"
+    assert nc.read(p).variables["v"].data.tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_int64_narrowing_is_range_checked(tmp_path):
+    import pytest
+
+    ds = nc.Dataset()
+    ds.dimensions = {"x": 2}
+    ds.variables["ok"] = nc.Variable(
+        "ok", ("x",), {}, np.array([2**31 - 1, -(2**31)], dtype="int64")
+    )
+    p = str(tmp_path / "i64.nc")
+    nc.write(p, ds)  # exactly-representable int64 narrows fine
+    assert nc.read(p).variables["ok"].data.tolist() == [2**31 - 1, -(2**31)]
+    ds.variables["ok"] = nc.Variable(
+        "ok", ("x",), {}, np.array([2**31, 0], dtype="int64")
+    )
+    with pytest.raises(ValueError, match="NC_INT range"):
+        nc.write(p, ds)
+
+
+def test_streaming_numrecs_sentinel_recovers(tmp_path):
+    # an interrupted writer leaves numrecs = 0xFFFFFFFF (STREAMING); the
+    # reader must derive the record count from the file size, for both the
+    # interleaved and the single-record-variable stride
+    ds = nc.Dataset()
+    ds.dimensions = {"time": None, "x": 2}
+    ds.variables["a"] = nc.Variable("a", ("time",), {}, np.array([1.0, 2.0, 3.0]))
+    ds.variables["b"] = nc.Variable(
+        "b", ("time", "x"), {}, np.arange(6, dtype="float32").reshape(3, 2)
+    )
+    p = str(tmp_path / "stream.nc")
+    nc.write(p, ds)
+    raw = bytearray(open(p, "rb").read())
+    raw[4:8] = b"\xff\xff\xff\xff"
+    open(p, "wb").write(bytes(raw))
+    back = nc.read(p)
+    assert back.variables["a"].data.tolist() == [1.0, 2.0, 3.0]
+    assert back.variables["b"].data.tolist() == ds.variables["b"].data.tolist()
+
+    ds2 = nc.Dataset()
+    ds2.dimensions = {"time": None}
+    ds2.variables["s"] = nc.Variable(
+        "s", ("time",), {}, np.array([1, 2, 3, 4, 5], dtype="int16")
+    )
+    p2 = str(tmp_path / "stream1.nc")
+    nc.write(p2, ds2)
+    raw = bytearray(open(p2, "rb").read())
+    raw[4:8] = b"\xff\xff\xff\xff"
+    open(p2, "wb").write(bytes(raw))
+    assert nc.read(p2).variables["s"].data.tolist() == [1, 2, 3, 4, 5]

@@ -234,6 +234,31 @@ def test_pq_encode_topk_recall(spark):
     codes.unpersist()
 
 
+def test_pq_training_collect_is_capped(spark, monkeypatch):
+    # the driver-side training collect must be bounded by an ABSOLUTE row
+    # count regardless of corpus size / sample_frac (a fraction of a 100 TB
+    # corpus is a driver OOM) — spy on every collect pq_codebooks issues
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(400)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    cls = type(emb)  # the concrete DataFrame class (Spark 4: classic.DataFrame)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    books = sim.pq_codebooks(emb, m=4, k=8, sample_frac=1.0, max_train=64)
+    assert sizes and max(sizes) <= 64
+    assert len(books) == 4 and books[0].shape == (8, 4)
+
+
 def test_pq_topk_is_jvm_side(spark):
     import numpy as np
 

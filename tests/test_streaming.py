@@ -69,7 +69,8 @@ def test_stream_dedup_equals_batch_distinct(spark, events, tmp_path):
     events.unionByName(events).write.parquet(src)
     schema = spark.read.parquet(src).schema
     got = win.stream_dedup_exact(
-        spark, src, schema, key_cols=["user_id", "event_type", "value"], queryName="d_sink"
+        spark, src, schema, key_cols=["user_id", "event_type", "value"],
+        queryName="d_sink", single_batch=True,
     )
     want = events.dropDuplicates(["user_id", "event_type", "value", "ts"])
     assert got.count() == want.count() > 0
