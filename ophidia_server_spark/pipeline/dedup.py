@@ -447,7 +447,10 @@ def _cc_distributed(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     return e
 
 
-def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+def cluster_pairs(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    force_distributed: bool = False,
+) -> DataFrame:
     """Connected components over near-dup pairs: every doc mapped to its
     cluster representative (the minimum doc id reachable through pair edges) —
     the step that turns pairwise candidates into removable duplicate groups.
@@ -456,7 +459,10 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") 
     union-find; larger graphs run the distributed large-star/small-star
     iteration (_cc_distributed) so that a 100 TB corpus whose near-dup edge
     list is itself billions of rows never touches the driver. Both paths share
-    the (doc_id, cluster_rep) min-id contract.
+    the (doc_id, cluster_rep) min-id contract. force_distributed=True skips
+    the driver shortcut regardless of edge count (used by the gate so the
+    large-star/small-star iteration itself is oracle-verified, and by callers
+    that know the edge list is about to grow past the threshold).
     """
     dtypes = dict(pairs.dtypes)
     numeric_ids = all(
@@ -486,7 +492,11 @@ def cluster_pairs(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") 
         .persist()
     )
     spark = pairs.sparkSession
-    probe = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    probe = (
+        DRIVER_CC_MAX_EDGES + 1
+        if force_distributed
+        else edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    )
     if probe <= DRIVER_CC_MAX_EDGES:
         rows = _cc_driver((r["u"], r["v"]) for r in edges.collect())
         edges.unpersist()

@@ -1251,6 +1251,44 @@ def sim_embedding_norms(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_cluster_exact",
+    """WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 300 AND b.vec_id < 300
+    AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""",
+)
+def dedup_cluster_exact(spark, sf_dir):
+    """Driver-verified connected components: the pair edges are the
+    oracle-exact brute-force cosine pairs (same slice as
+    dedup_embedding_cosine), and the clustering itself is checked against a
+    DuckDB recursive-CTE min-reachable-id — so the large-star/small-star
+    iteration (pipeline/dedup.py _cc_distributed, forced here regardless of
+    edge count) is hash-verified end-to-end, not just rows-counted."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    pairs = sim.exact_pairs_above(emb, threshold=0.2, max_id=300).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dd.cluster_pairs(pairs, force_distributed=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
+
+
 _VSTORE_CACHE: dict[tuple[int, str, str], "vs.VectorIndex"] = {}
 
 
