@@ -67,7 +67,15 @@ _ALLOWED_CMPS = {
 
 
 def eval_condition(expr: str) -> float:
-    """Safely evaluate an arithmetic/comparison expression string."""
+    """Safely evaluate an arithmetic/comparison expression string.
+
+    Failure taxonomy mirrors the reference's oph_if messages
+    (oph_flow_control_operators.c via matheval, asserted case-for-case in
+    oph_server_test.c oph_if_impl options 5/6/8/9/10):
+      free variables ('x', unresolved '@var')  -> "Too variables in the expression ..."
+      division by zero / non-finite result     -> "Wrong condition ..."
+      unparseable text ('---')                 -> "Wrong expression ..."
+    """
 
     def ev(node: ast.AST) -> Any:
         if isinstance(node, ast.Expression):
@@ -94,12 +102,20 @@ def eval_condition(expr: str) -> float:
         if isinstance(node, ast.BoolOp):
             vals = [ev(v) for v in node.values]
             return all(vals) if isinstance(node.op, ast.And) else any(vals)
+        if isinstance(node, ast.Name):
+            raise WorkflowError(f"Too variables in the expression '{expr}'!")
         raise WorkflowError(f"disallowed expression element: {ast.dump(node)}")
 
+    text = str(expr).strip()
+    if "@" in text:
+        # an unresolved @variable survived substitution: a free variable
+        raise WorkflowError(f"Too variables in the expression '{expr}'!")
     try:
-        return ev(ast.parse(str(expr).strip() or "0", mode="eval"))
-    except SyntaxError as e:  # pragma: no cover
-        raise WorkflowError(f"bad condition {expr!r}: {e}") from e
+        return ev(ast.parse(text or "0", mode="eval"))
+    except ZeroDivisionError as e:
+        raise WorkflowError(f"Wrong condition '{expr}'!") from e
+    except SyntaxError as e:
+        raise WorkflowError(f"Wrong expression '{expr}'!") from e
 
 
 def substitute(
@@ -149,6 +165,136 @@ def _parse_counter(spec: str) -> list[int]:
         else:
             raise WorkflowError(f"bad counter segment {part!r}")
     return out
+
+
+_FOR_ADDR_RE = re.compile(r"^([\w][\w.]*?)\((\*|\d+)(?:,(\*|\d+))?\)$|^([\w][\w.]*)$")
+
+
+def resolve_for_values(item: str, responses: list | dict | None) -> list[str] | None:
+    """Resolve one `values` item against task responses using the reference's
+    response-addressing grammar for oph_for (oph_flow_control_operators.c:
+    1694-1780, exercised by oph_server_test.c oph_for_impl options 9-28):
+
+        objkey.title(row,col)     grid cell / row / column ('*' = all)
+        objkey.title.rowkey(row)  named column, one row or '*'
+        objkey.title              text objclass -> its message
+
+    Indices are 1-based. Returns the resolved string list, or None when the
+    address does not resolve — the caller keeps the literal item (reference
+    behavior: unresolvable addresses iterate as their literal text,
+    oph_server_test.c options 17/19/20)."""
+    if not responses:
+        return None
+    m = _FOR_ADDR_RE.match(item.strip())
+    if not m:
+        return None
+    path = (m.group(1) or m.group(4) or "").split(".")
+    row_s, col_s = m.group(2), m.group(3)
+    if isinstance(responses, dict):
+        responses = [responses]
+    objs: list[dict] = []
+    for resp in responses:
+        if isinstance(resp, dict):
+            objs.extend(resp.get("response", [resp] if "objkey" in resp else []))
+    for obj in objs:
+        if obj.get("objkey") != path[0]:
+            continue
+        contents = obj.get("objcontent", [])
+        if obj.get("objclass") == "text":
+            # objkey.title -> message of the content whose title matches
+            if len(path) == 2 and row_s is None:
+                for c in contents:
+                    if c.get("title") == path[1] and "message" in c:
+                        return [str(c["message"])]
+            continue
+        if len(path) < 2:
+            continue
+        grid = next((c for c in contents if c.get("title") == path[1]), None)
+        if grid is None or "rowvalues" not in grid:
+            continue
+        rows = grid["rowvalues"]
+        try:
+            if len(path) == 3:  # objkey.title.rowkey(row|*)
+                ci = grid["rowkeys"].index(path[2])
+                col = [r[ci] for r in rows]
+                if row_s in (None, "*"):
+                    return [str(v) for v in col]
+                return [str(col[int(row_s) - 1])] if int(row_s) >= 1 else None
+            if row_s is None:
+                return None
+            if row_s == "*":
+                picked = rows
+            else:
+                if int(row_s) < 1:
+                    return None
+                picked = [rows[int(row_s) - 1]]
+            if col_s in (None, "*"):
+                return [str(v) for r in picked for v in r]
+            return [str(r[int(col_s) - 1]) for r in picked] if int(col_s) >= 1 else None
+        except (IndexError, ValueError, KeyError):
+            return None
+    return None
+
+
+def parse_for_arguments(
+    name: str, arguments: dict, variables: dict[str, Any],
+    responses: list | dict | None = None,
+) -> tuple[str, list[str], list[int], bool]:
+    """Parse oph_for's key/values/counter/parallel with the reference's
+    argument semantics and error messages (oph_flow_control_operators.c
+    oph_for_impl, verified case-for-case by oph_server_test.c options 0-31):
+
+      key       mandatory; '@'-unresolved or non-word characters are fatal
+                ("Bad argument 'key'."); a leading digit is accepted (the
+                reference only warns "Change variable name ...")
+      values    '|'-separated; each item may be a response address
+                (resolve_for_values) and unresolvable items stay literal
+      counter   subset string; a valid-but-empty range is the reference's
+                "Generic error in parsing arguments"; values/counter length
+                mismatch is "Arguments 'values' and 'counter' have different
+                sizes."
+      parallel  must be yes/no after substitution, else the generic error
+      neither values nor counter -> a single iteration (values_num == 1)
+
+    Returns (key, values, idxs, parallel)."""
+    args = {k: substitute(v, variables) for k, v in arguments.items()}
+    key = str(args.get("key", "") or "")
+    if not key or key.startswith("@") or not re.fullmatch(r"\w+", key):
+        raise WorkflowError("Bad argument 'key'.")
+    raw_values = str(args.get("values", "") or "")
+    values: list[str] = []
+    if raw_values:
+        for item in raw_values.split("|"):
+            resolved = resolve_for_values(item, responses)
+            values.extend(resolved if resolved is not None else [item])
+    counter = str(args.get("counter", "") or "")
+    if counter:
+        try:
+            idxs = _parse_counter(counter)
+        except (WorkflowError, ValueError):
+            idxs = []  # unparseable counter -> length mismatch below
+        else:
+            if not idxs:
+                raise WorkflowError(
+                    f"Generic error in parsing arguments of task '{name}'."
+                )
+        if not values:
+            # counter without values: the indices ARE the values
+            values = [str(x) for x in idxs]
+        elif len(idxs) != len(values):
+            raise WorkflowError(
+                "Arguments 'values' and 'counter' have different sizes."
+            )
+    else:
+        idxs = list(range(1, len(values) + 1))  # non C-like indexing
+    if not values:
+        # no values and no counter: one iteration (reference pushes a stack
+        # entry with values_num == 1 and no ivalues/svalues)
+        values, idxs = [""], [1]
+    par = str(args.get("parallel", "no") or "no").lower()
+    if par not in ("yes", "no"):
+        raise WorkflowError(f"Generic error in parsing arguments of task '{name}'.")
+    return key, values, idxs, par == "yes"
 
 
 def strip_json_comments(text: str) -> str:
@@ -262,12 +408,17 @@ class WorkflowEngine:
     """
 
     def __init__(self, operators: dict[str, Callable] | None = None, catalog=None,
-                 pid_resolver: Callable[[str], str] | None = None):
+                 pid_resolver: Callable[[str], str] | None = None,
+                 responses: list | dict | None = None):
         self.operators = dict(operators or {})
         self.catalog = catalog  # Catalog for massive `cube=[...]` expansion
         # maps expanded cube ids to full PIDs (the reference renders PID URLs
         # for light tasks, oph_massive_operations.c:342-348)
         self.pid_resolver = pid_resolver
+        # prior-task responses for oph_for response-addressed values
+        # (resolve_for_values); the reference reads them from the loop's
+        # dependencies at serve time
+        self.responses = responses
 
     # -- flow-control expansion ------------------------------------------------
     def _expand_loops(self, tasks: list[dict], variables: dict[str, Any]) -> list[dict]:
@@ -297,18 +448,10 @@ class WorkflowEngine:
             if depth:
                 raise WorkflowError("oph_for without matching oph_endfor")
             body = tasks[i + 1 : j - 1]
-            args = {k: substitute(v, variables) for k, v in t.get("arguments", {}).items()}
-            key = args.get("key", "i")
-            values = str(args.get("values", "")).split("|") if args.get("values") else []
-            counter = args.get("counter")
-            if counter:
-                idxs = _parse_counter(str(counter))
-                if not values:
-                    # counter without values: the indices ARE the values
-                    values = [str(x) for x in idxs]
-            else:
-                idxs = list(range(1, len(values) + 1))  # non C-like indexing
-            parallel = str(args.get("parallel", "no")).lower() == "yes"
+            key, values, idxs, parallel = parse_for_arguments(
+                t.get("name", "FOR"), t.get("arguments", {}), variables,
+                responses=self.responses,
+            )
             prev_iter_names: list[str] = []
             for it, val in enumerate(values):
                 bound = dict(variables)
@@ -348,9 +491,12 @@ class WorkflowEngine:
                 out.append(t)
                 i += 1
                 continue
-            # segment the block into guarded branches
+            # segment the block into guarded branches. A missing OR empty
+            # condition means TRUE (oph_server_test.c oph_if options 0/4:
+            # an oph_if with no usable guard selects its first branch)
             branches: list[tuple[bool, list[dict]]] = []
-            cond = bool(eval_condition(substitute(t.get("arguments", {}).get("condition", "1"), variables)))
+            cond_expr = substitute(t.get("arguments", {}).get("condition", "1"), variables)
+            cond = True if not str(cond_expr).strip() else bool(eval_condition(cond_expr))
             cur: list[dict] = []
             taken = cond
             chosen: list[dict] | None = None
