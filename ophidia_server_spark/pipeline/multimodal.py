@@ -55,35 +55,96 @@ def binary_meta(df: DataFrame, payload_col: str = "text") -> DataFrame:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB image decode via mapInPandas.
-
-    A real implementation would PIL/With real codecs: decode -> (width,
-    height, channels), resize, feature-extract. Here the decode is a
-    deterministic fake (dimensions derived from the byte length) so the
-    distributed plumbing — Arrow batches, schema, partitioning — is fully
-    exercised without the codec dependency.
+    """Image decode via mapInPandas: REAL for PNG payloads (pure-Python codec
+    over stdlib zlib, sources/png.py), deterministic fake for anything else
+    (the container has no codecs for JPEG etc., but the distributed plumbing
+    — Arrow batches, schema, partitioning — is identical either way).
+    Poison payloads (bad magic mid-file, truncated chunks) fall back to the
+    fake dimensions instead of failing the batch — at corpus scale a corrupt
+    blob must never kill the job.
     """
     import pandas as pd
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from ophidia_server_spark.sources import png
+
         for pdf in batches:
-            n = pdf[payload_col].apply(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int64"),
-                    "checksum": pdf[payload_col].apply(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    # deterministic fake decode: a real codec goes here
-                    "width": (n % 640).astype("int32"),
-                    "height": (n % 480).astype("int32"),
-                }
-            )
+            rows = {"doc_id": pdf["doc_id"], "n_bytes": [], "checksum": [],
+                    "width": [], "height": []}
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                rows["n_bytes"].append(len(raw))
+                rows["checksum"].append(hashlib.md5(raw).hexdigest())
+                wd = ht = None
+                if raw[:8] == png.MAGIC:
+                    try:
+                        img = png.decode(raw)
+                        ht, wd = img.shape[0], img.shape[1]
+                    except ValueError:
+                        pass  # poison PNG: fall through to the fake
+                if wd is None:
+                    # deterministic fake for non-PNG payloads
+                    wd, ht = len(raw) % 640, len(raw) % 480
+                rows["width"].append(wd)
+                rows["height"].append(ht)
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
 
     return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+def decode_resize_png(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode -> resize pipeline for PNG payloads: sources/png.py
+    decodes inside the task, the same nearest-neighbor index math as
+    resize_raw_rgb resamples to (out_h, out_w), and the resized RGB bytes
+    come back with ok=1. Non-PNG / corrupt payloads yield ok=0 rows."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ophidia_server_spark.sources import png
+
+        ys_cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def axis(n_src: int, n_out: int) -> np.ndarray:
+            k = (n_src, n_out)
+            if k not in ys_cache:
+                ys_cache[k] = (np.arange(n_out) * n_src // n_out).astype("int64")
+            return ys_cache[k]
+
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"], "ok": [], "width": [], "height": [],
+                    "resized": []}
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                try:
+                    img = png.decode(raw)
+                except ValueError:
+                    rows["ok"].append(0)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["resized"].append(b"")
+                    continue
+                if img.shape[2] == 1:  # grayscale -> RGB for a uniform sink
+                    img = np.repeat(img, 3, axis=2)
+                img = img[:, :, :3]  # drop alpha
+                small = img[np.ix_(axis(img.shape[0], out_h), axis(img.shape[1], out_w))]
+                rows["ok"].append(1)
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["resized"].append(small.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id long, ok int, width int, height int, resized binary"
+    )
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, payload_col: str = "payload") -> DataFrame:

@@ -1540,9 +1540,38 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@q("multimodal_decode_stub")  # mapInPandas fake decode: rows-only check
-def multimodal_decode_stub(spark, sf_dir):
-    blobs = mm.to_binary_table(_t(spark, sf_dir)["documents"])
+@q("multimodal_decode_png")  # real PNG decode (mapInPandas): rows-only check
+def multimodal_decode_png(spark, sf_dir):
+    """Real image decode: each document's bytes become a small PNG (encoded
+    task-side with sources/png.py), then decode_images recovers width/height
+    from the actual IHDR + scanlines — not a fake. One payload per 50 docs
+    is left as raw (non-PNG) text to prove the per-row fallback."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_png(batches):
+        import numpy as np
+
+        from ophidia_server_spark.sources import png as png_codec
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = txt.encode("utf-8", errors="replace") or b"x"
+                if did % 50 == 0:
+                    payloads.append(raw)  # poison: not a PNG
+                    continue
+                w = 4 + int(did) % 13
+                h = 3 + int(did) % 7
+                px = np.frombuffer(
+                    (raw * ((w * h * 3) // max(len(raw), 1) + 1))[: w * h * 3],
+                    dtype="uint8",
+                ).reshape(h, w, 3)
+                payloads.append(png_codec.encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_png, "doc_id long, payload binary")
     return mm.decode_images(blobs)
 
 

@@ -79,14 +79,28 @@ def sliding(df: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> 
     )
 
 
-def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    df: DataFrame, gap_minutes: int = 30, skew_bucket: str | None = None
+) -> DataFrame:
     """Session windows per user with an inactivity gap (batch formulation).
 
     Classic lag/cumsum sessionization: a new session starts when the gap from
     the previous event exceeds `gap_minutes`. One shuffle (partitionBy user).
     In streaming mode the same semantics come from
     `F.session_window("ts", f"{gap} minutes")` — see stream_sessionize.
+
+    Per-user windows on a power-law user column are the classic 100x
+    straggler: one bot user's years of events land in ONE task.
+    `skew_bucket` ('day', 'hour', ...) enables the hierarchical formulation:
+    sessionize within (user, time-bucket) — the shuffle key spreads a hot
+    user over its buckets — then re-run the same gap merge over the
+    per-bucket session SUMMARIES (start/end/count/sum), which are
+    session-count-sized, not event-sized. The merge chain is transitive via
+    the same cumsum, so sessions spanning many buckets reassemble exactly;
+    results equal the plain path (pytest-held on a skewed fixture).
     """
+    if skew_bucket is not None:
+        return _sessionize_bucketed(df, gap_minutes, skew_bucket)
     w = Window.partitionBy("user_id").orderBy("ts")
     # cast through TIMESTAMP so TIMESTAMP_NTZ parquet columns work (NTZ->BIGINT
     # is not a legal direct cast in Spark 4)
@@ -103,6 +117,47 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+def _sessionize_bucketed(df: DataFrame, gap_minutes: int, bucket: str) -> DataFrame:
+    """Two-level sessionize (see sessionize docstring): stage 1 shuffles on
+    (user_id, bucket) and builds bucket-local sessions; stage 2 merges the
+    summaries whose boundary gap is within the threshold. sum_value stays
+    unrounded until the final merge so the result matches the plain path."""
+    ts = F.col("ts").cast("timestamp")
+    ts_long = ts.cast("long")
+    b = F.date_trunc(bucket, ts).alias("__b")
+    w1 = Window.partitionBy("user_id", "__b").orderBy("ts")
+    gap1 = ts_long - F.lag(ts_long).over(w1)
+    new1 = F.when(gap1.isNull() | (gap1 > gap_minutes * 60), 1).otherwise(0)
+    sess1 = F.sum(new1).over(w1.rowsBetween(Window.unboundedPreceding, 0))
+    parts = (
+        df.withColumn("__b", b)
+        .withColumn("__sess", sess1)
+        .groupBy("user_id", "__b", "__sess")
+        .agg(
+            F.min("ts").alias("__start"),
+            F.max("ts").alias("__end"),
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("double")).alias("__sv"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("__start", "__end")
+    gap2 = F.col("__start").cast("timestamp").cast("long") - F.lag(
+        F.col("__end").cast("timestamp").cast("long")
+    ).over(w2)
+    new2 = F.when(gap2.isNull() | (gap2 > gap_minutes * 60), 1).otherwise(0)
+    sess2 = F.sum(new2).over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        parts.withColumn("__g", sess2)
+        .groupBy("user_id", "__g")
+        .agg(
+            F.date_format(F.min("__start"), TS_FMT).alias("session_start"),
+            F.sum("__n").alias("n_events"),
+            F.round(F.sum("__sv"), 4).alias("sum_value"),
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
@@ -304,7 +359,7 @@ def resample_counts(df: DataFrame, width: str = "30 minutes", ts_col: str = "ts"
 def asof_join(
     left: DataFrame, right: DataFrame, ts_col: str = "ts", by: str = "user_id",
     value_cols: list[str] | None = None, tolerance: str | None = None,
-    direction: str = "backward",
+    direction: str = "backward", n_salt: int | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the most recent right row with
     right.ts <= left.ts within the same `by` key (the standard
@@ -317,6 +372,14 @@ def asof_join(
     Cost = ONE shuffle on `by` + a per-key sort — same plan shape as any
     sessionization; no range cross-join, no per-row subquery. `tolerance`
     (e.g. "30 minutes") drops matches further away than the window.
+
+    `n_salt` hardens a power-law `by` key (functions/skew.py rationale): the
+    big left side is sharded into n_salt deterministic salts and the right
+    side replicated across all of them, so each (key, salt) window still
+    sees the FULL right history for its key — result equals the plain path
+    (pytest-held) while the hot key's left rows spread over n_salt tasks.
+    The right side is replicated n_salt-fold: use when right is the small
+    reference series (quotes/sensors), which is the as-of norm.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -332,16 +395,25 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (ts_col, by)],
     )
+    part_cols = [by]
+    if n_salt:
+        lt = lt.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
+        )
+        rt = rt.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        part_cols = [by, "__salt"]
     u = lt.unionByName(rt)
     # right rows sort before left rows at equal ts (__is_left ascending) so a
     # same-timestamp quote is visible to the trade; forward direction is the
     # mirror image — descending time, so "last seen" is the next future row
     if direction == "forward":
-        w = Window.partitionBy(by).orderBy(
+        w = Window.partitionBy(*part_cols).orderBy(
             F.col(ts_col).desc(), "__is_left"
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     else:
-        w = Window.partitionBy(by).orderBy(ts_col, "__is_left").rowsBetween(
+        w = Window.partitionBy(*part_cols).orderBy(ts_col, "__is_left").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
     carried = [
@@ -365,7 +437,9 @@ def asof_join(
                 for c in value_cols
             ],
         )
-    return out.drop("__is_left", "__asof_ts", *[f"__r_{c}" for c in value_cols])
+    return out.drop(
+        "__is_left", "__asof_ts", "__salt", *[f"__r_{c}" for c in value_cols]
+    )
 
 
 def stream_append_cube_store(

@@ -48,3 +48,62 @@ def test_bucketed_range_join_equals_theta(spark, tables):
     plan = bucketed_range_join(ev, iv, "ts", "lo", "hi", 3600)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _skewed_events(spark):
+    # one bot user with dense multi-day traffic (sessions crossing bucket
+    # boundaries) + sparse normal users; integer values keep float sums exact
+    # so the equality check is bit-level
+    rows = []
+    for m in range(0, 5000, 7):  # hot user 1: event every 7 min across ~3.5d
+        rows.append((1, f"2024-03-0{1 + m // 1440}T{(m % 1440) // 60:02d}:{m % 60:02d}:00", float(m % 11)))
+    for u in range(2, 40):
+        for k in range(u % 5 + 1):
+            rows.append((u, f"2024-03-02T{(3 * k + u) % 24:02d}:{(u * 13) % 60:02d}:00", float(u)))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_sessionize_bucketed_equals_plain_on_skew(spark):
+    from ophidia_server_spark.streaming.windows import sessionize
+
+    ev = _skewed_events(spark)
+    plain = {tuple(r) for r in sessionize(ev, gap_minutes=30).collect()}
+    bucketed = {tuple(r) for r in sessionize(ev, gap_minutes=30, skew_bucket="day").collect()}
+    assert bucketed == plain and len(plain) > 10
+    # the hot user's sessions span day boundaries -> the merge stage really ran
+    hourly = {tuple(r) for r in sessionize(ev, gap_minutes=30, skew_bucket="hour").collect()}
+    assert hourly == plain
+
+
+def test_asof_join_salted_equals_plain_on_skew(spark):
+    from ophidia_server_spark.streaming.windows import asof_join
+
+    ev = _skewed_events(spark)
+    quotes = _skewed_events(spark).groupBy("user_id").agg(
+        F.expr("date_trunc('hour', min(ts))").alias("ts"),
+        F.round(F.avg("value"), 0).alias("value"),
+    )
+    kw = dict(ts_col="ts", by="user_id", value_cols=["value"])
+    for direction in ("backward", "forward"):
+        plain = {
+            tuple(r) for r in asof_join(ev, quotes, direction=direction, **kw).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in asof_join(ev, quotes, direction=direction, n_salt=4, **kw).collect()
+        }
+        assert salted == plain and len(plain) > 100
+    # tolerance path drops the same matches in both formulations
+    plain_tol = {
+        tuple(r)
+        for r in asof_join(ev, quotes, tolerance="45 minutes", **kw).collect()
+    }
+    salted_tol = {
+        tuple(r)
+        for r in asof_join(ev, quotes, tolerance="45 minutes", n_salt=3, **kw).collect()
+    }
+    assert salted_tol == plain_tol
