@@ -78,8 +78,8 @@ def ivf_build(
     vec_col: str = "embedding",
 ) -> VectorIndex:
     """Build the IVF store: train (or accept) the codebook, cell-assign every
-    vector, write parquet partitioned by `__cell`.  Write-side shuffle-free:
-    partitionBy splits each task's output by cell, so vectors move zero times.
+    vector, write parquet partitioned by `__cell` (one build-time shuffle to
+    cluster rows by cell — each vector moves once, ever).
     """
     if leaders is None:
         if codebook == "kmeans":
@@ -87,7 +87,13 @@ def ivf_build(
         else:
             leaders = sim.ivf_leaders(df, n_cells, id_col, vec_col)
     assigned = sim.ivf_assign(df, leaders, vec_col).select(id_col, vec_col, "__cell")
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    # cluster rows by cell before the partitioned write: without this every
+    # input task writes a file into every cell directory (tasks x cells small
+    # files — 8k at local scale, millions at 100 TB); after it each cell is
+    # written by one task. One build-time shuffle, amortized over all probes.
+    assigned.repartition("__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(path)
     idx = VectorIndex(
         kind="ivf", path=path, id_col=id_col, vec_col=vec_col,
         params={"n_cells": len(leaders), "leaders": [list(map(float, L)) for L in leaders]},
@@ -132,7 +138,11 @@ def lsh_build(
     signed = df.withColumn(
         "__sig", sim.signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
     ).select(id_col, vec_col, "__sig")
-    signed.write.mode("overwrite").partitionBy("__sig").parquet(path)
+    # same small-files rationale as ivf_build: one writer per signature
+    # bucket instead of tasks x 2^bits fragments
+    signed.repartition("__sig").write.mode("overwrite").partitionBy(
+        "__sig"
+    ).parquet(path)
     idx = VectorIndex(
         kind="lsh", path=path, id_col=id_col, vec_col=vec_col,
         params={"bits": bits, "dim": dim},
