@@ -69,6 +69,10 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q12_shipmode",
     "io_nc_roundtrip",
+    # round-4 additions: TPC-H breadth (order rollup + join top-k, left-join
+    # distribution shape)
+    "tpch_q18_large_volume_customers",
+    "tpch_q13_customer_distribution",
 ]
 
 

@@ -2974,3 +2974,330 @@ def tpch_q14(spark, sf_dir):
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
         ).alias("promo_revenue_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (q8..q22 where the testdata has the columns; partsupp is not
+# generated, so q2/q9/q11/q16/q20 have no faithful formulation)
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q8_market_share",
+    f"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(
+         CAST(SUM(CASE WHEN sn.n_name = 'NATION_13' THEN {_REV}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM({_REV}) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1""",
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): one nation's supplier share of a
+    region's market for one part type, per order year. Plan: the lineitem
+    fact scans once; part/customer/nation/region/supplier all broadcast."""
+    t = _t(spark, sf_dir)
+    rev = _rev_col()
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+                    F.lit("1997-12-31 00:00:00").cast("timestamp_ntz"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    national = F.when(F.col("supp_nation") == "NATION_13", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "tpch_q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count""",
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution; the o_comment NOT LIKE
+    filter is adapted to o_orderpriority — the column the testdata carries).
+    The LEFT join keeps zero-order customers in the c_count=0 bucket."""
+    t = _t(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "tpch_q15_top_supplier",
+    f"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier of a quarter): the max-revenue scalar is an
+    exact DECIMAL, so the equality join against it is engine-stable; the
+    one-row max aggregate broadcasts."""
+    t = _t(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__top"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("__top"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "tpch_q17_small_quantity_revenue",
+    """WITH pq AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cq
+  FROM lineitem GROUP BY 1)
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq ON pq.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq""",
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity order revenue). The correlated scalar
+    subquery (0.2 * avg qty per part) is de-correlated into one per-part
+    aggregate joined back; the threshold test is rearranged to
+    qty * 5 * count < sum — all DECIMAL/ints, so the comparison is exact on
+    both engines (a float avg would flip boundary rows per ulp)."""
+    t = _t(spark, sf_dir)
+    dq = F.col("l_quantity").cast(DEC)
+    pq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pq_key"))
+        .agg(F.sum(dq).alias("sq"), F.count("*").alias("cq"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#13")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pq_key"))
+        .filter(dq * 5 * F.col("cq") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "tpch_q18_large_volume_customers",
+    """WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 20""",
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): HAVING over the order-level
+    quantity rollup, then two joins to name the customers. The rollup's
+    partial aggregation runs map-side; only qualifying orderkeys join."""
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q19_discounted_revenue",
+    f"""SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs predicate): a single
+    broadcast join with the disjunction evaluated post-join — Catalyst
+    pushes the common p_partkey equi-key and the per-branch ranges."""
+    t = _t(spark, sf_dir)
+    q = F.col("l_quantity")
+    p = (
+        ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(p)
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q21_single_supplier_failed_orders",
+    """WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+os AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns, MIN(l_suppkey) AS only_supp
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM os JOIN supplier ON s_suppkey = only_supp
+WHERE ns = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 adapted (the testdata has no commit/receipt dates): count
+    per supplier the failed ('F') orders they supplied ALONE — the same
+    exists/not-exists shape as the original, expressed as one distinct-count
+    rollup instead of two correlated subqueries."""
+    t = _t(spark, sf_dir)
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    os_ = (
+        t["lineitem"]
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.min("l_suppkey").alias("only_supp"),
+        )
+        .filter(F.col("ns") == 1)
+    )
+    return (
+        os_.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("only_supp"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q22_global_sales_opportunity",
+    """WITH ab AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS c
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, ab
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * c > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1""",
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 adapted (country code = c_nationkey; the testdata has no
+    phone column, and every customer has orders at the generated density, so
+    the no-orders test is narrowed to no URGENT orders to stay non-vacuous).
+    The above-average test is rearranged to bal * count > sum (exact
+    DECIMAL, engine-stable); the NOT EXISTS is a left-anti join."""
+    t = _t(spark, sf_dir)
+    bal = F.col("c_acctbal").cast(DEC)
+    ab = (
+        t["customer"].filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal).alias("s"), F.count("*").alias("c"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(ab))
+        .filter(bal * F.col("c") > F.col("s"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey", "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
