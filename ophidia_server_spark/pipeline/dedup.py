@@ -469,20 +469,54 @@ def cluster_pairs(
         dtypes.get(c) in ("tinyint", "smallint", "int", "bigint") for c in (a_col, b_col)
     )
     if not numeric_ids:
-        # non-numeric ids: the long-cast would null them out silently; these
-        # go through the driver union-find (any hashable type), with a hard
-        # cap instead of a silent driver OOM
-        rows = pairs.select(a_col, b_col).limit(5_000_001).collect()
-        if len(rows) > 5_000_000:
-            raise ValueError(
-                "cluster_pairs: non-numeric ids above 5M edges — map ids to "
-                "longs first to use the distributed path"
+        # non-numeric ids: the long-cast would null them out silently. Small
+        # edge lists go through the driver union-find (any hashable type);
+        # larger ones get an internal order-preserving long id (sort +
+        # zipWithIndex — monotone, so the min-long rep maps back to the
+        # min-original rep) and run the distributed path end to end.
+        spark = pairs.sparkSession
+        probe_df = pairs.select(a_col, b_col).limit(DRIVER_CC_MAX_EDGES + 1)
+        rows = None if force_distributed else probe_df.collect()
+        if rows is not None and len(rows) <= DRIVER_CC_MAX_EDGES:
+            out = _cc_driver((r[a_col], r[b_col]) for r in rows)
+            schema_t = dtypes.get(a_col, "string")
+            return spark.createDataFrame(
+                out or [], f"doc_id {schema_t}, cluster_rep {schema_t}"
             )
-        out = _cc_driver((r[a_col], r[b_col]) for r in rows)
-        schema_t = "string" if dtypes.get(a_col) == "string" else dtypes.get(a_col, "string")
-        return pairs.sparkSession.createDataFrame(
-            out or [], f"doc_id {schema_t}, cluster_rep {schema_t}"
+        ids = (
+            pairs.select(F.col(a_col).alias("__orig"))
+            .union(pairs.select(F.col(b_col).alias("__orig")))
+            .distinct()
         )
+        id_map = spark.createDataFrame(
+            ids.rdd.map(lambda r: r["__orig"]).sortBy(lambda x: x).zipWithIndex(),
+            ["__orig", "__mid"],
+        ).persist()
+        ma = id_map.select(F.col("__orig").alias(a_col), F.col("__mid").alias("__ma"))
+        mb = id_map.select(F.col("__orig").alias(b_col), F.col("__mid").alias("__mb"))
+        mapped = (
+            pairs.join(ma, a_col).join(mb, b_col)
+            .select(F.col("__ma").alias(a_col), F.col("__mb").alias(b_col))
+        )
+        solved = cluster_pairs(mapped, a_col, b_col, force_distributed=True)
+        back = (
+            solved.join(
+                id_map.select(F.col("__mid").alias("doc_id"), F.col("__orig").alias("__doc")),
+                "doc_id",
+            )
+            .join(
+                id_map.select(
+                    F.col("__mid").alias("cluster_rep"), F.col("__orig").alias("__rep")
+                ),
+                "cluster_rep",
+            )
+            .select(
+                F.col("__doc").alias("doc_id"), F.col("__rep").alias("cluster_rep")
+            )
+            .localCheckpoint(eager=True)
+        )
+        id_map.unpersist()
+        return back
     edges = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")

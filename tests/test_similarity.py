@@ -287,3 +287,20 @@ def test_cluster_pairs_string_ids(spark):
     assert got == {
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "x": "x", "y": "x",
     }
+
+
+def test_cluster_pairs_string_ids_distributed(spark):
+    # above the driver threshold (forced), string ids map through the
+    # internal sort+zipWithIndex long ids and back; reps stay the
+    # lexicographic minimum of each component (monotone mapping)
+    from ophidia_server_spark.pipeline.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y"), ("m", "k")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_rep for r in cluster_pairs(pairs, force_distributed=True).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "x": "x", "y": "x", "k": "k", "m": "k",
+    }
