@@ -37,6 +37,62 @@ from ophidia_server_spark.pipeline import similarity as sim
 
 _SIDECAR = "_vector_index.json"
 
+_TARGET_FILE_BYTES = 128 * 1024 * 1024  # healthy parquet file size at scale
+
+
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    """Size of the files feeding this plan (None when not file-backed).
+    `inputFiles()` sees through projections/UDF stages to the parquet leaves,
+    so the estimate is the true corpus size, not a Catalyst default."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _clustered_partitioned_write(
+    df: DataFrame, path: str, part_col: str, salt_col: str, n_buckets: int
+) -> None:
+    """Write `df` parquet-partitioned by `part_col`, clustering rows so each
+    bucket directory is produced by as few tasks as its size warrants.
+
+    Writer-count policy (the 100 TB knob): aim for ~128 MB output files.
+      - tiny corpus  -> fewer writer tasks than buckets (each task commits a
+        run of buckets; avoids paying per-task commit overhead for KB files);
+      - huge corpus  -> more writer tasks than buckets: salt within the bucket
+        (hash of the id column) so a 400 GB bucket becomes ~bucket_bytes/128MB
+        files written in parallel instead of one task's single giant file.
+    Either way each row moves exactly once (one build-time shuffle).
+    `n_buckets` comes from the caller (cell/signature cardinality) — counting
+    distinct values here would cost an extra full pass over the corpus."""
+    est = _estimated_input_bytes(df)
+    if est is None:
+        writers = min(n_buckets, df.sparkSession.sparkContext.defaultParallelism)
+    else:
+        # bytes/128MB writers for data volume, but never fewer than one
+        # writer per ~32 bucket directories: parquet-writer open/commit cost
+        # is per-file, so a lone task serially creating hundreds of bucket
+        # files is slower than a handful of tasks creating ~32 each
+        writers = max(1, -(-est // _TARGET_FILE_BYTES), -(-n_buckets // 32))
+    if writers <= n_buckets:
+        clustered = df.repartition(writers, F.col(part_col))
+    else:
+        salt_mod = -(-writers // n_buckets)
+        clustered = df.repartition(
+            writers, F.col(part_col), F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_mod))
+        )
+    clustered.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
 
 @dataclass
 class VectorIndex:
@@ -90,10 +146,9 @@ def ivf_build(
     # cluster rows by cell before the partitioned write: without this every
     # input task writes a file into every cell directory (tasks x cells small
     # files — 8k at local scale, millions at 100 TB); after it each cell is
-    # written by one task. One build-time shuffle, amortized over all probes.
-    assigned.repartition("__cell").write.mode("overwrite").partitionBy(
-        "__cell"
-    ).parquet(path)
+    # written by ~cell_bytes/128MB tasks. One build-time shuffle, amortized
+    # over all probes.
+    _clustered_partitioned_write(assigned, path, "__cell", id_col, len(leaders))
     idx = VectorIndex(
         kind="ivf", path=path, id_col=id_col, vec_col=vec_col,
         params={"n_cells": len(leaders), "leaders": [list(map(float, L)) for L in leaders]},
@@ -138,11 +193,9 @@ def lsh_build(
     signed = df.withColumn(
         "__sig", sim.signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
     ).select(id_col, vec_col, "__sig")
-    # same small-files rationale as ivf_build: one writer per signature
-    # bucket instead of tasks x 2^bits fragments
-    signed.repartition("__sig").write.mode("overwrite").partitionBy(
-        "__sig"
-    ).parquet(path)
+    # same small-files rationale as ivf_build: writer count scales with
+    # corpus bytes instead of tasks x 2^bits fragments
+    _clustered_partitioned_write(signed, path, "__sig", id_col, 1 << bits)
     idx = VectorIndex(
         kind="lsh", path=path, id_col=id_col, vec_col=vec_col,
         params={"bits": bits, "dim": dim},

@@ -34,6 +34,12 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # v2 committer: task output moves to the destination at task commit
+        # (one rename) instead of job commit (N renames serialized on the
+        # driver) — the standard choice for partitioned writes with many
+        # directories; the at-most-once guarantee we give up only matters for
+        # speculative execution, which is off
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # driver testdata uses parquet TIMESTAMP(NANOS); read as int64 nanos and
         # convert in load_tables (Spark has no native nanos timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
