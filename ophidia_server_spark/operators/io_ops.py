@@ -315,10 +315,14 @@ def expand_file_glob(pattern: str) -> list[str]:
     return sorted(_glob.glob(pattern))
 
 
-def _grid_to_nc(pdf, dims: list[str], measure: str, out_path: str) -> None:
+def _grid_to_nc(
+    pdf, dims: list[str], measure: str, out_path: str, nc_format: str = "classic",
+    compress: int | None = None,
+) -> None:
     """Dense-grid a long-form pandas frame (dim cols + measure) and write one
-    classic NetCDF file: one coordinate variable per dim, NaN where the grid
-    has holes."""
+    NetCDF file: one coordinate variable per dim, NaN where the grid has
+    holes. nc_format='classic' uses the NetCDF3 codec; 'netcdf4' writes an
+    HDF5 container (sources/hdf5.py), optionally deflate-compressed."""
     import numpy as np
 
     from ophidia_server_spark.sources import netcdf3
@@ -346,12 +350,22 @@ def _grid_to_nc(pdf, dims: list[str], measure: str, out_path: str) -> None:
     arr = np.full(shape, np.nan)
     arr[tuple(idx)] = pdf[measure].astype("float64").to_numpy()
     ds.variables[measure] = netcdf3.Variable(measure, tuple(dims), {}, arr)
-    netcdf3.write(out_path, ds)
+    if nc_format == "netcdf4":
+        from ophidia_server_spark.sources import hdf5
+
+        hdf5.write(out_path, ds, compress=compress)
+    else:
+        netcdf3.write(out_path, ds)
 
 
-def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str]:
+def oph_exportnc(
+    cube: Cube, path: str, per_dim_files: bool = False,
+    nc_format: str = "classic", compress: int | None = None,
+) -> list[str]:
     """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
-    oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec.
+    oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec
+    (nc_format='classic') or as netCDF-4/HDF5 (nc_format='netcdf4', optional
+    deflate via `compress`).
 
     per_dim_files=True writes one file per value of the first explicit dim
     from inside applyInPandas — each executor task grids and encodes its own
@@ -366,7 +380,7 @@ def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str
     long_df = cube.long()
     if not per_dim_files:
         out = os.path.join(path, f"{measure}.nc")
-        _grid_to_nc(long_df.toPandas(), dims, measure, out)
+        _grid_to_nc(long_df.toPandas(), dims, measure, out, nc_format, compress)
         return [out]
 
     split_dim = dims[0]
@@ -382,7 +396,7 @@ def oph_exportnc(cube: Cube, path: str, per_dim_files: bool = False) -> list[str
         # break the executor-side open()
         key = re.sub(r"[^A-Za-z0-9_.-]", "_", str(pdf[split_dim].iloc[0]))
         out = os.path.join(path, f"{measure}_{split_dim}_{key}.nc")
-        _grid_to_nc(pdf, rest, measure, out)
+        _grid_to_nc(pdf, rest, measure, out, nc_format, compress)
         return pd.DataFrame({"file": [out], "rows": [len(pdf)]})
 
     manifest = (

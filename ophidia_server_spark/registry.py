@@ -875,6 +875,42 @@ def io_nc_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "io_nc4_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(quarter(l_shipdate) AS BIGINT) AS quarter,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_nc4_roundtrip(spark, sf_dir):
+    """oph_exportnc(nc_format='netcdf4') -> oph_importnc roundtrip through the
+    pure-Python HDF5 codec (sources/hdf5.py): cube -> deflate-chunked
+    netCDF-4 container -> per-file mapInPandas decode -> cube; values must
+    match SQL over the parquet source. Real CMIP6 archives are netCDF-4, so
+    this is the ingest path a reference user actually exercises
+    (oph_importnc surface: oph_json_objkeys.h:114-117)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("quarter", F.quarter("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "quarter", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(
+        cube, f"/tmp/ophidia_nc4_{tag}", nc_format="netcdf4", compress=4
+    )
+    c2 = io_ops.oph_importnc(spark, files, "qty", ["l_linenumber"], "quarter")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("quarter").cast("long").alias("quarter"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------

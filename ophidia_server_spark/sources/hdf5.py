@@ -1,0 +1,974 @@
+"""Pure-Python netCDF-4 (HDF5) codec.
+
+Real climate archives (CMIP5/6) are predominantly netCDF-4 — HDF5 container
+files carrying the netCDF data model via the public "NetCDF-4 Format" mapping
+(dimension-scale datasets + DIMENSION_LIST references).  The reference's
+ingest surface is oph_importnc (/root/reference/src/oph_json_objkeys.h:114-117)
+and real deployments feed it netCDF-4; this container has no libhdf5/h5py /
+netCDF4 library, so the subset of the public HDF5 File Format Specification
+that netCDF-4 files actually use is implemented directly:
+
+  read:  superblock v0/v2/v3; object headers v1 and v2 (OHDR, incl. OCHK
+         continuations); groups stored as symbol tables (TREE/HEAP/SNOD) or
+         as in-header link messages; dataspace v1/v2; datatypes fixed-point,
+         IEEE float, fixed string, vlen string, object reference, vlen
+         sequence; data layout v3 compact/contiguous/chunked (v1 chunk
+         B-tree); filters deflate (zlib), shuffle, fletcher32; attributes
+         v1/v2/v3 incl. global-heap vlen payloads; the netCDF-4 dimension
+         mapping (CLASS=DIMENSION_SCALE datasets, DIMENSION_LIST object
+         references, phony "this is a netCDF dimension" scales).
+  write: superblock v0, v1 object headers, symbol-table root group,
+         contiguous or single-level-chunked (+deflate/shuffle) datasets, the
+         netCDF-4 dimension-scale convention (CLASS/NAME/DIMENSION_LIST/
+         _Netcdf4Dimid attributes, vlen references through a global heap) —
+         enough that the files we write are valid netCDF-4 for any reader
+         and roundtrip byte-exactly through read().
+
+The API mirrors sources/netcdf3.py: read(path) -> netcdf3.Dataset and
+write(path, ds), so operators/io_ops.py dispatches on the file magic and the
+rest of the engine is format-blind.  Per-file decode is one sequential read;
+the Spark side parallelizes across files (mapInPandas), matching the
+fragment-per-task model the reference uses for its NetCDF ingest.
+
+Everything here derives from the public "HDF5 File Format Specification
+Version 2.0" and the public netCDF-4 format documentation; no library code
+was consulted or ported.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ophidia_server_spark.sources.netcdf3 import Dataset, Variable
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids (spec IV.A.2)
+M_NIL, M_DATASPACE, M_LINKINFO, M_DATATYPE = 0x00, 0x01, 0x02, 0x03
+M_FILL_OLD, M_FILL, M_LINK, M_LAYOUT = 0x04, 0x05, 0x06, 0x08
+M_GROUPINFO, M_FILTERS, M_ATTR, M_CONT, M_SYMTAB = 0x0A, 0x0B, 0x0C, 0x10, 0x11
+M_ATTRINFO = 0x15
+
+# netCDF-4 bookkeeping attributes hidden from users (public netCDF-4 mapping)
+_HIDDEN_ATTRS = {
+    "CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+    "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties",
+}
+
+
+class Hdf5Error(ValueError):
+    """Named error for the HDF5 features outside the implemented subset."""
+
+
+# ---------------------------------------------------------------------------
+# datatype model (shared by reader and writer)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DType:
+    cls: int                    # HDF5 datatype class
+    size: int
+    np_dtype: np.dtype | None = None
+    vlen_base: "DType | None" = None   # class 9
+    is_vlen_string: bool = False
+    charset_utf8: bool = False
+
+
+def _parse_datatype(buf: bytes, off: int) -> tuple[DType, int]:
+    """Parse a datatype message at `off`; returns (DType, bytes consumed)."""
+    b0 = buf[off]
+    version, cls = b0 >> 4, b0 & 0x0F
+    bits = buf[off + 1] | (buf[off + 2] << 8) | (buf[off + 3] << 16)
+    size = struct.unpack_from("<I", buf, off + 4)[0]
+    pos = off + 8
+    if cls == 0:  # fixed-point
+        big = bits & 1
+        signed = bool(bits & 0x08)
+        dt = np.dtype(f"{'>' if big else '<'}{'i' if signed else 'u'}{size}")
+        return DType(cls, size, dt), pos + 4 - off
+    if cls == 1:  # IEEE float
+        big = bits & 1
+        dt = np.dtype(f"{'>' if big else '<'}f{size}")
+        return DType(cls, size, dt), pos + 12 - off
+    if cls == 3:  # fixed-length string
+        return DType(cls, size, np.dtype(f"S{size}"),
+                     charset_utf8=bool((bits >> 8) & 0x0F)), pos - off
+    if cls == 7:  # reference (object reference only)
+        if bits & 0x0F:
+            raise Hdf5Error("only object references are supported")
+        return DType(cls, size), pos - off
+    if cls == 9:  # variable-length
+        vtype = bits & 0x0F
+        utf8 = bool((bits >> 8) & 0x0F)
+        base, used = _parse_datatype(buf, pos)
+        return (
+            DType(cls, size, vlen_base=base, is_vlen_string=(vtype == 1),
+                  charset_utf8=utf8),
+            pos + used - off,
+        )
+    if cls == 6:  # compound — parsed only far enough to skip (REFERENCE_LIST)
+        return DType(cls, size), size and (pos - off)
+    raise Hdf5Error(f"HDF5 datatype class {cls} is outside the netCDF-4 subset")
+
+
+def _parse_dataspace(buf: bytes, off: int) -> tuple[list[int], list[int]]:
+    """Returns (dims, maxdims); scalar space -> ([], [])."""
+    version = buf[off]
+    if version == 1:
+        rank, flags = buf[off + 1], buf[off + 2]
+        pos = off + 8
+    elif version == 2:
+        rank, flags = buf[off + 1], buf[off + 2]
+        pos = off + 4
+    else:
+        raise Hdf5Error(f"dataspace version {version} unsupported")
+    dims = [struct.unpack_from("<Q", buf, pos + 8 * i)[0] for i in range(rank)]
+    pos += 8 * rank
+    maxdims = dims
+    if flags & 1:
+        maxdims = [struct.unpack_from("<Q", buf, pos + 8 * i)[0] for i in range(rank)]
+    return dims, maxdims
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Obj:
+    """One HDF5 object (dataset or group) during the read walk."""
+
+    name: str
+    addr: int
+    dims: list[int] = field(default_factory=list)
+    maxdims: list[int] = field(default_factory=list)
+    dtype: DType | None = None
+    layout: tuple | None = None     # ('contiguous', addr, size) | ('chunked', btree, chunk_dims) | ('compact', bytes)
+    filters: list[tuple[int, list[int]]] = field(default_factory=list)
+    attrs: dict = field(default_factory=dict)
+    children: "list[_Obj]" = field(default_factory=list)   # groups only
+    is_group: bool = False
+
+
+class _H5Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        sb_off = self._find_superblock()
+        self.base = sb_off
+        self.root_addr = self._parse_superblock(sb_off)
+
+    # -- superblock ---------------------------------------------------------
+
+    def _find_superblock(self) -> int:
+        off = 0
+        while off < len(self.buf):
+            if self.buf[off : off + 8] == MAGIC:
+                return off
+            off = 512 if off == 0 else off * 2
+        raise Hdf5Error("HDF5 signature not found")
+
+    def _parse_superblock(self, off: int) -> int:
+        version = self.buf[off + 8]
+        if version == 0 or version == 1:
+            so, sl = self.buf[off + 13], self.buf[off + 14]
+            if (so, sl) != (8, 8):
+                raise Hdf5Error(f"offset/length sizes {so}/{sl} unsupported (need 8/8)")
+            ste_off = off + 24 + 32 + (4 if version == 1 else 0)
+            # root group symbol table entry: link-name-offset(8) | OH addr(8)
+            return struct.unpack_from("<Q", self.buf, ste_off + 8)[0]
+        if version in (2, 3):
+            so, sl = self.buf[off + 9], self.buf[off + 10]
+            if (so, sl) != (8, 8):
+                raise Hdf5Error(f"offset/length sizes {so}/{sl} unsupported (need 8/8)")
+            return struct.unpack_from("<Q", self.buf, off + 12 + 8 * 3)[0]
+        raise Hdf5Error(f"superblock version {version} unsupported")
+
+    def at(self, addr: int) -> int:
+        return self.base + addr
+
+    # -- object headers -----------------------------------------------------
+
+    def read_object(self, addr: int, name: str) -> _Obj:
+        obj = _Obj(name=name, addr=addr)
+        if self.buf[self.at(addr) : self.at(addr) + 4] == b"OHDR":
+            msgs = self._messages_v2(addr)
+        else:
+            msgs = self._messages_v1(addr)
+        symtab = None
+        links = []
+        for mtype, data_off, data_len in msgs:
+            if mtype == M_DATASPACE:
+                obj.dims, obj.maxdims = _parse_dataspace(self.buf, data_off)
+            elif mtype == M_DATATYPE:
+                obj.dtype, _ = _parse_datatype(self.buf, data_off)
+            elif mtype == M_LAYOUT:
+                obj.layout = self._parse_layout(data_off)
+            elif mtype == M_FILTERS:
+                obj.filters = self._parse_filters(data_off)
+            elif mtype == M_ATTR:
+                k, v = self._parse_attribute(data_off)
+                obj.attrs[k] = v
+            elif mtype == M_SYMTAB:
+                symtab = struct.unpack_from("<QQ", self.buf, data_off)
+            elif mtype == M_LINK:
+                links.append(self._parse_link(data_off))
+            elif mtype == M_ATTRINFO:
+                flags = self.buf[data_off]
+                pos = data_off + 1 + (2 if flags & 1 else 0)
+                fheap = struct.unpack_from("<Q", self.buf, pos)[0]
+                if fheap != UNDEF:
+                    raise Hdf5Error(
+                        "dense attribute storage (fractal heap) is outside the "
+                        "implemented subset; files with >8 attributes per object "
+                        "written by libhdf5 may use it"
+                    )
+        if symtab is not None:
+            obj.is_group = True
+            btree, heap = symtab
+            for child_name, child_addr in self._walk_symbol_table(btree, heap):
+                obj.children.append(self.read_object(child_addr, child_name))
+        elif links:
+            obj.is_group = True
+            for child_name, child_addr in links:
+                obj.children.append(self.read_object(child_addr, child_name))
+        return obj
+
+    def _messages_v1(self, addr: int):
+        p = self.at(addr)
+        version = self.buf[p]
+        if version != 1:
+            raise Hdf5Error(f"object header version {version} unsupported")
+        nmess = struct.unpack_from("<H", self.buf, p + 2)[0]
+        hsize = struct.unpack_from("<I", self.buf, p + 8)[0]
+        blocks = [(p + 16, hsize)]
+        out = []
+        while blocks and len(out) < nmess:
+            bp, blen = blocks.pop(0)
+            end = bp + blen
+            while bp + 8 <= end and len(out) < nmess:
+                mtype, msize, _flags = struct.unpack_from("<HHB", self.buf, bp)
+                data_off = bp + 8
+                if mtype == M_CONT:
+                    coff, clen = struct.unpack_from("<QQ", self.buf, data_off)
+                    blocks.append((self.at(coff), clen))
+                elif mtype != M_NIL:
+                    out.append((mtype, data_off, msize))
+                bp = data_off + msize
+        return out
+
+    def _messages_v2(self, addr: int):
+        out = []
+
+        def scan_block(p: int, first: bool):
+            if first:
+                flags = self.buf[p + 5]
+                q = p + 6
+                if flags & 0x20:
+                    q += 8          # access/mod/change/birth times
+                if flags & 0x10:
+                    q += 4          # max compact / min dense
+                cs_bytes = 1 << (flags & 0x03)
+                chunk0 = int.from_bytes(self.buf[q : q + cs_bytes], "little")
+                q += cs_bytes
+                end = q + chunk0
+            else:
+                flags = self._v2_flags
+                q = p + 4           # skip OCHK signature
+                end = self._block_end
+            track = bool(flags & 0x04)
+            while q + 4 <= end:
+                mtype = self.buf[q]
+                msize = struct.unpack_from("<H", self.buf, q + 1)[0]
+                q += 4 + (2 if track else 0)
+                if mtype == M_CONT:
+                    coff, clen = struct.unpack_from("<QQ", self.buf, q)
+                    conts.append((self.at(coff), clen))
+                elif mtype != M_NIL:
+                    out.append((mtype, q, msize))
+                q += msize
+
+        p = self.at(addr)
+        self._v2_flags = self.buf[p + 5]
+        conts: list[tuple[int, int]] = []
+        scan_block(p, True)
+        while conts:
+            cp, clen = conts.pop(0)
+            if self.buf[cp : cp + 4] != b"OCHK":
+                raise Hdf5Error("bad OCHK continuation signature")
+            self._block_end = cp + clen - 4     # trailing checksum
+            scan_block(cp, False)
+        return out
+
+    def _parse_link(self, off: int) -> tuple[str, int]:
+        version, flags = self.buf[off], self.buf[off + 1]
+        pos = off + 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = self.buf[pos]; pos += 1
+        if flags & 0x04:
+            pos += 8        # creation order
+        if flags & 0x10:
+            pos += 1        # charset
+        ls = 1 << (flags & 0x03)
+        nlen = int.from_bytes(self.buf[pos : pos + ls], "little")
+        pos += ls
+        nm = self.buf[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        if ltype != 0:
+            raise Hdf5Error("only hard links are supported")
+        return nm, struct.unpack_from("<Q", self.buf, pos)[0]
+
+    # -- groups: TREE / HEAP / SNOD ----------------------------------------
+
+    def _walk_symbol_table(self, btree_addr: int, heap_addr: int):
+        hp = self.at(heap_addr)
+        if self.buf[hp : hp + 4] != b"HEAP":
+            raise Hdf5Error("bad local heap signature")
+        heap_data = struct.unpack_from("<Q", self.buf, hp + 24)[0]
+
+        def heap_name(offset: int) -> str:
+            p = self.at(heap_data) + offset
+            e = self.buf.index(b"\x00", p)
+            return self.buf[p:e].decode("utf-8")
+
+        def walk(addr: int):
+            p = self.at(addr)
+            sig = self.buf[p : p + 4]
+            if sig == b"TREE":
+                level = self.buf[p + 5]
+                used = struct.unpack_from("<H", self.buf, p + 6)[0]
+                q = p + 24      # past siblings
+                # keys and children interleave: key0 child0 ... key_n
+                children = []
+                q += 8          # key 0
+                for _ in range(used):
+                    children.append(struct.unpack_from("<Q", self.buf, q)[0])
+                    q += 16     # child + next key
+                for c in children:
+                    yield from walk(c)
+            elif sig == b"SNOD":
+                nsym = struct.unpack_from("<H", self.buf, p + 6)[0]
+                q = p + 8
+                for _ in range(nsym):
+                    name_off, oh_addr = struct.unpack_from("<QQ", self.buf, q)
+                    yield heap_name(name_off), oh_addr
+                    q += 40
+            else:
+                raise Hdf5Error(f"bad group node signature {sig!r}")
+
+        yield from walk(btree_addr)
+
+    # -- layout / filters / data -------------------------------------------
+
+    def _parse_layout(self, off: int) -> tuple:
+        version = self.buf[off]
+        if version == 3:
+            lclass = self.buf[off + 1]
+            if lclass == 0:
+                size = struct.unpack_from("<H", self.buf, off + 2)[0]
+                return ("compact", self.buf[off + 4 : off + 4 + size])
+            if lclass == 1:
+                a, s = struct.unpack_from("<QQ", self.buf, off + 2)
+                return ("contiguous", a, s)
+            if lclass == 2:
+                ndim = self.buf[off + 2]
+                bt = struct.unpack_from("<Q", self.buf, off + 3)[0]
+                cdims = [
+                    struct.unpack_from("<I", self.buf, off + 11 + 4 * i)[0]
+                    for i in range(ndim)
+                ]
+                return ("chunked", bt, cdims)    # last entry = element size
+            raise Hdf5Error(f"layout class {lclass} unsupported")
+        raise Hdf5Error(
+            f"data layout message version {version} unsupported (v3 only: "
+            "files written with libver-latest v4 chunk indexes are outside "
+            "the subset)"
+        )
+
+    def _parse_filters(self, off: int) -> list[tuple[int, list[int]]]:
+        version = self.buf[off]
+        nf = self.buf[off + 1]
+        pos = off + (8 if version == 1 else 2)
+        out = []
+        for _ in range(nf):
+            fid = struct.unpack_from("<H", self.buf, pos)[0]
+            has_name = version == 1 or fid >= 256
+            nlen = struct.unpack_from("<H", self.buf, pos + 2)[0] if has_name else 0
+            ncv = struct.unpack_from("<H", self.buf, pos + (6 if has_name else 4))[0]
+            pos += 8 if has_name else 6
+            if nlen:
+                pos += nlen + ((8 - nlen % 8) % 8 if version == 1 else 0)
+            cvals = [struct.unpack_from("<I", self.buf, pos + 4 * i)[0] for i in range(ncv)]
+            pos += 4 * ncv
+            if version == 1 and ncv % 2:
+                pos += 4
+            out.append((fid, cvals))
+        return out
+
+    def _defilter(self, raw: bytes, filters) -> bytes:
+        for fid, cvals in reversed(filters):
+            if fid == 1:            # deflate
+                raw = zlib.decompress(raw)
+            elif fid == 2:          # shuffle
+                s = cvals[0] if cvals else 1
+                if s > 1 and len(raw) % s == 0:
+                    n = len(raw) // s
+                    raw = (
+                        np.frombuffer(raw, np.uint8).reshape(s, n).T.tobytes()
+                    )
+            elif fid == 3:          # fletcher32: payload + 4-byte checksum
+                raw = raw[:-4]
+            else:
+                raise Hdf5Error(f"filter id {fid} unsupported (deflate/shuffle/fletcher32 only)")
+        return raw
+
+    def _chunk_entries(self, btree_addr: int, ndim: int):
+        """Yield (chunk_size, filter_mask, offsets, data_addr) from a v1 chunk B-tree."""
+        def walk(addr: int):
+            p = self.at(addr)
+            if self.buf[p : p + 4] != b"TREE":
+                raise Hdf5Error("bad chunk B-tree signature")
+            level = self.buf[p + 5]
+            used = struct.unpack_from("<H", self.buf, p + 6)[0]
+            q = p + 24
+            key_len = 8 + 8 * ndim
+            for _ in range(used):
+                csize, mask = struct.unpack_from("<II", self.buf, q)
+                offs = [
+                    struct.unpack_from("<Q", self.buf, q + 8 + 8 * i)[0]
+                    for i in range(ndim)
+                ]
+                child = struct.unpack_from("<Q", self.buf, q + key_len)[0]
+                if level == 0:
+                    yield csize, mask, offs, child
+                else:
+                    yield from walk(child)
+                q += key_len + 8
+
+        yield from walk(btree_addr)
+
+    def read_data(self, obj: _Obj) -> np.ndarray:
+        dt = obj.dtype
+        if dt is None or dt.np_dtype is None:
+            raise Hdf5Error(f"dataset {obj.name!r} has an unsupported datatype")
+        shape = tuple(obj.dims)
+        kind = obj.layout[0] if obj.layout else None
+        if kind == "compact":
+            raw = obj.layout[1]
+            return np.frombuffer(raw, dt.np_dtype)[: int(np.prod(shape, dtype=np.int64))].reshape(shape)
+        if kind == "contiguous":
+            addr, size = obj.layout[1], obj.layout[2]
+            if addr == UNDEF:       # never allocated: all fill (zeros)
+                return np.zeros(shape, dt.np_dtype)
+            raw = self.buf[self.at(addr) : self.at(addr) + size]
+            return np.frombuffer(raw, dt.np_dtype)[: int(np.prod(shape, dtype=np.int64))].reshape(shape)
+        if kind == "chunked":
+            btree, cdims = obj.layout[1], obj.layout[2]
+            chunk_shape = cdims[:-1]    # last entry is the element size
+            out = np.zeros(shape, dt.np_dtype)
+            if btree != UNDEF:
+                for csize, mask, offs, caddr in self._chunk_entries(btree, len(cdims)):
+                    raw = self.buf[self.at(caddr) : self.at(caddr) + csize]
+                    if obj.filters and not mask:
+                        raw = self._defilter(raw, obj.filters)
+                    chunk = np.frombuffer(raw, dt.np_dtype)[
+                        : int(np.prod(chunk_shape, dtype=np.int64))
+                    ].reshape(chunk_shape)
+                    sel = tuple(
+                        slice(o, min(o + c, s))
+                        for o, c, s in zip(offs[:-1], chunk_shape, shape)
+                    )
+                    csel = tuple(slice(0, s.stop - s.start) for s in sel)
+                    out[sel] = chunk[csel]
+            return out
+        raise Hdf5Error(f"dataset {obj.name!r} has no data layout")
+
+    # -- attribute values ---------------------------------------------------
+
+    def _global_heap_object(self, addr: int, index: int) -> bytes:
+        p = self.at(addr)
+        if self.buf[p : p + 4] != b"GCOL":
+            raise Hdf5Error("bad global heap signature")
+        size = struct.unpack_from("<Q", self.buf, p + 8)[0]
+        q, end = p + 16, p + size
+        while q + 16 <= end:
+            idx, refc = struct.unpack_from("<HH", self.buf, q)
+            osize = struct.unpack_from("<Q", self.buf, q + 8)[0]
+            if idx == index:
+                return self.buf[q + 16 : q + 16 + osize]
+            if idx == 0:
+                break
+            q += 16 + osize + ((8 - osize % 8) % 8)
+        raise Hdf5Error(f"global heap object {index} not found")
+
+    def _decode_values(self, dt: DType, raw: bytes, count: int):
+        if dt.cls in (0, 1):
+            arr = np.frombuffer(raw, dt.np_dtype, count=count)
+            return arr
+        if dt.cls == 3:
+            vals = [
+                raw[i * dt.size : (i + 1) * dt.size].split(b"\x00")[0].decode(
+                    "utf-8", errors="replace"
+                )
+                for i in range(count)
+            ]
+            return vals
+        if dt.cls == 7:
+            return list(np.frombuffer(raw, "<u8", count=count))
+        if dt.cls == 9:
+            out = []
+            for i in range(count):
+                n, haddr, hidx = struct.unpack_from("<IQI", raw, i * 16)
+                blob = self._global_heap_object(haddr, hidx)
+                if dt.is_vlen_string:
+                    out.append(blob[:n].decode("utf-8", errors="replace"))
+                else:
+                    out.append(self._decode_values(dt.vlen_base, blob, n))
+            return out
+        raise Hdf5Error(f"attribute datatype class {dt.cls} unsupported")
+
+    def _parse_attribute(self, off: int):
+        version = self.buf[off]
+        if version not in (1, 2, 3):
+            raise Hdf5Error(f"attribute message version {version} unsupported")
+        nsize, dtsize, dssize = struct.unpack_from("<HHH", self.buf, off + 2)
+        pos = off + 8 + (1 if version == 3 else 0)
+
+        def padded(n: int) -> int:
+            return n + ((8 - n % 8) % 8) if version == 1 else n
+
+        name = self.buf[pos : pos + nsize].split(b"\x00")[0].decode("utf-8")
+        pos += padded(nsize)
+        try:
+            dt, _ = _parse_datatype(self.buf, pos)
+        except Hdf5Error:
+            return name, None       # e.g. compound REFERENCE_LIST: skipped
+        pos += padded(dtsize)
+        dims, _ = _parse_dataspace(self.buf, pos)
+        pos += padded(dssize)
+        count = int(np.prod(dims, dtype=np.int64)) if dims else 1
+        vals = self._decode_values(dt, self.buf[pos:], count)
+        if dt.cls in (0, 1):
+            lst = np.asarray(vals).tolist()
+            return name, lst if dims else lst[0]
+        if not dims:
+            return name, (vals[0] if isinstance(vals, list) and vals else None)
+        return name, vals
+
+
+def read(path: str) -> Dataset:
+    """Read a netCDF-4 (HDF5) file into the same Dataset model netcdf3 uses."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    r = _H5Reader(buf)
+    root = r.read_object(r.root_addr, "/")
+    if not root.is_group:
+        raise Hdf5Error("root object is not a group")
+
+    # first pass: address -> name map (to resolve DIMENSION_LIST references)
+    addr_name: dict[int, str] = {}
+    datasets: list[_Obj] = []
+
+    def collect(g: _Obj, prefix: str):
+        for c in g.children:
+            full = c.name if not prefix else f"{prefix}/{c.name}"
+            addr_name[c.addr] = full
+            if c.is_group:
+                collect(c, full)
+            else:
+                datasets.append(c)
+
+    collect(root, "")
+
+    ds = Dataset()
+    ds.attributes = {
+        k: v for k, v in root.attrs.items() if k not in _HIDDEN_ATTRS and v is not None
+    }
+
+    # dimension scales define the dims; phony scales carry no variable
+    scales = {}
+    for o in datasets:
+        cls = o.attrs.get("CLASS")
+        if cls == "DIMENSION_SCALE":
+            size = o.dims[0] if o.dims else 0
+            unlimited = bool(o.maxdims) and o.maxdims[0] == UNDEF
+            ds.dimensions[o.name] = size
+            scales[o.addr] = o.name
+            nm = o.attrs.get("NAME")
+            phony = isinstance(nm, str) and nm.startswith(
+                "This is a netCDF dimension but not a netCDF variable"
+            )
+            if not phony:
+                ds.variables[o.name] = Variable(
+                    name=o.name,
+                    dimensions=(o.name,),
+                    attributes={
+                        k: v for k, v in o.attrs.items()
+                        if k not in _HIDDEN_ATTRS and v is not None
+                    },
+                    data=r.read_data(o),
+                )
+
+    for o in datasets:
+        if o.attrs.get("CLASS") == "DIMENSION_SCALE":
+            continue
+        dim_list = o.attrs.get("DIMENSION_LIST")
+        if dim_list is not None:
+            dims = []
+            for refs in dim_list:
+                ref = refs[0] if isinstance(refs, (list, tuple)) and refs else refs
+                dims.append(scales.get(int(ref), addr_name.get(int(ref), "?")))
+            dims = tuple(dims)
+        else:
+            # plain HDF5 dataset without netCDF dims: synthesize phony dims
+            dims = tuple(f"phony_dim_{i}" for i in range(len(o.dims)))
+            for nm, sz in zip(dims, o.dims):
+                ds.dimensions.setdefault(nm, sz)
+        ds.variables[o.name] = Variable(
+            name=o.name,
+            dimensions=dims,
+            attributes={
+                k: v for k, v in o.attrs.items()
+                if k not in _HIDDEN_ATTRS and v is not None
+            },
+            data=r.read_data(o),
+        )
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _dt_message(arr: np.ndarray) -> bytes:
+    """Datatype message bytes for a numpy array (little-endian on disk)."""
+    dt = arr.dtype
+    if dt.kind in ("i", "u"):
+        size = dt.itemsize
+        bits = 0x08 if dt.kind == "i" else 0x00
+        return struct.pack(
+            "<B3BI", 0x10, bits, 0, 0, size
+        ) + struct.pack("<HH", 0, size * 8)
+    if dt.kind == "f":
+        size = dt.itemsize
+        if size == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            sign = 31
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            sign = 63
+        return struct.pack("<B3BI", 0x11, 0x20, sign, 0, size) + props
+    if dt.kind == "S":
+        return struct.pack("<B3BI", 0x13, 0, 0, 0, dt.itemsize)
+    raise Hdf5Error(f"unsupported dtype for netCDF-4 write: {dt}")
+
+
+def _str_dt_message(n: int) -> bytes:
+    return struct.pack("<B3BI", 0x13, 0, 0, 0, max(n, 1))
+
+
+_REF_DT = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
+_VLEN_REF_DT = struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + _REF_DT
+
+
+def _ds_message(shape: tuple[int, ...]) -> bytes:
+    rank = len(shape)
+    out = struct.pack("<BBBB4x", 1, rank, 0, 0)
+    for s in shape:
+        out += struct.pack("<Q", s)
+    return out
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _attr_message(name: str, dt_msg: bytes, shape: tuple[int, ...], payload: bytes) -> bytes:
+    nm = name.encode("utf-8") + b"\x00"
+    ds_msg = _ds_message(shape) if shape else struct.pack("<BBBB4x", 1, 0, 0, 0)
+    head = struct.pack("<BxHHH", 1, len(nm), len(dt_msg), len(ds_msg))
+    return head + _pad8(nm) + _pad8(dt_msg) + _pad8(ds_msg) + payload
+
+
+def _encode_attr(name: str, val) -> bytes:
+    if isinstance(val, str):
+        raw = val.encode("utf-8")
+        return _attr_message(name, _str_dt_message(len(raw)), (), raw)
+    if isinstance(val, (bytes, np.bytes_)):
+        return _attr_message(name, _str_dt_message(len(val)), (), bytes(val))
+    arr = np.asarray(val)
+    if arr.dtype == np.int64 and arr.ndim == 0:
+        arr = arr.astype("<i4") if -(2**31) <= int(arr) < 2**31 else arr
+    arr = arr.astype(arr.dtype.newbyteorder("<"))
+    shape = arr.shape if arr.ndim else ()
+    return _attr_message(name, _dt_message(arr), shape, arr.tobytes())
+
+
+class _Alloc:
+    """Sequential file-space allocator (8-byte aligned)."""
+
+    def __init__(self, start: int):
+        self.pos = start
+        self.blocks: list[tuple[int, bytes]] = []
+
+    def put(self, data: bytes, align: int = 8) -> int:
+        self.pos += (align - self.pos % align) % align
+        addr = self.pos
+        self.blocks.append((addr, data))
+        self.pos += len(data)
+        return addr
+
+
+def _object_header_v1(messages: list[bytes]) -> bytes:
+    body = b""
+    for m in messages:
+        # message header: type inferred — caller prepends it; here `m` is the
+        # full (type, size, flags, data) encoding already
+        body += m
+    head = struct.pack("<BxHII4x", 1, len(messages), 1, len(body))
+    return head + body
+
+
+def _msg(mtype: int, data: bytes) -> bytes:
+    data = _pad8(data)
+    return struct.pack("<HHB3x", mtype, len(data), 0) + data
+
+
+def write(path: str, ds: Dataset, compress: int | None = None,
+          chunk_rows: int | None = None) -> None:
+    """Write `ds` as a netCDF-4 (HDF5) file: superblock v0, symbol-table root
+    group, one dimension-scale dataset per dimension, data variables with
+    DIMENSION_LIST references. `compress` (zlib level) switches data layout
+    to single-dimension chunking with shuffle+deflate, `chunk_rows` bounds
+    the first-dimension chunk length."""
+    alloc = _Alloc(96)      # superblock v0 with 8/8 sizes is 96 bytes
+
+    dim_names = list(ds.dimensions)
+    dim_sizes = {
+        n: (sz if sz is not None else _record_count(ds, n)) for n, sz in ds.dimensions.items()
+    }
+
+    # ---- plan objects: every dim is a scale dataset; vars reference them
+    names: list[str] = []
+    for n in dim_names:
+        names.append(n)
+    for v in ds.variables:
+        if v not in ds.dimensions:
+            names.append(v)
+    names.sort()
+
+    # reserve object-header addresses AFTER building payloads; build payloads
+    # first into closures, then lay out: heap data, data payloads, headers.
+    ghp_entries: list[bytes] = []       # global heap objects (vlen refs)
+
+    def ghp_ref(payload: bytes) -> tuple[int, int]:
+        ghp_entries.append(payload)
+        return len(ghp_entries)         # index (addr patched later)
+
+    # data payloads first (address known before headers need them)
+    data_addr: dict[str, tuple] = {}
+    for nm in names:
+        var = ds.variables.get(nm)
+        if var is None:     # phony dimension: zero-length f4 scale
+            arr = np.zeros(dim_sizes[nm], "<f4")
+        else:
+            arr = np.ascontiguousarray(var.data)
+            if arr.dtype == np.int64:
+                arr = arr.astype("<i8")
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        if compress is not None and arr.ndim >= 1 and arr.size:
+            cshape = list(arr.shape)
+            cshape[0] = min(cshape[0], chunk_rows or cshape[0])
+            chunks = []
+            for start in range(0, arr.shape[0], cshape[0]):
+                piece = np.zeros(cshape, arr.dtype)
+                src = arr[start : start + cshape[0]]
+                piece[: src.shape[0]] = src
+                raw = piece.tobytes()
+                s = arr.itemsize
+                if s > 1:       # shuffle
+                    n = len(raw) // s
+                    raw = np.frombuffer(raw, np.uint8).reshape(n, s).T.tobytes()
+                raw = zlib.compress(raw, compress)
+                caddr = alloc.put(raw)
+                chunks.append((caddr, len(raw), [start] + [0] * (arr.ndim - 1)))
+            data_addr[nm] = ("chunked", arr, cshape, chunks)
+        else:
+            addr = alloc.put(arr.tobytes() or b"\x00" * 0, align=8)
+            data_addr[nm] = ("contiguous", arr, addr)
+
+    # chunk B-trees (one level-0 node per chunked dataset)
+    btree_addr: dict[str, int] = {}
+    for nm, rec in data_addr.items():
+        if rec[0] != "chunked":
+            continue
+        _, arr, cshape, chunks = rec
+        node = b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
+        node += struct.pack("<QQ", UNDEF, UNDEF)
+        for caddr, csize, offs in chunks:
+            node += struct.pack("<II", csize, 0)
+            node += b"".join(struct.pack("<Q", o) for o in offs + [0])
+            node += struct.pack("<Q", caddr)
+        node += struct.pack("<II", 0, 0) + b"".join(
+            struct.pack("<Q", o) for o in list(arr.shape) + [0]
+        )
+        btree_addr[nm] = alloc.put(node)
+
+    # object headers — two passes because DIMENSION_LIST needs dim header
+    # addresses; pass 1 computes sizes with placeholder addresses.
+    def build_header(nm: str, addrs: dict[str, int], ghp_addr: int) -> bytes:
+        var = ds.variables.get(nm)
+        is_dim = nm in ds.dimensions
+        rec = data_addr[nm]
+        arr = rec[1]
+        msgs = [
+            _msg(M_DATASPACE, _ds_message(arr.shape)),
+            _msg(M_DATATYPE, _dt_message(arr)),
+            _msg(M_FILL, struct.pack("<BBBB", 2, 2, 0, 0)),
+        ]
+        if rec[0] == "contiguous":
+            msgs.append(
+                _msg(M_LAYOUT, struct.pack("<BBQQ", 3, 1, rec[2], arr.nbytes))
+            )
+        else:
+            _, arr, cshape, chunks = rec
+            lay = struct.pack("<BBB", 3, 2, arr.ndim + 1)
+            lay += struct.pack("<Q", btree_addr[nm])
+            for c in cshape:
+                lay += struct.pack("<I", c)
+            lay += struct.pack("<I", arr.itemsize)
+            msgs.append(_msg(M_LAYOUT, lay))
+            filt = struct.pack("<BB6x", 1, 2)
+            filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", arr.itemsize) + b"\x00" * 4
+            filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
+            msgs.append(_msg(M_FILTERS, filt))
+        if is_dim:
+            msgs.append(_msg(M_ATTR, _encode_attr("CLASS", "DIMENSION_SCALE")))
+            if var is None:
+                msgs.append(_msg(M_ATTR, _encode_attr(
+                    "NAME",
+                    "This is a netCDF dimension but not a netCDF variable."
+                    f"{dim_sizes[nm]:>10}",
+                )))
+            else:
+                msgs.append(_msg(M_ATTR, _encode_attr("NAME", nm)))
+            msgs.append(_msg(M_ATTR, _encode_attr(
+                "_Netcdf4Dimid", np.int32(dim_names.index(nm))
+            )))
+        elif var is not None and var.dimensions:
+            # DIMENSION_LIST: vlen-of-object-ref per dimension via global heap
+            payload = b""
+            for i, d in enumerate(var.dimensions):
+                ref = struct.pack("<Q", addrs.get(d, 0))
+                idx = dimlist_ghp[nm][i]
+                payload += struct.pack("<IQI", 1, ghp_addr, idx)
+            msgs.append(_msg(M_ATTR, _attr_message(
+                "DIMENSION_LIST", _VLEN_REF_DT, (len(var.dimensions),), payload
+            )))
+        if var is not None:
+            for k, v in var.attributes.items():
+                msgs.append(_msg(M_ATTR, _encode_attr(k, v)))
+        return _object_header_v1(msgs)
+
+    # pre-register global heap slots for every DIMENSION_LIST element
+    dimlist_ghp: dict[str, list[int]] = {}
+    for nm in names:
+        var = ds.variables.get(nm)
+        if var is not None and nm not in ds.dimensions and var.dimensions:
+            dimlist_ghp[nm] = [ghp_ref(b"\x00" * 8) for _ in var.dimensions]
+
+    sizes = {nm: len(build_header(nm, {}, 0)) for nm in names}
+    header_addr: dict[str, int] = {}
+    probe = _Alloc(alloc.pos)
+    for nm in names:
+        header_addr[nm] = probe.put(b"\x00" * sizes[nm])
+
+    # global heap collection (after headers)
+    ghp_payload = b""
+    for i, entry in enumerate(ghp_entries, start=1):
+        ghp_payload += struct.pack("<HH4xQ", i, 1, len(entry)) + _pad8(entry)
+    coll_size = 16 + len(ghp_payload) + 16
+    ghp_raw = b"GCOL" + struct.pack("<B3xQ", 1, coll_size) + ghp_payload
+    ghp_raw += struct.pack("<HH4xQ", 0, 0, coll_size - 16 - len(ghp_payload))
+    ghp_addr = probe.put(ghp_raw) if ghp_entries else 0
+
+    # patch global heap entries with real object references
+    if ghp_entries:
+        rebuilt = []
+        for nm in names:
+            if nm in dimlist_ghp:
+                var = ds.variables[nm]
+                for d in var.dimensions:
+                    rebuilt.append(struct.pack("<Q", header_addr.get(d, 0)))
+        ghp_payload = b""
+        for i, entry in enumerate(rebuilt, start=1):
+            ghp_payload += struct.pack("<HH4xQ", i, 1, len(entry)) + _pad8(entry)
+        ghp_raw = (
+            b"GCOL" + struct.pack("<B3xQ", 1, coll_size) + ghp_payload
+            + struct.pack("<HH4xQ", 0, 0, coll_size - 16 - len(ghp_payload))
+        )
+
+    # emit real headers at the reserved addresses
+    for nm in names:
+        hdr = build_header(nm, header_addr, ghp_addr)
+        alloc.put(hdr)      # same order -> same addresses as the probe pass
+        assert alloc.blocks[-1][0] == header_addr[nm], "header layout drift"
+    if ghp_entries:
+        a = alloc.put(ghp_raw)
+        assert a == ghp_addr
+
+    # root group: local heap, SNOD, B-tree, root header
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for nm in names:
+        name_off[nm] = len(heap_data)
+        heap_data += nm.encode("utf-8") + b"\x00"
+        heap_data += b"\x00" * ((8 - len(heap_data) % 8) % 8)
+    free_off = len(heap_data)
+    heap_data += struct.pack("<QQ", 1, 16)  # free block: next=1 (last), size 16
+    heap_data_addr = alloc.put(bytes(heap_data))
+    heap_hdr = b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), free_off, heap_data_addr)
+    heap_addr = alloc.put(heap_hdr)
+
+    snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
+    for nm in names:        # names is sorted — SNOD requires it
+        snod += struct.pack("<QQ", name_off[nm], header_addr[nm])
+        snod += struct.pack("<I4x16x", 0)
+    snod_addr = alloc.put(snod)
+
+    btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    btree += struct.pack("<QQ", UNDEF, UNDEF)
+    btree += struct.pack("<Q", name_off[names[0]])
+    btree += struct.pack("<Q", snod_addr)
+    btree += struct.pack("<Q", name_off[names[-1]])
+    root_btree = alloc.put(btree)
+
+    root_msgs = [_msg(M_SYMTAB, struct.pack("<QQ", root_btree, heap_addr))]
+    for k, v in ds.attributes.items():
+        root_msgs.append(_msg(M_ATTR, _encode_attr(k, v)))
+    root_hdr_addr = alloc.put(_object_header_v1(root_msgs))
+
+    eof = alloc.pos
+    sb = MAGIC + struct.pack("<BBBBBBBxHHI", 0, 0, 0, 0, 0, 8, 8, 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+    sb += struct.pack("<QQ", 0, root_hdr_addr)          # root STE: name off, OH addr
+    sb += struct.pack("<I4x", 1)                        # cached stab
+    sb += struct.pack("<QQ", root_btree, heap_addr)     # scratch: btree+heap
+
+    with open(path, "wb") as f:
+        f.write(sb.ljust(96, b"\x00"))
+        for addr, data in sorted(alloc.blocks):
+            f.seek(addr)
+            f.write(data)
+
+
+def _record_count(ds: Dataset, dim: str) -> int:
+    for v in ds.variables.values():
+        if v.dimensions and v.dimensions[0] == dim:
+            return int(np.asarray(v.data).shape[0])
+    return 0

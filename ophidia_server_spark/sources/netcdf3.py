@@ -16,9 +16,9 @@ engine needs is covered:
          variables along one unlimited dimension (interleaved record
          slabs, matching the read side byte-for-byte).
 
-netCDF-4 files are HDF5 containers (magic '\\x89HDF') — a different,
-far larger format; read() detects the magic and raises a named error
-(COVERAGE.md "Documented unsupported") instead of a bad-magic puzzle.
+netCDF-4 files are HDF5 containers (magic '\\x89HDF'); read() detects the
+magic and delegates to the pure-Python HDF5 codec (sources/hdf5.py), so
+callers are format-blind across classic and netCDF-4 files.
 
 Everything is driven through numpy big-endian dtypes; per-file decode cost
 is one sequential read, which is the unit of parallelism for the Spark side
@@ -131,11 +131,11 @@ def read(path: str) -> Dataset:
     r = _Reader(buf)
     magic = r.bytes(4)
     if magic == b"\x89HDF":
-        raise ValueError(
-            "netCDF-4/HDF5 file detected (magic \\x89HDF): this engine reads "
-            "classic NetCDF3 only (CDF-1/CDF-2). Convert first, e.g. "
-            "`nccopy -k classic in.nc out.nc` or `cdo -f nc copy in.nc out.nc`."
-        )
+        # netCDF-4: delegate to the pure-Python HDF5 codec (sources/hdf5.py).
+        # Imported lazily — hdf5.py uses this module's Dataset/Variable model.
+        from ophidia_server_spark.sources import hdf5
+
+        return hdf5.read(path)
     if magic[:3] != b"CDF" or magic[3] not in (1, 2):
         raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
     large = magic[3] == 2

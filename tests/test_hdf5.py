@@ -1,0 +1,229 @@
+"""netCDF-4 (HDF5) codec tests.
+
+The container has no libhdf5/h5py, so the reader can't be exercised against
+library-written files; instead correctness rests on three legs:
+  1. roundtrips through our own writer (write -> read -> identical arrays),
+  2. golden byte-level assertions that the written structures match the
+     public HDF5 File Format Specification (signatures, superblock fields,
+     object-header layout) — this breaks the writer/reader circularity,
+  3. negative tests that unsupported features raise the named Hdf5Error.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ophidia_server_spark.sources import hdf5
+from ophidia_server_spark.sources.netcdf3 import Dataset, Variable
+
+
+def _cube(compress=None, chunk_rows=None, tmp_path=None, name="t.nc"):
+    ds = Dataset()
+    ds.dimensions = {"time": 4, "lat": 3, "lon": 2}
+    ds.attributes = {"title": "roundtrip cube", "version": 2}
+    ds.variables["time"] = Variable(
+        "time", ("time",), {"units": "hours since 2001-01-01"},
+        np.arange(4, dtype="f8"),
+    )
+    ds.variables["lat"] = Variable(
+        "lat", ("lat",), {"units": "degrees_north"}, np.array([10, 20, 30], "f4")
+    )
+    ds.variables["temperature"] = Variable(
+        "temperature", ("time", "lat", "lon"),
+        {"units": "K", "_FillValue": np.float32(-999.0)},
+        np.arange(24, dtype="f4").reshape(4, 3, 2) + 0.5,
+    )
+    ds.variables["counts"] = Variable(
+        "counts", ("time", "lat", "lon"), {},
+        (np.arange(24, dtype="i4") * 7).reshape(4, 3, 2),
+    )
+    p = str(tmp_path / name)
+    hdf5.write(p, ds, compress=compress, chunk_rows=chunk_rows)
+    return ds, p
+
+
+def test_contiguous_roundtrip(tmp_path):
+    ds, p = _cube(tmp_path=tmp_path)
+    back = hdf5.read(p)
+    assert back.dimensions == {"lat": 3, "lon": 2, "time": 4}
+    assert back.attributes == {"title": "roundtrip cube", "version": 2}
+    for name in ("time", "lat", "temperature", "counts"):
+        assert np.array_equal(back.variables[name].data, ds.variables[name].data)
+        assert back.variables[name].data.dtype == ds.variables[name].data.dtype
+    assert back.variables["temperature"].dimensions == ("time", "lat", "lon")
+    assert back.variables["temperature"].attributes["units"] == "K"
+    assert back.variables["temperature"].attributes["_FillValue"] == -999.0
+
+
+def test_chunked_deflate_shuffle_roundtrip(tmp_path):
+    ds, p = _cube(compress=4, chunk_rows=2, tmp_path=tmp_path)
+    back = hdf5.read(p)
+    for name in ("temperature", "counts", "time", "lat"):
+        assert np.array_equal(back.variables[name].data, ds.variables[name].data)
+
+
+def test_compression_actually_compresses(tmp_path):
+    import os
+
+    ds = Dataset()
+    ds.dimensions = {"x": 20000}
+    ds.variables["v"] = Variable("v", ("x",), {}, np.zeros(20000, "f8"))
+    raw = str(tmp_path / "raw.nc")
+    comp = str(tmp_path / "comp.nc")
+    hdf5.write(raw, ds)
+    hdf5.write(comp, ds, compress=6, chunk_rows=5000)
+    assert os.path.getsize(raw) > 160000
+    assert os.path.getsize(comp) < 20000
+    assert np.array_equal(hdf5.read(comp).variables["v"].data, np.zeros(20000))
+
+
+def test_phony_dims_without_coordinates(tmp_path):
+    # dims that carry no coordinate variable become phony dimension scales;
+    # reading back must keep the dim sizes and not invent data variables
+    ds = Dataset()
+    ds.dimensions = {"a": 5, "b": 7}
+    ds.variables["m"] = Variable(
+        "m", ("a", "b"), {}, np.arange(35, dtype="f4").reshape(5, 7)
+    )
+    p = str(tmp_path / "p.nc")
+    hdf5.write(p, ds)
+    back = hdf5.read(p)
+    assert back.dimensions == {"a": 5, "b": 7}
+    assert list(back.variables) == ["m"]
+    assert back.variables["m"].dimensions == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# golden structural assertions against the public spec (not our reader)
+# ---------------------------------------------------------------------------
+
+def test_superblock_v0_spec_layout(tmp_path):
+    _, p = _cube(tmp_path=tmp_path)
+    buf = open(p, "rb").read()
+    # signature (spec II.A): \x89HDF\r\n\x1a\n at offset 0
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    # superblock v0: versions 0, sizeof(offsets)=sizeof(lengths)=8
+    assert buf[8] == 0 and buf[9] == 0 and buf[10] == 0
+    assert buf[13] == 8 and buf[14] == 8
+    # group leaf / internal node k
+    leaf_k, internal_k = struct.unpack_from("<HH", buf, 16)
+    assert leaf_k > 0 and internal_k > 0
+    # end-of-file address == actual file size
+    eof = struct.unpack_from("<Q", buf, 40)[0]
+    assert eof == len(buf)
+    # root symbol-table entry's object header address points at a v1 header
+    root_oh = struct.unpack_from("<Q", buf, 64)[0]
+    assert buf[root_oh] == 1  # object header version 1
+
+
+def test_group_structures_spec_signatures(tmp_path):
+    _, p = _cube(tmp_path=tmp_path)
+    buf = open(p, "rb").read()
+    # spec III.A/III.C/III.D: B-tree, local heap, symbol node signatures
+    assert b"TREE" in buf and b"HEAP" in buf and b"SNOD" in buf
+    # global heap present (DIMENSION_LIST vlen references)
+    assert b"GCOL" in buf
+    # SNOD: version 1, symbol count == number of root objects (5: the three
+    # dimension scales — time/lat coordinates + phony lon — plus 2 data vars)
+    i = buf.index(b"SNOD")
+    assert buf[i + 4] == 1
+    nsym = struct.unpack_from("<H", buf, i + 6)[0]
+    assert nsym == 5
+
+
+def test_chunk_btree_and_filter_pipeline_spec(tmp_path):
+    _, p = _cube(compress=4, chunk_rows=2, tmp_path=tmp_path)
+    buf = open(p, "rb").read()
+    # chunk B-tree nodes are node-type 1 (raw data); at least one exists
+    found = False
+    i = -1
+    while True:
+        i = buf.find(b"TREE", i + 1)
+        if i < 0:
+            break
+        if buf[i + 4] == 1:  # node type 1 = raw data chunk
+            found = True
+            nchunks = struct.unpack_from("<H", buf, i + 6)[0]
+            assert nchunks >= 1
+    assert found
+    # a deflated chunk payload must be valid zlib (spec: filter id 1)
+    back = hdf5.read(p)
+    assert np.array_equal(
+        back.variables["temperature"].data,
+        np.arange(24, dtype="f4").reshape(4, 3, 2) + 0.5,
+    )
+
+
+def test_shuffle_filter_bytes(tmp_path):
+    # decode one chunk by hand: unshuffling the zlib-inflated payload must
+    # yield the first chunk rows — validates the byte transform against the
+    # spec definition (all byte 0s, then all byte 1s, ...), not our reader
+    ds = Dataset()
+    ds.dimensions = {"x": 4}
+    data = np.array([1.0, 2.0, 3.0, 4.0], "<f8")
+    ds.variables["v"] = Variable("v", ("x",), {}, data)
+    p = str(tmp_path / "s.nc")
+    hdf5.write(p, ds, compress=1, chunk_rows=4)
+    buf = open(p, "rb").read()
+    # find the zlib stream (0x78 preamble) that inflates to 32 bytes
+    payload = None
+    for i in range(len(buf) - 2):
+        if buf[i] == 0x78:
+            try:
+                cand = zlib.decompress(buf[i:])
+                if len(cand) == 32:
+                    payload = cand
+                    break
+            except zlib.error:
+                continue
+    assert payload is not None
+    unshuffled = np.frombuffer(payload, np.uint8).reshape(8, 4).T.tobytes()
+    assert np.frombuffer(unshuffled, "<f8").tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_netcdf4_dimension_scale_convention(tmp_path):
+    # the netCDF-4 mapping rides on attributes CLASS/NAME/DIMENSION_LIST;
+    # their on-disk names must appear so other netCDF readers find them
+    _, p = _cube(tmp_path=tmp_path)
+    buf = open(p, "rb").read()
+    assert b"DIMENSION_SCALE" in buf
+    assert b"DIMENSION_LIST" in buf
+    assert b"This is a netCDF dimension but not a netCDF variable" in buf
+    assert b"_Netcdf4Dimid" in buf
+
+
+# ---------------------------------------------------------------------------
+# negative paths
+# ---------------------------------------------------------------------------
+
+def test_unsupported_features_raise_named_error(tmp_path):
+    p = str(tmp_path / "bad.nc")
+    open(p, "wb").write(b"not an hdf5 file at all" + b"\x00" * 100)
+    with pytest.raises(hdf5.Hdf5Error, match="signature"):
+        hdf5.read(p)
+
+
+def test_truncated_superblock_raises(tmp_path):
+    p = str(tmp_path / "trunc.nc")
+    open(p, "wb").write(b"\x89HDF\r\n\x1a\n" + bytes([9]) + b"\x00" * 40)
+    with pytest.raises(hdf5.Hdf5Error, match="superblock version"):
+        hdf5.read(p)
+
+
+def test_int64_and_strings_roundtrip(tmp_path):
+    ds = Dataset()
+    ds.dimensions = {"x": 3}
+    ds.variables["big"] = Variable(
+        "big", ("x",), {"note": "int64 survives netCDF-4 (unlike classic)"},
+        np.array([2**40, -(2**40), 7], "i8"),
+    )
+    p = str(tmp_path / "i8.nc")
+    hdf5.write(p, ds)
+    back = hdf5.read(p)
+    assert back.variables["big"].data.tolist() == [2**40, -(2**40), 7]
+    assert back.variables["big"].data.dtype == np.dtype("<i8")
+    assert back.variables["big"].attributes["note"].startswith("int64")

@@ -187,3 +187,54 @@ def test_cf_time_legacy_origin(spark):
 
     with _pytest.raises(ValueError, match="unparseable CF origin"):
         io_ops.cf_time_column(F.lit(1.0), "days since sometime")
+
+
+def test_importnc_netcdf4_hdf5(spark, tmp_path):
+    # the same import path must ingest netCDF-4 (HDF5 container) files: the
+    # codec dispatch on the \x89HDF magic happens inside each decode task
+    import numpy as np
+
+    from ophidia_server_spark.sources import hdf5, netcdf3 as nc
+
+    paths = []
+    for i in range(2):
+        ds = nc.Dataset()
+        ds.dimensions = {"lat": 2, "time": 3}
+        ds.variables["lat"] = nc.Variable(
+            "lat", ("lat",), {}, np.array([10.0 * i, 10.0 * i + 5])
+        )
+        ds.variables["time"] = nc.Variable(
+            "time", ("time",), {}, np.array([1.0, 2.0, 3.0])
+        )
+        ds.variables["tas"] = nc.Variable(
+            "tas", ("lat", "time"), {"units": "K"},
+            np.arange(6, dtype="float64").reshape(2, 3) + 100 * i,
+        )
+        p = str(tmp_path / f"v4_{i}.nc")
+        hdf5.write(p, ds, compress=2 if i else None)  # one deflated, one raw
+        assert open(p, "rb").read(4) == b"\x89HDF"
+        paths.append(p)
+    cube = io_ops.oph_importnc(spark, paths, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    assert len(rows) == 12
+    assert (0.0, 1.0, 0.0) in rows and (15.0, 3.0, 105.0) in rows
+
+
+def test_exportnc_netcdf4_roundtrip(spark, tmp_path):
+    # cube -> netCDF-4 (HDF5) export -> importnc again: values identical
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(float(g), float(t), float(g * 10 + t)) for g in range(3) for t in range(4)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    out = io_ops.oph_exportnc(
+        cube, str(tmp_path / "exp4"), nc_format="netcdf4", compress=4
+    )
+    assert len(out) == 1 and open(out[0], "rb").read(4) == b"\x89HDF"
+    back = io_ops.oph_importnc(spark, out, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in back.long().collect()}
+    assert rows == {
+        (float(g), float(t), float(g * 10 + t)) for g in range(3) for t in range(4)
+    }

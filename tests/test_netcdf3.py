@@ -202,15 +202,27 @@ def test_reader_single_short_record_var_unpadded(tmp_path):
     assert ds.variables["r"].data.tolist() == [7, 8, 9]
 
 
-def test_hdf5_magic_raises_named_error(tmp_path):
-    # a netCDF-4 file is an HDF5 container; the error must name the format
-    # and the fix instead of a generic bad-magic message (COVERAGE.md line)
+def test_hdf5_magic_dispatches_to_hdf5_codec(tmp_path):
+    # a netCDF-4 file is an HDF5 container; read() must delegate to the HDF5
+    # codec — a corrupt container surfaces the codec's named error, and a
+    # valid one (written by sources/hdf5.py) decodes transparently
+    import numpy as np
     import pytest
 
-    p = str(tmp_path / "v4.nc")
+    from ophidia_server_spark.sources.hdf5 import Hdf5Error, write as h5write
+
+    p = str(tmp_path / "bad4.nc")
     open(p, "wb").write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="netCDF-4/HDF5"):
+    with pytest.raises(Hdf5Error):
         nc.read(p)
+
+    ds = nc.Dataset()
+    ds.dimensions = {"x": 3}
+    ds.variables["v"] = nc.Variable("v", ("x",), {}, np.array([1.0, 2.0, 3.0]))
+    good = str(tmp_path / "good4.nc")
+    h5write(good, ds)
+    back = nc.read(good)  # format-blind: same entry point as classic files
+    assert back.variables["v"].data.tolist() == [1.0, 2.0, 3.0]
 
 
 def test_write_record_variables_roundtrip(tmp_path):
