@@ -15,9 +15,12 @@ netCDF-4 files fall back to xarray when it is installed.
 from __future__ import annotations
 
 import glob as _glob
+import json as _json
 import os
 import re
 from typing import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,6 +187,203 @@ def oph_importnc(
     schema = ", ".join([f"{d} double" for d in dims] + [f"{measure} double"])
     long_df = files.mapInPandas(decode, schema)
     return build_cube(long_df, explicit_dims, implicit_dim, F.col(measure), measure=measure)
+
+
+def oph_importzarr(
+    spark: SparkSession, store: str, measure: str,
+    explicit_dims: list[str], implicit_dim: str,
+) -> Cube:
+    """Zarr v2 store -> cube (modern CMIP6 cloud archives publish Zarr; the
+    chunk-per-object layout IS the reference's fragment model,
+    oph_ophidiadb_query.h:48 hostxdatacube x fragmentxdb).
+
+    Distributed shape: the driver touches ONLY the JSON metadata and the 1-D
+    coordinate arrays (KBs); the measure chunks — the actual data — fan out
+    one task per chunk key via mapInPandas, each task decompressing exactly
+    its own chunk file. Import parallelism therefore equals the store's
+    chunk count regardless of array size, with zero driver-side data."""
+    import itertools
+
+    from ophidia_server_spark.sources import zarr as zr
+
+    meta_path = os.path.join(store, measure, ".zarray")
+    attrs_path = os.path.join(store, measure, ".zattrs")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    za_attrs = {}
+    if os.path.exists(attrs_path):
+        with open(attrs_path) as fh:
+            za_attrs = _json.load(fh)
+    za = zr._load_zarray(meta)
+    dims = list(za_attrs.get("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(len(za.shape))]))
+    want = explicit_dims + [implicit_dim]
+    if sorted(want) != sorted(dims):
+        raise ValueError(f"zarr array {measure!r} has dims {dims}, requested {want}")
+
+    coords = {}
+    for i, d in enumerate(dims):
+        if os.path.exists(os.path.join(store, d, ".zarray")):
+            arr, _ = zr.read_array(store, d)
+            coords[d] = np.asarray(arr, dtype="float64")
+        else:
+            coords[d] = np.arange(za.shape[i], dtype="float64")
+
+    grid = [range((s + c - 1) // c) for s, c in zip(za.shape, za.chunks)] or [range(1)]
+    keys = [".".join(map(str, idx)) or "0" for idx in itertools.product(*grid)]
+    files = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
+        min(len(keys), 64)
+    )
+    shape, chunks, dtype_str, compressor = za.shape, za.chunks, za.dtype.str, za.compressor
+    adir = os.path.join(store, measure)
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from ophidia_server_spark.sources import zarr as _zr
+
+        dt = np.dtype(dtype_str)
+        for pdf in batches:
+            for key in pdf["key"]:
+                cpath = os.path.join(adir, key)
+                if not os.path.exists(cpath):
+                    continue  # missing chunk = fill-only; emits no rows
+                idx = tuple(int(x) for x in key.split("."))
+                with open(cpath, "rb") as fh:
+                    raw = _zr._decompress(fh.read(), compressor)
+                chunk = np.frombuffer(raw, dt).reshape(chunks)
+                sel = [
+                    slice(i * c, min((i + 1) * c, s))
+                    for i, c, s in zip(idx, chunks, shape)
+                ]
+                chunk = chunk[
+                    tuple(slice(0, sl.stop - sl.start) for sl in sel)
+                ].astype("float64")
+                cslices = [coords[d][sl] for d, sl in zip(dims, sel)]
+                grids = np.meshgrid(*cslices, indexing="ij")
+                out = {d: g.ravel() for d, g in zip(dims, grids)}
+                out[measure] = chunk.ravel()
+                yield pd.DataFrame(out)[want + [measure]]
+
+    schema = ", ".join([f"{d} double" for d in want] + [f"{measure} double"])
+    long_df = files.mapInPandas(decode, schema)
+    return build_cube(long_df, explicit_dims, implicit_dim, F.col(measure), measure=measure)
+
+
+def oph_exportzarr(
+    cube: Cube, store: str, compress: int | None = 4,
+    per_dim_chunks: bool = False,
+) -> str:
+    """Cube -> Zarr v2 store with consolidated metadata.
+
+    per_dim_chunks=False grids the (already-reduced) cube driver-side and
+    writes one store — the small-result path, mirroring oph_exportnc.
+    per_dim_chunks=True writes one chunk per first-explicit-dim value from
+    inside applyInPandas: the driver writes only JSON metadata; every data
+    byte is encoded and written executor-side, so export parallelism equals
+    the dim cardinality (the exportnc2 sharding model on Zarr layout)."""
+    from ophidia_server_spark.sources import netcdf3, zarr as zr
+
+    dims = list(cube.explicit_dims) + list(cube.implicit_dims)
+    measure = cube.measure
+    long_df = cube.long()
+    if not per_dim_chunks:
+        pdf = long_df.toPandas()
+        ds = netcdf3.Dataset()
+        _fill_grid_dataset(ds, pdf, dims, measure)
+        zr.write(store, ds, compress=compress)
+        return store
+
+    split_dim = dims[0]
+    vals = sorted(
+        r[0] for r in long_df.select(split_dim).distinct().collect()
+    )  # bounded: first-dim cardinality, not data size
+    pos = {v: i for i, v in enumerate(vals)}
+    rest = dims[1:]
+    rest_coords = {
+        d: np.sort(
+            np.asarray([r[0] for r in long_df.select(d).distinct().collect()], "float64")
+        )
+        for d in rest
+    }
+    cshape = [1] + [len(rest_coords[d]) for d in rest]
+    os.makedirs(os.path.join(store, measure), exist_ok=True)
+
+    def write_chunk(pdf):
+        import pandas as pd
+        import zlib as _z
+
+        key_val = pdf[split_dim].iloc[0]
+        idx = [len(rest_coords[d]) for d in rest]  # full span in rest dims
+        arr = np.full([1] + idx, np.nan)
+        locs = [np.searchsorted(rest_coords[d], pdf[d].to_numpy("float64")) for d in rest]
+        arr[tuple([np.zeros(len(pdf), dtype=int)] + locs)] = pdf[measure].to_numpy(
+            "float64"
+        )
+        raw = arr.tobytes()
+        if compress is not None:
+            raw = _z.compress(raw, compress)
+        key = ".".join([str(pos[key_val])] + ["0"] * len(rest))
+        with open(os.path.join(store, measure, key), "wb") as fh:
+            fh.write(raw)
+        return pd.DataFrame({"chunk": [key], "rows": [len(pdf)]})
+
+    manifest = (
+        long_df.repartition(split_dim)
+        .groupBy(split_dim)
+        .applyInPandas(write_chunk, "chunk string, rows long")
+    )
+    n = manifest.count()  # materialize the executor-side writes
+
+    # driver writes metadata only
+    ds = netcdf3.Dataset()
+    ds.dimensions = {split_dim: len(vals), **{d: len(rest_coords[d]) for d in rest}}
+    for d, c in [(split_dim, np.asarray(vals, "float64"))] + [
+        (d, rest_coords[d]) for d in rest
+    ]:
+        ds.variables[d] = netcdf3.Variable(d, (d,), {}, c)
+    zr.write(store, ds, compress=compress)  # writes coords + group metadata
+    zmeta = {
+        "zarr_format": 2,
+        "shape": [len(vals)] + [len(rest_coords[d]) for d in rest],
+        "chunks": cshape,
+        "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": compress} if compress is not None else None,
+        "fill_value": "NaN",
+        "order": "C",
+        "filters": None,
+    }
+    attrs = {"_ARRAY_DIMENSIONS": dims}
+    with open(os.path.join(store, measure, ".zarray"), "w") as fh:
+        _json.dump(zmeta, fh)
+    with open(os.path.join(store, measure, ".zattrs"), "w") as fh:
+        _json.dump(attrs, fh)
+    zpath = os.path.join(store, ".zmetadata")
+    with open(zpath) as fh:
+        consolidated = _json.load(fh)
+    consolidated["metadata"][f"{measure}/.zarray"] = zmeta
+    consolidated["metadata"][f"{measure}/.zattrs"] = attrs
+    with open(zpath, "w") as fh:
+        _json.dump(consolidated, fh)
+    if n != len(vals):
+        raise RuntimeError(f"zarr export wrote {n} chunks, expected {len(vals)}")
+    return store
+
+
+def _fill_grid_dataset(ds, pdf, dims: list[str], measure: str) -> None:
+    """Shared dense-gridding for the driver-side export paths: fills `ds`
+    with one float64 coordinate variable per dim + the NaN-holed measure."""
+    from ophidia_server_spark.sources import netcdf3
+
+    idx = []
+    for d in dims:
+        c = np.sort(np.unique(pdf[d].astype("float64").to_numpy()))
+        idx.append(np.searchsorted(c, pdf[d].astype("float64").to_numpy()))
+        ds.dimensions[d] = len(c)
+        ds.variables[d] = netcdf3.Variable(d, (d,), {}, c)
+    shape = tuple(ds.dimensions[d] for d in dims)
+    arr = np.full(shape, np.nan)
+    arr[tuple(idx)] = pdf[measure].astype("float64").to_numpy()
+    ds.variables[measure] = netcdf3.Variable(measure, tuple(dims), {}, arr)
 
 
 def oph_concat(a: Cube, new_data: DataFrame, implicit_dim_col: str, value_col) -> Cube:

@@ -911,6 +911,44 @@ def io_nc4_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "io_zarr_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_zarr_roundtrip(spark, sf_dir):
+    """oph_exportzarr(per_dim_chunks) -> oph_importzarr roundtrip through the
+    pure-Python Zarr v2 codec (sources/zarr.py): cube -> executor-sharded
+    chunk store (one zlib chunk per first-dim value, consolidated metadata)
+    -> one-task-per-chunk mapInPandas decode -> cube. Zarr is the format
+    CMIP6 cloud archives actually serve; its chunk-per-object layout is the
+    reference's fragment model (oph_ophidiadb_query.h:48) on object storage."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_discount").cast(DEC), measure="disc"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(cube, store, compress=3, per_dim_chunks=True)
+    c2 = io_ops.oph_importzarr(spark, store, "disc", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("disc"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("disc"), 2).cast("double").alias("disc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,262 @@
+"""Pure-Python Zarr v2 codec.
+
+Modern climate holdings (CMIP6 cloud archives, Pangeo) publish datacubes as
+Zarr — the chunked array format the community moved to after netCDF-4, and
+the natural cloud-object-store layout for the reference's data model (one
+chunk per object = one fragment per task, oph_ophidiadb_query.h:48).  The
+format is tiny and fully public (Zarr storage specification v2): a directory
+per array with a `.zarray` JSON descriptor, optional `.zattrs` attributes,
+and one file per chunk named `i.j.k` in C order.  netCDF-style semantics ride
+on the xarray convention: an `_ARRAY_DIMENSIONS` attribute lists each
+array's dimension names.
+
+  read:  consolidated or per-array metadata, C-order chunks, zlib/gzip
+         compressor or none, any numpy endianness/dtype, fill_value for
+         missing chunks (sparse stores write only non-empty chunks).
+  write: one array per variable + 1-D coordinate arrays, configurable chunk
+         shape, zlib compression, `_ARRAY_DIMENSIONS` + consolidated
+         metadata (`.zmetadata`) so cloud readers need one metadata GET.
+
+API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
+Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
+paths.  Blosc/lz4/zstd compressors aren't in this container — a store using
+them raises a named ZarrError naming the codec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ophidia_server_spark.sources.netcdf3 import Dataset, Variable
+
+
+class ZarrError(ValueError):
+    """Named error for Zarr features outside the implemented subset."""
+
+
+def _decompress(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid in ("zlib", "gzip"):
+        return zlib.decompress(raw, 47)  # auto-detect zlib/gzip wrapper
+    raise ZarrError(
+        f"Zarr compressor {cid!r} unsupported (zlib/gzip/none only; blosc "
+        "and zstd libraries are not available in this environment)"
+    )
+
+
+def _compress(raw: bytes, level: int | None) -> tuple[bytes, dict | None]:
+    if level is None:
+        return raw, None
+    return zlib.compress(raw, level), {"id": "zlib", "level": level}
+
+
+@dataclass
+class ZArray:
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dtype: np.dtype
+    compressor: dict | None
+    fill_value: object
+    order: str
+
+
+def _load_zarray(meta: dict) -> ZArray:
+    if int(meta.get("zarr_format", 2)) != 2:
+        raise ZarrError(f"zarr_format {meta.get('zarr_format')} unsupported (v2 only)")
+    order = meta.get("order", "C")
+    if order != "C":
+        raise ZarrError("Fortran-order Zarr arrays unsupported (C order only)")
+    if meta.get("filters"):
+        raise ZarrError("Zarr filters are unsupported (compressor-only stores)")
+    return ZArray(
+        shape=tuple(meta["shape"]),
+        chunks=tuple(meta["chunks"]),
+        dtype=np.dtype(meta["dtype"]),
+        compressor=meta.get("compressor"),
+        fill_value=meta.get("fill_value"),
+        order=order,
+    )
+
+
+def read_array(store: str, name: str, meta: dict | None = None,
+               attrs: dict | None = None) -> tuple[np.ndarray, dict]:
+    """Decode one Zarr array (all chunks) from a directory store."""
+    adir = os.path.join(store, name)
+    if meta is None:
+        with open(os.path.join(adir, ".zarray")) as fh:
+            meta = json.load(fh)
+    za = _load_zarray(meta)
+    if attrs is None:
+        attrs = {}
+        apath = os.path.join(adir, ".zattrs")
+        if os.path.exists(apath):
+            with open(apath) as fh:
+                attrs = json.load(fh)
+    fill = za.fill_value
+    if fill is None or (isinstance(fill, str) and za.dtype.kind == "f"):
+        # spec: "NaN"/"Infinity"/"-Infinity" encode as strings in JSON
+        fill = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}.get(
+            fill, 0
+        ) if isinstance(fill, str) else 0
+    out = np.full(za.shape, fill, za.dtype) if za.shape else np.zeros((), za.dtype)
+    grid = [
+        range((s + c - 1) // c) for s, c in zip(za.shape, za.chunks)
+    ] or [range(1)]
+    import itertools
+
+    for idx in itertools.product(*grid):
+        cpath = os.path.join(adir, ".".join(map(str, idx)) or "0")
+        if not os.path.exists(cpath):
+            continue  # missing chunk = fill value
+        with open(cpath, "rb") as fh:
+            raw = _decompress(fh.read(), za.compressor)
+        chunk = np.frombuffer(raw, za.dtype).reshape(za.chunks)
+        if za.shape:
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, za.chunks, za.shape)
+            )
+            csel = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+            out[sel] = chunk[csel]
+        else:
+            out = chunk
+    return out, attrs
+
+
+def read(path: str) -> Dataset:
+    """Read a Zarr v2 group store into the netcdf3 Dataset model.  Uses
+    consolidated metadata (.zmetadata) when present — the one-GET cloud
+    pattern — else walks per-array .zarray files."""
+    ds = Dataset()
+    consolidated = None
+    zmeta = os.path.join(path, ".zmetadata")
+    if os.path.exists(zmeta):
+        with open(zmeta) as fh:
+            consolidated = json.load(fh).get("metadata", {})
+    gattrs_path = os.path.join(path, ".zattrs")
+    if consolidated and ".zattrs" in consolidated:
+        ds.attributes = dict(consolidated[".zattrs"])
+    elif os.path.exists(gattrs_path):
+        with open(gattrs_path) as fh:
+            ds.attributes = json.load(fh)
+
+    if consolidated:
+        names = sorted(
+            k[: -len("/.zarray")] for k in consolidated if k.endswith("/.zarray")
+        )
+    else:
+        names = sorted(
+            n for n in os.listdir(path)
+            if os.path.exists(os.path.join(path, n, ".zarray"))
+        )
+    if not names:
+        raise ZarrError(f"no Zarr arrays found under {path!r}")
+
+    for name in names:
+        meta = consolidated.get(f"{name}/.zarray") if consolidated else None
+        attrs = consolidated.get(f"{name}/.zattrs") if consolidated else None
+        arr, attrs = read_array(path, name, meta, attrs)
+        dims = tuple(attrs.get("_ARRAY_DIMENSIONS", ()))
+        if not dims:  # plain Zarr without the xarray convention
+            dims = tuple(f"dim_{i}" for i in range(arr.ndim))
+        for d, s in zip(dims, arr.shape):
+            ds.dimensions.setdefault(d, s)
+        user_attrs = {k: v for k, v in attrs.items() if k != "_ARRAY_DIMENSIONS"}
+        ds.variables[name] = Variable(name, dims, user_attrs, arr)
+    return ds
+
+
+def write(path: str, ds: Dataset, chunks: dict | None = None,
+          compress: int | None = 4) -> None:
+    """Write the Dataset as a Zarr v2 group with consolidated metadata.
+    `chunks` maps variable name -> chunk shape (defaults to one chunk per
+    ~first-dimension slab bounded at 1024 rows)."""
+    os.makedirs(path, exist_ok=True)
+    consolidated: dict = {".zgroup": {"zarr_format": 2}}
+    with open(os.path.join(path, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh)
+    if ds.attributes:
+        gattrs = _json_safe(ds.attributes)
+        consolidated[".zattrs"] = gattrs
+        with open(os.path.join(path, ".zattrs"), "w") as fh:
+            json.dump(gattrs, fh)
+
+    dim_sizes = {
+        n: (sz if sz is not None else _unlimited_size(ds, n))
+        for n, sz in ds.dimensions.items()
+    }
+    for name, v in ds.variables.items():
+        arr = np.ascontiguousarray(v.data)
+        if arr.dtype.kind in ("U", "S"):
+            arr = arr.astype(f"S{max(arr.dtype.itemsize, 1)}")
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        cshape = tuple(
+            (chunks or {}).get(name)
+            or [min(s, 1024) if i == 0 else s for i, s in enumerate(arr.shape)]
+        ) or arr.shape
+        nchunks = [
+            (s + c - 1) // c for s, c in zip(arr.shape, cshape)
+        ] or [1]
+        compressor = None
+        import itertools
+
+        for idx in itertools.product(*[range(n) for n in nchunks]):
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, cshape, arr.shape)
+            )
+            piece = np.zeros(cshape, arr.dtype) if arr.shape else arr
+            if arr.shape:
+                src = arr[sel]
+                piece[tuple(slice(0, x.stop - x.start) for x in sel)] = src
+            raw, compressor = _compress(piece.tobytes(), compress)
+            with open(os.path.join(adir, ".".join(map(str, idx)) or "0"), "wb") as fh:
+                fh.write(raw)
+
+        zmeta = {
+            "zarr_format": 2,
+            "shape": list(arr.shape),
+            "chunks": list(cshape) or [1],
+            "dtype": arr.dtype.str,
+            "compressor": compressor,
+            "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
+            "order": "C",
+            "filters": None,
+        }
+        attrs = _json_safe(dict(v.attributes))
+        attrs["_ARRAY_DIMENSIONS"] = list(v.dimensions)
+        with open(os.path.join(adir, ".zarray"), "w") as fh:
+            json.dump(zmeta, fh)
+        with open(os.path.join(adir, ".zattrs"), "w") as fh:
+            json.dump(attrs, fh)
+        consolidated[f"{name}/.zarray"] = zmeta
+        consolidated[f"{name}/.zattrs"] = attrs
+
+    with open(os.path.join(path, ".zmetadata"), "w") as fh:
+        json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, fh)
+
+
+def _json_safe(attrs: dict) -> dict:
+    out = {}
+    for k, v in attrs.items():
+        if isinstance(v, np.generic):
+            v = v.item()
+        elif isinstance(v, np.ndarray):
+            v = v.tolist()
+        out[k] = v
+    return out
+
+
+def _unlimited_size(ds: Dataset, dim: str) -> int:
+    for v in ds.variables.values():
+        if v.dimensions and v.dimensions[0] == dim:
+            return int(np.asarray(v.data).shape[0])
+    return 0

@@ -1,0 +1,172 @@
+"""Zarr v2 codec + Spark import/export tests.
+
+Zarr's on-disk format is plain JSON + one file per chunk, so — unlike the
+HDF5 codec — golden stores can be handcrafted from the public spec without
+our writer, breaking writer/reader circularity directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from ophidia_server_spark.sources import zarr as zr
+from ophidia_server_spark.sources.netcdf3 import Dataset, Variable
+
+
+def _handmade_store(tmp_path, compress=True):
+    """Write a store byte-by-byte per the Zarr v2 spec (not via zr.write)."""
+    store = str(tmp_path / "hand")
+    os.makedirs(os.path.join(store, "tas"))
+    os.makedirs(os.path.join(store, "time"))
+    json.dump({"zarr_format": 2}, open(os.path.join(store, ".zgroup"), "w"))
+    # time: 1-D coordinate, one chunk, no compression
+    t = np.array([0.0, 6.0, 12.0, 18.0])
+    json.dump(
+        {
+            "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+            "compressor": None, "fill_value": 0, "order": "C", "filters": None,
+        },
+        open(os.path.join(store, "time", ".zarray"), "w"),
+    )
+    json.dump(
+        {"_ARRAY_DIMENSIONS": ["time"], "units": "hours since 2001-01-01"},
+        open(os.path.join(store, "time", ".zattrs"), "w"),
+    )
+    open(os.path.join(store, "time", "0"), "wb").write(t.tobytes())
+    # tas: 2-D, 2x2 chunk grid over a 4x3 array (ragged edge), zlib chunks
+    tas = np.arange(12, dtype="<f4").reshape(4, 3)
+    comp = {"id": "zlib", "level": 5} if compress else None
+    json.dump(
+        {
+            "zarr_format": 2, "shape": [4, 3], "chunks": [2, 2], "dtype": "<f4",
+            "compressor": comp, "fill_value": "NaN", "order": "C",
+            "filters": None,
+        },
+        open(os.path.join(store, "tas", ".zarray"), "w"),
+    )
+    json.dump(
+        {"_ARRAY_DIMENSIONS": ["time", "lat"]},
+        open(os.path.join(store, "tas", ".zattrs"), "w"),
+    )
+    for i in range(2):
+        for j in range(2):
+            piece = np.full((2, 2), np.nan, "<f4")
+            src = tas[i * 2 : i * 2 + 2, j * 2 : j * 2 + 2]
+            piece[: src.shape[0], : src.shape[1]] = src
+            raw = piece.tobytes()
+            if compress:
+                raw = zlib.compress(raw, 5)
+            open(os.path.join(store, "tas", f"{i}.{j}"), "wb").write(raw)
+    return store, tas, t
+
+
+def test_read_handmade_spec_store(tmp_path):
+    store, tas, t = _handmade_store(tmp_path)
+    ds = zr.read(store)
+    assert ds.dimensions == {"time": 4, "lat": 3}
+    assert np.array_equal(ds.variables["time"].data, t)
+    assert np.array_equal(ds.variables["tas"].data, tas)
+    assert ds.variables["tas"].dimensions == ("time", "lat")
+    assert ds.variables["time"].attributes["units"].startswith("hours since")
+
+
+def test_missing_chunk_is_fill_value(tmp_path):
+    store, tas, _ = _handmade_store(tmp_path)
+    os.remove(os.path.join(store, "tas", "1.1"))
+    ds = zr.read(store)
+    got = ds.variables["tas"].data
+    assert np.array_equal(got[:2], tas[:2])
+    assert np.isnan(got[2:, 2:]).all()  # fill_value "NaN" per spec JSON encoding
+
+
+def test_roundtrip_with_consolidated_metadata(tmp_path):
+    ds = Dataset()
+    ds.dimensions = {"time": 5, "lat": 3}
+    ds.attributes = {"title": "zarr roundtrip"}
+    ds.variables["time"] = Variable("time", ("time",), {}, np.arange(5, dtype="f8"))
+    ds.variables["tas"] = Variable(
+        "tas", ("time", "lat"), {"units": "K"},
+        np.arange(15, dtype="f8").reshape(5, 3),
+    )
+    store = str(tmp_path / "rt")
+    zr.write(store, ds, chunks={"tas": (2, 3)}, compress=6)
+    assert os.path.exists(os.path.join(store, ".zmetadata"))  # one-GET cloud read
+    assert os.path.exists(os.path.join(store, "tas", "2.0"))  # 3 chunks of 2 rows
+    back = zr.read(store)
+    assert back.attributes["title"] == "zarr roundtrip"
+    assert np.array_equal(back.variables["tas"].data, ds.variables["tas"].data)
+    assert back.variables["tas"].attributes == {"units": "K"}
+    # consolidated read path: nuke per-array metadata, .zmetadata must suffice
+    os.remove(os.path.join(store, "tas", ".zarray"))
+    back2 = zr.read(store)
+    assert np.array_equal(back2.variables["tas"].data, ds.variables["tas"].data)
+
+
+def test_unsupported_compressor_named_error(tmp_path):
+    store, _, _ = _handmade_store(tmp_path)
+    meta = json.load(open(os.path.join(store, "tas", ".zarray")))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(os.path.join(store, "tas", ".zarray"), "w"))
+    with pytest.raises(zr.ZarrError, match="blosc"):
+        zr.read(store)
+
+
+def test_spark_import_per_chunk(spark, tmp_path):
+    # one task per chunk: the 4x3 handmade store has 4 chunk keys
+    from ophidia_server_spark.operators import io_ops
+
+    store, tas, t = _handmade_store(tmp_path)
+    cube = io_ops.oph_importzarr(spark, store, "tas", ["time"], "lat")
+    rows = {(r["time"], r["lat"], r["tas"]) for r in cube.long().collect()}
+    want = {
+        (t[i], float(j), float(tas[i, j])) for i in range(4) for j in range(3)
+    }
+    assert rows == want
+
+
+def test_spark_export_import_roundtrip(spark, tmp_path):
+    from ophidia_server_spark.operators import io_ops
+    from ophidia_server_spark.cube import build_cube
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(5)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    store = str(tmp_path / "exp")
+    io_ops.oph_exportzarr(cube, store, compress=3)
+    back = io_ops.oph_importzarr(spark, store, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in back.long().collect()}
+    assert rows == {
+        (float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(5)
+    }
+
+
+def test_spark_export_per_dim_chunks(spark, tmp_path):
+    # executor-side chunk writes: driver handles metadata only
+    from ophidia_server_spark.operators import io_ops
+    from ophidia_server_spark.cube import build_cube
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(g), float(x), float(g * 10 + x)) for g in range(3) for x in range(4)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    store = str(tmp_path / "shard")
+    io_ops.oph_exportzarr(cube, store, compress=2, per_dim_chunks=True)
+    # one chunk per lat value, named by its grid position
+    assert sorted(
+        f for f in os.listdir(os.path.join(store, "tas")) if not f.startswith(".")
+    ) == ["0.0", "1.0", "2.0"]
+    back = io_ops.oph_importzarr(spark, store, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in back.long().collect()}
+    assert rows == {
+        (float(g), float(x), float(g * 10 + x)) for g in range(3) for x in range(4)
+    }
