@@ -293,3 +293,43 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         .join(ent, "doc_id", "left")
         .select("doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy"))
     )
+
+
+# PII patterns shared by detection and redaction. Kept to the regex subset
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails / IPv4s / phone numbers / SSNs) +
+    a has_pii gate — the scrub-before-training signal every corpus pipeline
+    needs. Pure JVM regexp_count expressions: map-only, zero shuffle,
+    whole-stage codegen'd; at 100 TB this is a single pushed-projection scan."""
+    out = df.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII span with a typed placeholder ([EMAIL], [IPV4], ...),
+    longest-pattern-class first so phone digits inside an SSN-shaped span
+    don't double-fire. Chained JVM regexp_replace — still map-only."""
+    redacted = F.col(text_col)
+    for k in ("email", "ssn", "ipv4", "phone"):
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.withColumn(f"{text_col}_redacted", redacted)

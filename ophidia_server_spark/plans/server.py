@@ -398,10 +398,28 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         return IO.oph_exportnc(
             store.get(pid), str(args["output_path"]),
             per_dim_files=str(args.get("per_dim_files", "no")).lower() == "yes",
+            nc_format=str(args.get("nc_format", "classic")),
+            compress=int(args["compress"]) if args.get("compress") else None,
         )
 
     def op_explorenc(engine, args, inputs):
         return IO.oph_explorenc(spark, str(args["src_path"]), args.get("measure"))
+
+    def op_importzarr(engine, args, inputs):
+        cube = IO.oph_importzarr(
+            spark, str(args["src_path"]), args["measure"],
+            explicit_dims=[d for d in str(args.get("explicit_dims", "")).split("|") if d],
+            implicit_dim=args["implicit_dim"],
+        )
+        return store.register(cube, args.get("container", "default"), task="importzarr")
+
+    def op_exportzarr(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        return IO.oph_exportzarr(
+            store.get(pid), str(args["output_path"]),
+            compress=int(args["compress"]) if args.get("compress") else None,
+            per_dim_chunks=str(args.get("per_dim_chunks", "no")).lower() == "yes",
+        )
 
     return WorkflowEngine(
         {
@@ -409,6 +427,8 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_importnc": op_importnc,
             "oph_exportnc": op_exportnc,
             "oph_explorenc": op_explorenc,
+            "oph_importzarr": op_importzarr,
+            "oph_exportzarr": op_exportzarr,
             "oph_importparquet": op_importparquet,
             "oph_randcube": op_randcube,
             "oph_subset": op_subset,

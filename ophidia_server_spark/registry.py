@@ -2698,6 +2698,80 @@ def text_entropy(spark, sf_dir):
     return tx.token_entropy(_t(spark, sf_dir)["documents"])
 
 
+# deterministic PII seeding shared by the pii entries: the synthetic corpus
+# carries no natural PII, so every 7th document gets a constructed email/
+# IPv4/phone/SSN appended IDENTICALLY on the Spark and DuckDB sides — the
+# detection+redaction logic is then verified on non-vacuous data.
+_PII_SEED_SQL = """SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN text
+    || ' contact u' || doc_id || '@example.com from 10.0.'
+    || (doc_id % 200) || '.17 call 555-867-5309 ssn 123-45-6789'
+  ELSE text END AS text
+  FROM documents"""
+
+
+def _pii_seed(df):
+    return df.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".17 call 555-867-5309 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+@q(
+    "text_pii_signals",
+    f"""WITH seeded AS ({_PII_SEED_SQL})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\\b(?:\\+?\\d{{1,2}}[-. ]?)?\\(?\\d{{3}}\\)?[-. ]?\\d{{3}}[-. ]?\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+     + len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+     + len(regexp_extract_all(text, '\\b(?:\\+?\\d{{1,2}}[-. ]?)?\\(?\\d{{3}}\\)?[-. ]?\\d{{3}}[-. ]?\\d{{4}}\\b'))
+     + len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) > 0 AS INT) AS has_pii
+FROM seeded""",
+)
+def text_pii_signals(spark, sf_dir):
+    """PII scrub signals (emails/IPv4/phones/SSNs per document): pure-JVM
+    regexp_count projections, map-only — the pre-training privacy gate."""
+    seeded = _pii_seed(_t(spark, sf_dir)["documents"])
+    out = tx.pii_signals(seeded)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn",
+        F.col("has_pii").cast("int").alias("has_pii"),
+    )
+
+
+@q(
+    "text_pii_redact",
+    f"""WITH seeded AS ({_PII_SEED_SQL})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+    '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+    '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IPV4]', 'g'),
+    '\\b(?:\\+?\\d{{1,2}}[-. ]?)?\\(?\\d{{3}}\\)?[-. ]?\\d{{3}}[-. ]?\\d{{4}}\\b', '[PHONE]', 'g')
+  AS text_redacted
+FROM seeded WHERE doc_id % 7 = 0""",
+)
+def text_pii_redact(spark, sf_dir):
+    """Typed-placeholder PII redaction ([EMAIL]/[SSN]/[IPV4]/[PHONE]),
+    longest-class-first so SSN-shaped spans win over phone; chained JVM
+    regexp_replace, still map-only. Only the seeded rows are returned
+    (they're the ones whose text changed)."""
+    seeded = _pii_seed(_t(spark, sf_dir)["documents"]).filter(F.col("doc_id") % 7 == 0)
+    return tx.redact_pii(seeded).select("doc_id", "text_redacted")
+
+
 @q(
     "text_chunking",
     r"""WITH tok AS (

@@ -87,3 +87,31 @@ def test_repetition_signals_flags_degenerate_docs(spark):
     assert got[3].flagged == 0 and got[3].dup_bigram_frac == 0.0
     assert got[4].flagged == 0
     assert got[4].dup_bigram_frac == 0.0 and got[4].top_token_frac == 0.0
+
+
+def test_pii_signals_and_redaction(spark):
+    from ophidia_server_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 (415) 555-2671 or 555-867-5309"),
+            (4, "ssn 123-45-6789 leaked"),
+            (5, "clean text with numbers 12345 and v1.2 only"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r for r in tx.pii_signals(df).collect()}
+    assert sig[1]["n_email"] == 1 and sig[1]["has_pii"]
+    assert sig[2]["n_ipv4"] == 2
+    assert sig[3]["n_phone"] == 2
+    assert sig[4]["n_ssn"] == 1
+    assert not sig[5]["has_pii"] and sig[5]["n_phone"] == 0
+
+    red = {r["doc_id"]: r["text_redacted"] for r in tx.redact_pii(df).collect()}
+    assert red[1] == "mail [EMAIL] now"
+    assert red[2] == "server [IPV4] and [IPV4] up"
+    assert red[4] == "ssn [SSN] leaked"  # SSN placeholder wins over phone
+    assert red[5] == "clean text with numbers 12345 and v1.2 only"
+    assert "[PHONE]" in red[3]

@@ -458,3 +458,66 @@ def test_facade_netcdf_cmip5_massive_workflow(env, spark, tmp_path):
     files = run2.results["exp"].value
     info = eng.operators["oph_explorenc"](eng, {"src_path": files[0], "measure": "tas"}, {})
     assert info["stats"]["n"] == 6
+
+
+def test_facade_netcdf4_and_zarr_chain(env, spark, tmp_path):
+    # modern-archive flow: a netCDF-4 (HDF5) input imports through the same
+    # oph_importnc operator, converts to a Zarr store via oph_exportzarr, and
+    # re-imports chunk-parallel via oph_importzarr — all chained by PID
+    import numpy as np
+
+    from ophidia_server_spark.sources import hdf5, netcdf3 as nc
+
+    eng, store, _ = env
+    src = str(tmp_path / "v4_in.nc")
+    ds = nc.Dataset()
+    ds.dimensions = {"lat": 3, "time": 4}
+    ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([0.0, 10.0, 20.0]))
+    ds.variables["time"] = nc.Variable("time", ("time",), {}, np.arange(1.0, 5.0))
+    ds.variables["tas"] = nc.Variable(
+        "tas", ("lat", "time"), {"units": "K"},
+        np.arange(12, dtype="float64").reshape(3, 4),
+    )
+    hdf5.write(src, ds, compress=4, chunk_rows=2)
+    zstore = str(tmp_path / "chain_zarr")
+
+    run = eng.run(
+        {
+            "name": "modern_archive",
+            "tasks": [
+                {
+                    "name": "imp", "operator": "oph_importnc",
+                    "arguments": {
+                        "src_path": src, "measure": "tas",
+                        "explicit_dims": "lat", "implicit_dim": "time",
+                        "container": "v4",
+                    },
+                },
+                {
+                    "name": "to_zarr", "operator": "oph_exportzarr",
+                    "dependencies": ["imp"],
+                    "arguments": {
+                        "output_path": zstore, "compress": "3",
+                        "per_dim_chunks": "yes",
+                    },
+                },
+                {
+                    "name": "back", "operator": "oph_importzarr",
+                    "dependencies": ["to_zarr"],
+                    "arguments": {
+                        "src_path": zstore, "measure": "tas",
+                        "explicit_dims": "lat", "implicit_dim": "time",
+                        "container": "v4back",
+                    },
+                },
+            ],
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    cube = store.get(run.results["back"].value)
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    assert rows == {
+        (10.0 * g, float(t + 1), float(g * 4 + t)) for g in range(3) for t in range(4)
+    }
