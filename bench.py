@@ -73,6 +73,10 @@ HEADLINE = [
     # distribution shape)
     "tpch_q18_large_volume_customers",
     "tpch_q13_customer_distribution",
+    # round-4 additions: netCDF-4 (HDF5) + Zarr codecs, PII scrub pass
+    "io_nc4_roundtrip",
+    "io_zarr_roundtrip",
+    "text_pii_signals",
 ]
 
 
