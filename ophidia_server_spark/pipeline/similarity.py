@@ -199,47 +199,65 @@ def ivf_leaders(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
 def ivf_kmeans_codebook(
     df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
     id_col: str = "vec_id", sample_frac: float = 0.2, seed: int = 13,
+    max_sample_rows: int = 100_000, max_iter: int = 10,
 ) -> list[list[float]]:
-    """Trained IVF codebook: spherical KMeans (pyspark.ml) over a
-    deterministic content-hash sample of the corpus, centroids L2-normalized.
+    """Trained IVF codebook: spherical KMeans over a deterministic
+    content-hash sample of the corpus, centroids L2-normalized.
 
-    The sample is hash_sample-stable (same rows every run/engine), the fit
-    cost is bounded by sample_frac, and the result is n_cells x dim floats —
-    broadcast-sized regardless of corpus size. On clustered real embeddings
-    this keeps recall up where a fixed id-ordered codebook (ivf_leaders)
-    collapses.
+    Training follows the documented codebook practice (same pattern as
+    pq_codebooks): the hash_sample-stable sample is HARD-CAPPED at
+    `max_sample_rows` before the collect, so the driver never sees more than
+    ~100k x dim floats no matter the corpus size, and Lloyd iterations run
+    in one numpy matmul per round — microseconds at the cap, with none of
+    the per-iteration job-scheduling overhead a distributed KMeans pays for
+    a bounded-size problem. k-means++-style seeding is driven by a seeded
+    Generator, so the codebook is reproducible. The result is n_cells x dim
+    floats — broadcast-sized regardless of corpus size. On clustered real
+    embeddings this keeps recall up where a fixed id-ordered codebook
+    (ivf_leaders) collapses.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from ophidia_server_spark.pipeline.sampling import hash_sample
 
-    sample = hash_sample(df, sample_frac, key_col=id_col, salt="ivf")
-    # spherical: cluster unit vectors so euclidean KMeans ~ cosine clustering
     arr = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
-    unit = (
-        sample.withColumn("__n", norm)
-        .filter(F.col("__n") > 0)
-        .select(
-            array_to_vector(F.transform(arr, lambda x: x / F.col("__n"))).alias("features")
-        )
-    )
-    if unit.limit(n_cells).count() < n_cells:
-        unit = (
-            df.withColumn("__n", norm)
+
+    def unit_rows(src):
+        return (
+            src.withColumn("__n", norm)
             .filter(F.col("__n") > 0)
-            .select(
-                array_to_vector(F.transform(arr, lambda x: x / F.col("__n"))).alias("features")
-            )
+            .select(F.transform(arr, lambda x: x / F.col("__n")).alias("__u"))
+            .limit(max_sample_rows)
+            .collect()
         )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(unit)
-    out = []
-    for c in model.clusterCenters():
-        n = float(np.linalg.norm(c)) or 1.0
-        out.append([float(x) / n for x in c])
-    return out
+
+    rows = unit_rows(hash_sample(df, sample_frac, key_col=id_col, salt="ivf"))
+    if len(rows) < n_cells:
+        rows = unit_rows(df)
+    X = np.asarray([r["__u"] for r in rows])
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the unit sphere (distance = 1 - cosine)
+    centers = [X[rng.integers(len(X))]]
+    for _ in range(1, min(n_cells, len(X))):
+        d = 1.0 - np.max(np.stack([X @ c for c in centers]), axis=0)
+        d = np.clip(d, 0, None)
+        p = d / d.sum() if d.sum() > 0 else None
+        centers.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(centers)
+    for _ in range(max_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.stack([
+            X[assign == j].mean(axis=0) if np.any(assign == j) else C[j]
+            for j in range(len(C))
+        ])
+        n = np.linalg.norm(newC, axis=1, keepdims=True)
+        newC = newC / np.where(n == 0, 1.0, n)
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def ivf_assign(df: DataFrame, leaders_unit: list[list[float]],
