@@ -1966,6 +1966,39 @@ def events_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "events_stream_stream_join",
+    """SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a.event_id AS BIGINT) AS click_id,
+       CAST(b.event_id AS BIGINT) AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""",
+)
+def events_stream_stream_join(spark, sf_dir):
+    # watermarked stream-stream interval join (attribution: purchases within
+    # 1h of a same-user click); AvailableNow append == the batch interval
+    # join the oracle runs. Join state is bounded by the watermark + the
+    # time-range condition on both sides (windows.py stream_stream_join).
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir)["events"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_ssjoin_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = win.stream_stream_join(spark, src, schema, queryName="gate_ssjoin")
+    return out.select(
+        F.col("l_user").cast("long").alias("user_id"),
+        F.col("l_id").cast("long").alias("click_id"),
+        F.col("r_id").cast("long").alias("purchase_id"),
+    )
+
+
+@q(
     "events_stream_stateful",
     """SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
 FROM events GROUP BY 1""",

@@ -468,3 +468,52 @@ def stream_append_cube_store(
         .start()
     )
     q.awaitTermination(120)
+
+
+def stream_stream_join(
+    spark: SparkSession, parquet_path: str, schema,
+    left_type: str = "click", right_type: str = "purchase",
+    within: str = "1 hour", user_col: str = "user_id",
+    type_col: str = "event_type", ts_col: str = "ts",
+    queryName: str = "ssjoin_sink",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution topology
+    (find each `right_type` event following a same-user `left_type` event
+    within `within`). Both sides are streams of the SAME source split by
+    event type, each with its own watermark; the join condition carries the
+    time bound, so Spark can size the join state: left rows are evicted once
+    the right watermark passes their ts + within, right rows once the left
+    watermark passes theirs. State is therefore O(rate x within), never
+    O(stream length) — the property that makes this run forever at scale.
+
+    With Trigger.AvailableNow the appended pairs equal the batch interval
+    join, which is what the DuckDB oracle checks."""
+    def side(tp: str, prefix: str):
+        s = _event_time(spark.readStream.schema(schema).parquet(parquet_path), ts_col)
+        return (
+            s.filter(F.col(type_col) == tp)
+            .select(
+                F.col(user_col).alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col(ts_col).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    a, b = side(left_type, "l"), side(right_type, "r")
+    pairs = a.join(
+        b,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(queryName)

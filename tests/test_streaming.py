@@ -202,3 +202,30 @@ def test_asof_join_forward_direction(spark):
         direction="forward", tolerance="30 minutes",
     ).collect()}
     assert out["2024-01-01 10:00:00"] is None  # next is 1 h ahead > 30 min
+
+
+def test_stream_stream_join_equals_batch(spark, tables, tmp_path):
+    # the appended stream-stream interval join must equal the batch join
+    from ophidia_server_spark.streaming import windows as win
+
+    ev = tables["events"]
+    src = str(tmp_path / "ssj_src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = win.stream_stream_join(spark, src, schema, queryName="t_ssjoin")
+    got = {(r["l_user"], r["l_id"], r["r_id"]) for r in out.collect()}
+
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    batch = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    want = {(r["u"], r["a_id"], r["b_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
