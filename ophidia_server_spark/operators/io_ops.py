@@ -613,11 +613,14 @@ def oph_explorenc(spark: SparkSession, path: str, measure: str | None = None) ->
     single file being inspected — explorenc is a one-file peek by contract;
     the distributed stats/fit path is `explore_stats` below).
     """
-    import numpy as np
-
     from ophidia_server_spark.sources import netcdf3
 
-    ds = netcdf3.read(path)
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, ".zgroup")):
+        from ophidia_server_spark.sources import zarr as _zarr
+
+        ds = _zarr.read(path)  # a Zarr store is a directory, not a file
+    else:
+        ds = netcdf3.read(path)  # classic or netCDF-4 via the magic dispatch
     info: dict = {
         "dims": dict(ds.dimensions),
         "vars": {n: list(v.dimensions) for n, v in ds.variables.items()},

@@ -170,3 +170,16 @@ def test_spark_export_per_dim_chunks(spark, tmp_path):
     assert rows == {
         (float(g), float(x), float(g * 10 + x)) for g in range(3) for x in range(4)
     }
+
+
+def test_explorenc_peeks_zarr_store(spark, tmp_path):
+    # oph_explorenc is the one-file peek; a Zarr store (directory with
+    # .zgroup) routes to the zarr codec, files route on magic as before
+    from ophidia_server_spark.operators import io_ops
+
+    store, tas, _ = _handmade_store(tmp_path)
+    info = io_ops.oph_explorenc(spark, store, measure="tas")
+    assert info["dims"] == {"time": 4, "lat": 3}
+    assert info["vars"]["tas"] == ["time", "lat"]
+    assert info["stats"]["n"] == 12
+    assert info["stats"]["min"] == 0.0 and info["stats"]["max"] == 11.0
