@@ -98,3 +98,39 @@ def test_connected_components_distributed_at_scale(spark):
         F.col("cluster_rep") != F.col("doc_id") - F.col("doc_id") % 100
     ).count()
     assert wrong == 0
+
+
+def test_vector_store_build_probe_at_scale(spark, tmp_path):
+    # 100k synthetic 32-dim vectors (50x the sf0.1 fixture): the build must
+    # produce byte-scaled writer output (no per-bucket file explosion) and
+    # the probe plan must scan ONLY the probed partitions — the
+    # import-once/query-many contract the README claims
+    import os
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    n, dim, cells = 100_000, 32, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.sin(F.col("id") % 997 * i).cast("float"),
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "big_ivf")
+    idx = vs.ivf_build(emb, path, n_cells=cells)
+    data_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    # 100k x 32 floats ~ 26MB raw < one 128MB target file per... the byte
+    # policy floors at ceil(16/32)=1 writer: bounded small-file count
+    assert len(data_files) <= cells
+    q = [0.5] * dim
+    top = vs.ivf_probe(spark, idx, q, k=5, nprobe=4)
+    assert top.count() == 5
+    # partition pruning: the scan must carry a __cell partition filter
+    explained = top._jdf.queryExecution().toString()
+    assert "__cell" in explained
