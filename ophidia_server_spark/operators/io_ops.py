@@ -294,16 +294,17 @@ def oph_exportzarr(
         return store
 
     split_dim = dims[0]
-    vals = sorted(
-        r[0] for r in long_df.select(split_dim).distinct().collect()
-    )  # bounded: first-dim cardinality, not data size
-    pos = {v: i for i, v in enumerate(vals)}
     rest = dims[1:]
+    # one pass for every dim's coordinate set (bounded: grid cardinalities,
+    # not data size) instead of one distinct-job per dim — at scale each of
+    # those jobs would re-run the whole upstream plan
+    coord_row = long_df.agg(
+        *[F.collect_set(d).alias(d) for d in dims]
+    ).collect()[0]
+    vals = sorted(coord_row[split_dim])
+    pos = {v: i for i, v in enumerate(vals)}
     rest_coords = {
-        d: np.sort(
-            np.asarray([r[0] for r in long_df.select(d).distinct().collect()], "float64")
-        )
-        for d in rest
+        d: np.sort(np.asarray(coord_row[d], "float64")) for d in rest
     }
     cshape = [1] + [len(rest_coords[d]) for d in rest]
     os.makedirs(os.path.join(store, measure), exist_ok=True)
