@@ -295,6 +295,10 @@ def oph_exportzarr(
 
     split_dim = dims[0]
     rest = dims[1:]
+    # the export needs two passes (coordinate sets, then the chunk write);
+    # persist the long form so the upstream cube plan executes once, spill-
+    # tolerant at scale, released before returning
+    long_df = long_df.persist()
     # one pass for every dim's coordinate set (bounded: grid cardinalities,
     # not data size) instead of one distinct-job per dim — at scale each of
     # those jobs would re-run the whole upstream plan
@@ -365,6 +369,7 @@ def oph_exportzarr(
     consolidated["metadata"][f"{measure}/.zattrs"] = attrs
     with open(zpath, "w") as fh:
         _json.dump(consolidated, fh)
+    long_df.unpersist()
     if n != len(vals):
         raise RuntimeError(f"zarr export wrote {n} chunks, expected {len(vals)}")
     return store
