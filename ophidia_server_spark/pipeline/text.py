@@ -333,3 +333,48 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for k in ("email", "ssn", "ipv4", "phone"):
         redacted = F.regexp_replace(redacted, PII_PATTERNS[k], f"[{k.upper()}]")
     return df.withColumn(f"{text_col}_redacted", redacted)
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-self bigram log-probability per document — the perplexity-proxy
+    quality signal (CCNet-style): score(doc) = avg over its bigrams of
+    ln P(w2|w1), with P estimated from the corpus itself (bigram count /
+    prefix count), so every observed bigram has P > 0 and no smoothing is
+    needed. Low scores = improbable token transitions (garbled/boilerplate
+    text); filtering on a score quantile is the standard gate.
+
+    Shape at scale: one explode to bigrams, two hash aggregates for the
+    stats (map-side partials shrink each to distinct-bigram size), one
+    shuffle join of the doc bigrams against the stats on the bigram key
+    (uniformly distributed by construction), one final per-doc aggregate.
+    All JVM expressions — no Python, no window functions."""
+    toks = df.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    bg = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n - 1).alias("w1"),
+                F.slice("__t", 2, n - 1).alias("w2"),
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    pc = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(pc, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("__c12").cast("double") / F.col("__c1"))), 6
+            ).alias("bigram_logprob")
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("bigram_logprob", F.lit(0.0)).alias("bigram_logprob")
+        )
+    )

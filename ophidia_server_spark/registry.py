@@ -2731,6 +2731,32 @@ def text_entropy(spark, sf_dir):
     return tx.token_entropy(_t(spark, sf_dir)["documents"])
 
 
+@q(
+    "text_bigram_logprob",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2
+), pc AS (
+  SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1
+), s AS (
+  SELECT doc_id, ROUND(AVG(ln(c12 * 1.0 / c1)), 6) AS bigram_logprob
+  FROM b JOIN bgc USING (w1, w2) JOIN pc USING (w1)
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.bigram_logprob, 0.0) AS bigram_logprob
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: average ln P(w2|w1) under the corpus's
+    own bigram statistics (pipeline/text.py bigram_logprob)."""
+    return tx.bigram_logprob(_t(spark, sf_dir)["documents"])
+
+
 # deterministic PII seeding shared by the pii entries: the synthetic corpus
 # carries no natural PII, so every 7th document gets a constructed email/
 # IPv4/phone/SSN appended IDENTICALLY on the Spark and DuckDB sides — the
