@@ -200,7 +200,10 @@ def write(path: str, ds: Dataset, chunks: dict | None = None,
         os.makedirs(adir, exist_ok=True)
         cshape = tuple(
             (chunks or {}).get(name)
-            or [min(s, 1024) if i == 0 else s for i, s in enumerate(arr.shape)]
+            # chunk dims are >= 1 even for zero-length arrays (spec: chunks
+            # must be positive; a 0-length array simply has no chunk files)
+            or [max(1, min(s, 1024)) if i == 0 else max(1, s)
+                for i, s in enumerate(arr.shape)]
         ) or arr.shape
         nchunks = [
             (s + c - 1) // c for s, c in zip(arr.shape, cshape)

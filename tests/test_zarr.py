@@ -183,3 +183,15 @@ def test_explorenc_peeks_zarr_store(spark, tmp_path):
     assert info["vars"]["tas"] == ["time", "lat"]
     assert info["stats"]["n"] == 12
     assert info["stats"]["min"] == 0.0 and info["stats"]["max"] == 11.0
+
+
+def test_zero_length_arrays_roundtrip(tmp_path):
+    # spec: chunk dims must be positive even when the array is zero-length;
+    # a 0-length array just has no chunk files
+    ds = Dataset()
+    ds.dimensions = {"a": 0, "b": 3}
+    ds.variables["m"] = Variable("m", ("a", "b"), {}, np.zeros((0, 3), "f4"))
+    store = str(tmp_path / "z0")
+    zr.write(store, ds)
+    back = zr.read(store)
+    assert back.variables["m"].data.shape == (0, 3)
