@@ -597,7 +597,9 @@ def read(path: str) -> Dataset:
         if cls == "DIMENSION_SCALE":
             size = o.dims[0] if o.dims else 0
             unlimited = bool(o.maxdims) and o.maxdims[0] == UNDEF
-            ds.dimensions[o.name] = size
+            # mirror netcdf3.read: unlimited (record) dims surface as None,
+            # the actual record count rides on each variable's shape
+            ds.dimensions[o.name] = None if unlimited else size
             scales[o.addr] = o.name
             nm = o.attrs.get("NAME")
             phony = isinstance(nm, str) and nm.startswith(
@@ -676,11 +678,16 @@ _REF_DT = struct.pack("<B3BI", 0x17, 0, 0, 0, 8)
 _VLEN_REF_DT = struct.pack("<B3BI", 0x19, 0, 0, 0, 16) + _REF_DT
 
 
-def _ds_message(shape: tuple[int, ...]) -> bytes:
+def _ds_message(shape: tuple[int, ...], maxshape: tuple | None = None) -> bytes:
+    """Dataspace v1; `maxshape` entries of None encode H5S_UNLIMITED."""
     rank = len(shape)
-    out = struct.pack("<BBBB4x", 1, rank, 0, 0)
+    flags = 1 if maxshape is not None else 0
+    out = struct.pack("<BBBB4x", 1, rank, flags, 0)
     for s in shape:
         out += struct.pack("<Q", s)
+    if maxshape is not None:
+        for m in maxshape:
+            out += struct.pack("<Q", UNDEF if m is None else m)
     return out
 
 
@@ -752,6 +759,17 @@ def write(path: str, ds: Dataset, compress: int | None = None,
     dim_sizes = {
         n: (sz if sz is not None else _record_count(ds, n)) for n, sz in ds.dimensions.items()
     }
+    unlimited = {n for n, sz in ds.dimensions.items() if sz is None}
+
+    def _var_dims(nm: str) -> tuple[str, ...]:
+        v = ds.variables.get(nm)
+        if v is not None and nm not in ds.dimensions:
+            return tuple(v.dimensions)
+        return (nm,) if nm in ds.dimensions else ()
+
+    def _is_extendable(nm: str) -> bool:
+        dims = _var_dims(nm)
+        return any(d in unlimited for d in dims)
 
     # ---- plan objects: every dim is a scale dataset; vars reference them
     names: list[str] = []
@@ -781,20 +799,24 @@ def write(path: str, ds: Dataset, compress: int | None = None,
             if arr.dtype == np.int64:
                 arr = arr.astype("<i8")
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        if compress is not None and arr.ndim >= 1 and arr.size:
+        # unlimited-dim (extendable) datasets REQUIRE chunked layout per the
+        # spec, with or without compression
+        chunked = arr.ndim >= 1 and arr.size and (compress is not None or _is_extendable(nm))
+        if chunked:
             cshape = list(arr.shape)
-            cshape[0] = min(cshape[0], chunk_rows or cshape[0])
+            cshape[0] = max(1, min(cshape[0], chunk_rows or cshape[0]))
             chunks = []
             for start in range(0, arr.shape[0], cshape[0]):
                 piece = np.zeros(cshape, arr.dtype)
                 src = arr[start : start + cshape[0]]
                 piece[: src.shape[0]] = src
                 raw = piece.tobytes()
-                s = arr.itemsize
-                if s > 1:       # shuffle
-                    n = len(raw) // s
-                    raw = np.frombuffer(raw, np.uint8).reshape(n, s).T.tobytes()
-                raw = zlib.compress(raw, compress)
+                if compress is not None:
+                    s = arr.itemsize
+                    if s > 1:       # shuffle
+                        n = len(raw) // s
+                        raw = np.frombuffer(raw, np.uint8).reshape(n, s).T.tobytes()
+                    raw = zlib.compress(raw, compress)
                 caddr = alloc.put(raw)
                 chunks.append((caddr, len(raw), [start] + [0] * (arr.ndim - 1)))
             data_addr[nm] = ("chunked", arr, cshape, chunks)
@@ -826,8 +848,14 @@ def write(path: str, ds: Dataset, compress: int | None = None,
         is_dim = nm in ds.dimensions
         rec = data_addr[nm]
         arr = rec[1]
+        vdims = _var_dims(nm)
+        maxshape = None
+        if any(d in unlimited for d in vdims):
+            maxshape = tuple(
+                None if d in unlimited else s for d, s in zip(vdims, arr.shape)
+            )
         msgs = [
-            _msg(M_DATASPACE, _ds_message(arr.shape)),
+            _msg(M_DATASPACE, _ds_message(arr.shape, maxshape)),
             _msg(M_DATATYPE, _dt_message(arr)),
             _msg(M_FILL, struct.pack("<BBBB", 2, 2, 0, 0)),
         ]
@@ -843,10 +871,11 @@ def write(path: str, ds: Dataset, compress: int | None = None,
                 lay += struct.pack("<I", c)
             lay += struct.pack("<I", arr.itemsize)
             msgs.append(_msg(M_LAYOUT, lay))
-            filt = struct.pack("<BB6x", 1, 2)
-            filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", arr.itemsize) + b"\x00" * 4
-            filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
-            msgs.append(_msg(M_FILTERS, filt))
+            if compress is not None:
+                filt = struct.pack("<BB6x", 1, 2)
+                filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", arr.itemsize) + b"\x00" * 4
+                filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
+                msgs.append(_msg(M_FILTERS, filt))
         if is_dim:
             msgs.append(_msg(M_ATTR, _encode_attr("CLASS", "DIMENSION_SCALE")))
             if var is None:

@@ -227,3 +227,28 @@ def test_int64_and_strings_roundtrip(tmp_path):
     assert back.variables["big"].data.tolist() == [2**40, -(2**40), 7]
     assert back.variables["big"].data.dtype == np.dtype("<i8")
     assert back.variables["big"].attributes["note"].startswith("int64")
+
+
+def test_unlimited_record_dim_roundtrip(tmp_path):
+    # the netCDF-4 twin of the classic record-variable roundtrip: an
+    # unlimited dim writes as a chunked dataset with H5S_UNLIMITED maxdims
+    # and reads back as dimensions[dim] = None with the actual record count
+    # on each variable's shape — matching netcdf3.read semantics exactly
+    ds = Dataset()
+    ds.dimensions = {"time": None, "x": 3}
+    ds.variables["r1"] = Variable(
+        "r1", ("time", "x"), {}, np.arange(12, dtype="f8").reshape(4, 3)
+    )
+    ds.variables["r2"] = Variable("r2", ("time",), {}, np.array([7, 8, 9, 10], "i4"))
+    p = str(tmp_path / "rec4.nc")
+    hdf5.write(p, ds)  # no compression: chunked layout still required
+    back = hdf5.read(p)
+    assert back.dimensions == {"time": None, "x": 3}
+    assert np.array_equal(back.variables["r1"].data, ds.variables["r1"].data)
+    assert back.variables["r2"].data.tolist() == [7, 8, 9, 10]
+    # and with deflate on top
+    p2 = str(tmp_path / "rec4z.nc")
+    hdf5.write(p2, ds, compress=4, chunk_rows=2)
+    back2 = hdf5.read(p2)
+    assert back2.dimensions["time"] is None
+    assert np.array_equal(back2.variables["r1"].data, ds.variables["r1"].data)
