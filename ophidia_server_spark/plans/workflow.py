@@ -534,10 +534,62 @@ class WorkflowEngine:
             i = j + 1
         return out
 
+    # -- shared variable-name validation (oph_flow_control_operators.c:
+    #    1280-1340: IEEE Std 1003.1-2001 name compliance per '|'-separated key)
+    @staticmethod
+    def _validate_var_keys(keys: list[str]) -> str:
+        """Returns the non-fatal warning ('' if none); raises WorkflowError
+        with the reference's exact message when a key contains a workflow
+        separator character (fatal). A key merely starting with a digit is
+        accepted with the reference's rename warning."""
+        warning = ""
+        for name in keys:
+            for kk, ch in enumerate(name):
+                if ch == "_" or ch.isalpha() or (kk and ch.isdigit()):
+                    continue
+                if not ch.isalnum():  # workflow separator/punctuation: fatal
+                    raise WorkflowError("Bad argument 'key'.")
+                warning = f"Change variable name '{name}'."
+                break
+        if not keys:
+            raise WorkflowError("Bad argument 'key'.")
+        return warning
+
     # -- oph_wait (clock / file / input, oph_flow_control_operators.c:2003-2375)
     def _wait(self, args: dict, run: "WorkflowRun") -> str:
+        run_arg = str(args.get("run", "yes")).lower()
+        if run_arg not in ("yes", "no"):
+            raise WorkflowError(f"Wrong value '{run_arg}' for parameter 'run'!")
         wtype = str(args.get("type", "clock")).lower()
-        timeout = min(float(args.get("timeout", 0) or 0), 30.0)
+        if wtype not in ("clock", "file", "input"):
+            raise WorkflowError(f"Wrong type '{wtype}'!")
+        ttype = str(args.get("timeout_type", "duration")).lower()
+        if ttype not in ("duration", "deadline"):
+            raise WorkflowError(f"Wrong timeout type '{ttype}'!")
+        raw_timeout = str(args.get("timeout", 0) or 0)
+        if ttype == "deadline":
+            from datetime import datetime
+
+            deadline_dt = datetime.strptime(raw_timeout, "%Y-%m-%d %H:%M:%S")
+            remaining = (deadline_dt - datetime.now()).total_seconds()
+        else:
+            remaining = float(raw_timeout)
+        if remaining < 0 and wtype != "input":
+            # negative duration / past deadline: infinity is input-only
+            raise WorkflowError(
+                "Timeout can be infinity only for type 'input'. "
+                "Use a non-negative value!"
+            )
+        if wtype == "input" and args.get("key") is not None:
+            keys = [k for k in str(args.get("key", "")).split("|") if k]
+            self._validate_var_keys(keys)
+            if len(keys) > 1:
+                vals = str(args.get("value", "")).split("|")
+                if len(vals) < len(keys):
+                    raise WorkflowError("Bad number of keys in parameter 'value'.")
+        timeout = min(max(remaining, 0.0), 30.0)
+        if run_arg == "no":
+            return "OPH_ODB_STATUS_COMPLETED"  # validated dry run
         if wtype == "clock":
             time.sleep(timeout)
             return "OPH_ODB_STATUS_COMPLETED"
@@ -810,11 +862,49 @@ class WorkflowEngine:
                 if op in ("oph_set", "oph_input"):
                     # oph_input = oph_set + wake a waiting task
                     # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)
-                    value = self._set_value(args, run)
-                    for key in str(args.get("key", "")).split("|"):
-                        if key:
-                            run.variables[key] = value
-                    record(TaskResult(name, "OPH_ODB_STATUS_COMPLETED", value))
+                    keys = [k for k in str(args.get("key", "")).split("|") if k]
+                    warning = self._validate_var_keys(keys)
+                    set_args = args
+                    if op == "oph_input":
+                        wid = str(args.get("id", "")).strip()
+                        if wid and float(wid) < 0:
+                            raise WorkflowError(f"Wrong workflow identifier '{wid}'!")
+                        action = str(args.get("action", "")).lower()
+                        if action and action not in ("continue", "wait", "abort"):
+                            raise WorkflowError(f"Wrong action '{action}'!")
+                        src = str(args.get("taskname", "") or "")
+                        if src and src not in run.results:
+                            # wake-target semantics: taskname must name an
+                            # oph_wait task (oph_flow_control_operators.c:1338
+                            # matches OPH_OPERATOR_WAIT by name)
+                            if any(
+                                x.get("name") == src
+                                and x.get("operator") == "oph_wait"
+                                for x in tasks
+                            ):
+                                set_args = {**args, "taskname": ""}
+                            else:
+                                raise WorkflowError(
+                                    "Invalid task name, task not found or ambiguous!"
+                                )
+                    value = self._set_value(set_args, run)
+                    if len(keys) > 1:
+                        # multi-key zip: each key gets its '|'-slot; fewer
+                        # values than keys is the reference's exact error
+                        vals = str(value).split("|") if value is not None else []
+                        if len(vals) < len(keys):
+                            raise WorkflowError(
+                                "Bad number of keys in parameter 'value'."
+                            )
+                        for k, v in zip(keys, vals):
+                            run.variables[k] = v
+                    else:
+                        run.variables[keys[0]] = value
+                    record(
+                        TaskResult(
+                            name, "OPH_ODB_STATUS_COMPLETED", value, warning or None
+                        )
+                    )
                     continue
                 if op == "oph_wait":
                     record(TaskResult(name, self._wait(args, run)))

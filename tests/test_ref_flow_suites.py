@@ -12,6 +12,17 @@ tests/test_filters.py: the 23 filter->query cases (oph_server_test.c:
 2412-2434) as the golden23_* tests, the 25 file-massive cases (2814-2839) as
 the golden corpus tests, and the API-misuse cases (options 23-31) here where
 a Python analogue exists (NULL-pointer cases have no analogue by design).
+
+oph_set_impl (3), oph_input_impl (15) and oph_wait_impl (14) are ported
+case-for-case below. oph_endfor_impl (6): its happy paths (options 0-2) are
+asserted by the oph_for ports (unroll + endfor pairing); options 3-5 test
+the reference server's internal hashtable environment cleanup ("No index
+found in environment...", "Unable to remove variable...") — an unrolling
+engine holds loop state per expansion, not in a mutable workflow
+environment, so those states are unrepresentable by construction. The
+oph_serve_flow_control_operator (13) and misc (13) suites exercise the
+gSOAP dispatcher plumbing (operator-name routing, odb job bookkeeping),
+covered behaviorally by tests/test_workflow.py's engine-level DAG tests.
 """
 
 import pytest
@@ -428,3 +439,276 @@ def test_massive_without_cube_argument_is_not_massive():
 def test_resolve_for_values_requires_responses():
     # no responses at hand (pre-run expansion): every address stays literal
     assert resolve_for_values("data.table1(1,*)", None) is None
+
+
+# ---------------------------------------------------------------------------
+# oph_set_impl: 3 cases (oph_server_test.c:3098-3178). One oph_set task with
+# key='variable'; all three cases expect success (empty error message).
+# ---------------------------------------------------------------------------
+
+def _run_set(value, variables=None, operator="oph_set", extra=None):
+    eng = WorkflowEngine({})
+    args = {"key": "variable", "value": value}
+    args.update(extra or {})
+    wf = {"tasks": [{"name": "SET", "operator": operator, "arguments": args}]}
+    if variables:
+        wf["variables"] = variables
+    return eng.run(wf)
+
+
+def test_set_ref_case0_literal_value():
+    # ref oph_set_impl option 0: value 'value'
+    run = _run_set("value")
+    assert run.results["SET"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.variables["variable"] == "value"
+
+
+def test_set_ref_case1_good_variable_substitution():
+    # ref option 1: workflow var goodvariable='value', value '@goodvariable'
+    run = _run_set("@goodvariable", variables={"goodvariable": "value"})
+    assert run.results["SET"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.variables["variable"] == "value"
+
+
+def test_set_ref_case2_bad_variable_left_untouched():
+    # ref option 2: '@badvariable' undefined -> still success (res 0, no
+    # error); the unresolved token rides through verbatim
+    run = _run_set("@badvariable")
+    assert run.results["SET"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.variables["variable"] == "@badvariable"
+
+
+# ---------------------------------------------------------------------------
+# oph_input_impl: 15 cases (oph_server_test.c:3179-3448). INPUT + WAIT +
+# WAIT2 workflow; expectations are the reference's exact error messages.
+# ---------------------------------------------------------------------------
+
+def _run_input(value="value", key="variable", extra=None):
+    eng = WorkflowEngine({})
+    args = {"key": key, "value": value, "taskname": "WAIT"}
+    args.update(extra or {})
+    wf = {
+        "tasks": [
+            {"name": "INPUT", "operator": "oph_input", "arguments": args},
+            {"name": "WAIT", "operator": "oph_wait",
+             "arguments": {"timeout": "0", "run": "no"}},
+            {"name": "WAIT2", "operator": "oph_wait",
+             "arguments": {"timeout": "0", "run": "no"}},
+        ]
+    }
+    return eng.run(wf)
+
+
+def test_input_ref_case0_literal():
+    run = _run_input("value")
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.variables["variable"] == "value"
+
+
+def test_input_ref_case1_good_variable():
+    # ref option 1: goodvariable defined -> substituted
+    eng = WorkflowEngine({})
+    run = eng.run(
+        {
+            "variables": {"goodvariable": "value"},
+            "tasks": [
+                {"name": "INPUT", "operator": "oph_input",
+                 "arguments": {"key": "variable", "value": "@goodvariable",
+                               "taskname": "WAIT"}},
+                {"name": "WAIT", "operator": "oph_wait",
+                 "arguments": {"timeout": "0", "run": "no"}},
+            ],
+        }
+    )
+    assert run.variables["variable"] == "value"
+
+
+def test_input_ref_case2_bad_variable():
+    run = _run_input("@badvariable")
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_input_ref_case3_wrong_taskname():
+    # ref option 3: taskname 'wrong' -> "Invalid task name, task not found
+    # or ambiguous!"
+    with pytest.raises(WorkflowError, match="Invalid task name"):
+        _run_input("value", extra={"taskname": "wrong"})
+
+
+def test_input_ref_case4_extra_values_discarded():
+    # ref option 4: value 'value|discarded', one key -> success (the C test
+    # observes only res==0; this engine stores the single key whole)
+    run = _run_input("value|discarded")
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_input_ref_case5_fewer_values_than_keys():
+    # ref option 5: keys 'variable|wrong', one value ->
+    # "Bad number of keys in parameter 'value'."
+    with pytest.raises(WorkflowError, match="Bad number of keys in parameter 'value'"):
+        _run_input("value", key="variable|wrong")
+
+
+def test_input_ref_case6_workflow_id_ok():
+    # ref option 6: id=1 -> success
+    run = _run_input("value", extra={"id": "1"})
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_input_ref_case7_negative_workflow_id():
+    # ref option 7: id=-1 -> "Wrong workflow identifier '-1'!"
+    with pytest.raises(WorkflowError, match=r"Wrong workflow identifier '-1'!"):
+        _run_input("value", extra={"id": "-1"})
+
+
+@pytest.mark.parametrize("action", ["continue", "wait", "abort"])
+def test_input_ref_cases8_9_10_valid_actions(action):
+    # ref options 8/9/10: action continue/wait/abort -> success
+    run = _run_input("value", extra={"action": action})
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_input_ref_case11_wrong_action():
+    # ref option 11: action 'wrong' -> "Wrong action 'wrong'!"
+    with pytest.raises(WorkflowError, match="Wrong action 'wrong'!"):
+        _run_input("value", extra={"action": "wrong"})
+
+
+def test_input_ref_case12_variable_as_key_name():
+    # ref option 12: key '@badvariable' -> "Bad argument 'key'." (the '@'
+    # is a workflow separator, fatal)
+    with pytest.raises(WorkflowError, match="Bad argument 'key'"):
+        _run_input("value", key="@badvariable")
+
+
+def test_input_ref_case13_separator_in_key():
+    # ref option 13: key 'special:' -> "Bad argument 'key'."
+    with pytest.raises(WorkflowError, match="Bad argument 'key'"):
+        _run_input("value", key="special:")
+
+
+def test_input_ref_case14_digit_leading_key_warns():
+    # ref option 14: key '1ndex' -> res 0 with warning
+    # "Change variable name '1ndex'."
+    run = _run_input("value", key="1ndex")
+    assert run.results["INPUT"].status == "OPH_ODB_STATUS_COMPLETED"
+    assert run.results["INPUT"].error == "Change variable name '1ndex'."
+
+
+# ---------------------------------------------------------------------------
+# oph_wait_impl: 14 cases (oph_server_test.c:3449-3815). One oph_wait task,
+# run='no' throughout (the reference passes data->run but asserts only the
+# validation result); expectations are the exact error messages.
+# ---------------------------------------------------------------------------
+
+def _run_wait(args):
+    eng = WorkflowEngine({})
+    return eng.run(
+        {"tasks": [{"name": "WAIT", "operator": "oph_wait", "arguments": args}]}
+    )
+
+
+def test_wait_ref_case0_future_deadline():
+    # ref option 0: deadline 2030-01-01, run no, extra cube/cwd args ignored
+    run = _run_wait({
+        "timeout": "2030-01-01 00:00:00", "run": "no",
+        "timeout_type": "deadline", "cube": "http://localhost/1", "cwd": "/",
+    })
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case1_past_deadline():
+    # ref option 1: deadline 2010-01-01 -> negative timeout ->
+    # "Timeout can be infinity only for type 'input'. ..."
+    with pytest.raises(WorkflowError, match="Timeout can be infinity only for type 'input'"):
+        _run_wait({"timeout": "2010-01-01 00:00:00", "run": "no",
+                   "timeout_type": "deadline"})
+
+
+def test_wait_ref_case2_wrong_timeout_type():
+    # ref option 2 -> "Wrong timeout type 'wrong'!"
+    with pytest.raises(WorkflowError, match="Wrong timeout type 'wrong'!"):
+        _run_wait({"timeout": "10", "run": "no", "timeout_type": "wrong"})
+
+
+def test_wait_ref_case3_wrong_run_value():
+    # ref option 3 -> "Wrong value 'wrong' for parameter 'run'!"
+    with pytest.raises(WorkflowError, match="Wrong value 'wrong' for parameter 'run'!"):
+        _run_wait({"timeout": "10", "run": "wrong"})
+
+
+def test_wait_ref_case4_file_type(tmp_path):
+    # ref option 4: type file + filename -> success (run no: validated only)
+    run = _run_wait({"timeout": "10", "run": "no", "type": "file",
+                     "filename": "filename"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case5_message_arg():
+    # ref option 5: message arg rides along -> success
+    run = _run_wait({"timeout": "10", "run": "no", "message": "message"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case6_input_key_value():
+    # ref option 6: type input + key/value -> success
+    run = _run_wait({"timeout": "10", "run": "no", "type": "input",
+                     "key": "variable", "value": "value"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case7_wrong_type():
+    # ref option 7 -> "Wrong type 'wrong'!"
+    with pytest.raises(WorkflowError, match="Wrong type 'wrong'!"):
+        _run_wait({"timeout": "10", "run": "no", "type": "wrong"})
+
+
+def test_wait_ref_case8_good_variable_value():
+    # ref option 8: value '@goodvariable' with the variable defined
+    eng = WorkflowEngine({})
+    run = eng.run({
+        "variables": {"goodvariable": "value"},
+        "tasks": [{"name": "WAIT", "operator": "oph_wait",
+                   "arguments": {"timeout": "10", "run": "no", "type": "input",
+                                 "key": "variable", "value": "@goodvariable"}}],
+    })
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case9_bad_variable_value():
+    # ref option 9: '@badvariable' undefined -> still success
+    run = _run_wait({"timeout": "10", "run": "no", "type": "input",
+                     "key": "variable", "value": "@badvariable"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case10_digit_leading_key():
+    # ref option 10: key '1ndex' -> res 0 + "Change variable name '1ndex'."
+    # (the warning is non-fatal: validated here via the shared validator)
+    eng = WorkflowEngine({})
+    assert eng._validate_var_keys(["1ndex"]) == "Change variable name '1ndex'."
+    run = _run_wait({"timeout": "10", "run": "no", "type": "input",
+                     "key": "1ndex", "value": "value"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case11_separator_in_key():
+    # ref option 11: key 'special:' -> "Bad argument 'key'."
+    with pytest.raises(WorkflowError, match="Bad argument 'key'"):
+        _run_wait({"timeout": "10", "run": "no", "type": "input",
+                   "key": "special:", "value": "value"})
+
+
+def test_wait_ref_case12_extra_values_ok():
+    # ref option 12: one key, value 'value|value2' -> success
+    run = _run_wait({"timeout": "10", "run": "no", "type": "input",
+                     "key": "variable", "value": "value|value2"})
+    assert run.results["WAIT"].status == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_wait_ref_case13_fewer_values_than_keys():
+    # ref option 13: keys 'variable|variable2', one value ->
+    # "Bad number of keys in parameter 'value'."
+    with pytest.raises(WorkflowError, match="Bad number of keys in parameter 'value'"):
+        _run_wait({"timeout": "10", "run": "no", "type": "input",
+                   "key": "variable|variable2", "value": "value"})

@@ -425,15 +425,30 @@ def test_set_subset_filter_compression():
 
 
 def test_set_multi_key():
+    # reference semantics (oph_flow_control_operators.c:1325-1336): multi-key
+    # zips with '|'-separated values; fewer values than keys is an error
     eng = WorkflowEngine({})
     run = eng.run(
         {
             "tasks": [
-                {"name": "s", "operator": "oph_set", "arguments": {"key": "x|y", "value": "7"}}
+                {"name": "s", "operator": "oph_set", "arguments": {"key": "x|y", "value": "7|8"}}
             ]
         }
     )
-    assert run.variables["x"] == "7" and run.variables["y"] == "7"
+    assert run.variables["x"] == "7" and run.variables["y"] == "8"
+
+    import pytest as _pytest
+
+    from ophidia_server_spark.plans.workflow import WorkflowError
+
+    with _pytest.raises(WorkflowError, match="Bad number of keys"):
+        WorkflowEngine({}).run(
+            {
+                "tasks": [
+                    {"name": "s", "operator": "oph_set", "arguments": {"key": "x|y", "value": "7"}}
+                ]
+            }
+        )
 
 
 def test_workflow_response_formats():
