@@ -374,6 +374,21 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         kept.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_redact_pii(engine, args, inputs):
+        # privacy scrub stage: replace PII spans with typed placeholders and
+        # write the redacted corpus (text column swapped in place)
+        from ophidia_server_spark.pipeline.text import redact_pii
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        tc = args.get("text_col", "text")
+        docs = spark.read.parquet(src)
+        red = redact_pii(docs, tc).drop(tc).withColumnRenamed(f"{tc}_redacted", tc)
+        red.select(*docs.columns).write.mode("overwrite").parquet(out)
+        return out
+
     def op_importnc(engine, args, inputs):
         # src_path may come directly or from file-massive expansion (which
         # also supplies measure under convention=cmip5); subset_dims/
@@ -453,6 +468,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_fs": op_fs,
             "pipeline_dedup_exact": op_pipe_dedup,
             "pipeline_quality_filter": op_pipe_quality_filter,
+            "pipeline_redact_pii": op_pipe_redact_pii,
             "pipeline_minhash_pairs": op_pipe_minhash,
             "pipeline_chunk": op_pipe_chunk,
             "pipeline_decontaminate": op_pipe_contamination,

@@ -521,3 +521,26 @@ def test_facade_netcdf4_and_zarr_chain(env, spark, tmp_path):
     assert rows == {
         (10.0 * g, float(t + 1), float(g * 4 + t)) for g in range(3) for t in range(4)
     }
+
+
+def test_pipeline_redact_pii_stage(env, spark, tables, tmp_path):
+    # privacy scrub as a workflow stage: corpus in, redacted corpus out,
+    # chained by path like the other pipeline_* ops
+    eng, store, _ = env
+    src = str(tmp_path / "pii_src")
+    spark.createDataFrame(
+        [(1, "contact me a@b.io", "en"), (2, "clean row", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "pii_out")
+    run = eng.run(
+        {
+            "tasks": [
+                {"name": "scrub", "operator": "pipeline_redact_pii",
+                 "arguments": {"src_path": src, "output_path": out}},
+            ]
+        }
+    )
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert rows[1] == "contact me [EMAIL]" and rows[2] == "clean row"
