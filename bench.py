@@ -113,6 +113,20 @@ def main() -> None:
                     with open(f, "rb") as fh:
                         while fh.read(1 << 22):
                             pass
+    # Second warm-up at the TARGET SF: AQE picks different physical plans at
+    # different data sizes, so the sf0.001 pass doesn't JIT the sf0.1 plan
+    # shapes (measured 2-3x first-run swings on the codegen-heavy queries).
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001 - warm-up is best-effort
+            pass
+    # the warm pass populated the build-once vector-store cache; clear it so
+    # the timed sim_*_build rows measure a REAL build (training + partitioned
+    # write), not a cache hit — the probes then repopulate it in plan order
+    from ophidia_server_spark import registry as _registry
+
+    _registry._VSTORE_CACHE.clear()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
