@@ -73,10 +73,12 @@ HEADLINE = [
     # distribution shape)
     "tpch_q18_large_volume_customers",
     "tpch_q13_customer_distribution",
-    # round-4 additions: netCDF-4 (HDF5) + Zarr codecs, PII scrub pass
+    # round-4 additions: netCDF-4 (HDF5) + Zarr codecs, PII scrub pass,
+    # bigram language-model quality scoring (join-heavy text shape)
     "io_nc4_roundtrip",
     "io_zarr_roundtrip",
     "text_pii_signals",
+    "text_bigram_logprob",
 ]
 
 
