@@ -252,3 +252,76 @@ def test_unlimited_record_dim_roundtrip(tmp_path):
     back2 = hdf5.read(p2)
     assert back2.dimensions["time"] is None
     assert np.array_equal(back2.variables["r1"].data, ds.variables["r1"].data)
+
+
+def test_read_superblock_v3_ohdr_v2_link_messages(tmp_path):
+    # Handcrafted per spec: superblock v3 + version-2 object headers (OHDR)
+    # with in-header link messages — the layout libhdf5 writes under
+    # libver=v18+ — exercising the reader paths our own writer never emits.
+    import struct as _s
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+
+    def ohdr(messages: bytes) -> bytes:
+        # OHDR, version 2, flags 0x00 (1-byte chunk0 size), no times
+        body = _s.pack("<4sBBB", b"OHDR", 2, 0, len(messages)) + messages
+        return body + b"\x00" * 4  # checksum (unverified by the reader)
+
+    def msg(mtype: int, data: bytes) -> bytes:
+        return _s.pack("<BHB", mtype, len(data), 0) + data
+
+    # dataset payload: 5 little-endian int32
+    data = np.arange(5, dtype="<i4")
+
+    # file layout plan (addresses fixed by construction)
+    sb_size = 12 + 8 * 4 + 4          # sig..sizes(12) + 4 addrs + checksum
+    data_addr = 256
+    dset_addr = 320
+    root_addr = 512
+
+    dt_msg = _s.pack("<B3BI", 0x10, 0x08, 0, 0, 4) + _s.pack("<HH", 0, 32)
+    ds_msg = _s.pack("<BBBB", 2, 1, 0, 1) + _s.pack("<Q", 5)  # dataspace v2
+    lay_msg = _s.pack("<BBQQ", 3, 1, data_addr, data.nbytes)
+    dset = ohdr(msg(0x01, ds_msg) + msg(0x03, dt_msg) + msg(0x08, lay_msg))
+
+    # root group: one hard link message "v" -> dset_addr
+    name = b"v"
+    link = _s.pack("<BB", 1, 0) + bytes([len(name)]) + name + _s.pack("<Q", dset_addr)
+    root = ohdr(msg(0x06, link))
+
+    eof = root_addr + len(root)
+    sb = b"\x89HDF\r\n\x1a\n" + _s.pack("<BBBB", 3, 8, 8, 0)
+    sb += _s.pack("<QQQQ", 0, UNDEF, eof, root_addr)
+    sb += b"\x00" * 4  # superblock checksum (unverified)
+
+    buf = bytearray(eof)
+    buf[: len(sb)] = sb
+    buf[data_addr : data_addr + data.nbytes] = data.tobytes()
+    buf[dset_addr : dset_addr + len(dset)] = dset
+    buf[root_addr : root_addr + len(root)] = root
+
+    p = str(tmp_path / "v3.h5")
+    open(p, "wb").write(bytes(buf))
+    ds = hdf5.read(p)
+    assert ds.variables["v"].data.tolist() == [0, 1, 2, 3, 4]
+    assert ds.variables["v"].dimensions == ("phony_dim_0",)
+    assert ds.dimensions == {"phony_dim_0": 5}
+
+
+def test_parse_big_endian_datatypes():
+    # external writers may store big-endian payloads; the datatype parser
+    # must honor the byte-order bit (spec class 0/1 bit field, bit 0)
+    import struct as _s
+
+    from ophidia_server_spark.sources.hdf5 import _parse_datatype
+
+    be_int = _s.pack("<B3BI", 0x10, 0x09, 0, 0, 4) + _s.pack("<HH", 0, 32)
+    dt, used = _parse_datatype(be_int, 0)
+    assert dt.np_dtype == np.dtype(">i4") and used == 12
+
+    be_f8 = (
+        _s.pack("<B3BI", 0x11, 0x21, 63, 0, 8)
+        + _s.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    )
+    dt, used = _parse_datatype(be_f8, 0)
+    assert dt.np_dtype == np.dtype(">f8") and used == 20
