@@ -576,10 +576,10 @@ def read(path: str) -> Dataset:
 
     def collect(g: _Obj, prefix: str):
         for c in g.children:
-            full = c.name if not prefix else f"{prefix}/{c.name}"
-            addr_name[c.addr] = full
+            c.name = c.name if not prefix else f"{prefix}/{c.name}"
+            addr_name[c.addr] = c.name
             if c.is_group:
-                collect(c, full)
+                collect(c, c.name)
             else:
                 datasets.append(c)
 

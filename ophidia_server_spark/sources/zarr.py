@@ -152,10 +152,21 @@ def read(path: str) -> Dataset:
             k[: -len("/.zarray")] for k in consolidated if k.endswith("/.zarray")
         )
     else:
-        names = sorted(
-            n for n in os.listdir(path)
-            if os.path.exists(os.path.join(path, n, ".zarray"))
-        )
+        # walk nested groups (directories with .zgroup): array names become
+        # their slash-joined store paths, mirroring consolidated-key naming
+        names = []
+
+        def walk(rel: str):
+            base = os.path.join(path, rel) if rel else path
+            for n in sorted(os.listdir(base)):
+                sub = os.path.join(base, n)
+                full = f"{rel}/{n}" if rel else n
+                if os.path.exists(os.path.join(sub, ".zarray")):
+                    names.append(full)
+                elif os.path.exists(os.path.join(sub, ".zgroup")):
+                    walk(full)
+
+        walk("")
     if not names:
         raise ZarrError(f"no Zarr arrays found under {path!r}")
 

@@ -325,3 +325,47 @@ def test_parse_big_endian_datatypes():
     )
     dt, used = _parse_datatype(be_f8, 0)
     assert dt.np_dtype == np.dtype(">f8") and used == 20
+
+
+def test_read_nested_groups_v2_headers(tmp_path):
+    # nested netCDF-4 groups: a root OHDR links to a GROUP header which
+    # links to the dataset — names become slash-joined paths
+    import struct as _s
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+
+    def ohdr(messages: bytes) -> bytes:
+        return _s.pack("<4sBBB", b"OHDR", 2, 0, len(messages)) + messages + b"\x00" * 4
+
+    def msg(mtype: int, data: bytes) -> bytes:
+        return _s.pack("<BHB", mtype, len(data), 0) + data
+
+    def hard_link(name: bytes, addr: int) -> bytes:
+        return msg(0x06, _s.pack("<BB", 1, 0) + bytes([len(name)]) + name + _s.pack("<Q", addr))
+
+    data = np.array([4.0, 5.0], "<f8")
+    data_addr, dset_addr, grp_addr, root_addr = 256, 320, 512, 640
+
+    dt = _s.pack("<B3BI", 0x11, 0x20, 63, 0, 8) + _s.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    sp = _s.pack("<BBBB", 2, 1, 0, 1) + _s.pack("<Q", 2)
+    lay = _s.pack("<BBQQ", 3, 1, data_addr, data.nbytes)
+    dset = ohdr(msg(0x01, sp) + msg(0x03, dt) + msg(0x08, lay))
+    grp = ohdr(hard_link(b"v", dset_addr))
+    root = ohdr(hard_link(b"sub", grp_addr))
+
+    eof = root_addr + len(root)
+    sb = b"\x89HDF\r\n\x1a\n" + _s.pack("<BBBB", 3, 8, 8, 0)
+    sb += _s.pack("<QQQQ", 0, UNDEF, eof, root_addr) + b"\x00" * 4
+
+    buf = bytearray(eof)
+    buf[: len(sb)] = sb
+    buf[data_addr : data_addr + data.nbytes] = data.tobytes()
+    buf[dset_addr : dset_addr + len(dset)] = dset
+    buf[grp_addr : grp_addr + len(grp)] = grp
+    buf[root_addr : root_addr + len(root)] = root
+    p = str(tmp_path / "nested.h5")
+    open(p, "wb").write(bytes(buf))
+
+    ds = hdf5.read(p)
+    assert "sub/v" in ds.variables
+    assert ds.variables["sub/v"].data.tolist() == [4.0, 5.0]

@@ -195,3 +195,27 @@ def test_zero_length_arrays_roundtrip(tmp_path):
     zr.write(store, ds)
     back = zr.read(store)
     assert back.variables["m"].data.shape == (0, 3)
+
+
+def test_nested_group_store(tmp_path):
+    # arrays inside nested groups (directories with .zgroup) surface under
+    # their slash-joined store path, as consolidated metadata names them
+    store = str(tmp_path / "nested")
+    os.makedirs(os.path.join(store, "model", "run1"))
+    json.dump({"zarr_format": 2}, open(os.path.join(store, ".zgroup"), "w"))
+    json.dump({"zarr_format": 2}, open(os.path.join(store, "model", ".zgroup"), "w"))
+    adir = os.path.join(store, "model", "run1")
+    json.dump(
+        {
+            "zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+            "compressor": None, "fill_value": 0, "order": "C", "filters": None,
+        },
+        open(os.path.join(adir, ".zarray"), "w"),
+    )
+    json.dump({"_ARRAY_DIMENSIONS": ["x"]}, open(os.path.join(adir, ".zattrs"), "w"))
+    open(os.path.join(adir, "0"), "wb").write(
+        np.array([1.0, 2.0, 3.0]).tobytes()
+    )
+    ds = zr.read(store)
+    assert list(ds.variables) == ["model/run1"]
+    assert ds.variables["model/run1"].data.tolist() == [1.0, 2.0, 3.0]
