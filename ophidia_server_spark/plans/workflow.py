@@ -867,8 +867,15 @@ class WorkflowEngine:
                     set_args = args
                     if op == "oph_input":
                         wid = str(args.get("id", "")).strip()
-                        if wid and float(wid) < 0:
-                            raise WorkflowError(f"Wrong workflow identifier '{wid}'!")
+                        if wid:
+                            try:
+                                wid_ok = float(wid) >= 0
+                            except ValueError:
+                                wid_ok = False
+                            if not wid_ok:
+                                raise WorkflowError(
+                                    f"Wrong workflow identifier '{wid}'!"
+                                )
                         action = str(args.get("action", "")).lower()
                         if action and action not in ("continue", "wait", "abort"):
                             raise WorkflowError(f"Wrong action '{action}'!")
