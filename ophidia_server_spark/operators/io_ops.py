@@ -192,6 +192,7 @@ def oph_importnc(
 def oph_importzarr(
     spark: SparkSession, store: str, measure: str,
     explicit_dims: list[str], implicit_dim: str,
+    subset: dict | None = None, subset_type: str = "coord",
 ) -> Cube:
     """Zarr v2 store -> cube (modern CMIP6 cloud archives publish Zarr; the
     chunk-per-object layout IS the reference's fragment model,
@@ -201,7 +202,16 @@ def oph_importzarr(
     coordinate arrays (KBs); the measure chunks — the actual data — fan out
     one task per chunk key via mapInPandas, each task decompressing exactly
     its own chunk file. Import parallelism therefore equals the store's
-    chunk count regardless of array size, with zero driver-side data."""
+    chunk count regardless of array size, with zero driver-side data.
+
+    `subset`/`subset_type` apply the import-time hyperslab (the oph_importnc
+    subset_dims/subset_filter semantics) with CHUNK-LEVEL PRUNING: the
+    per-dim keep mask is computed driver-side on the (tiny) coordinates, any
+    chunk whose index range contains no kept index is dropped from the task
+    list before a single task launches, and surviving chunks slice in numpy
+    before rows materialize — the object-store analogue of parquet partition
+    pruning, so a time-range query over a 100 TB store reads only the
+    chunks the range touches."""
     import itertools
 
     from ophidia_server_spark.sources import zarr as zr
@@ -228,8 +238,37 @@ def oph_importzarr(
         else:
             coords[d] = np.arange(za.shape[i], dtype="float64")
 
+    # per-dim keep masks (hyperslab), then chunk-level pruning: a chunk
+    # survives only if every dim's index range intersects its keep mask
+    keep = {}
+    for i, d in enumerate(dims):
+        if subset and d in subset:
+            keep[i] = np.flatnonzero(
+                _hyperslab_mask(coords[d], subset[d], subset_type)
+            )
+        else:
+            keep[i] = None  # all kept
+
+    def chunk_survives(idx: tuple[int, ...]) -> bool:
+        for i, (ci, c) in enumerate(zip(idx, za.chunks)):
+            k = keep[i]
+            if k is not None:
+                lo, hi = ci * c, min((ci + 1) * c, za.shape[i])
+                if not ((k >= lo) & (k < hi)).any():
+                    return False
+        return True
+
     grid = [range((s + c - 1) // c) for s, c in zip(za.shape, za.chunks)] or [range(1)]
-    keys = [".".join(map(str, idx)) or "0" for idx in itertools.product(*grid)]
+    keys = [
+        ".".join(map(str, idx)) or "0"
+        for idx in itertools.product(*grid)
+        if chunk_survives(idx)
+    ]
+    if not keys:
+        empty = spark.createDataFrame(
+            [], ", ".join([f"{d} double" for d in explicit_dims + [implicit_dim]] + [f"{measure} double"])
+        )
+        return build_cube(empty, explicit_dims, implicit_dim, F.col(measure), measure=measure)
     files = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
         min(len(keys), 64)
     )
@@ -258,7 +297,15 @@ def oph_importzarr(
                 chunk = chunk[
                     tuple(slice(0, sl.stop - sl.start) for sl in sel)
                 ].astype("float64")
-                cslices = [coords[d][sl] for d, sl in zip(dims, sel)]
+                cslices = []
+                for axis, (d, sl) in enumerate(zip(dims, sel)):
+                    k = keep[axis]
+                    if k is None:
+                        idxs = np.arange(sl.start, sl.stop)
+                    else:  # hyperslab: keep only selected indices in-range
+                        idxs = k[(k >= sl.start) & (k < sl.stop)]
+                    chunk = np.take(chunk, idxs - sl.start, axis=axis)
+                    cslices.append(coords[d][idxs])
                 grids = np.meshgrid(*cslices, indexing="ij")
                 out = {d: g.ravel() for d, g in zip(dims, grids)}
                 out[measure] = chunk.ravel()

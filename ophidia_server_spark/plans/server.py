@@ -421,10 +421,17 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         return IO.oph_explorenc(spark, str(args["src_path"]), args.get("measure"))
 
     def op_importzarr(engine, args, inputs):
+        subset = None
+        if args.get("subset_dims"):
+            dims = str(args["subset_dims"]).split("|")
+            filts = str(args.get("subset_filter", "")).split("|")
+            subset = dict(zip(dims, filts))
         cube = IO.oph_importzarr(
             spark, str(args["src_path"]), args["measure"],
             explicit_dims=[d for d in str(args.get("explicit_dims", "")).split("|") if d],
             implicit_dim=args["implicit_dim"],
+            subset=subset,
+            subset_type=str(args.get("subset_type", "coord")),
         )
         return store.register(cube, args.get("container", "default"), task="importzarr")
 

@@ -949,6 +949,48 @@ def io_zarr_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "io_zarr_subset_import",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+FROM lineitem
+WHERE month(l_shipdate) BETWEEN 4 AND 9
+GROUP BY 1, 2""",
+)
+def io_zarr_subset_import(spark, sf_dir):
+    """Zarr import-time hyperslab with chunk-level pruning: the store is
+    chunked one-chunk-per-linenumber x month; the month range drops the
+    out-of-range cells inside each chunk and (were the split dim subset) the
+    chunks themselves before any task launches — the object-store analogue
+    of parquet partition pruning (io_ops.oph_importzarr subset=)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_discount").cast(DEC), measure="disc"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_sub_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(cube, store, compress=3, per_dim_chunks=True)
+    c2 = io_ops.oph_importzarr(
+        spark, store, "disc", ["l_linenumber"], "month",
+        subset={"month": "4:9"}, subset_type="coord",
+    )
+    return (
+        c2.long()
+        .filter(~F.isnan("disc"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("disc"), 2).cast("double").alias("disc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # massive-filter / catalog queries  (§2.B selection algebra)
 # ---------------------------------------------------------------------------

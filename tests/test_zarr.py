@@ -219,3 +219,38 @@ def test_nested_group_store(tmp_path):
     ds = zr.read(store)
     assert list(ds.variables) == ["model/run1"]
     assert ds.variables["model/run1"].data.tolist() == [1.0, 2.0, 3.0]
+
+
+def test_spark_import_hyperslab_prunes_chunks(spark, tmp_path):
+    # import-time hyperslab with chunk-level pruning: a time range touching
+    # only chunk row 0 must drop chunk keys 1.* from the task list entirely
+    from ophidia_server_spark.operators import io_ops
+
+    store, tas, t = _handmade_store(tmp_path)  # 4x3, chunks 2x2, t=[0,6,12,18]
+    cube = io_ops.oph_importzarr(
+        spark, store, "tas", ["time"], "lat",
+        subset={"time": "0:6"}, subset_type="coord",
+    )
+    rows = {(r["time"], r["lat"], r["tas"]) for r in cube.long().collect()}
+    want = {
+        (t[i], float(j), float(tas[i, j])) for i in range(2) for j in range(3)
+    }
+    assert rows == want  # times 0.0 and 6.0 only
+
+    # index-type subset: 1-based rows 2:3 -> times 6.0 and 12.0
+    cube3 = io_ops.oph_importzarr(
+        spark, store, "tas", ["time"], "lat",
+        subset={"time": "2:3"}, subset_type="index",
+    )
+    got3 = {r["time"] for r in cube3.long().collect()}
+    assert got3 == {6.0, 12.0}
+
+    # pruning is observable: delete the out-of-range chunks — the subset
+    # import must succeed without ever opening them
+    os.remove(os.path.join(store, "tas", "1.0"))
+    os.remove(os.path.join(store, "tas", "1.1"))
+    cube2 = io_ops.oph_importzarr(
+        spark, store, "tas", ["time"], "lat",
+        subset={"time": "0:6"}, subset_type="coord",
+    )
+    assert {(r["time"], r["lat"], r["tas"]) for r in cube2.long().collect()} == want
