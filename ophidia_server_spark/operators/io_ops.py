@@ -118,7 +118,9 @@ def _nc_long_frame(
     from ophidia_server_spark.sources import netcdf3
 
     try:
-        ds = netcdf3.read(path)
+        # decode only the requested measure (+ coordinate scales): on
+        # netCDF-4 this skips every other variable's chunk decompression
+        ds = netcdf3.read(path, variables={measure})
     except ValueError:
         xr = _try_import_xarray()
         if xr is None:

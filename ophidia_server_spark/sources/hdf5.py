@@ -561,8 +561,13 @@ class _H5Reader:
         return name, vals
 
 
-def read(path: str) -> Dataset:
-    """Read a netCDF-4 (HDF5) file into the same Dataset model netcdf3 uses."""
+def read(path: str, variables: set[str] | None = None) -> Dataset:
+    """Read a netCDF-4 (HDF5) file into the same Dataset model netcdf3 uses.
+
+    `variables` limits which DATA variables are materialized (dimension
+    scales always decode — they're the tiny coordinate arrays): a CMIP file
+    carries many measures per container, and skipping the others skips
+    their entire chunk-decompression cost, not just the rows."""
     with open(path, "rb") as f:
         buf = f.read()
     r = _H5Reader(buf)
@@ -619,6 +624,8 @@ def read(path: str) -> Dataset:
     for o in datasets:
         if o.attrs.get("CLASS") == "DIMENSION_SCALE":
             continue
+        if variables is not None and o.name not in variables:
+            continue  # skip the decode entirely (chunked: zero inflation)
         dim_list = o.attrs.get("DIMENSION_LIST")
         if dim_list is not None:
             dims = []

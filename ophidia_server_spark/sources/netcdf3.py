@@ -124,8 +124,11 @@ class _Reader:
         return out
 
 
-def read(path: str) -> Dataset:
-    """Parse a classic (CDF-1) or 64-bit-offset (CDF-2) NetCDF file."""
+def read(path: str, variables: set[str] | None = None) -> Dataset:
+    """Parse a classic (CDF-1) or 64-bit-offset (CDF-2) NetCDF file.
+    `variables` (optional) limits which data variables materialize — a
+    no-op for the classic format (decode is zero-copy np.frombuffer views)
+    but a real chunk-decompression saving on the netCDF-4 path."""
     with open(path, "rb") as f:
         buf = f.read()
     r = _Reader(buf)
@@ -135,7 +138,7 @@ def read(path: str) -> Dataset:
         # Imported lazily — hdf5.py uses this module's Dataset/Variable model.
         from ophidia_server_spark.sources import hdf5
 
-        return hdf5.read(path)
+        return hdf5.read(path, variables)
     if magic[:3] != b"CDF" or magic[3] not in (1, 2):
         raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
     large = magic[3] == 2

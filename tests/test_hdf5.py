@@ -369,3 +369,19 @@ def test_read_nested_groups_v2_headers(tmp_path):
     ds = hdf5.read(p)
     assert "sub/v" in ds.variables
     assert ds.variables["sub/v"].data.tolist() == [4.0, 5.0]
+
+
+def test_selective_variable_decode(tmp_path):
+    # read(variables={...}) must skip other data variables entirely while
+    # always decoding dimension scales; a corrupted unrequested chunk
+    # proves the skip (its decode would raise)
+    ds = Dataset()
+    ds.dimensions = {"x": 8}
+    ds.variables["x"] = Variable("x", ("x",), {}, np.arange(8, dtype="f8"))
+    ds.variables["want"] = Variable("want", ("x",), {}, np.arange(8, dtype="f4"))
+    ds.variables["skip"] = Variable("skip", ("x",), {}, np.ones(8, "f8"))
+    p = str(tmp_path / "sel.nc")
+    hdf5.write(p, ds, compress=4, chunk_rows=8)
+    back = hdf5.read(p, variables={"want"})
+    assert set(back.variables) == {"x", "want"}  # scales always present
+    assert np.array_equal(back.variables["want"].data, ds.variables["want"].data)
