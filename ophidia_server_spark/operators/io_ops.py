@@ -117,10 +117,20 @@ def _nc_long_frame(
 
     from ophidia_server_spark.sources import netcdf3
 
+    with open(path, "rb") as _fh:
+        is_h5 = _fh.read(4) == b"\x89HDF"
+    codec_sliced = bool(is_h5 and subset)
     try:
         # decode only the requested measure (+ coordinate scales): on
-        # netCDF-4 this skips every other variable's chunk decompression
-        ds = netcdf3.read(path, variables={measure})
+        # netCDF-4 this skips every other variable's chunk decompression,
+        # and the hyperslab prunes whole chunks inside the codec (classic
+        # files slice below instead — their decode is zero-copy views)
+        ds = netcdf3.read(
+            path, variables={measure},
+            subset=subset if codec_sliced else None,
+            subset_type=subset_type,
+            mask_fn=_hyperslab_mask if codec_sliced else None,
+        )
     except ValueError:
         xr = _try_import_xarray()
         if xr is None:
@@ -141,7 +151,7 @@ def _nc_long_frame(
             c = np.asarray(cv.data, dtype="float64")
         else:
             c = np.arange(v.data.shape[i], dtype="float64")
-        if subset and d in subset:
+        if subset and d in subset and not codec_sliced:
             m = _hyperslab_mask(c, subset[d], subset_type)
             keep.append(np.flatnonzero(m))
             c = c[m]
@@ -149,7 +159,7 @@ def _nc_long_frame(
             keep.append(np.arange(len(c)))
         coords.append(c)
     data = np.asarray(v.data, dtype="float64")
-    if subset:
+    if subset and not codec_sliced:
         data = data[np.ix_(*keep)]
     grids = np.meshgrid(*coords, indexing="ij") if coords else []
     out = {d: g.ravel() for d, g in zip(v.dimensions, grids)}

@@ -452,27 +452,53 @@ class _H5Reader:
 
         yield from walk(btree_addr)
 
-    def read_data(self, obj: _Obj) -> np.ndarray:
+    def read_data(self, obj: _Obj, axis_keep: list | None = None) -> np.ndarray:
+        """Materialize a dataset. `axis_keep` (optional) holds one entry per
+        axis — None (keep all) or a sorted np.ndarray of kept indices. On
+        chunked layout, chunks whose index range misses every kept index are
+        never decompressed (import-time hyperslab pruning)."""
         dt = obj.dtype
         if dt is None or dt.np_dtype is None:
             raise Hdf5Error(f"dataset {obj.name!r} has an unsupported datatype")
         shape = tuple(obj.dims)
         kind = obj.layout[0] if obj.layout else None
+
+        def sliced(arr: np.ndarray) -> np.ndarray:
+            if axis_keep:
+                for ax, k in enumerate(axis_keep):
+                    if k is not None:
+                        arr = np.take(arr, k, axis=ax)
+            return arr
+
         if kind == "compact":
             raw = obj.layout[1]
-            return np.frombuffer(raw, dt.np_dtype)[: int(np.prod(shape, dtype=np.int64))].reshape(shape)
+            return sliced(
+                np.frombuffer(raw, dt.np_dtype)[
+                    : int(np.prod(shape, dtype=np.int64))
+                ].reshape(shape)
+            )
         if kind == "contiguous":
             addr, size = obj.layout[1], obj.layout[2]
             if addr == UNDEF:       # never allocated: all fill (zeros)
-                return np.zeros(shape, dt.np_dtype)
+                return sliced(np.zeros(shape, dt.np_dtype))
             raw = self.buf[self.at(addr) : self.at(addr) + size]
-            return np.frombuffer(raw, dt.np_dtype)[: int(np.prod(shape, dtype=np.int64))].reshape(shape)
+            return sliced(
+                np.frombuffer(raw, dt.np_dtype)[
+                    : int(np.prod(shape, dtype=np.int64))
+                ].reshape(shape)
+            )
         if kind == "chunked":
             btree, cdims = obj.layout[1], obj.layout[2]
             chunk_shape = cdims[:-1]    # last entry is the element size
             out = np.zeros(shape, dt.np_dtype)
             if btree != UNDEF:
                 for csize, mask, offs, caddr in self._chunk_entries(btree, len(cdims)):
+                    if axis_keep and any(
+                        k is not None
+                        and not ((k >= o) & (k < min(o + c, s))).any()
+                        for k, o, c, s in zip(axis_keep, offs, chunk_shape, shape)
+                    ):
+                        continue    # pruned: this chunk never inflates
                     raw = self.buf[self.at(caddr) : self.at(caddr) + csize]
                     if obj.filters and not mask:
                         raw = self._defilter(raw, obj.filters)
@@ -485,7 +511,7 @@ class _H5Reader:
                     )
                     csel = tuple(slice(0, s.stop - s.start) for s in sel)
                     out[sel] = chunk[csel]
-            return out
+            return sliced(out)
         raise Hdf5Error(f"dataset {obj.name!r} has no data layout")
 
     # -- attribute values ---------------------------------------------------
@@ -561,13 +587,24 @@ class _H5Reader:
         return name, vals
 
 
-def read(path: str, variables: set[str] | None = None) -> Dataset:
+def read(
+    path: str, variables: set[str] | None = None,
+    subset: dict | None = None, subset_type: str = "coord",
+    mask_fn=None,
+) -> Dataset:
     """Read a netCDF-4 (HDF5) file into the same Dataset model netcdf3 uses.
 
     `variables` limits which DATA variables are materialized (dimension
     scales always decode — they're the tiny coordinate arrays): a CMIP file
     carries many measures per container, and skipping the others skips
-    their entire chunk-decompression cost, not just the rows."""
+    their entire chunk-decompression cost, not just the rows.
+
+    `subset` maps dim name -> subset spec, evaluated by `mask_fn(coords,
+    spec, subset_type)` over each dim's coordinate array (io_ops passes its
+    hyperslab parser). The keep-indices prune at CHUNK level: a chunk whose
+    index range misses the selection is never decompressed, and scales/
+    variables come back already sliced — the import-time hyperslab for
+    chunked containers."""
     with open(path, "rb") as f:
         buf = f.read()
     r = _H5Reader(buf)
@@ -621,6 +658,23 @@ def read(path: str, variables: set[str] | None = None) -> Dataset:
                     data=r.read_data(o),
                 )
 
+    # per-dim keep indices from the subset (needs the decoded coordinates);
+    # coordinate variables and dimension sizes come back already sliced
+    keep: dict[str, "np.ndarray"] = {}
+    if subset:
+        for d, spec in subset.items():
+            cv = ds.variables.get(d)
+            coord = (
+                np.asarray(cv.data, "float64")
+                if cv is not None
+                else np.arange(ds.dimensions.get(d) or 0, dtype="float64")
+            )
+            keep[d] = np.flatnonzero(mask_fn(coord, spec, subset_type))
+            if d in ds.dimensions and ds.dimensions[d] is not None:
+                ds.dimensions[d] = int(len(keep[d]))
+            if cv is not None:
+                cv.data = np.take(cv.data, keep[d])
+
     for o in datasets:
         if o.attrs.get("CLASS") == "DIMENSION_SCALE":
             continue
@@ -638,6 +692,7 @@ def read(path: str, variables: set[str] | None = None) -> Dataset:
             dims = tuple(f"phony_dim_{i}" for i in range(len(o.dims)))
             for nm, sz in zip(dims, o.dims):
                 ds.dimensions.setdefault(nm, sz)
+        axis_keep = [keep.get(d) for d in dims] if keep else None
         ds.variables[o.name] = Variable(
             name=o.name,
             dimensions=dims,
@@ -645,7 +700,7 @@ def read(path: str, variables: set[str] | None = None) -> Dataset:
                 k: v for k, v in o.attrs.items()
                 if k not in _HIDDEN_ATTRS and v is not None
             },
-            data=r.read_data(o),
+            data=r.read_data(o, axis_keep),
         )
     return ds
 

@@ -124,11 +124,16 @@ class _Reader:
         return out
 
 
-def read(path: str, variables: set[str] | None = None) -> Dataset:
+def read(
+    path: str, variables: set[str] | None = None,
+    subset: dict | None = None, subset_type: str = "coord", mask_fn=None,
+) -> Dataset:
     """Parse a classic (CDF-1) or 64-bit-offset (CDF-2) NetCDF file.
     `variables` (optional) limits which data variables materialize — a
     no-op for the classic format (decode is zero-copy np.frombuffer views)
-    but a real chunk-decompression saving on the netCDF-4 path."""
+    but a real chunk-decompression saving on the netCDF-4 path, where
+    `subset`/`subset_type`/`mask_fn` additionally prune whole chunks
+    (hdf5.read docstring); classic callers apply their own numpy slicing."""
     with open(path, "rb") as f:
         buf = f.read()
     r = _Reader(buf)
@@ -138,7 +143,7 @@ def read(path: str, variables: set[str] | None = None) -> Dataset:
         # Imported lazily — hdf5.py uses this module's Dataset/Variable model.
         from ophidia_server_spark.sources import hdf5
 
-        return hdf5.read(path, variables)
+        return hdf5.read(path, variables, subset, subset_type, mask_fn)
     if magic[:3] != b"CDF" or magic[3] not in (1, 2):
         raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
     large = magic[3] == 2

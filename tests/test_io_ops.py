@@ -238,3 +238,84 @@ def test_exportnc_netcdf4_roundtrip(spark, tmp_path):
     assert rows == {
         (float(g), float(t), float(g * 10 + t)) for g in range(3) for t in range(4)
     }
+
+
+def test_importnc_netcdf4_hyperslab_prunes_chunks(spark, tmp_path):
+    # netCDF-4 hyperslab: the codec prunes whole chunks — observable by
+    # corrupting an out-of-range chunk's bytes (its inflation would raise)
+    import numpy as np
+
+    from ophidia_server_spark.sources import hdf5, netcdf3 as nc
+
+    ds = nc.Dataset()
+    ds.dimensions = {"lat": 2, "time": 8}
+    ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([10.0, 20.0]))
+    ds.variables["time"] = nc.Variable(
+        "time", ("time",), {}, np.arange(1.0, 9.0)
+    )
+    ds.variables["tas"] = nc.Variable(
+        "tas", ("lat", "time"), {}, np.arange(16, dtype="float64").reshape(2, 8)
+    )
+    p = str(tmp_path / "slab4.nc")
+    # chunk_rows=1 over dim lat -> whole-time chunks; re-chunk by writing
+    # time-major instead: transpose so time is first and chunks split time
+    ds2 = nc.Dataset()
+    ds2.dimensions = {"time": 8, "lat": 2}
+    ds2.variables["time"] = ds.variables["time"]
+    ds2.variables["lat"] = ds.variables["lat"]
+    ds2.variables["tas"] = nc.Variable(
+        "tas", ("time", "lat"), {},
+        np.arange(16, dtype="float64").reshape(2, 8).T.copy(),
+    )
+    hdf5.write(p, ds2, compress=4, chunk_rows=2)  # 4 chunks of 2 time rows
+
+    cube = io_ops.oph_importnc(
+        spark, [p], "tas", ["time"], "lat",
+        subset={"time": "1:4"}, subset_type="coord",
+    )
+    rows = {(r["time"], r["lat"], r["tas"]) for r in cube.long().collect()}
+    base = np.arange(16, dtype="float64").reshape(2, 8)
+    want = {
+        (float(t + 1), [10.0, 20.0][la], float(base[la, t]))
+        for t in range(4) for la in range(2)
+    }
+    assert rows == want
+
+    # corrupt the LAST chunk (times 7,8 — outside 1:4): find its compressed
+    # bytes via the chunk B-tree and zero them; the subset import must still
+    # succeed because that chunk is pruned before inflation
+    import struct as _s
+
+    buf = bytearray(open(p, "rb").read())
+    i = -1
+    last = None
+    while True:
+        i = buf.find(b"TREE", i + 1)
+        if i < 0:
+            break
+        if buf[i + 4] == 1:
+            used = _s.unpack_from("<H", buf, i + 6)[0]
+            q = i + 24
+            key_len = 8 + 8 * 3
+            for _ in range(used):
+                csize = _s.unpack_from("<I", buf, q)[0]
+                offs0 = _s.unpack_from("<Q", buf, q + 8)[0]
+                caddr = _s.unpack_from("<Q", buf, q + key_len)[0]
+                if offs0 == 6:  # chunk starting at time index 6
+                    last = (caddr, csize)
+                q += key_len + 8
+    assert last is not None
+    caddr, csize = last
+    buf[caddr : caddr + csize] = b"\x00" * csize
+    open(p, "wb").write(bytes(buf))
+
+    cube2 = io_ops.oph_importnc(
+        spark, [p], "tas", ["time"], "lat",
+        subset={"time": "1:4"}, subset_type="coord",
+    )
+    assert {(r["time"], r["lat"], r["tas"]) for r in cube2.long().collect()} == want
+    # and WITHOUT the subset the corrupt chunk is read -> decode fails
+    import pytest
+
+    with pytest.raises(Exception):
+        io_ops.oph_importnc(spark, [p], "tas", ["time"], "lat").long().collect()
