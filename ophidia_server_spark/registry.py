@@ -39,7 +39,7 @@ from ophidia_server_spark.pipeline import similarity as sim
 from ophidia_server_spark.pipeline import text as tx
 from ophidia_server_spark.pipeline import vector_store as vs
 from ophidia_server_spark.plans.workflow import WorkflowEngine
-from ophidia_server_spark.session import load_tables
+from ophidia_server_spark.session import load_tables, ship_package
 from ophidia_server_spark.streaming import windows as win
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -57,7 +57,16 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def q(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver hands us its own session (get_spark may never run);
+            # ship the package so executor-side codec imports resolve off the
+            # pyFiles dir instead of the driver's cwd. Idempotent per-context.
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -9,10 +9,49 @@ the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+PKG_ZIP_NAME = "ophidia_server_spark_pkg.zip"
+
+
+def _build_pkg_zip() -> str:
+    """Zip this package into a stable temp path for sc.addPyFile.
+
+    Executor-side code (the mapInPandas codec closures in io_ops/multimodal,
+    registry's to_png) does `import ophidia_server_spark` inside the task; on
+    a real cluster that import must resolve from the shipped pyFiles, not the
+    driver's cwd. The zip roots the package directory itself so the executors'
+    unpacked pyFiles dir acts as the package parent.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(), PKG_ZIP_NAME)
+    tmp_path = zip_path + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    os.replace(tmp_path, zip_path)  # atomic vs concurrent sessions
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Register the package zip with the context (idempotent per-context)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ophidia_pkg_shipped", False):
+        return
+    sc.addPyFile(_build_pkg_zip())
+    sc._ophidia_pkg_shipped = True
 
 
 def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | None = None) -> SparkSession:
@@ -52,6 +91,7 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         builder = builder.master("local[*]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
 
 
