@@ -410,8 +410,12 @@ class _H5Reader:
             out.append((fid, cvals))
         return out
 
-    def _defilter(self, raw: bytes, filters) -> bytes:
-        for fid, cvals in reversed(filters):
+    def _defilter(self, raw: bytes, filters, mask: int = 0) -> bytes:
+        # mask is the chunk's per-filter skip bitmask: bit i set means filter i
+        # (pipeline order) was skipped at write time and must not be reversed.
+        for i, (fid, cvals) in reversed(list(enumerate(filters))):
+            if mask & (1 << i):
+                continue
             if fid == 1:            # deflate
                 raw = zlib.decompress(raw)
             elif fid == 2:          # shuffle
@@ -500,8 +504,8 @@ class _H5Reader:
                     ):
                         continue    # pruned: this chunk never inflates
                     raw = self.buf[self.at(caddr) : self.at(caddr) + csize]
-                    if obj.filters and not mask:
-                        raw = self._defilter(raw, obj.filters)
+                    if obj.filters:
+                        raw = self._defilter(raw, obj.filters, mask)
                     chunk = np.frombuffer(raw, dt.np_dtype)[
                         : int(np.prod(chunk_shape, dtype=np.int64))
                     ].reshape(chunk_shape)
@@ -634,6 +638,7 @@ def read(
 
     # dimension scales define the dims; phony scales carry no variable
     scales = {}
+    dim_cur_size: dict[str, int] = {}
     for o in datasets:
         cls = o.attrs.get("CLASS")
         if cls == "DIMENSION_SCALE":
@@ -642,6 +647,7 @@ def read(
             # mirror netcdf3.read: unlimited (record) dims surface as None,
             # the actual record count rides on each variable's shape
             ds.dimensions[o.name] = None if unlimited else size
+            dim_cur_size[o.name] = size  # current extent even when unlimited
             scales[o.addr] = o.name
             nm = o.attrs.get("NAME")
             phony = isinstance(nm, str) and nm.startswith(
@@ -664,10 +670,14 @@ def read(
     if subset:
         for d, spec in subset.items():
             cv = ds.variables.get(d)
+            # no-coordinate fallback: index positions; unlimited (record) dims
+            # store None in ds.dimensions, so resolve their current extent from
+            # the dimension-scale dataset itself rather than dropping all rows
+            fallback_n = ds.dimensions.get(d) or dim_cur_size.get(d) or 0
             coord = (
                 np.asarray(cv.data, "float64")
                 if cv is not None
-                else np.arange(ds.dimensions.get(d) or 0, dtype="float64")
+                else np.arange(fallback_n, dtype="float64")
             )
             keep[d] = np.flatnonzero(mask_fn(coord, spec, subset_type))
             if d in ds.dimensions and ds.dimensions[d] is not None:

@@ -85,6 +85,35 @@ def _load_zarray(meta: dict) -> ZArray:
     )
 
 
+def _resolve_fill(fill, dtype: "np.dtype"):
+    """Translate a Zarr v2 JSON fill_value into a numpy scalar for `dtype`.
+
+    Spec (v2 §fill-value): null means undefined — missing chunks then have no
+    mandated content; we materialize them as zeros. Float/complex specials
+    encode as the strings "NaN"/"Infinity"/"-Infinity"; for "S"/"V" dtypes a
+    string fill is the base64 encoding of the raw bytes.
+    """
+    if fill is None:
+        return 0
+    if isinstance(fill, str):
+        if dtype.kind in "fc":
+            specials = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}
+            if fill in specials:
+                return specials[fill]
+            raise ZarrError(f"unsupported string fill_value {fill!r} for dtype {dtype}")
+        if dtype.kind in "SV":
+            import base64
+
+            try:
+                return base64.b64decode(fill)
+            except Exception as exc:
+                raise ZarrError(f"fill_value {fill!r} is not valid base64 for dtype {dtype}") from exc
+        if dtype.kind == "U":
+            return fill
+        raise ZarrError(f"string fill_value {fill!r} invalid for dtype {dtype}")
+    return fill
+
+
 def read_array(store: str, name: str, meta: dict | None = None,
                attrs: dict | None = None) -> tuple[np.ndarray, dict]:
     """Decode one Zarr array (all chunks) from a directory store."""
@@ -99,12 +128,7 @@ def read_array(store: str, name: str, meta: dict | None = None,
         if os.path.exists(apath):
             with open(apath) as fh:
                 attrs = json.load(fh)
-    fill = za.fill_value
-    if fill is None or (isinstance(fill, str) and za.dtype.kind == "f"):
-        # spec: "NaN"/"Infinity"/"-Infinity" encode as strings in JSON
-        fill = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}.get(
-            fill, 0
-        ) if isinstance(fill, str) else 0
+    fill = _resolve_fill(za.fill_value, za.dtype)
     out = np.full(za.shape, fill, za.dtype) if za.shape else np.zeros((), za.dtype)
     grid = [
         range((s + c - 1) // c) for s, c in zip(za.shape, za.chunks)

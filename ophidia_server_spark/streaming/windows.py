@@ -488,6 +488,13 @@ def stream_stream_join(
 
     With Trigger.AvailableNow the appended pairs equal the batch interval
     join, which is what the DuckDB oracle checks."""
+    # watermark delay must dominate the join bound or matching rows get
+    # evicted from state before their partner arrives: within + 100% slack
+    # for cross-stream lateness (pandas parses the same interval grammar)
+    import pandas as pd
+
+    delay = f"{int(pd.Timedelta(within).total_seconds() * 2)} seconds"
+
     def side(tp: str, prefix: str):
         s = _event_time(spark.readStream.schema(schema).parquet(parquet_path), ts_col)
         return (
@@ -497,7 +504,7 @@ def stream_stream_join(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col(ts_col).alias(f"{prefix}_ts"),
             )
-            .withWatermark(f"{prefix}_ts", "2 hours")
+            .withWatermark(f"{prefix}_ts", delay)
         )
 
     a, b = side(left_type, "l"), side(right_type, "r")

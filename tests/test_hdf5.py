@@ -385,3 +385,45 @@ def test_selective_variable_decode(tmp_path):
     back = hdf5.read(p, variables={"want"})
     assert set(back.variables) == {"x", "want"}  # scales always present
     assert np.array_equal(back.variables["want"].data, ds.variables["want"].data)
+
+
+def test_filter_mask_skips_only_masked_filters():
+    # spec: the chunk's filter mask is per-filter (bit i = pipeline filter i
+    # skipped at write time), NOT all-or-nothing. Pipeline [shuffle, deflate]
+    # like our writer emits; decode reverses the unskipped subset.
+    data = np.arange(16, dtype="f8").tobytes()
+    filters = [(2, (8,)), (1, ())]  # shuffle(elem=8) then deflate
+
+    def shuffle(b, s):
+        n = len(b) // s
+        return np.frombuffer(b, np.uint8).reshape(n, s).T.tobytes()
+
+    full = zlib.compress(shuffle(data, 8))
+    only_deflate = zlib.compress(data)        # shuffle (filter 0) skipped
+    only_shuffle = shuffle(data, 8)           # deflate (filter 1) skipped
+
+    df = hdf5._H5Reader._defilter
+    assert df(None, full, filters, 0) == data
+    assert df(None, only_deflate, filters, 0b01) == data
+    assert df(None, only_shuffle, filters, 0b10) == data
+    assert df(None, data, filters, 0b11) == data
+
+
+def test_unlimited_dim_subset_without_coordinate(tmp_path):
+    # hyperslab on an unlimited (record) dim that has NO coordinate variable:
+    # the fallback index coords must use the record count, not arange(0)
+    from ophidia_server_spark.operators.io_ops import _hyperslab_mask
+
+    ds = Dataset()
+    ds.dimensions = {"time": None, "x": 3}
+    ds.variables["r1"] = Variable(
+        "r1", ("time", "x"), {}, np.arange(12, dtype="f8").reshape(4, 3)
+    )
+    p = str(tmp_path / "rec_nocoord.nc")
+    hdf5.write(p, ds)
+    back = hdf5.read(  # 1-based index triplets (oph_subset_library semantics)
+        p, subset={"time": "2:3"}, subset_type="index", mask_fn=_hyperslab_mask
+    )
+    assert back.variables["r1"].data.tolist() == [
+        [3.0, 4.0, 5.0], [6.0, 7.0, 8.0],
+    ]

@@ -229,3 +229,33 @@ def test_stream_stream_join_equals_batch(spark, tables, tmp_path):
     )
     want = {(r["u"], r["a_id"], r["b_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_watermark_scales_with_bound(spark, tables, tmp_path):
+    # the state-eviction watermark must be derived from `within` (a fixed
+    # 2-hour delay would evict live left rows for any larger bound)
+    from ophidia_server_spark.streaming import windows as win
+
+    ev = tables["events"]
+    src = str(tmp_path / "ssj4_src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = win.stream_stream_join(
+        spark, src, schema, within="4 hours", queryName="t_ssjoin4"
+    )
+    got = {(r["l_user"], r["l_id"], r["r_id"]) for r in out.collect()}
+
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    batch = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    want = {(r["u"], r["a_id"], r["b_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0

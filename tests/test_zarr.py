@@ -254,3 +254,39 @@ def test_spark_import_hyperslab_prunes_chunks(spark, tmp_path):
         subset={"time": "0:6"}, subset_type="coord",
     )
     assert {(r["time"], r["lat"], r["tas"]) for r in cube2.long().collect()} == want
+
+
+def test_fill_value_translation_per_dtype(tmp_path):
+    # spec JSON fill encodings: float specials as strings, base64 for "S"
+    # dtypes, null = undefined (we materialize zeros), bad strings = named error
+    import base64
+
+    rf = zr._resolve_fill
+    assert np.isnan(rf("NaN", np.dtype("f8")))
+    assert rf("-Infinity", np.dtype("f4")) == -np.inf
+    assert rf(None, np.dtype("i4")) == 0
+    assert rf(7, np.dtype("i4")) == 7
+    assert rf(base64.b64encode(b"ab").decode(), np.dtype("S2")) == b"ab"
+    with pytest.raises(zr.ZarrError):
+        rf("NaN", np.dtype("i4"))
+    with pytest.raises(zr.ZarrError):
+        rf("!!notb64", np.dtype("S4"))
+
+    # end-to-end: an int array with a string fill must raise the named error,
+    # a bytes array with base64 fill decodes to the fill on missing chunks
+    adir = tmp_path / "s" / "v"
+    adir.mkdir(parents=True)
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "|S2",
+        "compressor": None, "fill_value": base64.b64encode(b"zz").decode(),
+        "order": "C", "filters": None,
+    }
+    (adir / ".zarray").write_text(json.dumps(meta))
+    (adir / "0").write_bytes(np.array([b"aa", b"bb"], "S2").tobytes())
+    got, _ = zr.read_array(str(tmp_path / "s"), "v")
+    assert got.tolist() == [b"aa", b"bb", b"zz", b"zz"]
+
+    meta_bad = dict(meta, dtype="<i4", fill_value="oops")
+    (adir / ".zarray").write_text(json.dumps(meta_bad))
+    with pytest.raises(zr.ZarrError):
+        zr.read_array(str(tmp_path / "s"), "v")
