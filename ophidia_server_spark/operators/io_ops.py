@@ -329,7 +329,7 @@ def oph_importzarr(
 
 
 def oph_exportzarr(
-    cube: Cube, store: str, compress: int | None = 4,
+    cube: Cube, store: str, compress: int | str | None = 4,
     per_dim_chunks: bool = False,
 ) -> str:
     """Cube -> Zarr v2 store with consolidated metadata.
@@ -374,7 +374,8 @@ def oph_exportzarr(
 
     def write_chunk(pdf):
         import pandas as pd
-        import zlib as _z
+
+        from ophidia_server_spark.sources.zarr import _compress
 
         key_val = pdf[split_dim].iloc[0]
         idx = [len(rest_coords[d]) for d in rest]  # full span in rest dims
@@ -383,9 +384,7 @@ def oph_exportzarr(
         arr[tuple([np.zeros(len(pdf), dtype=int)] + locs)] = pdf[measure].to_numpy(
             "float64"
         )
-        raw = arr.tobytes()
-        if compress is not None:
-            raw = _z.compress(raw, compress)
+        raw, _ = _compress(arr.tobytes(), compress, 8)
         key = ".".join([str(pos[key_val])] + ["0"] * len(rest))
         with open(os.path.join(store, measure, key), "wb") as fh:
             fh.write(raw)
@@ -411,7 +410,7 @@ def oph_exportzarr(
         "shape": [len(vals)] + [len(rest_coords[d]) for d in rest],
         "chunks": cshape,
         "dtype": "<f8",
-        "compressor": {"id": "zlib", "level": compress} if compress is not None else None,
+        "compressor": _zr_compressor_meta(compress),
         "fill_value": "NaN",
         "order": "C",
         "filters": None,
@@ -432,6 +431,15 @@ def oph_exportzarr(
     if n != len(vals):
         raise RuntimeError(f"zarr export wrote {n} chunks, expected {len(vals)}")
     return store
+
+
+def _zr_compressor_meta(compress) -> dict | None:
+    """.zarray compressor dict matching what sources/zarr._compress emits."""
+    if compress is None:
+        return None
+    if compress in ("blosc", "blosc-lz4"):
+        return {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
+    return {"id": "zlib", "level": compress}
 
 
 def _fill_grid_dataset(ds, pdf, dims: list[str], measure: str) -> None:

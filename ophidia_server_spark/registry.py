@@ -959,6 +959,43 @@ def io_zarr_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_zarr_blosc_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_zarr_blosc_roundtrip(spark, sf_dir):
+    """Zarr roundtrip through blosc(lz4) chunks — the numcodecs default
+    compressor of real CMIP6/Pangeo cloud stores — encoded and decoded by the
+    pure-Python LZ4-block + blosc-frame codec (sources/lz4blosc.py). Same
+    executor-sharded write / one-task-per-chunk read shape as
+    io_zarr_roundtrip; only the chunk codec differs."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_blosc_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(cube, store, compress="blosc-lz4", per_dim_chunks=True)
+    c2 = io_ops.oph_importzarr(spark, store, "qty", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("qty"), 2).cast("double").alias("qty"),
+        )
+    )
+
+
+@q(
     "io_zarr_subset_import",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(month(l_shipdate) AS BIGINT) AS month,

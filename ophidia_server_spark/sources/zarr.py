@@ -10,17 +10,21 @@ and one file per chunk named `i.j.k` in C order.  netCDF-style semantics ride
 on the xarray convention: an `_ARRAY_DIMENSIONS` attribute lists each
 array's dimension names.
 
-  read:  consolidated or per-array metadata, C-order chunks, zlib/gzip
-         compressor or none, any numpy endianness/dtype, fill_value for
-         missing chunks (sparse stores write only non-empty chunks).
+  read:  consolidated or per-array metadata, C-order chunks, zlib/gzip/
+         blosc-lz4/lz4 compressor or none (blosc+lz4 — the numcodecs default
+         of real CMIP6/Pangeo cloud stores — decodes via the pure-Python
+         codec in sources/lz4blosc.py), any numpy endianness/dtype,
+         fill_value for missing chunks (sparse stores write only non-empty
+         chunks).
   write: one array per variable + 1-D coordinate arrays, configurable chunk
-         shape, zlib compression, `_ARRAY_DIMENSIONS` + consolidated
-         metadata (`.zmetadata`) so cloud readers need one metadata GET.
+         shape, zlib or blosc-lz4 compression, `_ARRAY_DIMENSIONS` +
+         consolidated metadata (`.zmetadata`) so cloud readers need one
+         metadata GET.
 
 API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
 Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
-paths.  Blosc/lz4/zstd compressors aren't in this container — a store using
-them raises a named ZarrError naming the codec.
+paths.  zstd/snappy-compressed stores raise a named ZarrError naming the
+codec.
 """
 
 from __future__ import annotations
@@ -45,15 +49,45 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
     cid = compressor.get("id")
     if cid in ("zlib", "gzip"):
         return zlib.decompress(raw, 47)  # auto-detect zlib/gzip wrapper
+    if cid == "blosc":
+        # the numcodecs default (cname=lz4) of real CMIP6/Pangeo cloud
+        # stores; the frame header carries the actual codec, so cname in the
+        # metadata is advisory
+        from ophidia_server_spark.sources.lz4blosc import BloscError, blosc_decompress
+
+        try:
+            return blosc_decompress(raw)
+        except BloscError as exc:
+            raise ZarrError(f"blosc chunk: {exc}") from exc
+    if cid == "lz4":
+        # numcodecs LZ4 codec: 4-byte little-endian original size + block
+        from ophidia_server_spark.sources.lz4blosc import Lz4Error, lz4_decompress_block
+
+        if len(raw) < 4:
+            raise ZarrError("lz4 chunk shorter than its 4-byte size header")
+        size = int.from_bytes(raw[:4], "little")
+        try:
+            return lz4_decompress_block(raw[4:], size)
+        except Lz4Error as exc:
+            raise ZarrError(f"lz4 chunk: {exc}") from exc
     raise ZarrError(
-        f"Zarr compressor {cid!r} unsupported (zlib/gzip/none only; blosc "
-        "and zstd libraries are not available in this environment)"
+        f"Zarr compressor {cid!r} unsupported (zlib/gzip/blosc-lz4/lz4/none "
+        "only; zstd and snappy libraries are not available in this environment)"
     )
 
 
-def _compress(raw: bytes, level: int | None) -> tuple[bytes, dict | None]:
+def _compress(
+    raw: bytes, level: int | str | None, itemsize: int = 1
+) -> tuple[bytes, dict | None]:
     if level is None:
         return raw, None
+    if level in ("blosc", "blosc-lz4"):
+        from ophidia_server_spark.sources.lz4blosc import blosc_compress
+
+        return blosc_compress(raw, itemsize), {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 1 if itemsize > 1 else 0, "blocksize": 0,
+        }
     return zlib.compress(raw, level), {"id": "zlib", "level": level}
 
 
@@ -209,10 +243,11 @@ def read(path: str) -> Dataset:
 
 
 def write(path: str, ds: Dataset, chunks: dict | None = None,
-          compress: int | None = 4) -> None:
+          compress: int | str | None = 4) -> None:
     """Write the Dataset as a Zarr v2 group with consolidated metadata.
     `chunks` maps variable name -> chunk shape (defaults to one chunk per
-    ~first-dimension slab bounded at 1024 rows)."""
+    ~first-dimension slab bounded at 1024 rows). `compress` is a zlib level,
+    "blosc-lz4" for a blosc frame (the cloud-store default codec), or None."""
     os.makedirs(path, exist_ok=True)
     consolidated: dict = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as fh:
@@ -255,7 +290,7 @@ def write(path: str, ds: Dataset, chunks: dict | None = None,
             if arr.shape:
                 src = arr[sel]
                 piece[tuple(slice(0, x.stop - x.start) for x in sel)] = src
-            raw, compressor = _compress(piece.tobytes(), compress)
+            raw, compressor = _compress(piece.tobytes(), compress, arr.dtype.itemsize)
             with open(os.path.join(adir, ".".join(map(str, idx)) or "0"), "wb") as fh:
                 fh.write(raw)
 

@@ -290,3 +290,107 @@ def test_fill_value_translation_per_dtype(tmp_path):
     (adir / ".zarray").write_text(json.dumps(meta_bad))
     with pytest.raises(zr.ZarrError):
         zr.read_array(str(tmp_path / "s"), "v")
+
+
+def test_blosc_lz4_store_roundtrip(tmp_path):
+    # write -> read through the pure-Python blosc(lz4) codec — the numcodecs
+    # default of real CMIP6/Pangeo cloud stores
+    ds = Dataset()
+    ds.dimensions = {"t": 50, "x": 4}
+    ds.variables["t"] = Variable("t", ("t",), {}, np.arange(50, dtype="f8"))
+    ds.variables["v"] = Variable(
+        "v", ("t", "x"), {"units": "K"},
+        np.arange(200, dtype="f8").reshape(50, 4) / 3.0,
+    )
+    p = str(tmp_path / "bl.zarr")
+    zr.write(p, ds, compress="blosc-lz4")
+    meta = json.load(open(os.path.join(p, "v", ".zarray")))
+    assert meta["compressor"]["id"] == "blosc"
+    assert meta["compressor"]["cname"] == "lz4"
+    back = zr.read(p)
+    assert np.array_equal(back.variables["v"].data, ds.variables["v"].data)
+    assert back.variables["v"].attributes["units"] == "K"
+
+
+def test_blosc_handmade_split_store(tmp_path):
+    # a store whose chunks are split-mode blosc frames (what pre-1.14 /
+    # always-split writers emit) must decode identically
+    from ophidia_server_spark.sources import lz4blosc as lb
+    import struct
+
+    data = np.arange(32, dtype="<i4").reshape(8, 4)
+    adir = tmp_path / "s" / "v"
+    adir.mkdir(parents=True)
+    meta = {
+        "zarr_format": 2, "shape": [8, 4], "chunks": [8, 4], "dtype": "<i4",
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0},
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    (adir / ".zarray").write_text(json.dumps(meta))
+    raw = data.tobytes()
+    shuf = lb._shuffle(raw, 4)
+    ne = len(shuf) // 4
+    streams = b""
+    for j in range(4):
+        part = shuf[j * ne : (j + 1) * ne]
+        comp = lb.lz4_compress_block(part)
+        if len(comp) >= len(part):
+            comp = part
+        streams += struct.pack("<i", len(comp)) + comp
+    frame = (
+        struct.pack("<BBBBIII", 2, 1, (1 << 5) | 0x01, 4,
+                    len(raw), len(raw), 20 + len(streams))
+        + struct.pack("<I", 20) + streams
+    )
+    (adir / "0.0").write_bytes(frame)
+    got, _ = zr.read_array(str(tmp_path / "s"), "v")
+    assert np.array_equal(got, data)
+
+
+def test_zstd_store_named_error(tmp_path):
+    from ophidia_server_spark.sources import lz4blosc as lb
+    import struct
+
+    adir = tmp_path / "s" / "v"
+    adir.mkdir(parents=True)
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0},
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    (adir / ".zarray").write_text(json.dumps(meta))
+    frame = (
+        struct.pack("<BBBBIII", 2, 1, (4 << 5) | 0x10, 8, 32, 32, 26)
+        + struct.pack("<I", 20) + struct.pack("<i", 2) + b"zz"
+    )
+    (adir / "0").write_bytes(frame)
+    with pytest.raises(zr.ZarrError, match="zstd"):
+        zr.read_array(str(tmp_path / "s"), "v")
+
+
+def test_spark_export_blosc_per_dim_chunks(spark, tmp_path):
+    # the executor-sharded export path writes blosc-lz4 chunks too
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import io_ops
+
+    pdf = spark.createDataFrame(
+        [(i, float(j), float(i * 4 + j)) for i in range(3) for j in range(4)],
+        "a long, b double, m double",
+    )
+    cube = build_cube(pdf, ["a"], "b", F.col("m"), measure="m")
+    store = str(tmp_path / "blosc.zarr")
+    io_ops.oph_exportzarr(cube, store, compress="blosc-lz4", per_dim_chunks=True)
+    meta = json.load(open(os.path.join(store, "m", ".zarray")))
+    assert meta["compressor"]["id"] == "blosc"
+    back = io_ops.oph_importzarr(spark, store, "m", ["a"], "b")
+    got = {
+        (r["a"], r["b"]): r["m"]
+        for r in back.long().collect()
+        if not np.isnan(r["m"])
+    }
+    want = {(float(i), float(j)): float(i * 4 + j) for i in range(3) for j in range(4)}
+    assert got == want
