@@ -13,10 +13,15 @@ that netCDF-4 files actually use is implemented directly:
          as in-header link messages; dataspace v1/v2; datatypes fixed-point,
          IEEE float, fixed string, vlen string, object reference, vlen
          sequence; data layout v3 compact/contiguous/chunked (v1 chunk
-         B-tree); filters deflate (zlib), shuffle, fletcher32; attributes
-         v1/v2/v3 incl. global-heap vlen payloads; the netCDF-4 dimension
-         mapping (CLASS=DIMENSION_SCALE datasets, DIMENSION_LIST object
-         references, phony "this is a netCDF dimension" scales).
+         B-tree) and v4 (libver-latest chunk indexes: single-chunk,
+         implicit, and fixed-array incl. filtered elements and paged data
+         blocks; extensible-array and v2-B-tree indexes raise named
+         errors); filters deflate (zlib), shuffle, fletcher32 with per-chunk
+         filter masks; attributes v1/v2/v3 incl. global-heap vlen payloads
+         and dense storage (ATTRINFO -> fractal heap + name-index v2
+         B-tree); the netCDF-4 dimension mapping (CLASS=DIMENSION_SCALE
+         datasets, DIMENSION_LIST object references, phony "this is a
+         netCDF dimension" scales).
   write: superblock v0, v1 object headers, symbol-table root group,
          contiguous or single-level-chunked (+deflate/shuffle) datasets, the
          netCDF-4 dimension-scale convention (CLASS/NAME/DIMENSION_LIST/
@@ -218,15 +223,14 @@ class _H5Reader:
             elif mtype == M_LINK:
                 links.append(self._parse_link(data_off))
             elif mtype == M_ATTRINFO:
-                flags = self.buf[data_off]
-                pos = data_off + 1 + (2 if flags & 1 else 0)
-                fheap = struct.unpack_from("<Q", self.buf, pos)[0]
+                # spec: version(1) flags(1) [max creation index(2)]
+                # fractal-heap addr(8) name-index v2-B-tree addr(8)
+                aflags = self.buf[data_off + 1]
+                pos = data_off + 2 + (2 if aflags & 1 else 0)
+                fheap, name_bt = struct.unpack_from("<QQ", self.buf, pos)
                 if fheap != UNDEF:
-                    raise Hdf5Error(
-                        "dense attribute storage (fractal heap) is outside the "
-                        "implemented subset; files with >8 attributes per object "
-                        "written by libhdf5 may use it"
-                    )
+                    for k, v in self._dense_attributes(fheap, name_bt):
+                        obj.attrs[k] = v
         if symtab is not None:
             obj.is_group = True
             btree, heap = symtab
@@ -384,10 +388,55 @@ class _H5Reader:
                 ]
                 return ("chunked", bt, cdims)    # last entry = element size
             raise Hdf5Error(f"layout class {lclass} unsupported")
+        if version == 4:
+            # libver-latest files (spec: Data Layout Message v4): chunked
+            # layouts carry a chunk-index type instead of the v1 B-tree
+            lclass = self.buf[off + 1]
+            if lclass == 0:
+                size = struct.unpack_from("<H", self.buf, off + 2)[0]
+                return ("compact", self.buf[off + 4 : off + 4 + size])
+            if lclass == 1:
+                a, s = struct.unpack_from("<QQ", self.buf, off + 2)
+                return ("contiguous", a, s)
+            if lclass != 2:
+                raise Hdf5Error(f"layout v4 class {lclass} unsupported")
+            flags = self.buf[off + 2]
+            ndim = self.buf[off + 3]
+            enc = self.buf[off + 4]
+            pos = off + 5
+            cdims = []
+            for _ in range(ndim):
+                cdims.append(int.from_bytes(self.buf[pos : pos + enc], "little"))
+                pos += enc
+            itype = self.buf[pos]
+            pos += 1
+            info: dict = {"flags": flags}
+            if itype == 1:          # single chunk
+                if flags & 0x02:    # filtered: size + mask precede the address
+                    info["csize"] = struct.unpack_from("<Q", self.buf, pos)[0]
+                    info["mask"] = struct.unpack_from("<I", self.buf, pos + 8)[0]
+                    pos += 12
+            elif itype == 2:        # implicit: contiguous unfiltered chunks
+                pass
+            elif itype == 3:        # fixed array
+                info["page_bits"] = self.buf[pos]
+                pos += 1
+            elif itype == 4:
+                raise Hdf5Error(
+                    "v4 extensible-array chunk index unsupported (unlimited-"
+                    "dim chunked datasets written with libver=latest)"
+                )
+            elif itype == 5:
+                raise Hdf5Error(
+                    "v4 B-tree-v2 chunk index unsupported (multi-unlimited-"
+                    "dim chunked datasets written with libver=latest)"
+                )
+            else:
+                raise Hdf5Error(f"v4 chunk index type {itype} unknown")
+            addr = struct.unpack_from("<Q", self.buf, pos)[0]
+            return ("chunked4", cdims, itype, addr, info)
         raise Hdf5Error(
-            f"data layout message version {version} unsupported (v3 only: "
-            "files written with libver-latest v4 chunk indexes are outside "
-            "the subset)"
+            f"data layout message version {version} unsupported (v3/v4 only)"
         )
 
     def _parse_filters(self, off: int) -> list[tuple[int, list[int]]]:
@@ -456,6 +505,91 @@ class _H5Reader:
 
         yield from walk(btree_addr)
 
+    # -- v4 chunk indexes (libver-latest files) -----------------------------
+
+    def _fixed_array_elements(self, fahd_addr: int):
+        """Yield (addr, csize|None, mask) per element of a Fixed Array index
+        (spec appendix: FAHD header + FADB data block, optionally paged)."""
+        p = self.at(fahd_addr)
+        if self.buf[p : p + 4] != b"FAHD":
+            raise Hdf5Error("bad fixed-array header signature")
+        client = self.buf[p + 5]
+        entry_size = self.buf[p + 6]
+        page_bits = self.buf[p + 7]
+        nelmts = struct.unpack_from("<Q", self.buf, p + 8)[0]
+        dblk = struct.unpack_from("<Q", self.buf, p + 16)[0]
+        if client not in (0, 1):
+            raise Hdf5Error(f"fixed-array client id {client} unknown")
+        if dblk == UNDEF:
+            return
+        q = self.at(dblk)
+        if self.buf[q : q + 4] != b"FADB":
+            raise Hdf5Error("bad fixed-array data block signature")
+        q += 4 + 1 + 1 + 8          # sig, version, client, header address
+        per_page = 1 << page_bits
+        paged = nelmts > per_page
+        if paged:
+            npages = (nelmts + per_page - 1) // per_page
+            q += (npages + 7) // 8  # page-init bitmap
+            q += 4                  # data-block checksum; pages follow
+        def element(at: int):
+            addr = struct.unpack_from("<Q", self.buf, at)[0]
+            if client == 1:
+                size_len = entry_size - 12
+                csize = int.from_bytes(self.buf[at + 8 : at + 8 + size_len], "little")
+                mask = struct.unpack_from("<I", self.buf, at + 8 + size_len)[0]
+                return addr, csize, mask
+            return addr, None, 0
+
+        if not paged:
+            for i in range(nelmts):
+                yield element(q + i * entry_size)
+            return
+        left = nelmts
+        while left > 0:
+            count = min(per_page, left)
+            for i in range(count):
+                yield element(q + i * entry_size)
+            q += count * entry_size + 4  # page elements + page checksum
+            left -= count
+
+    def _v4_chunk_entries(self, obj: _Obj, chunk_shape: list[int], elem_size: int):
+        """Yield (chunk_size, filter_mask, offsets, data_addr) for a v4
+        chunk-index layout, mirroring the v1 B-tree generator."""
+        _, cdims, itype, addr, info = obj.layout
+        shape = obj.dims
+        grid = [
+            (s + c - 1) // c if c else 1 for s, c in zip(shape, chunk_shape)
+        ] or [1]
+        raw_size = int(np.prod(chunk_shape, dtype=np.int64)) * elem_size
+        if itype == 1:              # single chunk covers the whole dataset
+            if addr == UNDEF:
+                return
+            csize = info.get("csize", raw_size)
+            mask = info.get("mask", 0)
+            yield csize, mask, [0] * (len(shape) + 1), addr
+            return
+        import itertools
+
+        if itype == 2:              # implicit: dense unfiltered chunk array
+            if addr == UNDEF:
+                return
+            for n, idx in enumerate(itertools.product(*[range(g) for g in grid])):
+                offs = [i * c for i, c in zip(idx, chunk_shape)] + [0]
+                yield raw_size, 0, offs, addr + n * raw_size
+            return
+        if itype == 3:              # fixed array
+            elems = self._fixed_array_elements(addr)
+            for idx, (caddr, csize, mask) in zip(
+                itertools.product(*[range(g) for g in grid]), elems
+            ):
+                if caddr == UNDEF:
+                    continue        # unallocated chunk: fill
+                offs = [i * c for i, c in zip(idx, chunk_shape)] + [0]
+                yield (csize if csize is not None else raw_size), mask, offs, caddr
+            return
+        raise Hdf5Error(f"v4 chunk index type {itype} unsupported")
+
     def read_data(self, obj: _Obj, axis_keep: list | None = None) -> np.ndarray:
         """Materialize a dataset. `axis_keep` (optional) holds one entry per
         axis — None (keep all) or a sorted np.ndarray of kept indices. On
@@ -491,30 +625,40 @@ class _H5Reader:
                     : int(np.prod(shape, dtype=np.int64))
                 ].reshape(shape)
             )
-        if kind == "chunked":
-            btree, cdims = obj.layout[1], obj.layout[2]
-            chunk_shape = cdims[:-1]    # last entry is the element size
+        if kind in ("chunked", "chunked4"):
+            if kind == "chunked":
+                btree, cdims = obj.layout[1], obj.layout[2]
+                chunk_shape = cdims[:-1]    # last entry is the element size
+                entries = (
+                    self._chunk_entries(btree, len(cdims))
+                    if btree != UNDEF else ()
+                )
+            else:
+                cdims = obj.layout[1]
+                # v4 dims normally exclude the element-size entry v3 appends;
+                # reconcile against the dataset rank to accept either form
+                chunk_shape = cdims[:-1] if len(cdims) == len(shape) + 1 else cdims
+                entries = self._v4_chunk_entries(obj, list(chunk_shape), dt.size)
             out = np.zeros(shape, dt.np_dtype)
-            if btree != UNDEF:
-                for csize, mask, offs, caddr in self._chunk_entries(btree, len(cdims)):
-                    if axis_keep and any(
-                        k is not None
-                        and not ((k >= o) & (k < min(o + c, s))).any()
-                        for k, o, c, s in zip(axis_keep, offs, chunk_shape, shape)
-                    ):
-                        continue    # pruned: this chunk never inflates
-                    raw = self.buf[self.at(caddr) : self.at(caddr) + csize]
-                    if obj.filters:
-                        raw = self._defilter(raw, obj.filters, mask)
-                    chunk = np.frombuffer(raw, dt.np_dtype)[
-                        : int(np.prod(chunk_shape, dtype=np.int64))
-                    ].reshape(chunk_shape)
-                    sel = tuple(
-                        slice(o, min(o + c, s))
-                        for o, c, s in zip(offs[:-1], chunk_shape, shape)
-                    )
-                    csel = tuple(slice(0, s.stop - s.start) for s in sel)
-                    out[sel] = chunk[csel]
+            for csize, mask, offs, caddr in entries:
+                if axis_keep and any(
+                    k is not None
+                    and not ((k >= o) & (k < min(o + c, s))).any()
+                    for k, o, c, s in zip(axis_keep, offs, chunk_shape, shape)
+                ):
+                    continue    # pruned: this chunk never inflates
+                raw = self.buf[self.at(caddr) : self.at(caddr) + csize]
+                if obj.filters:
+                    raw = self._defilter(raw, obj.filters, mask)
+                chunk = np.frombuffer(raw, dt.np_dtype)[
+                    : int(np.prod(chunk_shape, dtype=np.int64))
+                ].reshape(chunk_shape)
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offs[:-1], chunk_shape, shape)
+                )
+                csel = tuple(slice(0, s.stop - s.start) for s in sel)
+                out[sel] = chunk[csel]
             return sliced(out)
         raise Hdf5Error(f"dataset {obj.name!r} has no data layout")
 
@@ -561,6 +705,109 @@ class _H5Reader:
                     out.append(self._decode_values(dt.vlen_base, blob, n))
             return out
         raise Hdf5Error(f"attribute datatype class {dt.cls} unsupported")
+
+    # -- dense attribute storage (fractal heap + name-index v2 B-tree) ------
+
+    def _fractal_heap_reader(self, frhp_addr: int):
+        """Parse an FRHP header; returns (id -> absolute offset) resolver for
+        managed heap IDs. Supports a root direct block or a root indirect
+        block whose children are all direct blocks — the shapes attribute
+        heaps of real files take (libhdf5 default: 4096-byte starting
+        blocks, attributes are tiny)."""
+        p = self.at(frhp_addr)
+        if self.buf[p : p + 4] != b"FRHP":
+            raise Hdf5Error("bad fractal heap signature")
+        heap_id_len = struct.unpack_from("<H", self.buf, p + 5)[0]
+        io_filter_len = struct.unpack_from("<H", self.buf, p + 7)[0]
+        if io_filter_len:
+            raise Hdf5Error("filtered fractal heaps are unsupported")
+        # fixed-width tail of the header (spec: Fractal Heap Header)
+        q = p + 10 + 4 + 8 * 12
+        table_width = struct.unpack_from("<H", self.buf, q)[0]
+        start_block = struct.unpack_from("<Q", self.buf, q + 2)[0]
+        max_direct = struct.unpack_from("<Q", self.buf, q + 10)[0]
+        max_heap_bits = struct.unpack_from("<H", self.buf, q + 18)[0]
+        # q+20: starting rows (2); root block address and current rows follow
+        root_addr = struct.unpack_from("<Q", self.buf, q + 22)[0]
+        cur_rows = struct.unpack_from("<H", self.buf, q + 30)[0]
+        off_size = (max_heap_bits + 7) // 8
+        len_size = heap_id_len - 1 - off_size
+
+        # map heap-space offset ranges -> direct block base addresses (heap
+        # offsets address the block space INCLUDING block headers)
+        blocks: list[tuple[int, int, int]] = []  # (heap_off, size, file_addr)
+        if cur_rows == 0:
+            blocks.append((0, start_block, root_addr))
+        else:
+            ip = self.at(root_addr)
+            if self.buf[ip : ip + 4] != b"FHIB":
+                raise Hdf5Error("bad fractal heap indirect block signature")
+            ip += 4 + 1 + 8 + off_size  # sig, version, heap addr, block off
+            import math
+
+            max_direct_rows = (
+                int(math.log2(max_direct)) - int(math.log2(start_block)) + 2
+            )
+            heap_off = 0
+            for row in range(cur_rows):
+                if row >= max_direct_rows:
+                    raise Hdf5Error(
+                        "nested indirect fractal heap blocks are unsupported"
+                    )
+                size = start_block * (1 << max(0, row - 1))
+                for _ in range(table_width):
+                    daddr = struct.unpack_from("<Q", self.buf, ip)[0]
+                    ip += 8
+                    if daddr != UNDEF:
+                        blocks.append((heap_off, size, daddr))
+                    heap_off += size
+
+        def locate(heap_id: bytes) -> tuple[int, int]:
+            vt = heap_id[0]
+            if (vt >> 4) & 0x3 != 0:
+                raise Hdf5Error("huge/tiny fractal heap objects unsupported")
+            off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
+            length = int.from_bytes(
+                heap_id[1 + off_size : 1 + off_size + len_size], "little"
+            )
+            for ho, size, faddr in blocks:
+                if ho <= off < ho + size:
+                    return self.at(faddr) + (off - ho), length
+            raise Hdf5Error("fractal heap id outside any direct block")
+
+        return locate
+
+    def _v2_btree_records(self, bthd_addr: int):
+        """Yield raw records from a v2 B-tree (depth-0: root is the leaf)."""
+        p = self.at(bthd_addr)
+        if self.buf[p : p + 4] != b"BTHD":
+            raise Hdf5Error("bad v2 B-tree header signature")
+        rec_size = struct.unpack_from("<H", self.buf, p + 10)[0]
+        depth = struct.unpack_from("<H", self.buf, p + 12)[0]
+        root_addr = struct.unpack_from("<Q", self.buf, p + 16)[0]
+        root_nrec = struct.unpack_from("<H", self.buf, p + 24)[0]
+        if depth != 0:
+            raise Hdf5Error(
+                f"v2 B-tree depth {depth} unsupported (dense attribute sets "
+                "of this size exceed one leaf node)"
+            )
+        if root_addr == UNDEF or root_nrec == 0:
+            return
+        q = self.at(root_addr)
+        if self.buf[q : q + 4] != b"BTLF":
+            raise Hdf5Error("bad v2 B-tree leaf signature")
+        q += 6  # sig, version, type
+        for i in range(root_nrec):
+            yield self.buf[q + i * rec_size : q + (i + 1) * rec_size]
+
+    def _dense_attributes(self, fheap_addr: int, name_bt_addr: int):
+        """Yield (name, value) for densely-stored attributes: walk the name-
+        index v2 B-tree (record type 8: 8-byte heap ID first) and parse each
+        attribute message out of the fractal heap."""
+        locate = self._fractal_heap_reader(fheap_addr)
+        for rec in self._v2_btree_records(name_bt_addr):
+            abs_off, _length = locate(rec[:8])
+            yield self._parse_attribute(abs_off)
 
     def _parse_attribute(self, off: int):
         version = self.buf[off]

@@ -427,3 +427,218 @@ def test_unlimited_dim_subset_without_coordinate(tmp_path):
     assert back.variables["r1"].data.tolist() == [
         [3.0, 4.0, 5.0], [6.0, 7.0, 8.0],
     ]
+
+
+# ---------------------------------------------------------------------------
+# version-4 chunk indexes + dense attributes (libver=latest file shapes)
+# ---------------------------------------------------------------------------
+
+def _ohdr2(messages: bytes) -> bytes:
+    return struct.pack("<4sBBB", b"OHDR", 2, 0, len(messages)) + messages + b"\x00" * 4
+
+
+def _msg2(mtype: int, data: bytes) -> bytes:
+    return struct.pack("<BHB", mtype, len(data), 0) + data
+
+
+def _sb3(root_addr: int, eof: int) -> bytes:
+    sb = b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 3, 8, 8, 0)
+    return sb + struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, eof, root_addr) + b"\x00" * 4
+
+
+_DT_I4 = struct.pack("<B3BI", 0x10, 0x08, 0, 0, 4) + struct.pack("<HH", 0, 32)
+
+
+def _dspace1d(n: int) -> bytes:
+    return struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", n)
+
+
+def _lay4_chunked(chunk: int, itype: int, addr: int, *, flags: int = 0,
+                  extra: bytes = b"") -> bytes:
+    # layout v4 class 2: flags, ndim=1, 8-byte dim encoding, index type,
+    # index-specific info, then the index/chunk address
+    return (
+        struct.pack("<BBBBB", 4, 2, flags, 1, 8)
+        + struct.pack("<Q", chunk)
+        + bytes([itype])
+        + extra
+        + struct.pack("<Q", addr)
+    )
+
+
+def _write_v4_file(tmp_path, name, dset_msgs: bytes, payload: dict[int, bytes]):
+    """Assemble a superblock-v3 file: root group OHDR links 'v' -> dataset
+    OHDR built from dset_msgs; payload maps address -> raw bytes."""
+    dset_addr, root_addr = 2048, 3072
+    dset = _ohdr2(dset_msgs)
+    link = struct.pack("<BB", 1, 0) + bytes([1]) + b"v" + struct.pack("<Q", dset_addr)
+    root = _ohdr2(_msg2(0x06, link))
+    eof = max([root_addr + len(root)] + [a + len(b) for a, b in payload.items()])
+    buf = bytearray(eof)
+    buf[:48] = _sb3(root_addr, eof)
+    for a, b in payload.items():
+        buf[a : a + len(b)] = b
+    buf[dset_addr : dset_addr + len(dset)] = dset
+    buf[root_addr : root_addr + len(root)] = root
+    p = str(tmp_path / name)
+    open(p, "wb").write(bytes(buf))
+    return p
+
+
+def test_v4_single_chunk_index(tmp_path):
+    data = np.arange(5, dtype="<i4")
+    lay = _lay4_chunked(5, 1, 256)
+    msgs = _msg2(0x01, _dspace1d(5)) + _msg2(0x03, _DT_I4) + _msg2(0x08, lay)
+    p = _write_v4_file(tmp_path, "v4single.h5", msgs, {256: data.tobytes()})
+    assert hdf5.read(p).variables["v"].data.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_v4_single_chunk_filtered_with_mask(tmp_path):
+    data = np.arange(5, dtype="<i4")
+    comp = zlib.compress(data.tobytes(), 6)
+    filt = struct.pack("<BBHHH", 2, 1, 1, 0, 1) + struct.pack("<I", 6)  # deflate(6)
+    # filtered single chunk: flags bit 1 -> size + mask precede the address
+    lay = _lay4_chunked(
+        5, 1, 256, flags=0x02,
+        extra=struct.pack("<QI", len(comp), 0),
+    )
+    msgs = (
+        _msg2(0x01, _dspace1d(5)) + _msg2(0x03, _DT_I4)
+        + _msg2(0x0B, filt) + _msg2(0x08, lay)
+    )
+    p = _write_v4_file(tmp_path, "v4sf.h5", msgs, {256: comp})
+    assert hdf5.read(p).variables["v"].data.tolist() == [0, 1, 2, 3, 4]
+
+    # mask bit 0 set: deflate was skipped at write -> chunk stored raw
+    lay2 = _lay4_chunked(
+        5, 1, 256, flags=0x02,
+        extra=struct.pack("<QI", data.nbytes, 1),
+    )
+    msgs2 = (
+        _msg2(0x01, _dspace1d(5)) + _msg2(0x03, _DT_I4)
+        + _msg2(0x0B, filt) + _msg2(0x08, lay2)
+    )
+    p2 = _write_v4_file(tmp_path, "v4sfm.h5", msgs2, {256: data.tobytes()})
+    assert hdf5.read(p2).variables["v"].data.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_v4_implicit_index(tmp_path):
+    data = np.arange(6, dtype="<i4")
+    lay = _lay4_chunked(2, 2, 256)  # 3 dense chunks of 2 els at 256
+    msgs = _msg2(0x01, _dspace1d(6)) + _msg2(0x03, _DT_I4) + _msg2(0x08, lay)
+    p = _write_v4_file(tmp_path, "v4imp.h5", msgs, {256: data.tobytes()})
+    assert hdf5.read(p).variables["v"].data.tolist() == list(range(6))
+
+
+def test_v4_fixed_array_index(tmp_path):
+    # 2-chunk grid (chunk 4, shape 6): FAHD at 256 -> FADB at 320, chunks at
+    # 512/640; second chunk is partial (reader clips at the dataset edge)
+    data = np.arange(6, dtype="<i4")
+    c0 = data[:4].tobytes()
+    c1 = data[4:].tobytes() + b"\x00" * 8  # full chunk stored, tail ignored
+    fahd = (
+        b"FAHD" + struct.pack("<BBBB", 0, 0, 8, 10)
+        + struct.pack("<QQ", 2, 320) + b"\x00" * 4
+    )
+    fadb = b"FADB" + struct.pack("<BB", 0, 0) + struct.pack("<Q", 256)
+    fadb += struct.pack("<QQ", 512, 640) + b"\x00" * 4
+    lay = _lay4_chunked(4, 3, 256, extra=bytes([10]))  # page bits
+    msgs = _msg2(0x01, _dspace1d(6)) + _msg2(0x03, _DT_I4) + _msg2(0x08, lay)
+    p = _write_v4_file(
+        tmp_path, "v4fa.h5", msgs, {256: fahd, 320: fadb, 512: c0, 640: c1}
+    )
+    assert hdf5.read(p).variables["v"].data.tolist() == list(range(6))
+
+
+def test_v4_fixed_array_filtered(tmp_path):
+    # client-id 1 elements: addr(8) + 4-byte size + mask; deflated chunks
+    data = np.arange(8, dtype="<i4")
+    c0 = zlib.compress(data[:4].tobytes(), 6)
+    c1 = zlib.compress(data[4:].tobytes(), 6)
+    fahd = (
+        b"FAHD" + struct.pack("<BBBB", 0, 1, 16, 10)
+        + struct.pack("<QQ", 2, 320) + b"\x00" * 4
+    )
+    fadb = b"FADB" + struct.pack("<BB", 0, 1) + struct.pack("<Q", 256)
+    fadb += struct.pack("<QII", 512, len(c0), 0)
+    fadb += struct.pack("<QII", 640, len(c1), 0) + b"\x00" * 4
+    filt = struct.pack("<BBHHH", 2, 1, 1, 0, 1) + struct.pack("<I", 6)
+    lay = _lay4_chunked(4, 3, 256, extra=bytes([10]))
+    msgs = (
+        _msg2(0x01, _dspace1d(8)) + _msg2(0x03, _DT_I4)
+        + _msg2(0x0B, filt) + _msg2(0x08, lay)
+    )
+    p = _write_v4_file(
+        tmp_path, "v4faf.h5", msgs, {256: fahd, 320: fadb, 512: c0, 640: c1}
+    )
+    assert hdf5.read(p).variables["v"].data.tolist() == list(range(8))
+
+
+def test_v4_unsupported_indexes_named_error(tmp_path):
+    for itype, frag in ((4, "extensible-array"), (5, "B-tree-v2")):
+        extra = b"\x00" * (6 if itype == 4 else 6)
+        lay = _lay4_chunked(4, itype, 256, extra=extra)
+        msgs = _msg2(0x01, _dspace1d(8)) + _msg2(0x03, _DT_I4) + _msg2(0x08, lay)
+        p = _write_v4_file(tmp_path, f"v4bad{itype}.h5", msgs, {})
+        with pytest.raises(hdf5.Hdf5Error, match=frag):
+            hdf5.read(p)
+
+
+def test_dense_attribute_storage(tmp_path):
+    # ATTRINFO -> fractal heap (root direct block) + name-index v2 B-tree
+    # (depth 0) — the storage libhdf5 switches to above its compact limit
+    def attr_msg(name: bytes, value: int) -> bytes:
+        scalar_sp = struct.pack("<BBBB", 2, 0, 0, 0)
+        body = struct.pack("<BBHHHB", 3, 0, len(name) + 1, len(_DT_I4),
+                           len(scalar_sp), 0)
+        return body + name + b"\x00" + _DT_I4 + scalar_sp + struct.pack("<i", value)
+
+    a1, a2 = attr_msg(b"alpha", 7), attr_msg(b"beta", 42)
+    # FHDB header = sig(4)+ver(1)+heapaddr(8)+blockoff(4) = 17 bytes; heap
+    # offsets address block space including the header
+    fhdb_addr, frhp_addr, bt_addr, leaf_addr = 320, 256 + 768, 1280, 1408
+    fhdb = (
+        b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_addr)
+        + struct.pack("<I", 0) + a1 + a2
+    )
+    off1, off2 = 17, 17 + len(a1)
+    frhp = (
+        b"FRHP" + struct.pack("<BHHB", 0, 8, 0, 0)
+        + struct.pack("<I", 4096) + struct.pack("<Q", 0) * 12
+        + struct.pack("<H", 4)        # table width
+        + struct.pack("<QQ", 512, 4096)  # starting / max direct block size
+        + struct.pack("<HH", 32, 1)   # max heap bits (off size 4), start rows
+        + struct.pack("<QH", fhdb_addr, 0)  # root block addr, cur rows 0
+        + b"\x00" * 4
+    )
+
+    def heap_id(off: int, length: int) -> bytes:
+        return bytes([0]) + off.to_bytes(4, "little") + length.to_bytes(3, "little")
+
+    def rec(off: int, length: int) -> bytes:
+        return heap_id(off, length) + b"\x00" * 9  # flags + corder + hash
+
+    leaf = b"BTLF" + struct.pack("<BB", 0, 8) + rec(off1, len(a1)) + rec(off2, len(a2))
+    leaf += b"\x00" * 4
+    bthd = (
+        b"BTHD" + struct.pack("<BB", 0, 8) + struct.pack("<I", 2048)
+        + struct.pack("<HH", 17, 0)   # record size, depth
+        + struct.pack("<BB", 100, 40)
+        + struct.pack("<QH", leaf_addr, 2) + struct.pack("<Q", 2) + b"\x00" * 4
+    )
+
+    data = np.arange(3, dtype="<i4")
+    attrinfo = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bt_addr)
+    lay = struct.pack("<BBQQ", 3, 1, 256, data.nbytes)
+    msgs = (
+        _msg2(0x01, _dspace1d(3)) + _msg2(0x03, _DT_I4)
+        + _msg2(0x08, lay) + _msg2(0x15, attrinfo)
+    )
+    p = _write_v4_file(
+        tmp_path, "dense_attrs.h5", msgs,
+        {256: data.tobytes(), fhdb_addr: fhdb, frhp_addr: frhp,
+         bt_addr: bthd, leaf_addr: leaf},
+    )
+    ds = hdf5.read(p)
+    assert ds.variables["v"].attributes == {"alpha": 7, "beta": 42}
+    assert ds.variables["v"].data.tolist() == [0, 1, 2]
