@@ -12,7 +12,8 @@ that netCDF-4 files actually use is implemented directly:
          continuations); groups stored as symbol tables (TREE/HEAP/SNOD) or
          as in-header link messages; dataspace v1/v2; datatypes fixed-point,
          IEEE float, fixed string, vlen string, object reference, vlen
-         sequence; data layout v3 compact/contiguous/chunked (v1 chunk
+         sequence, compound (struct columns, v1-v3 member encodings);
+         data layout v3 compact/contiguous/chunked (v1 chunk
          B-tree) and v4 (libver-latest chunk indexes: single-chunk,
          implicit, and fixed-array incl. filtered elements and paged data
          blocks; extensible-array and v2-B-tree indexes raise named
@@ -116,8 +117,40 @@ def _parse_datatype(buf: bytes, off: int) -> tuple[DType, int]:
                   charset_utf8=utf8),
             pos + used - off,
         )
-    if cls == 6:  # compound — parsed only far enough to skip (REFERENCE_LIST)
-        return DType(cls, size), size and (pos - off)
+    if cls == 6:  # compound: decode members into a structured numpy dtype
+        nmembers = bits & 0xFFFF
+        names, formats, offsets = [], [], []
+        pos_m = pos
+        for _ in range(nmembers):
+            e = buf.index(b"\x00", pos_m)
+            nm = buf[pos_m:e].decode("utf-8")
+            if version in (1, 2):   # name null-padded to a multiple of 8
+                nlen = e - pos_m + 1
+                pos_m += nlen + ((8 - nlen % 8) % 8)
+                moff = struct.unpack_from("<I", buf, pos_m)[0]
+                pos_m += 4
+                if version == 1:
+                    ndims = buf[pos_m]
+                    if ndims:
+                        raise Hdf5Error("array-valued compound members unsupported")
+                    # dimensionality(1) reserved(3) perm(4) reserved(4) dims(16)
+                    pos_m += 28
+            else:                   # version 3: bare name, variable offset size
+                pos_m = e + 1
+                osz = max(1, (max(size, 1).bit_length() + 7) // 8)
+                moff = int.from_bytes(buf[pos_m : pos_m + osz], "little")
+                pos_m += osz
+            mdt, used = _parse_datatype(buf, pos_m)
+            pos_m += used
+            names.append(nm)
+            offsets.append(moff)
+            formats.append(
+                mdt.np_dtype if mdt.np_dtype is not None else np.dtype(f"V{mdt.size}")
+            )
+        np_dt = np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": size}
+        )
+        return DType(cls, size, np_dt), pos_m - off
     raise Hdf5Error(f"HDF5 datatype class {cls} is outside the netCDF-4 subset")
 
 
@@ -692,6 +725,8 @@ class _H5Reader:
                 for i in range(count)
             ]
             return vals
+        if dt.cls == 6:
+            return np.frombuffer(raw, dt.np_dtype, count=count)
         if dt.cls == 7:
             return list(np.frombuffer(raw, "<u8", count=count))
         if dt.cls == 9:

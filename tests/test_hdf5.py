@@ -642,3 +642,55 @@ def test_dense_attribute_storage(tmp_path):
     ds = hdf5.read(p)
     assert ds.variables["v"].attributes == {"alpha": 7, "beta": 42}
     assert ds.variables["v"].data.tolist() == [0, 1, 2]
+
+
+_DT_F8 = struct.pack("<B3BI", 0x11, 0x20, 63, 0, 8) + struct.pack(
+    "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023
+)
+
+
+def test_compound_datatype_v3_contiguous(tmp_path):
+    # station-record style compound {t: i4 @0, val: f8 @4}, packed itemsize 12
+    # encoded as a version-3 datatype message (bare names, 1-byte offsets)
+    cdt = (
+        struct.pack("<B3BI", 0x36, 0x02, 0, 0, 12)
+        + b"t\x00" + bytes([0]) + _DT_I4
+        + b"val\x00" + bytes([4]) + _DT_F8
+    )
+    rec = np.dtype([("t", "<i4"), ("val", "<f8")])
+    data = np.array([(1, 1.5), (2, 2.5), (3, 3.5)], rec)
+    lay = struct.pack("<BBQQ", 3, 1, 256, data.nbytes)
+    msgs = _msg2(0x01, _dspace1d(3)) + _msg2(0x03, cdt) + _msg2(0x08, lay)
+    p = _write_v4_file(tmp_path, "compound3.h5", msgs, {256: data.tobytes()})
+    got = hdf5.read(p).variables["v"].data
+    assert got.dtype.names == ("t", "val")
+    assert got["t"].tolist() == [1, 2, 3]
+    assert got["val"].tolist() == [1.5, 2.5, 3.5]
+
+
+def test_compound_datatype_v1_chunked_deflate(tmp_path):
+    # version-1 member encoding (8-padded names + 28 bytes of dims/perm
+    # bookkeeping) on a v4 single-chunk deflated dataset
+    def member_v1(name: bytes, off: int, dtmsg: bytes) -> bytes:
+        pad = name + b"\x00"
+        pad += b"\x00" * ((8 - len(pad) % 8) % 8)
+        return pad + struct.pack("<I", off) + b"\x00" * 28 + dtmsg
+
+    cdt = (
+        struct.pack("<B3BI", 0x16, 0x02, 0, 0, 12)
+        + member_v1(b"t", 0, _DT_I4)
+        + member_v1(b"val", 4, _DT_F8)
+    )
+    rec = np.dtype([("t", "<i4"), ("val", "<f8")])
+    data = np.array([(7, 0.5), (8, 0.25)], rec)
+    comp = zlib.compress(data.tobytes(), 6)
+    filt = struct.pack("<BBHHH", 2, 1, 1, 0, 1) + struct.pack("<I", 6)
+    lay = _lay4_chunked(2, 1, 256, flags=0x02, extra=struct.pack("<QI", len(comp), 0))
+    msgs = (
+        _msg2(0x01, _dspace1d(2)) + _msg2(0x03, cdt)
+        + _msg2(0x0B, filt) + _msg2(0x08, lay)
+    )
+    p = _write_v4_file(tmp_path, "compound1.h5", msgs, {256: comp})
+    got = hdf5.read(p).variables["v"].data
+    assert got["t"].tolist() == [7, 8]
+    assert got["val"].tolist() == [0.5, 0.25]
