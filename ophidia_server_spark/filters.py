@@ -110,6 +110,12 @@ def compile_group(cat: Catalog, kv: dict[str, str]) -> DataFrame:
     prefix (oph_filters.c:576-601) — enforced here for every query.
     """
     df = cat.cubes
+    # every catalog query is session-scoped (oph_filters.c:576-601): cubes
+    # outside the session prefix are invisible no matter which filter keys
+    # the caller supplies — the ACL boundary is structural, not opt-in
+    sp = (cat.session_prefix or "").rstrip("/")
+    if sp:
+        df = df.filter((F.col("path") == sp) | F.col("path").startswith(sp + "/"))
     pred: Column | None = None
 
     def add(p: Column) -> None:

@@ -49,8 +49,13 @@ class ManagementService:
 
     ROLES = ("read", "write", "execute", "admin", "owner")  # oph_auth.h:79-96
 
-    def __init__(self, spark: SparkSession, config: dict[str, str] | None = None):
+    def __init__(self, spark: SparkSession, config: dict[str, str] | None = None,
+                 admins: set[str] | None = None):
         self.spark = spark
+        # server-level administrators (the reference's admin accounts,
+        # oph_server_conf); management ops called WITH an identity are checked
+        # against this set, a None user is the trusted driver-side caller
+        self.admins = set(admins or {"admin"})
         self.config = {
             "SERVER_FARM_SIZE": "128",
             "QUEUE_SIZE": "0",
@@ -79,34 +84,59 @@ class ManagementService:
                 for x in self.sessions.values()
                 if user in x.users
             ]
-        if user not in s.users and action != "list":
+        if user not in s.users and user not in self.admins and action != "list":
             raise PermissionError(f"{user} has no grant on {session}")
+
+        def need(bit: int) -> None:
+            # session-role enforcement (oph_auth.h:79-96): grants and session
+            # lifecycle are owner-only, env/label writes need the write bit;
+            # server admins bypass (the reference's admin override)
+            from ophidia_server_spark import auth
+
+            if user in self.admins:
+                return
+            held = auth.role_bits(s.users.get(user, "none"))
+            if held & bit != bit:
+                raise PermissionError(
+                    f"{user} (role {s.users.get(user)!r}) lacks the required "
+                    f"permission on {session} for action {action!r}"
+                )
+
+        from ophidia_server_spark import auth
+
         if action == "remove":
+            need(auth.OWNER)
             del self.sessions[session]
             return None
         if action == "grant":
+            need(auth.OWNER)
             role = kw.get("role", "read")
             if role not in self.ROLES:
                 raise ValueError(f"bad role {role}")
             s.users[kw["grantee"]] = role
             return None
         if action == "revoke":
+            need(auth.OWNER)
             s.users.pop(kw["grantee"], None)
             return None
         if action == "listusers":
             return dict(s.users)
         if action == "setenv":
+            need(auth.WRITE)
             s.env[kw["key"]] = kw["value"]
             return None
         if action == "env":
             return dict(s.env)
         if action == "label":
+            need(auth.WRITE)
             s.label = kw["value"]
             return None
         if action == "disable":
+            need(auth.OWNER)
             s.active = False
             return None
         if action == "enable":
+            need(auth.OWNER)
             s.active = True
             return None
         raise ValueError(f"unknown action {action!r}")
@@ -115,8 +145,15 @@ class ManagementService:
     def get_config(self, key: str | None = None):
         return dict(self.config) if key is None else {key: self.config.get(key)}
 
+    def _require_admin(self, user: str | None, op: str) -> None:
+        """Admin-only server ops (oph_auth.h OPH_ROLE_ADMIN); user=None is
+        the trusted driver-side caller."""
+        if user is not None and user not in self.admins:
+            raise PermissionError(f"{op} requires an admin account ({user!r} is not)")
+
     def service(self, status: str | None = None, enable_user: str | None = None,
-                disable_user: str | None = None) -> dict:
+                disable_user: str | None = None, user: str | None = None) -> dict:
+        self._require_admin(user, "oph_service")
         if status == "up":
             self.service_up = True
         elif status == "down":
@@ -128,10 +165,13 @@ class ManagementService:
         return {"status": "up" if self.service_up else "down"}
 
     # -- oph_cluster ----------------------------------------------------------
-    def cluster(self, action: str = "info") -> dict:
+    def cluster(self, action: str = "info", user: str | None = None) -> dict:
         """Executor-state report (the reference deploys I/O server clusters
         over host partitions; Spark owns placement, so deploy/undeploy are
-        acknowledged no-ops reporting the real executor pool)."""
+        acknowledged no-ops reporting the real executor pool). Info is open
+        to any caller; deploy/undeploy actions are admin-only."""
+        if action != "info":
+            self._require_admin(user, "oph_cluster")
         sc = self.spark.sparkContext
         try:  # executor count via the JVM context (not exposed in the Python API)
             n_exec = sc._jsc.sc().getExecutorMemoryStatus().size()
@@ -347,7 +387,9 @@ class ManagementService:
         return len(self.ledger)
 
     # -- oph_log_info ---------------------------------------------------------
-    def log_info(self, log_path: str, nlines: int = 10) -> list[str]:
+    def log_info(self, log_path: str, nlines: int = 10,
+                 user: str | None = None) -> list[str]:
+        self._require_admin(user, "oph_log_info")
         if not os.path.exists(log_path):
             return []
         with open(log_path, "r", errors="replace") as f:

@@ -801,6 +801,7 @@ class WorkflowEngine:
         max_workers: int = 1,
         checkpoint_store: dict | None = None,
         resume_from: dict | None = None,
+        role: str | int | None = None,
     ) -> WorkflowRun:
         """Execute a workflow.
 
@@ -811,6 +812,11 @@ class WorkflowEngine:
         (oph_workflow_save semantics); resume_from seeds results from a prior
         store so finished tasks are not re-run (checkpoint restart,
         oph_workflow_engine.c:244-288).
+        `role` is the caller's session role (oph_auth.h:79-96); when given,
+        every task's operator is checked against its required role before
+        dispatch (the reference rejects at serve time) — a denied task fails
+        with PermissionError through the normal on_error policy. None means
+        a trusted driver-side caller (no enforcement).
         """
         if isinstance(workflow, str):
             workflow = parse_request(workflow)
@@ -844,6 +850,7 @@ class WorkflowEngine:
             if not wave:
                 raise WorkflowError("deadlock: no ready tasks")  # pragma: no cover
             compute_batch: list[tuple[dict, Callable, dict, dict]] = []
+            results: list[TaskResult] = []
             for name in wave:
                 t = by_name[name]
                 op = t.get("operator")
@@ -855,6 +862,17 @@ class WorkflowEngine:
                 ):
                     record(TaskResult(name, "OPH_ODB_STATUS_SKIPPED"))
                     continue
+                if role is not None and op:
+                    from ophidia_server_spark import auth as _auth
+
+                    try:
+                        _auth.check_role(role, op)
+                    except PermissionError as e:
+                        results.append(TaskResult(
+                            name, "OPH_ODB_STATUS_ERROR",
+                            error=f"PermissionError: {e}",
+                        ))
+                        continue
                 # task-level variables shadow workflow variables during this
                 # task's substitution (oph_workflow_utils.c:183-186 scoping)
                 scope = {**run.variables, **t.get("variables", {})}
@@ -923,7 +941,6 @@ class WorkflowEngine:
                 compute_batch.append((t, fn, args, inputs))
 
             # execute the wave's compute tasks (concurrently when asked)
-            results: list[TaskResult] = []
             if max_workers > 1 and len(compute_batch) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -937,7 +954,7 @@ class WorkflowEngine:
                     return self._exec_task(t, fn, args, inputs)
 
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                    results = list(pool.map(one, compute_batch))
+                    results.extend(pool.map(one, compute_batch))
             else:
                 for t, fn, args, inputs in compute_batch:
                     exp = self._massive_expand(args)
