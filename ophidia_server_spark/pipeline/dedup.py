@@ -471,9 +471,12 @@ def cluster_pairs(
     if not numeric_ids:
         # non-numeric ids: the long-cast would null them out silently. Small
         # edge lists go through the driver union-find (any hashable type);
-        # larger ones get an internal order-preserving long id (sort +
-        # zipWithIndex — monotone, so the min-long rep maps back to the
-        # min-original rep) and run the distributed path end to end.
+        # larger ones get an internal order-preserving long id and run the
+        # distributed path end to end. The id map stays in Catalyst: range-
+        # repartition on the id (globally ordered partitions), a bounded
+        # per-partition count collect (#partitions rows), then partition
+        # offset + local row_number — monotone, so the min-long rep maps
+        # back to the min-original rep, with codegen/AQE intact.
         spark = pairs.sparkSession
         probe_df = pairs.select(a_col, b_col).limit(DRIVER_CC_MAX_EDGES + 1)
         rows = None if force_distributed else probe_df.collect()
@@ -487,11 +490,26 @@ def cluster_pairs(
             pairs.select(F.col(a_col).alias("__orig"))
             .union(pairs.select(F.col(b_col).alias("__orig")))
             .distinct()
+            .repartitionByRange(F.col("__orig"))
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
         )
-        id_map = spark.createDataFrame(
-            ids.rdd.map(lambda r: r["__orig"]).sortBy(lambda x: x).zipWithIndex(),
-            ["__orig", "__mid"],
-        ).persist()
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in ids.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offs, acc = [], 0
+        for pid in sorted(counts):
+            offs.append((pid, acc))
+            acc += counts[pid]
+        off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+        win = Window.partitionBy("__pid").orderBy("__orig")
+        id_map = (
+            ids.join(F.broadcast(off_df), "__pid")
+            .withColumn("__mid", F.row_number().over(win) + F.col("__off") - 1)
+            .select("__orig", "__mid")
+            .persist()
+        )
         ma = id_map.select(F.col("__orig").alias(a_col), F.col("__mid").alias("__ma"))
         mb = id_map.select(F.col("__orig").alias(b_col), F.col("__mid").alias("__mb"))
         mapped = (
@@ -516,6 +534,7 @@ def cluster_pairs(
             .localCheckpoint(eager=True)
         )
         id_map.unpersist()
+        ids.unpersist()
         return back
     edges = (
         pairs.select(

@@ -291,7 +291,7 @@ def test_cluster_pairs_string_ids(spark):
 
 def test_cluster_pairs_string_ids_distributed(spark):
     # above the driver threshold (forced), string ids map through the
-    # internal sort+zipWithIndex long ids and back; reps stay the
+    # internal range-partitioned rank long ids and back; reps stay the
     # lexicographic minimum of each component (monotone mapping)
     from ophidia_server_spark.pipeline.dedup import cluster_pairs
 
