@@ -20,9 +20,9 @@ the reference server's internal hashtable environment cleanup ("No index
 found in environment...", "Unable to remove variable...") — an unrolling
 engine holds loop state per expansion, not in a mutable workflow
 environment, so those states are unrepresentable by construction. The
-oph_serve_flow_control_operator (13) and misc (13) suites exercise the
-gSOAP dispatcher plumbing (operator-name routing, odb job bookkeeping),
-covered behaviorally by tests/test_workflow.py's engine-level DAG tests.
+oph_serve_flow_control_operator (13) and misc (13) suites are ported
+case-for-case in tests/test_ref_serve_misc_suites.py, completing the
+reference's 11-suite matrix.
 """
 
 import pytest
