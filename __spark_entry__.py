@@ -62,7 +62,10 @@ PRIORITY = [
     "dedup_ngram_exact",
     "dedup_embedding_cosine",
     "dedup_minhash_clusters",
-    "dedup_near_removal",
+    # dedup_near_removal moved to the tail (rows-only there; its exact twin
+    # dedup_embedding_removal stays judge-graded) to keep a catalog-family
+    # entry — and an oracle-exact one — in the graded head
+    "catalog_search",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_ivf_topk",
