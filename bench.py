@@ -48,6 +48,10 @@ HEADLINE = [
     # partition-pruned probe cost only (the serving-path number)
     "sim_ivf_build",
     "sim_ivf_topk",
+    # round-5: query-many serving — 8 concurrent exhaustive probes against
+    # the one shared IVF store under FAIR pools (the reference's 128-thread
+    # farm shape); measures contention on the store read path
+    "sim_probe_concurrent",
     "sim_lsh_build",
     "sim_lsh_topk",
     "events_sliding_1h30m",
@@ -73,6 +77,9 @@ HEADLINE = [
     # distribution shape)
     "tpch_q18_large_volume_customers",
     "tpch_q13_customer_distribution",
+    # round-5: TPC-H set completed via the lineitem-derived partsupp stand-in;
+    # q9 is the heaviest new shape (fact self-derived dim + orders join)
+    "tpch_q9_product_profit",
     # round-4 additions: netCDF-4 (HDF5) + Zarr codecs, PII scrub pass,
     # bigram language-model quality scoring (join-heavy text shape)
     "io_nc4_roundtrip",

@@ -1581,6 +1581,60 @@ def sim_pq_topk(spark, sf_dir):
     return sim.pq_topk_rerank(codes, emb, books, _query_vec(spark, sf_dir), k=10)
 
 
+@q(
+    "sim_probe_concurrent",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine_sim DESC, vec_id) AS rn
+           FROM scored)
+SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5""",
+)
+def sim_probe_concurrent(spark, sf_dir):
+    """Query-many serving: 8 probes against ONE materialized IVF store run
+    CONCURRENTLY. The reference's model is a 128-thread request farm fronting
+    many simultaneous queries over the shared fragment store
+    (SERVER_FARM_SIZE=128, etc/server.conf.in; fragments
+    oph_ophidiadb_query.h:48); this is that shape on Spark. Each thread tags
+    its jobs with its own FAIR scheduler pool (session.py sets
+    spark.scheduler.mode=FAIR) so the probes interleave instead of queueing;
+    all threads scan the same store files, sharing page cache and footer
+    parsing. nprobe=n_cells makes each probe exhaustive, so the merged result
+    is oracle-exact; the pruned serving path (nprobe<n_cells) is measured by
+    sim_ivf_topk."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    idx = _vstore(spark, sf_dir, "ivf")
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvecs = {
+        int(r[0]): [float(v) for v in r[1]]
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    n_cells = idx.params["n_cells"]
+
+    def probe(qid: int):
+        sc = spark.sparkContext
+        # local properties are per-Python-thread (pinned-thread mode), so each
+        # concurrent probe lands in its own pool; cleared on the way out
+        sc.setLocalProperty("spark.scheduler.pool", f"probe_{qid}")
+        try:
+            rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=n_cells).collect()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+        return [(qid, int(r["vec_id"]), float(r["cosine_sim"])) for r in rows]
+
+    with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
+        rows = [r for part in ex.map(probe, sorted(qvecs)) for r in part]
+    return spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, cosine_sim double"
+    )
+
+
 @q("sim_ivf_topk")  # approximate path: rows-only check
 def sim_ivf_topk(spark, sf_dir):
     # probe the materialized cell-partitioned store (pipeline/
@@ -3272,9 +3326,290 @@ def tpch_q14(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# TPC-H breadth (q8..q22 where the testdata has the columns; partsupp is not
-# generated, so q2/q9/q11/q16/q20 have no faithful formulation)
+# TPC-H breadth — all 22. The testdata generates no partsupp table, so
+# q2/q9/q11/q16/q20 run against a derived stand-in: the distinct
+# (part, supplier) pairs that actually traded in lineitem, with
+# MIN(extendedprice) as the cost attribute and total traded quantity as
+# availability. Both engines derive it from the same rows with exact DECIMAL
+# aggregates, so the oracle compare stays hash-exact; the join/aggregate
+# shapes match the original queries.
 # ---------------------------------------------------------------------------
+
+_PS_SQL = """ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,2)) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2)"""
+
+
+def _ps(t: dict) -> DataFrame:
+    """partsupp stand-in: one row per (part, supplier) pair that traded.
+    Quantities are integral in the testdata, so the BIGINT sum is exact."""
+    return (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_supplycost"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast(DEC).alias("ps_availqty"),
+        )
+    )
+
+
+def _eu_suppliers(t: dict, r_name: str) -> DataFrame:
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    f"""WITH {_PS_SQL},
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'),
+costs AS (SELECT ps_partkey, ps_suppkey, ps_supplycost
+          FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+minc AS (SELECT ps_partkey AS mp, MIN(ps_supplycost) AS mc FROM costs GROUP BY 1)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM costs JOIN minc ON ps_partkey = mp AND ps_supplycost = mc
+JOIN part ON p_partkey = ps_partkey
+JOIN eu ON ps_suppkey = s_suppkey
+WHERE p_size <= 25 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""",
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European supplier(s) offering it at the region-wide minimum cost. The
+    correlated MIN subquery is de-correlated into a per-part min aggregate
+    joined back on the exact DECIMAL cost; supplier/nation/region and the
+    filtered part side broadcast."""
+    t = _t(spark, sf_dir)
+    eu = _eu_suppliers(t, "EUROPE")
+    costs = (
+        _ps(t)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    )
+    minc = costs.groupBy(F.col("ps_partkey").alias("mp")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        costs.join(
+            F.broadcast(
+                t["part"].filter((F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD"))
+            ),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(minc, (F.col("ps_partkey") == F.col("mp")) & (F.col("ps_supplycost") == F.col("mc")))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q9_product_profit",
+    f"""WITH {_PS_SQL}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV}
+                - ps_supplycost * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): per supplier-nation per order-year,
+    revenue minus cost of the parts matching a name pattern. The quantity
+    cast stays at DECIMAL(9,2) so the cost product's precision fits both
+    engines' exact-DECIMAL paths (a (18,2) cast would push the subtraction
+    past DuckDB's 38-digit cap and silently demote it to double)."""
+    t = _t(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").contains("widget"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(_ps(t), (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = _rev_col() - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(9,2)")
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    f"""WITH {_PS_SQL},
+nsup AS (SELECT s_suppkey FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'),
+val AS (SELECT ps_partkey,
+               CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS part_value
+        FROM ps JOIN nsup ON ps_suppkey = s_suppkey GROUP BY 1),
+tot AS (SELECT CAST(SUM(part_value) AS DECIMAL(18,2)) AS t, COUNT(*) AS n FROM val)
+SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val, tot WHERE part_value * n > t * 2""",
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): parts whose Asian-supplier inventory
+    value exceeds a threshold of the total. The original's SF-scaled fraction
+    is made scale-free — value above 2x the per-part mean — so the query
+    stays non-vacuous at every scale factor; the comparison is exact DECIMAL
+    times integers (no float fraction to flip boundary rows). Every product
+    is integral in cents so the (18,2) recasts never round."""
+    t = _t(spark, sf_dir)
+    nsup = _eu_suppliers(t, "ASIA").select("s_suppkey")
+    val = (
+        _ps(t)
+        .join(F.broadcast(nsup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum((F.col("ps_supplycost") * F.col("ps_availqty")).cast(DEC))
+            .cast(DEC)
+            .alias("part_value")
+        )
+    )
+    tot = val.agg(
+        F.sum("part_value").cast(DEC).alias("t"), F.count("*").alias("n")
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("part_value") * F.col("n") > F.col("t") * F.lit(2))
+        .select("ps_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@q(
+    "tpch_q16_parts_supplier_relation",
+    """WITH pairs AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+                    FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count per
+    (brand, type, size) over the traded pairs, excluding flagged suppliers
+    (the comment-based complaint filter is adapted to negative account
+    balance — the signal the testdata carries). NOT IN becomes a left-anti
+    join against the (tiny, broadcast) flagged-supplier set."""
+    t = _t(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    keep_part = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        pairs.join(F.broadcast(keep_part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(flagged), "ps_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20_potential_promotion",
+    f"""WITH {_PS_SQL},
+shipped AS (SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,2)) AS q97
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2),
+cand AS (SELECT DISTINCT ps_suppkey FROM ps
+         JOIN part ON p_partkey = ps_partkey
+         JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         WHERE p_name LIKE 'blue%' AND ps_availqty > q97 * 2)
+SELECT s_suppkey, s_name FROM supplier
+JOIN cand ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+ORDER BY s_suppkey""",
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): Asian suppliers holding excess
+    availability of name-matched parts relative to what they shipped in 1997
+    (availability here = all-time traded quantity, so the original's
+    '> half of the year's shipments' test becomes '> 2x' to stay
+    non-degenerate). All comparisons are exact integral DECIMALs."""
+    t = _t(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast(DEC).alias("q97"))
+    )
+    cand = (
+        _ps(t)
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").startswith("blue"))),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("q97") * F.lit(2))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _eu_suppliers(t, "ASIA")
+        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
 
 @q(
     "tpch_q8_market_share",

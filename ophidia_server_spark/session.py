@@ -73,6 +73,13 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # FAIR scheduling across pools: the reference front-ends many
+        # simultaneous queries over one shared store (SERVER_FARM_SIZE=128,
+        # etc/server.conf.in); concurrent probe threads tag their jobs with a
+        # per-query pool so short probes interleave instead of queueing behind
+        # each other. With a single pool (every sequential workload) behavior
+        # is unchanged: the default pool stays internally FIFO.
+        .config("spark.scheduler.mode", "FAIR")
         # v2 committer: task output moves to the destination at task commit
         # (one rename) instead of job commit (N renames serialized on the
         # driver) — the standard choice for partitioned writes with many

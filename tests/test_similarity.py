@@ -304,3 +304,43 @@ def test_cluster_pairs_string_ids_distributed(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "x": "x", "y": "x", "k": "k", "m": "k",
     }
+
+
+def test_concurrent_probes_share_store(spark, tables, tmp_path):
+    # query-many serving (reference: SERVER_FARM_SIZE=128 concurrent requests
+    # over one fragment store): N threads probe ONE materialized IVF store,
+    # each under its own FAIR pool. Every concurrent result must equal its
+    # sequential twin, and the concurrent wall time must beat running the
+    # same probes back-to-back (the store is shared read-only, so probes
+    # interleave across cores instead of queueing).
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    idx = vs.ivf_build(emb, str(tmp_path / "ivf_conc"), n_cells=8)
+    qvecs = [
+        [float(v) for v in r[0]]
+        for r in emb.filter(emb.vec_id < 8).select("embedding").collect()
+    ]
+
+    def probe(qv):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"p{id(qv)}")
+        try:
+            return [tuple(r) for r in vs.ivf_probe(spark, idx, qv, k=5, nprobe=4).collect()]
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+    t0 = time.perf_counter()
+    sequential = [probe(qv) for qv in qvecs]
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
+        concurrent = list(ex.map(probe, qvecs))
+    t_conc = time.perf_counter() - t0
+    assert concurrent == sequential
+    # sub-linear scaling: 8 concurrent probes complete faster than 8 serial
+    # ones (generous margin — this asserts overlap, not a specific speedup)
+    assert t_conc < t_seq
