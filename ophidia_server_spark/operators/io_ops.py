@@ -439,6 +439,8 @@ def _zr_compressor_meta(compress) -> dict | None:
         return None
     if compress in ("blosc", "blosc-lz4"):
         return {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
+    if compress == "zstd":
+        return {"id": "zstd", "level": 3}
     return {"id": "zlib", "level": compress}
 
 

@@ -996,6 +996,43 @@ def io_zarr_blosc_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_zarr_zstd_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_zarr_zstd_roundtrip(spark, sf_dir):
+    """Zarr roundtrip through numcodecs-Zstd chunks (one zstd frame per
+    chunk — the zarr-python v3-era default codec), encoded and decoded via
+    pyarrow's bundled C zstd (sources/codecs.py); decoded sizes come from
+    each frame's Frame_Content_Size. Same executor-sharded write /
+    one-task-per-chunk read shape as io_zarr_roundtrip."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_tax").cast(DEC), measure="tax"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_zstd_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(cube, store, compress="zstd", per_dim_chunks=True)
+    c2 = io_ops.oph_importzarr(spark, store, "tax", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("tax"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("tax"), 2).cast("double").alias("tax"),
+        )
+    )
+
+
+@q(
     "io_zarr_subset_import",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(month(l_shipdate) AS BIGINT) AS month,

@@ -509,8 +509,58 @@ class _H5Reader:
                     )
             elif fid == 3:          # fletcher32: payload + 4-byte checksum
                 raw = raw[:-4]
+            elif fid == 32015:      # registered zstd plugin: one frame/chunk
+                from ophidia_server_spark.sources import codecs
+
+                try:
+                    raw = codecs.zstd_decompress(raw)
+                except ValueError as exc:
+                    raise Hdf5Error(f"zstd chunk: {exc}") from exc
+            elif fid == 32004:      # registered lz4 plugin framing:
+                # [u64be orig size][u32be block size] then per block
+                # [u32be csize][lz4 raw block]; csize == block size => stored
+                from ophidia_server_spark.sources import codecs
+                from ophidia_server_spark.sources.lz4blosc import (
+                    Lz4Error,
+                    lz4_decompress_block,
+                )
+
+                if len(raw) < 12:
+                    raise Hdf5Error("lz4 chunk shorter than its 12-byte header")
+                orig = int.from_bytes(raw[:8], "big")
+                bsize = int.from_bytes(raw[8:12], "big") or orig or 1
+                pos, parts, left = 12, [], orig
+                try:
+                    while left > 0:
+                        csize = int.from_bytes(raw[pos : pos + 4], "big")
+                        pos += 4
+                        blk, this = raw[pos : pos + csize], min(bsize, left)
+                        pos += csize
+                        if csize == this:
+                            parts.append(blk)
+                        elif codecs.have("lz4_raw"):
+                            parts.append(codecs.decompress("lz4_raw", blk, this))
+                        else:
+                            parts.append(lz4_decompress_block(blk, this))
+                        left -= this
+                except (Lz4Error, ValueError) as exc:
+                    raise Hdf5Error(f"lz4 chunk: {exc}") from exc
+                raw = b"".join(parts)
+            elif fid == 32001:      # registered blosc plugin: blosc1 frame
+                from ophidia_server_spark.sources.lz4blosc import (
+                    BloscError,
+                    blosc_decompress,
+                )
+
+                try:
+                    raw = blosc_decompress(raw)
+                except BloscError as exc:
+                    raise Hdf5Error(f"blosc chunk: {exc}") from exc
             else:
-                raise Hdf5Error(f"filter id {fid} unsupported (deflate/shuffle/fletcher32 only)")
+                raise Hdf5Error(
+                    f"filter id {fid} unsupported (deflate/shuffle/fletcher32/"
+                    "zstd-32015/lz4-32004/blosc-32001 only)"
+                )
         return raw
 
     def _chunk_entries(self, btree_addr: int, ndim: int):

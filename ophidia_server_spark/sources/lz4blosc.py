@@ -2,7 +2,7 @@
 
 Real CMIP6/Pangeo cloud Zarr stores default to the numcodecs Blosc compressor
 with cname="lz4" (zarr-python's default), so reading them needs exactly two
-small public formats neither of which has a library in this container:
+small public formats:
 
   * the LZ4 *block* format (lz4.github.io/lz4/lz4_Block_format.html): a
     sequence stream of [token][literals][2-byte offset][matchlen] with
@@ -17,6 +17,11 @@ Same codec-from-spec pattern as sources/png.py and sources/hdf5.py: built
 from struct/numpy primitives, not a port of the C libraries. Reference
 ingest surface: the reference imports whatever its I/O servers can decode
 (oph_json_objkeys.h:114-117); Zarr+blosc is the cloud-era equivalent.
+
+When pyarrow's bundled C codecs are present (they are in this environment),
+lz4 streams decode through pyarrow's lz4_raw for speed and the pure-Python
+decoder stays as the dependency-free fallback; blosc frames carrying
+snappy/zstd streams decode through pyarrow as well (sources/codecs.py).
 
 Scale notes: decompression happens executor-side, one chunk per task (see
 operators/io_ops.py oph_importzarr), so the pure-Python cost parallelizes
@@ -194,6 +199,15 @@ def _decode_stream(frame: bytes, pos: int, neblock: int, codec: int) -> tuple[by
     if csize == neblock:  # stored uncompressed
         return payload, pos
     if codec == 1:
+        # fast path: pyarrow's bundled C lz4 (raw-block format); the
+        # pure-Python decoder stays as the no-pyarrow fallback
+        from ophidia_server_spark.sources import codecs
+
+        if codecs.have("lz4_raw"):
+            try:
+                return codecs.decompress("lz4_raw", payload, neblock), pos
+            except ValueError as exc:
+                raise BloscError(f"lz4 stream: {exc}") from exc
         return lz4_decompress_block(payload, neblock), pos
     if codec == 3:
         import zlib
@@ -202,8 +216,19 @@ def _decode_stream(frame: bytes, pos: int, neblock: int, codec: int) -> tuple[by
         if len(data) != neblock:
             raise BloscError(f"zlib stream decoded {len(data)} != {neblock}")
         return data, pos
+    if codec in (2, 4):  # snappy / zstd via pyarrow's bundled codecs
+        from ophidia_server_spark.sources import codecs
+
+        name = "snappy" if codec == 2 else "zstd"
+        try:
+            return codecs.decompress(name, payload, neblock), pos
+        except codecs.CodecUnavailable as exc:
+            raise BloscError(f"blosc {name} stream: {exc}") from exc
+        except ValueError as exc:
+            raise BloscError(f"blosc {name} stream: {exc}") from exc
     raise BloscError(
-        f"blosc compressor {_CODEC_NAMES.get(codec, codec)!r} unsupported (lz4/zlib only)"
+        f"blosc compressor {_CODEC_NAMES.get(codec, codec)!r} unsupported "
+        "(lz4/zlib/snappy/zstd only)"
     )
 
 

@@ -10,21 +10,22 @@ and one file per chunk named `i.j.k` in C order.  netCDF-style semantics ride
 on the xarray convention: an `_ARRAY_DIMENSIONS` attribute lists each
 array's dimension names.
 
-  read:  consolidated or per-array metadata, C-order chunks, zlib/gzip/
-         blosc-lz4/lz4 compressor or none (blosc+lz4 — the numcodecs default
-         of real CMIP6/Pangeo cloud stores — decodes via the pure-Python
-         codec in sources/lz4blosc.py), any numpy endianness/dtype,
-         fill_value for missing chunks (sparse stores write only non-empty
-         chunks).
+  read:  consolidated or per-array metadata, C-order chunks, compressors
+         zlib/gzip, blosc with lz4/zlib/snappy/zstd streams (blosc+lz4 — the
+         numcodecs default of real CMIP6/Pangeo cloud stores — decodes via
+         pyarrow's bundled C lz4 with the pure-Python sources/lz4blosc.py
+         codec as fallback; snappy/zstd streams via pyarrow,
+         sources/codecs.py), raw numcodecs lz4 and zstd chunks, or none; any
+         numpy endianness/dtype, fill_value for missing chunks (sparse
+         stores write only non-empty chunks).
   write: one array per variable + 1-D coordinate arrays, configurable chunk
-         shape, zlib or blosc-lz4 compression, `_ARRAY_DIMENSIONS` +
+         shape, zlib, blosc-lz4 or zstd compression, `_ARRAY_DIMENSIONS` +
          consolidated metadata (`.zmetadata`) so cloud readers need one
          metadata GET.
 
 API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
 Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
-paths.  zstd/snappy-compressed stores raise a named ZarrError naming the
-codec.
+paths.  Only blosc's legacy blosclz streams still raise a named ZarrError.
 """
 
 from __future__ import annotations
@@ -61,18 +62,33 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
             raise ZarrError(f"blosc chunk: {exc}") from exc
     if cid == "lz4":
         # numcodecs LZ4 codec: 4-byte little-endian original size + block
+        from ophidia_server_spark.sources import codecs
         from ophidia_server_spark.sources.lz4blosc import Lz4Error, lz4_decompress_block
 
         if len(raw) < 4:
             raise ZarrError("lz4 chunk shorter than its 4-byte size header")
         size = int.from_bytes(raw[:4], "little")
         try:
+            if codecs.have("lz4_raw"):  # pyarrow C fast path
+                return codecs.decompress("lz4_raw", raw[4:], size)
             return lz4_decompress_block(raw[4:], size)
-        except Lz4Error as exc:
+        except (Lz4Error, ValueError) as exc:
             raise ZarrError(f"lz4 chunk: {exc}") from exc
+    if cid == "zstd":
+        # numcodecs Zstd codec: one zstd frame per chunk; the one-shot
+        # compressor numcodecs uses always records Frame_Content_Size, so the
+        # decoded length comes from the frame header itself
+        from ophidia_server_spark.sources import codecs
+
+        try:
+            return codecs.zstd_decompress(raw)
+        except codecs.CodecUnavailable as exc:
+            raise ZarrError(f"zstd chunk: {exc}") from exc
+        except ValueError as exc:
+            raise ZarrError(f"zstd chunk: {exc}") from exc
     raise ZarrError(
-        f"Zarr compressor {cid!r} unsupported (zlib/gzip/blosc-lz4/lz4/none "
-        "only; zstd and snappy libraries are not available in this environment)"
+        f"Zarr compressor {cid!r} unsupported "
+        "(zlib/gzip/blosc(lz4|zlib|snappy|zstd)/lz4/zstd/none only)"
     )
 
 
@@ -88,6 +104,10 @@ def _compress(
             "id": "blosc", "cname": "lz4", "clevel": 5,
             "shuffle": 1 if itemsize > 1 else 0, "blocksize": 0,
         }
+    if level == "zstd":
+        from ophidia_server_spark.sources import codecs
+
+        return codecs.zstd_compress(raw, 3), {"id": "zstd", "level": 3}
     return zlib.compress(raw, level), {"id": "zlib", "level": level}
 
 

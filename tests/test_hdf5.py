@@ -694,3 +694,42 @@ def test_compound_datatype_v1_chunked_deflate(tmp_path):
     got = hdf5.read(p).variables["v"].data
     assert got["t"].tolist() == [7, 8]
     assert got["val"].tolist() == [0.5, 0.25]
+
+
+def test_defilter_registered_zstd_lz4_blosc():
+    # registered third-party filters (zstd 32015, lz4 32004, blosc 32001)
+    # decode through the shared codec shims; the pipeline runs in reverse
+    # declaration order like the built-in filters
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ophidia_server_spark.sources import lz4blosc as lb
+    from ophidia_server_spark.sources.codecs import zstd_compress
+    from ophidia_server_spark.sources.hdf5 import _H5Reader
+
+    raw = np.arange(1024, dtype="<f8").tobytes()
+    # zstd: one frame per chunk, size from the frame's FCS field
+    out = _H5Reader._defilter(None, zstd_compress(raw), [(32015, [])])
+    assert out == raw
+    # lz4 plugin framing: u64be orig + u32be blocksize + per-block
+    # [u32be csize][block]; exercise multi-block and a stored block
+    bsize = 4096
+    payload = struct.pack(">QI", len(raw), bsize)
+    for off in range(0, len(raw), bsize):
+        part = raw[off : off + bsize]
+        comp = bytes(pa.Codec("lz4_raw").compress(part))
+        if off == 0:  # force one stored block (csize == block size)
+            comp = part
+        payload += struct.pack(">I", len(comp)) + comp
+    out = _H5Reader._defilter(None, payload, [(32004, [0, 0, 0, 0, bsize, 0, 0])])
+    assert out == raw
+    # blosc plugin: the chunk payload is a blosc1 frame
+    frame = lb.blosc_compress(raw, 8)
+    out = _H5Reader._defilter(None, frame, [(32001, [2, 2, 8, len(raw), 5, 1, 1])])
+    assert out == raw
+    # shuffle+zstd pipeline composes (reverse order: zstd first, then unshuffle)
+    shuf = lb._shuffle(raw, 8)
+    out = _H5Reader._defilter(None, zstd_compress(shuf), [(2, [8]), (32015, [])])
+    assert out == raw

@@ -348,8 +348,9 @@ def test_blosc_handmade_split_store(tmp_path):
     assert np.array_equal(got, data)
 
 
-def test_zstd_store_named_error(tmp_path):
-    from ophidia_server_spark.sources import lz4blosc as lb
+def test_zstd_corrupt_payload_named_error(tmp_path):
+    # a blosc-zstd stream whose payload is garbage must fail with the codec
+    # named, not crash or return junk (zstd itself IS supported via pyarrow)
     import struct
 
     adir = tmp_path / "s" / "v"
@@ -368,6 +369,72 @@ def test_zstd_store_named_error(tmp_path):
     (adir / "0").write_bytes(frame)
     with pytest.raises(zr.ZarrError, match="zstd"):
         zr.read_array(str(tmp_path / "s"), "v")
+
+
+def test_blosc_zstd_and_snappy_streams_decode(tmp_path):
+    # unsplit blosc frames whose streams are zstd / snappy (flag bits 5-7
+    # carry the codec) decode through pyarrow's bundled C codecs
+    import struct
+
+    import pyarrow as pa
+
+    from ophidia_server_spark.sources import lz4blosc as lb
+
+    data = np.arange(256, dtype="<f8")
+    raw = data.tobytes()
+    shuf = lb._shuffle(raw, 8)
+    for codec_id, name in ((4, "zstd"), (2, "snappy")):
+        comp = bytes(pa.Codec(name).compress(shuf))
+        stream = struct.pack("<i", len(comp)) + comp
+        frame = (
+            struct.pack(
+                "<BBBBIII", 2, 1, (codec_id << 5) | 0x10 | 0x01, 8,
+                len(raw), len(raw), 20 + len(stream),
+            )
+            + struct.pack("<I", 20)
+            + stream
+        )
+        assert lb.blosc_decompress(frame) == raw
+
+
+def test_zstd_numcodecs_store_roundtrip(tmp_path):
+    # a store whose chunks are plain zstd frames (numcodecs Zstd codec — the
+    # zarr-python v3-era default) reads back exactly; the decoded size comes
+    # from each frame's Frame_Content_Size header field
+    from ophidia_server_spark.sources import codecs
+
+    data = np.arange(40, dtype="<i8").reshape(8, 5)
+    adir = tmp_path / "s" / "v"
+    adir.mkdir(parents=True)
+    meta = {
+        "zarr_format": 2, "shape": [8, 5], "chunks": [4, 5], "dtype": "<i8",
+        "compressor": {"id": "zstd", "level": 3},
+        "fill_value": 0, "order": "C", "filters": None,
+    }
+    (adir / ".zarray").write_text(json.dumps(meta))
+    for ci in range(2):
+        chunk = data[ci * 4 : (ci + 1) * 4, :].tobytes()
+        assert codecs.zstd_frame_content_size(codecs.zstd_compress(chunk)) == len(chunk)
+        (adir / f"{ci}.0").write_bytes(codecs.zstd_compress(chunk))
+    got, _ = zr.read_array(str(tmp_path / "s"), "v")
+    assert np.array_equal(got, data)
+
+
+def test_write_zstd_roundtrip(tmp_path):
+    ds = Dataset(
+        dimensions={"x": 6},
+        variables={
+            "x": Variable("x", ("x",), {}, np.arange(6, dtype="<f8")),
+            "v": Variable("v", ("x",), {}, np.arange(6, dtype="<f8") * 1.5),
+        },
+        attributes={},
+    )
+    p = str(tmp_path / "z.zarr")
+    zr.write(p, ds, compress="zstd")
+    meta = json.load(open(os.path.join(p, "v", ".zarray")))
+    assert meta["compressor"]["id"] == "zstd"
+    got, _ = zr.read_array(p, "v")
+    assert np.array_equal(got, np.arange(6, dtype="<f8") * 1.5)
 
 
 def test_spark_export_blosc_per_dim_chunks(spark, tmp_path):
