@@ -229,14 +229,23 @@ def oph_importzarr(
     from ophidia_server_spark.sources import zarr as zr
 
     meta_path = os.path.join(store, measure, ".zarray")
-    attrs_path = os.path.join(store, measure, ".zattrs")
-    with open(meta_path) as fh:
-        meta = _json.load(fh)
-    za_attrs = {}
-    if os.path.exists(attrs_path):
-        with open(attrs_path) as fh:
-            za_attrs = _json.load(fh)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+    else:  # Zarr v3 array node: one zarr.json carries metadata + attributes
+        with open(os.path.join(store, measure, "zarr.json")) as fh:
+            meta = _json.load(fh)
     za = zr._load_zarray(meta)
+    za_attrs = {}
+    if za.version == 3:
+        za_attrs = dict(meta.get("attributes") or {})
+        if meta.get("dimension_names"):
+            za_attrs.setdefault("_ARRAY_DIMENSIONS", list(meta["dimension_names"]))
+    else:
+        attrs_path = os.path.join(store, measure, ".zattrs")
+        if os.path.exists(attrs_path):
+            with open(attrs_path) as fh:
+                za_attrs = _json.load(fh)
     dims = list(za_attrs.get("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(len(za.shape))]))
     want = explicit_dims + [implicit_dim]
     if sorted(want) != sorted(dims):
@@ -244,7 +253,9 @@ def oph_importzarr(
 
     coords = {}
     for i, d in enumerate(dims):
-        if os.path.exists(os.path.join(store, d, ".zarray")):
+        if os.path.exists(os.path.join(store, d, ".zarray")) or os.path.exists(
+            os.path.join(store, d, "zarr.json")
+        ):
             arr, _ = zr.read_array(store, d)
             coords[d] = np.asarray(arr, dtype="float64")
         else:
@@ -272,7 +283,7 @@ def oph_importzarr(
 
     grid = [range((s + c - 1) // c) for s, c in zip(za.shape, za.chunks)] or [range(1)]
     keys = [
-        ".".join(map(str, idx)) or "0"
+        (zr._chunk_relpath(za, idx if za.shape else ()), ",".join(map(str, idx)))
         for idx in itertools.product(*grid)
         if chunk_survives(idx)
     ]
@@ -281,10 +292,10 @@ def oph_importzarr(
             [], ", ".join([f"{d} double" for d in explicit_dims + [implicit_dim]] + [f"{measure} double"])
         )
         return build_cube(empty, explicit_dims, implicit_dim, F.col(measure), measure=measure)
-    files = spark.createDataFrame([(k,) for k in keys], "key string").repartition(
+    files = spark.createDataFrame(keys, "key string, idx string").repartition(
         min(len(keys), 64)
     )
-    shape, chunks, dtype_str, compressor = za.shape, za.chunks, za.dtype.str, za.compressor
+    shape, chunks = za.shape, za.chunks
     adir = os.path.join(store, measure)
 
     def decode(batches: Iterator["object"]) -> Iterator["object"]:
@@ -292,16 +303,21 @@ def oph_importzarr(
 
         from ophidia_server_spark.sources import zarr as _zr
 
-        dt = np.dtype(dtype_str)
+        za_l = _zr._load_zarray(meta)  # rebuilt from the (JSON) metadata dict
         for pdf in batches:
-            for key in pdf["key"]:
+            for key, idx_s in zip(pdf["key"], pdf["idx"]):
                 cpath = os.path.join(adir, key)
                 if not os.path.exists(cpath):
                     continue  # missing chunk = fill-only; emits no rows
-                idx = tuple(int(x) for x in key.split("."))
+                idx = tuple(int(x) for x in idx_s.split(",")) if idx_s else ()
                 with open(cpath, "rb") as fh:
-                    raw = _zr._decompress(fh.read(), compressor)
-                chunk = np.frombuffer(raw, dt).reshape(chunks)
+                    raw = fh.read()
+                if za_l.version == 3:
+                    chunk = _zr._decode_v3_chunk(raw, za_l)
+                else:
+                    chunk = np.frombuffer(
+                        _zr._decompress(raw, za_l.compressor), za_l.dtype
+                    ).reshape(chunks)
                 sel = [
                     slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, shape)
@@ -330,7 +346,7 @@ def oph_importzarr(
 
 def oph_exportzarr(
     cube: Cube, store: str, compress: int | str | None = 4,
-    per_dim_chunks: bool = False,
+    per_dim_chunks: bool = False, zarr_format: int = 2,
 ) -> str:
     """Cube -> Zarr v2 store with consolidated metadata.
 
@@ -349,9 +365,11 @@ def oph_exportzarr(
         pdf = long_df.toPandas()
         ds = netcdf3.Dataset()
         _fill_grid_dataset(ds, pdf, dims, measure)
-        zr.write(store, ds, compress=compress)
+        zr.write(store, ds, compress=compress, zarr_format=zarr_format)
         return store
 
+    if zarr_format != 2:
+        raise zr.ZarrError("per_dim_chunks export writes Zarr v2 only")
     split_dim = dims[0]
     rest = dims[1:]
     # the export needs two passes (coordinate sets, then the chunk write);

@@ -1033,6 +1033,43 @@ def io_zarr_zstd_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_zarr_v3_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_zarr_v3_roundtrip(spark, sf_dir):
+    """Zarr v3 roundtrip (zarr.json nodes, `c/`-prefixed chunk keys,
+    bytes+zstd codec chain, dimension_names — the zarr-python 3 default
+    layout). Export writes the v3 store; import fans out one task per chunk
+    exactly like the v2 path (sources/zarr.py v3 loader + codec chain)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_extendedprice").cast(DEC),
+        measure="price",
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_v3_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(cube, store, compress="zstd", zarr_format=3)
+    c2 = io_ops.oph_importzarr(spark, store, "price", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("price"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("price"), 2).cast("double").alias("price"),
+        )
+    )
+
+
+@q(
     "io_zarr_subset_import",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(month(l_shipdate) AS BIGINT) AS month,

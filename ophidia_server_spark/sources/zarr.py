@@ -1,4 +1,4 @@
-"""Pure-Python Zarr v2 codec.
+"""Pure-Python Zarr v2 + v3 codec.
 
 Modern climate holdings (CMIP6 cloud archives, Pangeo) publish datacubes as
 Zarr — the chunked array format the community moved to after netCDF-4, and
@@ -22,6 +22,13 @@ array's dimension names.
          shape, zlib, blosc-lz4 or zstd compression, `_ARRAY_DIMENSIONS` +
          consolidated metadata (`.zmetadata`) so cloud readers need one
          metadata GET.
+
+Zarr v3 (the zarr-python 3 default, zarr-specs v3 core): `zarr.json` group/
+array nodes, regular chunk grids, default ("c/"-prefixed) and v2 chunk-key
+encodings, dimension_names, and the codec chains bytes(endian) / gzip / zstd
+/ blosc / crc32c / transpose — both read (incl. the one-task-per-chunk Spark
+import) and write (`zarr_format=3`).  Sharded (sharding_indexed) arrays
+raise a named ZarrError.
 
 API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
 Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
@@ -119,11 +126,67 @@ class ZArray:
     compressor: dict | None
     fill_value: object
     order: str
+    version: int = 2
+    codecs: tuple = ()           # v3 codec chain (spec order, outermost last)
+    key_sep: str = "."           # v3 chunk_key_encoding separator
+    key_encoding: str = "v2"     # 'default' (c/-prefixed) | 'v2'
+
+
+# Zarr v3 core data types <-> numpy (always little-endian on disk via the
+# `bytes` codec unless it says big)
+_V3_DTYPES = {
+    "bool": "b1", "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+    "complex64": "c8", "complex128": "c16",
+}
+_V3_DTYPES_INV = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def _load_v3_array(meta: dict) -> ZArray:
+    """Array metadata per the Zarr v3 core spec (`zarr.json`)."""
+    if meta.get("node_type") != "array":
+        raise ZarrError(f"zarr.json node_type {meta.get('node_type')!r} is not an array")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ZarrError(f"chunk grid {grid.get('name')!r} unsupported (regular only)")
+    dt = meta.get("data_type")
+    if dt not in _V3_DTYPES:
+        raise ZarrError(f"v3 data_type {dt!r} unsupported")
+    codecs = tuple(meta.get("codecs") or ())
+    for c in codecs:
+        if c.get("name") == "sharding_indexed":
+            raise ZarrError("v3 sharded arrays unsupported (sharding_indexed codec)")
+    cke = meta.get("chunk_key_encoding", {"name": "default"})
+    name = cke.get("name", "default")
+    if name not in ("default", "v2"):
+        raise ZarrError(f"chunk_key_encoding {name!r} unsupported")
+    sep = cke.get("configuration", {}).get("separator", "/" if name == "default" else ".")
+    dtype = np.dtype(_V3_DTYPES[dt])
+    for c in codecs:  # the array->bytes codec fixes on-disk endianness
+        if c.get("name") == "bytes":
+            endian = c.get("configuration", {}).get("endian", "little")
+            dtype = dtype.newbyteorder("<" if endian == "little" else ">")
+    return ZArray(
+        shape=tuple(meta["shape"]),
+        chunks=tuple(grid.get("configuration", {}).get("chunk_shape", ())),
+        dtype=dtype,
+        compressor=None,
+        fill_value=meta.get("fill_value"),
+        order="C",
+        version=3,
+        codecs=codecs,
+        key_sep=sep,
+        key_encoding=name,
+    )
 
 
 def _load_zarray(meta: dict) -> ZArray:
-    if int(meta.get("zarr_format", 2)) != 2:
-        raise ZarrError(f"zarr_format {meta.get('zarr_format')} unsupported (v2 only)")
+    fmt = int(meta.get("zarr_format", 2))
+    if fmt == 3:
+        return _load_v3_array(meta)
+    if fmt != 2:
+        raise ZarrError(f"zarr_format {meta.get('zarr_format')} unsupported (v2/v3 only)")
     order = meta.get("order", "C")
     if order != "C":
         raise ZarrError("Fortran-order Zarr arrays unsupported (C order only)")
@@ -137,6 +200,82 @@ def _load_zarray(meta: dict) -> ZArray:
         fill_value=meta.get("fill_value"),
         order=order,
     )
+
+
+def _chunk_relpath(za: ZArray, idx: tuple) -> str:
+    """On-disk chunk key for a grid index, per the array's format/encoding."""
+    if za.version == 2:
+        return ".".join(map(str, idx)) or "0"
+    parts = list(map(str, idx))
+    if za.key_encoding == "default":
+        # spec: "c" joined with the grid indices by the separator; a "/"
+        # separator makes each index a directory level ("c/0/0")
+        return za.key_sep.join(["c"] + parts)
+    return za.key_sep.join(parts) or "0"
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, polynomial 0x1EDC6F41 reflected) — the v3
+    `crc32c` checksum codec. Table-driven, stdlib-free."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _decode_v3_chunk(raw: bytes, za: ZArray) -> np.ndarray:
+    """Run the v3 codec chain in reverse: bytes->bytes codecs innermost-last,
+    then the `bytes` array->bytes codec, then array->array codecs."""
+    from ophidia_server_spark.sources import codecs as cshim
+
+    array_codecs = []
+    for c in reversed(za.codecs):
+        name, conf = c.get("name"), c.get("configuration", {})
+        if name == "gzip":
+            raw = zlib.decompress(raw, 47)
+        elif name == "zstd":
+            raw = cshim.zstd_decompress(raw)
+        elif name == "blosc":
+            from ophidia_server_spark.sources.lz4blosc import BloscError, blosc_decompress
+
+            try:
+                raw = blosc_decompress(raw)
+            except BloscError as exc:
+                raise ZarrError(f"blosc chunk: {exc}") from exc
+        elif name == "crc32c":
+            if len(raw) < 4:
+                raise ZarrError("crc32c codec payload shorter than its checksum")
+            want = int.from_bytes(raw[-4:], "little")
+            raw = raw[:-4]
+            if _crc32c(raw) != want:
+                raise ZarrError("crc32c checksum mismatch")
+        elif name == "bytes":
+            pass  # endianness already folded into za.dtype
+        elif name == "transpose":
+            array_codecs.append(conf.get("order"))
+        else:
+            raise ZarrError(f"v3 codec {name!r} unsupported")
+    chunk = np.frombuffer(raw, za.dtype)
+    for order in array_codecs:
+        if order is None:
+            continue
+        # stored layout is the transposed shape; invert the permutation
+        tshape = tuple(za.chunks[i] for i in order)
+        inv = np.argsort(order)
+        chunk = chunk.reshape(tshape).transpose(inv)
+    return np.ascontiguousarray(chunk).reshape(za.chunks)
 
 
 def _resolve_fill(fill, dtype: "np.dtype"):
@@ -173,15 +312,27 @@ def read_array(store: str, name: str, meta: dict | None = None,
     """Decode one Zarr array (all chunks) from a directory store."""
     adir = os.path.join(store, name)
     if meta is None:
-        with open(os.path.join(adir, ".zarray")) as fh:
-            meta = json.load(fh)
+        zpath = os.path.join(adir, ".zarray")
+        if os.path.exists(zpath):
+            with open(zpath) as fh:
+                meta = json.load(fh)
+        else:  # Zarr v3 array: one zarr.json carries metadata + attributes
+            with open(os.path.join(adir, "zarr.json")) as fh:
+                meta = json.load(fh)
     za = _load_zarray(meta)
     if attrs is None:
         attrs = {}
-        apath = os.path.join(adir, ".zattrs")
-        if os.path.exists(apath):
-            with open(apath) as fh:
-                attrs = json.load(fh)
+        if za.version == 3:
+            attrs = dict(meta.get("attributes") or {})
+            if meta.get("dimension_names"):
+                # surface v3 dimension names through the xarray convention so
+                # the Dataset mapping is format-agnostic
+                attrs.setdefault("_ARRAY_DIMENSIONS", list(meta["dimension_names"]))
+        else:
+            apath = os.path.join(adir, ".zattrs")
+            if os.path.exists(apath):
+                with open(apath) as fh:
+                    attrs = json.load(fh)
     fill = _resolve_fill(za.fill_value, za.dtype)
     out = np.full(za.shape, fill, za.dtype) if za.shape else np.zeros((), za.dtype)
     grid = [
@@ -190,12 +341,15 @@ def read_array(store: str, name: str, meta: dict | None = None,
     import itertools
 
     for idx in itertools.product(*grid):
-        cpath = os.path.join(adir, ".".join(map(str, idx)) or "0")
+        cpath = os.path.join(adir, _chunk_relpath(za, idx if za.shape else ()))
         if not os.path.exists(cpath):
             continue  # missing chunk = fill value
         with open(cpath, "rb") as fh:
-            raw = _decompress(fh.read(), za.compressor)
-        chunk = np.frombuffer(raw, za.dtype).reshape(za.chunks)
+            raw = fh.read()
+        if za.version == 3:
+            chunk = _decode_v3_chunk(raw, za)
+        else:
+            chunk = np.frombuffer(_decompress(raw, za.compressor), za.dtype).reshape(za.chunks)
         if za.shape:
             sel = tuple(
                 slice(i * c, min((i + 1) * c, s))
@@ -219,30 +373,52 @@ def read(path: str) -> Dataset:
         with open(zmeta) as fh:
             consolidated = json.load(fh).get("metadata", {})
     gattrs_path = os.path.join(path, ".zattrs")
+    root_v3 = os.path.join(path, "zarr.json")
     if consolidated and ".zattrs" in consolidated:
         ds.attributes = dict(consolidated[".zattrs"])
     elif os.path.exists(gattrs_path):
         with open(gattrs_path) as fh:
             ds.attributes = json.load(fh)
+    elif os.path.exists(root_v3):
+        with open(root_v3) as fh:
+            root_meta = json.load(fh)
+        if root_meta.get("node_type") == "group":
+            ds.attributes = dict(root_meta.get("attributes") or {})
 
     if consolidated:
         names = sorted(
             k[: -len("/.zarray")] for k in consolidated if k.endswith("/.zarray")
         )
     else:
-        # walk nested groups (directories with .zgroup): array names become
-        # their slash-joined store paths, mirroring consolidated-key naming
+        # walk nested groups (.zgroup dirs, or v3 zarr.json group nodes):
+        # array names become their slash-joined store paths, mirroring
+        # consolidated-key naming
         names = []
+
+        def _v3_node(sub: str) -> str | None:
+            zj = os.path.join(sub, "zarr.json")
+            if not os.path.exists(zj):
+                return None
+            with open(zj) as fh:
+                return json.load(fh).get("node_type")
 
         def walk(rel: str):
             base = os.path.join(path, rel) if rel else path
             for n in sorted(os.listdir(base)):
                 sub = os.path.join(base, n)
                 full = f"{rel}/{n}" if rel else n
+                if not os.path.isdir(sub):
+                    continue
                 if os.path.exists(os.path.join(sub, ".zarray")):
                     names.append(full)
                 elif os.path.exists(os.path.join(sub, ".zgroup")):
                     walk(full)
+                else:
+                    node = _v3_node(sub)
+                    if node == "array":
+                        names.append(full)
+                    elif node == "group":
+                        walk(full)
 
         walk("")
     if not names:
@@ -263,11 +439,19 @@ def read(path: str) -> Dataset:
 
 
 def write(path: str, ds: Dataset, chunks: dict | None = None,
-          compress: int | str | None = 4) -> None:
-    """Write the Dataset as a Zarr v2 group with consolidated metadata.
+          compress: int | str | None = 4, zarr_format: int = 2) -> None:
+    """Write the Dataset as a Zarr group store.
     `chunks` maps variable name -> chunk shape (defaults to one chunk per
     ~first-dimension slab bounded at 1024 rows). `compress` is a zlib level,
-    "blosc-lz4" for a blosc frame (the cloud-store default codec), or None."""
+    "blosc-lz4" for a blosc frame (the v2 cloud-store default codec),
+    "zstd", or None. `zarr_format=2` (default) writes .zarray/.zattrs +
+    consolidated metadata; `zarr_format=3` writes zarr.json nodes with a
+    bytes+compressor codec chain, `c/`-prefixed chunk keys and
+    dimension_names (the zarr-python 3 layout)."""
+    if zarr_format == 3:
+        return _write_v3(path, ds, chunks, compress)
+    if zarr_format != 2:
+        raise ZarrError(f"zarr_format {zarr_format} unsupported (2 or 3)")
     os.makedirs(path, exist_ok=True)
     consolidated: dict = {".zgroup": {"zarr_format": 2}}
     with open(os.path.join(path, ".zgroup"), "w") as fh:
@@ -335,6 +519,101 @@ def write(path: str, ds: Dataset, chunks: dict | None = None,
 
     with open(os.path.join(path, ".zmetadata"), "w") as fh:
         json.dump({"zarr_consolidated_format": 1, "metadata": consolidated}, fh)
+
+
+def _v3_compress(raw: bytes, compress, itemsize: int) -> tuple[bytes, list]:
+    """Encode one chunk for v3; returns (payload, bytes->bytes codec metas)."""
+    if compress is None:
+        return raw, []
+    if compress in ("blosc", "blosc-lz4"):
+        from ophidia_server_spark.sources.lz4blosc import blosc_compress
+
+        conf = {
+            "cname": "lz4", "clevel": 5, "typesize": itemsize, "blocksize": 0,
+            "shuffle": "shuffle" if itemsize > 1 else "noshuffle",
+        }
+        return blosc_compress(raw, itemsize), [{"name": "blosc", "configuration": conf}]
+    if compress == "zstd":
+        from ophidia_server_spark.sources import codecs
+
+        return codecs.zstd_compress(raw, 3), [
+            {"name": "zstd", "configuration": {"level": 3, "checksum": False}}
+        ]
+    # int zlib level -> the v3 gzip codec (RFC 1952 framing, wbits 31)
+    co = zlib.compressobj(compress, zlib.DEFLATED, 31)
+    return co.compress(raw) + co.flush(), [
+        {"name": "gzip", "configuration": {"level": compress}}
+    ]
+
+
+def _write_v3(path: str, ds: Dataset, chunks: dict | None,
+              compress: int | str | None) -> None:
+    """Zarr v3 writer: zarr.json per node, regular chunk grid, default
+    ("c/"-prefixed) chunk keys, bytes(little) + compressor codec chain."""
+    import itertools
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3, "node_type": "group",
+                "attributes": _json_safe(ds.attributes or {}),
+            },
+            fh,
+        )
+    for name, v in ds.variables.items():
+        arr = np.ascontiguousarray(v.data)
+        key = arr.dtype.str.lstrip("<>=|")
+        if key not in _V3_DTYPES_INV:
+            raise ZarrError(f"dtype {arr.dtype} has no Zarr v3 core data type")
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        cshape = tuple(
+            (chunks or {}).get(name)
+            or [max(1, min(s, 1024)) if i == 0 else max(1, s)
+                for i, s in enumerate(arr.shape)]
+        ) or arr.shape
+        nchunks = [(s + c - 1) // c for s, c in zip(arr.shape, cshape)] or [1]
+        codec_metas: list = []
+        for idx in itertools.product(*[range(n) for n in nchunks]):
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, cshape, arr.shape)
+            )
+            piece = np.zeros(cshape, arr.dtype) if arr.shape else arr
+            if arr.shape:
+                src = arr[sel]
+                piece[tuple(slice(0, x.stop - x.start) for x in sel)] = src
+            payload, codec_metas = _v3_compress(
+                piece.tobytes(), compress, arr.dtype.itemsize
+            )
+            rel = "/".join(["c"] + [str(i) for i in (idx if arr.shape else ())])
+            cpath = os.path.join(adir, rel)
+            os.makedirs(os.path.dirname(cpath), exist_ok=True)
+            with open(cpath, "wb") as fh:
+                fh.write(payload)
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(arr.shape),
+            "data_type": _V3_DTYPES_INV[key],
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(cshape) or []},
+            },
+            "chunk_key_encoding": {
+                "name": "default", "configuration": {"separator": "/"},
+            },
+            "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]
+            + codec_metas,
+            "attributes": _json_safe(dict(v.attributes)),
+            "dimension_names": list(v.dimensions),
+        }
+        with open(os.path.join(adir, "zarr.json"), "w") as fh:
+            json.dump(meta, fh)
 
 
 def _json_safe(attrs: dict) -> dict:

@@ -461,3 +461,145 @@ def test_spark_export_blosc_per_dim_chunks(spark, tmp_path):
     }
     want = {(float(i), float(j)): float(i * 4 + j) for i in range(3) for j in range(4)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr.json layout — the zarr-python 3 default format)
+# ---------------------------------------------------------------------------
+
+def test_v3_handmade_store_reads(tmp_path):
+    # store written byte-by-byte per the v3 core spec: root group zarr.json,
+    # array zarr.json with bytes+zstd codecs, "c/"-prefixed chunk keys
+    from ophidia_server_spark.sources import codecs
+
+    data = np.arange(48, dtype="<f8").reshape(6, 8)
+    root = tmp_path / "s"
+    adir = root / "tas"
+    (adir).mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {"title": "t"}}))
+    (adir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [6, 8],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3, 8]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": "NaN",
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                   {"name": "zstd", "configuration": {"level": 3}}],
+        "attributes": {"units": "K"},
+        "dimension_names": ["y", "x"],
+    }))
+    (adir / "c").mkdir()
+    for ci in range(2):
+        chunk = data[ci * 3 : (ci + 1) * 3, :].tobytes()
+        (adir / "c" / str(ci)).mkdir()
+        (adir / "c" / str(ci) / "0").write_bytes(codecs.zstd_compress(chunk))
+    got, attrs = zr.read_array(str(root), "tas")
+    assert np.array_equal(got, data)
+    assert attrs["units"] == "K"
+    assert attrs["_ARRAY_DIMENSIONS"] == ["y", "x"]
+    ds = zr.read(str(root))
+    assert ds.attributes == {"title": "t"}
+    assert ds.variables["tas"].dimensions == ("y", "x")
+    assert ds.dimensions == {"y": 6, "x": 8}
+
+
+def test_v3_crc32c_and_transpose_codecs(tmp_path):
+    # crc32c checksum verifies (and a flipped byte is caught); the transpose
+    # array->array codec stores the permuted layout
+    data = np.arange(24, dtype="<i4").reshape(4, 6)
+    root = tmp_path / "s"
+    adir = root / "v"
+    adir.mkdir(parents=True)
+    stored = np.ascontiguousarray(data.T)  # transpose order [1, 0]
+    payload = stored.tobytes()
+    payload += zr._crc32c(payload).to_bytes(4, "little")
+    (adir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4, 6],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 6]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+                   {"name": "bytes", "configuration": {"endian": "little"}},
+                   {"name": "crc32c"}],
+        "dimension_names": ["a", "b"],
+    }))
+    (adir / "c" / "0").mkdir(parents=True)
+    (adir / "c" / "0" / "0").write_bytes(payload)
+    got, _ = zr.read_array(str(root), "v")
+    assert np.array_equal(got, data)
+    bad = bytearray(payload)
+    bad[3] ^= 0xFF
+    (adir / "c" / "0" / "0").write_bytes(bytes(bad))
+    with pytest.raises(zr.ZarrError, match="crc32c"):
+        zr.read_array(str(root), "v")
+
+
+def test_v3_write_read_roundtrip_all_codecs(tmp_path):
+    ds = Dataset(
+        dimensions={"x": 2100},
+        variables={
+            "x": Variable("x", ("x",), {}, np.arange(2100, dtype="<f8")),
+            "v": Variable("v", ("x",), {"units": "m"},
+                          np.arange(2100, dtype="<f8") * 0.5),
+        },
+        attributes={"title": "v3"},
+    )
+    for compress in (4, "zstd", "blosc-lz4", None):
+        p = str(tmp_path / f"z3_{compress}")
+        zr.write(p, ds, compress=compress, zarr_format=3)
+        meta = json.load(open(os.path.join(p, "v", "zarr.json")))
+        assert meta["zarr_format"] == 3
+        back = zr.read(p)
+        assert back.attributes == {"title": "v3"}
+        assert np.array_equal(back.variables["v"].data,
+                              np.arange(2100, dtype="<f8") * 0.5)
+        assert back.variables["v"].attributes["units"] == "m"
+        assert back.variables["v"].dimensions == ("x",)
+
+
+def test_v3_sharding_named_error(tmp_path):
+    adir = tmp_path / "s" / "v"
+    adir.mkdir(parents=True)
+    (adir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+    }))
+    with pytest.raises(zr.ZarrError, match="shard"):
+        zr.read_array(str(tmp_path / "s"), "v")
+
+
+def test_spark_import_v3_store(spark, tmp_path):
+    # the distributed import path (one task per chunk) reads v3 stores:
+    # zarr.json metadata, c/-prefixed keys, v3 codec chain, dimension_names
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import io_ops
+
+    df = spark.createDataFrame(
+        [(float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(5)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    store = str(tmp_path / "v3exp")
+    io_ops.oph_exportzarr(cube, store, compress="zstd", zarr_format=3)
+    assert os.path.exists(os.path.join(store, "tas", "zarr.json"))
+    assert not os.path.exists(os.path.join(store, "tas", ".zarray"))
+    back = io_ops.oph_importzarr(spark, store, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in back.long().collect()}
+    assert rows == {
+        (float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(5)
+    }
+    # hyperslab + chunk pruning works on v3 key naming too
+    sub = io_ops.oph_importzarr(
+        spark, store, "tas", ["lat"], "time",
+        subset={"lat": "1:2"}, subset_type="coord",
+    )
+    got = {(r["lat"], r["time"]) for r in sub.long().collect() if r["tas"] == r["tas"]}
+    assert got == {(float(g), float(x)) for g in (1, 2) for x in range(5)}
