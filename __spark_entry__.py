@@ -61,7 +61,11 @@ PRIORITY = [
     "dedup_simhash",
     "dedup_ngram_exact",
     "dedup_embedding_cosine",
-    "dedup_minhash_clusters",
+    # round-5: the Zarr v3 roundtrip (zarr.json layout + zstd codec chain)
+    # joins the graded head, oracle-exact; dedup_minhash_clusters moves to
+    # the tail (rows-only; its exact twin dedup_cluster_exact stays in the
+    # head and the judge's full parity run still grades it)
+    "io_zarr_v3_roundtrip",
     # dedup_near_removal moved to the tail (rows-only there; its exact twin
     # dedup_embedding_removal stays judge-graded) to keep a catalog-family
     # entry — and an oracle-exact one — in the graded head
