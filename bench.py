@@ -48,10 +48,11 @@ HEADLINE = [
     # partition-pruned probe cost only (the serving-path number)
     "sim_ivf_build",
     "sim_ivf_topk",
-    # round-5: query-many serving — 8 concurrent exhaustive probes against
-    # the one shared IVF store under FAIR pools (the reference's 128-thread
-    # farm shape); measures contention on the store read path
-    "sim_probe_concurrent",
+    # round-5: query-many serving — 8 concurrent partition-pruned probes
+    # against the one shared IVF store under per-query FAIR pools (the
+    # reference's 128-thread farm shape); measures the real serving path
+    # under contention (the exhaustive oracle-exact twin stays in the gate)
+    "sim_probe_concurrent_pruned",
     "sim_lsh_build",
     "sim_lsh_topk",
     "events_sliding_1h30m",
@@ -84,6 +85,8 @@ HEADLINE = [
     # bigram language-model quality scoring (join-heavy text shape)
     "io_nc4_roundtrip",
     "io_zarr_roundtrip",
+    # round-5: Zarr v3 (zarr.json layout) with the bytes+zstd codec chain
+    "io_zarr_v3_roundtrip",
     "text_pii_signals",
     "text_bigram_logprob",
 ]

@@ -653,12 +653,12 @@ def _grid_to_nc(
 
 def oph_exportnc(
     cube: Cube, path: str, per_dim_files: bool = False,
-    nc_format: str = "classic", compress: int | None = None,
+    nc_format: str = "classic", compress: int | str | None = None,
 ) -> list[str]:
     """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
     oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec
     (nc_format='classic') or as netCDF-4/HDF5 (nc_format='netcdf4', optional
-    deflate via `compress`).
+    deflate via an int `compress` level or shuffle+zstd via compress='zstd').
 
     per_dim_files=True writes one file per value of the first explicit dim
     from inside applyInPandas — each executor task grids and encodes its own

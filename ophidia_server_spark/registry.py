@@ -921,6 +921,40 @@ def io_nc4_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_nc4_zstd_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(quarter(l_shipdate) AS BIGINT) AS quarter,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_nc4_zstd_roundtrip(spark, sf_dir):
+    """netCDF-4 roundtrip with shuffle + the registered zstd filter (32015)
+    instead of deflate — what HDF5 installations with the zstd plugin write.
+    Same export/import shape as io_nc4_roundtrip; only the chunk filter
+    pipeline differs (sources/hdf5.py write + sources/codecs.py)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("quarter", F.quarter("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "quarter", F.col("l_discount").cast(DEC), measure="disc"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(
+        cube, f"/tmp/ophidia_nc4z_{tag}", nc_format="netcdf4", compress="zstd"
+    )
+    c2 = io_ops.oph_importnc(spark, files, "disc", ["l_linenumber"], "quarter")
+    return (
+        c2.long()
+        .filter(~F.isnan("disc"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("quarter").cast("long").alias("quarter"),
+            F.col("disc").cast("double").alias("disc"),
+        )
+    )
+
+
+@q(
     "io_zarr_roundtrip",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(month(l_shipdate) AS BIGINT) AS month,
@@ -1698,6 +1732,37 @@ def sim_probe_concurrent(spark, sf_dir):
         sc.setLocalProperty("spark.scheduler.pool", f"probe_{qid}")
         try:
             rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=n_cells).collect()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+        return [(qid, int(r["vec_id"]), float(r["cosine_sim"])) for r in rows]
+
+    with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
+        rows = [r for part in ex.map(probe, sorted(qvecs)) for r in part]
+    return spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, cosine_sim double"
+    )
+
+
+@q("sim_probe_concurrent_pruned")  # approximate path: rows-only check
+def sim_probe_concurrent_pruned(spark, sf_dir):
+    """The serving-path twin of sim_probe_concurrent: 8 concurrent probes
+    with partition pruning (nprobe=4 of 16 cells) — what a production
+    query-many workload actually runs. Rows-only checked (pruned probes are
+    approximate); the exhaustive variant above is the oracle-exact one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    idx = _vstore(spark, sf_dir, "ivf")
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvecs = {
+        int(r[0]): [float(v) for v in r[1]]
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+
+    def probe(qid: int):
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"probe_{qid}")
+        try:
+            rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=4).collect()
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
         return [(qid, int(r["vec_id"]), float(r["cosine_sim"])) for r in rows]

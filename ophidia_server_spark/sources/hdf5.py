@@ -1150,13 +1150,14 @@ def _msg(mtype: int, data: bytes) -> bytes:
     return struct.pack("<HHB3x", mtype, len(data), 0) + data
 
 
-def write(path: str, ds: Dataset, compress: int | None = None,
+def write(path: str, ds: Dataset, compress: int | str | None = None,
           chunk_rows: int | None = None) -> None:
     """Write `ds` as a netCDF-4 (HDF5) file: superblock v0, symbol-table root
     group, one dimension-scale dataset per dimension, data variables with
-    DIMENSION_LIST references. `compress` (zlib level) switches data layout
-    to single-dimension chunking with shuffle+deflate, `chunk_rows` bounds
-    the first-dimension chunk length."""
+    DIMENSION_LIST references. `compress` switches data layout to
+    single-dimension chunking with shuffle + deflate (a zlib level) or
+    shuffle + the registered zstd filter 32015 (`compress="zstd"`);
+    `chunk_rows` bounds the first-dimension chunk length."""
     alloc = _Alloc(96)      # superblock v0 with 8/8 sizes is 96 bytes
 
     dim_names = list(ds.dimensions)
@@ -1220,7 +1221,12 @@ def write(path: str, ds: Dataset, compress: int | None = None,
                     if s > 1:       # shuffle
                         n = len(raw) // s
                         raw = np.frombuffer(raw, np.uint8).reshape(n, s).T.tobytes()
-                    raw = zlib.compress(raw, compress)
+                    if compress == "zstd":
+                        from ophidia_server_spark.sources import codecs
+
+                        raw = codecs.zstd_compress(raw, 3)
+                    else:
+                        raw = zlib.compress(raw, compress)
                 caddr = alloc.put(raw)
                 chunks.append((caddr, len(raw), [start] + [0] * (arr.ndim - 1)))
             data_addr[nm] = ("chunked", arr, cshape, chunks)
@@ -1278,7 +1284,16 @@ def write(path: str, ds: Dataset, compress: int | None = None,
             if compress is not None:
                 filt = struct.pack("<BB6x", 1, 2)
                 filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", arr.itemsize) + b"\x00" * 4
-                filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
+                if compress == "zstd":
+                    # registered filter 32015; v1 entries with an id >= 256
+                    # carry an 8-byte-padded name, one client value (level)
+                    filt += (
+                        struct.pack("<HHHH", 32015, 8, 1, 1)
+                        + b"zstd\x00\x00\x00\x00"
+                        + struct.pack("<I", 3) + b"\x00" * 4
+                    )
+                else:
+                    filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
                 msgs.append(_msg(M_FILTERS, filt))
         if is_dim:
             msgs.append(_msg(M_ATTR, _encode_attr("CLASS", "DIMENSION_SCALE")))

@@ -733,3 +733,19 @@ def test_defilter_registered_zstd_lz4_blosc():
     shuf = lb._shuffle(raw, 8)
     out = _H5Reader._defilter(None, zstd_compress(shuf), [(2, [8]), (32015, [])])
     assert out == raw
+
+
+def test_chunked_zstd_shuffle_roundtrip(tmp_path):
+    # compress="zstd" writes shuffle + the registered zstd filter (32015);
+    # the reader reverses the pipeline through the shared codec shim
+    ds, p = _cube(compress="zstd", chunk_rows=2, tmp_path=tmp_path, name="z.nc")
+    back = hdf5.read(p)
+    for name in ("temperature", "counts", "time", "lat"):
+        assert np.array_equal(back.variables[name].data, ds.variables[name].data)
+    # the declared pipeline really is shuffle+zstd (reader-visible)
+    from ophidia_server_spark.sources.hdf5 import _H5Reader
+
+    r = _H5Reader(open(p, "rb").read())
+    root = r.read_object(r.root_addr, "/")
+    temp = next(c for c in root.children if c.name == "temperature")
+    assert [f for f, _ in temp.filters] == [2, 32015]
