@@ -1,0 +1,203 @@
+"""HTTP request endpoint: the reference's web-service surface re-expressed
+as JSON-over-HTTP on the stdlib ThreadingHTTPServer.
+
+The reference is a gSOAP service: `oph__ophExecuteMain` accepts a JSON
+workflow (oph_execute_main.c:256), `exec_mode` selects sync (the call blocks
+on a condition variable until the workflow closes) or async (the jobid
+returns immediately, oph_parser.h:78-81), and completion is observed either
+by SOAP notification or by the poll-mode job-queue monitor
+(oph_workflow_engine.c:7121-7356). `oph_resume` re-reads stored response
+documents by session/workflow id (oph_execute_main.c:682, 2193-2276).
+
+Spark-native mapping — same contract, idiomatic transport:
+
+  POST /execute            body = workflow JSON; optional top-level
+                           "exec_mode": "sync" (default) | "async".
+                           sync  -> 200 with the full response document
+                                    (plans/response.py workflow_response).
+                           async -> 202 with {"jobid", "status"} immediately;
+                                    the workflow runs on a bounded worker
+                                    pool (SERVER_FARM_SIZE analogue).
+  GET  /jobs/<id>          status + (once closed) the stored response — the
+                           poll-mode notification alternative, doubling as
+                           oph_resume document_type=response.
+  GET  /jobs               the session's job list (the
+                           MYSQL_RETRIEVE_WORKFLOWS_OF_SESSION shape).
+
+Auth: `Authorization: Bearer <token>` resolves to (user, role) in the
+constructor's token table; the role rides into engine.run(role=...) so the
+per-operator role checks (auth.py, oph_auth.h:79-96) gate every dispatched
+task exactly as a direct caller's would be. No token table => open server
+(trusted driver-side use, role enforcement off).
+
+Threading: ThreadingHTTPServer gives the gSOAP-farm shape (one thread per
+in-flight request); async workflows share a ThreadPoolExecutor so a burst of
+submissions queues instead of forking unbounded Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from ophidia_server_spark.plans.response import workflow_response
+
+
+@dataclass
+class _Job:
+    jobid: int
+    name: str
+    status: str = "OPH_ODB_STATUS_RUNNING"
+    response: dict | None = None
+    error: str | None = None
+    user: str = ""
+
+
+@dataclass
+class EngineHttpServer:
+    """JSON-over-HTTP front-end for a WorkflowEngine."""
+
+    engine: Any
+    tokens: dict[str, tuple[str, str]] | None = None   # token -> (user, role)
+    host: str = "127.0.0.1"
+    port: int = 0                                      # 0 = ephemeral
+    farm_size: int = 8                                 # async worker pool
+    _httpd: ThreadingHTTPServer | None = None
+    _thread: threading.Thread | None = None
+    _pool: ThreadPoolExecutor | None = None
+    _jobs: dict[int, _Job] = field(default_factory=dict)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _next_id: int = 1
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> int:
+        """Bind and serve on a daemon thread; returns the bound port."""
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: the engine has its own logs
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _auth(self) -> tuple[str, str | None] | None:
+                """(user, role) for this request, None => 401 already sent."""
+                if server.tokens is None:
+                    return ("anonymous", None)  # open server: no enforcement
+                hdr = self.headers.get("Authorization", "")
+                tok = hdr[7:] if hdr.startswith("Bearer ") else None
+                ident = server.tokens.get(tok or "")
+                if ident is None:
+                    self._send(401, {"error": "invalid or missing bearer token"})
+                    return None
+                return ident
+
+            def do_POST(self):
+                ident = self._auth()
+                if ident is None:
+                    return
+                if self.path.rstrip("/") != "/execute":
+                    self._send(404, {"error": f"no such endpoint {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    wf = json.loads(self.rfile.read(n) or b"{}")
+                except Exception as exc:
+                    self._send(400, {"error": f"bad request body: {exc}"})
+                    return
+                mode = str(wf.pop("exec_mode", "sync")).lower()
+                if mode == "async":
+                    job = server._submit_async(wf, ident)
+                    self._send(202, {"jobid": job.jobid, "status": job.status})
+                    return
+                job = server._new_job(wf.get("name", "workflow"), ident[0])
+                server._run_job(job, wf, ident[1])
+                if job.status == "OPH_ODB_STATUS_ERROR" and job.response is None:
+                    self._send(500, {"jobid": job.jobid, "status": job.status,
+                                     "error": job.error})
+                    return
+                self._send(200, {"jobid": job.jobid, "status": job.status,
+                                 "response": job.response})
+
+            def do_GET(self):
+                ident = self._auth()
+                if ident is None:
+                    return
+                path = self.path.rstrip("/")
+                if path == "/jobs":
+                    with server._lock:
+                        rows = [
+                            {"jobid": j.jobid, "name": j.name,
+                             "status": j.status, "user": j.user}
+                            for j in server._jobs.values()
+                        ]
+                    self._send(200, {"jobs": rows})
+                    return
+                if path.startswith("/jobs/"):
+                    try:
+                        jid = int(path.rsplit("/", 1)[1])
+                    except ValueError:
+                        self._send(400, {"error": "jobid must be an integer"})
+                        return
+                    with server._lock:
+                        job = server._jobs.get(jid)
+                    if job is None:
+                        self._send(404, {"error": f"no job {jid}"})
+                        return
+                    out = {"jobid": job.jobid, "name": job.name,
+                           "status": job.status}
+                    if job.response is not None:
+                        out["response"] = job.response
+                    if job.error:
+                        out["error"] = job.error
+                    self._send(200, out)
+                    return
+                self._send(404, {"error": f"no such endpoint {self.path}"})
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._httpd.daemon_threads = True
+        self._pool = ThreadPoolExecutor(max_workers=self.farm_size)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._pool:
+            self._pool.shutdown(wait=False)
+
+    # -- job machinery ------------------------------------------------------
+
+    def _new_job(self, name: str, user: str) -> _Job:
+        with self._lock:
+            job = _Job(jobid=self._next_id, name=name, user=user)
+            self._next_id += 1
+            self._jobs[job.jobid] = job
+        return job
+
+    def _run_job(self, job: _Job, wf: dict, role: str | None) -> None:
+        try:
+            run = self.engine.run(wf, role=role)
+            job.response = workflow_response(run, wf.get("name", job.name))
+            job.status = run.status
+        except Exception as exc:  # engine-level failure (parse, deadlock, ...)
+            job.status = "OPH_ODB_STATUS_ERROR"
+            job.error = str(exc)
+
+    def _submit_async(self, wf: dict, ident: tuple[str, str | None]) -> _Job:
+        job = self._new_job(wf.get("name", "workflow"), ident[0])
+        self._pool.submit(self._run_job, job, wf, ident[1])
+        return job

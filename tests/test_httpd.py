@@ -1,0 +1,151 @@
+"""HTTP endpoint tests: the JSON-over-HTTP front-end (plans/httpd.py) serving
+a WorkflowEngine — submit sync/async, poll jobs, bearer auth, role gating.
+
+Mirrors the reference's service semantics: exec_mode sync blocks for the
+response document (oph_parser.h:78-81), async returns the jobid and the
+client polls (the poll-mode monitor alternative to SOAP notify,
+oph_workflow_engine.c:7121-7356)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ophidia_server_spark.plans.httpd import EngineHttpServer
+from ophidia_server_spark.plans.workflow import WorkflowEngine
+
+
+def _engine() -> WorkflowEngine:
+    ops = {
+        "oph_list": lambda engine, args, inputs: ["c1", "c2"],
+        "oph_randcube": lambda engine, args, inputs: f"pid:{args.get('n', 1)}",
+        "oph_delete": lambda engine, args, inputs: "deleted",
+        "oph_service": lambda engine, args, inputs: "toggled",
+        "slowop": lambda engine, args, inputs: (time.sleep(0.2), "done")[1],
+    }
+    return WorkflowEngine(operators=ops)
+
+
+def _req(port: int, path: str, body: dict | None = None, token: str | None = None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method="POST" if data else "GET")
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def server():
+    srv = EngineHttpServer(
+        engine=_engine(),
+        tokens={"tok-admin": ("alice", "admin"), "tok-read": ("bob", "read")},
+    )
+    port = srv.start()
+    yield srv, port
+    srv.stop()
+
+
+def test_sync_execute_returns_response_document(server):
+    _, port = server
+    wf = {
+        "name": "probe",
+        "tasks": [
+            {"name": "r", "operator": "oph_randcube", "arguments": {"n": 7}},
+            {"name": "ls", "operator": "oph_list", "dependencies": ["r"]},
+        ],
+    }
+    status, out = _req(port, "/execute", wf, token="tok-admin")
+    assert status == 200
+    assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+    assert out["jobid"] >= 1
+    # the stored document is the reference response model (per-task sections)
+    assert out["response"]["workflow"] == "probe"
+
+
+def test_async_execute_polls_to_completion(server):
+    _, port = server
+    wf = {
+        "name": "slow",
+        "exec_mode": "async",
+        "tasks": [{"name": "s", "operator": "slowop"}],
+    }
+    status, out = _req(port, "/execute", wf, token="tok-admin")
+    assert status == 202
+    jid = out["jobid"]
+    assert out["status"] == "OPH_ODB_STATUS_RUNNING"
+    for _ in range(100):
+        status, got = _req(port, f"/jobs/{jid}", token="tok-admin")
+        if got["status"] != "OPH_ODB_STATUS_RUNNING":
+            break
+        time.sleep(0.05)
+    assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
+    assert got["response"]["workflow"] == "slow"
+    # the job list carries the session's jobs (workflow-of-session shape)
+    _, lst = _req(port, "/jobs", token="tok-read")
+    assert any(j["jobid"] == jid and j["user"] == "alice" for j in lst["jobs"])
+
+
+def test_missing_or_bad_token_is_401(server):
+    _, port = server
+    wf = {"name": "x", "tasks": [{"name": "ls", "operator": "oph_list"}]}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/execute", wf)
+    assert e.value.code == 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/execute", wf, token="nope")
+    assert e.value.code == 401
+
+
+def test_role_gates_operator_dispatch(server):
+    _, port = server
+    # read role may list...
+    status, out = _req(
+        port, "/execute",
+        {"name": "ls", "tasks": [{"name": "ls", "operator": "oph_list"}]},
+        token="tok-read",
+    )
+    assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+    # ...but not delete (write) nor service (admin): the task fails through
+    # the engine's on_error path and the workflow reports the error
+    for op in ("oph_delete", "oph_service"):
+        status, out = _req(
+            port, "/execute",
+            {"name": "deny", "tasks": [{"name": "t", "operator": op}]},
+            token="tok-read",
+        )
+        assert out["status"] != "OPH_ODB_STATUS_COMPLETED"
+    # admin may delete
+    status, out = _req(
+        port, "/execute",
+        {"name": "ok", "tasks": [{"name": "t", "operator": "oph_delete"}]},
+        token="tok-admin",
+    )
+    assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_open_server_skips_auth(server):
+    srv = EngineHttpServer(engine=_engine())  # no token table => open
+    port = srv.start()
+    try:
+        status, out = _req(
+            port, "/execute",
+            {"name": "open", "tasks": [{"name": "ls", "operator": "oph_list"}]},
+        )
+        assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+    finally:
+        srv.stop()
+
+
+def test_unknown_paths_and_jobs_404(server):
+    _, port = server
+    for path in ("/nope", "/jobs/999"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, path, token="tok-admin")
+        assert e.value.code == 404
