@@ -66,7 +66,7 @@ def _assert_equal(back: Dataset, ds: Dataset):
 
 
 @settings(max_examples=25, deadline=None)
-@given(dataset_st(), st.sampled_from([None, 1, 6]), st.integers(1, 5))
+@given(dataset_st(), st.sampled_from([None, 1, 6, "zstd"]), st.integers(1, 5))
 def test_hdf5_roundtrip_properties(ds, compress, chunk_rows):
     p = tempfile.mktemp(suffix=".nc")
     hdf5.write(p, ds, compress=compress, chunk_rows=chunk_rows)
@@ -74,7 +74,7 @@ def test_hdf5_roundtrip_properties(ds, compress, chunk_rows):
 
 
 @settings(max_examples=25, deadline=None)
-@given(dataset_st(), st.sampled_from([None, 1, 6]), st.integers(1, 5))
+@given(dataset_st(), st.sampled_from([None, 1, 6, "zstd", "blosc-lz4"]), st.integers(1, 5))
 def test_zarr_roundtrip_properties(ds, compress, chunk_rows):
     store = tempfile.mkdtemp() + "/store"
     chunks = {
@@ -96,3 +96,17 @@ def test_hdf5_zarr_cross_format(ds):
     h, z = hdf5.read(p), zr.read(store)
     for name in ds.variables:
         assert np.array_equal(h.variables[name].data, z.variables[name].data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(dataset_st(), st.sampled_from([None, 1, "zstd", "blosc-lz4"]), st.integers(1, 5))
+def test_zarr_v3_roundtrip_properties(ds, compress, chunk_rows):
+    # same invariant through the Zarr v3 layout (zarr.json nodes, c/-prefixed
+    # chunk keys, bytes+compressor codec chains)
+    store = tempfile.mkdtemp() + "/store3"
+    chunks = {
+        n: tuple([min(chunk_rows, v.data.shape[0])] + list(v.data.shape[1:]))
+        for n, v in ds.variables.items()
+    }
+    zr.write(store, ds, chunks=chunks, compress=compress, zarr_format=3)
+    _assert_equal(zr.read(store), ds)
