@@ -46,19 +46,51 @@ def oph_exportcsv(cube: Cube, path: str, header: bool = True) -> None:
     cube.long().write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def _wrap_or_build(
+    df: DataFrame, explicit_dims: list[str], implicit_dim: str,
+    value: str, measure: str | None,
+) -> Cube:
+    """Packed files (written by oph_export{parquet,orc}: __dim/__m columns)
+    rewrap directly — no re-gridding shuffle; long-form files build_cube."""
+    if DIM_COL in df.columns and MEASURE_COL in df.columns:
+        return Cube(
+            df=df, explicit_dims=tuple(explicit_dims),
+            implicit_dims=(implicit_dim,), measure=measure or value,
+        )
+    return build_cube(df, explicit_dims, implicit_dim, F.col(value), measure=measure or value)
+
+
 def oph_importparquet(
     spark: SparkSession, path: str, explicit_dims: list[str], implicit_dim: str,
     value: str, measure: str | None = None,
 ) -> Cube:
     """Parquet -> cube: the container-native ingest path (stands in for
-    oph_importnc where netCDF libs are unavailable; same signature shape)."""
+    oph_importnc where netCDF libs are unavailable; same signature shape).
+    Re-opens packed stores written by oph_exportparquet without re-gridding."""
     df = spark.read.parquet(path)
-    return build_cube(df, explicit_dims, implicit_dim, F.col(value), measure=measure or value)
+    return _wrap_or_build(df, explicit_dims, implicit_dim, value, measure)
 
 
 def oph_exportparquet(cube: Cube, path: str) -> None:
     """Cube -> parquet in packed form (preserves the array layout)."""
     cube.df.write.mode("overwrite").parquet(path)
+
+
+def oph_importorc(
+    spark: SparkSession, path: str, explicit_dims: list[str], implicit_dim: str,
+    value: str, measure: str | None = None,
+) -> Cube:
+    """ORC -> cube: the other first-class Hadoop columnar format, read with
+    Spark's native ORC source (predicate pushdown + column pruning apply
+    exactly as for parquet). Re-opens packed stores written by
+    oph_exportorc without re-gridding."""
+    df = spark.read.orc(path)
+    return _wrap_or_build(df, explicit_dims, implicit_dim, value, measure)
+
+
+def oph_exportorc(cube: Cube, path: str) -> None:
+    """Cube -> ORC in packed form (ORC lists preserve the array layout)."""
+    cube.df.write.mode("overwrite").orc(path)
 
 
 def _try_import_xarray():

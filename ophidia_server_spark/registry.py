@@ -2335,6 +2335,39 @@ def io_json_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_orc_roundtrip",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2, 3""",
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """oph_exportorc -> oph_importorc roundtrip: the packed cube (array
+    column included — ORC lists preserve the implicit-dim layout) writes to
+    ORC and reads back through Spark's native ORC source, then the long form
+    must match SQL over the parquet original."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast(DEC), measure="qty",
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_orc_{tag}"
+    io_ops.oph_exportorc(cube, path)
+    back = io_ops.oph_importorc(
+        spark, path, ["l_returnflag", "l_linestatus"], "month",
+        "qty", measure="qty",
+    )
+    return back.long().select(
+        "l_returnflag", "l_linestatus",
+        F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
     "text_token_bpe",
     r"""SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)

@@ -379,11 +379,34 @@ def read(path: str) -> Dataset:
     elif os.path.exists(gattrs_path):
         with open(gattrs_path) as fh:
             ds.attributes = json.load(fh)
-    elif os.path.exists(root_v3):
+    v3_meta: dict | None = None
+    if os.path.exists(root_v3) and not consolidated:
         with open(root_v3) as fh:
             root_meta = json.load(fh)
         if root_meta.get("node_type") == "group":
             ds.attributes = dict(root_meta.get("attributes") or {})
+            # v3 consolidated metadata (one-GET cloud read): the root node
+            # inlines every child's zarr.json under consolidated_metadata
+            cm = root_meta.get("consolidated_metadata") or {}
+            if cm.get("metadata"):
+                v3_meta = dict(cm["metadata"])
+
+    if v3_meta is not None:
+        names = sorted(
+            k for k, m in v3_meta.items() if m.get("node_type") == "array"
+        )
+        if not names:
+            raise ZarrError(f"no Zarr arrays found under {path!r}")
+        for name in names:
+            arr, attrs = read_array(path, name, v3_meta[name])
+            dims = tuple(attrs.get("_ARRAY_DIMENSIONS", ()))
+            if not dims:
+                dims = tuple(f"dim_{i}" for i in range(arr.ndim))
+            for d, s in zip(dims, arr.shape):
+                ds.dimensions.setdefault(d, s)
+            user_attrs = {k: v for k, v in attrs.items() if k != "_ARRAY_DIMENSIONS"}
+            ds.variables[name] = Variable(name, dims, user_attrs, arr)
+        return ds
 
     if consolidated:
         names = sorted(
@@ -553,14 +576,7 @@ def _write_v3(path: str, ds: Dataset, chunks: dict | None,
     import itertools
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "zarr.json"), "w") as fh:
-        json.dump(
-            {
-                "zarr_format": 3, "node_type": "group",
-                "attributes": _json_safe(ds.attributes or {}),
-            },
-            fh,
-        )
+    child_meta: dict[str, dict] = {}
     for name, v in ds.variables.items():
         arr = np.ascontiguousarray(v.data)
         key = arr.dtype.str.lstrip("<>=|")
@@ -614,6 +630,21 @@ def _write_v3(path: str, ds: Dataset, chunks: dict | None,
         }
         with open(os.path.join(adir, "zarr.json"), "w") as fh:
             json.dump(meta, fh)
+        child_meta[name] = meta
+    # root group node last, inlining every child's metadata (v3 consolidated
+    # metadata — the one-GET cloud read, mirroring v2's .zmetadata)
+    with open(os.path.join(path, "zarr.json"), "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 3, "node_type": "group",
+                "attributes": _json_safe(ds.attributes or {}),
+                "consolidated_metadata": {
+                    "kind": "inline", "must_understand": False,
+                    "metadata": child_meta,
+                },
+            },
+            fh,
+        )
 
 
 def _json_safe(attrs: dict) -> dict:

@@ -149,3 +149,30 @@ def test_unknown_paths_and_jobs_404(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(port, path, token="tok-admin")
         assert e.value.code == 404
+
+
+def test_async_farm_drains_concurrent_submissions(server):
+    # a burst of async submissions beyond farm_size queues and completes
+    # (the reference's SERVER_FARM_SIZE admission shape)
+    _, port = server
+    jids = []
+    for i in range(10):
+        _, out = _req(
+            port, "/execute",
+            {"name": f"b{i}", "exec_mode": "async",
+             "tasks": [{"name": "s", "operator": "slowop"}]},
+            token="tok-admin",
+        )
+        jids.append(out["jobid"])
+    deadline = time.time() + 30
+    done = set()
+    while len(done) < len(jids) and time.time() < deadline:
+        for jid in jids:
+            if jid in done:
+                continue
+            _, got = _req(port, f"/jobs/{jid}", token="tok-admin")
+            if got["status"] != "OPH_ODB_STATUS_RUNNING":
+                assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
+                done.add(jid)
+        time.sleep(0.05)
+    assert done == set(jids)

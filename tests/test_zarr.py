@@ -603,3 +603,27 @@ def test_spark_import_v3_store(spark, tmp_path):
     )
     got = {(r["lat"], r["time"]) for r in sub.long().collect() if r["tas"] == r["tas"]}
     assert got == {(float(g), float(x)) for g in (1, 2) for x in range(5)}
+
+
+def test_v3_consolidated_metadata_one_get(tmp_path):
+    # the v3 writer inlines every child's zarr.json into the root node; a
+    # reader that trusts it never stats the per-array metadata files
+    ds = Dataset(
+        dimensions={"x": 4},
+        variables={
+            "x": Variable("x", ("x",), {}, np.arange(4, dtype="<f8")),
+            "v": Variable("v", ("x",), {"u": "m"}, np.arange(4, dtype="<i4")),
+        },
+        attributes={"title": "cm"},
+    )
+    p = str(tmp_path / "cm")
+    zr.write(p, ds, compress="zstd", zarr_format=3)
+    root = json.load(open(os.path.join(p, "v") + "/../zarr.json"))
+    assert root["consolidated_metadata"]["metadata"]["v"]["node_type"] == "array"
+    # nuke the per-array metadata: the consolidated read path must suffice
+    os.remove(os.path.join(p, "v", "zarr.json"))
+    os.remove(os.path.join(p, "x", "zarr.json"))
+    back = zr.read(p)
+    assert back.attributes == {"title": "cm"}
+    assert np.array_equal(back.variables["v"].data, np.arange(4, dtype="<i4"))
+    assert back.variables["v"].attributes["u"] == "m"
