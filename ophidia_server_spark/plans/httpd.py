@@ -55,6 +55,7 @@ class _Job:
     response: dict | None = None
     error: str | None = None
     user: str = ""
+    request: dict | None = None  # stored request document (oph_resume source)
 
 
 @dataclass
@@ -107,7 +108,25 @@ class EngineHttpServer:
                 ident = self._auth()
                 if ident is None:
                     return
-                if self.path.rstrip("/") != "/execute":
+                path = self.path.rstrip("/")
+                if path.startswith("/jobs/") and path.endswith("/resubmit"):
+                    # oph_resume execute=yes: re-run the stored request
+                    # document as a new job (oph_execute_main.c:6026)
+                    try:
+                        jid = int(path.split("/")[2])
+                    except (ValueError, IndexError):
+                        self._send(400, {"error": "jobid must be an integer"})
+                        return
+                    with server._lock:
+                        prior = server._jobs.get(jid)
+                    if prior is None or prior.request is None:
+                        self._send(404, {"error": f"no stored request for job {jid}"})
+                        return
+                    job = server._submit_async(dict(prior.request), ident)
+                    self._send(202, {"jobid": job.jobid, "status": job.status,
+                                     "resubmit_of": jid})
+                    return
+                if path != "/execute":
                     self._send(404, {"error": f"no such endpoint {self.path}"})
                     return
                 try:
@@ -122,6 +141,7 @@ class EngineHttpServer:
                     self._send(202, {"jobid": job.jobid, "status": job.status})
                     return
                 job = server._new_job(wf.get("name", "workflow"), ident[0])
+                job.request = dict(wf)
                 server._run_job(job, wf, ident[1])
                 if job.status == "OPH_ODB_STATUS_ERROR" and job.response is None:
                     self._send(500, {"jobid": job.jobid, "status": job.status,
@@ -134,7 +154,11 @@ class EngineHttpServer:
                 ident = self._auth()
                 if ident is None:
                     return
-                path = self.path.rstrip("/")
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                path = parts.path.rstrip("/")
+                query = parse_qs(parts.query)
                 if path == "/jobs":
                     with server._lock:
                         rows = [
@@ -157,7 +181,12 @@ class EngineHttpServer:
                         return
                     out = {"jobid": job.jobid, "name": job.name,
                            "status": job.status}
-                    if job.response is not None:
+                    # oph_resume document_type=request|response semantics
+                    doc = (query.get("document") or ["response"])[0]
+                    if doc == "request":
+                        if job.request is not None:
+                            out["request"] = job.request
+                    elif job.response is not None:
                         out["response"] = job.response
                     if job.error:
                         out["error"] = job.error
@@ -199,5 +228,6 @@ class EngineHttpServer:
 
     def _submit_async(self, wf: dict, ident: tuple[str, str | None]) -> _Job:
         job = self._new_job(wf.get("name", "workflow"), ident[0])
+        job.request = dict(wf)
         self._pool.submit(self._run_job, job, wf, ident[1])
         return job

@@ -176,3 +176,28 @@ def test_async_farm_drains_concurrent_submissions(server):
                 done.add(jid)
         time.sleep(0.05)
     assert done == set(jids)
+
+
+def test_resume_request_document_and_resubmit(server):
+    # GET ?document=request returns the stored request (oph_resume
+    # document_type=request); POST /jobs/<id>/resubmit re-runs it as a new
+    # job (oph_resume execute=yes, oph_execute_main.c:6026)
+    _, port = server
+    wf = {"name": "replayme",
+          "tasks": [{"name": "r", "operator": "oph_randcube",
+                     "arguments": {"n": 3}}]}
+    _, out = _req(port, "/execute", wf, token="tok-admin")
+    jid = out["jobid"]
+    _, doc = _req(port, f"/jobs/{jid}?document=request", token="tok-admin")
+    assert doc["request"]["name"] == "replayme"
+    _, re_out = _req(port, f"/jobs/{jid}/resubmit", body={}, token="tok-admin")
+    assert re_out["resubmit_of"] == jid
+    jid2 = re_out["jobid"]
+    assert jid2 != jid
+    for _ in range(100):
+        _, got = _req(port, f"/jobs/{jid2}", token="tok-admin")
+        if got["status"] != "OPH_ODB_STATUS_RUNNING":
+            break
+        time.sleep(0.05)
+    assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
+    assert got["response"]["workflow"] == "replayme"
