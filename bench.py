@@ -85,8 +85,10 @@ HEADLINE = [
     # bigram language-model quality scoring (join-heavy text shape)
     "io_nc4_roundtrip",
     "io_zarr_roundtrip",
-    # round-5: Zarr v3 (zarr.json layout) with the bytes+zstd codec chain
+    # round-5: Zarr v3 (zarr.json layout) with the bytes+zstd codec chain,
+    # and the packed-cube ORC write/read path (JVM-native columnar sink)
     "io_zarr_v3_roundtrip",
+    "io_orc_roundtrip",
     "text_pii_signals",
     "text_bigram_logprob",
 ]

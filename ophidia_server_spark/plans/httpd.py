@@ -67,6 +67,7 @@ class EngineHttpServer:
     host: str = "127.0.0.1"
     port: int = 0                                      # 0 = ephemeral
     farm_size: int = 8                                 # async worker pool
+    spark: Any = None                                  # enables real job cancel
     _httpd: ThreadingHTTPServer | None = None
     _thread: threading.Thread | None = None
     _pool: ThreadPoolExecutor | None = None
@@ -125,6 +126,30 @@ class EngineHttpServer:
                     job = server._submit_async(dict(prior.request), ident)
                     self._send(202, {"jobid": job.jobid, "status": job.status,
                                      "resubmit_of": jid})
+                    return
+                if path.startswith("/jobs/") and path.endswith("/cancel"):
+                    # oph_cancel: abort a running workflow by id. With a
+                    # SparkSession attached, every job tagged with the
+                    # workflow's job group is killed mid-stage
+                    # (sc.cancelJobGroup — the engine-native kill the
+                    # reference delegates to its resource manager).
+                    try:
+                        jid = int(path.split("/")[2])
+                    except (ValueError, IndexError):
+                        self._send(400, {"error": "jobid must be an integer"})
+                        return
+                    with server._lock:
+                        job = server._jobs.get(jid)
+                    if job is None:
+                        self._send(404, {"error": f"no job {jid}"})
+                        return
+                    if job.status == "OPH_ODB_STATUS_RUNNING":
+                        job.status = "OPH_ODB_STATUS_ABORTED"
+                        if server.spark is not None:
+                            server.spark.sparkContext.cancelJobGroup(
+                                f"http-job-{jid}"
+                            )
+                    self._send(200, {"jobid": jid, "status": job.status})
                     return
                 if path != "/execute":
                     self._send(404, {"error": f"no such endpoint {self.path}"})
@@ -219,10 +244,21 @@ class EngineHttpServer:
 
     def _run_job(self, job: _Job, wf: dict, role: str | None) -> None:
         try:
+            if self.spark is not None:
+                # tag every Spark job this workflow launches so /cancel can
+                # kill them mid-stage (job groups are per-thread properties)
+                self.spark.sparkContext.setJobGroup(
+                    f"http-job-{job.jobid}", job.name, interruptOnCancel=True
+                )
             run = self.engine.run(wf, role=role)
-            job.response = workflow_response(run, wf.get("name", job.name))
+            response = workflow_response(run, wf.get("name", job.name))
+            if job.status == "OPH_ODB_STATUS_ABORTED":
+                return  # cancelled while running: keep the ABORTED status
+            job.response = response
             job.status = run.status
         except Exception as exc:  # engine-level failure (parse, deadlock, ...)
+            if job.status == "OPH_ODB_STATUS_ABORTED":
+                return  # the cancel interrupted the run; expected
             job.status = "OPH_ODB_STATUS_ERROR"
             job.error = str(exc)
 

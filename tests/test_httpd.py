@@ -201,3 +201,49 @@ def test_resume_request_document_and_resubmit(server):
         time.sleep(0.05)
     assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
     assert got["response"]["workflow"] == "replayme"
+
+
+def test_cancel_marks_job_aborted_and_kills_job_group(server):
+    # oph_cancel over HTTP: the running job flips to ABORTED and, with a
+    # SparkSession attached, its job group is cancelled (spied here)
+    class SpySC:
+        cancelled = []
+        def cancelJobGroup(self, g):
+            self.cancelled.append(g)
+        def setJobGroup(self, *a, **kw):
+            pass
+    class SpySpark:
+        sparkContext = SpySC()
+
+    srv = EngineHttpServer(
+        engine=_engine(),
+        tokens={"tok-admin": ("alice", "admin")},
+        spark=SpySpark(),
+    )
+    port = srv.start()
+    try:
+        _, out = _req(
+            port, "/execute",
+            {"name": "victim", "exec_mode": "async",
+             "tasks": [{"name": "s", "operator": "slowop"}]},
+            token="tok-admin",
+        )
+        jid = out["jobid"]
+        _, got = _req(port, f"/jobs/{jid}/cancel", body={}, token="tok-admin")
+        assert got["status"] == "OPH_ODB_STATUS_ABORTED"
+        assert SpySC.cancelled == [f"http-job-{jid}"]
+        # the status sticks even after the underlying run finishes
+        time.sleep(0.4)
+        _, after = _req(port, f"/jobs/{jid}", token="tok-admin")
+        assert after["status"] == "OPH_ODB_STATUS_ABORTED"
+        # cancelling a finished job is a no-op on its final status
+        _, out2 = _req(
+            port, "/execute",
+            {"name": "done", "tasks": [{"name": "ls", "operator": "oph_list"}]},
+            token="tok-admin",
+        )
+        _, got2 = _req(port, f"/jobs/{out2['jobid']}/cancel", body={},
+                       token="tok-admin")
+        assert got2["status"] == "OPH_ODB_STATUS_COMPLETED"
+    finally:
+        srv.stop()
