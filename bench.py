@@ -91,6 +91,8 @@ HEADLINE = [
     "io_orc_roundtrip",
     "text_pii_signals",
     "text_bigram_logprob",
+    # round-5: BM25 corpus search (query-term tf + broadcast stats)
+    "text_bm25_search",
 ]
 
 

@@ -378,3 +378,58 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id", F.coalesce("bigram_logprob", F.lit(0.0)).alias("bigram_logprob")
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame, query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+    text_col: str = "text", top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for one query (Robertson/
+    Sparck Jones; the standard lexical relevance function — what a corpus
+    search/inspection tool runs against a training-data lake).
+
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Shape at scale: tokenize once; per-doc term frequencies for the QUERY
+    TERMS only (a map-side filter — no full postings list is ever built),
+    one tiny aggregate for the per-term document frequencies and the corpus
+    N/avgdl scalars (both broadcast back), one final per-doc aggregate.
+    Everything is JVM expressions; the only shuffles are the two hash
+    aggregates, each keyed on (doc_id, term) and term.
+    """
+    toks = df.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    lens = toks.select("doc_id", F.size("__t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scalars = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf") * F.col("tf") * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(top_k)

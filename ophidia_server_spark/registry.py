@@ -2335,6 +2335,37 @@ def io_json_roundtrip(spark, sf_dir):
 
 
 @q(
+    "text_bm25_search",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS t
+  FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('hash', 'merge', 'window')
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens)
+SELECT doc_id,
+       ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN scalars
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for one query over the documents corpus
+    (pipeline/text.py bm25_scores): per-doc term frequencies of the query
+    terms only (no postings list), broadcast df/N/avgdl scalars, one final
+    per-doc aggregate — all JVM expressions."""
+    return tx.bm25_scores(
+        _t(spark, sf_dir)["documents"], ["hash", "merge", "window"]
+    )
+
+
+@q(
     "io_orc_roundtrip",
     """SELECT l_returnflag, l_linestatus,
        CAST(month(l_shipdate) AS BIGINT) AS month,
