@@ -2691,15 +2691,39 @@ def lineitem_moments(spark, sf_dir):
     )
 
 
-@q("cube_apply_fft")  # numpy kernel via Arrow pandas UDF: rows-only check
+@q(
+    "cube_apply_fft",
+    f"""WITH {BASE_QTY},
+arr AS (
+  SELECT l_returnflag, l_linestatus,
+         list(CAST(qty AS DOUBLE) ORDER BY month) AS x
+  FROM base GROUP BY 1, 2),
+spec AS (
+  SELECT l_returnflag, l_linestatus, len(x) AS n, x,
+         unnest(range(0, len(x) // 2 + 1)) AS k
+  FROM arr)
+SELECT l_returnflag, l_linestatus, CAST(k AS INT) AS k,
+  ROUND(sqrt(
+    pow(list_sum(list_transform(range(1, n + 1),
+                                i -> x[i] * cos(2 * pi() * k * (i - 1) / n))), 2)
+    + pow(list_sum(list_transform(range(1, n + 1),
+                                  i -> x[i] * sin(2 * pi() * k * (i - 1) / n))), 2)
+  ), 2) AS magnitude
+FROM spec""",
+)
 def cube_apply_fft(spark, sf_dir):
-    # rfft output has n//2+1 bins (shorter than the input dim), so explode by
-    # frequency-bin position rather than zipping with the time coordinates
+    """oph_apply with the FFT primitive (numpy rfft via Arrow pandas UDF).
+    Oracle: the closed-form DFT computed term-by-term in DuckDB — magnitudes
+    are algorithm- and sign-convention-free, so rfft and the naive DFT agree
+    to ~1e-10 relative; ROUND(2) sits far above that, far below real
+    spectral structure. rfft output has n//2+1 bins (shorter than the input
+    dim), so explode by frequency-bin position rather than zipping with the
+    time coordinates."""
     ap = C.oph_apply(cube_qty(spark, sf_dir), prim.fft_magnitude(), "spectrum")
     return ap.df.select(
         "l_returnflag", "l_linestatus",
         F.posexplode(F.col(ap.df.columns[-1])).alias("k", "magnitude"),
-    ).withColumn("magnitude", F.round("magnitude", 4))
+    ).withColumn("magnitude", F.round("magnitude", 2))
 
 
 @q(
