@@ -577,3 +577,26 @@ def dedup_near(df: DataFrame, text_col: str = "text", **lsh_kwargs) -> DataFrame
     clusters = cluster_pairs(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     return df.join(losers, "doc_id", "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame, max_distance: int = 60, text_col: str = "text",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Exact edit-distance (Levenshtein) near-dup pairs over a bounded id
+    slice — the character-level exactness baseline of the near-dup ladder
+    (token-level: ngram_jaccard_exact; bit-level: simhash). CARTESIAN on the
+    bounded slice by design, like exact_pairs_above: at scale the candidate
+    set comes from MinHash/SimHash blocking and Levenshtein runs only as the
+    verify step on candidates. F.levenshtein is JVM-side (no Python)."""
+    a = df.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
+    if max_id is not None:
+        a = a.filter(F.col("doc_a") < max_id)
+        b = b.filter(F.col("doc_b") < max_id)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_distance", F.levenshtein("__ta", "__tb").cast("long"))
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("doc_a", "doc_b", "edit_distance")
+    )

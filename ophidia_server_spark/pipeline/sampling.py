@@ -125,3 +125,24 @@ def mix_report(
             ).alias("achieved_rate"),
         )
     )
+
+
+def fixed_k_sample(
+    df: DataFrame, k: int, key_col: str = "doc_id", salt: str = "resv"
+) -> DataFrame:
+    """Deterministic fixed-size sample ("reservoir" semantics without the
+    sequential state): rank every row by its content-addressed coin and keep
+    the k smallest. Equivalent in distribution to reservoir sampling over
+    any arrival order, but stable across runs/engines/partitionings and
+    fully parallel — TakeOrdered keeps k per partition then merges k on the
+    driver, so the cost is O(rows) scan + O(k) memory regardless of corpus
+    size (the property a 100 TB "give me exactly k docs" needs)."""
+    if k <= 0:
+        return df.filter(F.lit(False))
+    coin = _coin(F.col(key_col), salt)
+    return (
+        df.withColumn("__coin", coin)
+        .orderBy("__coin", key_col)
+        .limit(k)
+        .drop("__coin")
+    )

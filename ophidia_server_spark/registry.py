@@ -3303,6 +3303,42 @@ def sample_stratified_mix(spark, sf_dir):
     )
 
 
+@q(
+    "sample_fixed_k",
+    """SELECT doc_id FROM (
+  SELECT doc_id FROM documents
+  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':resv'), 1, 8), doc_id
+  LIMIT 25)""",
+)
+def sample_fixed_k(spark, sf_dir):
+    """Deterministic fixed-size sample (pipeline/sampling.py fixed_k_sample):
+    reservoir semantics as a content-addressed top-k — rank by the md5 coin,
+    keep the 25 smallest. TakeOrdered keeps k per partition then merges k on
+    the driver, so memory is O(k) at any corpus size and membership is
+    stable across runs/engines/partitionings."""
+    return smp.fixed_k_sample(_t(spark, sf_dir)["documents"], 25).select("doc_id")
+
+
+@q(
+    "dedup_edit_distance",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 150 AND b.doc_id < 150
+  AND levenshtein(a.text, b.text) <= 60""",
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Character-level near-dup baseline (pipeline/dedup.py
+    edit_distance_pairs): exact Levenshtein pairs over a bounded id slice —
+    the verify-step kernel of the near-dup ladder, JVM-side F.levenshtein.
+    At scale candidates come from MinHash/SimHash blocking and this runs
+    only on candidates; the bounded CARTESIAN here is the exactness oracle
+    shape, like dedup_embedding_cosine."""
+    return dd.edit_distance_pairs(
+        _t(spark, sf_dir)["documents"], max_distance=60, max_id=150
+    )
+
+
 # ---------------------------------------------------------------------------
 # oph_apply primitive pack: get_subarray / find / gsl_sd parity queries
 # ---------------------------------------------------------------------------
