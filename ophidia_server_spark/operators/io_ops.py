@@ -71,9 +71,29 @@ def oph_importparquet(
     return _wrap_or_build(df, explicit_dims, implicit_dim, value, measure)
 
 
-def oph_exportparquet(cube: Cube, path: str) -> None:
-    """Cube -> parquet in packed form (preserves the array layout)."""
-    cube.df.write.mode("overwrite").parquet(path)
+def oph_exportparquet(
+    cube: Cube, path: str, sorted_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Cube -> parquet in packed form (preserves the array layout).
+
+    `sorted_by` range-clusters the store on the given explicit dims
+    (repartitionByRange + sortWithinPartitions) before writing: each output
+    file then covers a narrow, non-overlapping dim range, so parquet
+    min/max statistics prune whole files and row groups for dim-range
+    queries — the catalog-free analogue of the reference's fragment pruning
+    (oph_ophidiadb_query.h:48), and the knob that matters at 100 TB where
+    a subset query should touch only the files its range intersects."""
+    df = cube.df
+    if sorted_by:
+        cols = [F.col(c) for c in sorted_by]
+        # n_files pins the file count (bytes/128MB at scale); default lets
+        # AQE coalesce — the right call when the cube is small
+        df = (
+            df.repartitionByRange(n_files, *cols) if n_files
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+    df.write.mode("overwrite").parquet(path)
 
 
 def oph_importorc(

@@ -66,6 +66,16 @@ _ALLOWED_CMPS = {
 }
 
 
+def _active_spark_context():
+    """The live SparkContext if any (None for non-Spark engines/tests)."""
+    try:
+        from pyspark import SparkContext
+
+        return SparkContext._active_spark_context
+    except Exception:  # pragma: no cover - pyspark always importable here
+        return None
+
+
 def eval_condition(expr: str) -> float:
     """Safely evaluate an arithmetic/comparison expression string.
 
@@ -779,7 +789,16 @@ class WorkflowEngine:
         def one(item):
             largs = {**args, item_key: item, **by_item.get(item, {})}
             largs.pop("run", None)
-            return fn(self, largs, inputs)
+            sc = _active_spark_context()
+            if sc is not None:
+                # light tasks of one massive op share a pool: the fan-out
+                # competes fairly with other concurrent wave members
+                sc.setLocalProperty("spark.scheduler.pool", f"mf_{name}")
+            try:
+                return fn(self, largs, inputs)
+            finally:
+                if sc is not None:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
 
         try:
             if ncores > 1 and len(items) > 1:
@@ -946,12 +965,25 @@ class WorkflowEngine:
 
                 def one(item):
                     t, fn, args, inputs = item
-                    exp = self._massive_expand(args)
-                    if exp is not None:
-                        return self._exec_massive(
-                            t, fn, args, inputs, exp[1], exp[0], exp[2]
+                    # per-task FAIR pool: concurrent wave members interleave
+                    # their Spark jobs instead of queueing FIFO (the session
+                    # factory sets spark.scheduler.mode=FAIR; local
+                    # properties are per-Python-thread in pinned-thread mode)
+                    sc = _active_spark_context()
+                    if sc is not None:
+                        sc.setLocalProperty(
+                            "spark.scheduler.pool", f"wf_{t.get('name', 'task')}"
                         )
-                    return self._exec_task(t, fn, args, inputs)
+                    try:
+                        exp = self._massive_expand(args)
+                        if exp is not None:
+                            return self._exec_massive(
+                                t, fn, args, inputs, exp[1], exp[0], exp[2]
+                            )
+                        return self._exec_task(t, fn, args, inputs)
+                    finally:
+                        if sc is not None:
+                            sc.setLocalProperty("spark.scheduler.pool", None)
 
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
                     results.extend(pool.map(one, compute_batch))

@@ -319,3 +319,40 @@ def test_importnc_netcdf4_hyperslab_prunes_chunks(spark, tmp_path):
 
     with pytest.raises(Exception):
         io_ops.oph_importnc(spark, [p], "tas", ["time"], "lat").long().collect()
+
+
+def test_exportparquet_sorted_by_prunes(spark, tmp_path):
+    # range-clustered export: each parquet file covers a narrow,
+    # non-overlapping range of the sort dim, so min/max stats prune whole
+    # files for range queries (verified on the files' own metadata)
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import io_ops
+
+    df = spark.createDataFrame(
+        [(float(g), float(x), float(g * 10 + x))
+         for g in range(64) for x in range(4)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    out = str(tmp_path / "sorted.parquet")
+    io_ops.oph_exportparquet(cube, out, sorted_by=["lat"], n_files=8)
+    ranges = []
+    for fn in os.listdir(out):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fn)).metadata
+        names = md.schema.to_arrow_schema().names
+        idx = names.index("lat")
+        lo = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+        hi = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1  # actually range-partitioned into several files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # non-overlapping: a range filter skips whole files
+    # and the data still reads back complete
+    back = io_ops.oph_importparquet(spark, out, ["lat"], "time", "tas", measure="tas")
+    assert back.long().count() == 64 * 4
