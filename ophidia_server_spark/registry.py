@@ -1853,6 +1853,39 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "events_session_paths",
+    """WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN CAST(epoch_us(ts) AS DOUBLE)/1000000
+                 - CAST(epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE)/1000000
+                 > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts, event_type) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess
+)
+SELECT path, COUNT(*) AS n_sessions FROM p
+GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""",
+)
+def events_session_paths(spark, sf_dir):
+    """Funnel analysis (streaming/windows.py session_paths): top event-type
+    paths over 30-minute-gap sessions — the first 3 event types of each
+    session joined by '>', ranked by frequency. Same lag/cumsum
+    sessionization as events_sessionize; the ordered path string is built
+    JVM-side from sorted (rank, type) structs."""
+    return win.session_paths(_t(spark, sf_dir)["events"], gap_minutes=30)
+
+
+@q(
     "events_user_topk",
     """SELECT user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5""",

@@ -524,3 +524,45 @@ def stream_stream_join(
     )
     q.awaitTermination(120)
     return spark.table(queryName)
+
+
+def session_paths(
+    df: DataFrame, gap_minutes: int = 30, depth: int = 3, top_k: int = 10
+) -> DataFrame:
+    """Funnel analysis: the most frequent event-type paths, where a path is
+    the first `depth` event types of a session joined by '>'. The classic
+    product-analytics primitive over the same lag/cumsum sessionization as
+    sessionize(); ranking paths is then one hash aggregate. Ordering inside
+    a session is (ts, event_type) so simultaneous events rank
+    deterministically; the ordered path string is built JVM-side by sorting
+    the (rank, type) structs — no Python, two shuffles total (user window +
+    path count)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "__sess").orderBy("ts", "event_type")
+    )
+    paths = (
+        df.withColumn("__sess", sess_id)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= depth)
+        .groupBy("user_id", "__sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )
