@@ -1886,6 +1886,26 @@ def events_session_paths(spark, sf_dir):
 
 
 @q(
+    "events_cohort_retention",
+    """WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events)
+SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+       CAST((epoch(period) - epoch(cohort)) / 604800 AS BIGINT) AS period_offset,
+       COUNT(DISTINCT active.user_id) AS n_users
+FROM active JOIN first ON active.user_id = first.user_id
+GROUP BY 1, 2""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (streaming/windows.py cohort_retention):
+    users bucketed by first-activity week, counted in each later active
+    week. Two user-keyed aggregates + one count-distinct per cell; offsets
+    are exact integer arithmetic on truncated timestamps."""
+    return win.cohort_retention(_t(spark, sf_dir)["events"], unit="week")
+
+
+@q(
     "events_user_topk",
     """SELECT user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5""",

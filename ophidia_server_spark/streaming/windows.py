@@ -566,3 +566,33 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(top_k)
     )
+
+
+def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period
+    (`unit`-truncated), counted in each later period they were active — the
+    standard retention-matrix primitive of product analytics.
+
+    Shape at scale: one aggregate for first-activity (map-side partial),
+    one distinct on (user, period) — both shuffles keyed by user_id so AQE
+    can co-locate the join — then a count-distinct per (cohort, offset)
+    cell. Periods are truncated timestamps, so the offset arithmetic is
+    exact integer division of the epoch difference."""
+    ts = F.col("ts").cast("timestamp")
+    first = df.groupBy("user_id").agg(
+        F.date_trunc(unit, F.min(ts)).alias("__cohort")
+    )
+    active = df.select(
+        "user_id", F.date_trunc(unit, ts).alias("__period")
+    ).distinct()
+    span = {"week": 604800, "day": 86400}[unit]
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("__cohort", TS_FMT).alias("cohort"),
+            ((F.col("__period").cast("long") - F.col("__cohort").cast("long")) / span)
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
