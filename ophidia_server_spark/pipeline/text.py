@@ -433,3 +433,36 @@ def bm25_scores(
         .agg(F.round(F.sum("w"), 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(top_k)
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Keyword extraction: each document's top-N terms by tf-idf
+    (tf * ln(N/df)) — the standard corpus-exploration/labeling primitive.
+
+    Shape at scale: explode to (doc, term) once, two hash aggregates (tf and
+    df — both with map-side partials), a term-keyed join (uniform key
+    distribution; the vocabulary is NOT broadcast because at corpus scale
+    unique tokens outgrow the driver), a one-row N broadcast, and a per-doc
+    window for the top-N cut. All JVM expressions."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -2419,6 +2419,33 @@ def text_bm25_search(spark, sf_dir):
 
 
 @q(
+    "text_tfidf_keywords",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3""",
+)
+def text_tfidf_keywords(spark, sf_dir):
+    """Keyword extraction (pipeline/text.py tfidf_top_terms): each doc's
+    top-3 terms by tf * ln(N/df). Two hash aggregates, a term-keyed join
+    (vocabulary NOT broadcast — at corpus scale unique tokens outgrow the
+    driver), one-row N broadcast, per-doc window for the cut."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir)["documents"], top_n=3)
+
+
+@q(
     "io_orc_roundtrip",
     """SELECT l_returnflag, l_linestatus,
        CAST(month(l_shipdate) AS BIGINT) AS month,
@@ -2886,6 +2913,26 @@ def events_user_approx_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@q(
+    "lineitem_histogram",
+    """SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bin,
+       CAST(floor(l_quantity / 5) * 5 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2""",
+)
+def lineitem_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram (the explorecube/explorenc stats
+    companion): map-side binning + one hash aggregate — the O(rows)
+    single-pass distribution summary at any scale (quantities are integral,
+    so the bin arithmetic is exact in both engines)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    b = F.floor(F.col("l_quantity") / 5)
+    return li.groupBy(
+        b.cast("long").alias("bin"),
+        (b * 5).cast("double").alias("bin_lo"),
+    ).agg(F.count("*").alias("n"))
 
 
 @q("lineitem_approx_quantiles")  # t-digest sketch: approximate, rows-only
