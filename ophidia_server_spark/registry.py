@@ -2446,6 +2446,96 @@ def text_tfidf_keywords(spark, sf_dir):
 
 
 @q(
+    "lineitem_rollup_totals",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def lineitem_rollup_totals(spark, sf_dir):
+    """OLAP ROLLUP grouping sets (subtotals + grand total in one pass —
+    Catalyst expands the sets and keeps partial aggregation map-side, one
+    shuffle regardless of how many levels roll up)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+@q(
+    "orders_running_totals",
+    """SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders WHERE o_custkey < 50""",
+)
+def orders_running_totals(spark, sf_dir):
+    """Per-customer running order total (SQL window aggregate): the
+    customer-keyed window shuffles once on o_custkey; the frame sum is
+    exact DECIMAL so the cumulative values hash-match cross-engine."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _t(spark, sf_dir)["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+            .cast("double").alias("running_total"),
+        )
+    )
+
+
+@q(
+    "lineitem_pivot_quarters",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN quarter(l_shipdate) = 1
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS q1,
+       CAST(SUM(CASE WHEN quarter(l_shipdate) = 2
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS q2,
+       CAST(SUM(CASE WHEN quarter(l_shipdate) = 3
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS q3,
+       CAST(SUM(CASE WHEN quarter(l_shipdate) = 4
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS q4
+FROM lineitem GROUP BY 1""",
+)
+def lineitem_pivot_quarters(spark, sf_dir):
+    """Pivot (long -> wide): quarterly quantity per return flag via
+    groupBy().pivot() with the pivot values DECLARED — at scale an
+    undeclared pivot costs an extra distinct pass over the data to discover
+    the columns."""
+    li = _t(spark, sf_dir)["lineitem"].withColumn("q", F.quarter("l_shipdate"))
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("q", [1, 2, 3, 4])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("1").alias("q1"), F.col("2").alias("q2"),
+            F.col("3").alias("q3"), F.col("4").alias("q4"),
+        )
+    )
+
+
+@q(
     "io_orc_roundtrip",
     """SELECT l_returnflag, l_linestatus,
        CAST(month(l_shipdate) AS BIGINT) AS month,
