@@ -58,7 +58,12 @@ PRIORITY = [
     "io_zarr_blosc_roundtrip",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
-    "dedup_simhash",
+    # round-5 head swaps: dedup_simhash and sim_allpairs_lsh (rows-only;
+    # still graded by the judge's full parity run, and the approximate
+    # family stays represented by dedup_minhash_pairs + the two probe rows)
+    # make room for two new oracle-exact flagships — the partsupp-derived
+    # TPC-H q9 and BM25 corpus search
+    "tpch_q9_product_profit",
     "dedup_ngram_exact",
     "dedup_embedding_cosine",
     # round-5: the Zarr v3 roundtrip (zarr.json layout + zstd codec chain)
@@ -73,7 +78,7 @@ PRIORITY = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_ivf_topk",
-    "sim_allpairs_lsh",
+    "text_bm25_search",
     "text_quality",
     "text_langid",
     "text_contamination",
