@@ -28,7 +28,9 @@ array nodes, regular chunk grids, default ("c/"-prefixed) and v2 chunk-key
 encodings, dimension_names, and the codec chains bytes(endian) / gzip / zstd
 / blosc / crc32c / transpose — both read (incl. the one-task-per-chunk Spark
 import) and write (`zarr_format=3`).  Sharded (sharding_indexed) arrays
-raise a named ZarrError.
+read too: each shard's binary (offset, nbytes) index is parsed (crc32c
+verified, start/end locations) and inner chunks decode through their own
+codec chain, missing entries filling with fill_value.
 
 API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
 Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
@@ -154,9 +156,6 @@ def _load_v3_array(meta: dict) -> ZArray:
     if dt not in _V3_DTYPES:
         raise ZarrError(f"v3 data_type {dt!r} unsupported")
     codecs = tuple(meta.get("codecs") or ())
-    for c in codecs:
-        if c.get("name") == "sharding_indexed":
-            raise ZarrError("v3 sharded arrays unsupported (sharding_indexed codec)")
     cke = meta.get("chunk_key_encoding", {"name": "default"})
     name = cke.get("name", "default")
     if name not in ("default", "v2"):
@@ -235,11 +234,71 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def _decode_shard(raw: bytes, za: ZArray, conf: dict) -> np.ndarray:
+    """Decode one v3 shard (`sharding_indexed` array->bytes codec): encoded
+    inner chunks concatenated with a binary index of (offset, nbytes) u64-LE
+    pairs — one per inner-grid cell in row-major order, 2^64-1 marking a
+    missing (fill-value) inner chunk — optionally crc32c-checked, at the
+    start or end of the shard object per index_location."""
+    import itertools
+
+    inner = tuple(conf["chunk_shape"])
+    inner_codecs = tuple(conf.get("codecs") or ({"name": "bytes"},))
+    index_codecs = tuple(
+        conf.get("index_codecs") or ({"name": "bytes"}, {"name": "crc32c"})
+    )
+    if any(len(inner) and o % i for o, i in zip(za.chunks, inner)):
+        raise ZarrError(
+            f"shard inner chunk shape {inner} does not divide the shard shape {za.chunks}"
+        )
+    grid = [o // i for o, i in zip(za.chunks, inner)]
+    n = int(np.prod(grid, dtype=np.int64)) if grid else 1
+    has_crc = any(c.get("name") == "crc32c" for c in index_codecs)
+    idx_size = 16 * n + (4 if has_crc else 0)
+    if len(raw) < idx_size:
+        raise ZarrError("shard shorter than its chunk index")
+    if conf.get("index_location", "end") == "start":
+        idx_raw = raw[:idx_size]
+    else:
+        idx_raw = raw[-idx_size:]
+    if has_crc:
+        want = int.from_bytes(idx_raw[-4:], "little")
+        idx_raw = idx_raw[:-4]
+        if _crc32c(idx_raw) != want:
+            raise ZarrError("shard index crc32c checksum mismatch")
+    pairs = np.frombuffer(idx_raw, "<u8").reshape(n, 2)
+    dtype = za.dtype
+    for c in inner_codecs:  # the inner bytes codec fixes on-disk endianness
+        if c.get("name") == "bytes":
+            endian = c.get("configuration", {}).get("endian", "little")
+            dtype = dtype.newbyteorder("<" if endian == "little" else ">")
+    inner_za = ZArray(
+        shape=za.chunks, chunks=inner, dtype=dtype, compressor=None,
+        fill_value=za.fill_value, order="C", version=3, codecs=inner_codecs,
+    )
+    out = np.full(za.chunks, _resolve_fill(za.fill_value, za.dtype), za.dtype)
+    missing = 0xFFFFFFFFFFFFFFFF
+    for ci, idxs in enumerate(itertools.product(*[range(g) for g in grid])):
+        off, nb = int(pairs[ci, 0]), int(pairs[ci, 1])
+        if off == missing:
+            continue
+        if off + nb > len(raw):
+            raise ZarrError("shard inner chunk extends past the shard object")
+        chunk = _decode_v3_chunk(raw[off : off + nb], inner_za)
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idxs, inner))
+        out[sel] = chunk
+    return out
+
+
 def _decode_v3_chunk(raw: bytes, za: ZArray) -> np.ndarray:
     """Run the v3 codec chain in reverse: bytes->bytes codecs innermost-last,
-    then the `bytes` array->bytes codec, then array->array codecs."""
+    then the `bytes` array->bytes codec, then array->array codecs. A
+    `sharding_indexed` codec recurses per inner chunk (_decode_shard)."""
     from ophidia_server_spark.sources import codecs as cshim
 
+    for c in za.codecs:
+        if c.get("name") == "sharding_indexed":
+            return _decode_shard(raw, za, c.get("configuration", {}))
     array_codecs = []
     for c in reversed(za.codecs):
         name, conf = c.get("name"), c.get("configuration", {})

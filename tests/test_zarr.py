@@ -559,18 +559,31 @@ def test_v3_write_read_roundtrip_all_codecs(tmp_path):
         assert back.variables["v"].dimensions == ("x",)
 
 
-def test_v3_sharding_named_error(tmp_path):
+def test_v3_shard_corrupt_index_named_error(tmp_path):
+    # a shard whose index checksum is wrong fails with a named error rather
+    # than returning garbage (sharded arrays ARE supported — see
+    # test_v3_sharded_array_reads)
+    import struct
+
     adir = tmp_path / "s" / "v"
     adir.mkdir(parents=True)
     (adir / "zarr.json").write_text(json.dumps({
         "zarr_format": 3, "node_type": "array", "shape": [4],
         "data_type": "float32",
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
-        "chunk_key_encoding": {"name": "default"},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
         "fill_value": 0,
-        "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [4],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        }}],
     }))
-    with pytest.raises(zr.ZarrError, match="shard"):
+    body = np.arange(4, dtype="<f4").tobytes()
+    idx = struct.pack("<QQ", 0, len(body)) + b"\x00\x00\x00\x00"  # bad crc
+    (adir / "c").mkdir()
+    (adir / "c" / "0").write_bytes(body + idx)
+    with pytest.raises(zr.ZarrError, match="crc32c"):
         zr.read_array(str(tmp_path / "s"), "v")
 
 
@@ -627,3 +640,56 @@ def test_v3_consolidated_metadata_one_get(tmp_path):
     assert back.attributes == {"title": "cm"}
     assert np.array_equal(back.variables["v"].data, np.arange(4, dtype="<i4"))
     assert back.variables["v"].attributes["u"] == "m"
+
+
+def test_v3_sharded_array_reads(tmp_path):
+    # handmade sharded store per the v3 sharding_indexed spec: each shard
+    # object = zstd-encoded inner chunks + (offset, nbytes) u64-LE index
+    # with crc32c, index at the end; one missing inner chunk = fill value
+    import struct
+
+    from ophidia_server_spark.sources import codecs
+
+    data = np.arange(64, dtype="<f8").reshape(8, 8)
+    root = tmp_path / "s"
+    adir = root / "v"
+    adir.mkdir(parents=True)
+    (adir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8, 8],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8, 4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": "NaN",
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [4, 4],
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                           {"name": "zstd", "configuration": {"level": 3}}],
+                "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+                "index_location": "end",
+            },
+        }],
+        "dimension_names": ["y", "x"],
+    }))
+    (adir / "c" / "0").mkdir(parents=True)
+    MISSING = 0xFFFFFFFFFFFFFFFF
+    for sj in range(2):  # shard grid: 1 x 2 shards of 8x4, inner 4x4 -> 2 inner
+        shard_vals = data[:, sj * 4 : (sj + 1) * 4]
+        body = b""
+        entries = []
+        for ii in range(2):  # inner grid 2x1 (rows)
+            if sj == 1 and ii == 1:     # leave one inner chunk missing
+                entries.append((MISSING, MISSING))
+                continue
+            piece = np.ascontiguousarray(shard_vals[ii * 4 : (ii + 1) * 4, :])
+            enc = codecs.zstd_compress(piece.tobytes())
+            entries.append((len(body), len(enc)))
+            body += enc
+        idx = b"".join(struct.pack("<QQ", o, nb) for o, nb in entries)
+        idx += zr._crc32c(idx).to_bytes(4, "little")
+        (adir / "c" / "0" / str(sj)).write_bytes(body + idx)
+    got, attrs = zr.read_array(str(root), "v")
+    assert np.array_equal(got[:, :4], data[:, :4])
+    assert np.array_equal(got[:4, 4:], data[:4, 4:])
+    assert np.isnan(got[4:, 4:]).all()  # the missing inner chunk = fill
