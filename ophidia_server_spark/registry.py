@@ -1983,6 +1983,64 @@ def multimodal_decode_png(spark, sf_dir):
     return mm.decode_images(blobs)
 
 
+@q(
+    "multimodal_decode_wav",
+    r"""WITH b AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> (ascii(substr(text, i, 1)) - 128.0) / 128.0) AS x
+  FROM documents),
+f AS (
+  SELECT doc_id, n,
+         sqrt(list_sum(list_transform(x, v -> v * v)) / n) AS rms_raw,
+         list_max(list_transform(x, v -> abs(v))) AS peak_raw
+  FROM b WHERE n > 0)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_channels,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE n END AS BIGINT) AS n_frames,
+       CASE WHEN doc_id % 50 = 0 THEN 0.0 ELSE n / 8000.0 END AS duration_s,
+       CASE WHEN doc_id % 50 = 0 THEN 0.0 ELSE rms_raw END AS rms,
+       CASE WHEN doc_id % 50 = 0 THEN 0.0 ELSE peak_raw END AS peak
+FROM f""",
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """Real audio decode, ORACLE-EXACT end-to-end: each document's bytes
+    become an 8-bit-PCM WAV payload (encoded task-side with sources/wav.py),
+    decode_wav_features then parses the actual RIFF/fmt/data chunks and
+    computes normalized RMS/peak — and DuckDB recomputes the same features
+    straight from the text bytes, so the whole encode -> container parse ->
+    PCM decode -> feature chain is hash-verified (the PNG twin is rows-only;
+    this one closes the multimodal-oracle gap). One payload per 50 docs is
+    raw text (not a WAV) to prove poison tolerance."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+
+    def to_wav(batches):
+        import numpy as np
+
+        from ophidia_server_spark.sources import wav as wav_codec
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = txt.encode("utf-8", errors="replace")
+                if did % 50 == 0:
+                    payloads.append(raw)  # poison: not a WAV
+                    continue
+                # text bytes AS the 8-bit unsigned PCM track, mono @ 8 kHz
+                samples = np.frombuffer(raw, "u1").reshape(-1, 1)
+                payloads.append(wav_codec.encode(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_wav, "doc_id long, payload binary")
+    return mm.decode_wav_features(blobs)
+
+
 @q("multimodal_resize")  # numpy kernel output: rows-only check
 def multimodal_resize(spark, sf_dir):
     # REAL nearest-neighbor resize over raw 8x8 RGB frames built from
