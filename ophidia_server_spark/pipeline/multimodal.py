@@ -272,3 +272,36 @@ def decode_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFram
         "doc_id long, ok int, sample_rate long, n_channels long, "
         "n_frames long, duration_s double, rms double, peak double",
     )
+
+
+def decode_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for BMP payloads (pure-Python 24-bit BI_RGB codec,
+    sources/bmp.py): width/height from the actual header plus the integer
+    pixel sum — an exact, float-free feature so the whole decode chain can
+    be hash-verified against the source bytes. Poison payloads come back
+    ok=0 (corpus-scale tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ophidia_server_spark.sources import bmp
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "ok", "width", "height", "sum_rgb")}
+            for did, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                rows["doc_id"].append(did)
+                try:
+                    img = bmp.decode(bytes(raw))
+                    rows["ok"].append(1)
+                    rows["height"].append(int(img.shape[0]))
+                    rows["width"].append(int(img.shape[1]))
+                    rows["sum_rgb"].append(int(img.astype(np.int64).sum()))
+                except Exception:
+                    rows["ok"].append(0)
+                    for k in ("width", "height", "sum_rgb"):
+                        rows[k].append(0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id long, ok int, width long, height long, sum_rgb long"
+    )

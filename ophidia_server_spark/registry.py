@@ -2041,6 +2041,61 @@ def multimodal_decode_wav(spark, sf_dir):
     return mm.decode_wav_features(blobs)
 
 
+@q(
+    "multimodal_decode_bmp",
+    r"""WITH dims AS (
+  SELECT doc_id, text, length(text) AS n,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE
+         list_sum(list_transform(range(0, w * h * 3),
+                  i -> ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1))))
+       END AS BIGINT) AS sum_rgb
+FROM dims""",
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    """Real image decode, ORACLE-EXACT end to end (the image twin of
+    multimodal_decode_wav): each document's bytes tile a small 24-bit BMP
+    (encoded task-side with sources/bmp.py, bottom-up rows + 4-byte
+    padding), decode_bmp_features parses the actual headers and pixel rows,
+    and DuckDB recomputes width/height/pixel-sum straight from the text
+    bytes — integer-exact, no float anywhere. One payload per 40 docs is
+    raw text (not a BMP) to prove poison tolerance."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+
+    def to_bmp(batches):
+        import numpy as np
+
+        from ophidia_server_spark.sources import bmp as bmp_codec
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = txt.encode("utf-8", errors="replace")
+                if did % 40 == 0:
+                    payloads.append(raw)  # poison: not a BMP
+                    continue
+                w = 4 + int(did) % 13
+                h = 3 + int(did) % 7
+                need = w * h * 3
+                px = np.frombuffer(
+                    (raw * (need // len(raw) + 1))[:need], dtype="uint8"
+                ).reshape(h, w, 3)
+                payloads.append(bmp_codec.encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_bmp, "doc_id long, payload binary")
+    return mm.decode_bmp_features(blobs)
+
+
 @q("multimodal_resize")  # numpy kernel output: rows-only check
 def multimodal_resize(spark, sf_dir):
     # REAL nearest-neighbor resize over raw 8x8 RGB frames built from
