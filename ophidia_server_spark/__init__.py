@@ -25,12 +25,13 @@ __version__ = "0.1.0"
 
 # Public API: the pieces a reference user needs to run their workloads.
 from ophidia_server_spark.cube import Cube, build_cube, randcube  # noqa: E402,F401
+from ophidia_server_spark.plans.httpd import EngineHttpServer  # noqa: E402,F401
 from ophidia_server_spark.plans.server import build_default_engine  # noqa: E402,F401
 from ophidia_server_spark.plans.workflow import WorkflowEngine  # noqa: E402,F401
 from ophidia_server_spark.session import get_spark, load_tables  # noqa: E402,F401
 from ophidia_server_spark.store import CubeStore  # noqa: E402,F401
 
 __all__ = [
-    "Cube", "CubeStore", "WorkflowEngine", "build_cube", "build_default_engine",
-    "get_spark", "load_tables", "randcube",
+    "Cube", "CubeStore", "EngineHttpServer", "WorkflowEngine", "build_cube",
+    "build_default_engine", "get_spark", "load_tables", "randcube",
 ]
