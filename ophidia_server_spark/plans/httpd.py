@@ -140,15 +140,19 @@ class EngineHttpServer:
                         return
                     with server._lock:
                         job = server._jobs.get(jid)
+                        cancelled = (
+                            job is not None
+                            and job.status == "OPH_ODB_STATUS_RUNNING"
+                        )
+                        if cancelled:
+                            job.status = "OPH_ODB_STATUS_ABORTED"
                     if job is None:
                         self._send(404, {"error": f"no job {jid}"})
                         return
-                    if job.status == "OPH_ODB_STATUS_RUNNING":
-                        job.status = "OPH_ODB_STATUS_ABORTED"
-                        if server.spark is not None:
-                            server.spark.sparkContext.cancelJobGroup(
-                                f"http-job-{jid}"
-                            )
+                    if cancelled and server.spark is not None:
+                        server.spark.sparkContext.cancelJobGroup(
+                            f"http-job-{jid}"
+                        )
                     self._send(200, {"jobid": jid, "status": job.status})
                     return
                 if path != "/execute":
@@ -252,15 +256,19 @@ class EngineHttpServer:
                 )
             run = self.engine.run(wf, role=role)
             response = workflow_response(run, wf.get("name", job.name))
-            if job.status == "OPH_ODB_STATUS_ABORTED":
-                return  # cancelled while running: keep the ABORTED status
-            job.response = response
-            job.status = run.status
+            # the final transition races with /cancel: take the lock so a
+            # cancel can never be overwritten by a late completion
+            with self._lock:
+                if job.status == "OPH_ODB_STATUS_ABORTED":
+                    return  # cancelled while running: keep the ABORTED status
+                job.response = response
+                job.status = run.status
         except Exception as exc:  # engine-level failure (parse, deadlock, ...)
-            if job.status == "OPH_ODB_STATUS_ABORTED":
-                return  # the cancel interrupted the run; expected
-            job.status = "OPH_ODB_STATUS_ERROR"
-            job.error = str(exc)
+            with self._lock:
+                if job.status == "OPH_ODB_STATUS_ABORTED":
+                    return  # the cancel interrupted the run; expected
+                job.status = "OPH_ODB_STATUS_ERROR"
+                job.error = str(exc)
 
     def _submit_async(self, wf: dict, ident: tuple[str, str | None]) -> _Job:
         job = self._new_job(wf.get("name", "workflow"), ident[0])
