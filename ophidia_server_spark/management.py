@@ -55,7 +55,9 @@ class ManagementService:
         # server-level administrators (the reference's admin accounts,
         # oph_server_conf); management ops called WITH an identity are checked
         # against this set, a None user is the trusted driver-side caller
-        self.admins = set(admins or {"admin"})
+        # `is None` (not falsy-or): an explicit empty set means "no server
+        # admin accounts" and must not silently fall back to {'admin'}
+        self.admins = set(admins) if admins is not None else {"admin"}
         self.config = {
             "SERVER_FARM_SIZE": "128",
             "QUEUE_SIZE": "0",

@@ -504,14 +504,12 @@ def oph_exportzarr(
 
 
 def _zr_compressor_meta(compress) -> dict | None:
-    """.zarray compressor dict matching what sources/zarr._compress emits."""
-    if compress is None:
-        return None
-    if compress in ("blosc", "blosc-lz4"):
-        return {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
-    if compress == "zstd":
-        return {"id": "zstd", "level": 3}
-    return {"id": "zlib", "level": compress}
+    """.zarray compressor dict: delegated to sources/zarr.compressor_meta —
+    the one source of truth the chunk writer itself uses (the export path
+    writes float64 chunks, itemsize 8)."""
+    from ophidia_server_spark.sources import zarr as zr
+
+    return zr.compressor_meta(compress, itemsize=8)
 
 
 def _fill_grid_dataset(ds, pdf, dims: list[str], measure: str) -> None:

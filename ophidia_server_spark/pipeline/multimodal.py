@@ -233,12 +233,11 @@ def decode_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFram
         from ophidia_server_spark.sources import wav
 
         for pdf in batches:
-            rows = {k: [] for k in (
-                "doc_id", "ok", "sample_rate", "n_channels", "n_frames",
-                "duration_s", "rms", "peak",
-            )}
+            out = []
             for did, raw in zip(pdf["doc_id"], pdf[payload_col]):
-                rows["doc_id"].append(did)
+                # build the whole row before committing it: a late failure
+                # (rate=0, empty data chunk, ...) must yield ONE ok=0 row,
+                # never a half-appended batch that kills the task
                 try:
                     samples, rate = wav.decode(bytes(raw))
                     x = samples.astype("float64")
@@ -248,24 +247,24 @@ def decode_wav_features(df: DataFrame, payload_col: str = "payload") -> DataFram
                         x = x / 32768.0
                     elif samples.dtype == np.int32:
                         x = x / 2147483648.0
-                    rows["ok"].append(1)
-                    rows["sample_rate"].append(int(rate))
-                    rows["n_channels"].append(int(samples.shape[1]))
-                    rows["n_frames"].append(int(samples.shape[0]))
                     # no decimal rounding: 8-bit PCM amplitudes are dyadic
                     # rationals, so every sum/square below is exact in IEEE
                     # double and the one division + sqrt are deterministic —
                     # rounding would only ADD cross-engine round-half traps
-                    rows["duration_s"].append(samples.shape[0] / rate)
-                    rows["rms"].append(float(np.sqrt(np.mean(x * x))))
-                    rows["peak"].append(float(np.max(np.abs(x))))
+                    row = (
+                        did, 1, int(rate), int(samples.shape[1]),
+                        int(samples.shape[0]), samples.shape[0] / rate,
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.max(np.abs(x))),
+                    )
                 except Exception:
-                    rows["ok"].append(0)
-                    for k in ("sample_rate", "n_channels", "n_frames"):
-                        rows[k].append(0)
-                    for k in ("duration_s", "rms", "peak"):
-                        rows[k].append(0.0)
-            yield pd.DataFrame(rows)
+                    row = (did, 0, 0, 0, 0, 0.0, 0.0, 0.0)
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "ok", "sample_rate", "n_channels",
+                         "n_frames", "duration_s", "rms", "peak"],
+            )
 
     return df.mapInPandas(
         run,
@@ -287,20 +286,19 @@ def decode_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFram
         from ophidia_server_spark.sources import bmp
 
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "ok", "width", "height", "sum_rgb")}
+            out = []
             for did, raw in zip(pdf["doc_id"], pdf[payload_col]):
-                rows["doc_id"].append(did)
+                # whole row built before committing (see decode_wav_features)
                 try:
                     img = bmp.decode(bytes(raw))
-                    rows["ok"].append(1)
-                    rows["height"].append(int(img.shape[0]))
-                    rows["width"].append(int(img.shape[1]))
-                    rows["sum_rgb"].append(int(img.astype(np.int64).sum()))
+                    row = (did, 1, int(img.shape[1]), int(img.shape[0]),
+                           int(img.astype(np.int64).sum()))
                 except Exception:
-                    rows["ok"].append(0)
-                    for k in ("width", "height", "sum_rgb"):
-                        rows[k].append(0)
-            yield pd.DataFrame(rows)
+                    row = (did, 0, 0, 0, 0)
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=["doc_id", "ok", "width", "height", "sum_rgb"]
+            )
 
     return df.mapInPandas(
         run, "doc_id long, ok int, width long, height long, sum_rgb long"

@@ -105,6 +105,29 @@ class EngineHttpServer:
                     return None
                 return ident
 
+            @staticmethod
+            def _is_admin(ident: tuple[str, str | None]) -> bool:
+                from ophidia_server_spark import auth
+
+                return bool(auth.role_bits(ident[1]) & auth.ADMIN)
+
+            def _job_for(self, ident, jid: int):
+                """The job if the caller may act on it, else None (response
+                already sent). Job-level access is owner-or-admin: the
+                reference scopes documents and control to the submitting
+                session (oph_filters.c:576-601 session prefix; oph_cancel is
+                an admin op, oph_auth.h) — a plain token must not read or
+                kill another user's work."""
+                with server._lock:
+                    job = server._jobs.get(jid)
+                if job is None:
+                    self._send(404, {"error": f"no job {jid}"})
+                    return None
+                if job.user != ident[0] and not self._is_admin(ident):
+                    self._send(403, {"error": f"job {jid} belongs to another user"})
+                    return None
+                return job
+
             def do_POST(self):
                 ident = self._auth()
                 if ident is None:
@@ -118,9 +141,10 @@ class EngineHttpServer:
                     except (ValueError, IndexError):
                         self._send(400, {"error": "jobid must be an integer"})
                         return
-                    with server._lock:
-                        prior = server._jobs.get(jid)
-                    if prior is None or prior.request is None:
+                    prior = self._job_for(ident, jid)
+                    if prior is None:
+                        return
+                    if prior.request is None:
                         self._send(404, {"error": f"no stored request for job {jid}"})
                         return
                     job = server._submit_async(dict(prior.request), ident)
@@ -138,17 +162,13 @@ class EngineHttpServer:
                     except (ValueError, IndexError):
                         self._send(400, {"error": "jobid must be an integer"})
                         return
+                    job = self._job_for(ident, jid)
+                    if job is None:
+                        return
                     with server._lock:
-                        job = server._jobs.get(jid)
-                        cancelled = (
-                            job is not None
-                            and job.status == "OPH_ODB_STATUS_RUNNING"
-                        )
+                        cancelled = job.status == "OPH_ODB_STATUS_RUNNING"
                         if cancelled:
                             job.status = "OPH_ODB_STATUS_ABORTED"
-                    if job is None:
-                        self._send(404, {"error": f"no job {jid}"})
-                        return
                     if cancelled and server.spark is not None:
                         server.spark.sparkContext.cancelJobGroup(
                             f"http-job-{jid}"
@@ -189,11 +209,13 @@ class EngineHttpServer:
                 path = parts.path.rstrip("/")
                 query = parse_qs(parts.query)
                 if path == "/jobs":
+                    admin = self._is_admin(ident)
                     with server._lock:
                         rows = [
                             {"jobid": j.jobid, "name": j.name,
                              "status": j.status, "user": j.user}
                             for j in server._jobs.values()
+                            if admin or j.user == ident[0]
                         ]
                     self._send(200, {"jobs": rows})
                     return
@@ -203,10 +225,8 @@ class EngineHttpServer:
                     except ValueError:
                         self._send(400, {"error": "jobid must be an integer"})
                         return
-                    with server._lock:
-                        job = server._jobs.get(jid)
+                    job = self._job_for(ident, jid)
                     if job is None:
-                        self._send(404, {"error": f"no job {jid}"})
                         return
                     out = {"jobid": job.jobid, "name": job.name,
                            "status": job.status}

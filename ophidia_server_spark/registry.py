@@ -1715,6 +1715,15 @@ def sim_probe_concurrent(spark, sf_dir):
     parsing. nprobe=n_cells makes each probe exhaustive, so the merged result
     is oracle-exact; the pruned serving path (nprobe<n_cells) is measured by
     sim_ivf_topk."""
+    return _run_concurrent_probes(spark, sf_dir, nprobe=None)
+
+
+def _run_concurrent_probes(spark, sf_dir, nprobe: int | None):
+    """8 threads probe the one shared IVF store, each under its own FAIR
+    scheduler pool (local properties are per-Python-thread in pinned-thread
+    mode; cleared on the way out). nprobe=None probes every cell
+    (exhaustive, oracle-exact); an int prunes to that many cells (the
+    serving path, approximate)."""
     from concurrent.futures import ThreadPoolExecutor
 
     idx = _vstore(spark, sf_dir, "ivf")
@@ -1723,15 +1732,13 @@ def sim_probe_concurrent(spark, sf_dir):
         int(r[0]): [float(v) for v in r[1]]
         for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     }
-    n_cells = idx.params["n_cells"]
+    cells = idx.params["n_cells"] if nprobe is None else nprobe
 
     def probe(qid: int):
         sc = spark.sparkContext
-        # local properties are per-Python-thread (pinned-thread mode), so each
-        # concurrent probe lands in its own pool; cleared on the way out
         sc.setLocalProperty("spark.scheduler.pool", f"probe_{qid}")
         try:
-            rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=n_cells).collect()
+            rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=cells).collect()
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
         return [(qid, int(r["vec_id"]), float(r["cosine_sim"])) for r in rows]
@@ -1749,29 +1756,7 @@ def sim_probe_concurrent_pruned(spark, sf_dir):
     with partition pruning (nprobe=4 of 16 cells) — what a production
     query-many workload actually runs. Rows-only checked (pruned probes are
     approximate); the exhaustive variant above is the oracle-exact one."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    idx = _vstore(spark, sf_dir, "ivf")
-    emb = _t(spark, sf_dir)["embeddings"]
-    qvecs = {
-        int(r[0]): [float(v) for v in r[1]]
-        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
-    }
-
-    def probe(qid: int):
-        sc = spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", f"probe_{qid}")
-        try:
-            rows = vs.ivf_probe(spark, idx, qvecs[qid], k=5, nprobe=4).collect()
-        finally:
-            sc.setLocalProperty("spark.scheduler.pool", None)
-        return [(qid, int(r["vec_id"]), float(r["cosine_sim"])) for r in rows]
-
-    with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
-        rows = [r for part in ex.map(probe, sorted(qvecs)) for r in part]
-    return spark.createDataFrame(
-        rows, "query_id bigint, vec_id bigint, cosine_sim double"
-    )
+    return _run_concurrent_probes(spark, sf_dir, nprobe=4)
 
 
 @q("sim_ivf_topk")  # approximate path: rows-only check
@@ -1988,7 +1973,7 @@ def multimodal_decode_png(spark, sf_dir):
     r"""WITH b AS (
   SELECT doc_id, length(text) AS n,
          list_transform(range(1, length(text) + 1),
-                        i -> (ascii(substr(text, i, 1)) - 128.0) / 128.0) AS x
+                        i -> ((ascii(substr(text, i, 1)) % 256) - 128.0) / 128.0) AS x
   FROM documents),
 f AS (
   SELECT doc_id, n,
@@ -2028,11 +2013,13 @@ def multimodal_decode_wav(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                raw = txt.encode("utf-8", errors="replace")
+                # one byte per CHARACTER (codepoint mod 256), so the
+                # DuckDB oracle can recompute the samples with ascii() —
+                # utf-8 bytes would diverge on any non-ASCII character
+                raw = bytes(ord(c) % 256 for c in txt)
                 if did % 50 == 0:
-                    payloads.append(raw)  # poison: not a WAV
+                    payloads.append(raw or b"x")  # poison: not a WAV
                     continue
-                # text bytes AS the 8-bit unsigned PCM track, mono @ 8 kHz
                 samples = np.frombuffer(raw, "u1").reshape(-1, 1)
                 payloads.append(wav_codec.encode(samples, 8000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -2053,7 +2040,7 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
        CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE
          list_sum(list_transform(range(0, w * h * 3),
-                  i -> ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1))))
+                  i -> ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) % 256))
        END AS BIGINT) AS sum_rgb
 FROM dims""",
 )
@@ -2079,9 +2066,11 @@ def multimodal_decode_bmp(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                raw = txt.encode("utf-8", errors="replace")
+                # codepoint-mod-256 bytes: keeps the DuckDB ascii() oracle
+                # exact on non-ASCII text (see multimodal_decode_wav)
+                raw = bytes(ord(c) % 256 for c in txt)
                 if did % 40 == 0:
-                    payloads.append(raw)  # poison: not a BMP
+                    payloads.append(raw or b"x")  # poison: not a BMP
                     continue
                 w = 4 + int(did) % 13
                 h = 3 + int(did) % 7

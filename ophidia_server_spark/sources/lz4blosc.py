@@ -252,6 +252,8 @@ def blosc_decompress(frame: bytes) -> bytes:
         return frame[16 : 16 + nbytes]
 
     codec = flags >> 5
+    if blocksize == 0:
+        raise BloscError("blosc frame declares blocksize 0 with data present")
     nblocks = (nbytes + blocksize - 1) // blocksize
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
     out = bytearray()

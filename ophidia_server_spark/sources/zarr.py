@@ -101,23 +101,38 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
     )
 
 
+def compressor_meta(level: int | str | None, itemsize: int = 1) -> dict | None:
+    """.zarray compressor dict for a write option — the single source of
+    truth shared by _compress and the executor-sharded export metadata
+    (operators/io_ops.py), so codec parameters can never desynchronize
+    from the bytes actually written."""
+    if level is None:
+        return None
+    if level in ("blosc", "blosc-lz4"):
+        return {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 1 if itemsize > 1 else 0, "blocksize": 0,
+        }
+    if level == "zstd":
+        return {"id": "zstd", "level": 3}
+    return {"id": "zlib", "level": level}
+
+
 def _compress(
     raw: bytes, level: int | str | None, itemsize: int = 1
 ) -> tuple[bytes, dict | None]:
+    meta = compressor_meta(level, itemsize)
     if level is None:
         return raw, None
     if level in ("blosc", "blosc-lz4"):
         from ophidia_server_spark.sources.lz4blosc import blosc_compress
 
-        return blosc_compress(raw, itemsize), {
-            "id": "blosc", "cname": "lz4", "clevel": 5,
-            "shuffle": 1 if itemsize > 1 else 0, "blocksize": 0,
-        }
+        return blosc_compress(raw, itemsize), meta
     if level == "zstd":
         from ophidia_server_spark.sources import codecs
 
-        return codecs.zstd_compress(raw, 3), {"id": "zstd", "level": 3}
-    return zlib.compress(raw, level), {"id": "zlib", "level": level}
+        return codecs.zstd_compress(raw, 3), meta
+    return zlib.compress(raw, level), meta
 
 
 @dataclass

@@ -87,9 +87,12 @@ def test_async_execute_polls_to_completion(server):
         time.sleep(0.05)
     assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
     assert got["response"]["workflow"] == "slow"
-    # the job list carries the session's jobs (workflow-of-session shape)
-    _, lst = _req(port, "/jobs", token="tok-read")
+    # the job list carries the session's jobs (workflow-of-session shape);
+    # a non-admin token sees only its own jobs, an admin sees everyone's
+    _, lst = _req(port, "/jobs", token="tok-admin")
     assert any(j["jobid"] == jid and j["user"] == "alice" for j in lst["jobs"])
+    _, lst_bob = _req(port, "/jobs", token="tok-read")
+    assert not any(j["jobid"] == jid for j in lst_bob["jobs"])
 
 
 def test_missing_or_bad_token_is_401(server):
@@ -247,3 +250,30 @@ def test_cancel_marks_job_aborted_and_kills_job_group(server):
         assert got2["status"] == "OPH_ODB_STATUS_COMPLETED"
     finally:
         srv.stop()
+
+
+
+def test_job_endpoints_are_owner_or_admin(server):
+    # bob (read role) must not read, resubmit or cancel alice's job
+    _, port = server
+    _, out = _req(
+        port, "/execute",
+        {"name": "private", "tasks": [{"name": "ls", "operator": "oph_list"}]},
+        token="tok-admin",
+    )
+    jid = out["jobid"]
+    for path, body in ((f"/jobs/{jid}", None),
+                       (f"/jobs/{jid}?document=request", None),
+                       (f"/jobs/{jid}/resubmit", {}),
+                       (f"/jobs/{jid}/cancel", {})):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, path, body=body, token="tok-read")
+        assert e.value.code == 403, path
+    # the owner itself retains full access even without the admin bit
+    _, own = _req(
+        port, "/execute",
+        {"name": "mine", "tasks": [{"name": "ls", "operator": "oph_list"}]},
+        token="tok-read",
+    )
+    _, got = _req(port, f"/jobs/{own['jobid']}", token="tok-read")
+    assert got["status"] == "OPH_ODB_STATUS_COMPLETED"

@@ -333,14 +333,22 @@ def test_concurrent_probes_share_store(spark, tables, tmp_path):
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
-    t0 = time.perf_counter()
-    sequential = [probe(qv) for qv in qvecs]
-    t_seq = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
-        concurrent = list(ex.map(probe, qvecs))
-    t_conc = time.perf_counter() - t0
-    assert concurrent == sequential
     # sub-linear scaling: 8 concurrent probes complete faster than 8 serial
-    # ones (generous margin — this asserts overlap, not a specific speedup)
-    assert t_conc < t_seq
+    # ones. Wall-clock comparisons are inherently noisy (GC/JIT pauses,
+    # loaded CI hosts), so retry the measurement a few times and require the
+    # overlap to show up in at least one round — equality of RESULTS is
+    # asserted on every round regardless.
+    overlapped = False
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sequential = [probe(qv) for qv in qvecs]
+        t_seq = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(qvecs)) as ex:
+            concurrent = list(ex.map(probe, qvecs))
+        t_conc = time.perf_counter() - t0
+        assert concurrent == sequential
+        if t_conc < t_seq:
+            overlapped = True
+            break
+    assert overlapped, f"no overlap in 3 rounds (last: conc={t_conc:.2f}s seq={t_seq:.2f}s)"
