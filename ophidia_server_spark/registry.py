@@ -1891,6 +1891,54 @@ def events_cohort_retention(spark, sf_dir):
 
 
 @q(
+    "events_rolling_anomaly",
+    """WITH w AS (
+  SELECT user_id, ts, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                          ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                                  ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS sd,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                        ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS n_prior
+  FROM events)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(value, 4) AS value,
+       ROUND((value - mu) / sd, 4) AS zscore
+FROM w
+WHERE n_prior >= 10 AND sd > 0 AND abs((value - mu) / sd) > 3""",
+)
+def events_rolling_anomaly(spark, sf_dir):
+    """Rolling anomaly detection: events whose value deviates more than 3
+    sample-stddevs from the user's trailing-window mean (the window excludes
+    the current row, so an outlier can't mask itself). One user-keyed window
+    shuffle; at scale the per-user frame is O(window), not O(history)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(-19, -1)
+    )
+    ev = _t(spark, sf_dir)["events"]
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+            F.count("*").over(w).alias("__n"),
+            sd.alias("__sd"),
+            z.alias("__z"),
+        )
+        .filter((F.col("__n") >= 10) & (F.col("__sd") > 0) & (F.abs("__z") > 3))
+        .drop("__n", "__sd", "__z")
+    )
+
+
+@q(
     "events_user_topk",
     """SELECT user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5""",
