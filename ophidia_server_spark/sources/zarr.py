@@ -28,9 +28,11 @@ array nodes, regular chunk grids, default ("c/"-prefixed) and v2 chunk-key
 encodings, dimension_names, and the codec chains bytes(endian) / gzip / zstd
 / blosc / crc32c / transpose — both read (incl. the one-task-per-chunk Spark
 import) and write (`zarr_format=3`).  Sharded (sharding_indexed) arrays
-read too: each shard's binary (offset, nbytes) index is parsed (crc32c
-verified, start/end locations) and inner chunks decode through their own
-codec chain, missing entries filling with fill_value.
+round-trip: reads parse each shard's binary (offset, nbytes) index (crc32c
+verified, start/end locations) and decode inner chunks through their own
+codec chain, missing entries filling with fill_value; writes
+(`shard_inner={name: inner_shape}`) pack many inner chunks per shard
+object — the object-count knob for 100 TB object stores.
 
 API mirrors sources/netcdf3.py (read(path) -> Dataset, write(path, ds)); the
 Spark side decodes chunk PARALLEL per file-list task exactly like the NetCDF
@@ -536,7 +538,8 @@ def read(path: str) -> Dataset:
 
 
 def write(path: str, ds: Dataset, chunks: dict | None = None,
-          compress: int | str | None = 4, zarr_format: int = 2) -> None:
+          compress: int | str | None = 4, zarr_format: int = 2,
+          shard_inner: dict | None = None) -> None:
     """Write the Dataset as a Zarr group store.
     `chunks` maps variable name -> chunk shape (defaults to one chunk per
     ~first-dimension slab bounded at 1024 rows). `compress` is a zlib level,
@@ -546,7 +549,7 @@ def write(path: str, ds: Dataset, chunks: dict | None = None,
     bytes+compressor codec chain, `c/`-prefixed chunk keys and
     dimension_names (the zarr-python 3 layout)."""
     if zarr_format == 3:
-        return _write_v3(path, ds, chunks, compress)
+        return _write_v3(path, ds, chunks, compress, shard_inner)
     if zarr_format != 2:
         raise ZarrError(f"zarr_format {zarr_format} unsupported (2 or 3)")
     os.makedirs(path, exist_ok=True)
@@ -643,10 +646,47 @@ def _v3_compress(raw: bytes, compress, itemsize: int) -> tuple[bytes, list]:
     ]
 
 
+def _encode_shard(
+    piece: np.ndarray, inner: tuple, compress, itemsize: int
+) -> tuple[bytes, list]:
+    """Encode one shard object: inner chunks through the bytes+compressor
+    chain, concatenated, followed by the (offset, nbytes) u64-LE index with
+    its crc32c — the `sharding_indexed` on-disk layout the reader parses."""
+    import itertools
+    import struct
+
+    grid = [o // i for o, i in zip(piece.shape, inner)]
+    body = b""
+    entries = []
+    inner_metas: list = []
+    for idx in itertools.product(*[range(g) for g in grid]):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, inner))
+        enc, inner_metas = _v3_compress(
+            np.ascontiguousarray(piece[sel]).tobytes(), compress, itemsize
+        )
+        entries.append((len(body), len(enc)))
+        body += enc
+    index = b"".join(struct.pack("<QQ", o, nb) for o, nb in entries)
+    index += _crc32c(index).to_bytes(4, "little")
+    conf = {
+        "chunk_shape": list(inner),
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]
+        + inner_metas,
+        "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        "index_location": "end",
+    }
+    return body + index, [{"name": "sharding_indexed", "configuration": conf}]
+
+
 def _write_v3(path: str, ds: Dataset, chunks: dict | None,
-              compress: int | str | None) -> None:
+              compress: int | str | None,
+              shard_inner: dict | None = None) -> None:
     """Zarr v3 writer: zarr.json per node, regular chunk grid, default
-    ("c/"-prefixed) chunk keys, bytes(little) + compressor codec chain."""
+    ("c/"-prefixed) chunk keys, bytes(little) + compressor codec chain.
+    `shard_inner` maps variable name -> inner chunk shape: that variable's
+    chunks become SHARDS (sharding_indexed codec) holding many inner chunks
+    per object — the 100 TB object-store knob (a billion-chunk array stays
+    a million objects while reads still address inner chunks)."""
     import itertools
 
     os.makedirs(path, exist_ok=True)
@@ -665,6 +705,12 @@ def _write_v3(path: str, ds: Dataset, chunks: dict | None,
             or [max(1, min(s, 1024)) if i == 0 else max(1, s)
                 for i, s in enumerate(arr.shape)]
         ) or arr.shape
+        inner = tuple((shard_inner or {}).get(name) or ())
+        if inner:
+            if len(inner) != len(cshape) or any(c % i for c, i in zip(cshape, inner)):
+                raise ZarrError(
+                    f"shard inner shape {inner} must divide the chunk shape {cshape}"
+                )
         nchunks = [(s + c - 1) // c for s, c in zip(arr.shape, cshape)] or [1]
         codec_metas: list = []
         for idx in itertools.product(*[range(n) for n in nchunks]):
@@ -676,9 +722,14 @@ def _write_v3(path: str, ds: Dataset, chunks: dict | None,
             if arr.shape:
                 src = arr[sel]
                 piece[tuple(slice(0, x.stop - x.start) for x in sel)] = src
-            payload, codec_metas = _v3_compress(
-                piece.tobytes(), compress, arr.dtype.itemsize
-            )
+            if inner:
+                payload, codec_metas = _encode_shard(
+                    piece, inner, compress, arr.dtype.itemsize
+                )
+            else:
+                payload, codec_metas = _v3_compress(
+                    piece.tobytes(), compress, arr.dtype.itemsize
+                )
             rel = "/".join(["c"] + [str(i) for i in (idx if arr.shape else ())])
             cpath = os.path.join(adir, rel)
             os.makedirs(os.path.dirname(cpath), exist_ok=True)
@@ -697,8 +748,13 @@ def _write_v3(path: str, ds: Dataset, chunks: dict | None,
                 "name": "default", "configuration": {"separator": "/"},
             },
             "fill_value": "NaN" if arr.dtype.kind == "f" else 0,
-            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]
-            + codec_metas,
+            # sharded arrays carry ONLY the sharding codec at the top level
+            # (the bytes+compressor chain lives inside its configuration)
+            "codecs": (
+                codec_metas if inner
+                else [{"name": "bytes", "configuration": {"endian": "little"}}]
+                + codec_metas
+            ),
             "attributes": _json_safe(dict(v.attributes)),
             "dimension_names": list(v.dimensions),
         }

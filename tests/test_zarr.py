@@ -693,3 +693,35 @@ def test_v3_sharded_array_reads(tmp_path):
     assert np.array_equal(got[:, :4], data[:, :4])
     assert np.array_equal(got[:4, 4:], data[:4, 4:])
     assert np.isnan(got[4:, 4:]).all()  # the missing inner chunk = fill
+
+
+def test_v3_sharded_write_read_roundtrip(tmp_path):
+    # write sharded (2 shards of 4x6, inner 2x3 -> 4 inner chunks each),
+    # read back through the shard-index decoder; the store holds 2 chunk
+    # objects, not 8 (the object-count knob at scale)
+    ds = Dataset(
+        dimensions={"y": 8, "x": 6},
+        variables={
+            "v": Variable("v", ("y", "x"), {"u": "K"},
+                          np.arange(48, dtype="<f8").reshape(8, 6)),
+        },
+        attributes={},
+    )
+    p = str(tmp_path / "sharded")
+    zr.write(p, ds, chunks={"v": (4, 6)}, compress="zstd", zarr_format=3,
+             shard_inner={"v": (2, 3)})
+    meta = json.load(open(os.path.join(p, "v", "zarr.json")))
+    assert meta["codecs"][0]["name"] == "sharding_indexed"
+    assert meta["codecs"][0]["configuration"]["chunk_shape"] == [2, 3]
+    files = []
+    for root, _dirs, fs in os.walk(os.path.join(p, "v", "c")):
+        files += [os.path.join(root, f) for f in fs]
+    assert len(files) == 2  # shards, not inner chunks
+    back = zr.read(p)
+    assert np.array_equal(back.variables["v"].data,
+                          np.arange(48, dtype="<f8").reshape(8, 6))
+    assert back.variables["v"].attributes["u"] == "K"
+    # a non-dividing inner shape is a named error
+    with pytest.raises(zr.ZarrError, match="divide"):
+        zr.write(str(tmp_path / "bad"), ds, chunks={"v": (4, 6)},
+                 zarr_format=3, shard_inner={"v": (3, 3)})
