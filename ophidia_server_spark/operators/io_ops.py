@@ -399,6 +399,7 @@ def oph_importzarr(
 def oph_exportzarr(
     cube: Cube, store: str, compress: int | str | None = 4,
     per_dim_chunks: bool = False, zarr_format: int = 2,
+    shard_inner: dict | None = None,
 ) -> str:
     """Cube -> Zarr v2 store with consolidated metadata.
 
@@ -417,7 +418,8 @@ def oph_exportzarr(
         pdf = long_df.toPandas()
         ds = netcdf3.Dataset()
         _fill_grid_dataset(ds, pdf, dims, measure)
-        zr.write(store, ds, compress=compress, zarr_format=zarr_format)
+        zr.write(store, ds, compress=compress, zarr_format=zarr_format,
+                 shard_inner=shard_inner)
         return store
 
     if zarr_format != 2:

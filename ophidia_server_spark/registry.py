@@ -1104,6 +1104,46 @@ def io_zarr_v3_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_zarr_v3_sharded_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_zarr_v3_sharded_roundtrip(spark, sf_dir):
+    """Zarr v3 SHARDED roundtrip: the export packs inner chunks into shard
+    objects (sharding_indexed: per-shard binary index + crc32c, zstd inner
+    chain) and the one-task-per-chunk import decodes each shard through the
+    shard-index reader — the object-count-bounded layout a 100 TB cloud
+    store needs, hash-verified against SQL over the parquet source."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/ophidia_zarr_v3s_{tag}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    io_ops.oph_exportzarr(
+        cube, store, compress="zstd", zarr_format=3,
+        shard_inner={"qty": (1, 6)},
+    )
+    c2 = io_ops.oph_importzarr(spark, store, "qty", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.round(F.col("qty"), 2).cast("double").alias("qty"),
+        )
+    )
+
+
+@q(
     "io_zarr_subset_import",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(month(l_shipdate) AS BIGINT) AS month,
