@@ -725,3 +725,29 @@ def test_v3_sharded_write_read_roundtrip(tmp_path):
     with pytest.raises(zr.ZarrError, match="divide"):
         zr.write(str(tmp_path / "bad"), ds, chunks={"v": (4, 6)},
                  zarr_format=3, shard_inner={"v": (3, 3)})
+
+
+def test_spark_import_v3_sharded_store(spark, tmp_path):
+    # the one-task-per-chunk import path decodes shard objects too (each
+    # task parses its shard's index and inner chunks)
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import io_ops
+
+    df = spark.createDataFrame(
+        [(float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(6)],
+        "lat double, time double, tas double",
+    )
+    cube = build_cube(df, ["lat"], "time", F.col("tas"), measure="tas")
+    store = str(tmp_path / "v3shard")
+    io_ops.oph_exportzarr(
+        cube, store, compress="zstd", zarr_format=3, shard_inner={"tas": (2, 3)}
+    )
+    meta = json.load(open(os.path.join(store, "tas", "zarr.json")))
+    assert meta["codecs"][0]["name"] == "sharding_indexed"
+    back = io_ops.oph_importzarr(spark, store, "tas", ["lat"], "time")
+    rows = {(r["lat"], r["time"], r["tas"]) for r in back.long().collect()}
+    assert rows == {
+        (float(g), float(x), float(g * 100 + x)) for g in range(4) for x in range(6)
+    }
