@@ -178,9 +178,21 @@ class EngineHttpServer:
                 if path != "/execute":
                     self._send(404, {"error": f"no such endpoint {self.path}"})
                     return
+                if "Content-Length" not in self.headers:
+                    # Chunked or absent bodies would otherwise silently run
+                    # an empty {} workflow; demand a sized body instead.
+                    self._send(411, {"error": "Content-Length required on /execute"})
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    wf = json.loads(self.rfile.read(n) or b"{}")
+                    n = int(self.headers["Content-Length"])
+                except ValueError:
+                    self._send(400, {"error": "bad Content-Length"})
+                    return
+                if n <= 0:
+                    self._send(400, {"error": "empty body on /execute"})
+                    return
+                try:
+                    wf = json.loads(self.rfile.read(n))
                 except Exception as exc:
                     self._send(400, {"error": f"bad request body: {exc}"})
                     return

@@ -189,7 +189,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
@@ -222,9 +222,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -265,7 +265,7 @@ def orders_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -3892,8 +3892,8 @@ def tpch_q7(spark, sf_dir):
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -3929,7 +3929,7 @@ def tpch_q10(spark, sf_dir):
             t["orders"].filter(F.year("o_orderdate") == 1997),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -3955,7 +3955,7 @@ def tpch_q14(spark, sf_dir):
     j = (
         t["lineitem"]
         .filter((F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 9))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     rev = _rev_col()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
@@ -4096,7 +4096,7 @@ def tpch_q9(spark, sf_dir):
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(_ps(t), (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
     )
@@ -4299,11 +4299,11 @@ def tpch_q8(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
               F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
     national = F.when(F.col("supp_nation") == "NATION_13", rev).otherwise(
@@ -4452,7 +4452,7 @@ def tpch_q18(spark, sf_dir):
     )
     return (
         big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -4485,7 +4485,7 @@ def tpch_q19(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(p)
         .agg(
             F.sum(_rev_col()).cast("double").alias("revenue"),
@@ -4525,7 +4525,7 @@ def tpch_q21(spark, sf_dir):
         .filter(F.col("ns") == 1)
     )
     return (
-        os_.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("only_supp"))
+        os_.join(t["supplier"], F.col("s_suppkey") == F.col("only_supp"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

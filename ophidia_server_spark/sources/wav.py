@@ -74,11 +74,14 @@ def encode(samples: np.ndarray, sample_rate: int) -> bytes:
     elif arr.dtype == np.int16:
         audio_format, bits = 1, 16
         payload = arr.astype("<i2").tobytes()
+    elif arr.dtype == np.int32:
+        audio_format, bits = 1, 32
+        payload = arr.astype("<i4").tobytes()
     elif arr.dtype == np.float32:
         audio_format, bits = 3, 32
         payload = arr.astype("<f4").tobytes()
     else:
-        raise WavError(f"encode supports int16/float32, got {arr.dtype}")
+        raise WavError(f"encode supports uint8/int16/int32/float32, got {arr.dtype}")
     n_channels = arr.shape[1]
     block_align = n_channels * bits // 8
     fmt = struct.pack(

@@ -264,6 +264,23 @@ def _decode_shard(raw: bytes, za: ZArray, conf: dict) -> np.ndarray:
     index_codecs = tuple(
         conf.get("index_codecs") or ({"name": "bytes"}, {"name": "crc32c"})
     )
+    # The 16*n(+4) layout below assumes a raw little-endian index: any other
+    # index codec (e.g. zstd-compressed index) would be misparsed into garbage
+    # offsets, so reject it by name rather than decode wrong data.
+    unsupported_idx = [
+        c.get("name") for c in index_codecs if c.get("name") not in ("bytes", "crc32c")
+    ]
+    if unsupported_idx:
+        raise ZarrError(
+            f"unsupported shard index codec(s) {unsupported_idx}: "
+            "only 'bytes' (little-endian) and 'crc32c' are implemented"
+        )
+    for c in index_codecs:
+        if (
+            c.get("name") == "bytes"
+            and c.get("configuration", {}).get("endian", "little") != "little"
+        ):
+            raise ZarrError("big-endian shard index is not implemented")
     if any(len(inner) and o % i for o, i in zip(za.chunks, inner)):
         raise ZarrError(
             f"shard inner chunk shape {inner} does not divide the shard shape {za.chunks}"

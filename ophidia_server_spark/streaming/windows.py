@@ -577,7 +577,15 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
     one distinct on (user, period) — both shuffles keyed by user_id so AQE
     can co-locate the join — then a count-distinct per (cohort, offset)
     cell. Periods are truncated timestamps, so the offset arithmetic is
-    exact integer division of the epoch difference."""
+    exact integer division of the epoch difference — which is also why only
+    fixed-length units are accepted: a 'month' is not a constant number of
+    seconds, so it can't be supported by this offset arithmetic."""
+    spans = {"day": 86400, "week": 604800, "hour": 3600}
+    if unit not in spans:
+        raise ValueError(
+            f"cohort_retention unit must be one of {sorted(spans)} "
+            f"(fixed-length periods only), got {unit!r}"
+        )
     ts = F.col("ts").cast("timestamp")
     first = df.groupBy("user_id").agg(
         F.date_trunc(unit, F.min(ts)).alias("__cohort")
@@ -585,7 +593,7 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
     active = df.select(
         "user_id", F.date_trunc(unit, ts).alias("__period")
     ).distinct()
-    span = {"week": 604800, "day": 86400}[unit]
+    span = spans[unit]
     return (
         active.join(first, "user_id")
         .groupBy(

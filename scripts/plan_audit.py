@@ -35,8 +35,12 @@ def audit_plan(df) -> dict:
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "cartesian": plan.count("CartesianProduct") + plan.count("BroadcastNestedLoop"),
-        "shuffles": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning"),
+        # Formatted explain splits the operator line ("(N) Exchange") from its
+        # "Arguments: hashpartitioning(...)" line, so count the partitioning
+        # expressions themselves (broadcast exchanges say "Arguments:
+        # IdentityBroadcastMode"/"HashedRelationBroadcastMode" and don't match).
+        "shuffles": plan.count("hashpartitioning(")
+        + plan.count("rangepartitioning("),
         "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "python": plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
         "final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
