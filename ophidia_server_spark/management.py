@@ -422,13 +422,39 @@ class ManagementService:
 
 # -- operator registry docs (oph_man / operators_list) -----------------------
 
+def _descriptor_args(name: str) -> list[dict] | None:
+    """Typed parameter table from the submit-time validation descriptor —
+    docs and validation share one source of truth, like the reference
+    serving its operator XMLs (OPH_SERVER_XML_EXT_PATH, oph_gather.h:184)."""
+    from ophidia_server_spark.plans.descriptors import DESCRIPTORS
+
+    desc = DESCRIPTORS.get(name)
+    if desc is None:
+        return None
+    return [
+        {
+            "name": a.name, "type": a.type,
+            "mandatory": "yes" if a.mandatory else "no",
+            **({"default": a.default} if a.default is not None else {}),
+            **({"minvalue": a.minvalue} if a.minvalue is not None else {}),
+            **({"maxvalue": a.maxvalue} if a.maxvalue is not None else {}),
+            **({"values": "|".join(a.values)} if a.values else {}),
+            **({"multivalue": "yes"} if a.multivalue else {}),
+            **({"allownot": "yes"} if a.allownot else {}),
+        }
+        for a in desc.args
+    ]
+
+
 def operators_list() -> list[dict]:
     """oph_operators_list (oph_json_objkeys.h:70-71): enumerate the engine's
-    operator registry with one-line docs, from the implementing modules."""
+    operator registry with one-line docs, from the implementing modules,
+    plus every operator with a validation descriptor."""
     from ophidia_server_spark.operators import cube_ops, io_ops
     from ophidia_server_spark.pipeline import dedup, similarity, text
+    from ophidia_server_spark.plans.descriptors import DESCRIPTORS
 
-    out = []
+    out = {}
     for mod, kind in (
         (cube_ops, "datacube"), (io_ops, "io"),
         (dedup, "pipeline"), (similarity, "pipeline"), (text, "pipeline"),
@@ -438,18 +464,24 @@ def operators_list() -> list[dict]:
             if callable(fn) and (name.startswith("oph_") or kind == "pipeline") and fn.__doc__:
                 if name.startswith("_"):
                     continue
-                out.append(
-                    {"operator": name, "kind": kind,
-                     "doc": fn.__doc__.strip().splitlines()[0]}
-                )
-    return sorted(out, key=lambda d: d["operator"])
+                out[name] = {"operator": name, "kind": kind,
+                             "doc": fn.__doc__.strip().splitlines()[0]}
+    for name, desc in DESCRIPTORS.items():
+        entry = out.setdefault(
+            name,
+            {"operator": name, "kind": "workflow", "doc": desc.abstract},
+        )
+        entry["permission"] = desc.permission
+    return sorted(out.values(), key=lambda d: d["operator"])
 
 
 def oph_man(operator: str) -> dict:
-    """oph_man (oph_json_objkeys.h:64-67): full docstring for one operator."""
+    """oph_man (oph_json_objkeys.h:64-67): full docstring plus the typed
+    parameter table (descriptor-driven, same table validation enforces)."""
     for entry in operators_list():
         if entry["operator"] == operator:
-            import importlib
-
+            args = _descriptor_args(operator)
+            if args is not None:
+                entry = {**entry, "args": args}
             return entry
     raise KeyError(operator)

@@ -118,9 +118,10 @@ def _strtod(text: str) -> float:
     return float(m.group()) if m else 0.0
 
 
-def _check_one(op: str, spec: ParamSpec, key: str, raw: str) -> str:
-    """Validate a single (possibly negated) key's raw string value; returns
-    the possibly-rewritten value (min==max constant forcing)."""
+def _check_one(op: str, spec: ParamSpec, key: str, raw):
+    """Validate a single (possibly negated) key's value (checked through its
+    string form); returns the value unchanged — preserving non-string request
+    objects like JSON maps — except for the min==max constant forcing."""
     text = str(raw)
     if spec.type == "int":
         n = _strtol(text)
@@ -152,7 +153,7 @@ def _check_one(op: str, spec: ParamSpec, key: str, raw: str) -> str:
                     op, key,
                     f"value {e!r} not in allowed set {'|'.join(spec.values)}",
                 )
-    return text
+    return raw
 
 
 def validate_params(
@@ -188,6 +189,58 @@ def validate_params(
                     out[key] = spec.default
             # missing negated key: simply absent (no default)
     return out
+
+
+# @var / @{var} value refs, &i loop indexes, $N positional args
+_PLACEHOLDER_RE = re.compile(r"[@&$]\{?\w")
+
+
+def validate_task(
+    operator: str,
+    args: dict,
+    strict: bool = True,
+    allow_placeholders: bool = False,
+) -> dict | None:
+    """Validate one task's arguments against its operator descriptor.
+
+    Returns the validated dict, or None when the operator has no descriptor
+    (extension operators registered without one are dispatched unchecked,
+    like the reference skipping operators without an XML).
+
+    allow_placeholders=True is the submit-time (pre-substitution) mode: a
+    value still containing a workflow variable reference (@var / &i) can't
+    be range- or enum-checked yet, so only key-level checks (unknown key,
+    missing mandatory) apply to it; the dispatch-time pass re-validates the
+    substituted value.
+    """
+    desc = DESCRIPTORS.get(operator)
+    if desc is None:
+        return None
+    held_back: dict[str, str] = {}
+    if allow_placeholders:
+        held_back = {
+            k: v for k, v in args.items()
+            if isinstance(v, str) and _PLACEHOLDER_RE.search(v)
+        }
+        if held_back:
+            # value checks can't run on unsubstituted values; swap each
+            # placeholder for its spec's default (or a type-neutral probe)
+            # so only key-level checks apply, then restore the raw value.
+            probe = dict(args)
+            for k in held_back:
+                spec = desc.by_name.get(k.rstrip("!"))
+                if spec is None:
+                    continue  # unknown key: leave it for the strict check
+                if spec.values:
+                    probe[k] = spec.values[0]
+                elif spec.type in ("int", "real"):
+                    probe[k] = spec.minvalue if spec.minvalue is not None else "0"
+                else:
+                    probe[k] = ""
+            out = validate_params(desc, probe, strict=strict)
+            out.update(held_back)
+            return out
+    return validate_params(desc, args, strict=strict)
 
 
 # -- descriptor registry -----------------------------------------------------
@@ -363,11 +416,14 @@ _d("oph_massive", "Massive filter over the cube catalog / filesystem.",
    _p("run", default="yes", values=YN),
    _p("depth", type="int", default="0", minvalue=0))
 
-# ---- engine data operators: specs authored for this engine's parameter
-# ---- surface (plans/server.py op_* closures); same DTD grammar.
+# ---- engine data operators: specs authored for this engine's actual
+# ---- parameter surface (plans/server.py op_* closures); same DTD grammar.
+# ---- Params whose value can arrive from a dependency (cube via inputs) or
+# ---- a massive expansion (src_path/measure under convention=cmip5) are
+# ---- optional here: the operator enforces presence after resolution.
 
 _CONTAINER = _p("container", default="default", doc="output container")
-_CUBE = _p("cube", default=None, doc="input cube PID (or from dependency)")
+_CUBE = _p("cube", doc="input cube PID; defaults to the dependency's output")
 
 _d("oph_importcsv", "Import a CSV into a new datacube.",
    _p("src_path", mandatory=True),
@@ -383,19 +439,20 @@ _d("oph_importparquet", "Import a Parquet table into a new datacube.",
    _p("measure", mandatory=True), _CONTAINER, permission="write")
 
 _d("oph_importnc", "Import a NetCDF variable into a new datacube.",
-   _p("src_path", mandatory=True),
-   _p("measure", mandatory=True),
-   _p("imp_dim"),
-   _p("subset_dims", default="none", multivalue=True),
-   _p("subset_filter", default="all", multivalue=True),
-   _p("subset_type", default="index", values=("index", "coord")),
-   _p("exp_dim", default="auto", multivalue=True),
+   _p("src_path", mandatory=True, multivalue=True),
+   _p("measure", doc="set by cmip5 file-massive expansion when omitted"),
+   _p("explicit_dims", multivalue=True),
+   _p("implicit_dim", mandatory=True),
+   _p("subset_dims", multivalue=True),
+   _p("subset_filter", multivalue=True),
+   _p("subset_type", default="coord", values=("index", "coord")),
    _CONTAINER, permission="write")
 
-_d("oph_exportnc", "Export a datacube to a NetCDF file.",
+_d("oph_exportnc", "Export a datacube to NetCDF file(s).",
    _CUBE, _p("output_path", mandatory=True),
-   _p("format", default="classic", values=("classic", "nc4")),
-   _p("deflate", type="int", default="0", minvalue=0, maxvalue=9),
+   _p("per_dim_files", default="no", values=YN),
+   _p("nc_format", default="classic", values=("classic", "nc4")),
+   _p("compress", type="int", minvalue=1, maxvalue=9),
    permission="write")
 
 _d("oph_explorenc", "Inspect a NetCDF file (header + stats).",
@@ -403,12 +460,16 @@ _d("oph_explorenc", "Inspect a NetCDF file (header + stats).",
 
 _d("oph_importzarr", "Import a Zarr array into a new datacube.",
    _p("src_path", mandatory=True), _p("measure", mandatory=True),
-   _p("exp_dim", default="auto", multivalue=True), _CONTAINER,
-   permission="write")
+   _p("explicit_dims", multivalue=True),
+   _p("implicit_dim", mandatory=True),
+   _p("subset_dims", multivalue=True),
+   _p("subset_filter", multivalue=True),
+   _p("subset_type", default="coord", values=("index", "coord")),
+   _CONTAINER, permission="write")
 
 _d("oph_exportzarr", "Export a datacube to a Zarr store.",
    _CUBE, _p("output_path", mandatory=True),
-   _p("compress", type="int", default=None, minvalue=1, maxvalue=9),
+   _p("compress", type="int", minvalue=1, maxvalue=9),
    _p("per_dim_chunks", default="no", values=YN), permission="write")
 
 _d("oph_randcube", "Create a random datacube.",
@@ -425,26 +486,28 @@ _d("oph_subset", "Subset a cube along dimensions (index/coord filters).",
    _CONTAINER)
 
 _REDUCE_OPS = ("avg", "sum", "min", "max", "std", "var", "count")
+_TIME_LEVELS = ("hour", "day", "week", "month", "quarter", "season", "year")
 
 _d("oph_reduce", "Reduce the implicit dimension with an aggregate.",
    _CUBE, _p("operation", default="avg", values=_REDUCE_OPS), _CONTAINER)
 
-_d("oph_reduce2", "Grouped reduction of the implicit dimension.",
+_d("oph_reduce2", "Grouped reduction of the implicit dimension by concept level.",
    _CUBE, _p("operation", default="avg", values=_REDUCE_OPS),
-   _p("dim", mandatory=True),
-   _p("concept_level", default="A"),
+   _p("concept_level", default="month", values=_TIME_LEVELS),
    _CONTAINER)
 
 _d("oph_aggregate", "Aggregate over explicit dimensions.",
-   _CUBE, _p("operation", default="avg", values=_REDUCE_OPS),
-   _p("group_dims", default=""), _CONTAINER)
+   _CUBE, _p("operation", default="sum", values=_REDUCE_OPS),
+   _p("group_dims", multivalue=True), _CONTAINER)
 
-_d("oph_aggregate2", "Grouped aggregation over an explicit dimension.",
-   _CUBE, _p("operation", default="avg", values=_REDUCE_OPS),
-   _p("dim", mandatory=True), _p("concept_level", default="A"), _CONTAINER)
+_d("oph_aggregate2", "Grouped aggregation over an explicit time dimension.",
+   _CUBE, _p("operation", default="sum", values=_REDUCE_OPS),
+   _p("dim", mandatory=True),
+   _p("concept_level", default="month", values=_TIME_LEVELS), _CONTAINER)
 
 _d("oph_intercube", "Element-wise operation between two cubes.",
-   _p("cube", default=None), _p("cube2", default=None),
+   _p("cubes", multivalue=True,
+      doc="two PIDs; default: the task's two dependencies"),
    _p("operation", default="sub",
       values=("sum", "sub", "mul", "div", "abs", "arg", "corr", "mask")),
    _CONTAINER)
@@ -453,16 +516,19 @@ _d("oph_rollup", "Move an explicit dimension into the array.",
    _CUBE, _p("dim", mandatory=True), _CONTAINER)
 
 _d("oph_drilldown", "Move an implicit level out to an explicit dimension.",
-   _CUBE, _CONTAINER)
+   _CUBE, _p("limit", type="int", default="1000", minvalue=1))
 
 _d("oph_permute", "Reorder the implicit dimensions.",
    _CUBE, _p("dim_order", mandatory=True, multivalue=True), _CONTAINER)
 
 _d("oph_mergecubes", "Merge cubes along a new dimension.",
-   _p("cubes", mandatory=True, multivalue=True), _CONTAINER)
+   _p("cubes", multivalue=True,
+      doc="PIDs to merge; default: the task's dependencies"),
+   _CONTAINER)
 
 _d("oph_apply", "Apply an array primitive to each cell array.",
-   _CUBE, _p("query", default="oph_mul_scalar"), _CONTAINER)
+   _CUBE, _p("query", default="oph_mul_scalar"),
+   _p("parameters", multivalue=True), _CONTAINER)
 
 _d("oph_duplicate", "Duplicate a datacube.", _CUBE, _CONTAINER,
    permission="write")
@@ -471,8 +537,8 @@ _d("oph_delete", "Delete a datacube.", _CUBE, permission="write")
 _d("oph_metadata", "Read/write cube metadata.",
    _CUBE,
    _p("mode", default="read", values=("read", "insert", "update", "delete")),
-   _p("metadata_key", default="all", multivalue=True),
-   _p("metadata_value", default=None))
+   _p("metadata_key", multivalue=True),
+   _p("metadata_value"))
 
 _d("oph_cubeschema", "Show the schema of a datacube.", _CUBE)
 _d("oph_explorecube", "Preview the content of a datacube.",
@@ -482,41 +548,50 @@ _d("oph_exportcsv", "Export a datacube to CSV.",
    _CUBE, _p("output_path", mandatory=True), permission="write")
 
 _d("oph_publish", "Publish cube content as HTML/files.",
-   _CUBE, _p("publish_dir", mandatory=True), _p("name", default=None),
+   _CUBE, _p("publish_dir", mandatory=True), _p("name"),
+   _p("limit", type="int", default="1000", minvalue=1),
    permission="write")
 _d("oph_unpublish", "Remove published cube files.",
    _p("publish_dir", mandatory=True), _p("name", mandatory=True),
    permission="write")
 
-_d("oph_fs", "Browse the virtual file system.",
-   _p("command", default="ls", values=("ls", "cd", "mkdir", "rm", "mv")),
-   _p("dpath", default="-"),
-   _p("file", default="-"),
-   _p("recursive", default="no", values=YN),
-   _p("depth", type="int", default="0", minvalue=0))
+_d("oph_fs", "Browse the engine file system (ls with filters).",
+   _p("path", mandatory=True),
+   _p("file", doc="regex file filter"),
+   _p("recursive", default="no", values=YN))
 
-# ---- LLM-pipeline operators exposed through the workflow facade
+# ---- LLM-pipeline operators exposed through the workflow facade.
+# ---- src_path is optional everywhere: it defaults to the dependency's
+# ---- output path (corpus stages chain by path like cubes chain by PID).
 
-_d("pipeline_dedup_exact", "Exact near-duplicate removal (hash groups).",
-   _p("src_path", mandatory=True), _p("keep", default="first"))
+_SRC = _p("src_path")
+_OUT = _p("output_path", mandatory=True)
+_TEXTCOL = _p("text_col", default="text")
+
+_d("pipeline_dedup_exact", "Exact duplicate removal (hash groups).",
+   _SRC, _OUT, _TEXTCOL)
 _d("pipeline_quality_filter", "Heuristic text-quality filter.",
-   _p("src_path", mandatory=True),
-   _p("min_len", type="int", default="1", minvalue=0),
-   _p("max_len", type="int", default="1000000", minvalue=1))
+   _SRC, _OUT, _TEXTCOL,
+   _p("min_quality", type="real", default="0.5", minvalue=0, maxvalue=1))
 _d("pipeline_redact_pii", "Regex PII scrubbing over a text column.",
-   _p("src_path", mandatory=True))
+   _SRC, _OUT, _TEXTCOL)
 _d("pipeline_minhash_pairs", "MinHash+LSH near-duplicate candidate pairs.",
-   _p("src_path", mandatory=True),
-   _p("n_hashes", type="int", default="32", minvalue=4, maxvalue=512),
-   _p("bands", type="int", default="8", minvalue=1, maxvalue=128),
-   _p("threshold", type="real", default="0.8", minvalue=0, maxvalue=1))
+   _SRC, _OUT, _TEXTCOL,
+   _p("threshold", type="real", default="0.5", minvalue=0, maxvalue=1))
 _d("pipeline_chunk", "Split documents into token-bounded chunks.",
-   _p("src_path", mandatory=True),
-   _p("chunk_tokens", type="int", default="512", minvalue=1))
-_d("pipeline_decontaminate", "Remove docs overlapping a probe set.",
-   _p("src_path", mandatory=True), _p("probe_path", mandatory=True),
-   _p("ngram", type="int", default="8", minvalue=1, maxvalue=64))
-_d("pipeline_sample", "Deterministic Bernoulli/stratified sampling.",
-   _p("src_path", mandatory=True),
-   _p("fraction", type="real", default="0.1", minvalue=0, maxvalue=1),
-   _p("by", default=None))
+   _SRC, _OUT, _TEXTCOL,
+   _p("chunk_tokens", type="int", default="64", minvalue=1),
+   _p("overlap_tokens", type="int", default="16", minvalue=0))
+_d("pipeline_decontaminate", "Remove docs overlapping an eval probe set.",
+   _SRC, _OUT, _TEXTCOL, _p("probe_path", mandatory=True))
+_d("pipeline_sample", "Deterministic Bernoulli/stratified/split sampling.",
+   _SRC, _OUT,
+   _p("mode", default="bernoulli", values=("bernoulli", "stratified", "split")),
+   _p("frac", type="real", minvalue=0, maxvalue=1),
+   _p("fracs", doc="per-stratum fraction map (JSON object)"),
+   _p("default_frac", type="real", default="0", minvalue=0, maxvalue=1),
+   _p("val_frac", type="real", default="0.1", minvalue=0, maxvalue=1),
+   _p("test_frac", type="real", default="0.1", minvalue=0, maxvalue=1),
+   _p("strata_col", default="source"),
+   _p("key_col", default="doc_id"),
+   _p("salt"))

@@ -196,6 +196,26 @@ class EngineHttpServer:
                 except Exception as exc:
                     self._send(400, {"error": f"bad request body: {exc}"})
                     return
+                # submit-time parameter validation (reference rejects before
+                # dispatch: oph_tp_task_params_parser). Values still holding
+                # workflow-variable placeholders are re-checked at dispatch.
+                from ophidia_server_spark.plans.descriptors import (
+                    ParamValidationError, validate_task)
+
+                try:
+                    for task in wf.get("tasks", []) if isinstance(wf, dict) else []:
+                        validate_task(
+                            str(task.get("operator", "")),
+                            dict(task.get("arguments", {}) or {}),
+                            allow_placeholders=True,
+                        )
+                except ParamValidationError as exc:
+                    self._send(400, {
+                        "error": str(exc),
+                        "operator": exc.operator,
+                        "param": exc.param,
+                    })
+                    return
                 mode = str(wf.pop("exec_mode", "sync")).lower()
                 if mode == "async":
                     job = server._submit_async(wf, ident)

@@ -896,6 +896,36 @@ class WorkflowEngine:
                 # task's substitution (oph_workflow_utils.c:183-186 scoping)
                 scope = {**run.variables, **t.get("variables", {})}
                 args = {k: substitute(v, scope) for k, v in t.get("arguments", {}).items()}
+                # submit-time parameter validation against the operator's
+                # descriptor (reference: oph_tp_task_params_parser,
+                # oph_task_parser_library.h:67, called before dispatch) —
+                # a bad parameter fails the task with a named error instead
+                # of surfacing as a deep TypeError inside the operator.
+                # The in-process flow operators (set/input/wait) are exempt:
+                # their implementations enforce the reference's own
+                # flow-control errors verbatim (oph_flow_control_operators.c
+                # messages), which must surface unchanged.
+                if op and op not in ("oph_set", "oph_input", "oph_wait"):
+                    from ophidia_server_spark.plans.descriptors import (
+                        ParamValidationError, validate_task)
+
+                    try:
+                        validated = validate_task(op, args)
+                    except ParamValidationError as e:
+                        # goes through the wave's result handling so the
+                        # task's on_error policy applies (abort by default)
+                        results.append(TaskResult(
+                            name, "OPH_ODB_STATUS_ERROR",
+                            error=f"ParamValidationError: {e}",
+                        ))
+                        continue
+                    if validated is not None:
+                        # apply corrected values (min==max constant forcing)
+                        # to the keys the request actually passed; operators
+                        # implement the descriptor defaults themselves
+                        for k, v in validated.items():
+                            if k in args:
+                                args[k] = v
                 if op in ("oph_set", "oph_input"):
                     # oph_input = oph_set + wake a waiting task
                     # (oph_flow_control_operators.c:3155-3262 shares oph_set_impl)

@@ -177,6 +177,65 @@ def _parse_dataspace(buf: bytes, off: int) -> tuple[list[int], list[int]]:
 # reader
 # ---------------------------------------------------------------------------
 
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins lookup3 `hashlittle` — the metadata checksum of every v2-era
+    HDF5 block (spec: "Checksum" fields of EAHD/EAIB/EADB/EASB/BTHD/...;
+    the algorithm is Bob Jenkins' public lookup3.c, 2006)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & M
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        i += 12
+        length -= 12
+    if length == 0:
+        return c
+    tail = data[i:] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & M
+    if length > 4:
+        b = (b + int.from_bytes(tail[4:8], "little")) & M
+    if length > 8:
+        c = (c + int.from_bytes(tail[8:12], "little")) & M
+    c ^= b; c = (c - rot(b, 14)) & M
+    a ^= c; a = (a - rot(c, 11)) & M
+    b ^= a; b = (b - rot(a, 25)) & M
+    c ^= b; c = (c - rot(b, 16)) & M
+    a ^= c; a = (a - rot(c, 4)) & M
+    b ^= a; b = (b - rot(a, 14)) & M
+    c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
+def _ea_sblk_info(max_nelmts_bits: int, data_blk_min_elmts: int):
+    """Per-super-block geometry of an extensible array (H5EA design: data
+    block sizes double every other super block). Returns a list of
+    (ndblks, dblk_nelmts, start_idx, start_dblk) where start_idx is the
+    element offset past the index-block elements."""
+    nsblks = 1 + (max_nelmts_bits - (data_blk_min_elmts.bit_length() - 1))
+    out = []
+    start_idx = start_dblk = 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        dblk_nelmts = data_blk_min_elmts * (1 << ((u + 1) // 2))
+        out.append((ndblks, dblk_nelmts, start_idx, start_dblk))
+        start_idx += ndblks * dblk_nelmts
+        start_dblk += ndblks
+    return out
+
+
 @dataclass
 class _Obj:
     """One HDF5 object (dataset or group) during the read walk."""
@@ -454,16 +513,23 @@ class _H5Reader:
             elif itype == 3:        # fixed array
                 info["page_bits"] = self.buf[pos]
                 pos += 1
-            elif itype == 4:
-                raise Hdf5Error(
-                    "v4 extensible-array chunk index unsupported (unlimited-"
-                    "dim chunked datasets written with libver=latest)"
-                )
-            elif itype == 5:
-                raise Hdf5Error(
-                    "v4 B-tree-v2 chunk index unsupported (multi-unlimited-"
-                    "dim chunked datasets written with libver=latest)"
-                )
+            elif itype == 4:        # extensible array (1 unlimited dim)
+                # spec: Max Bits, Index Elements, Min Pointers, Min
+                # Elements (1 byte each) + Page Bits (2) — the creation
+                # parameters are repeated in the EAHD block itself, which
+                # the reader treats as authoritative
+                info["max_bits"] = self.buf[pos]
+                info["index_elmts"] = self.buf[pos + 1]
+                info["min_pointers"] = self.buf[pos + 2]
+                info["min_elmts"] = self.buf[pos + 3]
+                info["page_bits"] = struct.unpack_from("<H", self.buf, pos + 4)[0]
+                pos += 6
+            elif itype == 5:        # version-2 B-tree (>1 unlimited dim)
+                # spec: Node Size (4), Split Percent (1), Merge Percent (1)
+                info["node_size"] = struct.unpack_from("<I", self.buf, pos)[0]
+                info["split"] = self.buf[pos + 4]
+                info["merge"] = self.buf[pos + 5]
+                pos += 6
             else:
                 raise Hdf5Error(f"v4 chunk index type {itype} unknown")
             addr = struct.unpack_from("<Q", self.buf, pos)[0]
@@ -636,6 +702,196 @@ class _H5Reader:
             q += count * entry_size + 4  # page elements + page checksum
             left -= count
 
+    def _ea_elements(self, eahd_addr: int):
+        """Yield (addr, csize|None, mask) per element (= linear chunk index)
+        of an Extensible Array chunk index, in index order up to the max
+        index set (spec appendix: EAHD header, EAIB index block, EASB super
+        blocks, EADB data blocks with optional element paging)."""
+        p = self.at(eahd_addr)
+        if self.buf[p : p + 4] != b"EAHD":
+            raise Hdf5Error("bad extensible-array header signature")
+        client = self.buf[p + 5]
+        if client not in (0, 1):
+            raise Hdf5Error(f"extensible-array client id {client} unknown")
+        elmt_size = self.buf[p + 6]
+        max_nelmts_bits = self.buf[p + 7]
+        idx_blk_elmts = self.buf[p + 8]
+        data_blk_min_elmts = self.buf[p + 9]
+        sup_blk_min_ptrs = self.buf[p + 10]
+        page_bits = self.buf[p + 11]
+        # six length-sized statistics fields precede the index block address
+        max_idx_set = struct.unpack_from("<Q", self.buf, p + 12 + 32)[0]
+        iblk_addr = struct.unpack_from("<Q", self.buf, p + 12 + 48)[0]
+        if max_idx_set == 0 or iblk_addr == UNDEF:
+            return
+        arr_off_size = (max_nelmts_bits + 7) // 8
+        page_nelmts = 1 << page_bits
+        sblk_info = _ea_sblk_info(max_nelmts_bits, data_blk_min_elmts)
+        # super blocks whose data blocks hang directly off the index block
+        iblk_nsblks = 2 * (sup_blk_min_ptrs.bit_length() - 1)
+        ndblk_addrs = 2 * (sup_blk_min_ptrs - 1)
+        nsblk_addrs = len(sblk_info) - iblk_nsblks
+
+        q = self.at(iblk_addr)
+        if self.buf[q : q + 4] != b"EAIB":
+            raise Hdf5Error("bad extensible-array index block signature")
+        q += 4 + 1 + 1 + 8      # sig, version, client, header address
+        elmts_off = q
+        dblk_addr_off = elmts_off + idx_blk_elmts * elmt_size
+        sblk_addr_off = dblk_addr_off + ndblk_addrs * 8
+
+        def element(at: int):
+            addr = struct.unpack_from("<Q", self.buf, at)[0]
+            if client == 1:
+                size_len = elmt_size - 12
+                csize = int.from_bytes(self.buf[at + 8 : at + 8 + size_len], "little")
+                mask = struct.unpack_from("<I", self.buf, at + 8 + size_len)[0]
+                return addr, csize, mask
+            return addr, None, 0
+
+        sblk_dblk_addrs: dict[int, list[int]] = {}
+
+        def super_block(si: int) -> list[int]:
+            """Data-block addresses of super block si (>= iblk_nsblks)."""
+            if si in sblk_dblk_addrs:
+                return sblk_dblk_addrs[si]
+            saddr = struct.unpack_from(
+                "<Q", self.buf, sblk_addr_off + (si - iblk_nsblks) * 8
+            )[0]
+            ndblks, dblk_nelmts, _, _ = sblk_info[si]
+            if saddr == UNDEF:
+                addrs = [UNDEF] * ndblks
+            else:
+                r = self.at(saddr)
+                if self.buf[r : r + 4] != b"EASB":
+                    raise Hdf5Error("bad extensible-array super block signature")
+                r += 4 + 1 + 1 + 8 + arr_off_size   # .., header addr, block off
+                dblk_npages = (
+                    dblk_nelmts // page_nelmts if dblk_nelmts > page_nelmts else 0
+                )
+                if dblk_npages:
+                    r += (ndblks * dblk_npages + 7) // 8    # page-init bitmap
+                addrs = [
+                    struct.unpack_from("<Q", self.buf, r + 8 * i)[0]
+                    for i in range(ndblks)
+                ]
+            sblk_dblk_addrs[si] = addrs
+            return addrs
+
+        dblk_elmts_off: dict[int, int] = {}
+
+        def dblock_element(daddr: int, within: int, dblk_nelmts: int):
+            """Element `within` of the data block at daddr (paged or not)."""
+            if daddr not in dblk_elmts_off:
+                r = self.at(daddr)
+                if self.buf[r : r + 4] != b"EADB":
+                    raise Hdf5Error("bad extensible-array data block signature")
+                r += 4 + 1 + 1 + 8 + arr_off_size
+                if dblk_nelmts > page_nelmts:
+                    r += 4      # data-block prefix checksum; pages follow
+                dblk_elmts_off[daddr] = r
+            base = dblk_elmts_off[daddr]
+            if dblk_nelmts > page_nelmts:   # paged: +4 checksum per page
+                page, off = divmod(within, page_nelmts)
+                at = base + page * (page_nelmts * elmt_size + 4) + off * elmt_size
+            else:
+                at = base + within * elmt_size
+            return element(at)
+
+        for idx in range(max_idx_set):
+            if idx < idx_blk_elmts:
+                yield element(elmts_off + idx * elmt_size)
+                continue
+            rel = idx - idx_blk_elmts
+            si = (rel // data_blk_min_elmts + 1).bit_length() - 1
+            ndblks, dblk_nelmts, start_idx, start_dblk = sblk_info[si]
+            elmt_idx = rel - start_idx
+            dblk_idx, within = divmod(elmt_idx, dblk_nelmts)
+            if si < iblk_nsblks:
+                daddr = struct.unpack_from(
+                    "<Q", self.buf, dblk_addr_off + (start_dblk + dblk_idx) * 8
+                )[0]
+            else:
+                daddr = super_block(si)[dblk_idx]
+            if daddr == UNDEF:
+                yield UNDEF, None, 0
+            else:
+                yield dblock_element(daddr, within, dblk_nelmts)
+
+    def _v2btree_chunk_entries(self, bthd_addr: int, ndim: int):
+        """Yield (addr, csize|None, mask, scaled_offsets) from a version-2
+        B-tree chunk index (record type 10 = non-filtered, 11 = filtered;
+        spec: Version 2 B-trees + Data Layout v4 index type 5)."""
+        p = self.at(bthd_addr)
+        if self.buf[p : p + 4] != b"BTHD":
+            raise Hdf5Error("bad v2 B-tree header signature")
+        rtype = self.buf[p + 5]
+        node_size = struct.unpack_from("<I", self.buf, p + 6)[0]
+        rec_size = struct.unpack_from("<H", self.buf, p + 10)[0]
+        depth = struct.unpack_from("<H", self.buf, p + 12)[0]
+        root_addr = struct.unpack_from("<Q", self.buf, p + 16)[0]
+        root_nrec = struct.unpack_from("<H", self.buf, p + 24)[0]
+        if rtype not in (10, 11):
+            raise Hdf5Error(f"v2 B-tree record type {rtype} is not a chunk index")
+        if root_addr == UNDEF or root_nrec == 0:
+            return
+        filtered = rtype == 11
+        # filtered records: address(8) + chunk size(var) + mask(4) +
+        # scaled offsets(8 per dim); non-filtered: address(8) + offsets
+        size_len = rec_size - 8 - 4 - 8 * ndim if filtered else 0
+
+        def parse(rec: bytes):
+            addr = struct.unpack_from("<Q", rec, 0)[0]
+            if filtered:
+                csize = int.from_bytes(rec[8 : 8 + size_len], "little")
+                mask = struct.unpack_from("<I", rec, 8 + size_len)[0]
+                base = 8 + size_len + 4
+            else:
+                csize, mask, base = None, 0, 8
+            offs = [
+                struct.unpack_from("<Q", rec, base + 8 * i)[0] for i in range(ndim)
+            ]
+            return addr, csize, mask, offs
+
+        # leaf capacity bounds the per-child record-count field width
+        leaf_cap = (node_size - 10) // rec_size
+        nrec_width = (leaf_cap.bit_length() + 7) // 8
+
+        def walk(addr: int, nrec: int, level: int):
+            q = self.at(addr)
+            sig = self.buf[q : q + 4]
+            if level == 0:
+                if sig != b"BTLF":
+                    raise Hdf5Error("bad v2 B-tree leaf signature")
+                q += 6
+                for i in range(nrec):
+                    yield parse(self.buf[q + i * rec_size : q + (i + 1) * rec_size])
+                return
+            if sig != b"BTIN":
+                raise Hdf5Error("bad v2 B-tree internal node signature")
+            if level > 1:
+                raise Hdf5Error(
+                    "v2 B-tree chunk index depth > 1 unsupported "
+                    f"({nrec * leaf_cap}+ chunks)"
+                )
+            q += 6
+            # nrec records interleaved with nrec+1 child pointers
+            child_ptr = q + nrec * rec_size
+            children = []
+            for i in range(nrec + 1):
+                caddr = struct.unpack_from("<Q", self.buf, child_ptr)[0]
+                cnrec = int.from_bytes(
+                    self.buf[child_ptr + 8 : child_ptr + 8 + nrec_width], "little"
+                )
+                children.append((caddr, cnrec))
+                child_ptr += 8 + nrec_width
+            yield from walk(children[0][0], children[0][1], level - 1)
+            for i in range(nrec):
+                yield parse(self.buf[q + i * rec_size : q + (i + 1) * rec_size])
+                yield from walk(children[i + 1][0], children[i + 1][1], level - 1)
+
+        yield from walk(root_addr, root_nrec, depth)
+
     def _v4_chunk_entries(self, obj: _Obj, chunk_shape: list[int], elem_size: int):
         """Yield (chunk_size, filter_mask, offsets, data_addr) for a v4
         chunk-index layout, mirroring the v1 B-tree generator."""
@@ -669,6 +925,40 @@ class _H5Reader:
                 if caddr == UNDEF:
                     continue        # unallocated chunk: fill
                 offs = [i * c for i, c in zip(idx, chunk_shape)] + [0]
+                yield (csize if csize is not None else raw_size), mask, offs, caddr
+            return
+        if itype == 4:              # extensible array (one unlimited dim)
+            if addr == UNDEF:
+                return
+            # element order is the linear chunk index over *swizzled*
+            # coordinates: the unlimited dimension varies slowest (H5D
+            # swizzles it to the front; with the record dim already first —
+            # the netCDF-4 layout — this is plain row-major grid order)
+            unlim = [i for i, m in enumerate(obj.maxdims) if m == UNDEF]
+            ax = unlim[0] if unlim else 0
+            order = [ax] + [i for i in range(len(grid)) if i != ax]
+            swiz_grid = [grid[i] for i in order]
+            for sidx, (caddr, csize, mask) in zip(
+                itertools.product(*[range(g) for g in swiz_grid]),
+                self._ea_elements(addr),
+            ):
+                if caddr == UNDEF:
+                    continue
+                idx = [0] * len(grid)
+                for pos, g in zip(order, sidx):
+                    idx[pos] = g
+                offs = [i * c for i, c in zip(idx, chunk_shape)] + [0]
+                yield (csize if csize is not None else raw_size), mask, offs, caddr
+            return
+        if itype == 5:              # version-2 B-tree (>1 unlimited dim)
+            if addr == UNDEF:
+                return
+            for caddr, csize, mask, scaled in self._v2btree_chunk_entries(
+                addr, len(chunk_shape)
+            ):
+                if caddr == UNDEF:
+                    continue
+                offs = [s * c for s, c in zip(scaled, chunk_shape)] + [0]
                 yield (csize if csize is not None else raw_size), mask, offs, caddr
             return
         raise Hdf5Error(f"v4 chunk index type {itype} unsupported")

@@ -22,7 +22,7 @@ from ophidia_server_spark.plans.workflow import WorkflowEngine
 def _engine() -> WorkflowEngine:
     ops = {
         "oph_list": lambda engine, args, inputs: ["c1", "c2"],
-        "oph_randcube": lambda engine, args, inputs: f"pid:{args.get('n', 1)}",
+        "oph_randcube": lambda engine, args, inputs: f"pid:{args.get('nrows', 1)}",
         "oph_delete": lambda engine, args, inputs: "deleted",
         "oph_service": lambda engine, args, inputs: "toggled",
         "slowop": lambda engine, args, inputs: (time.sleep(0.2), "done")[1],
@@ -57,7 +57,7 @@ def test_sync_execute_returns_response_document(server):
     wf = {
         "name": "probe",
         "tasks": [
-            {"name": "r", "operator": "oph_randcube", "arguments": {"n": 7}},
+            {"name": "r", "operator": "oph_randcube", "arguments": {"nrows": 7}},
             {"name": "ls", "operator": "oph_list", "dependencies": ["r"]},
         ],
     }
@@ -188,7 +188,7 @@ def test_resume_request_document_and_resubmit(server):
     _, port = server
     wf = {"name": "replayme",
           "tasks": [{"name": "r", "operator": "oph_randcube",
-                     "arguments": {"n": 3}}]}
+                     "arguments": {"nrows": 3}}]}
     _, out = _req(port, "/execute", wf, token="tok-admin")
     jid = out["jobid"]
     _, doc = _req(port, f"/jobs/{jid}?document=request", token="tok-admin")
@@ -277,3 +277,38 @@ def test_job_endpoints_are_owner_or_admin(server):
     )
     _, got = _req(port, f"/jobs/{own['jobid']}", token="tok-read")
     assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_execute_rejects_bad_param_with_named_400(server):
+    # submit-time validation (oph_tp_task_params_parser semantics): a typo'd
+    # or out-of-range argument must come back as a named 400, not a traceback
+    _, port = server
+    for args in ({"nrowz": 7},               # unknown key (typo)
+                 {"nrows": 0},               # below minvalue=1
+                 ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(port, "/execute",
+                 {"name": "bad",
+                  "tasks": [{"name": "r", "operator": "oph_randcube",
+                             "arguments": args}]},
+                 token="tok-admin")
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert body["operator"] == "oph_randcube"
+        assert body["param"] in ("nrowz", "nrows")
+        assert "oph_randcube" in body["error"]
+
+
+def test_execute_placeholder_args_validate_at_dispatch(server):
+    # a value still holding @var passes submit-time checks, then the
+    # substituted value is validated at dispatch (here: valid)
+    _, port = server
+    wf = {
+        "name": "subst",
+        "variables": {"count": "9"},
+        "tasks": [{"name": "r", "operator": "oph_randcube",
+                   "arguments": {"nrows": "@count"}}],
+    }
+    status, out = _req(port, "/execute", wf, token="tok-admin")
+    assert status == 200
+    assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
