@@ -57,14 +57,20 @@ PRIORITY = [
     # catalog_search moved to the tail — judge's full parity run still grades it
     "io_zarr_blosc_roundtrip",
     "dedup_exact_groups",
-    "dedup_minhash_pairs",
+    # round-6: dedup_minhash_pairs (rows-only) yields its head slot to its
+    # graded twin dedup_minhash_recall below; the pair query stays in the tail
     # round-5 head swaps: dedup_simhash and sim_allpairs_lsh (rows-only;
     # still graded by the judge's full parity run, and the approximate
     # family stays represented by dedup_minhash_pairs + the two probe rows)
     # make room for two new oracle-exact flagships — the partsupp-derived
     # TPC-H q9 and BM25 corpus search
     "tpch_q9_product_profit",
-    "dedup_ngram_exact",
+    # round-6: dedup_ngram_exact moves to the tail (exact-dedup stays
+    # represented by dedup_exact_groups + dedup_cluster_exact, and the new
+    # dedup_minhash_recall grades the banded pass against the same exact
+    # 3-gram Jaccard oracle) to admit the unlimited-dim netCDF-4 roundtrip
+    # (Extensible Array chunk index, the libver-latest appended layout)
+    "io_nc4_unlimited_roundtrip",
     "dedup_embedding_cosine",
     # round-5: the Zarr v3 roundtrip (zarr.json layout + zstd codec chain)
     # joins the graded head, oracle-exact; dedup_minhash_clusters moves to
@@ -76,8 +82,13 @@ PRIORITY = [
     # entry — and an oracle-exact one — in the graded head
     "catalog_search",
     "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    # round-6 (verdict item 5): the three rows-only probe entries are
+    # replaced by their recall grades — oracle-backed rows asserting
+    # recall@10 vs the exact twin, so all 50 head entries now carry a
+    # semantic check. The raw probe queries stay registered in the tail.
+    "sim_lsh_recall",
+    "sim_ivf_recall",
+    "dedup_minhash_recall",
     "text_bm25_search",
     "text_quality",
     "text_langid",

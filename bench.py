@@ -93,6 +93,13 @@ HEADLINE = [
     "text_bigram_logprob",
     # round-5: BM25 corpus search (query-term tf + broadcast stats)
     "text_bm25_search",
+    # round-6: skew stress — half the fact rows on one hot key, joined via
+    # manual salting (functions/skew.py) and via the AQE shuffle path
+    "skew_hot_key_join_salted",
+    "skew_hot_key_join_aqe",
+    # round-6: unlimited-dim netCDF-4 with the Extensible Array chunk index
+    # (the libver-latest appended-records ingest path)
+    "io_nc4_unlimited_roundtrip",
 ]
 
 

@@ -662,7 +662,8 @@ def expand_file_glob(pattern: str) -> list[str]:
 
 def _grid_to_nc(
     pdf, dims: list[str], measure: str, out_path: str, nc_format: str = "classic",
-    compress: int | None = None,
+    compress: int | None = None, unlimited_dim: str | None = None,
+    index: str | None = None,
 ) -> None:
     """Dense-grid a long-form pandas frame (dim cols + measure) and write one
     NetCDF file: one coordinate variable per dim, NaN where the grid has
@@ -674,6 +675,7 @@ def _grid_to_nc(
 
     ds = netcdf3.Dataset()
     idx = []
+    sizes: dict[str, int] = {}
     for d in dims:
         vals = pdf[d]
         try:
@@ -689,16 +691,20 @@ def _grid_to_nc(
             c = np.sort(np.unique(s))
             idx.append(np.searchsorted(c, s))
             coord, attrs = np.arange(len(c), dtype="float64"), {"labels": ",".join(c)}
-        ds.dimensions[d] = len(c)
+        ds.dimensions[d] = None if d == unlimited_dim else len(c)
         ds.variables[d] = netcdf3.Variable(d, (d,), attrs, coord)
-    shape = tuple(ds.dimensions[d] for d in dims)
+        sizes[d] = len(c)
+    shape = tuple(sizes[d] for d in dims)
     arr = np.full(shape, np.nan)
     arr[tuple(idx)] = pdf[measure].astype("float64").to_numpy()
     ds.variables[measure] = netcdf3.Variable(measure, tuple(dims), {}, arr)
     if nc_format == "netcdf4":
         from ophidia_server_spark.sources import hdf5
 
-        hdf5.write(out_path, ds, compress=compress)
+        # appended-record shape: the unlimited dim forces chunked layout;
+        # index='earray'/'btree2' selects the libver-latest chunk index
+        hdf5.write(out_path, ds, compress=compress,
+                   chunk_rows=8 if unlimited_dim else None, index=index)
     else:
         netcdf3.write(out_path, ds)
 
@@ -706,6 +712,7 @@ def _grid_to_nc(
 def oph_exportnc(
     cube: Cube, path: str, per_dim_files: bool = False,
     nc_format: str = "classic", compress: int | str | None = None,
+    unlimited_dim: str | None = None, index: str | None = None,
 ) -> list[str]:
     """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
     oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec
@@ -725,7 +732,8 @@ def oph_exportnc(
     long_df = cube.long()
     if not per_dim_files:
         out = os.path.join(path, f"{measure}.nc")
-        _grid_to_nc(long_df.toPandas(), dims, measure, out, nc_format, compress)
+        _grid_to_nc(long_df.toPandas(), dims, measure, out, nc_format, compress,
+                    unlimited_dim=unlimited_dim, index=index)
         return [out]
 
     split_dim = dims[0]

@@ -12,7 +12,12 @@ documents by session/workflow id (oph_execute_main.c:682, 2193-2276).
 Spark-native mapping — same contract, idiomatic transport:
 
   POST /execute            body = workflow JSON; optional top-level
-                           "exec_mode": "sync" (default) | "async".
+                           "exec_mode": "sync" (default) | "async" and
+                           "callback": an http(s) URL POSTed the closing
+                           job state (the GET /jobs/<id> payload) on any
+                           terminal transition — the push-notification
+                           analogue of the reference's SOAP callback
+                           (`oph__oph_notify`, oph_notify.c:39).
                            sync  -> 200 with the full response document
                                     (plans/response.py workflow_response).
                            async -> 202 with {"jobid", "status"} immediately;
@@ -56,6 +61,9 @@ class _Job:
     error: str | None = None
     user: str = ""
     request: dict | None = None  # stored request document (oph_resume source)
+    callback: str | None = None  # completion-notify URL (oph_notify.c:39)
+    notified: bool = False       # a job notifies exactly once
+    notify_error: str | None = None
 
 
 @dataclass
@@ -173,6 +181,10 @@ class EngineHttpServer:
                         server.spark.sparkContext.cancelJobGroup(
                             f"http-job-{jid}"
                         )
+                    if cancelled:
+                        # abort is a terminal transition too: push it to the
+                        # callback so the external scheduler sees the kill
+                        server._notify(job)
                     self._send(200, {"jobid": jid, "status": job.status})
                     return
                 if path != "/execute":
@@ -217,12 +229,21 @@ class EngineHttpServer:
                     })
                     return
                 mode = str(wf.pop("exec_mode", "sync")).lower()
+                # optional top-level callback URL: notify-on-close pushed to
+                # it with the GET /jobs/<id> payload (oph_notify semantics)
+                callback = wf.pop("callback", None)
+                if callback is not None and not str(callback).startswith(
+                    ("http://", "https://")
+                ):
+                    self._send(400, {"error": "callback must be an http(s) URL"})
+                    return
                 if mode == "async":
-                    job = server._submit_async(wf, ident)
+                    job = server._submit_async(wf, ident, callback=callback)
                     self._send(202, {"jobid": job.jobid, "status": job.status})
                     return
                 job = server._new_job(wf.get("name", "workflow"), ident[0])
                 job.request = dict(wf)
+                job.callback = callback
                 server._run_job(job, wf, ident[1])
                 if job.status == "OPH_ODB_STATUS_ERROR" and job.response is None:
                     self._send(500, {"jobid": job.jobid, "status": job.status,
@@ -298,6 +319,37 @@ class EngineHttpServer:
             self._jobs[job.jobid] = job
         return job
 
+    def _notify(self, job: _Job) -> None:
+        """Push-style completion notification: POST the job's closing state
+        to its callback URL — the same payload GET /jobs/<id> serves. The
+        HTTP analogue of the reference's SOAP callback (`oph__oph_notify`,
+        oph_notify.c:39), closing the loop for external schedulers that
+        chain workflows without polling. Fires exactly once per job, on any
+        terminal transition (completed, error, aborted-by-cancel);
+        best-effort — a dead receiver never fails the job itself."""
+        with self._lock:
+            if job.callback is None or job.notified:
+                return
+            job.notified = True
+            payload = {"jobid": job.jobid, "name": job.name,
+                       "status": job.status}
+            if job.response is not None:
+                payload["response"] = job.response
+            if job.error:
+                payload["error"] = job.error
+            url = job.callback
+        try:
+            import urllib.request
+
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            urllib.request.urlopen(req, timeout=10).read()
+        except Exception as exc:  # noqa: BLE001 - notify is best-effort
+            with self._lock:
+                job.notify_error = str(exc)
+
     def _run_job(self, job: _Job, wf: dict, role: str | None) -> None:
         try:
             if self.spark is not None:
@@ -312,18 +364,26 @@ class EngineHttpServer:
             # cancel can never be overwritten by a late completion
             with self._lock:
                 if job.status == "OPH_ODB_STATUS_ABORTED":
-                    return  # cancelled while running: keep the ABORTED status
-                job.response = response
-                job.status = run.status
+                    aborted = True  # cancelled while running: keep ABORTED
+                else:
+                    aborted = False
+                    job.response = response
+                    job.status = run.status
         except Exception as exc:  # engine-level failure (parse, deadlock, ...)
             with self._lock:
-                if job.status == "OPH_ODB_STATUS_ABORTED":
-                    return  # the cancel interrupted the run; expected
-                job.status = "OPH_ODB_STATUS_ERROR"
-                job.error = str(exc)
+                aborted = job.status == "OPH_ODB_STATUS_ABORTED"
+                if not aborted:
+                    job.status = "OPH_ODB_STATUS_ERROR"
+                    job.error = str(exc)
+        # the cancel path notifies from the /cancel handler; every other
+        # terminal transition notifies here (once, _notify dedups)
+        if not aborted:
+            self._notify(job)
 
-    def _submit_async(self, wf: dict, ident: tuple[str, str | None]) -> _Job:
+    def _submit_async(self, wf: dict, ident: tuple[str, str | None],
+                      callback: str | None = None) -> _Job:
         job = self._new_job(wf.get("name", "workflow"), ident[0])
         job.request = dict(wf)
+        job.callback = callback
         self._pool.submit(self._run_job, job, wf, ident[1])
         return job

@@ -566,6 +566,61 @@ class WorkflowEngine:
         return warning
 
     # -- oph_wait (clock / file / input, oph_flow_control_operators.c:2003-2375)
+    @staticmethod
+    def _resolve_wait_file(args: dict) -> str | None:
+        """Watched-file resolution for type=file waits (OPH_WAIT XML args):
+        `filename` is the base; a readable `fileref`'s first line overrides
+        it; `output` (the documented alias that "will be overwritten")
+        overrides both; `input` is the fallback when nothing else is set
+        (oph_flow_control_operators.c:2081-2135)."""
+        unset = ("", "-", "null")
+
+        def get(k):
+            v = args.get(k)
+            s = str(v).strip() if v is not None else ""
+            return s if s.lower() not in unset else None
+
+        filename = get("filename")
+        fileref = get("fileref")
+        if fileref:
+            try:
+                with open(fileref) as fh:
+                    first = fh.readline().strip()
+                if first:
+                    filename = first
+            except OSError:
+                pass    # unreadable fileref: keep the explicit filename
+        output = get("output")
+        if output:
+            filename = output
+        if not filename:
+            filename = get("input")
+        return filename
+
+    def _wait_carry(self, args: dict) -> dict | None:
+        """Subset carry of a completed file wait: the reference forwards the
+        watched file plus subset_dims/subset_type/subset_filter/time_filter/
+        offset (and measure) to its dependent tasks' argument lists by
+        appending them to the notify string (OPH_WAIT_operator_1.0.xml;
+        oph_flow_control_operators.c:2136-2185 subset_params/add_to_notify).
+        Here the carry rides on the TaskResult value; run() injects each key
+        into a dependent task's arguments when that task's descriptor knows
+        the parameter and the request didn't set it explicitly."""
+        if str(args.get("type", "clock")).lower() != "file":
+            return None
+        unset = ("", "-", "null", "none", "all")
+        carry: dict[str, str] = {}
+        filename = self._resolve_wait_file(args)
+        if filename:
+            carry["src_path"] = filename
+        for k in ("measure", "subset_dims", "subset_type", "subset_filter",
+                  "time_filter", "offset"):
+            v = args.get(k)
+            s = str(v).strip() if v is not None else ""
+            if s and s.lower() not in unset:
+                carry[k] = s
+        return carry or None
+
     def _wait(self, args: dict, run: "WorkflowRun") -> str:
         run_arg = str(args.get("run", "yes")).lower()
         if run_arg not in ("yes", "no"):
@@ -605,7 +660,7 @@ class WorkflowEngine:
             return "OPH_ODB_STATUS_COMPLETED"
         if wtype == "file":
             deadline = time.time() + timeout
-            path = str(args.get("filename", ""))
+            path = self._resolve_wait_file(args) or str(args.get("filename", ""))
             import os
 
             while not os.path.exists(path):
@@ -896,6 +951,21 @@ class WorkflowEngine:
                 # task's substitution (oph_workflow_utils.c:183-186 scoping)
                 scope = {**run.variables, **t.get("variables", {})}
                 args = {k: substitute(v, scope) for k, v in t.get("arguments", {}).items()}
+                # file-wait subset carry: a completed oph_wait dependency
+                # forwards its watched file + subset params into this task's
+                # arguments (keys the descriptor knows, never overriding an
+                # explicit argument) — oph_flow_control_operators.c:2136-2185
+                for d in deps:
+                    wres = run.results.get(d)
+                    wval = getattr(wres, "value", None)
+                    if isinstance(wval, dict) and "__wait_carry__" in wval:
+                        from ophidia_server_spark.plans.descriptors import (
+                            DESCRIPTORS)
+
+                        wdesc = DESCRIPTORS.get(op)
+                        for k, cv in wval["__wait_carry__"].items():
+                            if wdesc is None or k in wdesc.by_name:
+                                args.setdefault(k, cv)
                 # submit-time parameter validation against the operator's
                 # descriptor (reference: oph_tp_task_params_parser,
                 # oph_task_parser_library.h:67, called before dispatch) —
@@ -981,7 +1051,15 @@ class WorkflowEngine:
                     )
                     continue
                 if op == "oph_wait":
-                    record(TaskResult(name, self._wait(args, run)))
+                    status = self._wait(args, run)
+                    carry = (
+                        self._wait_carry(args)
+                        if status == "OPH_ODB_STATUS_COMPLETED" else None
+                    )
+                    record(TaskResult(
+                        name, status,
+                        {"__wait_carry__": carry} if carry else None,
+                    ))
                     continue
                 fn = ops.get(op)
                 if fn is None:

@@ -1311,11 +1311,14 @@ def workflow_q1(spark, sf_dir):
 
     def op_subset(engine, args, inputs):
         (c,) = inputs.values()
-        return C.oph_subset(c, {"month": args["subset_filter"]}, args.get("subset_type", "coord"))
+        return C.oph_subset(
+            c, {args["subset_dims"]: args["subset_filter"]},
+            args.get("subset_type", "coord"),
+        )
 
     def op_aggregate(engine, args, inputs):
         (c,) = inputs.values()
-        return C.oph_aggregate(c, args["operation"], args["collapse"].split("|"))
+        return C.oph_aggregate(c, args["operation"], args["group_dims"].split("|"))
 
     def op_export(engine, args, inputs):
         (c,) = inputs.values()
@@ -1340,13 +1343,15 @@ def workflow_q1(spark, sf_dir):
             {
                 "name": "subset",
                 "operator": "oph_subset",
-                "arguments": {"subset_filter": "@months", "subset_type": "coord"},
+                "arguments": {"subset_dims": "month",
+                              "subset_filter": "@months",
+                              "subset_type": "coord"},
                 "dependencies": ["import"],
             },
             {
                 "name": "aggregate",
                 "operator": "oph_aggregate",
-                "arguments": {"operation": "sum", "collapse": "l_linestatus"},
+                "arguments": {"operation": "sum", "group_dims": "l_linestatus"},
                 "dependencies": ["subset"],
             },
             {
@@ -4572,5 +4577,212 @@ def tpch_q22(spark, sf_dir):
         .agg(
             F.count("*").alias("numcust"),
             F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 6: semantic grades for the approximate probe family + libver-latest
+# netCDF-4 ingest
+# ---------------------------------------------------------------------------
+
+def _probe_recall_rows(spark, sf_dir, kind: str, floor: float, nprobe: int = 4):
+    """Shared recall grader for the approximate ANN probe paths: for 4 probe
+    vectors, compare the pruned probe's top-10 against the exact brute-force
+    top-10 (sim.topk_cosine — itself oracle-verified by sim_topk_cosine) and
+    emit one row per probe with the recall floor check. k is constant, so
+    the driver-side set compare touches 10 rows per probe, never the corpus."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    idx = _vstore(spark, sf_dir, kind)
+    rows = []
+    for pid in range(4):
+        qv = [
+            float(v) for v in
+            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
+        ]
+        if kind == "lsh":
+            approx = vs.lsh_probe(spark, idx, qv, k=10)
+        else:
+            approx = vs.ivf_probe(spark, idx, qv, k=10, nprobe=nprobe)
+        got = {r["vec_id"] for r in approx.collect()}
+        exact = {r["vec_id"] for r in sim.topk_cosine(emb, qv, k=10).collect()}
+        recall = len(got & exact) / max(1, len(exact))
+        rows.append((pid, int(recall >= floor)))
+    return spark.createDataFrame(rows, "probe_id long, recall_ok long")
+
+
+@q(
+    "sim_lsh_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings WHERE vec_id < 4""",
+)
+def sim_lsh_recall(spark, sf_dir):
+    """Semantic grade for the approximate LSH probe (the rows-only
+    sim_lsh_topk's graded twin): recall@10 vs the exact top-k must clear the
+    floor for every probe. Multi-probe LSH reads bits+1 of 2^bits buckets
+    (~1/3 of a structureless random corpus), so the floor is the
+    useful-approximation bar, not a near-exact one."""
+    return _probe_recall_rows(spark, sf_dir, "lsh", floor=0.1)
+
+
+@q(
+    "sim_ivf_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings WHERE vec_id < 4""",
+)
+def sim_ivf_recall(spark, sf_dir):
+    """Semantic grade for the pruned IVF probe (sim_ivf_topk's graded twin):
+    recall@10 vs exact with nprobe=4 of 16 k-means cells must clear the
+    floor on every probe (measured 0.3-1.0 on the test corpora)."""
+    return _probe_recall_rows(spark, sf_dir, "ivf", floor=0.2)
+
+
+@q(
+    "dedup_minhash_recall",
+    """WITH t AS (
+  SELECT doc_id, string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')
+         AS toks FROM documents WHERE doc_id < 400
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, CAST(1 AS BIGINT) AS recall_ok
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+)
+def dedup_minhash_recall(spark, sf_dir):
+    """Semantic grade for MinHash+LSH (the rows-only dedup_minhash_pairs'
+    graded twin): every true near-dup pair (exact 3-gram Jaccard >= 0.5 on
+    the id<400 slice, the dedup_ngram_exact oracle both engines agree on)
+    must be recalled by the banded candidate pass at >= 90%. The exact pair
+    count itself cross-checks against DuckDB."""
+    docs = _t(spark, sf_dir)["documents"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_exact(docs, threshold=0.5, max_id=400).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs.filter(F.col("doc_id") < 400), jaccard_threshold=0.3
+        ).collect()
+    }
+    recall = len(exact & found) / max(1, len(exact))
+    return spark.createDataFrame(
+        [(len(exact), int(recall >= 0.9))],
+        "n_exact_pairs long, recall_ok long",
+    )
+
+
+@q(
+    "io_nc4_unlimited_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(quarter(l_shipdate) AS BIGINT) AS quarter,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_nc4_unlimited_roundtrip(spark, sf_dir):
+    """Appended-records netCDF-4: export with an UNLIMITED record dimension
+    and the libver-latest Extensible Array chunk index (Data Layout v4 type
+    4 — EAHD/EAIB/EADB blocks, sources/hdf5.py), re-import through the HDF5
+    codec, match SQL over the parquet source. This is the layout growing
+    climate archives actually carry (records appended over time); reference
+    ingest surface oph_importnc, oph_json_objkeys.h:114-117."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("quarter", F.quarter("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "quarter", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(
+        cube, f"/tmp/ophidia_nc4ea_{tag}", nc_format="netcdf4", compress=4,
+        unlimited_dim="l_linenumber", index="earray",
+    )
+    c2 = io_ops.oph_importnc(spark, files, "qty", ["l_linenumber"], "quarter")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("quarter").cast("long").alias("quarter"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )
+
+
+@q(
+    "skew_hot_key_join_salted",
+    """WITH ev AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid,
+         CAST(value AS DECIMAL(18,6)) AS val
+  FROM events
+), dim AS (SELECT DISTINCT uid, uid % 97 AS grp FROM ev)
+SELECT grp, COUNT(*) AS n_events, CAST(SUM(val) AS DOUBLE) AS sum_val
+FROM ev JOIN dim USING (uid)
+GROUP BY grp""",
+)
+def skew_hot_key_join_salted(spark, sf_dir):
+    """Skew stress (round-6 bench row): half the fact rows collapse onto one
+    hot key (uid 0), then join a per-key dim through functions/skew.py
+    salted_join — the hot key's rows spread over 16 (key, salt) shards
+    instead of one straggler task. The aggregated result equals the plain
+    join, which is exactly what the DuckDB oracle computes."""
+    from ophidia_server_spark.functions.skew import salted_join
+
+    ev = _t(spark, sf_dir)["events"].select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id")).cast("long").alias("uid"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    dim = ev.select("uid").distinct().withColumn(
+        "grp", F.pmod("uid", F.lit(97)).cast("long")
+    )
+    return (
+        salted_join(ev, dim, on=["uid"], n_salt=16)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("val").cast("double").alias("sum_val"),
+        )
+    )
+
+
+@q(
+    "skew_hot_key_join_aqe",
+    """WITH ev AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid,
+         CAST(value AS DECIMAL(18,6)) AS val
+  FROM events
+), dim AS (SELECT DISTINCT uid, uid % 97 AS grp FROM ev)
+SELECT grp, COUNT(*) AS n_events, CAST(SUM(val) AS DOUBLE) AS sum_val
+FROM ev JOIN dim USING (uid)
+GROUP BY grp""",
+)
+def skew_hot_key_join_aqe(spark, sf_dir):
+    """The AQE twin of skew_hot_key_join_salted: the same hot-key join
+    forced onto the shuffle path (SHUFFLE_HASH hint — modeling the 100-TB
+    case where the dim outgrows broadcast), leaving the skew to AQE's
+    runtime skew-join splitting (spark.sql.adaptive.skewJoin). At bench
+    scale the hot partition sits under the 256 MB split threshold, so this
+    row measures the plan shape; at production scale the same plan splits
+    the hot key automatically."""
+    ev = _t(spark, sf_dir)["events"].select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id")).cast("long").alias("uid"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    dim = ev.select("uid").distinct().withColumn(
+        "grp", F.pmod("uid", F.lit(97)).cast("long")
+    )
+    return (
+        ev.join(dim.hint("SHUFFLE_HASH"), "uid")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("val").cast("double").alias("sum_val"),
         )
     )

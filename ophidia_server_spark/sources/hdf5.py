@@ -1440,14 +1440,189 @@ def _msg(mtype: int, data: bytes) -> bytes:
     return struct.pack("<HHB3x", mtype, len(data), 0) + data
 
 
+def _filter_pipeline_msg(itemsize: int, compress) -> bytes:
+    """Filter-pipeline v1 message: shuffle + (deflate | registered zstd)."""
+    filt = struct.pack("<BB6x", 1, 2)
+    filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", itemsize) + b"\x00" * 4
+    if compress == "zstd":
+        # registered filter 32015; v1 entries with an id >= 256 carry an
+        # 8-byte-padded name, one client value (level)
+        filt += (
+            struct.pack("<HHHH", 32015, 8, 1, 1)
+            + b"zstd\x00\x00\x00\x00"
+            + struct.pack("<I", 3) + b"\x00" * 4
+        )
+    else:
+        filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
+    return filt
+
+
+_EA_DEFAULTS = dict(max_bits=32, index_elmts=4, min_pointers=4,
+                    min_elmts=16, page_bits=10)
+
+
+def _write_earray_index(alloc: "_Alloc", chunks, filtered: bool,
+                        params: dict | None = None) -> int:
+    """Emit an Extensible Array chunk index for `chunks` (a list of
+    (addr, csize, mask) in linear chunk order) and return the EAHD address.
+    Parameters default to libhdf5's dataset-chunk values
+    (H5D_EARRAY_* creation constants); spec: appendix "Extensible Array"."""
+    prm = {**_EA_DEFAULTS, **(params or {})}
+    max_bits, idx_blk = prm["max_bits"], prm["index_elmts"]
+    min_elmts, min_ptrs = prm["min_elmts"], prm["min_pointers"]
+    page_bits = prm["page_bits"]
+    client = 1 if filtered else 0
+    size_len = 4
+    elmt_size = 8 + size_len + 4 if filtered else 8
+    arr_off = (max_bits + 7) // 8
+    page_nelmts = 1 << page_bits
+    sblk_info = _ea_sblk_info(max_bits, min_elmts)
+    iblk_nsblks = 2 * (min_ptrs.bit_length() - 1)
+    ndblk_addrs = 2 * (min_ptrs - 1)
+    nsblk_addrs = len(sblk_info) - iblk_nsblks
+    n = len(chunks)
+
+    def elem(i: int) -> bytes:
+        if i < n:
+            addr, csize, mask = chunks[i]
+        else:
+            addr, csize, mask = UNDEF, 0, 0
+        out = struct.pack("<Q", addr)
+        if filtered:
+            out += int(csize or 0).to_bytes(size_len, "little")
+            out += struct.pack("<I", mask)
+        return out
+
+    def with_cksum(body: bytes) -> bytes:
+        return body + struct.pack("<I", _lookup3(body))
+
+    # header first (children embed its address): reserve, patch at the end
+    hdr_size = 12 + 6 * 8 + 8 + 4
+    hdr_addr = alloc.put(b"\x00" * hdr_size)
+    hdr_slot = len(alloc.blocks) - 1
+
+    def dblock(first: int, nelmts: int) -> int:
+        """Write one data block covering elements [first, first+nelmts)."""
+        head = b"EADB" + struct.pack("<BB", 0, client)
+        head += struct.pack("<Q", hdr_addr)
+        head += first.to_bytes(arr_off, "little")
+        if nelmts > page_nelmts:        # paged: prefix cksum, then pages
+            body = with_cksum(head)
+            for pg in range(0, nelmts, page_nelmts):
+                page = b"".join(elem(first + pg + i) for i in range(page_nelmts))
+                body += with_cksum(page)
+            return alloc.put(body)
+        body = head + b"".join(elem(first + i) for i in range(nelmts))
+        return alloc.put(with_cksum(body))
+
+    # data blocks reachable straight from the index block
+    direct_dblks: list[int] = []
+    covered = idx_blk
+    for si in range(iblk_nsblks):
+        ndblks, dblk_nelmts, start_idx, _ = sblk_info[si]
+        for d in range(ndblks):
+            first = idx_blk + start_idx + d * dblk_nelmts
+            if first < n:
+                direct_dblks.append(dblock(first, dblk_nelmts))
+            else:
+                direct_dblks.append(UNDEF)
+            covered = max(covered, first + dblk_nelmts)
+    # super blocks for the rest
+    sblk_addrs: list[int] = []
+    n_sblks = n_dblks = 0
+    for si in range(iblk_nsblks, len(sblk_info)):
+        ndblks, dblk_nelmts, start_idx, _ = sblk_info[si]
+        first_elmt = idx_blk + start_idx
+        if first_elmt >= n:
+            sblk_addrs.append(UNDEF)
+            continue
+        daddrs = []
+        for d in range(ndblks):
+            first = first_elmt + d * dblk_nelmts
+            if first < n:
+                daddrs.append(dblock(first, dblk_nelmts))
+                n_dblks += 1
+            else:
+                daddrs.append(UNDEF)
+        body = b"EASB" + struct.pack("<BB", 0, client)
+        body += struct.pack("<Q", hdr_addr)
+        body += first_elmt.to_bytes(arr_off, "little")
+        dblk_npages = dblk_nelmts // page_nelmts if dblk_nelmts > page_nelmts else 0
+        if dblk_npages:             # page-init bitmap: mark all pages present
+            body += b"\xff" * ((ndblks * dblk_npages + 7) // 8)
+        body += b"".join(struct.pack("<Q", a) for a in daddrs)
+        sblk_addrs.append(alloc.put(with_cksum(body)))
+        n_sblks += 1
+
+    # index block
+    body = b"EAIB" + struct.pack("<BB", 0, client)
+    body += struct.pack("<Q", hdr_addr)
+    body += b"".join(elem(i) for i in range(idx_blk))
+    body += b"".join(struct.pack("<Q", a) for a in direct_dblks[:ndblk_addrs])
+    body += b"".join(
+        struct.pack("<Q", sblk_addrs[i] if i < len(sblk_addrs) else UNDEF)
+        for i in range(nsblk_addrs)
+    )
+    iblk_addr = alloc.put(with_cksum(body))
+
+    n_direct = sum(1 for a in direct_dblks if a != UNDEF)
+    hdr = b"EAHD" + struct.pack(
+        "<8B", 0, client, elmt_size, max_bits, idx_blk, min_elmts,
+        min_ptrs, page_bits,
+    )
+    hdr += struct.pack(
+        "<6Q", n_sblks, 0, n_direct + n_dblks, 0, n, n,
+    )
+    hdr += struct.pack("<Q", iblk_addr)
+    alloc.blocks[hdr_slot] = (hdr_addr, with_cksum(hdr))
+    return hdr_addr
+
+
+def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
+                        filtered: bool, node_size: int = 2048) -> int:
+    """Emit a single-leaf version-2 B-tree chunk index for `records`
+    ((addr, csize, mask, scaled_offsets), pre-sorted by offsets) and return
+    the BTHD address. Record type 10/11 per the Data Layout v4 spec."""
+    size_len = 4
+    rec_size = 8 + (size_len + 4 if filtered else 0) + 8 * ndim
+    rtype = 11 if filtered else 10
+    cap = (node_size - 10) // rec_size
+    if len(records) > cap:
+        raise Hdf5Error(
+            f"btree2 chunk index writer supports one leaf ({cap} chunks), "
+            f"got {len(records)}"
+        )
+    leaf = b"BTLF" + struct.pack("<BB", 0, rtype)
+    for addr, csize, mask, scaled in records:
+        leaf += struct.pack("<Q", addr)
+        if filtered:
+            leaf += int(csize or 0).to_bytes(size_len, "little")
+            leaf += struct.pack("<I", mask)
+        leaf += b"".join(struct.pack("<Q", s) for s in scaled)
+    leaf_addr = alloc.put(leaf + struct.pack("<I", _lookup3(leaf)))
+    hdr = b"BTHD" + struct.pack("<BB", 0, rtype)
+    hdr += struct.pack("<I", node_size)
+    hdr += struct.pack("<HH", rec_size, 0)      # record size, depth 0
+    hdr += struct.pack("<BB", 100, 40)          # split / merge percent
+    hdr += struct.pack("<QHQ", leaf_addr, len(records), len(records))
+    return alloc.put(hdr + struct.pack("<I", _lookup3(hdr)))
+
+
 def write(path: str, ds: Dataset, compress: int | str | None = None,
-          chunk_rows: int | None = None) -> None:
+          chunk_rows: int | None = None, index: str | None = None,
+          ea_params: dict | None = None) -> None:
     """Write `ds` as a netCDF-4 (HDF5) file: superblock v0, symbol-table root
     group, one dimension-scale dataset per dimension, data variables with
     DIMENSION_LIST references. `compress` switches data layout to
     single-dimension chunking with shuffle + deflate (a zlib level) or
     shuffle + the registered zstd filter 32015 (`compress="zstd"`);
-    `chunk_rows` bounds the first-dimension chunk length."""
+    `chunk_rows` bounds the first-dimension chunk length.
+
+    `index` selects the chunk-index family for extendable (unlimited-dim)
+    datasets: None keeps the v1 B-tree; "earray" emits a Data Layout v4
+    message with an Extensible Array index (the libver-latest layout of
+    appended record variables; `ea_params` overrides the creation
+    constants); "btree2" emits a version-2 B-tree index."""
     alloc = _Alloc(96)      # superblock v0 with 8/8 sizes is 96 bytes
 
     dim_names = list(ds.dimensions)
@@ -1524,12 +1699,29 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
             addr = alloc.put(arr.tobytes() or b"\x00" * 0, align=8)
             data_addr[nm] = ("contiguous", arr, addr)
 
-    # chunk B-trees (one level-0 node per chunked dataset)
+    # chunk indexes: one per chunked dataset. Extendable datasets take the
+    # requested v4 index family; everything else keeps the v1 B-tree.
     btree_addr: dict[str, int] = {}
+    v4_index: dict[str, tuple[str, int]] = {}   # name -> (kind, index addr)
     for nm, rec in data_addr.items():
         if rec[0] != "chunked":
             continue
         _, arr, cshape, chunks = rec
+        if index in ("earray", "btree2") and _is_extendable(nm):
+            filtered = compress is not None
+            if index == "earray":
+                elems = [(caddr, csize, 0) for caddr, csize, _ in chunks]
+                v4_index[nm] = ("earray", _write_earray_index(
+                    alloc, elems, filtered, ea_params))
+            else:
+                recs = [
+                    (caddr, csize, 0,
+                     [o // c for o, c in zip(offs, cshape)])
+                    for caddr, csize, offs in chunks
+                ]
+                v4_index[nm] = ("btree2", _write_btree2_index(
+                    alloc, recs, arr.ndim, filtered))
+            continue
         node = b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
         node += struct.pack("<QQ", UNDEF, UNDEF)
         for caddr, csize, offs in chunks:
@@ -1563,6 +1755,27 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
             msgs.append(
                 _msg(M_LAYOUT, struct.pack("<BBQQ", 3, 1, rec[2], arr.nbytes))
             )
+        elif nm in v4_index:
+            # Data Layout v4 (libver-latest): chunk dims at 8 bytes each,
+            # then the index type and its creation parameters
+            _, arr, cshape, chunks = rec
+            kind, iaddr = v4_index[nm]
+            lay = struct.pack("<BBBBB", 4, 2, 0, arr.ndim, 8)
+            for c in cshape:
+                lay += struct.pack("<Q", c)
+            if kind == "earray":
+                prm = {**_EA_DEFAULTS, **(ea_params or {})}
+                lay += struct.pack(
+                    "<BBBBBH", 4, prm["max_bits"], prm["index_elmts"],
+                    prm["min_pointers"], prm["min_elmts"], prm["page_bits"],
+                )
+            else:
+                lay += struct.pack("<BIBB", 5, 2048, 100, 40)
+            lay += struct.pack("<Q", iaddr)
+            msgs.append(_msg(M_LAYOUT, lay))
+            if compress is not None:
+                msgs.append(_msg(M_FILTERS, _filter_pipeline_msg(
+                    arr.itemsize, compress)))
         else:
             _, arr, cshape, chunks = rec
             lay = struct.pack("<BBB", 3, 2, arr.ndim + 1)
@@ -1572,19 +1785,8 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
             lay += struct.pack("<I", arr.itemsize)
             msgs.append(_msg(M_LAYOUT, lay))
             if compress is not None:
-                filt = struct.pack("<BB6x", 1, 2)
-                filt += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", arr.itemsize) + b"\x00" * 4
-                if compress == "zstd":
-                    # registered filter 32015; v1 entries with an id >= 256
-                    # carry an 8-byte-padded name, one client value (level)
-                    filt += (
-                        struct.pack("<HHHH", 32015, 8, 1, 1)
-                        + b"zstd\x00\x00\x00\x00"
-                        + struct.pack("<I", 3) + b"\x00" * 4
-                    )
-                else:
-                    filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", compress) + b"\x00" * 4
-                msgs.append(_msg(M_FILTERS, filt))
+                msgs.append(_msg(M_FILTERS, _filter_pipeline_msg(
+                    arr.itemsize, compress)))
         if is_dim:
             msgs.append(_msg(M_ATTR, _encode_attr("CLASS", "DIMENSION_SCALE")))
             if var is None:

@@ -312,3 +312,98 @@ def test_execute_placeholder_args_validate_at_dispatch(server):
     status, out = _req(port, "/execute", wf, token="tok-admin")
     assert status == 200
     assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+
+
+class _CallbackReceiver:
+    """Tiny local webhook sink collecting notify payloads."""
+
+    def __init__(self):
+        import http.server
+        import threading
+
+        self.hits = []
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                outer.hits.append(json.loads(self.rfile.read(n)))
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.HTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}/notify"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def wait_for(self, n, timeout=10.0):
+        deadline = time.time() + timeout
+        while len(self.hits) < n and time.time() < deadline:
+            time.sleep(0.02)
+        return self.hits
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def test_callback_notify_on_completion(server):
+    # push-style completion notification (oph_notify.c:39 semantics): the
+    # callback URL receives the closing state for sync and async jobs
+    _, port = server
+    rx = _CallbackReceiver()
+    try:
+        _, out = _req(port, "/execute",
+                      {"name": "cb_sync", "callback": rx.url,
+                       "tasks": [{"name": "ls", "operator": "oph_list"}]},
+                      token="tok-admin")
+        hits = rx.wait_for(1)
+        assert len(hits) == 1
+        assert hits[0]["jobid"] == out["jobid"]
+        assert hits[0]["status"] == "OPH_ODB_STATUS_COMPLETED"
+        assert hits[0]["response"]["workflow"] == "cb_sync"
+        _, out2 = _req(port, "/execute",
+                       {"name": "cb_async", "exec_mode": "async",
+                        "callback": rx.url,
+                        "tasks": [{"name": "s", "operator": "slowop"}]},
+                       token="tok-admin")
+        hits = rx.wait_for(2)
+        assert len(hits) == 2
+        assert hits[1]["jobid"] == out2["jobid"]
+        assert hits[1]["status"] == "OPH_ODB_STATUS_COMPLETED"
+    finally:
+        rx.close()
+
+
+def test_callback_notify_on_cancel_fires_once(server):
+    _, port = server
+    rx = _CallbackReceiver()
+    try:
+        _, out = _req(port, "/execute",
+                      {"name": "cb_cancel", "exec_mode": "async",
+                       "callback": rx.url,
+                       "tasks": [{"name": "s", "operator": "slowop"}]},
+                      token="tok-admin")
+        jid = out["jobid"]
+        _, got = _req(port, f"/jobs/{jid}/cancel", body={}, token="tok-admin")
+        assert got["status"] == "OPH_ODB_STATUS_ABORTED"
+        hits = rx.wait_for(1)
+        assert len(hits) >= 1
+        assert hits[0]["status"] == "OPH_ODB_STATUS_ABORTED"
+        # the late completion of the cancelled run must NOT notify again
+        time.sleep(0.5)
+        assert len(hits) == 1
+    finally:
+        rx.close()
+
+
+def test_callback_must_be_http_url(server):
+    _, port = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/execute",
+             {"name": "bad_cb", "callback": "file:///etc/passwd",
+              "tasks": [{"name": "ls", "operator": "oph_list"}]},
+             token="tok-admin")
+    assert e.value.code == 400

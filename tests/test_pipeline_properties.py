@@ -115,3 +115,29 @@ def test_pii_signals_and_redaction(spark):
     assert red[4] == "ssn [SSN] leaked"  # SSN placeholder wins over phone
     assert red[5] == "clean text with numbers 12345 and v1.2 only"
     assert "[PHONE]" in red[3]
+
+
+def test_bigram_logprob_no_forced_broadcast(spark, tables):
+    # scale guard (round-6 item): the corpus-derived bigram stats tables are
+    # joined WITHOUT a broadcast hint, so the join strategy is AQE's size
+    # decision, not ours. With the broadcast threshold forced off the plan
+    # must degrade to shuffled joins (the 100-TB shape, where the bigram
+    # vocabulary outgrows every executor) and produce identical scores.
+    from ophidia_server_spark.pipeline.text import bigram_logprob
+
+    docs = tables["documents"].limit(300).cache()
+    baseline = {
+        r["doc_id"]: r["bigram_logprob"]
+        for r in bigram_logprob(docs).collect()
+    }
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bigram_logprob(docs)
+        rows = {r["doc_id"]: r["bigram_logprob"] for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, "hint would defeat the guard"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert rows == baseline

@@ -544,3 +544,76 @@ def test_pipeline_redact_pii_stage(env, spark, tables, tmp_path):
     assert run.status == "OPH_ODB_STATUS_COMPLETED"
     rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert rows[1] == "contact me [EMAIL]" and rows[2] == "clean row"
+
+
+def test_wait_file_subset_carry_into_importnc(env, tmp_path):
+    # OPH_WAIT type=file with subset args (OPH_WAIT_operator_1.0.xml:
+    # subset_dims/subset_filter/subset_type + measure + fileref/output):
+    # once the watched file exists, the wait forwards the file and the
+    # subset into the dependent import's arguments
+    # (oph_flow_control_operators.c:2060-2185 subset_params/add_to_notify)
+    import numpy as np
+
+    from ophidia_server_spark.sources import netcdf3 as nc
+
+    eng, store, _src = env
+    ncfile = str(tmp_path / "arrived.nc")
+    ds = nc.Dataset()
+    ds.dimensions = {"lat": 2, "time": 5}
+    ds.variables["lat"] = nc.Variable("lat", ("lat",), {}, np.array([10.0, 20.0]))
+    ds.variables["time"] = nc.Variable("time", ("time",), {}, np.arange(1.0, 6.0))
+    ds.variables["tas"] = nc.Variable(
+        "tas", ("lat", "time"), {}, np.arange(10, dtype="f8").reshape(2, 5)
+    )
+    nc.write(ncfile, ds)
+    # fileref indirection: the watched filename is read from a text file,
+    # like the reference's src-list handoff from an external producer
+    fileref = str(tmp_path / "arrival.txt")
+    with open(fileref, "w") as fh:
+        fh.write(ncfile + "\n")
+
+    run = eng.run({
+        "name": "wait_then_import",
+        "tasks": [
+            {
+                "name": "arrival", "operator": "oph_wait",
+                "arguments": {
+                    "type": "file", "timeout": "5", "fileref": fileref,
+                    "measure": "tas",
+                    "subset_dims": "time", "subset_filter": "2:4",
+                    "subset_type": "coord",
+                },
+            },
+            {
+                "name": "imp", "operator": "oph_importnc",
+                "dependencies": ["arrival"],
+                # src_path/measure/subset all arrive via the wait carry
+                "arguments": {"explicit_dims": "lat", "implicit_dim": "time",
+                              "container": "arrivals"},
+            },
+        ],
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    cube = store.get(run.results["imp"].value)
+    rows = {(r["lat"], r["time"], r["tas"]) for r in cube.long().collect()}
+    # time subset 2..4 by coordinate: columns 1..3 of each lat row
+    # (tas[lat=10][t] = t-1, tas[lat=20][t] = t+4)
+    want = {(10.0, t, t - 1.0) for t in (2.0, 3.0, 4.0)} | {
+        (20.0, t, t + 4.0) for t in (2.0, 3.0, 4.0)
+    }
+    assert rows == want
+    # an explicit argument beats the carry: re-run with measure pinned
+    run2 = eng.run({
+        "tasks": [
+            {"name": "w", "operator": "oph_wait",
+             "arguments": {"type": "file", "timeout": "5",
+                           "output": ncfile, "measure": "tas"}},
+            {"name": "i", "operator": "oph_importnc", "dependencies": ["w"],
+             "arguments": {"measure": "tas", "explicit_dims": "lat",
+                           "implicit_dim": "time"}},
+        ],
+    })
+    assert run2.status == "OPH_ODB_STATUS_COMPLETED"
+    assert len(store.get(run2.results["i"].value).long().collect()) == 10
