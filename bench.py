@@ -100,6 +100,12 @@ HEADLINE = [
     # round-6: unlimited-dim netCDF-4 with the Extensible Array chunk index
     # (the libver-latest appended-records ingest path)
     "io_nc4_unlimited_roundtrip",
+    # round-6: training-batch preparation — concat-and-chunk sequence packing
+    # (per-bucket running sum, no global order), cross-doc repeated-span
+    # stats (term-keyed gram join), and SemDeDup cluster-confined pruning
+    "pack_sequences",
+    "text_repeated_ngrams",
+    "dedup_semantic",
 ]
 
 

@@ -1,0 +1,237 @@
+"""Training-batch preparation operators: sequence packing, training-order
+shuffle, cross-document repeated-span statistics, and a logistic quality
+classifier.
+
+These cover the last mile of an LLM data pipeline — after cleaning/dedup the
+corpus must be (a) scored and gated one more time, (b) stripped of spans the
+corpus repeats verbatim (Lee et al., "Deduplicating Training Data Makes
+Language Models Better" — repeated spans are memorization fuel), (c) shuffled
+into a reproducible training order, and (d) packed into fixed-length token
+sequences (the concat-and-chunk layout GPT-style loaders consume).
+
+Every operator is deterministic and engine-portable (md5 keys + plain integer
+arithmetic), so each one carries an exact DuckDB oracle. Scale notes are per
+function; the common theme is that nothing here needs a global order — all
+window functions are partitioned by a hash bucket/shard so the work
+parallelizes bucket-wise at any corpus size.
+
+Reference parity note: the reference server has no training-prep operators —
+these extend the surface for LLM pipelines per the project's extension
+mandate (same status as pipeline/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline.text import tokens
+
+
+def _md5_bucket(key: Column, n: int, salt: str) -> Column:
+    """Uniform bucket in [0, n) from the first 8 md5 hex chars of key+salt.
+    conv(hex, 16, 10) % n is identical in Spark and DuckDB, which is what
+    makes the packing/shuffle layouts oracle-checkable."""
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 128,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing plan: lay the corpus out as
+    fixed-length token sequences and report, per document, where its tokens
+    land — bucket, start offset, and the first/last sequence ids it occupies
+    (documents straddle sequence boundaries, as in GPT-style loaders).
+
+    Layout: documents are hash-assigned to `n_buckets` independent streams
+    (so packing needs NO global order — the only window is partitioned by
+    bucket), concatenated within a stream in id order, and cut every
+    `seq_len` tokens. Global sequence id = bucket * ceil(max_stream/L) would
+    need a second pass, so sequence ids are per-bucket (bucket, seq_no) —
+    exactly how a sharded dataset addresses its samples.
+
+    Scale shape: one map stage for token counts, one window per bucket
+    (running sum — at 100 TB pick n_buckets ~ shard count, e.g. 8-64k, so
+    each window partition holds corpus/n_buckets rows), zero joins. The
+    running sum is the only shuffle.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    counted = df.select(
+        F.col(id_col),
+        _md5_bucket(F.col(id_col), n_buckets, salt).alias("bucket"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    end = start + F.col("n_tokens")
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.when(
+        F.col("n_tokens") > 0, F.floor((end - 1) / seq_len)
+    ).otherwise(first_seq)
+    return counted.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        start.cast("long").alias("start_offset"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        F.when(F.col("n_tokens") > 0, last_seq - first_seq + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a shard in
+    [0, n_shards) and a position within its shard, both derived only from
+    md5(id, salt) — change the salt to get a fresh, reproducible epoch order.
+
+    This is the distributed replacement for "shuffle the dataset": a loader
+    reads shards in any order and rows within a shard by position, and the
+    visit order is uniform-random-like yet identical across runs, engines and
+    partitionings. No global sort: the only window is per-shard (corpus/
+    n_shards rows each; at 100 TB use thousands of shards), the shard
+    assignment is a pure map.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    keyed = df.select(
+        F.col(id_col),
+        _md5_bucket(F.col(id_col), n_shards, salt + ":shard").alias("shard"),
+        key.alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span statistics: for each document, the
+    fraction of its k-gram occurrences that also appear in >= min_docs
+    distinct documents corpus-wide. High fractions mark boilerplate /
+    verbatim-repeated spans — the signal behind exact-substring dedup
+    (Lee et al. 2022): such spans are disproportionately memorized, so
+    pipelines either drop the docs or cut the spans.
+
+    Shape at scale: explode per-doc k-grams once (O(tokens)), one hash
+    aggregate for gram document-frequency (map-side partials shrink it to
+    distinct-gram size), one join back on the gram key (uniformly
+    distributed by construction — no skew), one per-doc aggregate. The gram
+    vocabulary is never broadcast and never collected.
+    """
+    from ophidia_server_spark.pipeline.dedup import _shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, k)).alias("gram")
+    )
+    dfreq = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    per_doc = (
+        grams.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("__df") >= min_docs).cast("long")).alias("n_repeated"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+            F.round(
+                F.coalesce(
+                    F.col("n_repeated") / F.nullif(F.col("n_grams"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
+# Default logistic weights: intercept + per-feature coefficients, chosen to
+# reward mid-length documents with sane stopword density and token lengths.
+# A trained model (pyspark.ml LogisticRegression / a distilled fastText) drops
+# into the same shape — the operator is the serving plan, not the training.
+QUALITY_LOGISTIC_WEIGHTS = {
+    "intercept": -3.0,
+    "log_tokens": 0.8,       # ln(1 + n_tokens)
+    "stopword_ratio": 4.0,
+    "mean_token_len": 0.15,
+}
+
+
+def quality_logistic(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    keep_threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality gate: a logistic classifier over the document's
+    quality features (the serving half of a fastText/linear quality filter —
+    CCNet/GPT-3-style "looks like curated text" scoring).
+
+        p = sigmoid(w0 + w1*ln(1+n_tokens) + w2*stopword_ratio
+                       + w3*mean_token_len)
+
+    Pure map stage (tokenize once, three array folds, one exp) — fuses into
+    the scan's codegen span; the weights are plan literals, so at 100 TB this
+    is a single pushed-projection pass with zero shuffle.
+    """
+    from ophidia_server_spark.pipeline.text import STOPWORDS
+
+    w = dict(QUALITY_LOGISTIC_WEIGHTS, **(weights or {}))
+    toked = df.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    feats = toked.select(
+        "doc_id",
+        F.size(toks).alias("__n"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))).alias("__stop"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("__chars"),
+    )
+    n = F.col("__n").cast("double")
+    sr = F.when(n > 0, F.col("__stop") / n).otherwise(F.lit(0.0))
+    mt = F.when(n > 0, F.col("__chars") / n).otherwise(F.lit(0.0))
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + n)
+        + F.lit(w["stopword_ratio"]) * sr
+        + F.lit(w["mean_token_len"]) * mt
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("quality_prob"),
+        (p >= keep_threshold).cast("int").alias("keep"),
+    )

@@ -531,3 +531,101 @@ def pq_topk_rerank(
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, prune near-identical members
+# ---------------------------------------------------------------------------
+
+
+def semantic_leaders(
+    df: DataFrame, n_clusters: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic cluster leaders for semantic dedup: the n_clusters
+    lowest-id vectors, unit-normalized driver-side. Same stand-in contract as
+    ivf_leaders — a trained codebook (ivf_kmeans_codebook) drops into the
+    same (cluster_id, centroid) shape; the deterministic form is what keeps
+    the whole operator DuckDB-oracle-exact."""
+    rows = df.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    out = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        out.append((int(r[0]), [x / n for x in v]))
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    leaders: "list[tuple[int, list[float]]] | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its nearest
+    cluster centroid, then inside each cluster drop any member whose cosine
+    similarity to a LOWER-id member exceeds `threshold` (keep-lowest-id
+    representative). Returns (vec_id, cluster_id, kept) for the full corpus.
+
+    Shape at scale: centroid assignment is a pure map stage — the centroid
+    table is a plan literal / broadcast (k centroids, bounded), scored with
+    JVM zip_with folds; the pairwise pass is confined WITHIN a cluster by a
+    self-join on cluster_id, so the quadratic term is (corpus/k)^2 per
+    cluster rather than corpus^2 — the SemDeDup contract (k grows with the
+    corpus; FAISS uses ~sqrt(n) clusters). No global state, no collect
+    beyond the k-row leader table.
+    """
+    lead = leaders if leaders is not None else semantic_leaders(
+        df, n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    # argmax over k literal centroids: greatest(dot_0 .. dot_{k-1}) then a
+    # first-match CASE — ties break to the lowest cluster id, same as the
+    # oracle's ORDER BY (dot DESC, cluster_id). Dots are rounded to 9
+    # decimals before the argmax so engines whose fold order differs in the
+    # last ulp still agree on the assignment.
+    v = F.col(vec_col)
+    dots = [
+        F.round(_dot(v, F.array(*[F.lit(float(x)) for x in c])), 9).alias(f"__d{cid}")
+        for cid, c in lead
+    ]
+    scored = df.select(F.col(id_col), v.alias(vec_col), *dots)
+    best = F.greatest(*[F.col(f"__d{cid}") for cid, _ in lead])
+    assign = None
+    for cid, _ in lead:
+        cond = F.col(f"__d{cid}") == best
+        assign = F.when(cond, F.lit(cid)) if assign is None else assign.when(cond, F.lit(cid))
+    member = scored.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        assign.cast("long").alias("cluster_id"),
+    )
+
+    # Per-cluster pairwise pass: one Arrow batch per cluster, scored as a
+    # single float64 matmul (the FAISS-style dense kernel — the sanctioned
+    # Pandas-UDF path for dense linear algebra, same as PQ/IVF). A member is
+    # dropped iff some LOWER-id member of its cluster has round(cos, 6) >=
+    # threshold. Replaces a JVM per-pair zip_with fold that interpreted
+    # 64 ops/pair (~4x slower at 2k vectors); numpy's double accumulation
+    # agrees with the sequential oracle fold through round(6).
+    import numpy as np
+    import pandas as pd
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        # strictly-lower-triangular hits: row i dropped if any j < i matches
+        hit = (np.tril(cos >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster_id": pdf["cluster_id"],
+                "kept": (~hit).astype("int32"),
+            }
+        )
+
+    out = member.groupBy("cluster_id").applyInPandas(
+        _prune, "vec_id long, cluster_id long, kept int"
+    )
+    return out if id_col == "vec_id" else out.withColumnRenamed("vec_id", id_col)

@@ -595,3 +595,20 @@ _d("pipeline_sample", "Deterministic Bernoulli/stratified/split sampling.",
    _p("strata_col", default="source"),
    _p("key_col", default="doc_id"),
    _p("salt"))
+_d("pipeline_pack", "Concat-and-chunk sequence packing layout.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("seq_len", type="int", default="2048", minvalue=1),
+   _p("n_buckets", type="int", default="64", minvalue=1))
+_d("pipeline_shuffle", "Deterministic training-order shuffle (md5 shards).",
+   _SRC, _OUT,
+   _p("n_shards", type="int", default="64", minvalue=1),
+   _p("salt", default="epoch0"))
+_d("pipeline_quality_model", "Logistic quality-classifier gate.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("keep_threshold", type="real", default="0.5", minvalue=0, maxvalue=1))
+_d("pipeline_semantic_dedup", "SemDeDup embedding-cluster near-dup pruning.",
+   _SRC, _OUT,
+   _p("n_clusters", type="int", default="64", minvalue=1),
+   _p("threshold", type="real", default="0.95", minvalue=-1, maxvalue=1),
+   _p("id_col", default="vec_id"),
+   _p("vec_col", default="embedding"))

@@ -389,6 +389,72 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         red.select(*docs.columns).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_pack(engine, args, inputs):
+        from ophidia_server_spark.pipeline.packing import pack_sequences
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        pack_sequences(
+            spark.read.parquet(src),
+            seq_len=int(args.get("seq_len", 2048)),
+            n_buckets=int(args.get("n_buckets", 64)),
+            text_col=args.get("text_col", "text"),
+        ).write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_shuffle(engine, args, inputs):
+        from ophidia_server_spark.pipeline.packing import global_shuffle
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        global_shuffle(
+            spark.read.parquet(src),
+            n_shards=int(args.get("n_shards", 64)),
+            salt=args.get("salt", "epoch0"),
+        ).write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_quality_model(engine, args, inputs):
+        # logistic quality gate: score + filter at keep_threshold, writing
+        # the surviving corpus rows (score columns ride along for audit)
+        from ophidia_server_spark.pipeline.packing import quality_logistic
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        docs = spark.read.parquet(src)
+        scored = quality_logistic(
+            docs,
+            keep_threshold=float(args.get("keep_threshold", 0.5)),
+            text_col=args.get("text_col", "text"),
+        )
+        kept = docs.join(
+            scored.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+        )
+        kept.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_semantic_dedup(engine, args, inputs):
+        from ophidia_server_spark.pipeline.similarity import semantic_dedup
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        semantic_dedup(
+            spark.read.parquet(src),
+            n_clusters=int(args.get("n_clusters", 64)),
+            threshold=float(args.get("threshold", 0.95)),
+            id_col=args.get("id_col", "vec_id"),
+            vec_col=args.get("vec_col", "embedding"),
+        ).write.mode("overwrite").parquet(out)
+        return out
+
     def op_importnc(engine, args, inputs):
         # src_path may come directly or from file-massive expansion (which
         # also supplies measure under convention=cmip5); subset_dims/
@@ -480,6 +546,10 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_chunk": op_pipe_chunk,
             "pipeline_decontaminate": op_pipe_contamination,
             "pipeline_sample": op_pipe_sample,
+            "pipeline_pack": op_pipe_pack,
+            "pipeline_shuffle": op_pipe_shuffle,
+            "pipeline_quality_model": op_pipe_quality_model,
+            "pipeline_semantic_dedup": op_pipe_semantic_dedup,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -4786,3 +4786,165 @@ def skew_hot_key_join_aqe(spark, sf_dir):
             F.sum("val").cast("double").alias("sum_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-batch preparation (pipeline/packing.py) + semantic dedup
+# ---------------------------------------------------------------------------
+
+from ophidia_server_spark.pipeline import packing as pk  # noqa: E402
+
+# first-8-md5-hex-chars -> BIGINT, the DuckDB mirror of Spark's
+# pmod(conv(substr(md5(..),1,8),16,10), n) bucket assignment
+_HEX8 = (
+    "list_reduce(list_transform(string_split(substr(md5({key}),1,8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+)
+
+
+@q(
+    "pack_sequences",
+    f"""WITH tk AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
+  FROM documents
+), w AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM tk
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(FLOOR(start_offset / 128) AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((start_offset + n_tokens - 1) / 128)
+                 ELSE FLOOR(start_offset / 128) END AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((start_offset + n_tokens - 1) / 128)
+                      - FLOOR(start_offset / 128) + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs_spanned
+FROM w""",
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: hash-bucketed token streams cut
+    every 128 tokens; per doc (bucket, start_offset, first/last sequence).
+    The only shuffle is the per-bucket running sum — no global order."""
+    return pk.pack_sequences(_t(spark, sf_dir)["documents"], seq_len=128, n_buckets=8)
+
+
+@q(
+    "train_global_shuffle",
+    f"""WITH k AS (
+  SELECT doc_id,
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':epoch0:shard'")} % 16 AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS sort_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k""",
+)
+def train_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: md5-derived shard + in-shard
+    position; change the salt for a fresh reproducible epoch. No global sort
+    — the window is per shard."""
+    return pk.global_shuffle(_t(spark, sf_dir)["documents"], n_shards=16)
+
+
+@q(
+    "text_repeated_ngrams",
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+  FROM t WHERE len(toks) >= 3
+), dfreq AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS n_repeated
+  FROM g JOIN dfreq USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+       ROUND(COALESCE(CAST(p.n_repeated AS DOUBLE) / NULLIF(p.n_grams, 0), 0.0), 6)
+         AS repeated_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+)
+def text_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated-span stats (Lee et al. exact-substring-dedup
+    signal): fraction of each doc's 3-gram occurrences appearing in >= 2
+    distinct docs. Gram vocabulary stays term-keyed — never broadcast."""
+    return pk.repeated_ngram_stats(_t(spark, sf_dir)["documents"], k=3, min_docs=2)
+
+
+@q(
+    "text_quality_logistic",
+    f"""WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT)
+           AS tok_chars
+  FROM tk
+), z AS (
+  SELECT doc_id,
+         -3.0 + 0.8 * ln(1.0 + n)
+              + 4.0 * (CASE WHEN n > 0 THEN CAST(stop AS DOUBLE)/n ELSE 0.0 END)
+              + 0.15 * (CASE WHEN n > 0 THEN CAST(tok_chars AS DOUBLE)/n ELSE 0.0 END)
+           AS s
+  FROM feat
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS quality_prob,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-s)) >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+FROM z""",
+)
+def text_quality_logistic(spark, sf_dir):
+    """Model-based quality gate: logistic score over length/stopword/token-
+    length features (the serving plan of a linear quality classifier). Pure
+    map stage, weights are plan literals."""
+    return pk.quality_logistic(_t(spark, sf_dir)["documents"])
+
+
+@q(
+    "dedup_semantic",
+    """WITH lead AS (
+  SELECT vec_id AS cluster_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT e.vec_id, l.cluster_id, e.embedding,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), l.c), 9)
+                      DESC, l.cluster_id) AS rk
+  FROM embeddings e CROSS JOIN lead l
+), member AS (
+  SELECT vec_id, cluster_id, embedding FROM assign WHERE rk = 1
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM member a JOIN member b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+)
+SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): nearest-centroid cluster assignment,
+    then keep-lowest-id inside each cluster for members whose cosine exceeds
+    the threshold. Quadratic term confined within a cluster — (n/k)^2, the
+    SemDeDup contract."""
+    return sim.semantic_dedup(
+        _t(spark, sf_dir)["embeddings"], n_clusters=8, threshold=0.3
+    )

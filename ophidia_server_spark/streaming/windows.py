@@ -576,15 +576,17 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
     Shape at scale: one aggregate for first-activity (map-side partial),
     one distinct on (user, period) — both shuffles keyed by user_id so AQE
     can co-locate the join — then a count-distinct per (cohort, offset)
-    cell. Periods are truncated timestamps, so the offset arithmetic is
-    exact integer division of the epoch difference — which is also why only
-    fixed-length units are accepted: a 'month' is not a constant number of
-    seconds, so it can't be supported by this offset arithmetic."""
+    cell. Fixed-length units (hour/day/week) compute the offset as exact
+    integer division of the epoch difference; calendar units (month/quarter/
+    year) — which are NOT a constant number of seconds — use months_between
+    on the truncated timestamps instead (exact integers there, since both
+    ends sit on period boundaries)."""
     spans = {"day": 86400, "week": 604800, "hour": 3600}
-    if unit not in spans:
+    months = {"month": 1, "quarter": 3, "year": 12}
+    if unit not in spans and unit not in months:
         raise ValueError(
-            f"cohort_retention unit must be one of {sorted(spans)} "
-            f"(fixed-length periods only), got {unit!r}"
+            f"cohort_retention unit must be one of "
+            f"{sorted(spans) + sorted(months)}, got {unit!r}"
         )
     ts = F.col("ts").cast("timestamp")
     first = df.groupBy("user_id").agg(
@@ -593,14 +595,18 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
     active = df.select(
         "user_id", F.date_trunc(unit, ts).alias("__period")
     ).distinct()
-    span = spans[unit]
+    if unit in spans:
+        offset = (
+            (F.col("__period").cast("long") - F.col("__cohort").cast("long"))
+            / spans[unit]
+        )
+    else:
+        offset = F.months_between(F.col("__period"), F.col("__cohort")) / months[unit]
     return (
         active.join(first, "user_id")
         .groupBy(
             F.date_format("__cohort", TS_FMT).alias("cohort"),
-            ((F.col("__period").cast("long") - F.col("__cohort").cast("long")) / span)
-            .cast("long")
-            .alias("period_offset"),
+            offset.cast("long").alias("period_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )

@@ -1,0 +1,133 @@
+"""Semantic checks for the training-batch preparation operators
+(pipeline/packing.py) and SemDeDup (pipeline/similarity.semantic_dedup):
+the invariants a loader relies on, independent of the DuckDB parity gate.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import packing as pk
+from ophidia_server_spark.pipeline import similarity as sim
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pack_sequences_offsets_are_contiguous_per_bucket(spark):
+    texts = [" ".join(["w"] * n) for n in (5, 300, 0, 128, 129, 64, 200, 1)]
+    out = pk.pack_sequences(_docs(spark, texts), seq_len=128, n_buckets=2)
+    rows = sorted(out.collect(), key=lambda r: (r.bucket, r.doc_id))
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        # concat layout: each doc starts exactly where the previous ended
+        off = 0
+        for r in rs:
+            assert r.start_offset == off, (bucket, r)
+            off += r.n_tokens
+    for r in rows:
+        if r.n_tokens == 0:
+            assert r.n_seqs_spanned == 0
+        else:
+            assert r.first_seq == r.start_offset // 128
+            assert r.last_seq == (r.start_offset + r.n_tokens - 1) // 128
+            assert r.n_seqs_spanned == r.last_seq - r.first_seq + 1
+
+
+def test_pack_sequences_rejects_nonpositive_seq_len(spark):
+    with pytest.raises(ValueError):
+        pk.pack_sequences(_docs(spark, ["a"]), seq_len=0)
+
+
+def test_global_shuffle_positions_are_dense_and_salt_sensitive(spark):
+    df = _docs(spark, ["x"] * 40)
+    a = pk.global_shuffle(df, n_shards=4, salt="epoch0").collect()
+    b = pk.global_shuffle(df, n_shards=4, salt="epoch1").collect()
+    # every row appears once; positions within a shard are 0..n-1 dense
+    assert len(a) == 40
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # the order is reproducible run-to-run ...
+    a2 = pk.global_shuffle(df, n_shards=4, salt="epoch0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, a2))
+    # ... and a different salt gives a different permutation
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+    # shard assignment matches the content-addressed md5 contract
+    for r in a:
+        h = hashlib.md5(f"{r.doc_id}:epoch0:shard".encode()).hexdigest()[:8]
+        assert r.shard == int(h, 16) % 4
+
+
+def test_repeated_ngram_stats_flags_shared_spans(spark):
+    shared = "alpha beta gamma delta"
+    texts = [
+        shared + " one two three",
+        shared + " four five six",
+        "seven eight nine ten eleven",
+        "ab",  # < k tokens -> zero grams
+    ]
+    out = {r.doc_id: r for r in
+           pk.repeated_ngram_stats(_docs(spark, texts), k=3, min_docs=2).collect()}
+    # docs 0/1 share the two 3-grams inside "alpha beta gamma delta"
+    for d in (0, 1):
+        assert out[d].n_repeated == 2
+        assert 0 < out[d].repeated_frac < 1
+    assert out[2].n_repeated == 0 and out[2].repeated_frac == 0.0
+    assert out[3].n_grams == 0 and out[3].repeated_frac == 0.0
+
+
+def test_quality_logistic_monotone_in_stopword_ratio(spark):
+    # same token count / token lengths, more stopwords -> higher probability
+    low = " ".join(["zz"] * 50)
+    high = " ".join(["the"] * 25 + ["zz"] * 25)
+    out = {r.doc_id: r.quality_prob for r in
+           pk.quality_logistic(_docs(spark, [low, high])).collect()}
+    assert out[1] > out[0]
+    probs = pk.quality_logistic(_docs(spark, [low, high])).collect()
+    assert all(0.0 <= r.quality_prob <= 1.0 for r in probs)
+    assert all(r.keep == int(r.quality_prob >= 0.5) for r in probs)
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_keeps_lowest_id_per_near_dup_group(spark):
+    # two tight groups near orthogonal axes + one isolated vector
+    vecs = [
+        [1.0, 0.0, 0.0],        # leader 0
+        [0.0, 1.0, 0.0],        # leader 1
+        [0.999, 0.01, 0.0],     # near-dup of 0 -> dropped
+        [0.0, 0.995, 0.02],     # near-dup of 1 -> dropped
+        [0.0, 0.0, 1.0],        # isolated (own direction) -> kept
+    ]
+    out = {r.vec_id: r for r in
+           sim.semantic_dedup(_emb(spark, vecs), n_clusters=2, threshold=0.95).collect()}
+    assert out[0].kept == 1 and out[1].kept == 1
+    assert out[2].kept == 0 and out[3].kept == 0
+    assert out[4].kept == 1
+    # cluster ids come from the leader table (lowest-id vectors)
+    assert out[2].cluster_id == 0 and out[3].cluster_id == 1
+
+
+def test_semantic_dedup_full_corpus_partition(spark):
+    # every vector is assigned exactly one cluster and one verdict
+    vecs = [[float(i % 3 == j) + 0.01 * i for j in range(3)] for i in range(30)]
+    out = sim.semantic_dedup(_emb(spark, vecs), n_clusters=3, threshold=0.9999)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert {r.vec_id for r in rows} == set(range(30))
+    # with an impossible threshold nothing is dropped
+    assert all(r.kept == 1 for r in rows)

@@ -617,3 +617,72 @@ def test_wait_file_subset_carry_into_importnc(env, tmp_path):
     })
     assert run2.status == "OPH_ODB_STATUS_COMPLETED"
     assert len(store.get(run2.results["i"].value).long().collect()) == 10
+
+
+def test_pipeline_training_prep_chain(env, spark, tables, tmp_path):
+    # the round-6 training-batch prep surface: logistic quality gate ->
+    # sequence packing -> epoch shuffle, chained by path like cube PIDs;
+    # plus SemDeDup over an embeddings parquet in the same workflow
+    eng, store, _src = env
+    src = str(tmp_path / "docs_src")
+    tables["documents"].write.mode("overwrite").parquet(src)
+    emb_src = str(tmp_path / "emb_src")
+    tables["embeddings"].write.mode("overwrite").parquet(emb_src)
+    wf = {
+        "tasks": [
+            {
+                "name": "gate", "operator": "pipeline_quality_model",
+                "arguments": {"src_path": src, "keep_threshold": 0.2,
+                              "output_path": str(tmp_path / "gated")},
+            },
+            {
+                "name": "pack", "operator": "pipeline_pack",
+                "arguments": {"seq_len": 256, "n_buckets": 4,
+                              "output_path": str(tmp_path / "packed")},
+                "dependencies": ["gate"],
+            },
+            {
+                "name": "shuffle", "operator": "pipeline_shuffle",
+                "arguments": {"n_shards": 4, "salt": "epoch0",
+                              "output_path": str(tmp_path / "shuffled")},
+                "dependencies": ["gate"],
+            },
+            {
+                "name": "semdedup", "operator": "pipeline_semantic_dedup",
+                "arguments": {"src_path": emb_src, "n_clusters": 4,
+                              "threshold": 0.3,
+                              "output_path": str(tmp_path / "semdeduped")},
+            },
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    n_gated = spark.read.parquet(run.results["gate"].value).count()
+    assert 0 < n_gated <= tables["documents"].count()
+    packed = spark.read.parquet(run.results["pack"].value)
+    assert packed.count() == n_gated
+    assert set(packed.columns) >= {"doc_id", "bucket", "start_offset", "first_seq"}
+    shuffled = spark.read.parquet(run.results["shuffle"].value)
+    assert shuffled.count() == n_gated
+    sd = spark.read.parquet(run.results["semdedup"].value)
+    assert sd.count() == tables["embeddings"].count()
+    assert sd.filter(F.col("kept") == 0).count() > 0  # threshold 0.3 prunes some
+
+
+def test_pipeline_pack_rejects_bad_param(env, tmp_path):
+    # descriptor validation: a non-int seq_len is a named validation error
+    # at submit time, not a deep TypeError
+    eng, _store, _src = env
+    run = eng.run({
+        "tasks": [{
+            "name": "pack", "operator": "pipeline_pack",
+            "arguments": {"src_path": "/nonexistent",
+                          "output_path": str(tmp_path / "x"),
+                          "seq_len": "lots"},
+        }]
+    })
+    assert run.status != "OPH_ODB_STATUS_COMPLETED"
+    err = run.results["pack"].error or ""
+    assert "seq_len" in err and ("int" in err or "validation" in err.lower())

@@ -259,3 +259,32 @@ def test_stream_stream_join_watermark_scales_with_bound(spark, tables, tmp_path)
     )
     want = {(r["u"], r["a_id"], r["b_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_cohort_retention_month_unit_uses_calendar_arithmetic(spark):
+    # two users: one first-active in Jan (active again in Feb + Apr), one in
+    # Feb (active in Mar). Month lengths differ, so epoch division can't
+    # produce these offsets — months_between on truncated stamps must.
+    rows = [
+        (1, "2024-01-05 10:00:00"), (1, "2024-02-28 09:00:00"),
+        (1, "2024-04-01 00:00:00"),
+        (2, "2024-02-29 23:59:59"), (2, "2024-03-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    out = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in win.cohort_retention(df, unit="month").collect()
+    }
+    assert out == {
+        ("2024-01-01 00:00:00", 0): 1,
+        ("2024-01-01 00:00:00", 1): 1,
+        ("2024-01-01 00:00:00", 3): 1,
+        ("2024-02-01 00:00:00", 0): 1,
+        ("2024-02-01 00:00:00", 1): 1,
+    }
+
+
+def test_cohort_retention_rejects_unknown_unit(spark):
+    df = spark.createDataFrame([(1, "2024-01-05 10:00:00")], "user_id long, ts string")
+    with pytest.raises(ValueError, match="month"):
+        win.cohort_retention(df, unit="fortnight")
