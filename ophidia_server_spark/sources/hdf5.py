@@ -818,10 +818,13 @@ class _H5Reader:
             else:
                 yield dblock_element(daddr, within, dblk_nelmts)
 
-    def _v2btree_chunk_entries(self, bthd_addr: int, ndim: int):
-        """Yield (addr, csize|None, mask, scaled_offsets) from a version-2
-        B-tree chunk index (record type 10 = non-filtered, 11 = filtered;
-        spec: Version 2 B-trees + Data Layout v4 index type 5)."""
+    def _v2btree_raw_records(self, bthd_addr: int):
+        """Walk a version-2 B-tree of ANY depth in record order, yielding
+        (rtype, raw record bytes) (spec: "Version 2 B-trees"). Internal-node
+        child pointers are (address, records-in-child, records-in-subtree),
+        whose field widths come from the per-level capacity ladder
+        (_b2_node_caps) — the subtree-total field exists only on pointers to
+        internal children, so its width varies by level."""
         p = self.at(bthd_addr)
         if self.buf[p : p + 4] != b"BTHD":
             raise Hdf5Error("bad v2 B-tree header signature")
@@ -831,16 +834,61 @@ class _H5Reader:
         depth = struct.unpack_from("<H", self.buf, p + 12)[0]
         root_addr = struct.unpack_from("<Q", self.buf, p + 16)[0]
         root_nrec = struct.unpack_from("<H", self.buf, p + 24)[0]
-        if rtype not in (10, 11):
-            raise Hdf5Error(f"v2 B-tree record type {rtype} is not a chunk index")
         if root_addr == UNDEF or root_nrec == 0:
             return
-        filtered = rtype == 11
-        # filtered records: address(8) + chunk size(var) + mask(4) +
-        # scaled offsets(8 per dim); non-filtered: address(8) + offsets
-        size_len = rec_size - 8 - 4 - 8 * ndim if filtered else 0
+        _, _, cum_size, nrec_width = _b2_node_caps(node_size, rec_size, depth)
 
-        def parse(rec: bytes):
+        def walk(addr: int, nrec: int, level: int):
+            q = self.at(addr)
+            sig = self.buf[q : q + 4]
+            if level == 0:
+                if sig != b"BTLF":
+                    raise Hdf5Error("bad v2 B-tree leaf signature")
+                q += 6
+                for i in range(nrec):
+                    yield rtype, self.buf[q + i * rec_size : q + (i + 1) * rec_size]
+                return
+            if sig != b"BTIN":
+                raise Hdf5Error("bad v2 B-tree internal node signature")
+            q += 6
+            # nrec records interleaved with nrec+1 child pointers; pointers
+            # to level-1 children carry a subtree-total field of
+            # cum_size[level-1] bytes (zero at the leaf level)
+            ptr_extra = nrec_width + cum_size[level - 1]
+            child_ptr = q + nrec * rec_size
+            children = []
+            for i in range(nrec + 1):
+                caddr = struct.unpack_from("<Q", self.buf, child_ptr)[0]
+                cnrec = int.from_bytes(
+                    self.buf[child_ptr + 8 : child_ptr + 8 + nrec_width], "little"
+                )
+                children.append((caddr, cnrec))
+                child_ptr += 8 + ptr_extra
+            yield from walk(children[0][0], children[0][1], level - 1)
+            for i in range(nrec):
+                yield rtype, self.buf[q + i * rec_size : q + (i + 1) * rec_size]
+                yield from walk(children[i + 1][0], children[i + 1][1], level - 1)
+
+        yield from walk(root_addr, root_nrec, depth)
+
+    def _v2btree_chunk_entries(self, bthd_addr: int, ndim: int):
+        """Yield (addr, csize|None, mask, scaled_offsets) from a version-2
+        B-tree chunk index (record type 10 = non-filtered, 11 = filtered;
+        spec: Version 2 B-trees + Data Layout v4 index type 5)."""
+        p = self.at(bthd_addr)
+        rec_size = struct.unpack_from("<H", self.buf, p + 10)[0]
+        first = True
+        for rtype, rec in self._v2btree_raw_records(bthd_addr):
+            if first:
+                if rtype not in (10, 11):
+                    raise Hdf5Error(
+                        f"v2 B-tree record type {rtype} is not a chunk index"
+                    )
+                first = False
+            filtered = rtype == 11
+            # filtered records: address(8) + chunk size(var) + mask(4) +
+            # scaled offsets(8 per dim); non-filtered: address(8) + offsets
+            size_len = rec_size - 8 - 4 - 8 * ndim if filtered else 0
             addr = struct.unpack_from("<Q", rec, 0)[0]
             if filtered:
                 csize = int.from_bytes(rec[8 : 8 + size_len], "little")
@@ -851,46 +899,7 @@ class _H5Reader:
             offs = [
                 struct.unpack_from("<Q", rec, base + 8 * i)[0] for i in range(ndim)
             ]
-            return addr, csize, mask, offs
-
-        # leaf capacity bounds the per-child record-count field width
-        leaf_cap = (node_size - 10) // rec_size
-        nrec_width = (leaf_cap.bit_length() + 7) // 8
-
-        def walk(addr: int, nrec: int, level: int):
-            q = self.at(addr)
-            sig = self.buf[q : q + 4]
-            if level == 0:
-                if sig != b"BTLF":
-                    raise Hdf5Error("bad v2 B-tree leaf signature")
-                q += 6
-                for i in range(nrec):
-                    yield parse(self.buf[q + i * rec_size : q + (i + 1) * rec_size])
-                return
-            if sig != b"BTIN":
-                raise Hdf5Error("bad v2 B-tree internal node signature")
-            if level > 1:
-                raise Hdf5Error(
-                    "v2 B-tree chunk index depth > 1 unsupported "
-                    f"({nrec * leaf_cap}+ chunks)"
-                )
-            q += 6
-            # nrec records interleaved with nrec+1 child pointers
-            child_ptr = q + nrec * rec_size
-            children = []
-            for i in range(nrec + 1):
-                caddr = struct.unpack_from("<Q", self.buf, child_ptr)[0]
-                cnrec = int.from_bytes(
-                    self.buf[child_ptr + 8 : child_ptr + 8 + nrec_width], "little"
-                )
-                children.append((caddr, cnrec))
-                child_ptr += 8 + nrec_width
-            yield from walk(children[0][0], children[0][1], level - 1)
-            for i in range(nrec):
-                yield parse(self.buf[q + i * rec_size : q + (i + 1) * rec_size])
-                yield from walk(children[i + 1][0], children[i + 1][1], level - 1)
-
-        yield from walk(root_addr, root_nrec, depth)
+            yield addr, csize, mask, offs
 
     def _v4_chunk_entries(self, obj: _Obj, chunk_shape: list[int], elem_size: int):
         """Yield (chunk_size, filter_mask, offsets, data_addr) for a v4
@@ -1153,27 +1162,11 @@ class _H5Reader:
         return locate
 
     def _v2_btree_records(self, bthd_addr: int):
-        """Yield raw records from a v2 B-tree (depth-0: root is the leaf)."""
-        p = self.at(bthd_addr)
-        if self.buf[p : p + 4] != b"BTHD":
-            raise Hdf5Error("bad v2 B-tree header signature")
-        rec_size = struct.unpack_from("<H", self.buf, p + 10)[0]
-        depth = struct.unpack_from("<H", self.buf, p + 12)[0]
-        root_addr = struct.unpack_from("<Q", self.buf, p + 16)[0]
-        root_nrec = struct.unpack_from("<H", self.buf, p + 24)[0]
-        if depth != 0:
-            raise Hdf5Error(
-                f"v2 B-tree depth {depth} unsupported (dense attribute sets "
-                "of this size exceed one leaf node)"
-            )
-        if root_addr == UNDEF or root_nrec == 0:
-            return
-        q = self.at(root_addr)
-        if self.buf[q : q + 4] != b"BTLF":
-            raise Hdf5Error("bad v2 B-tree leaf signature")
-        q += 6  # sig, version, type
-        for i in range(root_nrec):
-            yield self.buf[q + i * rec_size : q + (i + 1) * rec_size]
+        """Yield raw records from a v2 B-tree at any depth (shared walker —
+        dense attribute name indexes use the same node format as chunk
+        indexes, only the record type differs)."""
+        for _rtype, rec in self._v2btree_raw_records(bthd_addr):
+            yield rec
 
     def _dense_attributes(self, fheap_addr: int, name_bt_addr: int):
         """Yield (name, value) for densely-stored attributes: walk the name-
@@ -1578,39 +1571,130 @@ def _write_earray_index(alloc: "_Alloc", chunks, filtered: bool,
     return hdr_addr
 
 
+def _b2_node_caps(node_size: int, rec_size: int, depth: int):
+    """Per-level capacity ladder for a version-2 B-tree (spec: "Version 2
+    B-trees"; mirrors the library's node_info init). Node prefix is 10 bytes
+    (sig 4 + version 1 + type 1 + checksum 4); a child pointer at level l is
+    address(8) + records-in-child(nrec_width) + records-in-subtree
+    (cum_size[l-1], 0 for leaf children). Returns (max_nrec, cum_max,
+    cum_size, nrec_width), each list indexed by level 0..depth:
+      max_nrec[l]  — record capacity of one node at level l
+      cum_max[l]   — record capacity of a whole subtree rooted at level l
+      cum_size[l]  — byte width of the subtree-total field on a pointer TO a
+                     level-l child
+    nrec_width (bytes for records-in-child) is bounded by the leaf capacity,
+    which dominates every node's record count."""
+
+    def enc(v: int) -> int:
+        return max(1, (int(v).bit_length() + 7) // 8)
+
+    max_nrec = [(node_size - 10) // rec_size]
+    cum_max = [max_nrec[0]]
+    cum_size = [0]
+    nrec_width = enc(max_nrec[0])
+    for lvl in range(1, depth + 1):
+        ptr = 8 + nrec_width + cum_size[lvl - 1]
+        cap = (node_size - 10 - ptr) // (rec_size + ptr)
+        if cap < 1:
+            raise Hdf5Error(
+                f"v2 B-tree node size {node_size} too small for internal "
+                f"nodes at depth {lvl} (record size {rec_size})"
+            )
+        max_nrec.append(cap)
+        cum = (cap + 1) * cum_max[lvl - 1] + cap
+        cum_max.append(cum)
+        cum_size.append(enc(cum))
+    return max_nrec, cum_max, cum_size, nrec_width
+
+
 def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
                         filtered: bool, node_size: int = 2048) -> int:
-    """Emit a single-leaf version-2 B-tree chunk index for `records`
-    ((addr, csize, mask, scaled_offsets), pre-sorted by offsets) and return
-    the BTHD address. Record type 10/11 per the Data Layout v4 spec."""
+    """Emit a version-2 B-tree chunk index for `records` ((addr, csize,
+    mask, scaled_offsets), pre-sorted by offsets) and return the BTHD
+    address. Record type 10/11 per the Data Layout v4 spec. Builds however
+    many levels the record count needs: leaves first, then internal nodes
+    whose records separate their children (BTIN child pointers carry the
+    child's own record count and, above depth 1, the subtree total)."""
     size_len = 4
     rec_size = 8 + (size_len + 4 if filtered else 0) + 8 * ndim
     rtype = 11 if filtered else 10
-    cap = (node_size - 10) // rec_size
-    if len(records) > cap:
-        raise Hdf5Error(
-            f"btree2 chunk index writer supports one leaf ({cap} chunks), "
-            f"got {len(records)}"
-        )
-    leaf = b"BTLF" + struct.pack("<BB", 0, rtype)
-    for addr, csize, mask, scaled in records:
-        leaf += struct.pack("<Q", addr)
+
+    def encode(rec) -> bytes:
+        addr, csize, mask, scaled = rec
+        out = struct.pack("<Q", addr)
         if filtered:
-            leaf += int(csize or 0).to_bytes(size_len, "little")
-            leaf += struct.pack("<I", mask)
-        leaf += b"".join(struct.pack("<Q", s) for s in scaled)
-    leaf_addr = alloc.put(leaf + struct.pack("<I", _lookup3(leaf)))
+            out += int(csize or 0).to_bytes(size_len, "little")
+            out += struct.pack("<I", mask)
+        return out + b"".join(struct.pack("<Q", s) for s in scaled)
+
+    # smallest depth whose subtree capacity fits the record count
+    depth = 0
+    while _b2_node_caps(node_size, rec_size, depth)[1][depth] < len(records):
+        depth += 1
+    max_nrec, cum_max, cum_size, nrec_width = _b2_node_caps(
+        node_size, rec_size, depth
+    )
+
+    def build(recs: list, level: int) -> tuple[int, int, int]:
+        """Write the subtree for `recs` at `level`; returns (node address,
+        records in the node itself, records in the whole subtree)."""
+        if level == 0:
+            if len(recs) > max_nrec[0]:
+                raise Hdf5Error("v2 B-tree leaf overflow (builder bug)")
+            body = b"BTLF" + struct.pack("<BB", 0, rtype)
+            for r in recs:
+                body += encode(r)
+            return (
+                alloc.put(body + struct.pack("<I", _lookup3(body))),
+                len(recs),
+                len(recs),
+            )
+        # split into m child subtrees + (m-1) separator records: the
+        # smallest m whose even split fits a level-1 subtree, bounded by
+        # this node's fan-out
+        child_cap = cum_max[level - 1]
+        m = 2
+        while m <= max_nrec[level] and (len(recs) - (m - 1) + m - 1) // m > child_cap:
+            m += 1
+        if (len(recs) - (m - 1) + m - 1) // m > child_cap:
+            raise Hdf5Error("v2 B-tree capacity mismatch (builder bug)")
+        n_child = len(recs) - (m - 1)
+        base, extra = divmod(n_child, m)
+        children, seps = [], []
+        pos = 0
+        for i in range(m):
+            take = base + (1 if i < extra else 0)
+            children.append(build(recs[pos : pos + take], level - 1))
+            pos += take
+            if i < m - 1:
+                seps.append(recs[pos])
+                pos += 1
+        body = b"BTIN" + struct.pack("<BB", 0, rtype)
+        for r in seps:
+            body += encode(r)
+        for caddr, cnrec, ctotal in children:
+            body += struct.pack("<Q", caddr)
+            body += cnrec.to_bytes(nrec_width, "little")
+            if cum_size[level - 1]:
+                body += ctotal.to_bytes(cum_size[level - 1], "little")
+        return (
+            alloc.put(body + struct.pack("<I", _lookup3(body))),
+            len(seps),
+            len(recs),
+        )
+
+    root_addr, root_nrec, total = build(list(records), depth)
     hdr = b"BTHD" + struct.pack("<BB", 0, rtype)
     hdr += struct.pack("<I", node_size)
-    hdr += struct.pack("<HH", rec_size, 0)      # record size, depth 0
+    hdr += struct.pack("<HH", rec_size, depth)  # record size, depth
     hdr += struct.pack("<BB", 100, 40)          # split / merge percent
-    hdr += struct.pack("<QHQ", leaf_addr, len(records), len(records))
+    hdr += struct.pack("<QHQ", root_addr, root_nrec, total)
     return alloc.put(hdr + struct.pack("<I", _lookup3(hdr)))
 
 
 def write(path: str, ds: Dataset, compress: int | str | None = None,
           chunk_rows: int | None = None, index: str | None = None,
-          ea_params: dict | None = None) -> None:
+          ea_params: dict | None = None, b2_node_size: int = 2048) -> None:
     """Write `ds` as a netCDF-4 (HDF5) file: superblock v0, symbol-table root
     group, one dimension-scale dataset per dimension, data variables with
     DIMENSION_LIST references. `compress` switches data layout to
@@ -1622,7 +1706,10 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
     datasets: None keeps the v1 B-tree; "earray" emits a Data Layout v4
     message with an Extensible Array index (the libver-latest layout of
     appended record variables; `ea_params` overrides the creation
-    constants); "btree2" emits a version-2 B-tree index."""
+    constants); "btree2" emits a version-2 B-tree index whose depth follows
+    the chunk count (`b2_node_size` sets the tree's node size — smaller
+    nodes force deeper trees, the same knob as the library's creation
+    parameter)."""
     alloc = _Alloc(96)      # superblock v0 with 8/8 sizes is 96 bytes
 
     dim_names = list(ds.dimensions)
@@ -1720,7 +1807,7 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
                     for caddr, csize, offs in chunks
                 ]
                 v4_index[nm] = ("btree2", _write_btree2_index(
-                    alloc, recs, arr.ndim, filtered))
+                    alloc, recs, arr.ndim, filtered, node_size=b2_node_size))
             continue
         node = b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
         node += struct.pack("<QQ", UNDEF, UNDEF)
