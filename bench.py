@@ -106,6 +106,10 @@ HEADLINE = [
     "pack_sequences",
     "text_repeated_ngrams",
     "dedup_semantic",
+    # round-6: funnel (k-1 user-keyed joins) and the deterministic HLL
+    # sketch (map + m-row aggregate + per-day merge)
+    "events_funnel_conversion",
+    "events_hll_sketch",
 ]
 
 

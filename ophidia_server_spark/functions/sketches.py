@@ -1,0 +1,142 @@
+"""Deterministic, engine-portable sketches.
+
+Spark's built-in approx_count_distinct / approx_percentile are the production
+sketches (exposed as gate queries events_user_approx_distinct /
+lineitem_approx_quantiles), but their register hashing is engine-internal —
+the oracle can only check them rows-only. This module implements the SAME
+HyperLogLog mechanics over a content-addressed md5 hash, so Spark and DuckDB
+compute bit-identical registers and the gate can hash-match the whole
+sketch + estimate. That also demonstrates the property that makes sketches
+the 100 TB answer for distinct-counting: registers are tiny (m counters),
+built with one map + one m-row aggregate, and MERGEABLE — per-partition /
+per-day sketches max-combine into the global sketch with no re-scan.
+
+Mechanics (standard HLL, Flajolet et al. 2007): register index = first
+p bits of the hash; rho = leading-zero count of the next 64 bits + 1;
+estimate = alpha_m * m^2 / sum(2^-M_j) with the linear-counting small-range
+correction. The leading-zero count is computed with string ops on the hex
+digest (a run of '0' digits + a CASE on the first non-zero digit) because
+both engines agree exactly on strings, while float log2 tricks can differ
+in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _rho(tail: Column) -> Column:
+    """Leading-zero bits of a 16-hex-char (64-bit) string, + 1."""
+    zrun = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first = tail.substr(zrun + 1, F.lit(1))
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(zrun == 16, F.lit(65)).otherwise(4 * zrun + extra + 1)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 8, salt: str = "hll"
+) -> DataFrame:
+    """The m = 2^p HLL registers for a key column: (reg, rho) with
+    rho = max over keys hashing to the register. One map stage + one
+    m-row hash aggregate (map-side partials shrink each partition's
+    contribution to m rows before the shuffle — the sketch property)."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    hex_digits = p // 4
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    reg = F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long")
+    tail = F.substring(h, hex_digits + 1, 16)
+    return (
+        df.select(reg.alias("reg"), _rho(tail).alias("__r"))
+        .groupBy("reg")
+        .agg(F.max("__r").cast("long").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Estimate from a (reg, rho) table: alpha_m * m^2 / sum(2^-M_j) over
+    ALL m registers (absent ones count rho = 0), with the linear-counting
+    correction below 2.5m. Returns one row (m, n_zero_regs, estimate)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    spark = registers.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("reg"))
+        .join(registers, "reg", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__denom"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("n_zero_regs"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__denom")
+    v = F.col("n_zero_regs")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        v.cast("long").alias("n_zero_regs"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union per-shard/per-period register tables and max-combine — the
+    mergeability that lets 1000 executors (or 365 daily jobs) sketch
+    independently and combine in m rows of work."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("reg").agg(F.max("rho").cast("long").alias("rho"))
+
+
+def hll_distinct_report(
+    df: DataFrame, key_col: str, split_col: Column | None = None,
+    p: int = 8, salt: str = "hll",
+) -> DataFrame:
+    """One-row sketch report: the global HLL estimate, the estimate from
+    merging per-`split_col` sketches (equal registers by construction —
+    emitted to exercise the real merge path), the exact distinct count,
+    and the relative error. The exact count is affordable at gate scale;
+    at 100 TB only the sketch paths run."""
+    global_regs = hll_registers(df, key_col, p=p, salt=salt)
+    est = hll_estimate(global_regs, p=p)
+    if split_col is not None:
+        keyed = df.withColumn("__split", split_col)
+        splits = [r[0] for r in keyed.select("__split").distinct().collect()]
+        parts = [
+            hll_registers(
+                keyed.filter(F.col("__split") == s), key_col, p=p, salt=salt
+            )
+            for s in splits
+        ]
+        merged_est = hll_estimate(hll_merge(*parts), p=p).select(
+            F.col("estimate").alias("est_merged")
+        )
+    else:
+        merged_est = est.select(F.col("estimate").alias("est_merged"))
+    exact = df.agg(F.countDistinct(key_col).cast("long").alias("n_exact"))
+    return (
+        est.join(F.broadcast(exact))
+        .join(F.broadcast(merged_est))
+        .select(
+            "m",
+            "n_zero_regs",
+            "estimate",
+            "est_merged",
+            "n_exact",
+            F.round(
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                / F.greatest(F.col("n_exact"), F.lit(1)),
+                4,
+            ).alias("rel_err"),
+        )
+    )

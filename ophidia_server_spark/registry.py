@@ -4948,3 +4948,119 @@ def dedup_semantic(spark, sf_dir):
     return sim.semantic_dedup(
         _t(spark, sf_dir)["embeddings"], n_clusters=8, threshold=0.3
     )
+
+
+@q(
+    "events_funnel_conversion",
+    """WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1, MIN(s1.t0) AS t0
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t0
+    AND e.ts <= s1.t0 + INTERVAL 3600 SECOND
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+    AND e.ts <= s2.t0 + INTERVAL 3600 SECOND
+  GROUP BY 1
+), counts AS (
+  SELECT 1 AS step_no, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT CAST(step_no AS BIGINT) AS step_no, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM s1), 1), 6) AS frac_of_first
+FROM counts""",
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered-step conversion funnel (streaming/windows.py funnel):
+    view -> click -> purchase within an hour of the first view. k-1
+    user-keyed joins, no window over all events."""
+    return win.funnel(
+        _t(spark, sf_dir)["events"], ["view", "click", "purchase"],
+        within="1 hour",
+    )
+
+
+from ophidia_server_spark.functions import sketches as sk  # noqa: E402
+
+# rho (leading-zero bits + 1) of a 16-hex-char tail, as portable string ops
+_SQL_RHO = """CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 16 THEN 65
+     ELSE 4 * length(regexp_extract(tail, '^(0*)', 1))
+          + (CASE substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END) + 1 END"""
+
+
+@q(
+    "events_hll_sketch",
+    f"""WITH h AS (
+  SELECT list_reduce(list_transform(
+           string_split(substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 2), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) AS reg,
+         substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 3, 16) AS tail,
+         date_trunc('day', ts) AS day
+  FROM events
+), rr AS (
+  SELECT reg, day, {_SQL_RHO} AS rho FROM h
+), regs AS (
+  SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg
+), daily AS (
+  SELECT reg, day, MAX(rho) AS rho FROM rr GROUP BY reg, day
+), merged AS (
+  SELECT reg, MAX(rho) AS rho FROM daily GROUP BY reg
+), fullg AS (
+  SELECT r.range AS reg, COALESCE(regs.rho, 0) AS rho
+  FROM range(256) r LEFT JOIN regs ON r.range = regs.reg
+), fullm AS (
+  SELECT r.range AS reg, COALESCE(merged.rho, 0) AS rho
+  FROM range(256) r LEFT JOIN merged ON r.range = merged.reg
+), est_g AS (
+  SELECT SUM(power(2.0, -rho)) AS denom,
+         SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM fullg
+), est_m AS (
+  SELECT SUM(power(2.0, -rho)) AS denom,
+         SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM fullm
+), vals AS (
+  SELECT
+    (SELECT CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom <= 2.5 * 256
+                  AND v > 0
+                 THEN 256.0 * ln(256.0 / v)
+                 ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom END
+     FROM est_g) AS estimate,
+    (SELECT CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom <= 2.5 * 256
+                  AND v > 0
+                 THEN 256.0 * ln(256.0 / v)
+                 ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom END
+     FROM est_m) AS est_merged,
+    (SELECT v FROM est_g) AS n_zero_regs,
+    (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       CAST(n_zero_regs AS BIGINT) AS n_zero_regs,
+       ROUND(estimate, 4) AS estimate,
+       ROUND(est_merged, 4) AS est_merged,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(abs(ROUND(estimate, 4) - n_exact) / GREATEST(n_exact, 1), 4)
+         AS rel_err
+FROM vals""",
+)
+def events_hll_sketch(spark, sf_dir):
+    """Deterministic HyperLogLog over user_id (functions/sketches.py):
+    content-addressed md5 registers, so the whole sketch — registers,
+    estimate, AND the per-day merge path — hash-matches the DuckDB oracle.
+    The production twin is events_user_approx_distinct (Spark's built-in
+    HLL++, rows-only checkable)."""
+    ev = _t(spark, sf_dir)["events"]
+    return sk.hll_distinct_report(
+        ev, "user_id", split_col=F.date_trunc("day", F.col("ts")), p=8
+    )

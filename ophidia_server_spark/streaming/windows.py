@@ -610,3 +610,69 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def funnel(
+    df: DataFrame, steps: list[str], within: str | None = "1 hour",
+    user_col: str = "user_id", type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step conversion funnel: how many users performed step 1, then
+    step 2 strictly after their first step-1 event, then step 3 after that —
+    optionally all within `within` of the first step (the product-analytics
+    funnel primitive; steps must occur in order, re-entries don't reset).
+
+    Returns one row per step: (step_no, step, n_users, frac_of_first).
+
+    Shape at scale: step 1 is one user-keyed aggregate; each later step is
+    a semi-join-shaped inner join of that step's events against the
+    reached-so-far table (both sides keyed by user, so AQE co-locates the
+    shuffles) followed by a user-keyed min — k-1 joins for a k-step funnel,
+    never a window function over all events. The final counts are scalar
+    aggregates; the one-row first-step count broadcasts into the fractions.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    df = _event_time(df, ts_col)
+    within_s = _interval_seconds(within) if within else None
+    reached = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    tables = [reached]
+    prev = "__t0"
+    for i, step in enumerate(steps[1:], start=1):
+        cand = df.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        j = cand.join(tables[-1], user_col).filter(F.col("__ts") > F.col(prev))
+        if within_s is not None:
+            j = j.filter(
+                F.col("__ts")
+                <= F.col("__t0") + F.expr(f"INTERVAL {within_s} SECONDS")
+            )
+        cur = f"__t{i}"
+        tables.append(
+            j.groupBy(user_col).agg(
+                F.min("__ts").alias(cur), F.min("__t0").alias("__t0")
+            )
+        )
+        prev = cur
+    counts = None
+    for i, (step, t) in enumerate(zip(steps, tables)):
+        row = t.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = tables[0].agg(F.count("*").alias("__n1"))
+    return (
+        counts.join(F.broadcast(first))
+        .select(
+            "step_no", "step", "n_users",
+            F.round(F.col("n_users") / F.greatest(F.col("__n1"), F.lit(1)), 6)
+            .alias("frac_of_first"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Deterministic-HLL sketch checks: accuracy envelope on known
+cardinalities, exact mergeability, and the md5 register contract."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.functions import sketches as sk
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.createDataFrame([(f"{prefix}{i}",) for i in range(n)], "k string")
+
+
+@pytest.mark.parametrize("n", [40, 1000])
+def test_hll_estimate_within_envelope(spark, n):
+    regs = sk.hll_registers(_keys(spark, n), "k")
+    est = sk.hll_estimate(regs).first()
+    # standard error for m=256 is ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(est.estimate - n) / n < 0.26
+
+
+def test_hll_registers_match_python_md5(spark):
+    df = _keys(spark, 50)
+    got = {(r.reg, r.rho) for r in sk.hll_registers(df, "k").collect()}
+    regs = {}
+    for i in range(50):
+        h = hashlib.md5(f"k{i}:hll".encode()).hexdigest()
+        reg = int(h[:2], 16)
+        tail = h[2:18]
+        bits = bin(int(tail, 16))[2:].zfill(64)
+        rho = len(bits) - len(bits.lstrip("0")) + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_hll_merge_equals_global(spark):
+    a, b = _keys(spark, 300, "a"), _keys(spark, 300, "b")
+    both = a.unionByName(b)
+    merged = sk.hll_merge(
+        sk.hll_registers(a, "k"), sk.hll_registers(b, "k")
+    )
+    g = {(r.reg, r.rho) for r in sk.hll_registers(both, "k").collect()}
+    m = {(r.reg, r.rho) for r in merged.collect()}
+    assert g == m
+    # overlapping inputs merge idempotently (a union a == a)
+    dup = sk.hll_merge(sk.hll_registers(a, "k"), sk.hll_registers(a, "k"))
+    assert {(r.reg, r.rho) for r in dup.collect()} == {
+        (r.reg, r.rho) for r in sk.hll_registers(a, "k").collect()
+    }
+
+
+def test_hll_rejects_bad_precision(spark):
+    with pytest.raises(ValueError):
+        sk.hll_registers(_keys(spark, 5), "k", p=10)  # not a hex multiple

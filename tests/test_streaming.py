@@ -288,3 +288,45 @@ def test_cohort_retention_rejects_unknown_unit(spark):
     df = spark.createDataFrame([(1, "2024-01-05 10:00:00")], "user_id long, ts string")
     with pytest.raises(ValueError, match="month"):
         win.cohort_retention(df, unit="fortnight")
+
+
+def test_funnel_orders_steps_and_respects_window(spark):
+    rows = [
+        # u1 completes view->click->purchase inside the hour
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:10:00"),
+        (1, "purchase", "2024-01-01 10:20:00"),
+        # u2 clicks BEFORE viewing -> click doesn't count; no purchase
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # u3 converts but outside the 1-hour window from first view
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 09:30:00"),
+        # u4 never views
+        (4, "purchase", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    out = {r.step: (r.n_users, r.frac_of_first)
+           for r in win.funnel(df, ["view", "click", "purchase"],
+                               within="1 hour").collect()}
+    assert out["view"] == (3, 1.0)
+    assert out["click"] == (1, round(1 / 3, 6))
+    assert out["purchase"] == (1, round(1 / 3, 6))
+
+
+def test_funnel_without_window_allows_any_later_time(spark):
+    rows = [
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-02 09:30:00"),   # next day still counts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    out = {r.step: r.n_users
+           for r in win.funnel(df, ["view", "click"], within=None).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_funnel_rejects_empty_steps(spark):
+    df = spark.createDataFrame([(1, "view", "2024-01-01 08:00:00")],
+                               "user_id long, event_type string, ts string")
+    with pytest.raises(ValueError):
+        win.funnel(df, [])
