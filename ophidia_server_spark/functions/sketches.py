@@ -39,6 +39,17 @@ def _rho(tail: Column) -> Column:
     return F.when(zrun == 16, F.lit(65)).otherwise(4 * zrun + extra + 1)
 
 
+def _register_exprs(key_col: str, p: int, salt: str) -> tuple[Column, Column]:
+    """(register index, rho) expressions for one key column."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    hex_digits = p // 4
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    reg = F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long")
+    tail = F.substring(h, hex_digits + 1, 16)
+    return reg, _rho(tail)
+
+
 def hll_registers(
     df: DataFrame, key_col: str, p: int = 8, salt: str = "hll"
 ) -> DataFrame:
@@ -46,15 +57,26 @@ def hll_registers(
     rho = max over keys hashing to the register. One map stage + one
     m-row hash aggregate (map-side partials shrink each partition's
     contribution to m rows before the shuffle — the sketch property)."""
-    if p % 4 != 0 or not 4 <= p <= 16:
-        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
-    hex_digits = p // 4
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
-    reg = F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long")
-    tail = F.substring(h, hex_digits + 1, 16)
+    reg, rho = _register_exprs(key_col, p, salt)
     return (
-        df.select(reg.alias("reg"), _rho(tail).alias("__r"))
+        df.select(reg.alias("reg"), rho.alias("__r"))
         .groupBy("reg")
+        .agg(F.max("__r").cast("long").alias("rho"))
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, key_col: str, split_col: Column, p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-split register tables in ONE aggregate: (split, reg, rho). The
+    grouped form of hll_registers — how a 100 TB job sketches every
+    partition/day in a single pass (m rows of state per split), ready to
+    hll_merge into coarser periods with no re-scan."""
+    reg, rho = _register_exprs(key_col, p, salt)
+    return (
+        df.select(split_col.alias("split"), reg.alias("reg"), rho.alias("__r"))
+        .groupBy("split", "reg")
         .agg(F.max("__r").cast("long").alias("rho"))
     )
 
@@ -110,15 +132,11 @@ def hll_distinct_report(
     global_regs = hll_registers(df, key_col, p=p, salt=salt)
     est = hll_estimate(global_regs, p=p)
     if split_col is not None:
-        keyed = df.withColumn("__split", split_col)
-        splits = [r[0] for r in keyed.select("__split").distinct().collect()]
-        parts = [
-            hll_registers(
-                keyed.filter(F.col("__split") == s), key_col, p=p, salt=salt
-            )
-            for s in splits
-        ]
-        merged_est = hll_estimate(hll_merge(*parts), p=p).select(
+        # per-split sketches in one grouped aggregate, max-combined back to
+        # the global register table — all lazy, no driver-side split list
+        parts = hll_registers_by(df, key_col, split_col, p=p, salt=salt)
+        merged = parts.groupBy("reg").agg(F.max("rho").cast("long").alias("rho"))
+        merged_est = hll_estimate(merged, p=p).select(
             F.col("estimate").alias("est_merged")
         )
     else:

@@ -138,26 +138,32 @@ def repeated_ngram_stats(
     (Lee et al. 2022): such spans are disproportionately memorized, so
     pipelines either drop the docs or cut the spans.
 
-    Shape at scale: explode per-doc k-grams once (O(tokens)), one hash
-    aggregate for gram document-frequency (map-side partials shrink it to
-    distinct-gram size), one join back on the gram key (uniformly
-    distributed by construction — no skew), one per-doc aggregate. The gram
-    vocabulary is never broadcast and never collected.
+    Shape at scale: explode per-doc k-grams ONCE (O(tokens)) into distinct
+    (doc, gram) occurrence counts, then take the document frequency as an
+    unordered window count over the gram partition — no self-join, so the
+    explode isn't recomputed for a second branch (a join formulation ran
+    the explode twice: column pruning made the two subplans differ, which
+    defeats ReusedExchange). Gram keys are uniformly distributed by
+    construction — no skew; the vocabulary is never broadcast, never
+    collected, and each gram's window partition is at most min_docs-ish
+    rows deep times the corpus dup rate.
     """
     from ophidia_server_spark.pipeline.dedup import _shingles
 
-    grams = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, k)).alias("gram")
+    pairs = (
+        df.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("__c"))
     )
-    dfreq = grams.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("__df")
-    )
+    dfw = F.count("*").over(Window.partitionBy("gram"))
     per_doc = (
-        grams.join(dfreq, "gram")
+        pairs.withColumn("__df", dfw)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("__df") >= min_docs).cast("long")).alias("n_repeated"),
+            F.sum("__c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__df") >= min_docs, F.col("__c")).otherwise(F.lit(0))
+            ).alias("n_repeated"),
         )
     )
     return (

@@ -5064,3 +5064,40 @@ def events_hll_sketch(spark, sf_dir):
     return sk.hll_distinct_report(
         ev, "user_id", split_col=F.date_trunc("day", F.col("ts")), p=8
     )
+
+
+@q(
+    "sim_pq_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings WHERE vec_id < 4""",
+)
+def sim_pq_recall(spark, sf_dir):
+    """Semantic grade for the PQ serving path (sim_pq_topk's graded twin):
+    shortlist+exact-rerank recall@10 vs brute-force must clear the floor on
+    every probe. The shortlist is 150 candidates (30% of the gate corpus —
+    measured recalls 0.6-1.0 across the sf0.001/sf0.01 fixtures; 8-byte
+    codes over 64 dims are a 32x compression, so the floor is the
+    useful-approximation bar)."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        books = sim.pq_codebooks(emb, m=8, k=16)
+        codes = sim.pq_encode(emb, books).persist()
+        codes.count()
+        _PQ_CACHE[key] = (books, codes)
+    books, codes = _PQ_CACHE[key]
+    rows = []
+    for pid in range(4):
+        qv = [
+            float(v) for v in
+            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
+        ]
+        got = {
+            r["vec_id"]
+            for r in sim.pq_topk_rerank(
+                codes, emb, books, qv, k=10, shortlist=150
+            ).collect()
+        }
+        exact = {r["vec_id"] for r in sim.topk_cosine(emb, qv, k=10).collect()}
+        rows.append((pid, int(len(got & exact) / max(1, len(exact)) >= 0.5)))
+    return spark.createDataFrame(rows, "probe_id long, recall_ok long")
