@@ -663,7 +663,7 @@ def expand_file_glob(pattern: str) -> list[str]:
 def _grid_to_nc(
     pdf, dims: list[str], measure: str, out_path: str, nc_format: str = "classic",
     compress: int | None = None, unlimited_dim: str | None = None,
-    index: str | None = None,
+    index: str | None = None, b2_node_size: int = 2048,
 ) -> None:
     """Dense-grid a long-form pandas frame (dim cols + measure) and write one
     NetCDF file: one coordinate variable per dim, NaN where the grid has
@@ -704,7 +704,8 @@ def _grid_to_nc(
         # appended-record shape: the unlimited dim forces chunked layout;
         # index='earray'/'btree2' selects the libver-latest chunk index
         hdf5.write(out_path, ds, compress=compress,
-                   chunk_rows=8 if unlimited_dim else None, index=index)
+                   chunk_rows=8 if unlimited_dim else None, index=index,
+                   b2_node_size=b2_node_size)
     else:
         netcdf3.write(out_path, ds)
 
@@ -713,6 +714,7 @@ def oph_exportnc(
     cube: Cube, path: str, per_dim_files: bool = False,
     nc_format: str = "classic", compress: int | str | None = None,
     unlimited_dim: str | None = None, index: str | None = None,
+    b2_node_size: int = 2048,
 ) -> list[str]:
     """Cube -> NetCDF file(s) (oph_exportnc/oph_exportnc2,
     oph_json_objkeys.h:116-117), written with the pure-Python NetCDF3 codec
@@ -733,7 +735,8 @@ def oph_exportnc(
     if not per_dim_files:
         out = os.path.join(path, f"{measure}.nc")
         _grid_to_nc(long_df.toPandas(), dims, measure, out, nc_format, compress,
-                    unlimited_dim=unlimited_dim, index=index)
+                    unlimited_dim=unlimited_dim, index=index,
+                    b2_node_size=b2_node_size)
         return [out]
 
     split_dim = dims[0]

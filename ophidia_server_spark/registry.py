@@ -5101,3 +5101,44 @@ def sim_pq_recall(spark, sf_dir):
         exact = {r["vec_id"] for r in sim.topk_cosine(emb, qv, k=10).collect()}
         rows.append((pid, int(len(got & exact) / max(1, len(exact)) >= 0.5)))
     return spark.createDataFrame(rows, "probe_id long, recall_ok long")
+
+
+@q(
+    "io_nc4_btree2_deep_roundtrip",
+    """SELECT CAST(l_partkey % 200 AS BIGINT) AS pgrp,
+       CAST(quarter(l_shipdate) AS BIGINT) AS quarter,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_nc4_btree2_deep_roundtrip(spark, sf_dir):
+    """Appended-records netCDF-4 with a MULTI-LEVEL version-2 B-tree chunk
+    index (Data Layout v4 type 5): 200 unlimited-dim rows in 8-row chunks
+    under 64-byte tree nodes force depth >= 2 (BTIN internal levels with
+    subtree-total pointer fields), then the file re-imports through the
+    Spark HDF5 codec and must match SQL over the parquet source. Companion
+    to io_nc4_unlimited_roundtrip (Extensible Array family)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        (F.col("l_partkey") % 200).alias("pgrp"),
+        F.quarter("l_shipdate").alias("quarter"),
+        F.col("l_quantity"),
+    )
+    cube = build_cube(
+        li, ["pgrp"], "quarter", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(
+        cube, f"/tmp/ophidia_nc4bt2_{tag}", nc_format="netcdf4", compress=4,
+        unlimited_dim="pgrp", index="btree2", b2_node_size=64,
+    )
+    c2 = io_ops.oph_importnc(spark, files, "qty", ["pgrp"], "quarter")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("pgrp").cast("long").alias("pgrp"),
+            F.col("quarter").cast("long").alias("quarter"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )
