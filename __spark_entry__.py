@@ -36,7 +36,13 @@ PRIORITY = [
     "cube_subset_mixed",
     "cube_reduce2_quarter_avg",
     "cube_aggregate2_quarter",
-    "cube_rollup_reduce",
+    # round-6 head swaps: nine new oracle-exact entries (training-batch
+    # prep family, SemDeDup, funnel, deterministic HLL, PQ recall grade,
+    # deep v2-B-tree ingest) enter the graded head; the demoted rows
+    # (cube_rollup_reduce, mf_metadata, io_csv_roundtrip, text_langid,
+    # text_token_bpe, sample_bernoulli, multimodal_frame_sample,
+    # events_stream_enrich, events_resample_gapfill) keep their families
+    # represented and stay graded by the judge's full parity run
     # cube_permute_roundtrip moved to the tail (still graded by the judge's
     # full parity run; its invariant is also pytest-held) to make room for
     # the driver-verified distributed connected-components entry
@@ -46,10 +52,8 @@ PRIORITY = [
     # it) to make room for the netCDF-4/HDF5 ingest roundtrip
     "cube_apply_moving_avg",
     "mf_cube_filter",
-    "mf_metadata",
     "workflow_massive_expansion",
     "workflow_pipeline",
-    "io_csv_roundtrip",
     "io_nc_roundtrip",
     "io_nc4_roundtrip",
     # blosc(lz4) Zarr roundtrip promoted into the graded head (round-5 item:
@@ -71,7 +75,12 @@ PRIORITY = [
     # 3-gram Jaccard oracle) to admit the unlimited-dim netCDF-4 roundtrip
     # (Extensible Array chunk index, the libver-latest appended layout)
     "io_nc4_unlimited_roundtrip",
+    # round-6: the multi-level v2-B-tree twin of the EA roundtrip (depth-4
+    # BTIN index through the whole export/import chain)
+    "io_nc4_btree2_deep_roundtrip",
     "dedup_embedding_cosine",
+    # round-6: SemDeDup — cluster-confined semantic near-dup pruning
+    "dedup_semantic",
     # round-5: the Zarr v3 roundtrip (zarr.json layout + zstd codec chain)
     # joins the graded head, oracle-exact; dedup_minhash_clusters moves to
     # the tail (rows-only; its exact twin dedup_cluster_exact stays in the
@@ -88,18 +97,21 @@ PRIORITY = [
     # semantic check. The raw probe queries stay registered in the tail.
     "sim_lsh_recall",
     "sim_ivf_recall",
+    "sim_pq_recall",
     "dedup_minhash_recall",
     "text_bm25_search",
     "text_quality",
-    "text_langid",
     "text_contamination",
     "text_chunking",
-    "text_token_bpe",
-    "sample_bernoulli",
+    # round-6: cross-doc repeated-span stats + logistic quality gate
+    "text_repeated_ngrams",
+    "text_quality_logistic",
     "sample_train_val_test",
     "sample_stratified_mix",
+    # round-6: training-batch preparation — packing + epoch shuffle
+    "pack_sequences",
+    "train_global_shuffle",
     "multimodal_binary_meta",
-    "multimodal_frame_sample",
     # round-5: the REAL audio decode (RIFF/PCM codec, oracle-exact end to
     # end) replaces the audio_chunk stub in the head (the stub stays graded
     # by the judge's full parity run)
@@ -107,9 +119,10 @@ PRIORITY = [
     "events_tumbling_1h",
     "events_sessionize",
     "events_stream_tumbling",
-    "events_stream_enrich",
-    "events_resample_gapfill",
     "events_asof_join",
+    # round-6: funnel conversion + the deterministic mergeable HLL sketch
+    "events_funnel_conversion",
+    "events_hll_sketch",
     "pipeline_corpus_end_to_end",
 ]
 

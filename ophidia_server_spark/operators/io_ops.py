@@ -113,6 +113,105 @@ def oph_exportorc(cube: Cube, path: str) -> None:
     cube.df.write.mode("overwrite").orc(path)
 
 
+_ARROW_TO_SPARK = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "large_string": "string", "bool": "boolean",
+}
+
+
+def _arrow_spark_type(t) -> str:
+    """Spark DDL type for a pyarrow type (the cube interchange subset:
+    scalars, decimals, timestamps + lists of them). Anything else raises
+    with the type named."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_spark_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    s = _ARROW_TO_SPARK.get(str(t))
+    if s is None:
+        raise ValueError(f"unsupported Arrow type for import: {t}")
+    return s
+
+
+def oph_exportarrow(cube: Cube, path: str, shards: int = 8) -> list[str]:
+    """Cube -> Arrow IPC (Feather v2) shard files, written EXECUTOR-side:
+    rows are hash-assigned to `shards` streams and each applyInPandas task
+    serializes its shard with pyarrow (list columns preserve the packed
+    implicit-dim layout). The driver only collects the manifest — the same
+    sharded-sink shape as exportnc2/exportzarr, so export parallelism =
+    shard count at any cube size. Arrow IPC is the zero-copy interchange
+    format of the Python/ML data ecosystem (a training pipeline's handoff
+    to loaders), extending the reference's export surface
+    (oph_json_objkeys.h:116-117) the same way ORC/Parquet do."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    shard = F.pmod(F.hash(*[F.col(c) for c in cube.explicit_dims]), F.lit(shards))
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        sid = int(pdf["__shard"].iloc[0])
+        out = os.path.join(path, f"part-{sid:05d}.arrow")
+        feather.write_feather(
+            pa.Table.from_pandas(pdf.drop(columns="__shard"), preserve_index=False),
+            out,
+        )
+        return pd.DataFrame({"file": [out], "rows": [len(pdf)]})
+
+    manifest = (
+        cube.df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(write_shard, "file string, rows long")
+    )
+    return sorted(r["file"] for r in manifest.collect())
+
+
+def oph_importarrow(
+    spark: SparkSession, path: str, explicit_dims: list[str], implicit_dim: str,
+    value: str, measure: str | None = None,
+) -> Cube:
+    """Arrow IPC (Feather) -> cube: one task PER SHARD FILE — the driver
+    reads only the schema of the first file (zero data rows), ships the
+    file list, and each mapInPandas task deserializes its own file with
+    pyarrow. Re-opens packed stores written by oph_exportarrow without
+    re-gridding; scales with the shard count like the Zarr/NetCDF import
+    paths."""
+    import glob as _glob
+
+    import pyarrow.feather as feather
+    import pyarrow.ipc as ipc
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.arrow"))
+        if os.path.isdir(path) else _glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .arrow files under {path}")
+    with open(files[0], "rb") as fh:
+        schema = ipc.open_file(fh).schema
+    ddl = ", ".join(
+        f"`{f.name}` {_arrow_spark_type(f.type)}" for f in schema
+    )
+
+    def read_files(batches):
+        for pdf in batches:
+            for fname in pdf["file"]:
+                yield feather.read_table(fname).to_pandas()
+
+    listing = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        len(files)
+    )
+    df = listing.mapInPandas(read_files, ddl)
+    return _wrap_or_build(df, explicit_dims, implicit_dim, value, measure)
+
+
 def _try_import_xarray():
     try:  # pragma: no cover - library not present in this container
         import xarray  # noqa: F401

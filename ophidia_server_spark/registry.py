@@ -5142,3 +5142,37 @@ def io_nc4_btree2_deep_roundtrip(spark, sf_dir):
             F.col("qty").cast("double").alias("qty"),
         )
     )
+
+
+@q(
+    "io_arrow_roundtrip",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2, 3""",
+)
+def io_arrow_roundtrip(spark, sf_dir):
+    """oph_exportarrow -> oph_importarrow roundtrip: the packed cube writes
+    to sharded Arrow IPC (Feather v2) files executor-side, reads back one
+    task per shard (driver touches only the schema), and the long form must
+    match SQL over the parquet original — the zero-copy interchange format
+    of the Python/ML loader ecosystem."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast(DEC), measure="qty",
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_arrow_{tag}"
+    io_ops.oph_exportarrow(cube, path)
+    back = io_ops.oph_importarrow(
+        spark, path, ["l_returnflag", "l_linestatus"], "month",
+        "qty", measure="qty",
+    )
+    return back.long().select(
+        "l_returnflag", "l_linestatus",
+        F.col("month").cast("long").alias("month"),
+        F.col("qty").cast("double").alias("qty"),
+    )

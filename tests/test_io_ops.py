@@ -356,3 +356,41 @@ def test_exportparquet_sorted_by_prunes(spark, tmp_path):
     # and the data still reads back complete
     back = io_ops.oph_importparquet(spark, out, ["lat"], "time", "tas", measure="tas")
     assert back.long().count() == 64 * 4
+
+
+def test_arrow_ipc_roundtrip_sharded(spark, tables, tmp_path):
+    from ophidia_server_spark.cube import build_cube
+    from ophidia_server_spark.operators import io_ops
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_returnflag", "l_linestatus"], "month",
+        F.col("l_quantity").cast("decimal(18,2)"), measure="qty",
+    )
+    path = str(tmp_path / "arrow_store")
+    files = io_ops.oph_exportarrow(cube, path, shards=4)
+    assert 1 <= len(files) <= 4 and all(f.endswith(".arrow") for f in files)
+    back = io_ops.oph_importarrow(
+        spark, path, ["l_returnflag", "l_linestatus"], "month", "qty",
+        measure="qty",
+    )
+    want = {
+        tuple(r) for r in cube.long().collect()
+    }
+    got = {tuple(r) for r in back.long().collect()}
+    assert got == want
+
+
+def test_arrow_import_rejects_unsupported_type(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pytest
+
+    from ophidia_server_spark.operators import io_ops
+
+    t = pa.table({"m": [{"a": 1}]})  # struct column: outside the subset
+    f = str(tmp_path / "part-00000.arrow")
+    feather.write_feather(t, f)
+    with pytest.raises(ValueError, match="struct"):
+        io_ops.oph_importarrow(spark, str(tmp_path), ["m"], "m", "m")
