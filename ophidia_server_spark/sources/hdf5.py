@@ -1651,12 +1651,18 @@ def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
             )
         # split into m child subtrees + (m-1) separator records: the
         # smallest m whose even split fits a level-1 subtree, bounded by
-        # this node's fan-out
+        # this node's fan-out. m starts at 1 so an underfull recursion path
+        # (possible when a sibling took the separators) still emits a
+        # single-child node — every leaf must sit at the header's depth, so
+        # the level count can't be shortened for small subtrees.
         child_cap = cum_max[level - 1]
-        m = 2
-        while m <= max_nrec[level] and (len(recs) - (m - 1) + m - 1) // m > child_cap:
+        m = 1
+        while (
+            m <= max_nrec[level]
+            and -(-(len(recs) - (m - 1)) // m) > child_cap
+        ):
             m += 1
-        if (len(recs) - (m - 1) + m - 1) // m > child_cap:
+        if -(-(len(recs) - (m - 1)) // m) > child_cap:
             raise Hdf5Error("v2 B-tree capacity mismatch (builder bug)")
         n_child = len(recs) - (m - 1)
         base, extra = divmod(n_child, m)

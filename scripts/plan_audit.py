@@ -47,11 +47,30 @@ def audit_plan(df) -> dict:
     }
 
 
+def _previous_shuffles() -> dict[str, int]:
+    """Shuffle counts from the committed PLANS.md (the previous audit), so a
+    regression — a query whose plan gained exchanges round-over-round —
+    gets flagged instead of silently replacing the old number."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    out: dict[str, int] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) >= 7 and cells[0] not in ("query", "---") and cells[5].isdigit():
+                    out[cells[0]] = int(cells[5])
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else (
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     )
     md = "--md" in sys.argv
+    prev = _previous_shuffles()
     spark = get_spark("plan_audit")
     rows = []
     for name in sorted(QUERIES):
@@ -66,6 +85,8 @@ def main() -> None:
                 flags.append("SMJ-only")
             if m["python"]:
                 flags.append("py-udf")
+            if name in prev and m["shuffles"] > prev[name]:
+                flags.append(f"SHUF+{m['shuffles'] - prev[name]}")
             rows.append((name, m, ",".join(flags) or "-"))
         except Exception as e:  # noqa: BLE001
             rows.append((name, None, f"ERROR {type(e).__name__}"))

@@ -957,3 +957,18 @@ def test_btree2_deep_walk_yields_sorted_offsets(tmp_path):
     # in-order walk: scaled offsets come back sorted and complete
     assert [s[0] for _, _, _, s in recs] == list(range(40))
     assert all(a != hdf5.UNDEF for a, _, _, _ in recs)
+
+
+@pytest.mark.parametrize("node_size", [64, 96])
+def test_btree2_builder_all_small_counts_roundtrip(tmp_path, node_size):
+    # sweep chunk counts across every depth transition for tiny nodes: the
+    # builder's fan-out starts at 1, so underfull recursion paths (a sibling
+    # took the separators) still emit uniform-depth trees the walker accepts
+    for nt in (1, 2, 3, 5, 9, 17, 33, 80):
+        ds = _rec_ds(nt)
+        p = str(tmp_path / f"bt_{node_size}_{nt}.nc")
+        hdf5.write(p, ds, chunk_rows=1, index="btree2", b2_node_size=node_size)
+        back = hdf5.read(p)
+        assert np.array_equal(
+            back.variables["tas"].data, ds.variables["tas"].data
+        ), (node_size, nt)
