@@ -158,3 +158,72 @@ def hll_distinct_report(
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: deterministic heavy-hitter / frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key_col: str, row: int, w: int, salt: str) -> Column:
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}{row}")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(w))
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024, salt: str = "cms"
+) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan 2005) over a key column:
+    d salted md5 hash rows x w counters, returned as (row, bucket, c) —
+    at most d*w rows regardless of input size. Same deterministic-hash
+    contract as the HLL module, so the whole sketch is DuckDB-oracle-exact;
+    sketches MERGE by (row, bucket) counter addition (sum, vs HLL's max),
+    so per-shard/per-day tables combine with no re-scan. One explode to
+    d rows per input + one hash aggregate with map-side partials."""
+    if d < 1 or w < 1:
+        raise ValueError(f"need d >= 1 and w >= 1, got d={d}, w={w}")
+    buckets = F.array(*[_cms_bucket(key_col, r, w, salt) for r in range(d)])
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Counter-wise addition of count-min sketches (the CMS merge law)."""
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame, keys: list, d: int = 4, w: int = 1024, salt: str = "cms"
+) -> DataFrame:
+    """Point frequency estimates for literal probe keys: min over the d
+    rows of each key's counter (the CMS guarantee: never an undercount;
+    overcount bounded by collisions ~ n/w per row). The probe table is
+    d*len(keys) literal rows joined against the d*w-row sketch — both tiny,
+    so the whole probe broadcasts regardless of corpus size."""
+    import hashlib
+
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame(
+        [
+            (
+                str(k),
+                r,
+                int(hashlib.md5(f"{k}:{salt}{r}".encode()).hexdigest()[:8], 16) % w,
+            )
+            for k in keys
+            for r in range(d)
+        ],
+        "key string, row int, bucket long",
+    )
+    return (
+        F.broadcast(probe)
+        .join(sketch, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
+    )

@@ -146,3 +146,29 @@ def fixed_k_sample(
         .limit(k)
         .drop("__coin")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    cap: float = 1.0,
+) -> DataFrame:
+    """Importance sampling: keep each row with probability weight/cap
+    (weights above `cap` always keep) — how pipelines upsample high-quality
+    documents using a per-row score (e.g. quality_logistic's probability)
+    instead of one flat rate per stratum.
+
+    The coin is the same content-addressed md5 draw as hash_sample, compared
+    numerically against weight/cap * 2^32 (the first 8 hex chars as an
+    integer), so membership is deterministic, engine-portable, and
+    monotone in the weight: raising a doc's score can only add it to the
+    sample, never evict others. Pure map-stage filter, zero shuffle."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    coin32 = F.conv(
+        _coin(F.col(key_col), salt), 16, 10
+    ).cast("long")
+    p = F.least(F.col(weight_col).cast("double") / cap, F.lit(1.0))
+    return df.filter(coin32 < p * _HEX_SPAN)

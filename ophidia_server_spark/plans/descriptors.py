@@ -458,6 +458,16 @@ _d("oph_exportnc", "Export a datacube to NetCDF file(s).",
 _d("oph_explorenc", "Inspect a NetCDF file (header + stats).",
    _p("src_path", mandatory=True), _p("measure"))
 
+_d("oph_importarrow", "Import Arrow IPC (Feather) shards into a new datacube.",
+   _p("src_path", mandatory=True), _p("measure", mandatory=True),
+   _p("explicit_dims", multivalue=True),
+   _p("implicit_dim", mandatory=True),
+   _CONTAINER, permission="write")
+
+_d("oph_exportarrow", "Export a datacube to sharded Arrow IPC files.",
+   _CUBE, _p("output_path", mandatory=True),
+   _p("shards", type="int", default="8", minvalue=1))
+
 _d("oph_importzarr", "Import a Zarr array into a new datacube.",
    _p("src_path", mandatory=True), _p("measure", mandatory=True),
    _p("explicit_dims", multivalue=True),

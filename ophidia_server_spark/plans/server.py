@@ -455,6 +455,23 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_importarrow(engine, args, inputs):
+        cube = IO.oph_importarrow(
+            spark, str(args["src_path"]),
+            [d for d in str(args.get("explicit_dims", "")).split("|") if d],
+            args["implicit_dim"], args["measure"],
+            measure=args.get("measure"),
+        )
+        return store.register(cube, args.get("container", "default"),
+                              task="importarrow")
+
+    def op_exportarrow(engine, args, inputs):
+        pid = _resolve_cube_arg(args, inputs)
+        return IO.oph_exportarrow(
+            store.get(pid), str(args["output_path"]),
+            shards=int(args.get("shards", 8)),
+        )
+
     def op_importnc(engine, args, inputs):
         # src_path may come directly or from file-massive expansion (which
         # also supplies measure under convention=cmip5); subset_dims/
@@ -518,6 +535,8 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "oph_importzarr": op_importzarr,
             "oph_exportzarr": op_exportzarr,
             "oph_importparquet": op_importparquet,
+            "oph_importarrow": op_importarrow,
+            "oph_exportarrow": op_exportarrow,
             "oph_randcube": op_randcube,
             "oph_subset": op_subset,
             "oph_reduce": op_reduce,

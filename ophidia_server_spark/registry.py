@@ -5176,3 +5176,103 @@ def io_arrow_roundtrip(spark, sf_dir):
         F.col("month").cast("long").alias("month"),
         F.col("qty").cast("double").alias("qty"),
     )
+
+
+@q(
+    "sample_quality_weighted",
+    f"""WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT)
+           AS tok_chars
+  FROM tk
+), w AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(-3.0 + 0.8 * ln(1.0 + n)
+              + 4.0 * (CASE WHEN n > 0 THEN CAST(stop AS DOUBLE)/n ELSE 0.0 END)
+              + 0.15 * (CASE WHEN n > 0 THEN CAST(tok_chars AS DOUBLE)/n ELSE 0.0 END))))
+           AS p
+  FROM feat
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+WHERE list_reduce(list_transform(
+        string_split(substr(md5(CAST(d.doc_id AS VARCHAR) || ':wsample'), 1, 8), ''),
+        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        (a, b) -> a * 16 + b)
+      < LEAST(w.p, 1.0) * 4294967296""",
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Importance sampling by model score (pipeline/sampling.py
+    weighted_sample): each document keeps with probability equal to its
+    logistic quality score — the quality-proportional upsampling pass of a
+    corpus-mixing pipeline. One md5 coin per row against the per-row
+    threshold; pure map, zero shuffle (the score join below is only the
+    gate's formulation — in the pipeline the score is a column)."""
+    docs = _t(spark, sf_dir)["documents"]
+    scored = docs.join(pk.quality_logistic(docs).select("doc_id", "quality_prob"),
+                       "doc_id")
+    return smp.weighted_sample(scored, "quality_prob").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@q(
+    "events_cms_heavy_hitters",
+    """WITH ex AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, t.r FROM events CROSS JOIN range(4) t(r)
+), sk AS (
+  SELECT r AS row,
+         list_reduce(list_transform(
+           string_split(substr(md5(k || ':cms' || r), 1, 8), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) % 1024 AS bucket,
+         COUNT(*) AS c
+  FROM ex GROUP BY 1, 2
+), pb AS (
+  SELECT CAST(p.key AS VARCHAR) AS key, t.r,
+         list_reduce(list_transform(
+           string_split(substr(md5(CAST(p.key AS VARCHAR) || ':cms' || t.r), 1, 8), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) % 1024 AS bucket
+  FROM (SELECT unnest([1, 2, 3, 4]) AS key) p CROSS JOIN range(4) t(r)
+), est AS (
+  SELECT key, MIN(COALESCE(sk.c, 0)) AS est
+  FROM pb LEFT JOIN sk ON pb.r = sk.row AND pb.bucket = sk.bucket
+  GROUP BY 1
+), exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+  FROM events WHERE user_id IN (1, 2, 3, 4) GROUP BY 1
+)
+SELECT est.key, CAST(est.est AS BIGINT) AS est,
+       CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact,
+       CAST(est.est - COALESCE(exact.n, 0) AS BIGINT) AS overcount
+FROM est LEFT JOIN exact ON est.key = exact.key""",
+)
+def events_cms_heavy_hitters(spark, sf_dir):
+    """Count-min frequency estimation (functions/sketches.py cms_*): a
+    4x1024 deterministic-md5 counter sketch over user_id, probed for four
+    users — est is the min-over-rows counter, never below the exact count
+    (the CMS guarantee; `overcount` is the collision noise, bounded ~n/w
+    per row). The sketch is d*w rows regardless of corpus size and merges
+    by counter addition. Whole sketch + probes hash-match DuckDB."""
+    ev = _t(spark, sf_dir)["events"]
+    sketch = sk.cms_sketch(ev, "user_id")
+    est = sk.cms_point_estimates(sketch, [1, 2, 3, 4])
+    exact = (
+        ev.filter(F.col("user_id").isin(1, 2, 3, 4))
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            "key",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("exact"),
+            (F.col("est") - F.coalesce("__n", F.lit(0))).cast("long")
+            .alias("overcount"),
+        )
+    )

@@ -94,3 +94,37 @@ def test_resize_raw_rgb_nearest_neighbor(spark):
     xs = (np.arange(2) * 4 // 2)
     want = img[np.ix_(ys, xs)]
     assert np.array_equal(got, want)
+
+
+def test_weighted_sample_monotone_and_exact(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i % 11) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r.doc_id for r in smp.weighted_sample(df, "w").collect()}
+    # exact contract: coin32 < w * 2^32, python-side mirror
+    want = set()
+    for i, w in rows:
+        coin = int(hashlib.md5(f"{i}:wsample".encode()).hexdigest()[:8], 16)
+        if coin < min(w, 1.0) * 16 ** 8:
+            want.add(i)
+    assert kept == want
+    # weight 0 rows never keep; weight 1.0 rows always keep
+    assert not {i for i, w in rows if w == 0.0} & kept
+    assert {i for i, w in rows if w == 1.0} <= kept
+    # monotone: doubling every weight only ADDS members
+    kept2 = {
+        r.doc_id
+        for r in smp.weighted_sample(
+            df.withColumn("w", F.least(F.col("w") * 2, F.lit(1.0))), "w"
+        ).collect()
+    }
+    assert kept <= kept2
+
+
+def test_weighted_sample_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, w double")
+    with pytest.raises(ValueError):
+        smp.weighted_sample(df, "w", cap=0)

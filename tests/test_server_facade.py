@@ -686,3 +686,35 @@ def test_pipeline_pack_rejects_bad_param(env, tmp_path):
     assert run.status != "OPH_ODB_STATUS_COMPLETED"
     err = run.results["pack"].error or ""
     assert "seq_len" in err and ("int" in err or "validation" in err.lower())
+
+
+def test_facade_arrow_export_import_chain(env, spark, tmp_path):
+    # cube -> sharded Arrow IPC -> new cube, chained as facade tasks
+    eng, store, src = env
+    run = eng.run({
+        "tasks": [
+            {"name": "i", "operator": "oph_importcsv",
+             "arguments": {"src_path": src, "measure": "l_quantity",
+                           "explicit_dims": "l_returnflag|l_linestatus",
+                           "implicit_dim": "month",
+                           "schema": "l_returnflag string, l_linestatus string, "
+                                     "month int, l_quantity double"}},
+            {"name": "x", "operator": "oph_exportarrow",
+             "arguments": {"output_path": str(tmp_path / "arrow"), "shards": "2"},
+             "dependencies": ["i"]},
+            {"name": "r", "operator": "oph_importarrow",
+             "arguments": {"src_path": str(tmp_path / "arrow"),
+                           "measure": "l_quantity",
+                           "explicit_dims": "l_returnflag|l_linestatus",
+                           "implicit_dim": "month"},
+             "dependencies": ["x"]},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    orig = store.get(run.results["i"].value)
+    back = store.get(run.results["r"].value)
+    assert {tuple(r) for r in back.long().collect()} == {
+        tuple(r) for r in orig.long().collect()
+    }

@@ -54,3 +54,26 @@ def test_hll_merge_equals_global(spark):
 def test_hll_rejects_bad_precision(spark):
     with pytest.raises(ValueError):
         sk.hll_registers(_keys(spark, 5), "k", p=10)  # not a hex multiple
+
+
+def test_cms_never_undercounts_and_merges_by_addition(spark):
+    rows = [(f"k{i % 7}",) for i in range(700)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "k string")
+    sketch = sk.cms_sketch(df, "k", d=4, w=64)
+    est = {r.key: r.est for r in
+           sk.cms_point_estimates(sketch, ["hot", "k0", "absent"], d=4, w=64).collect()}
+    assert est["hot"] >= 300
+    assert est["k0"] >= 100
+    # collision noise is bounded: n/w per row, min over 4 rows stays sane
+    assert est["hot"] <= 300 + 1000
+    # merge = counter addition: sketch(a) + sketch(a) doubles every estimate
+    doubled = sk.cms_merge(sketch, sketch)
+    est2 = {r.key: r.est for r in
+            sk.cms_point_estimates(doubled, ["hot"], d=4, w=64).collect()}
+    assert est2["hot"] == 2 * est["hot"]
+
+
+def test_cms_rejects_bad_shape(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        sk.cms_sketch(df, "k", d=0)
