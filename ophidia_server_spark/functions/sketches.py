@@ -227,3 +227,89 @@ def cms_point_estimates(
         .groupBy("key")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: deterministic relative-error quantile estimation
+# ---------------------------------------------------------------------------
+
+
+def dds_sketch(
+    df: DataFrame, value_col: str, alpha: float = 0.01
+) -> DataFrame:
+    """DDSketch (Masson et al., VLDB 2019) over a positive value column:
+    log-spaced buckets bucket = ceil(ln(x)/ln(gamma)) with
+    gamma = (1+alpha)/(1-alpha), so any quantile read back from the bucket
+    table has RELATIVE error <= alpha. No hashing at all — the bucket is a
+    pure function of the value — so the sketch is deterministic, merges by
+    counter addition, and holds O(log(max/min)/alpha) rows regardless of
+    input size (the third classic sketch family next to HLL and count-min:
+    distinct-count / frequency / quantiles). Non-positive values get the
+    reserved bucket NULL->zero handling: zeros count in bucket 0's own row
+    via a sentinel (`bucket` = -(2^62)), negatives raise downstream rather
+    than silently vanish."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    x = F.col(value_col).cast("double")
+    bucket = F.when(x == 0, F.lit(-(2**62))).otherwise(
+        F.ceil(F.log(x) / math.log(gamma))
+    )
+    return (
+        df.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def dds_merge(*sketches: DataFrame) -> DataFrame:
+    """Counter-wise addition of DDSketches (same merge law as count-min)."""
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def dds_quantiles(
+    sketch: DataFrame, qs: list[float], alpha: float = 0.01
+) -> DataFrame:
+    """Quantile estimates from a DDSketch bucket table: for each q, find
+    the first bucket whose cumulative count reaches ceil(q * n) (rank
+    semantics — engine-portable, no interpolation ambiguity) and return
+    the bucket's midpoint value 2*gamma^b/(gamma+1), which is within
+    alpha of every value the bucket holds. One cumulative window over the
+    (tiny) bucket table."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = (1 + alpha) / (1 - alpha)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "c", F.sum("c").over(w).alias("__cum")
+    ).crossJoin(F.broadcast(sketch.agg(F.sum("c").alias("__n"))))
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("__n"))
+        hit = (
+            cum.filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.when(F.col("bucket") == -(2**62), F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        2.0
+                        * F.pow(F.lit(gamma), F.col("bucket"))
+                        / (gamma + 1),
+                        6,
+                    )
+                )
+                .alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

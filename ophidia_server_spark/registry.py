@@ -5276,3 +5276,49 @@ def events_cms_heavy_hitters(spark, sf_dir):
             .alias("overcount"),
         )
     )
+
+
+@q(
+    "events_dds_quantiles",
+    """WITH sk AS (
+  SELECT CAST(CASE WHEN value = 0 THEN -4611686018427387904
+              ELSE CEIL(ln(CAST(value AS DOUBLE)) / ln((1+0.01)/(1-0.01)))
+              END AS BIGINT) AS bucket,
+         COUNT(*) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT bucket, c,
+         SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM sk
+)
+SELECT CAST(q AS DOUBLE) AS q, est FROM (
+  SELECT 0.5 AS q,
+         (SELECT ROUND(2.0 * power((1+0.01)/(1-0.01), bucket)
+                       / ((1+0.01)/(1-0.01) + 1), 6)
+          FROM cum WHERE cum >= GREATEST(CEIL(0.5 * n), 1)
+          ORDER BY bucket LIMIT 1) AS est
+  UNION ALL
+  SELECT 0.95,
+         (SELECT ROUND(2.0 * power((1+0.01)/(1-0.01), bucket)
+                       / ((1+0.01)/(1-0.01) + 1), 6)
+          FROM cum WHERE cum >= GREATEST(CEIL(0.95 * n), 1)
+          ORDER BY bucket LIMIT 1)
+  UNION ALL
+  SELECT 0.99,
+         (SELECT ROUND(2.0 * power((1+0.01)/(1-0.01), bucket)
+                       / ((1+0.01)/(1-0.01) + 1), 6)
+          FROM cum WHERE cum >= GREATEST(CEIL(0.99 * n), 1)
+          ORDER BY bucket LIMIT 1)
+)""",
+)
+def events_dds_quantiles(spark, sf_dir):
+    """DDSketch quantiles over event values (functions/sketches.py dds_*):
+    log-spaced buckets give every estimate a <= 1% RELATIVE error
+    guarantee; the whole sketch — bucket table and the P50/P95/P99 reads —
+    hash-matches DuckDB because the bucket is a pure function of the value
+    (no hashing, no interpolation). The production twin is
+    lineitem_approx_quantiles (Spark's Greenwald-Khanna, rows-only)."""
+    ev = _t(spark, sf_dir)["events"]
+    sketch = sk.dds_sketch(ev, "value", alpha=0.01)
+    return sk.dds_quantiles(sketch, [0.5, 0.95, 0.99], alpha=0.01)

@@ -77,3 +77,33 @@ def test_cms_rejects_bad_shape(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         sk.cms_sketch(df, "k", d=0)
+
+
+def test_dds_quantiles_within_relative_error(spark):
+    import numpy as np
+
+    vals = np.random.RandomState(7).lognormal(2.0, 1.0, 5000).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    sketch = sk.dds_sketch(df, "value", alpha=0.02)
+    out = {r.q: r.est for r in
+           sk.dds_quantiles(sketch, [0.5, 0.9, 0.99], alpha=0.02).collect()}
+    s = sorted(vals)
+    for q, est in out.items():
+        exact = s[min(len(s) - 1, max(0, -(-int(q * len(s)) // 1) - 1))]
+        assert abs(est - exact) / exact <= 0.02 + 1e-9, (q, est, exact)
+
+
+def test_dds_merge_equals_whole(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(1, 501)], "value double")
+    b = spark.createDataFrame([(float(i),) for i in range(500, 1000)], "value double")
+    both = a.unionByName(b)
+    merged = sk.dds_merge(sk.dds_sketch(a, "value"), sk.dds_sketch(b, "value"))
+    g = {(r.bucket, r.c) for r in sk.dds_sketch(both, "value").collect()}
+    m = {(r.bucket, r.c) for r in merged.collect()}
+    assert g == m
+
+
+def test_dds_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        sk.dds_sketch(df, "value", alpha=1.5)
