@@ -5322,3 +5322,43 @@ def events_dds_quantiles(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     sketch = sk.dds_sketch(ev, "value", alpha=0.01)
     return sk.dds_quantiles(sketch, [0.5, 0.95, 0.99], alpha=0.01)
+
+
+@q(
+    "events_interval_overlap_join",
+    """WITH spans AS (
+  SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), inc AS (
+  SELECT event_id, ts - INTERVAL 15 MINUTE AS ilo, ts + INTERVAL 15 MINUTE AS ihi
+  FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+)
+SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM spans s JOIN inc ON s.lo <= inc.ihi AND inc.ilo <= s.hi
+GROUP BY s.user_id""",
+)
+def events_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join (functions/joins.py interval_overlap_join):
+    per-user daily activity spans joined against incident windows (error
+    events +/- 15 min) wherever the two intervals overlap. The theta
+    overlap join the oracle runs is a nested loop at scale; the engine
+    explodes BOTH sides into hour buckets and hash-joins, keeping each
+    pair only in its first shared bucket (dedup as a filter, not a
+    distinct)."""
+    from ophidia_server_spark.functions.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir)["events"]
+    spans = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__d")).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)
+    ).select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("ilo"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ihi"),
+    )
+    j = interval_overlap_join(
+        spans, inc, "lo", "hi", "ilo", "ihi", bucket_seconds=3600
+    )
+    return j.groupBy("user_id").agg(F.count("*").cast("long").alias("n_overlaps"))

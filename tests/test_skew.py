@@ -107,3 +107,33 @@ def test_asof_join_salted_equals_plain_on_skew(spark):
         for r in asof_join(ev, quotes, tolerance="45 minutes", n_salt=3, **kw).collect()
     }
     assert salted_tol == plain_tol
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    from ophidia_server_spark.functions.joins import interval_overlap_join
+
+    rows_l = [
+        (1, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),
+        (2, "2024-01-02 10:00:00", "2024-01-02 10:30:00"),
+        (3, "2024-01-05 00:00:00", "2024-01-08 00:00:00"),  # spans many buckets
+    ]
+    rows_r = [
+        (10, "2024-01-01 04:59:59", "2024-01-01 06:00:00"),  # touches 1
+        (11, "2024-01-02 10:15:00", "2024-01-02 10:16:00"),  # inside 2
+        (12, "2024-01-06 00:00:00", "2024-01-07 00:00:00"),  # inside 3, 2 shared days
+        (13, "2024-02-01 00:00:00", "2024-02-02 00:00:00"),  # no overlap
+    ]
+    l = spark.createDataFrame(rows_l, "lid long, lo string, hi string").select(
+        "lid", F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"))
+    r = spark.createDataFrame(rows_r, "rid long, ilo string, ihi string").select(
+        "rid", F.col("ilo").cast("timestamp").alias("ilo"),
+        F.col("ihi").cast("timestamp").alias("ihi"))
+    got = {(x.lid, x.rid) for x in
+           interval_overlap_join(l, r, "lo", "hi", "ilo", "ihi").collect()}
+    want = {(x.lid, x.rid) for x in
+            l.join(r, (F.col("lo") <= F.col("ihi")) & (F.col("ilo") <= F.col("hi")))
+            .collect()}
+    assert got == want == {(1, 10), (2, 11), (3, 12)}
+    # multi-bucket overlaps appear exactly once (first-shared-bucket dedup)
+    assert len(interval_overlap_join(l, r, "lo", "hi", "ilo", "ihi").collect()) == 3
