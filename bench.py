@@ -110,6 +110,13 @@ HEADLINE = [
     # sketch (map + m-row aggregate + per-day merge)
     "events_funnel_conversion",
     "events_hll_sketch",
+    # round-6: the other two sketch families (count-min frequency, DDSketch
+    # quantiles), the both-sides-ranges overlap join, and the Arrow IPC
+    # sharded export/import path
+    "events_cms_heavy_hitters",
+    "events_dds_quantiles",
+    "events_interval_overlap_join",
+    "io_arrow_roundtrip",
 ]
 
 

@@ -5362,3 +5362,57 @@ def events_interval_overlap_join(spark, sf_dir):
         spans, inc, "lo", "hi", "ilo", "ihi", bucket_seconds=3600
     )
     return j.groupBy("user_id").agg(F.count("*").cast("long").alias("n_overlaps"))
+
+
+from ophidia_server_spark.pipeline import audit as aud  # noqa: E402
+
+
+@q(
+    "corpus_audit_documents",
+    """WITH base AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_text_not_null,
+         SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 100000)
+                  THEN 1 ELSE 0 END) AS v_chars_range,
+         SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+                  THEN 1 ELSE 0 END) AS v_lang_set,
+         SUM(CASE WHEN source IS NOT NULL
+                   AND NOT regexp_matches(source, '^[a-z_]+$')
+                  THEN 1 ELSE 0 END) AS v_source_shape,
+         SUM(CASE WHEN text IS NOT NULL AND length(text) < 10
+                  THEN 1 ELSE 0 END) AS v_text_min_len,
+         COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v_doc_id_unique
+  FROM documents
+)
+SELECT rule, kind, CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       ROUND(CAST(v AS DOUBLE) / GREATEST(n, 1), 6) AS violation_frac,
+       CAST(CASE WHEN CAST(v AS DOUBLE) / GREATEST(n, 1) <= 0.1
+                 THEN 1 ELSE 0 END AS INT) AS passed
+FROM (
+  SELECT 'text_not_null' AS rule, 'not_null' AS kind, n, v_text_not_null AS v FROM base
+  UNION ALL SELECT 'chars_range', 'in_range', n, v_chars_range FROM base
+  UNION ALL SELECT 'lang_set', 'in_set', n, v_lang_set FROM base
+  UNION ALL SELECT 'source_shape', 'matches', n, v_source_shape FROM base
+  UNION ALL SELECT 'text_min_len', 'min_length', n, v_text_min_len FROM base
+  UNION ALL SELECT 'doc_id_unique', 'unique', n, v_doc_id_unique FROM base
+)""",
+)
+def corpus_audit_documents(spark, sf_dir):
+    """Declarative data-quality audit (pipeline/audit.py corpus_audit):
+    six contract rules over the documents table evaluated in one aggregate
+    pass — the expectations check a pipeline runs before training-data
+    handoff. Row-local rules cost one scan total; the uniqueness rule adds
+    one distinct-count keyed on doc_id."""
+    return aud.corpus_audit(
+        _t(spark, sf_dir)["documents"],
+        [
+            ("text_not_null", "not_null", {"col": "text"}),
+            ("chars_range", "in_range", {"col": "n_chars", "lo": 1, "hi": 100000}),
+            ("lang_set", "in_set", {"col": "lang", "values": ["en", "de", "fr"]}),
+            ("source_shape", "matches", {"col": "source", "pattern": "^[a-z_]+$"}),
+            ("text_min_len", "min_length", {"col": "text", "n": 10}),
+            ("doc_id_unique", "unique", {"col": "doc_id"}),
+        ],
+        max_violation_frac=0.1,
+    )

@@ -1,0 +1,56 @@
+"""Data-quality audit rules: per-kind violation semantics, null handling
+(only not_null counts nulls — other rules skip them), and the
+single-aggregate shape."""
+
+import pytest
+
+from ophidia_server_spark.pipeline import audit as aud
+
+
+def _df(spark):
+    rows = [
+        (1, "hello world", "en", "web", 11),
+        (2, None, "en", "web", 0),            # null text
+        (3, "short", "xx", "Web_1", 5),       # bad lang, bad source, short
+        (4, "another document here", "de", "books", 21),
+        (4, "dup id", "fr", "web", 6),        # duplicate doc_id, short
+        (5, "fine text content", None, None, 200000),  # nulls skip rules; n_chars high
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+RULES = [
+    ("text_not_null", "not_null", {"col": "text"}),
+    ("chars_range", "in_range", {"col": "n_chars", "lo": 1, "hi": 100000}),
+    ("lang_set", "in_set", {"col": "lang", "values": ["en", "de", "fr"]}),
+    ("source_shape", "matches", {"col": "source", "pattern": "^[a-z_]+$"}),
+    ("text_min_len", "min_length", {"col": "text", "n": 10}),
+    ("doc_id_unique", "unique", {"col": "doc_id"}),
+]
+
+
+def test_rule_violation_counts(spark):
+    out = {r.rule: r for r in aud.corpus_audit(_df(spark), RULES).collect()}
+    assert out["text_not_null"].n_violations == 1          # row 2
+    assert out["chars_range"].n_violations == 2            # rows 2 (0) and 6 (200000)
+    assert out["lang_set"].n_violations == 1               # row 3; row 6's NULL skips
+    assert out["source_shape"].n_violations == 1           # row 3; NULL skips
+    assert out["text_min_len"].n_violations == 2           # rows 3 and 5
+    assert out["doc_id_unique"].n_violations == 1          # one duplicated id
+    assert all(r.n_rows == 6 for r in out.values())
+    # strict threshold: everything with violations fails
+    assert all(r.passed == 0 for r in out.values())
+
+
+def test_threshold_and_validation(spark):
+    out = {r.rule: r.passed for r in
+           aud.corpus_audit(_df(spark), RULES, max_violation_frac=0.5).collect()}
+    assert all(v == 1 for v in out.values())   # 2/6 max frac clears 0.5
+    with pytest.raises(ValueError, match="unknown audit rule"):
+        aud.corpus_audit(_df(spark), [("x", "nope", {"col": "text"})]).collect()
+    with pytest.raises(ValueError, match="at least one"):
+        aud.corpus_audit(_df(spark), [])
+    with pytest.raises(ValueError, match="unique"):
+        aud.corpus_audit(_df(spark), [RULES[0], RULES[0]])
