@@ -989,3 +989,54 @@ def nc_time_units(path: str, dim: str) -> str | None:
         return None
     u = v.attributes.get("units")
     return u if isinstance(u, str) else None
+
+
+def repack_parquet(
+    df, out_path: str, target_mb: float = 256,
+    bytes_per_row: float | None = None, parquet_ratio: float = 0.5,
+) -> dict:
+    """Size-targeted corpus repack: rewrite a DataFrame as parquet whose
+    files land near `target_mb` each — the sharding pass a training
+    pipeline runs before handing a corpus to loaders (too-many-tiny-files
+    kills listing/scheduling at 100 TB; too-few-giant-files kills
+    parallelism).
+
+    File count = ceil(rows * bytes_per_row * parquet_ratio / target). When
+    `bytes_per_row` isn't given it comes from ONE aggregate over the real
+    data (string/binary columns by their serialized length, fixed widths
+    for numeric types) — deterministic, no sampling variance — and
+    `parquet_ratio` models the expected encode+compress shrink. One
+    round-robin repartition (a single shuffle) evens the rows across
+    files. Returns {'n_files', 'est_bytes', 'rows'}."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    fixed = {
+        T.LongType(): 8, T.DoubleType(): 8, T.IntegerType(): 4,
+        T.FloatType(): 4, T.ShortType(): 2, T.ByteType(): 1,
+        T.BooleanType(): 1, T.DateType(): 4, T.TimestampType(): 8,
+    }
+    if bytes_per_row is None:
+        per_col = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+                per_col.append(F.avg(F.coalesce(F.length(f.name), F.lit(0))))
+            elif isinstance(f.dataType, T.ArrayType):
+                elem = fixed.get(f.dataType.elementType, 8)
+                per_col.append(F.avg(F.coalesce(F.size(f.name), F.lit(0))) * elem)
+            else:
+                per_col.append(F.lit(float(fixed.get(f.dataType, 8))))
+        stats = df.agg(
+            F.count("*").alias("__n"),
+            sum(per_col[1:], per_col[0]).alias("__bpr"),
+        ).first()
+        rows, bytes_per_row = stats["__n"], float(stats["__bpr"] or 0.0)
+    else:
+        rows = df.count()
+    est = rows * bytes_per_row * parquet_ratio
+    n_files = max(1, math.ceil(est / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return {"n_files": n_files, "est_bytes": int(est), "rows": rows}

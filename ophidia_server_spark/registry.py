@@ -5416,3 +5416,25 @@ def corpus_audit_documents(spark, sf_dir):
         ],
         max_violation_frac=0.1,
     )
+
+
+@q(
+    "io_repack_roundtrip",
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents""",
+)
+def io_repack_roundtrip(spark, sf_dir):
+    """Size-targeted corpus repack (io_ops.repack_parquet): rewrite the
+    documents table as parquet files near a target size (file count from
+    one deterministic byte-estimate aggregate + a single round-robin
+    repartition), then read the store back and match the source — the
+    sharding pass before loader handoff."""
+    from ophidia_server_spark.operators import io_ops
+
+    docs = _t(spark, sf_dir)["documents"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/ophidia_repack_{tag}"
+    io_ops.repack_parquet(docs, out, target_mb=0.05)
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -394,3 +394,32 @@ def test_arrow_import_rejects_unsupported_type(spark, tmp_path):
     feather.write_feather(t, f)
     with pytest.raises(ValueError, match="struct"):
         io_ops.oph_importarrow(spark, str(tmp_path), ["m"], "m", "m")
+
+
+def test_repack_parquet_targets_file_count(spark, tables, tmp_path):
+    import glob
+
+    from ophidia_server_spark.operators import io_ops
+
+    docs = tables["documents"]
+    out = str(tmp_path / "repacked")
+    info = io_ops.repack_parquet(docs, out, target_mb=0.02)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == info["n_files"] > 1
+    # estimate is derived from real column stats, so it tracks actual bytes
+    # within the compression-model slack
+    actual = sum(__import__("os").path.getsize(f) for f in files)
+    assert 0.1 * actual < info["est_bytes"] < 10 * actual
+    # content survives the repack
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    # explicit bytes_per_row skips the stats pass and pins the count
+    info2 = io_ops.repack_parquet(docs, out, target_mb=1024, bytes_per_row=100.0)
+    assert info2["n_files"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        io_ops.repack_parquet(docs, out, target_mb=0)
