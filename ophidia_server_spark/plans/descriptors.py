@@ -622,3 +622,8 @@ _d("pipeline_semantic_dedup", "SemDeDup embedding-cluster near-dup pruning.",
    _p("threshold", type="real", default="0.95", minvalue=-1, maxvalue=1),
    _p("id_col", default="vec_id"),
    _p("vec_col", default="embedding"))
+_d("pipeline_audit", "Data-quality contract check (expectations table).",
+   _SRC, _OUT,
+   _p("rules", doc="rule list (JSON array of {name, kind, col, ...})"),
+   _p("max_violation_frac", type="real", default="0", minvalue=0, maxvalue=1),
+   _p("on_fail", default="abort", values=("abort", "continue")))

@@ -455,6 +455,27 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_audit(engine, args, inputs):
+        # data-quality gate: run declared contract rules, write the audit
+        # table, and FAIL the task if any rule fails (the contract check a
+        # pipeline chains between stages)
+        from ophidia_server_spark.pipeline.audit import corpus_audit
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        rules = [(r["name"], r["kind"], r) for r in args["rules"]]
+        report = corpus_audit(
+            spark.read.parquet(src), rules,
+            max_violation_frac=float(args.get("max_violation_frac", 0.0)),
+        )
+        report.write.mode("overwrite").parquet(out)
+        failed = [r.rule for r in report.collect() if not r.passed]
+        if failed and str(args.get("on_fail", "abort")) == "abort":
+            raise ValueError(f"audit rules failed: {', '.join(failed)}")
+        return out
+
     def op_importarrow(engine, args, inputs):
         cube = IO.oph_importarrow(
             spark, str(args["src_path"]),
@@ -569,6 +590,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_shuffle": op_pipe_shuffle,
             "pipeline_quality_model": op_pipe_quality_model,
             "pipeline_semantic_dedup": op_pipe_semantic_dedup,
+            "pipeline_audit": op_pipe_audit,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

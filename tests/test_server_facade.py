@@ -718,3 +718,35 @@ def test_facade_arrow_export_import_chain(env, spark, tmp_path):
     assert {tuple(r) for r in back.long().collect()} == {
         tuple(r) for r in orig.long().collect()
     }
+
+
+def test_pipeline_audit_gate_abort_and_continue(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    src = str(tmp_path / "docs_audit")
+    tables["documents"].write.mode("overwrite").parquet(src)
+    rules = [
+        {"name": "text_not_null", "kind": "not_null", "col": "text"},
+        # impossible contract -> must fail under abort
+        {"name": "len_huge", "kind": "min_length", "col": "text", "n": 10**6},
+    ]
+    run = eng.run({
+        "tasks": [{
+            "name": "a", "operator": "pipeline_audit",
+            "arguments": {"src_path": src, "rules": rules,
+                          "output_path": str(tmp_path / "report")},
+        }]
+    })
+    assert run.status != "OPH_ODB_STATUS_COMPLETED"
+    assert "len_huge" in (run.results["a"].error or "")
+    # on_fail=continue writes the report and completes
+    run2 = eng.run({
+        "tasks": [{
+            "name": "a", "operator": "pipeline_audit",
+            "arguments": {"src_path": src, "rules": rules, "on_fail": "continue",
+                          "output_path": str(tmp_path / "report2")},
+        }]
+    })
+    assert run2.status == "OPH_ODB_STATUS_COMPLETED"
+    rep = spark.read.parquet(run2.results["a"].value)
+    got = {r.rule: r.passed for r in rep.collect()}
+    assert got == {"text_not_null": 1, "len_huge": 0}

@@ -107,3 +107,32 @@ def test_dds_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1.0,)], "value double")
     with pytest.raises(ValueError):
         sk.dds_sketch(df, "value", alpha=1.5)
+
+
+def test_hll_registers_stream_equals_batch(spark, tables, tmp_path):
+    # the sketch aggregate is streaming-compatible: the same register
+    # expressions over readStream (complete mode, AvailableNow) must land
+    # on exactly the batch register table — continuous distinct-count
+    # monitoring from the identical code path
+    events = tables["events"]
+    src = str(tmp_path / "ev_hll_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    reg, rho = sk._register_exprs("user_id", 8, "hll")
+    agg = (
+        stream.select(reg.alias("reg"), rho.alias("__r"))
+        .groupBy("reg")
+        .agg(F.max("__r").cast("long").alias("rho"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.reg, r.rho) for r in spark.table("hll_sink").collect()}
+    want = {(r.reg, r.rho) for r in sk.hll_registers(events, "user_id").collect()}
+    assert got == want and len(got) > 0
