@@ -134,3 +134,41 @@ def test_vector_store_build_probe_at_scale(spark, tmp_path):
     # partition pruning: the scan must carry a __cell partition filter
     explained = top._jdf.queryExecution().toString()
     assert "__cell" in explained
+
+
+def test_pack_and_shuffle_at_scale(spark):
+    # training-batch prep over 200k docs: the only shuffles are the
+    # per-bucket/per-shard windows — nothing collects, file-count-many
+    # parallel streams
+    from ophidia_server_spark.pipeline.packing import global_shuffle, pack_sequences
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 50 + 1).cast("int")))
+        .alias("text"),
+    )
+    packed = pack_sequences(docs, seq_len=2048, n_buckets=256)
+    assert packed.count() == 200_000
+    # offsets are dense: total tokens == last end offset summed per bucket
+    totals = packed.groupBy("bucket").agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("hi"),
+        F.sum("n_tokens").alias("n"),
+    )
+    assert totals.filter(F.col("hi") != F.col("n")).count() == 0
+    sh = global_shuffle(docs, n_shards=256)
+    assert sh.count() == 200_000
+    assert sh.select("shard").distinct().count() == 256
+
+
+def test_sketch_triad_at_scale(spark, big_events):
+    # 2M events -> three sketches; each result is bounded rows, no collect
+    from ophidia_server_spark.functions import sketches as sk
+
+    regs = sk.hll_registers(big_events, "user_id")
+    assert regs.count() <= 256
+    est = sk.hll_estimate(regs).first()
+    assert abs(est.estimate - 5000) / 5000 < 0.26
+    cms = sk.cms_sketch(big_events, "user_id", d=4, w=2048)
+    assert cms.count() <= 4 * 2048
+    dds = sk.dds_sketch(big_events.filter(F.col("value") > 0), "value")
+    assert dds.count() < 3000  # log-spaced buckets, not value cardinality
