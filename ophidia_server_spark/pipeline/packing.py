@@ -241,3 +241,74 @@ def quality_logistic(
         F.round(p, 6).alias("quality_prob"),
         (p >= keep_threshold).cast("int").alias("keep"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup, removal half (Lee et al. 2022): delete every
+    token position covered by a k-gram that appears in >= min_docs distinct
+    documents, and rebuild the text from the surviving tokens. Unlike
+    whole-document dedup this cuts the repeated SPANS (boilerplate headers,
+    license blocks, templated fragments) while keeping the unique remainder.
+
+    Shape at scale: one posexplode to (doc, pos, gram); gram document
+    frequency over distinct (doc, gram) pairs (term-keyed, never
+    broadcast); flagged occurrences explode to their k covered positions
+    and collect into a per-doc sorted set (bounded by the doc's token
+    count); the rebuild is a zip-with-index filter — all array exprs, no
+    Python. Docs with no flagged span pass through with n_removed = 0.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    # shingles over the already-tokenized array (the array-input fold below)
+    # — going back through dedup._shingles would double-tokenize the text
+    grams = toked.select(
+        id_col,
+        F.posexplode(_shingles_from_tokens(F.col("__toks"), k)).alias("pos", "gram"),
+    )
+    dfreq = (
+        grams.select(id_col, "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("__df"))
+    )
+    covered = (
+        grams.join(dfreq.filter(F.col("__df") >= min_docs), "gram", "left_semi")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("p")).alias("__cut"))
+    )
+    joined = toked.join(covered, id_col, "left").select(
+        id_col,
+        "__toks",
+        F.coalesce("__cut", F.array().cast("array<int>")).alias("__cut"),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0))),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(F.col("__cut"), s["i"]),
+    )
+    return joined.select(
+        id_col,
+        F.size("__cut").cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )
+
+
+def _shingles_from_tokens(toks: Column, k: int) -> Column:
+    """k-gram shingles over an existing token array (the array-input form
+    of dedup._shingles, same zip_with fold)."""
+    n = F.size(toks)
+    sh = toks
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))

@@ -5438,3 +5438,43 @@ def io_repack_roundtrip(spark, sf_dir):
     return spark.read.parquet(out).select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@q(
+    "text_remove_repeated_spans",
+    f"""WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> {{pos: i - 1,
+                      gram: concat_ws(' ', toks[i], toks[i+1], toks[i+2])}})) AS u
+  FROM tk WHERE len(toks) >= 3
+), g2 AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g
+), dfq AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g2 GROUP BY 1
+), cov AS (
+  SELECT g2.doc_id, unnest(range(g2.pos, g2.pos + 3)) AS p
+  FROM g2 JOIN dfq USING (gram) WHERE dfq.df >= 2
+), cuts AS (
+  SELECT doc_id, list_sort(list_distinct(list(p))) AS cut FROM cov GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(len(c.cut), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(t.toks,
+                     (x, i) -> NOT list_contains(COALESCE(c.cut, CAST([] AS BIGINT[])),
+                                                 i - 1)),
+         ' '), '') AS clean_text
+FROM tk t LEFT JOIN cuts c ON t.doc_id = c.doc_id""",
+)
+def text_remove_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup, removal half (pipeline/packing.py
+    remove_repeated_spans): token positions covered by corpus-repeated
+    3-grams are cut and the text rebuilt from the survivors — the
+    span-level companion to text_repeated_ngrams' statistics. Term-keyed
+    gram frequency, per-doc covered-position sets, array-expr rebuild."""
+    return pk.remove_repeated_spans(
+        _t(spark, sf_dir)["documents"], k=3, min_docs=2
+    )

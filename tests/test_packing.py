@@ -131,3 +131,29 @@ def test_semantic_dedup_full_corpus_partition(spark):
     assert {r.vec_id for r in rows} == set(range(30))
     # with an impossible threshold nothing is dropped
     assert all(r.kept == 1 for r in rows)
+
+
+def test_remove_repeated_spans_cuts_shared_spans_only(spark):
+    texts = [
+        "alpha beta gamma delta one two three",
+        "alpha beta gamma delta four five six",
+        "seven eight nine ten eleven",
+        "ab",
+    ]
+    out = {r.doc_id: r for r in
+           pk.remove_repeated_spans(_docs(spark, texts), k=3, min_docs=2).collect()}
+    # the shared 4-token prefix is covered by two flagged 3-grams -> cut
+    assert out[0].n_removed == 4 and out[0].clean_text == "one two three"
+    assert out[1].n_removed == 4 and out[1].clean_text == "four five six"
+    # unique docs pass through untouched
+    assert out[2].n_removed == 0 and out[2].clean_text == texts[2]
+    assert out[3].n_removed == 0 and out[3].clean_text == "ab"
+
+
+def test_remove_repeated_spans_full_coverage_empties_doc(spark):
+    texts = ["same same same same", "same same same same"]
+    out = {r.doc_id: r for r in
+           pk.remove_repeated_spans(_docs(spark, texts), k=3, min_docs=2).collect()}
+    for d in (0, 1):
+        assert out[d].n_removed == 4
+        assert out[d].clean_text == ""
