@@ -622,6 +622,15 @@ _d("pipeline_semantic_dedup", "SemDeDup embedding-cluster near-dup pruning.",
    _p("threshold", type="real", default="0.95", minvalue=-1, maxvalue=1),
    _p("id_col", default="vec_id"),
    _p("vec_col", default="embedding"))
+_d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch).",
+   _SRC, _OUT,
+   _p("column", mandatory=True),
+   _p("kind", default="hll", values=("hll", "cms", "dds")),
+   _p("p", type="int", default="12", minvalue=4, maxvalue=16),
+   _p("d", type="int", default="4", minvalue=1),
+   _p("w", type="int", default="4096", minvalue=1),
+   _p("alpha", type="real", default="0.01", minvalue=0, maxvalue=1))
+
 _d("pipeline_audit", "Data-quality contract check (expectations table).",
    _SRC, _OUT,
    _p("rules", doc="rule list (JSON array of {name, kind, col, ...})"),

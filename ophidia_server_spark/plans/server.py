@@ -455,6 +455,32 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_sketch(engine, args, inputs):
+        # mergeable-summary stage: write a sketch table (HLL registers /
+        # count-min counters / DDSketch buckets) for a column — downstream
+        # jobs combine per-stage sketches instead of re-scanning the corpus
+        from ophidia_server_spark.functions import sketches as sk
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        kind = str(args.get("kind", "hll"))
+        col = str(args["column"])
+        if kind == "hll":
+            res = sk.hll_registers(df, col, p=int(args.get("p", 12)))
+        elif kind == "cms":
+            res = sk.cms_sketch(
+                df, col, d=int(args.get("d", 4)), w=int(args.get("w", 4096))
+            )
+        elif kind == "dds":
+            res = sk.dds_sketch(df, col, alpha=float(args.get("alpha", 0.01)))
+        else:
+            raise ValueError(f"unknown sketch kind: {kind}")
+        res.write.mode("overwrite").parquet(out)
+        return out
+
     def op_pipe_audit(engine, args, inputs):
         # data-quality gate: run declared contract rules, write the audit
         # table, and FAIL the task if any rule fails (the contract check a
@@ -591,6 +617,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_quality_model": op_pipe_quality_model,
             "pipeline_semantic_dedup": op_pipe_semantic_dedup,
             "pipeline_audit": op_pipe_audit,
+            "pipeline_sketch": op_pipe_sketch,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -750,3 +750,40 @@ def test_pipeline_audit_gate_abort_and_continue(env, spark, tables, tmp_path):
     rep = spark.read.parquet(run2.results["a"].value)
     got = {r.rule: r.passed for r in rep.collect()}
     assert got == {"text_not_null": 1, "len_huge": 0}
+
+
+def test_pipeline_sketch_stage_writes_mergeable_tables(env, spark, tables, tmp_path):
+    from ophidia_server_spark.functions import sketches as sk
+
+    eng, _store, _src = env
+    src = str(tmp_path / "ev_src")
+    tables["events"].write.mode("overwrite").parquet(src)
+    wf = {
+        "tasks": [
+            {"name": "hll", "operator": "pipeline_sketch",
+             "arguments": {"src_path": src, "column": "user_id", "kind": "hll",
+                           "p": "8", "output_path": str(tmp_path / "hll")}},
+            {"name": "dds", "operator": "pipeline_sketch",
+             "arguments": {"src_path": src, "column": "value", "kind": "dds",
+                           "output_path": str(tmp_path / "dds")}},
+        ]
+    }
+    run = eng.run(wf)
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    regs = spark.read.parquet(run.results["hll"].value)
+    est = sk.hll_estimate(regs, p=8).first()
+    n_exact = tables["events"].select("user_id").distinct().count()
+    assert abs(est.estimate - n_exact) / n_exact < 0.3
+    dds = spark.read.parquet(run.results["dds"].value)
+    assert set(dds.columns) == {"bucket", "c"} and dds.count() > 0
+    # bad kind is a named 400-class validation error, not a traceback
+    bad = eng.run({
+        "tasks": [{"name": "s", "operator": "pipeline_sketch",
+                   "arguments": {"src_path": src, "column": "user_id",
+                                 "kind": "bloom",
+                                 "output_path": str(tmp_path / "x")}}]
+    })
+    assert bad.status != "OPH_ODB_STATUS_COMPLETED"
+    assert "kind" in (bad.results["s"].error or "")
