@@ -157,3 +157,36 @@ def test_remove_repeated_spans_full_coverage_empties_doc(spark):
     for d in (0, 1):
         assert out[d].n_removed == 4
         assert out[d].clean_text == ""
+
+
+def test_semantic_dedup_accepts_trained_codebook_leaders(spark):
+    # the 100 TB path: leaders come from the spherical-KMeans codebook
+    # (ivf_kmeans_codebook) instead of the deterministic lowest-id stand-in;
+    # the operator contract (full partition, keep-lowest-id per cluster)
+    # must hold either way
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(4)
+    vecs = [
+        (centers[i % 4] + 0.05 * rng.randn(4)).tolist() for i in range(80)
+    ]
+    df = _emb(spark, vecs)
+    books = sim.ivf_kmeans_codebook(df, n_cells=4, sample_frac=1.0)
+    leaders = [(i, c) for i, c in enumerate(books)]
+    out = sim.semantic_dedup(df, threshold=0.995, leaders=leaders)
+    rows = out.collect()
+    assert len(rows) == 80 and {r.vec_id for r in rows} == set(range(80))
+    assert {r.cluster_id for r in rows} <= {0, 1, 2, 3}
+    # trained centroids recover the 4 planted clusters (each gets ~20)
+    sizes = sorted(
+        out.groupBy("cluster_id").count().toPandas()["count"].tolist()
+    )
+    assert len(sizes) == 4 and min(sizes) >= 10
+    # every dropped member has a lower-id near-dup in ITS cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept_ids = {r.vec_id for r in members if r.kept}
+        assert min(m.vec_id for m in members) in kept_ids
