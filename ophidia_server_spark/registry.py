@@ -5478,3 +5478,45 @@ def text_remove_repeated_spans(spark, sf_dir):
     return pk.remove_repeated_spans(
         _t(spark, sf_dir)["documents"], k=3, min_docs=2
     )
+
+
+@q(
+    "events_seasonal_decompose",
+    """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS t, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, t, y,
+         CASE WHEN COUNT(y) OVER w = 25 THEN AVG(y) OVER w END AS trend
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), ph AS (
+  SELECT event_type, t, y, trend,
+         CAST(epoch(t) / 3600 AS BIGINT) % 24 AS phase
+  FROM tr
+), pm AS (
+  SELECT event_type, phase, AVG(y - trend) AS pm
+  FROM ph WHERE trend IS NOT NULL GROUP BY 1, 2
+), ctr AS (
+  SELECT event_type, phase,
+         pm - AVG(pm) OVER (PARTITION BY event_type) AS seasonal
+  FROM pm
+)
+SELECT ph.event_type,
+       strftime(ph.t, '%Y-%m-%d %H:%M:%S') AS bin_start, ph.y,
+       ROUND(ph.trend, 6) AS trend, ROUND(ctr.seasonal, 6) AS seasonal,
+       ROUND(ph.y - ph.trend - ctr.seasonal, 6) AS residual
+FROM ph LEFT JOIN ctr
+  ON ph.event_type = ctr.event_type AND ph.phase = ctr.phase""",
+)
+def events_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (streaming/windows.py
+    seasonal_decompose): per-event-type hourly series split into
+    trend (centered 25-bin moving average), daily seasonal profile
+    (centered per-phase means), and residual — the first diagnostic any
+    metrics pipeline runs on a periodic series. Per-key windows, exact
+    epoch-phase arithmetic."""
+    return win.seasonal_decompose(
+        _t(spark, sf_dir)["events"], period=24, width="1 hour"
+    )

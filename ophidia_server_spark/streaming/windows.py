@@ -676,3 +676,75 @@ def funnel(
             .alias("frac_of_first"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame, period: int = 24, width: str = "1 hour",
+    key_col: str = "event_type", ts_col: str = "ts",
+) -> DataFrame:
+    """Classical additive seasonal decomposition over per-key event-count
+    series: y = trend + seasonal + residual (the moving-average method —
+    STL's simpler ancestor — the first look any metrics pipeline takes at
+    a periodic series).
+
+      trend    = centered moving average over one full period (emitted only
+                 where the full window exists, so boundaries are NULL-free);
+      seasonal = per-phase mean of the detrended series, centered to sum
+                 ~0 over a period;
+      residual = y - trend - seasonal.
+
+    Shape at scale: the series is per-key (window partitioned by key — one
+    key's bins live in one task, which is the correct grain: a series that
+    doesn't fit a task isn't a seasonal-decomposition candidate). Phases
+    come from exact epoch-bin modulo, so they are right even when bins are
+    missing; the trend window is over the OBSERVED bins — run the input
+    through resample_counts first when a sparse series needs true
+    time-distance windows. Two window passes + one phase aggregate; all
+    JVM expressions.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    binned = (
+        _event_time(df, ts_col)
+        .groupBy(key_col, F.window(ts_col, width).alias("w"))
+        .agg(F.count("*").alias("y"))
+        .select(
+            key_col,
+            F.col("w.start").alias("__t"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    w_full = (
+        Window.partitionBy(key_col).orderBy("__t").rowsBetween(-half, half)
+    )
+    trend = F.when(
+        F.count("y").over(w_full) == 2 * half + 1, F.avg("y").over(w_full)
+    )
+    with_trend = binned.withColumn("__trend", trend).withColumn(
+        "__phase",
+        F.pmod((F.col("__t").cast("long") / _interval_seconds(width)).cast("long"),
+               F.lit(period)),
+    )
+    phase_mean = (
+        with_trend.filter(F.col("__trend").isNotNull())
+        .groupBy(key_col, "__phase")
+        .agg(F.avg(F.col("y") - F.col("__trend")).alias("__pm"))
+    )
+    centered = phase_mean.withColumn(
+        "__seasonal",
+        F.col("__pm") - F.avg("__pm").over(Window.partitionBy(key_col)),
+    ).drop("__pm")
+    return (
+        with_trend.join(centered, [key_col, "__phase"], "left")
+        .select(
+            key_col,
+            F.date_format("__t", TS_FMT).alias("bin_start"),
+            F.col("y"),
+            F.round("__trend", 6).alias("trend"),
+            F.round("__seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("__trend") - F.col("__seasonal"), 6
+            ).alias("residual"),
+        )
+    )

@@ -330,3 +330,35 @@ def test_funnel_rejects_empty_steps(spark):
                                "user_id long, event_type string, ts string")
     with pytest.raises(ValueError):
         win.funnel(df, [])
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    # a flat daily cycle: count in hour h of every day = 10 + (5 if h < 12)
+    # -> trend ~ constant 12.5, seasonal ~ +/-2.5, residual ~ 0
+    rows = []
+    eid = 0
+    for day in range(6):
+        for h in range(24):
+            n = 10 + (5 if h < 12 else 0)
+            for i in range(n):
+                rows.append((eid, f"2024-01-{day+1:02d} {h:02d}:{i % 60:02d}:00", "a"))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    out = win.seasonal_decompose(df, period=24, width="1 hour")
+    mid = [r for r in out.collect() if r.trend is not None]
+    assert len(mid) > 24
+    for r in mid:
+        assert abs(r.trend - 12.5) < 0.3
+        want = 2.5 if int(r.bin_start[11:13]) < 12 else -2.5
+        assert abs(r.seasonal - want) < 0.3, r
+        assert abs(r.residual) < 0.6
+    # additivity is exact by construction wherever trend exists
+    for r in mid:
+        assert abs((r.trend + r.seasonal + r.residual) - r.y) < 1e-6
+
+
+def test_seasonal_decompose_rejects_bad_period(spark):
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00", "a")],
+                               "event_id long, ts string, event_type string")
+    with pytest.raises(ValueError):
+        win.seasonal_decompose(df, period=1)
