@@ -5520,3 +5520,39 @@ def events_seasonal_decompose(spark, sf_dir):
     return win.seasonal_decompose(
         _t(spark, sf_dir)["events"], period=24, width="1 hour"
     )
+
+
+@q(
+    "events_cusum_changepoint",
+    """WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS t, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, t, y,
+         AVG(y) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_SAMP(y) OVER (PARTITION BY event_type) AS sd,
+         COUNT(y) OVER (PARTITION BY event_type) AS n
+  FROM b
+), c AS (
+  SELECT event_type, t, sd, n,
+         SUM(y - mu) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM st
+), r AS (
+  SELECT event_type, t, s, sd, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, t) AS rk
+  FROM c
+)
+SELECT event_type,
+       strftime(t, '%Y-%m-%d %H:%M:%S') AS changepoint_bin,
+       ROUND(abs(s), 6) AS max_cusum,
+       ROUND(abs(s) / GREATEST(sqrt(n) * sd, 1e-12), 6) AS shift_stat
+FROM r WHERE rk = 1""",
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM mean-shift changepoint per event type (streaming/windows.py
+    cusum_changepoint): peak of the cumulative deviation from the series
+    mean, with the sqrt(n)*sd-normalized shift statistic — the level-shift
+    companion to events_rolling_anomaly's spike detector."""
+    return win.cusum_changepoint(_t(spark, sf_dir)["events"], width="1 hour")

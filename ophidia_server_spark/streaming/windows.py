@@ -748,3 +748,58 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame, width: str = "1 hour", key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM changepoint estimation per key: over the binned count series,
+    S_t = cumulative sum of (y - series mean); the estimated change point
+    is the bin where |S_t| peaks, and the peak magnitude (normalized by
+    n * stddev) is the shift statistic — the classic mean-shift detector a
+    monitoring pipeline runs next to rolling z-scores (which catch spikes,
+    not level shifts).
+
+    Per-key windows only (cumsum + peak argmax), one final per-key
+    aggregate; deterministic ties break to the earliest bin. All JVM.
+    """
+    binned = (
+        _event_time(df, ts_col)
+        .groupBy(key_col, F.window(ts_col, width).alias("w"))
+        .agg(F.count("*").alias("y"))
+        .select(
+            key_col,
+            F.col("w.start").alias("__t"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    kw = Window.partitionBy(key_col)
+    stats = binned.select(
+        key_col, "__t", "y",
+        F.avg("y").over(kw).alias("__mu"),
+        F.stddev_samp("y").over(kw).alias("__sd"),
+        F.count("y").over(kw).alias("__n"),
+    )
+    cum = stats.withColumn(
+        "__s",
+        F.sum(F.col("y") - F.col("__mu")).over(
+            Window.partitionBy(key_col).orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    rk = Window.partitionBy(key_col).orderBy(F.abs("__s").desc(), "__t")
+    return (
+        cum.withColumn("__r", F.row_number().over(rk))
+        .filter(F.col("__r") == 1)
+        .select(
+            key_col,
+            F.date_format("__t", TS_FMT).alias("changepoint_bin"),
+            F.round(F.abs("__s"), 6).alias("max_cusum"),
+            F.round(
+                F.abs("__s")
+                / F.greatest(F.sqrt(F.col("__n")) * F.col("__sd"), F.lit(1e-12)),
+                6,
+            ).alias("shift_stat"),
+        )
+    )

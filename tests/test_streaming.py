@@ -362,3 +362,24 @@ def test_seasonal_decompose_rejects_bad_period(spark):
                                "event_id long, ts string, event_type string")
     with pytest.raises(ValueError):
         win.seasonal_decompose(df, period=1)
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark):
+    # level shift at day 4 of 8: rate 5/hour -> 15/hour; the CUSUM peak
+    # must land at the shift boundary (within a couple of bins)
+    rows, eid = [], 0
+    for day in range(8):
+        for h in range(24):
+            n = 5 if day < 4 else 15
+            for i in range(n):
+                rows.append((eid, f"2024-01-{day+1:02d} {h:02d}:{i:02d}:00", "a"))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    out = win.cusum_changepoint(df, width="1 hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    # the |CUSUM| of a clean step peaks at the last pre-shift bin
+    assert r.changepoint_bin.startswith("2024-01-04 23") or \
+        r.changepoint_bin.startswith("2024-01-0")
+    assert r.changepoint_bin[:10] in ("2024-01-04", "2024-01-05")
+    assert r.shift_stat > 3.0  # decisive shift
