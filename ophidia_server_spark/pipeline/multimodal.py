@@ -303,3 +303,42 @@ def decode_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFram
     return df.mapInPandas(
         run, "doc_id long, ok int, width long, height long, sum_rgb long"
     )
+
+
+def decode_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL animated-image decode for GIF payloads (pure-Python 87a/89a
+    codec with full LZW, sources/gif.py): frame count, dimensions, total
+    animation delay, and the integer pixel sum of the FIRST rendered frame
+    — exact, float-free features over the composited output. Poison
+    payloads come back ok=0 (corpus-scale tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ophidia_server_spark.sources import gif
+
+        for pdf in batches:
+            out = []
+            for did, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    d = gif.decode(bytes(raw))
+                    row = (
+                        did, 1, int(d["width"]), int(d["height"]),
+                        len(d["frames"]),
+                        int(sum(d["delays_cs"])),
+                        int(d["frames"][0].astype(np.int64).sum()),
+                    )
+                except Exception:
+                    row = (did, 0, 0, 0, 0, 0, 0)
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "ok", "width", "height", "n_frames",
+                         "total_delay_cs", "sum_rgb_f0"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, ok int, width long, height long, n_frames long, "
+        "total_delay_cs long, sum_rgb_f0 long",
+    )

@@ -5556,3 +5556,67 @@ def events_cusum_changepoint(spark, sf_dir):
     mean, with the sqrt(n)*sd-normalized shift statistic — the level-shift
     companion to events_rolling_anomaly's spike detector."""
     return win.cusum_changepoint(_t(spark, sf_dir)["events"], width="1 hour")
+
+
+@q(
+    "multimodal_decode_gif",
+    r"""WITH dims AS (
+  SELECT doc_id, text, length(text) AS n,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE 30 END AS BIGINT)
+         AS total_delay_cs,
+       CAST(CASE WHEN doc_id % 40 = 0 THEN 0 ELSE
+         33 * list_sum(list_transform(range(0, w * h),
+                  i -> ascii(substr(text, CAST(i % n AS INTEGER) + 1, 1)) % 16))
+       END AS BIGINT) AS sum_rgb_f0
+FROM dims""",
+)
+def multimodal_decode_gif(spark, sf_dir):
+    """Real ANIMATED image decode, oracle-exact end to end (the animation
+    twin of multimodal_decode_bmp): each document's bytes index a fixed
+    16-color palette (color k = (17k, 5k, 11k), so channel sum = 33k) over
+    two full-size frames with 10/20cs delays, encoded task-side with the
+    pure-Python GIF codec (sources/gif.py — real LZW with growing code
+    widths), decoded back by decode_gif_features, and DuckDB recomputes
+    width/height/frame-count/delay/first-frame pixel sum straight from the
+    text bytes — the whole encode -> LZW -> decode -> composite chain is
+    hash-verified. Every 40th payload is raw text (not a GIF) to prove
+    poison tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+
+    def to_gif(batches):
+        from ophidia_server_spark.sources import gif as gif_codec
+
+        pal = np.array(
+            [[17 * k, 5 * k, 11 * k] for k in range(16)], dtype=np.uint8
+        )
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytes(ord(c) % 256 for c in txt)
+                if did % 40 == 0:
+                    payloads.append(raw or b"x")
+                    continue
+                w = 4 + int(did) % 13
+                h = 3 + int(did) % 7
+                need = w * h
+                tiled = (raw * (2 * need // len(raw) + 2))[: 2 * need]
+                idx = np.frombuffer(tiled, dtype="uint8") % 16
+                f0 = pal[idx[:need].reshape(h, w)]
+                f1 = pal[idx[need:].reshape(h, w)]
+                payloads.append(gif_codec.encode([f0, f1], delays_cs=[10, 20]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(to_gif, "doc_id long, payload binary")
+    return mm.decode_gif_features(payloads)
