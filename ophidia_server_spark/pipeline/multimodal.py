@@ -55,20 +55,20 @@ def binary_meta(df: DataFrame, payload_col: str = "text") -> DataFrame:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Image decode via mapInPandas: REAL for PNG payloads (pure-Python codec
-    over stdlib zlib, sources/png.py), deterministic fake for anything else
-    (the container has no codecs for JPEG etc., but the distributed plumbing
-    — Arrow batches, schema, partitioning — is identical either way).
-    Poison payloads (bad magic mid-file, truncated chunks) fall back to the
-    fake dimensions instead of failing the batch — at corpus scale a corrupt
-    blob must never kill the job.
+    """Image decode via mapInPandas: REAL for PNG, BMP, and GIF payloads
+    (magic-dispatched to the pure-Python codecs in sources/), deterministic
+    fake for anything else (the container has no codecs for JPEG etc., but
+    the distributed plumbing — Arrow batches, schema, partitioning — is
+    identical either way). Poison payloads (bad magic mid-file, truncated
+    chunks) fall back to the fake dimensions instead of failing the batch —
+    at corpus scale a corrupt blob must never kill the job.
     """
     import pandas as pd
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from ophidia_server_spark.sources import png
+        from ophidia_server_spark.sources import bmp, gif, png
 
         for pdf in batches:
             rows = {"doc_id": pdf["doc_id"], "n_bytes": [], "checksum": [],
@@ -78,14 +78,20 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 rows["n_bytes"].append(len(raw))
                 rows["checksum"].append(hashlib.md5(raw).hexdigest())
                 wd = ht = None
-                if raw[:8] == png.MAGIC:
-                    try:
+                try:
+                    if raw[:8] == png.MAGIC:
                         img = png.decode(raw)
                         ht, wd = img.shape[0], img.shape[1]
-                    except ValueError:
-                        pass  # poison PNG: fall through to the fake
+                    elif raw[:2] == bmp.MAGIC:
+                        img = bmp.decode(raw)
+                        ht, wd = img.shape[0], img.shape[1]
+                    elif raw[:6] in (gif.MAGIC87, gif.MAGIC89):
+                        d = gif.decode(raw)
+                        wd, ht = d["width"], d["height"]
+                except ValueError:
+                    wd = ht = None  # poison: fall through to the fake
                 if wd is None:
-                    # deterministic fake for non-PNG payloads
+                    # deterministic fake for non-decodable payloads
                     wd, ht = len(raw) % 640, len(raw) % 480
                 rows["width"].append(wd)
                 rows["height"].append(ht)
