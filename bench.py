@@ -117,6 +117,11 @@ HEADLINE = [
     "events_dds_quantiles",
     "events_interval_overlap_join",
     "io_arrow_roundtrip",
+    # round-6: time-series diagnostics (seasonal split + level-shift
+    # detection) and the single-pass data-quality contract check
+    "events_seasonal_decompose",
+    "events_cusum_changepoint",
+    "corpus_audit_documents",
 ]
 
 

@@ -272,7 +272,12 @@ def encode(frames: "np.ndarray | list", delays_cs: "list[int] | None" = None) ->
     size = 1 << depth
     palette = np.zeros((size, 3), np.uint8)
     palette[: len(colors)] = colors
-    lut = {tuple(c): i for i, c in enumerate(colors)}
+    # vectorized color -> index: pack RGB into one int24 and searchsorted
+    # against the (sorted-by-construction) packed palette — a per-pixel
+    # Python dict lookup here cost more than the LZW pass itself
+    packed_pal = (
+        colors[:, 0].astype(np.int64) << 16
+    ) | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
     animated = len(frames) > 1 or delays_cs is not None
     out = bytearray(MAGIC89 if animated else MAGIC87)
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
@@ -284,9 +289,9 @@ def encode(frames: "np.ndarray | list", delays_cs: "list[int] | None" = None) ->
             out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, d, 0) + b"\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         out += bytes([min_code])
-        idx = np.array(
-            [lut[tuple(px)] for px in f.reshape(-1, 3)], np.uint8
-        ).tobytes()
+        flat = f.reshape(-1, 3).astype(np.int64)
+        packed = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+        idx = np.searchsorted(packed_pal, packed).astype(np.uint8).tobytes()
         comp = _lzw_encode(idx, min_code)
         for i in range(0, len(comp), 255):
             chunk = comp[i : i + 255]
