@@ -806,7 +806,9 @@ def _grid_to_nc(
                    chunk_rows=8 if unlimited_dim else None, index=index,
                    b2_node_size=b2_node_size)
     else:
-        netcdf3.write(out_path, ds)
+        # nc_format 'classic' auto-selects CDF-1/2; 'cdf5' forces the
+        # 64-bit-data layout (wide headers + int64/unsigned payloads)
+        netcdf3.write(out_path, ds, version="cdf5" if nc_format == "cdf5" else "auto")
 
 
 def oph_exportnc(

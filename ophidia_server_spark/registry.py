@@ -5620,3 +5620,40 @@ def multimodal_decode_gif(spark, sf_dir):
 
     payloads = docs.mapInPandas(to_gif, "doc_id long, payload binary")
     return mm.decode_gif_features(payloads)
+
+
+@q(
+    "io_cdf5_roundtrip",
+    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(month(l_shipdate) AS BIGINT) AS month,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2""",
+)
+def io_cdf5_roundtrip(spark, sf_dir):
+    """CDF-5 (64-bit data, the pnetcdf classic extension) roundtrip:
+    export the cube with nc_format='cdf5' (every NON_NEG header field
+    INT64; int64 payloads written as NC_INT64 instead of narrow-checking),
+    re-import through the format-blind codec dispatch, match SQL over the
+    parquet source — completing the classic family CDF-1/2/5 alongside
+    netCDF-4 (same dims as io_nc_roundtrip, so the only variable is the
+    wide-header layout)."""
+    from ophidia_server_spark.operators import io_ops
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn("month", F.month("l_shipdate"))
+    cube = build_cube(
+        li, ["l_linenumber"], "month", F.col("l_quantity").cast(DEC), measure="qty"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    files = io_ops.oph_exportnc(
+        cube, f"/tmp/ophidia_cdf5_{tag}", nc_format="cdf5"
+    )
+    c2 = io_ops.oph_importnc(spark, files, "qty", ["l_linenumber"], "month")
+    return (
+        c2.long()
+        .filter(~F.isnan("qty"))
+        .select(
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("month").cast("long").alias("month"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )

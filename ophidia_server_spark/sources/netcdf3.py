@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 ("64-bit data", the pnetcdf extension of the classic spec) adds:
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 
 _DTYPES = {
     NC_BYTE: np.dtype(">i1"),
@@ -41,6 +43,11 @@ _DTYPES = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype(">u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
 _NC_TYPE_OF = {
     "int8": NC_BYTE,
@@ -50,6 +57,11 @@ _NC_TYPE_OF = {
     "float32": NC_FLOAT,
     "float64": NC_DOUBLE,
 }
+_NC_TYPE_OF_CDF5 = dict(
+    _NC_TYPE_OF,
+    int64=NC_INT64, uint8=NC_UBYTE, uint16=NC_USHORT,
+    uint32=NC_UINT, uint64=NC_UINT64,
+)
 
 _ABSENT = b"\x00" * 8
 _NC_DIMENSION = 0x0A
@@ -79,9 +91,13 @@ def _pad(n: int) -> int:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, wide: bool = False):
         self.buf = buf
         self.pos = 0
+        # CDF-5: every NON_NEG field in the grammar (list counts, name
+        # lengths, dim sizes, attribute value counts, var ndims/dimids/
+        # vsize) widens to INT64; tags and nc_type stay 4 bytes
+        self.wide = wide
 
     def bytes(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]
@@ -96,8 +112,12 @@ class _Reader:
     def i8(self) -> int:
         return struct.unpack(">q", self.bytes(8))[0]
 
+    def nn(self) -> int:
+        """One NON_NEG field: INT in CDF-1/2, INT64 in CDF-5."""
+        return self.i8() if self.wide else self.i4()
+
     def name(self) -> str:
-        n = self.i4()
+        n = self.nn()
         s = self.bytes(n).decode("utf-8")
         self.bytes(_pad(n))
         return s
@@ -112,14 +132,14 @@ class _Reader:
         return arr.tolist() if n != 1 else arr[0].item()
 
     def att_list(self) -> dict:
-        tag, n = self.i4(), self.i4()
+        tag, n = self.i4(), self.nn()
         if tag not in (_NC_ATTRIBUTE, 0) or (tag == 0 and n != 0):
             raise ValueError(f"bad attribute list header ({tag}, {n})")
         out = {}
         for _ in range(n):
             nm = self.name()
             t = self.i4()
-            cnt = self.i4()
+            cnt = self.nn()
             out[nm] = self.values(t, cnt)
         return out
 
@@ -144,21 +164,23 @@ def read(
         from ophidia_server_spark.sources import hdf5
 
         return hdf5.read(path, variables, subset, subset_type, mask_fn)
-    if magic[:3] != b"CDF" or magic[3] not in (1, 2):
+    if magic[:3] != b"CDF" or magic[3] not in (1, 2, 5):
         raise ValueError(f"not a NetCDF3 classic file: magic={magic!r}")
-    large = magic[3] == 2
-    numrecs = r.i4()
+    wide = magic[3] == 5      # CDF-5: 64-bit data (pnetcdf extension)
+    large = magic[3] == 2 or wide
+    r.wide = wide
+    numrecs = r.i8() if wide else r.i4()
 
     ds = Dataset()
     # dimension list
-    tag, ndims = r.i4(), r.i4()
+    tag, ndims = r.i4(), r.nn()
     if tag not in (_NC_DIMENSION, 0) or (tag == 0 and ndims != 0):
         raise ValueError("bad dimension list header")
     dim_names: list[str] = []
     dim_sizes: list[int] = []
     for _ in range(ndims):
         nm = r.name()
-        sz = r.i4()
+        sz = r.nn()
         dim_names.append(nm)
         dim_sizes.append(sz)
         ds.dimensions[nm] = None if sz == 0 else sz
@@ -166,17 +188,17 @@ def read(
     ds.attributes = r.att_list()
 
     # variable headers
-    tag, nvars = r.i4(), r.i4()
+    tag, nvars = r.i4(), r.nn()
     if tag not in (_NC_VARIABLE, 0) or (tag == 0 and nvars != 0):
         raise ValueError("bad variable list header")
     headers = []
     for _ in range(nvars):
         nm = r.name()
-        nd = r.i4()
-        dimids = [r.i4() for _ in range(nd)]
+        nd = r.nn()
+        dimids = [r.nn() for _ in range(nd)]
         atts = r.att_list()
         nc_type = r.i4()
-        vsize = r.i4()
+        vsize = r.nn()
         begin = r.i8() if large else r.i4()
         headers.append((nm, dimids, atts, nc_type, vsize, begin))
 
@@ -230,15 +252,16 @@ def read(
     return ds
 
 
-def _enc_name(s: str) -> bytes:
+def _enc_name(s: str, w: str = ">i") -> bytes:
     b = s.encode("utf-8")
-    return struct.pack(">i", len(b)) + b + b"\x00" * _pad(len(b))
+    return struct.pack(w, len(b)) + b + b"\x00" * _pad(len(b))
 
 
-def _nc_type_for(arr: np.ndarray) -> int:
+def _nc_type_for(arr: np.ndarray, wide: bool = False) -> int:
     if arr.dtype.kind == "S" or arr.dtype.kind == "U":
         return NC_CHAR
-    t = _NC_TYPE_OF.get(np.dtype(arr.dtype).name)
+    table = _NC_TYPE_OF_CDF5 if wide else _NC_TYPE_OF
+    t = table.get(np.dtype(arr.dtype).name)
     if t is None:
         raise ValueError(f"unsupported dtype for NetCDF3: {arr.dtype}")
     return t
@@ -255,10 +278,10 @@ def _enc_values(nc_type: int, values) -> tuple[bytes, int]:
     return raw + b"\x00" * _pad(len(raw)), n
 
 
-def _enc_att_list(atts: dict) -> bytes:
+def _enc_att_list(atts: dict, w: str = ">i") -> bytes:
     if not atts:
-        return _ABSENT
-    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(atts))]
+        return struct.pack(">i", 0) + struct.pack(w, 0)
+    out = [struct.pack(">i", _NC_ATTRIBUTE) + struct.pack(w, len(atts))]
     for nm, val in atts.items():
         if isinstance(val, str):
             t = NC_CHAR
@@ -269,7 +292,7 @@ def _enc_att_list(atts: dict) -> bytes:
         else:
             t = NC_INT
         raw, n = _enc_values(t, val)
-        out.append(_enc_name(nm) + struct.pack(">ii", t, n) + raw)
+        out.append(_enc_name(nm, w) + struct.pack(">i", t) + struct.pack(w, n) + raw)
     return b"".join(out)
 
 
@@ -289,10 +312,14 @@ def _checked_cast(v: Variable, nc_type: int) -> np.ndarray:
 def write(path: str, ds: Dataset, version: str = "auto") -> None:
     """Write a classic file: CDF-1, or CDF-2 (64-bit offsets) automatically
     once any offset crosses the 2 GiB CDF-1 limit (version='64bit' forces
-    CDF-2). One dimension may be unlimited (size None): variables whose first
-    dim is unlimited are written as interleaved record slabs, mirroring
-    read()'s layout exactly (incl. the single-record-variable no-padding
-    special case)."""
+    CDF-2; version='cdf5' emits the 64-bit-data CDF-5 layout, where every
+    NON_NEG header field is INT64 and int64/unsigned payloads keep their
+    width instead of narrow-checking). One dimension may be unlimited
+    (size None): variables whose first dim is unlimited are written as
+    interleaved record slabs, mirroring read()'s layout exactly (incl. the
+    single-record-variable no-padding special case)."""
+    wide = version == "cdf5"
+    w = ">q" if wide else ">i"
     dim_names = list(ds.dimensions)
     dim_index = {n: i for i, n in enumerate(dim_names)}
     rec_dims = [n for n, sz in ds.dimensions.items() if sz is None]
@@ -303,7 +330,7 @@ def write(path: str, ds: Dataset, version: str = "auto") -> None:
     fixed_heads, rec_heads = [], []  # (var, nc_type, vsize, payload-or-chunks)
     numrecs = 0
     for v in ds.variables.values():
-        nc_type = _nc_type_for(v.data)
+        nc_type = _nc_type_for(v.data, wide=wide)
         arr = _checked_cast(v, nc_type)
         if rec_dim is not None and v.dimensions and v.dimensions[0] == rec_dim:
             if numrecs and arr.shape[0] != numrecs:
@@ -323,29 +350,30 @@ def write(path: str, ds: Dataset, version: str = "auto") -> None:
     recsize = sum(h[2] for h in rec_heads)
 
     def encode(large: bool) -> tuple[bytes, bytes, list[int], int]:
-        off_fmt = ">q" if large else ">i"
-        header = [b"CDF\x02" if large else b"CDF\x01", struct.pack(">i", numrecs)]
+        off_fmt = ">q" if (large or wide) else ">i"
+        magic = b"CDF\x05" if wide else (b"CDF\x02" if large else b"CDF\x01")
+        header = [magic, struct.pack(w, numrecs)]
         if dim_names:
-            header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
+            header.append(struct.pack(">i", _NC_DIMENSION) + struct.pack(w, len(dim_names)))
             for n in dim_names:
                 header.append(
-                    _enc_name(n) + struct.pack(">i", ds.dimensions[n] or 0)
+                    _enc_name(n, w) + struct.pack(w, ds.dimensions[n] or 0)
                 )
         else:
-            header.append(_ABSENT)
-        header.append(_enc_att_list(ds.attributes))
+            header.append(struct.pack(">i", 0) + struct.pack(w, 0))
+        header.append(_enc_att_list(ds.attributes, w))
         head = b"".join(header)
 
         def var_block(begins: list[int]) -> bytes:
             if not var_heads:
-                return _ABSENT
-            parts = [struct.pack(">ii", _NC_VARIABLE, len(var_heads))]
+                return struct.pack(">i", 0) + struct.pack(w, 0)
+            parts = [struct.pack(">i", _NC_VARIABLE) + struct.pack(w, len(var_heads))]
             for (v, nc_type, vsize, _), begin in zip(var_heads, begins):
-                parts.append(_enc_name(v.name))
-                parts.append(struct.pack(">i", len(v.dimensions)))
-                parts.extend(struct.pack(">i", dim_index[d]) for d in v.dimensions)
-                parts.append(_enc_att_list(v.attributes))
-                parts.append(struct.pack(">ii", nc_type, vsize))
+                parts.append(_enc_name(v.name, w))
+                parts.append(struct.pack(w, len(v.dimensions)))
+                parts.extend(struct.pack(w, dim_index[d]) for d in v.dimensions)
+                parts.append(_enc_att_list(v.attributes, w))
+                parts.append(struct.pack(">i", nc_type) + struct.pack(w, vsize))
                 parts.append(struct.pack(off_fmt, begin))
             return b"".join(parts)
 

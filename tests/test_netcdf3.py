@@ -314,3 +314,53 @@ def test_streaming_numrecs_sentinel_recovers(tmp_path):
     raw[4:8] = b"\xff\xff\xff\xff"
     open(p2, "wb").write(bytes(raw))
     assert nc.read(p2).variables["s"].data.tolist() == [1, 2, 3, 4, 5]
+
+
+def test_cdf5_roundtrip_wide_headers_and_64bit_types(tmp_path):
+    # CDF-5 ("64-bit data"): every NON_NEG header field is INT64 and
+    # int64/unsigned payloads keep their width (no narrow-check needed)
+    big = np.array([2**40, -(2**40), 7], dtype=np.int64)
+    ds = nc.Dataset(
+        dimensions={"t": None, "x": 3},
+        attributes={"title": "cdf5", "levels": [1, 2, 3]},
+        variables={
+            "t": nc.Variable("t", ("t",), {}, np.arange(4, dtype=np.float64)),
+            "big": nc.Variable("big", ("x",), {"u": "count"}, big),
+            "u32": nc.Variable(
+                "u32", ("x",), {}, np.array([1, 2, 4000000000], dtype=np.uint32)
+            ),
+            "rec": nc.Variable(
+                "rec", ("t", "x"), {},
+                np.arange(12, dtype=np.int64).reshape(4, 3) * 2**35,
+            ),
+        },
+    )
+    p = str(tmp_path / "wide.nc")
+    nc.write(p, ds, version="cdf5")
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"CDF\x05"
+    back = nc.read(p)
+    assert back.dimensions == {"t": None, "x": 3}
+    assert back.attributes["title"] == "cdf5"
+    assert np.array_equal(back.variables["big"].data, big)
+    assert back.variables["big"].data.dtype == np.dtype(">i8")
+    assert np.array_equal(
+        back.variables["u32"].data, np.array([1, 2, 4000000000], dtype=np.uint64)
+    )
+    assert np.array_equal(
+        back.variables["rec"].data, np.arange(12).reshape(4, 3) * 2**35
+    )
+
+
+def test_cdf1_still_narrow_checks_int64(tmp_path):
+    # the classic path keeps refusing silent int64 wrap; CDF-5 accepts it
+    import pytest
+    ds = nc.Dataset(
+        dimensions={"x": 1},
+        variables={"v": nc.Variable("v", ("x",), {}, np.array([2**40]))},
+    )
+    with pytest.raises(ValueError, match="NC_INT range"):
+        nc.write(str(tmp_path / "narrow.nc"), ds)
+    nc.write(str(tmp_path / "wide.nc"), ds, version="cdf5")
+    back = nc.read(str(tmp_path / "wide.nc"))
+    assert int(back.variables["v"].data[0]) == 2**40
