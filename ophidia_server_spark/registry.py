@@ -5657,3 +5657,48 @@ def io_cdf5_roundtrip(spark, sf_dir):
             F.col("qty").cast("double").alias("qty"),
         )
     )
+
+
+@q(
+    "events_json_props_stats",
+    """SELECT event_type,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS DOUBLE)) AS BIGINT)
+         AS n_with_field,
+       ROUND(CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS DOUBLE)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS avg_val,
+       MIN(CAST(json_extract(props, '$.k') AS DOUBLE)) AS min_val,
+       MAX(CAST(json_extract(props, '$.k') AS DOUBLE)) AS max_val
+FROM events GROUP BY event_type""",
+)
+def events_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction (streaming/windows.py json_props_stats):
+    pull the numeric field out of the JSON properties bag and aggregate
+    per event type — JVM get_json_object fused into the scan, no UDF."""
+    return win.json_props_stats(_t(spark, sf_dir)["events"], path="k")
+
+
+@q(
+    "events_json_props_profile",
+    """WITH k AS (
+  SELECT props, unnest(json_keys(props)) AS key FROM events
+), e AS (
+  SELECT key, json_extract(props, '$.' || key) AS val FROM k
+), pk AS (
+  SELECT key, COUNT(*) AS n_rows,
+         SUM(CASE WHEN TRY_CAST(val AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_numeric
+  FROM e GROUP BY key
+)
+SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(CAST(n_rows AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM events), 1), 6) AS coverage,
+       CAST(n_numeric AS BIGINT) AS n_numeric
+FROM pk""",
+)
+def events_json_props_profile(spark, sf_dir):
+    """JSON schema discovery (streaming/windows.py json_props_profile):
+    per top-level key of the properties bag, row coverage and how many
+    values parse numeric — the profiling pass before extraction queries.
+    from_json to map<string,string> handles arbitrary keys."""
+    return win.json_props_profile(_t(spark, sf_dir)["events"])

@@ -803,3 +803,68 @@ def cusum_changepoint(
             ).alias("shift_stat"),
         )
     )
+
+
+def json_props_stats(
+    df: DataFrame, path: str = "k", props_col: str = "props",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured extraction + aggregation: pull a typed field out of
+    a JSON string column (the event-properties bag every tracking schema
+    carries) and aggregate it per key — the get_json_object/from_json
+    pattern, kept JVM-side so the JSON parse fuses into the scan's codegen
+    span (one map stage; no Python, no UDF). Null/absent/malformed values
+    drop out of the aggregate the SQL way (COUNT/AVG skip nulls)."""
+    v = F.get_json_object(F.col(props_col), f"$.{path}").cast("double")
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(v).alias("n_with_field"),
+            F.round(
+                F.sum(v.cast("decimal(18,6)")).cast("double")
+                / F.count(v), 6
+            ).alias("avg_val"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+        )
+    )
+
+
+def json_props_profile(
+    df: DataFrame, props_col: str = "props"
+) -> DataFrame:
+    """JSON schema discovery over a semi-structured column: explode every
+    object's top-level keys and report, per key, how many rows carry it,
+    its coverage fraction, and how many of its values parse as numbers —
+    the profiling pass that tells a lake user what's actually inside a
+    properties bag before they write extraction queries.
+
+    One explode over the parsed map entries (bounded by object width, not
+    corpus cardinality) + one key-grouped aggregate; the total-row count
+    broadcasts into the coverage fraction. from_json to map<string,string>
+    handles arbitrary keys — get_json_object can't, its path must be a
+    literal."""
+    entries = df.select(
+        F.explode(
+            F.from_json(F.col(props_col), "map<string,string>")
+        ).alias("key", "val")
+    )
+    per_key = entries.groupBy("key").agg(
+        F.count("*").alias("n_rows"),
+        # try_cast, not cast: ANSI mode makes cast THROW on 'b' -> double,
+        # and a profiling pass must classify values, not die on them
+        F.sum(F.col("val").try_cast("double").isNotNull().cast("long")).alias(
+            "n_numeric"
+        ),
+    )
+    total = df.agg(F.count("*").alias("__n"))
+    return (
+        per_key.join(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.greatest("__n", F.lit(1)), 6)
+            .alias("coverage"),
+            F.col("n_numeric").cast("long").alias("n_numeric"),
+        )
+    )

@@ -383,3 +383,21 @@ def test_cusum_changepoint_finds_planted_level_shift(spark):
         r.changepoint_bin.startswith("2024-01-0")
     assert r.changepoint_bin[:10] in ("2024-01-04", "2024-01-05")
     assert r.shift_stat > 3.0  # decisive shift
+
+
+def test_json_props_ops_handle_mixed_and_malformed(spark):
+    rows = [
+        (1, '{"k": 5, "tag": "a"}', "x"),
+        (2, '{"k": 7}', "x"),
+        (3, '{"tag": "b"}', "x"),       # field absent
+        (4, "not json", "x"),            # malformed
+        (5, '{"k": 9}', "y"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string, event_type string")
+    stats = {r.event_type: r for r in win.json_props_stats(df, path="k").collect()}
+    assert stats["x"].n_with_field == 2 and stats["x"].avg_val == 6.0
+    assert stats["y"].n_with_field == 1 and stats["y"].max_val == 9.0
+    prof = {r.key: r for r in win.json_props_profile(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_numeric == 3
+    assert prof["tag"].n_rows == 2 and prof["tag"].n_numeric == 0
+    assert prof["k"].coverage == 0.6
