@@ -43,8 +43,10 @@ def _register_exprs(key_col: str, p: int, salt: str) -> tuple[Column, Column]:
     """(register index, rho) expressions for one key column."""
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    from ophidia_server_spark.functions.hashing import md5_of
+
     hex_digits = p // 4
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    h = md5_of(F.col(key_col), salt)
     reg = F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long")
     tail = F.substring(h, hex_digits + 1, 16)
     return reg, _rho(tail)
@@ -166,8 +168,9 @@ def hll_distinct_report(
 
 
 def _cms_bucket(key_col: str, row: int, w: int, salt: str) -> Column:
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}{row}")))
-    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(w))
+    from ophidia_server_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(F.col(key_col), w, f"{salt}{row}")
 
 
 def cms_sketch(
@@ -244,18 +247,29 @@ def dds_sketch(
     pure function of the value — so the sketch is deterministic, merges by
     counter addition, and holds O(log(max/min)/alpha) rows regardless of
     input size (the third classic sketch family next to HLL and count-min:
-    distinct-count / frequency / quantiles). Non-positive values get the
-    reserved bucket NULL->zero handling: zeros count in bucket 0's own row
-    via a sentinel (`bucket` = -(2^62)), negatives raise downstream rather
-    than silently vanish."""
+    distinct-count / frequency / quantiles). Zeros count in their own
+    sentinel bucket (-(2^62)); a NEGATIVE value raises a named error at
+    execution (F.log of a negative is silently NULL in Spark, which would
+    otherwise smuggle a poisoned NULL bucket into the cumulative walk and
+    skew every quantile)."""
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     import math
 
     gamma = (1 + alpha) / (1 - alpha)
     x = F.col(value_col).cast("double")
-    bucket = F.when(x == 0, F.lit(-(2**62))).otherwise(
-        F.ceil(F.log(x) / math.log(gamma))
+    bucket = (
+        F.when(x == 0, F.lit(-(2**62)))
+        .when(
+            x < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("dds_sketch requires non-negative values, got "),
+                    x.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.ceil(F.log(x) / math.log(gamma)))
     )
     return (
         df.select(bucket.cast("long").alias("bucket"))
@@ -279,37 +293,35 @@ def dds_quantiles(
     the first bucket whose cumulative count reaches ceil(q * n) (rank
     semantics — engine-portable, no interpolation ambiguity) and return
     the bucket's midpoint value 2*gamma^b/(gamma+1), which is within
-    alpha of every value the bucket holds. One cumulative window over the
-    (tiny) bucket table."""
+    alpha of every value the bucket holds.
+
+    ONE plan for every requested quantile: the cumulative walk runs once,
+    the q list joins in as a broadcast literal table, and each q's answer
+    is the MIN qualifying bucket — an earlier per-q union re-ran the
+    whole upstream sketch (and its source scan) once per quantile."""
     import math
 
     from pyspark.sql import Window
 
     gamma = (1 + alpha) / (1 - alpha)
+    spark = sketch.sparkSession
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.select(
         "bucket", "c", F.sum("c").over(w).alias("__cum")
     ).crossJoin(F.broadcast(sketch.agg(F.sum("c").alias("__n"))))
-    out = None
-    for q in qs:
-        rank = F.ceil(F.lit(float(q)) * F.col("__n"))
-        hit = (
-            cum.filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
-            .orderBy("bucket")
-            .limit(1)
-            .select(
-                F.lit(float(q)).alias("q"),
-                F.when(F.col("bucket") == -(2**62), F.lit(0.0))
-                .otherwise(
-                    F.round(
-                        2.0
-                        * F.pow(F.lit(gamma), F.col("bucket"))
-                        / (gamma + 1),
-                        6,
-                    )
-                )
-                .alias("est"),
-            )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.ceil(F.col("q") * F.col("__n"))
+    best = (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("__b"))
+    )
+    return best.select(
+        "q",
+        F.when(F.col("__b") == -(2**62), F.lit(0.0))
+        .otherwise(
+            F.round(2.0 * F.pow(F.lit(gamma), F.col("__b")) / (gamma + 1), 6)
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        .alias("est"),
+    )

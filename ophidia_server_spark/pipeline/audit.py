@@ -53,8 +53,12 @@ def corpus_audit(
 
     Row-local rules fold into ONE aggregate over one scan regardless of the
     rule count; each `unique` rule adds one count/countDistinct pair on its
-    column. The result is rule-count rows — the audit table a pipeline
-    writes next to its output."""
+    column. The single aggregate row is collected driver-side (it is one
+    row by construction) and the report emitted as a literal DataFrame —
+    an earlier per-rule union of selects over the lazy aggregate re-ran
+    the source scan once per rule, because column pruning specialized each
+    branch and defeated exchange reuse. The result is rule-count rows —
+    the audit table a pipeline writes next to its output."""
     if not rules:
         raise ValueError("corpus_audit needs at least one rule")
     names = [r[0] for r in rules]
@@ -73,19 +77,15 @@ def corpus_audit(
         row_aggs.append(
             (F.count(c) - F.countDistinct(c)).cast("long").alias(f"__v_{name}")
         )
-    base = df.agg(F.count("*").alias("__n"), *row_aggs)
-    out = None
+    base = df.agg(F.count("*").alias("__n"), *row_aggs).first()
+    n = int(base["__n"])
+    rows = []
     for name, kind, _params in rules:
-        frac = F.round(
-            F.col(f"__v_{name}") / F.greatest(F.col("__n"), F.lit(1)), 6
-        )
-        row = base.select(
-            F.lit(name).alias("rule"),
-            F.lit(kind).alias("kind"),
-            F.col("__n").cast("long").alias("n_rows"),
-            F.col(f"__v_{name}").cast("long").alias("n_violations"),
-            frac.alias("violation_frac"),
-            (frac <= max_violation_frac).cast("int").alias("passed"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        v = int(base[f"__v_{name}"] or 0)
+        frac = round(v / max(n, 1), 6)
+        rows.append((name, kind, n, v, frac, int(frac <= max_violation_frac)))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "rule string, kind string, n_rows long, n_violations long, "
+        "violation_frac double, passed int",
+    )

@@ -88,8 +88,10 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     elif raw[:6] in (gif.MAGIC87, gif.MAGIC89):
                         d = gif.decode(raw)
                         wd, ht = d["width"], d["height"]
-                except ValueError:
-                    wd = ht = None  # poison: fall through to the fake
+                except Exception:  # noqa: BLE001 - poison payloads raise
+                    # struct.error/IndexError from truncated containers, not
+                    # just ValueError; a corrupt blob must never kill the job
+                    wd = ht = None
                 if wd is None:
                     # deterministic fake for non-decodable payloads
                     wd, ht = len(raw) % 640, len(raw) % 480

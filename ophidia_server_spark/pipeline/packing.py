@@ -29,11 +29,12 @@ from ophidia_server_spark.pipeline.text import tokens
 
 
 def _md5_bucket(key: Column, n: int, salt: str) -> Column:
-    """Uniform bucket in [0, n) from the first 8 md5 hex chars of key+salt.
-    conv(hex, 16, 10) % n is identical in Spark and DuckDB, which is what
+    """Uniform bucket in [0, n) from the shared md5 primitive
+    (functions/hashing.py) — identical in Spark and DuckDB, which is what
     makes the packing/shuffle layouts oracle-checkable."""
-    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
-    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n))
+    from ophidia_server_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(key, n, salt)
 
 
 def pack_sequences(
@@ -110,7 +111,9 @@ def global_shuffle(
     n_shards rows each; at 100 TB use thousands of shards), the shard
     assignment is a pure map.
     """
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    from ophidia_server_spark.functions.hashing import md5_of
+
+    key = md5_of(F.col(id_col), salt)
     keyed = df.select(
         F.col(id_col),
         _md5_bucket(F.col(id_col), n_shards, salt + ":shard").alias("shard"),

@@ -39,8 +39,12 @@ def _threshold_hex(frac: float) -> str:
 
 
 def _coin(key: Column, salt: str) -> Column:
-    """The 8-hex-char uniform draw for a key column."""
-    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    """The 8-hex-char uniform draw for a key column (the shared
+    functions/hashing.py primitive — one home for the cross-engine md5
+    contract)."""
+    from ophidia_server_spark.functions.hashing import coin_hex8
+
+    return coin_hex8(key, salt)
 
 
 def hash_sample(
@@ -167,8 +171,8 @@ def weighted_sample(
     sample, never evict others. Pure map-stage filter, zero shuffle."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    coin32 = F.conv(
-        _coin(F.col(key_col), salt), 16, 10
-    ).cast("long")
+    from ophidia_server_spark.functions.hashing import hex8_long
+
+    coin32 = hex8_long(F.col(key_col), salt)
     p = F.least(F.col(weight_col).cast("double") / cap, F.lit(1.0))
     return df.filter(coin32 < p * _HEX_SPAN)

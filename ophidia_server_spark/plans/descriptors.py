@@ -121,32 +121,38 @@ def _strtod(text: str) -> float:
 def _check_one(op: str, spec: ParamSpec, key: str, raw):
     """Validate a single (possibly negated) key's value (checked through its
     string form); returns the value unchanged — preserving non-string request
-    objects like JSON maps — except for the min==max constant forcing."""
+    objects like JSON maps — except for the min==max constant forcing. A
+    multivalue parameter has EVERY |-separated element checked (numeric
+    range checks included — the reference parses each element with
+    strtol/strtod, oph_task_parser_library.c:469/512)."""
     text = str(raw)
+    elems = text.split("|") if spec.multivalue else [text]
     if spec.type == "int":
-        n = _strtol(text)
         lo, hi = spec.minvalue, spec.maxvalue
         if lo is not None and hi is not None and lo == hi:
-            return str(int(lo))  # forced to the only possible value
-        if lo is not None and n < lo:
-            raise ParamValidationError(
-                op, key, f"value {n} is lower than minvalue {int(lo)}")
-        if hi is not None and n > hi:
-            raise ParamValidationError(
-                op, key, f"value {n} is higher than maxvalue {int(hi)}")
+            forced = "|".join(str(int(lo)) for _ in elems)
+            return forced  # forced to the only possible value
+        for e in elems:
+            n = _strtol(e)
+            if lo is not None and n < lo:
+                raise ParamValidationError(
+                    op, key, f"value {n} is lower than minvalue {int(lo)}")
+            if hi is not None and n > hi:
+                raise ParamValidationError(
+                    op, key, f"value {n} is higher than maxvalue {int(hi)}")
     elif spec.type == "real":
-        x = _strtod(text)
         lo, hi = spec.minvalue, spec.maxvalue
         if lo is not None and hi is not None and lo == hi:
-            return repr(float(lo))
-        if lo is not None and x < lo:
-            raise ParamValidationError(
-                op, key, f"value {x} is lower than minvalue {lo}")
-        if hi is not None and x > hi:
-            raise ParamValidationError(
-                op, key, f"value {x} is higher than maxvalue {hi}")
+            return "|".join(repr(float(lo)) for _ in elems)
+        for e in elems:
+            x = _strtod(e)
+            if lo is not None and x < lo:
+                raise ParamValidationError(
+                    op, key, f"value {x} is lower than minvalue {lo}")
+            if hi is not None and x > hi:
+                raise ParamValidationError(
+                    op, key, f"value {x} is higher than maxvalue {hi}")
     if spec.values is not None:
-        elems = text.split("|") if spec.multivalue else [text]
         for e in elems:
             if e not in spec.values:
                 raise ParamValidationError(
@@ -177,11 +183,18 @@ def validate_params(
                 + ", ".join(sorted(known | negatable)),
             )
     for spec in desc.args:
-        for key in ([spec.name, f"{spec.name}!"] if spec.allownot else [spec.name]):
+        neg_key = f"{spec.name}!"
+        neg_present = (
+            spec.allownot and neg_key in args and args[neg_key] is not None
+        )
+        for key in ([spec.name, neg_key] if spec.allownot else [spec.name]):
             if key in args and args[key] is not None:
                 out[key] = _check_one(desc.name, spec, key, args[key])
-            elif key == spec.name:
-                # missing plain key: mandatory -> error, optional -> default
+            elif key == spec.name and not neg_present:
+                # missing plain key (and no negated form supplied — `name!`
+                # is the alternative spelling of the one parameter, so its
+                # presence satisfies mandatory and suppresses the default):
+                # mandatory -> error, optional -> default
                 if spec.mandatory:
                     raise ParamValidationError(
                         desc.name, key, "missing mandatory parameter")
@@ -451,7 +464,7 @@ _d("oph_importnc", "Import a NetCDF variable into a new datacube.",
 _d("oph_exportnc", "Export a datacube to NetCDF file(s).",
    _CUBE, _p("output_path", mandatory=True),
    _p("per_dim_files", default="no", values=YN),
-   _p("nc_format", default="classic", values=("classic", "nc4")),
+   _p("nc_format", default="classic", values=("classic", "netcdf4", "cdf5")),
    _p("compress", type="int", minvalue=1, maxvalue=9),
    permission="write")
 

@@ -1863,7 +1863,9 @@ def write(path: str, ds: Dataset, compress: int | str | None = None,
                     prm["min_pointers"], prm["min_elmts"], prm["page_bits"],
                 )
             else:
-                lay += struct.pack("<BIBB", 5, 2048, 100, 40)
+                # creation parameters must advertise the node size the tree
+                # was actually built with, not a fixed 2048
+                lay += struct.pack("<BIBB", 5, b2_node_size, 100, 40)
             lay += struct.pack("<Q", iaddr)
             msgs.append(_msg(M_LAYOUT, lay))
             if compress is not None:

@@ -124,7 +124,12 @@ def test_allownot_negated_key_accepted():
     d = desc(ParamSpec("measure", mandatory=False, default="", allownot=True))
     out = validate_params(d, {"measure!": "tas"})
     assert out["measure!"] == "tas"
-    assert out["measure"] == ""  # plain key falls back to its default
+    # `name!` is the alternative spelling of the ONE parameter: no spurious
+    # plain-key default rides along, and its presence satisfies mandatory
+    assert "measure" not in out
+    d2 = desc(ParamSpec("measure", mandatory=True, allownot=True))
+    out2 = validate_params(d2, {"measure!": "tas"})
+    assert out2 == {"measure!": "tas"}
 
 
 def test_negated_key_rejected_without_allownot():
@@ -285,3 +290,18 @@ def test_operators_list_includes_descriptor_ops():
 
     names = {e["operator"] for e in operators_list()}
     assert {"oph_for", "oph_wait", "oph_massive"} <= names
+
+
+def test_multivalue_numeric_checks_every_element():
+    d = desc(ParamSpec("level", type="int", mandatory=False,
+                       minvalue=0, maxvalue=9, multivalue=True))
+    assert validate_params(d, {"level": "2|5|9"})["level"] == "2|5|9"
+    # the out-of-range element is NOT the first one — it must still fail
+    with pytest.raises(ParamValidationError, match="lower than minvalue"):
+        validate_params(d, {"level": "2|-1"})
+    with pytest.raises(ParamValidationError, match="higher than maxvalue"):
+        validate_params(d, {"level": "3|12"})
+    dr = desc(ParamSpec("frac", type="real", mandatory=False,
+                        minvalue=0, maxvalue=1, multivalue=True))
+    with pytest.raises(ParamValidationError, match="higher than maxvalue"):
+        validate_params(dr, {"frac": "0.2|1.5"})

@@ -787,3 +787,30 @@ def test_pipeline_sketch_stage_writes_mergeable_tables(env, spark, tables, tmp_p
     })
     assert bad.status != "OPH_ODB_STATUS_COMPLETED"
     assert "kind" in (bad.results["s"].error or "")
+
+
+def test_facade_exportnc_netcdf4_and_cdf5_write_real_formats(env, tmp_path):
+    # descriptor previously only allowed 'nc4', which the implementation
+    # ignored (silent classic write); both real formats must now validate
+    # AND produce their magic
+    eng, _store, src = env
+    for fmt, magic in (("netcdf4", b"\x89HDF"), ("cdf5", b"CDF\x05")):
+        run = eng.run({
+            "tasks": [
+                {"name": "i", "operator": "oph_importcsv",
+                 "arguments": {"src_path": src, "measure": "l_quantity",
+                               "explicit_dims": "l_returnflag|l_linestatus",
+                               "implicit_dim": "month",
+                               "schema": "l_returnflag string, l_linestatus string, "
+                                         "month int, l_quantity double"}},
+                {"name": "x", "operator": "oph_exportnc",
+                 "arguments": {"output_path": str(tmp_path / f"nc_{fmt}"),
+                               "nc_format": fmt},
+                 "dependencies": ["i"]},
+            ]
+        })
+        assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+            n: (r.status, r.error) for n, r in run.results.items()
+        }
+        f = run.results["x"].value[0]
+        assert open(f, "rb").read(4)[: len(magic)] == magic, fmt

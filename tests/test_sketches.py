@@ -136,3 +136,9 @@ def test_hll_registers_stream_equals_batch(spark, tables, tmp_path):
     got = {(r.reg, r.rho) for r in spark.table("hll_sink").collect()}
     want = {(r.reg, r.rho) for r in sk.hll_registers(events, "user_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_dds_rejects_negative_values_at_execution(spark):
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "value double")
+    with pytest.raises(Exception, match="non-negative"):
+        sk.dds_sketch(df, "value").collect()
