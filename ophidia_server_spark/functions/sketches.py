@@ -295,25 +295,33 @@ def dds_quantiles(
     the bucket's midpoint value 2*gamma^b/(gamma+1), which is within
     alpha of every value the bucket holds.
 
-    ONE plan for every requested quantile: the cumulative walk runs once,
-    the q list joins in as a broadcast literal table, and each q's answer
-    is the MIN qualifying bucket — an earlier per-q union re-ran the
-    whole upstream sketch (and its source scan) once per quantile."""
+    ONE plan, ONE pass over the sketch for every requested quantile: the
+    cumulative walk and the total both come from windows over the bucket
+    table, the q list rides in as an exploded literal array (no join at
+    all), and each q's answer is the MIN qualifying bucket — an earlier
+    per-q union re-ran the whole upstream sketch (and its source scan)
+    once per quantile."""
     import math
 
     from pyspark.sql import Window
 
     gamma = (1 + alpha) / (1 - alpha)
-    spark = sketch.sparkSession
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()  # one global frame over the tiny table
+    # windows FIRST, explode in a separate projection: mixing both in one
+    # select puts the Generate node under the Window, so the cumulative
+    # sums would triple-count over the exploded rows
     cum = sketch.select(
-        "bucket", "c", F.sum("c").over(w).alias("__cum")
-    ).crossJoin(F.broadcast(sketch.agg(F.sum("c").alias("__n"))))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+        "bucket",
+        F.sum("c").over(w).alias("__cum"),
+        F.sum("c").over(total).alias("__n"),
+    ).select(
+        "bucket", "__cum", "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
     rank = F.ceil(F.col("q") * F.col("__n"))
     best = (
-        cum.join(F.broadcast(qdf))
-        .filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
+        cum.filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
         .groupBy("q")
         .agg(F.min("bucket").alias("__b"))
     )
