@@ -635,6 +635,10 @@ _d("pipeline_semantic_dedup", "SemDeDup embedding-cluster near-dup pruning.",
    _p("threshold", type="real", default="0.95", minvalue=-1, maxvalue=1),
    _p("id_col", default="vec_id"),
    _p("vec_col", default="embedding"))
+_d("pipeline_repack", "Size-targeted parquet repack for loader handoff.",
+   _SRC, _OUT,
+   _p("target_mb", type="real", default="256", minvalue=0.001))
+
 _d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch).",
    _SRC, _OUT,
    _p("column", mandatory=True),

@@ -455,6 +455,21 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         ).write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_repack(engine, args, inputs):
+        # loader-handoff sharding: rewrite the stage's parquet near a
+        # target file size (io_ops.repack_parquet)
+        from ophidia_server_spark.operators.io_ops import repack_parquet
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        repack_parquet(
+            spark.read.parquet(src), out,
+            target_mb=float(args.get("target_mb", 256)),
+        )
+        return out
+
     def op_pipe_sketch(engine, args, inputs):
         # mergeable-summary stage: write a sketch table (HLL registers /
         # count-min counters / DDSketch buckets) for a column — downstream
@@ -618,6 +633,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_semantic_dedup": op_pipe_semantic_dedup,
             "pipeline_audit": op_pipe_audit,
             "pipeline_sketch": op_pipe_sketch,
+            "pipeline_repack": op_pipe_repack,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

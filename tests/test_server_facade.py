@@ -814,3 +814,24 @@ def test_facade_exportnc_netcdf4_and_cdf5_write_real_formats(env, tmp_path):
         }
         f = run.results["x"].value[0]
         assert open(f, "rb").read(4)[: len(magic)] == magic, fmt
+
+
+def test_pipeline_repack_stage(env, spark, tables, tmp_path):
+    import glob
+
+    eng, _store, _src = env
+    src = str(tmp_path / "docs_rp")
+    tables["documents"].write.mode("overwrite").parquet(src)
+    run = eng.run({
+        "tasks": [{
+            "name": "rp", "operator": "pipeline_repack",
+            "arguments": {"src_path": src, "target_mb": "0.02",
+                          "output_path": str(tmp_path / "repacked")},
+        }]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    out = run.results["rp"].value
+    assert len(glob.glob(f"{out}/part-*.parquet")) > 1
+    assert spark.read.parquet(out).count() == tables["documents"].count()

@@ -142,3 +142,31 @@ def test_dds_rejects_negative_values_at_execution(spark):
     df = spark.createDataFrame([(1.0,), (-2.0,)], "value double")
     with pytest.raises(Exception, match="non-negative"):
         sk.dds_sketch(df, "value").collect()
+
+
+def test_cms_sketch_stream_equals_batch(spark, tables, tmp_path):
+    # count-min is an additive aggregate, so the identical expression over
+    # readStream (complete mode) must land on the batch counter table
+    events = tables["events"]
+    src = str(tmp_path / "ev_cms_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    buckets = F.array(*[sk._cms_bucket("user_id", r, 256, "cms") for r in range(4)])
+    agg = (
+        stream.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.row, r.bucket, r.c) for r in spark.table("cms_sink").collect()}
+    want = {(r.row, r.bucket, r.c)
+            for r in sk.cms_sketch(events, "user_id", d=4, w=256).collect()}
+    assert got == want and len(got) > 0
