@@ -5702,3 +5702,48 @@ def events_json_props_profile(spark, sf_dir):
     values parse numeric — the profiling pass before extraction queries.
     from_json to map<string,string> handles arbitrary keys."""
     return win.json_props_profile(_t(spark, sf_dir)["events"])
+
+
+@q(
+    "dedup_removal_grade",
+    """SELECT 'minhash' AS ladder, CAST(1 AS INT) AS partition_ok,
+       CAST(1 AS INT) AS reps_kept, CAST(1 AS INT) AS dups_removed
+UNION ALL
+SELECT 'simhash', CAST(1 AS INT), CAST(1 AS INT), CAST(1 AS INT)""",
+)
+def dedup_removal_grade(spark, sf_dir):
+    """Semantic grade for the two rows-only removal ladders
+    (dedup_near_removal / dedup_simhash_removal twins — the same pattern
+    as the ANN recall grades): for each ladder over the injected-duplicate
+    corpus, assert (a) kept + dropped partitions the input exactly, (b)
+    every cluster's min-id representative is kept, and (c) every injected
+    verbatim duplicate (doc_id + 100000) was dropped. The oracle pins the
+    expected all-ones verdict; any invariant break hash-mismatches."""
+    docs = _dup_input(spark, sf_dir)
+    n_docs = docs.count()
+    rows = []
+    for ladder, pairs in (
+        ("minhash", dd.minhash_lsh_pairs(docs, "text")),
+        ("simhash", dd.simhash_pairs(docs, max_hamming=3)),
+    ):
+        clusters = dd.cluster_pairs(pairs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_rep")
+        ).select("doc_id")
+        kept = docs.join(losers, "doc_id", "left_anti").select("doc_id")
+        n_kept = kept.count()
+        n_losers = losers.count()
+        partition_ok = int(n_kept + n_losers == n_docs)
+        # every representative is kept (reps never appear in losers)
+        reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
+        reps_kept = int(reps.join(losers, "doc_id", "left_semi").count() == 0)
+        # injected verbatim copies (id >= 100000) must all be dropped:
+        # each has an exact twin at id - 100000, always in its cluster
+        injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+        n_injected = injected.count()
+        n_injected_dropped = injected.join(losers, "doc_id", "left_semi").count()
+        dups_removed = int(n_injected_dropped == n_injected and n_injected > 0)
+        rows.append((ladder, partition_ok, reps_kept, dups_removed))
+    return spark.createDataFrame(
+        rows, "ladder string, partition_ok int, reps_kept int, dups_removed int"
+    )
