@@ -4040,13 +4040,14 @@ def tpch_q2(spark, sf_dir):
     """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
     European supplier(s) offering it at the region-wide minimum cost. The
     correlated MIN subquery is de-correlated into a per-part min aggregate
-    joined back on the exact DECIMAL cost; supplier/nation/region and the
-    filtered part side broadcast."""
+    joined back on the exact DECIMAL cost. The EU-supplier and filtered-part
+    sides are constant fractions of sf-proportional tables, so no broadcast
+    hint is forced — AQE picks broadcast when the side actually fits."""
     t = _t(spark, sf_dir)
     eu = _eu_suppliers(t, "EUROPE")
     costs = (
         _ps(t)
-        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost")
     )
     minc = costs.groupBy(F.col("ps_partkey").alias("mp")).agg(
@@ -4054,13 +4055,11 @@ def tpch_q2(spark, sf_dir):
     )
     return (
         costs.join(
-            F.broadcast(
-                t["part"].filter((F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD"))
-            ),
+            t["part"].filter((F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD")),
             F.col("p_partkey") == F.col("ps_partkey"),
         )
         .join(minc, (F.col("ps_partkey") == F.col("mp")) & (F.col("ps_supplycost") == F.col("mc")))
-        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name", "n_name", "p_partkey", "p_name",
@@ -4097,7 +4096,7 @@ def tpch_q9(spark, sf_dir):
     j = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").contains("widget"))),
+            t["part"].filter(F.col("p_name").contains("widget")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(_ps(t), (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
@@ -4141,7 +4140,7 @@ def tpch_q11(spark, sf_dir):
     nsup = _eu_suppliers(t, "ASIA").select("s_suppkey")
     val = (
         _ps(t)
-        .join(F.broadcast(nsup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nsup, F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(
             F.sum((F.col("ps_supplycost") * F.col("ps_availqty")).cast(DEC))
@@ -4175,7 +4174,8 @@ def tpch_q16(spark, sf_dir):
     (brand, type, size) over the traded pairs, excluding flagged suppliers
     (the comment-based complaint filter is adapted to negative account
     balance — the signal the testdata carries). NOT IN becomes a left-anti
-    join against the (tiny, broadcast) flagged-supplier set."""
+    join against the flagged-supplier set; no broadcast hint is forced on
+    either sf-proportional side — AQE picks the strategy by measured size."""
     t = _t(spark, sf_dir)
     pairs = (
         t["lineitem"]
@@ -4194,8 +4194,8 @@ def tpch_q16(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        pairs.join(F.broadcast(keep_part), F.col("p_partkey") == F.col("ps_partkey"))
-        .join(F.broadcast(flagged), "ps_suppkey", "left_anti")
+        pairs.join(keep_part, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(flagged, "ps_suppkey", "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -4240,7 +4240,7 @@ def tpch_q20(spark, sf_dir):
     cand = (
         _ps(t)
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").startswith("blue"))),
+            t["part"].filter(F.col("p_name").startswith("blue")),
             F.col("p_partkey") == F.col("ps_partkey"),
         )
         .join(
@@ -4254,7 +4254,7 @@ def tpch_q20(spark, sf_dir):
     )
     return (
         _eu_suppliers(t, "ASIA")
-        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"))
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -4282,7 +4282,9 @@ GROUP BY 1""",
 def tpch_q8(spark, sf_dir):
     """TPC-H Q8 (national market share): one nation's supplier share of a
     region's market for one part type, per order year. Plan: the lineitem
-    fact scans once; part/customer/nation/region/supplier all broadcast."""
+    fact scans once; nation/region carry broadcast hints (constant-size),
+    while the part/customer/supplier sides are sf-proportional and left to
+    AQE's size-based choice."""
     t = _t(spark, sf_dir)
     rev = _rev_col()
     cn = t["nation"].select(
@@ -4293,7 +4295,7 @@ def tpch_q8(spark, sf_dir):
     )
     j = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+        .join(t["part"].filter(F.col("p_type") == "STANDARD"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(
             t["orders"].filter(
@@ -4417,7 +4419,7 @@ def tpch_q17(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#13")),
+        .join(t["part"].filter(F.col("p_brand") == "Brand#13"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(pq, F.col("l_partkey") == F.col("pq_key"))
         .filter(dq * 5 * F.col("cq") < F.col("sq"))

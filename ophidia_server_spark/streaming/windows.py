@@ -624,56 +624,66 @@ def funnel(
 
     Returns one row per step: (step_no, step, n_users, frac_of_first).
 
-    Shape at scale: step 1 is one user-keyed aggregate; each later step is
-    a semi-join-shaped inner join of that step's events against the
-    reached-so-far table (both sides keyed by user, so AQE co-locates the
-    shuffles) followed by a user-keyed min — k-1 joins for a k-step funnel,
-    never a window function over all events. The final counts are scalar
-    aggregates; the one-row first-step count broadcasts into the fractions.
+    Shape at scale: ONE per-user table is built down a single left-join
+    chain — step 1 is a user-keyed min aggregate, and each later step
+    left-joins that step's events and takes the conditional min
+    (`min(ts WHERE ts > prev step's min)`), carrying every earlier step's
+    timestamp column along. Users who stall at step i simply hold NULL in
+    __t{{i}}..__t{{k-1}}, so ALL per-step counts come from ONE final scalar
+    aggregate (`count(__t_i)` skips NULLs) over that single table — each
+    step's events are scanned exactly once (k scans, k-1 user-keyed joins
+    for a k-step funnel), never a union of per-step aggregate branches that
+    would re-execute the chain per step. No window over all events, no
+    driver-side loop over data.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
     df = _event_time(df, ts_col)
     within_s = _interval_seconds(within) if within else None
-    reached = (
+    per_user = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t0"))
     )
-    tables = [reached]
-    prev = "__t0"
     for i, step in enumerate(steps[1:], start=1):
         cand = df.filter(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("__ts")
         )
-        j = cand.join(tables[-1], user_col).filter(F.col("__ts") > F.col(prev))
+        ok = F.col("__ts") > F.col(f"__t{i - 1}")
         if within_s is not None:
-            j = j.filter(
+            ok = ok & (
                 F.col("__ts")
                 <= F.col("__t0") + F.expr(f"INTERVAL {within_s} SECONDS")
             )
-        cur = f"__t{i}"
-        tables.append(
-            j.groupBy(user_col).agg(
-                F.min("__ts").alias(cur), F.min("__t0").alias("__t0")
+        carried = [f"__t{j}" for j in range(i)]
+        per_user = (
+            per_user.join(cand, user_col, "left")
+            .groupBy(user_col)
+            .agg(
+                *[F.min(c).alias(c) for c in carried],
+                F.min(F.when(ok, F.col("__ts"))).alias(f"__t{i}"),
             )
         )
-        prev = cur
-    counts = None
-    for i, (step, t) in enumerate(zip(steps, tables)):
-        row = t.agg(F.count("*").alias("n_users")).select(
-            F.lit(i + 1).cast("long").alias("step_no"),
-            F.lit(step).alias("step"),
-            F.col("n_users").cast("long"),
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    first = tables[0].agg(F.count("*").alias("__n1"))
+    one = per_user.agg(
+        *[F.count(f"__t{i}").alias(f"__n{i}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step_no"),
+                F.lit(step).alias("step"),
+                F.col(f"__n{i}").cast("long").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
     return (
-        counts.join(F.broadcast(first))
+        one.select(F.col("__n0").alias("__n1base"), F.inline(rows))
         .select(
             "step_no", "step", "n_users",
-            F.round(F.col("n_users") / F.greatest(F.col("__n1"), F.lit(1)), 6)
-            .alias("frac_of_first"),
+            F.round(
+                F.col("n_users") / F.greatest(F.col("__n1base"), F.lit(1)), 6
+            ).alias("frac_of_first"),
         )
     )
 
