@@ -88,7 +88,9 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     ALL m registers (absent ones count rho = 0), with the linear-counting
     correction below 2.5m. Returns one row (m, n_zero_regs, estimate)."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet et al. 2007 give exact bias constants for the small register
+    # counts; the 0.7213/(1+1.079/m) form is the asymptote for m >= 128.
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     spark = registers.sparkSession
     full = (
         spark.range(m)

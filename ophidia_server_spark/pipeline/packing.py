@@ -141,15 +141,20 @@ def repeated_ngram_stats(
     (Lee et al. 2022): such spans are disproportionately memorized, so
     pipelines either drop the docs or cut the spans.
 
-    Shape at scale: explode per-doc k-grams ONCE (O(tokens)) into distinct
-    (doc, gram) occurrence counts, then take the document frequency as an
-    unordered window count over the gram partition — no self-join, so the
-    explode isn't recomputed for a second branch (a join formulation ran
-    the explode twice: column pruning made the two subplans differ, which
-    defeats ReusedExchange). Gram keys are uniformly distributed by
-    construction — no skew; the vocabulary is never broadcast, never
-    collected, and each gram's window partition is at most min_docs-ish
-    rows deep times the corpus dup rate.
+    Shape at scale: explode per-doc k-grams into distinct (doc, gram)
+    occurrence counts, compute document frequency with a term-keyed
+    `groupBy("gram").agg(count)` and join it back on gram (the same shape
+    remove_repeated_spans uses). Natural text gram keys ARE skewed — a
+    stop-phrase like "one of the" lands one row per containing document on
+    a single key — which is exactly why the frequency is an aggregate, not
+    a gram-partitioned window: map-side partial aggregation collapses the
+    hot key to one row per input partition before the shuffle, where a
+    window would funnel the gram's whole corpus-wide posting into one
+    straggler task. The join back is gram-keyed hash-to-hash (the hot gram
+    is one row on the frequency side, so the probe stays balanced); the
+    vocabulary is never broadcast and never collected. The explode lineage
+    is evaluated once per side of the join — both evaluations are
+    O(tokens) scans with map-side combine, no all-pairs shape anywhere.
     """
     from ophidia_server_spark.pipeline.dedup import _shingles
 
@@ -158,9 +163,9 @@ def repeated_ngram_stats(
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("__c"))
     )
-    dfw = F.count("*").over(Window.partitionBy("gram"))
+    dfreq = pairs.groupBy("gram").agg(F.count("*").alias("__df"))
     per_doc = (
-        pairs.withColumn("__df", dfw)
+        pairs.join(dfreq, "gram")
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_grams"),

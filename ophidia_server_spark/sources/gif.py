@@ -11,8 +11,10 @@ code-width LZW. Implemented from the spec:
           control extensions (frame delay, transparency index reported in
           metadata), full LZW decoding incl. code-width growth and
           clear/end codes. Frames decode to uint8 RGB arrays rendered
-          against the prior frame state for disposal method 1 (leave) and
-          the background for method 2 (restore-bg).
+          against the prior frame state for disposal method 1 (leave),
+          the background for method 2 (restore-bg), and the saved
+          pre-frame canvas for method 3 (restore-previous); reserved
+          methods >= 4 raise GifError.
   write — single- or multi-frame RGB input whose palette fits 256 exact
           colors (a named GifError otherwise — palette quantization is an
           image-processing choice, not a codec concern), LZW-encoded with
@@ -178,7 +180,7 @@ def _read_subblocks(buf: bytes, pos: int):
 def decode(buf: bytes) -> dict:
     """Decode a GIF payload -> {'width', 'height', 'frames': [HxWx3 uint8],
     'delays_cs': [int], 'version': '87a'|'89a'}. Frames are rendered
-    composites (disposal methods none/leave/restore-bg)."""
+    composites (disposal methods none/leave/restore-bg/restore-previous)."""
     if len(buf) < 13 or buf[:6] not in (MAGIC87, MAGIC89):
         raise GifError("not a GIF payload")
     version = buf[3:6].decode()
@@ -230,6 +232,7 @@ def decode(buf: bytes) -> dict:
         if ipacked & 0x40:
             idx = _deinterlace(idx)
         rgb = table[np.minimum(idx, len(table) - 1)]
+        prior = canvas.copy() if disposal == 3 else None
         region = canvas[iy : iy + ih, ix : ix + iw]
         if transparent is not None:
             mask = (idx != transparent)[..., None]
@@ -240,6 +243,10 @@ def decode(buf: bytes) -> dict:
         delays.append(delay)
         if disposal == 2:  # restore to background
             canvas[iy : iy + ih, ix : ix + iw] = background[iy : iy + ih, ix : ix + iw]
+        elif disposal == 3:  # restore to previous (pre-frame canvas)
+            canvas = prior
+        elif disposal > 3:
+            raise GifError(f"reserved GIF disposal method {disposal}")
         transparent = None
         delay = 0
         disposal = 0

@@ -1634,6 +1634,13 @@ def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
     max_nrec, cum_max, cum_size, nrec_width = _b2_node_caps(
         node_size, rec_size, depth
     )
+    # minimum records a full-depth subtree rooted at each level can carry
+    # while keeping every internal node >= 1 record (2 children + 1
+    # separator): libhdf5's insertion builder never emits an under-filled
+    # internal node, and external readers may reject one
+    min_sub = [1]
+    for _ in range(depth):
+        min_sub.append(2 * min_sub[-1] + 1)
 
     def build(recs: list, level: int) -> tuple[int, int, int]:
         """Write the subtree for `recs` at `level`; returns (node address,
@@ -1649,14 +1656,16 @@ def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
                 len(recs),
                 len(recs),
             )
-        # split into m child subtrees + (m-1) separator records: the
+        # split into m >= 2 child subtrees + (m-1) separator records: the
         # smallest m whose even split fits a level-1 subtree, bounded by
-        # this node's fan-out. m starts at 1 so an underfull recursion path
-        # (possible when a sibling took the separators) still emits a
-        # single-child node — every leaf must sit at the header's depth, so
-        # the level count can't be shortened for small subtrees.
+        # this node's fan-out. Every leaf must sit at the header's depth,
+        # so each child subtree must also receive at least min_sub[level-1]
+        # records — the parent's own distribution guarantees enough records
+        # are available (len(recs) >= min_sub[level]) for every node size
+        # that holds >= 2 leaf records.
         child_cap = cum_max[level - 1]
-        m = 1
+        need = min_sub[level - 1]
+        m = 2 if len(recs) >= 3 else 1
         while (
             m <= max_nrec[level]
             and -(-(len(recs) - (m - 1)) // m) > child_cap
@@ -1666,10 +1675,24 @@ def _write_btree2_index(alloc: "_Alloc", records, ndim: int,
             raise Hdf5Error("v2 B-tree capacity mismatch (builder bug)")
         n_child = len(recs) - (m - 1)
         base, extra = divmod(n_child, m)
+        shares = [base + (1 if i < extra else 0) for i in range(m)]
+        if n_child >= m * need:
+            # borrow from the fullest siblings so no child drops below the
+            # minimum a full-depth subtree needs — keeps every descendant
+            # BTIN at >= 1 record, matching what libhdf5's insertion
+            # builder produces (external readers may reject empty BTINs)
+            for i in range(m):
+                while shares[i] < need:
+                    j = max(range(m), key=lambda x: shares[x])
+                    shares[j] -= 1
+                    shares[i] += 1
+        # else: degenerate capacity (node size holds < 2 leaf records, a
+        # stress-test-only configuration) — keep the even split; chains of
+        # under-filled nodes are unavoidable at that node size
         children, seps = [], []
         pos = 0
         for i in range(m):
-            take = base + (1 if i < extra else 0)
+            take = shares[i]
             children.append(build(recs[pos : pos + take], level - 1))
             pos += take
             if i < m - 1:

@@ -125,3 +125,41 @@ def test_rejects_outside_subset():
         gif.encode(arr)
     with pytest.raises(gif.GifError, match="share one size"):
         gif.encode([np.zeros((2, 2, 3), np.uint8), np.zeros((3, 3, 3), np.uint8)])
+
+
+def test_disposal_restore_previous_and_reserved_rejected():
+    # three frames: base canvas, an overlay with disposal=3 (restore
+    # previous), then a tiny patch — frame 3's composite must start from
+    # frame 1's canvas (the overlay undone), not from frame 2's
+    colors = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                      np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+    out += colors.tobytes()
+    idx0 = np.full((4, 4), 0, dtype=np.uint8)        # all dark
+    idx1 = np.full((4, 4), 1, dtype=np.uint8)        # all red overlay
+    idx2 = np.full((1, 1), 2, dtype=np.uint8)        # one green pixel
+    specs = [
+        (idx0, 0, (0, 0, 4, 4)),   # disposal none
+        (idx1, 3, (0, 0, 4, 4)),   # disposal restore-previous
+        (idx2, 0, (0, 0, 1, 1)),
+    ]
+    for idx, disp, (x, y, w, h) in specs:
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", disp << 2, 0, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0)
+        out += bytes([2])
+        comp = gif._lzw_encode(idx.tobytes(), 2)
+        out += bytes([len(comp)]) + comp + b"\x00"
+    out += b"\x3b"
+    d = gif.decode(bytes(out))
+    assert len(d["frames"]) == 3
+    assert np.array_equal(d["frames"][1][0, 0], colors[1])  # overlay visible
+    f2 = d["frames"][2]
+    assert np.array_equal(f2[0, 0], colors[2])              # new patch
+    assert np.array_equal(f2[3, 3], colors[0])              # overlay undone
+    # reserved disposal methods must raise, not composite wrong
+    bad = bytearray(out)
+    gce_at = bytes(out).index(b"\x21\xf9\x04")
+    bad[gce_at + 3] = 4 << 2
+    with pytest.raises(gif.GifError, match="disposal"):
+        gif.decode(bytes(bad))

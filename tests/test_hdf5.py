@@ -972,3 +972,48 @@ def test_btree2_builder_all_small_counts_roundtrip(tmp_path, node_size):
         assert np.array_equal(
             back.variables["tas"].data, ds.variables["tas"].data
         ), (node_size, nt)
+
+
+def test_btree2_internal_nodes_never_empty(tmp_path):
+    # libhdf5's insertion builder never emits a BTIN with 0 records and a
+    # single child pointer; neither may ours at any node size that holds
+    # >= 2 leaf records. Walk every internal node of a depth>=2 tree and
+    # assert its record count.
+    from ophidia_server_spark.sources.hdf5 import _H5Reader, _b2_node_caps
+
+    ds = _rec_ds(61)
+    p = str(tmp_path / "bt2full.nc")
+    hdf5.write(p, ds, chunk_rows=1, index="btree2", b2_node_size=128)
+    buf = open(p, "rb").read()
+    h = buf.index(b"BTHD")
+    node_size = struct.unpack_from("<I", buf, h + 6)[0]
+    rec_size = struct.unpack_from("<H", buf, h + 10)[0]
+    depth = struct.unpack_from("<H", buf, h + 12)[0]
+    assert depth >= 2  # the shape where tail subtrees used to go m=1
+    max_nrec, _cum, cum_size, w = _b2_node_caps(node_size, rec_size, depth)
+    assert max_nrec[0] >= 2  # non-degenerate config
+    r = _H5Reader(buf)
+    root_addr = struct.unpack_from("<Q", buf, h + 16)[0]
+    root_nrec = struct.unpack_from("<H", buf, h + 24)[0]
+    seen = []
+
+    def walk(addr, nrec, level):
+        q = r.at(addr)
+        sig = buf[q : q + 4]
+        if level == 0:
+            assert sig == b"BTLF" and nrec >= 1
+            return
+        assert sig == b"BTIN"
+        seen.append((level, nrec))
+        ptr = q + 6 + nrec * rec_size
+        for _ in range(nrec + 1):
+            caddr = struct.unpack_from("<Q", buf, ptr)[0]
+            cnrec = int.from_bytes(buf[ptr + 8 : ptr + 8 + w], "little")
+            walk(caddr, cnrec, level - 1)
+            ptr += 8 + w + cum_size[level - 1]
+
+    walk(root_addr, root_nrec, depth)
+    assert seen and all(n >= 1 for _, n in seen)
+    # and the file still round-trips
+    back = hdf5.read(p)
+    assert np.array_equal(back.variables["tas"].data, ds.variables["tas"].data)

@@ -172,3 +172,33 @@ def test_sketch_triad_at_scale(spark, big_events):
     assert cms.count() <= 4 * 2048
     dds = sk.dds_sketch(big_events.filter(F.col("value") > 0), "value")
     assert dds.count() < 3000  # log-spaced buckets, not value cardinality
+
+
+def test_repeated_ngram_hot_gram_at_scale(spark):
+    # One boilerplate trigram planted in 50% of 60k docs — the hot-key shape
+    # a gram-partitioned window would serialize into a single straggler
+    # task. The groupBy-based document frequency must digest it via map-side
+    # partials without skew (and get the counts right).
+    from ophidia_server_spark.pipeline.packing import repeated_ngram_stats
+
+    docs = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("one of the boiler plates u"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("unique text piece v"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = repeated_ngram_stats(docs, k=3, min_docs=2)
+    assert out.count() == 60_000
+    # hot docs: 4 trigrams ("one of the", "of the boiler", "the boiler plates",
+    # "boiler plates uN"), the first three shared by all 30k hot docs
+    hot = out.filter(F.col("doc_id") % 2 == 0)
+    assert hot.filter(F.col("n_grams") != 4).count() == 0
+    assert hot.filter(F.col("n_repeated") != 3).count() == 0
+    # cold docs: 2 trigrams, "unique text piece" shared by all 30k of them
+    # (a second hot gram), "text piece vN" unique
+    cold = out.filter(F.col("doc_id") % 2 == 1)
+    assert cold.filter(F.col("n_grams") != 2).count() == 0
+    assert cold.filter(F.col("n_repeated") != 1).count() == 0
