@@ -91,3 +91,137 @@ def check_role(held: str | int | None, operator: str) -> None:
             f"operator {operator!r} requires role bit {need} "
             f"(held: {role_bits(held)})"
         )
+
+
+# -- pluggable bearer-token validation ---------------------------------------
+#
+# The reference accepts identity-provider tokens besides local credentials:
+# oph_execute_main.c:324-420 routes a bearer token through oph_auth_token
+# (validity + expiry), a user black-list check, and VO/audience mapping
+# before resolving the effective userid. The engine analogue is a
+# TokenValidator hook the HTTP facade calls per request: the static-table
+# default preserves the existing behavior, and SignedTokenValidator covers
+# the IdP-shaped path (signed tokens with expiry and audience) without an
+# external dependency — a deployment behind a real OIDC provider subclasses
+# TokenValidator and plugs its own introspection in.
+
+import base64 as _base64
+import hashlib as _hashlib
+import hmac as _hmac
+import json as _json
+import time as _time
+
+
+class TokenError(Exception):
+    """Bearer token refused; str(exc) is the named reason (safe to serve)."""
+
+
+class TokenValidator:
+    """validate(token) -> (user, role-name); raises TokenError otherwise."""
+
+    def validate(self, token: str) -> tuple[str, str]:
+        raise NotImplementedError
+
+
+class StaticTokenValidator(TokenValidator):
+    """Opaque-token table (token -> (user, role)) + user black-list — the
+    reference's local-credential path with oph_auth_is_user_black_listed
+    semantics (oph_execute_main.c:341-343)."""
+
+    def __init__(self, table: dict[str, tuple[str, str]],
+                 blacklist: tuple[str, ...] | set[str] = ()):
+        self.table = dict(table)
+        self.blacklist = set(blacklist)
+
+    def validate(self, token: str) -> tuple[str, str]:
+        ident = self.table.get(token)
+        if ident is None:
+            raise TokenError("invalid or missing bearer token")
+        if ident[0] in self.blacklist:
+            raise TokenError(f"user {ident[0]} is black-listed")
+        return ident
+
+
+def _b64url(data: bytes) -> str:
+    return _base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _b64url_dec(s: str) -> bytes:
+    pad = -len(s) % 4
+    return _base64.urlsafe_b64decode(s + "=" * pad)
+
+
+class SignedTokenValidator(TokenValidator):
+    """HMAC-SHA256 signed tokens (the JWT HS256 shape): header.payload.sig
+    with claims sub (user), role, exp (unix seconds), aud. Checks, in
+    order: structure, declared algorithm, signature, expiry, audience,
+    black-list — each failure is its own named TokenError so the 401 tells
+    the operator which check refused (the reference logs the same
+    distinction, oph_auth.c token path). `clock` is injectable for tests."""
+
+    def __init__(self, secret: bytes | str, audience: str | None = None,
+                 blacklist: tuple[str, ...] | set[str] = (),
+                 clock=_time.time):
+        self.secret = secret.encode() if isinstance(secret, str) else secret
+        self.audience = audience
+        self.blacklist = set(blacklist)
+        self.clock = clock
+
+    def issue(self, user: str, role: str = "read", ttl: float = 3600.0,
+              audience: str | None = None, **extra) -> str:
+        """Mint a token (test/ops convenience — a real IdP signs its own)."""
+        header = {"alg": "HS256", "typ": "JWT"}
+        payload = {"sub": user, "role": role,
+                   "exp": self.clock() + ttl, **extra}
+        aud = audience if audience is not None else self.audience
+        if aud is not None:
+            payload["aud"] = aud
+        signing = (
+            _b64url(_json.dumps(header, separators=(",", ":")).encode())
+            + "."
+            + _b64url(_json.dumps(payload, separators=(",", ":")).encode())
+        )
+        sig = _hmac.new(self.secret, signing.encode(), _hashlib.sha256)
+        return signing + "." + _b64url(sig.digest())
+
+    def validate(self, token: str) -> tuple[str, str]:
+        parts = token.split(".")
+        if len(parts) != 3:
+            raise TokenError("malformed token")
+        try:
+            header = _json.loads(_b64url_dec(parts[0]))
+            payload = _json.loads(_b64url_dec(parts[1]))
+            sig = _b64url_dec(parts[2])
+        except Exception:
+            raise TokenError("malformed token") from None
+        if not isinstance(header, dict) or header.get("alg") != "HS256":
+            # refuse unexpected algorithms outright (alg-confusion guard)
+            raise TokenError("unsupported token algorithm")
+        signing = f"{parts[0]}.{parts[1]}".encode()
+        good = _hmac.new(self.secret, signing, _hashlib.sha256).digest()
+        if not _hmac.compare_digest(sig, good):
+            raise TokenError("bad token signature")
+        exp = payload.get("exp")
+        if exp is None:
+            raise TokenError("token has no expiry claim")
+        try:
+            if self.clock() >= float(exp):
+                raise TokenError("token expired")
+        except (TypeError, ValueError):
+            raise TokenError("malformed expiry claim") from None
+        if self.audience is not None:
+            aud = payload.get("aud")
+            auds = aud if isinstance(aud, list) else [aud]
+            if self.audience not in auds:
+                raise TokenError("token audience mismatch")
+        sub = payload.get("sub")
+        if not sub:
+            raise TokenError("token has no subject claim")
+        if sub in self.blacklist:
+            raise TokenError(f"user {sub} is black-listed")
+        role = str(payload.get("role", "read"))
+        try:
+            role_bits(role)
+        except ValueError:
+            raise TokenError(f"unknown role claim {role!r}") from None
+        return (str(sub), role)

@@ -38,6 +38,20 @@ task exactly as a direct caller's would be. No token table => open server
 Threading: ThreadingHTTPServer gives the gSOAP-farm shape (one thread per
 in-flight request); async workflows share a ThreadPoolExecutor so a burst of
 submissions queues instead of forking unbounded Spark jobs.
+
+Admission control (server.conf.in QUEUE_SIZE/TASK_LIMIT/CORE_LIMIT, all
+0 = unlimited by default like the reference):
+  queue_size — active (queued + running) jobs beyond farm_size + queue_size
+               are refused with a named 503 (oph_job_list.c:104's
+               OPH_JOB_LIST_FULL), instead of queueing unboundedly in the
+               executor;
+  task_limit — a user holding task_limit active jobs gets a named 429 for
+               the next submit (the per-user bound of the reference's
+               queue monitor, oph_workflow_engine.c:7121-7356);
+  core_limit — a job declaring `ncores` over the whole budget is refused
+               503; an admitted job over the momentary availability WAITS
+               for cores like the reference's rmanager
+               (oph_rmanager.c:795-805 blocks, it doesn't reject).
 """
 
 from __future__ import annotations
@@ -60,6 +74,7 @@ class _Job:
     response: dict | None = None
     error: str | None = None
     user: str = ""
+    ncores: int = 1              # declared core ask (CORE_LIMIT accounting)
     request: dict | None = None  # stored request document (oph_resume source)
     callback: str | None = None  # completion-notify URL (oph_notify.c:39)
     notified: bool = False       # a job notifies exactly once
@@ -72,9 +87,22 @@ class EngineHttpServer:
 
     engine: Any
     tokens: dict[str, tuple[str, str]] | None = None   # token -> (user, role)
+    # Pluggable bearer-token validation (auth.TokenValidator): set this to
+    # a SignedTokenValidator (expiry/audience checks) or a custom IdP
+    # introspector; when None, `tokens` provides the static table, and when
+    # both are None the server is open (trusted driver-side use). The
+    # reference's token path is oph_execute_main.c:324-420.
+    validator: Any = None
     host: str = "127.0.0.1"
     port: int = 0                                      # 0 = ephemeral
     farm_size: int = 8                                 # async worker pool
+    # Admission control, mirroring the reference's server.conf limits
+    # (etc/server.conf.in QUEUE_SIZE/TASK_LIMIT/CORE_LIMIT; queue check
+    # oph_job_list.c:104, core gate oph_rmanager.c:795-805). 0 = unlimited,
+    # the reference's default for all three.
+    queue_size: int = 0    # max jobs waiting beyond the farm -> 503 when full
+    task_limit: int = 0    # max active (queued+running) jobs PER USER -> 429
+    core_limit: int = 0    # server-wide core budget for running jobs
     spark: Any = None                                  # enables real job cancel
     _httpd: ThreadingHTTPServer | None = None
     _thread: threading.Thread | None = None
@@ -82,6 +110,13 @@ class EngineHttpServer:
     _jobs: dict[int, _Job] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
     _next_id: int = 1
+    _active_total: int = 0                             # queued + running jobs
+    _running: int = 0                                  # jobs inside engine.run
+    _active_by_user: dict[str, int] = field(default_factory=dict)
+    _cores_running: int = 0
+    _cores_free: threading.Condition = field(
+        default_factory=threading.Condition
+    )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -102,22 +137,51 @@ class EngineHttpServer:
                 self.wfile.write(body)
 
             def _auth(self) -> tuple[str, str | None] | None:
-                """(user, role) for this request, None => 401 already sent."""
-                if server.tokens is None:
+                """(user, role) for this request, None => 401 already sent.
+                Resolution order: explicit validator hook > static token
+                table > open server. Every refusal carries the validator's
+                named reason (expired / bad signature / audience mismatch /
+                black-listed / unknown token)."""
+                from ophidia_server_spark.auth import (
+                    StaticTokenValidator, TokenError)
+
+                if server.validator is not None:
+                    validator = server.validator
+                elif server.tokens is not None:
+                    validator = StaticTokenValidator(server.tokens)
+                else:
                     return ("anonymous", None)  # open server: no enforcement
                 hdr = self.headers.get("Authorization", "")
                 tok = hdr[7:] if hdr.startswith("Bearer ") else None
-                ident = server.tokens.get(tok or "")
-                if ident is None:
+                if not tok:
                     self._send(401, {"error": "invalid or missing bearer token"})
                     return None
-                return ident
+                try:
+                    return validator.validate(tok)
+                except TokenError as exc:
+                    self._send(401, {"error": str(exc)})
+                    return None
 
             @staticmethod
             def _is_admin(ident: tuple[str, str | None]) -> bool:
                 from ophidia_server_spark import auth
 
                 return bool(auth.role_bits(ident[1]) & auth.ADMIN)
+
+            def _admit(self, wf: dict, ident) -> int | None:
+                """Admission control for one submission: returns the job's
+                core ask on success (server counters already bumped), or
+                None with the named rejection already sent. Mirrors the
+                reference's server limits — QUEUE_SIZE (oph_job_list.c:104:
+                counter >= farm + queue => FULL), per-user TASK_LIMIT, and
+                the CORE_LIMIT sanity bound (a job asking more cores than
+                the server will ever hold can never start,
+                oph_rmanager.c:795-805)."""
+                res = server._try_admit(wf, ident[0])
+                if isinstance(res, tuple):
+                    self._send(*res)
+                    return None
+                return res
 
             def _job_for(self, ident, jid: int):
                 """The job if the caller may act on it, else None (response
@@ -155,7 +219,11 @@ class EngineHttpServer:
                     if prior.request is None:
                         self._send(404, {"error": f"no stored request for job {jid}"})
                         return
-                    job = server._submit_async(dict(prior.request), ident)
+                    wf = dict(prior.request)
+                    ncores = self._admit(wf, ident)
+                    if ncores is None:
+                        return
+                    job = server._submit_async(wf, ident, ncores=ncores)
                     self._send(202, {"jobid": job.jobid, "status": job.status,
                                      "resubmit_of": jid})
                     return
@@ -237,11 +305,16 @@ class EngineHttpServer:
                 ):
                     self._send(400, {"error": "callback must be an http(s) URL"})
                     return
+                ncores = self._admit(wf, ident)
+                if ncores is None:
+                    return
                 if mode == "async":
-                    job = server._submit_async(wf, ident, callback=callback)
+                    job = server._submit_async(wf, ident, callback=callback,
+                                               ncores=ncores)
                     self._send(202, {"jobid": job.jobid, "status": job.status})
                     return
                 job = server._new_job(wf.get("name", "workflow"), ident[0])
+                job.ncores = ncores
                 job.request = dict(wf)
                 job.callback = callback
                 server._run_job(job, wf, ident[1])
@@ -319,6 +392,70 @@ class EngineHttpServer:
             self._jobs[job.jobid] = job
         return job
 
+    # -- admission control ---------------------------------------------------
+
+    def _try_admit(self, wf: dict, user: str):
+        """Admit one submission or name the limit that refuses it. Returns
+        the core ask (int, counters bumped — pair with _release) on
+        success, else (http_code, payload):
+
+          503 QUEUE_SIZE — active jobs (queued + running) already fill the
+              farm plus the wait queue (oph_job_list.c:104's
+              counter >= farm_size + queue_size => OPH_JOB_LIST_FULL);
+          429 TASK_LIMIT — this user already holds task_limit active jobs
+              (the per-user concurrency bound the reference's monitor
+              enforces per submitter, oph_workflow_engine.c:7121-7356);
+          503 CORE_LIMIT — the job declares ncores above the whole server
+              budget, so no amount of waiting can ever start it
+              (oph_rmanager.c:795-805 would spin forever).
+
+        A job inside the budgets but over the momentary core availability
+        is ADMITTED and waits in _run_job — the reference's rmanager
+        blocks, it doesn't reject."""
+        try:
+            ncores = int(wf.get("ncores", 1) or 1)
+        except (TypeError, ValueError):
+            return 400, {"error": "ncores must be an integer"}
+        ncores = max(1, ncores)
+        if self.core_limit and ncores > self.core_limit:
+            return 503, {
+                "error": f"job requests {ncores} cores, server core budget "
+                         f"is {self.core_limit}",
+                "limit": "CORE_LIMIT",
+            }
+        with self._lock:
+            if self.queue_size and (
+                self._active_total >= self.farm_size + self.queue_size
+            ):
+                return 503, {
+                    "error": f"job queue full ({self._active_total} active, "
+                             f"farm {self.farm_size} + queue {self.queue_size})",
+                    "limit": "QUEUE_SIZE",
+                }
+            if self.task_limit and (
+                self._active_by_user.get(user, 0) >= self.task_limit
+            ):
+                return 429, {
+                    "error": f"user {user} already has "
+                             f"{self._active_by_user.get(user, 0)} active "
+                             f"jobs (limit {self.task_limit})",
+                    "limit": "TASK_LIMIT",
+                }
+            self._active_total += 1
+            self._active_by_user[user] = self._active_by_user.get(user, 0) + 1
+        return ncores
+
+    def _release(self, job: _Job) -> None:
+        """Return a finished job's admission slots (always paired with a
+        successful _try_admit)."""
+        with self._lock:
+            self._active_total -= 1
+            left = self._active_by_user.get(job.user, 1) - 1
+            if left <= 0:
+                self._active_by_user.pop(job.user, None)
+            else:
+                self._active_by_user[job.user] = left
+
     def _notify(self, job: _Job) -> None:
         """Push-style completion notification: POST the job's closing state
         to its callback URL — the same payload GET /jobs/<id> serves. The
@@ -351,6 +488,29 @@ class EngineHttpServer:
                 job.notify_error = str(exc)
 
     def _run_job(self, job: _Job, wf: dict, role: str | None) -> None:
+        if self.core_limit:
+            # CORE_LIMIT gate: hold the worker until the declared cores fit
+            # the server budget — the reference's rmanager blocks the
+            # launcher the same way (oph_rmanager.c:797, a wait loop on the
+            # running-core counter), it does not reject admitted jobs.
+            with self._cores_free:
+                while self._cores_running + job.ncores > self.core_limit:
+                    self._cores_free.wait(timeout=1.0)
+                self._cores_running += job.ncores
+        with self._lock:
+            self._running += 1
+        try:
+            self._run_job_inner(job, wf, role)
+        finally:
+            with self._lock:
+                self._running -= 1
+            if self.core_limit:
+                with self._cores_free:
+                    self._cores_running -= job.ncores
+                    self._cores_free.notify_all()
+            self._release(job)
+
+    def _run_job_inner(self, job: _Job, wf: dict, role: str | None) -> None:
         try:
             if self.spark is not None:
                 # tag every Spark job this workflow launches so /cancel can
@@ -381,8 +541,9 @@ class EngineHttpServer:
             self._notify(job)
 
     def _submit_async(self, wf: dict, ident: tuple[str, str | None],
-                      callback: str | None = None) -> _Job:
+                      callback: str | None = None, ncores: int = 1) -> _Job:
         job = self._new_job(wf.get("name", "workflow"), ident[0])
+        job.ncores = ncores
         job.request = dict(wf)
         job.callback = callback
         self._pool.submit(self._run_job, job, wf, ident[1])

@@ -407,3 +407,184 @@ def test_callback_must_be_http_url(server):
               "tasks": [{"name": "ls", "operator": "oph_list"}]},
              token="tok-admin")
     assert e.value.code == 400
+
+
+def _req_raw(port, path, body=None, token=None):
+    """Like _req but returns (status, payload) for error responses too."""
+    try:
+        return _req(port, path, body, token=token)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_queue_size_cap_rejects_burst_with_named_503():
+    # farm 1 + queue 2: the 4th concurrently-active submission must be
+    # refused with the named QUEUE_SIZE 503 (oph_job_list.c:104 FULL), not
+    # queued unboundedly in the executor
+    srv = EngineHttpServer(
+        engine=_engine(), tokens={"t": ("u", "admin")},
+        farm_size=1, queue_size=2,
+    )
+    port = srv.start()
+    try:
+        wf = lambda i: {"name": f"q{i}", "exec_mode": "async",
+                        "tasks": [{"name": "s", "operator": "slowop"}]}
+        codes = [_req_raw(port, "/execute", wf(i), token="t")[0]
+                 for i in range(3)]
+        assert codes == [202, 202, 202]
+        code, out = _req_raw(port, "/execute", wf(3), token="t")
+        assert code == 503
+        assert out["limit"] == "QUEUE_SIZE"
+        assert "queue full" in out["error"]
+        # slots free as jobs drain: eventually a submit is admitted again
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            code, _ = _req_raw(port, "/execute", wf(99), token="t")
+            if code == 202:
+                break
+            time.sleep(0.05)
+        assert code == 202
+    finally:
+        srv.stop()
+
+
+def test_per_user_task_limit_is_429_and_per_user():
+    srv = EngineHttpServer(
+        engine=_engine(),
+        tokens={"ta": ("alice", "admin"), "tb": ("bob", "admin")},
+        farm_size=4, task_limit=2,
+    )
+    port = srv.start()
+    try:
+        wf = lambda i: {"name": f"t{i}", "exec_mode": "async",
+                        "tasks": [{"name": "s", "operator": "slowop"}]}
+        assert _req_raw(port, "/execute", wf(0), token="ta")[0] == 202
+        assert _req_raw(port, "/execute", wf(1), token="ta")[0] == 202
+        code, out = _req_raw(port, "/execute", wf(2), token="ta")
+        assert code == 429
+        assert out["limit"] == "TASK_LIMIT"
+        # the limit is per user: bob is unaffected by alice's saturation
+        assert _req_raw(port, "/execute", wf(3), token="tb")[0] == 202
+    finally:
+        srv.stop()
+
+
+def test_core_limit_over_budget_rejected_within_budget_waits():
+    srv = EngineHttpServer(
+        engine=_engine(), tokens={"t": ("u", "admin")},
+        farm_size=4, core_limit=4,
+    )
+    port = srv.start()
+    try:
+        # asking more cores than the server will ever have: named 503
+        code, out = _req_raw(
+            port, "/execute",
+            {"name": "huge", "ncores": 8,
+             "tasks": [{"name": "s", "operator": "slowop"}]},
+            token="t",
+        )
+        assert code == 503 and out["limit"] == "CORE_LIMIT"
+        # two 3-core jobs can't run together on a 4-core budget: the second
+        # WAITS (rmanager-style), both complete, and the running overlap
+        # never exceeds the budget
+        jids = []
+        for i in range(2):
+            code, out = _req_raw(
+                port, "/execute",
+                {"name": f"c{i}", "exec_mode": "async", "ncores": 3,
+                 "tasks": [{"name": "s", "operator": "slowop"}]},
+                token="t",
+            )
+            assert code == 202
+            jids.append(out["jobid"])
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = [_req_raw(port, f"/jobs/{j}", token="t")[1]["status"]
+                   for j in jids]
+            assert srv._cores_running <= 4
+            if all(g == "OPH_ODB_STATUS_COMPLETED" for g in got):
+                break
+            time.sleep(0.05)
+        assert all(
+            _req_raw(port, f"/jobs/{j}", token="t")[1]["status"]
+            == "OPH_ODB_STATUS_COMPLETED"
+            for j in jids
+        )
+    finally:
+        srv.stop()
+
+
+def test_signed_token_validation_paths_through_live_httpd():
+    # SignedTokenValidator plugged into the facade: valid tokens resolve
+    # (user, role) and role-gate dispatch; expired / bad-audience /
+    # bad-signature / black-listed tokens are 401 with the named reason
+    # (the reference's IdP token path, oph_execute_main.c:324-420)
+    from ophidia_server_spark.auth import SignedTokenValidator
+
+    clock = [1000.0]
+    v = SignedTokenValidator(
+        "server-secret", audience="ophidia-engine",
+        blacklist={"mallory"}, clock=lambda: clock[0],
+    )
+    srv = EngineHttpServer(engine=_engine(), validator=v)
+    port = srv.start()
+    try:
+        wf = {"name": "w", "tasks": [{"name": "ls", "operator": "oph_list"}]}
+        ok = v.issue("alice", "admin", ttl=60)
+        status, out = _req(port, "/execute", wf, token=ok)
+        assert status == 200
+        assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+
+        expired = v.issue("alice", "admin", ttl=60)
+        clock[0] += 120  # past exp
+        code, err = _req_raw(port, "/execute", wf, token=expired)
+        assert code == 401 and "expired" in err["error"]
+        clock[0] = 1000.0
+
+        wrong_aud = v.issue("alice", "admin", audience="other-service")
+        code, err = _req_raw(port, "/execute", wf, token=wrong_aud)
+        assert code == 401 and "audience" in err["error"]
+
+        forged = SignedTokenValidator(
+            "attacker-secret", audience="ophidia-engine",
+            clock=lambda: clock[0],
+        ).issue("alice", "admin")
+        code, err = _req_raw(port, "/execute", wf, token=forged)
+        assert code == 401 and "signature" in err["error"]
+
+        banned = v.issue("mallory", "admin")
+        code, err = _req_raw(port, "/execute", wf, token=banned)
+        assert code == 401 and "black-listed" in err["error"]
+
+        code, err = _req_raw(port, "/execute", wf, token="not.a.jwt")
+        assert code == 401 and "malformed" in err["error"]
+
+        # the role claim rides into dispatch: a read token may not delete
+        reader = v.issue("bob", "read")
+        wf_del = {"name": "d",
+                  "tasks": [{"name": "x", "operator": "oph_delete",
+                             "arguments": {"cube": "pid:1"}}]}
+        status, out = _req(port, "/execute", wf_del, token=reader)
+        assert out["status"] == "OPH_ODB_STATUS_ERROR"
+    finally:
+        srv.stop()
+
+
+def test_static_validator_blacklist_and_alg_guard():
+    from ophidia_server_spark.auth import (
+        SignedTokenValidator, StaticTokenValidator, TokenError)
+
+    sv = StaticTokenValidator({"t1": ("u1", "read")}, blacklist={"u1"})
+    with pytest.raises(TokenError, match="black-listed"):
+        sv.validate("t1")
+    # alg-confusion guard: an HS256 validator refuses alg=none tokens
+    import base64 as b64
+    import json as js
+
+    v = SignedTokenValidator("s")
+    h = b64.urlsafe_b64encode(js.dumps({"alg": "none"}).encode()).rstrip(b"=")
+    p = b64.urlsafe_b64encode(
+        js.dumps({"sub": "x", "exp": 1e12}).encode()
+    ).rstrip(b"=")
+    with pytest.raises(TokenError, match="algorithm"):
+        v.validate(h.decode() + "." + p.decode() + ".")
