@@ -67,6 +67,18 @@ def parse_massive(arg: str) -> tuple[list[dict[str, str]], list[str]]:
             else:
                 kv["cube_filter"] = clause  # default-key inference
         groups.append(kv)
+    # validate each bracket group against the OPH_MASSIVE descriptor before
+    # compiling, exactly where the reference runs its parser on the
+    # assembled task string (oph_massive_operations.c:118-123 ->
+    # oph_tp_task_params_parser(OPH_MASSIVE_OPERATOR, ...)): a bad typed
+    # value (depth=x, recursive=maybe) is a named ParamValidationError at
+    # submit, never a deep TypeError mid-expansion. strict=False keeps the
+    # free key=value -> metadata LIKE extension (oph_filters.c:545-555).
+    from ophidia_server_spark.plans.descriptors import (
+        DESCRIPTORS, validate_params)
+
+    for kv in groups:
+        validate_params(DESCRIPTORS["oph_massive"], kv, strict=False)
     rest_no_groups = re.sub(r"\[[^\]]*\]", "", rest)
     pids = [p.strip() for p in rest_no_groups.split("|") if p.strip()]
     for p in pids:

@@ -305,3 +305,34 @@ def test_multivalue_numeric_checks_every_element():
                         minvalue=0, maxvalue=1, multivalue=True))
     with pytest.raises(ParamValidationError, match="higher than maxvalue"):
         validate_params(dr, {"frac": "0.2|1.5"})
+
+
+def test_massive_bracket_args_validate_against_descriptor():
+    # a bad typed value inside a massive bracket is the named
+    # ParamValidationError at parse time (oph_massive_operations.c:118-123
+    # runs the task parser on the assembled bracket string), never a deep
+    # TypeError from the expansion machinery
+    import pytest
+
+    from ophidia_server_spark.filters import parse_massive
+    from ophidia_server_spark.plans.descriptors import ParamValidationError
+
+    with pytest.raises(ParamValidationError) as ei:
+        parse_massive("[path=/a/b;recursive=yes;depth=-2]")  # minvalue=0
+    assert ei.value.operator == "oph_massive"
+    assert ei.value.param == "depth"
+
+    with pytest.raises(ParamValidationError) as ei:
+        parse_massive("[recursive=maybe]")
+    assert ei.value.param == "recursive"
+
+    # strtol parity: a non-numeric depth parses to 0 (C strtol semantics,
+    # oph_task_parser_library.c:469) and 0 satisfies minvalue=0 — accepted,
+    # exactly as the reference would
+    parse_massive("[depth=x]")
+
+    # valid groups still parse, incl. negation, multivalue, and the free
+    # key=value metadata extension (unknown keys pass: strict=False)
+    groups, pids = parse_massive("[level=150|200;experiment=rcp85;depth=2]")
+    assert groups[0]["level"] == "150|200"
+    assert groups[0]["experiment"] == "rcp85"
