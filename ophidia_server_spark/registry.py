@@ -1480,40 +1480,143 @@ def dedup_keep_first(spark, sf_dir):
     return dd.dedup_exact(_dup_input(spark, sf_dir)).select("doc_id")
 
 
-@q("dedup_minhash_pairs")  # xxhash64-based: Spark-only hash, rows-only check
-def dedup_minhash_pairs(spark, sf_dir):
-    return dd.minhash_lsh_pairs(
-        _dup_input(spark, sf_dir), num_hashes=32, bands=8, jaccard_threshold=0.5
+_PAIR_GRADE_SQL = """SELECT CAST(1 AS INT) AS ordered, CAST(1 AS INT) AS distinct_ok,
+       CAST(1 AS INT) AS twins_found, CAST(1 AS INT) AS twins_exact,
+       CAST(1 AS INT) AS all_within_threshold"""
+
+
+def _grade_pairs(spark, docs, pairs, twin_exact, within):
+    """Shared invariant grade for the candidate-pair generators over the
+    injected-duplicate corpus (the round-6 probe->grade pattern): pairs
+    are (a) canonically ordered doc_a < doc_b, (b) distinct, (c) every
+    injected verbatim copy pairs with its twin — identical text gives
+    identical signatures, so blocking cannot miss them — with (d) the
+    similarity column at its exact-duplicate value, and (e) every emitted
+    pair within the operator's threshold. Oracle pins five 1s; the pair
+    SET itself is hash-dependent (xxhash64 signatures), which is exactly
+    why the grade is semantic rather than a value dump."""
+    ordered = int(pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0)
+    distinct_ok = int(
+        pairs.groupBy("doc_a", "doc_b").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    injected = docs.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    n_inj = injected.count()
+    twins = pairs.join(injected, ["doc_a", "doc_b"])
+    twins_found = int(n_inj > 0 and twins.count() == n_inj)
+    twins_exact = int(twins.filter(~twin_exact).count() == 0)
+    within_ok = int(pairs.filter(~within).count() == 0)
+    return spark.createDataFrame(
+        [(ordered, distinct_ok, twins_found, twins_exact, within_ok)],
+        "ordered int, distinct_ok int, twins_found int, twins_exact int, "
+        "all_within_threshold int",
     )
 
 
-@q("dedup_simhash")  # xxhash64-based: rows-only check
+@q("dedup_minhash_pairs", _PAIR_GRADE_SQL)
+def dedup_minhash_pairs(spark, sf_dir):
+    # MinHash LSH candidate pairs, invariant-graded (see _grade_pairs):
+    # identical twins carry est_jaccard 1.0, every pair >= the threshold
+    docs = _dup_input(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                                 jaccard_threshold=0.5)
+    return _grade_pairs(
+        spark, docs, pairs,
+        twin_exact=F.col("est_jaccard") == 1.0,
+        within=F.col("est_jaccard") >= 0.5,
+    )
+
+
+@q(
+    "dedup_simhash",
+    """SELECT CAST(1 AS INT) AS one_sig_per_doc, CAST(1 AS INT) AS twins_equal""",
+)
 def dedup_simhash(spark, sf_dir):
-    return dd.simhash(_t(spark, sf_dir)["documents"])
+    """SimHash signatures, invariant-graded: exactly one signature per doc,
+    and every injected verbatim copy hashes to its twin's signature
+    (simhash is a deterministic function of the text). The 64-bit values
+    themselves are xxhash64-derived, hence Spark-only."""
+    docs = _dup_input(spark, sf_dir)
+    sigs = dd.simhash(docs)
+    one_per_doc = int(sigs.count() == docs.count())
+    twins = sigs.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("simhash").alias("__dup_sig"),
+    )
+    n_inj = twins.count()
+    twins_equal = int(
+        n_inj > 0
+        and twins.join(sigs, "doc_id")
+        .filter(F.col("simhash") == F.col("__dup_sig"))
+        .count() == n_inj
+    )
+    return spark.createDataFrame(
+        [(one_per_doc, twins_equal)], "one_sig_per_doc int, twins_equal int"
+    )
 
 
-@q("dedup_ngram_jaccard")  # LSH blocking is Spark-hash-based: rows-only check
+@q("dedup_ngram_jaccard", _PAIR_GRADE_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(_dup_input(spark, sf_dir), threshold=0.8)
+    # LSH-blocked candidates verified by EXACT 3-gram Jaccard: twins score
+    # exactly 1.0 and every emitted pair clears the 0.8 threshold
+    docs = _dup_input(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
+    return _grade_pairs(
+        spark, docs, pairs,
+        twin_exact=F.col("jaccard") == 1.0,
+        within=F.col("jaccard") >= 0.8,
+    )
 
 
-@q("dedup_simhash_pairs")  # xxhash64-based signatures: rows-only check
+@q("dedup_simhash_pairs", _PAIR_GRADE_SQL)
 def dedup_simhash_pairs(spark, sf_dir):
-    # banded hamming-ball candidate join over simhash signatures: exact
-    # duplicates planted by _dup_input land at hamming distance 0
-    return dd.simhash_pairs(_dup_input(spark, sf_dir), max_hamming=3)
+    # banded hamming-ball candidate join over simhash signatures: twins
+    # planted by _dup_input land at hamming distance exactly 0, and no
+    # emitted pair exceeds the max_hamming ball
+    docs = _dup_input(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=3)
+    return _grade_pairs(
+        spark, docs, pairs,
+        twin_exact=F.col("hamming") == 0,
+        within=F.col("hamming") <= 3,
+    )
 
 
-@q("dedup_simhash_removal")  # approximate pipeline output: rows-only check
+@q(
+    "dedup_simhash_removal",
+    """SELECT CAST(1 AS INT) AS partition_ok, CAST(1 AS INT) AS reps_kept,
+       CAST(1 AS INT) AS dups_removed, CAST(1 AS INT) AS kept_nonempty""",
+)
 def dedup_simhash_removal(spark, sf_dir):
-    # full simhash dedup ladder: signatures -> banded hamming pairs ->
-    # connected components -> drop non-representatives (same contract as
-    # dedup_near, different similarity engine)
+    """Full simhash dedup ladder (signatures -> banded hamming pairs ->
+    connected components -> drop non-representatives; same contract as
+    dedup_near, different similarity engine), graded with the same removal
+    invariants as dedup_near_removal: kept + dropped partition the input,
+    representatives survive, injected verbatim copies are dropped."""
     docs = _dup_input(spark, sf_dir)
     pairs = dd.simhash_pairs(docs, max_hamming=3)
     clusters = dd.cluster_pairs(pairs)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    kept = docs.join(losers, "doc_id", "left_anti").select("doc_id")
+    n_docs, n_kept, n_losers = docs.count(), kept.count(), losers.count()
+    partition_ok = int(n_kept + n_losers == n_docs)
+    reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
+    reps_kept = int(reps.join(kept, "doc_id", "left_anti").count() == 0)
+    injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+    n_injected = injected.count()
+    dups_removed = int(
+        n_injected > 0
+        and injected.join(kept, "doc_id", "left_semi").count() == 0
+    )
+    return spark.createDataFrame(
+        [(partition_ok, reps_kept, dups_removed, int(n_kept > 0))],
+        "partition_ok int, reps_kept int, dups_removed int, kept_nonempty int",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2026,12 +2129,25 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@q("multimodal_decode_png")  # real PNG decode (mapInPandas): rows-only check
+@q(
+    "multimodal_decode_png",
+    """WITH d AS (SELECT doc_id, GREATEST(length(text), 1) AS n FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN n % 640
+                 ELSE 4 + doc_id % 13 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN n % 480
+                 ELSE 3 + doc_id % 7 END AS BIGINT) AS height
+FROM d""",
+)
 def multimodal_decode_png(spark, sf_dir):
-    """Real image decode: each document's bytes become a small PNG (encoded
-    task-side with sources/png.py), then decode_images recovers width/height
-    from the actual IHDR + scanlines — not a fake. One payload per 50 docs
-    is left as raw (non-PNG) text to prove the per-row fallback."""
+    """Real image decode, ORACLE-EXACT on dimensions (upgraded from
+    rows-only the way the BMP/GIF/WAV twins were): each document's
+    codepoint-mod-256 bytes become a small PNG (encoded task-side with
+    sources/png.py), decode_images recovers width/height from the actual
+    IHDR + a full scanline decode, and DuckDB recomputes the expected
+    dimensions straight from doc_id. One payload per 50 docs is raw
+    (non-PNG) text, so the per-row fallback dims (len % 640/480) are
+    graded too."""
     import pandas as pd
 
     docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -2044,7 +2160,9 @@ def multimodal_decode_png(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                raw = txt.encode("utf-8", errors="replace") or b"x"
+                # codepoint-mod-256 bytes: payload length equals the
+                # oracle's character count even on non-ASCII text
+                raw = bytes(ord(c) % 256 for c in txt) or b"x"
                 if did % 50 == 0:
                     payloads.append(raw)  # poison: not a PNG
                     continue
@@ -2058,7 +2176,11 @@ def multimodal_decode_png(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = docs.mapInPandas(to_png, "doc_id long, payload binary")
-    return mm.decode_images(blobs)
+    return mm.decode_images(blobs).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
 
 
 @q(
@@ -2178,22 +2300,65 @@ def multimodal_decode_bmp(spark, sf_dir):
     return mm.decode_bmp_features(blobs)
 
 
-@q("multimodal_resize")  # numpy kernel output: rows-only check
+_RESIZE_IDX = [
+    (y * 8 + x) * 3 + c for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)
+    for c in (0, 1, 2)
+]  # flat byte offsets nearest-neighbor 8x8 -> 4x4 selects (y,x = i*8//4)
+
+
+@q(
+    "multimodal_resize",
+    f"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN text
+              ELSE substr(rpad(text, 192, 'x'), 1, 192) END AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN length(s) = 192 THEN 1 ELSE 0 END AS INT) AS ok,
+       CAST(CASE WHEN length(s) = 192 THEN
+         list_sum(list_transform({_RESIZE_IDX},
+                                 i -> ascii(substr(s, i + 1, 1)) % 256))
+       ELSE 0 END AS BIGINT) AS sum_resized
+FROM p""",
+)
 def multimodal_resize(spark, sf_dir):
-    # REAL nearest-neighbor resize over raw 8x8 RGB frames built from
-    # document bytes (rpad to exactly w*h*3); one poison-length payload per
-    # 50 docs proves the kernel degrades per-row, not per-batch
+    """REAL nearest-neighbor resize over raw 8x8 RGB frames built from
+    document codepoint-mod-256 bytes (rpad to exactly w*h*3), ORACLE-EXACT
+    (upgraded from rows-only): DuckDB recomputes the byte sum of the
+    resized 4x4 frame by applying the same nearest-neighbor index math
+    (the static 48 flat offsets above) to the padded text. One
+    poison-length payload per 50 docs proves the kernel degrades per-row,
+    not per-batch — graded too, since a 192-char text resizes fine either
+    way. The Spark-side sum stays JVM: hex(resized) folded with conv()."""
+    import pandas as pd
+
     need = 8 * 8 * 3
-    docs = _t(spark, sf_dir)["documents"].select(
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_raw(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytes(ord(c) % 256 for c in txt)
+                if did % 50 != 0:
+                    raw = (raw + b"x" * need)[:need]  # rpad semantics
+                payloads.append(raw)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_raw, "doc_id long, payload binary")
+    out = mm.resize_raw_rgb(blobs, 8, 8, 4, 4)
+    return out.select(
         "doc_id",
+        F.col("ok").cast("int").alias("ok"),
         F.when(
-            F.col("doc_id") % 50 == 0, F.col("text").cast("binary")
-        ).otherwise(
-            F.substring(F.rpad("text", need, "x"), 1, need).cast("binary")
-        ).alias("payload"),
+            F.col("ok") == 1,
+            F.expr(
+                "aggregate(transform(sequence(0, 47), i -> "
+                "CAST(conv(substr(hex(resized), i * 2 + 1, 2), 16, 10) "
+                "AS BIGINT)), 0L, (a, v) -> a + v)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("sum_resized"),
     )
-    out = mm.resize_raw_rgb(docs, 8, 8, 4, 4)
-    return out.select("doc_id", "ok", F.md5("resized").alias("resized_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -3395,18 +3560,86 @@ def supplier_nation_stats(spark, sf_dir):
     )
 
 
-@q("dedup_minhash_clusters")  # clusters over approximate pairs: rows-only
+@q(
+    "dedup_minhash_clusters",
+    """SELECT CAST(1 AS INT) AS rep_is_min, CAST(1 AS INT) AS one_cluster_per_doc,
+       CAST(1 AS INT) AS injected_clustered, CAST(1 AS INT) AS nonempty""",
+)
 def dedup_minhash_clusters(spark, sf_dir):
-    # full near-dup ladder: shingle -> minhash -> LSH pairs -> components
-    docs = _t(spark, sf_dir)["documents"]
-    pairs = dd.minhash_lsh_pairs(docs)
-    return dd.cluster_pairs(pairs)
+    """Cluster-structure grade for the full near-dup ladder (shingle ->
+    minhash -> LSH band pairs -> connected components), run over the
+    injected-duplicate corpus and graded the way round 6 graded the ANN
+    probes — semantic invariants pinned by the oracle instead of a
+    rows-only dump of LSH-dependent output:
+      rep_is_min          every cluster's representative IS its min doc_id;
+      one_cluster_per_doc a doc belongs to exactly one cluster;
+      injected_clustered  every injected verbatim copy (doc_id + 100000)
+                          shares a cluster with its twin — identical text
+                          gives identical signatures, so LSH banding pairs
+                          them deterministically;
+      nonempty            the ladder actually produced clusters."""
+    docs = _dup_input(spark, sf_dir)
+    clusters = dd.cluster_pairs(dd.minhash_lsh_pairs(docs))
+    rep_is_min = int(
+        clusters.groupBy("cluster_rep")
+        .agg(F.min("doc_id").alias("__mn"))
+        .filter(F.col("__mn") != F.col("cluster_rep"))
+        .count() == 0
+    )
+    one_cluster = int(
+        clusters.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    twins = clusters.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("cluster_rep").alias("__rep_dup"),
+    )
+    n_injected = docs.filter(F.col("doc_id") >= 100000).count()
+    injected_ok = int(
+        n_injected > 0
+        and twins.join(clusters, "doc_id")
+        .filter(F.col("cluster_rep") == F.col("__rep_dup"))
+        .count() == n_injected
+    )
+    nonempty = int(clusters.count() > 0)
+    return spark.createDataFrame(
+        [(rep_is_min, one_cluster, injected_ok, nonempty)],
+        "rep_is_min int, one_cluster_per_doc int, injected_clustered int, "
+        "nonempty int",
+    )
 
 
-@q("dedup_near_removal")  # approximate pipeline output: rows-only
+@q(
+    "dedup_near_removal",
+    """SELECT CAST(1 AS INT) AS partition_ok, CAST(1 AS INT) AS reps_kept,
+       CAST(1 AS INT) AS dups_removed, CAST(1 AS INT) AS kept_nonempty""",
+)
 def dedup_near_removal(spark, sf_dir):
-    docs = _t(spark, sf_dir)["documents"]
-    return dd.dedup_near(docs).select("doc_id")
+    """Removal grade for dedup_near itself (the user-facing keep-first
+    operator, distinct from dedup_removal_grade which grades the ladder's
+    internals): over the injected-duplicate corpus, the kept + dropped
+    sets partition the input, every cluster representative survives, every
+    injected verbatim copy is dropped, and something is kept. Oracle pins
+    the all-ones verdict; any invariant break hash-mismatches."""
+    docs = _dup_input(spark, sf_dir)
+    kept = dd.dedup_near(docs).select("doc_id")
+    clusters = dd.cluster_pairs(dd.minhash_lsh_pairs(docs))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    n_docs, n_kept, n_losers = docs.count(), kept.count(), losers.count()
+    partition_ok = int(n_kept + n_losers == n_docs)
+    reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
+    reps_kept = int(reps.join(kept, "doc_id", "left_anti").count() == 0)
+    injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+    n_injected = injected.count()
+    dups_removed = int(
+        n_injected > 0
+        and injected.join(kept, "doc_id", "left_semi").count() == 0
+    )
+    return spark.createDataFrame(
+        [(partition_ok, reps_kept, dups_removed, int(n_kept > 0))],
+        "partition_ok int, reps_kept int, dups_removed int, kept_nonempty int",
+    )
 
 
 @q(
