@@ -1732,41 +1732,166 @@ def _vstore(spark, sf_dir, kind: str):
     return _VSTORE_CACHE[key]
 
 
-@q("sim_ivf_build")  # index build (rows-only): per-cell occupancy audit
+def _topk_grade(spark, sf_dir, out, query_vec, k):
+    """Shared serving-path grade for the approximate top-k probes (the
+    round-6 probe->grade pattern): the served list holds between 1 and k
+    rows, is ranked by (cosine desc, vec_id asc), and every served score
+    IS the exact cosine of that id's stored embedding — recomputed
+    independently against the embeddings table (|diff| <= 2e-6 absorbs
+    fold-order ulps). Which ids make the list stays approximate (that is
+    the point of the pruned probe; recall rides the *_recall twins); that
+    the scores and ranking are honest is exactly checkable."""
+    rows = out.collect()
+    n_ok = int(0 < len(rows) <= k)
+    sims = [(float(r["cosine_sim"]), int(r["vec_id"])) for r in rows]
+    sorted_ok = int(all(
+        (a[0] > b[0]) or (a[0] == b[0] and a[1] < b[1])
+        for a, b in zip(sims, sims[1:])
+    ))
+    emb = _t(spark, sf_dir)["embeddings"]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    served = spark.createDataFrame(
+        [(i, s) for s, i in sims], "vec_id long, served double"
+    )
+    chk = emb.join(served, "vec_id").select(
+        (
+            F.abs(F.round(sim.cosine(F.col("embedding"), qcol), 6)
+                  - F.col("served")) <= 2e-6
+        ).alias("ok")
+    )
+    scores_exact = int(
+        chk.count() == len(sims) and chk.filter(~F.col("ok")).count() == 0
+    )
+    return spark.createDataFrame(
+        [(n_ok, sorted_ok, scores_exact)],
+        "k_bounded int, ranked_ok int, scores_exact int",
+    )
+
+
+_TOPK_GRADE_SQL = """SELECT CAST(1 AS INT) AS k_bounded, CAST(1 AS INT) AS ranked_ok,
+       CAST(1 AS INT) AS scores_exact"""
+
+
+@q(
+    "sim_ivf_build",
+    """SELECT CAST(1 AS INT) AS total_ok, CAST(1 AS INT) AS cells_in_range,
+       CAST(1 AS INT) AS nonempty""",
+)
 def sim_ivf_build(spark, sf_dir):
+    """Occupancy audit of the materialized IVF store, invariant-graded:
+    every vector is stored exactly once (cell occupancies sum to the
+    corpus size), every cell id sits in [1, n_cells], and the store is
+    non-trivially partitioned. The per-cell counts themselves depend on
+    the trained codebook, hence the semantic grade."""
     idx = _vstore(spark, sf_dir, "ivf")
-    return (
+    occ = (
         spark.read.parquet(idx.path)
         .groupBy("__cell").agg(F.count("*").alias("n_vectors"))
-        .orderBy("__cell")
+    )
+    n_emb = _t(spark, sf_dir)["embeddings"].count()
+    row = occ.agg(
+        F.sum("n_vectors").alias("tot"),
+        F.min("__cell").alias("lo"),
+        F.max("__cell").alias("hi"),
+        F.count("*").alias("ncells"),
+    ).first()
+    n_cells = idx.params["n_cells"]
+    return spark.createDataFrame(
+        [(
+            int(row.tot == n_emb),
+            int(row.lo >= 1 and row.hi <= n_cells),
+            int(row.ncells > 1),
+        )],
+        "total_ok int, cells_in_range int, nonempty int",
     )
 
 
-@q("sim_lsh_build")  # index build (rows-only): per-bucket occupancy audit
+@q(
+    "sim_lsh_build",
+    """SELECT CAST(1 AS INT) AS total_ok, CAST(1 AS INT) AS sigs_in_range,
+       CAST(1 AS INT) AS nonempty""",
+)
 def sim_lsh_build(spark, sf_dir):
+    """Occupancy audit of the materialized LSH store, invariant-graded
+    (same contract as sim_ivf_build): every vector stored exactly once,
+    every signature within [0, 2^bits), more than one bucket in use."""
     idx = _vstore(spark, sf_dir, "lsh")
-    return (
+    occ = (
         spark.read.parquet(idx.path)
         .groupBy("__sig").agg(F.count("*").alias("n_vectors"))
-        .orderBy("__sig")
+    )
+    n_emb = _t(spark, sf_dir)["embeddings"].count()
+    row = occ.agg(
+        F.sum("n_vectors").alias("tot"),
+        F.min("__sig").alias("lo"),
+        F.max("__sig").alias("hi"),
+        F.count("*").alias("nsig"),
+    ).first()
+    top = 1 << idx.params["bits"]
+    return spark.createDataFrame(
+        [(
+            int(row.tot == n_emb),
+            int(row.lo >= 0 and row.hi < top),
+            int(row.nsig > 1),
+        )],
+        "total_ok int, sigs_in_range int, nonempty int",
     )
 
 
-@q("sim_lsh_topk")  # approximate path: rows-only check
+@q("sim_lsh_topk", _TOPK_GRADE_SQL)
 def sim_lsh_topk(spark, sf_dir):
     # probe the materialized signature-partitioned store (pipeline/
     # vector_store.py): only the (bits+1) probed buckets' parquet
-    # directories are read; plan is scan -> JVM cosine -> TakeOrdered
-    return vs.lsh_probe(
-        spark, _vstore(spark, sf_dir, "lsh"), _query_vec(spark, sf_dir), k=10
-    )
+    # directories are read; plan is scan -> JVM cosine -> TakeOrdered.
+    # Graded via _topk_grade (bounded, ranked, scores exact); which ids
+    # surface stays approximate — recall rides sim_lsh_recall.
+    qv = _query_vec(spark, sf_dir)
+    out = vs.lsh_probe(spark, _vstore(spark, sf_dir, "lsh"), qv, k=10)
+    return _topk_grade(spark, sf_dir, out, qv, k=10)
 
 
-@q("sim_allpairs_lsh")  # approximate path: rows-only check
+@q(
+    "sim_allpairs_lsh",
+    """SELECT CAST(1 AS INT) AS ordered, CAST(1 AS INT) AS distinct_ok,
+       CAST(1 AS INT) AS all_above_threshold, CAST(1 AS INT) AS scores_exact,
+       CAST(1 AS INT) AS nonempty""",
+)
 def sim_allpairs_lsh(spark, sf_dir):
-    # random embeddings concentrate near cosine 0: threshold low enough to
-    # produce candidate pairs so the bucket-join path is actually exercised
-    return sim.allpairs_above(_t(spark, sf_dir)["embeddings"], threshold=0.2, bits=4)
+    """LSH bucket self-join pair generator, invariant-graded: pairs come
+    back canonically ordered and distinct, every reported similarity
+    clears the threshold, and each score equals the exact cosine of the
+    two stored embeddings recomputed JVM-side (|diff| <= 2e-6 absorbs
+    numpy-matmul vs JVM-fold ulps). Which pairs surface depends on the
+    hyperplane buckets — hence the semantic grade, with
+    dedup_embedding_cosine as the bounded exact twin. Threshold 0.2:
+    random embeddings concentrate near cosine 0, so the bucket-join path
+    actually produces candidates."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    pairs = sim.allpairs_above(emb, threshold=0.2, bits=4)
+    ordered = int(pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0)
+    distinct_ok = int(
+        pairs.groupBy("id_a", "id_b").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    above = int(pairs.filter(F.col("cosine_sim") < 0.2).count() == 0)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    bad = (
+        pairs.join(ea, "id_a").join(eb, "id_b")
+        .filter(
+            F.abs(
+                F.round(sim.cosine(F.col("__va"), F.col("__vb")), 6)
+                - F.col("cosine_sim")
+            ) > 2e-6
+        )
+        .count()
+    )
+    n_pairs = pairs.count()
+    return spark.createDataFrame(
+        [(ordered, distinct_ok, above, int(bad == 0), int(n_pairs > 0))],
+        "ordered int, distinct_ok int, all_above_threshold int, "
+        "scores_exact int, nonempty int",
+    )
 
 
 @q(
@@ -1821,11 +1946,12 @@ def dedup_embedding_removal(spark, sf_dir):
 _PQ_CACHE: dict[tuple[int, str], tuple] = {}
 
 
-@q("sim_pq_topk")  # trained-codebook ADC: rows-only check
+@q("sim_pq_topk", _TOPK_GRADE_SQL)
 def sim_pq_topk(spark, sf_dir):
     # product-quantization serving pipeline: ADC shortlist over 8-byte codes
     # -> exact cosine rerank of the shortlist only (pipeline/similarity.py
-    # pq_*); codebooks+codes cached per dataset (build-once index artifacts)
+    # pq_*); codebooks+codes cached per dataset (build-once index artifacts).
+    # Graded via _topk_grade; recall rides sim_pq_recall.
     emb = _t(spark, sf_dir)["embeddings"]
     key = (id(spark), sf_dir)
     if key not in _PQ_CACHE:
@@ -1834,7 +1960,9 @@ def sim_pq_topk(spark, sf_dir):
         codes.count()
         _PQ_CACHE[key] = (books, codes)
     books, codes = _PQ_CACHE[key]
-    return sim.pq_topk_rerank(codes, emb, books, _query_vec(spark, sf_dir), k=10)
+    qv = _query_vec(spark, sf_dir)
+    out = sim.pq_topk_rerank(codes, emb, books, qv, k=10)
+    return _topk_grade(spark, sf_dir, out, qv, k=10)
 
 
 @q(
@@ -1898,25 +2026,56 @@ def _run_concurrent_probes(spark, sf_dir, nprobe: int | None):
     )
 
 
-@q("sim_probe_concurrent_pruned")  # approximate path: rows-only check
+@q(
+    "sim_probe_concurrent_pruned",
+    """SELECT CAST(1 AS INT) AS all_queries_served, CAST(1 AS INT) AS k_bounded,
+       CAST(1 AS INT) AS scores_exact""",
+)
 def sim_probe_concurrent_pruned(spark, sf_dir):
     """The serving-path twin of sim_probe_concurrent: 8 concurrent probes
     with partition pruning (nprobe=4 of 16 cells) — what a production
-    query-many workload actually runs. Rows-only checked (pruned probes are
-    approximate); the exhaustive variant above is the oracle-exact one."""
-    return _run_concurrent_probes(spark, sf_dir, nprobe=4)
+    query-many workload actually runs. Invariant-graded (the pruned result
+    SETS are approximate; the exhaustive variant above is oracle-exact):
+    all 8 queries come back, each with 1..k rows, and every served score
+    equals the exact cosine between that query's embedding and the served
+    id's embedding, recomputed JVM-side."""
+    out = _run_concurrent_probes(spark, sf_dir, nprobe=4)
+    emb = _t(spark, sf_dir)["embeddings"]
+    per_q = out.groupBy("query_id").agg(F.count("*").alias("n"))
+    served_ok = int(per_q.count() == 8)
+    k_ok = int(per_q.filter((F.col("n") < 1) | (F.col("n") > 5)).count() == 0)
+    ev = emb.select(F.col("vec_id"), F.col("embedding").alias("__vv"))
+    eq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    bad = (
+        out.join(ev, "vec_id").join(eq, "query_id")
+        .filter(
+            F.abs(
+                F.round(sim.cosine(F.col("__vv"), F.col("__qv")), 6)
+                - F.col("cosine_sim")
+            ) > 2e-6
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(served_ok, k_ok, int(bad == 0))],
+        "all_queries_served int, k_bounded int, scores_exact int",
+    )
 
 
-@q("sim_ivf_topk")  # approximate path: rows-only check
+@q("sim_ivf_topk", _TOPK_GRADE_SQL)
 def sim_ivf_topk(spark, sf_dir):
     # probe the materialized cell-partitioned store (pipeline/
     # vector_store.py): codebook training + cell assignment happened once at
     # sim_ivf_build time; this reads only the nprobe probed cells' parquet
-    # directories (partition pruning) and scores them JVM-side
-    return vs.ivf_probe(
-        spark, _vstore(spark, sf_dir, "ivf"), _query_vec(spark, sf_dir),
-        k=10, nprobe=4,
+    # directories (partition pruning) and scores them JVM-side. Graded via
+    # _topk_grade; recall rides sim_ivf_recall.
+    qv = _query_vec(spark, sf_dir)
+    out = vs.ivf_probe(
+        spark, _vstore(spark, sf_dir, "ivf"), qv, k=10, nprobe=4,
     )
+    return _topk_grade(spark, sf_dir, out, qv, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -3355,13 +3514,29 @@ def events_range_join(spark, sf_dir):
     return j.groupBy("iv_type").agg(F.count("*").cast("long").alias("n_in_window"))
 
 
-@q("events_user_approx_distinct")  # HLL sketch: approximate, rows-only check
+@q(
+    "events_user_approx_distinct",
+    """SELECT event_type, CAST(1 AS INT) AS approx_ok
+FROM events GROUP BY event_type""",
+)
 def events_user_approx_distinct(spark, sf_dir):
-    # the 100 TB path for events_user_distinct: HyperLogLog sketches merge
-    # map-side (mergeable-summary property), no exact-distinct shuffle
+    """The 100 TB path for events_user_distinct: Spark's built-in
+    HyperLogLog++ sketch merges map-side (mergeable-summary property), no
+    exact-distinct shuffle. Error-bound graded per event_type: the rsd=2%
+    estimate must land within 6% (3 sigma) of the exact count — the same
+    estimate-vs-exact grading the hand-built HLL twin
+    (events_hll_sketch) carries. The exact-distinct column exists for the
+    gate only; at 100 TB only the sketch path runs."""
     ev = _t(spark, sf_dir)["events"]
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__a"),
+        F.countDistinct("user_id").alias("__x"),
+    ).select(
+        "event_type",
+        (
+            F.abs(F.col("__a") - F.col("__x"))
+            <= F.greatest(F.col("__x") * 0.06, F.lit(1.0))
+        ).cast("int").alias("approx_ok"),
     )
 
 
@@ -3385,14 +3560,49 @@ def lineitem_histogram(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-@q("lineitem_approx_quantiles")  # t-digest sketch: approximate, rows-only
+@q(
+    "lineitem_approx_quantiles",
+    """SELECT l_returnflag, CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok,
+       CAST(1 AS INT) AS ordered_ok
+FROM lineitem GROUP BY l_returnflag""",
+)
 def lineitem_approx_quantiles(spark, sf_dir):
-    # the 100 TB path for lineitem_quantiles (percentile_approx sketches are
-    # mergeable map-side; exact percentile re-sorts per group)
-    li = _t(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    """The 100 TB path for lineitem_quantiles (percentile_approx sketches
+    merge map-side; exact percentile re-sorts per group). Rank-bound graded
+    per group: percentile_approx(accuracy=10000) guarantees the returned
+    value's rank lies within n/accuracy of q*n, so the grade checks the
+    rank interval [count(< v), count(<= v)] (ties make it an interval —
+    l_quantity is a small-integer domain) intersects
+    [q*n - n/10000 - 1, q*n + n/10000 + 1], plus p50 <= p95. The exact
+    rank-count pass exists for the gate only."""
+    li = _t(spark, sf_dir)["lineitem"].select("l_returnflag", "l_quantity")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("__p50"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("__p95"),
+    )
+    j = li.join(ap, "l_returnflag")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("__n"),
+        F.sum((F.col("l_quantity") < F.col("__p50")).cast("long")).alias("__lt50"),
+        F.sum((F.col("l_quantity") <= F.col("__p50")).cast("long")).alias("__le50"),
+        F.sum((F.col("l_quantity") < F.col("__p95")).cast("long")).alias("__lt95"),
+        F.sum((F.col("l_quantity") <= F.col("__p95")).cast("long")).alias("__le95"),
+        F.first("__p50").alias("__p50"),
+        F.first("__p95").alias("__p95"),
+    )
+    margin = F.col("__n") / 10000 + 1
+
+    def rank_ok(lt, le, q):
+        target = F.col("__n") * q
+        return (
+            (F.col(lt) <= target + margin) & (F.col(le) >= target - margin)
+        ).cast("int")
+
+    return stats.select(
+        "l_returnflag",
+        rank_ok("__lt50", "__le50", 0.5).alias("p50_ok"),
+        rank_ok("__lt95", "__le95", 0.95).alias("p95_ok"),
+        (F.col("__p50") <= F.col("__p95")).cast("int").alias("ordered_ok"),
     )
 
 
