@@ -27,6 +27,11 @@ def audit_plan(df) -> dict:
     plan = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+    # After execution, AQE's formatted explain appends the UNEXECUTED
+    # "== Initial Plan ==" section after the final plan; counting it
+    # double-reports scans/shuffles and reports SMJ/Cartesian nodes that
+    # AQE replaced at runtime. Audit the executed section only.
+    plan = plan.split("== Initial Plan ==")[0]
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
     return {
         "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
