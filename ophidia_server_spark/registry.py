@@ -6238,3 +6238,79 @@ def dedup_removal_grade(spark, sf_dir):
     return spark.createDataFrame(
         rows, "ladder string, partition_ok int, reps_kept int, dups_removed int"
     )
+
+
+# ---------------------------------------------------------------------------
+# bench variants: raw-operator plans for gate entries that became verdict
+# grades
+# ---------------------------------------------------------------------------
+#
+# Round 7 converted the approximate-path gate entries (LSH pairs, ANN
+# probes, occupancy audits) from output dumps into oracle-pinned invariant
+# grades. The grade costs one operator run PLUS verdict aggregates — a
+# different workload than rounds 1-6 benched. bench.py uses these raw
+# variants for those names so the recorded per-query numbers keep
+# measuring the same operator work across rounds; the gate (queries())
+# still serves the graded versions.
+
+BENCH_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _bench_variant(name: str):
+    def deco(fn):
+        def wrapped(spark, sf_dir):
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        BENCH_VARIANTS[name] = wrapped
+        return fn
+
+    return deco
+
+
+@_bench_variant("dedup_minhash_pairs")
+def _bench_minhash_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _dup_input(spark, sf_dir), num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+@_bench_variant("sim_ivf_build")
+def _bench_ivf_build(spark, sf_dir):
+    idx = _vstore(spark, sf_dir, "ivf")
+    return (
+        spark.read.parquet(idx.path)
+        .groupBy("__cell").agg(F.count("*").alias("n_vectors"))
+        .orderBy("__cell")
+    )
+
+
+@_bench_variant("sim_lsh_build")
+def _bench_lsh_build(spark, sf_dir):
+    idx = _vstore(spark, sf_dir, "lsh")
+    return (
+        spark.read.parquet(idx.path)
+        .groupBy("__sig").agg(F.count("*").alias("n_vectors"))
+        .orderBy("__sig")
+    )
+
+
+@_bench_variant("sim_ivf_topk")
+def _bench_ivf_topk(spark, sf_dir):
+    return vs.ivf_probe(
+        spark, _vstore(spark, sf_dir, "ivf"), _query_vec(spark, sf_dir),
+        k=10, nprobe=4,
+    )
+
+
+@_bench_variant("sim_lsh_topk")
+def _bench_lsh_topk(spark, sf_dir):
+    return vs.lsh_probe(
+        spark, _vstore(spark, sf_dir, "lsh"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+@_bench_variant("sim_probe_concurrent_pruned")
+def _bench_probe_concurrent_pruned(spark, sf_dir):
+    return _run_concurrent_probes(spark, sf_dir, nprobe=4)

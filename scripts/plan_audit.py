@@ -23,32 +23,33 @@ from ophidia_server_spark.session import get_spark  # noqa: E402
 
 def audit_plan(df) -> dict:
     qe = df._jdf.queryExecution()
-    spark = df.sparkSession
-    plan = qe.explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    # After execution, AQE's formatted explain appends the UNEXECUTED
-    # "== Initial Plan ==" section after the final plan; counting it
-    # double-reports scans/shuffles and reports SMJ/Cartesian nodes that
-    # AQE replaced at runtime. Audit the executed section only.
-    plan = plan.split("== Initial Plan ==")[0]
+    full = qe.executedPlan().toString()
+    # After execution, AQE's plan string prints the EXECUTED "== Final
+    # Plan ==" tree followed by the UNEXECUTED "== Initial Plan ==" tree;
+    # counting both double-reports scans/shuffles and reports SMJ/Cartesian
+    # nodes AQE replaced at runtime (rounds <= 6 did exactly that). The
+    # simple tree carries every attribute inline (FileScan PushedFilters,
+    # Exchange hashpartitioning, *(N) codegen markers), so slicing it at
+    # the Initial Plan marker audits exactly what ran. Counting scheme
+    # changed in round 7: absolute shuffle/scan counts dropped ~2x vs the
+    # committed PLANS.md (the SHUF+ regression flag only fires on
+    # increases, so the round-over-round check stays valid).
+    plan = full.split("+- == Initial Plan ==")[0]
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
     return {
-        "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
-        or plan.count("Scan parquet") // 2,
+        "scans": plan.count("Scan parquet"),
         "pushed": len(pushed),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "cartesian": plan.count("CartesianProduct") + plan.count("BroadcastNestedLoop"),
-        # Formatted explain splits the operator line ("(N) Exchange") from its
-        # "Arguments: hashpartitioning(...)" line, so count the partitioning
-        # expressions themselves (broadcast exchanges say "Arguments:
-        # IdentityBroadcastMode"/"HashedRelationBroadcastMode" and don't match).
-        "shuffles": plan.count("hashpartitioning(")
-        + plan.count("rangepartitioning("),
-        "codegen": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        # real shuffles only: ReusedExchange nodes reference an existing
+        # exchange's partitioning without moving data again
+        "shuffles": len(
+            re.findall(r"(?<!Reused)Exchange (?:hash|range)partitioning", plan)
+        ),
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python": plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
-        "final": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
+        "final": "isFinalPlan=true" in full or "AdaptiveSparkPlan" not in full,
     }
 
 
