@@ -3133,6 +3133,134 @@ def text_token_bpe(spark, sf_dir):
     return tx.token_count_bpe(_t(spark, sf_dir)["documents"])
 
 
+# Trained-BPE merge list cached per (session, dataset): train once, apply
+# in the same session — the build-once artifact shape (_vstore precedent)
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _BPE_CACHE:
+        from ophidia_server_spark.pipeline import bpe
+
+        _BPE_CACHE[key] = bpe.bpe_train(
+            _t(spark, sf_dir)["documents"], num_merges=200
+        )
+    return _BPE_CACHE[key]
+
+
+@q(
+    "text_bpe_train",
+    """SELECT CAST(1 AS INT) AS n_merges_ok, CAST(1 AS INT) AS closure_ok,
+       CAST(1 AS INT) AS compresses, CAST(1 AS INT) AS first_merge_ok""",
+)
+def text_bpe_train(spark, sf_dir):
+    """REAL distributed BPE training (Sennrich et al. 2016; pipeline/
+    bpe.py): word frequencies are the corpus-sized aggregation, merge
+    learning runs on the compact word->freq table with a pinned
+    lexicographic tie-break, so the merge list is a pure function of the
+    corpus. Invariant-graded:
+      n_merges_ok    merges were learned, at most the requested count
+                     (fewer only when the vocabulary saturates — every
+                     word fully merged to one symbol, the algorithm's
+                     natural termination; the sf0.001 fixture saturates at
+                     ~105 of 200);
+      closure_ok     every merge operand is a single char, char+</w>, or
+                     the concatenation of two earlier merges (the vocab
+                     closure property of valid BPE);
+      compresses     applying the merges yields fewer symbols than
+                     character count (the point of BPE);
+      first_merge_ok the first learned merge IS the corpus's most frequent
+                     adjacent symbol pair, recomputed independently with a
+                     one-pass Spark aggregation over 2-char shingles."""
+    from ophidia_server_spark.pipeline import bpe
+
+    docs = _t(spark, sf_dir)["documents"]
+    merges = _bpe_merges(spark, sf_dir)
+    n_merges_ok = int(0 < len(merges) <= 200)
+    vocab = set()
+    closure_ok = 1
+    for a, b in merges:
+        for part in (a, b):
+            base = part[: -len(bpe.EOW)] if part.endswith(bpe.EOW) else part
+            if not (len(base) <= 1 or part in vocab):
+                closure_ok = 0
+        vocab.add(a + b)
+    # independent recomputation of the first merge: per-word adjacent
+    # symbol pairs at the character level, weighted by word frequency
+    from ophidia_server_spark.pipeline.text import tokens as _toks
+
+    words = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n"))
+    )
+    chars = F.concat(F.split(F.col("w"), ""), F.array(F.lit(bpe.EOW)))
+    pair_counts = (
+        words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+                    F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        .groupBy("p").agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+        .first()
+    )
+    first_merge_ok = int(
+        (pair_counts["p"]["a"], pair_counts["p"]["b"]) == merges[0]
+    )
+    enc = bpe.bpe_apply(docs, merges)
+    tot = enc.agg(F.sum("n_tokens").alias("t")).first().t
+    n_chars = docs.agg(
+        F.sum(F.length(F.concat_ws("", _toks(F.col("text"))))).alias("c")
+    ).first().c
+    compresses = int(tot < n_chars)
+    return spark.createDataFrame(
+        [(n_merges_ok, closure_ok, compresses, first_merge_ok)],
+        "n_merges_ok int, closure_ok int, compresses int, first_merge_ok int",
+    )
+
+
+@q(
+    "text_bpe_apply",
+    r"""SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x != ''), ' ')) AS roundtrip_md5,
+       CAST(1 AS INT) AS lossless
+FROM documents""",
+)
+def text_bpe_apply(spark, sf_dir):
+    """Tokenize every document with the trained BPE merges (Arrow-batched
+    map stage, broadcast rank dict), ORACLE-EXACT end to end: BPE is
+    lossless by construction, so stitching the emitted tokens back
+    together (split the concatenated stream at the EOW markers, join words
+    with single spaces) must reproduce
+    the whitespace-normalized text — DuckDB recomputes that form's md5
+    straight from the source column, and the hashes must match row for
+    row. Any mis-merge, dropped symbol, or word-order bug breaks the
+    hash."""
+    from ophidia_server_spark.pipeline import bpe
+
+    docs = _t(spark, sf_dir)["documents"]
+    enc = bpe.bpe_apply(docs, _bpe_merges(spark, sf_dir))
+    rebuilt = F.concat_ws(
+        " ",
+        F.filter(
+            F.split(F.concat_ws("", F.col("tokens")), bpe.EOW),
+            lambda t: t != "",
+        ),
+    )
+    return enc.select(
+        "doc_id",
+        F.md5(rebuilt).alias("roundtrip_md5"),
+        F.lit(1).cast("int").alias("lossless"),
+    )
+
+
 @q(
     "events_user_distinct",
     """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
