@@ -197,6 +197,10 @@ class SignedTokenValidator(TokenValidator):
         if not isinstance(header, dict) or header.get("alg") != "HS256":
             # refuse unexpected algorithms outright (alg-confusion guard)
             raise TokenError("unsupported token algorithm")
+        if not isinstance(payload, dict):
+            # a correctly-signed non-object payload must still be a named
+            # 401, never an AttributeError from payload.get below
+            raise TokenError("malformed token payload")
         signing = f"{parts[0]}.{parts[1]}".encode()
         good = _hmac.new(self.secret, signing, _hashlib.sha256).digest()
         if not _hmac.compare_digest(sig, good):

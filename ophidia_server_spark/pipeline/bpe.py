@@ -131,12 +131,15 @@ def bpe_apply(
     mapInPandas over a broadcast rank dict — a pure map stage (no shuffle,
     no driver data path). Returns (id, tokens array<string>, n_tokens).
 
-    Lossless by construction: concatenating the tokens and stripping the
-    `</w>` markers reproduces the whitespace-tokenized text exactly — the
-    roundtrip the gate oracle hash-checks."""
+    Lossless by construction: concatenating the tokens and splitting at
+    the EOW markers reproduces the whitespace-tokenized text exactly —
+    the roundtrip the gate oracle hash-checks."""
     import pandas as pd
 
     spark = df.sparkSession
+    # carry the caller's id type through (string URIs, ints, ...) instead
+    # of assuming long
+    id_type = df.schema[id_col].dataType.simpleString()
     b_ranks = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
     )
@@ -167,5 +170,5 @@ def bpe_apply(
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, tokens array<string>, n_tokens long"
+        run, f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )

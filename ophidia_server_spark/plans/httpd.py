@@ -93,6 +93,7 @@ class EngineHttpServer:
     # both are None the server is open (trusted driver-side use). The
     # reference's token path is oph_execute_main.c:324-420.
     validator: Any = None
+    _static_validator: Any = None  # lazily-built cache for `tokens` mode
     host: str = "127.0.0.1"
     port: int = 0                                      # 0 = ephemeral
     farm_size: int = 8                                 # async worker pool
@@ -148,7 +149,12 @@ class EngineHttpServer:
                 if server.validator is not None:
                     validator = server.validator
                 elif server.tokens is not None:
-                    validator = StaticTokenValidator(server.tokens)
+                    # built once, not per request: StaticTokenValidator
+                    # copies the whole table at construction
+                    validator = server._static_validator
+                    if validator is None:
+                        validator = StaticTokenValidator(server.tokens)
+                        server._static_validator = validator
                 else:
                     return ("anonymous", None)  # open server: no enforcement
                 hdr = self.headers.get("Authorization", "")

@@ -1633,9 +1633,15 @@ def dedup_simhash_removal(spark, sf_dir):
             n_injected > 0
             and injected.join(kept, "doc_id", "left_semi").count() == 0
         )
-        kept.unpersist()
     finally:
-        clusters.unpersist()
+        # unpersist both in finally: a failed count must not leak cached
+        # partitions into the rest of the long-lived gate session
+        for cached in (locals().get("kept"), clusters):
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
     return spark.createDataFrame(
         [(partition_ok, reps_kept, dups_removed, int(n_kept > 0))],
         "partition_ok int, reps_kept int, dups_removed int, kept_nonempty int",
@@ -4017,9 +4023,15 @@ def dedup_near_removal(spark, sf_dir):
             n_injected > 0
             and injected.join(kept, "doc_id", "left_semi").count() == 0
         )
-        kept.unpersist()
     finally:
-        clusters.unpersist()
+        # unpersist both in finally: a failed count must not leak cached
+        # partitions into the rest of the long-lived gate session
+        for cached in (locals().get("kept"), clusters):
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
     return spark.createDataFrame(
         [(partition_ok, reps_kept, dups_removed, int(n_kept > 0))],
         "partition_ok int, reps_kept int, dups_removed int, kept_nonempty int",
@@ -6442,3 +6454,62 @@ def _bench_lsh_topk(spark, sf_dir):
 @_bench_variant("sim_probe_concurrent_pruned")
 def _bench_probe_concurrent_pruned(spark, sf_dir):
     return _run_concurrent_probes(spark, sf_dir, nprobe=4)
+
+
+@_bench_variant("dedup_simhash")
+def _bench_simhash(spark, sf_dir):
+    return dd.simhash(_dup_input(spark, sf_dir))
+
+
+@_bench_variant("dedup_simhash_pairs")
+def _bench_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_dup_input(spark, sf_dir), max_hamming=3)
+
+
+@_bench_variant("dedup_ngram_jaccard")
+def _bench_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_dup_input(spark, sf_dir), threshold=0.8)
+
+
+@_bench_variant("dedup_minhash_clusters")
+def _bench_minhash_clusters(spark, sf_dir):
+    return dd.cluster_pairs(dd.minhash_lsh_pairs(_dup_input(spark, sf_dir)))
+
+
+@_bench_variant("dedup_near_removal")
+def _bench_near_removal(spark, sf_dir):
+    return dd.dedup_near(_dup_input(spark, sf_dir)).select("doc_id")
+
+
+@_bench_variant("dedup_simhash_removal")
+def _bench_simhash_removal(spark, sf_dir):
+    docs = _dup_input(spark, sf_dir)
+    clusters = dd.cluster_pairs(dd.simhash_pairs(docs, max_hamming=3))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@_bench_variant("sim_allpairs_lsh")
+def _bench_allpairs_lsh(spark, sf_dir):
+    return sim.allpairs_above(_t(spark, sf_dir)["embeddings"], threshold=0.2, bits=4)
+
+
+@_bench_variant("sim_pq_topk")
+def _bench_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        books = sim.pq_codebooks(emb, m=8, k=16)
+        codes = sim.pq_encode(emb, books).persist()
+        codes.count()
+        _PQ_CACHE[key] = (books, codes)
+    books, codes = _PQ_CACHE[key]
+    return sim.pq_topk_rerank(codes, emb, books, _query_vec(spark, sf_dir), k=10)
+
+
+@_bench_variant("text_bpe_apply")
+def _bench_bpe_apply(spark, sf_dir):
+    from ophidia_server_spark.pipeline import bpe
+
+    docs = _t(spark, sf_dir)["documents"]
+    return bpe.bpe_apply(docs, _bpe_merges(spark, sf_dir))

@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ophidia_server_spark.registry import QUERIES  # noqa: E402
+from ophidia_server_spark.registry import BENCH_VARIANTS, QUERIES  # noqa: E402
 from ophidia_server_spark.session import get_spark  # noqa: E402
 
 
@@ -43,9 +43,14 @@ def audit_plan(df) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "cartesian": plan.count("CartesianProduct") + plan.count("BroadcastNestedLoop"),
         # real shuffles only: ReusedExchange nodes reference an existing
-        # exchange's partitioning without moving data again
-        "shuffles": len(
-            re.findall(r"(?<!Reused)Exchange (?:hash|range)partitioning", plan)
+        # exchange's partitioning without moving data again. Their lines
+        # render as "ReusedExchange [...], Exchange hashpartitioning(...)",
+        # so filter whole lines rather than look behind the word Exchange.
+        "shuffles": sum(
+            1
+            for ln in plan.splitlines()
+            if re.search(r"Exchange (?:hash|range)partitioning", ln)
+            and "ReusedExchange" not in ln
         ),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python": plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
@@ -81,7 +86,11 @@ def main() -> None:
     rows = []
     for name in sorted(QUERIES):
         try:
-            df = QUERIES[name](spark, sf_dir)
+            # audit the raw-operator variant where the gate entry is an
+            # eager verdict grade (same mapping bench.py uses): the grade's
+            # returned DataFrame is a one-row LocalTableScan, and auditing
+            # it would silently drop the real operator's plan from PLANS.md
+            df = BENCH_VARIANTS.get(name, QUERIES[name])(spark, sf_dir)
             df.collect()  # drive AQE to the final plan
             m = audit_plan(df)
             flags = []

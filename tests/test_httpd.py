@@ -588,3 +588,22 @@ def test_static_validator_blacklist_and_alg_guard():
     ).rstrip(b"=")
     with pytest.raises(TokenError, match="algorithm"):
         v.validate(h.decode() + "." + p.decode() + ".")
+
+
+def test_signed_token_non_object_payload_is_named_401():
+    # a correctly-signed token whose payload JSON is not an object must be
+    # the contract's named TokenError/401, not an AttributeError
+    import base64 as b64
+    import hashlib
+    import hmac as hmac_mod
+    import json as js
+
+    from ophidia_server_spark.auth import SignedTokenValidator, TokenError
+
+    v = SignedTokenValidator("s")
+    h = b64.urlsafe_b64encode(js.dumps({"alg": "HS256"}).encode()).rstrip(b"=").decode()
+    p = b64.urlsafe_b64encode(js.dumps([1, 2]).encode()).rstrip(b"=").decode()
+    sig = hmac_mod.new(b"s", f"{h}.{p}".encode(), hashlib.sha256).digest()
+    tok = f"{h}.{p}." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+    with pytest.raises(TokenError, match="payload"):
+        v.validate(tok)
