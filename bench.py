@@ -130,6 +130,9 @@ HEADLINE = [
     "events_seasonal_decompose",
     "events_cusum_changepoint",
     "corpus_audit_documents",
+    # round-7: real BPE tokenization (broadcast-rank Arrow map stage; the
+    # merge training is amortized once per session via the registry cache)
+    "text_bpe_apply",
 ]
 
 
