@@ -335,3 +335,94 @@ def dds_quantiles(
         )
         .alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: deterministic, mergeable set membership
+# ---------------------------------------------------------------------------
+#
+# The fourth member of the sketch family (Bloom 1970, "Space/time trade-offs
+# in hash coding with allowable errors"): an m-bit array with k hash
+# positions per key. Same engine-portable convention as the HLL above —
+# position j of a key is 8 hex chars of md5(key + ':' + salt + '#' + j)
+# mod m, so Spark and DuckDB compute bit-identical filters and the gate can
+# hash-match the whole bit table AND every membership verdict. The 100 TB
+# properties it demonstrates:
+#   build  — one map (k position exprs) + one distinct aggregate whose
+#            output is <= m rows (map-side partials collapse each partition
+#            to set bits before the shuffle);
+#   merge  — bitwise OR == union-distinct of set-bit rows: per-partition /
+#            per-day filters combine with no re-scan;
+#   serve  — membership is a k-way explode + ONE broadcast-or-hash semi
+#            join against the tiny bit table; the canonical use is
+#            scan-side pruning of a huge probe table before an expensive
+#            join (no false negatives, bounded false-positive rate
+#            (1 - e^{-kn/m})^k).
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
+    from ophidia_server_spark.functions.hashing import md5_of
+
+    out = []
+    for j in range(k):
+        h = md5_of(key, f"{salt}#{j}")
+        out.append(F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits)
+    return out
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the filter: the distinct set-bit positions (one `pos` column,
+    <= m_bits rows). One map + one distinct — the sketch shape."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, m_bits, k, salt)))
+    return df.select(pos.alias("pos")).distinct()
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """Bitwise OR == union-distinct of set-bit rows (mergeability)."""
+    out = bit_tables[0]
+    for t in bit_tables[1:]:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+def bloom_contains(
+    bits: DataFrame, probes: DataFrame, key_col: str,
+    m_bits: int = 8192, k: int = 4, salt: str = "bloom",
+) -> DataFrame:
+    """Membership verdict per probe key: might_contain = 1 iff ALL k
+    positions are set. Plan: explode each probe to its k positions, ONE
+    join against the bit table (broadcastable: <= m_bits rows), count
+    hits per key — no Python, no collect."""
+    key = F.col(key_col)
+    exploded = probes.select(
+        key.alias(key_col),
+        F.explode(F.array(*_bloom_positions(key, m_bits, k, salt))).alias("pos"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg(F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("__hits"))
+    )
+    return hits.select(
+        key_col,
+        (F.col("__hits") == k).cast("int").alias("might_contain"),
+    )
+
+
+def bloom_prejoin_filter(
+    fact: DataFrame, dim_bits: DataFrame, key_col: str,
+    m_bits: int = 8192, k: int = 4, salt: str = "bloom",
+) -> DataFrame:
+    """The canonical serving use: prune a huge fact table against a dim's
+    Bloom filter BEFORE the real join — rows whose keys cannot be in the
+    dim (any unset position) are dropped at scan time by a broadcast
+    semi-join shape, shrinking the expensive join's shuffle. No false
+    negatives: every surviving row is a superset of the true matches."""
+    verdict = bloom_contains(
+        dim_bits, fact.select(key_col).distinct(), key_col, m_bits, k, salt
+    ).filter(F.col("might_contain") == 1).select(key_col)
+    return fact.join(F.broadcast(verdict), key_col, "left_semi")

@@ -5955,6 +5955,103 @@ def events_dds_quantiles(spark, sf_dir):
     return sk.dds_quantiles(sketch, [0.5, 0.95, 0.99], alpha=0.01)
 
 
+_BLOOM_HEX = (
+    "list_reduce(list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@q(
+    "events_bloom_bits",
+    f"""WITH ex AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, t.j FROM events CROSS JOIN range(4) t(j)
+)
+SELECT DISTINCT CAST({_BLOOM_HEX.format(expr="k || ':bloom#' || j")} % 8192
+                AS BIGINT) AS pos
+FROM ex""",
+)
+def events_bloom_bits(spark, sf_dir):
+    """Bloom filter over event users (functions/sketches.py bloom_*), the
+    fourth mergeable sketch: the whole <= m-row set-bit table hash-matches
+    DuckDB because every position is the same md5 arithmetic (Bloom 1970).
+    Build = one map (k position exprs) + one distinct whose map-side
+    partials bound each partition's contribution at m rows."""
+    ev = _t(spark, sf_dir)["events"]
+    return sk.bloom_bits(ev, "user_id", m_bits=8192, k=4)
+
+
+@q(
+    "events_bloom_membership",
+    f"""WITH bits AS (
+  SELECT DISTINCT {_BLOOM_HEX.format(expr="CAST(user_id AS VARCHAR) || ':bloom#' || t.j")} % 8192 AS pos
+  FROM events CROSS JOIN range(4) t(j)
+), probes AS (
+  SELECT unnest([1, 2, 3, 4, 900001, 900002, 900003, 900004]) AS key
+), pk AS (
+  SELECT key, {_BLOOM_HEX.format(expr="CAST(key AS VARCHAR) || ':bloom#' || t.j")} % 8192 AS pos
+  FROM probes CROSS JOIN range(4) t(j)
+), hits AS (
+  SELECT pk.key, SUM(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) AS h
+  FROM pk LEFT JOIN bits ON pk.pos = bits.pos GROUP BY 1
+)
+SELECT CAST(hits.key AS BIGINT) AS key,
+       CAST(CASE WHEN h = 4 THEN 1 ELSE 0 END AS INT) AS might_contain,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM events e WHERE e.user_id = hits.key)
+            THEN 1 ELSE 0 END AS INT) AS is_member
+FROM hits""",
+)
+def events_bloom_membership(spark, sf_dir):
+    """Membership verdicts against the user Bloom filter for 4 true
+    members and 4 planted non-members, hash-matched end to end: both
+    engines compute the identical deterministic filter, so every verdict
+    — including whether a non-member false-positives at this m/k — is
+    exact. True members can never read 0 (no false negatives); the serve
+    plan is explode(k) -> one broadcast join -> per-key count."""
+    ev = _t(spark, sf_dir)["events"]
+    bits = sk.bloom_bits(ev, "user_id", m_bits=8192, k=4)
+    probes = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (900001,), (900002,), (900003,), (900004,)],
+        "user_id long",
+    )
+    members = ev.select("user_id").distinct().withColumn("__m", F.lit(1))
+    return (
+        sk.bloom_contains(bits, probes, "user_id", m_bits=8192, k=4)
+        .join(members, "user_id", "left")
+        .select(
+            F.col("user_id").alias("key"),
+            "might_contain",
+            F.coalesce("__m", F.lit(0)).cast("int").alias("is_member"),
+        )
+    )
+
+
+@q(
+    "events_bloom_prejoin",
+    """WITH dim AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN dim ON e.user_id = dim.user_id
+GROUP BY e.event_type""",
+)
+def events_bloom_prejoin(spark, sf_dir):
+    """The canonical Bloom serving shape: prune the event fact against a
+    small dim's filter BEFORE the exact join. Because Bloom filters have
+    no false negatives, pruned-then-exact-joined equals plain-joined — so
+    the oracle is simply the direct join, and any dropped true match
+    breaks the hash. At 100 TB the pruning happens at scan time against a
+    broadcast <= m-row bit table, shrinking the expensive join's shuffle
+    to the (tiny) surviving superset."""
+    ev = _t(spark, sf_dir)["events"]
+    dim = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    bits = sk.bloom_bits(dim, "user_id", m_bits=8192, k=4)
+    pruned = sk.bloom_prejoin_filter(ev, bits, "user_id", m_bits=8192, k=4)
+    return (
+        pruned.join(dim, "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
 @q(
     "events_interval_overlap_join",
     """WITH spans AS (

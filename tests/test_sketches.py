@@ -170,3 +170,57 @@ def test_cms_sketch_stream_equals_batch(spark, tables, tmp_path):
     want = {(r.row, r.bucket, r.c)
             for r in sk.cms_sketch(events, "user_id", d=4, w=256).collect()}
     assert got == want and len(got) > 0
+
+
+def test_bloom_merge_law_and_no_false_negatives(spark):
+    from ophidia_server_spark.functions import sketches as sk
+
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(500, 1000).select(F.col("id").alias("k"))
+    both = a.unionByName(b)
+    # merge law: bloom(A union B) == bloom(A) | bloom(B)
+    direct = {r.pos for r in sk.bloom_bits(both, "k").collect()}
+    merged = {
+        r.pos
+        for r in sk.bloom_merge(
+            sk.bloom_bits(a, "k"), sk.bloom_bits(b, "k")
+        ).collect()
+    }
+    assert direct == merged
+    # no false negatives: every true member reads might_contain = 1
+    bits = sk.bloom_bits(both, "k")
+    verdicts = sk.bloom_contains(bits, both, "k")
+    assert verdicts.filter(F.col("might_contain") == 0).count() == 0
+
+
+def test_bloom_false_positive_rate_within_bound(spark):
+    from ophidia_server_spark.functions import sketches as sk
+
+    members = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bits = sk.bloom_bits(members, "k", m_bits=8192, k=4)
+    non = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("k"))
+    fp = (
+        sk.bloom_contains(bits, non, "k", m_bits=8192, k=4)
+        .filter(F.col("might_contain") == 1)
+        .count()
+    )
+    # theoretical fpr (1 - e^{-kn/m})^k ~ 0.024 at n=1000,m=8192,k=4;
+    # allow generous slack over 2000 trials
+    assert fp / 2000 < 0.06
+
+
+def test_bloom_prejoin_filter_is_lossless_superset(spark):
+    from ophidia_server_spark.functions import sketches as sk
+
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 4000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 4000, 13).select(F.col("id").alias("k"))
+    bits = sk.bloom_bits(dim, "k")
+    pruned = sk.bloom_prejoin_filter(fact, bits, "k")
+    # superset of the true join rows, and exact after the real join
+    exact = fact.join(dim, "k")
+    assert pruned.count() >= exact.count()
+    assert pruned.join(dim, "k").count() == exact.count()
+    # pruning actually prunes at this density
+    assert pruned.count() < fact.count()
