@@ -600,3 +600,128 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") <= max_distance)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: a materialized MinHash index + batch novelty filter
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_build(
+    df: DataFrame, path: str, text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """Materialize the corpus's banded MinHash signatures as a reusable
+    index: (doc_id, sig, band, bucket) parquet partitioned by band. The
+    import-once/query-many shape for CONTINUOUS ingestion: each new crawl
+    batch is shingled once and hash-joined against this table — the
+    historical corpus is never re-shingled, and growing the index is an
+    append of the new batch's own rows (same mergeability as the sketch
+    family). A params sidecar pins the hash configuration so probes can
+    never drift from the build."""
+    import json
+    import os
+
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).filter(
+        F.col("sig").isNotNull()
+    )
+    banded = sigs.select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
+        "sig",
+        F.posexplode(
+            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    with open(os.path.join(path, "_minhash_params.json"), "w") as fh:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
+             "id_col": id_col},
+            fh,
+        )
+    return path
+
+
+def dedup_incremental(
+    new_df: DataFrame, index_path: str, text_col: str = "text",
+    jaccard_threshold: float = 0.5, id_col: str = "doc_id",
+) -> DataFrame:
+    """Novelty filter for a new ingest batch against the materialized
+    index: every new doc is shingled ONCE, its band buckets hash-join the
+    index (keyed on (band, bucket) — the only shuffle over the batch), and
+    signature-estimated Jaccard scores the candidates. Returns one row per
+    new doc: (id, is_novel, dup_of, est_jaccard) where dup_of is the
+    best-matching indexed doc (max estimate, min id tie-break) when the
+    estimate clears the threshold. Docs in the batch are NOT compared with
+    each other — that intra-batch pass is minhash_lsh_pairs; this operator
+    answers "have we already got this" against the historical corpus."""
+    import json
+    import os
+
+    spark = new_df.sparkSession
+    with open(os.path.join(index_path, "_minhash_params.json")) as fh:
+        params = json.load(fh)
+    num_hashes, bands = params["num_hashes"], params["bands"]
+    shingle_k = params["shingle_k"]
+    r = num_hashes // bands
+    sigs = minhash_signatures(new_df, text_col, num_hashes, shingle_k).filter(
+        F.col("sig").isNotNull()
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded_new = sigs.select(
+        F.col("doc_id").alias("__new_id"),
+        F.col("sig").alias("__new_sig"),
+        F.posexplode(
+            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    stored = spark.read.parquet(index_path).select(
+        F.col(params["id_col"]).alias("__old_id"),
+        F.col("sig").alias("__old_sig"),
+        "band",
+        "bucket",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("__new_sig"), F.col("__old_sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(num_hashes)
+    best = (
+        banded_new.join(stored, ["band", "bucket"])
+        .select("__new_id", "__old_id", est.alias("__est"))
+        .filter(F.col("__est") >= jaccard_threshold)
+        .groupBy("__new_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("__est").alias("e"),
+                    (-F.col("__old_id")).alias("neg_id"),
+                    F.col("__old_id").alias("old_id"),
+                ),
+                F.struct(F.col("__est").alias("e"), (-F.col("__old_id")).alias("neg_id")),
+            ).alias("__best")
+        )
+        .select(
+            F.col("__new_id"),
+            F.col("__best.old_id").alias("dup_of"),
+            F.col("__best.e").alias("est_jaccard"),
+        )
+    )
+    # sigs stays persisted: the plan is lazy, so unpersisting here would
+    # drop the materialization boundary before anything executes (same
+    # rationale as minhash_lsh_pairs' signatures table)
+    return (
+        new_df.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("__new_id"), "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().cast("int").alias("is_novel"),
+            "dup_of",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+        )
+    )

@@ -6610,3 +6610,98 @@ def _bench_bpe_apply(spark, sf_dir):
 
     docs = _t(spark, sf_dir)["documents"]
     return bpe.bpe_apply(docs, _bpe_merges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: materialized MinHash index + batch novelty filter
+# ---------------------------------------------------------------------------
+
+_MHIDX_CACHE: dict = {}
+
+
+def _minhash_index(spark, sf_dir) -> str:
+    """Build-once MinHash index over the documents corpus (the ingest-side
+    artifact of dedup.minhash_index_build; _vstore precedent)."""
+    import os as _os
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _MHIDX_CACHE:
+        path = _os.path.join(
+            tempfile.gettempdir(),
+            f"ophspark_mhidx_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+        )
+        dd.minhash_index_build(_t(spark, sf_dir)["documents"], path)
+        _MHIDX_CACHE[key] = path
+    return _MHIDX_CACHE[key]
+
+
+@q(
+    "dedup_incremental_novelty",
+    """SELECT CAST(1 AS INT) AS injected_flagged, CAST(1 AS INT) AS injected_exact,
+       CAST(1 AS INT) AS novel_pass, CAST(1 AS INT) AS partition_ok""",
+)
+def dedup_incremental_novelty(spark, sf_dir):
+    """Continuous-ingest novelty filter (dedup.minhash_index_build +
+    dedup_incremental): the corpus's banded signatures are materialized
+    once; a new batch — half verbatim copies of indexed docs, half
+    synthetic texts sharing no 3-token shingle with the corpus — is
+    shingled once and joined against the index. Invariant-graded:
+      injected_flagged  every verbatim copy is caught (identical text =>
+                        identical signature => its twin's buckets collide
+                        deterministically);
+      injected_exact    each caught copy matches at estimate 1.0;
+      novel_pass        every synthetic-novel doc comes back is_novel
+                        (md5-hex token streams share no shingle, so no
+                        band can collide at >= 0.5 estimated Jaccard);
+      partition_ok      verdict rows partition the batch exactly."""
+    docs = _t(spark, sf_dir)["documents"]
+    idx = _minhash_index(spark, sf_dir)
+    injected = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    novel = spark.range(300000, 300100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(*[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f":novel{i}")))
+                for i in range(12)
+            ]),
+        ).alias("text"),
+    )
+    batch = injected.unionByName(novel)
+    verdicts = dd.dedup_incremental(batch, idx).persist()
+    try:
+        n_injected = injected.count()
+        n_novel = novel.count()
+        inj_v = verdicts.filter(F.col("doc_id") >= 200000).filter(
+            F.col("doc_id") < 300000
+        )
+        caught = inj_v.filter(F.col("is_novel") == 0)
+        injected_flagged = int(caught.count() == n_injected)
+        injected_exact = int(
+            caught.filter(F.col("est_jaccard") != 1.0).count() == 0
+        )
+        novel_v = verdicts.filter(F.col("doc_id") >= 300000)
+        novel_pass = int(
+            novel_v.filter(F.col("is_novel") == 1).count() == n_novel
+        )
+        partition_ok = int(verdicts.count() == n_injected + n_novel)
+    finally:
+        verdicts.unpersist()
+    return spark.createDataFrame(
+        [(injected_flagged, injected_exact, novel_pass, partition_ok)],
+        "injected_flagged int, injected_exact int, novel_pass int, "
+        "partition_ok int",
+    )
+
+
+@_bench_variant("dedup_incremental_novelty")
+def _bench_incremental_novelty(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    idx = _minhash_index(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return dd.dedup_incremental(batch, idx)

@@ -141,3 +141,43 @@ def test_bigram_logprob_no_forced_broadcast(spark, tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert rows == baseline
+
+
+def test_minhash_index_incremental_matches_batch_pairs(spark, tmp_path):
+    # the incremental probe against a materialized index must reach the
+    # same verdicts the one-shot pair generator reaches on the combined
+    # corpus (restricted to cross-set pairs)
+    import pyspark.sql.functions as F
+
+    from ophidia_server_spark.pipeline import dedup as dd
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta{i % 7} eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    dd.minhash_index_build(base, idx)
+    # batch: 5 verbatim copies + 5 novel token streams
+    copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(2000 + i, f"q{i}w{i}e{i} r{i}t{i}y{i} u{i}i{i}o{i} p{i}a{i}s{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.dedup_incremental(
+        copies.unionByName(novel), idx
+    ).collect()}
+    for i in range(5):
+        assert out[1000 + i]["is_novel"] == 0
+        assert out[1000 + i]["est_jaccard"] == 1.0
+    for i in range(5):
+        assert out[2000 + i]["is_novel"] == 1
+        assert out[2000 + i]["dup_of"] is None
+    # growing the index = appending the batch's own banded rows: after the
+    # append, re-probing the same copies still flags them (idempotent)
+    dd.minhash_index_build(
+        base.unionByName(copies), idx
+    )
+    out2 = {r["doc_id"]: r for r in dd.dedup_incremental(copies, idx).collect()}
+    assert all(out2[1000 + i]["is_novel"] == 0 for i in range(5))
