@@ -491,9 +491,82 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             )
         elif kind == "dds":
             res = sk.dds_sketch(df, col, alpha=float(args.get("alpha", 0.01)))
+        elif kind == "bloom":
+            res = sk.bloom_bits(
+                df, col,
+                m_bits=int(args.get("m_bits", 8192)), k=int(args.get("k", 4)),
+            )
         else:
             raise ValueError(f"unknown sketch kind: {kind}")
         res.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_dedup_index(engine, args, inputs):
+        # ingest-side artifact: materialize the corpus's banded MinHash
+        # signatures once; later pipeline_novelty stages probe it without
+        # re-shingling the historical corpus
+        from ophidia_server_spark.pipeline.dedup import minhash_index_build
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        return minhash_index_build(
+            spark.read.parquet(src), str(args["output_path"]),
+            args.get("text_col", "text"),
+        )
+
+    def op_pipe_novelty(engine, args, inputs):
+        # continuous-ingest novelty gate: verdicts for a new batch against
+        # the materialized index; keep=novel writes only the genuinely new
+        # docs (the filter stage a daily crawl chains before append)
+        from ophidia_server_spark.pipeline.dedup import dedup_incremental
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        batch = spark.read.parquet(src)
+        verdicts = dedup_incremental(
+            batch, str(args["index_path"]),
+            args.get("text_col", "text"),
+            jaccard_threshold=float(args.get("threshold", 0.5)),
+        )
+        if str(args.get("keep", "verdicts")) == "novel":
+            res = batch.join(
+                verdicts.filter(F.col("is_novel") == 1).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        else:
+            res = verdicts
+        res.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_tokenize(engine, args, inputs):
+        # real BPE as a pipeline stage: train merges on the source corpus
+        # (or reuse a prior stage's merge table) and write the token table
+        import json as _json
+
+        from ophidia_server_spark.pipeline import bpe
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        docs = spark.read.parquet(src)
+        if args.get("merges_path"):
+            with open(str(args["merges_path"])) as fh:
+                merges = [tuple(m) for m in _json.load(fh)]
+        else:
+            merges = bpe.bpe_train(
+                docs, args.get("text_col", "text"),
+                num_merges=int(args.get("num_merges", 200)),
+            )
+        if args.get("save_merges_path"):
+            with open(str(args["save_merges_path"]), "w") as fh:
+                _json.dump([list(m) for m in merges], fh)
+        bpe.bpe_apply(
+            docs, merges, args.get("text_col", "text")
+        ).write.mode("overwrite").parquet(out)
         return out
 
     def op_pipe_audit(engine, args, inputs):
@@ -634,6 +707,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_audit": op_pipe_audit,
             "pipeline_sketch": op_pipe_sketch,
             "pipeline_repack": op_pipe_repack,
+            "pipeline_dedup_index": op_pipe_dedup_index,
+            "pipeline_novelty": op_pipe_novelty,
+            "pipeline_tokenize": op_pipe_tokenize,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

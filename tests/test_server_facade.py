@@ -835,3 +835,60 @@ def test_pipeline_repack_stage(env, spark, tables, tmp_path):
     out = run.results["rp"].value
     assert len(glob.glob(f"{out}/part-*.parquet")) > 1
     assert spark.read.parquet(out).count() == tables["documents"].count()
+
+
+def test_pipeline_ingest_chain_index_novelty_tokenize(env, spark, tables, tmp_path):
+    # the continuous-ingest workflow: index the corpus -> novelty-gate a
+    # new batch (half copies, half genuinely new) -> BPE-tokenize the
+    # surviving novel docs; all three as chained workflow tasks
+    import pyspark.sql.functions as F
+
+    eng, _store, _src = env
+    corpus = str(tmp_path / "corpus")
+    tables["documents"].write.mode("overwrite").parquet(corpus)
+    batch_df = (
+        tables["documents"].filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        .unionByName(
+            spark.range(300000, 300020).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", F.array(*[
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(f":nv{i}")))
+                    for i in range(8)
+                ])).alias("text"),
+            )
+        )
+    )
+    batch = str(tmp_path / "batch")
+    batch_df.write.mode("overwrite").parquet(batch)
+    run = eng.run({
+        "tasks": [
+            {"name": "index", "operator": "pipeline_dedup_index",
+             "arguments": {"src_path": corpus,
+                           "output_path": str(tmp_path / "mhidx")}},
+            {"name": "gate", "operator": "pipeline_novelty",
+             "arguments": {"src_path": batch,
+                           "index_path": str(tmp_path / "mhidx"),
+                           "keep": "novel",
+                           "output_path": str(tmp_path / "novel")},
+             "dependencies": ["index"]},
+            {"name": "tok", "operator": "pipeline_tokenize",
+             "arguments": {"src_path": str(tmp_path / "novel"),
+                           "num_merges": 50,
+                           "save_merges_path": str(tmp_path / "merges.json"),
+                           "output_path": str(tmp_path / "tokens")},
+             "dependencies": ["gate"]},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED"
+    novel = spark.read.parquet(str(tmp_path / "novel"))
+    # every copy was gated out, every synthetic doc survived
+    assert novel.filter(F.col("doc_id") < 300000).count() == 0
+    assert novel.count() == 20
+    toks = spark.read.parquet(str(tmp_path / "tokens"))
+    assert toks.count() == 20
+    assert toks.filter(F.col("n_tokens") <= 0).count() == 0
+    import json as js
+
+    merges = js.load(open(str(tmp_path / "merges.json")))
+    assert merges and all(len(m) == 2 for m in merges)
