@@ -639,14 +639,29 @@ _d("pipeline_repack", "Size-targeted parquet repack for loader handoff.",
    _SRC, _OUT,
    _p("target_mb", type="real", default="256", minvalue=0.001))
 
-_d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch).",
+_d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch/Bloom).",
    _SRC, _OUT,
    _p("column", mandatory=True),
-   _p("kind", default="hll", values=("hll", "cms", "dds")),
+   _p("kind", default="hll", values=("hll", "cms", "dds", "bloom")),
    _p("p", type="int", default="12", minvalue=4, maxvalue=16),
    _p("d", type="int", default="4", minvalue=1),
    _p("w", type="int", default="4096", minvalue=1),
-   _p("alpha", type="real", default="0.01", minvalue=0, maxvalue=1))
+   _p("alpha", type="real", default="0.01", minvalue=0, maxvalue=1),
+   _p("m_bits", type="int", default="8192", minvalue=8),
+   _p("k", type="int", default="4", minvalue=1, maxvalue=16))
+
+_d("pipeline_dedup_index", "Materialize the corpus MinHash index (banded signatures).",
+   _SRC, _OUT, _TEXTCOL)
+_d("pipeline_novelty", "Gate a new batch against the MinHash index.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("index_path", mandatory=True),
+   _p("threshold", type="real", default="0.5", minvalue=0, maxvalue=1),
+   _p("keep", default="verdicts", values=("verdicts", "novel")))
+_d("pipeline_tokenize", "Train/apply BPE merges; write the token table.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("num_merges", type="int", default="200", minvalue=1),
+   _p("merges_path"),
+   _p("save_merges_path"))
 
 _d("pipeline_audit", "Data-quality contract check (expectations table).",
    _SRC, _OUT,

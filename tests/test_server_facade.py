@@ -779,10 +779,11 @@ def test_pipeline_sketch_stage_writes_mergeable_tables(env, spark, tables, tmp_p
     dds = spark.read.parquet(run.results["dds"].value)
     assert set(dds.columns) == {"bucket", "c"} and dds.count() > 0
     # bad kind is a named 400-class validation error, not a traceback
+    # (bloom graduated to a valid kind in round 7, so probe with tdigest)
     bad = eng.run({
         "tasks": [{"name": "s", "operator": "pipeline_sketch",
                    "arguments": {"src_path": src, "column": "user_id",
-                                 "kind": "bloom",
+                                 "kind": "tdigest",
                                  "output_path": str(tmp_path / "x")}}]
     })
     assert bad.status != "OPH_ODB_STATUS_COMPLETED"
