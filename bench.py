@@ -131,8 +131,12 @@ HEADLINE = [
     "events_cusum_changepoint",
     "corpus_audit_documents",
     # round-7: real BPE tokenization (broadcast-rank Arrow map stage; the
-    # merge training is amortized once per session via the registry cache)
+    # merge training is amortized once per session via the registry cache),
+    # the Bloom set-membership sketch, and the continuous-ingest novelty
+    # gate against the materialized MinHash index (raw-operator variant)
     "text_bpe_apply",
+    "events_bloom_bits",
+    "dedup_incremental_novelty",
 ]
 
 

@@ -224,3 +224,33 @@ def test_bloom_prejoin_filter_is_lossless_superset(spark):
     assert pruned.join(dim, "k").count() == exact.count()
     # pruning actually prunes at this density
     assert pruned.count() < fact.count()
+
+
+def test_bloom_bits_stream_equals_batch(spark, tables, tmp_path):
+    # set-bit positions are a distinct aggregate, so the identical
+    # expression over readStream (complete mode) must land on the batch
+    # bit table — the continuous-filter-building shape
+    from ophidia_server_spark.functions import sketches as sk
+
+    events = tables["events"]
+    src = str(tmp_path / "ev_bloom_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    pos = F.explode(
+        F.array(*sk._bloom_positions(F.col("user_id"), 8192, 4, "bloom"))
+    )
+    agg = stream.select(pos.alias("pos")).groupBy("pos").agg(
+        F.count("*").alias("__n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bloom_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.pos for r in spark.table("bloom_sink").collect()}
+    want = {r.pos for r in sk.bloom_bits(events, "user_id").collect()}
+    assert got == want and len(got) > 0
