@@ -361,13 +361,11 @@ def dds_quantiles(
 
 
 def _bloom_positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
-    from ophidia_server_spark.functions.hashing import md5_of
+    # one expression site: hashing.md5_bucket IS the Spark half of the
+    # cross-engine contract (DuckDB mirror: registry._HEX8)
+    from ophidia_server_spark.functions.hashing import md5_bucket
 
-    out = []
-    for j in range(k):
-        h = md5_of(key, f"{salt}#{j}")
-        out.append(F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits)
-    return out
+    return [md5_bucket(key, m_bits, f"{salt}#{j}") for j in range(k)]
 
 
 def bloom_bits(
@@ -393,12 +391,14 @@ def bloom_contains(
     bits: DataFrame, probes: DataFrame, key_col: str,
     m_bits: int = 8192, k: int = 4, salt: str = "bloom",
 ) -> DataFrame:
-    """Membership verdict per probe key: might_contain = 1 iff ALL k
-    positions are set. Plan: explode each probe to its k positions, ONE
-    join against the bit table (broadcastable: <= m_bits rows), count
-    hits per key — no Python, no collect."""
+    """Membership verdict per DISTINCT probe key: might_contain = 1 iff
+    ALL k positions are set. Plan: dedup the probe keys (so repeated keys
+    can never sum their hits past k and read as a false negative — the
+    one error class a Bloom filter must never make), explode each to its
+    k positions, ONE join against the bit table (broadcastable:
+    <= m_bits rows), count hits per key — no Python, no collect."""
     key = F.col(key_col)
-    exploded = probes.select(
+    exploded = probes.select(key.alias(key_col)).distinct().select(
         key.alias(key_col),
         F.explode(F.array(*_bloom_positions(key, m_bits, k, salt))).alias("pos"),
     )
@@ -425,4 +425,7 @@ def bloom_prejoin_filter(
     verdict = bloom_contains(
         dim_bits, fact.select(key_col).distinct(), key_col, m_bits, k, salt
     ).filter(F.col("might_contain") == 1).select(key_col)
-    return fact.join(F.broadcast(verdict), key_col, "left_semi")
+    # no broadcast hint: the surviving-key set grows with the data (it's a
+    # superset of the dim keys over the fact's key domain) — AQE broadcasts
+    # when it measures small, shuffles when it isn't (repo join-hint policy)
+    return fact.join(verdict, key_col, "left_semi")

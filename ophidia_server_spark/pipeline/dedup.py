@@ -616,24 +616,14 @@ def minhash_index_build(
     index: (doc_id, sig, band, bucket) parquet partitioned by band. The
     import-once/query-many shape for CONTINUOUS ingestion: each new crawl
     batch is shingled once and hash-joined against this table — the
-    historical corpus is never re-shingled, and growing the index is an
-    append of the new batch's own rows (same mergeability as the sketch
-    family). A params sidecar pins the hash configuration so probes can
-    never drift from the build."""
+    historical corpus is never re-shingled, and growing the index is
+    minhash_index_append of the gated batch's own rows (same mergeability
+    as the sketch family). A params sidecar pins the hash configuration
+    so probes and appends can never drift from the build."""
     import json
     import os
 
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).filter(
-        F.col("sig").isNotNull()
-    )
-    banded = sigs.select(
-        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
-        "sig",
-        F.posexplode(
-            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
-        ).alias("band", "bucket"),
-    )
+    banded = _banded_rows(df, text_col, num_hashes, bands, shingle_k, id_col)
     banded.write.mode("overwrite").partitionBy("band").parquet(path)
     with open(os.path.join(path, "_minhash_params.json"), "w") as fh:
         json.dump(
@@ -641,6 +631,51 @@ def minhash_index_build(
              "id_col": id_col},
             fh,
         )
+    return path
+
+
+def _banded_rows(
+    df: DataFrame, text_col: str, num_hashes: int, bands: int,
+    shingle_k: int, id_col: str,
+) -> DataFrame:
+    """(id_col, sig, band, bucket) rows for a corpus slice — the index's
+    storage schema. The caller's id column is SELECTED (not just renamed)
+    so any id name/type works; minhash_signatures' internal key stays
+    doc_id."""
+    r = num_hashes // bands
+    keyed = df.select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col("doc_id"),
+        F.col(text_col),
+    )
+    sigs = minhash_signatures(keyed, text_col, num_hashes, shingle_k).filter(
+        F.col("sig").isNotNull()
+    )
+    return sigs.select(
+        F.col("doc_id").alias(id_col),
+        "sig",
+        F.posexplode(
+            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_index_append(
+    df: DataFrame, path: str, text_col: str = "text",
+) -> str:
+    """Grow the index with a new (already novelty-gated) batch: shingle
+    ONLY the batch and append its banded rows — the historical corpus is
+    untouched, which is the whole point of the materialized index. Hash
+    configuration comes from the build's sidecar, so an append can never
+    use different bands/shingles than the probes."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash_params.json")) as fh:
+        p = json.load(fh)
+    banded = _banded_rows(
+        df, text_col, p["num_hashes"], p["bands"], p["shingle_k"], p["id_col"]
+    )
+    banded.write.mode("append").partitionBy("band").parquet(path)
     return path
 
 
@@ -663,21 +698,18 @@ def dedup_incremental(
     spark = new_df.sparkSession
     with open(os.path.join(index_path, "_minhash_params.json")) as fh:
         params = json.load(fh)
-    num_hashes, bands = params["num_hashes"], params["bands"]
-    shingle_k = params["shingle_k"]
-    r = num_hashes // bands
-    sigs = minhash_signatures(new_df, text_col, num_hashes, shingle_k).filter(
-        F.col("sig").isNotNull()
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    banded_new = sigs.select(
-        F.col("doc_id").alias("__new_id"),
+    # no persist: unlike minhash_lsh_pairs' SELF-join (two plan branches
+    # over one signature table), the batch signatures feed exactly one
+    # branch here, so a cache would only leak in a long-lived server
+    # (the facade drops the handle after writing the verdicts)
+    banded_new = _banded_rows(
+        new_df, text_col, params["num_hashes"], params["bands"],
+        params["shingle_k"], id_col,
+    ).select(
+        F.col(id_col).alias("__new_id"),
         F.col("sig").alias("__new_sig"),
-        F.posexplode(
-            F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
-        ).alias("band", "bucket"),
+        "band",
+        "bucket",
     )
     stored = spark.read.parquet(index_path).select(
         F.col(params["id_col"]).alias("__old_id"),
@@ -690,31 +722,30 @@ def dedup_incremental(
             F.zip_with(F.col("__new_sig"), F.col("__old_sig"), lambda x, y: x == y),
             lambda m: m,
         )
-    ).cast("double") / F.lit(num_hashes)
-    best = (
+    ).cast("double") / F.lit(params["num_hashes"])
+    cand = (
         banded_new.join(stored, ["band", "bucket"])
         .select("__new_id", "__old_id", est.alias("__est"))
         .filter(F.col("__est") >= jaccard_threshold)
-        .groupBy("__new_id")
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("__est").alias("e"),
-                    (-F.col("__old_id")).alias("neg_id"),
-                    F.col("__old_id").alias("old_id"),
-                ),
-                F.struct(F.col("__est").alias("e"), (-F.col("__old_id")).alias("neg_id")),
-            ).alias("__best")
-        )
+    )
+    # best match = max estimate, min old id tie-break, in ONE pass over
+    # the candidates (a self-join formulation would re-execute the band
+    # join per branch — the union-rescan anti-pattern). A window works for
+    # any id TYPE (string URIs can't ride a negated-id max_by); its
+    # partition depth is one new doc's candidate count, bounded by the
+    # banding, never corpus-sized.
+    w = Window.partitionBy("__new_id").orderBy(
+        F.desc("__est"), F.asc("__old_id")
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(
-            F.col("__new_id"),
-            F.col("__best.old_id").alias("dup_of"),
-            F.col("__best.e").alias("est_jaccard"),
+            "__new_id",
+            F.col("__old_id").alias("dup_of"),
+            F.col("__est").alias("est_jaccard"),
         )
     )
-    # sigs stays persisted: the plan is lazy, so unpersisting here would
-    # drop the materialization boundary before anything executes (same
-    # rationale as minhash_lsh_pairs' signatures table)
     return (
         new_df.select(F.col(id_col))
         .join(best, F.col(id_col) == F.col("__new_id"), "left")

@@ -650,8 +650,9 @@ _d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch/Bl
    _p("m_bits", type="int", default="8192", minvalue=8),
    _p("k", type="int", default="4", minvalue=1, maxvalue=16))
 
-_d("pipeline_dedup_index", "Materialize the corpus MinHash index (banded signatures).",
-   _SRC, _OUT, _TEXTCOL)
+_d("pipeline_dedup_index", "Materialize or grow the corpus MinHash index.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("mode", default="build", values=("build", "append")))
 _d("pipeline_novelty", "Gate a new batch against the MinHash index.",
    _SRC, _OUT, _TEXTCOL,
    _p("index_path", mandatory=True),

@@ -503,14 +503,21 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
 
     def op_pipe_dedup_index(engine, args, inputs):
         # ingest-side artifact: materialize the corpus's banded MinHash
-        # signatures once; later pipeline_novelty stages probe it without
-        # re-shingling the historical corpus
-        from ophidia_server_spark.pipeline.dedup import minhash_index_build
+        # signatures once (mode=build); mode=append grows an existing index
+        # with ONLY the new batch's rows — the historical corpus is never
+        # re-shingled, so a daily crawl chains novelty-gate -> append
+        from ophidia_server_spark.pipeline.dedup import (
+            minhash_index_append, minhash_index_build)
 
         src = args.get("src_path") or next(
             v for v in inputs.values() if isinstance(v, str)
         )
-        return minhash_index_build(
+        fn = (
+            minhash_index_append
+            if str(args.get("mode", "build")) == "append"
+            else minhash_index_build
+        )
+        return fn(
             spark.read.parquet(src), str(args["output_path"]),
             args.get("text_col", "text"),
         )

@@ -5955,11 +5955,9 @@ def events_dds_quantiles(spark, sf_dir):
     return sk.dds_quantiles(sketch, [0.5, 0.95, 0.99], alpha=0.01)
 
 
-_BLOOM_HEX = (
-    "list_reduce(list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
-    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
-    "(a, b) -> a * 16 + b)"
-)
+# the bloom oracles reuse _HEX8 — the ONE DuckDB mirror of Spark's
+# md5-hex8 bucket arithmetic (see functions/hashing.py contract docstring)
+_BLOOM_HEX = _HEX8.replace("{key}", "{expr}")
 
 
 @q(
@@ -6625,11 +6623,16 @@ def _minhash_index(spark, sf_dir) -> str:
     import os as _os
     import tempfile
 
+    import hashlib as _hashlib
+
     key = (id(spark), sf_dir)
     if key not in _MHIDX_CACHE:
+        # hash the FULL sf_dir into the path: two dirs sharing a basename
+        # (/a/sf10 vs /b/sf10) must never overwrite each other's index
+        tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = _os.path.join(
             tempfile.gettempdir(),
-            f"ophspark_mhidx_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+            f"ophspark_mhidx_{tag}_{_os.getpid()}",
         )
         dd.minhash_index_build(_t(spark, sf_dir)["documents"], path)
         _MHIDX_CACHE[key] = path

@@ -174,10 +174,13 @@ def test_minhash_index_incremental_matches_batch_pairs(spark, tmp_path):
     for i in range(5):
         assert out[2000 + i]["is_novel"] == 1
         assert out[2000 + i]["dup_of"] is None
-    # growing the index = appending the batch's own banded rows: after the
-    # append, re-probing the same copies still flags them (idempotent)
-    dd.minhash_index_build(
-        base.unionByName(copies), idx
-    )
-    out2 = {r["doc_id"]: r for r in dd.dedup_incremental(copies, idx).collect()}
+    # growing the index = APPENDING only the batch's own banded rows (the
+    # historical corpus is never re-shingled); after the append,
+    # re-probing the same copies still flags them (idempotent), and the
+    # appended novel docs are now known (no longer novel)
+    dd.minhash_index_append(copies.unionByName(novel), idx)
+    again = copies.unionByName(novel)
+    out2 = {r["doc_id"]: r for r in dd.dedup_incremental(again, idx).collect()}
     assert all(out2[1000 + i]["is_novel"] == 0 for i in range(5))
+    assert all(out2[2000 + i]["is_novel"] == 0 for i in range(5))
+    assert all(out2[2000 + i]["est_jaccard"] == 1.0 for i in range(5))
