@@ -466,3 +466,63 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame, n_buckets: int = 3, text_col: str = "text",
+    method: str = "ntile",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the corpus bigram log-probability (the perplexity proxy
+    bigram_logprob computes) and split the corpus into n quality tiers —
+    head (most fluent), middle, tail. Pipelines keep head+middle for
+    pretraining and route tail to extra filtering.
+
+    method="ntile" (gate-exact): ntile over (score desc, doc_id) — a
+    total order both engines define identically. The global sort is
+    affordable at gate scale and on corpora up to ~billions of rows.
+
+    method="sketch" (the 100 TB path): cutoffs read off a DDSketch over
+    the NEGATED score (perplexity-like, non-negative; dds buckets are
+    log-spaced over positives), then bucket assignment is a pure map
+    against the <= n_buckets-1 collected thresholds — one O(log/alpha)-row
+    sketch pass instead of a global sort, which is exactly how CCNet
+    applies its pretrained thresholds. Tier boundaries are within the
+    sketch's alpha of the exact ones; both methods agree on every doc
+    whose score sits away from a boundary."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, text_col)
+
+    def name_of(t):
+        if n_buckets == 3:
+            return (
+                F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+            )
+        return F.concat(F.lit("q"), t.cast("string"))
+
+    if method == "sketch":
+        from ophidia_server_spark.functions import sketches as sk
+
+        neg = scored.select(
+            (-F.col("bigram_logprob")).alias("__nscore")
+        )
+        cuts = sk.dds_quantiles(
+            sk.dds_sketch(neg, "__nscore", alpha=0.001),
+            [i / n_buckets for i in range(1, n_buckets)],
+            alpha=0.001,
+        ).orderBy("q").collect()  # <= n_buckets-1 rows
+        thresholds = [float(r["est"]) for r in cuts]
+        t = F.lit(1)
+        for thr in thresholds:
+            t = t + (-F.col("bigram_logprob") > thr).cast("int")
+        return scored.select(
+            "doc_id", "bigram_logprob", name_of(t).alias("bucket")
+        )
+    if method != "ntile":
+        raise ValueError(f"unknown method {method!r} (ntile|sketch)")
+    w = Window.orderBy(F.desc("bigram_logprob"), F.asc("doc_id"))
+    tiered = scored.withColumn("__t", F.ntile(n_buckets).over(w))
+    return tiered.select(
+        "doc_id", "bigram_logprob", name_of(F.col("__t")).alias("bucket")
+    )

@@ -4140,6 +4140,40 @@ def text_bigram_logprob(spark, sf_dir):
     return tx.bigram_logprob(_t(spark, sf_dir)["documents"])
 
 
+@q(
+    "text_perplexity_buckets",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2
+), pc AS (
+  SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1
+), s AS (
+  SELECT doc_id, ROUND(AVG(ln(c12 * 1.0 / c1)), 6) AS bigram_logprob
+  FROM b JOIN bgc USING (w1, w2) JOIN pc USING (w1)
+  GROUP BY 1
+), scored AS (
+  SELECT d.doc_id, COALESCE(s.bigram_logprob, 0.0) AS bigram_logprob
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, bigram_logprob,
+       CASE NTILE(3) OVER (ORDER BY bigram_logprob DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored""",
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality tiers by corpus-bigram
+    perplexity proxy (pipeline/text.py perplexity_buckets; Wenzek et al.
+    2020). ntile over (score desc, doc_id) is engine-identical, so the
+    full tier assignment hash-matches; at 100 TB the operator docstring's
+    DDSketch-threshold variant replaces the global sort."""
+    return tx.perplexity_buckets(_t(spark, sf_dir)["documents"])
+
+
 # deterministic PII seeding shared by the pii entries: the synthetic corpus
 # carries no natural PII, so every 7th document gets a constructed email/
 # IPv4/phone/SSN appended IDENTICALLY on the Spark and DuckDB sides — the
@@ -5289,7 +5323,9 @@ def dedup_minhash_recall(spark, sf_dir):
     graded twin): every true near-dup pair (exact 3-gram Jaccard >= 0.5 on
     the id<400 slice, the dedup_ngram_exact oracle both engines agree on)
     must be recalled by the banded candidate pass at >= 90%. The exact pair
-    count itself cross-checks against DuckDB."""
+    count itself cross-checks against DuckDB. An empty exact set (the
+    id<400 slice holds no near-dups at some scale factors — sf0.1 is one)
+    grades vacuously true, with the zero itself still hash-checked."""
     docs = _t(spark, sf_dir)["documents"]
     exact = {
         (r["id_a"], r["id_b"])
@@ -5303,7 +5339,7 @@ def dedup_minhash_recall(spark, sf_dir):
     }
     recall = len(exact & found) / max(1, len(exact))
     return spark.createDataFrame(
-        [(len(exact), int(recall >= 0.9))],
+        [(len(exact), int(len(exact) == 0 or recall >= 0.9))],
         "n_exact_pairs long, recall_ok long",
     )
 

@@ -184,3 +184,38 @@ def test_minhash_index_incremental_matches_batch_pairs(spark, tmp_path):
     assert all(out2[1000 + i]["is_novel"] == 0 for i in range(5))
     assert all(out2[2000 + i]["is_novel"] == 0 for i in range(5))
     assert all(out2[2000 + i]["est_jaccard"] == 1.0 for i in range(5))
+
+
+def test_perplexity_buckets_sketch_agrees_with_ntile(spark):
+    # the two formulations must assign near-identical tiers: the sketch
+    # path's cutoffs are within alpha of the exact tertile boundaries, so
+    # only boundary-adjacent docs may differ
+    import pyspark.sql.functions as F
+
+    from ophidia_server_spark.pipeline.text import perplexity_buckets
+
+    # varying doc lengths + vocab give 300 DISTINCT scores: with heavy
+    # score ties, ntile splits a tie group across tiers by doc_id while
+    # thresholds keep it whole, and no agreement bound is meaningful
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * j * j + j) % 50}" for j in range(10 + i % 37)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    exact = perplexity_buckets(docs, method="ntile")
+    approx = perplexity_buckets(docs, method="sketch")
+    j = exact.select("doc_id", F.col("bucket").alias("b1")).join(
+        approx.select("doc_id", F.col("bucket").alias("b2")), "doc_id"
+    )
+    n = j.count()
+    agree = j.filter(F.col("b1") == F.col("b2")).count()
+    assert n == 300
+    assert agree / n > 0.9, (agree, n)
+    # tier populations stay balanced (each within 25% of n/3)
+    sizes = {r["bucket"]: r["cnt"] for r in
+             approx.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert all(abs(v - 100) <= 25 for v in sizes.values()), sizes
+    # the sketch path has no global-sort window over the corpus
+    plan = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile" not in plan.lower()
