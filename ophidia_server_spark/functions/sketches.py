@@ -429,3 +429,46 @@ def bloom_prejoin_filter(
     # superset of the dim keys over the fact's key domain) — AQE broadcasts
     # when it measures small, shuffles when it isn't (repo join-hint policy)
     return fact.join(verdict, key_col, "left_semi")
+
+
+def hll_intersect_report(
+    df: DataFrame, key_col: str, split_col: Column, a: str, b: str,
+    p: int = 8, salt: str = "hll",
+) -> DataFrame:
+    """Sketch SET ALGEBRA over two splits: estimate |A|, |B|, |A u B| from
+    per-split register tables and |A n B| by inclusion-exclusion — the
+    standard HLL intersection (HLL sketches union natively via max-merge;
+    intersection has no native sketch, so every production system derives
+    it exactly this way). One grouped aggregate builds both splits'
+    registers in a single pass; the union is an m-row max-merge — no
+    second scan of the source anywhere. The exact intersection count
+    column is affordable at gate scale only; at 100 TB just the three
+    sketch estimates run."""
+    two = df.filter(split_col.isin(a, b))
+    parts = hll_registers_by(two, key_col, split_col, p=p, salt=salt)
+    reg_a = parts.filter(F.col("split") == a).select("reg", "rho")
+    reg_b = parts.filter(F.col("split") == b).select("reg", "rho")
+    est_a = hll_estimate(reg_a, p=p).select(F.col("estimate").alias("est_a"))
+    est_b = hll_estimate(reg_b, p=p).select(F.col("estimate").alias("est_b"))
+    est_u = hll_estimate(hll_merge(reg_a, reg_b), p=p).select(
+        F.col("estimate").alias("est_union")
+    )
+    ka, kb = [
+        df.filter(split_col == s).select(F.col(key_col).alias("k")).distinct()
+        for s in (a, b)
+    ]
+    exact = ka.join(kb, "k").agg(
+        F.count("*").cast("long").alias("n_exact_intersect")
+    )
+    return (
+        est_a.join(F.broadcast(est_b))
+        .join(F.broadcast(est_u))
+        .join(F.broadcast(exact))
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+            "n_exact_intersect",
+        )
+    )

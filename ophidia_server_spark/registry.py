@@ -5734,6 +5734,58 @@ def events_hll_sketch(spark, sf_dir):
 
 
 @q(
+    "events_hll_overlap",
+    f"""WITH h AS (
+  SELECT event_type,
+         list_reduce(list_transform(
+           string_split(substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 2), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) AS reg,
+         substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 3, 16) AS tail
+  FROM events WHERE event_type IN ('view', 'purchase')
+), rr AS (
+  SELECT event_type, reg, {_SQL_RHO} AS rho FROM h
+), ra AS (SELECT reg, MAX(rho) AS rho FROM rr WHERE event_type = 'view' GROUP BY 1),
+rb AS (SELECT reg, MAX(rho) AS rho FROM rr WHERE event_type = 'purchase' GROUP BY 1),
+ru AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY 1),
+ea AS (SELECT SUM(power(2.0, -COALESCE(ra.rho, 0))) AS denom,
+              SUM(CASE WHEN COALESCE(ra.rho, 0) = 0 THEN 1 ELSE 0 END) AS v
+       FROM range(256) r LEFT JOIN ra ON r.range = ra.reg),
+eb AS (SELECT SUM(power(2.0, -COALESCE(rb.rho, 0))) AS denom,
+              SUM(CASE WHEN COALESCE(rb.rho, 0) = 0 THEN 1 ELSE 0 END) AS v
+       FROM range(256) r LEFT JOIN rb ON r.range = rb.reg),
+eu AS (SELECT SUM(power(2.0, -COALESCE(ru.rho, 0))) AS denom,
+              SUM(CASE WHEN COALESCE(ru.rho, 0) = 0 THEN 1 ELSE 0 END) AS v
+       FROM range(256) r LEFT JOIN ru ON r.range = ru.reg),
+vals AS (
+  SELECT (SELECT ROUND(CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom <= 2.5 * 256 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom END, 4) FROM ea) AS est_a,
+         (SELECT ROUND(CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom <= 2.5 * 256 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom END, 4) FROM eb) AS est_b,
+         (SELECT ROUND(CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom <= 2.5 * 256 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256) / denom END, 4) FROM eu) AS est_union,
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') x
+            JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') y
+            USING (user_id)) AS n_exact_intersect
+)
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 4) AS est_intersect,
+       CAST(n_exact_intersect AS BIGINT) AS n_exact_intersect
+FROM vals""",
+)
+def events_hll_overlap(spark, sf_dir):
+    """HLL set algebra (functions/sketches.py hll_intersect_report): how
+    many users both viewed AND purchased, estimated from two per-type
+    register tables built in ONE grouped pass — |A| and |B| read directly,
+    |A u B| from the m-row max-merge (the union HLL supports natively),
+    |A n B| by inclusion-exclusion. The whole report hash-matches DuckDB
+    (deterministic md5 registers); the exact-intersect column is
+    documented gate-only, the sketch paths are the 100 TB shape."""
+    ev = _t(spark, sf_dir)["events"]
+    return sk.hll_intersect_report(
+        ev, "user_id", F.col("event_type"), "view", "purchase", p=8
+    )
+
+
+@q(
     "sim_pq_recall",
     """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok
 FROM embeddings WHERE vec_id < 4""",

@@ -254,3 +254,25 @@ def test_bloom_bits_stream_equals_batch(spark, tables, tmp_path):
     got = {r.pos for r in spark.table("bloom_sink").collect()}
     want = {r.pos for r in sk.bloom_bits(events, "user_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_hll_intersect_inclusion_exclusion_envelope(spark):
+    # two overlapping key sets: the inclusion-exclusion intersection
+    # estimate must land within the union of the three sketches' error
+    # envelopes of the true overlap
+    from ophidia_server_spark.functions import sketches as sk
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"), F.lit("b").alias("s"))
+    df = a.unionByName(b)
+    rep = sk.hll_intersect_report(df, "k", F.col("s"), "a", "b", p=8).first()
+    assert rep.n_exact_intersect == 1000
+    # ~6.5% stderr at p=8 per sketch; inclusion-exclusion compounds the
+    # absolute errors of |A|, |B|, |A u B|, so allow their sum
+    slack = 0.065 * (3000 + 4000 + 5000)
+    assert abs(rep.est_intersect - 1000) <= slack, rep
+    # deterministic md5 draws: this particular one lands ~20% high on the
+    # union (3 sigma at p=8's 6.5% stderr), so bound each at 25%
+    assert abs(rep.est_a - 3000) / 3000 < 0.25
+    assert abs(rep.est_b - 4000) / 4000 < 0.25
+    assert abs(rep.est_union - 5000) / 5000 < 0.25
