@@ -72,6 +72,9 @@ class ManagementService:
         self.sessions: dict[str, Session] = {}
         self.ledger: list[RunRecord] = []
         self._next_wid = 1
+        # host-partition reservation ledger (hostpartition/hashost analogue,
+        # oph_ophidiadb_query.h:79-93): name -> owner/hosts/type/creation
+        self._partitions: dict[str, dict] = {}
 
     # -- oph_manage_session ---------------------------------------------------
     def manage_session(self, action: str, user: str, session: str | None = None, **kw):
@@ -167,24 +170,114 @@ class ManagementService:
         return {"status": "up" if self.service_up else "down"}
 
     # -- oph_cluster ----------------------------------------------------------
-    def cluster(self, action: str = "info", user: str | None = None) -> dict:
-        """Executor-state report (the reference deploys I/O server clusters
-        over host partitions; Spark owns placement, so deploy/undeploy are
-        acknowledged no-ops reporting the real executor pool). Info is open
-        to any caller; deploy/undeploy actions are admin-only."""
-        if action != "info":
-            self._require_admin(user, "oph_cluster")
+    def cluster(self, action: str = "info", user: str | None = None,
+                host_partition: str = "all", nhost: int = 0,
+                host_type: str = "io", user_filter: str = "all") -> dict:
+        """Host-partition reservation semantics at the metadata level
+        (oph_ophidiadb_query.h:79-93; oph_management_operators.c:2684+):
+        named partitions reserved per user out of a bounded host pool,
+        with per-user quota enforcement — everything the reference's
+        hostpartition/hashost tables record, minus the physical I/O-server
+        deploy (Spark owns placement; a reservation maps to a scheduler
+        pool name the engine can tag jobs with).
+
+          deploy      reserve `nhost` hosts as `host_partition` for the
+                      caller ('auto' draws a name); refused with a named
+                      error when the name is already reserved, the pool
+                      hasn't enough free hosts (RETRIEVE_TOTAL_RESERVED_
+                      HOSTS check), or the user would exceed maxhosts
+                      (OPH_USER_MAX_HOSTS, oph_auth.h:44);
+          undeploy    release the caller's partition(s) by name ('all'
+                      releases every partition the caller holds); another
+                      user's partition needs admin;
+          info        the caller's reservations (name substring filter,
+                      RETRIEVE_RESERVED_PARTITIONS shape) + executor pool;
+          info_cluster admin-only view over ALL users (user substring
+                      filter, RETRIEVE_TOTAL_RESERVED_PARTITIONS shape).
+
+        Pool size: config HOST_POOL_SIZE (default = defaultParallelism —
+        one 'host' per executor slot in local mode); per-user quota:
+        config USER_MAX_HOSTS (0 = unlimited, the reference default)."""
         sc = self.spark.sparkContext
         try:  # executor count via the JVM context (not exposed in the Python API)
             n_exec = sc._jsc.sc().getExecutorMemoryStatus().size()
         except Exception:
             n_exec = 1
-        return {
+        base = {
             "action": action,
             "executors": n_exec,
             "default_parallelism": sc.defaultParallelism,
             "master": sc.master,
         }
+        pool = int(self.config.get("HOST_POOL_SIZE", sc.defaultParallelism))
+        quota = int(self.config.get("USER_MAX_HOSTS", 0))
+        who = user or "admin"
+        reserved_total = sum(p["hosts"] for p in self._partitions.values())
+        if action == "deploy":
+            name = host_partition
+            if name in ("all", ""):
+                raise ValueError("deploy needs a host_partition name or 'auto'")
+            if name.lower() == "auto":
+                name = f"part_{who}_{len(self._partitions) + 1}"
+            if name in self._partitions:
+                raise ValueError(f"host partition {name!r} is already reserved")
+            n = max(1, int(nhost))
+            if reserved_total + n > pool:
+                raise ValueError(
+                    f"not enough free hosts: {pool - reserved_total} of "
+                    f"{pool} available, {n} requested"
+                )
+            mine = sum(
+                p["hosts"] for p in self._partitions.values()
+                if p["owner"] == who
+            )
+            if quota and mine + n > quota:
+                raise ValueError(
+                    f"user {who} would hold {mine + n} hosts, "
+                    f"maxhosts is {quota}"
+                )
+            self._partitions[name] = {
+                "owner": who, "hosts": n, "host_type": host_type,
+                "creation": time.time(),
+            }
+            return {**base, "host_partition": name, "hosts": n,
+                    "scheduler_pool": name}
+        if action == "undeploy":
+            names = (
+                [n for n, p in self._partitions.items() if p["owner"] == who]
+                if host_partition in ("all", "")
+                else [host_partition]
+            )
+            released = []
+            for name in names:
+                p = self._partitions.get(name)
+                if p is None:
+                    raise ValueError(f"no host partition {name!r}")
+                if p["owner"] != who:
+                    self._require_admin(user, "oph_cluster")
+                del self._partitions[name]
+                released.append(name)
+            return {**base, "released": released}
+        if action == "info_cluster":
+            self._require_admin(user, "oph_cluster")
+            rows = [
+                {"partition": n, "user": p["owner"], "hosts": p["hosts"],
+                 "type": p["host_type"], "status": "up"}
+                for n, p in sorted(self._partitions.items())
+                if user_filter in ("all", "") or user_filter in p["owner"]
+            ]
+            return {**base, "partitions": rows,
+                    "reserved_hosts": reserved_total, "pool": pool}
+        # info: the caller's own reservations, name-substring filtered
+        rows = [
+            {"partition": n, "hosts": p["hosts"], "type": p["host_type"],
+             "status": "up"}
+            for n, p in sorted(self._partitions.items())
+            if p["owner"] == who
+            and (host_partition in ("all", "") or host_partition in n)
+        ]
+        return {**base, "partitions": rows,
+                "reserved_hosts": reserved_total, "pool": pool}
 
     # -- oph_cancel -----------------------------------------------------------
     def cancel(self, workflow_id: int) -> None:

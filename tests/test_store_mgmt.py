@@ -448,3 +448,49 @@ def test_resume_document_levels(spark):
     ext = m.resume(sid, level=5)
     assert ext[0]["status"] == "OPH_ODB_STATUS_COMPLETED"
     assert ext[0]["response"] == {"rows": 3}
+
+
+def test_cluster_partition_reservation_lifecycle(spark):
+    # metadata-level host-partition semantics (hostpartition/hashost,
+    # oph_ophidiadb_query.h:79-93): deploy within pool + per-user quota,
+    # name collision refused, info scoped to owner, info_cluster admin,
+    # undeploy by name and 'all'
+    m = ManagementService(
+        spark, config={"HOST_POOL_SIZE": "8", "USER_MAX_HOSTS": "5"},
+        admins={"root"},
+    )
+    got = m.cluster("deploy", user="alice", host_partition="exp1", nhost=3)
+    assert got["host_partition"] == "exp1" and got["hosts"] == 3
+    auto = m.cluster("deploy", user="alice", host_partition="auto", nhost=2)
+    assert auto["host_partition"].startswith("part_alice_")
+    # quota: alice holds 5 of maxhosts 5
+    with pytest.raises(ValueError, match="maxhosts"):
+        m.cluster("deploy", user="alice", host_partition="exp2", nhost=1)
+    # pool: 5 of 8 reserved; bob asking 4 exceeds the pool
+    with pytest.raises(ValueError, match="free hosts"):
+        m.cluster("deploy", user="bob", host_partition="bx", nhost=4)
+    m.cluster("deploy", user="bob", host_partition="bx", nhost=3)
+    with pytest.raises(ValueError, match="already reserved"):
+        m.cluster("deploy", user="bob", host_partition="exp1", nhost=1)
+    # info: owner-scoped + name filter
+    mine = m.cluster("info", user="alice")
+    assert {r["partition"] for r in mine["partitions"]} == {
+        "exp1", auto["host_partition"]}
+    assert mine["reserved_hosts"] == 8
+    only = m.cluster("info", user="alice", host_partition="exp")
+    assert [r["partition"] for r in only["partitions"]] == ["exp1"]
+    # info_cluster: admin-only, all users
+    with pytest.raises(PermissionError):
+        m.cluster("info_cluster", user="alice")
+    allv = m.cluster("info_cluster", user="root")
+    assert {(r["partition"], r["user"]) for r in allv["partitions"]} == {
+        ("exp1", "alice"), (auto["host_partition"], "alice"), ("bx", "bob")}
+    # undeploy: foreign partition needs admin; 'all' releases the caller's
+    with pytest.raises(PermissionError):
+        m.cluster("undeploy", user="bob", host_partition="exp1")
+    m.cluster("undeploy", user="root", host_partition="bx")
+    rel = m.cluster("undeploy", user="alice", host_partition="all")
+    assert set(rel["released"]) == {"exp1", auto["host_partition"]}
+    assert m.cluster("info", user="alice")["partitions"] == []
+    with pytest.raises(ValueError, match="no host partition"):
+        m.cluster("undeploy", user="alice", host_partition="ghost")
