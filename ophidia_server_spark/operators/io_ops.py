@@ -1042,3 +1042,140 @@ def repack_parquet(
     n_files = max(1, math.ceil(est / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return {"n_files": n_files, "est_bytes": int(est), "rows": rows}
+
+
+# ---------------------------------------------------------------------------
+# TFRecord (tf.train.Example) — the training-loader interchange format
+# ---------------------------------------------------------------------------
+
+def _tfrecord_feature_plan(schema) -> list[tuple[str, str]]:
+    """(column, feature-kind) plan for a DataFrame schema. Kinds: 'bytes'
+    (string/binary), 'int64' (integral / array of integral), 'float'
+    (float/double / array thereof — doubles NARROW to binary32, the only
+    float the format has). Unsupported types raise with the column named
+    (cast timestamps/dates/decimals explicitly before export)."""
+    from pyspark.sql import types as T
+
+    plan = []
+    for f in schema.fields:
+        t = f.dataType
+        elem = t.elementType if isinstance(t, T.ArrayType) else t
+        if isinstance(elem, (T.StringType, T.BinaryType)):
+            kind = "bytes"
+        elif isinstance(elem, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType, T.BooleanType)):
+            kind = "int64"
+        elif isinstance(elem, (T.FloatType, T.DoubleType)):
+            kind = "float"
+        else:
+            raise ValueError(
+                f"column {f.name}: {t.simpleString()} has no tf.train.Example "
+                "feature kind — cast to string/int64/float first"
+            )
+        plan.append((f.name, kind))
+    return plan
+
+
+def oph_exporttfrecord(df: DataFrame, path: str, shards: int = 8) -> list[str]:
+    """DataFrame -> sharded TFRecord files of tf.train.Example records,
+    written EXECUTOR-side (the same applyInPandas sharded-sink shape as
+    oph_exportarrow: rows hash to `shards` streams, each task frames its own
+    file, the driver collects only the manifest). Scalar columns become
+    single-element features, array columns multi-element; encoding is
+    canonical (sorted keys, packed lists) so bytes are reproducible.
+
+    This is the handoff from the corpus pipeline to tf.data /
+    tfds-style loaders — the one export format those consume natively."""
+    import pandas as pd
+
+    from ophidia_server_spark.sources import tfrecord as tfr
+
+    os.makedirs(path, exist_ok=True)
+    plan = _tfrecord_feature_plan(df.schema)
+    cols = [c for c, _ in plan]
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(shards))
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["__shard"].iloc[0])
+        out = os.path.join(path, f"part-{sid:05d}.tfrecord")
+
+        def payloads():
+            for row in pdf[cols].itertuples(index=False):
+                feats = {}
+                for (name, kind), val in zip(plan, row):
+                    if val is None:
+                        feats[name] = None
+                    elif kind == "int64":
+                        feats[name] = (
+                            [int(v) for v in val]
+                            if isinstance(val, (list, tuple, np.ndarray)) else int(val)
+                        )
+                    elif kind == "float":
+                        feats[name] = (
+                            [float(v) for v in val]
+                            if isinstance(val, (list, tuple, np.ndarray))
+                            else float(val)
+                        )
+                    else:
+                        feats[name] = (
+                            list(val)
+                            if isinstance(val, (list, tuple, np.ndarray)) else val
+                        )
+                yield tfr.encode_example(feats)
+
+        n = tfr.write_records(out, payloads())
+        return pd.DataFrame({"file": [out], "rows": [n]})
+
+    manifest = (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(write_shard, "file string, rows long")
+    )
+    return sorted(r["file"] for r in manifest.collect())
+
+
+def oph_importtfrecord(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Sharded TFRecord -> DataFrame: one task PER SHARD FILE (the driver
+    ships only the file list; every record is CRC-verified on read). The
+    declared DDL schema maps features back to columns: string/binary from
+    bytes features, bigint from int64, float/double from float (float is
+    the lossless readback — the wire type IS binary32), array<...> keeps
+    the whole list, scalars take element 0."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ophidia_server_spark.sources import tfrecord as tfr
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.tfrecord"))
+        if os.path.isdir(path) else _glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .tfrecord files under {path}")
+    struct = T.StructType.fromDDL(schema)
+
+    def read_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fname in pdf["file"]:
+                rows: dict[str, list] = {f.name: [] for f in struct.fields}
+                for rec in tfr.read_records(fname):
+                    ex = tfr.decode_example(rec)
+                    for f in struct.fields:
+                        kind_vals = ex.get(f.name)
+                        vals = kind_vals[1] if kind_vals else []
+                        is_arr = isinstance(f.dataType, T.ArrayType)
+                        elem = f.dataType.elementType if is_arr else f.dataType
+                        if isinstance(elem, T.StringType):
+                            vals = [v.decode("utf-8") for v in vals]
+                        elif isinstance(elem, T.FloatType):
+                            vals = [np.float32(v) for v in vals]
+                        rows[f.name].append(
+                            vals if is_arr else (vals[0] if vals else None)
+                        )
+                yield pd.DataFrame(rows, columns=[f.name for f in struct.fields])
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    return listing.mapInPandas(read_files, schema)

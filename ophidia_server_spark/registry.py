@@ -6796,3 +6796,45 @@ def _bench_incremental_novelty(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
     return dd.dedup_incremental(batch, idx)
+
+
+@q(
+    "io_tfrecord_roundtrip",
+    """SELECT vec_id,
+       'L' || CAST(label AS VARCHAR) AS lbl_str,
+       CAST(label AS BIGINT) AS label,
+       CAST(len(embedding) AS BIGINT) AS vec_len,
+       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   (a, b) -> a + b) AS vec_sum
+FROM embeddings""",
+)
+def io_tfrecord_roundtrip(spark, sf_dir):
+    """oph_exporttfrecord -> oph_importtfrecord roundtrip: embeddings (an
+    int64 id, a derived string, an int64 label, and the float32 vector — all
+    three tf.train.Example feature kinds) write to sharded TFRecord files
+    executor-side and read back one CRC-verified task per shard. The
+    float_list wire type IS binary32, so the embedding survives bit-exactly:
+    the ordered double-accumulated sum matches DuckDB's over the parquet
+    original with no rounding."""
+    from ophidia_server_spark.operators import io_ops
+
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        F.concat(F.lit("L"), F.col("label").cast("string")).alias("lbl_str"),
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_tfrecord_{tag}"
+    io_ops.oph_exporttfrecord(emb, path, shards=8)
+    back = io_ops.oph_importtfrecord(
+        spark, path,
+        "vec_id bigint, lbl_str string, label bigint, embedding array<float>",
+    )
+    return back.select(
+        "vec_id", "lbl_str", "label",
+        F.size("embedding").cast("long").alias("vec_len"),
+        F.expr(
+            "aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double))"
+        ).alias("vec_sum"),
+    )
