@@ -1179,3 +1179,161 @@ def oph_importtfrecord(spark: SparkSession, path: str, schema: str) -> DataFrame
         [(f,) for f in files], "file string"
     ).repartition(len(files))
     return listing.mapInPandas(read_files, schema)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset (tar shards) — the multimodal training-sample format
+# ---------------------------------------------------------------------------
+
+def oph_exportwebdataset(
+    df: DataFrame, path: str, key_col: str, shards: int = 8,
+) -> list[str]:
+    """DataFrame -> WebDataset tar shards, written EXECUTOR-side.
+
+    The WebDataset convention (the public webdataset format spec): a shard
+    is a plain tar archive; one SAMPLE is the run of consecutive members
+    sharing a basename stem, and each member `<key>.<ext>` becomes one
+    field of the loader's sample dict. Here every non-key column maps to a
+    member whose extension is the column name: binary columns write raw
+    bytes, strings write utf-8, any other type writes its JSON encoding
+    (loaders auto-decode *.json members). Streams a DataLoader can consume
+    with plain sequential tar reads — the property that makes the format
+    work against object storage at 100 TB.
+
+    Same sharded-sink shape as oph_exportarrow/oph_exporttfrecord: rows hash
+    on the sample key to `shards` streams, each applyInPandas task writes
+    its own tar, the driver collects only the manifest. Archives are
+    byte-reproducible: USTAR format, zeroed mtime/uid/gid, fixed 0o644 mode,
+    samples sorted by key, members in column order."""
+    import io as _io
+    import tarfile
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    os.makedirs(path, exist_ok=True)
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col} not in DataFrame")
+    # WebDataset extensions are column names, which may contain dots
+    # (`cap.json`); Spark's applyInPandas resolves columns by name, so the
+    # grouped frame uses positional safe names and the writer maps back.
+    orig = list(df.columns)
+    safe = [f"__c{i}" for i in range(len(orig))]
+    to_orig = dict(zip(safe, orig))
+    sdf = df.toDF(*safe)
+    key_safe = safe[orig.index(key_col)]
+    kinds = {
+        f.name: (
+            "bin" if isinstance(f.dataType, T.BinaryType)
+            else "txt" if isinstance(f.dataType, T.StringType) else "json"
+        )
+        for f in df.schema.fields if f.name != key_col
+    }
+    cols = [key_safe] + [s for s in safe if s != key_safe]
+    shard = F.pmod(F.xxhash64(F.col(key_safe).cast("string")), F.lit(shards))
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["__shard"].iloc[0])
+        out = os.path.join(path, f"shard-{sid:05d}.tar")
+        pdf = pdf.sort_values(key_safe, kind="mergesort")
+        n = 0
+        with tarfile.open(out, "w", format=tarfile.USTAR_FORMAT) as tar:
+            for row in pdf[cols].itertuples(index=False):
+                key = str(row[0])
+                for sname, val in zip(cols[1:], row[1:]):
+                    name = to_orig[sname]
+                    if val is None:
+                        continue
+                    if kinds[name] == "bin":
+                        data = bytes(val)
+                    elif kinds[name] == "txt":
+                        data = str(val).encode("utf-8")
+                    else:
+                        data = _json.dumps(
+                            val.tolist() if isinstance(val, np.ndarray)
+                            else int(val) if isinstance(val, np.integer)
+                            else float(val) if isinstance(val, np.floating)
+                            else val,
+                            separators=(",", ":"), sort_keys=True,
+                        ).encode("utf-8")
+                    info = tarfile.TarInfo(f"{key}.{name}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.mode = 0o644
+                    info.uname = info.gname = ""
+                    tar.addfile(info, _io.BytesIO(data))
+                n += 1
+        return pd.DataFrame({"file": [out], "rows": [n]})
+
+    manifest = (
+        sdf.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(write_shard, "file string, rows long")
+    )
+    return sorted(r["file"] for r in manifest.collect())
+
+
+def oph_importwebdataset(
+    spark: SparkSession, path: str, key_col: str, schema: str,
+) -> DataFrame:
+    """WebDataset tar shards -> DataFrame: one sequential-read task PER
+    SHARD (the webdataset access pattern — no random seeks, so the same
+    code streams from object storage). Members regroup into samples by
+    stem (the name up to the FIRST dot, the format's key rule, so
+    multi-dot extensions like `cap.json` survive); the declared DDL schema
+    maps member extensions back to columns — binary raw, string utf-8,
+    everything else parsed from its JSON encoding. The key column is
+    restored from the stem (cast from string by the declared type)."""
+    import tarfile
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.tar"))
+        if os.path.isdir(path) else _glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .tar shards under {path}")
+    struct = T.StructType.fromDDL(schema)
+    if key_col not in struct.names:
+        raise ValueError(f"key column {key_col} missing from declared schema")
+
+    def read_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fname in pdf["file"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fname, "r") as tar:
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        stem, _, ext = member.name.partition(".")
+                        data = tar.extractfile(member).read()
+                        samples.setdefault(stem, {})[ext] = data
+                rows: dict[str, list] = {f.name: [] for f in struct.fields}
+                for stem in sorted(samples):
+                    members = samples[stem]
+                    for f in struct.fields:
+                        if f.name == key_col:
+                            rows[f.name].append(
+                                stem if isinstance(f.dataType, T.StringType)
+                                else int(stem)
+                            )
+                            continue
+                        data = members.get(f.name)
+                        if data is None:
+                            rows[f.name].append(None)
+                        elif isinstance(f.dataType, T.BinaryType):
+                            rows[f.name].append(data)
+                        elif isinstance(f.dataType, T.StringType):
+                            rows[f.name].append(data.decode("utf-8"))
+                        else:
+                            rows[f.name].append(_json.loads(data))
+                yield pd.DataFrame(rows, columns=struct.names)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    return listing.mapInPandas(read_files, schema)

@@ -6838,3 +6838,28 @@ def io_tfrecord_roundtrip(spark, sf_dir):
             "aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double))"
         ).alias("vec_sum"),
     )
+
+
+@q(
+    "io_webdataset_roundtrip",
+    "SELECT doc_id, text, lang, n_chars FROM documents",
+)
+def io_webdataset_roundtrip(spark, sf_dir):
+    """oph_exportwebdataset -> oph_importwebdataset roundtrip: the documents
+    corpus writes to WebDataset tar shards executor-side (one member per
+    column per sample: utf-8 text/lang, JSON n_chars) and reads back one
+    sequential-scan task per shard — the multimodal training-sample format
+    a DataLoader streams straight off object storage. Whole-row parity vs
+    the parquet original."""
+    from ophidia_server_spark.operators import io_ops
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_wds_{tag}"
+    io_ops.oph_exportwebdataset(docs, path, "doc_id", shards=8)
+    return io_ops.oph_importwebdataset(
+        spark, path, "doc_id",
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
