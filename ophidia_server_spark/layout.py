@@ -1,0 +1,151 @@
+"""Data-layout optimization: Z-order clustering + min-max file skipping.
+
+The reference engine partitions datacubes over hosts/fragments along
+explicit dimensions (oph_ophidiadb_query.h fragmentation model), which
+serves one dimension well and the others badly. At 100 TB on object
+storage the equivalent lever is FILE layout: cluster rows so that parquet
+per-file column statistics prune most files for predicates on ANY of the
+clustered dimensions, not just the leading sort key.
+
+Z-ordering (Morton 1966, the public space-filling-curve construction used
+by Delta/Iceberg table optimizers) interleaves the bits of the dimension
+codes so nearby (d1, d2, ...) cells land in nearby z-values; range-
+partitioning + sorting by z-value then gives every file a tight min/max
+envelope on EVERY clustered column. All arithmetic is built-in bitwise
+column algebra — whole-stage-codegen'd, no UDF, one range shuffle total.
+
+File skipping reads those envelopes back as a manifest (one row per file:
+min/max/count per column — the Iceberg/Delta stats idea, held as a tiny
+DataFrame), prunes the file list driver-side against a predicate rectangle,
+and scans only surviving files. The manifest is thousands of rows at 100 TB
+(one per file), so the driver-side filter is free; correctness never
+depends on pruning because the real predicate is re-applied after the scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list, bits: int = 16) -> Column:
+    """Morton interleave of non-negative integer codes, LSB-first: bit i of
+    column j lands at position i * ndims + j. Codes must already lie in
+    [0, 2^bits) — see `zorder_codes` for the min/max scaling that gets
+    arbitrary numeric columns there. Pure JVM bitwise algebra; with the
+    default 16 bits and up to 4 dims the result fits comfortably in a long."""
+    ndims = len(cols)
+    if ndims < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * ndims > 62:
+        raise ValueError(f"{bits} bits x {ndims} dims overflows a long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    terms = [
+        F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * ndims + j)
+        for i in range(bits)
+        for j, c in enumerate(cs)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
+
+
+def zorder_codes(df: DataFrame, cols: list[str], bits: int = 16):
+    """Scale numeric columns to integer codes in [0, 2^bits) by their
+    global min/max — ONE aggregate pass, then a pure map. Returns
+    (df_with_code_columns, code_names). Constant columns code to 0."""
+    n = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).first()
+    out = df
+    names = []
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        span = (hi - lo) or 1.0
+        code = F.least(
+            F.lit(n),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n),
+        ).cast("long")
+        names.append(f"__z_{c}")
+        out = out.withColumn(f"__z_{c}", code)
+    return out, names
+
+
+def zorder_write(
+    df: DataFrame, path: str, cols: list[str], files: int, bits: int = 16,
+) -> None:
+    """Write `df` as parquet clustered on the Z-order of `cols`: scale to
+    codes (one aggregate), range-partition into `files` partitions by
+    z-value (ONE shuffle — the same cost as any repartition) and sort
+    within each, so every output file carries a tight min/max envelope on
+    every clustered column. The helper columns never reach the files."""
+    coded, names = zorder_codes(df, cols, bits)
+    z = zorder_key(names, bits).alias("__zkey")
+    (
+        coded.withColumn("__zkey", z)
+        .repartitionByRange(files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *names)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_file_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/count manifest for a parquet store — the data-
+    skipping index a lakehouse table format keeps in metadata, here as a
+    plain (and persistable) DataFrame: one aggregate over the store,
+    grouped by file. O(files) rows regardless of data size."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    index: DataFrame,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Scan only the files whose [min, max] envelope intersects every
+    predicate range, then RE-APPLY the exact predicate — pruning is a
+    performance lever, never a correctness dependency (NULL-stat files are
+    conservatively kept). Returns (df, files_read, files_total). The
+    collected manifest is one row per file — driver-side by design, like
+    every table format's planning step."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        keep = ~((F.col(f"max_{c}") < F.lit(lo)) | (F.col(f"min_{c}") > F.lit(hi)))
+        cond = cond & (keep | F.col(f"min_{c}").isNull() | F.col(f"max_{c}").isNull())
+    rows = index.select("file", cond.alias("__keep")).collect()
+    total = len(rows)
+    files = [r["file"] for r in rows if r["__keep"]]
+    if not files:
+        # empty store for this rectangle: an empty frame with the store schema
+        df = spark.read.parquet(*[r["file"] for r in rows]).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    for c, (lo, hi) in ranges.items():
+        df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df, len(files), total
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical Morton interleave as portable SQL text (DuckDB/ANSI
+    bitwise operators) — the cross-engine contract the correctness gate
+    hashes, same role as hashing.md5_bucket's SQL twin."""
+    ndims = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * ndims + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "(" + " | ".join(terms) + ")"

@@ -6863,3 +6863,66 @@ def io_webdataset_roundtrip(spark, sf_dir):
         spark, path, "doc_id",
         "doc_id bigint, text string, lang string, n_chars bigint",
     )
+
+
+from ophidia_server_spark import layout as lay  # noqa: E402
+
+
+@q(
+    "layout_zorder_key",
+    f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       {lay.zorder_key_sql(['pk', 'sk'], 8)} AS zkey
+FROM (SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS pk, l_suppkey % 256 AS sk
+      FROM lineitem)""",
+)
+def layout_zorder_key(spark, sf_dir):
+    """Morton/Z-order key computation (layout.zorder_key): bit-interleaved
+    dimension codes, the clustering key zorder_write range-partitions on.
+    Pure JVM bitwise algebra on Spark; layout.zorder_key_sql emits the same
+    interleave as portable SQL, and the gate hash-matches the two — the
+    cross-engine contract for the layout optimizer."""
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 256).alias("sk"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        lay.zorder_key(["pk", "sk"], 8).alias("zkey"),
+    )
+
+
+@q(
+    "layout_pruned_subset",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey,
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_partkey BETWEEN 10 AND 120 AND l_suppkey BETWEEN 1 AND 6""",
+)
+def layout_pruned_subset(spark, sf_dir):
+    """The whole layout ladder end-to-end: zorder_write clusters lineitem
+    on (l_partkey, l_suppkey) into range-partitioned parquet, the min/max
+    manifest (build_file_index) prunes the file list for a predicate
+    rectangle driver-side, and pruned_read re-applies the exact predicate
+    after the scan — so the result matches a plain filtered scan row-for-row
+    no matter how many files were skipped. The pruning itself is asserted
+    in tests/test_layout.py; the gate pins that skipping loses nothing."""
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_zorder_{tag}"
+    lay.zorder_write(li, path, ["l_partkey", "l_suppkey"], files=16, bits=10)
+    idx = lay.build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+    df, _, _ = lay.pruned_read(
+        spark, idx, {"l_partkey": (10, 120), "l_suppkey": (1, 6)}
+    )
+    return df.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty"),
+    )

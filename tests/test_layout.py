@@ -1,0 +1,110 @@
+"""Z-order clustering + min-max file-skipping tests.
+
+The scale claim under test: after zorder_write, a predicate on ANY clustered
+column prunes most files via the min/max manifest, while a linear layout
+(sorted by one column) only serves its leading key. Correctness never
+depends on pruning — the exact predicate is re-applied post-scan.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ophidia_server_spark import layout as L
+
+
+def test_zorder_key_known_morton_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (5, 2)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(L.zorder_key(["x", "y"], bits=3).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # LSB-first interleave, x at even bit positions, y at odd:
+    # (0,0)->0 (0,1)->2 (1,0)->1 (1,1)->3 (3,3)->15 (5,2)->0b011001=25
+    assert got == [0, 2, 1, 3, 15, 25]
+
+
+def test_zorder_key_sql_matches_spark(spark):
+    import duckdb
+
+    vals = [(i % 7, (i * 3) % 11) for i in range(50)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = sorted(
+        (r["a"], r["b"], r["z"])
+        for r in df.select("a", "b", L.zorder_key(["a", "b"], 4).alias("z")).collect()
+    )
+    expr = L.zorder_key_sql(["a", "b"], 4)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT a, b, {expr} AS z FROM (SELECT UNNEST({[v[0] for v in vals]}) "
+            f"AS a, UNNEST({[v[1] for v in vals]}) AS b)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_key_guards():
+    with pytest.raises(ValueError, match="at least one"):
+        L.zorder_key([])
+    with pytest.raises(ValueError, match="overflows"):
+        L.zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_file_index_and_pruned_read_exact(spark, tables, tmp_path):
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zli")
+    L.zorder_write(li, path, ["l_partkey", "l_suppkey"], files=16, bits=10)
+    idx = L.build_file_index(spark, path, ["l_partkey", "l_suppkey"])
+    assert idx.count() == 16
+
+    rect = {"l_partkey": (10, 60), "l_suppkey": (1, 4)}
+    df, nread, ntotal = L.pruned_read(spark, idx, rect)
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.filter(
+            F.col("l_partkey").between(10, 60) & F.col("l_suppkey").between(1, 4)
+        ).collect()
+    )
+    got = sorted((r["l_orderkey"], r["l_linenumber"]) for r in df.collect())
+    assert got == want
+    assert nread < ntotal  # the rectangle must actually skip files
+
+
+def test_zorder_prunes_on_the_non_leading_dimension(spark, tables, tmp_path):
+    """A linear sort serves only its leading key; Z-order serves both.
+    Filter on l_suppkey alone and compare files touched."""
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    L.zorder_write(li, zpath, ["l_partkey", "l_suppkey"], files=16, bits=10)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(lpath)
+    )
+    hi = li.agg(F.max("l_suppkey")).first()[0]
+    rect = {"l_suppkey": (1, max(1, hi // 10))}
+    _, z_read, z_total = L.pruned_read(
+        spark, L.build_file_index(spark, zpath, ["l_suppkey"]), rect
+    )
+    _, l_read, l_total = L.pruned_read(
+        spark, L.build_file_index(spark, lpath, ["l_suppkey"]), rect
+    )
+    assert z_total == l_total == 16
+    assert z_read < z_total      # z-order skips files for the second dim
+    assert z_read <= l_read      # and never does worse than the linear layout
+
+
+def test_pruned_read_empty_rectangle_keeps_schema(spark, tables, tmp_path):
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_suppkey")
+    path = str(tmp_path / "zempty")
+    L.zorder_write(li, path, ["l_partkey", "l_suppkey"], files=4, bits=8)
+    idx = L.build_file_index(spark, path, ["l_partkey"])
+    df, nread, _ = L.pruned_read(spark, idx, {"l_partkey": (-50, -10)})
+    assert nread == 0 and df.count() == 0
+    assert set(df.columns) == {"l_orderkey", "l_partkey", "l_suppkey"}
