@@ -6926,3 +6926,98 @@ def layout_pruned_subset(spark, sf_dir):
         "l_partkey", "l_suppkey",
         F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty"),
     )
+
+
+@q(
+    "ml_kmeans_grade",
+    """SELECT CAST(1 AS INT) AS all_assigned, CAST(1 AS INT) AS argmin_ok,
+       CAST(1 AS INT) AS centroids_are_means,
+       CAST(1 AS INT) AS objective_noninc""",
+)
+def ml_kmeans_grade(spark, sf_dir):
+    """Invariant grade for distributed Lloyd's k-means
+    (pipeline/clustering.kmeans_lloyd) — the iterative-algorithm entry, run
+    over the full embeddings corpus with no sampling. Verdicts, each
+    oracle-pinned to 1: (a) every vector got exactly one cluster; (b) an
+    independent JVM higher-order-function distance recompute confirms each
+    assignment is the argmin vs the final centroids (different summation
+    order than the Arrow matmul path — a real cross-check); (c) the Lloyd
+    update equation holds: each final centroid equals the recomputed mean
+    of the rows whose JVM-recomputed argmin against the PREVIOUS centroids
+    lands in its cluster, to 1e-6 (posexplode aggregation, independent of
+    the training path; empty clusters must carry their previous centroid
+    unchanged); (d) the recorded per-iteration objective is non-increasing,
+    Lloyd's contraction law."""
+    from ophidia_server_spark.pipeline import clustering as cl
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    res = cl.kmeans_lloyd(emb, k=8, iters=5)
+    assigned = res.assignments.persist()
+    try:
+        all_assigned = int(
+            assigned.filter(F.col("cluster").between(1, 8)).count() == n
+        )
+        bad = (
+            cl.kmeans_recompute_dist2(assigned, res.centroids)
+            .filter(
+                F.element_at("jvm_dist2", F.col("cluster"))
+                > F.array_min("jvm_dist2") + F.lit(1e-9)
+            )
+            .count()
+        )
+        argmin_ok = int(bad == 0)
+        # the update equation: assign against prev_centroids (JVM argmin),
+        # per-cluster per-dim means must reproduce the final centroids
+        prev_assigned = cl.kmeans_recompute_dist2(
+            emb, res.prev_centroids
+        ).withColumn(
+            "cluster",
+            F.expr("array_position(jvm_dist2, array_min(jvm_dist2))").cast("int"),
+        )
+        means = (
+            prev_assigned.select(
+                "cluster",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "pos", "x"
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nonempty = {r["cluster"] for r in means}
+        max_diff = max(
+            abs(r["m"] - res.centroids[r["cluster"] - 1][r["pos"]]) for r in means
+        )
+        empty_held = all(
+            res.centroids[j] == res.prev_centroids[j]
+            for j in range(8)
+            if (j + 1) not in nonempty
+        )
+        centroids_are_means = int(max_diff < 1e-6 and empty_held)
+        objective_noninc = int(
+            all(
+                b <= a + 1e-9
+                for a, b in zip(res.objectives, res.objectives[1:])
+            )
+        )
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(
+        [(all_assigned, argmin_ok, centroids_are_means, objective_noninc)],
+        "all_assigned int, argmin_ok int, centroids_are_means int, "
+        "objective_noninc int",
+    )
+
+
+@_bench_variant("ml_kmeans_grade")
+def _bench_kmeans(spark, sf_dir):
+    from ophidia_server_spark.pipeline import clustering as cl
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    assigned = cl.kmeans_lloyd(emb, k=8, iters=5).assignments
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("dist2"), 6).alias("sum_dist2"),
+    )
