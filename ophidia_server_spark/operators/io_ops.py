@@ -1337,3 +1337,140 @@ def oph_importwebdataset(
         [(f,) for f in files], "file string"
     ).repartition(len(files))
     return listing.mapInPandas(read_files, schema)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files
+# ---------------------------------------------------------------------------
+
+_AVRO_OF_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint", "float": "float",
+    "double": "double", "bytes": "binary", "string": "string",
+}
+_SPARK_OF_AVRO = {v: k for k, v in _AVRO_OF_SPARK.items()}
+
+
+def _avro_schema_for(df: DataFrame, name: str = "row") -> dict:
+    """Record schema for a DataFrame (primitives + array<primitive>;
+    nullable fields as ['null', T] unions). Unsupported types raise with
+    the column named — cast timestamps/decimals before export."""
+    from pyspark.sql import types as T
+
+    def node(t, col):
+        if isinstance(t, T.ArrayType):
+            return {"type": "array", "items": node(t.elementType, col)}
+        s = _SPARK_OF_AVRO.get(t.simpleString())
+        if s is None:
+            raise ValueError(
+                f"column {col}: {t.simpleString()} has no Avro mapping — "
+                "cast to a primitive first"
+            )
+        return s
+
+    fields = []
+    for f in df.schema.fields:
+        t = node(f.dataType, f.name)
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _spark_ddl_of_avro(schema: dict) -> str:
+    def ddl(t):
+        if isinstance(t, list):  # nullable union
+            inner = [s for s in t if s != "null"]
+            if len(inner) != 1:
+                raise ValueError(f"unsupported union {t!r}")
+            return ddl(inner[0])
+        if isinstance(t, dict):
+            if t.get("type") == "array":
+                return f"array<{ddl(t['items'])}>"
+            return ddl(t["type"])
+        s = _AVRO_OF_SPARK.get(t)
+        if s is None:
+            raise ValueError(f"unsupported Avro type {t!r}")
+        return s
+
+    return ", ".join(f"`{f['name']}` {ddl(f['type'])}" for f in schema["fields"])
+
+
+def oph_exportavro(
+    df: DataFrame, path: str, shards: int = 8, codec: str = "deflate",
+) -> list[str]:
+    """DataFrame -> sharded Avro Object Container Files, written
+    EXECUTOR-side (the applyInPandas sharded-sink shape shared with the
+    Arrow/TFRecord/WebDataset paths). Avro is the schema-evolving row
+    format of the Kafka/ingest world; Spark only ships it as an external
+    package, so the engine carries its own from-spec codec
+    (sources/avro.py) like it does for NetCDF/HDF5/Zarr."""
+    import math as _math
+
+    import pandas as pd
+
+    from ophidia_server_spark.sources import avro as av
+
+    os.makedirs(path, exist_ok=True)
+    schema = _avro_schema_for(df)
+    cols = [f["name"] for f in schema["fields"]]
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(shards))
+
+    def clean(v):
+        if v is None or isinstance(v, (str, bytes, bool)):
+            return v
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return [clean(x) for x in v]
+        if isinstance(v, (np.floating, float)):
+            return float(v)
+        return int(v)
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["__shard"].iloc[0])
+        out = os.path.join(path, f"part-{sid:05d}.avro")
+        rows = (
+            {c: clean(v) for c, v in zip(cols, row)}
+            for row in pdf[cols].itertuples(index=False)
+        )
+        n = av.write_container(out, schema, rows, codec=codec)
+        return pd.DataFrame({"file": [out], "rows": [n]})
+
+    manifest = (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(write_shard, "file string, rows long")
+    )
+    return sorted(r["file"] for r in manifest.collect())
+
+
+def oph_importavro(spark: SparkSession, path: str) -> DataFrame:
+    """Sharded Avro containers -> DataFrame: the driver reads ONE header
+    for the schema (zero data blocks), then one task per file decodes with
+    per-block sync-marker verification. Schema is self-describing — no DDL
+    needed, the inverse of the NetCDF/Zarr self-describing imports."""
+    import pandas as pd
+
+    from ophidia_server_spark.sources import avro as av
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.avro"))
+        if os.path.isdir(path) else _glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    schema, _ = av.read_container(files[0])
+    ddl = _spark_ddl_of_avro(schema)
+    names = [f["name"] for f in schema["fields"]]
+
+    def read_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fname in pdf["file"]:
+                _, rows = av.read_container(fname)
+                data = list(rows)
+                yield pd.DataFrame(
+                    {n: [r[n] for r in data] for n in names}, columns=names
+                )
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    return listing.mapInPandas(read_files, ddl)

@@ -7021,3 +7021,22 @@ def _bench_kmeans(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.sum("dist2"), 6).alias("sum_dist2"),
     )
+
+
+@q(
+    "io_avro_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def io_avro_roundtrip(spark, sf_dir):
+    """oph_exportavro -> oph_importavro roundtrip: the documents corpus
+    through sharded Avro Object Container Files (from-spec codec: zigzag
+    varints, nullable unions, deflate blocks, per-block sync-marker
+    verification) and back — schema self-describing on read, no DDL.
+    Whole-row parity vs the parquet original."""
+    from ophidia_server_spark.operators import io_ops
+
+    docs = _t(spark, sf_dir)["documents"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_avro_{tag}"
+    io_ops.oph_exportavro(docs, path, shards=8)
+    return io_ops.oph_importavro(spark, path)
