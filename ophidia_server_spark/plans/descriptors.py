@@ -664,6 +664,28 @@ _d("pipeline_tokenize", "Train/apply BPE merges; write the token table.",
    _p("merges_path"),
    _p("save_merges_path"))
 
+_d("pipeline_export", "Re-encode a stage for the trainer's loader "
+   "(TFRecord / WebDataset / Avro, executor-sharded).",
+   _SRC, _OUT,
+   _p("format", default="tfrecord", values=("tfrecord", "webdataset", "avro")),
+   _p("shards", type="int", default="8", minvalue=1),
+   _p("key_col", default="doc_id"),
+   _p("codec", default="deflate", values=("null", "deflate")))
+
+_d("pipeline_zorder", "Z-order-cluster a parquet stage and write its "
+   "min/max file-skipping manifest.",
+   _SRC, _OUT,
+   _p("columns", mandatory=True, multivalue=True),
+   _p("files", type="int", default="16", minvalue=1),
+   _p("bits", type="int", default="16", minvalue=1, maxvalue=31))
+
+_d("pipeline_kmeans", "Full-corpus Lloyd's k-means; write assignments.",
+   _SRC, _OUT,
+   _p("k", type="int", default="8", minvalue=1),
+   _p("iters", type="int", default="10", minvalue=1),
+   _p("vec_col", default="embedding"),
+   _p("id_col", default="vec_id"))
+
 _d("pipeline_audit", "Data-quality contract check (expectations table).",
    _SRC, _OUT,
    _p("rules", doc="rule list (JSON array of {name, kind, col, ...})"),

@@ -548,6 +548,73 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_export(engine, args, inputs):
+        # loader-handoff stage: re-encode a parquet stage into the format
+        # the downstream trainer consumes (executor-sharded sinks)
+        from ophidia_server_spark.operators import io_ops
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        fmt = str(args.get("format", "tfrecord"))
+        df = spark.read.parquet(src)
+        shards = int(args.get("shards", 8))
+        if fmt == "tfrecord":
+            io_ops.oph_exporttfrecord(df, out, shards=shards)
+        elif fmt == "webdataset":
+            io_ops.oph_exportwebdataset(
+                df, out, str(args.get("key_col", "doc_id")), shards=shards
+            )
+        elif fmt == "avro":
+            io_ops.oph_exportavro(
+                df, out, shards=shards, codec=str(args.get("codec", "deflate"))
+            )
+        else:
+            raise ValueError(f"unknown export format: {fmt}")
+        return out
+
+    def op_pipe_zorder(engine, args, inputs):
+        # layout-optimization stage: rewrite the stage's parquet clustered
+        # on the Z-order of the named columns, then persist the min/max
+        # file manifest next to it for pruned reads
+        from ophidia_server_spark import layout as lay
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        cols = args["columns"]
+        if isinstance(cols, str):
+            cols = [c for c in cols.split("|") if c]
+        lay.zorder_write(
+            spark.read.parquet(src), out, list(cols),
+            files=int(args.get("files", 16)), bits=int(args.get("bits", 16)),
+        )
+        lay.build_file_index(spark, out, list(cols)).write.mode(
+            "overwrite"
+        ).parquet(out.rstrip("/") + "_index")
+        return out
+
+    def op_pipe_kmeans(engine, args, inputs):
+        # full-corpus clustering stage: Lloyd's k-means, assignments written
+        # for downstream per-cluster sampling / SemDeDup-style pruning
+        from ophidia_server_spark.pipeline import clustering as cl
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        res = cl.kmeans_lloyd(
+            spark.read.parquet(src),
+            k=int(args.get("k", 8)),
+            iters=int(args.get("iters", 10)),
+            vec_col=args.get("vec_col", "embedding"),
+            id_col=args.get("id_col", "vec_id"),
+        )
+        res.assignments.write.mode("overwrite").parquet(out)
+        return out
+
     def op_pipe_tokenize(engine, args, inputs):
         # real BPE as a pipeline stage: train merges on the source corpus
         # (or reuse a prior stage's merge table) and write the token table
@@ -717,6 +784,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_dedup_index": op_pipe_dedup_index,
             "pipeline_novelty": op_pipe_novelty,
             "pipeline_tokenize": op_pipe_tokenize,
+            "pipeline_export": op_pipe_export,
+            "pipeline_zorder": op_pipe_zorder,
+            "pipeline_kmeans": op_pipe_kmeans,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

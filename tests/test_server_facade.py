@@ -893,3 +893,65 @@ def test_pipeline_ingest_chain_index_novelty_tokenize(env, spark, tables, tmp_pa
 
     merges = js.load(open(str(tmp_path / "merges.json")))
     assert merges and all(len(m) == 2 for m in merges)
+
+
+def test_pipeline_export_zorder_kmeans_stages(env, spark, tables, tmp_path):
+    # the loader-handoff tail of a corpus pipeline as chained facade tasks:
+    # z-order the store (+ manifest), cluster the embeddings, and re-encode
+    # for three trainer loader formats
+    import glob
+
+    eng, _store, _src = env
+    docs = str(tmp_path / "docs_exp")
+    emb = str(tmp_path / "emb_exp")
+    tables["documents"].write.mode("overwrite").parquet(docs)
+    tables["embeddings"].write.mode("overwrite").parquet(emb)
+    run = eng.run({
+        "tasks": [
+            {"name": "zo", "operator": "pipeline_zorder",
+             "arguments": {"src_path": docs, "columns": "doc_id|n_chars",
+                           "files": "4", "bits": "10",
+                           "output_path": str(tmp_path / "zo")}},
+            {"name": "km", "operator": "pipeline_kmeans",
+             "arguments": {"src_path": emb, "k": "4", "iters": "3",
+                           "output_path": str(tmp_path / "km")}},
+            {"name": "tf", "operator": "pipeline_export",
+             "arguments": {"src_path": emb, "format": "tfrecord",
+                           "shards": "2",
+                           "output_path": str(tmp_path / "tf")}},
+            {"name": "wd", "operator": "pipeline_export",
+             "arguments": {"src_path": docs, "format": "webdataset",
+                           "key_col": "doc_id", "shards": "2",
+                           "output_path": str(tmp_path / "wd")}},
+            {"name": "av", "operator": "pipeline_export",
+             "arguments": {"src_path": docs, "format": "avro",
+                           "shards": "2",
+                           "output_path": str(tmp_path / "av")}},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    n_docs = tables["documents"].count()
+    assert spark.read.parquet(str(tmp_path / "zo")).count() == n_docs
+    assert spark.read.parquet(str(tmp_path / "zo_index")).count() == 4
+    km = spark.read.parquet(str(tmp_path / "km"))
+    assert km.count() == tables["embeddings"].count()
+    assert "cluster" in km.columns
+    assert len(glob.glob(str(tmp_path / "tf" / "*.tfrecord"))) == 2
+    assert len(glob.glob(str(tmp_path / "wd" / "*.tar"))) == 2
+    assert len(glob.glob(str(tmp_path / "av" / "*.avro"))) == 2
+
+
+def test_pipeline_export_bad_format_is_param_validation_error(env, tmp_path):
+    eng, _store, _src = env
+    run = eng.run({
+        "tasks": [{
+            "name": "x", "operator": "pipeline_export",
+            "arguments": {"src_path": "/tmp/nope", "format": "pickle",
+                          "output_path": str(tmp_path / "o")},
+        }]
+    })
+    assert run.status != "OPH_ODB_STATUS_COMPLETED"
+    err = run.results["x"].error or ""
+    assert "format" in err
