@@ -59,13 +59,18 @@ _READ_OPS = {
     "oph_showgrid", "oph_inspectfrag", "oph_hierarchy", "oph_loggingbk",
     "oph_exportcsv", "oph_exportnc", "oph_exportnc2", "oph_exportzarr",
     "oph_publish", "oph_get_config", "oph_resume", "oph_tasks",
-    "oph_instances",
+    "oph_instances", "oph_cluster",
     # flow control is engine-internal bookkeeping, open to any session member
     "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else", "oph_endif",
     "oph_set", "oph_input", "oph_wait",
 }
 _EXECUTE_OPS = {"oph_script", "oph_generic", "oph_cdo"}
-_ADMIN_OPS = {"oph_service", "oph_cluster", "oph_log_info", "oph_cancel"}
+# oph_cluster is deliberately NOT here: the reference serves it with
+# <permission>read</permission> (etc/xml/OPH_CLUSTER_operator_1.0.xml:44) —
+# any user may reserve a host partition, bounded by the pool and per-user
+# quota; only the info_cluster view and foreign undeploys are admin-gated,
+# inside ManagementService.cluster.
+_ADMIN_OPS = {"oph_service", "oph_log_info", "oph_cancel"}
 _OWNER_OPS = {"oph_manage_session"}
 
 

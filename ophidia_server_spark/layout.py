@@ -149,3 +149,80 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
         for j, c in enumerate(cols)
     ]
     return "(" + " | ".join(terms) + ")"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    generation: int = 1,
+) -> dict:
+    """File-level copy-on-write upsert — SQL MERGE semantics (matched keys
+    take the update row, unmatched update rows insert) executed the way a
+    lakehouse table format does it: only the files that CONTAIN a matched
+    key are rewritten, everything else is left untouched on disk.
+
+    Plan: one join of the store (tagged with input_file_name) against the
+    distinct update keys finds the touched files; their rows are re-read,
+    anti-joined on the keys, unioned with the full update set, and written
+    as a new generation of part files; the replaced files are then removed
+    driver-side (the metadata-commit analogue — single-writer, like every
+    manifest swap in this repo). A 100 TB store with a point update
+    rewrites a handful of files instead of the table, and the win
+    compounds on Z-ordered stores where key-adjacent rows share files.
+
+    Duplicate-key stores converge: every copy of a matched key is removed
+    and the update row is inserted exactly once per update row.
+
+    Returns {files_total, files_rewritten, rows_before, rows_written}."""
+    import os as _os
+    import shutil as _shutil
+
+    store = spark.read.parquet(path)
+    keys = [F.col(c) for c in key_cols]
+    upd_keys = updates.select(*key_cols).distinct()
+
+    # AQE picks the join strategy — update-key sets are data-sized, so no
+    # forced broadcast (the repo's standing hint policy)
+    tagged = store.withColumn("__file", F.input_file_name())
+    touched_rows = tagged.join(upd_keys, key_cols, "left_semi")
+    touched_files = sorted(
+        r["__file"] for r in touched_rows.select("__file").distinct().collect()
+    )
+    all_files = sorted(
+        r["f"] for r in
+        store.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    if touched_files:
+        survivors = (
+            spark.read.parquet(*touched_files)
+            .join(upd_keys, key_cols, "left_anti")
+        )
+        new_data = survivors.unionByName(updates.select(*store.columns))
+    else:
+        new_data = updates.select(*store.columns)
+    rows_before = store.count()
+
+    tmp = path.rstrip("/") + f"__merge_g{generation}"
+    new_data.write.mode("overwrite").parquet(tmp)
+    moved = 0
+    for fname in sorted(_os.listdir(tmp)):
+        if not fname.endswith(".parquet"):
+            continue
+        _os.replace(
+            _os.path.join(tmp, fname),
+            _os.path.join(path, f"part-merge-g{generation:04d}-{moved:05d}.parquet"),
+        )
+        moved += 1
+    _shutil.rmtree(tmp, ignore_errors=True)
+    for f in touched_files:
+        local = f.removeprefix("file://")
+        if _os.path.exists(local):
+            _os.remove(local)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(touched_files),
+        "rows_before": rows_before,
+        "rows_written": moved,
+    }

@@ -7040,3 +7040,58 @@ def io_avro_roundtrip(spark, sf_dir):
     path = f"/tmp/ophidia_avro_{tag}"
     io_ops.oph_exportavro(docs, path, shards=8)
     return io_ops.oph_importavro(spark, path)
+
+
+@q(
+    "layout_merge_upsert",
+    """WITH upd AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(l_quantity AS DECIMAL(18,2)) + 1000 AS qty
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT CAST(99999991 AS BIGINT), CAST(1 AS INT), CAST(5 AS BIGINT),
+         CAST(7 AS DECIMAL(18,2))
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, CAST(qty AS DOUBLE) AS qty
+FROM upd
+UNION ALL
+SELECT li.l_orderkey, CAST(li.l_linenumber AS BIGINT), li.l_partkey,
+       CAST(CAST(li.l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+FROM lineitem li
+ANTI JOIN upd ON li.l_orderkey = upd.l_orderkey
+            AND li.l_linenumber = upd.l_linenumber""",
+)
+def layout_merge_upsert(spark, sf_dir):
+    """File-level copy-on-write MERGE (layout.merge_upsert): a Z-ordered
+    lineitem store takes an update batch (every 50th order re-priced, plus
+    one brand-new row) and only the files containing matched keys are
+    rewritten; the read-back store must equal textbook MERGE semantics —
+    updates win on key match, inserts append, untouched rows survive —
+    which the oracle derives with a plain anti-join union."""
+    from pyspark.sql import types as T
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.col("l_quantity").cast(DEC).alias("qty"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_merge_{tag}"
+    lay.zorder_write(li, path, ["l_orderkey", "l_partkey"], files=16, bits=10)
+    updates = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .withColumn("qty", F.col("qty") + F.lit(1000).cast(DEC))
+        .unionByName(
+            spark.createDataFrame(
+                [(99999991, 1, 5, 7.0)],
+                "l_orderkey long, l_linenumber int, l_partkey long, qty double",
+            ).withColumn("qty", F.col("qty").cast(DEC))
+        )
+    )
+    lay.merge_upsert(spark, path, updates, ["l_orderkey", "l_linenumber"])
+    return spark.read.parquet(path).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey",
+        F.col("qty").cast("double").alias("qty"),
+    )

@@ -28,7 +28,10 @@ def test_required_role_mapping():
     assert auth.required_role("oph_delete") == auth.WRITE
     assert auth.required_role("oph_script") == auth.EXECUTE
     assert auth.required_role("oph_service") == auth.ADMIN
-    assert auth.required_role("oph_cluster") == auth.ADMIN
+    # the reference serves oph_cluster with permission=read
+    # (etc/xml/OPH_CLUSTER_operator_1.0.xml:44): reservations are quota-
+    # bounded per user, not admin-gated
+    assert auth.required_role("oph_cluster") == auth.READ
     assert auth.required_role("oph_log_info") == auth.ADMIN
     assert auth.required_role("oph_manage_session") == auth.OWNER
     assert auth.required_role("some_new_operator") == auth.WRITE  # conservative
@@ -120,10 +123,18 @@ def test_admin_only_server_ops(spark):
     # non-admin identities are rejected on privileged ops
     with pytest.raises(PermissionError, match="oph_service"):
         m.service("down", user="mallory")
-    with pytest.raises(PermissionError, match="oph_cluster"):
-        m.cluster("deploy", user="mallory")
     with pytest.raises(PermissionError, match="oph_log_info"):
         m.log_info("/tmp/nope.log", user="mallory")
+    # cluster reservations are NOT admin-gated (reference permission=read):
+    # any user deploys within quota, but the all-users view and another
+    # user's partition stay privileged
+    got = m.cluster("deploy", user="mallory", host_partition="m1", nhost=1)
+    assert got["host_partition"] == "m1"
+    with pytest.raises(PermissionError, match="oph_cluster"):
+        m.cluster("info_cluster", user="mallory")
+    with pytest.raises(PermissionError, match="oph_cluster"):
+        m.cluster("undeploy", user="eve", host_partition="m1")
+    m.cluster("undeploy", user="mallory", host_partition="m1")
     # info stays open; admins pass everywhere
     m.cluster("info", user="mallory")
     assert m.service("down", user="admin")["status"] == "down"

@@ -108,3 +108,72 @@ def test_pruned_read_empty_rectangle_keeps_schema(spark, tables, tmp_path):
     df, nread, _ = L.pruned_read(spark, idx, {"l_partkey": (-50, -10)})
     assert nread == 0 and df.count() == 0
     assert set(df.columns) == {"l_orderkey", "l_partkey", "l_suppkey"}
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tables, tmp_path):
+    """A narrow key-range update against a Z-ordered store rewrites a
+    strict subset of files; result has MERGE semantics exactly."""
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "zmerge")
+    L.zorder_write(li, path, ["l_orderkey", "l_partkey"], files=16, bits=10)
+
+    updates = (
+        li.filter(F.col("l_orderkey") < 100)
+        .withColumn("l_quantity", F.col("l_quantity") + 1000)
+        .unionByName(
+            spark.createDataFrame(
+                [(99999991, 1, 5, 7.0)],
+                "l_orderkey long, l_linenumber int, l_partkey long, "
+                "l_quantity double",
+            ).select(
+                "l_orderkey", "l_linenumber", "l_partkey",
+                F.col("l_quantity").cast(li.schema["l_quantity"].dataType),
+            )
+        )
+    )
+    stats = L.merge_upsert(
+        spark, path, updates, ["l_orderkey", "l_linenumber"]
+    )
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+
+    got = spark.read.parquet(path)
+    want = updates.unionByName(
+        li.join(updates.select("l_orderkey", "l_linenumber").distinct(),
+                ["l_orderkey", "l_linenumber"], "left_anti")
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    # the inserted row landed
+    assert got.filter(F.col("l_orderkey") == 99999991).count() == 1
+
+
+def test_merge_upsert_insert_only_touches_nothing(spark, tables, tmp_path):
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    path = str(tmp_path / "zins")
+    L.zorder_write(li, path, ["l_orderkey"], files=8, bits=10)
+    fresh = spark.createDataFrame(
+        [(88888881, 1, 3.0), (88888882, 2, 4.0)],
+        "l_orderkey long, l_linenumber int, l_quantity double",
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast(li.schema["l_quantity"].dataType),
+    )
+    stats = L.merge_upsert(spark, path, fresh, ["l_orderkey", "l_linenumber"])
+    assert stats["files_rewritten"] == 0
+    got = spark.read.parquet(path)
+    assert got.count() == li.count() + 2
+
+
+def test_merge_upsert_converges_duplicate_keys(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k long, v double"
+    )
+    path = str(tmp_path / "dup")
+    base.repartition(2).write.parquet(path)
+    upd = spark.createDataFrame([(1, 99.0)], "k long, v double")
+    L.merge_upsert(spark, path, upd, ["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 99.0), (2, 20.0)]
