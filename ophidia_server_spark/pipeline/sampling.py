@@ -176,3 +176,31 @@ def weighted_sample(
     coin32 = hex8_long(F.col(key_col), salt)
     p = F.least(F.col(weight_col).cast("double") / cap, F.lit(1.0))
     return df.filter(coin32 < p * _HEX_SPAN)
+
+
+def group_fixed_k_sample(
+    df: DataFrame, k: int, group_col: str, key_col: str = "doc_id",
+    salt: str = "gresv",
+) -> DataFrame:
+    """Per-group fixed-k sample: every group keeps its k coin-smallest rows
+    — the quota sampler of a balanced corpus mix (equal documents per
+    source / language / k-means cluster regardless of how skewed the
+    group sizes are; pair with clustering.kmeans_lloyd's `cluster` column
+    for cluster-balanced training mixes).
+
+    Same content-addressed md5 coin as fixed_k_sample, ranked inside each
+    group by row_number over (coin, key): deterministic, engine-portable,
+    stable across partitionings. One shuffle (the window's partition by
+    group); with bounded k the per-task heap stays tiny, so group skew
+    costs sort time, not memory."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        return df.filter(F.lit(False))
+    w = Window.partitionBy(group_col).orderBy("__coin", key_col)
+    return (
+        df.withColumn("__coin", _coin(F.col(key_col), salt))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__coin", "__rn")
+    )

@@ -7095,3 +7095,28 @@ def layout_merge_upsert(spark, sf_dir):
         "l_partkey",
         F.col("qty").cast("double").alias("qty"),
     )
+
+
+@q(
+    "sample_group_quota",
+    f"""WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':gresv'), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked WHERE rn <= 20""",
+)
+def sample_group_quota(spark, sf_dir):
+    """Per-group fixed-k quota sampling (pipeline/sampling.py
+    group_fixed_k_sample): every source keeps exactly its 20 coin-smallest
+    documents — the balanced-mix sampler (equal rows per stratum however
+    skewed the strata; the same operator balances over k-means clusters).
+    DuckDB reproduces the md5 coin and the (coin, key) ranking exactly."""
+    docs = _t(spark, sf_dir)["documents"]
+    return smp.group_fixed_k_sample(docs, 20, "source").select(
+        "doc_id", "lang", "source"
+    )

@@ -128,3 +128,41 @@ def test_weighted_sample_rejects_bad_cap(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id long, w double")
     with pytest.raises(ValueError):
         smp.weighted_sample(df, "w", cap=0)
+
+
+def test_group_fixed_k_quota_and_determinism(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.sampling import group_fixed_k_sample
+
+    docs = tables["documents"]
+    got = group_fixed_k_sample(docs, 7, "source")
+    sizes = {r["source"]: r["n"] for r in
+             got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(7, full[src])
+    # stable across partitionings
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in group_fixed_k_sample(docs.repartition(13), 7, "source").collect()
+    )
+    assert a == b
+    # k=0 -> empty
+    assert group_fixed_k_sample(docs, 0, "source").count() == 0
+
+
+def test_group_fixed_k_balances_kmeans_clusters(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.clustering import kmeans_lloyd
+    from ophidia_server_spark.pipeline.sampling import group_fixed_k_sample
+
+    emb = tables["embeddings"].limit(300)
+    assigned = kmeans_lloyd(emb, k=4, iters=3).assignments
+    took = group_fixed_k_sample(assigned, 5, "cluster", key_col="vec_id")
+    per = took.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per)
+    assert took.count() == sum(r["n"] for r in per)
