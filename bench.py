@@ -137,6 +137,10 @@ HEADLINE = [
     "text_bpe_apply",
     "events_bloom_bits",
     "dedup_incremental_novelty",
+    # round-7: DSIR importance weighting (one tokenization explode + an
+    # m-row broadcast ratio join) and the temperature-flattened corpus mix
+    "dsir_logweights",
+    "sample_temperature_mix",
 ]
 
 

@@ -63,13 +63,18 @@ def zorder_codes(df: DataFrame, cols: list[str], bits: int = 16):
     names = []
     for c in cols:
         lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
-        span = (hi - lo) or 1.0
-        code = F.least(
-            F.lit(n),
-            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n),
-        ).cast("long")
+        if lo is None or hi is None:  # all-NULL column: every row codes to 0
+            code = F.lit(0).cast("long")
+        else:
+            span = (hi - lo) or 1.0
+            code = F.least(
+                F.lit(n),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n),
+            ).cast("long")
+        # NULL cells code to 0 explicitly — F.least skips NULL arguments, so
+        # without the coalesce a NULL value would code to n (least(n, NULL)=n)
         names.append(f"__z_{c}")
-        out = out.withColumn(f"__z_{c}", code)
+        out = out.withColumn(f"__z_{c}", F.coalesce(code, F.lit(0).cast("long")))
     return out, names
 
 
@@ -126,6 +131,8 @@ def pruned_read(
         keep = ~((F.col(f"max_{c}") < F.lit(lo)) | (F.col(f"min_{c}") > F.lit(hi)))
         cond = cond & (keep | F.col(f"min_{c}").isNull() | F.col(f"max_{c}").isNull())
     rows = index.select("file", cond.alias("__keep")).collect()
+    if not rows:
+        raise ValueError("pruned_read: empty file index")
     total = len(rows)
     files = [r["file"] for r in rows if r["__keep"]]
     if not files:

@@ -204,3 +204,117 @@ def group_fixed_k_sample(
         .filter(F.col("__rn") <= k)
         .drop("__coin", "__rn")
     )
+
+
+def temperature_quotas(
+    df: DataFrame, total: int, alpha: float = 0.5, group_col: str = "source",
+) -> DataFrame:
+    """Per-group document quotas for a temperature-flattened corpus mix
+    (the multilingual-sampling rule of mBERT/XLM-R/UniMax, all public):
+    group g with n_g documents gets
+
+        quota_g = min( n_g,  floor( total * n_g^alpha / sum_h n_h^alpha ) )
+
+    alpha=1 keeps natural proportions, alpha=0 is uniform across groups,
+    and the usual 0.2-0.7 range up-samples tail groups without letting any
+    head group dominate. Deterministic floor rounding means the quotas sum
+    to <= total (never over-draw).
+
+    One grouped count collapses the corpus to a groups-sized table; the
+    share normalization is a window over THAT table only — never over the
+    data. Returns (group, n_rows, quota)."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    denom = F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))).over(
+        Window.partitionBy()
+    )
+    share = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha))) / denom
+    # ROUND before FLOOR: the share denominator is a float sum whose
+    # summation order varies by engine/partitioning; rounding to 6 decimals
+    # keeps floor() from flipping on a last-ulp difference at an integer
+    # boundary, so quotas are reproducible everywhere
+    return counts.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        F.least(
+            F.col("n_rows"),
+            F.floor(F.round(F.lit(int(total)) * share, 6)).cast("long"),
+        ).alias("quota"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Materialize the temperature mix: each group keeps its quota_g
+    coin-smallest rows (same deterministic rank as group_fixed_k_sample,
+    but with a PER-GROUP k carried in by a join against the quotas table).
+    The quotas side is groups-sized — bounded by the label vocabulary, not
+    the data — so AQE broadcasts it; the window is the one data-sized
+    shuffle."""
+    from pyspark.sql import Window
+
+    quotas = temperature_quotas(df, total, alpha, group_col)
+    w = Window.partitionBy(group_col).orderBy("__coin", key_col)
+    return (
+        df.join(quotas.select(group_col, "quota"), group_col)
+        .withColumn("__coin", _coin(F.col(key_col), salt))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("quota"))
+        .drop("__coin", "__rn", "quota")
+    )
+
+
+def interleave_groups(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "ilv",
+) -> DataFrame:
+    """Deterministic round-robin training order across groups: adds
+    `train_pos` such that ranking by it visits groups in rotation
+    (g0 r1, g1 r1, ..., gN r1, g0 r2, ...) — the interleaving a training
+    run wants so consecutive batches never come from one source, computed
+    WITHOUT a global shuffle of the data:
+
+        train_pos = (rank_within_group - 1) * n_groups + group_index
+
+    rank_within_group orders by the md5 coin (stable, content-addressed);
+    group_index is the group's rank in lexicographic group order. Groups
+    that exhaust early leave gaps in train_pos — harmless, since the
+    loader orders by train_pos, it never requires density. One window per
+    group (the only data-sized shuffle) + a groups-sized join AQE
+    broadcasts."""
+    from pyspark.sql import Window
+
+    groups = (
+        df.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .withColumn(
+            "__gidx",
+            F.row_number().over(Window.partitionBy().orderBy("grp")) - 1,
+        )
+    )
+    n_groups = groups.groupBy().agg(F.count(F.lit(1)).alias("__ng"))
+    w = Window.partitionBy(group_col).orderBy("__coin", key_col)
+    return (
+        df.join(
+            groups.select(F.col("grp").alias(group_col), "__gidx"), group_col
+        )
+        .join(F.broadcast(n_groups))
+        .withColumn("__coin", _coin(F.col(key_col), salt))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "train_pos",
+            ((F.col("__rn") - 1) * F.col("__ng") + F.col("__gidx")).cast("long"),
+        )
+        .drop("__coin", "__rn", "__gidx", "__ng")
+    )

@@ -609,12 +609,19 @@ _d("pipeline_decontaminate", "Remove docs overlapping an eval probe set.",
    _SRC, _OUT, _TEXTCOL, _p("probe_path", mandatory=True))
 _d("pipeline_sample", "Deterministic Bernoulli/stratified/split sampling.",
    _SRC, _OUT,
-   _p("mode", default="bernoulli", values=("bernoulli", "stratified", "split")),
+   _p("mode", default="bernoulli",
+      values=("bernoulli", "stratified", "split", "fixed_k", "group_fixed_k",
+              "temperature", "weighted")),
    _p("frac", type="real", minvalue=0, maxvalue=1),
    _p("fracs", doc="per-stratum fraction map (JSON object)"),
    _p("default_frac", type="real", default="0", minvalue=0, maxvalue=1),
    _p("val_frac", type="real", default="0.1", minvalue=0, maxvalue=1),
    _p("test_frac", type="real", default="0.1", minvalue=0, maxvalue=1),
+   _p("k", type="int", minvalue=0),
+   _p("total", type="int", minvalue=0),
+   _p("alpha", type="real", default="0.5", minvalue=0, maxvalue=1),
+   _p("weight_col"),
+   _p("rate_scale", type="real", default="1"),
    _p("strata_col", default="source"),
    _p("key_col", default="doc_id"),
    _p("salt"))
@@ -685,6 +692,23 @@ _d("pipeline_kmeans", "Full-corpus Lloyd's k-means; write assignments.",
    _p("iters", type="int", default="10", minvalue=1),
    _p("vec_col", default="embedding"),
    _p("id_col", default="vec_id"))
+
+_d("pipeline_select", "DSIR importance selection toward a target slice.",
+   _SRC, _OUT,
+   _p("k", type="int", mandatory=True, minvalue=1),
+   _p("target_filter", mandatory=True,
+      doc="SQL predicate defining the target slice"),
+   _p("m", type="int", default="1024", minvalue=2),
+   _p("alpha", type="real", default="1", minvalue=0),
+   _p("gumbel_scale", type="real", default="0", minvalue=0),
+   _p("text_col", default="text"),
+   _p("key_col", default="doc_id"))
+
+_d("pipeline_interleave", "Round-robin training order across groups.",
+   _SRC, _OUT,
+   _p("strata_col", default="source"),
+   _p("key_col", default="doc_id"),
+   _p("salt", default="ilv"))
 
 _d("pipeline_audit", "Data-quality contract check (expectations table).",
    _SRC, _OUT,

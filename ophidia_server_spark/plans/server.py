@@ -323,7 +323,9 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
 
     def op_pipe_sample(engine, args, inputs):
         from ophidia_server_spark.pipeline.sampling import (
-            hash_sample, stratified_sample, train_val_test_split,
+            fixed_k_sample, group_fixed_k_sample, hash_sample,
+            stratified_sample, temperature_sample, train_val_test_split,
+            weighted_sample,
         )
 
         src = args.get("src_path") or next(
@@ -349,8 +351,67 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
                 float(args.get("test_frac", 0.1)),
                 args.get("key_col", "doc_id"), args.get("salt", "split"),
             )
+        elif mode == "fixed_k":
+            res = fixed_k_sample(
+                df, int(args["k"]), args.get("key_col", "doc_id"),
+                args.get("salt", "resv"),
+            )
+        elif mode == "group_fixed_k":
+            res = group_fixed_k_sample(
+                df, int(args["k"]), args.get("strata_col", "source"),
+                args.get("key_col", "doc_id"), args.get("salt", "gresv"),
+            )
+        elif mode == "temperature":
+            res = temperature_sample(
+                df, int(args["total"]), float(args.get("alpha", 0.5)),
+                args.get("strata_col", "source"),
+                args.get("key_col", "doc_id"), args.get("salt", "temp"),
+            )
+        elif mode == "weighted":
+            res = weighted_sample(
+                df, args["weight_col"], float(args.get("rate_scale", 1.0)),
+                args.get("key_col", "doc_id"), args.get("salt", "wsamp"),
+            )
         else:
             raise ValueError(f"unknown sampling mode: {mode}")
+        res.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_select(engine, args, inputs):
+        # DSIR target-domain selection: keep the k most target-like docs
+        from ophidia_server_spark.pipeline.dsir import dsir_select
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        res = dsir_select(
+            df,
+            int(args["k"]),
+            F.expr(str(args["target_filter"])),
+            m=int(args.get("m", 1024)),
+            alpha=float(args.get("alpha", 1.0)),
+            gumbel_scale=float(args.get("gumbel_scale", 0.0)),
+            text_col=args.get("text_col", "text"),
+            id_col=args.get("key_col", "doc_id"),
+        )
+        res.write.mode("overwrite").parquet(out)
+        return out
+
+    def op_pipe_interleave(engine, args, inputs):
+        # round-robin training order across sources/languages/clusters
+        from ophidia_server_spark.pipeline.sampling import interleave_groups
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        res = interleave_groups(
+            df, args.get("strata_col", "source"),
+            args.get("key_col", "doc_id"), args.get("salt", "ilv"),
+        )
         res.write.mode("overwrite").parquet(out)
         return out
 
@@ -787,6 +848,8 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_export": op_pipe_export,
             "pipeline_zorder": op_pipe_zorder,
             "pipeline_kmeans": op_pipe_kmeans,
+            "pipeline_select": op_pipe_select,
+            "pipeline_interleave": op_pipe_interleave,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

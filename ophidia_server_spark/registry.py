@@ -7120,3 +7120,146 @@ def sample_group_quota(spark, sf_dir):
     return smp.group_fixed_k_sample(docs, 20, "source").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + temperature mixing + training-order interleave
+# ---------------------------------------------------------------------------
+
+from ophidia_server_spark.pipeline import dsir as ds  # noqa: E402
+
+# hashed unigram+bigram bucket counts per document — the shared CTE text of
+# the dsir_* oracles (m=256, salt 'dsir'; the md5 contract of _HEX8)
+_DSIR_GC = f"""t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest(toks) AS g FROM t
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+), gc AS (
+  SELECT doc_id,
+         {_HEX8.format(key="g || ':dsir'")} % 256 AS bucket,
+         COUNT(*) AS c
+  FROM g GROUP BY 1, 2
+), tgt AS (
+  SELECT bucket, SUM(c) AS tc FROM gc
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY 1
+), raw AS (
+  SELECT bucket, SUM(c) AS rc FROM gc GROUP BY 1
+), base AS (
+  SELECT CAST(range AS BIGINT) AS bucket FROM range(256)
+), j AS (
+  SELECT bucket, CAST(COALESCE(tc, 0) AS DOUBLE) AS tc,
+         CAST(COALESCE(rc, 0) AS DOUBLE) AS rc
+  FROM base LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+), tot AS (
+  SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM j
+), llr AS (
+  SELECT bucket,
+         ln((tc + 1.0) / (tt + 256.0)) - ln((rc + 1.0) / (rt + 256.0)) AS llr
+  FROM j, tot
+), w AS (
+  SELECT doc_id, SUM(c * llr) AS w FROM gc JOIN llr USING (bucket) GROUP BY 1
+)"""
+
+
+@q(
+    "dsir_logweights",
+    f"""WITH {_DSIR_GC}
+SELECT d.doc_id, ROUND(COALESCE(w.w, 0.0), 6) AS dsir_logweight
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""",
+)
+def dsir_logweights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023; pipeline/dsir.py):
+    hashed unigram+bigram bag-of-words models fit over the English slice
+    (target) vs the whole corpus (raw), every document scored by
+    sum(c_b * log(p_b/q_b)). One tokenization explode feeds both model
+    fits; the 256-row log-ratio table broadcasts; the only data-sized
+    shuffle is the per-document weight sum. DuckDB rebuilds the identical
+    hashed features via the md5 contract and hash-matches the weights."""
+    docs = _t(spark, sf_dir)["documents"]
+    w = ds.dsir_logweights(docs, F.col("lang") == "en", m=256)
+    return w.select(
+        "doc_id", F.round("dsir_logweight", 6).alias("dsir_logweight")
+    )
+
+
+@q(
+    "dsir_select_topk",
+    f"""WITH {_DSIR_GC}
+SELECT doc_id FROM (
+  SELECT d.doc_id, ROUND(COALESCE(w.w, 0.0), 9) AS sel
+  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+  ORDER BY sel DESC, d.doc_id
+  LIMIT 40)""",
+)
+def dsir_select_topk(spark, sf_dir):
+    """The paper's deterministic top-k selection: keep the 40 most
+    target-like documents by DSIR weight (TakeOrdered — no global sort).
+    The sort key is rounded to 9 decimals so the k boundary is immune to
+    summation-order ulp noise; membership hash-matches DuckDB's."""
+    docs = _t(spark, sf_dir)["documents"]
+    return ds.dsir_select(docs, 40, F.col("lang") == "en", m=256).select("doc_id")
+
+
+@q(
+    "sample_temperature_mix",
+    """WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), q AS (
+  SELECT source, n,
+         LEAST(n, CAST(FLOOR(ROUND(
+           120 * (pow(n, 0.5) / SUM(pow(n, 0.5)) OVER ()), 6)) AS BIGINT)
+         ) AS quota
+  FROM c
+), r AS (
+  SELECT doc_id, d.source, quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents d JOIN q USING (source)
+)
+SELECT doc_id, source FROM r WHERE rn <= quota""",
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened corpus mix (the mBERT/XLM-R/UniMax sampling
+    rule; pipeline/sampling.py temperature_sample): group quotas follow
+    n_g^0.5 shares of a 120-document budget, each group keeps its quota
+    coin-smallest rows. The quota table is groups-sized (AQE broadcasts);
+    the per-group window is the one data-sized shuffle."""
+    docs = _t(spark, sf_dir)["documents"]
+    return smp.temperature_sample(docs, 120, 0.5, "source").select(
+        "doc_id", "source"
+    )
+
+
+@q(
+    "train_interleave_sources",
+    """WITH g AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS gidx
+  FROM (SELECT DISTINCT source FROM documents)
+), n AS (SELECT COUNT(*) AS ng FROM g),
+r AS (
+  SELECT doc_id, d.source, gidx,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':ilv'), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents d JOIN g USING (source)
+)
+SELECT doc_id, source, CAST((rn - 1) * ng + gidx AS BIGINT) AS train_pos
+FROM r, n""",
+)
+def train_interleave_sources(spark, sf_dir):
+    """Deterministic round-robin training order across sources
+    (pipeline/sampling.py interleave_groups): rank within group by the md5
+    coin, then train_pos = (rank-1)*n_groups + group_index — consecutive
+    positions rotate through the sources, computed with one per-group
+    window and zero global sorts. The loader just orders by train_pos."""
+    docs = _t(spark, sf_dir)["documents"]
+    return smp.interleave_groups(docs).select("doc_id", "source", "train_pos")

@@ -169,12 +169,18 @@ def _decode_value(schema, buf: memoryview, pos: int):
     if schema == "null":
         return None, pos
     if schema == "boolean":
+        if pos >= len(buf):
+            raise AvroError("truncated boolean")
         return buf[pos] != 0, pos + 1
     if schema in ("int", "long"):
         return read_long(buf, pos)
     if schema == "float":
+        if pos + 4 > len(buf):
+            raise AvroError("truncated float")
         return struct.unpack("<f", buf[pos : pos + 4])[0], pos + 4
     if schema == "double":
+        if pos + 8 > len(buf):
+            raise AvroError("truncated double")
         return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
     if schema in ("bytes", "string"):
         ln, pos = read_long(buf, pos)

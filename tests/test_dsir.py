@@ -1,0 +1,110 @@
+"""DSIR importance resampling (pipeline/dsir.py) + the temperature-mix and
+interleave samplers added alongside it (pipeline/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import dsir
+from ophidia_server_spark.pipeline.sampling import (
+    interleave_groups,
+    temperature_quotas,
+    temperature_sample,
+)
+
+
+def test_gram_counts_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    gc = dsir.hashed_gram_counts(df, m=64)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in gc.groupBy("doc_id").agg(F.sum("c").alias("n")).collect()
+    }
+    # 3 unigrams + 2 bigrams; single token -> 1 unigram; empty/null -> no rows
+    assert per_doc == {1: 5, 2: 1}
+
+
+def test_target_docs_outweigh_off_target(spark):
+    rows = [(i, "alpha beta gamma delta", "t") for i in range(10)] + [
+        (100 + i, "zig zag zog zug", "r") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, grp string")
+    w = dsir.dsir_logweights(df, F.col("grp") == "t", m=128)
+    got = {r["doc_id"]: r["dsir_logweight"] for r in w.collect()}
+    t_avg = sum(v for k, v in got.items() if k < 100) / 10
+    r_avg = sum(v for k, v in got.items() if k >= 100) / 10
+    assert t_avg > r_avg
+    sel = dsir.dsir_select(df, 10, F.col("grp") == "t", m=128)
+    assert {r["doc_id"] for r in sel.select("doc_id").collect()} == set(range(10))
+
+
+def test_empty_doc_weight_zero_and_llr_table_size(spark):
+    df = spark.createDataFrame(
+        [(1, "x y", "t"), (2, "", "r")], "doc_id int, text string, grp string"
+    )
+    w = dsir.dsir_logweights(df, F.col("grp") == "t", m=32)
+    got = {r["doc_id"]: r["dsir_logweight"] for r in w.collect()}
+    assert got[2] == 0.0
+    gc = dsir.hashed_gram_counts(df, m=32)
+    llr = dsir.bucket_logratios(gc, df.filter("grp = 't'").select("doc_id"), m=32)
+    assert llr.count() == 32
+
+
+def test_gumbel_variant_is_deterministic(spark, tables):
+    docs = tables["documents"].limit(60)
+    a = dsir.dsir_select(
+        docs, 15, F.col("lang") == "en", m=64, gumbel_scale=1.0
+    )
+    b = dsir.dsir_select(
+        docs.repartition(7), 15, F.col("lang") == "en", m=64, gumbel_scale=1.0
+    )
+    sa = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    sb = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert sa == sb and len(sa) == 15
+
+
+def test_temperature_quotas_sum_and_extremes(spark, tables):
+    docs = tables["documents"]
+    for alpha in (0.0, 0.5, 1.0):
+        q = temperature_quotas(docs, 100, alpha, "source").collect()
+        assert sum(r["quota"] for r in q) <= 100
+        assert all(r["quota"] <= r["n_rows"] for r in q)
+    # alpha=0 is uniform across groups (equal quotas up to floor rounding)
+    q0 = temperature_quotas(docs, 100, 0.0, "source").collect()
+    quotas = {r["quota"] for r in q0}
+    assert len(quotas) == 1
+
+
+def test_temperature_sample_honors_quotas(spark, tables):
+    docs = tables["documents"]
+    quotas = {
+        r["source"]: r["quota"]
+        for r in temperature_quotas(docs, 60, 0.5, "source").collect()
+    }
+    kept = (
+        temperature_sample(docs, 60, 0.5, "source")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in kept:
+        assert r["n"] == quotas[r["source"]]
+
+
+def test_interleave_rotates_groups(spark, tables):
+    docs = tables["documents"]
+    out = interleave_groups(docs)
+    rows = sorted(
+        out.select("source", "train_pos").collect(), key=lambda r: r["train_pos"]
+    )
+    n_groups = docs.select("source").distinct().count()
+    # positions are unique, and the first full rotation hits every source once
+    assert len({r["train_pos"] for r in rows}) == len(rows)
+    first = [r["source"] for r in rows[:n_groups]]
+    assert len(set(first)) == n_groups
+    # stable under repartitioning
+    again = interleave_groups(docs.repartition(11))
+    a = {(r["doc_id"], r["train_pos"]) for r in out.select("doc_id", "train_pos").collect()}
+    b = {(r["doc_id"], r["train_pos"]) for r in again.select("doc_id", "train_pos").collect()}
+    assert a == b

@@ -955,3 +955,55 @@ def test_pipeline_export_bad_format_is_param_validation_error(env, tmp_path):
     assert run.status != "OPH_ODB_STATUS_COMPLETED"
     err = run.results["x"].error or ""
     assert "format" in err
+
+
+def test_pipeline_select_temperature_interleave_stages(env, spark, tables, tmp_path):
+    # the mix-construction tail: DSIR-select toward the English slice,
+    # temperature-balance across sources, then emit the interleaved order
+    eng, _store, _src = env
+    docs = str(tmp_path / "docs_mix")
+    tables["documents"].write.mode("overwrite").parquet(docs)
+    run = eng.run({
+        "tasks": [
+            {"name": "sel", "operator": "pipeline_select",
+             "arguments": {"src_path": docs, "k": "60", "m": "128",
+                           "target_filter": "lang = 'en'",
+                           "output_path": str(tmp_path / "sel")}},
+            {"name": "tmp", "operator": "pipeline_sample",
+             "arguments": {"src_path": str(tmp_path / "sel"),
+                           "mode": "temperature", "total": "40",
+                           "alpha": "0.5",
+                           "output_path": str(tmp_path / "tsamp")},
+             "dependencies": ["sel"]},
+            {"name": "ilv", "operator": "pipeline_interleave",
+             "arguments": {"src_path": str(tmp_path / "tsamp"),
+                           "output_path": str(tmp_path / "order")},
+             "dependencies": ["tmp"]},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    sel = spark.read.parquet(str(tmp_path / "sel"))
+    assert sel.count() == 60
+    assert "dsir_logweight" in sel.columns
+    ts = spark.read.parquet(str(tmp_path / "tsamp"))
+    assert 0 < ts.count() <= 40
+    order = spark.read.parquet(str(tmp_path / "order"))
+    assert order.count() == ts.count()
+    pos = [r["train_pos"] for r in order.select("train_pos").collect()]
+    assert len(set(pos)) == len(pos)
+
+
+def test_pipeline_select_bad_k_is_param_validation_error(env, tmp_path):
+    eng, _store, _src = env
+    run = eng.run({
+        "tasks": [{
+            "name": "x", "operator": "pipeline_select",
+            "arguments": {"src_path": "/tmp/nope", "k": "0",
+                          "target_filter": "lang = 'en'",
+                          "output_path": str(tmp_path / "o")},
+        }]
+    })
+    assert run.status != "OPH_ODB_STATUS_COMPLETED"
+    assert "k" in (run.results["x"].error or "")
