@@ -141,6 +141,10 @@ HEADLINE = [
     # m-row broadcast ratio join) and the temperature-flattened corpus mix
     "dsir_logweights",
     "sample_temperature_mix",
+    # round-7: Gopher rule battery (pure map stage) and the CMS inner-product
+    # join-size estimate (two map-side sketches instead of a dry-run join)
+    "text_gopher_rules",
+    "join_cardinality_cms",
 ]
 
 

@@ -472,3 +472,25 @@ def hll_intersect_report(
             "n_exact_intersect",
         )
     )
+
+
+def cms_join_cardinality(
+    sketch_a: DataFrame, sketch_b: DataFrame,
+) -> DataFrame:
+    """Sketch-estimated equi-join output size — the count-min INNER-PRODUCT
+    estimate (Cormode/Muthukrishnan 2005 §4.2): for two sketches of the
+    join keys of A and B built with the same (d, w, salt),
+
+        |A JOIN B on k|  ~=  min over rows r of  sum_b  a[r,b] * b[r,b]
+
+    never an undercount; overcount bounded by ||a||_1 ||b||_1 / w per row.
+    This is the planning primitive a 100 TB pipeline runs BEFORE a join to
+    decide strategy (broadcast vs shuffle vs pre-filter): both inputs are
+    d*w-row tables, so the estimate costs two map-side sketch passes that
+    can be maintained incrementally (cms_merge) instead of a dry-run join.
+    Returns one row: (est_join_rows,)."""
+    prod = sketch_a.alias("a").join(
+        sketch_b.alias("b"), ["row", "bucket"]
+    ).select("row", (F.col("a.c") * F.col("b.c")).alias("p"))
+    per_row = prod.groupBy("row").agg(F.sum("p").alias("ip"))
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))

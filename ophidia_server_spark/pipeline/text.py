@@ -526,3 +526,95 @@ def perplexity_buckets(
     return tiered.select(
         "doc_id", "bigram_logprob", name_of(F.col("__t")).alias("bucket")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, appendix
+    A1.1 — the public heuristic battery most pretraining pipelines start
+    from), one boolean flag per rule plus the conjunctive `keep`:
+
+      ok_word_count   word count in [min_words, max_words]
+      ok_mean_len     mean word length in [3, 10] characters
+      ok_symbol_ratio '#' + '...' occurrences <= 0.1 per word
+      ok_bullet       <= 90% of lines start with a bullet
+      ok_ellipsis     <= 30% of lines end with an ellipsis
+      ok_alpha_words  >= 80% of words contain an alphabetic character
+      ok_stop_words   contains >= 2 of Gopher's eight stop words
+
+    Complements repetition_signals (the paper's repetition rules) and
+    quality_score (ratio features). Every rule is a JVM expression over
+    ONE tokenization and ONE line split — a pure map stage with no
+    shuffle, so the filter fuses into the scan at any corpus size."""
+    toks = tokens(F.col(text_col))
+    txt = F.col(text_col)
+    lines = F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+    n = F.size(toks)
+    n_lines = F.size(lines)
+    chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(n > 0, chars.cast("double") / n.cast("double")).otherwise(0.0)
+    hashes = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n > 0, (hashes + dots).cast("double") / n.cast("double")
+    ).otherwise(0.0)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("•")
+                | F.trim(ln).startswith("- ")
+                | F.trim(ln).startswith("* "),
+            )
+        ).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double"),
+    ).otherwise(0.0)
+    low = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    flags = {
+        "ok_word_count": (n >= min_words) & (n <= max_words),
+        "ok_mean_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_symbol_ratio": sym_ratio <= 0.1,
+        "ok_bullet": bullet_frac <= 0.9,
+        "ok_ellipsis": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stop_words": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        keep.cast("int").alias("keep"),
+    )

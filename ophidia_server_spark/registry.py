@@ -7263,3 +7263,163 @@ def train_interleave_sources(spark, sf_dir):
     window and zero global sorts. The loader just orders by train_pos."""
     docs = _t(spark, sf_dir)["documents"]
     return smp.interleave_groups(docs).select("doc_id", "source", "train_pos")
+
+
+_GOPHER_STOPS = " + ".join(
+    "(CASE WHEN list_contains(lowtoks, '%s') THEN 1 ELSE 0 END)" % w
+    for w in tx.GOPHER_STOPWORDS
+)
+
+
+@q(
+    "text_gopher_rules",
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
+         text
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    len(lines) AS nl,
+    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS chars,
+    length(text) - length(replace(text, '#', '')) AS hashes,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS dots,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_filter(lines, ln -> starts_with(trim(ln), '•')
+                              OR starts_with(trim(ln), '- ')
+                              OR starts_with(trim(ln), '* '))) AS bullets,
+    len(list_filter(lines, ln -> ends_with(trim(ln), '...')
+                              OR ends_with(trim(ln), '…'))) AS ell,
+    list_transform(toks, x -> lower(x)) AS lowtoks
+  FROM t
+), r AS (
+  SELECT doc_id,
+    CAST(n >= 20 AND n <= 100000 AS INT) AS ok_word_count,
+    CAST((CASE WHEN n > 0 THEN chars * 1.0 / n ELSE 0 END) >= 3.0
+         AND (CASE WHEN n > 0 THEN chars * 1.0 / n ELSE 0 END) <= 10.0
+         AS INT) AS ok_mean_len,
+    CAST((CASE WHEN n > 0 THEN (hashes + dots) * 1.0 / n ELSE 0 END) <= 0.1
+         AS INT) AS ok_symbol_ratio,
+    CAST((CASE WHEN nl > 0 THEN bullets * 1.0 / nl ELSE 0 END) <= 0.9
+         AS INT) AS ok_bullet,
+    CAST((CASE WHEN nl > 0 THEN ell * 1.0 / nl ELSE 0 END) <= 0.3
+         AS INT) AS ok_ellipsis,
+    CAST((CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0 END) >= 0.8
+         AS INT) AS ok_alpha_words,
+    CAST(({_GOPHER_STOPS}) >= 2 AS INT) AS ok_stop_words
+  FROM f
+)
+SELECT doc_id, ok_word_count, ok_mean_len, ok_symbol_ratio, ok_bullet,
+       ok_ellipsis, ok_alpha_words, ok_stop_words,
+       CAST(ok_word_count = 1 AND ok_mean_len = 1 AND ok_symbol_ratio = 1
+            AND ok_bullet = 1 AND ok_ellipsis = 1 AND ok_alpha_words = 1
+            AND ok_stop_words = 1 AS INT) AS keep
+FROM r""",
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher rule battery (Rae et al. 2021 A1.1; pipeline/text.py
+    gopher_quality_flags): seven named document-quality rules as boolean
+    flags + the conjunctive keep verdict. Pure map stage — one
+    tokenization, one line split, all JVM expressions, no shuffle — so the
+    filter fuses into the scan at any corpus size. DuckDB recomputes every
+    rule and hash-matches all eight columns. min_words=20 for the gate
+    corpus (the paper's 50 is a parameter)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.gopher_quality_flags(docs, min_words=20)
+
+
+_CMSJ_BUCKET = (
+    "list_reduce(list_transform("
+    "string_split(substr(md5(k || ':cmsj' || r), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) % 1024"
+)
+
+
+@q(
+    "join_cardinality_cms",
+    f"""WITH ea AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, t.r FROM orders CROSS JOIN range(4) t(r)
+), ska AS (
+  SELECT r AS row, {_CMSJ_BUCKET} AS bucket, COUNT(*) AS c FROM ea GROUP BY 1, 2
+), eb AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, t.r FROM lineitem CROSS JOIN range(4) t(r)
+), skb AS (
+  SELECT r AS row, {_CMSJ_BUCKET} AS bucket, COUNT(*) AS c FROM eb GROUP BY 1, 2
+), ip AS (
+  SELECT ska.row, SUM(ska.c * skb.c) AS ip
+  FROM ska JOIN skb ON ska.row = skb.row AND ska.bucket = skb.bucket
+  GROUP BY 1
+), est AS (SELECT MIN(ip) AS e FROM ip),
+exact AS (
+  SELECT COUNT(*) AS n FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT CAST(e AS BIGINT) AS est_join_rows, CAST(n AS BIGINT) AS exact_rows,
+       CAST(e - n AS BIGINT) AS overcount
+FROM est, exact""",
+)
+def join_cardinality_cms(spark, sf_dir):
+    """Pre-join cardinality estimation via the count-min inner product
+    (functions/sketches.py cms_join_cardinality): estimate
+    |orders JOIN lineitem ON orderkey| from two d=4 x w=1024 sketches —
+    the planning primitive that sizes a join (broadcast / shuffle /
+    pre-filter) WITHOUT running it. Both sketches are map-side passes
+    collapsing to d*w rows; the estimate itself joins two 4096-row
+    tables. The exact-count column is the gate's ground truth (documented
+    gate-only — at 100 TB only the sketches run); CMS guarantees
+    est >= exact, which the overcount column exhibits."""
+    from ophidia_server_spark.functions import sketches as sk
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].select(F.col("o_orderkey").cast("string").alias("k"))
+    li = t["lineitem"].select(F.col("l_orderkey").cast("string").alias("k"))
+    ska = sk.cms_sketch(o, "k", d=4, w=1024, salt="cmsj")
+    skb = sk.cms_sketch(li, "k", d=4, w=1024, salt="cmsj")
+    est = sk.cms_join_cardinality(ska, skb)
+    exact = o.join(li, "k").agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    return est.join(F.broadcast(exact)).select(
+        "est_join_rows", "exact_rows",
+        (F.col("est_join_rows") - F.col("exact_rows")).cast("long").alias("overcount"),
+    )
+
+
+@q(
+    "incremental_aggregate_merge",
+    """WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum,
+       CAST(CAST(MIN(v) AS DECIMAL(38,6)) AS DOUBLE) AS min,
+       CAST(CAST(MAX(v) AS DECIMAL(38,6)) AS DOUBLE) AS max,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS avg,
+       ROUND(GREATEST(
+         CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+         - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+           * (CAST(SUM(v) AS DOUBLE) / COUNT(*)), 0.0), 6) AS variance
+FROM v GROUP BY event_type""",
+)
+def incremental_aggregate_merge(spark, sf_dir):
+    """Materialized-rollup maintenance without history rescans
+    (functions/incremental.py): the events stream arrives as weekly
+    batches; each batch computes its own O(groups) distributive state
+    (count/sum/sumsq/min/max on exact decimals), states MERGE
+    associatively, and read time finalizes avg/variance. The gate splits
+    events into 4 batches by week, states each independently, merges, and
+    finalizes — the oracle aggregates the whole table directly, so the
+    hash-match PROVES state(A u B) == merge(state(A), state(B)) exactly.
+    Each batch is read once; the merge touches only state rows."""
+    from ophidia_server_spark.functions import incremental as inc
+
+    ev = _t(spark, sf_dir)["events"]
+    batches = [
+        inc.aggregate_state(
+            ev.filter(F.pmod(F.weekofyear("ts"), F.lit(4)) == i),
+            ["event_type"], "value",
+        )
+        for i in range(4)
+    ]
+    merged = inc.merge_states(["event_type"], *batches)
+    return inc.finalize_state(merged, ["event_type"])

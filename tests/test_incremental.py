@@ -1,0 +1,60 @@
+"""Mergeable exact aggregate states (functions/incremental.py)."""
+
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.functions import incremental as inc
+
+
+def _rows(df):
+    return {
+        tuple(r[k] for k in ("event_type", "count", "sum", "min", "max", "avg",
+                             "variance"))
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_whole_regardless_of_split(spark, tables):
+    ev = tables["events"]
+    whole = inc.finalize_state(
+        inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
+    )
+    for nb in (2, 3, 5):
+        batches = [
+            inc.aggregate_state(
+                ev.filter(F.pmod(F.col("event_id"), F.lit(nb)) == i),
+                ["event_type"], "value",
+            )
+            for i in range(nb)
+        ]
+        merged = inc.finalize_state(
+            inc.merge_states(["event_type"], *batches), ["event_type"]
+        )
+        assert _rows(merged) == _rows(whole), nb
+
+
+def test_merge_is_associative_and_tolerates_empty_batches(spark, tables):
+    ev = tables["events"]
+    a = inc.aggregate_state(ev.filter("event_id % 2 = 0"), ["event_type"], "value")
+    b = inc.aggregate_state(ev.filter("event_id % 2 = 1"), ["event_type"], "value")
+    empty = inc.aggregate_state(ev.filter("1 = 0"), ["event_type"], "value")
+    left = inc.merge_states(["event_type"], inc.merge_states(["event_type"], a, b), empty)
+    right = inc.merge_states(["event_type"], a, inc.merge_states(["event_type"], b, empty))
+    f = lambda s: _rows(inc.finalize_state(s, ["event_type"]))  # noqa: E731
+    assert f(left) == f(right)
+
+
+def test_finalized_metrics_match_direct_aggregation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 2.0)], "g string, v double"
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in inc.finalize_state(
+            inc.aggregate_state(df, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    assert out["a"]["count"] == 3 and out["a"]["sum"] == 9.0
+    assert out["a"]["min"] == 1.0 and out["a"]["max"] == 5.0
+    assert out["a"]["avg"] == 3.0
+    assert abs(out["a"]["variance"] - 8.0 / 3.0) < 1e-6
+    assert out["b"]["variance"] == 0.0

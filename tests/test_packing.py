@@ -190,3 +190,27 @@ def test_semantic_dedup_accepts_trained_codebook_leaders(spark):
     for cid, members in by_cluster.items():
         kept_ids = {r.vec_id for r in members if r.kept}
         assert min(m.vec_id for m in members) in kept_ids
+
+
+def test_gopher_rules_per_rule_cases(spark):
+    from ophidia_server_spark.pipeline.text import gopher_quality_flags
+
+    rows = [
+        (1, "the cat likes to be part of and that we have fun with " * 4),
+        (2, "### ### ### word " * 10),          # symbol ratio fails
+        (3, "- one\n- two\n- three\n- four"),   # bullet lines fail
+        (4, "we go on...\nand on...\nmore..."),  # ellipsis lines fail
+        (5, "1 2 3 4 5 6 7 8 9 10 " * 3),       # alpha-word ratio fails
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, min_words=5).collect()
+    }
+    assert got[1]["keep"] == 1
+    assert got[2]["ok_symbol_ratio"] == 0 and got[2]["keep"] == 0
+    assert got[3]["ok_bullet"] == 0
+    assert got[4]["ok_ellipsis"] == 0
+    assert got[5]["ok_alpha_words"] == 0
+    assert got[6]["ok_word_count"] == 0 and got[6]["keep"] == 0

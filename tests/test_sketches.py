@@ -276,3 +276,37 @@ def test_hll_intersect_inclusion_exclusion_envelope(spark):
     assert abs(rep.est_a - 3000) / 3000 < 0.25
     assert abs(rep.est_b - 4000) / 4000 < 0.25
     assert abs(rep.est_union - 5000) / 5000 < 0.25
+
+
+def test_cms_join_cardinality_never_undercounts(spark):
+    from ophidia_server_spark.functions import sketches as sk
+
+    a = spark.createDataFrame([(i % 7,) for i in range(200)], "k string")
+    b = spark.createDataFrame([(i % 5,) for i in range(150)], "k string")
+    exact = a.join(b, "k").count()
+    ska = sk.cms_sketch(a, "k", d=4, w=256, salt="jt")
+    skb = sk.cms_sketch(b, "k", d=4, w=256, salt="jt")
+    est = sk.cms_join_cardinality(ska, skb).first()["est_join_rows"]
+    assert est >= exact
+    # wide sketch on few distinct keys: collisions vanish, estimate is exact
+    ska2 = sk.cms_sketch(a, "k", d=4, w=4096, salt="jt")
+    skb2 = sk.cms_sketch(b, "k", d=4, w=4096, salt="jt")
+    est2 = sk.cms_join_cardinality(ska2, skb2).first()["est_join_rows"]
+    assert est2 == exact
+
+
+def test_cms_join_cardinality_respects_merge_law(spark):
+    from ophidia_server_spark.functions import sketches as sk
+
+    a1 = spark.createDataFrame([(i % 3,) for i in range(60)], "k string")
+    a2 = spark.createDataFrame([(i % 4,) for i in range(80)], "k string")
+    b = spark.createDataFrame([(i % 3,) for i in range(50)], "k string")
+    merged = sk.cms_merge(
+        sk.cms_sketch(a1, "k", d=4, w=512, salt="jm"),
+        sk.cms_sketch(a2, "k", d=4, w=512, salt="jm"),
+    )
+    whole = sk.cms_sketch(a1.unionByName(a2), "k", d=4, w=512, salt="jm")
+    skb = sk.cms_sketch(b, "k", d=4, w=512, salt="jm")
+    em = sk.cms_join_cardinality(merged, skb).first()["est_join_rows"]
+    ew = sk.cms_join_cardinality(whole, skb).first()["est_join_rows"]
+    assert em == ew
