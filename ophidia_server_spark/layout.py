@@ -233,3 +233,168 @@ def merge_upsert(
         "rows_before": rows_before,
         "rows_written": moved,
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: manifest-tracked table state (time travel + vacuum)
+# ---------------------------------------------------------------------------
+
+def _manifest_dir(path: str) -> str:
+    import os as _os
+
+    d = _os.path.join(path, "_manifests")
+    _os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _read_manifest(path: str, version: int | None = None) -> dict:
+    import json as _json
+    import os as _os
+
+    d = _manifest_dir(path)
+    versions = sorted(
+        int(f[1:-5]) for f in _os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"no version {v} (have {versions})")
+    with open(_os.path.join(d, f"v{v}.json")) as fh:
+        return _json.load(fh)
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All retained snapshot versions, ascending."""
+    import os as _os
+
+    d = _manifest_dir(path)
+    return sorted(
+        int(f[1:-5]) for f in _os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
+    """Append a NEW table version whose data is `df` — the manifest-swap
+    commit of every lakehouse format (Delta/Iceberg semantics, original
+    implementation): part files are immutable once written, and a version
+    is just a JSON manifest naming its files, so concurrent readers of any
+    version never see a partial state. Returns the new version number.
+
+    The first write creates v1; later writes stack v2, v3, ... with the
+    previous version fully readable (time travel) until `vacuum`."""
+    import json as _json
+    import os as _os
+
+    versions = []
+    try:
+        versions = snapshot_versions(path)
+    except FileNotFoundError:
+        pass
+    v = (versions[-1] + 1) if versions else 1
+    data_dir = _os.path.join(path, f"g{v:05d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        _os.path.join(data_dir, f)
+        for f in _os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    man = {"version": v, "op": op, "files": files,
+           "parent": versions[-1] if versions else None}
+    tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(man, fh)
+    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return v
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific table version (latest when None) — one scan over
+    exactly the files its manifest names."""
+    man = _read_manifest(path, version)
+    return spark.read.parquet(*man["files"])
+
+
+def snapshot_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str],
+) -> dict:
+    """Copy-on-write MERGE that PRESERVES history: like merge_upsert, only
+    the files containing a matched key are rewritten — but the replaced
+    files stay on disk, referenced by older manifests, and the new version's
+    manifest carries (old files - touched) + rewritten. Readers of any
+    version keep a consistent view; `vacuum` reclaims space later.
+
+    Returns {version, files_total, files_rewritten, rows_written}."""
+    import os as _os
+
+    man = _read_manifest(path)
+    store = spark.read.parquet(*man["files"])
+    upd_keys = updates.select(*key_cols).distinct()
+    tagged = store.withColumn("__file", F.input_file_name())
+    touched = sorted(
+        r["__file"].removeprefix("file://")
+        for r in tagged.join(upd_keys, key_cols, "left_semi")
+        .select("__file").distinct().collect()
+    )
+    if touched:
+        survivors = spark.read.parquet(*touched).join(
+            upd_keys, key_cols, "left_anti"
+        )
+        new_data = survivors.unionByName(updates.select(*store.columns))
+    else:
+        new_data = updates.select(*store.columns)
+
+    import json as _json
+
+    v = man["version"] + 1
+    data_dir = _os.path.join(path, f"g{v:05d}")
+    new_data.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        _os.path.join(data_dir, f)
+        for f in _os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    touched_set = set(touched)
+    kept = [
+        f for f in man["files"]
+        if f.removeprefix("file://") not in touched_set
+    ]
+    out = {"version": v, "op": "upsert", "files": kept + new_files,
+           "parent": man["version"]}
+    tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(out, fh)
+    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return {"version": v, "files_total": len(out["files"]),
+            "files_rewritten": len(touched), "rows_written": len(new_files)}
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest `keep_last` manifests and delete every data
+    file no retained manifest references — the space-reclaim step that
+    turns time travel from an unbounded cost into a retention policy.
+    Returns {kept_versions, removed_versions, deleted_files}."""
+    import os as _os
+
+    versions = snapshot_versions(path)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep = versions[-keep_last:]
+    drop = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(
+            f.removeprefix("file://") for f in _read_manifest(path, v)["files"]
+        )
+    deleted = 0
+    for v in drop:
+        for f in _read_manifest(path, v)["files"]:
+            local = f.removeprefix("file://")
+            if local not in referenced and _os.path.exists(local):
+                _os.remove(local)
+                deleted += 1
+        _os.remove(_os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return {"kept_versions": keep, "removed_versions": drop,
+            "deleted_files": deleted}

@@ -89,3 +89,77 @@ def corpus_audit(
         "rule string, kind string, n_rows long, n_violations long, "
         "violation_frac double, passed int",
     )
+
+
+def drift_report(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference batch and a new batch
+    over a numeric column — the standard production drift alarm (banking
+    scorecard lineage, public formula):
+
+        PSI = sum_b (p_new[b] - p_ref[b]) * ln(p_new[b] / p_ref[b])
+
+    over equal-width buckets fixed by the REFERENCE min/max (out-of-range
+    new values clamp into the edge buckets, so a shifted distribution
+    shows up instead of disappearing); rates are eps-smoothed so empty
+    buckets stay finite. < 0.1 reads stable, 0.1-0.25 moderate, > 0.25
+    action. Returns one row per bucket (ref_rate, new_rate, contribution)
+    plus the total in `psi` on every row — a <= n_buckets-row table.
+
+    Scale shape: one aggregate over EACH batch (min/max on the reference,
+    then two map-side-combined bucket counts) and an n_buckets-row join —
+    nothing data-sized ever shuffles beyond the two grouped counts."""
+    stats = df_ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        raise ValueError("drift_report: reference batch has no values")
+    span = (hi - lo) or 1.0
+
+    def bucket_of(df):
+        b = F.floor(
+            (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(span)
+            * n_buckets
+        )
+        b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b))
+        return df.select(b.cast("int").alias("bucket"))
+
+    def rates(df, name):
+        counts = bucket_of(df).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        total = df.count()
+        return counts.select(
+            "bucket",
+            (F.col("__c").cast("double") / F.lit(float(total))).alias(name),
+        )
+
+    spark = df_ref.sparkSession
+    base = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        base.join(rates(df_ref, "ref_rate"), "bucket", "left")
+        .join(rates(df_new, "new_rate"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ref_rate", F.lit(0.0)).alias("ref_rate"),
+            F.coalesce("new_rate", F.lit(0.0)).alias("new_rate"),
+        )
+    )
+    p = F.col("ref_rate") + F.lit(eps)
+    q = F.col("new_rate") + F.lit(eps)
+    contrib = (q - p) * F.log(q / p)
+    per = joined.select(
+        "bucket",
+        F.round("ref_rate", 6).alias("ref_rate"),
+        F.round("new_rate", 6).alias("new_rate"),
+        F.round(contrib, 6).alias("contribution"),
+    )
+    total = joined.agg(F.round(F.sum(contrib), 6).alias("psi"))
+    return per.join(F.broadcast(total))

@@ -710,6 +710,14 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_drift", "PSI distribution-drift gate vs a reference batch.",
+   _SRC, _OUT,
+   _p("ref_path", mandatory=True),
+   _p("value_col", default="value"),
+   _p("n_buckets", type="int", default="10", minvalue=2),
+   _p("max_psi", type="real", default="0", minvalue=0,
+      doc="abort when psi exceeds this (0 = report only)"))
+
 _d("pipeline_audit", "Data-quality contract check (expectations table).",
    _SRC, _OUT,
    _p("rules", doc="rule list (JSON array of {name, kind, col, ...})"),

@@ -415,6 +415,31 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_drift(engine, args, inputs):
+        # PSI drift check between a reference stage and a new batch; abort
+        # the workflow when psi exceeds the threshold (the audit-gate shape)
+        from ophidia_server_spark.pipeline.audit import drift_report
+
+        ref = spark.read.parquet(str(args["ref_path"]))
+        new = spark.read.parquet(
+            args.get("src_path") or next(
+                v for v in inputs.values() if isinstance(v, str)
+            )
+        )
+        out = str(args["output_path"])
+        rep = drift_report(
+            ref, new, args.get("value_col", "value"),
+            int(args.get("n_buckets", 10)),
+        )
+        rep.write.mode("overwrite").parquet(out)
+        psi = rep.select("psi").first()["psi"]
+        limit = float(args.get("max_psi", 0))
+        if limit and psi > limit:
+            raise ValueError(
+                f"drift gate failed: psi {psi} exceeds max_psi {limit}"
+            )
+        return out
+
     def op_pipe_contamination(engine, args, inputs):
         from ophidia_server_spark.pipeline.dedup import shingle_sets
         from ophidia_server_spark.pipeline.text import contamination_flags
@@ -850,6 +875,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_kmeans": op_pipe_kmeans,
             "pipeline_select": op_pipe_select,
             "pipeline_interleave": op_pipe_interleave,
+            "pipeline_drift": op_pipe_drift,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

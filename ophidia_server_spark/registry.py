@@ -7423,3 +7423,114 @@ def incremental_aggregate_merge(spark, sf_dir):
     ]
     merged = inc.merge_states(["event_type"], *batches)
     return inc.finalize_state(merged, ["event_type"])
+
+
+@q(
+    "layout_time_travel",
+    """WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey < 4000
+), upd AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, qty + 1000 AS qty
+  FROM base WHERE l_orderkey % 7 = 0
+), v2 AS (
+  SELECT * FROM base WHERE l_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM upd
+), s1 AS (
+  SELECT l_returnflag, SUM(qty) AS q1, COUNT(*) AS n1 FROM base GROUP BY 1
+), s2 AS (
+  SELECT l_returnflag, SUM(qty) AS q2, COUNT(*) AS n2 FROM v2 GROUP BY 1
+)
+SELECT s1.l_returnflag,
+       CAST(q1 AS DOUBLE) AS v1_qty, CAST(n1 AS BIGINT) AS v1_rows,
+       CAST(q2 AS DOUBLE) AS v2_qty, CAST(n2 AS BIGINT) AS v2_rows
+FROM s1 JOIN s2 ON s1.l_returnflag = s2.l_returnflag""",
+)
+def layout_time_travel(spark, sf_dir):
+    """Snapshot-versioned table with time travel (layout.py
+    snapshot_write/snapshot_upsert/snapshot_read — the manifest-swap
+    commit model of every lakehouse format): version 1 is a lineitem
+    slice, version 2 is a copy-on-write MERGE that adds 1000 to qty for
+    the orderkey%7 keys while rewriting ONLY the files containing them.
+    The gate reads BOTH versions afterwards and aggregates each — the
+    oracle recomputes v1 from the raw rows and v2 from the merge
+    semantics, so the hash-match proves old versions stay intact and the
+    upsert touched exactly the matched keys."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"]
+    base = li.filter("l_orderkey < 4000").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_snapshot_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(base.repartition(8, "l_orderkey"), path)
+    updates = base.filter("l_orderkey % 7 = 0").withColumn(
+        "qty", (F.col("qty") + 1000).cast("decimal(18,2)")
+    )
+    lay2.snapshot_upsert(spark, path, updates, ["l_orderkey", "l_linenumber"])
+    v1 = lay2.snapshot_read(spark, path, 1).groupBy("l_returnflag").agg(
+        F.sum("qty").cast("double").alias("v1_qty"),
+        F.count(F.lit(1)).cast("long").alias("v1_rows"),
+    )
+    v2 = lay2.snapshot_read(spark, path, 2).groupBy("l_returnflag").agg(
+        F.sum("qty").cast("double").alias("v2_qty"),
+        F.count(F.lit(1)).cast("long").alias("v2_rows"),
+    )
+    return v1.join(v2, "l_returnflag")
+
+
+@q(
+    "events_drift_psi",
+    """WITH refv AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type <> 'error'
+), newv AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type = 'error'
+), st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM refv),
+rb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END) * 10) AS INT))) AS bucket
+  FROM refv, st
+), nb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((v - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END) * 10) AS INT))) AS bucket
+  FROM newv, st
+), rr AS (
+  SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM refv) AS ref_rate
+  FROM rb GROUP BY 1
+), nr AS (
+  SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM newv) AS new_rate
+  FROM nb GROUP BY 1
+), base AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+j AS (
+  SELECT bucket, COALESCE(ref_rate, 0.0) AS p, COALESCE(new_rate, 0.0) AS q
+  FROM base LEFT JOIN rr USING (bucket) LEFT JOIN nr USING (bucket)
+), tot AS (
+  SELECT ROUND(SUM(((q + 1e-6) - (p + 1e-6)) * ln((q + 1e-6) / (p + 1e-6))), 6) AS psi
+  FROM j
+)
+SELECT bucket, ROUND(p, 6) AS ref_rate, ROUND(q, 6) AS new_rate,
+       ROUND(((q + 1e-6) - (p + 1e-6)) * ln((q + 1e-6) / (p + 1e-6)), 6)
+         AS contribution,
+       psi
+FROM j, tot""",
+)
+def events_drift_psi(spark, sf_dir):
+    """Distribution-drift alarm (pipeline/audit.py drift_report): PSI of
+    the error-event value distribution against every other event type's —
+    equal-width buckets pinned to the reference min/max, eps-smoothed
+    rates, per-bucket contributions plus the total. Two grouped counts +
+    a 10-row join; nothing data-sized shuffles. DuckDB recomputes the
+    identical bucketing and smoothed logs and hash-matches all columns."""
+    from ophidia_server_spark.pipeline.audit import drift_report
+
+    ev = _t(spark, sf_dir)["events"]
+    return drift_report(
+        ev.filter("event_type <> 'error'"),
+        ev.filter("event_type = 'error'"),
+        "value",
+        n_buckets=10,
+    )

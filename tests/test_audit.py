@@ -54,3 +54,38 @@ def test_threshold_and_validation(spark):
         aud.corpus_audit(_df(spark), [])
     with pytest.raises(ValueError, match="unique"):
         aud.corpus_audit(_df(spark), [RULES[0], RULES[0]])
+
+
+def test_drift_psi_zero_for_identical_batches(spark, tables):
+    from ophidia_server_spark.pipeline.audit import drift_report
+
+    ev = tables["events"]
+    out = drift_report(ev, ev, "value").collect()
+    assert len(out) == 10
+    assert all(abs(r["psi"]) < 1e-9 for r in out)
+    assert all(r["ref_rate"] == r["new_rate"] for r in out)
+
+
+def test_drift_psi_detects_a_shift(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.audit import drift_report
+
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = ref.select((F.col("v") + 80.0).alias("v"))  # clamps into top bucket
+    out = drift_report(ref, shifted, "v")
+    psi = out.first()["psi"]
+    assert psi > 0.25  # "action" territory for a gross shift
+    # out-of-range values land in the edge bucket, not nowhere
+    rates = {r["bucket"]: r["new_rate"] for r in out.collect()}
+    assert rates[9] > 0.5
+
+
+def test_drift_psi_empty_reference_raises(spark, tables):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.audit import drift_report
+
+    ev = tables["events"]
+    with _pytest.raises(ValueError):
+        drift_report(ev.filter("1=0"), ev, "value")

@@ -177,3 +177,67 @@ def test_merge_upsert_converges_duplicate_keys(spark, tmp_path):
     L.merge_upsert(spark, path, upd, ["k"])
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == [(1, 99.0), (2, 20.0)]
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tables, tmp_path):
+    from ophidia_server_spark.layout import (
+        snapshot_read, snapshot_upsert, snapshot_versions, snapshot_write,
+        vacuum,
+    )
+
+    path = str(tmp_path / "versioned")
+    base = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty")
+    ).filter("l_orderkey < 2000")
+    v1 = snapshot_write(base, path)
+    assert v1 == 1
+    n1 = snapshot_read(spark, path).count()
+    assert n1 == base.count()
+
+    # deterministic update slice: a key predicate, not a limit()
+    updates = base.filter("l_orderkey % 7 = 0").withColumn(
+        "qty", F.col("qty") + 1000
+    )
+    n_upd = updates.count()
+    assert n_upd > 0
+    res = snapshot_upsert(spark, path, updates, ["l_orderkey", "l_linenumber"])
+    assert res["version"] == 2 and res["files_rewritten"] >= 1
+    assert snapshot_versions(path) == [1, 2]
+
+    # v2 sees the updates, v1 is untouched (time travel)
+    v2sum = snapshot_read(spark, path, 2).agg(F.sum("qty")).first()[0]
+    v1sum = snapshot_read(spark, path, 1).agg(F.sum("qty")).first()[0]
+    assert float(v2sum) == float(v1sum) + n_upd * 1000
+    assert snapshot_read(spark, path, 2).count() == n1
+
+    # vacuum to the newest version only: v1 gone, v2 still reads
+    out = vacuum(path, keep_last=1)
+    assert out["removed_versions"] == [1] and out["deleted_files"] >= 1
+    assert snapshot_versions(path) == [2]
+    assert float(snapshot_read(spark, path).agg(F.sum("qty")).first()[0]) == float(v2sum)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_read(spark, path, 1)
+
+
+def test_snapshot_upsert_untouched_files_are_shared(spark, tables, tmp_path):
+    from ophidia_server_spark.layout import (
+        _read_manifest, snapshot_upsert, snapshot_write,
+    )
+
+    path = str(tmp_path / "shared")
+    base = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty")
+    ).filter("l_orderkey < 2000").repartition(8, "l_orderkey")
+    snapshot_write(base, path)
+    one_key = base.filter("l_orderkey = 1 AND l_linenumber = 1").withColumn(
+        "qty", F.lit(1.0)
+    )
+    res = snapshot_upsert(spark, path, one_key, ["l_orderkey", "l_linenumber"])
+    m1, m2 = _read_manifest(path, 1), _read_manifest(path, 2)
+    shared = set(m1["files"]) & set(m2["files"])
+    # a point update rewrites only the files holding that key; the rest of
+    # the table is shared between versions byte-for-byte
+    assert len(shared) == len(m1["files"]) - res["files_rewritten"]
+    assert len(shared) > 0

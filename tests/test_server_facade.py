@@ -1007,3 +1007,35 @@ def test_pipeline_select_bad_k_is_param_validation_error(env, tmp_path):
     })
     assert run.status != "OPH_ODB_STATUS_COMPLETED"
     assert "k" in (run.results["x"].error or "")
+
+
+def test_pipeline_drift_gate_reports_and_aborts(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    ref = str(tmp_path / "ref")
+    new = str(tmp_path / "new")
+    tables["events"].write.mode("overwrite").parquet(ref)
+    tables["events"].selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value + 500 AS value", "props"
+    ).write.mode("overwrite").parquet(new)
+    # report-only: completes and writes the PSI table
+    run = eng.run({
+        "tasks": [{
+            "name": "d", "operator": "pipeline_drift",
+            "arguments": {"src_path": new, "ref_path": ref,
+                          "output_path": str(tmp_path / "rep")},
+        }]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", run.results["d"].error
+    rep = spark.read.parquet(str(tmp_path / "rep"))
+    psi = rep.first()["psi"]
+    assert psi > 0.25
+    # gated: the same shift aborts when max_psi is set
+    run2 = eng.run({
+        "tasks": [{
+            "name": "d", "operator": "pipeline_drift",
+            "arguments": {"src_path": new, "ref_path": ref, "max_psi": "0.1",
+                          "output_path": str(tmp_path / "rep2")},
+        }]
+    })
+    assert run2.status != "OPH_ODB_STATUS_COMPLETED"
+    assert "psi" in (run2.results["d"].error or "")
