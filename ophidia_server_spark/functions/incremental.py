@@ -87,3 +87,66 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
         F.round(avg, 6).alias("avg"),
         F.round(F.greatest(var, F.lit(0.0)), 6).alias("variance"),
     )
+
+
+def stream_maintain_state(
+    spark,
+    src_path: str,
+    schema: str,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+) -> None:
+    """Structured-Streaming maintenance of the rollup state: a parquet
+    file stream feeds foreachBatch, each micro-batch computes ITS OWN
+    O(groups) state and merges it with the stored table, and the merge is
+    committed as a new generation directory (read-after-swap — readers
+    always see a complete generation; the single-writer manifest
+    convention this repo uses everywhere). History is never rescanned:
+    per micro-batch cost is one grouped aggregate over the batch plus a
+    state-sized merge. availableNow processes the backlog and stops, so
+    the call is batch-job-shaped; a live deployment drops that trigger."""
+    import os as _os
+
+    def _latest_gen() -> int:
+        if not _os.path.isdir(state_path):
+            return 0
+        gens = [
+            int(d[1:]) for d in _os.listdir(state_path)
+            if d.startswith("g") and d[1:].isdigit()
+        ]
+        return max(gens, default=0)
+
+    def _merge_batch(batch_df, batch_id: int) -> None:
+        new = aggregate_state(batch_df, keys, value_col)
+        gen = _latest_gen()
+        if gen > 0:
+            stored = batch_df.sparkSession.read.parquet(
+                _os.path.join(state_path, f"g{gen}")
+            )
+            new = merge_states(keys, stored, new)
+        new.write.mode("overwrite").parquet(
+            _os.path.join(state_path, f"g{gen + 1}")
+        )
+
+    (
+        spark.readStream.schema(schema).parquet(src_path)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", state_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_state(spark, state_path: str):
+    """The newest committed state generation."""
+    import os as _os
+
+    gens = [
+        int(d[1:]) for d in _os.listdir(state_path)
+        if d.startswith("g") and d[1:].isdigit()
+    ]
+    if not gens:
+        raise FileNotFoundError(f"no state generations under {state_path}")
+    return spark.read.parquet(_os.path.join(state_path, f"g{max(gens)}"))

@@ -350,3 +350,61 @@ def decode_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFram
         "doc_id long, ok int, width long, height long, n_frames long, "
         "total_delay_cs long, sum_rgb_f0 long",
     )
+
+
+def patchify_rgb(
+    df: DataFrame, src_w: int, src_h: int, patch: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ViT-style patch extraction over raw RGB frames: split each
+    src_h x src_w x 3 payload into (src_h/patch) x (src_w/patch)
+    non-overlapping patches and emit one row per patch with its mean
+    channel values — the patch-embedding input statistics a vision
+    tower's preprocessing computes. Same Arrow-batched mapInPandas shape
+    (and the same poison-tolerance contract: wrong-length payloads yield
+    ok=0 rows, never a dead batch) as resize_raw_rgb; the real embedding
+    projection slots into the numpy kernel unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    if src_w % patch or src_h % patch:
+        raise ValueError(f"{src_w}x{src_h} not divisible by patch {patch}")
+    need = src_w * src_h * 3
+    py, px = src_h // patch, src_w // patch
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "patch_row": [], "patch_col": [], "ok": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(b)
+                if len(raw) != need:
+                    rows["doc_id"].append(did)
+                    rows["patch_row"].append(-1)
+                    rows["patch_col"].append(-1)
+                    rows["ok"].append(0)
+                    for ch in ("mean_r", "mean_g", "mean_b"):
+                        rows[ch].append(0.0)
+                    continue
+                img = np.frombuffer(raw, dtype="uint8").reshape(src_h, src_w, 3)
+                # (py, patch, px, patch, 3) -> per-patch channel means
+                grid = img.reshape(py, patch, px, patch, 3).astype("float64")
+                means = grid.mean(axis=(1, 3))  # (py, px, 3)
+                for r in range(py):
+                    for c in range(px):
+                        rows["doc_id"].append(did)
+                        rows["patch_row"].append(r)
+                        rows["patch_col"].append(c)
+                        rows["ok"].append(1)
+                        rows["mean_r"].append(float(means[r, c, 0]))
+                        rows["mean_g"].append(float(means[r, c, 1]))
+                        rows["mean_b"].append(float(means[r, c, 2]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        patches,
+        "doc_id long, patch_row int, patch_col int, ok int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

@@ -7534,3 +7534,74 @@ def events_drift_psi(spark, sf_dir):
         "value",
         n_buckets=10,
     )
+
+
+@q(
+    "multimodal_patchify",
+    """WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN text
+              ELSE substr(rpad(text, 192, 'x'), 1, 192) END AS s
+  FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS patch_row, CAST(0 AS INT) AS patch_col,
+       CAST(1 AS INT) AS ok,
+       ROUND(list_sum(list_transform([0, 3, 6, 9, 24, 27, 30, 33, 48, 51, 54, 57, 72, 75, 78, 81], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_r,
+       ROUND(list_sum(list_transform([1, 4, 7, 10, 25, 28, 31, 34, 49, 52, 55, 58, 73, 76, 79, 82], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_g,
+       ROUND(list_sum(list_transform([2, 5, 8, 11, 26, 29, 32, 35, 50, 53, 56, 59, 74, 77, 80, 83], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_b
+FROM p WHERE length(s) = 192
+UNION ALL
+SELECT doc_id, CAST(0 AS INT) AS patch_row, CAST(1 AS INT) AS patch_col,
+       CAST(1 AS INT) AS ok,
+       ROUND(list_sum(list_transform([12, 15, 18, 21, 36, 39, 42, 45, 60, 63, 66, 69, 84, 87, 90, 93], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_r,
+       ROUND(list_sum(list_transform([13, 16, 19, 22, 37, 40, 43, 46, 61, 64, 67, 70, 85, 88, 91, 94], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_g,
+       ROUND(list_sum(list_transform([14, 17, 20, 23, 38, 41, 44, 47, 62, 65, 68, 71, 86, 89, 92, 95], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_b
+FROM p WHERE length(s) = 192
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS patch_row, CAST(0 AS INT) AS patch_col,
+       CAST(1 AS INT) AS ok,
+       ROUND(list_sum(list_transform([96, 99, 102, 105, 120, 123, 126, 129, 144, 147, 150, 153, 168, 171, 174, 177], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_r,
+       ROUND(list_sum(list_transform([97, 100, 103, 106, 121, 124, 127, 130, 145, 148, 151, 154, 169, 172, 175, 178], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_g,
+       ROUND(list_sum(list_transform([98, 101, 104, 107, 122, 125, 128, 131, 146, 149, 152, 155, 170, 173, 176, 179], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_b
+FROM p WHERE length(s) = 192
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS patch_row, CAST(1 AS INT) AS patch_col,
+       CAST(1 AS INT) AS ok,
+       ROUND(list_sum(list_transform([108, 111, 114, 117, 132, 135, 138, 141, 156, 159, 162, 165, 180, 183, 186, 189], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_r,
+       ROUND(list_sum(list_transform([109, 112, 115, 118, 133, 136, 139, 142, 157, 160, 163, 166, 181, 184, 187, 190], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_g,
+       ROUND(list_sum(list_transform([110, 113, 116, 119, 134, 137, 140, 143, 158, 161, 164, 167, 182, 185, 188, 191], i -> ascii(substr(s, i + 1, 1)) % 256)) / 16.0, 6) AS mean_b
+FROM p WHERE length(s) = 192
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT), CAST(-1 AS INT), CAST(0 AS INT),
+       0.0, 0.0, 0.0
+FROM p WHERE length(s) <> 192""",
+)
+def multimodal_patchify(spark, sf_dir):
+    """ViT patch extraction (pipeline/multimodal.py patchify_rgb) over the
+    same deterministic raw-RGB frames as multimodal_resize: each 8x8x3
+    payload splits into four 4x4 patches whose per-channel means DuckDB
+    recomputes from static flat offsets over the padded text — all six
+    value columns hash-matched. Poison-length payloads (every 50th doc)
+    degrade to an ok=0 row per document, graded too."""
+    import pandas as pd
+
+    need = 8 * 8 * 3
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_raw(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytes(ord(c) % 256 for c in txt)
+                if did % 50 != 0:
+                    raw = (raw + b"x" * need)[:need]
+                payloads.append(raw)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_raw, "doc_id long, payload binary")
+    out = mm.patchify_rgb(blobs, 8, 8, 4)
+    return out.select(
+        "doc_id", "patch_row", "patch_col", "ok",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

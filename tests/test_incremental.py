@@ -58,3 +58,28 @@ def test_finalized_metrics_match_direct_aggregation(spark):
     assert out["a"]["avg"] == 3.0
     assert abs(out["a"]["variance"] - 8.0 / 3.0) < 1e-6
     assert out["b"]["variance"] == 0.0
+
+
+def test_stream_maintained_state_equals_batch(spark, tables, tmp_path):
+    # the stream-vs-batch equivalence law: maintaining the state over
+    # micro-batches of a file stream ends at exactly the state a one-shot
+    # batch aggregation computes
+    src = str(tmp_path / "stream_src")
+    state = str(tmp_path / "state")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    # three "arrival" files so availableNow sees a multi-file backlog
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    inc.stream_maintain_state(
+        spark, src, "event_id long, event_type string, value double",
+        state, ["event_type"], "value",
+    )
+    streamed = inc.finalize_state(
+        inc.read_state(spark, state), ["event_type"]
+    )
+    batch = inc.finalize_state(
+        inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
+    )
+    assert _rows(streamed) == _rows(batch)

@@ -219,3 +219,31 @@ def test_perplexity_buckets_sketch_agrees_with_ntile(spark):
     # the sketch path has no global-sort window over the corpus
     plan = approx._jdf.queryExecution().optimizedPlan().toString()
     assert "ntile" not in plan.lower()
+
+
+def test_patchify_means_match_numpy_reference(spark):
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from ophidia_server_spark.pipeline.multimodal import patchify_rgb
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [(i, f.tobytes()) for i, f in enumerate(frames)] + [(99, b"short")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = patchify_rgb(df, 8, 8, 4).collect()
+    by_key = {(r["doc_id"], r["patch_row"], r["patch_col"]): r for r in got}
+    for i, f in enumerate(frames):
+        grid = f.reshape(2, 4, 2, 4, 3).astype("float64").mean(axis=(1, 3))
+        for r in range(2):
+            for c in range(2):
+                row = by_key[(i, r, c)]
+                assert row["ok"] == 1
+                assert abs(row["mean_r"] - grid[r, c, 0]) < 1e-9
+                assert abs(row["mean_b"] - grid[r, c, 2]) < 1e-9
+    assert by_key[(99, -1, -1)]["ok"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        patchify_rgb(df, 8, 7, 4)
