@@ -315,7 +315,9 @@ def snapshot_read(
     """Read a specific table version (latest when None) — one scan over
     exactly the files its manifest names."""
     man = _read_manifest(path, version)
-    return spark.read.parquet(*man["files"])
+    # mergeSchema: a version written after a schema-evolving upsert may mix
+    # files with and without the new columns; readers see NULLs for the old
+    return spark.read.option("mergeSchema", "true").parquet(*man["files"])
 
 
 def snapshot_upsert(
@@ -340,12 +342,12 @@ def snapshot_upsert(
         .select("__file").distinct().collect()
     )
     if touched:
-        survivors = spark.read.parquet(*touched).join(
-            upd_keys, key_cols, "left_anti"
-        )
-        new_data = survivors.unionByName(updates.select(*store.columns))
+        survivors = spark.read.option("mergeSchema", "true").parquet(
+            *touched
+        ).join(upd_keys, key_cols, "left_anti")
+        new_data = survivors.unionByName(updates, allowMissingColumns=True)
     else:
-        new_data = updates.select(*store.columns)
+        new_data = updates
 
     import json as _json
 
@@ -398,3 +400,51 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
         _os.remove(_os.path.join(_manifest_dir(path), f"v{v}.json"))
     return {"kept_versions": keep, "removed_versions": drop,
             "deleted_files": deleted}
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str] | None = None,
+    target_mb: int = 128,
+    bits: int = 10,
+) -> dict:
+    """The lakehouse OPTIMIZE command for the snapshot store: rewrite the
+    LATEST version as a new one whose data is (a) compacted toward
+    `target_mb` files and (b) optionally Z-order-clustered on
+    `zorder_cols` so min/max file skipping works on every clustered
+    column. Pure layout change — the new version is row-identical to its
+    parent (the gate hashes that), old versions stay readable, and vacuum
+    reclaims the un-optimized files later. This is the maintenance job a
+    100 TB table runs off-peak: reads before it are correct, reads after
+    it are fast."""
+    import json as _json
+    import math as _math
+    import os as _os
+
+    man = _read_manifest(path)
+    df = spark.read.option("mergeSchema", "true").parquet(*man["files"])
+    rows = df.count()
+    size = sum(
+        _os.path.getsize(f.removeprefix("file://"))
+        for f in man["files"] if _os.path.exists(f.removeprefix("file://"))
+    )
+    files = max(1, _math.ceil(size / (target_mb * 1024 * 1024)))
+    v = man["version"] + 1
+    data_dir = _os.path.join(path, f"g{v:05d}")
+    if zorder_cols:
+        zorder_write(df, data_dir, zorder_cols, files=files, bits=bits)
+    else:
+        df.repartition(files).write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        _os.path.join(data_dir, f)
+        for f in _os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    out = {"version": v, "op": "optimize", "files": new_files,
+           "parent": man["version"]}
+    tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(out, fh)
+    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    return {"version": v, "files_before": len(man["files"]),
+            "files_after": len(new_files), "rows": rows}

@@ -710,6 +710,16 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_snapshot", "Versioned-table commit: write/upsert/optimize/vacuum.",
+   _p("table_path", mandatory=True),
+   _p("action", default="write",
+      values=("write", "upsert", "optimize", "vacuum")),
+   _p("src_path"),
+   _p("key_cols", doc="'|'-separated MERGE keys (upsert)"),
+   _p("columns", doc="'|'-separated Z-order columns (optimize)"),
+   _p("target_mb", type="int", default="128", minvalue=1),
+   _p("keep_last", type="int", default="1", minvalue=1))
+
 _d("pipeline_drift", "PSI distribution-drift gate vs a reference batch.",
    _SRC, _OUT,
    _p("ref_path", mandatory=True),

@@ -377,6 +377,44 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_snapshot(engine, args, inputs):
+        # versioned-table stage: write / upsert / optimize / vacuum against
+        # a snapshot store (layout.py manifest-swap commits)
+        from ophidia_server_spark import layout as lay
+
+        path = str(args["table_path"])
+        action = str(args.get("action", "write"))
+        if action == "write":
+            src = args.get("src_path") or next(
+                v for v in inputs.values() if isinstance(v, str)
+            )
+            v = lay.snapshot_write(spark.read.parquet(src), path)
+            return f"{path}@v{v}"
+        if action == "upsert":
+            src = args.get("src_path") or next(
+                v for v in inputs.values() if isinstance(v, str)
+            )
+            keys = args["key_cols"]
+            if isinstance(keys, str):
+                keys = [k for k in keys.split("|") if k]
+            res = lay.snapshot_upsert(
+                spark, path, spark.read.parquet(src), list(keys)
+            )
+            return f"{path}@v{res['version']}"
+        if action == "optimize":
+            cols = args.get("columns")
+            if isinstance(cols, str):
+                cols = [c for c in cols.split("|") if c]
+            res = lay.snapshot_optimize(
+                spark, path, zorder_cols=list(cols) if cols else None,
+                target_mb=int(args.get("target_mb", 128)),
+            )
+            return f"{path}@v{res['version']}"
+        if action == "vacuum":
+            lay.vacuum(path, keep_last=int(args.get("keep_last", 1)))
+            return path
+        raise ValueError(f"unknown snapshot action: {action}")
+
     def op_pipe_select(engine, args, inputs):
         # DSIR target-domain selection: keep the k most target-like docs
         from ophidia_server_spark.pipeline.dsir import dsir_select
@@ -876,6 +914,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_select": op_pipe_select,
             "pipeline_interleave": op_pipe_interleave,
             "pipeline_drift": op_pipe_drift,
+            "pipeline_snapshot": op_pipe_snapshot,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

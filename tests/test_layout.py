@@ -241,3 +241,61 @@ def test_snapshot_upsert_untouched_files_are_shared(spark, tables, tmp_path):
     # the table is shared between versions byte-for-byte
     assert len(shared) == len(m1["files"]) - res["files_rewritten"]
     assert len(shared) > 0
+
+
+def test_snapshot_schema_evolution_on_upsert(spark, tables, tmp_path):
+    from ophidia_server_spark.layout import (
+        snapshot_read, snapshot_upsert, snapshot_write,
+    )
+
+    path = str(tmp_path / "evolve")
+    base = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty")
+    ).filter("l_orderkey < 1000").repartition(4, "l_orderkey")
+    snapshot_write(base, path)
+    upd = base.filter("l_orderkey % 5 = 0").withColumn(
+        "qty", F.col("qty") + 1
+    ).withColumn("source_tag", F.lit("batch2"))
+    snapshot_upsert(spark, path, upd, ["l_orderkey", "l_linenumber"])
+    v2 = snapshot_read(spark, path, 2)
+    assert "source_tag" in v2.columns
+    tagged = v2.filter("source_tag = 'batch2'").count()
+    untouched = v2.filter("source_tag IS NULL").count()
+    assert tagged == upd.count()
+    assert tagged + untouched == base.count()
+    # v1 readable and without the new column
+    assert "source_tag" not in snapshot_read(spark, path, 1).columns
+
+
+def test_snapshot_optimize_preserves_rows_and_improves_layout(spark, tables, tmp_path):
+    from ophidia_server_spark.layout import (
+        _read_manifest, build_file_index, pruned_read, snapshot_optimize,
+        snapshot_read, snapshot_write,
+    )
+
+    path = str(tmp_path / "opt")
+    base = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", F.col("l_quantity").alias("qty")
+    ).repartition(16)
+    snapshot_write(base, path)
+    res = snapshot_optimize(
+        spark, path, zorder_cols=["l_partkey", "l_suppkey"], target_mb=1
+    )
+    assert res["version"] == 2
+    v1 = snapshot_read(spark, path, 1)
+    v2 = snapshot_read(spark, path, 2)
+    assert v1.count() == v2.count() == res["rows"]
+    # row-identical: same multiset of keyed rows
+    a = v1.groupBy().agg(F.sum("qty"), F.sum("l_partkey")).first()
+    b = v2.groupBy().agg(F.sum("qty"), F.sum("l_partkey")).first()
+    assert [float(x) for x in a] == [float(x) for x in b]
+    # the optimized generation actually skips files for a tight rectangle
+    m2 = _read_manifest(path, 2)
+    if len(m2["files"]) > 1:
+        idx = build_file_index(
+            spark, f"{path}/g{res['version']:05d}", ["l_partkey", "l_suppkey"]
+        )
+        _, read, total = pruned_read(
+            spark, idx, {"l_partkey": (1, 20), "l_suppkey": (1, 3)}
+        )
+        assert read < total

@@ -1039,3 +1039,53 @@ def test_pipeline_drift_gate_reports_and_aborts(env, spark, tables, tmp_path):
     })
     assert run2.status != "OPH_ODB_STATUS_COMPLETED"
     assert "psi" in (run2.results["d"].error or "")
+
+
+def test_pipeline_snapshot_lifecycle(env, spark, tables, tmp_path):
+    # write -> upsert -> optimize -> vacuum as chained facade tasks: the
+    # versioned-table lifecycle a corpus store runs in production
+    eng, _store, _src = env
+    src = str(tmp_path / "snap_src")
+    upd = str(tmp_path / "snap_upd")
+    table = str(tmp_path / "snap_table")
+    base = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.col("l_quantity").alias("qty"),
+    ).filter("l_orderkey < 2000")
+    base.write.mode("overwrite").parquet(src)
+    base.filter("l_orderkey % 9 = 0").withColumn(
+        "qty", F.col("qty") + 7
+    ).write.mode("overwrite").parquet(upd)
+    run = eng.run({
+        "tasks": [
+            {"name": "w", "operator": "pipeline_snapshot",
+             "arguments": {"table_path": table, "action": "write",
+                           "src_path": src}},
+            {"name": "u", "operator": "pipeline_snapshot",
+             "arguments": {"table_path": table, "action": "upsert",
+                           "src_path": upd,
+                           "key_cols": "l_orderkey|l_linenumber"},
+             "dependencies": ["w"]},
+            {"name": "o", "operator": "pipeline_snapshot",
+             "arguments": {"table_path": table, "action": "optimize",
+                           "columns": "l_partkey|l_suppkey",
+                           "target_mb": "1"},
+             "dependencies": ["u"]},
+            {"name": "v", "operator": "pipeline_snapshot",
+             "arguments": {"table_path": table, "action": "vacuum",
+                           "keep_last": "1"},
+             "dependencies": ["o"]},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    from ophidia_server_spark.layout import snapshot_read, snapshot_versions
+
+    assert snapshot_versions(table) == [3]
+    final = snapshot_read(spark, table)
+    assert final.count() == base.count()
+    n_upd = base.filter("l_orderkey % 9 = 0").count()
+    got = float(final.agg(F.sum("qty")).first()[0])
+    want = float(base.agg(F.sum("qty")).first()[0]) + 7 * n_upd
+    assert abs(got - want) < 1e-6
