@@ -494,3 +494,81 @@ def cms_join_cardinality(
     ).select("row", (F.col("a.c") * F.col("b.c")).alias("p"))
     per_row = prod.groupBy("row").agg(F.sum("p").alias("ip"))
     return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+
+
+def dds_sketch_by(
+    df: DataFrame, value_col: str, split_col, alpha: float = 0.01
+) -> DataFrame:
+    """Per-group DDSketch: (split, bucket, c) — the per-service /
+    per-tenant latency-quantile shape. One grouped aggregate; the table
+    holds O(groups * log(max/min)/alpha) rows, each group's sketch merges
+    independently by counter addition (dds_merge grouped by split). Same
+    value semantics (zero sentinel, negative raises) as dds_sketch."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    x = F.col(value_col).cast("double")
+    bucket = (
+        F.when(x == 0, F.lit(-(2**62)))
+        .when(
+            x < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("dds_sketch_by requires non-negative values, got "),
+                    x.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.ceil(F.log(x) / math.log(gamma)))
+    )
+    split = split_col if not isinstance(split_col, str) else F.col(split_col)
+    return (
+        df.select(split.alias("split"), bucket.cast("long").alias("bucket"))
+        .groupBy("split", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def dds_quantiles_by(
+    sketch: DataFrame, qs: list[float], alpha: float = 0.01
+) -> DataFrame:
+    """(split, q, est): quantiles per group from a dds_sketch_by table —
+    the same rank-semantics walk as dds_quantiles, with every window
+    PARTITIONED BY split, so the cumulative sums stay group-local and the
+    plan scales with the number of groups instead of moving everything to
+    one partition."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = (1 + alpha) / (1 - alpha)
+    w = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = Window.partitionBy("split")
+    cum = sketch.select(
+        "split", "bucket",
+        F.sum("c").over(w).alias("__cum"),
+        F.sum("c").over(total).alias("__n"),
+    ).select(
+        "split", "bucket", "__cum", "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.ceil(F.col("q") * F.col("__n"))
+    best = (
+        cum.filter(F.col("__cum") >= F.greatest(rank, F.lit(1)))
+        .groupBy("split", "q")
+        .agg(F.min("bucket").alias("__b"))
+    )
+    return best.select(
+        "split", "q",
+        F.when(F.col("__b") == -(2**62), F.lit(0.0))
+        .otherwise(
+            F.round(2.0 * F.pow(F.lit(gamma), F.col("__b")) / (gamma + 1), 6)
+        )
+        .alias("est"),
+    )

@@ -7605,3 +7605,47 @@ def multimodal_patchify(spark, sf_dir):
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@q(
+    "events_dds_quantiles_by_type",
+    """WITH sk AS (
+  SELECT event_type AS split,
+         CAST(CASE WHEN value = 0 THEN -4611686018427387904
+              ELSE CEIL(ln(CAST(value AS DOUBLE)) / ln((1+0.01)/(1-0.01)))
+              END AS BIGINT) AS bucket,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT split, bucket,
+         SUM(c) OVER (PARTITION BY split ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY split) AS n
+  FROM sk
+), qq AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+best AS (
+  SELECT split, q, MIN(bucket) AS b
+  FROM cum CROSS JOIN qq
+  WHERE cum >= GREATEST(CEIL(q * n), 1)
+  GROUP BY 1, 2
+)
+SELECT split, CAST(q AS DOUBLE) AS q,
+       CASE WHEN b = -4611686018427387904 THEN 0.0
+            ELSE ROUND(2.0 * power((1+0.01)/(1-0.01), b)
+                       / ((1+0.01)/(1-0.01) + 1), 6) END AS est
+FROM best""",
+)
+def events_dds_quantiles_by_type(spark, sf_dir):
+    """Per-group quantiles in one pass (functions/sketches.py
+    dds_sketch_by + dds_quantiles_by): p50/p95/p99 of the value
+    distribution PER EVENT TYPE from one grouped DDSketch — the
+    per-service latency-SLO shape. The sketch table is
+    O(groups * log/alpha) rows and every window is partitioned by group,
+    so nothing ever moves to a single partition; per-group sketches merge
+    independently for incremental ingest. DuckDB rebuilds the identical
+    log-spaced buckets and rank walk per group."""
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = _t(spark, sf_dir)["events"]
+    s = sk.dds_sketch_by(ev, "value", "event_type", alpha=0.01)
+    return sk.dds_quantiles_by(s, [0.5, 0.95, 0.99], alpha=0.01)

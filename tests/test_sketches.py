@@ -310,3 +310,34 @@ def test_cms_join_cardinality_respects_merge_law(spark):
     em = sk.cms_join_cardinality(merged, skb).first()["est_join_rows"]
     ew = sk.cms_join_cardinality(whole, skb).first()["est_join_rows"]
     assert em == ew
+
+
+def test_dds_by_group_matches_per_group_global_sketch(spark, tables):
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = tables["events"]
+    by = sk.dds_quantiles_by(
+        sk.dds_sketch_by(ev, "value", "event_type"), [0.5, 0.99]
+    )
+    got = {(r["split"], r["q"]): r["est"] for r in by.collect()}
+    for t in [r["event_type"] for r in ev.select("event_type").distinct().collect()]:
+        solo = sk.dds_quantiles(
+            sk.dds_sketch(ev.filter(F.col("event_type") == t), "value"),
+            [0.5, 0.99],
+        )
+        for r in solo.collect():
+            assert got[(t, r["q"])] == r["est"], (t, r["q"])
+
+
+def test_dds_by_group_merge_law(spark, tables):
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = tables["events"]
+    a = sk.dds_sketch_by(ev.filter("event_id % 2 = 0"), "value", "event_type")
+    b = sk.dds_sketch_by(ev.filter("event_id % 2 = 1"), "value", "event_type")
+    merged = (
+        a.unionByName(b).groupBy("split", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = sk.dds_sketch_by(ev, "value", "event_type")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
