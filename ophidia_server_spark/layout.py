@@ -448,3 +448,80 @@ def snapshot_optimize(
     _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
     return {"version": v, "files_before": len(man["files"]),
             "files_after": len(new_files), "rows": rows}
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit log as a DataFrame: (version, op, parent,
+    n_files) straight from the manifests — O(versions) rows."""
+    rows = []
+    for v in snapshot_versions(path):
+        m = _read_manifest(path, v)
+        rows.append((m["version"], m["op"], m.get("parent"), len(m["files"])))
+    return spark.createDataFrame(
+        rows, "version int, op string, parent int, n_files int"
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table versions: one full-outer join
+    on the keys classifies every key as
+
+        insert  — present only in v_to
+        delete  — present only in v_from
+        update  — present in both with any non-key column differing
+                  (null-safe comparison; schema-evolved columns compare
+                  with NULL on the old side, so adding a populated column
+                  reads as an update)
+
+    and unchanged keys drop out. Output: key columns + change_type +
+    changed_cols (the names that differ, lexicographic). This is the diff
+    a downstream consumer replays instead of re-reading the table — the
+    CDC half of the snapshot store. One join, shuffle on the keys, no
+    collect.
+
+    `key_cols` must uniquely key both versions (CDC is defined on keyed
+    tables); duplicate keys would cross-join in the full-outer and
+    misclassify."""
+    a = snapshot_read(spark, path, v_from)
+    b = snapshot_read(spark, path, v_to)
+    val_cols = sorted(
+        (set(a.columns) | set(b.columns)) - set(key_cols)
+    )
+
+    def side(df, tag):
+        out = df
+        for c in val_cols:
+            if c not in df.columns:
+                out = out.withColumn(c, F.lit(None))
+        return out.select(
+            *key_cols, *[F.col(c).alias(f"{tag}_{c}") for c in val_cols],
+            F.lit(1).alias(f"__in_{tag}"),
+        )
+
+    j = side(a, "old").join(side(b, "new"), key_cols, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")), F.lit(c)
+                )
+                for c in val_cols
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(F.size(diffs) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type", diffs.alias("changed_cols"))
+    )

@@ -7649,3 +7649,54 @@ def events_dds_quantiles_by_type(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     s = sk.dds_sketch_by(ev, "value", "event_type", alpha=0.01)
     return sk.dds_quantiles_by(s, [0.5, 0.95, 0.99], alpha=0.01)
+
+
+@q(
+    "layout_cdc_diff",
+    """WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey < 4000
+  GROUP BY 1, 2
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'update' AS change_type, 'qty' AS changed
+FROM base WHERE l_orderkey % 7 = 0""",
+)
+def layout_cdc_diff(spark, sf_dir):
+    """Change-data-capture between snapshot versions (layout.py
+    snapshot_diff): after the layout_time_travel upsert, diffing v1
+    against v2 must emit EXACTLY the orderkey%7 keys as updates touching
+    only qty — no inserts, no deletes, nothing else. One full-outer join
+    on the keys with null-safe column comparison. The oracle derives the
+    same change set from the merge semantics directly."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"]
+    # CDC is defined on keyed tables: aggregate to a UNIQUE (orderkey,
+    # linenumber) key first (the synthetic lineitem carries duplicates)
+    base = (
+        li.filter("l_orderkey < 4000")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("qty")
+        )
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_cdc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(base.repartition(8, "l_orderkey"), path)
+    updates = base.filter("l_orderkey % 7 = 0").withColumn(
+        "qty", (F.col("qty") + 1000).cast("decimal(18,2)")
+    )
+    lay2.snapshot_upsert(spark, path, updates, ["l_orderkey", "l_linenumber"])
+    d = lay2.snapshot_diff(spark, path, 1, 2, ["l_orderkey", "l_linenumber"])
+    return d.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed"),
+    )

@@ -299,3 +299,28 @@ def test_snapshot_optimize_preserves_rows_and_improves_layout(spark, tables, tmp
             spark, idx, {"l_partkey": (1, 20), "l_suppkey": (1, 3)}
         )
         assert read < total
+
+
+def test_snapshot_diff_classifies_all_three_change_types(spark, tmp_path):
+    from ophidia_server_spark.layout import (
+        snapshot_diff, snapshot_history, snapshot_write,
+    )
+
+    path = str(tmp_path / "cdc")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    snapshot_write(v1, path)
+    snapshot_write(v2, path)
+    d = {r["k"]: r for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()}
+    assert set(d) == {2, 3, 4}  # key 1 unchanged -> absent
+    assert d[2]["change_type"] == "update" and d[2]["changed_cols"] == ["name"]
+    assert d[3]["change_type"] == "delete"
+    assert d[4]["change_type"] == "insert"
+    h = {r["version"]: r["op"] for r in snapshot_history(spark, path).collect()}
+    assert h == {1: "write", 2: "write"}
