@@ -117,7 +117,21 @@ def stream_maintain_state(
         ]
         return max(gens, default=0)
 
+
+    def _last_batch() -> int:
+        marker = _os.path.join(state_path, "_last_batch")
+        if not _os.path.exists(marker):
+            return -1
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
     def _merge_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a batch whose generation committed
+        # but whose checkpoint didn't may replay — the batch-id marker makes
+        # the merge idempotent (skip what's already folded in), which is
+        # exactly how foreachBatch sinks are supposed to dedupe
+        if batch_id <= _last_batch():
+            return
         new = aggregate_state(batch_df, keys, value_col)
         gen = _latest_gen()
         if gen > 0:
@@ -128,6 +142,10 @@ def stream_maintain_state(
         new.write.mode("overwrite").parquet(
             _os.path.join(state_path, f"g{gen + 1}")
         )
+        marker = _os.path.join(state_path, "_last_batch")
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        _os.replace(marker + ".tmp", marker)
 
     (
         spark.readStream.schema(schema).parquet(src_path)

@@ -129,16 +129,22 @@ def drift_report(
             * n_buckets
         )
         b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b))
-        return df.select(b.cast("int").alias("bucket"))
+        return df.filter(F.col(value_col).isNotNull()).select(
+            b.cast("int").alias("bucket")
+        )
 
     def rates(df, name):
+        # total = window sum over the <= n_buckets count rows — no second
+        # scan of the batch for the denominator
+        from pyspark.sql import Window
+
         counts = bucket_of(df).groupBy("bucket").agg(
             F.count(F.lit(1)).alias("__c")
         )
-        total = df.count()
+        total = F.sum("__c").over(Window.partitionBy())
         return counts.select(
             "bucket",
-            (F.col("__c").cast("double") / F.lit(float(total))).alias(name),
+            (F.col("__c").cast("double") / total.cast("double")).alias(name),
         )
 
     spark = df_ref.sparkSession

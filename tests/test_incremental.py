@@ -83,3 +83,23 @@ def test_stream_maintained_state_equals_batch(spark, tables, tmp_path):
         inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_state_resumes_on_new_arrivals(spark, tables, tmp_path):
+    # second invocation picks up ONLY the new file (checkpoint + batch-id
+    # marker make reprocessing idempotent) and the state still equals batch
+    src = str(tmp_path / "resume_src")
+    state = str(tmp_path / "resume_state")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    first = ev.filter("event_id % 2 = 0")
+    second = ev.filter("event_id % 2 = 1")
+    first.coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, event_type string, value double"
+    inc.stream_maintain_state(spark, src, schema, state, ["event_type"], "value")
+    second.coalesce(1).write.mode("append").parquet(src)
+    inc.stream_maintain_state(spark, src, schema, state, ["event_type"], "value")
+    streamed = inc.finalize_state(inc.read_state(spark, state), ["event_type"])
+    batch = inc.finalize_state(
+        inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
+    )
+    assert _rows(streamed) == _rows(batch)
