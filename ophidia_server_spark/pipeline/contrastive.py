@@ -1,0 +1,93 @@
+"""Contrastive training-pair mining: (anchor, positive, negative) triplets.
+
+Embedding models (sentence encoders, retrieval bi-encoders) train on
+triplets: an anchor document, a POSITIVE that should embed nearby, and a
+NEGATIVE that should embed far. Mining those from a raw corpus is a
+standard data-prep stage (the public SimCSE / Sentence-BERT / DPR recipe):
+positives come from near-duplicate detection, negatives from random
+sampling — here all content-addressed so the same corpus always yields the
+same triplets on any engine or cluster.
+
+Decoupled from the pair source on purpose: `pairs` is any
+(id_a, id_b, jaccard)-shaped DataFrame — the LSH-pruned
+dedup.ngram_jaccard_pairs at corpus scale, the exact bounded
+ngram_jaccard_exact for oracle work, or an embedding-similarity pair list.
+
+Scale shape:
+  positive : one window per anchor over the PAIR table (pairs-sized, far
+             smaller than the corpus) picks the highest-Jaccard partner;
+  negative : the corpus is hash-bucketed once (md5, n_buckets); each
+             anchor draws its pick-bucket deterministically and takes the
+             coin-smallest valid candidate inside it — a join bounded by
+             anchors x (n/n_buckets), never all-pairs, and n_buckets
+             scales the fan-in down at will.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.functions.hashing import coin_hex8, md5_bucket
+
+
+def contrastive_triplets(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    salt: str = "ctr",
+) -> DataFrame:
+    """(anchor, positive, pos_jaccard, negative) per anchor that has at
+    least one pair partner. Positive = the anchor's highest-Jaccard
+    partner (ties break on the lower partner id). Negative = the
+    coin-smallest candidate in the anchor's md5 pick-bucket, excluding
+    the anchor and its positive; anchors whose pick-bucket holds no valid
+    candidate drop out (vanishing probability once buckets hold more than
+    a few documents)."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col("jaccard").alias("pos_jaccard"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("positive"),
+            F.col("jaccard").alias("pos_jaccard"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("pos_jaccard"), F.asc("positive")
+    )
+    best = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pool = df.select(
+        F.col(id_col).alias("__cand"),
+        md5_bucket(F.col(id_col), n_buckets, salt + "pool").alias("__b"),
+    )
+    picked = best.withColumn(
+        "__b", md5_bucket(F.col("anchor"), n_buckets, salt + "pick")
+    )
+    cand = picked.join(pool, "__b").filter(
+        (F.col("__cand") != F.col("anchor"))
+        & (F.col("__cand") != F.col("positive"))
+    )
+    coin = coin_hex8(
+        F.concat_ws("|", F.col("__cand"), F.col("anchor")), salt
+    )
+    w2 = Window.partitionBy("anchor").orderBy("__coin", "__cand")
+    return (
+        cand.withColumn("__coin", coin)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor", "positive",
+            F.round("pos_jaccard", 6).alias("pos_jaccard"),
+            F.col("__cand").alias("negative"),
+        )
+    )

@@ -134,7 +134,14 @@ def dsir_logweights(
     the document against the target slice `target_pred` selects. ONE
     tokenization pass feeds both model fits and the weighting join; the
     ratio table is m rows (AQE broadcasts it)."""
-    gc = hashed_gram_counts(df, m, text_col, id_col, salt)
+    from pyspark.storagelevel import StorageLevel
+
+    # three consumers (target fit, raw fit, weighting join) read the gram
+    # counts — persist so the tokenization explode runs ONCE, the same
+    # cache discipline ngram_jaccard_pairs applies to its shingle sets
+    gc = hashed_gram_counts(df, m, text_col, id_col, salt).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     target_ids = df.filter(target_pred).select(id_col)
     llr = bucket_logratios(gc, target_ids, m, alpha, id_col)
     w = (

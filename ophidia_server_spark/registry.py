@@ -7700,3 +7700,77 @@ def layout_cdc_diff(spark, sf_dir):
         "change_type",
         F.array_join("changed_cols", ",").alias("changed"),
     )
+
+
+@q(
+    "train_contrastive_triplets",
+    rf"""WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id < 300
+), t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM corpus
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), sym AS (
+  SELECT id_a AS anchor, id_b AS positive, j FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, j FROM pairs
+), best AS (
+  SELECT anchor, positive, j FROM (
+    SELECT anchor, positive, j,
+           row_number() OVER (PARTITION BY anchor ORDER BY j DESC, positive) AS rn
+    FROM sym) WHERE rn = 1
+), pool AS (
+  SELECT doc_id AS cand,
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':ctrpool'")} % 8 AS b
+  FROM corpus
+), picked AS (
+  SELECT anchor, positive, j,
+         {_HEX8.format(key="CAST(anchor AS VARCHAR) || ':ctrpick'")} % 8 AS b
+  FROM best
+), neg AS (
+  SELECT anchor, positive, j, cand,
+         row_number() OVER (
+           PARTITION BY anchor
+           ORDER BY substr(md5(CAST(cand AS VARCHAR) || '|'
+                               || CAST(anchor AS VARCHAR) || ':ctr'), 1, 8),
+                    cand
+         ) AS rn
+  FROM picked JOIN pool USING (b)
+  WHERE cand <> anchor AND cand <> positive
+)
+SELECT anchor, positive, ROUND(j, 6) AS pos_jaccard, cand AS negative
+FROM neg WHERE rn = 1""",
+)
+def train_contrastive_triplets(spark, sf_dir):
+    """Contrastive triplet mining (pipeline/contrastive.py): positives are
+    each anchor's highest exact-Jaccard partner over the injected-twin
+    corpus slice (every doc_id%10==0 doc has an exact twin at +100000, so
+    twins pair at 1.0); negatives are the coin-smallest candidate in the
+    anchor's md5 pick-bucket. The gate feeds the EXACT bounded pair source
+    both engines agree on; the LSH-pruned pair source drops in unchanged
+    at corpus scale. All four columns hash-match DuckDB."""
+    from ophidia_server_spark.pipeline.contrastive import contrastive_triplets
+
+    d = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    sliced = d.filter("doc_id < 300")
+    corpus = sliced.unionByName(
+        sliced.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = dd.ngram_jaccard_exact(corpus, threshold=0.5)
+    return contrastive_triplets(corpus, pairs, n_buckets=8)

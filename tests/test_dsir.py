@@ -108,3 +108,29 @@ def test_interleave_rotates_groups(spark, tables):
     a = {(r["doc_id"], r["train_pos"]) for r in out.select("doc_id", "train_pos").collect()}
     b = {(r["doc_id"], r["train_pos"]) for r in again.select("doc_id", "train_pos").collect()}
     assert a == b
+
+
+def test_contrastive_triplets_pick_twins_as_positives(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.contrastive import contrastive_triplets
+    from ophidia_server_spark.pipeline.dedup import ngram_jaccard_exact
+
+    d = tables["documents"].select("doc_id", "text").filter("doc_id < 100")
+    corpus = d.unionByName(
+        d.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = ngram_jaccard_exact(corpus, threshold=0.5)
+    trip = contrastive_triplets(corpus, pairs, n_buckets=4)
+    rows = {r["anchor"]: r for r in trip.collect()}
+    # every injected twin anchors a triplet whose positive is its twin
+    for r in rows.values():
+        assert r["negative"] not in (r["anchor"], r["positive"])
+    for base in [k for k in rows if k >= 100000]:
+        assert rows[base]["positive"] == base - 100000
+        assert rows[base]["pos_jaccard"] == 1.0
+    # deterministic under repartitioning
+    again = contrastive_triplets(corpus.repartition(7), pairs, n_buckets=4)
+    assert {tuple(r) for r in trip.collect()} == {tuple(r) for r in again.collect()}
