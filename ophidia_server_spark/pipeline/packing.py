@@ -320,3 +320,72 @@ def _shingles_from_tokens(toks: Column, k: int) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "corpus",
+) -> DataFrame:
+    """C4-style duplicate-LINE removal (Raffel et al. 2020 §2.2 dedupes
+    three-sentence spans corpus-wide; the line variant is what most
+    open pipelines ship): split each document into lines, keep only the
+    FIRST occurrence of every distinct line across the whole corpus
+    (first = lowest (doc_id, line_no), the deterministic engine-portable
+    tiebreak), and rebuild each document from its surviving lines.
+    scope="doc" dedupes within each document only (cheaper; kills
+    boilerplate repeated inside a page without cross-doc coupling).
+
+    Plan: one posexplode, ONE line-keyed grouped min to find each line's
+    first owner (map-side partials absorb hot boilerplate lines — the
+    same de-skew shape as repeated_ngram_stats' document frequency), a
+    semi-join back on (line, owner), and a per-doc sort_array rebuild.
+    Line text itself is the shuffle key, so identical lines co-locate
+    without any broadcast of a line vocabulary."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).filter(F.trim("line") != "")
+    if scope == "doc":
+        keep = lines.groupBy(id_col, "line").agg(
+            F.min("line_no").alias("line_no")
+        )
+    elif scope == "corpus":
+        first = lines.groupBy("line").agg(
+            F.min(F.struct(id_col, "line_no")).alias("__first")
+        )
+        keep = first.select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.line_no").alias("line_no"),
+            "line",
+        )
+    else:
+        raise ValueError(f"unknown scope {scope!r} (corpus|doc)")
+    rebuilt = (
+        keep.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )

@@ -7774,3 +7774,57 @@ def train_contrastive_triplets(spark, sf_dir):
     )
     pairs = dd.ngram_jaccard_exact(corpus, threshold=0.5)
     return contrastive_triplets(corpus, pairs, n_buckets=8)
+
+
+@q(
+    "text_dedup_lines",
+    """WITH corpus AS (
+  SELECT doc_id,
+         text || chr(10) || 'COMMON FOOTER' || chr(10) || text AS text
+  FROM documents WHERE doc_id < 200
+), parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus
+), lines AS (
+  SELECT doc_id, u.r - 1 AS line_no, p[u.r] AS ln
+  FROM parts, unnest(range(1, len(p) + 1)) AS u(r)
+  WHERE trim(p[u.r]) <> ''
+), first AS (
+  SELECT doc_id, line_no, ln FROM (
+    SELECT doc_id, line_no, ln,
+           row_number() OVER (PARTITION BY ln ORDER BY doc_id, line_no) AS rn
+    FROM lines) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY line_no) AS dedup_text,
+         COUNT(*) AS n_kept
+  FROM first GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.dedup_text, '') AS dedup_text,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept
+FROM corpus c
+LEFT JOIN totals t ON c.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""",
+)
+def text_dedup_lines(spark, sf_dir):
+    """C4-style corpus-wide duplicate-line removal (pipeline/packing.py
+    dedup_lines): a constructed corpus gives every document three lines —
+    its text, a shared boilerplate footer, its text again — and the
+    operator must keep each distinct line only at its first (doc, position)
+    occurrence and rebuild the documents. The footer survives in exactly
+    one document; within-doc repeats die; the rebuilt text, line counts
+    and kept counts all hash-match DuckDB's recomputation. Line text is
+    the shuffle key (no vocabulary broadcast), min-struct first-owner
+    aggregation absorbs hot boilerplate lines map-side."""
+    from ophidia_server_spark.pipeline import packing as pk2
+
+    d = _t(spark, sf_dir)["documents"].filter("doc_id < 200")
+    corpus = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit("COMMON FOOTER"), F.col("text")
+        ).alias("text"),
+    )
+    return pk2.dedup_lines(corpus)

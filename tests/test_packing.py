@@ -214,3 +214,28 @@ def test_gopher_rules_per_rule_cases(spark):
     assert got[4]["ok_ellipsis"] == 0
     assert got[5]["ok_alpha_words"] == 0
     assert got[6]["ok_word_count"] == 0 and got[6]["keep"] == 0
+
+
+def test_dedup_lines_corpus_and_doc_scopes(spark):
+    from ophidia_server_spark.pipeline.packing import dedup_lines
+
+    rows = [
+        (1, "alpha\nFOOTER\nalpha"),
+        (2, "beta\nFOOTER\nbeta"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    corpus = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # footer kept only at its first occurrence (doc 1); within-doc repeats die
+    assert corpus[1]["dedup_text"] == "alpha\nFOOTER"
+    assert corpus[2]["dedup_text"] == "beta"
+    assert corpus[3]["dedup_text"] == "" and corpus[3]["n_lines"] == 0
+    assert corpus[1]["n_lines"] == 3 and corpus[1]["n_lines_kept"] == 2
+    doc = {r["doc_id"]: r for r in dedup_lines(df, scope="doc").collect()}
+    # doc scope: both docs keep their own footer copy, lose their repeat
+    assert doc[1]["dedup_text"] == "alpha\nFOOTER"
+    assert doc[2]["dedup_text"] == "beta\nFOOTER"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_lines(df, scope="nope")
