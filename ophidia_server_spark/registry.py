@@ -7828,3 +7828,110 @@ def text_dedup_lines(spark, sf_dir):
         ).alias("text"),
     )
     return pk2.dedup_lines(corpus)
+
+
+@q(
+    "ml_logreg_grade",
+    """SELECT CAST(1 AS INT) AS loss_noninc, CAST(1 AS INT) AS final_loss_ok,
+       CAST(1 AS INT) AS step_direction_ok, CAST(1 AS INT) AS beats_majority""",
+)
+def ml_logreg_grade(spark, sf_dir):
+    """Invariant grade for the distributed logistic-regression trainer
+    (pipeline/classifier.logreg_train) — the second iterative-ML entry
+    next to ml_kmeans_grade, run over hashed presence features of a
+    half-labeled corpus (odd doc_ids carry an injected marker phrase, so
+    the problem is separable and the trainer must actually learn).
+    Verdicts, each oracle-pinned to 1: (a) the recorded loss curve is
+    non-increasing — backtracking line search makes violation a bug, not
+    tuning; (b) an independent recomputation of the binary cross-entropy
+    at the final weights reproduces the last recorded loss to 1e-9;
+    (c) the last parameter update points along the exact gradient at the
+    previous weights — the per-bucket step ratios -(w-prev)/grad agree to
+    1e-6 relative and are positive; (d) training accuracy beats the
+    majority class by >= 10 points."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ophidia_server_spark.pipeline import classifier as clf
+    from ophidia_server_spark.pipeline.dsir import hashed_gram_counts
+
+    docs = _t(spark, sf_dir)["documents"]
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("curated marker phrase "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    gc = (
+        hashed_gram_counts(corpus, m=256)
+        .select("doc_id", "bucket", F.lit(1.0).alias("c"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = corpus.select("doc_id", "label")
+    try:
+        res = clf.logreg_train(gc, labels, m=256, iters=10, lr=1.0)
+        loss_noninc = int(
+            all(
+                res.losses[i + 1] <= res.losses[i] + 1e-12
+                for i in range(len(res.losses) - 1)
+            )
+        )
+        final_loss_ok = int(
+            abs(clf.logreg_loss_at(gc, labels, res.weights, res.bias)
+                - res.losses[-1]) < 1e-9
+        )
+        # gradient at prev params, INDEPENDENT formulation: scores via an
+        # m-row weights TABLE join (vs the trainer's literal-array lookup)
+        wtab = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(res.prev_weights)],
+            "bucket long, w double",
+        )
+        scores = (
+            gc.join(wtab, "bucket")
+            .groupBy("doc_id")
+            .agg((F.sum(F.col("c") * F.col("w")) + res.prev_bias).alias("s"))
+        )
+        err = (
+            labels.join(scores, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    1.0 / (1.0 + F.exp(-F.coalesce("s", F.lit(res.prev_bias))))
+                    - F.col("label").cast("double")
+                ).alias("e"),
+            )
+        )
+        n = labels.count()
+        grad = {
+            r["bucket"]: float(r["g"])
+            for r in gc.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("c") * F.col("e")) / n).alias("g"))
+            .collect()
+        }
+        ratios = [
+            -(res.weights[bk] - res.prev_weights[bk]) / g
+            for bk, g in grad.items()
+            if abs(g) > 1e-12
+            and abs(res.weights[bk] - res.prev_weights[bk]) > 1e-15
+        ]
+        step_direction_ok = int(
+            len(ratios) > 0
+            and all(r > 0 for r in ratios)
+            and (max(ratios) - min(ratios)) <= 1e-6 * max(ratios)
+        )
+        pred = clf.logreg_predict(gc, corpus.select("doc_id"), res.weights, res.bias)
+        j = pred.join(labels, "doc_id")
+        acc = j.filter("keep = label").count() / n
+        pos = labels.filter("label = 1").count()
+        majority = max(pos, n - pos) / n
+        beats_majority = int(acc >= majority + 0.10)
+    finally:
+        gc.unpersist()
+    return spark.createDataFrame(
+        [(loss_noninc, final_loss_ok, step_direction_ok, beats_majority)],
+        "loss_noninc int, final_loss_ok int, step_direction_ok int, "
+        "beats_majority int",
+    )
