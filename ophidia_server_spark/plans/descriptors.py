@@ -710,6 +710,16 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_classify", "Train + apply a hashed-feature quality classifier.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("label_col", default="label"),
+   _p("key_col", default="doc_id"),
+   _p("m", type="int", default="256", minvalue=2),
+   _p("iters", type="int", default="8", minvalue=1),
+   _p("lr", type="real", default="1", minvalue=0),
+   _p("threshold", type="real", default="0.5", minvalue=0, maxvalue=1),
+   _p("features", default="presence", values=("presence", "tf")))
+
 _d("pipeline_snapshot", "Versioned-table commit: write/upsert/optimize/vacuum.",
    _p("table_path", mandatory=True),
    _p("action", default="write",

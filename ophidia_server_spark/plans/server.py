@@ -377,6 +377,50 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_classify(engine, args, inputs):
+        # quality-classifier bootstrap: train logreg on a labeled stage,
+        # score a corpus stage, write (id, prob, keep)
+        from pyspark.storagelevel import StorageLevel
+
+        from ophidia_server_spark.pipeline import classifier as clf
+        from ophidia_server_spark.pipeline.dsir import hashed_gram_counts
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        m = int(args.get("m", 256))
+        labeled = spark.read.parquet(src)
+        text_col = args.get("text_col", "text")
+        id_col = args.get("key_col", "doc_id")
+        feats = hashed_gram_counts(labeled, m, text_col, id_col)
+        if args.get("features", "presence") == "presence":
+            feats = feats.select(
+                id_col, "bucket", F.lit(1.0).alias("c")
+            ).distinct()
+        else:
+            feats = clf.tf_normalize(feats, id_col)
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            res = clf.logreg_train(
+                feats,
+                labeled.select(id_col, args.get("label_col", "label")),
+                m=m,
+                iters=int(args.get("iters", 8)),
+                lr=float(args.get("lr", 1.0)),
+                id_col=id_col,
+                label_col=args.get("label_col", "label"),
+            )
+            scored = clf.logreg_predict(
+                feats, labeled.select(id_col), res.weights, res.bias,
+                id_col=id_col,
+                threshold=float(args.get("threshold", 0.5)),
+            )
+            scored.write.mode("overwrite").parquet(out)
+        finally:
+            feats.unpersist()
+        return out
+
     def op_pipe_snapshot(engine, args, inputs):
         # versioned-table stage: write / upsert / optimize / vacuum against
         # a snapshot store (layout.py manifest-swap commits)
@@ -915,6 +959,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_interleave": op_pipe_interleave,
             "pipeline_drift": op_pipe_drift,
             "pipeline_snapshot": op_pipe_snapshot,
+            "pipeline_classify": op_pipe_classify,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -1089,3 +1089,38 @@ def test_pipeline_snapshot_lifecycle(env, spark, tables, tmp_path):
     got = float(final.agg(F.sum("qty")).first()[0])
     want = float(base.agg(F.sum("qty")).first()[0]) + 7 * n_upd
     assert abs(got - want) < 1e-6
+
+
+def test_pipeline_classify_bootstrap_from_gopher_labels(env, spark, tables, tmp_path):
+    # the CCNet bootstrap: heuristic rules label the corpus, the classifier
+    # learns the rules' signal, the scored output gates the next stage
+    from ophidia_server_spark.pipeline.text import gopher_quality_flags
+
+    eng, _store, _src = env
+    docs = tables["documents"].filter("doc_id < 300")
+    labeled = docs.join(
+        gopher_quality_flags(docs, min_words=20).select(
+            "doc_id", F.col("ok_word_count").alias("label")
+        ),
+        "doc_id",
+    )
+    src = str(tmp_path / "labeled")
+    labeled.write.mode("overwrite").parquet(src)
+    run = eng.run({
+        "tasks": [{
+            "name": "c", "operator": "pipeline_classify",
+            "arguments": {"src_path": src, "m": "128", "iters": "6",
+                          "output_path": str(tmp_path / "scored")},
+        }]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", run.results["c"].error
+    scored = spark.read.parquet(str(tmp_path / "scored"))
+    assert scored.count() == docs.count()
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    # learned signal: average prob on positive-labeled docs exceeds negatives
+    means = {
+        r["label"]: r["p"]
+        for r in j.groupBy("label").agg(F.avg("prob").alias("p")).collect()
+    }
+    if len(means) == 2:
+        assert means[1] > means[0]
