@@ -145,6 +145,13 @@ HEADLINE = [
     # join-size estimate (two map-side sketches instead of a dry-run join)
     "text_gopher_rules",
     "join_cardinality_cms",
+    # round-7: C4 line-level dedup (line-keyed shuffle + per-doc rebuild),
+    # the mergeable-rollup maintenance pass, per-group DDSketch quantiles,
+    # and the versioned-store upsert + dual-version read
+    "text_dedup_lines",
+    "incremental_aggregate_merge",
+    "events_dds_quantiles_by_type",
+    "layout_time_travel",
 ]
 
 

@@ -91,3 +91,55 @@ def contrastive_triplets(
             F.col("__cand").alias("negative"),
         )
     )
+
+
+def contrastive_triplets_hard(
+    df: DataFrame,
+    pairs: DataFrame,
+    hard_pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    salt: str = "ctr",
+) -> DataFrame:
+    """Triplets with HARD negatives (the DPR/ANCE recipe): `hard_pairs`
+    holds moderately-similar pairs (a lower Jaccard band, or an ANN
+    shortlist) — similar enough to be confusable, dissimilar enough to be
+    wrong. Each anchor's negative becomes its highest-scoring hard
+    partner (ties to the lower id); anchors without a hard partner fall
+    back to the random-bucket negative, so the output covers every anchor
+    the base miner covers. Adds `neg_source` ('hard' | 'random')."""
+    from pyspark.sql import Window
+
+    base = contrastive_triplets(df, pairs, id_col, n_buckets, salt)
+    sym = hard_pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("__hn"),
+        F.col("jaccard").alias("__hj"),
+    ).unionByName(
+        hard_pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("__hn"),
+            F.col("jaccard").alias("__hj"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("__hj"), F.asc("__hn"))
+    best_hard = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor", "__hn")
+    )
+    return (
+        base.join(best_hard, "anchor", "left")
+        .select(
+            "anchor", "positive", "pos_jaccard",
+            F.coalesce(
+                # a hard negative must not equal the positive
+                F.when(F.col("__hn") != F.col("positive"), F.col("__hn")),
+                F.col("negative"),
+            ).alias("negative"),
+            F.when(
+                F.col("__hn").isNotNull() & (F.col("__hn") != F.col("positive")),
+                F.lit("hard"),
+            ).otherwise(F.lit("random")).alias("neg_source"),
+        )
+    )

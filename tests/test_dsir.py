@@ -134,3 +134,32 @@ def test_contrastive_triplets_pick_twins_as_positives(spark, tables):
     # deterministic under repartitioning
     again = contrastive_triplets(corpus.repartition(7), pairs, n_buckets=4)
     assert {tuple(r) for r in trip.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_hard_negative_triplets_prefer_the_confusable_band(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.contrastive import (
+        contrastive_triplets_hard,
+    )
+    from ophidia_server_spark.pipeline.dedup import ngram_jaccard_exact
+
+    d = tables["documents"].select("doc_id", "text").filter("doc_id < 100")
+    corpus = d.unionByName(
+        d.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pos = ngram_jaccard_exact(corpus, threshold=0.5)
+    # the hard band: similar-but-not-duplicate pairs
+    all_pairs = ngram_jaccard_exact(corpus, threshold=0.01)
+    hard = all_pairs.filter("jaccard < 0.5")
+    trip = contrastive_triplets_hard(corpus, pos, hard)
+    rows = trip.collect()
+    assert rows
+    for r in rows:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert r["neg_source"] in ("hard", "random")
+    # the hard band is dense on this corpus: most anchors get a hard negative
+    n_hard = sum(1 for r in rows if r["neg_source"] == "hard")
+    assert n_hard >= len(rows) // 2
