@@ -591,8 +591,11 @@ _SRC = _p("src_path")
 _OUT = _p("output_path", mandatory=True)
 _TEXTCOL = _p("text_col", default="text")
 
-_d("pipeline_dedup_exact", "Exact duplicate removal (hash groups).",
-   _SRC, _OUT, _TEXTCOL)
+_d("pipeline_dedup_exact", "Exact duplicate removal (document or line level).",
+   _SRC, _OUT, _TEXTCOL,
+   _p("level", default="document", values=("document", "line")),
+   _p("scope", default="corpus", values=("corpus", "doc")),
+   _p("key_col", default="doc_id"))
 _d("pipeline_quality_filter", "Heuristic text-quality filter.",
    _SRC, _OUT, _TEXTCOL,
    _p("min_quality", type="real", default="0.5", minvalue=0, maxvalue=1))

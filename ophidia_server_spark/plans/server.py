@@ -263,14 +263,26 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
     # -- LLM-pipeline operators: corpus jobs as workflow tasks ---------------
     def op_pipe_dedup(engine, args, inputs):
         from ophidia_server_spark.pipeline.dedup import dedup_exact
+        from ophidia_server_spark.pipeline.packing import dedup_lines
 
         src = args.get("src_path") or next(
             v for v in inputs.values() if isinstance(v, str)
         )
         out = str(args["output_path"])
-        dedup_exact(spark.read.parquet(src), args.get("text_col", "text")).write.mode(
-            "overwrite"
-        ).parquet(out)
+        level = args.get("level", "document")
+        if level == "document":
+            res = dedup_exact(
+                spark.read.parquet(src), args.get("text_col", "text")
+            )
+        elif level == "line":
+            res = dedup_lines(
+                spark.read.parquet(src), args.get("text_col", "text"),
+                args.get("key_col", "doc_id"),
+                scope=args.get("scope", "corpus"),
+            )
+        else:
+            raise ValueError(f"unknown dedup level: {level}")
+        res.write.mode("overwrite").parquet(out)
         return out
 
     def op_pipe_quality_filter(engine, args, inputs):

@@ -202,3 +202,37 @@ def test_repeated_ngram_hot_gram_at_scale(spark):
     cold = out.filter(F.col("doc_id") % 2 == 1)
     assert cold.filter(F.col("n_grams") != 2).count() == 0
     assert cold.filter(F.col("n_repeated") != 1).count() == 0
+
+
+def test_dedup_lines_hot_boilerplate_at_scale(spark):
+    # The same hot-key shape for line dedup: one footer line in 50% of 60k
+    # docs. The min-struct first-owner aggregation must absorb it map-side
+    # and keep the footer in exactly one document.
+    from ophidia_server_spark.pipeline.packing import dedup_lines
+
+    docs = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("unique line u"), F.col("id").cast("string"),
+                F.lit("\nHOT FOOTER LINE"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("solo line v"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = dedup_lines(docs)
+    assert out.count() == 60_000
+    kept_footer = out.filter(
+        F.col("dedup_text").contains("HOT FOOTER LINE")
+    ).count()
+    assert kept_footer == 1
+    # the first owner by (doc_id, line_no) is doc 0
+    first = out.filter(F.col("doc_id") == 0).first()
+    assert "HOT FOOTER LINE" in first["dedup_text"]
+    # every hot doc keeps its unique line
+    lost = out.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("n_lines_kept") < 1)
+    ).count()
+    assert lost == 0
