@@ -607,3 +607,43 @@ def test_signed_token_non_object_payload_is_named_401():
     tok = f"{h}.{p}." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
     with pytest.raises(TokenError, match="payload"):
         v.validate(tok)
+
+
+def test_cli_client_submit_poll_and_cancel(server, tmp_path, capsys):
+    # scripts/client.py — the oph_term-style terminal loop over the live
+    # endpoint: sync submit, async submit + poll, jobs list, status
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    client = importlib.import_module("client")
+    _, port = server
+    base = f"http://127.0.0.1:{port}"
+    wf = {"name": "cli", "tasks": [
+        {"name": "r", "operator": "oph_randcube", "arguments": {"nrows": 3}},
+    ]}
+    wf_path = tmp_path / "wf.json"
+    wf_path.write_text(json.dumps(wf))
+    rc = client.main([
+        "--url", base, "--token", "tok-admin", "submit", str(wf_path),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "OPH_ODB_STATUS_COMPLETED" in out
+    # async + poll
+    rc = client.main([
+        "--url", base, "--token", "tok-admin", "submit", str(wf_path),
+        "--async",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and '"job_id"' in out
+    assert "OPH_ODB_STATUS_COMPLETED" in out
+    # jobs listing includes both runs
+    rc = client.main(["--url", base, "--token", "tok-admin", "jobs"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count('"cli"') >= 2
+    # bad token -> nonzero exit
+    rc = client.main(["--url", base, "--token", "nope", "jobs"])
+    capsys.readouterr()
+    assert rc == 1
