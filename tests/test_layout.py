@@ -324,3 +324,32 @@ def test_snapshot_diff_classifies_all_three_change_types(spark, tmp_path):
     assert d[4]["change_type"] == "insert"
     h = {r["version"]: r["op"] for r in snapshot_history(spark, path).collect()}
     assert h == {1: "write", 2: "write"}
+
+
+def test_partitioned_write_prunes_statically_and_dynamically(spark, tables, tmp_path):
+    # the OTHER layout lever next to Z-order: hive-style date partitioning.
+    # Static pruning: a literal day filter must reach the scan as a
+    # PartitionFilter (no data files of other days touched). Dynamic
+    # pruning: joining on the partition column against a filtered dim must
+    # inject a runtime subquery filter (Spark's DPP) into the fact scan.
+    path = str(tmp_path / "events_by_day")
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+
+    one_day = ev.select(F.min("day").alias("d")).first()["d"]
+    q = back.filter(F.col("day") == F.lit(one_day))
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    assert q.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+
+    # the dim side needs a SELECTIVE predicate for Spark's DPP heuristic
+    dim = ev.select("day").distinct().filter(
+        F.col("day") <= F.date_add(F.lit(one_day), 2)
+    )
+    joined = back.join(dim, "day")
+    joined.collect()
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan[:2000]
+    assert joined.count() == ev.join(dim, "day").count()
