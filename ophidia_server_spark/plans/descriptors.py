@@ -713,6 +713,14 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_triplets", "Mine contrastive (anchor, positive, negative) triplets.",
+   _SRC, _OUT, _TEXTCOL,
+   _p("threshold", type="real", default="0.5", minvalue=0, maxvalue=1),
+   _p("hard_band_min", type="real", default="0", minvalue=0, maxvalue=1,
+      doc="> 0 turns on hard negatives from [hard_band_min, threshold)"),
+   _p("n_buckets", type="int", default="8", minvalue=1),
+   _p("key_col", default="doc_id"))
+
 _d("pipeline_classify", "Train + apply a hashed-feature quality classifier.",
    _SRC, _OUT, _TEXTCOL,
    _p("label_col", default="label"),

@@ -389,6 +389,44 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_triplets(engine, args, inputs):
+        # contrastive training pairs: LSH near-dup positives + content-
+        # addressed random negatives (optionally hard negatives from a
+        # lower-similarity band)
+        from ophidia_server_spark.pipeline.contrastive import (
+            contrastive_triplets, contrastive_triplets_hard,
+        )
+        from ophidia_server_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        thr = float(args.get("threshold", 0.5))
+        pairs = ngram_jaccard_pairs(
+            df, args.get("text_col", "text"), threshold=thr
+        )
+        hard_lo = float(args.get("hard_band_min", 0))
+        if hard_lo > 0:
+            hard = ngram_jaccard_pairs(
+                df, args.get("text_col", "text"), threshold=hard_lo
+            ).filter(F.col("jaccard") < thr).selectExpr(
+                "doc_a AS id_a", "doc_b AS id_b", "jaccard"
+            )
+            res = contrastive_triplets_hard(
+                df, pairs.selectExpr("doc_a AS id_a", "doc_b AS id_b", "jaccard"),
+                hard, args.get("key_col", "doc_id"),
+                int(args.get("n_buckets", 8)),
+            )
+        else:
+            res = contrastive_triplets(
+                df, pairs.selectExpr("doc_a AS id_a", "doc_b AS id_b", "jaccard"),
+                args.get("key_col", "doc_id"), int(args.get("n_buckets", 8)),
+            )
+        res.write.mode("overwrite").parquet(out)
+        return out
+
     def op_pipe_classify(engine, args, inputs):
         # quality-classifier bootstrap: train logreg on a labeled stage,
         # score a corpus stage, write (id, prob, keep)
@@ -972,6 +1010,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_drift": op_pipe_drift,
             "pipeline_snapshot": op_pipe_snapshot,
             "pipeline_classify": op_pipe_classify,
+            "pipeline_triplets": op_pipe_triplets,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -1124,3 +1124,28 @@ def test_pipeline_classify_bootstrap_from_gopher_labels(env, spark, tables, tmp_
     }
     if len(means) == 2:
         assert means[1] > means[0]
+
+
+def test_pipeline_triplets_stage(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    d = tables["documents"].select("doc_id", "text").filter("doc_id < 150")
+    corpus = d.unionByName(
+        d.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    src = str(tmp_path / "trip_src")
+    corpus.write.mode("overwrite").parquet(src)
+    run = eng.run({
+        "tasks": [{
+            "name": "t", "operator": "pipeline_triplets",
+            "arguments": {"src_path": src, "threshold": "0.5",
+                          "output_path": str(tmp_path / "trip")},
+        }]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", run.results["t"].error
+    trip = spark.read.parquet(str(tmp_path / "trip"))
+    rows = trip.collect()
+    assert rows
+    for r in rows:
+        assert r["negative"] not in (r["anchor"], r["positive"])
