@@ -152,6 +152,9 @@ HEADLINE = [
     "incremental_aggregate_merge",
     "events_dds_quantiles_by_type",
     "layout_time_travel",
+    # round-7 second flagship: the training-data release chain (gopher ->
+    # dedup -> DSIR select -> temperature mix -> interleave) in one plan
+    "pipeline_release_end_to_end",
 ]
 
 

@@ -7935,3 +7935,146 @@ def ml_logreg_grade(spark, sf_dir):
         "loss_noninc int, final_loss_ok int, step_direction_ok int, "
         "beats_majority int",
     )
+
+
+# DSIR gram/weight pipeline over an arbitrary source CTE (the composite
+# release chain re-fits the model on ITS OWN filtered corpus, so the shared
+# _DSIR_GC text — which is pinned to `documents` — is re-instantiated here
+# with the stage CTE as the source)
+def _dsir_w_cte(src: str) -> str:
+    return f"""t2 AS (
+  SELECT doc_id, {_TOKS.replace('text', 'text')} AS toks FROM {src}
+), g2 AS (
+  SELECT doc_id, unnest(toks) AS g FROM t2
+  UNION ALL
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM t2, unnest(range(1, len(toks))) AS r(i)
+), gc2 AS (
+  SELECT doc_id,
+         {_HEX8.format(key="g || ':dsir'")} % 256 AS bucket,
+         COUNT(*) AS c
+  FROM g2 GROUP BY 1, 2
+), tgt2 AS (
+  SELECT bucket, SUM(c) AS tc FROM gc2
+  WHERE doc_id IN (SELECT doc_id FROM {src} WHERE lang = 'en')
+  GROUP BY 1
+), raw2 AS (
+  SELECT bucket, SUM(c) AS rc FROM gc2 GROUP BY 1
+), base2 AS (
+  SELECT CAST(range AS BIGINT) AS bucket FROM range(256)
+), j2 AS (
+  SELECT bucket, CAST(COALESCE(tc, 0) AS DOUBLE) AS tc,
+         CAST(COALESCE(rc, 0) AS DOUBLE) AS rc
+  FROM base2 LEFT JOIN tgt2 USING (bucket) LEFT JOIN raw2 USING (bucket)
+), tot2 AS (
+  SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM j2
+), llr2 AS (
+  SELECT bucket,
+         ln((tc + 1.0) / (tt + 256.0)) - ln((rc + 1.0) / (rt + 256.0)) AS llr
+  FROM j2, tot2
+), w2 AS (
+  SELECT doc_id, SUM(c * llr) AS w FROM gc2 JOIN llr2 USING (bucket) GROUP BY 1
+)"""
+
+
+@q(
+    "pipeline_release_end_to_end",
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
+         text
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n, len(lines) AS nl,
+    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS chars,
+    length(text) - length(replace(text, '#', '')) AS hashes,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS dots,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_filter(lines, ln -> starts_with(trim(ln), '•')
+                              OR starts_with(trim(ln), '- ')
+                              OR starts_with(trim(ln), '* '))) AS bullets,
+    len(list_filter(lines, ln -> ends_with(trim(ln), '...')
+                              OR ends_with(trim(ln), '…'))) AS ell,
+    list_transform(toks, x -> lower(x)) AS lowtoks
+  FROM t
+), kept AS (
+  SELECT doc_id FROM f
+  WHERE n >= 20 AND n <= 100000
+    AND (CASE WHEN n > 0 THEN chars * 1.0 / n ELSE 0 END) BETWEEN 3.0 AND 10.0
+    AND (CASE WHEN n > 0 THEN (hashes + dots) * 1.0 / n ELSE 0 END) <= 0.1
+    AND (CASE WHEN nl > 0 THEN bullets * 1.0 / nl ELSE 0 END) <= 0.9
+    AND (CASE WHEN nl > 0 THEN ell * 1.0 / nl ELSE 0 END) <= 0.3
+    AND (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0 END) >= 0.8
+), gd AS (
+  SELECT d.* FROM documents d JOIN kept USING (doc_id)
+), dd AS (
+  SELECT * FROM gd
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM gd GROUP BY md5(text))
+), {_dsir_w_cte('dd')},
+sel AS (
+  SELECT dd.doc_id, dd.source FROM dd
+  LEFT JOIN w2 ON dd.doc_id = w2.doc_id
+  ORDER BY ROUND(COALESCE(w2.w, 0.0), 9) DESC, dd.doc_id
+  LIMIT 120
+), c AS (
+  SELECT source, COUNT(*) AS n FROM sel GROUP BY 1
+), qq AS (
+  SELECT source,
+         LEAST(n, CAST(FLOOR(ROUND(
+           60 * (pow(n, 0.5) / SUM(pow(n, 0.5)) OVER ()), 6)) AS BIGINT)
+         ) AS quota
+  FROM c
+), rr AS (
+  SELECT sel.doc_id, sel.source, quota,
+         row_number() OVER (
+           PARTITION BY sel.source
+           ORDER BY substr(md5(CAST(sel.doc_id AS VARCHAR) || ':temp'), 1, 8),
+                    sel.doc_id
+         ) AS rn
+  FROM sel JOIN qq USING (source)
+), mix AS (
+  SELECT doc_id, source FROM rr WHERE rn <= quota
+), grp AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS gidx
+  FROM (SELECT DISTINCT source FROM mix)
+), ngr AS (SELECT COUNT(*) AS ng FROM grp),
+ord2 AS (
+  SELECT doc_id, mix.source, gidx,
+         row_number() OVER (
+           PARTITION BY mix.source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':ilv'), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM mix JOIN grp USING (source)
+)
+SELECT doc_id, source, CAST((rn - 1) * ng + gidx AS BIGINT) AS train_pos
+FROM ord2, ngr""",
+)
+def pipeline_release_end_to_end(spark, sf_dir):
+    """The second flagship composite — a training-data RELEASE chain, one
+    lazy plan: Gopher rule filter -> exact dedup (keep-first) -> DSIR
+    top-120 toward the English slice (model re-fit on the filtered
+    corpus) -> temperature-flattened 60-doc mix across sources ->
+    round-robin interleaved training order. Five pipeline stages, every
+    one an operator the gate already grades individually; the composite
+    pins that they COMPOSE — the full DuckDB mirror recomputes the entire
+    chain and hash-matches the final (doc_id, source, train_pos) table.
+    Zero collects outside DSIR's m-row ratio table; every shuffle is
+    either keyed by content hash or group-partitioned."""
+    docs = _t(spark, sf_dir)["documents"]
+    # the rule set is corpus-tuned, as in every real pipeline: the synthetic
+    # corpus has no natural-English stop words, so the conjunctive keep drops
+    # the stop-word rule and keeps the six structural ones
+    flags = tx.gopher_quality_flags(docs, min_words=20)
+    kept = flags.filter(
+        "ok_word_count = 1 AND ok_mean_len = 1 AND ok_symbol_ratio = 1 "
+        "AND ok_bullet = 1 AND ok_ellipsis = 1 AND ok_alpha_words = 1"
+    )
+    gd = docs.join(kept.select("doc_id"), "doc_id")
+    dd1 = dd.dedup_exact(gd)
+    sel = ds.dsir_select(dd1, 120, F.col("lang") == "en", m=256).select(
+        "doc_id", "source"
+    )
+    mix = smp.temperature_sample(sel, 60, 0.5, "source")
+    return smp.interleave_groups(mix).select("doc_id", "source", "train_pos")
