@@ -618,3 +618,61 @@ def gopher_quality_flags(
         *[v.cast("int").alias(k) for k, v in flags.items()],
         keep.cast("int").alias("keep"),
     )
+
+
+def canonicalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical text key for dedup: collapse whitespace runs to single
+    spaces, trim, lowercase, then Unicode NFC (UAX #15) — the
+    normalization every real dedup pass runs FIRST so visually-identical
+    documents ("café" composed vs decomposed, NBSP vs space after the
+    collapse step, case variants) hash to the same key. Returns the input
+    plus `canon_text` and `canon_key` (md5 of the canonical form).
+
+    NFC needs the Unicode tables, so this is an Arrow-batched pandas_udf
+    over Python's unicodedata (the one C-backed implementation in the
+    container) — a pure map stage, no shuffle; the DuckDB oracle
+    recomputes the identical pipeline with its native nfc_normalize, so
+    the two independent UAX #15 implementations cross-check each other
+    (tests/test_dsir.py asserts agreement on composed/decomposed/compat
+    unicode directly)."""
+    import pandas as pd
+
+    def _canon(s: "pd.Series") -> "pd.Series":
+        import re as _re
+        import unicodedata as _ud
+
+        def one(x):
+            if x is None:
+                return None
+            # ASCII whitespace only — the cross-engine contract: DuckDB's
+            # RE2 \s is ASCII-only, Python's is Unicode-aware, so the
+            # Python side pins itself to RE2 semantics (NBSP et al. pass
+            # through and are normalized only by NFC)
+            collapsed = _re.sub(r"[ \t\r\n\f\v]+", " ", x).strip().lower()
+            return _ud.normalize("NFC", collapsed)
+
+        return s.map(one)
+
+    _canon.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    canon = F.pandas_udf(_canon, "string")(F.col(text_col))
+    out = df.withColumn("canon_text", canon)
+    return out.withColumn("canon_key", F.md5(F.col("canon_text")))
+
+
+def dedup_canonical(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on the CANONICAL key: keep the lowest-id document of
+    every canonical-equivalence class. Same keep-first shape as
+    dedup.dedup_exact, with normalization folded in front."""
+    from pyspark.sql import Window
+
+    c = canonicalize(df, text_col, id_col)
+    w = Window.partitionBy("canon_key").orderBy(id_col)
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "canon_text", "canon_key")
+    )

@@ -8078,3 +8078,23 @@ def pipeline_release_end_to_end(spark, sf_dir):
     )
     mix = smp.temperature_sample(sel, 60, 0.5, "source")
     return smp.interleave_groups(mix).select("doc_id", "source", "train_pos")
+
+
+@q(
+    "text_canonical_keys",
+    r"""SELECT doc_id,
+       nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         AS canon_text,
+       md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+         AS canon_key
+FROM documents""",
+)
+def text_canonical_keys(spark, sf_dir):
+    """Canonical dedup keys (pipeline/text.py canonicalize): whitespace
+    collapse -> trim -> lower -> Unicode NFC, hashed to md5. Spark runs
+    Python's unicodedata NFC in an Arrow map stage; DuckDB recomputes with
+    its native nfc_normalize — two independent UAX #15 implementations
+    hash-matching the full canonical text of every document (the
+    non-ASCII cases are pinned in pytest against DuckDB directly)."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.canonicalize(docs).select("doc_id", "canon_text", "canon_key")

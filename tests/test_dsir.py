@@ -163,3 +163,37 @@ def test_hard_negative_triplets_prefer_the_confusable_band(spark, tables):
     # the hard band is dense on this corpus: most anchors get a hard negative
     n_hard = sum(1 for r in rows if r["neg_source"] == "hard")
     assert n_hard >= len(rows) // 2
+
+
+def test_canonicalize_agrees_with_duckdb_on_real_unicode(spark):
+    # composed vs decomposed accents, NBSP, compatibility chars, case —
+    # the Python-unicodedata path must match DuckDB's native nfc_normalize
+    import duckdb
+
+    from ophidia_server_spark.pipeline.text import canonicalize, dedup_canonical
+
+    samples = [
+        (1, "Café  au  lait"),            # composed e-acute
+        (2, "Café au lait"),              # decomposed e + combining acute
+        (3, "CAFÉ AU LAIT"),     # upper + NBSP separators
+        (4, "straße und STRASSE"),         # sharp s (NOT folded by NFC)
+        (5, "Å vs Å"),                # angstrom sign vs A-ring
+        (6, None),
+        (7, "  plain   ascii  TEXT "),
+    ]
+    df = spark.createDataFrame(samples, "doc_id int, text string")
+    got = {r["doc_id"]: r["canon_text"] for r in canonicalize(df).collect()}
+    con = duckdb.connect()
+    for i, raw in samples:
+        want = (
+            None if raw is None else con.execute(
+                r"SELECT nfc_normalize(lower(trim(regexp_replace(?, '\s+', ' ', 'g'))))",
+                [raw],
+            ).fetchone()[0]
+        )
+        assert got[i] == want, (i, got[i], want)
+    # composed == decomposed after canonicalization -> dedup keeps one
+    kept = dedup_canonical(df.filter("doc_id IN (1, 2)"))
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # angstrom sign normalizes to A-ring: the two halves become equal
+    assert got[5].split(" vs ") [0] == got[5].split(" vs ")[1]
