@@ -8098,3 +8098,18 @@ def text_canonical_keys(spark, sf_dir):
     non-ASCII cases are pinned in pytest against DuckDB directly)."""
     docs = _t(spark, sf_dir)["documents"]
     return tx.canonicalize(docs).select("doc_id", "canon_text", "canon_key")
+
+
+@_bench_variant("join_cardinality_cms")
+def _bench_join_cardinality(spark, sf_dir):
+    # the production shape: two map-side sketches + the 4096-row inner
+    # product — WITHOUT the exact-join ground-truth column the gate keeps
+    # (documented gate-only; at 100 TB only this path runs)
+    from ophidia_server_spark.functions import sketches as sk
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].select(F.col("o_orderkey").cast("string").alias("k"))
+    li = t["lineitem"].select(F.col("l_orderkey").cast("string").alias("k"))
+    ska = sk.cms_sketch(o, "k", d=4, w=1024, salt="cmsj")
+    skb = sk.cms_sketch(li, "k", d=4, w=1024, salt="cmsj")
+    return sk.cms_join_cardinality(ska, skb)
