@@ -8113,3 +8113,33 @@ def _bench_join_cardinality(spark, sf_dir):
     ska = sk.cms_sketch(o, "k", d=4, w=1024, salt="cmsj")
     skb = sk.cms_sketch(li, "k", d=4, w=1024, salt="cmsj")
     return sk.cms_join_cardinality(ska, skb)
+
+
+@q(
+    "events_rolling_7d_user",
+    """SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+         AS sum_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW
+)""",
+)
+def events_rolling_7d_user(spark, sf_dir):
+    """Trailing 7-day per-user rolling features for every event
+    (streaming/windows.py rolling_user_window): count + exact-decimal sum
+    over a RANGE frame on event-time seconds — one key shuffle, no
+    self-join, incrementally evaluated frames. DuckDB mirrors the frame
+    bounds exactly (timestamps compared at second resolution, emitted as
+    formatted strings for the hash)."""
+    ev = _t(spark, sf_dir)["events"]
+    out = win.rolling_user_window(ev, days=7)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "n_7d", "sum_7d",
+    )

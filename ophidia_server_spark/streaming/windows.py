@@ -878,3 +878,39 @@ def json_props_profile(
             F.col("n_numeric").cast("long").alias("n_numeric"),
         )
     )
+
+
+def rolling_user_window(
+    df: DataFrame,
+    days: int = 7,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key rolling event-time aggregates: for EVERY event, the count
+    and sum of that key's events in the trailing `days`-day window ending
+    at (and including) the event — the classic feature-engineering shape
+    (txn velocity, abuse scoring, engagement features).
+
+    RANGE window over the epoch-seconds of the event time, partitioned by
+    key: one shuffle on the key, per-partition sort, and Spark's sliding
+    frame evaluates each window incrementally — no self-join, no explode
+    of the window contents. Skewed keys cost sort time within their
+    partition, not memory, because the frame is computed streamingly."""
+    from pyspark.sql import Window
+
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-(days * 86400 - 1), 0)
+    )
+    return df.select(
+        key_col,
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w).cast("long").alias(f"n_{days}d"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias(f"sum_{days}d"),
+    )

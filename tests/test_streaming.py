@@ -401,3 +401,30 @@ def test_json_props_ops_handle_mixed_and_malformed(spark):
     assert prof["k"].n_rows == 3 and prof["k"].n_numeric == 3
     assert prof["tag"].n_rows == 2 and prof["tag"].n_numeric == 0
     assert prof["k"].coverage == 0.6
+
+
+def test_rolling_user_window_frame_bounds(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import rolling_user_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(days=3), 20.0),
+        (1, base + dt.timedelta(days=6, hours=23, minutes=59, seconds=59), 40.0),
+        (1, base + dt.timedelta(days=7), 80.0),   # day-0 event just expired
+        (2, base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"]): (r["n_7d"], r["sum_7d"])
+        for r in rolling_user_window(df, days=7).collect()
+    }
+    assert got[(1, base)] == (1, 10.0)
+    assert got[(1, base + dt.timedelta(days=3))] == (2, 30.0)
+    # 6d23h59m59s after base: base event still inside the 7-day frame
+    assert got[(1, rows[2][1])] == (3, 70.0)
+    # exactly 7 days later: the base event has aged out
+    assert got[(1, rows[3][1])] == (3, 140.0)
+    assert got[(2, base)] == (1, 5.0)
