@@ -572,3 +572,39 @@ def dds_quantiles_by(
         )
         .alias("est"),
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Outlier clipping per group: clamp `value_col` into the group's
+    [lower_q, upper_q] DDSketch quantile band — the winsorization pass a
+    feature pipeline runs before normalization, per service/tenant/source.
+    Cost: ONE grouped sketch pass (O(groups * log/alpha) rows), a
+    quantile walk over that tiny table, and a groups-sized join back that
+    AQE broadcasts; the clip itself is a pure map. Adds `clipped` (the
+    clamped value) and `was_clipped`."""
+    sk = dds_sketch_by(df, value_col, split_col, alpha)
+    cuts = dds_quantiles_by(sk, [lower_q, upper_q], alpha)
+    bounds = cuts.groupBy("split").agg(
+        F.min(F.when(F.col("q") == lower_q, F.col("est"))).alias("__lo"),
+        F.min(F.when(F.col("q") == upper_q, F.col("est"))).alias("__hi"),
+    )
+    split_name = split_col if isinstance(split_col, str) else "split"
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(
+            bounds.withColumnRenamed("split", split_name), split_name
+        )
+        .withColumn("clipped", F.round(clipped, 6))
+        .withColumn(
+            "was_clipped", ((v < F.col("__lo")) | (v > F.col("__hi"))).cast("int")
+        )
+        .drop("__lo", "__hi")
+    )

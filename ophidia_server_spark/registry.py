@@ -8143,3 +8143,55 @@ def events_rolling_7d_user(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         "n_7d", "sum_7d",
     )
+
+
+@q(
+    "events_winsorize_by_type",
+    """WITH sk AS (
+  SELECT event_type AS split,
+         CAST(CASE WHEN value = 0 THEN -4611686018427387904
+              ELSE CEIL(ln(CAST(value AS DOUBLE)) / ln((1+0.01)/(1-0.01)))
+              END AS BIGINT) AS bucket,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT split, bucket,
+         SUM(c) OVER (PARTITION BY split ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY split) AS n
+  FROM sk
+), qq AS (SELECT unnest([0.05, 0.95]) AS q),
+best AS (
+  SELECT split, q, MIN(bucket) AS b
+  FROM cum CROSS JOIN qq
+  WHERE cum >= GREATEST(CEIL(q * n), 1)
+  GROUP BY 1, 2
+), est AS (
+  SELECT split, q,
+         CASE WHEN b = -4611686018427387904 THEN 0.0
+              ELSE ROUND(2.0 * power((1+0.01)/(1-0.01), b)
+                         / ((1+0.01)/(1-0.01) + 1), 6) END AS est
+  FROM best
+), bounds AS (
+  SELECT split,
+         MIN(CASE WHEN q = 0.05 THEN est END) AS lo,
+         MIN(CASE WHEN q = 0.95 THEN est END) AS hi
+  FROM est GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       ROUND(LEAST(GREATEST(CAST(value AS DOUBLE), lo), hi), 6) AS clipped,
+       CAST(CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi AS INT)
+         AS was_clipped
+FROM events e JOIN bounds ON e.event_type = bounds.split""",
+)
+def events_winsorize_by_type(spark, sf_dir):
+    """Per-group winsorization (functions/sketches.py winsorize_by_group):
+    every event's value clamped into its event type's [p05, p95] DDSketch
+    band — one grouped sketch pass + a groups-sized bounds join; the clip
+    is a pure map. All clipped values and clip flags hash-match DuckDB's
+    recomputation of the identical sketch quantiles."""
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = _t(spark, sf_dir)["events"]
+    out = sk.winsorize_by_group(ev, "value", "event_type", 0.05, 0.95)
+    return out.select("event_id", "event_type", "clipped", "was_clipped")

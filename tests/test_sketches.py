@@ -341,3 +341,27 @@ def test_dds_by_group_merge_law(spark, tables):
     )
     whole = sk.dds_sketch_by(ev, "value", "event_type")
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_winsorize_by_group_clamps_into_band(spark, tables):
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = tables["events"]
+    out = sk.winsorize_by_group(ev, "value", "event_type", 0.05, 0.95)
+    assert out.count() == ev.count()
+    rows = out.collect()
+    # per group: clipped values span a narrower range than raw, flags match
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["event_type"], []).append(r)
+    for grp, rs in by_grp.items():
+        clipped = [r["clipped"] for r in rs]
+        raw = [r["value"] for r in rs]
+        assert min(clipped) >= min(raw) and max(clipped) <= max(raw)
+        for r in rs:
+            if r["was_clipped"]:
+                assert r["clipped"] != r["value"]
+            else:
+                assert abs(r["clipped"] - r["value"]) < 1e-9
+    flagged = sum(r["was_clipped"] for r in rows)
+    assert 0 < flagged < len(rows)  # p05/p95 band clips the tails only
