@@ -8195,3 +8195,60 @@ def events_winsorize_by_type(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     out = sk.winsorize_by_group(ev, "value", "event_type", 0.05, 0.95)
     return out.select("event_id", "event_type", "clipped", "was_clipped")
+
+
+@q(
+    "events_standardize_by_type",
+    """WITH v AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+), s AS (
+  SELECT event_type,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m,
+         GREATEST(
+           CAST(SUM(v * v) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(v) AS DOUBLE) / COUNT(*)), 0.0) AS var
+  FROM v GROUP BY 1
+)
+SELECT event_id, v.event_type,
+       ROUND(CASE WHEN var > 0
+                  THEN (CAST(v AS DOUBLE) - m) / sqrt(var + 1e-12)
+                  ELSE 0.0 END, 6) AS zscore
+FROM v JOIN s ON v.event_type = s.event_type""",
+)
+def events_standardize_by_type(spark, sf_dir):
+    """Per-group z-score standardization (pipeline/features.py
+    standardize_by_group): moments from the exact-decimal incremental
+    states — reproducible on any engine/partitioning, so every one of the
+    per-event z-scores hash-matches DuckDB's recomputation. One grouped
+    aggregate + a groups-sized join + a pure map."""
+    from ophidia_server_spark.pipeline.features import standardize_by_group
+
+    ev = _t(spark, sf_dir)["events"]
+    out = standardize_by_group(ev, "value", "event_type")
+    return out.select("event_id", "event_type", "zscore")
+
+
+@q(
+    "events_vocab_index",
+    """WITH c AS (
+  SELECT event_type AS value, COUNT(*) AS n FROM events GROUP BY 1
+), vocab AS (
+  SELECT value, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS BIGINT) AS idx
+  FROM c
+)
+SELECT e.event_id, e.event_type, vocab.idx AS event_type_idx
+FROM events e JOIN vocab ON e.event_type = vocab.value""",
+)
+def events_vocab_index(spark, sf_dir):
+    """Deterministic vocabulary encoding (pipeline/features.py
+    string_index): ids by (frequency DESC, value ASC) — the StringIndexer
+    shape with an engine-portable total order. The vocabulary window runs
+    over the O(distinct)-row count table only; the encode join
+    broadcasts."""
+    from ophidia_server_spark.pipeline.features import string_index
+
+    ev = _t(spark, sf_dir)["events"]
+    out, _vocab = string_index(ev, "event_type")
+    return out.select("event_id", "event_type", "event_type_idx")
