@@ -713,6 +713,19 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_features", "Feature transforms: clip/standardize/scale/encode/rolling.",
+   _SRC, _OUT,
+   _p("mode", default="standardize",
+      values=("standardize", "minmax", "index", "winsorize", "rolling")),
+   _p("value_col", default="value"),
+   _p("group_col", default="event_type"),
+   _p("col"),
+   _p("lower_q", type="real", default="0.01", minvalue=0, maxvalue=1),
+   _p("upper_q", type="real", default="0.99", minvalue=0, maxvalue=1),
+   _p("days", type="int", default="7", minvalue=1),
+   _p("ts_col", default="ts"),
+   _p("key_col", default="user_id"))
+
 _d("pipeline_triplets", "Mine contrastive (anchor, positive, negative) triplets.",
    _SRC, _OUT, _TEXTCOL,
    _p("threshold", type="real", default="0.5", minvalue=0, maxvalue=1),

@@ -389,6 +389,56 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_features(engine, args, inputs):
+        # feature-engineering stage: clip / standardize / scale / encode /
+        # rolling windows over a tabular stage
+        src = args.get("src_path") or next(
+            v for v in inputs.values() if isinstance(v, str)
+        )
+        out = str(args["output_path"])
+        df = spark.read.parquet(src)
+        mode = args.get("mode", "standardize")
+        vcol = args.get("value_col", "value")
+        gcol = args.get("group_col", "event_type")
+        if mode == "standardize":
+            from ophidia_server_spark.pipeline.features import (
+                standardize_by_group,
+            )
+
+            res = standardize_by_group(df, vcol, gcol)
+        elif mode == "minmax":
+            from ophidia_server_spark.pipeline.features import minmax_by_group
+
+            res = minmax_by_group(df, vcol, gcol)
+        elif mode == "index":
+            from ophidia_server_spark.pipeline.features import string_index
+
+            res, vocab = string_index(df, args.get("col", gcol))
+            vocab.write.mode("overwrite").parquet(out.rstrip("/") + "_vocab")
+        elif mode == "winsorize":
+            from ophidia_server_spark.functions.sketches import (
+                winsorize_by_group,
+            )
+
+            res = winsorize_by_group(
+                df, vcol, gcol,
+                float(args.get("lower_q", 0.01)),
+                float(args.get("upper_q", 0.99)),
+            )
+        elif mode == "rolling":
+            from ophidia_server_spark.streaming.windows import (
+                rolling_user_window,
+            )
+
+            res = rolling_user_window(
+                df, int(args.get("days", 7)), args.get("ts_col", "ts"),
+                args.get("key_col", "user_id"), vcol,
+            )
+        else:
+            raise ValueError(f"unknown features mode: {mode}")
+        res.write.mode("overwrite").parquet(out)
+        return out
+
     def op_pipe_triplets(engine, args, inputs):
         # contrastive training pairs: LSH near-dup positives + content-
         # addressed random negatives (optionally hard negatives from a
@@ -1011,6 +1061,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_snapshot": op_pipe_snapshot,
             "pipeline_classify": op_pipe_classify,
             "pipeline_triplets": op_pipe_triplets,
+            "pipeline_features": op_pipe_features,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

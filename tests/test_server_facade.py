@@ -1149,3 +1149,36 @@ def test_pipeline_triplets_stage(env, spark, tables, tmp_path):
     assert rows
     for r in rows:
         assert r["negative"] not in (r["anchor"], r["positive"])
+
+
+def test_pipeline_features_stage_modes(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    src = str(tmp_path / "feat_src")
+    tables["events"].write.mode("overwrite").parquet(src)
+    run = eng.run({
+        "tasks": [
+            {"name": "z", "operator": "pipeline_features",
+             "arguments": {"src_path": src, "mode": "standardize",
+                           "output_path": str(tmp_path / "z")}},
+            {"name": "w", "operator": "pipeline_features",
+             "arguments": {"src_path": src, "mode": "winsorize",
+                           "lower_q": "0.05", "upper_q": "0.95",
+                           "output_path": str(tmp_path / "w")}},
+            {"name": "i", "operator": "pipeline_features",
+             "arguments": {"src_path": src, "mode": "index",
+                           "col": "event_type",
+                           "output_path": str(tmp_path / "i")}},
+            {"name": "r", "operator": "pipeline_features",
+             "arguments": {"src_path": src, "mode": "rolling", "days": "7",
+                           "output_path": str(tmp_path / "r")}},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    n = tables["events"].count()
+    assert spark.read.parquet(str(tmp_path / "z")).count() == n
+    assert "zscore" in spark.read.parquet(str(tmp_path / "z")).columns
+    assert spark.read.parquet(str(tmp_path / "w")).filter("was_clipped = 1").count() > 0
+    assert spark.read.parquet(str(tmp_path / "i_vocab")).count() == 5
+    assert "n_7d" in spark.read.parquet(str(tmp_path / "r")).columns
