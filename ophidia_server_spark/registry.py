@@ -8073,9 +8073,12 @@ def pipeline_release_end_to_end(spark, sf_dir):
     )
     gd = docs.join(kept.select("doc_id"), "doc_id")
     dd1 = dd.dedup_exact(gd)
+    # the selection is 120 rows; downstream (quota counts, per-group windows,
+    # group index, interleave) reference it from FIVE plan branches — persist
+    # so the gopher+dedup+DSIR chain materializes once, not per branch
     sel = ds.dsir_select(dd1, 120, F.col("lang") == "en", m=256).select(
         "doc_id", "source"
-    )
+    ).persist()
     mix = smp.temperature_sample(sel, 60, 0.5, "source")
     return smp.interleave_groups(mix).select("doc_id", "source", "train_pos")
 
