@@ -8255,3 +8255,61 @@ def events_vocab_index(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     out, _vocab = string_index(ev, "event_type")
     return out.select("event_id", "event_type", "event_type_idx")
+
+
+@q(
+    "corpus_datasheet",
+    f"""WITH tk AS (
+  SELECT doc_id, source, lang, md5(text) AS h,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), dup AS (
+  SELECT SUM(n) AS dup_docs FROM (
+    SELECT COUNT(*) AS n FROM tk GROUP BY h HAVING COUNT(*) > 1)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 6) AS avg_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COALESCE((SELECT dup_docs FROM dup), 0) AS BIGINT) AS dup_docs,
+       ROUND(COALESCE((SELECT dup_docs FROM dup), 0) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM tk""",
+)
+def corpus_datasheet(spark, sf_dir):
+    """The data-sheet summary a corpus release publishes (datasheets /
+    model-card data section): document/source/language counts, token
+    totals, and the exact-duplicate rate — ONE aggregate pass over the
+    corpus plus a content-hash group for the dup share (all map-side
+    combined; the result is a single row). Every figure hash-matches
+    DuckDB."""
+    docs = _t(spark, sf_dir)["documents"]
+    tk = docs.select(
+        "doc_id", "source", "lang",
+        F.md5("text").alias("h"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    dup = (
+        tk.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dup_docs"))
+    )
+    summary = tk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return summary.join(F.broadcast(dup)).select(
+        "n_docs", "n_sources", "n_langs", "n_tokens", "avg_tokens",
+        "max_tokens", "dup_docs",
+        F.round(
+            F.col("dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
