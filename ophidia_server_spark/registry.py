@@ -8313,3 +8313,45 @@ def corpus_datasheet(spark, sf_dir):
             F.col("dup_docs").cast("double") / F.col("n_docs"), 6
         ).alias("dup_rate"),
     )
+
+
+@q(
+    "events_next_event_pairs",
+    """WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts)
+                 - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_type) AS rn
+  FROM s
+), lists AS (
+  SELECT user_id, sess, list(event_type ORDER BY rn) AS seq
+  FROM r GROUP BY 1, 2
+), steps AS (
+  SELECT user_id, CAST(sess AS BIGINT) AS session, seq, u.i AS step
+  FROM lists, unnest(range(2, len(seq) + 1)) AS u(i)
+  WHERE len(seq) >= 2
+)
+SELECT user_id, session, CAST(step AS BIGINT) AS step,
+       array_to_string(seq[GREATEST(1, step - 5):step - 1], '>') AS prefix,
+       seq[step] AS label
+FROM steps""",
+)
+def events_next_event_pairs(spark, sf_dir):
+    """Next-event-prediction training pairs (streaming/windows.py
+    next_event_pairs): microsecond-exact 30-minute sessionization, then
+    (up-to-5-type prefix, next type) per prediction step — the
+    session-based sequence-model dataset. Two key windows + one explode;
+    every prefix string and label hash-matches DuckDB's rebuild."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.next_event_pairs(ev, gap_minutes=30, max_prefix=5)

@@ -914,3 +914,62 @@ def rolling_user_window(
             2,
         ).alias(f"sum_{days}d"),
     )
+
+
+def next_event_pairs(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    max_prefix: int = 5,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequence-model training pairs from behavioral sessions: for every
+    event after the first in a session, emit (prefix of up to
+    `max_prefix` preceding event types, next type) — the
+    next-event-prediction dataset (recommender / session-based sequence
+    models). Sessionization uses MICROSECOND-precision gaps (unix_micros
+    on both engines, so the 30-minute boundary can never disagree by a
+    truncated second); per-session event lists are built with one
+    collect_list bounded by session length, then a posexplode emits one
+    row per prediction step. Two key-partitioned windows + one explode —
+    no self-joins."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ranked = df.select(
+        F.col(key_col), F.col(ts_col), F.col(type_col), sess.alias("__sess")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(key_col, "__sess").orderBy(ts_col, type_col)
+        ),
+    )
+    lists = ranked.groupBy(key_col, "__sess").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__rn", type_col))),
+            lambda s: s[type_col],
+        ).alias("__seq")
+    )
+    n = F.size("__seq")
+    steps = lists.filter(n >= 2).select(
+        key_col,
+        F.col("__sess").cast("long").alias("session"),
+        "__seq",
+        F.explode(F.sequence(F.lit(2), n)).alias("step"),
+    )
+    start = F.greatest(F.lit(1), F.col("step") - max_prefix)
+    prefix = F.slice("__seq", start, F.col("step") - start)
+    return steps.select(
+        key_col,
+        "session",
+        F.col("step").cast("long").alias("step"),
+        F.array_join(prefix, ">").alias("prefix"),
+        F.element_at("__seq", F.col("step")).alias("label"),
+    )

@@ -428,3 +428,31 @@ def test_rolling_user_window_frame_bounds(spark):
     # exactly 7 days later: the base event has aged out
     assert got[(1, rows[3][1])] == (3, 140.0)
     assert got[(2, base)] == (1, 5.0)
+
+
+def test_next_event_pairs_prefix_window_and_session_split(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import next_event_pairs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), t)
+        for i, t in enumerate(["a", "b", "c", "d", "e", "f", "g"])
+    ] + [
+        # a second session after a 31-minute gap
+        (1, base + dt.timedelta(minutes=40), "x"),
+        (1, base + dt.timedelta(minutes=41), "y"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        (r["session"], r["step"]): (r["prefix"], r["label"])
+        for r in next_event_pairs(df, gap_minutes=30, max_prefix=5).collect()
+    }
+    assert got[(1, 2)] == ("a", "b")
+    assert got[(1, 4)] == ("a>b>c", "d")
+    # prefix window caps at 5 types
+    assert got[(1, 7)] == ("b>c>d>e>f", "g")
+    # the new session restarts its own pairs
+    assert got[(2, 2)] == ("x", "y")
+    assert (2, 3) not in got
