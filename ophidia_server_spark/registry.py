@@ -8355,3 +8355,42 @@ def events_next_event_pairs(spark, sf_dir):
     every prefix string and label hash-matches DuckDB's rebuild."""
     ev = _t(spark, sf_dir)["events"]
     return win.next_event_pairs(ev, gap_minutes=30, max_prefix=5)
+
+
+@q(
+    "sample_leakage_free_split",
+    f"""WITH {_DUP_CTE},
+rep AS (
+  SELECT doc_id, md5(text) AS h FROM dup_input
+), first AS (
+  SELECT h, MIN(doc_id) AS rep_id FROM rep GROUP BY 1
+)
+SELECT r.doc_id,
+       CASE WHEN substr(md5(CAST(f.rep_id AS VARCHAR) || ':lsplit'), 1, 8)
+                 < '19999999' THEN 'val'
+            WHEN substr(md5(CAST(f.rep_id AS VARCHAR) || ':lsplit'), 1, 8)
+                 < '33333333' THEN 'test'
+            ELSE 'train' END AS split
+FROM rep r JOIN first f USING (h)""",
+)
+def sample_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val/test split: the md5 coin is drawn on each
+    document's duplicate-group REPRESENTATIVE (min doc_id of its content
+    hash), so exact duplicates can never straddle splits — the
+    contamination-by-duplication failure a naive per-doc split causes.
+    Over the injected-twin corpus every %10==0 doc shares its group's
+    fate with its +100000 twin, which the oracle reproduces exactly
+    (10%% val / 10%% test carved from the unit interval). One content-hash
+    aggregate + a key join; the split itself is a pure map."""
+    from ophidia_server_spark.pipeline.sampling import split_column
+
+    docs = _dup_input(spark, sf_dir)
+    groups = docs.select("doc_id", F.md5("text").alias("h"))
+    rep = groups.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        groups.join(rep, "h")
+        .select(
+            "doc_id",
+            split_column(F.col("rep_id"), 0.1, 0.1, "lsplit").alias("split"),
+        )
+    )

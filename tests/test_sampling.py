@@ -166,3 +166,30 @@ def test_group_fixed_k_balances_kmeans_clusters(spark, tables):
     per = took.groupBy("cluster").agg(F.count("*").alias("n")).collect()
     assert all(r["n"] <= 5 for r in per)
     assert took.count() == sum(r["n"] for r in per)
+
+
+def test_leakage_free_split_keeps_dup_groups_together(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.sampling import split_column
+
+    d = tables["documents"].select("doc_id", "text")
+    docs = d.unionByName(
+        d.filter("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    groups = docs.select("doc_id", F.md5("text").alias("h"))
+    rep = groups.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    split = groups.join(rep, "h").select(
+        "h", "doc_id", split_column(F.col("rep_id"), 0.1, 0.1, "lsplit").alias("split")
+    )
+    # no content-hash group spans two splits
+    spans = (
+        split.groupBy("h").agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1").count()
+    )
+    assert spans == 0
+    # and the split is non-degenerate
+    names = {r["split"] for r in split.select("split").distinct().collect()}
+    assert "train" in names and len(names) >= 2
