@@ -144,3 +144,29 @@ _NANOS_TS_COLS = {
     "orders": (("o_orderdate", True),),
     "events": (("ts", True),),
 }
+
+
+def advise_shuffle_partitions(
+    df,
+    target_partition_mb: int = 128,
+    min_partitions: int = 8,
+    max_partitions: int = 20_000,
+) -> int:
+    """Spill-aware shuffle sizing: recommend spark.sql.shuffle.partitions
+    for a plan from its file-backed input size (inputFiles sees through to
+    the parquet leaves), targeting ~target_partition_mb per post-shuffle
+    partition — the sizing rule that keeps partitions inside executor
+    memory at 100 TB instead of inheriting a fixed default. Clamped to
+    [min, max]; falls back to the session's current setting when the plan
+    isn't file-backed (e.g. in-memory test frames). AQE's partition
+    coalescing then trims small outputs at runtime; this sets the UPPER
+    bound AQE works under."""
+    from ophidia_server_spark.pipeline.vector_store import (
+        _estimated_input_bytes,
+    )
+
+    est = _estimated_input_bytes(df)
+    if est is None:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    want = est // (target_partition_mb * 1024 * 1024) + 1
+    return max(min_partitions, min(max_partitions, int(want)))

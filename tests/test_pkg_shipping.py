@@ -87,3 +87,24 @@ def test_worker_import_from_foreign_cwd(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "WORKER_IMPORT_OK" in proc.stdout
+
+
+def test_advise_shuffle_partitions(spark, tables):
+    from ophidia_server_spark.session import advise_shuffle_partitions
+
+    # file-backed plan: scales with bytes, clamped below
+    n = advise_shuffle_partitions(tables["lineitem"], target_partition_mb=1)
+    assert n >= 8
+    tiny = advise_shuffle_partitions(tables["region"], target_partition_mb=128)
+    assert tiny == 8  # clamped to the floor
+    # a filtered projection still sees the parquet leaves
+    m = advise_shuffle_partitions(
+        tables["lineitem"].filter("l_orderkey < 10").select("l_orderkey"),
+        target_partition_mb=1,
+    )
+    assert m == n
+    # non-file-backed: falls back to the session conf
+    mem = spark.range(10)
+    assert advise_shuffle_partitions(mem) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
