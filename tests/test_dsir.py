@@ -197,3 +197,43 @@ def test_canonicalize_agrees_with_duckdb_on_real_unicode(spark):
     assert [r["doc_id"] for r in kept.collect()] == [1]
     # angstrom sign normalizes to A-ring: the two halves become equal
     assert got[5].split(" vs ") [0] == got[5].split(" vs ")[1]
+
+
+def test_dsir_degenerate_targets(spark):
+    # empty target slice and all-target slice both stay finite and defined
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "c d e", "y")],
+        "doc_id int, text string, grp string",
+    )
+    none_t = dsir.dsir_logweights(df, F.col("grp") == "nope", m=32)
+    all_t = dsir.dsir_logweights(df, F.lit(True), m=32)
+    for out in (none_t, all_t):
+        rows = out.collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert r["dsir_logweight"] == r["dsir_logweight"]  # not NaN
+    # all-target: p == q per bucket, so every weight is exactly 0
+    assert all(r["dsir_logweight"] == 0.0 for r in all_t.collect())
+
+
+def test_temperature_sample_zero_budget_and_single_group(spark):
+    from ophidia_server_spark.pipeline.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(10)], "doc_id int, source string"
+    )
+    assert temperature_sample(df, 0, 0.5, "source").count() == 0
+    got = temperature_sample(df, 5, 0.5, "source")
+    assert got.count() == 5
+
+
+def test_interleave_empty_and_single_group(spark):
+    from ophidia_server_spark.pipeline.sampling import interleave_groups
+
+    df = spark.createDataFrame([], "doc_id int, source string")
+    assert interleave_groups(df).count() == 0
+    one = spark.createDataFrame(
+        [(i, "s") for i in range(4)], "doc_id int, source string"
+    )
+    pos = sorted(r["train_pos"] for r in interleave_groups(one).collect())
+    assert pos == [0, 1, 2, 3]  # single group -> dense sequential order

@@ -239,3 +239,16 @@ def test_dedup_lines_corpus_and_doc_scopes(spark):
 
     with _pytest.raises(ValueError):
         dedup_lines(df, scope="nope")
+
+
+def test_dedup_lines_whitespace_only_documents(spark):
+    from ophidia_server_spark.pipeline.packing import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "\n\n\n"), (2, "  \n  "), (3, "real line")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["n_lines"] == 0 and out[1]["dedup_text"] == ""
+    assert out[2]["n_lines"] == 0
+    assert out[3]["dedup_text"] == "real line"
