@@ -247,6 +247,28 @@ def _manifest_dir(path: str) -> str:
     return d
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency:
+    the manifest create is exclusive, so the LOSING writer gets this error
+    and retries against the new latest version instead of silently
+    clobbering the winner's commit — the lakehouse commit protocol)."""
+
+
+def _commit_manifest(path: str, v: int, tmp: str) -> None:
+    import os as _os
+
+    final = _os.path.join(_manifest_dir(path), f"v{v}.json")
+    try:
+        _os.link(tmp, final)  # atomic create-exclusive: EEXIST on conflict
+    except FileExistsError:
+        _os.unlink(tmp)
+        raise SnapshotConflictError(
+            f"version {v} of {path} was committed concurrently; "
+            "re-read the latest version and retry"
+        ) from None
+    _os.unlink(tmp)
+
+
 def _read_manifest(path: str, version: int | None = None) -> dict:
     import json as _json
     import os as _os
@@ -305,7 +327,7 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(man, fh)
-    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    _commit_manifest(path, v, tmp)
     return v
 
 
@@ -368,7 +390,7 @@ def snapshot_upsert(
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)
-    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    _commit_manifest(path, v, tmp)
     return {"version": v, "files_total": len(out["files"]),
             "files_rewritten": len(touched), "rows_written": len(new_files)}
 
@@ -445,7 +467,7 @@ def snapshot_optimize(
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)
-    _os.replace(tmp, _os.path.join(_manifest_dir(path), f"v{v}.json"))
+    _commit_manifest(path, v, tmp)
     return {"version": v, "files_before": len(man["files"]),
             "files_after": len(new_files), "rows": rows}
 

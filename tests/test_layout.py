@@ -353,3 +353,37 @@ def test_partitioned_write_prunes_statically_and_dynamically(spark, tables, tmp_
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in jplan.lower(), jplan[:2000]
     assert joined.count() == ev.join(dim, "day").count()
+
+
+def test_snapshot_commit_is_exclusive_on_conflict(spark, tables, tmp_path):
+    import json
+    import os
+
+    from ophidia_server_spark.layout import (
+        SnapshotConflictError, _commit_manifest, snapshot_read, snapshot_write,
+    )
+
+    path = str(tmp_path / "occ")
+    base = tables["region"]
+    snapshot_write(base, path)
+    man_dir = os.path.join(path, "_manifests")
+    # the loser's race: it picked v2, wrote its tmp manifest, but another
+    # writer committed v2 first — the exclusive link must refuse
+    winner = {"version": 2, "op": "write", "files": [], "parent": 1}
+    with open(os.path.join(man_dir, "v2.json"), "w") as fh:
+        json.dump(winner, fh)
+    tmp = os.path.join(man_dir, ".v2.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": 2, "op": "write", "files": ["loser"],
+                   "parent": 1}, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(SnapshotConflictError):
+        _commit_manifest(path, 2, tmp)
+    # the winner's manifest is untouched and the loser's tmp is cleaned up
+    assert json.load(open(os.path.join(man_dir, "v2.json"))) == winner
+    assert not os.path.exists(tmp)
+    # a retry that re-reads the latest version lands cleanly as v3
+    v3 = snapshot_write(base, path)
+    assert v3 == 3
+    assert snapshot_read(spark, path, 3).count() == base.count()
