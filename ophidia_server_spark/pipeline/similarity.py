@@ -629,3 +629,60 @@ def semantic_dedup(
         _prune, "vec_id long, cluster_id long, kept int"
     )
     return out if id_col == "vec_id" else out.withColumnRenamed("vec_id", id_col)
+
+
+def sign_codes(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit sign quantization (binary embeddings — the public
+    memory-lean serving trick: 64 dims collapse to 8 bytes, and Hamming
+    distance approximates angular distance): bit i = (v[i] > 0), packed
+    into two unsigned 32-bit words held in BIGINTs so the packing is
+    portable to engines whose << 63 overflows. Pure JVM array folds —
+    one map, no shuffle. Returns (id, code_lo, code_hi)."""
+    v = F.col(vec_col)
+
+    def pack(lo: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            # shiftleft() needs a literal bit count, so the power comes from
+            # pow(2, i) — exact in a double up to 2^52, cast back to long
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(v, i + lo + 1) > 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return df.select(
+        F.col(id_col), pack(0).alias("code_lo"), pack(32).alias("code_hi")
+    )
+
+
+def hamming_topk(
+    codes: DataFrame, query_ids: list, k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over sign codes for each literal
+    query id: the query rows (a handful) broadcast against the code
+    table, distance = popcount(xor) on the two words — whole-stage
+    codegen, no arrays — and a per-query window keeps k. Ties break on
+    the candidate id. Self-matches are excluded."""
+    from pyspark.sql import Window
+
+    q = codes.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_lo").alias("__qlo"),
+        F.col("code_hi").alias("__qhi"),
+    )
+    dist = F.bit_count(
+        F.col("code_lo").bitwiseXOR(F.col("__qlo"))
+    ) + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("__qhi")))
+    w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+    return (
+        codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("hamming", dist.cast("int"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor"), "hamming")
+    )

@@ -8394,3 +8394,46 @@ def sample_leakage_free_split(spark, sf_dir):
             split_column(F.col("rep_id"), 0.1, 0.1, "lsplit").alias("split"),
         )
     )
+
+
+_SIGN_PACK = (
+    "list_reduce(list_transform(range(1, 33), "
+    "i -> CASE WHEN embedding[i + {off}] > 0 "
+    "THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END), "
+    "(a, b) -> a + b)"
+)
+
+
+@q(
+    "sim_hamming_topk",
+    f"""WITH codes AS (
+  SELECT vec_id,
+         {_SIGN_PACK.format(off=0)} AS code_lo,
+         {_SIGN_PACK.format(off=32)} AS code_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+  FROM codes WHERE vec_id IN (0, 1, 2)
+), d AS (
+  SELECT query_id, c.vec_id AS neighbor,
+         CAST(bit_count(xor(c.code_lo, qlo))
+              + bit_count(xor(c.code_hi, qhi)) AS INT) AS hamming,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY bit_count(xor(c.code_lo, qlo))
+                    + bit_count(xor(c.code_hi, qhi)), c.vec_id
+         ) AS rn
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor, hamming FROM d WHERE rn <= 10""",
+)
+def sim_hamming_topk(spark, sf_dir):
+    """Binary-embedding serving (pipeline/similarity.py sign_codes +
+    hamming_topk): 64-dim vectors collapse to two 32-bit sign words, and
+    top-10 neighbors rank by popcount(xor) — 8 bytes per vector and a
+    codegen-only distance, the memory-lean tier under the IVF/PQ paths.
+    Every (query, neighbor, distance) row hash-matches DuckDB's identical
+    bit packing and ranking."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    codes = sim.sign_codes(emb)
+    return sim.hamming_topk(codes, [0, 1, 2], k=10)

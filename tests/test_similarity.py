@@ -352,3 +352,45 @@ def test_concurrent_probes_share_store(spark, tables, tmp_path):
             overlapped = True
             break
     assert overlapped, f"no overlap in 3 rounds (last: conc={t_conc:.2f}s seq={t_seq:.2f}s)"
+
+
+def test_sign_codes_and_hamming_identities(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.similarity import hamming_topk, sign_codes
+
+    # hand-built vectors: v0 all positive, v1 flips bit 0 and bit 35,
+    # v2 = -v0 (all 64 bits differ)
+    v0 = [1.0] * 64
+    v1 = list(v0); v1[0] = -1.0; v1[35] = -1.0
+    v2 = [-1.0] * 64
+    df = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    codes = {r["vec_id"]: (r["code_lo"], r["code_hi"]) for r in sign_codes(df).collect()}
+    assert codes[0] == ((1 << 32) - 1, (1 << 32) - 1)
+    assert codes[2] == (0, 0)
+    assert codes[1][0] == ((1 << 32) - 1) - 1          # bit 0 cleared
+    assert codes[1][1] == ((1 << 32) - 1) - (1 << 3)   # bit 35 -> hi bit 3
+    top = {
+        (r["query_id"], r["neighbor"]): r["hamming"]
+        for r in hamming_topk(sign_codes(df), [0], k=2).collect()
+    }
+    assert top[(0, 1)] == 2 and top[(0, 2)] == 64
+
+
+def test_hamming_approximates_cosine_order(spark, tables):
+    from ophidia_server_spark.pipeline.similarity import (
+        hamming_topk, sign_codes, topk_cosine,
+    )
+
+    emb = tables["embeddings"]
+    ham = hamming_topk(sign_codes(emb), [0], k=20)
+    got = {r["neighbor"] for r in ham.collect()}
+    qvec = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = {
+        r["vec_id"]
+        for r in topk_cosine(emb.filter("vec_id <> 0"), qvec, k=20).collect()
+    }
+    # 1-bit codes are a coarse proxy; require meaningful overlap, not parity
+    assert len(got & exact) >= 5
