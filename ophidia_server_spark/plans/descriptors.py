@@ -713,6 +713,20 @@ _d("pipeline_interleave", "Round-robin training order across groups.",
    _p("key_col", default="doc_id"),
    _p("salt", default="ilv"))
 
+_d("pipeline_vector_index", "Build or probe the partition-pruned ANN store.",
+   _p("index_path", mandatory=True),
+   _p("action", default="build", values=("build", "probe")),
+   _p("src_path"),
+   _p("output_path"),
+   _p("kind", default="ivf", values=("ivf", "lsh")),
+   _p("n_cells", type="int", default="16", minvalue=1),
+   _p("bits", type="int", default="8", minvalue=1),
+   _p("query_path"),
+   _p("query_id", type="int"),
+   _p("k", type="int", default="10", minvalue=1),
+   _p("key_col", default="vec_id"),
+   _p("vec_col", default="embedding"))
+
 _d("pipeline_features", "Feature transforms: clip/standardize/scale/encode/rolling.",
    _SRC, _OUT,
    _p("mode", default="standardize",

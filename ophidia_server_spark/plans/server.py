@@ -389,6 +389,58 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
         res.write.mode("overwrite").parquet(out)
         return out
 
+    def op_pipe_vector_index(engine, args, inputs):
+        # ANN serving stage: build the partition-pruned vector store, or
+        # probe an existing one (query vector by row id) into a parquet stage
+        from ophidia_server_spark.pipeline import vector_store as vstore
+
+        action = str(args.get("action", "build"))
+        path = str(args["index_path"])
+        if action == "build":
+            src = args.get("src_path") or next(
+                v for v in inputs.values() if isinstance(v, str)
+            )
+            df = spark.read.parquet(src)
+            kind = args.get("kind", "ivf")
+            if kind == "ivf":
+                vstore.ivf_build(
+                    df, path, n_cells=int(args.get("n_cells", 16)),
+                    id_col=args.get("key_col", "vec_id"),
+                    vec_col=args.get("vec_col", "embedding"),
+                )
+            elif kind == "lsh":
+                vstore.lsh_build(
+                    df, path, bits=int(args.get("bits", 8)),
+                    id_col=args.get("key_col", "vec_id"),
+                    vec_col=args.get("vec_col", "embedding"),
+                )
+            else:
+                raise ValueError(f"unknown index kind: {kind}")
+            return path
+        if action == "probe":
+            out = str(args["output_path"])
+            idx = vstore.load_index(path)
+            qsrc = args.get("query_path") or args.get("src_path") or next(
+                v for v in inputs.values() if isinstance(v, str)
+            )
+            qid = int(args["query_id"])
+            qrow = (
+                spark.read.parquet(qsrc)
+                .filter(F.col(idx.id_col) == qid)
+                .select(idx.vec_col)
+                .first()
+            )
+            if qrow is None:
+                raise ValueError(f"query id {qid} not found in {qsrc}")
+            qvec = [float(x) for x in qrow[0]]
+            probe = vstore.ivf_probe if idx.kind == "ivf" else vstore.lsh_probe
+            res = probe(
+                spark, idx, qvec, k=int(args.get("k", 10)),
+            )
+            res.write.mode("overwrite").parquet(out)
+            return out
+        raise ValueError(f"unknown vector-index action: {action}")
+
     def op_pipe_features(engine, args, inputs):
         # feature-engineering stage: clip / standardize / scale / encode /
         # rolling windows over a tabular stage
@@ -1062,6 +1114,7 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
             "pipeline_classify": op_pipe_classify,
             "pipeline_triplets": op_pipe_triplets,
             "pipeline_features": op_pipe_features,
+            "pipeline_vector_index": op_pipe_vector_index,
         },
         catalog=store.as_catalog,  # callable: re-snapshot per massive expansion
         pid_resolver=lambda cid: next(

@@ -1182,3 +1182,39 @@ def test_pipeline_features_stage_modes(env, spark, tables, tmp_path):
     assert spark.read.parquet(str(tmp_path / "w")).filter("was_clipped = 1").count() > 0
     assert spark.read.parquet(str(tmp_path / "i_vocab")).count() == 5
     assert "n_7d" in spark.read.parquet(str(tmp_path / "r")).columns
+
+
+def test_pipeline_vector_index_build_then_probe(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    src = str(tmp_path / "emb")
+    tables["embeddings"].write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "ivf_store")
+    run = eng.run({
+        "tasks": [
+            {"name": "b", "operator": "pipeline_vector_index",
+             "arguments": {"index_path": idx, "action": "build",
+                           "src_path": src, "kind": "ivf", "n_cells": "8"}},
+            {"name": "p", "operator": "pipeline_vector_index",
+             "arguments": {"index_path": idx, "action": "probe",
+                           "query_path": src, "query_id": "3", "k": "5",
+                           "output_path": str(tmp_path / "hits")},
+             "dependencies": ["b"]},
+        ]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", {
+        n: (r.status, r.error) for n, r in run.results.items()
+    }
+    hits = spark.read.parquet(str(tmp_path / "hits"))
+    assert 0 < hits.count() <= 5
+    assert "vec_id" in hits.columns
+    # bad query id surfaces a named error
+    run2 = eng.run({
+        "tasks": [{
+            "name": "p", "operator": "pipeline_vector_index",
+            "arguments": {"index_path": idx, "action": "probe",
+                          "query_path": src, "query_id": "999999",
+                          "output_path": str(tmp_path / "h2")},
+        }]
+    })
+    assert run2.status != "OPH_ODB_STATUS_COMPLETED"
+    assert "not found" in (run2.results["p"].error or "")
