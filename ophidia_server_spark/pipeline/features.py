@@ -103,3 +103,53 @@ def string_index(
         "left",
     )
     return out, vocab
+
+
+def percentile_rank_by_group(
+    df: DataFrame, value_col: str, group_col: str,
+) -> DataFrame:
+    """Empirical-CDF feature: each row's percentile within its group
+    (cume_dist — the fraction of group rows with value <= this row's).
+    One group-partitioned window; ties share a rank by definition. Adds
+    `pct_rank` ROUND(6)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).cast("double"))
+    return df.withColumn("pct_rank", F.round(F.cume_dist().over(w), 6))
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed target encoding (the classic categorical feature for
+    gradient-boosted/linear models): category c maps to
+
+        (sum_c + prior * smoothing) / (n_c + smoothing)
+
+    — the Bayesian-shrunk category mean, pulling rare categories toward
+    the global prior so they can't memorize. Sums ride on exact decimals,
+    so the encoding is engine-portable; the category table is
+    O(vocabulary) and the encode join broadcasts. Adds `te_<cat_col>`
+    ROUND(6)."""
+    lab = F.col(label_col).cast("decimal(18,2)")
+    totals = df.agg(
+        F.sum(lab).cast("double").alias("__ts"),
+        F.count(label_col).cast("double").alias("__tn"),
+    )
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(lab).cast("double").alias("__s"),
+        F.count(label_col).cast("double").alias("__n"),
+    )
+    enc = per_cat.join(F.broadcast(totals)).select(
+        cat_col,
+        (
+            (F.col("__s") + (F.col("__ts") / F.col("__tn")) * F.lit(float(smoothing)))
+            / (F.col("__n") + F.lit(float(smoothing)))
+        ).alias("__te"),
+    )
+    return df.join(enc, cat_col).withColumn(
+        f"te_{cat_col}", F.round("__te", 6)
+    ).drop("__te")

@@ -8437,3 +8437,58 @@ def sim_hamming_topk(spark, sf_dir):
     emb = _t(spark, sf_dir)["embeddings"]
     codes = sim.sign_codes(emb)
     return sim.hamming_topk(codes, [0, 1, 2], k=10)
+
+
+@q(
+    "events_percentile_rank",
+    """SELECT event_id, event_type,
+       ROUND(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY CAST(value AS DOUBLE)), 6) AS pct_rank
+FROM events""",
+)
+def events_percentile_rank(spark, sf_dir):
+    """ECDF percentile-rank per group (pipeline/features.py
+    percentile_rank_by_group): each event's value placed on its event
+    type's empirical CDF via one group-partitioned cume_dist window —
+    hash-matched per event against DuckDB."""
+    from ophidia_server_spark.pipeline.features import percentile_rank_by_group
+
+    ev = _t(spark, sf_dir)["events"]
+    return percentile_rank_by_group(ev, "value", "event_type").select(
+        "event_id", "event_type", "pct_rank"
+    )
+
+
+@q(
+    "events_target_encode",
+    """WITH lab AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS DECIMAL(18,2)) AS y
+  FROM events
+), tot AS (
+  SELECT CAST(SUM(y) AS DOUBLE) AS ts, CAST(COUNT(*) AS DOUBLE) AS tn FROM lab
+), per AS (
+  SELECT event_type, CAST(SUM(y) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM lab GROUP BY 1
+)
+SELECT event_id, lab.event_type,
+       ROUND((s + (ts / tn) * 10.0) / (n + 10.0), 6) AS te_event_type
+FROM lab JOIN per USING (event_type), tot""",
+)
+def events_target_encode(spark, sf_dir):
+    """Smoothed target encoding (pipeline/features.py target_encode): a
+    deterministic conversion label (purchase/signup = 1) encoded per
+    event type as the Bayesian-shrunk category mean with smoothing 10 —
+    exact-decimal sums make every encoded value hash-match DuckDB. The
+    category table is vocabulary-sized; the encode join broadcasts."""
+    from ophidia_server_spark.pipeline.features import target_encode
+
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_id", "event_type",
+        F.col("event_type").isin("purchase", "signup").cast("int").alias("label"),
+    )
+    return target_encode(ev, "event_type", "label", smoothing=10.0).select(
+        "event_id", "event_type", "te_event_type"
+    )

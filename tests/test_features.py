@@ -55,3 +55,36 @@ def test_string_index_frequency_then_name_order(spark):
     assert {(r["c"], r["c_idx"]) for r in rows} == {
         (r["c"], r["c_idx"]) for r in out2.collect()
     }
+
+
+def test_percentile_rank_laws(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("b", 9.0)],
+        "g string, v double",
+    )
+    from ophidia_server_spark.pipeline.features import percentile_rank_by_group
+
+    got = [
+        (r["g"], r["v"], r["pct_rank"])
+        for r in percentile_rank_by_group(df, "v", "g").collect()
+    ]
+    by = {}
+    for g, v, p in got:
+        by.setdefault((g, v), set()).add(p)
+    assert by[("a", 1.0)] == {0.25}
+    assert by[("a", 2.0)] == {0.75}   # ties share cume_dist
+    assert by[("a", 4.0)] == {1.0}
+    assert by[("b", 9.0)] == {1.0}    # singleton group tops its own CDF
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from ophidia_server_spark.pipeline.features import target_encode
+
+    rows = [("big", 1)] * 50 + [("big", 0)] * 50 + [("rare", 1)]
+    df = spark.createDataFrame(rows, "c string, label int")
+    out = {r["c"]: r["te_c"] for r in target_encode(df, "c", "label", 10.0).collect()}
+    prior = 51 / 101
+    # big: near its own 0.5 mean; rare: pulled hard toward the prior
+    assert abs(out["big"] - (50 + prior * 10) / 110) < 1e-6
+    assert abs(out["rare"] - (1 + prior * 10) / 11) < 1e-6
+    assert out["rare"] < 1.0  # a single positive cannot memorize to 1
