@@ -608,3 +608,58 @@ def winsorize_by_group(
         )
         .drop("__lo", "__hi")
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    days: int = 7,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Rolling distinct count (the WAU/MAU dashboard number) from DAILY
+    HLL sketches: one pass builds per-day register tables, and each day's
+    trailing-N estimate is a register-wise MAX over its window — the
+    mergeability of HLL means history is NEVER rescanned; a year of WAU
+    is 365 sketch merges of m rows each. Per-register rolling max runs as
+    a RANGE window on the day number over the dense (day x m) grid
+    (days*m rows — tiny), then one grouped estimate per day using the
+    same bias-corrected formula as hll_estimate. Returns
+    (day, estimate) for every active day."""
+    from pyspark.sql import Window
+
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    spark = df.sparkSession
+    daily = hll_registers_by(
+        df, key_col, F.to_date(F.col(ts_col)), p=p, salt=salt
+    ).withColumnRenamed("split", "day")
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(spark.range(m).select(F.col("id").alias("reg")))
+    )
+    dense = grid.join(daily, ["day", "reg"], "left").select(
+        "day", "reg", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("reg")
+        .orderBy(dnum)
+        .rangeBetween(-(days - 1), 0)
+    )
+    rolled = dense.withColumn("__roll", F.max("rho").over(w))
+    agg = rolled.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__roll"))).alias("__denom"),
+        F.sum((F.col("__roll") == 0).cast("long")).alias("__v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__denom")
+    v = F.col("__v")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(est, 4).alias("estimate"),
+    )

@@ -8492,3 +8492,54 @@ def events_target_encode(spark, sf_dir):
     return target_encode(ev, "event_type", "label", smoothing=10.0).select(
         "event_id", "event_type", "te_event_type"
     )
+
+
+@q(
+    "events_rolling_wau",
+    f"""WITH h AS (
+  SELECT list_reduce(list_transform(
+           string_split(substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 1, 2), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) AS reg,
+         substr(md5(CAST(user_id AS VARCHAR) || ':hll'), 3, 16) AS tail,
+         CAST(ts AS DATE) AS day
+  FROM events
+), daily AS (
+  SELECT day, reg, MAX({_SQL_RHO}) AS rho FROM h GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, r.range AS reg
+  FROM (SELECT DISTINCT day FROM daily) d CROSS JOIN range(256) r
+), dense AS (
+  SELECT g.day, g.reg, COALESCE(daily.rho, 0) AS rho,
+         CAST(g.day - DATE '1970-01-01' AS BIGINT) AS dnum
+  FROM grid g LEFT JOIN daily ON g.day = daily.day AND g.reg = daily.reg
+), rolled AS (
+  SELECT day, reg,
+         MAX(rho) OVER (PARTITION BY reg ORDER BY dnum
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll
+  FROM dense
+), agg AS (
+  SELECT day, SUM(power(2.0, -roll)) AS denom,
+         SUM(CASE WHEN roll = 0 THEN 1 ELSE 0 END) AS v
+  FROM rolled GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / denom
+                       <= 2.5 * 256 AND v > 0
+                  THEN 256.0 * ln(256.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / denom
+             END, 4) AS estimate
+FROM agg""",
+)
+def events_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct users (WAU) from mergeable daily HLL
+    sketches (functions/sketches.py hll_rolling_distinct): one pass
+    builds per-day registers, each day's trailing week is a register-wise
+    MAX over a RANGE window on the dense (day x 256) grid — history is
+    never rescanned, a year of WAU is 365 m-row merges. Every day's
+    bias-corrected estimate hash-matches DuckDB's identical register
+    algebra."""
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = _t(spark, sf_dir)["events"]
+    return sk.hll_rolling_distinct(ev, "user_id", "ts", days=7, p=8)

@@ -365,3 +365,26 @@ def test_winsorize_by_group_clamps_into_band(spark, tables):
                 assert abs(r["clipped"] - r["value"]) < 1e-9
     flagged = sum(r["was_clipped"] for r in rows)
     assert 0 < flagged < len(rows)  # p05/p95 band clips the tails only
+
+
+def test_rolling_wau_equals_windowed_exact_merge(spark, tables):
+    import datetime as dt
+
+    from ophidia_server_spark.functions import sketches as sk
+
+    ev = tables["events"]
+    rolled = {r["day"]: r["estimate"] for r in
+              sk.hll_rolling_distinct(ev, "user_id", days=7).collect()}
+    # law: each day's rolling estimate equals the plain HLL estimate over
+    # the trailing 7 days' raw events (merge-of-days == sketch-of-union)
+    days = sorted(rolled)
+    for day in (days[0], days[len(days) // 2], days[-1]):
+        d = dt.date.fromisoformat(day)
+        lo = d - dt.timedelta(days=6)
+        window_events = ev.filter(
+            (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(d))
+        )
+        direct = sk.hll_estimate(
+            sk.hll_registers(window_events, "user_id")
+        ).first()["estimate"]
+        assert rolled[day] == direct, (day, rolled[day], direct)
