@@ -155,8 +155,10 @@ HEADLINE = [
     # round-7 second flagship: the training-data release chain (gopher ->
     # dedup -> DSIR select -> temperature mix -> interleave) in one plan
     "pipeline_release_end_to_end",
-    # round-7 tail: sequence-model pair extraction over sessions
+    # round-7 tail: sequence-model pair extraction over sessions, and
+    # rolling WAU from mergeable daily HLL sketches
     "events_next_event_pairs",
+    "events_rolling_wau",
 ]
 
 

@@ -652,13 +652,16 @@ _d("pipeline_repack", "Size-targeted parquet repack for loader handoff.",
 _d("pipeline_sketch", "Write a mergeable sketch table (HLL/count-min/DDSketch/Bloom).",
    _SRC, _OUT,
    _p("column", mandatory=True),
-   _p("kind", default="hll", values=("hll", "cms", "dds", "bloom")),
+   _p("kind", default="hll",
+      values=("hll", "cms", "dds", "bloom", "hll_rolling")),
    _p("p", type="int", default="12", minvalue=4, maxvalue=16),
    _p("d", type="int", default="4", minvalue=1),
    _p("w", type="int", default="4096", minvalue=1),
    _p("alpha", type="real", default="0.01", minvalue=0, maxvalue=1),
    _p("m_bits", type="int", default="8192", minvalue=8),
-   _p("k", type="int", default="4", minvalue=1, maxvalue=16))
+   _p("k", type="int", default="4", minvalue=1, maxvalue=16),
+   _p("ts_col", default="ts"),
+   _p("days", type="int", default="7", minvalue=1))
 
 _d("pipeline_dedup_index", "Materialize or grow the corpus MinHash index.",
    _SRC, _OUT, _TEXTCOL,

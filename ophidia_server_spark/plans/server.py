@@ -816,6 +816,12 @@ def build_default_engine(spark: SparkSession, store: CubeStore) -> WorkflowEngin
                 df, col,
                 m_bits=int(args.get("m_bits", 8192)), k=int(args.get("k", 4)),
             )
+        elif kind == "hll_rolling":
+            # the WAU/MAU dashboard table: trailing-N-day distinct estimates
+            res = sk.hll_rolling_distinct(
+                df, col, args.get("ts_col", "ts"),
+                days=int(args.get("days", 7)), p=int(args.get("p", 8)),
+            )
         else:
             raise ValueError(f"unknown sketch kind: {kind}")
         res.write.mode("overwrite").parquet(out)

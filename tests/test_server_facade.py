@@ -1218,3 +1218,22 @@ def test_pipeline_vector_index_build_then_probe(env, spark, tables, tmp_path):
     })
     assert run2.status != "OPH_ODB_STATUS_COMPLETED"
     assert "not found" in (run2.results["p"].error or "")
+
+
+def test_pipeline_sketch_hll_rolling_kind(env, spark, tables, tmp_path):
+    eng, _store, _src = env
+    src = str(tmp_path / "ev_wau")
+    tables["events"].write.mode("overwrite").parquet(src)
+    run = eng.run({
+        "tasks": [{
+            "name": "w", "operator": "pipeline_sketch",
+            "arguments": {"src_path": src, "kind": "hll_rolling",
+                          "column": "user_id", "days": "7", "p": "8",
+                          "output_path": str(tmp_path / "wau")},
+        }]
+    })
+    assert run.status == "OPH_ODB_STATUS_COMPLETED", run.results["w"].error
+    wau = spark.read.parquet(str(tmp_path / "wau"))
+    assert wau.count() > 0
+    assert set(wau.columns) == {"day", "estimate"}
+    assert wau.filter("estimate <= 0").count() == 0
