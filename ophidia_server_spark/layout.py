@@ -182,7 +182,7 @@ def merge_upsert(
     Duplicate-key stores converge: every copy of a matched key is removed
     and the update row is inserted exactly once per update row.
 
-    Returns {files_total, files_rewritten, rows_before, rows_written}."""
+    Returns {files_total, files_rewritten, rows_before, files_written}."""
     import os as _os
     import shutil as _shutil
 
@@ -231,7 +231,7 @@ def merge_upsert(
         "files_total": len(all_files),
         "files_rewritten": len(touched_files),
         "rows_before": rows_before,
-        "rows_written": moved,
+        "files_written": moved,
     }
 
 
@@ -254,19 +254,39 @@ class SnapshotConflictError(RuntimeError):
     clobbering the winner's commit — the lakehouse commit protocol)."""
 
 
-def _commit_manifest(path: str, v: int, tmp: str) -> None:
+def _commit_manifest(path: str, v: int, tmp: str, data_dir: str | None = None) -> None:
+    """Exclusive manifest commit; on conflict the LOSING writer also removes
+    its own (writer-unique, uncommitted) data directory so no orphan can
+    shadow or outlive the winner's files."""
     import os as _os
+    import shutil as _shutil
 
     final = _os.path.join(_manifest_dir(path), f"v{v}.json")
     try:
         _os.link(tmp, final)  # atomic create-exclusive: EEXIST on conflict
     except FileExistsError:
         _os.unlink(tmp)
+        if data_dir is not None:
+            _shutil.rmtree(data_dir, ignore_errors=True)
         raise SnapshotConflictError(
             f"version {v} of {path} was committed concurrently; "
             "re-read the latest version and retry"
         ) from None
     _os.unlink(tmp)
+
+
+def _new_data_dir(path: str, v: int) -> str:
+    """Writer-UNIQUE data directory for an attempt at version v: two
+    writers racing toward the same version number write into disjoint
+    directories (uuid suffix), so the loser's overwrite can never delete
+    part files a winner's committed manifest references — only the
+    exclusive manifest link decides the winner (the ADVICE r7 data-dir
+    race). Losers self-clean in _commit_manifest; crashed writers' orphans
+    are swept by vacuum."""
+    import os as _os
+    import uuid as _uuid
+
+    return _os.path.join(path, f"g{v:05d}-{_uuid.uuid4().hex[:8]}")
 
 
 def _read_manifest(path: str, version: int | None = None) -> dict:
@@ -316,7 +336,7 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
     except FileNotFoundError:
         pass
     v = (versions[-1] + 1) if versions else 1
-    data_dir = _os.path.join(path, f"g{v:05d}")
+    data_dir = _new_data_dir(path, v)
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
         _os.path.join(data_dir, f)
@@ -327,7 +347,7 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(man, fh)
-    _commit_manifest(path, v, tmp)
+    _commit_manifest(path, v, tmp, data_dir)
     return v
 
 
@@ -351,7 +371,7 @@ def snapshot_upsert(
     manifest carries (old files - touched) + rewritten. Readers of any
     version keep a consistent view; `vacuum` reclaims space later.
 
-    Returns {version, files_total, files_rewritten, rows_written}."""
+    Returns {version, files_total, files_rewritten, files_written}."""
     import os as _os
 
     man = _read_manifest(path)
@@ -374,7 +394,7 @@ def snapshot_upsert(
     import json as _json
 
     v = man["version"] + 1
-    data_dir = _os.path.join(path, f"g{v:05d}")
+    data_dir = _new_data_dir(path, v)
     new_data.write.mode("overwrite").parquet(data_dir)
     new_files = sorted(
         _os.path.join(data_dir, f)
@@ -390,17 +410,21 @@ def snapshot_upsert(
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)
-    _commit_manifest(path, v, tmp)
+    _commit_manifest(path, v, tmp, data_dir)
     return {"version": v, "files_total": len(out["files"]),
-            "files_rewritten": len(touched), "rows_written": len(new_files)}
+            "files_rewritten": len(touched), "files_written": len(new_files)}
 
 
 def vacuum(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest `keep_last` manifests and delete every data
     file no retained manifest references — the space-reclaim step that
     turns time travel from an unbounded cost into a retention policy.
-    Returns {kept_versions, removed_versions, deleted_files}."""
+    Also sweeps ORPHAN data directories (a crashed writer's uncommitted
+    attempt: writer-unique dirs referenced by no manifest at all) — so do
+    not run vacuum concurrently with an in-flight writer.
+    Returns {kept_versions, removed_versions, deleted_files, orphan_dirs}."""
     import os as _os
+    import shutil as _shutil
 
     versions = snapshot_versions(path)
     if keep_last < 1:
@@ -420,8 +444,19 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
                 _os.remove(local)
                 deleted += 1
         _os.remove(_os.path.join(_manifest_dir(path), f"v{v}.json"))
+    orphans = 0
+    for entry in sorted(_os.listdir(path)):
+        full = _os.path.join(path, entry)
+        if not (entry.startswith("g") and _os.path.isdir(full)):
+            continue
+        if not any(
+            _os.path.join(full, f) in referenced
+            for f in _os.listdir(full) if f.endswith(".parquet")
+        ):
+            _shutil.rmtree(full, ignore_errors=True)
+            orphans += 1
     return {"kept_versions": keep, "removed_versions": drop,
-            "deleted_files": deleted}
+            "deleted_files": deleted, "orphan_dirs": orphans}
 
 
 def snapshot_optimize(
@@ -453,7 +488,7 @@ def snapshot_optimize(
     )
     files = max(1, _math.ceil(size / (target_mb * 1024 * 1024)))
     v = man["version"] + 1
-    data_dir = _os.path.join(path, f"g{v:05d}")
+    data_dir = _new_data_dir(path, v)
     if zorder_cols:
         zorder_write(df, data_dir, zorder_cols, files=files, bits=bits)
     else:
@@ -467,7 +502,7 @@ def snapshot_optimize(
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)
-    _commit_manifest(path, v, tmp)
+    _commit_manifest(path, v, tmp, data_dir)
     return {"version": v, "files_before": len(man["files"]),
             "files_after": len(new_files), "rows": rows}
 

@@ -16,11 +16,13 @@ ngram_jaccard_exact for oracle work, or an embedding-similarity pair list.
 Scale shape:
   positive : one window per anchor over the PAIR table (pairs-sized, far
              smaller than the corpus) picks the highest-Jaccard partner;
-  negative : the corpus is hash-bucketed once (md5, n_buckets); each
-             anchor draws its pick-bucket deterministically and takes the
-             coin-smallest valid candidate inside it — a join bounded by
-             anchors x (n/n_buckets), never all-pairs, and n_buckets
-             scales the fan-in down at will.
+  negative : the corpus is hash-bucketed once (md5, n_buckets) and each
+             bucket is pre-reduced to a 3-candidate shortlist BEFORE any
+             anchor joins it — first a map-side-combinable min-struct per
+             (bucket, sub-bucket), then a window over the <=n_subs
+             sub-minima per bucket — so the anchor join fans in at
+             anchors x 3 regardless of corpus size or n_buckets. Nothing
+             in the negative path sorts an sf-proportional partition.
 """
 
 from __future__ import annotations
@@ -37,14 +39,22 @@ def contrastive_triplets(
     id_col: str = "doc_id",
     n_buckets: int = 8,
     salt: str = "ctr",
+    n_subs: int = 64,
 ) -> DataFrame:
     """(anchor, positive, pos_jaccard, negative) per anchor that has at
     least one pair partner. Positive = the anchor's highest-Jaccard
     partner (ties break on the lower partner id). Negative = the
-    coin-smallest candidate in the anchor's md5 pick-bucket, excluding
-    the anchor and its positive; anchors whose pick-bucket holds no valid
-    candidate drop out (vanishing probability once buckets hold more than
-    a few documents)."""
+    coin-smallest entry of the anchor's pick-bucket SHORTLIST, excluding
+    the anchor and its positive.
+
+    The shortlist is each bucket's 3 coin-smallest sub-bucket minima
+    (coin = content-addressed md5 of the candidate alone): a groupBy over
+    (bucket, sub-bucket) — a true partial aggregate, no per-bucket sort —
+    then a row_number window over the <=n_subs minima per bucket. The
+    anchor join is against a <=3-rows-per-bucket table, so the candidate
+    row count is O(anchors) at ANY corpus size; the two exclusions can
+    never empty a 3-entry shortlist, so anchors drop out only when their
+    whole bucket holds fewer than 3 sub-bucket minima (tiny corpora)."""
     from pyspark.sql import Window
 
     sym = pairs.select(
@@ -69,21 +79,31 @@ def contrastive_triplets(
     pool = df.select(
         F.col(id_col).alias("__cand"),
         md5_bucket(F.col(id_col), n_buckets, salt + "pool").alias("__b"),
+        md5_bucket(F.col(id_col), n_subs, salt + "sub").alias("__sub"),
+        coin_hex8(F.col(id_col), salt + "neg").alias("__coin"),
+    )
+    sub_min = (
+        pool.groupBy("__b", "__sub")
+        .agg(F.min(F.struct("__coin", "__cand")).alias("__m"))
+        .select("__b", F.col("__m.__coin").alias("__coin"),
+                F.col("__m.__cand").alias("__cand"))
+    )
+    ws = Window.partitionBy("__b").orderBy("__coin", "__cand")
+    shortlist = (
+        sub_min.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
     )
     picked = best.withColumn(
         "__b", md5_bucket(F.col("anchor"), n_buckets, salt + "pick")
     )
-    cand = picked.join(pool, "__b").filter(
+    cand = picked.join(shortlist, "__b").filter(
         (F.col("__cand") != F.col("anchor"))
         & (F.col("__cand") != F.col("positive"))
     )
-    coin = coin_hex8(
-        F.concat_ws("|", F.col("__cand"), F.col("anchor")), salt
-    )
     w2 = Window.partitionBy("anchor").orderBy("__coin", "__cand")
     return (
-        cand.withColumn("__coin", coin)
-        .withColumn("__rn", F.row_number().over(w2))
+        cand.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)
         .select(
             "anchor", "positive",

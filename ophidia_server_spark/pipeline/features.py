@@ -76,33 +76,77 @@ def minmax_by_group(
 
 def string_index(
     df: DataFrame, col: str, start: int = 0,
+    max_window_vocab: int = 65536,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic vocabulary encoding (the StringIndexer shape without
     RNG or fitting state): ids assigned by (frequency DESC, value ASC) —
     the most frequent value gets `start`, ties break lexicographically,
     so the same data always yields the same ids on any engine. Returns
     (df + `<col>_idx` with NULL for NULL values, vocabulary DataFrame
-    (value, n, idx)). The vocabulary table is O(distinct values); its
-    ranking window runs over THAT table only."""
+    (value, n, idx)).
+
+    The vocabulary table is O(distinct values). Up to `max_window_vocab`
+    distinct values the ranking is one unpartitioned window over that
+    table; above it (id-like columns whose "vocabulary" is the corpus)
+    ids come from range-repartitioning the vocab on (n DESC, value ASC) —
+    globally ordered partitions — plus a bounded per-partition-count
+    collect and partition-offset + local row_number (the dedup.py id-map
+    pattern), so no single task ever sorts the whole vocabulary. Both
+    paths assign IDENTICAL ids."""
     from pyspark.sql import Window
 
-    vocab = (
+    counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .withColumn(
-            "idx",
-            F.row_number().over(
-                Window.partitionBy().orderBy(F.desc("n"), F.asc("value"))
-            ).cast("long") + F.lit(int(start) - 1),
+    )
+    counts.persist()
+    try:
+        n_vocab = counts.count()
+        if n_vocab <= max_window_vocab:
+            vocab = counts.withColumn(
+                "idx",
+                F.row_number().over(
+                    Window.partitionBy().orderBy(F.desc("n"), F.asc("value"))
+                ).cast("long") + F.lit(int(start) - 1),
+            )
+        else:
+            spark = df.sparkSession
+            ranged = (
+                counts.repartitionByRange(F.desc("n"), F.asc("value"))
+                .withColumn("__pid", F.spark_partition_id())
+                .persist()
+            )
+            per_part = {
+                r["__pid"]: r["cnt"]
+                for r in ranged.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            offs, acc = [], 0
+            for pid in sorted(per_part):
+                offs.append((pid, acc))
+                acc += per_part[pid]
+            off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+            win = Window.partitionBy("__pid").orderBy(F.desc("n"), F.asc("value"))
+            vocab = (
+                ranged.join(F.broadcast(off_df), "__pid")
+                .withColumn(
+                    "idx",
+                    (F.row_number().over(win).cast("long")
+                     + F.col("__off") + F.lit(int(start) - 1)),
+                )
+                .select("value", "n", "idx")
+            )
+        out = df.join(
+            vocab.select(F.col("value").alias(col), F.col("idx").alias(f"{col}_idx")),
+            col,
+            "left",
         )
-    )
-    out = df.join(
-        vocab.select(F.col("value").alias(col), F.col("idx").alias(f"{col}_idx")),
-        col,
-        "left",
-    )
-    return out, vocab
+        return out, vocab
+    except Exception:
+        counts.unpersist()
+        raise
 
 
 def percentile_rank_by_group(
@@ -110,12 +154,43 @@ def percentile_rank_by_group(
 ) -> DataFrame:
     """Empirical-CDF feature: each row's percentile within its group
     (cume_dist — the fraction of group rows with value <= this row's).
-    One group-partitioned window; ties share a rank by definition. Adds
-    `pct_rank` ROUND(6)."""
+
+    NOT a per-group window over the raw rows (a group holding an
+    sf-proportional slice would sort in one task): aggregate to
+    (group, value, count) first, run the cumulative sum over THAT
+    distinct-value table — bounded by value cardinality, and exact for
+    ties by definition (running count / group total == cume_dist) — and
+    join back. Same result, shuffles instead of single-task sorts; the
+    residual window is per (group, distinct value), and nulls sort first
+    exactly as Spark's cume_dist would. Adds `pct_rank` ROUND(6)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).cast("double"))
-    return df.withColumn("pct_rank", F.round(F.cume_dist().over(w), 6))
+    v = F.col(value_col).cast("double")
+    per_val = df.groupBy(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc_nulls_first("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("__g")
+    ranked = per_val.select(
+        "__g",
+        "__v",
+        (
+            F.sum("__c").over(w).cast("double")
+            / F.sum("__c").over(wt).cast("double")
+        ).alias("__pr"),
+    )
+    return (
+        df.join(
+            ranked,
+            F.col(group_col).eqNullSafe(F.col("__g")) & v.eqNullSafe(F.col("__v")),
+        )
+        .withColumn("pct_rank", F.round("__pr", 6))
+        .drop("__g", "__v", "__pr")
+    )
 
 
 def target_encode(

@@ -7735,21 +7735,28 @@ def layout_cdc_diff(spark, sf_dir):
     FROM sym) WHERE rn = 1
 ), pool AS (
   SELECT doc_id AS cand,
-         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':ctrpool'")} % 8 AS b
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':ctrpool'")} % 8 AS b,
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':ctrsub'")} % 64 AS sub,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':ctrneg'), 1, 8) AS coin
   FROM corpus
+), sub_min AS (
+  SELECT b, coin, cand FROM (
+    SELECT b, sub, coin, cand,
+           row_number() OVER (PARTITION BY b, sub ORDER BY coin, cand) AS rn
+    FROM pool) WHERE rn = 1
+), shortlist AS (
+  SELECT b, coin, cand FROM (
+    SELECT b, coin, cand,
+           row_number() OVER (PARTITION BY b ORDER BY coin, cand) AS rn
+    FROM sub_min) WHERE rn <= 3
 ), picked AS (
   SELECT anchor, positive, j,
          {_HEX8.format(key="CAST(anchor AS VARCHAR) || ':ctrpick'")} % 8 AS b
   FROM best
 ), neg AS (
   SELECT anchor, positive, j, cand,
-         row_number() OVER (
-           PARTITION BY anchor
-           ORDER BY substr(md5(CAST(cand AS VARCHAR) || '|'
-                               || CAST(anchor AS VARCHAR) || ':ctr'), 1, 8),
-                    cand
-         ) AS rn
-  FROM picked JOIN pool USING (b)
+         row_number() OVER (PARTITION BY anchor ORDER BY coin, cand) AS rn
+  FROM picked JOIN shortlist USING (b)
   WHERE cand <> anchor AND cand <> positive
 )
 SELECT anchor, positive, ROUND(j, 6) AS pos_jaccard, cand AS negative
@@ -7759,8 +7766,10 @@ def train_contrastive_triplets(spark, sf_dir):
     """Contrastive triplet mining (pipeline/contrastive.py): positives are
     each anchor's highest exact-Jaccard partner over the injected-twin
     corpus slice (every doc_id%10==0 doc has an exact twin at +100000, so
-    twins pair at 1.0); negatives are the coin-smallest candidate in the
-    anchor's md5 pick-bucket. The gate feeds the EXACT bounded pair source
+    twins pair at 1.0); negatives are the coin-smallest entry of the
+    anchor's pick-bucket 3-candidate shortlist (pre-reduced via
+    sub-bucket minima, so the anchor join is O(anchors) at any corpus
+    size). The gate feeds the EXACT bounded pair source
     both engines agree on; the LSH-pruned pair source drops in unchanged
     at corpus scale. All four columns hash-match DuckDB."""
     from ophidia_server_spark.pipeline.contrastive import contrastive_triplets

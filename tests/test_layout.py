@@ -387,3 +387,47 @@ def test_snapshot_commit_is_exclusive_on_conflict(spark, tables, tmp_path):
     v3 = snapshot_write(base, path)
     assert v3 == 3
     assert snapshot_read(spark, path, 3).count() == base.count()
+
+
+def test_snapshot_loser_never_clobbers_committed_data(spark, tables, tmp_path):
+    # The ADVICE r7 data-dir race: writer A commits v2; writer B, who also
+    # picked v2, must not delete A's committed part files when its own
+    # attempt fails. Writer-unique data dirs + loser self-clean guarantee it.
+    import json
+    import os
+
+    from ophidia_server_spark.layout import (
+        SnapshotConflictError, _commit_manifest, _new_data_dir,
+        snapshot_read, snapshot_write, vacuum,
+    )
+
+    path = str(tmp_path / "race")
+    base = tables["region"]
+    snapshot_write(base, path)                      # v1
+    snapshot_write(base.limit(3), path)             # v2 — writer A wins
+    v2_rows = snapshot_read(spark, path, 2).count()
+
+    # writer B: same version number, its own unique dir, full data write,
+    # then the losing commit
+    b_dir = _new_data_dir(path, 2)
+    base.limit(1).write.mode("overwrite").parquet(b_dir)
+    tmp = os.path.join(path, "_manifests", ".v2.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": 2, "op": "write", "files": [], "parent": 1}, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(SnapshotConflictError):
+        _commit_manifest(path, 2, tmp, b_dir)
+    # loser's dir is gone, winner's v2 still reads every row
+    assert not os.path.exists(b_dir)
+    assert snapshot_read(spark, path, 2).count() == v2_rows
+
+    # a crashed writer (no commit attempt at all) leaves an orphan dir;
+    # vacuum sweeps it without touching any committed version
+    c_dir = _new_data_dir(path, 3)
+    base.limit(2).write.mode("overwrite").parquet(c_dir)
+    rep = vacuum(path, keep_last=10)
+    assert rep["orphan_dirs"] == 1
+    assert not os.path.exists(c_dir)
+    assert snapshot_read(spark, path, 1).count() == base.count()
+    assert snapshot_read(spark, path, 2).count() == v2_rows

@@ -236,3 +236,75 @@ def test_dedup_lines_hot_boilerplate_at_scale(spark):
         (F.col("doc_id") % 2 == 0) & (F.col("n_lines_kept") < 1)
     ).count()
     assert lost == 0
+
+
+def test_percentile_rank_hot_group_at_scale(spark):
+    # One event_type holds 90% of 2M rows. The agg+join ECDF must not sort
+    # the hot group in a single task: the residual window runs over the
+    # (group, distinct value) table — 1000 distinct values here — while the
+    # old raw-row cume_dist window would put 1.8M rows in one partition.
+    from ophidia_server_spark.pipeline.features import percentile_rank_by_group
+
+    ev = spark.range(2_000_000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.lit("cold")).alias("event_type"),
+        (F.col("id") % 1000 / 10.0).alias("value"),
+    )
+    out = percentile_rank_by_group(ev, "value", "event_type")
+    assert out.count() == 2_000_000
+    # ECDF endpoints: the max value ranks 1.0 in both groups
+    top = out.filter(F.col("value") == 99.9).select("pct_rank").distinct().collect()
+    assert [r["pct_rank"] for r in top] == [1.0]
+    # no raw-event-sized window partition in the plan: the only window
+    # operators run over the aggregated distinct-value table
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cume_dist" not in plan
+
+
+def test_contrastive_negative_fanin_is_anchor_bounded(spark):
+    # A 1M-document pool with 3 pair anchors: the negative-sampling join
+    # must touch the <=3-rows-per-bucket shortlist, not the n/8 bucket
+    # membership (which would be 125k candidate rows per anchor here).
+    from ophidia_server_spark.pipeline.contrastive import contrastive_triplets
+
+    pool = spark.range(1_000_000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (10, 11, 0.8), (500_000, 500_001, 0.7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    trip = contrastive_triplets(pool, pairs, n_buckets=8)
+    rows = trip.collect()
+    # every anchor (both pair directions) gets a valid negative
+    assert len(rows) == 6
+    for r in rows:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+    # deterministic under repartitioning
+    again = contrastive_triplets(pool.repartition(13), pairs, n_buckets=8)
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again.collect()}
+
+
+def test_string_index_large_vocab_path_matches_window_path(spark):
+    # Same ids from the range-repartition path and the unpartitioned-window
+    # path on a shared 5k-distinct column, then the large path alone on a
+    # 1M-distinct id-like column (the shape the window path must never see).
+    from ophidia_server_spark.pipeline.features import string_index
+
+    small = spark.range(50_000).select(
+        F.concat(F.lit("v"), (F.col("id") % 5000).cast("string")).alias("k")
+    )
+    _, via_window = string_index(small, "k", max_window_vocab=100_000)
+    _, via_range = string_index(small, "k", max_window_vocab=100)
+    a = {(r["value"], r["n"], r["idx"]) for r in via_window.collect()}
+    b = {(r["value"], r["n"], r["idx"]) for r in via_range.collect()}
+    assert a == b and len(a) == 5000
+
+    big = spark.range(1_000_000).select(
+        F.concat(F.lit("id"), F.col("id").cast("string")).alias("k")
+    )
+    out, vocab = string_index(big, "k", max_window_vocab=65536)
+    assert vocab.count() == 1_000_000
+    # all-distinct: frequency ties everywhere, ids follow value ASC
+    assert vocab.agg(F.min("idx"), F.max("idx")).first() == (0, 999_999)
+    first = vocab.orderBy("idx").first()
+    assert first["value"] == "id0" and first["idx"] == 0
