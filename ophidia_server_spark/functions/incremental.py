@@ -32,15 +32,31 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,6)"
 # the input cast: narrow enough that v*v stays inside DECIMAL(38,*) in
 # BOTH engines (DuckDB multiplies 18+18 -> 36 digits; 38,6 squared would
-# overflow its 38-digit cap), wide enough for any fact measure
-_VDEC = "decimal(18,2)"
+# overflow its 38-digit cap). NOTE the rounding contract this implies:
+# inputs are ROUNDED to `value_decimals` places before any sum — the state
+# is exact over the ROUNDED values, not over arbitrary-precision doubles.
+_VDEC = "decimal(18,{d})"
 
 
-def aggregate_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+def aggregate_state(
+    df: DataFrame, keys: list[str], value_col: str, value_decimals: int = 2,
+) -> DataFrame:
     """One batch's per-group state over `value_col`: (keys..., n, s, s2,
     mn, mx). One grouped aggregate with map-side partials; decimal sums
-    keep the state exact and merge-order-independent."""
-    v = F.col(value_col).cast(_VDEC)
+    keep the state exact and merge-order-independent.
+
+    ROUNDING CONTRACT: the value column is cast to
+    DECIMAL(18, `value_decimals`) first — half-up rounding at that scale —
+    so every downstream exact claim (merge law, finalize avg/variance,
+    features.standardize_by_group / minmax_by_group) holds over the
+    rounded values. The default (2) suits currency-like fact measures;
+    raise it (up to 6: s2 must stay inside DECIMAL(38,6) both engines)
+    for finer measures, and use the SAME value everywhere a state table
+    is merged — states built at different scales must never be merged."""
+    if not 0 <= int(value_decimals) <= 6:
+        raise ValueError("value_decimals must be in [0, 6] "
+                         "(s2 must fit DECIMAL(38,6) in both engines)")
+    v = F.col(value_col).cast(_VDEC.format(d=int(value_decimals)))
     return df.groupBy(*keys).agg(
         F.count(value_col).cast("long").alias("n"),
         F.sum(v).cast(_DEC).alias("s"),
@@ -89,6 +105,68 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _committed_gens(state_path: str) -> list[int]:
+    """Generations with BOTH commit markers: the parquet job's _SUCCESS and
+    the `_batch` file written strictly after it. Anything else is a crash
+    remnant and invisible."""
+    import os as _os
+
+    if not _os.path.isdir(state_path):
+        return []
+    out = []
+    for d in _os.listdir(state_path):
+        if d.startswith("g") and d[1:].isdigit():
+            full = _os.path.join(state_path, d)
+            if _os.path.exists(_os.path.join(full, "_batch")) and (
+                _os.path.exists(_os.path.join(full, "_SUCCESS"))
+            ):
+                out.append(int(d[1:]))
+    return sorted(out)
+
+
+def make_batch_folder(
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    value_decimals: int = 2,
+):
+    """The foreachBatch body of stream_maintain_state, exposed so the
+    at-least-once replay contract is directly testable: folding batch N is
+    idempotent BECAUSE the folded-in batch id is part of the generation
+    commit itself (the `_batch` marker lands after the parquet write), and
+    the previous state is always read from the newest COMMITTED generation
+    — a crash remnant g{N+1} without its marker is ignored and overwritten
+    on replay, never double-merged (ADVICE r7)."""
+    import os as _os
+
+    def _batch_of(gen: int) -> int:
+        with open(_os.path.join(state_path, f"g{gen}", "_batch")) as fh:
+            return int(fh.read().strip())
+
+    def _merge_batch(batch_df, batch_id: int) -> None:
+        gens = _committed_gens(state_path)
+        gen = gens[-1] if gens else 0
+        if gens and batch_id <= _batch_of(gen):
+            return  # already folded into a committed generation
+        new = aggregate_state(batch_df, keys, value_col, value_decimals)
+        if gen > 0:
+            stored = batch_df.sparkSession.read.parquet(
+                _os.path.join(state_path, f"g{gen}")
+            )
+            new = merge_states(keys, stored, new)
+        gen_dir = _os.path.join(state_path, f"g{gen + 1}")
+        new.write.mode("overwrite").parquet(gen_dir)
+        # the commit: only now does g{gen+1} become readable/latest
+        with open(_os.path.join(gen_dir, "_batch.tmp"), "w") as fh:
+            fh.write(str(batch_id))
+        _os.replace(
+            _os.path.join(gen_dir, "_batch.tmp"),
+            _os.path.join(gen_dir, "_batch"),
+        )
+
+    return _merge_batch
+
+
 def stream_maintain_state(
     spark,
     src_path: str,
@@ -96,6 +174,7 @@ def stream_maintain_state(
     state_path: str,
     keys: list[str],
     value_col: str,
+    value_decimals: int = 2,
 ) -> None:
     """Structured-Streaming maintenance of the rollup state: a parquet
     file stream feeds foreachBatch, each micro-batch computes ITS OWN
@@ -105,51 +184,21 @@ def stream_maintain_state(
     convention this repo uses everywhere). History is never rescanned:
     per micro-batch cost is one grouped aggregate over the batch plus a
     state-sized merge. availableNow processes the backlog and stops, so
-    the call is batch-job-shaped; a live deployment drops that trigger."""
-    import os as _os
+    the call is batch-job-shaped; a live deployment drops that trigger.
 
-    def _latest_gen() -> int:
-        if not _os.path.isdir(state_path):
-            return 0
-        gens = [
-            int(d[1:]) for d in _os.listdir(state_path)
-            if d.startswith("g") and d[1:].isdigit()
-        ]
-        return max(gens, default=0)
-
-
-    def _last_batch() -> int:
-        marker = _os.path.join(state_path, "_last_batch")
-        if not _os.path.exists(marker):
-            return -1
-        with open(marker) as fh:
-            return int(fh.read().strip())
-
-    def _merge_batch(batch_df, batch_id: int) -> None:
-        # foreachBatch is AT-LEAST-ONCE: a batch whose generation committed
-        # but whose checkpoint didn't may replay — the batch-id marker makes
-        # the merge idempotent (skip what's already folded in), which is
-        # exactly how foreachBatch sinks are supposed to dedupe
-        if batch_id <= _last_batch():
-            return
-        new = aggregate_state(batch_df, keys, value_col)
-        gen = _latest_gen()
-        if gen > 0:
-            stored = batch_df.sparkSession.read.parquet(
-                _os.path.join(state_path, f"g{gen}")
-            )
-            new = merge_states(keys, stored, new)
-        new.write.mode("overwrite").parquet(
-            _os.path.join(state_path, f"g{gen + 1}")
-        )
-        marker = _os.path.join(state_path, "_last_batch")
-        with open(marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
-        _os.replace(marker + ".tmp", marker)
-
+    Idempotency: foreachBatch is AT-LEAST-ONCE, so the folded-in batch id
+    is part of the GENERATION COMMIT itself — a `_batch` file written into
+    the generation dir strictly after the parquet job (and its _SUCCESS)
+    lands. A generation without both markers is an uncommitted crash
+    remnant: replays ignore it, derive the last folded batch from the
+    newest COMMITTED generation, and overwrite the remnant. A separate
+    last-batch marker would reintroduce the double-merge window between
+    the data write and the marker write (ADVICE r7)."""
     (
         spark.readStream.schema(schema).parquet(src_path)
-        .writeStream.foreachBatch(_merge_batch)
+        .writeStream.foreachBatch(
+            make_batch_folder(state_path, keys, value_col, value_decimals)
+        )
         .option("checkpointLocation", state_path + "_ckpt")
         .trigger(availableNow=True)
         .start()
@@ -158,13 +207,12 @@ def stream_maintain_state(
 
 
 def read_state(spark, state_path: str):
-    """The newest committed state generation."""
+    """The newest COMMITTED state generation (both the parquet _SUCCESS and
+    the `_batch` commit marker present — a crash mid-write never becomes
+    'latest')."""
     import os as _os
 
-    gens = [
-        int(d[1:]) for d in _os.listdir(state_path)
-        if d.startswith("g") and d[1:].isdigit()
-    ]
+    gens = _committed_gens(state_path)
     if not gens:
-        raise FileNotFoundError(f"no state generations under {state_path}")
+        raise FileNotFoundError(f"no committed state generations under {state_path}")
     return spark.read.parquet(_os.path.join(state_path, f"g{max(gens)}"))

@@ -588,19 +588,27 @@ def winsorize_by_group(
     Cost: ONE grouped sketch pass (O(groups * log/alpha) rows), a
     quantile walk over that tiny table, and a groups-sized join back that
     AQE broadcasts; the clip itself is a pure map. Adds `clipped` (the
-    clamped value) and `was_clipped`."""
+    clamped value) and `was_clipped`.
+
+    `split_col` must be a COLUMN NAME (the join back keys on it); for a
+    computed split, materialize it as a column first —
+    df.withColumn("grp", expr) — and pass "grp"."""
+    if not isinstance(split_col, str):
+        raise TypeError(
+            "winsorize_by_group needs a column NAME for split_col (the "
+            "bounds join keys on it); withColumn a computed split first"
+        )
     sk = dds_sketch_by(df, value_col, split_col, alpha)
     cuts = dds_quantiles_by(sk, [lower_q, upper_q], alpha)
     bounds = cuts.groupBy("split").agg(
         F.min(F.when(F.col("q") == lower_q, F.col("est"))).alias("__lo"),
         F.min(F.when(F.col("q") == upper_q, F.col("est"))).alias("__hi"),
     )
-    split_name = split_col if isinstance(split_col, str) else "split"
     v = F.col(value_col).cast("double")
     clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
     return (
         df.join(
-            bounds.withColumnRenamed("split", split_name), split_name
+            bounds.withColumnRenamed("split", split_col), split_col
         )
         .withColumn("clipped", F.round(clipped, 6))
         .withColumn(

@@ -103,3 +103,44 @@ def test_stream_state_resumes_on_new_arrivals(spark, tables, tmp_path):
         inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_state_replay_after_crash_does_not_double_merge(
+    spark, tables, tmp_path
+):
+    # The ADVICE r7 window, driven through the exact foreachBatch body
+    # (make_batch_folder): the process dies AFTER writing the g2 parquet
+    # but BEFORE its commit marker lands, and the checkpoint also did not
+    # commit — so batch 1 REPLAYS. It must fold against the last COMMITTED
+    # generation (g1), overwrite the remnant, and land exactly once.
+    import os
+
+    state = str(tmp_path / "crash_state")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    fold = inc.make_batch_folder(state, ["event_type"], "value")
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    fold(b0, 0)
+    fold(b1, 1)
+    assert sorted(d for d in os.listdir(state) if d.startswith("g")) == ["g1", "g2"]
+    one_shot = _rows(inc.finalize_state(
+        inc.aggregate_state(ev, ["event_type"], "value"), ["event_type"]
+    ))
+    assert _rows(inc.finalize_state(inc.read_state(spark, state), ["event_type"])) \
+        == one_shot
+
+    # crash: strip g2's commit marker -> readers fall back to g1
+    os.remove(os.path.join(state, "g2", "_batch"))
+    g1 = spark.read.parquet(os.path.join(state, "g1"))
+    assert _rows(inc.finalize_state(inc.read_state(spark, state), ["event_type"])) \
+        == _rows(inc.finalize_state(g1, ["event_type"]))
+
+    # replay of batch 1: no double merge, remnant overwritten and committed
+    fold(b1, 1)
+    assert _rows(inc.finalize_state(inc.read_state(spark, state), ["event_type"])) \
+        == one_shot
+    # a second replay of an already-committed batch is a no-op
+    fold(b1, 1)
+    assert sorted(d for d in os.listdir(state) if d.startswith("g")) == ["g1", "g2"]
+    assert _rows(inc.finalize_state(inc.read_state(spark, state), ["event_type"])) \
+        == one_shot
