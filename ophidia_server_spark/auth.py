@@ -234,3 +234,184 @@ class SignedTokenValidator(TokenValidator):
         except ValueError:
             raise TokenError(f"unknown role claim {role!r}") from None
         return (str(sub), role)
+
+
+# -- RS256 (asymmetric) verification against published keys ------------------
+#
+# The reference's OpenID path verifies provider-signed tokens against the
+# IdP's published keys (oph_auth.c token handling; oph_execute_main.c:324-420
+# routes the bearer token through validity/expiry/black-list/audience). The
+# engine analogue verifies RS256 signatures — RSASSA-PKCS1-v1_5 with SHA-256,
+# RFC 8017 §8.2.2, implemented from the public spec on stdlib ints — against
+# keys loaded from a local JWKS (RFC 7517) or PEM SubjectPublicKeyInfo file.
+# No network: the deployment fetches/rotates the key file out of band, which
+# is also how air-gapped IdP deployments pin provider keys.
+
+# DigestInfo DER prefix for SHA-256 (RFC 8017 §9.2 notes)
+_SHA256_DER_PREFIX = bytes.fromhex(
+    "3031300d060960864801650304020105000420"
+)
+
+
+def _rsa_pkcs1_v15_verify(n: int, e: int, signing: bytes, sig: bytes) -> bool:
+    """RSASSA-PKCS1-v1_5-VERIFY (RFC 8017 §8.2.2): RSAVP1 then a constant
+    EMSA encoding comparison. Pure int arithmetic — pow() IS the RSA op."""
+    k = (n.bit_length() + 7) // 8
+    if len(sig) != k:
+        return False
+    s = int.from_bytes(sig, "big")
+    if s >= n:
+        return False
+    em = pow(s, e, n).to_bytes(k, "big")
+    digest = _hashlib.sha256(signing).digest()
+    t = _SHA256_DER_PREFIX + digest
+    ps_len = k - len(t) - 3
+    if ps_len < 8:
+        return False
+    expected = b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+    return _hmac.compare_digest(em, expected)
+
+
+def _der_read(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+    """One DER TLV: returns (tag, value, next_pos). Minimal parser for the
+    SubjectPublicKeyInfo / RSAPublicKey shapes only."""
+    if pos + 2 > len(buf):
+        raise ValueError("truncated DER")
+    tag = buf[pos]
+    ln = buf[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        n_len = ln & 0x7F
+        if n_len == 0 or pos + n_len > len(buf):
+            raise ValueError("bad DER length")
+        ln = int.from_bytes(buf[pos:pos + n_len], "big")
+        pos += n_len
+    if pos + ln > len(buf):
+        raise ValueError("truncated DER value")
+    return tag, buf[pos:pos + ln], pos + ln
+
+
+def _rsa_from_der(der: bytes) -> tuple[int, int]:
+    """(n, e) from either SubjectPublicKeyInfo (X.509 'PUBLIC KEY') or a
+    bare PKCS#1 RSAPublicKey ('RSA PUBLIC KEY')."""
+    tag, body, _ = _der_read(der, 0)
+    if tag != 0x30:
+        raise ValueError("not a DER SEQUENCE")
+    tag1, v1, p = _der_read(body, 0)
+    if tag1 == 0x30:  # SPKI: SEQUENCE(AlgorithmIdentifier) BIT STRING(key)
+        tag2, v2, _ = _der_read(body, p)
+        if tag2 != 0x03 or not v2 or v2[0] != 0:
+            raise ValueError("bad SPKI bit string")
+        return _rsa_from_der(v2[1:])
+    if tag1 == 0x02:  # PKCS#1: INTEGER n, INTEGER e
+        tag2, v2, _ = _der_read(body, p)
+        if tag2 != 0x02:
+            raise ValueError("bad RSAPublicKey")
+        return int.from_bytes(v1, "big"), int.from_bytes(v2, "big")
+    raise ValueError("unrecognized public-key DER")
+
+
+def rsa_key_from_pem(pem: str) -> tuple[int, int]:
+    """(n, e) from a PEM 'PUBLIC KEY' (SPKI) or 'RSA PUBLIC KEY' (PKCS#1)
+    block."""
+    lines = [
+        ln.strip() for ln in pem.splitlines()
+        if ln.strip() and not ln.startswith("-----")
+    ]
+    return _rsa_from_der(_base64.b64decode("".join(lines)))
+
+
+def rsa_keys_from_jwks(jwks: dict) -> dict[str, tuple[int, int]]:
+    """kid -> (n, e) for every RSA signature key in an RFC 7517 key set.
+    Keys without a kid get positional names ('#0', ...)."""
+    out: dict[str, tuple[int, int]] = {}
+    for i, k in enumerate(jwks.get("keys", [])):
+        if k.get("kty") != "RSA" or k.get("use", "sig") != "sig":
+            continue
+        try:
+            n = int.from_bytes(_b64url_dec(k["n"]), "big")
+            e = int.from_bytes(_b64url_dec(k["e"]), "big")
+        except Exception:
+            continue
+        out[str(k.get("kid", f"#{i}"))] = (n, e)
+    return out
+
+
+class RS256TokenValidator(TokenValidator):
+    """Provider-signed JWTs (RS256) verified against locally-configured
+    public keys — the reference's OpenID verify path with the key fetch
+    replaced by a pinned JWKS/PEM file. Same named-401 ladder as the HMAC
+    validator: structure, algorithm, key lookup (kid), signature, expiry,
+    audience, subject, black-list, role."""
+
+    def __init__(self, keys: dict[str, tuple[int, int]],
+                 audience: str | None = None,
+                 blacklist: tuple[str, ...] | set[str] = (),
+                 clock=_time.time):
+        if not keys:
+            raise ValueError("RS256TokenValidator needs at least one key")
+        self.keys = dict(keys)
+        self.audience = audience
+        self.blacklist = set(blacklist)
+        self.clock = clock
+
+    @classmethod
+    def from_jwks_file(cls, path: str, **kw) -> "RS256TokenValidator":
+        with open(path) as fh:
+            return cls(rsa_keys_from_jwks(_json.load(fh)), **kw)
+
+    @classmethod
+    def from_pem_file(cls, path: str, kid: str = "#0", **kw) -> "RS256TokenValidator":
+        with open(path) as fh:
+            return cls({kid: rsa_key_from_pem(fh.read())}, **kw)
+
+    def validate(self, token: str) -> tuple[str, str]:
+        parts = token.split(".")
+        if len(parts) != 3:
+            raise TokenError("malformed token")
+        try:
+            header = _json.loads(_b64url_dec(parts[0]))
+            payload = _json.loads(_b64url_dec(parts[1]))
+            sig = _b64url_dec(parts[2])
+        except Exception:
+            raise TokenError("malformed token") from None
+        if not isinstance(header, dict) or header.get("alg") != "RS256":
+            # an HS256 token must never reach the RSA path (alg confusion:
+            # the classic attack signs with the PUBLIC key as HMAC secret)
+            raise TokenError("unsupported token algorithm")
+        if not isinstance(payload, dict):
+            raise TokenError("malformed token payload")
+        kid = header.get("kid")
+        if kid is not None:
+            cand = [self.keys[kid]] if kid in self.keys else []
+            if not cand:
+                raise TokenError(f"unknown signing key {kid!r}")
+        else:
+            cand = list(self.keys.values())
+        signing = f"{parts[0]}.{parts[1]}".encode()
+        if not any(_rsa_pkcs1_v15_verify(n, e, signing, sig) for n, e in cand):
+            raise TokenError("bad token signature")
+        exp = payload.get("exp")
+        if exp is None:
+            raise TokenError("token has no expiry claim")
+        try:
+            if self.clock() >= float(exp):
+                raise TokenError("token expired")
+        except (TypeError, ValueError):
+            raise TokenError("malformed expiry claim") from None
+        if self.audience is not None:
+            aud = payload.get("aud")
+            auds = aud if isinstance(aud, list) else [aud]
+            if self.audience not in auds:
+                raise TokenError("token audience mismatch")
+        sub = payload.get("sub")
+        if not sub:
+            raise TokenError("token has no subject claim")
+        if sub in self.blacklist:
+            raise TokenError(f"user {sub} is black-listed")
+        role = str(payload.get("role", "read"))
+        try:
+            role_bits(role)
+        except ValueError:
+            raise TokenError(f"unknown role claim {role!r}") from None
+        return (str(sub), role)

@@ -647,3 +647,229 @@ def test_cli_client_submit_poll_and_cancel(server, tmp_path, capsys):
     rc = client.main(["--url", base, "--token", "nope", "jobs"])
     capsys.readouterr()
     assert rc == 1
+
+
+# fixed 1024-bit RSA test keypair (test-only; deterministic)
+_RSA_N = int(
+    "0x7fe7060404d4d8fe2541d19fd4cb4de19e3fd4f94eab0543b5afaf52a1afe309"
+    "5a1fde4fe0c78887228341a3d5aba29c9fb3402292c98007b0cd4fda139c17542"
+    "1984ccd75481f3b85d6bd1a9b90437bd032ab67854fb38790bec0f638ab8679a3"
+    "cd0889fde5cb65fea22d98fb0a5ed8403199d6dfdb1a5eb06d350285735733", 16)
+_RSA_D = int(
+    "0xa1bfc81bcd00606b0732f5a6ebb53008e3d855bdf37ed4698c9b615d5e9cd0c2"
+    "42f78a6dfa165cd28912f52ffc47d29dc0593002891fca89ef4db66e53de52a08"
+    "10ba69df58a27b9153eeb88dcfdd313fe84dcaa3a7d8268cb8392e7a9bdb4184c"
+    "05ab2305d864b58df67c2655e389482f1d92c489b03fcc96fbe43b4fcf3e1", 16)
+_RSA_E = 65537
+_RSA_PEM = """-----BEGIN RSA PUBLIC KEY-----
+MIGIAoGAf+cGBATU2P4lQdGf1MtN4Z4/1PlOqwVDta+vUqGv4wlaH95P4MeIhyKD
+QaPVq6Kcn7NAIpLJgAewzU/aE5wXVCGYTM11SB87hda9GpuQQ3vQMqtnhU+zh5C+
+wPY4q4Z5o80Iif3ly2X+oi2Y+wpe2EAxmdbf2xpesG01AoVzVzMCAwEAAQ==
+-----END RSA PUBLIC KEY-----
+"""
+
+
+def _rs256_mint(payload: dict, kid: str | None = "k1", d: int = _RSA_D) -> str:
+    # a provider-side RS256 signer (EMSA-PKCS1-v1_5, RFC 8017) — what a
+    # real IdP does with its private key
+    import base64 as b64
+    import hashlib
+    import json as js
+
+    from ophidia_server_spark.auth import _SHA256_DER_PREFIX
+
+    def enc(o):
+        return b64.urlsafe_b64encode(js.dumps(o, separators=(",", ":")).encode()).rstrip(b"=").decode()
+
+    header = {"alg": "RS256", "typ": "JWT"}
+    if kid is not None:
+        header["kid"] = kid
+    signing = enc(header) + "." + enc(payload)
+    k = (_RSA_N.bit_length() + 7) // 8
+    t = _SHA256_DER_PREFIX + hashlib.sha256(signing.encode()).digest()
+    em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+    sig = pow(int.from_bytes(em, "big"), d, _RSA_N).to_bytes(k, "big")
+    return signing + "." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+
+
+def test_rs256_jwks_validation_paths_through_live_httpd(tmp_path):
+    # the reference's OpenID path (oph_execute_main.c:324-420): provider-
+    # signed RS256 tokens verified against the provider's PUBLISHED keys —
+    # here pinned as a local JWKS file (no network). Valid tokens resolve
+    # (user, role); expired / unknown-kid / tampered / HMAC-alg-confusion /
+    # black-listed tokens are 401 with the named reason.
+    import base64 as b64
+    import json as js
+
+    from ophidia_server_spark.auth import RS256TokenValidator
+
+    jwks = {"keys": [{
+        "kty": "RSA", "use": "sig", "kid": "k1", "alg": "RS256",
+        "n": b64.urlsafe_b64encode(_RSA_N.to_bytes(128, "big")).rstrip(b"=").decode(),
+        "e": b64.urlsafe_b64encode(_RSA_E.to_bytes(3, "big")).rstrip(b"=").decode(),
+    }]}
+    jwks_path = tmp_path / "jwks.json"
+    jwks_path.write_text(js.dumps(jwks))
+    clock = [1000.0]
+    v = RS256TokenValidator.from_jwks_file(
+        str(jwks_path), audience="ophidia-engine",
+        blacklist={"mallory"}, clock=lambda: clock[0],
+    )
+    srv = EngineHttpServer(engine=_engine(), validator=v)
+    port = srv.start()
+    try:
+        wf = {"name": "w", "tasks": [{"name": "ls", "operator": "oph_list"}]}
+        ok = _rs256_mint({"sub": "alice", "role": "admin", "exp": 2000.0,
+                          "aud": "ophidia-engine"})
+        status, out = _req(port, "/execute", wf, token=ok)
+        assert status == 200
+        assert out["status"] == "OPH_ODB_STATUS_COMPLETED"
+
+        clock[0] = 3000.0
+        code, err = _req_raw(port, "/execute", wf, token=ok)
+        assert code == 401 and "expired" in err["error"]
+        clock[0] = 1000.0
+
+        unknown_kid = _rs256_mint(
+            {"sub": "alice", "role": "admin", "exp": 2000.0,
+             "aud": "ophidia-engine"}, kid="rotated-away")
+        code, err = _req_raw(port, "/execute", wf, token=unknown_kid)
+        assert code == 401 and "signing key" in err["error"]
+
+        # tampered payload: signature over the original no longer verifies
+        h, p, s = ok.split(".")
+        evil = js.loads(b64.urlsafe_b64decode(p + "=" * (-len(p) % 4)))
+        evil["role"] = "owner"
+        p2 = b64.urlsafe_b64encode(
+            js.dumps(evil, separators=(",", ":")).encode()
+        ).rstrip(b"=").decode()
+        code, err = _req_raw(port, "/execute", wf, token=f"{h}.{p2}.{s}")
+        assert code == 401 and "signature" in err["error"]
+
+        # alg-confusion: an HS256 token HMAC'd with the PUBLIC key bytes
+        # must die at the algorithm check, never reach RSA verification
+        import hashlib
+        import hmac as hmac_mod
+
+        hh = b64.urlsafe_b64encode(
+            js.dumps({"alg": "HS256", "kid": "k1"}).encode()
+        ).rstrip(b"=").decode()
+        sig = hmac_mod.new(
+            _RSA_N.to_bytes(128, "big"), f"{hh}.{p}".encode(), hashlib.sha256
+        ).digest()
+        confused = f"{hh}.{p}." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+        code, err = _req_raw(port, "/execute", wf, token=confused)
+        assert code == 401 and "algorithm" in err["error"]
+
+        banned = _rs256_mint({"sub": "mallory", "role": "admin",
+                              "exp": 2000.0, "aud": "ophidia-engine"})
+        code, err = _req_raw(port, "/execute", wf, token=banned)
+        assert code == 401 and "black-listed" in err["error"]
+
+        wrong_aud = _rs256_mint({"sub": "alice", "role": "admin",
+                                 "exp": 2000.0, "aud": "other"})
+        code, err = _req_raw(port, "/execute", wf, token=wrong_aud)
+        assert code == 401 and "audience" in err["error"]
+    finally:
+        srv.stop()
+
+
+def test_rs256_pem_key_loading_matches_jwks(tmp_path):
+    # the same key pinned as a PEM file (PKCS#1 RSAPublicKey) must verify
+    # the same tokens; kid-less tokens try all configured keys
+    from ophidia_server_spark.auth import RS256TokenValidator, TokenError
+
+    pem_path = tmp_path / "idp.pem"
+    pem_path.write_text(_RSA_PEM)
+    clock = [1000.0]
+    v = RS256TokenValidator.from_pem_file(
+        str(pem_path), kid="k1", clock=lambda: clock[0])
+    tok = _rs256_mint({"sub": "alice", "role": "read", "exp": 2000.0}, kid=None)
+    assert v.validate(tok) == ("alice", "read")
+    import pytest as _pytest
+
+    with _pytest.raises(TokenError, match="signature"):
+        v.validate(_rs256_mint(
+            {"sub": "alice", "role": "read", "exp": 2000.0},
+            kid=None, d=pow(3, 1, _RSA_N - 7)))  # garbage exponent
+
+
+def test_core_limit_burst_waits_then_runs_in_order():
+    # oph_rmanager.c:795-805 semantics under TRUE concurrency: a 3-worker
+    # farm with a 2-core server budget takes three 1-core jobs at once —
+    # two START, the third is ADMITTED but WAITS (its operator must not
+    # begin), and it runs only when a running job returns its core. Gate
+    # events (not sleeps) make the ordering deterministic; accounting is
+    # asserted through the public job list before and after.
+    import threading
+
+    started: dict[str, float] = {}
+    finished: dict[str, float] = {}
+    gates = {k: threading.Event() for k in ("a", "b", "c")}
+    started_evt = {k: threading.Event() for k in ("a", "b", "c")}
+    lock = threading.Lock()
+
+    def blocker(engine, args, inputs):
+        key = args["key"]
+        with lock:
+            started[key] = time.monotonic()
+        started_evt[key].set()
+        gates[key].wait(timeout=10)
+        with lock:
+            finished[key] = time.monotonic()
+        return f"done-{key}"
+
+    srv = EngineHttpServer(
+        engine=WorkflowEngine(operators={"blocker": blocker}),
+        tokens={"t": ("alice", "admin")},
+        farm_size=3, core_limit=2,
+    )
+    port = srv.start()
+    try:
+        def submit(key):
+            wf = {"name": key, "exec_mode": "async", "ncores": 1,
+                  "tasks": [{"name": "b", "operator": "blocker",
+                             "arguments": {"key": key}}]}
+            _, out = _req(port, "/execute", wf, token="t")
+            return out["jobid"]
+
+        ja = submit("a")
+        assert started_evt["a"].wait(5)
+        jb = submit("b")
+        assert started_evt["b"].wait(5)
+        jc = submit("c")  # admitted: within every budget — but must WAIT
+        assert not started_evt["c"].wait(0.5), "c ran past the core gate"
+        # the waiter is visible as an active-but-not-started job
+        _, lst = _req(port, "/jobs", token="t")
+        by_id = {j["jobid"]: j["status"] for j in lst["jobs"]}
+        assert by_id[jc] == "OPH_ODB_STATUS_RUNNING"  # admitted/queued state
+
+        gates["a"].set()  # a returns its core -> c must start
+        assert started_evt["c"].wait(5), "c never started after a core freed"
+        assert started["c"] >= finished["a"]
+        # b never stopped; only a's completion unblocked c
+        assert "b" not in finished
+        gates["b"].set()
+        gates["c"].set()
+        for jid in (ja, jb, jc):
+            for _ in range(100):
+                _, got = _req(port, f"/jobs/{jid}", token="t")
+                if got["status"] != "OPH_ODB_STATUS_RUNNING":
+                    break
+                time.sleep(0.05)
+            assert got["status"] == "OPH_ODB_STATUS_COMPLETED"
+        # accounting drained: core and admission counters back to zero
+        assert srv._cores_running == 0
+        assert srv._active_total == 0
+        assert srv._active_by_user == {}
+
+        # a declared ask above the whole budget can never start: named 503
+        wf_big = {"name": "big", "ncores": 3,
+                  "tasks": [{"name": "b", "operator": "blocker",
+                             "arguments": {"key": "a"}}]}
+        code, err = _req_raw(port, "/execute", wf_big, token="t")
+        assert code == 503 and err["limit"] == "CORE_LIMIT"
+    finally:
+        for e in gates.values():
+            e.set()
+        srv.stop()
