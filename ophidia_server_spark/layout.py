@@ -289,6 +289,89 @@ def _new_data_dir(path: str, v: int) -> str:
     return _os.path.join(path, f"g{v:05d}-{_uuid.uuid4().hex[:8]}")
 
 
+def _stat_val(v):
+    """Manifest-safe stat value: numbers and strings keep their type (both
+    compare correctly against same-type predicate bounds), dates/timestamps
+    become ISO strings (ISO order == chronological order), everything else
+    (decimals, binaries, ...) records None — the file is then always kept,
+    pruning stays conservative."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    return None
+
+
+def _collect_file_stats(spark: SparkSession, files: list[str],
+                        stats_cols: list[str]) -> dict:
+    """Per-file min/max/count for the manifest — one grouped aggregate over
+    the freshly written files (O(new data), the stats-collection cost every
+    table format pays at write time). Keys are the local file paths the
+    manifest stores."""
+    if not files or not stats_cols:
+        return {}
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    present = [c for c in stats_cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in present:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    out = {}
+    for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
+        f = r["__f"].removeprefix("file://")
+        out[f] = {
+            "rows": r["__rows"],
+            "cols": {
+                c: [_stat_val(r[f"__mn_{c}"]), _stat_val(r[f"__mx_{c}"])]
+                for c in present
+            },
+        }
+    return out
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _prune_by_stats(man: dict, ranges: dict) -> list[str]:
+    """Files whose recorded [min, max] envelope intersects every predicate
+    range; files without stats (or with non-comparable stat types) are
+    conservatively kept — pruning is a performance lever, never a
+    correctness dependency (the caller re-applies the predicate)."""
+    import datetime as _dt
+
+    stats = man.get("stats") or {}
+    norm = {
+        c: (_stat_val(lo) if isinstance(lo, (_dt.date, _dt.datetime)) else lo,
+            _stat_val(hi) if isinstance(hi, (_dt.date, _dt.datetime)) else hi)
+        for c, (lo, hi) in ranges.items()
+    }
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f)
+        drop = False
+        if st:
+            for c, (lo, hi) in norm.items():
+                cs = (st.get("cols") or {}).get(c)
+                if not cs or cs[0] is None or cs[1] is None:
+                    continue
+                mn, mx = cs
+                if _comparable(mn, lo) and _comparable(mx, hi) and (
+                    mx < lo or mn > hi
+                ):
+                    drop = True
+                    break
+        if not drop:
+            keep.append(f)
+    return keep
+
+
 def _read_manifest(path: str, version: int | None = None) -> dict:
     import json as _json
     import os as _os
@@ -318,7 +401,10 @@ def snapshot_versions(path: str) -> list[int]:
     )
 
 
-def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
+def snapshot_write(
+    df: DataFrame, path: str, op: str = "write",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Append a NEW table version whose data is `df` — the manifest-swap
     commit of every lakehouse format (Delta/Iceberg semantics, original
     implementation): part files are immutable once written, and a version
@@ -326,15 +412,25 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
     version never see a partial state. Returns the new version number.
 
     The first write creates v1; later writes stack v2, v3, ... with the
-    previous version fully readable (time travel) until `vacuum`."""
+    previous version fully readable (time travel) until `vacuum`.
+
+    `stats_cols` records per-file min/max/count in the manifest (the
+    Iceberg/Delta data-skipping stats) so `snapshot_read(ranges=...)`
+    prunes files; omitted, the columns carry over from the parent
+    manifest, so one stats-enabled write keeps the whole chain skippable."""
     import json as _json
     import os as _os
 
     versions = []
+    parent_man = None
     try:
         versions = snapshot_versions(path)
+        if versions:
+            parent_man = _read_manifest(path, versions[-1])
     except FileNotFoundError:
         pass
+    if stats_cols is None and parent_man:
+        stats_cols = parent_man.get("stats_cols")
     v = (versions[-1] + 1) if versions else 1
     data_dir = _new_data_dir(path, v)
     df.write.mode("overwrite").parquet(data_dir)
@@ -344,6 +440,9 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
     )
     man = {"version": v, "op": op, "files": files,
            "parent": versions[-1] if versions else None}
+    if stats_cols:
+        man["stats_cols"] = list(stats_cols)
+        man["stats"] = _collect_file_stats(df.sparkSession, files, stats_cols)
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(man, fh)
@@ -352,14 +451,41 @@ def snapshot_write(df: DataFrame, path: str, op: str = "write") -> int:
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Read a specific table version (latest when None) — one scan over
-    exactly the files its manifest names."""
+    exactly the files its manifest names. With `ranges` (a predicate
+    rectangle {col: (lo, hi)}), the manifest's per-file stats prune the
+    file list first and the exact predicate is re-applied after the scan —
+    identical rows to filtering the full version, files skipped for free."""
+    if ranges:
+        df, _, _ = snapshot_pruned_read(spark, path, ranges, version)
+        return df
     man = _read_manifest(path, version)
     # mergeSchema: a version written after a schema-evolving upsert may mix
     # files with and without the new columns; readers see NULLs for the old
     return spark.read.option("mergeSchema", "true").parquet(*man["files"])
+
+
+def snapshot_pruned_read(
+    spark: SparkSession, path: str, ranges: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """snapshot_read(ranges=...) with the pruning visible: returns
+    (df, files_read, files_total) so callers (and tests) can assert how
+    many files the manifest stats actually skipped."""
+    man = _read_manifest(path, version)
+    keep = _prune_by_stats(man, ranges)
+    if keep:
+        df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *man["files"]
+        ).limit(0)
+    for c, (lo, hi) in ranges.items():
+        df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df, len(keep), len(man["files"])
 
 
 def snapshot_upsert(
@@ -370,6 +496,10 @@ def snapshot_upsert(
     files stay on disk, referenced by older manifests, and the new version's
     manifest carries (old files - touched) + rewritten. Readers of any
     version keep a consistent view; `vacuum` reclaims space later.
+
+    Data-skipping stats follow the parent's `stats_cols`: kept files are
+    immutable, so their stats COPY over for free; only the rewritten files
+    get a fresh stats pass.
 
     Returns {version, files_total, files_rewritten, files_written}."""
     import os as _os
@@ -407,6 +537,14 @@ def snapshot_upsert(
     ]
     out = {"version": v, "op": "upsert", "files": kept + new_files,
            "parent": man["version"]}
+    stats_cols = man.get("stats_cols")
+    if stats_cols:
+        out["stats_cols"] = stats_cols
+        parent_stats = man.get("stats") or {}
+        # kept files are immutable: their stats carry over without a scan
+        stats = {f: parent_stats[f] for f in kept if f in parent_stats}
+        stats.update(_collect_file_stats(spark, new_files, stats_cols))
+        out["stats"] = stats
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)
@@ -499,6 +637,14 @@ def snapshot_optimize(
     )
     out = {"version": v, "op": "optimize", "files": new_files,
            "parent": man["version"]}
+    stats_cols = man.get("stats_cols") or (
+        list(zorder_cols) if zorder_cols else None
+    )
+    if stats_cols:
+        # after a Z-order rewrite these envelopes are TIGHT on every
+        # clustered column — OPTIMIZE is what makes the skipping bite
+        out["stats_cols"] = stats_cols
+        out["stats"] = _collect_file_stats(spark, new_files, stats_cols)
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(out, fh)

@@ -7486,6 +7486,64 @@ def layout_time_travel(spark, sf_dir):
 
 
 @q(
+    "layout_snapshot_pruned_read",
+    """WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey < 4000
+), upd AS (
+  SELECT l_orderkey, l_linenumber, qty + 1000 AS qty
+  FROM base WHERE l_orderkey % 7 = 0
+), v2 AS (
+  SELECT * FROM base WHERE l_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM upd
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(qty AS DOUBLE) AS qty
+FROM v2 WHERE l_orderkey BETWEEN 500 AND 1500""",
+)
+def layout_snapshot_pruned_read(spark, sf_dir):
+    """Min-max file skipping wired INTO the snapshot store (layout.py
+    snapshot_write stats_cols / snapshot_read ranges): version 1 records
+    per-file l_orderkey envelopes in its manifest at write time, the
+    copy-on-write upsert carries kept files' stats forward without a
+    rescan (immutable files keep valid stats by construction) and stats only the
+    rewritten files, and the versioned read takes a predicate rectangle
+    that prunes the file list BEFORE the scan then re-applies the exact
+    predicate. The gate pins that a pruned time-travel read loses nothing
+    vs the merge semantics recomputed from raw rows; the file-count
+    assertion lives in tests/test_layout.py."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"]
+    base = li.filter("l_orderkey < 4000").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_snapstats_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(
+        base.repartitionByRange(8, "l_orderkey"), path,
+        stats_cols=["l_orderkey"],
+    )
+    updates = base.filter("l_orderkey % 7 = 0").withColumn(
+        "qty", (F.col("qty") + 1000).cast("decimal(18,2)")
+    )
+    lay2.snapshot_upsert(spark, path, updates, ["l_orderkey", "l_linenumber"])
+    out = lay2.snapshot_read(
+        spark, path, 2, ranges={"l_orderkey": (500, 1500)}
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@q(
     "events_drift_psi",
     """WITH refv AS (
   SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type <> 'error'

@@ -431,3 +431,56 @@ def test_snapshot_loser_never_clobbers_committed_data(spark, tables, tmp_path):
     assert not os.path.exists(c_dir)
     assert snapshot_read(spark, path, 1).count() == base.count()
     assert snapshot_read(spark, path, 2).count() == v2_rows
+
+
+def test_snapshot_manifest_stats_prune_time_travel_reads(spark, tables, tmp_path):
+    # min-max skipping wired INTO the snapshot store: stats recorded at
+    # write time prune a time-travel read's file list (file-count asserted),
+    # kept files' stats carry through an upsert without a rescan, and the
+    # pruned result is row-identical to filtering the full version.
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.layout import (
+        _read_manifest, snapshot_optimize, snapshot_pruned_read,
+        snapshot_read, snapshot_upsert, snapshot_write,
+    )
+
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    ).filter("l_orderkey < 4000")
+    path = str(tmp_path / "snapstats")
+    snapshot_write(
+        li.repartitionByRange(8, "l_orderkey"), path,
+        stats_cols=["l_orderkey"],
+    )
+    rect = {"l_orderkey": (100, 600)}
+    df1, read1, total1 = snapshot_pruned_read(spark, path, rect, version=1)
+    assert total1 == 8 and 0 < read1 < total1, (read1, total1)
+    full1 = snapshot_read(spark, path, 1).filter(
+        F.col("l_orderkey").between(100, 600))
+    assert df1.count() == full1.count() > 0
+
+    # upsert: kept files keep their stats with no rescan; only rewritten
+    # files get fresh entries — the v2 manifest still covers every file
+    upd = li.filter("l_orderkey % 7 = 0").withColumn(
+        "qty", (F.col("qty") + 1000).cast("decimal(18,2)"))
+    snapshot_upsert(spark, path, upd, ["l_orderkey", "l_linenumber"])
+    man2 = _read_manifest(path, 2)
+    assert man2["stats_cols"] == ["l_orderkey"]
+    assert set(man2["stats"]) == set(man2["files"])
+    df2, read2, total2 = snapshot_pruned_read(spark, path, rect, version=2)
+    full2 = snapshot_read(spark, path, 2).filter(
+        F.col("l_orderkey").between(100, 600))
+    assert df2.count() == full2.count() > 0
+    # ... and v1 stays prunable after v2 exists (time travel + skipping)
+    dfa, _, _ = snapshot_pruned_read(spark, path, rect, version=1)
+    assert dfa.count() == full1.count()
+
+    # OPTIMIZE with Z-order tightens envelopes and recomputes stats
+    snapshot_optimize(spark, path, zorder_cols=["l_orderkey"], target_mb=1)
+    df3 = snapshot_read(spark, path, ranges=rect)
+    assert df3.count() == full2.count()
+
+    # the ranges= path through snapshot_read matches the explicit call
+    assert snapshot_read(spark, path, 2, ranges=rect).count() == full2.count()
