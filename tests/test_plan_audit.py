@@ -1,45 +1,57 @@
-"""plan_audit metric extraction (scripts/plan_audit.py audit_plan): the
-counting contract that PLANS.md's regression flags depend on — executed
-final plan only, ReusedExchange not a shuffle, SMJ nodes AQE replaced at
-runtime not reported."""
+"""Plan-regression guard for the headline queries.
+
+PLANS.md records each query's executed-plan shape per round, but nothing
+FAILED when a plan regressed — the funnel's O(k^2) scan blow-up shipped a
+whole round before the audit caught it. These bars pin the flagship
+queries' scan and shuffle counts at their recorded values (sf0.001, AQE
+final plan, same counter as scripts/plan_audit.py): a refactor that adds
+a rescan or an extra exchange fails here first. Bars are EXACT ceilings
+from the committed PLANS.md; loosening one is a deliberate, reviewed act.
+"""
+
+from __future__ import annotations
 
 import os
 import sys
 
-import pyspark.sql.functions as F
+import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts"),
+)
 
 from plan_audit import audit_plan  # noqa: E402
 
+from ophidia_server_spark.registry import QUERIES  # noqa: E402
 
-def test_reused_exchange_not_counted_as_shuffle(spark):
-    # a self-join of one aggregate produces 1 real exchange + 1
-    # ReusedExchange in the final plan; the old lookbehind regex matched
-    # the ', Exchange hashpartitioning' embedded in the ReusedExchange
-    # line and reported 2
-    base = spark.range(10_000).select((F.col("id") % 100).alias("k"))
-    agg = base.groupBy("k").agg(F.count("*").alias("n"))
-    j = agg.alias("a").join(
-        agg.alias("b"), F.col("a.k") == F.col("b.k")
-    ).select(F.col("a.k"), (F.col("a.n") + F.col("b.n")).alias("s"))
-    j.collect()
-    m = audit_plan(j)
-    assert m["final"]
-    assert m["shuffles"] == 1, m
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# query -> (max scans, max shuffles); ceilings = the committed PLANS.md row
+BARS = {
+    "events_funnel_conversion": (3, 1),
+    "tpch_q1_pricing_summary": (1, 1),
+    "tpch_q9_product_profit": (6, 2),
+    "pipeline_corpus_end_to_end": (5, 6),
+    "pipeline_release_end_to_end": (4, 5),
+    "dsir_logweights": (2, 3),
+    "events_rolling_wau": (2, 4),
+    "events_hll_sketch": (3, 4),
+    "text_repeated_ngrams": (3, 4),
+}
 
 
-def test_initial_plan_smj_not_reported(spark, tables):
-    # two sf-fixture tables joined without hints: the initial plan may
-    # carry SortMergeJoin, but AQE converts to broadcast at this size —
-    # the audit must report the EXECUTED join strategy
-    li = tables["lineitem"].select("l_orderkey", "l_quantity")
-    orders = tables["orders"].select("o_orderkey", "o_orderdate")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
-    j.collect()
-    m = audit_plan(j)
-    assert m["final"]
-    assert m["smj"] == 0
-    assert m["bhj"] >= 1
-    # scans counted once each (not doubled by the Initial Plan section)
-    assert m["scans"] == 2
+@pytest.mark.parametrize("name", sorted(BARS))
+def test_flagship_plan_stays_at_its_bar(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()  # audit the AQE FINAL plan, not the initial guess
+    m = audit_plan(df)
+    max_scans, max_shuffles = BARS[name]
+    assert m["scans"] <= max_scans, (
+        f"{name}: {m['scans']} scans > recorded bar {max_scans} — "
+        "a rescan crept into the plan (see PLANS.md)"
+    )
+    assert m["shuffles"] <= max_shuffles, (
+        f"{name}: {m['shuffles']} shuffles > recorded bar {max_shuffles} — "
+        "an extra exchange crept into the plan (see PLANS.md)"
+    )
