@@ -55,10 +55,10 @@ def binary_meta(df: DataFrame, payload_col: str = "text") -> DataFrame:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Image decode via mapInPandas: REAL for PNG, BMP, and GIF payloads
-    (magic-dispatched to the pure-Python codecs in sources/), deterministic
-    fake for anything else (the container has no codecs for JPEG etc., but
-    the distributed plumbing — Arrow batches, schema, partitioning — is
+    """Image decode via mapInPandas: REAL for PNG, BMP, GIF, and baseline
+    JPEG payloads (magic-dispatched to the pure-Python codecs in sources/),
+    deterministic fake for anything else (unsupported codecs fall through,
+    but the distributed plumbing — Arrow batches, schema, partitioning — is
     identical either way). Poison payloads (bad magic mid-file, truncated
     chunks) fall back to the fake dimensions instead of failing the batch —
     at corpus scale a corrupt blob must never kill the job.
@@ -69,6 +69,7 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         import hashlib
 
         from ophidia_server_spark.sources import bmp, gif, png
+        from ophidia_server_spark.sources import jpeg as jpg
 
         for pdf in batches:
             rows = {"doc_id": pdf["doc_id"], "n_bytes": [], "checksum": [],
@@ -88,6 +89,9 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     elif raw[:6] in (gif.MAGIC87, gif.MAGIC89):
                         d = gif.decode(raw)
                         wd, ht = d["width"], d["height"]
+                    elif raw[:2] == jpg.MAGIC:
+                        img = jpg.decode(raw)
+                        ht, wd = img.shape[0], img.shape[1]
                 except Exception:  # noqa: BLE001 - poison payloads raise
                     # struct.error/IndexError from truncated containers, not
                     # just ValueError; a corrupt blob must never kill the job
@@ -349,6 +353,46 @@ def decode_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFram
         run,
         "doc_id long, ok int, width long, height long, n_frames long, "
         "total_delay_cs long, sum_rgb_f0 long",
+    )
+
+
+def decode_jpeg_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL JPEG decode for baseline-sequential payloads (pure-Python
+    ITU-T T.81 codec, sources/jpeg.py): dimensions, channel count, integer
+    pixel sum, and the rounded mean pixel of the FULL decoded raster —
+    exercising the whole chain (Huffman, dequant, IDCT, upsample, color
+    transform). Poison payloads come back ok=0 (corpus-scale tolerance),
+    including unsupported processes (progressive) whose refusal is a named
+    ValueError, not a crash."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ophidia_server_spark.sources import jpeg
+
+        for pdf in batches:
+            out = []
+            for did, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    img = jpeg.decode(bytes(raw))
+                    s = int(img.astype(np.int64).sum())
+                    npix = int(img.size)
+                    out.append((
+                        did, 1, int(img.shape[1]), int(img.shape[0]),
+                        int(img.shape[2]), s, int(round(s / npix)),
+                    ))
+                except Exception:
+                    out.append((did, 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "ok", "width", "height", "channels",
+                         "sum_pixels", "mean_pixel"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, ok int, width long, height long, channels long, "
+        "sum_pixels long, mean_pixel long",
     )
 
 

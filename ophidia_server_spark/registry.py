@@ -2497,6 +2497,63 @@ def multimodal_decode_bmp(spark, sf_dir):
     return mm.decode_bmp_features(blobs)
 
 
+@q(
+    "multimodal_decode_jpeg",
+    """SELECT doc_id,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS INT) AS ok,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                 ELSE 5 + doc_id % 12 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                 ELSE 4 + doc_id % 9 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                 ELSE (20 + doc_id % 200) * (5 + doc_id % 12) * (4 + doc_id % 9)
+            END AS BIGINT) AS sum_pixels,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                 ELSE 20 + doc_id % 200 END AS BIGINT) AS mean_pixel
+FROM documents""",
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """Real baseline-JPEG decode (pure-Python ITU-T T.81 codec,
+    sources/jpeg.py), ORACLE-EXACT on the decoded PIXELS, not just
+    dimensions: each document becomes a solid grayscale JPEG whose level v
+    = 20 + doc_id%200 at quality 75, where the Annex-K luminance
+    quantizer's DC step (8) divides the DCT DC gain (8) exactly — so the
+    full decode chain (marker parse, per-file DHT Huffman decode, dequant,
+    float IDCT, rounding) must return EVERY pixel as exactly v for the
+    sum/mean to hash-match DuckDB's closed-form recomputation from doc_id.
+    One payload per 50 docs is raw text (poison: ok=0 fallback row).
+    Lossy-content accuracy (gradients, chroma subsampling, restarts) is
+    graded in tests/test_jpeg.py; the encoder is the fixture path, the
+    decoder is the corpus-facing operator."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_jpeg(batches):
+        import numpy as np
+
+        from ophidia_server_spark.sources import jpeg as jpeg_codec
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                if did % 50 == 0:
+                    payloads.append(
+                        bytes(ord(c) % 256 for c in txt) or b"x"
+                    )  # poison: not a JPEG
+                    continue
+                v = 20 + int(did) % 200
+                w = 5 + int(did) % 12
+                h = 4 + int(did) % 9
+                img = np.full((h, w, 1), v, dtype=np.uint8)
+                payloads.append(jpeg_codec.encode(img, quality=75))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_jpeg, "doc_id long, payload binary")
+    return mm.decode_jpeg_features(blobs)
+
+
 _RESIZE_IDX = [
     (y * 8 + x) * 3 + c for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)
     for c in (0, 1, 2)
