@@ -159,12 +159,31 @@ HEADLINE = [
     # rolling WAU from mergeable daily HLL sketches
     "events_next_event_pairs",
     "events_rolling_wau",
+    # round-8: the de-skewed ECDF rank (agg+join, no per-group sort), the
+    # shortlist-bounded contrastive miner, stats-pruned versioned reads,
+    # and the from-spec baseline JPEG decode chain
+    "events_percentile_rank",
+    "train_contrastive_triplets",
+    "layout_snapshot_pruned_read",
+    "multimodal_decode_jpeg",
+    "layout_change_feed",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # SPARK_GRAFT_ONLY=q1,q2,... restricts the suite (the sf1 scale-up run
+    # times the 10 genuinely data-proportional flagships, not the bounded
+    # gate fixtures); the driver's per-round run leaves it unset.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    global HEADLINE
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_ONLY: {unknown}")
+        HEADLINE = names
     spark = get_spark("bench")
     # Warm-up: run every headline query once at the smallest SF so the JVM
     # JIT-compiles each plan's generated code (whole-stage codegen classes are

@@ -665,6 +665,39 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The table's CHANGE FEED (the readChangeFeed idea of lakehouse
+    formats): every per-commit CDC diff after `from_version` up to
+    `to_version` (latest when None), each row tagged with the version that
+    committed it — what an incremental downstream consumer replays instead
+    of re-reading the table. Built as a union of snapshot_diff over
+    consecutive retained versions; the steady-state consumer reads one
+    transition per poll (one keyed join), the multi-version range is the
+    backfill path. Output: key cols + change_type + changed_cols +
+    commit_version."""
+    versions = [
+        v for v in snapshot_versions(path)
+        if v >= from_version and (to_version is None or v <= to_version)
+    ]
+    if len(versions) < 2:
+        raise ValueError(
+            f"need at least two retained versions in range (have {versions})"
+        )
+    feed = None
+    for prev, cur in zip(versions, versions[1:]):
+        d = snapshot_diff(spark, path, prev, cur, key_cols).withColumn(
+            "commit_version", F.lit(cur)
+        )
+        feed = d if feed is None else feed.unionByName(d)
+    return feed
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,

@@ -7818,6 +7818,83 @@ def layout_cdc_diff(spark, sf_dir):
 
 
 @q(
+    "layout_change_feed",
+    """WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey < 4000
+  GROUP BY 1, 2
+), ins AS (
+  SELECT l_orderkey, l_linenumber
+  FROM lineitem WHERE l_orderkey >= 4000 AND l_orderkey < 4200
+  GROUP BY 1, 2
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'update' AS change_type, 'qty' AS changed, CAST(2 AS INT) AS commit_version
+FROM base WHERE l_orderkey % 7 = 0
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'update', 'qty', CAST(3 AS INT)
+FROM base WHERE l_orderkey % 11 = 0
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'insert', 'qty', CAST(3 AS INT)
+FROM ins""",
+)
+def layout_change_feed(spark, sf_dir):
+    """The snapshot store's CHANGE FEED (layout.py snapshot_changes — the
+    readChangeFeed idea): three versions stack up (base, a qty+1000 upsert
+    on the orderkey%7 keys, then a qty+5 upsert on the %11 keys plus brand
+    new keys from the [4000, 4200) slice), and replaying the feed from v1
+    must emit exactly the %7 updates tagged commit 2, the %11 updates
+    tagged commit 3 (including %77 keys whose v2 value changes AGAIN), and
+    the new keys as commit-3 inserts — the oracle derives the same change
+    set from the merge semantics directly. An incremental consumer reads
+    this instead of re-reading the table."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"]
+
+    def keyed(pred):
+        return (
+            li.filter(pred)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("qty")
+            )
+        )
+
+    base = keyed("l_orderkey < 4000")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_feed_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(base.repartition(8, "l_orderkey"), path)
+    lay2.snapshot_upsert(
+        spark, path,
+        base.filter("l_orderkey % 7 = 0").withColumn(
+            "qty", (F.col("qty") + 1000).cast("decimal(18,2)")),
+        ["l_orderkey", "l_linenumber"],
+    )
+    upd2 = base.filter("l_orderkey % 11 = 0").withColumn(
+        "qty", (F.col("qty") + 5).cast("decimal(18,2)")
+    ).unionByName(keyed("l_orderkey >= 4000 AND l_orderkey < 4200"))
+    lay2.snapshot_upsert(spark, path, upd2, ["l_orderkey", "l_linenumber"])
+    feed = lay2.snapshot_changes(
+        spark, path, ["l_orderkey", "l_linenumber"], from_version=1
+    )
+    return feed.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed"),
+        F.col("commit_version").cast("int").alias("commit_version"),
+    )
+
+
+@q(
     "train_contrastive_triplets",
     rf"""WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 300

@@ -484,3 +484,41 @@ def test_snapshot_manifest_stats_prune_time_travel_reads(spark, tables, tmp_path
 
     # the ranges= path through snapshot_read matches the explicit call
     assert snapshot_read(spark, path, 2, ranges=rect).count() == full2.count()
+
+
+def test_snapshot_change_feed_replays_commits_in_order(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.layout import (
+        snapshot_changes, snapshot_upsert, snapshot_write,
+    )
+
+    base = tables["region"].select(
+        "r_regionkey", F.col("r_name").alias("name")
+    )
+    path = str(tmp_path / "feed")
+    snapshot_write(base, path)  # v1
+    snapshot_upsert(
+        spark, path,
+        base.filter("r_regionkey = 0").withColumn("name", F.lit("X")),
+        ["r_regionkey"],
+    )  # v2: one update
+    snapshot_upsert(
+        spark, path,
+        spark.createDataFrame([(99, "NEW")], "r_regionkey int, name string"),
+        ["r_regionkey"],
+    )  # v3: one insert
+    feed = snapshot_changes(spark, path, ["r_regionkey"], from_version=1)
+    rows = {(r["r_regionkey"], r["commit_version"]): r for r in feed.collect()}
+    assert set(rows) == {(0, 2), (99, 3)}
+    assert rows[(0, 2)]["change_type"] == "update"
+    assert rows[(99, 3)]["change_type"] == "insert"
+    # range bounds: only the second transition
+    late = snapshot_changes(spark, path, ["r_regionkey"], from_version=2)
+    assert [(r["r_regionkey"], r["commit_version"]) for r in late.collect()] \
+        == [(99, 3)]
+    # a single retained version cannot produce a feed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two retained versions"):
+        snapshot_changes(spark, path, ["r_regionkey"], from_version=3)
