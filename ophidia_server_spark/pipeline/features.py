@@ -162,7 +162,14 @@ def percentile_rank_by_group(
     ties by definition (running count / group total == cume_dist) — and
     join back. Same result, shuffles instead of single-task sorts; the
     residual window is per (group, distinct value), and nulls sort first
-    exactly as Spark's cume_dist would. Adds `pct_rank` ROUND(6)."""
+    exactly as Spark's cume_dist would. Adds `pct_rank` ROUND(6).
+
+    Residual cost profile (named in BASELINE.md's sf1 adjudication): for
+    NEAR-CONTINUOUS values the distinct-value table grows with the data,
+    so the per-group running sum grows with it — exact ECDF at 10x data
+    measured 6.3x (sub-linear, vs a single full-group task sort before).
+    At truly continuous 100 TB scale, quantize the rank grid first
+    (bucketed ECDF) when approximate ranks are acceptable."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
