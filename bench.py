@@ -167,6 +167,8 @@ HEADLINE = [
     "layout_snapshot_pruned_read",
     "multimodal_decode_jpeg",
     "layout_change_feed",
+    "events_percentile_rank_bucketed",
+    "layout_incremental_rollup",
 ]
 
 

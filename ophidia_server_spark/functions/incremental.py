@@ -105,6 +105,97 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def maintain_state_from_diff(
+    prev_state: DataFrame,
+    diff: DataFrame,
+    latest: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over a CDC diff — the 100 TB rollup
+    refresh that never re-aggregates the table: `prev_state` is the
+    aggregate_state table for the OLD version, `diff` a
+    layout.snapshot_diff(..., carry_cols=[group_col, value_col]) between
+    the old and new versions, `latest` the new version's rows (for the
+    extrema repair only — read with predicate/file pruning, it is touched
+    solely for changed groups). Returns the exact aggregate_state of the
+    NEW version:
+
+      * count/sum/sumsq are SELF-MAINTAINABLE (Gray et al. distributive
+        aggregates): add every inserted/updated-new (group, value),
+        subtract every deleted/updated-old one — exact decimals make the
+        arithmetic order-free, and updates that MOVE a row between groups
+        fall out naturally (subtract from the old group, add to the new);
+      * min/max are NOT self-maintainable under deletes, so the touched
+        groups — bounded by the diff, not the table — get their extrema
+        recomputed from `latest`; untouched groups keep theirs.
+
+    Cost: one diff-sized aggregate, a state-sized merge join, and one
+    scan of the touched groups' rows. Groups whose count reaches zero
+    drop out of the state, matching aggregate_state of the new content."""
+    dec = _VDEC.format(d=int(value_decimals))
+    og, ng = f"old_{group_col}", f"new_{group_col}"
+    ov, nv = f"old_{value_col}", f"new_{value_col}"
+    removed = diff.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col(og).alias("__g"), F.col(ov).cast(dec).alias("__v"),
+        F.lit(-1).alias("__sgn"),
+    )
+    added = diff.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col(ng).alias("__g"), F.col(nv).cast(dec).alias("__v"),
+        F.lit(1).alias("__sgn"),
+    )
+    # conditional negation, not sign multiplication: v*v already sits at
+    # decimal(37, 2d); another multiply would push past 38 digits and force
+    # a rounding Spark/DuckDB may disagree on — negation keeps scale exact
+    pos = F.col("__sgn") > 0
+    sv = F.when(pos, F.col("__v")).otherwise(-F.col("__v"))
+    vv = F.col("__v") * F.col("__v")
+    sv2 = F.when(pos, vv).otherwise(-vv)
+    delta = removed.unionByName(added).groupBy("__g").agg(
+        F.sum("__sgn").cast("long").alias("__dn"),
+        F.sum(sv).cast(_DEC).alias("__ds"),
+        F.sum(sv2).cast(_DEC).alias("__ds2"),
+    )
+    merged = prev_state.join(
+        delta, prev_state[group_col].eqNullSafe(delta["__g"]), "full_outer"
+    ).select(
+        F.coalesce(prev_state[group_col], delta["__g"]).alias(group_col),
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0)))
+        .cast("long").alias("n"),
+        (F.coalesce(F.col("s"), F.lit(0).cast(_DEC))
+         + F.coalesce(F.col("__ds"), F.lit(0).cast(_DEC))).cast(_DEC).alias("s"),
+        (F.coalesce(F.col("s2"), F.lit(0).cast(_DEC))
+         + F.coalesce(F.col("__ds2"), F.lit(0).cast(_DEC))).cast(_DEC).alias("s2"),
+        F.col("mn"), F.col("mx"),
+        F.col("__dn").isNotNull().alias("__touched"),
+    )
+    v = F.col(value_col).cast(dec)
+    ext = latest.join(
+        delta.select(F.col("__g")),
+        latest[group_col].eqNullSafe(F.col("__g")), "left_semi"
+    ).groupBy(group_col).agg(
+        F.min(v).cast(_DEC).alias("__mn2"),
+        F.max(v).cast(_DEC).alias("__mx2"),
+    ).withColumnRenamed(group_col, "__eg")
+    return (
+        merged.join(
+            ext, F.col(group_col).eqNullSafe(F.col("__eg")), "left"
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            group_col,
+            "n",
+            "s",
+            "s2",
+            F.when(F.col("__touched"), F.col("__mn2"))
+            .otherwise(F.col("mn")).cast(_DEC).alias("mn"),
+            F.when(F.col("__touched"), F.col("__mx2"))
+            .otherwise(F.col("mx")).cast(_DEC).alias("mx"),
+        )
+    )
+
+
 def _committed_gens(state_path: str) -> list[int]:
     """Generations with BOTH commit markers: the parquet job's _SUCCESS and
     the `_batch` file written strictly after it. Anything else is a crash

@@ -704,6 +704,7 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     key_cols: list[str],
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Change-data-capture between two table versions: one full-outer join
     on the keys classifies every key as
@@ -723,7 +724,12 @@ def snapshot_diff(
 
     `key_cols` must uniquely key both versions (CDC is defined on keyed
     tables); duplicate keys would cross-join in the full-outer and
-    misclassify."""
+    misclassify.
+
+    `carry_cols` additionally emits old_<c>/new_<c> value pairs for the
+    named columns — what incremental view maintenance needs to apply the
+    change arithmetically (add the new, subtract the old) instead of
+    re-aggregating the table."""
     a = snapshot_read(spark, path, v_from)
     b = snapshot_read(spark, path, v_to)
     val_cols = sorted(
@@ -756,8 +762,13 @@ def snapshot_diff(
         .when(F.col("__in_new").isNull(), F.lit("delete"))
         .when(F.size(diffs) > 0, F.lit("update"))
     )
+    carry = []
+    for c in carry_cols or []:
+        if c not in val_cols:
+            raise ValueError(f"carry column {c!r} is not a non-key column")
+        carry += [F.col(f"old_{c}"), F.col(f"new_{c}")]
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type", diffs.alias("changed_cols"))
+        .select(*key_cols, "change_type", diffs.alias("changed_cols"), *carry)
     )

@@ -7895,6 +7895,98 @@ def layout_change_feed(spark, sf_dir):
 
 
 @q(
+    "layout_incremental_rollup",
+    """WITH base AS (
+  SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS flag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey < 1000
+  GROUP BY 1, 2
+), ins AS (
+  SELECT l_orderkey, l_linenumber, MIN(l_returnflag) AS flag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+  FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1100
+  GROUP BY 1, 2
+), v2 AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 11 = 0 THEN 'Z' ELSE flag END AS flag,
+         CASE WHEN l_orderkey % 7 = 0
+              THEN CAST(qty + 1000 AS DECIMAL(18,2)) ELSE qty END AS qty
+  FROM base WHERE l_orderkey % 13 <> 0
+  UNION ALL SELECT * FROM ins
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(CAST(SUM(qty) AS DECIMAL(38,6)) AS DOUBLE) AS sum,
+       CAST(CAST(MIN(qty) AS DECIMAL(38,6)) AS DOUBLE) AS min,
+       CAST(CAST(MAX(qty) AS DECIMAL(38,6)) AS DOUBLE) AS max,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg,
+       ROUND(GREATEST(
+         CAST(SUM(qty * qty) AS DOUBLE) / COUNT(*)
+         - (CAST(SUM(qty) AS DOUBLE) / COUNT(*))
+           * (CAST(SUM(qty) AS DOUBLE) / COUNT(*)), 0.0), 6) AS variance
+FROM v2 GROUP BY flag""",
+)
+def layout_incremental_rollup(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE over the snapshot store's CDC
+    (functions/incremental.py maintain_state_from_diff + layout.py
+    snapshot_diff carry_cols): version 2 applies deletes (%13 keys),
+    value updates (%7: qty+1000), GROUP-MOVING updates (%11: returnflag
+    rewritten to 'Z') and inserts (the [1000,1100) slice) to a keyed
+    lineitem rollup. The maintained state — count/sum/sumsq refreshed
+    arithmetically from the diff (add new, subtract old, exact decimals),
+    extrema recomputed only for the touched groups — must finalize to
+    EXACTLY what DuckDB aggregates directly from the v2 content: the IVM
+    law, hash-matched. The table is never re-aggregated; per-refresh cost
+    is diff-sized + a state-sized merge + a touched-groups scan."""
+    import shutil
+
+    from ophidia_server_spark.functions import incremental as inc
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"]
+
+    def keyed(pred):
+        return (
+            li.filter(pred)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.min("l_returnflag").alias("flag"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("qty"),
+            )
+        )
+
+    base = keyed("l_orderkey < 1000")
+    v2 = (
+        base.filter("l_orderkey % 13 != 0")
+        .withColumn("qty", F.when(
+            F.col("l_orderkey") % 7 == 0,
+            (F.col("qty") + 1000).cast("decimal(18,2)"),
+        ).otherwise(F.col("qty")))
+        .withColumn("flag", F.when(
+            F.col("l_orderkey") % 11 == 0, F.lit("Z")
+        ).otherwise(F.col("flag")))
+        .unionByName(keyed("l_orderkey >= 1000 AND l_orderkey < 1100"))
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_ivm_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(base.repartition(8, "l_orderkey"), path)
+    lay2.snapshot_write(v2.repartition(8, "l_orderkey"), path)
+    state1 = inc.aggregate_state(
+        lay2.snapshot_read(spark, path, 1), ["flag"], "qty"
+    )
+    diff = lay2.snapshot_diff(
+        spark, path, 1, 2, ["l_orderkey", "l_linenumber"],
+        carry_cols=["flag", "qty"],
+    )
+    st2 = inc.maintain_state_from_diff(
+        state1, diff, lay2.snapshot_read(spark, path, 2), "flag", "qty"
+    )
+    return inc.finalize_state(st2, ["flag"])
+
+
+@q(
     "train_contrastive_triplets",
     rf"""WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 300
@@ -8657,6 +8749,51 @@ def events_percentile_rank(spark, sf_dir):
     ev = _t(spark, sf_dir)["events"]
     return percentile_rank_by_group(ev, "value", "event_type").select(
         "event_id", "event_type", "pct_rank"
+    )
+
+
+@q(
+    "events_percentile_rank_bucketed",
+    """WITH v AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+), rng AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM v GROUP BY 1
+), tag AS (
+  SELECT event_id, v.event_type,
+         CASE WHEN hi > lo
+              THEN LEAST(999, CAST(FLOOR((v - lo) / (hi - lo) * 1000) AS BIGINT))
+              ELSE 0 END AS bucket,
+         n
+  FROM v JOIN rng USING (event_type)
+), pc AS (
+  SELECT event_type, bucket, COUNT(*) AS c FROM tag GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pc
+)
+SELECT event_id, tag.event_type, bucket,
+       ROUND(CAST(cum AS DOUBLE) / n, 6) AS pct_rank_bucketed
+FROM tag JOIN cum USING (event_type, bucket)""",
+)
+def events_percentile_rank_bucketed(spark, sf_dir):
+    """Bucketed ECDF rank (pipeline/features.py percentile_rank_bucketed)
+    — the 100 TB path for near-continuous values, where the exact
+    distinct-value ECDF's residual window grows with data (BASELINE.md sf1
+    adjudication): quantize each group's range into 1000 equal-width
+    cells, rank cells, join back. The cell assignment and cumulative
+    fractions are DETERMINISTIC (same IEEE expression shape both engines),
+    so every (event, bucket, rank) row hash-matches DuckDB — approximate
+    relative to cume_dist, exact as its own contract."""
+    from ophidia_server_spark.pipeline.features import percentile_rank_bucketed
+
+    ev = _t(spark, sf_dir)["events"]
+    return percentile_rank_bucketed(ev, "value", "event_type", buckets=1000).select(
+        "event_id", "event_type", "bucket",
+        "pct_rank_bucketed",
     )
 
 

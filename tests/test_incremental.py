@@ -144,3 +144,68 @@ def test_stream_state_replay_after_crash_does_not_double_merge(
     assert sorted(d for d in os.listdir(state) if d.startswith("g")) == ["g1", "g2"]
     assert _rows(inc.finalize_state(inc.read_state(spark, state), ["event_type"])) \
         == one_shot
+
+
+def test_incremental_view_maintenance_equals_direct_aggregate(
+    spark, tables, tmp_path
+):
+    # The IVM law: maintaining a rollup state through a CDC diff (deletes,
+    # plain updates, GROUP-MOVING updates, inserts — including ones that
+    # remove a group's extremum) lands on exactly aggregate_state of the
+    # new table content.
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.layout import (
+        snapshot_diff, snapshot_read, snapshot_write,
+    )
+
+    li = tables["lineitem"]
+
+    def keyed(pred):
+        return (
+            li.filter(pred)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.min("l_returnflag").alias("flag"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(18,2)").alias("qty"),
+            )
+        )
+
+    base = keyed("l_orderkey < 1000")
+    v2 = (
+        base.filter("l_orderkey % 13 != 0")  # deletes
+        .withColumn("qty", F.when(
+            F.col("l_orderkey") % 7 == 0,
+            (F.col("qty") + 1000).cast("decimal(18,2)"),
+        ).otherwise(F.col("qty")))          # value updates
+        .withColumn("flag", F.when(
+            F.col("l_orderkey") % 11 == 0, F.lit("Z")
+        ).otherwise(F.col("flag")))          # group-moving updates
+        .unionByName(keyed("l_orderkey >= 1000 AND l_orderkey < 1100"))
+    )
+    path = str(tmp_path / "ivm")
+    snapshot_write(base, path)
+    snapshot_write(v2, path)
+    state1 = inc.aggregate_state(snapshot_read(spark, path, 1), ["flag"], "qty")
+    diff = snapshot_diff(
+        spark, path, 1, 2, ["l_orderkey", "l_linenumber"],
+        carry_cols=["flag", "qty"],
+    )
+    assert {r["change_type"] for r in diff.select("change_type").distinct().collect()} \
+        == {"insert", "delete", "update"}
+    st2 = inc.maintain_state_from_diff(
+        state1, diff, snapshot_read(spark, path, 2), "flag", "qty"
+    )
+    direct = inc.aggregate_state(snapshot_read(spark, path, 2), ["flag"], "qty")
+
+    def rows(st):
+        cols = ("flag", "count", "sum", "min", "max", "avg", "variance")
+        return {tuple(r[k] for k in cols)
+                for r in inc.finalize_state(st, ["flag"]).collect()}
+
+    assert rows(st2) == rows(direct)
+    # the moved-to group exists, and no zero-count group survives
+    flags = {r["flag"] for r in st2.select("flag").collect()}
+    assert "Z" in flags
+    assert st2.filter("n <= 0").count() == 0
