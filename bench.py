@@ -169,6 +169,11 @@ HEADLINE = [
     "layout_change_feed",
     "events_percentile_rank_bucketed",
     "layout_incremental_rollup",
+    # round-8 statistical feature prep: exact KS drift, equal-frequency
+    # deciles, median/IQR scaling — all distinct-value-table shapes
+    "events_drift_ks",
+    "events_quantile_bins",
+    "events_robust_scale",
 ]
 
 

@@ -91,6 +91,63 @@ def corpus_audit(
     )
 
 
+def ks_two_sample(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between a reference
+    batch and a new batch over a numeric column — the distribution-drift
+    test that needs no binning choices (the PSI's non-parametric sibling;
+    public formula):
+
+        D = max over observed v of |ECDF_ref(v) - ECDF_new(v)|
+
+    computed on the UNION of both samples' distinct values: per-value
+    counts for each side (one grouped aggregate), running sums over the
+    distinct-value table, max of the absolute difference. Exact because
+    the supremum of two step functions is attained at a step. Returns ONE
+    row: (ks_stat ROUND(6), n_ref, n_new). ECDF fractions are single
+    divisions of exact integers — engine-portable.
+
+    Scale shape: one union + one grouped count, a running sum over the
+    distinct-value table (bounded by value cardinality), one max. For
+    near-continuous 100 TB columns, quantize first, as with any exact
+    ECDF (see features.percentile_rank_bucketed)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    both = df_ref.select(v.alias("__v"), F.lit(1).alias("__ref")).unionByName(
+        df_new.select(v.alias("__v"), F.lit(0).alias("__ref"))
+    )
+    per_val = both.groupBy("__v").agg(
+        F.sum("__ref").cast("long").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__ref")).cast("long").alias("__cb"),
+    )
+    w = (
+        Window.partitionBy().orderBy(F.asc_nulls_first("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    d = per_val.select(
+        (
+            F.abs(
+                F.sum("__ca").over(w).cast("double")
+                / F.sum("__ca").over(wt).cast("double")
+                - F.sum("__cb").over(w).cast("double")
+                / F.sum("__cb").over(wt).cast("double")
+            )
+        ).alias("__d"),
+        F.sum("__ca").over(wt).alias("__na"),
+        F.sum("__cb").over(wt).alias("__nb"),
+    )
+    return d.agg(
+        F.round(F.max("__d"), 6).alias("ks_stat"),
+        F.max("__na").alias("n_ref"),
+        F.max("__nb").alias("n_new"),
+    )
+
+
 def drift_report(
     df_ref: DataFrame,
     df_new: DataFrame,

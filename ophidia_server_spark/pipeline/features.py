@@ -170,25 +170,11 @@ def percentile_rank_by_group(
     measured 6.3x (sub-linear, vs a single full-group task sort before).
     At truly continuous 100 TB scale, quantize the rank grid first
     (bucketed ECDF) when approximate ranks are acceptable."""
-    from pyspark.sql import Window
-
     v = F.col(value_col).cast("double")
-    per_val = df.groupBy(
-        F.col(group_col).alias("__g"), v.alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    w = (
-        Window.partitionBy("__g")
-        .orderBy(F.asc_nulls_first("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("__g")
-    ranked = per_val.select(
-        "__g",
-        "__v",
-        (
-            F.sum("__c").over(w).cast("double")
-            / F.sum("__c").over(wt).cast("double")
-        ).alias("__pr"),
+    ranked = _group_ecdf(df, value_col, group_col).select(
+        "__g", "__v",
+        (F.col("__cum").cast("double") / F.col("__tot").cast("double"))
+        .alias("__pr"),
     )
     return (
         df.join(
@@ -197,6 +183,94 @@ def percentile_rank_by_group(
         )
         .withColumn("pct_rank", F.round("__pr", 6))
         .drop("__g", "__v", "__pr")
+    )
+
+
+def _group_ecdf(df: DataFrame, value_col: str, group_col) -> DataFrame:
+    """The shared distinct-value ECDF table behind every exact rank/
+    quantile transform here: (__g, __v, __c, __cum, __tot) — one grouped
+    aggregate, a running sum over the DISTINCT-value table (bounded by
+    value cardinality, never a raw-row window), nulls first like Spark's
+    cume_dist. `group_col` may be a column name or a Column expression
+    (pass F.lit(0) for an ungrouped ECDF)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col).cast("double")
+    per_val = df.groupBy(
+        g.alias("__g"), v.alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc_nulls_first("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("__g")
+    return per_val.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wt).alias("__tot"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame, value_col: str, group_col: str, q: int = 10,
+) -> DataFrame:
+    """Equal-FREQUENCY binning (the QuantileDiscretizer shape, exact):
+    bin = ceil(ECDF(v) * q) clamped into [1, q], computed from the
+    distinct-value ECDF table — every bin holds ~1/q of its group's rows
+    (exactly, up to ties, which always share a bin). Deterministic and
+    engine-portable; the binning join is (group, distinct value)-sized.
+    Adds `bin` (int)."""
+    ecdf = _group_ecdf(df, value_col, group_col)
+    binned = ecdf.select(
+        "__g", "__v",
+        F.least(
+            F.lit(int(q)),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("__cum").cast("double")
+                    / F.col("__tot").cast("double") * F.lit(int(q))
+                ),
+            ),
+        ).cast("int").alias("bin"),
+    )
+    v = F.col(value_col).cast("double")
+    return df.join(
+        binned,
+        F.col(group_col).eqNullSafe(F.col("__g")) & v.eqNullSafe(F.col("__v")),
+    ).drop("__g", "__v")
+
+
+def robust_scale_by_group(
+    df: DataFrame, value_col: str, group_col: str,
+) -> DataFrame:
+    """Median/IQR scaling (the RobustScaler shape, outlier-resistant where
+    z-scores are not): scaled = (v - median) / (q3 - q1), with the three
+    cuts defined as the SMALLEST value whose ECDF reaches 0.5 / 0.25 /
+    0.75 — pure INTEGER threshold comparisons on the distinct-value table
+    (cum*4 >= tot etc.), so there is no float quantile interpolation to
+    disagree on across engines. Zero-IQR groups scale to 0. Adds `median`,
+    `iqr`, `robust_scaled` ROUND(6)."""
+    ecdf = _group_ecdf(df, value_col, group_col)
+    cuts = ecdf.groupBy("__g").agg(
+        F.min(F.when(F.col("__cum") * 4 >= F.col("__tot"), F.col("__v")))
+        .alias("__q1"),
+        F.min(F.when(F.col("__cum") * 2 >= F.col("__tot"), F.col("__v")))
+        .alias("__med"),
+        F.min(F.when(F.col("__cum") * 4 >= F.col("__tot") * 3, F.col("__v")))
+        .alias("__q3"),
+    )
+    v = F.col(value_col).cast("double")
+    iqr = F.col("__q3") - F.col("__q1")
+    scaled = F.when(iqr > 0, (v - F.col("__med")) / iqr).otherwise(F.lit(0.0))
+    return (
+        df.join(cuts, F.col(group_col).eqNullSafe(F.col("__g")))
+        .withColumn("median", F.round("__med", 6))
+        .withColumn("iqr", F.round(iqr, 6))
+        .withColumn("robust_scaled", F.round(scaled, 6))
+        .drop("__g", "__q1", "__med", "__q3")
     )
 
 

@@ -7652,6 +7652,121 @@ def events_drift_psi(spark, sf_dir):
 
 
 @q(
+    "events_drift_ks",
+    """WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type <> 'error'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type = 'error'
+), u AS (
+  SELECT v, 1 AS r FROM a UNION ALL SELECT v, 0 FROM b
+), pv AS (
+  SELECT v, SUM(r) AS ca, SUM(1 - r) AS cb FROM u GROUP BY 1
+), e AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM pv
+)
+SELECT ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+                     - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_stat,
+       CAST(MAX(na) AS BIGINT) AS n_ref, CAST(MAX(nb) AS BIGINT) AS n_new
+FROM e""",
+)
+def events_drift_ks(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic (pipeline/
+    audit.py ks_two_sample) — the non-parametric sibling of the PSI alarm,
+    no binning choices: D = max |ECDF_ref - ECDF_new| over the union of
+    observed values, computed from per-value counts + running sums on the
+    distinct-value table. The single division per side keeps the fractions
+    engine-portable; DuckDB recomputes the identical step functions and
+    hash-matches the statistic and both sample sizes."""
+    from ophidia_server_spark.pipeline.audit import ks_two_sample
+
+    ev = _t(spark, sf_dir)["events"]
+    return ks_two_sample(
+        ev.filter("event_type <> 'error'"),
+        ev.filter("event_type = 'error'"),
+        "value",
+    )
+
+
+@q(
+    "events_quantile_bins",
+    """WITH v AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+), pv AS (
+  SELECT event_type, v, COUNT(*) AS c FROM v GROUP BY 1, 2
+), e AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM pv
+), b AS (
+  SELECT event_type, v,
+         CAST(LEAST(10, GREATEST(1,
+           CEIL(CAST(cum AS DOUBLE) / tot * 10))) AS INT) AS bin
+  FROM e
+)
+SELECT event_id, v.event_type, bin
+FROM v JOIN b USING (event_type, v)""",
+)
+def events_quantile_bins(spark, sf_dir):
+    """Equal-frequency binning (pipeline/features.py quantile_bins — the
+    QuantileDiscretizer shape, exact): each event's value lands in one of
+    10 per-type deciles via ceil(ECDF * 10) on the distinct-value table;
+    ties always share a bin. Per-event bins hash-match DuckDB's identical
+    arithmetic."""
+    from ophidia_server_spark.pipeline.features import quantile_bins
+
+    ev = _t(spark, sf_dir)["events"]
+    return quantile_bins(ev, "value", "event_type", q=10).select(
+        "event_id", "event_type", "bin"
+    )
+
+
+@q(
+    "events_robust_scale",
+    """WITH v AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+), pv AS (
+  SELECT event_type, v, COUNT(*) AS c FROM v GROUP BY 1, 2
+), e AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM pv
+), cuts AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum * 4 >= tot THEN v END) AS q1,
+         MIN(CASE WHEN cum * 2 >= tot THEN v END) AS med,
+         MIN(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS q3
+  FROM e GROUP BY 1
+)
+SELECT event_id, v.event_type,
+       ROUND(med, 6) AS median,
+       ROUND(q3 - q1, 6) AS iqr,
+       ROUND(CASE WHEN q3 - q1 > 0 THEN (v - med) / (q3 - q1)
+                  ELSE 0.0 END, 6) AS robust_scaled
+FROM v JOIN cuts USING (event_type)""",
+)
+def events_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling (pipeline/features.py
+    robust_scale_by_group): the quartile cuts are defined by INTEGER
+    threshold comparisons on the distinct-value ECDF (smallest value whose
+    cum*4 >= tot, etc.), so no float quantile interpolation exists to
+    disagree on — every scaled value, median, and IQR hash-matches
+    DuckDB."""
+    from ophidia_server_spark.pipeline.features import robust_scale_by_group
+
+    ev = _t(spark, sf_dir)["events"]
+    return robust_scale_by_group(ev, "value", "event_type").select(
+        "event_id", "event_type", "median", "iqr", "robust_scaled"
+    )
+
+
+@q(
     "multimodal_patchify",
     """WITH p AS (
   SELECT doc_id,

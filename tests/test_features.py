@@ -88,3 +88,69 @@ def test_target_encode_shrinks_rare_categories(spark):
     assert abs(out["big"] - (50 + prior * 10) / 110) < 1e-6
     assert abs(out["rare"] - (1 + prior * 10) / 11) < 1e-6
     assert out["rare"] < 1.0  # a single positive cannot memorize to 1
+
+
+def test_quantile_bins_are_equal_frequency_up_to_ties(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import quantile_bins
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 500 / 2.0).alias("v")
+    )
+    out = quantile_bins(df, "v", "g", q=10)
+    sizes = {r["bin"]: r["n"] for r in
+             out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    assert all(s == 100 for s in sizes.values())
+    # order-respecting: a higher value never lands in a lower bin
+    pairs = out.select("v", "bin").distinct().collect()
+    by_v = sorted((r["v"], r["bin"]) for r in pairs)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(by_v, by_v[1:]))
+    # deterministic under repartitioning
+    again = quantile_bins(df.repartition(7), "v", "g", q=10)
+    assert {(r["v"], r["bin"]) for r in again.select("v", "bin").collect()} \
+        == {(r["v"], r["bin"]) for r in out.select("v", "bin").collect()}
+
+
+def test_robust_scale_median_iqr_contract(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import robust_scale_by_group
+
+    # values 1..100: lower median (F >= .5) = 50, q1 = 25, q3 = 75
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = robust_scale_by_group(df, "v", "g")
+    r = out.filter("v = 75.0").first()
+    assert r["median"] == 50.0 and r["iqr"] == 50.0
+    assert r["robust_scaled"] == 0.5
+    # constant group scales to zero with iqr 0
+    const = spark.range(10).select(
+        F.lit("c").alias("g"), F.lit(7.0).alias("v")
+    )
+    rc = robust_scale_by_group(const, "v", "g").first()
+    assert rc["iqr"] == 0.0 and rc["robust_scaled"] == 0.0
+
+
+def test_ks_two_sample_limits(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.audit import ks_two_sample
+
+    a = spark.range(500).select((F.col("id") % 100).cast("double").alias("v"))
+    # identical distributions: D = 0
+    same = ks_two_sample(a, a, "v").first()
+    assert same["ks_stat"] == 0.0
+    assert same["n_ref"] == same["n_new"] == 500
+    # disjoint supports: D = 1
+    b = a.select((F.col("v") + 1000).alias("v"))
+    far = ks_two_sample(a, b, "v").first()
+    assert far["ks_stat"] == 1.0
+    # a known half-shift: shifting half the mass by +0.5 inside the grid
+    c = a.select(
+        F.when(F.col("v") < 50, F.col("v")).otherwise(F.col("v") + 200).alias("v")
+    )
+    mid = ks_two_sample(a, c, "v").first()
+    assert 0.0 < mid["ks_stat"] <= 0.5
