@@ -174,6 +174,7 @@ HEADLINE = [
     "events_drift_ks",
     "events_quantile_bins",
     "events_robust_scale",
+    "text_strip_markup",
 ]
 
 

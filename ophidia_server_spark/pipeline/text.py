@@ -620,6 +620,35 @@ def gopher_quality_flags(
     )
 
 
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """HTML/boilerplate removal — the first pass every web-crawl training
+    pipeline runs (the WET-extraction shape): drop <script>/<style> blocks
+    wholesale, strip remaining tags to spaces, unescape the six common
+    entities, collapse ASCII whitespace runs, trim. Pure JVM expressions
+    (regexp_replace + replace chains) — codegen'd, no UDF; the regexes are
+    deliberately RE2-safe (no \\s, no lookaround) so the DuckDB oracle can
+    run the IDENTICAL patterns. Adds `clean_text` and `chars_removed`.
+
+    This is the honest 80% cut (tags, scripts, entities), not a DOM-aware
+    readability extractor — at corpus scale the remaining boilerplate is
+    what dedup_lines / repeated-span removal strip next."""
+    t = F.col(text_col)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " "),
+        r"(?is)<style[^>]*>.*?</style>", " ",
+    )
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]*>", " ")
+    ent = no_tags
+    for k, v in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        ent = F.replace(ent, F.lit(k), F.lit(v))
+    clean = F.trim(F.regexp_replace(ent, r"[ \t\r\n\f\v]+", " "))
+    return df.withColumn("clean_text", clean).withColumn(
+        "chars_removed",
+        (F.length(t) - F.length(clean)).cast("long"),
+    )
+
+
 def canonicalize(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

@@ -7652,6 +7652,59 @@ def events_drift_psi(spark, sf_dir):
 
 
 @q(
+    "text_strip_markup",
+    r"""WITH h AS (
+  SELECT doc_id,
+         '<html><body class="x"><p>' || text ||
+         '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+         '<style>p { color: red; }</style>&nbsp;&amp;done</body></html>'
+         AS html
+  FROM documents
+), s AS (
+  SELECT doc_id, html,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '<[^>]*>', ' ', 'g') AS t
+  FROM h
+), e AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM s
+)
+SELECT doc_id,
+       trim(regexp_replace(t, '[ \t\r\n\f\v]+', ' ', 'g')) AS clean_text,
+       CAST(length(html)
+            - length(trim(regexp_replace(t, '[ \t\r\n\f\v]+', ' ', 'g')))
+            AS BIGINT) AS chars_removed
+FROM e""",
+)
+def text_strip_markup(spark, sf_dir):
+    """HTML/boilerplate removal (pipeline/text.py strip_markup — the
+    WET-extraction pass a web-crawl pipeline runs first): every document
+    is wrapped in deterministic HTML scaffolding (tags, an inline script
+    containing a bare '<', a style block, entities), and the operator must
+    drop script/style wholesale, strip tags, unescape entities, and
+    collapse ASCII whitespace — clean text and removed-char counts
+    hash-match DuckDB running the IDENTICAL RE2-safe patterns."""
+    from ophidia_server_spark.pipeline.text import strip_markup
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body class="x"><p>'), F.col("text"),
+            F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+            F.lit('<style>p { color: red; }</style>&nbsp;&amp;done</body></html>'),
+        ).alias("text"),
+    )
+    return strip_markup(html).select("doc_id", "clean_text", "chars_removed")
+
+
+@q(
     "events_drift_ks",
     """WITH a AS (
   SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type <> 'error'
