@@ -175,6 +175,7 @@ HEADLINE = [
     "events_quantile_bins",
     "events_robust_scale",
     "text_strip_markup",
+    "io_safetensors_roundtrip",
 ]
 
 

@@ -1474,3 +1474,150 @@ def oph_importavro(spark: SparkSession, path: str) -> DataFrame:
         [(f,) for f in files], "file string"
     ).repartition(len(files))
     return listing.mapInPandas(read_files, ddl)
+
+
+# ---------------------------------------------------------------------------
+# safetensors (sharded checkpoint/embedding handoff)
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {"F32": ("<f4", 4), "F64": ("<f8", 8), "I64": ("<i8", 8),
+              "I32": ("<i4", 4)}
+
+
+def oph_exportsafetensors(
+    df: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str | None = "label", shards: int = 8,
+) -> list[str]:
+    """Embedding table -> sharded .safetensors files, written EXECUTOR-side
+    — the tensor-handoff format of the HF training ecosystem, implemented
+    from the public spec (u64-LE header length, UTF-8 JSON header mapping
+    tensor name -> {dtype, shape, data_offsets}, then one contiguous
+    little-endian byte buffer; header whitespace-padded to 8 bytes). Each
+    shard carries three tensors: `ids` I64 [n], `embeddings` F32 [n, d],
+    and (when `label_col`) `labels` I32 [n], rows sorted by id for
+    byte-reproducibility. Same sharded-sink shape as the Arrow/TFRecord/
+    WebDataset exports: rows hash to shards, one applyInPandas task writes
+    each file, the driver collects only the manifest."""
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    sdf = df.select(*cols).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["__shard"].iloc[0])
+        out = os.path.join(path, f"shard-{sid:05d}.safetensors")
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype="<i8")
+        vecs = np.stack(
+            [np.asarray(v, dtype="<f4") for v in pdf[vec_col]]
+        ) if len(pdf) else np.zeros((0, 0), dtype="<f4")
+        buffers = [("ids", "I64", [len(ids)], ids.tobytes())]
+        buffers.append(
+            ("embeddings", "F32", list(vecs.shape), vecs.tobytes())
+        )
+        if label_col:
+            labels = pdf[label_col].to_numpy(dtype="<i4")
+            buffers.append(("labels", "I32", [len(labels)], labels.tobytes()))
+        header: dict = {}
+        off = 0
+        for name, dt, shape, raw in buffers:
+            header[name] = {"dtype": dt, "shape": shape,
+                            "data_offsets": [off, off + len(raw)]}
+            off += len(raw)
+        header["__metadata__"] = {"shard": str(sid)}
+        hj = _json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+        hj += b" " * (-len(hj) % 8)  # spec allows whitespace padding
+        with open(out, "wb") as fh:
+            fh.write(len(hj).to_bytes(8, "little"))
+            fh.write(hj)
+            for _, _, _, raw in buffers:
+                fh.write(raw)
+        return pd.DataFrame({"file": [out], "rows": [len(pdf)]})
+
+    manifest = sdf.groupBy("__shard").applyInPandas(
+        write_shard, "file string, rows long"
+    )
+    return sorted(r["file"] for r in manifest.collect())
+
+
+def oph_importsafetensors(
+    spark: SparkSession, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """Sharded .safetensors -> DataFrame: one sequential-read task per
+    shard. Validates the spec invariants it relies on (header length,
+    known dtypes, contiguous non-overlapping offsets covering the buffer)
+    and raises with the violated field named."""
+    import glob as _glob
+
+    import numpy as np
+    import pandas as pd
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.safetensors"))
+        if os.path.isdir(path) else _glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors shards under {path}")
+    out_schema = f"{id_col} long, {vec_col} array<float>" + (
+        f", {label_col} int" if label_col else ""
+    )
+
+    def read_files(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fname in pdf["file"]:
+                with open(fname, "rb") as fh:
+                    blob = fh.read()
+                if len(blob) < 8:
+                    raise ValueError(f"{fname}: truncated header length")
+                n = int.from_bytes(blob[:8], "little")
+                header = _json.loads(blob[8:8 + n])
+                buf = blob[8 + n:]
+                entries = [
+                    (name, meta) for name, meta in header.items()
+                    if name != "__metadata__"
+                ]
+                # validate the spec invariants BEFORE touching any bytes,
+                # so a corrupt header refuses with the violated field named
+                spans = []
+                for name, meta in entries:
+                    if meta["dtype"] not in _ST_DTYPES:
+                        raise ValueError(
+                            f"{fname}: unsupported dtype {meta['dtype']}"
+                        )
+                    spans.append(tuple(meta["data_offsets"]))
+                spans.sort()
+                pos = 0
+                for s, e in spans:
+                    if s != pos:
+                        raise ValueError(f"{fname}: non-contiguous offsets")
+                    pos = e
+                if pos != len(buf):
+                    raise ValueError(f"{fname}: offsets do not cover buffer")
+                tensors = {}
+                for name, meta in entries:
+                    npdt, _width = _ST_DTYPES[meta["dtype"]]
+                    s, e = meta["data_offsets"]
+                    tensors[name] = np.frombuffer(
+                        buf[s:e], dtype=npdt
+                    ).reshape(meta["shape"])
+                ids = tensors["ids"]
+                vecs = tensors["embeddings"]
+                row = {
+                    id_col: ids.astype("int64"),
+                    vec_col: [vecs[i].tolist() for i in range(len(ids))],
+                }
+                if label_col:
+                    row[label_col] = tensors["labels"].astype("int32")
+                yield pd.DataFrame(row)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    return listing.mapInPandas(read_files, out_schema)

@@ -5921,6 +5921,44 @@ def io_nc4_btree2_deep_roundtrip(spark, sf_dir):
 
 
 @q(
+    "io_safetensors_roundtrip",
+    """SELECT vec_id, CAST(label AS INT) AS label,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e_first,
+       ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS e_last
+FROM embeddings""",
+)
+def io_safetensors_roundtrip(spark, sf_dir):
+    """oph_exportsafetensors -> oph_importsafetensors roundtrip: the
+    embeddings table writes to sharded .safetensors files executor-side
+    (the HF training ecosystem's tensor-handoff format, implemented from
+    the public spec: u64-LE header length + JSON tensor map + contiguous
+    LE buffer) and reads back one sequential task per shard. float32
+    survives bit-exactly, so ids, labels, dimensions, and boundary
+    elements all hash-match SQL over the parquet original."""
+    import shutil
+
+    from ophidia_server_spark.operators import io_ops
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ophidia_safetensors_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    io_ops.oph_exportsafetensors(emb, path)
+    back = io_ops.oph_importsafetensors(spark, path)
+    return back.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("e_first"),
+        F.round(
+            F.element_at(F.col("embedding"), F.size("embedding"))
+            .cast("double"), 6
+        ).alias("e_last"),
+    )
+
+
+@q(
     "io_arrow_roundtrip",
     """SELECT l_returnflag, l_linestatus,
        CAST(month(l_shipdate) AS BIGINT) AS month,

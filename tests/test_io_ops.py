@@ -423,3 +423,51 @@ def test_repack_parquet_targets_file_count(spark, tables, tmp_path):
 
     with _pytest.raises(ValueError):
         io_ops.repack_parquet(docs, out, target_mb=0)
+
+
+def test_safetensors_roundtrip_and_spec_validation(spark, tables, tmp_path):
+    # from-spec sharded safetensors: bit-exact float32 roundtrip,
+    # byte-reproducible shards, and named refusals for spec violations
+    import json
+    import struct
+
+    import pytest
+
+    from ophidia_server_spark.operators.io_ops import (
+        oph_exportsafetensors, oph_importsafetensors,
+    )
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "st")
+    files = oph_exportsafetensors(emb, path, shards=4)
+    assert len(files) == 4
+    back = oph_importsafetensors(spark, path)
+    assert back.count() == emb.count()
+    a = {r["vec_id"]: (r["label"], tuple(r["embedding"]))
+         for r in emb.collect()}
+    b = {r["vec_id"]: (r["label"], tuple(r["embedding"]))
+         for r in back.collect()}
+    assert a == b  # float32 exact
+    # deterministic bytes: exporting again produces identical shards
+    path2 = str(tmp_path / "st2")
+    files2 = oph_exportsafetensors(emb.repartition(7), path2, shards=4)
+    for f1, f2 in zip(files, files2):
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+    # header structure is real safetensors: u64 length + JSON + buffer
+    blob = open(files[0], "rb").read()
+    n = struct.unpack("<Q", blob[:8])[0]
+    hdr = json.loads(blob[8:8 + n])
+    assert set(hdr) == {"ids", "embeddings", "labels", "__metadata__"}
+    assert hdr["embeddings"]["dtype"] == "F32"
+
+    # violated offsets are refused by name
+    bad = dict(hdr)
+    bad["ids"] = dict(hdr["ids"], data_offsets=[8, hdr["ids"]["data_offsets"][1]])
+    bj = json.dumps(bad, separators=(",", ":")).encode()
+    bj += b" " * (-len(bj) % 8)
+    bad_path = tmp_path / "bad"
+    bad_path.mkdir()
+    with open(bad_path / "x.safetensors", "wb") as fh:
+        fh.write(struct.pack("<Q", len(bj)) + bj + blob[8 + n:])
+    with pytest.raises(Exception, match="non-contiguous|cover"):
+        oph_importsafetensors(spark, str(bad_path)).collect()
