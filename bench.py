@@ -176,6 +176,7 @@ HEADLINE = [
     "events_robust_scale",
     "text_strip_markup",
     "io_safetensors_roundtrip",
+    "pack_bins_grade",
 ]
 
 

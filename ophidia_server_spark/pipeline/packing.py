@@ -94,6 +94,77 @@ def pack_sequences(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    max_len: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "binpack",
+) -> DataFrame:
+    """First-fit-decreasing BIN packing — the padding-minimizing
+    alternative to concat-and-chunk when documents must stay whole
+    (instruction tuning, contrastive batches): each bin holds whole
+    documents totalling <= max_len tokens, and FFD's classic guarantee
+    bounds waste at 11/9 OPT + 1 bins per stream.
+
+    Distributed shape: documents hash to `n_buckets` independent streams
+    (same layout idea as pack_sequences — no global order), and each
+    stream packs with an Arrow-batched applyInPandas running the
+    DETERMINISTIC greedy (sort by tokens DESC then id ASC, place into the
+    first bin that fits). Per-task memory is one bucket's (id, len) pairs
+    — at 100 TB pick n_buckets ~ shard count so a bucket fits a task.
+    Documents longer than max_len get a dedicated bin with oversize=1
+    (the loader's truncation decision, not the packer's).
+
+    Output: (id, n_tokens, bucket, bin_id, bin_offset, oversize) with
+    bin_id unique within its bucket."""
+    import pandas as pd
+
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    counted = df.select(
+        F.col(id_col),
+        _md5_bucket(F.col(id_col), n_buckets, salt).alias("bucket"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per open bin
+        rows = {id_col: [], "n_tokens": [], "bucket": [], "bin_id": [],
+                "bin_offset": [], "oversize": []}
+        for did, bkt, n in zip(pdf[id_col], pdf["bucket"], pdf["n_tokens"]):
+            n = int(n)
+            if n > max_len:
+                bins.append(-1)  # closed: oversize singleton
+                b, off, ovs = len(bins) - 1, 0, 1
+            else:
+                for b, cap in enumerate(bins):
+                    if cap >= n:
+                        break
+                else:
+                    bins.append(max_len)
+                    b = len(bins) - 1
+                off, ovs = max_len - bins[b], 0
+                bins[b] -= n
+            rows[id_col].append(did)
+            rows["n_tokens"].append(n)
+            rows["bucket"].append(int(bkt))
+            rows["bin_id"].append(b)
+            rows["bin_offset"].append(off)
+            rows["oversize"].append(ovs)
+        return pd.DataFrame(rows)
+
+    return counted.groupBy("bucket").applyInPandas(
+        pack,
+        f"{id_col} long, n_tokens long, bucket long, bin_id long, "
+        "bin_offset long, oversize int",
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     n_shards: int = 16,

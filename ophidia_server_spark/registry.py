@@ -8330,6 +8330,75 @@ def text_dedup_lines(spark, sf_dir):
 
 
 @q(
+    "pack_bins_grade",
+    """SELECT CAST(1 AS INT) AS capacity_ok, CAST(1 AS INT) AS complete_once,
+       CAST(1 AS INT) AS contiguous_ok, CAST(1 AS INT) AS ffd_bound_ok,
+       CAST(1 AS INT) AS deterministic""",
+)
+def pack_bins_grade(spark, sf_dir):
+    """Invariant grade for first-fit-decreasing bin packing
+    (pipeline/packing.py pack_bins — whole-document batches for
+    instruction tuning, the padding-minimizing sibling of
+    pack_sequences). Verdicts, each oracle-pinned to 1:
+    (a) capacity — no non-oversize bin exceeds max_len, every oversize
+    bin is a singleton longer than max_len; (b) completeness — every
+    document packed exactly once; (c) contiguity — within each bin,
+    offsets start at 0 and tile the bin without gaps or overlaps
+    (max(offset)+its length == bin total); (d) the FFD waste guarantee —
+    per stream, bins used <= ceil(11/9 * ceil(tokens/max_len)) + 1;
+    (e) determinism under repartitioning."""
+    from ophidia_server_spark.pipeline.packing import pack_bins
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    max_len = 300
+    out = pack_bins(docs, max_len=max_len, n_buckets=8).persist()
+    try:
+        n_docs = docs.count()
+        per_bin = out.groupBy("bucket", "bin_id").agg(
+            F.sum("n_tokens").alias("tot"),
+            F.count(F.lit(1)).alias("k"),
+            F.max("oversize").alias("ovs"),
+            F.min("bin_offset").alias("off0"),
+            F.max(F.col("bin_offset") + F.col("n_tokens")).alias("hi"),
+        ).persist()
+        bad_cap = per_bin.filter(
+            ((F.col("ovs") == 0) & (F.col("tot") > max_len))
+            | ((F.col("ovs") == 1) & ((F.col("k") != 1) | (F.col("tot") <= max_len)))
+        ).count()
+        capacity_ok = int(bad_cap == 0)
+        complete_once = int(
+            out.count() == n_docs
+            and out.select("doc_id").distinct().count() == n_docs
+        )
+        bad_tile = per_bin.filter(
+            (F.col("off0") != 0) | (F.col("hi") != F.col("tot"))
+        ).count()
+        contiguous_ok = int(bad_tile == 0)
+        streams = out.filter(F.col("oversize") == 0).groupBy("bucket").agg(
+            F.countDistinct("bin_id").alias("bins"),
+            F.sum("n_tokens").alias("toks"),
+        ).collect()
+        ffd_bound_ok = int(all(
+            r["bins"] <= -(-11 * (-(-r["toks"] // max_len)) // 9) + 1
+            for r in streams
+        ))
+        again = pack_bins(docs.repartition(13), max_len=max_len, n_buckets=8)
+        sym = out.select("doc_id", "bucket", "bin_id", "bin_offset").exceptAll(
+            again.select("doc_id", "bucket", "bin_id", "bin_offset")
+        ).count()
+        deterministic = int(sym == 0)
+        per_bin.unpersist()
+    finally:
+        out.unpersist()
+    return spark.createDataFrame(
+        [(capacity_ok, complete_once, contiguous_ok, ffd_bound_ok,
+          deterministic)],
+        "capacity_ok int, complete_once int, contiguous_ok int, "
+        "ffd_bound_ok int, deterministic int",
+    )
+
+
+@q(
     "ml_logreg_grade",
     """SELECT CAST(1 AS INT) AS loss_noninc, CAST(1 AS INT) AS final_loss_ok,
        CAST(1 AS INT) AS step_direction_ok, CAST(1 AS INT) AS beats_majority""",

@@ -252,3 +252,37 @@ def test_dedup_lines_whitespace_only_documents(spark):
     assert out[1]["n_lines"] == 0 and out[1]["dedup_text"] == ""
     assert out[2]["n_lines"] == 0
     assert out[3]["dedup_text"] == "real line"
+
+
+def test_pack_bins_ffd_handcrafted_layout(spark):
+    # lengths 6,5,4,3,2 with max_len 8 in ONE bucket: FFD places
+    # 6 -> bin0, 5 -> bin1, 4 -> bin2(6+4>8? no: bin0 cap 2, bin1 cap 3,
+    # so 4 opens bin2), 3 -> bin1 (cap 3 fits), 2 -> bin0 (cap 2 fits)
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.packing import pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 6), (2, 5), (3, 4), (4, 3), (5, 2)]],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_bins(docs, max_len=8, n_buckets=1).collect()}
+    assert out[1]["bin_id"] == 0 and out[1]["bin_offset"] == 0
+    assert out[2]["bin_id"] == 1 and out[2]["bin_offset"] == 0
+    assert out[3]["bin_id"] == 2 and out[3]["bin_offset"] == 0
+    assert out[4]["bin_id"] == 1 and out[4]["bin_offset"] == 5
+    assert out[5]["bin_id"] == 0 and out[5]["bin_offset"] == 6
+    assert all(r["oversize"] == 0 for r in out.values())
+
+    # an oversize document gets its own flagged bin and blocks nothing
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(["w"] * 20)), (2, " ".join(["w"] * 4)),
+         (3, " ".join(["w"] * 4))],
+        "doc_id long, text string",
+    )
+    o2 = {r["doc_id"]: r for r in
+          pack_bins(docs2, max_len=8, n_buckets=1).collect()}
+    assert o2[1]["oversize"] == 1
+    assert o2[2]["bin_id"] == o2[3]["bin_id"] != o2[1]["bin_id"]
