@@ -177,6 +177,7 @@ HEADLINE = [
     "text_strip_markup",
     "io_safetensors_roundtrip",
     "pack_bins_grade",
+    "graph_pagerank_grade",
 ]
 
 

@@ -8330,6 +8330,81 @@ def text_dedup_lines(spark, sf_dir):
 
 
 @q(
+    "graph_pagerank_grade",
+    """SELECT CAST(1 AS INT) AS sum_ok, CAST(1 AS INT) AS contraction_ok,
+       CAST(1 AS INT) AS update_ok, CAST(1 AS INT) AS has_dangling""",
+)
+def graph_pagerank_grade(spark, sf_dir):
+    """Invariant grade for distributed PageRank (pipeline/graph.py
+    pagerank — power iteration with uniform teleport and dangling-mass
+    redistribution) over the REAL order->part bipartite graph from
+    lineitem foreign keys, where every part node is dangling by
+    construction. Verdicts, each oracle-pinned to 1: (a) mass
+    conservation — ranks sum to N within 1e-9 relative after every
+    redistribution; (b) the contraction law — successive L1 residuals
+    shrink by at least the damping factor (power iteration on a
+    column-stochastic matrix guarantees it; a broken dangling term breaks
+    it); (c) an INDEPENDENT recomputation of the final iteration from the
+    previous ranks (separate plan, different summation order) reproduces
+    the recorded ranks to 1e-8; (d) the graph really exercises the
+    dangling path (dangling nodes exist)."""
+    from ophidia_server_spark.pipeline.graph import pagerank
+
+    li = _t(spark, sf_dir)["lineitem"]
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    d = 0.85
+    ranks, prev, residuals = pagerank(edges, iters=6, damping=d)
+    ranks = ranks.persist()
+    prev = prev.persist()
+    try:
+        nodes = ranks.count()
+        total = ranks.agg(F.sum("rank")).first()[0]
+        sum_ok = int(abs(total - nodes) / nodes < 1e-9)
+        contraction_ok = int(all(
+            b <= a * d + 1e-6 for a, b in zip(residuals[1:], residuals[2:])
+        ) and residuals[-1] < residuals[0])
+        # independent recompute of the last step from `prev`
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        share = prev.join(deg, prev["node"] == deg["src"]).select(
+            "src", (F.col("rank") / F.col("deg")).alias("share")
+        )
+        inc = edges.join(share, "src").groupBy(
+            F.col("dst").alias("node")
+        ).agg(F.sum("share").alias("inc"))
+        dang = prev.join(deg, prev["node"] == deg["src"], "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).first()[0]
+        expected = (
+            ranks.select("node").join(inc, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - d) + F.lit(d) * (
+                    F.coalesce(F.col("inc"), F.lit(0.0))
+                    + F.lit(float(dang) / nodes)
+                )).alias("exp"),
+            )
+        )
+        max_diff = ranks.join(expected, "node").agg(
+            F.max(F.abs(F.col("rank") - F.col("exp")))
+        ).first()[0]
+        update_ok = int(max_diff < 1e-8)
+        n_dangling = ranks.join(
+            deg, ranks["node"] == deg["src"], "left_anti"
+        ).count()
+        has_dangling = int(n_dangling > 0)
+    finally:
+        ranks.unpersist()
+        prev.unpersist()
+    return spark.createDataFrame(
+        [(sum_ok, contraction_ok, update_ok, has_dangling)],
+        "sum_ok int, contraction_ok int, update_ok int, has_dangling int",
+    )
+
+
+@q(
     "pack_bins_grade",
     """SELECT CAST(1 AS INT) AS capacity_ok, CAST(1 AS INT) AS complete_once,
        CAST(1 AS INT) AS contiguous_ok, CAST(1 AS INT) AS ffd_bound_ok,
