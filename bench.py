@@ -178,6 +178,7 @@ HEADLINE = [
     "io_safetensors_roundtrip",
     "pack_bins_grade",
     "graph_pagerank_grade",
+    "layout_stream_append",
 ]
 
 

@@ -450,6 +450,121 @@ def snapshot_write(
     return v
 
 
+def snapshot_append(
+    df: DataFrame, path: str, op: str = "append",
+    batch_id: int | None = None,
+) -> int:
+    """Append `df` as a NEW version that keeps every parent file — the
+    lakehouse APPEND commit (vs snapshot_write's replace semantics): the
+    new manifest lists (parent files + the new writer-unique data dir),
+    so readers of the new version see old rows plus the batch, and time
+    travel still serves every prior version. Parent per-file stats carry
+    over scan-free; the new files get stats when the chain records
+    stats_cols. `batch_id` (when given) is recorded in the manifest — the
+    idempotency hook stream_append_to_snapshots replays against. Returns
+    the new version number."""
+    import json as _json
+    import os as _os
+
+    man = None
+    try:
+        man = _read_manifest(path)
+    except FileNotFoundError:
+        pass
+    if man is None:
+        # first append bootstraps the store like a write
+        v = snapshot_write(df, path, op=op)
+        if batch_id is not None:
+            _amend_batch_id(path, v, batch_id)
+        return v
+    v = man["version"] + 1
+    data_dir = _new_data_dir(path, v)
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        _os.path.join(data_dir, f)
+        for f in _os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    out = {"version": v, "op": op, "files": man["files"] + new_files,
+           "parent": man["version"]}
+    if batch_id is not None:
+        out["batch_id"] = int(batch_id)
+    stats_cols = man.get("stats_cols")
+    if stats_cols:
+        out["stats_cols"] = stats_cols
+        stats = dict(man.get("stats") or {})
+        stats.update(
+            _collect_file_stats(df.sparkSession, new_files, stats_cols)
+        )
+        out["stats"] = stats
+    tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(out, fh)
+    _commit_manifest(path, v, tmp, data_dir)
+    return v
+
+
+def _amend_batch_id(path: str, v: int, batch_id: int) -> None:
+    """Record a batch id on a just-committed bootstrap version (same
+    writer, no concurrency: the manifest file is replaced atomically)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(_manifest_dir(path), f"v{v}.json")
+    with open(p) as fh:
+        man = _json.load(fh)
+    man["batch_id"] = int(batch_id)
+    with open(p + ".amend", "w") as fh:
+        _json.dump(man, fh)
+    _os.replace(p + ".amend", p)
+
+
+def last_committed_batch(path: str) -> int:
+    """The largest batch_id any retained manifest records (-1 when none) —
+    what a replaying stream compares its batch id against."""
+    best = -1
+    try:
+        for v in snapshot_versions(path):
+            b = _read_manifest(path, v).get("batch_id")
+            if b is not None:
+                best = max(best, int(b))
+    except FileNotFoundError:
+        pass
+    return best
+
+
+def stream_append_to_snapshots(
+    spark: SparkSession,
+    src_path: str,
+    schema: str,
+    table_path: str,
+) -> None:
+    """Structured-Streaming ingestion INTO the versioned store: each
+    micro-batch commits as one snapshot APPEND version whose manifest
+    carries the batch id, so at-least-once foreachBatch replays are
+    idempotent the same way stream_maintain_state's generations are — a
+    replayed batch (id <= the largest committed batch_id) is skipped, and
+    a crash between the data write and the manifest commit leaves only an
+    orphan dir that vacuum sweeps, never a half-visible version. Readers
+    time-travel per micro-batch; snapshot_changes replays the ingest as a
+    change feed. availableNow drains the backlog and stops."""
+
+    def _commit(batch_df, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table_path):
+            return
+        snapshot_append(
+            batch_df, table_path, op="stream-append", batch_id=batch_id
+        )
+
+    (
+        spark.readStream.schema(schema).parquet(src_path)
+        .writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", table_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None,
     ranges: dict | None = None,

@@ -8024,6 +8024,51 @@ def layout_cdc_diff(spark, sf_dir):
 
 
 @q(
+    "layout_stream_append",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6))
+            AS DOUBLE) AS qty
+FROM lineitem WHERE l_orderkey < 3000
+GROUP BY l_returnflag""",
+)
+def layout_stream_append(spark, sf_dir):
+    """Structured-Streaming ingestion into the versioned store (layout.py
+    stream_append_to_snapshots): a lineitem slice arrives as three
+    parquet files, each micro-batch commits as one snapshot APPEND version
+    with its batch id in the manifest, and a SECOND invocation of the
+    stream (checkpoint + batch-id idempotency) must add nothing. The gate
+    reads the LATEST version and aggregates — hash-matching DuckDB's
+    direct aggregate over the slice proves no batch was lost, duplicated,
+    or half-committed."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"].filter("l_orderkey < 3000").select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = f"/tmp/ophidia_stream_src_{tag}"
+    table = f"/tmp/ophidia_stream_tbl_{tag}"
+    for p in (src, table, table + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    for i in range(3):
+        li.filter(F.pmod("l_orderkey", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = "l_orderkey long, l_returnflag string, qty decimal(18,2)"
+    lay2.stream_append_to_snapshots(spark, src, schema, table)
+    lay2.stream_append_to_snapshots(spark, src, schema, table)  # idempotent
+    out = lay2.snapshot_read(spark, table)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty").cast("decimal(38,6)").cast("double").alias("qty"),
+    )
+
+
+@q(
     "layout_change_feed",
     """WITH base AS (
   SELECT l_orderkey, l_linenumber,

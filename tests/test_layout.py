@@ -522,3 +522,58 @@ def test_snapshot_change_feed_replays_commits_in_order(spark, tables, tmp_path):
 
     with _pytest.raises(ValueError, match="two retained versions"):
         snapshot_changes(spark, path, ["r_regionkey"], from_version=3)
+
+
+def test_snapshot_append_and_stream_ingest_idempotency(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.layout import (
+        last_committed_batch, snapshot_append, snapshot_changes,
+        snapshot_read, snapshot_versions, snapshot_write, vacuum,
+    )
+
+    base = tables["region"].select("r_regionkey", "r_name")
+    extra = tables["nation"].select(
+        (F.col("n_nationkey") + 100).alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    )
+    path = str(tmp_path / "app")
+    snapshot_write(base, path, stats_cols=["r_regionkey"])
+    v2 = snapshot_append(extra, path, batch_id=7)
+    assert v2 == 2
+    # append keeps every old row and adds the batch
+    assert snapshot_read(spark, path, 2).count() == base.count() + extra.count()
+    assert snapshot_read(spark, path, 1).count() == base.count()
+    assert last_committed_batch(path) == 7
+    # stats chain continues over appends: the new version still prunes
+    from ophidia_server_spark.layout import snapshot_pruned_read
+
+    df, read, total = snapshot_pruned_read(
+        spark, path, {"r_regionkey": (100, 200)}, version=2
+    )
+    assert read < total and df.count() == extra.count()
+    # the change feed sees the append as pure inserts
+    feed = snapshot_changes(spark, path, ["r_regionkey"], from_version=1)
+    assert feed.filter("change_type <> 'insert'").count() == 0
+    assert feed.count() == extra.count()
+
+    # streaming ingest: three files -> versions; a replayed run adds nothing
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    from ophidia_server_spark.layout import stream_append_to_snapshots
+
+    schema = "event_id long, event_type string, value double"
+    stream_append_to_snapshots(spark, src, schema, tbl)
+    n_versions = len(snapshot_versions(tbl))
+    assert snapshot_read(spark, tbl).count() == ev.count()
+    stream_append_to_snapshots(spark, src, schema, tbl)
+    assert len(snapshot_versions(tbl)) == n_versions
+    assert snapshot_read(spark, tbl).count() == ev.count()
+    # vacuum keeps the streamed content intact
+    vacuum(tbl, keep_last=1)
+    assert snapshot_read(spark, tbl).count() == ev.count()
