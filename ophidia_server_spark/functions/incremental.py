@@ -132,8 +132,11 @@ def maintain_state_from_diff(
         recomputed from `latest`; untouched groups keep theirs.
 
     Cost: one diff-sized aggregate, a state-sized merge join, and one
-    scan of the touched groups' rows. Groups whose count reaches zero
-    drop out of the state, matching aggregate_state of the new content."""
+    scan of the touched groups' rows. Groups whose non-null-measure count
+    reaches zero drop out of the state — the state tracks groups BY their
+    measure (aggregate_state's n = count(value_col) convention), so a
+    group holding only NULL measures is absent here, while aggregate_state
+    of the raw table would list it with n=0."""
     dec = _VDEC.format(d=int(value_decimals))
     og, ng = f"old_{group_col}", f"new_{group_col}"
     ov, nv = f"old_{value_col}", f"new_{value_col}"
@@ -152,8 +155,11 @@ def maintain_state_from_diff(
     sv = F.when(pos, F.col("__v")).otherwise(-F.col("__v"))
     vv = F.col("__v") * F.col("__v")
     sv2 = F.when(pos, vv).otherwise(-vv)
+    # n mirrors aggregate_state's F.count(value_col): NULL measures are
+    # not counted, so a NULL-valued insert/delete must not drift the count
+    dn = F.when(F.col("__v").isNotNull(), F.col("__sgn")).otherwise(F.lit(0))
     delta = removed.unionByName(added).groupBy("__g").agg(
-        F.sum("__sgn").cast("long").alias("__dn"),
+        F.sum(dn).cast("long").alias("__dn"),
         F.sum(sv).cast(_DEC).alias("__ds"),
         F.sum(sv2).cast(_DEC).alias("__ds2"),
     )

@@ -404,6 +404,7 @@ def snapshot_versions(path: str) -> list[int]:
 def snapshot_write(
     df: DataFrame, path: str, op: str = "write",
     stats_cols: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Append a NEW table version whose data is `df` — the manifest-swap
     commit of every lakehouse format (Delta/Iceberg semantics, original
@@ -440,6 +441,11 @@ def snapshot_write(
     )
     man = {"version": v, "op": op, "files": files,
            "parent": versions[-1] if versions else None}
+    if batch_id is not None:
+        # part of the SAME exclusive commit — a marker amended after the
+        # commit would reopen the replay/duplication window the streaming
+        # sinks close by making the batch id part of the commit itself
+        man["batch_id"] = int(batch_id)
     if stats_cols:
         man["stats_cols"] = list(stats_cols)
         man["stats"] = _collect_file_stats(df.sparkSession, files, stats_cols)
@@ -472,11 +478,9 @@ def snapshot_append(
     except FileNotFoundError:
         pass
     if man is None:
-        # first append bootstraps the store like a write
-        v = snapshot_write(df, path, op=op)
-        if batch_id is not None:
-            _amend_batch_id(path, v, batch_id)
-        return v
+        # first append bootstraps the store like a write; the batch id
+        # rides in the SAME exclusive commit (no amend-after window)
+        return snapshot_write(df, path, op=op, batch_id=batch_id)
     v = man["version"] + 1
     data_dir = _new_data_dir(path, v)
     df.write.mode("overwrite").parquet(data_dir)
@@ -503,33 +507,19 @@ def snapshot_append(
     return v
 
 
-def _amend_batch_id(path: str, v: int, batch_id: int) -> None:
-    """Record a batch id on a just-committed bootstrap version (same
-    writer, no concurrency: the manifest file is replaced atomically)."""
-    import json as _json
-    import os as _os
-
-    p = _os.path.join(_manifest_dir(path), f"v{v}.json")
-    with open(p) as fh:
-        man = _json.load(fh)
-    man["batch_id"] = int(batch_id)
-    with open(p + ".amend", "w") as fh:
-        _json.dump(man, fh)
-    _os.replace(p + ".amend", p)
-
-
 def last_committed_batch(path: str) -> int:
-    """The largest batch_id any retained manifest records (-1 when none) —
-    what a replaying stream compares its batch id against."""
-    best = -1
+    """The batch_id of the NEWEST manifest that records one (-1 when none)
+    — what a replaying stream compares its batch id against. Batch ids are
+    monotone, so walking versions newest-first and stopping at the first
+    hit is O(1) manifest reads per micro-batch, not O(versions)."""
     try:
-        for v in snapshot_versions(path):
+        for v in reversed(snapshot_versions(path)):
             b = _read_manifest(path, v).get("batch_id")
             if b is not None:
-                best = max(best, int(b))
+                return int(b)
     except FileNotFoundError:
         pass
-    return best
+    return -1
 
 
 def stream_append_to_snapshots(

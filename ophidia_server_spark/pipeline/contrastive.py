@@ -16,13 +16,14 @@ ngram_jaccard_exact for oracle work, or an embedding-similarity pair list.
 Scale shape:
   positive : one window per anchor over the PAIR table (pairs-sized, far
              smaller than the corpus) picks the highest-Jaccard partner;
-  negative : the corpus is hash-bucketed once (md5, n_buckets) and each
-             bucket is pre-reduced to a 3-candidate shortlist BEFORE any
-             anchor joins it — first a map-side-combinable min-struct per
-             (bucket, sub-bucket), then a window over the <=n_subs
-             sub-minima per bucket — so the anchor join fans in at
-             anchors x 3 regardless of corpus size or n_buckets. Nothing
-             in the negative path sorts an sf-proportional partition.
+  negative : the corpus is hash-gridded once into n_buckets x n_subs
+             CELLS and each cell pre-reduced to its coin-smallest member
+             (a map-side-combinable min-struct — no per-bucket sort);
+             each anchor then draws its own cell deterministically (plus
+             two fallback cells for exclusion safety) and joins a
+             1-row-per-cell table — anchors x 3 candidate rows at ANY
+             corpus size, with negative DIVERSITY of n_buckets x n_subs
+             distinct candidates corpus-wide (raise n_subs to scale it).
 """
 
 from __future__ import annotations
@@ -44,17 +45,19 @@ def contrastive_triplets(
     """(anchor, positive, pos_jaccard, negative) per anchor that has at
     least one pair partner. Positive = the anchor's highest-Jaccard
     partner (ties break on the lower partner id). Negative = the
-    coin-smallest entry of the anchor's pick-bucket SHORTLIST, excluding
-    the anchor and its positive.
+    representative of the anchor's OWN pick-cell in the corpus hash grid,
+    excluding the anchor and its positive.
 
-    The shortlist is each bucket's 3 coin-smallest sub-bucket minima
-    (coin = content-addressed md5 of the candidate alone): a groupBy over
-    (bucket, sub-bucket) — a true partial aggregate, no per-bucket sort —
-    then a row_number window over the <=n_subs minima per bucket. The
-    anchor join is against a <=3-rows-per-bucket table, so the candidate
-    row count is O(anchors) at ANY corpus size; the two exclusions can
-    never empty a 3-entry shortlist, so anchors drop out only when their
-    whole bucket holds fewer than 3 sub-bucket minima (tiny corpora)."""
+    The grid: candidates hash into n_buckets x n_subs cells, and each
+    cell reduces to its coin-smallest member (one groupBy with map-side
+    partials — no per-bucket sort). Each anchor deterministically picks a
+    cell from ITS OWN hashes (bucket from one salt, sub-cell from
+    another) and takes that cell's representative; the next two sub-cells
+    serve as fallbacks so the anchor/positive exclusions can never starve
+    an anchor whose three cells are populated. The candidate join is
+    <= 3 rows per anchor at ANY corpus size, and distinct negatives scale
+    with the grid (n_buckets * n_subs cells — raise n_subs for larger
+    corpora), not with a fixed shortlist."""
     from pyspark.sql import Window
 
     sym = pairs.select(
@@ -85,23 +88,21 @@ def contrastive_triplets(
     sub_min = (
         pool.groupBy("__b", "__sub")
         .agg(F.min(F.struct("__coin", "__cand")).alias("__m"))
-        .select("__b", F.col("__m.__coin").alias("__coin"),
-                F.col("__m.__cand").alias("__cand"))
-    )
-    ws = Window.partitionBy("__b").orderBy("__coin", "__cand")
-    shortlist = (
-        sub_min.withColumn("__rn", F.row_number().over(ws))
-        .filter(F.col("__rn") <= 3)
-        .drop("__rn")
+        .select("__b", "__sub", F.col("__m.__cand").alias("__cand"))
     )
     picked = best.withColumn(
         "__b", md5_bucket(F.col("anchor"), n_buckets, salt + "pick")
+    ).withColumn(
+        "__s0", md5_bucket(F.col("anchor"), n_subs, salt + "picksub")
     )
-    cand = picked.join(shortlist, "__b").filter(
+    tries = picked.withColumn(
+        "__k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).withColumn("__sub", F.pmod(F.col("__s0") + F.col("__k"), F.lit(n_subs)))
+    cand = tries.join(sub_min, ["__b", "__sub"]).filter(
         (F.col("__cand") != F.col("anchor"))
         & (F.col("__cand") != F.col("positive"))
     )
-    w2 = Window.partitionBy("anchor").orderBy("__coin", "__cand")
+    w2 = Window.partitionBy("anchor").orderBy("__k")
     return (
         cand.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)

@@ -95,58 +95,58 @@ def string_index(
     paths assign IDENTICAL ids."""
     from pyspark.sql import Window
 
+    # localCheckpoint (eager), not persist: the count/offset collects and
+    # every later consumer read the SAME materialized snapshot (no
+    # recompute-drift risk for the offset math), and the blocks free with
+    # the DataFrame instead of pinning executor storage forever
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
     )
-    counts.persist()
-    try:
-        n_vocab = counts.count()
-        if n_vocab <= max_window_vocab:
-            vocab = counts.withColumn(
-                "idx",
-                F.row_number().over(
-                    Window.partitionBy().orderBy(F.desc("n"), F.asc("value"))
-                ).cast("long") + F.lit(int(start) - 1),
-            )
-        else:
-            spark = df.sparkSession
-            ranged = (
-                counts.repartitionByRange(F.desc("n"), F.asc("value"))
-                .withColumn("__pid", F.spark_partition_id())
-                .persist()
-            )
-            per_part = {
-                r["__pid"]: r["cnt"]
-                for r in ranged.groupBy("__pid")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            }
-            offs, acc = [], 0
-            for pid in sorted(per_part):
-                offs.append((pid, acc))
-                acc += per_part[pid]
-            off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
-            win = Window.partitionBy("__pid").orderBy(F.desc("n"), F.asc("value"))
-            vocab = (
-                ranged.join(F.broadcast(off_df), "__pid")
-                .withColumn(
-                    "idx",
-                    (F.row_number().over(win).cast("long")
-                     + F.col("__off") + F.lit(int(start) - 1)),
-                )
-                .select("value", "n", "idx")
-            )
-        out = df.join(
-            vocab.select(F.col("value").alias(col), F.col("idx").alias(f"{col}_idx")),
-            col,
-            "left",
+    n_vocab = counts.count()
+    if n_vocab <= max_window_vocab:
+        vocab = counts.withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("n"), F.asc("value"))
+            ).cast("long") + F.lit(int(start) - 1),
         )
-        return out, vocab
-    except Exception:
-        counts.unpersist()
-        raise
+    else:
+        spark = df.sparkSession
+        ranged = (
+            counts.repartitionByRange(F.desc("n"), F.asc("value"))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        per_part = {
+            r["__pid"]: r["cnt"]
+            for r in ranged.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offs, acc = [], 0
+        for pid in sorted(per_part):
+            offs.append((pid, acc))
+            acc += per_part[pid]
+        off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+        win = Window.partitionBy("__pid").orderBy(F.desc("n"), F.asc("value"))
+        vocab = (
+            ranged.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                "idx",
+                (F.row_number().over(win).cast("long")
+                 + F.col("__off") + F.lit(int(start) - 1)),
+            )
+            .select("value", "n", "idx")
+        )
+    out = df.join(
+        vocab.select(F.col("value").alias(col), F.col("idx").alias(f"{col}_idx")),
+        col,
+        "left",
+    )
+    return out, vocab
 
 
 def percentile_rank_by_group(
@@ -302,13 +302,20 @@ def percentile_rank_bucketed(
         rng, F.col(group_col).eqNullSafe(F.col("__g"))
     )
     span = F.col("__hi") - F.col("__lo")
-    cell = F.when(
-        span > 0,
-        F.least(
-            F.lit(buckets - 1),
-            F.floor((v - F.col("__lo")) / span * buckets),
-        ),
-    ).otherwise(F.lit(0)).cast("long")
+    # NULL values take cell -1 (below every real cell — the nulls-first
+    # convention of percentile_rank_by_group); F.least would otherwise
+    # send them to the TOP cell because least() skips NULL arguments
+    cell = (
+        F.when(v.isNull(), F.lit(-1))
+        .when(
+            span > 0,
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((v - F.col("__lo")) / span * buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+    ).cast("long")
     tagged = tagged.withColumn("bucket", cell)
     per_cell = tagged.groupBy("__g", "bucket").agg(
         F.count(F.lit(1)).alias("__c")

@@ -21,7 +21,6 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 3,
 ):
     """Power-iteration PageRank (Brin & Page 1998, the public formulation
     with uniform teleport and dangling-mass redistribution):
@@ -37,9 +36,11 @@ def pagerank(
     Scale shape per iteration: one join of the rank table with the edge
     table on src (shuffle on src), one groupBy dst (shuffle on dst), one
     scalar aggregate for the dangling mass — no collect beyond that one
-    scalar and the residual; localCheckpoint every `checkpoint_every`
-    iterations truncates the lineage. The rank table is O(nodes), edges
-    are never materialized to the driver."""
+    scalar and the residual. The new rank table is localCheckpoint'd
+    EVERY iteration (an O(nodes) materialization) before the two driver
+    actions run, so the join pipeline executes exactly once per iteration
+    instead of being re-evaluated by each action. Edges are never
+    materialized to the driver."""
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
@@ -55,7 +56,7 @@ def pagerank(
     prev = ranks
     residuals: list[float] = []
     d = float(damping)
-    for it in range(int(iters)):
+    for _ in range(int(iters)):
         prev = ranks
         contrib = (
             ranks.join(deg, ranks["node"] == deg["__s"], "inner")
@@ -80,9 +81,7 @@ def pagerank(
                 * (F.coalesce(F.col("__in"), F.lit(0.0))
                    + F.lit(float(dangling) / n_nodes))
             ).alias("rank"),
-        )
-        if (it + 1) % int(checkpoint_every) == 0 or it == int(iters) - 1:
-            ranks = ranks.localCheckpoint()
+        ).localCheckpoint()
         res = (
             ranks.join(prev.withColumnRenamed("rank", "__pr"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"))

@@ -8275,23 +8275,22 @@ def layout_incremental_rollup(spark, sf_dir):
          substr(md5(CAST(doc_id AS VARCHAR) || ':ctrneg'), 1, 8) AS coin
   FROM corpus
 ), sub_min AS (
-  SELECT b, coin, cand FROM (
-    SELECT b, sub, coin, cand,
+  SELECT b, sub, cand FROM (
+    SELECT b, sub, cand,
            row_number() OVER (PARTITION BY b, sub ORDER BY coin, cand) AS rn
     FROM pool) WHERE rn = 1
-), shortlist AS (
-  SELECT b, coin, cand FROM (
-    SELECT b, coin, cand,
-           row_number() OVER (PARTITION BY b ORDER BY coin, cand) AS rn
-    FROM sub_min) WHERE rn <= 3
 ), picked AS (
   SELECT anchor, positive, j,
-         {_HEX8.format(key="CAST(anchor AS VARCHAR) || ':ctrpick'")} % 8 AS b
+         {_HEX8.format(key="CAST(anchor AS VARCHAR) || ':ctrpick'")} % 8 AS b,
+         {_HEX8.format(key="CAST(anchor AS VARCHAR) || ':ctrpicksub'")} % 64 AS s0
   FROM best
+), tries AS (
+  SELECT anchor, positive, j, b, kk.k AS k, (s0 + kk.k) % 64 AS sub
+  FROM picked, (SELECT unnest([0, 1, 2]) AS k) kk
 ), neg AS (
   SELECT anchor, positive, j, cand,
-         row_number() OVER (PARTITION BY anchor ORDER BY coin, cand) AS rn
-  FROM picked JOIN shortlist USING (b)
+         row_number() OVER (PARTITION BY anchor ORDER BY k) AS rn
+  FROM tries JOIN sub_min USING (b, sub)
   WHERE cand <> anchor AND cand <> positive
 )
 SELECT anchor, positive, ROUND(j, 6) AS pos_jaccard, cand AS negative
@@ -8301,10 +8300,11 @@ def train_contrastive_triplets(spark, sf_dir):
     """Contrastive triplet mining (pipeline/contrastive.py): positives are
     each anchor's highest exact-Jaccard partner over the injected-twin
     corpus slice (every doc_id%10==0 doc has an exact twin at +100000, so
-    twins pair at 1.0); negatives are the coin-smallest entry of the
-    anchor's pick-bucket 3-candidate shortlist (pre-reduced via
-    sub-bucket minima, so the anchor join is O(anchors) at any corpus
-    size). The gate feeds the EXACT bounded pair source
+    twins pair at 1.0); negatives come from the anchor's OWN cell in the
+    n_buckets x n_subs corpus hash grid (each cell pre-reduced to its
+    coin-smallest member, two fallback cells for exclusion safety), so
+    the join is O(anchors) while negative diversity scales with the grid.
+    The gate feeds the EXACT bounded pair source
     both engines agree on; the LSH-pruned pair source drops in unchanged
     at corpus scale. All four columns hash-match DuckDB."""
     from ophidia_server_spark.pipeline.contrastive import contrastive_triplets
@@ -9157,7 +9157,8 @@ def events_percentile_rank(spark, sf_dir):
   FROM v GROUP BY 1
 ), tag AS (
   SELECT event_id, v.event_type,
-         CASE WHEN hi > lo
+         CASE WHEN v IS NULL THEN -1
+              WHEN hi > lo
               THEN LEAST(999, CAST(FLOOR((v - lo) / (hi - lo) * 1000) AS BIGINT))
               ELSE 0 END AS bucket,
          n

@@ -188,7 +188,9 @@ def _extend(v: int, t: int) -> int:
 def decode(buf: bytes) -> np.ndarray:
     """JPEG bytes -> (height, width, channels) uint8 array (channels 1 for
     grayscale, 3 for YCbCr->RGB). Baseline/extended sequential only —
-    anything else raises with the refusing marker named."""
+    anything else raises with the refusing marker named. Both interleaved
+    (one multi-component scan) and non-interleaved (one scan per
+    component, T.81's single-component MCU rule) scan layouts decode."""
     if buf[:2] != MAGIC:
         raise ValueError("not a JPEG file (bad SOI)")
     pos = 2
@@ -197,12 +199,16 @@ def decode(buf: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
-    while pos + 4 <= len(buf):
+    planes: dict[int, np.ndarray] | None = None
+    done: set[int] = set()
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker expected in JPEG header")
         marker = buf[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", buf[pos + 2: pos + 4])
         seg = buf[pos + 4: pos + 2 + seglen]
         pos += 2 + seglen
@@ -251,71 +257,128 @@ def decode(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if planes is None:
+                planes = _alloc_planes(frame)
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(
-                buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            pos = _decode_one_scan(
+                buf, pos, frame, scan, planes, qt, huff_dc, huff_ac,
+                restart_interval,
             )
+            done.update(c["id"] for c, _, _ in scan)
         # else: APPn/COM/etc — skipped
-    raise ValueError("no scan data in JPEG stream")
+    if frame is None or planes is None:
+        raise ValueError("no scan data in JPEG stream")
+    missing = [c["id"] for c in frame["comps"] if c["id"] not in done]
+    if missing:
+        raise ValueError(f"components {missing} have no scan data")
+    return _assemble(frame, planes)
 
 
-def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+def _alloc_planes(frame) -> dict:
+    """Full-resolution-grid sample planes per component id, sized to the
+    interleaved MCU grid (a superset of the non-interleaved block grid)."""
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for comp, _, _ in scan:
-        planes.append(np.zeros(
-            (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
-        ))
+    return {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        for c in frame["comps"]
+    }
+
+
+def _decode_block(r, td, ta, qtab, pred, huff_dc, huff_ac) -> tuple:
+    zz = np.zeros(64, dtype=np.int64)
+    t = _huff_decode(r, huff_dc[td])
+    pred += _extend(r.bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k <= 63:
+        rs = _huff_decode(r, huff_ac[ta])
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC coefficient overrun")
+        zz[k] = _extend(r.bits(s), s)
+        k += 1
+    blk = np.zeros(64, dtype=np.int64)
+    blk[_ZZ] = zz
+    return pred, _C.T @ (blk.reshape(8, 8) * qtab) @ _C + 128.0
+
+
+def _decode_one_scan(buf, pos, frame, scan, planes, qt, huff_dc, huff_ac,
+                     dri) -> int:
+    """One entropy-coded scan into the component planes; returns the byte
+    position of the marker that ends the scan. Interleaved scans (ns > 1)
+    walk the hmax/vmax MCU grid; a single-component scan uses the T.81
+    non-interleaved rule — the MCU is ONE 8x8 block on that component's
+    own block grid."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     r = _BitReader(buf, pos)
     pred = [0] * len(scan)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                r.restart()
-                pred = [0] * len(scan)
-            for ci, (comp, td, ta) in enumerate(scan):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(r, huff_dc[td])
-                        diff = _extend(r.bits(t), t)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = _huff_decode(r, huff_ac[ta])
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("AC coefficient overrun")
-                            zz[k] = _extend(r.bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[_ZZ] = zz
-                        blk = blk.reshape(8, 8) * qt[comp["tq"]]
-                        px = _C.T @ blk @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-            mcu_count += 1
+    if len(scan) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    r.restart()
+                    pred = [0] * len(scan)
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            pred[ci], px = _decode_block(
+                                r, td, ta, qt[comp["tq"]], pred[ci],
+                                huff_dc, huff_ac,
+                            )
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            plane = planes[comp["id"]]
+                            plane[y0:y0 + 8, x0:x0 + 8] = px
+                mcu_count += 1
+    else:
+        comp, td, ta = scan[0]
+        comp_w = -(-w * comp["h"] // hmax)
+        comp_h = -(-h * comp["v"] // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        plane = planes[comp["id"]]
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    r.restart()
+                    pred = [0]
+                pred[0], px = _decode_block(
+                    r, td, ta, qt[comp["tq"]], pred[0], huff_dc, huff_ac
+                )
+                plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = px
+                mcu_count += 1
+    return r.pos
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     out = []
-    for ci, (comp, _, _) in enumerate(scan):
-        p = planes[ci]
+    for comp in frame["comps"]:
+        p = planes[comp["id"]]
         # integer-ratio upsample to full resolution, then crop
         p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
                       hmax // comp["h"], axis=1)
@@ -416,10 +479,15 @@ def _enc_block(wtr, blk, qtab, pred, dc_codes, ac_codes) -> int:
 
 
 def encode(img: np.ndarray, quality: int = 75, subsampling: str = "444",
-           restart_interval: int = 0) -> bytes:
+           restart_interval: int = 0, interleave: bool = True) -> bytes:
     """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG
     bytes. `subsampling` '444' or '420' (3-channel only); a non-zero
-    `restart_interval` emits DRI + RSTn markers every that-many MCUs."""
+    `restart_interval` emits DRI + RSTn markers every that-many MCUs
+    (interleaved mode only). `interleave=False` writes one scan PER
+    COMPONENT (the T.81 non-interleaved layout, each scan on its own
+    block grid) — the fixture for the decoder's multi-scan path."""
+    if restart_interval and not interleave:
+        raise ValueError("restart intervals only supported when interleaved")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -490,38 +558,61 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "444",
     out += dht(0, 0, dc_counts, dc_syms) + dht(1, 0, ac_counts, ac_syms)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
-    wtr = _BitWriter()
-    pred = [0] * nc
     qtabs = [qluma if q == 0 else qchroma for q in qsel]
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                wtr.align()
-                out += wtr.out
-                wtr = _BitWriter()
-                out += bytes([0xFF, 0xD0 + (rst % 8)])
-                rst += 1
-                pred = [0] * nc
-            for ci in range(nc):
-                ch, cv = samp[ci]
-                for by in range(cv):
-                    for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        blk = prepped[ci][y0:y0 + 8, x0:x0 + 8]
-                        pred[ci] = _enc_block(
-                            wtr, blk, qtabs[ci], pred[ci], dc_codes, ac_codes
-                        )
-            mcu_count += 1
-    wtr.align()
-    out += wtr.out
+
+    def sos_marker(comp_ids):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 63, 0])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if interleave or nc == 1:
+        out += sos_marker(list(range(1, nc + 1)))
+        wtr = _BitWriter()
+        pred = [0] * nc
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    wtr.align()
+                    out += wtr.out
+                    wtr = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    pred = [0] * nc
+                for ci in range(nc):
+                    ch, cv = samp[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            blk = prepped[ci][y0:y0 + 8, x0:x0 + 8]
+                            pred[ci] = _enc_block(
+                                wtr, blk, qtabs[ci], pred[ci], dc_codes, ac_codes
+                            )
+                mcu_count += 1
+        wtr.align()
+        out += wtr.out
+    else:
+        # non-interleaved: one scan per component on its OWN block grid
+        for ci in range(nc):
+            ch, cv = samp[ci]
+            comp_w = -(-w * ch // hmax)
+            comp_h = -(-h * cv // vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            out += sos_marker([ci + 1])
+            wtr = _BitWriter()
+            pred_c = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = prepped[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+                    pred_c = _enc_block(
+                        wtr, blk, qtabs[ci], pred_c, dc_codes, ac_codes
+                    )
+            wtr.align()
+            out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
