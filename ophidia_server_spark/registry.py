@@ -7118,6 +7118,33 @@ def _bench_kmeans(spark, sf_dir):
     )
 
 
+@_bench_variant("pack_bins_grade")
+def _bench_pack_bins(spark, sf_dir):
+    from ophidia_server_spark.pipeline.packing import pack_bins
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    return pack_bins(docs, max_len=300, n_buckets=8).groupBy("bucket").agg(
+        F.countDistinct("bin_id").alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+
+
+@_bench_variant("graph_pagerank_grade")
+def _bench_pagerank(spark, sf_dir):
+    from ophidia_server_spark.pipeline.graph import pagerank
+
+    li = _t(spark, sf_dir)["lineitem"]
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    ranks, _, _ = pagerank(edges, iters=6)
+    return ranks.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.round(F.sum("rank"), 3).alias("total_rank"),
+    )
+
+
 @q(
     "io_avro_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
