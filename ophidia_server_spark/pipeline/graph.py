@@ -34,13 +34,12 @@ def pagerank(
     independently, the same contract as clustering.kmeans_lloyd.
 
     Scale shape per iteration: one join of the rank table with the edge
-    table on src (shuffle on src), one groupBy dst (shuffle on dst), one
-    scalar aggregate for the dangling mass — no collect beyond that one
-    scalar and the residual. The new rank table is localCheckpoint'd
-    EVERY iteration (an O(nodes) materialization) before the two driver
-    actions run, so the join pipeline executes exactly once per iteration
-    instead of being re-evaluated by each action. Edges are never
-    materialized to the driver."""
+    table on src (shuffle on src), one groupBy dst (shuffle on dst), and
+    the dangling mass as a ONE-ROW broadcast scalar kept inside the plan
+    (never a separate driver action). The new rank table is
+    localCheckpoint'd EVERY iteration (an O(nodes) materialization — the
+    single job per iteration), and the residual is one cheap scan of the
+    checkpointed table. Edges are never materialized to the driver."""
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
@@ -67,19 +66,24 @@ def pagerank(
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum("__share").alias("__in"))
         )
-        # dangling nodes (no out-edges) spread their whole rank uniformly
+        # dangling nodes (no out-edges) spread their whole rank uniformly;
+        # the mass rides as a one-row broadcast scalar INSIDE the plan —
+        # the sanctioned scalar-aggregate pattern, not a driver action
         dangling = (
             ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+            .agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes)))
+                .alias("__dm")
+            )
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(contrib, "node", "left").crossJoin(
+            F.broadcast(dangling)
+        ).select(
             "node",
             (
                 F.lit(1.0 - d)
                 + F.lit(d)
-                * (F.coalesce(F.col("__in"), F.lit(0.0))
-                   + F.lit(float(dangling) / n_nodes))
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm"))
             ).alias("rank"),
         ).localCheckpoint()
         res = (
