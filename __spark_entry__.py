@@ -31,11 +31,11 @@ PRIORITY = [
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
+    "multimodal_decode_jpeg",
     "cube_build",
     "cube_subset_mixed",
     "cube_reduce2_quarter_avg",
-    "cube_aggregate2_quarter",
+    "layout_incremental_rollup",
     # round-6 head swaps: nine new oracle-exact entries (training-batch
     # prep family, SemDeDup, funnel, deterministic HLL, PQ recall grade,
     # deep v2-B-tree ingest) enter the graded head; the demoted rows
@@ -43,6 +43,12 @@ PRIORITY = [
     # text_token_bpe, sample_bernoulli, multimodal_frame_sample,
     # events_stream_enrich, events_resample_gapfill) keep their families
     # represented and stay graded by the judge's full parity run
+    # round-8 head swaps: five new flagship families enter the graded
+    # head (pixel-exact JPEG decode, the IVM law, exactly-once streaming
+    # snapshot ingest, graded PageRank, FFD bin packing); the demoted
+    # rows (tpch_q10, cube_aggregate2_quarter, io_zarr_v3_roundtrip,
+    # text_chunking, sample_train_val_test) keep their families
+    # represented in the head and stay graded by the judge's full sweep
     # cube_permute_roundtrip moved to the tail (still graded by the judge's
     # full parity run; its invariant is also pytest-held) to make room for
     # the driver-verified distributed connected-components entry
@@ -85,7 +91,7 @@ PRIORITY = [
     # joins the graded head, oracle-exact; dedup_minhash_clusters moves to
     # the tail (rows-only; its exact twin dedup_cluster_exact stays in the
     # head and the judge's full parity run still grades it)
-    "io_zarr_v3_roundtrip",
+    "layout_stream_append",
     # dedup_near_removal moved to the tail (rows-only there; its exact twin
     # dedup_embedding_removal stays judge-graded) to keep a catalog-family
     # entry — and an oracle-exact one — in the graded head
@@ -102,11 +108,11 @@ PRIORITY = [
     "text_bm25_search",
     "text_quality",
     "text_contamination",
-    "text_chunking",
+    "graph_pagerank_grade",
     # round-6: cross-doc repeated-span stats + logistic quality gate
     "text_repeated_ngrams",
     "text_quality_logistic",
-    "sample_train_val_test",
+    "pack_bins_grade",
     "sample_stratified_mix",
     # round-6: training-batch preparation — packing + epoch shuffle
     "pack_sequences",
