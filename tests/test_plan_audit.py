@@ -38,6 +38,16 @@ BARS = {
     "events_rolling_wau": (2, 4),
     "events_hll_sketch": (3, 4),
     "text_repeated_ngrams": (3, 4),
+    # round-8 flagships, ceilings = the committed round-8 PLANS.md rows
+    "events_percentile_rank": (2, 2),
+    "events_percentile_rank_bucketed": (4, 4),
+    "events_quantile_bins": (2, 2),
+    "events_robust_scale": (2, 2),
+    "events_drift_ks": (2, 1),
+    "layout_snapshot_pruned_read": (1, 0),
+    "layout_stream_append": (1, 1),
+    "text_strip_markup": (1, 0),
+    "multimodal_decode_jpeg": (1, 0),
 }
 
 
