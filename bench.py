@@ -179,6 +179,10 @@ HEADLINE = [
     "pack_bins_grade",
     "graph_pagerank_grade",
     "layout_stream_append",
+    # round-8 data-profiling wave
+    "corpus_profile_documents",
+    "audit_fk_integrity",
+    "events_rate_spikes",
 ]
 
 

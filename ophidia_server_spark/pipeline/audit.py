@@ -91,6 +91,132 @@ def corpus_audit(
     )
 
 
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-profile report — the data-sheet/debugging table every corpus
+    release ships (one row per column): row count, null count + fraction,
+    EXACT distinct count, lexicographic min/max (values cast to string so
+    one report covers mixed types), and the MODE (most frequent value,
+    ties to the smaller string) with its count.
+
+    Cost: one multi-distinct aggregate pass for the counts (Spark expands
+    k distinct aggregates into a k-way scan — at 100 TB swap in
+    approx_count_distinct per the docstring's scale note if exact distinct
+    is not worth k shuffles) plus one groupBy per column for the mode,
+    each keyed on that column. Deterministic and engine-portable."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    base = df.agg(*aggs)
+    modes = None
+    for c in cols:
+        m = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__v"))
+            .limit(1)
+            .select(
+                F.lit(c).alias("column"),
+                F.col("__v").alias("mode_value"),
+                F.col("__c").cast("long").alias("mode_count"),
+            )
+        )
+        modes = m if modes is None else modes.unionByName(m)
+    per_col = None
+    for c in cols:
+        row = base.select(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_nulls"),
+            F.round(
+                (F.col("__n") - F.col(f"__nn_{c}")).cast("double")
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double"), 6
+            ).alias("null_frac"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        )
+        per_col = row if per_col is None else per_col.unionByName(row)
+    return per_col.join(modes, "column", "left")
+
+
+def fk_integrity(
+    fact: DataFrame, dim: DataFrame, fk: str, pk: str,
+) -> DataFrame:
+    """Referential-integrity audit between a fact table's foreign key and
+    a dimension's primary key — the join-health check a pipeline runs
+    before trusting any enrichment join: one row with fact/dim sizes,
+    orphan fact rows (fk with no dim match; NULL fks counted separately),
+    and unused dim rows. Two left_anti counts — shuffles keyed on the
+    join key, nothing collected but the report row."""
+    fkc = fact.select(F.col(fk).alias("__fk"))
+    pkc = dim.select(F.col(pk).alias("__fk")).distinct()
+    n_fact = fkc.count()
+    n_null = fkc.filter(F.col("__fk").isNull()).count()
+    n_orphan = (
+        fkc.filter(F.col("__fk").isNotNull())
+        .join(pkc, "__fk", "left_anti").count()
+    )
+    n_dim = pkc.count()
+    n_unused = pkc.join(
+        fkc.filter(F.col("__fk").isNotNull()).distinct(), "__fk", "left_anti"
+    ).count()
+    spark = fact.sparkSession
+    return spark.createDataFrame(
+        [(n_fact, n_null, n_orphan,
+          round(n_orphan / max(n_fact - n_null, 1), 6), n_dim, n_unused)],
+        "n_fact long, n_null_fk long, n_orphans long, orphan_frac double, "
+        "n_dim long, n_unused_dim long",
+    )
+
+
+def rate_spikes(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_minutes: int = 1,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection on an event stream: bucket events into
+    fixed windows, z-score each bucket's count against the WHOLE series'
+    exact-decimal mean/variance, flag |z| >= threshold — the ops-page
+    'traffic spike' alarm. One grouped count + one scalar-moment
+    aggregate + a pure map; counts are integers so the moments are exact
+    and the z-scores engine-portable. Returns (bucket_start, n_events,
+    zscore ROUND(6), is_spike)."""
+    secs = int(bucket_minutes) * 60
+    b = (F.unix_timestamp(F.col(ts_col)) / secs).cast("long") * secs
+    counts = df.groupBy(b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    mom = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum("n_events").cast("double").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__k")
+    var = F.greatest(
+        F.col("__s2") / F.col("__k") - mean * mean, F.lit(0.0)
+    )
+    z = F.when(
+        var > 0, (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("__b").alias("bucket_start"),
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) >= F.lit(float(z_threshold))).cast("int").alias("is_spike"),
+        )
+    )
+
+
 def ks_two_sample(
     df_ref: DataFrame,
     df_new: DataFrame,

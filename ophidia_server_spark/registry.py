@@ -7769,6 +7769,122 @@ def text_strip_markup(spark, sf_dir):
     return strip_markup(html).select("doc_id", "clean_text", "chars_removed")
 
 
+_PROFILE_COL = """SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS null_frac,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str,
+       (SELECT v FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cc
+        FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+        ORDER BY cc DESC, v LIMIT 1)) AS mode_value,
+       (SELECT CAST(cc AS BIGINT) FROM (SELECT CAST({c} AS VARCHAR) AS v,
+        COUNT(*) AS cc FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+        ORDER BY cc DESC, v LIMIT 1)) AS mode_count
+FROM documents"""
+
+
+@q(
+    "corpus_profile_documents",
+    " UNION ALL ".join(
+        _PROFILE_COL.format(c=c) for c in ("doc_id", "lang", "source", "n_chars")
+    ),
+)
+def corpus_profile_documents(spark, sf_dir):
+    """Column profiling (pipeline/audit.py profile_table — the data-sheet
+    table a corpus release ships): per column, row/null/exact-distinct
+    counts, lexicographic min/max over string-cast values, and the mode
+    with its count (ties to the smaller string). Every figure
+    hash-matches DuckDB's per-column recomputation."""
+    from ophidia_server_spark.pipeline.audit import profile_table
+
+    docs = _t(spark, sf_dir)["documents"]
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@q(
+    "audit_fk_integrity",
+    """WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL
+              WHEN l_orderkey % 50 = 0 THEN l_partkey + 1000000
+              ELSE l_partkey END AS fk
+  FROM lineitem
+), pk AS (SELECT DISTINCT p_partkey AS fk FROM part),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM fact) AS n_fact,
+         (SELECT COUNT(*) FROM fact WHERE fk IS NULL) AS n_null_fk,
+         (SELECT COUNT(*) FROM fact
+          WHERE fk IS NOT NULL AND fk NOT IN (SELECT fk FROM pk)) AS n_orphans,
+         (SELECT COUNT(*) FROM pk) AS n_dim,
+         (SELECT COUNT(*) FROM pk
+          WHERE fk NOT IN (SELECT fk FROM fact WHERE fk IS NOT NULL))
+           AS n_unused_dim
+)
+SELECT CAST(n_fact AS BIGINT) AS n_fact,
+       CAST(n_null_fk AS BIGINT) AS n_null_fk,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       ROUND(CAST(n_orphans AS DOUBLE)
+             / GREATEST(n_fact - n_null_fk, 1), 6) AS orphan_frac,
+       CAST(n_dim AS BIGINT) AS n_dim,
+       CAST(n_unused_dim AS BIGINT) AS n_unused_dim
+FROM counts""",
+)
+def audit_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (pipeline/audit.py fk_integrity): the
+    lineitem->part foreign key is deterministically poisoned (every 97th
+    order's rows get a NULL fk, every 50th a key outside the dimension)
+    and the report must count fact rows, NULL fks, orphans, the orphan
+    fraction, and unused dimension rows — all hash-matched against
+    DuckDB's closed-form recount. Two left_anti counts, keyed shuffles
+    only."""
+    from ophidia_server_spark.pipeline.audit import fk_integrity
+
+    li = _t(spark, sf_dir)["lineitem"]
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+        .when(F.col("l_orderkey") % 50 == 0, F.col("l_partkey") + 1000000)
+        .otherwise(F.col("l_partkey")).alias("fk")
+    )
+    part = _t(spark, sf_dir)["part"]
+    return fk_integrity(fact, part, "fk", "p_partkey")
+
+
+@q(
+    "events_rate_spikes",
+    """WITH b AS (
+  SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600
+           AS bucket_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, CAST(SUM(n_events) AS DOUBLE) AS s,
+         CAST(SUM(n_events * n_events) AS DOUBLE) AS s2
+  FROM b
+)
+SELECT bucket_start, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CASE WHEN GREATEST(s2 / k - (s / k) * (s / k), 0.0) > 0
+             THEN (n_events - s / k)
+                  / SQRT(GREATEST(s2 / k - (s / k) * (s / k), 0.0))
+             ELSE 0.0 END, 6) AS zscore,
+       CAST(ABS(CASE WHEN GREATEST(s2 / k - (s / k) * (s / k), 0.0) > 0
+             THEN (n_events - s / k)
+                  / SQRT(GREATEST(s2 / k - (s / k) * (s / k), 0.0))
+             ELSE 0.0 END) >= 3.0 AS INT) AS is_spike
+FROM b, mom""",
+)
+def events_rate_spikes(spark, sf_dir):
+    """Volume-anomaly alarm (pipeline/audit.py rate_spikes): events bucket
+    into 10-minute windows and each bucket's count z-scores against the
+    whole series' moments; |z| >= 3 flags a spike. Counts are integers so
+    the moments are exact; every bucket's z-score and flag hash-match
+    DuckDB (epoch FLOORED both sides — the truncating-cast contract)."""
+    from ophidia_server_spark.pipeline.audit import rate_spikes
+
+    ev = _t(spark, sf_dir)["events"]
+    return rate_spikes(ev, "ts", bucket_minutes=10, z_threshold=3.0)
+
+
 @q(
     "events_drift_ks",
     """WITH a AS (

@@ -154,3 +154,58 @@ def test_ks_two_sample_limits(spark):
     )
     mid = ks_two_sample(a, c, "v").first()
     assert 0.0 < mid["ks_stat"] <= 0.5
+
+
+def test_profile_table_handcrafted_columns(spark):
+    from ophidia_server_spark.pipeline.audit import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b"), (5, "a"), (6, "b")],
+        "id long, tag string",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    t = rows["tag"]
+    assert t["n_rows"] == 6 and t["n_nulls"] == 1
+    assert t["null_frac"] == round(1 / 6, 6)
+    assert t["n_distinct"] == 2
+    assert t["min_str"] == "a" and t["max_str"] == "b"
+    assert t["mode_value"] == "b" and t["mode_count"] == 3
+    i = rows["id"]
+    assert i["n_distinct"] == 6 and i["n_nulls"] == 0
+    # all-distinct mode: ties break to the smaller string ("1")
+    assert i["mode_value"] == "1" and i["mode_count"] == 1
+
+
+def test_fk_integrity_counts(spark):
+    from ophidia_server_spark.pipeline.audit import fk_integrity
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_integrity(fact, dim, "k", "pk").first()
+    assert r["n_fact"] == 5 and r["n_null_fk"] == 1
+    assert r["n_orphans"] == 1  # the 9
+    assert r["orphan_frac"] == 0.25  # 1 of 4 non-null
+    assert r["n_dim"] == 3 and r["n_unused_dim"] == 1  # the 3
+
+
+def test_rate_spikes_flags_the_constructed_burst(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.audit import rate_spikes
+
+    # 60 one-minute buckets of 10 events + one bucket of 600
+    base = spark.range(600).select(
+        F.timestamp_seconds(1700000000 + (F.col("id") % 60) * 60).alias("ts")
+    )
+    burst = spark.range(590).select(
+        F.timestamp_seconds(F.lit(1700000000 + 61 * 60)).alias("ts")
+    )
+    out = rate_spikes(base.unionByName(burst), "ts", bucket_minutes=1)
+    rows = {r["bucket_start"]: r for r in out.collect()}
+    burst_bucket = ((1700000000 + 61 * 60) // 60) * 60
+    spike = rows[burst_bucket]
+    assert spike["n_events"] == 590 and spike["is_spike"] == 1
+    assert sum(r["is_spike"] for r in rows.values()) == 1
+    assert all(abs(r["zscore"]) < 3 for b, r in rows.items()
+               if b != burst_bucket)
