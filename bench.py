@@ -183,6 +183,10 @@ HEADLINE = [
     "corpus_profile_documents",
     "audit_fk_integrity",
     "events_rate_spikes",
+    "events_ab_test",
+    "events_attribution_last_touch",
+    "events_ewma_daily",
+    "orders_benford_digits",
 ]
 
 

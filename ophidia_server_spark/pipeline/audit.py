@@ -17,7 +17,9 @@ extension mandate (same status as pipeline/sampling.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -214,6 +216,55 @@ def rate_spikes(
             F.round(z, 6).alias("zscore"),
             (F.abs(z) >= F.lit(float(z_threshold))).cast("int").alias("is_spike"),
         )
+    )
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law audit of a positive measure: the distribution of
+    first significant digits vs the expected log10(1 + 1/d), plus the
+    chi-square statistic — the classic fabricated-data / corrupted-feed
+    detector for financial and metering columns.
+
+    The first digit is extracted through a DECIMAL(18,2)->string cast and
+    a [^1-9] strip (never float log10, whose power-of-ten boundaries can
+    disagree across engines); expected fractions are injected as Python
+    double literals; and the chi-square sum is accumulated in exact
+    integer micro-units (round(term * 1e6) summed as BIGINT) so the
+    cross-row addition order cannot perturb the double. One grouped count
+    + one 9-row rollup — a pure aggregate pass."""
+    s = F.regexp_replace(
+        F.col(col).cast("decimal(18,2)").cast("string"), "[^1-9]", ""
+    )
+    d = F.substring(s, 1, 1)
+    counts = (
+        df.select(d.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    expected = F.lit(None).cast("double")
+    for dig in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == str(dig), F.lit(float(math.log10(1 + 1 / dig)))
+        ).otherwise(expected)
+    with_exp = counts.select(
+        "digit", "n", expected.alias("__e"),
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("__N"),
+    )
+    term = (
+        (F.col("n").cast("double") - F.col("__N") * F.col("__e")) ** 2
+        / (F.col("__N") * F.col("__e"))
+    )
+    chi2 = (
+        F.sum(F.round(term * 1e6).cast("long")).over(Window.partitionBy())
+        / 1e6
+    )
+    return with_exp.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("__N"), 6).alias("frac"),
+        F.round("__e", 6).alias("expected_frac"),
+        F.round(chi2, 6).alias("chi2"),
     )
 
 

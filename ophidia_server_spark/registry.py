@@ -7886,6 +7886,164 @@ def events_rate_spikes(spark, sf_dir):
 
 
 @q(
+    "events_ab_test",
+    """WITH per_user AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1)
+           IN ('0','1','2','3','4','5','6','7') AS a,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 13 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN a THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN NOT a THEN conv ELSE 0 END) AS conv_b
+  FROM per_user
+), d AS (
+  SELECT *, CAST(conv_a AS DOUBLE) AS ca, CAST(n_a AS DOUBLE) AS na,
+         CAST(conv_b AS DOUBLE) AS cb, CAST(n_b AS DOUBLE) AS nb
+  FROM c
+), p AS (SELECT *, (ca + cb) / (na + nb) AS pool FROM d),
+s AS (SELECT *, SQRT(pool * (1 - pool) * (1 / na + 1 / nb)) AS se FROM p)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       ROUND(ca / na, 6) AS rate_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(cb / nb, 6) AS rate_b,
+       ROUND(CASE WHEN se > 0 THEN (ca / na - cb / nb) / se
+             ELSE 0.0 END, 6) AS zscore,
+       CAST(ABS(CASE WHEN se > 0 THEN (ca / na - cb / nb) / se
+             ELSE 0.0 END) >= 1.96 AS INT) AS significant
+FROM s""",
+)
+def events_ab_test(spark, sf_dir):
+    """Two-proportion A/B test (streaming/windows.py ab_test): users split
+    into arms by the content-addressed md5 coin, convert at >= 13 purchase
+    events (the per-user purchase mean at every scale, so both arms hold
+    non-degenerate rates), pooled z compared against 1.96. One row,
+    every figure hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.ab_test(ev, convert_type="purchase", min_conversions=13)
+
+
+@q(
+    "events_attribution_last_touch",
+    """WITH conv AS (
+  SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, epoch_us(ts) AS tts, event_id AS tid,
+         event_type AS ch
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT c.cid, t.ch, t.tts, t.tid,
+         (t.u IS NOT NULL AND t.tts <= c.cts
+          AND c.cts - t.tts <= 3600000000) AS ok
+  FROM conv c LEFT JOIN touch t ON c.u = t.u
+), ranked AS (
+  SELECT cid, CASE WHEN ok THEN ch END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY ok DESC, tts DESC, tid DESC) AS rn
+  FROM joined
+)
+SELECT COALESCE(ch, '(unattributed)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS frac
+FROM ranked WHERE rn = 1 GROUP BY 1""",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution (streaming/windows.py attribute_last_touch):
+    every purchase credits the user's latest click/view at-or-before it
+    within one hour (microsecond-exact window, ties to the larger event
+    id); purchases with no touch land in '(unattributed)'. Channel counts
+    and fractions hash-matched against DuckDB's row_number mirror."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.attribute_last_touch(
+        ev, ["click", "view"], convert_type="purchase", within="1 hour"
+    )
+
+
+def _ewma_oracle(alpha: float, k: int) -> str:
+    lags = ",\n         ".join(
+        f"lag(x, {j}) OVER w AS l{j}" for j in range(1, k)
+    )
+    num = "x" + "".join(
+        f" + COALESCE(l{j} * {(1.0 - alpha) ** j!r}, 0.0)" for j in range(1, k)
+    )
+    den = "1.0" + "".join(
+        f" + CASE WHEN l{j} IS NOT NULL THEN {(1.0 - alpha) ** j!r} "
+        "ELSE 0.0 END"
+        for j in range(1, k)
+    )
+    return f"""WITH daily AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT key, d, x,
+         {lags}
+  FROM daily WINDOW w AS (PARTITION BY key ORDER BY d)
+)
+SELECT key, strftime(d, '%Y-%m-%d %H:%M:%S') AS day,
+       ROUND(x, 2) AS day_value,
+       ROUND(({num}) / ({den}), 6) AS ewma
+FROM lagged"""
+
+
+@q("events_ewma_daily", _ewma_oracle(0.5, 8))
+def events_ewma_daily(spark, sf_dir):
+    """Trailing EWMA per event type (streaming/windows.py ewma_by_key):
+    exact-decimal daily value sums smoothed over the last 8 observed days
+    with weights 0.5^j normalized over existing lags. Weights are the
+    same Python double literals on both sides and the k-term sum uses one
+    fixed association order, so every smoothed value hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.ewma_by_key(ev, alpha=0.5, k=8, key_col="event_type")
+
+
+def _benford_oracle(col: str, table: str) -> str:
+    import math as _m
+
+    case = " ".join(
+        f"WHEN '{d}' THEN {_m.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""WITH d AS (
+  SELECT substr(regexp_replace(
+           CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR),
+           '[^1-9]', '', 'g'), 1, 1) AS digit
+  FROM {table}
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM d WHERE digit <> '' GROUP BY digit
+), e AS (
+  SELECT digit, n, CAST(CASE digit {case} END AS DOUBLE) AS ex,
+         CAST(SUM(n) OVER () AS DOUBLE) AS nn
+  FROM counts
+), t AS (
+  SELECT digit, n, ex, nn,
+         CAST(ROUND(POWER(CAST(n AS DOUBLE) - nn * ex, 2)
+                    / (nn * ex) * 1e6) AS BIGINT) AS tm
+  FROM e
+)
+SELECT digit, CAST(n AS BIGINT) AS n, ROUND(n / nn, 6) AS frac,
+       ROUND(ex, 6) AS expected_frac,
+       ROUND(SUM(tm) OVER () / 1e6, 6) AS chi2
+FROM t"""
+
+
+@q("orders_benford_digits", _benford_oracle("o_totalprice", "orders"))
+def orders_benford_digits(spark, sf_dir):
+    """Benford first-digit audit (pipeline/audit.py benford_digits) of
+    o_totalprice: digit extracted through a DECIMAL(18,2)->string cast
+    (never float log10), expected fractions injected as shared double
+    literals, chi-square accumulated in exact integer micro-units so the
+    cross-row sum order cannot flip a bit. All five columns
+    hash-matched."""
+    from ophidia_server_spark.pipeline.audit import benford_digits
+
+    orders = _t(spark, sf_dir)["orders"]
+    return benford_digits(orders, "o_totalprice")
+
+
+@q(
     "events_drift_ks",
     """WITH a AS (
   SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type <> 'error'

@@ -916,6 +916,173 @@ def rolling_user_window(
     )
 
 
+def ab_test(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    min_conversions: int = 1,
+    salt: str = "ab",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion A/B significance test over an event stream: every
+    user is assigned an arm by a content-addressed md5 coin (first hex
+    char of md5(user ':' salt) — 8/16 chars per arm, so re-runs and both
+    engines agree), a user converts when they emitted at least
+    `min_conversions` events of `convert_type`, and the two conversion
+    rates are compared with the pooled two-proportion z statistic.
+    Returns ONE row: (n_a, conv_a, rate_a, n_b, conv_b, rate_b, zscore,
+    significant) with |z| >= 1.96 flagging 5% two-sided significance.
+
+    Shape at scale: one user-keyed aggregate (map-side partial) then one
+    scalar aggregate — no joins, no windows; z is computed in double from
+    integer counts so it is engine-portable bit-for-bit."""
+    is_a = F.substring(
+        F.md5(F.concat(F.col(user_col).cast("string"), F.lit(":" + salt))), 1, 1
+    ).isin(*list("01234567"))
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == convert_type, 1).otherwise(0)
+            ).alias("__nc")
+        )
+        .select(
+            is_a.alias("__a"),
+            (F.col("__nc") >= min_conversions).cast("long").alias("__conv"),
+        )
+    )
+    one = per_user.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__a"), F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("__a"), F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(se > 0, (ca / na - cb / nb) / se).otherwise(F.lit(0.0))
+    return one.select(
+        "n_a", "conv_a", F.round(ca / na, 6).alias("rate_a"),
+        "n_b", "conv_b", F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) >= 1.96).cast("int").alias("significant"),
+    )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    touch_types: list[str],
+    convert_type: str = "purchase",
+    within: str = "1 hour",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: each `convert_type` event is
+    credited to the user's LATEST `touch_types` event at-or-before it and
+    within `within`; conversions with no such touch land in the
+    '(unattributed)' row. Returns (channel, n_conversions, frac) over all
+    conversions. Ties on the touch timestamp break to the larger event id
+    (microsecond-exact timestamps via unix_micros, so the window boundary
+    can never disagree by a truncated second).
+
+    Shape at scale: one user-keyed join between the two filtered event
+    streams (both shuffles keyed on the user), then a per-conversion
+    max_by — a bounded aggregate, never a window over all events — and a
+    final channel rollup. Per-user fan-in is touches x conversions for
+    that user inside the window; user activity is bounded in practice and
+    the join never leaves the user's partition."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win_us = _interval_seconds(within) * 1_000_000
+    conv = df.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"), us.alias("__cts"),
+        F.col(id_col).alias("__cid"),
+    )
+    touch = df.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"), us.alias("__tts"),
+        F.col(id_col).alias("__tid"), F.col(type_col).alias("__ch"),
+    )
+    ok = (F.col("__tts") <= F.col("__cts")) & (
+        F.col("__cts") - F.col("__tts") <= win_us
+    )
+    credited = (
+        conv.join(touch, "__u", "left")
+        .groupBy("__cid")
+        .agg(
+            F.max_by(
+                F.when(ok, F.col("__ch")),
+                F.when(ok, F.struct("__tts", "__tid")),
+            ).alias("__channel")
+        )
+    )
+    return (
+        credited.groupBy(
+            F.coalesce("__channel", F.lit("(unattributed)")).alias("channel")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_conversions")
+                / F.sum("n_conversions").over(Window.partitionBy()),
+                6,
+            ),
+        )
+    )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    alpha: float = 0.5,
+    k: int = 8,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing exponential-weighted moving average per key over a daily
+    series: each key's events aggregate to exact-decimal daily sums, and
+    every day's EWMA is the weighted mean of the last `k` OBSERVED days
+    (weights (1-alpha)^j, j = days-back in observation order), normalized
+    over the lags that exist — the smoothing primitive of anomaly
+    baselines and demand forecasting. Truncating at k terms keeps the
+    recurrence windowless-exact and engine-portable: weights are injected
+    as Python double literals and the k-term sum is built in one fixed
+    association order, so both engines compute bit-identical doubles.
+
+    Shape at scale: one (key, day) aggregate then ONE key-partitioned
+    window evaluating k lag() columns in a single pass — per-key state is
+    k doubles, no self-joins, no collect_list of the series."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), day.alias("__day")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__x")
+    )
+    w = Window.partitionBy("key").orderBy("__day")
+    x = F.col("__x").cast("double")
+    num = x
+    den = F.lit(1.0)
+    for j in range(1, k):
+        wj = F.lit(float((1.0 - alpha) ** j))
+        lj = F.lag(x, j).over(w)
+        num = num + F.coalesce(lj * wj, F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), wj).otherwise(F.lit(0.0))
+    return daily.select(
+        "key",
+        F.date_format("__day", TS_FMT).alias("day"),
+        F.round(x, 2).alias("day_value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 def next_event_pairs(
     df: DataFrame,
     gap_minutes: int = 30,

@@ -89,3 +89,29 @@ def test_drift_psi_empty_reference_raises(spark, tables):
     ev = tables["events"]
     with _pytest.raises(ValueError):
         drift_report(ev.filter("1=0"), ev, "value")
+
+
+def test_benford_digits_counts_and_chi2(spark):
+    import math
+
+    from ophidia_server_spark.pipeline.audit import benford_digits
+
+    # first digits: 1 x3, 2 x2, 9 x1; zero row is dropped
+    vals = [1.23, 12.0, 0.19, 2.5, 0.02, 900.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert set(rows) == {"1", "2", "9"}
+    assert rows["1"]["n"] == 3 and rows["1"]["frac"] == 0.5
+    assert rows["2"]["n"] == 2 and rows["9"]["n"] == 1
+    assert rows["1"]["expected_frac"] == round(math.log10(2), 6)
+    # chi2 recomputed by hand over ALL nine digit cells that appear
+    n, tot = {"1": 3, "2": 2, "9": 1}, 6
+    chi2 = sum(
+        round(
+            (c - tot * math.log10(1 + 1 / int(d))) ** 2
+            / (tot * math.log10(1 + 1 / int(d))) * 1e6
+        )
+        for d, c in n.items()
+    ) / 1e6
+    assert rows["1"]["chi2"] == round(chi2, 6)
+    assert rows["1"]["chi2"] == rows["9"]["chi2"]

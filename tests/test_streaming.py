@@ -456,3 +456,101 @@ def test_next_event_pairs_prefix_window_and_session_split(spark):
     # the new session restarts its own pairs
     assert got[(2, 2)] == ("x", "y")
     assert (2, 3) not in got
+
+
+def test_ab_test_discriminates_constructed_arms(spark):
+    import datetime as dt
+    import hashlib
+
+    from ophidia_server_spark.streaming.windows import ab_test
+
+    def arm_a(uid):
+        return hashlib.md5(f"{uid}:ab".encode()).hexdigest()[0] in "01234567"
+
+    a_users = [u for u in range(200) if arm_a(u)][:20]
+    b_users = [u for u in range(200) if not arm_a(u)][:20]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base, "purchase") for u in a_users]  # every A converts
+    rows += [(u, base, "view") for u in b_users]  # no B converts
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = ab_test(df, convert_type="purchase", min_conversions=1).first()
+    assert r["n_a"] == 20 and r["conv_a"] == 20 and r["rate_a"] == 1.0
+    assert r["n_b"] == 20 and r["conv_b"] == 0 and r["rate_b"] == 0.0
+    assert r["zscore"] > 1.96 and r["significant"] == 1
+
+
+def test_ab_test_degenerate_pool_yields_zero_z(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import ab_test
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base, "purchase") for u in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = ab_test(df, convert_type="purchase", min_conversions=1).first()
+    # everyone converts: pooled se is 0 -> z defined as 0, not significant
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0
+    assert r["zscore"] == 0.0 and r["significant"] == 0
+
+
+def test_attribute_last_touch_picks_latest_within_window(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import attribute_last_touch
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: click -10min, view -5min -> view wins (latest)
+        (1, 1, base - 10 * m, "click"), (2, 1, base - 5 * m, "view"),
+        (3, 1, base, "purchase"),
+        # user 2: only touch is 2 hours before -> unattributed
+        (4, 2, base - 120 * m, "click"), (5, 2, base, "purchase"),
+        # user 3: tie on ts -> larger event_id (the view) wins
+        (6, 3, base - m, "click"), (7, 3, base - m, "view"),
+        (8, 3, base, "purchase"),
+        # user 4: touch AFTER the purchase never counts
+        (9, 4, base + m, "click"), (10, 4, base, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["channel"]: (r["n_conversions"], r["frac"])
+        for r in attribute_last_touch(
+            df, ["click", "view"], "purchase", within="1 hour"
+        ).collect()
+    }
+    assert got["view"] == (2, 0.5)
+    assert got["(unattributed)"] == (2, 0.5)
+    assert "click" not in got
+
+
+def test_ewma_by_key_matches_hand_recurrence(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import ewma_by_key
+
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(3)]
+    rows = [("k", days[0], 4.0), ("k", days[1], 2.0), ("k", days[2], 8.0),
+            ("k", days[1], 2.0)]  # day 2 sums to 4.0
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["day"][:10]: r for r in ewma_by_key(df, alpha=0.5, k=8).collect()}
+    assert got["2024-01-01"]["ewma"] == 4.0
+    # day2: (4 + 0.5*4) / 1.5 = 4.0
+    assert got["2024-01-02"]["ewma"] == 4.0
+    # day3: (8 + 0.5*4 + 0.25*4) / 1.75 = 6.285714...
+    assert got["2024-01-03"]["ewma"] == round(11 / 1.75, 6)
+    assert got["2024-01-03"]["day_value"] == 8.0
+
+
+def test_ewma_by_key_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.streaming.windows import ewma_by_key
+
+    df = spark.createDataFrame([], "event_type string, ts timestamp, value double")
+    with _pytest.raises(ValueError):
+        ewma_by_key(df, alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma_by_key(df, k=0)
