@@ -187,6 +187,7 @@ HEADLINE = [
     "events_attribution_last_touch",
     "events_ewma_daily",
     "orders_benford_digits",
+    "sim_int8_topk",
 ]
 
 

@@ -660,6 +660,76 @@ def sign_codes(
     )
 
 
+def int8_codes(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8 scalar quantization (the standard 4x-compression serving tier
+    between full floats and 1-bit signs): each vector stores one double
+    scale = max|v_i| and 64 small integers q_i = round(127 * v_i / scale),
+    so the quantized dot product is EXACT integer arithmetic and the
+    reconstructed similarity deterministic across engines. Zero vectors
+    quantize to all-zero codes. Pure JVM array map — no shuffle, no UDF.
+    Returns (id, scale, qcode array<long>)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        scale > 0,
+        F.transform(
+            v, lambda x: F.round(F.lit(127.0) * x / scale).cast("long")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col), scale.alias("scale"), q.alias("qcode")
+    )
+
+
+def int8_topk(
+    codes: DataFrame, query_ids: list, k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by QUANTIZED cosine over int8 codes for each literal
+    query id: the handful of query rows broadcast against the code table,
+    similarity = integer dot / sqrt(integer norms) — every intermediate
+    is exact integer arithmetic (64 dims x 127^2 keeps the norm product
+    under 2^41), so the double similarity is bit-identical across
+    engines and partitionings. Ties break on the candidate id;
+    self-matches are excluded. One broadcast join + one per-query
+    window — the scan never leaves codegen for a UDF."""
+    from pyspark.sql import Window
+
+    q = codes.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("qcode").alias("__qq")
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("qcode", "__qq", lambda a, b: a * b),
+        zero, lambda acc, x: acc + x,
+    )
+    na2 = F.aggregate(
+        F.col("qcode"), zero, lambda acc, x: acc + x * x
+    )
+    nb2 = F.aggregate(
+        F.col("__qq"), zero, lambda acc, x: acc + x * x
+    )
+    sim8 = F.when(
+        (na2 > 0) & (nb2 > 0),
+        dot.cast("double") / F.sqrt((na2 * nb2).cast("double")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.col(id_col)
+    )
+    return (
+        codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("__sim", sim8)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor"),
+            F.round("__sim", 6).alias("q_cosine"),
+        )
+    )
+
+
 def hamming_topk(
     codes: DataFrame, query_ids: list, k: int = 10, id_col: str = "vec_id",
 ) -> DataFrame:

@@ -9429,6 +9429,58 @@ def sim_hamming_topk(spark, sf_dir):
 
 
 @q(
+    "sim_int8_topk",
+    """WITH sc AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN list_transform(embedding,
+                x -> CAST(ROUND(CAST(127 AS DOUBLE) * CAST(x AS DOUBLE) / s)
+                          AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END AS qc
+  FROM sc
+), q AS (
+  SELECT vec_id AS query_id, qc AS qq FROM codes WHERE vec_id IN (0, 1, 2)
+), d AS (
+  SELECT query_id, c.vec_id AS neighbor,
+         list_reduce(list_transform(range(1, 65), i -> c.qc[i] * qq[i]),
+                     (a, b) -> a + b) AS dot,
+         list_reduce(list_transform(c.qc, x -> x * x),
+                     (a, b) -> a + b) AS na2,
+         list_reduce(list_transform(qq, x -> x * x),
+                     (a, b) -> a + b) AS nb2
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+), sim AS (
+  SELECT query_id, neighbor,
+         CASE WHEN na2 > 0 AND nb2 > 0
+              THEN CAST(dot AS DOUBLE) / SQRT(CAST(na2 * nb2 AS DOUBLE))
+              ELSE 0.0 END AS s
+  FROM d
+), r AS (
+  SELECT query_id, neighbor, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor) AS rn
+  FROM sim
+)
+SELECT query_id, neighbor, ROUND(s, 6) AS q_cosine FROM r WHERE rn <= 10""",
+)
+def sim_int8_topk(spark, sf_dir):
+    """Int8 scalar-quantized serving (pipeline/similarity.py int8_codes +
+    int8_topk — the 4x-compression tier between full floats and the 1-bit
+    Hamming path): per-vector scale + 64 small integers, similarity =
+    exact integer dot / sqrt(exact integer norms), top-10 per query.
+    Every (query, neighbor, similarity) row hash-matches DuckDB's
+    identical quantization and ranking."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    codes = sim.int8_codes(emb)
+    return sim.int8_topk(codes, [0, 1, 2], k=10)
+
+
+@q(
     "events_percentile_rank",
     """SELECT event_id, event_type,
        ROUND(cume_dist() OVER (PARTITION BY event_type

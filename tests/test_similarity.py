@@ -394,3 +394,41 @@ def test_hamming_approximates_cosine_order(spark, tables):
     }
     # 1-bit codes are a coarse proxy; require meaningful overlap, not parity
     assert len(got & exact) >= 5
+
+
+def test_int8_codes_quantization_and_zero_vector(spark):
+    from ophidia_server_spark.pipeline.similarity import int8_codes
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in int8_codes(df).collect()}
+    assert rows[1]["scale"] == 1.0
+    # round(127 * v / 1.0): [127, -64 (half away from zero), 32, 0]
+    assert rows[1]["qcode"] == [127, -64, 32, 0]
+    assert rows[2]["scale"] == 0.0 and rows[2]["qcode"] == [0, 0, 0, 0]
+
+
+def test_int8_topk_ranks_by_quantized_cosine(spark):
+    import math
+
+    from ophidia_server_spark.pipeline.similarity import int8_codes, int8_topk
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0],   # near-parallel to 0
+        2: [0.0, 1.0, 0.0, 0.0],   # orthogonal to 0
+        3: [-1.0, 0.0, 0.0, 0.0],  # opposite to 0
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = int8_topk(int8_codes(df), [0], k=3).collect()
+    order = [r["neighbor"] for r in sorted(out, key=lambda r: -r["q_cosine"])]
+    assert order == [1, 2, 3]
+    got = {r["neighbor"]: r["q_cosine"] for r in out}
+    # neighbor 1 quantizes to [127, 14, 0, 0] (0.1/0.9*127 = 14.11 -> 14)
+    exp = 127 * 127 / math.sqrt((127 * 127) * (127 * 127 + 14 * 14))
+    assert got[1] == round(exp, 6)
+    assert got[2] == 0.0 and got[3] == -1.0
