@@ -188,6 +188,9 @@ HEADLINE = [
     "events_ewma_daily",
     "orders_benford_digits",
     "sim_int8_topk",
+    "dedup_jaccard_join",
+    "dedup_keep_best_vocab",
+    "graph_triangle_counts",
 ]
 
 

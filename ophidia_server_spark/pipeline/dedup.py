@@ -342,6 +342,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_join_prefix(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3,
+    threshold: float = 0.5, id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity self-join via prefix filtering
+    (the PPJoin-family guarantee: unlike LSH banding, NO qualifying pair
+    can be missed). Shingles get a global total order by (document
+    frequency ASC, shingle ASC); each document's candidate prefix is its
+    first |A| - ceil(t*|A|) + 1 shingles in that order. If J(A,B) >= t
+    then |A∩B| >= ceil(t*|A|), which cannot fit inside the suffix of
+    size ceil(t*|A|) - 1 — so every qualifying pair shares a PREFIX
+    shingle and the candidate join is lossless. Verification computes
+    the exact Jaccard over the full shingle sets.
+
+    Shape at scale: frequency-ascending prefixes are built from RARE
+    shingles, so candidate buckets stay small even when boilerplate
+    shingles are corpus-hot (those live in suffixes and never key the
+    join); the per-doc ranking window is bounded by the document's own
+    shingle count. One term-keyed frequency aggregate + one doc-bounded
+    window + one prefix-keyed join + one bounded verify join."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_sets(df, text_col, shingle_k).withColumnRenamed(
+        "doc_id", id_col
+    ) if id_col != "doc_id" else shingle_sets(df, text_col, shingle_k)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = sh.select(
+        id_col, F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("__s"),
+    )
+    freq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("__df", "__s")
+    )
+    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    prefix = (
+        tok.join(freq, "__s")
+        .withColumn("__pos", pos)
+        .filter(F.col("__pos") <= plen)
+        .select(id_col, "__s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("__j", inter / union)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame, key_col: str, score_col: str, id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware exact dedup: within each duplicate group (`key_col`,
+    e.g. a canonical text key or cluster id) keep the row with the
+    HIGHEST `score_col` (ties to the smallest id — deterministic), the
+    standard 'keep the best copy' policy when duplicates differ in
+    quality metadata. One key-partitioned max_by aggregate — no window
+    over raw rows, no sort; returns (key, kept id, kept score,
+    n_duplicates dropped)."""
+    return df.groupBy(F.col(key_col).alias("dup_key")).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), -F.col(id_col)),
+        ).alias("kept_id"),
+        F.max(score_col).alias("kept_score"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    )
+
+
 def ngram_jaccard_exact(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3,
     threshold: float = 0.3, max_id: int | None = None, id_col: str = "doc_id",

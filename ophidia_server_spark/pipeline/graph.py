@@ -15,6 +15,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph (edges in
+    either direction; self-loops and duplicates are cleaned first) — the
+    clustering-coefficient numerator of graph-quality audits.
+
+    Algorithm (Suri & Vassilvitskii's MapReduce orientation, the public
+    degree-ordered formulation): orient every edge from the
+    lower-(degree, id) endpoint to the higher, so each wedge is
+    enumerated exactly once AT ITS LOWEST-DEGREE VERTEX — a hot
+    celebrity node of degree D contributes O(D) oriented wedges instead
+    of O(D^2), the skew bound that makes the join survive power-law
+    graphs. Wedges (a<b, a<c) self-join on a, close against the oriented
+    edge set (b,c), and each closed triangle credits all three corners
+    through one explode + count. Three shuffles (degree agg, wedge join,
+    closure join) — no driver materialization."""
+    raw = edges.select(
+        F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
+    ).filter(F.col("__x") != F.col("__y"))
+    und = raw.select(
+        F.least("__x", "__y").alias("__a"), F.greatest("__x", "__y").alias("__b")
+    ).distinct()
+    deg = (
+        und.select(F.col("__a").alias("node"))
+        .unionByName(und.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    da = deg.select(F.col("node").alias("__a"), F.col("__deg").alias("__dega"))
+    db = deg.select(F.col("node").alias("__b"), F.col("__deg").alias("__degb"))
+    keyed = und.join(da, "__a").join(db, "__b")
+    fwd = F.struct("__dega", "__a") < F.struct("__degb", "__b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("__a")).otherwise(F.col("__b")).alias("__lo"),
+        F.when(fwd, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
+    )
+    w1 = oriented.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
+    w2 = oriented.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
+    wedges = w1.join(w2, "__p").filter(F.col("__q") < F.col("__r"))
+    # close the wedge against the undirected edge set (q,r) with q < r —
+    # und is already stored in (min, max) order, so one equi-join suffices
+    tri = wedges.join(
+        und,
+        (F.col("__q") == F.col("__a")) & (F.col("__r") == F.col("__b")),
+    ).select("__p", "__q", "__r")
+    return (
+        tri.select(
+            F.explode(F.array("__p", "__q", "__r")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -5402,6 +5402,131 @@ def dedup_minhash_recall(spark, sf_dir):
 
 
 @q(
+    "graph_triangle_counts",
+    """WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY 1""",
+)
+def graph_triangle_counts(spark, sf_dir):
+    """Per-node triangle counting (pipeline/graph.py triangle_counts)
+    over the parts-bought-together co-occurrence graph (parts sharing an
+    order). Spark runs the degree-ordered orientation (each wedge
+    enumerated once at its lowest-degree corner — the skew bound for
+    power-law graphs); DuckDB recounts with the naive id-ordered
+    three-way join. Orientation-independent per-node counts
+    hash-match."""
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    li = _t(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"), "n_triangles"
+    )
+
+
+_SHINGLE_CTE = """t AS (
+  SELECT doc_id, n_chars,
+         string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+                      ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+           AS sh
+  FROM t WHERE len(toks) >= 3
+)"""
+
+
+@q(
+    "dedup_jaccard_join",
+    f"""WITH {_SHINGLE_CTE},
+tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""",
+)
+def dedup_jaccard_join(spark, sf_dir):
+    """EXACT threshold similarity self-join (pipeline/dedup.py
+    jaccard_join_prefix): all document pairs with 3-gram Jaccard >= 0.5,
+    found through lossless prefix filtering (frequency-ascending global
+    shingle order — the PPJoin guarantee that no qualifying pair is
+    missed, unlike LSH banding). Every (pair, similarity) row
+    hash-matches DuckDB's inverted-index recount over the full corpus."""
+    docs = _t(spark, sf_dir)["documents"]
+    return dd.jaccard_join_prefix(docs, threshold=0.5)
+
+
+@q(
+    "dedup_keep_best_vocab",
+    """WITH t AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+                        ' '))), ' ')) AS k
+  FROM documents
+), r AS (
+  SELECT k, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY k
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS c
+  FROM t
+)
+SELECT k AS dup_key, CAST(doc_id AS BIGINT) AS kept_id,
+       CAST(n_chars AS BIGINT) AS kept_score,
+       CAST(c - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1""",
+)
+def dedup_keep_best_vocab(spark, sf_dir):
+    """Quality-aware canonical-key dedup (pipeline/dedup.py
+    dedup_keep_best): documents group by their vocabulary fingerprint
+    (md5 of the sorted distinct-token set — reordered/lightly-edited
+    copies share it; 21-257 multi-doc groups exist at every scale) and
+    each group keeps its LONGEST member, ties to the smaller id. Kept
+    ids, scores, and drop counts hash-match DuckDB's window mirror."""
+    docs = _t(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tx.tokens(F.col("text"))))
+            )
+        ).alias("vocab_key"),
+    )
+    return dd.dedup_keep_best(keyed, "vocab_key", "score").select(
+        "dup_key", "kept_id",
+        F.col("kept_score").cast("long").alias("kept_score"), "n_dropped",
+    )
+
+
+@q(
     "io_nc4_unlimited_roundtrip",
     """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
        CAST(quarter(l_shipdate) AS BIGINT) AS quarter,

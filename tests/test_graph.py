@@ -38,3 +38,25 @@ def test_pagerank_deterministic_under_repartitioning(spark):
     a = {(r["node"], round(r["rank"], 9)) for r in r1.collect()}
     b = {(r["node"], round(r["rank"], 9)) for r in r2.collect()}
     assert a == b
+
+
+def test_triangle_counts_handcrafted_graph(spark):
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    # node 5 and a duplicate/reversed/self-loop noise set
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 1), (1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free_graph_is_empty(spark):
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    # a 4-cycle has wedges but no triangles
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert triangle_counts(df).count() == 0

@@ -247,3 +247,58 @@ def test_patchify_means_match_numpy_reference(spark):
 
     with _pytest.raises(ValueError):
         patchify_rgb(df, 8, 7, 4)
+
+
+def test_jaccard_join_prefix_equals_bruteforce(spark):
+    """The prefix filter is LOSSLESS: against a corpus constructed with
+    boilerplate-heavy near-dups, the prefix join returns exactly the
+    brute-force all-pairs result."""
+    from ophidia_server_spark.pipeline.dedup import (
+        jaccard_join_prefix,
+        ngram_jaccard_exact,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base + " extra"),                      # near-dup of 0
+        (2, "one two three four five six seven"),
+        (3, "one two three four five six eight"),  # near-dup of 2
+        (4, "totally different words here now"),
+        # boilerplate shared by everything (hot shingles)
+        (5, "the quick brown fox " + base),
+        (6, "lorem ipsum dolor sit amet " + "x y z " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_join_prefix(df, threshold=t).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_exact(df, threshold=t).collect()
+        }
+        assert got == exact, f"threshold {t}: {got ^ exact}"
+
+
+def test_jaccard_join_prefix_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.dedup import jaccard_join_prefix
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        jaccard_join_prefix(df, threshold=0.0)
+
+
+def test_dedup_keep_best_picks_highest_score_smallest_id(spark):
+    from ophidia_server_spark.pipeline.dedup import dedup_keep_best
+
+    rows = [(1, "k1", 10), (2, "k1", 30), (3, "k1", 30),  # tie -> id 2
+            (4, "k2", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, score long")
+    got = {r["dup_key"]: r for r in dedup_keep_best(df, "key", "score").collect()}
+    assert got["k1"]["kept_id"] == 2 and got["k1"]["kept_score"] == 30
+    assert got["k1"]["n_dropped"] == 2
+    assert got["k2"]["kept_id"] == 4 and got["k2"]["n_dropped"] == 0
