@@ -191,6 +191,9 @@ HEADLINE = [
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",
+    "sim_random_project",
+    "text_collocations",
+    "text_chi2_by_source",
 ]
 
 

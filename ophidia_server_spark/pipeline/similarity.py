@@ -14,6 +14,8 @@ join). Dot products are JVM-side zip_with/aggregate expressions — no Python.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -657,6 +659,58 @@ def sign_codes(
 
     return df.select(
         F.col(id_col), pack(0).alias("code_lo"), pack(32).alias("code_hi")
+    )
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, salt: str = "jl") -> list:
+    """Deterministic content-addressed ±1 projection matrix: sign(j, i) =
+    +1 iff md5(f"{j}:{i}:{salt}") starts in '0'-'7'. Computed once on the
+    driver (out_dim x in_dim small ints) and injected into the plan as
+    literals — never a per-row hash storm, and any engine can rebuild the
+    exact same matrix from the recipe."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{i}:{salt}".encode()).hexdigest()[0]
+            in "01234567" else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame, out_dim: int = 16, in_dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id", salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas' public ±1
+    database-friendly variant): y_j = (1/sqrt(out_dim)) * sum_i v_i *
+    s(j,i) with a deterministic Rademacher matrix — the dimensionality
+    crusher in front of clustering / ANN when 64+ dims are too wide.
+    out_dim=16 makes the 1/sqrt(m) scale exactly 0.25, a power of two,
+    so the projection is bit-deterministic across engines. Each output
+    coordinate folds the vector in one fixed left-to-right order —
+    pure JVM array math, one map, no shuffle, no UDF. Returns
+    (id, dim, value ROUND(6)) in long form."""
+    scale = 1.0 / math.sqrt(out_dim)
+    mat = rademacher_matrix(in_dim, out_dim, salt)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    outs = []
+    for j in range(out_dim):
+        row = F.array(*[F.lit(float(s)) for s in mat[j]])
+        dot = F.aggregate(
+            F.zip_with(v, row, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        outs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("dim"),
+                F.round(dot * F.lit(scale), 6).alias("value"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.inline(F.array(*outs))
     )
 
 

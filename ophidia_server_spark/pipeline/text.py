@@ -649,6 +649,114 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining by LIFT (the PMI ratio before the log:
+    P(w1 w2) / (P(w1) P(w2)) — same ranking, but a pure integer-derived
+    double, so it is bit-deterministic across engines where log's last
+    ulp is not). lift = n_pair * n_tokens^2 / (n_bigrams * c1 * c2) with
+    unigram counts over all tokens and bigram counts over adjacent
+    pairs; pairs below `min_count` are noise and dropped.
+
+    Shape at scale: one explode per grain (token, adjacent pair), two
+    grouped counts keyed on the term — map-side partials, no vocabulary
+    broadcast — and two bounded joins of the pair table against the
+    unigram table. Returns (w1, w2, n_pair, lift ROUND(6))."""
+    toks = tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pairs_arr = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        df.select(
+            F.explode(
+                F.slice(
+                    pairs_arr, 1,
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    tot = df.select(
+        F.sum(F.size(toks)).cast("double").alias("__t"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))
+        .cast("double").alias("__b"),
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("__c").alias("__c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("__c").alias("__c2"))
+    lift = (
+        F.col("n_pair").cast("double") * F.col("__t") * F.col("__t")
+        / (F.col("__b") * F.col("__c1").cast("double")
+           * F.col("__c2").cast("double"))
+    )
+    return (
+        bi.join(c1, "w1").join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+def chi2_token_label(
+    df: DataFrame, label_col: str, text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Chi-square feature selection: how strongly each token's document
+    presence associates with each label (one-vs-rest 2x2 contingency per
+    (token, label)) — the classic pick-discriminative-vocabulary pass
+    before training a classifier. chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)
+    (b+d)) from exact integer counts (IEEE products are rounded
+    identically everywhere given the fixed expression order). Tokens in
+    fewer than `min_docs` documents are dropped.
+
+    Shape at scale: one distinct (doc, token) explode, one token-keyed
+    count per (token, label) + one per token, one bounded label-count
+    table joined back — term-keyed shuffles, no vocabulary broadcast.
+    Returns (label, token, n_label_docs_with_token, chi2 ROUND(6))."""
+    # distinct token presence per document via array_distinct pre-explode
+    pres = df.select(
+        F.col(label_col).alias("__l"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    n_docs = df.count()
+    label_tot = df.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    tok_tot = pres.groupBy("token").agg(F.count(F.lit(1)).alias("__nt"))
+    tl = pres.groupBy("token", "__l").agg(F.count(F.lit(1)).alias("__a"))
+    j = (
+        tl.join(tok_tot.filter(F.col("__nt") >= min_docs), "token")
+        .join(F.broadcast(label_tot), "__l")
+    )
+    a = F.col("__a").cast("double")
+    b = (F.col("__nt") - F.col("__a")).cast("double")
+    c = (F.col("__nl") - F.col("__a")).cast("double")
+    n = F.lit(float(n_docs))
+    d = n - a - b - c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(
+        den > 0, n * (a * d - b * c) * (a * d - b * c) / den
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("__l").alias("label"),
+        "token",
+        F.col("__a").cast("long").alias("n_label_docs_with_token"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
 def canonicalize(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

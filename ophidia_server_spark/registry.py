@@ -5401,6 +5401,108 @@ def dedup_minhash_recall(spark, sf_dir):
     )
 
 
+_TOKS = (
+    "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')"
+)
+
+
+def _jl_oracle(out_dim: int = 16) -> str:
+    mats = sim.rademacher_matrix(64, out_dim)
+    selects = []
+    for j, row in enumerate(mats):
+        lits = ", ".join(f"{float(s)!r}" for s in row)
+        selects.append(
+            f"""SELECT vec_id, CAST({j} AS BIGINT) AS dim,
+       ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])),
+             (a, b) -> a + b) * 0.25, 6) AS value
+FROM embeddings"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+@q("sim_random_project", _jl_oracle(16))
+def sim_random_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (pipeline/similarity.py
+    random_project): 64-dim embeddings crush to 16 via a deterministic
+    content-addressed Rademacher matrix; the 1/sqrt(16) scale is exactly
+    0.25 so every projected coordinate is bit-deterministic. DuckDB
+    rebuilds the identical matrix from the md5 recipe (injected as the
+    same literals) and every (id, dim, value) row hash-matches."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    return sim.random_project(emb, out_dim=16, in_dim=64)
+
+
+@q(
+    "text_collocations",
+    f"""WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+uc AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+), bi AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2, COUNT(*) AS n_pair
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+          i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        FROM t)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), tot AS (
+  SELECT CAST(SUM(len(toks)) AS DOUBLE) AS tt,
+         CAST(SUM(GREATEST(len(toks) - 1, 0)) AS DOUBLE) AS bb
+  FROM t
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(n_pair AS DOUBLE) * tt * tt
+             / (bb * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)), 6)
+         AS lift
+FROM bi JOIN uc c1 ON bi.w1 = c1.w JOIN uc c2 ON bi.w2 = c2.w, tot""",
+)
+def text_collocations(spark, sf_dir):
+    """Bigram collocation mining by lift (pipeline/text.py collocations
+    — the PMI ratio before the log, integer-derived and so
+    bit-deterministic where log's last ulp is not): adjacent-pair counts
+    vs unigram expectation, pairs under 5 occurrences dropped. Every
+    (pair, count, lift) row hash-matches."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.collocations(docs, min_count=5)
+
+
+@q(
+    "text_chi2_by_source",
+    f"""WITH t AS (
+  SELECT source AS l, list_distinct({_TOKS}) AS toks FROM documents
+), pres AS (SELECT l, unnest(toks) AS token FROM t),
+tok_tot AS (
+  SELECT token, COUNT(*) AS nt FROM pres GROUP BY token HAVING COUNT(*) >= 5
+), lab AS (SELECT l, COUNT(*) AS nl FROM t GROUP BY l),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tl AS (SELECT token, l, COUNT(*) AS a FROM pres GROUP BY 1, 2),
+x AS (
+  SELECT tl.l, tl.token, tl.a,
+         CAST(tl.a AS DOUBLE) AS da,
+         CAST(tok_tot.nt - tl.a AS DOUBLE) AS db,
+         CAST(lab.nl - tl.a AS DOUBLE) AS dc, n
+  FROM tl JOIN tok_tot ON tl.token = tok_tot.token
+  JOIN lab ON tl.l = lab.l, nn
+), y AS (SELECT *, n - da - db - dc AS dd FROM x),
+z AS (
+  SELECT *, (da + db) * (dc + dd) * (da + dc) * (db + dd) AS den
+  FROM y
+)
+SELECT l AS label, token, CAST(a AS BIGINT) AS n_label_docs_with_token,
+       ROUND(CASE WHEN den > 0
+             THEN n * (da * dd - db * dc) * (da * dd - db * dc) / den
+             ELSE 0.0 END, 6) AS chi2
+FROM z""",
+)
+def text_chi2_by_source(spark, sf_dir):
+    """Chi-square feature selection (pipeline/text.py chi2_token_label):
+    one-vs-rest 2x2 association of each token's document presence with
+    each source label, from exact integer counts in one fixed expression
+    order. Tokens in fewer than 5 documents drop. Every (label, token,
+    count, chi2) row hash-matches."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.chi2_token_label(docs, "source", min_docs=5)
+
+
 @q(
     "graph_triangle_counts",
     """WITH e0 AS (

@@ -432,3 +432,39 @@ def test_int8_topk_ranks_by_quantized_cosine(spark):
     exp = 127 * 127 / math.sqrt((127 * 127) * (127 * 127 + 14 * 14))
     assert got[1] == round(exp, 6)
     assert got[2] == 0.0 and got[3] == -1.0
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+
+    from ophidia_server_spark.pipeline.similarity import (
+        rademacher_matrix,
+        random_project,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(3, 64).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    mat = np.array(rademacher_matrix(64, 16), dtype="float64")
+    exp = (vecs.astype("float64") @ mat.T) * 0.25
+    got = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in random_project(df, out_dim=16).collect()
+    }
+    assert len(got) == 48
+    for i in range(3):
+        for j in range(16):
+            assert abs(got[(i, j)] - exp[i, j]) < 1e-6
+
+
+def test_rademacher_matrix_is_deterministic_and_balanced(spark):
+    from ophidia_server_spark.pipeline.similarity import rademacher_matrix
+
+    m1 = rademacher_matrix(64, 16)
+    assert m1 == rademacher_matrix(64, 16)
+    assert all(v in (-1, 1) for row in m1 for v in row)
+    # a different salt gives a different matrix
+    assert m1 != rademacher_matrix(64, 16, salt="other")

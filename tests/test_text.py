@@ -22,3 +22,42 @@ def test_strip_markup_drops_scripts_tags_entities(spark):
     assert out[5]["clean_text"] == "multi line text here"
     for r in out.values():
         assert r["chars_removed"] >= 0
+
+
+def test_collocations_lift_hand_computed(spark):
+    from ophidia_server_spark.pipeline.text import collocations
+
+    # tokens: a x3, b x6, c x2 -> T=11; adjacent pairs: (a,b) x3,
+    # (b,c) x2, (b,b) x2 -> B=7
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b"), (3, "b b b")],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in collocations(df, min_count=2).collect()}
+    t, b = 11.0, 7.0
+    assert got[("a", "b")]["n_pair"] == 3
+    assert got[("a", "b")]["lift"] == round(3 * t * t / (b * 3 * 6), 6)
+    assert got[("b", "c")]["n_pair"] == 2
+    assert got[("b", "c")]["lift"] == round(2 * t * t / (b * 6 * 2), 6)
+    assert got[("b", "b")]["n_pair"] == 2  # "b b b": 2 adjacent (b,b) pairs
+    assert ("c", "a") not in got  # never adjacent
+
+
+def test_chi2_token_label_contingency(spark):
+    from ophidia_server_spark.pipeline.text import chi2_token_label
+
+    # token "x" present in ALL label-p docs, absent from label-q docs
+    rows = [(i, "p", "x y") for i in range(5)] + [
+        (i + 5, "q", "y z") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["label"], r["token"]): r
+        for r in chi2_token_label(df, "source", min_docs=1).collect()
+    }
+    # perfect association: chi2 = N = 10
+    assert got[("p", "x")]["chi2"] == 10.0
+    assert got[("p", "x")]["n_label_docs_with_token"] == 5
+    # "y" in every doc: degenerate margin -> guarded to 0
+    assert got[("p", "y")]["chi2"] == 0.0
+    assert got[("q", "z")]["chi2"] == 10.0
