@@ -194,6 +194,9 @@ HEADLINE = [
     "sim_random_project",
     "text_collocations",
     "text_chi2_by_source",
+    "cube_apply_fit_linear",
+    "graph_item_similarity",
+    "events_out_of_order",
 ]
 
 

@@ -288,6 +288,56 @@ def padding(length: int, value: float = 0.0) -> ArrayPrimitive:
     return prim
 
 
+def _ols_coeffs(arr: Column) -> tuple[Column, Column]:
+    """Shared OLS-vs-index machinery for the oph_gsl_fit_linear pair:
+    x = 0..n-1, y = the array; slope/intercept from the classic normal
+    equations. Sigma_x and Sigma_x^2 come from closed forms (exact
+    integers in doubles), Sigma_y / Sigma_xy from LEFT-TO-RIGHT array
+    folds so any engine replaying the same order reproduces the bits."""
+    ys = F.transform(arr, _dbl)
+    n = F.size(arr).cast("double")
+    sy = F.aggregate(ys, F.lit(0.0), lambda a, x: a + x)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(0)))
+    sxy = F.aggregate(
+        F.zip_with(ys, idx, lambda y, i: i.cast("double") * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    sx = n * (n - 1.0) / 2.0
+    sxx = (n - 1.0) * n * (2.0 * n - 1.0) / 6.0
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
+    c0 = F.when(n > 0, (sy - slope * sx) / n).otherwise(F.lit(0.0))
+    return c0, slope
+
+
+def fit_linear_coeff() -> ArrayPrimitive:
+    """oph_gsl_fit_linear_coeff (ref primitive: least-squares line over the
+    array vs its 0-based index): returns [intercept, slope]."""
+
+    def prim(arr: Column) -> Column:
+        c0, c1 = _ols_coeffs(arr)
+        return F.array(c0, c1)
+
+    return prim
+
+
+def fit_linear() -> ArrayPrimitive:
+    """oph_gsl_fit_linear (ref primitive): replace the array by its OLS
+    fitted line c0 + c1 * i — trend extraction on per-row series."""
+
+    def prim(arr: Column) -> Column:
+        c0, c1 = _ols_coeffs(arr)
+        fitted = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda i: c0 + c1 * i.cast("double"),
+        )
+        return F.when(F.size(arr) > 0, fitted).otherwise(
+            F.array().cast("array<double>")
+        )
+
+    return prim
+
+
 def find_count(cond: Callable[[Column], Column]) -> Callable[[Column], Column]:
     """oph_find: number of elements satisfying the predicate (scalar)."""
     return lambda arr: F.size(F.filter(arr, cond)).cast("long")
@@ -384,5 +434,7 @@ PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
     "oph_padding": padding,
     "oph_find": find_count,
     "oph_gsl_sd": sd,
+    "oph_gsl_fit_linear": fit_linear,
+    "oph_gsl_fit_linear_coeff": fit_linear_coeff,
     "oph_interpolate": interpolate_nan,
 }

@@ -70,6 +70,68 @@ def triangle_counts(
     )
 
 
+def cooccurrence_similarity(
+    df: DataFrame, basket_col: str, item_col: str,
+    top_k: int = 5, min_co: int = 1,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity from co-occurrence:
+    cosine(i, j) = |baskets with both| / sqrt(|with i| * |with j|) —
+    the bought-together recommender primitive. Returns each item's
+    `top_k` neighbors by (cosine DESC, neighbor id ASC); the cosine is a
+    double built purely from integer counts, so ranking is
+    engine-portable.
+
+    Shape at scale: pair generation is a per-basket self-join keyed on
+    the basket (fan-in bounded by basket size squared — baskets are
+    small by construction; a pathological hot basket should be capped
+    upstream), then pair-keyed and item-keyed counts, and a per-item
+    top-k window over the item's co-neighbors (bounded by the item's
+    co-occurrence degree, never the corpus)."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
+    ).distinct()
+    n = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    l, r = b.alias("l"), b.alias("r")
+    co = (
+        l.join(
+            r,
+            (F.col("l.__o") == F.col("r.__o"))
+            & (F.col("l.__i") < F.col("r.__i")),
+        )
+        .groupBy(
+            F.col("l.__i").alias("__x"), F.col("r.__i").alias("__y")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_co)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("__y").alias("__x"), F.col("__x").alias("__y"), "__c"
+        )
+    )
+    nx = n.select(F.col("__i").alias("__x"), F.col("__n").alias("__nx"))
+    ny = n.select(F.col("__i").alias("__y"), F.col("__n").alias("__ny"))
+    cos = F.col("__c").cast("double") / F.sqrt(
+        (F.col("__nx") * F.col("__ny")).cast("double")
+    )
+    w = Window.partitionBy("__x").orderBy(F.desc("__cos"), F.col("__y"))
+    return (
+        sym.join(nx, "__x").join(ny, "__y")
+        .withColumn("__cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            F.col("__x").alias("item"),
+            F.col("__y").alias("neighbor"),
+            F.col("__c").cast("long").alias("n_co"),
+            F.round("__cos", 6).alias("cosine"),
+            F.col("__rn").cast("long").alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -2710,6 +2710,49 @@ def cube_apply_zscore(spark, sf_dir):
 
 
 @q(
+    "cube_apply_fit_linear",
+    f"""WITH {BASE_QTY},
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         list(CAST(qty AS DOUBLE) ORDER BY month) AS ys,
+         list(month ORDER BY month) AS ms
+  FROM base GROUP BY 1, 2
+), s AS (
+  SELECT *, CAST(len(ys) AS DOUBLE) AS nn,
+         list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(ys) + 1),
+             i -> CAST(i - 1 AS DOUBLE) * ys[i])), (a, b) -> a + b) AS sxy
+  FROM g
+), c AS (
+  SELECT *, nn * (nn - 1.0) / 2.0 AS sx,
+         (nn - 1.0) * nn * (2.0 * nn - 1.0) / 6.0 AS sxx
+  FROM s
+), k AS (
+  SELECT *, CASE WHEN nn * sxx - sx * sx <> 0
+              THEN (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+              ELSE 0.0 END AS c1
+  FROM c
+), k2 AS (SELECT *, (sy - c1 * sx) / nn AS c0 FROM k)
+SELECT l_returnflag, l_linestatus,
+       CAST(ms[i] AS BIGINT) AS month,
+       ROUND(c0 + c1 * CAST(i - 1 AS DOUBLE), 4) AS fit
+FROM k2, unnest(range(1, len(ys) + 1)) AS u(i)""",
+)
+def cube_apply_fit_linear(spark, sf_dir):
+    """oph_gsl_fit_linear (functions/primitives.py fit_linear — ref
+    primitive parity: least-squares trend line over each cube row's
+    month series vs its 0-based index). Sigma_y/Sigma_xy fold the array
+    left-to-right and DuckDB replays the identical fold over the
+    month-ordered list, so every fitted value hash-matches."""
+    ap = C.oph_apply(cube_qty(spark, sf_dir), prim.fit_linear(), "fit")
+    return ap.long().select(
+        "l_returnflag", "l_linestatus",
+        F.col("month").cast("long").alias("month"),
+        F.round(F.col("fit"), 4).alias("fit"),
+    )
+
+
+@q(
     "cube_apply_clip",
     f"""WITH {BASE_QTY}
 SELECT l_returnflag, l_linestatus, month,
@@ -5501,6 +5544,84 @@ def text_chi2_by_source(spark, sf_dir):
     count, chi2) row hash-matches."""
     docs = _t(spark, sf_dir)["documents"]
     return tx.chi2_token_label(docs, "source", min_docs=5)
+
+
+@q(
+    "graph_item_similarity",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+n AS (SELECT i, COUNT(*) AS ni FROM b GROUP BY i),
+co AS (
+  SELECT l.i AS x, r.i AS y, COUNT(*) AS c
+  FROM b l JOIN b r ON l.o = r.o AND l.i < r.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT x, y, c FROM co UNION ALL SELECT y, x, c FROM co
+), scored AS (
+  SELECT sym.x, sym.y, sym.c,
+         CAST(sym.c AS DOUBLE) / SQRT(CAST(nx.ni * ny.ni AS DOUBLE)) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY sym.x
+           ORDER BY CAST(sym.c AS DOUBLE)
+                    / SQRT(CAST(nx.ni * ny.ni AS DOUBLE)) DESC, sym.y
+         ) AS rn
+  FROM sym JOIN n nx ON sym.x = nx.i JOIN n ny ON sym.y = ny.i
+)
+SELECT CAST(x AS BIGINT) AS item, CAST(y AS BIGINT) AS neighbor,
+       CAST(c AS BIGINT) AS n_co, ROUND(cos, 6) AS cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM scored WHERE rn <= 5""",
+)
+def graph_item_similarity(spark, sf_dir):
+    """Item-item collaborative filtering (pipeline/graph.py
+    cooccurrence_similarity): parts' bought-together cosine
+    co(i,j)/sqrt(n_i*n_j) over order baskets, top-5 neighbors per part
+    among pairs sharing >= 2 orders. Integer-derived doubles make the
+    ranking engine-portable; every (item, neighbor, count, cosine, rank)
+    row hash-matches."""
+    from ophidia_server_spark.pipeline.graph import cooccurrence_similarity
+
+    li = _t(spark, sf_dir)["lineitem"]
+    return cooccurrence_similarity(
+        li, "l_orderkey", "l_partkey", top_k=5, min_co=2
+    ).select(
+        F.col("item").cast("long").alias("item"),
+        F.col("neighbor").cast("long").alias("neighbor"),
+        "n_co", "cosine", "rank",
+    )
+
+
+@q(
+    "events_out_of_order",
+    """WITH l AS (
+  SELECT GREATEST(COALESCE(MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) - epoch_us(ts), 0), 0) AS lat
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lat > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN lat > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS frac_late,
+       CAST(FLOOR(MAX(lat) / 1000000) AS BIGINT) AS max_late_s,
+       CAST(SUM(CASE WHEN lat > 0 AND lat < 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lt_1m,
+       CAST(SUM(CASE WHEN lat >= 60000000 AND lat < 600000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_10m,
+       CAST(SUM(CASE WHEN lat >= 600000000 AND lat < 3600000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_1h,
+       CAST(SUM(CASE WHEN lat >= 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge_1h
+FROM l""",
+)
+def events_out_of_order(spark, sf_dir):
+    """Event-time disorder audit (streaming/windows.py
+    out_of_order_stats — the watermark-sizing measurement): per-user
+    arrival-order running max vs each event's own time, in exact integer
+    microseconds; one row of lateness counts, the worst case, and the
+    threshold histogram. Hash-matched against DuckDB's window mirror."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.out_of_order_stats(ev)
 
 
 @q(

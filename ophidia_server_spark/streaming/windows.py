@@ -1035,6 +1035,54 @@ def attribute_last_touch(
     )
 
 
+def out_of_order_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time disorder audit — the measurement that sizes a
+    Structured Streaming watermark delay: within each key's ARRIVAL
+    order (`seq_col`), an event is late by (max event-time seen so far)
+    - (its own event-time). Returns ONE row: event count, late count and
+    fraction, the worst lateness in seconds, and a fixed threshold
+    histogram (<1m / <10m / <1h / >=1h) — exactly the numbers needed to
+    pick withWatermark('ts', delay) so that a chosen quantile of late
+    data is retained.
+
+    Shape at scale: one key-partitioned running-max window (streamingly
+    evaluated, state = one timestamp) + one scalar aggregate. Lateness
+    is computed in exact integer microseconds."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(F.max(us).over(w) - us, F.lit(0).cast("long"))
+    per = df.select(F.coalesce(late_us, F.lit(0).cast("long")).alias("__l"))
+    m = F.lit(60_000_000).cast("long")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("__l") > 0).cast("long")).cast("long").alias("n_late"),
+        F.round(
+            F.sum((F.col("__l") > 0).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("frac_late"),
+        # floor-divide (never a bare cast: DuckDB's double->bigint ROUNDS)
+        F.floor(F.max("__l") / F.lit(1_000_000)).cast("long")
+        .alias("max_late_s"),
+        F.sum(((F.col("__l") > 0) & (F.col("__l") < m)).cast("long"))
+        .cast("long").alias("n_lt_1m"),
+        F.sum(((F.col("__l") >= m) & (F.col("__l") < 10 * m)).cast("long"))
+        .cast("long").alias("n_lt_10m"),
+        F.sum(((F.col("__l") >= 10 * m) & (F.col("__l") < 60 * m)).cast("long"))
+        .cast("long").alias("n_lt_1h"),
+        F.sum((F.col("__l") >= 60 * m).cast("long"))
+        .cast("long").alias("n_ge_1h"),
+    )
+
+
 def ewma_by_key(
     df: DataFrame,
     alpha: float = 0.5,

@@ -246,3 +246,25 @@ def test_prim_interpolate(spark):
     # no valid points -> all null/NaN through the Arrow boundary
     assert all(x is None or math.isnan(x) for x in got["allnan"])
     assert [float(x) for x in got["clean"]] == [1.0, 2.0]
+
+
+def test_fit_linear_primitive_exact_line_and_coeffs(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.functions.primitives import (
+        fit_linear,
+        fit_linear_coeff,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 3.0, 5.0, 7.0],), ([2.0, 2.0, 2.0],), ([4.0],)],
+        "arr array<double>",
+    )
+    fit = df.select(fit_linear()(F.col("arr")).alias("f")).collect()
+    assert fit[0]["f"] == [1.0, 3.0, 5.0, 7.0]  # already a line: 1 + 2i
+    assert fit[1]["f"] == [2.0, 2.0, 2.0]       # flat
+    assert fit[2]["f"] == [4.0]                 # single point: slope 0
+    co = df.select(fit_linear_coeff()(F.col("arr")).alias("c")).collect()
+    assert co[0]["c"] == [1.0, 2.0]
+    assert co[1]["c"] == [2.0, 0.0]
+    assert co[2]["c"] == [4.0, 0.0]

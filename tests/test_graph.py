@@ -60,3 +60,27 @@ def test_triangle_counts_triangle_free_graph_is_empty(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
     )
     assert triangle_counts(df).count() == 0
+
+
+def test_cooccurrence_similarity_hand_computed(spark):
+    import math
+
+    from ophidia_server_spark.pipeline.graph import cooccurrence_similarity
+
+    # baskets: {1,2,3}, {1,2}, {1,4}; co(1,2)=2, co(1,3)=1, co(2,3)=1,
+    # co(1,4)=1; n1=3, n2=2, n3=1, n4=1
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (12, 1), (12, 4),
+            (10, 1)]  # duplicate item in a basket is counted once
+    df = spark.createDataFrame(rows, "o long, i long")
+    out = cooccurrence_similarity(df, "o", "i", top_k=2, min_co=1).collect()
+    got = {(r["item"], r["neighbor"]): r for r in out}
+    assert got[(1, 2)]["n_co"] == 2
+    assert got[(1, 2)]["cosine"] == round(2 / math.sqrt(3 * 2), 6)
+    assert got[(1, 2)]["rank"] == 1
+    # item 1's second neighbor: ties at 1/sqrt(3) between 3 and 4 -> id 3
+    assert got[(1, 3)]["rank"] == 2 and (1, 4) not in got
+    # symmetry: item 3 sees item 1 and 2
+    assert got[(3, 1)]["cosine"] == round(1 / math.sqrt(1 * 3), 6)
+    # min_co filter drops every pair but (1,2)
+    filtered = cooccurrence_similarity(df, "o", "i", top_k=5, min_co=2).collect()
+    assert {(r["item"], r["neighbor"]) for r in filtered} == {(1, 2), (2, 1)}

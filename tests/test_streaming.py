@@ -554,3 +554,28 @@ def test_ewma_by_key_rejects_bad_params(spark):
         ewma_by_key(df, alpha=0.0)
     with _pytest.raises(ValueError):
         ewma_by_key(df, k=0)
+
+
+def test_out_of_order_stats_constructed_disorder(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import out_of_order_stats
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1 in order: never late
+        (1, 1, base), (2, 1, base + 10 * s),
+        # user 2: event 4 arrives 30s EARLIER than the max seen (late 30s),
+        # event 5 is 2h earlier (late 7200s)
+        (3, 2, base), (4, 2, base - 30 * s), (5, 2, base - 7200 * s),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    r = out_of_order_stats(df).first()
+    assert r["n_events"] == 5 and r["n_late"] == 2
+    assert r["frac_late"] == 0.4
+    assert r["max_late_s"] == 7200
+    assert r["n_lt_1m"] == 1 and r["n_ge_1h"] == 1
+    assert r["n_lt_10m"] == 0 and r["n_lt_1h"] == 0
