@@ -197,6 +197,8 @@ HEADLINE = [
     "cube_apply_fit_linear",
     "graph_item_similarity",
     "events_out_of_order",
+    "events_forward_fill",
+    "events_session_stats",
 ]
 
 

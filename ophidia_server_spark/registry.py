@@ -5547,6 +5547,73 @@ def text_chi2_by_source(spark, sf_dir):
 
 
 @q(
+    "events_forward_fill",
+    """SELECT event_id, user_id,
+       ROUND(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS filled
+FROM events""",
+)
+def events_forward_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap repair (streaming/windows.py
+    forward_fill): every 7th event's value is deterministically nulled
+    and must take the user's most recent earlier value (ties on ts break
+    by event_id; leading gaps stay NULL). Every filled row hash-matches
+    DuckDB's IGNORE NULLS window mirror."""
+    ev = _t(spark, sf_dir)["events"].withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return win.forward_fill(ev).select(
+        "event_id", "user_id", F.round("filled", 2).alias("filled")
+    )
+
+
+@q(
+    "events_session_stats",
+    """WITH o AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+), g AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800 OR lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   IS NULL THEN 1 ELSE 0 END AS ns
+  FROM o
+), s AS (
+  SELECT user_id, t,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM g
+), per AS (
+  SELECT user_id, sess, MAX(t) - MIN(t) AS dur, COUNT(*) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS bounce_rate,
+       ROUND(CAST(SUM(dur) AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+         AS avg_duration_s,
+       CAST(MAX(dur) AS BIGINT) AS max_duration_s,
+       ROUND(CAST(SUM(n) AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS avg_events
+FROM per""",
+)
+def events_session_stats(spark, sf_dir):
+    """Bounce rate and dwell time (streaming/windows.py session_stats):
+    30-minute-gap sessions, one row of session count, single-event
+    bounce share, and exact-integer-second duration stats. Hash-matched
+    against DuckDB's sessionization mirror (epoch FLOORED — the
+    truncating-cast contract)."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.session_stats(ev, gap_minutes=30)
+
+
+@q(
     "graph_item_similarity",
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
 n AS (SELECT i, COUNT(*) AS ni FROM b GROUP BY i),

@@ -1035,6 +1035,75 @@ def attribute_last_touch(
     )
 
 
+def forward_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = "event_id",
+) -> DataFrame:
+    """Gap repair by last-observation-carried-forward: every NULL value
+    takes the key's most recent non-NULL value at-or-before it (sensor
+    dropout / sparse-attribute repair — the standard time-series fill).
+    Rows before a key's first observation stay NULL. Ordering is
+    (ts, seq) so same-timestamp ties are deterministic.
+
+    Shape at scale: ONE key-partitioned window with last(ignorenulls)
+    over an unbounded-preceding frame — evaluated streamingly with one
+    value of state, no self-join, no explode. Adds `filled` next to the
+    original column."""
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "filled", F.last(F.col(value_col), ignorenulls=True).over(w)
+    )
+
+
+def session_stats(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-quality summary (bounce rate / dwell time — the product
+    health numbers on every analytics page): sessionize by inactivity
+    gap, then ONE row with session count, bounce count+rate (single-event
+    sessions), exact-integer dwell-time mean/max in seconds, and mean
+    events per session.
+
+    Shape at scale: the same lag/cumsum sessionization as sessionize()
+    (one user-keyed window), a per-session min/max/count aggregate, then
+    a scalar rollup — durations are integer seconds so every ratio is
+    engine-portable."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per = (
+        df.withColumn("__sess", sess_id)
+        .groupBy("user_id", "__sess")
+        .agg(
+            (F.max(ts_long) - F.min(ts_long)).alias("__dur"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("__n") == 1).cast("long")).cast("long").alias("n_bounce"),
+        F.round(
+            F.sum((F.col("__n") == 1).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("__dur") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("avg_duration_s"),
+        F.max("__dur").cast("long").alias("max_duration_s"),
+        F.round(
+            F.sum("__n") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("avg_events"),
+    )
+
+
 def out_of_order_stats(
     df: DataFrame,
     key_col: str = "user_id",

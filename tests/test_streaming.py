@@ -579,3 +579,50 @@ def test_out_of_order_stats_constructed_disorder(spark):
     assert r["max_late_s"] == 7200
     assert r["n_lt_1m"] == 1 and r["n_ge_1h"] == 1
     assert r["n_lt_10m"] == 0 and r["n_lt_1h"] == 0
+
+
+def test_forward_fill_carries_last_observation(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import forward_fill
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 1, base, None),          # leading gap stays NULL
+        (2, 1, base + s, 5.0),
+        (3, 1, base + 2 * s, None),  # -> 5.0
+        (4, 1, base + 3 * s, 7.0),
+        (5, 1, base + 4 * s, None),  # -> 7.0
+        (6, 2, base, None),          # other key: own leading gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["filled"] for r in forward_fill(df).collect()}
+    assert got[1] is None and got[6] is None
+    assert got[3] == 5.0 and got[5] == 7.0
+    assert got[2] == 5.0 and got[4] == 7.0
+
+
+def test_session_stats_bounce_and_dwell(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: one 10-minute 3-event session, then a bounce 2h later
+        (1, base), (1, base + 5 * m), (1, base + 10 * m),
+        (1, base + 130 * m),
+        # user 2: a single bounce
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = session_stats(df, gap_minutes=30).first()
+    assert r["n_sessions"] == 3 and r["n_bounce"] == 2
+    assert r["bounce_rate"] == round(2 / 3, 6)
+    assert r["avg_duration_s"] == 200.0  # (600 + 0 + 0) / 3
+    assert r["max_duration_s"] == 600
+    assert r["avg_events"] == round(5 / 3, 6)
