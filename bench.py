@@ -199,6 +199,7 @@ HEADLINE = [
     "events_out_of_order",
     "events_forward_fill",
     "events_session_stats",
+    "ml_als_grade",
 ]
 
 

@@ -1,0 +1,241 @@
+"""Distributed ALS matrix factorization (explicit feedback, ALS-WR).
+
+Zhou et al. 2008 ("Large-scale Parallel Collaborative Filtering for the
+Netflix Prize", the public ALS-WR formulation): alternate ridge solves
+
+    u_r = (sum_i v_i v_i^T + reg * n_u * I)^-1  sum_i r_ui v_i
+
+holding the other side fixed; the per-user (per-item) weight n_u on the
+regularizer is the -WR variant's scale normalization. Each half-step
+exactly minimizes the regularized objective w.r.t. one factor set, so the
+objective recorded after every half-step is non-increasing — the
+contraction law the correctness gate asserts, alongside an independent
+JVM-side normal-equation residual recompute (different arithmetic path
+than the numpy solves that produced the factors).
+
+Cost structure per half-step — the canonical distributed ALS plan:
+  gather : join ratings with the fixed side's factors (shuffle keyed on
+           that side's id), build the k*k outer-product row terms as JVM
+           array math.
+  reduce : ONE groupBy on the solved side aggregating k*k + k + 1
+           doubles — map-side partials; width is k^2 per key, not data.
+  solve  : an Arrow-batched numpy batched solve over the aggregated
+           rows (k x k systems; k is a parameter, so each task's matrix
+           stack is bounded by its row batch).
+Factors live in DataFrames end to end — nothing user- or item-sized is
+ever collected; only the scalar objective comes back per half-step.
+Init factors are content-addressed (md5 of id:dim:salt), so reruns and
+resumed jobs regenerate identical starting points.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ALSResult(NamedTuple):
+    """user_factors / item_factors: (id, factors array<double>).
+    prev_item_factors: the item factors the LAST user half-step solved
+    against — the gate recomputes that half-step's normal-equation
+    residual against exactly these. objectives: the regularized loss
+    after every half-step (non-increasing)."""
+
+    user_factors: DataFrame
+    item_factors: DataFrame
+    prev_item_factors: DataFrame
+    objectives: list
+
+
+def _init_factors(df: DataFrame, id_col: str, k: int, salt: str) -> DataFrame:
+    """Deterministic content-addressed init in [-0.5, 0.5): dim d of id x
+    is the first 8 md5 hex chars of 'x:d:salt' as a 32-bit fraction."""
+    dims = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(f":{d}:{salt}"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(16 ** 8))
+            - F.lit(0.5)
+        )
+        for d in range(k)
+    ]
+    return df.select(F.col(id_col).alias("id"), F.array(*dims).alias("factors"))
+
+
+def _solve_udf(k: int, reg: float):
+    """Arrow-batched ridge solve: each aggregated row carries the flattened
+    k x k Gram matrix, the k-vector b, and the rating count n; the batch
+    solves (A + reg * n * I) x = b as one stacked numpy linalg.solve."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(aa, bb, nn):
+        A = np.stack(aa.to_numpy()).reshape(len(aa), k, k).astype("float64")
+        b = np.stack(bb.to_numpy()).astype("float64")
+        n = nn.to_numpy().astype("float64")
+        A = A + reg * n[:, None, None] * np.eye(k)[None, :, :]
+        x = np.linalg.solve(A, b)
+        return pd.Series(list(x))
+
+    _fn.__annotations__ = {
+        "aa": pd.Series, "bb": pd.Series, "nn": pd.Series,
+        "return": pd.Series,
+    }
+    return F.pandas_udf(_fn, "array<double>")
+
+
+def _half_step(
+    ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
+    k: int, reg: float,
+) -> DataFrame:
+    """Solve one side given the other: gather-join on the fixed side,
+    k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
+    joined = ratings.join(
+        fixed.select(
+            F.col("id").alias(fixed_col), F.col("factors").alias("__v")
+        ),
+        fixed_col,
+    )
+    v = F.col("__v")
+    outer = F.array(
+        *[
+            F.element_at(v, i + 1) * F.element_at(v, j + 1)
+            for i in range(k)
+            for j in range(k)
+        ]
+    )
+    rv = F.array(
+        *[F.col("rating") * F.element_at(v, i + 1) for i in range(k)]
+    )
+    rows = joined.select(
+        F.col(solve_col).alias("id"), outer.alias("__o"), rv.alias("__b")
+    )
+    agg = rows.groupBy("id").agg(
+        F.array(
+            *[F.sum(F.element_at("__o", i + 1)) for i in range(k * k)]
+        ).alias("__A"),
+        F.array(
+            *[F.sum(F.element_at("__b", i + 1)) for i in range(k)]
+        ).alias("__bv"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    solve = _solve_udf(k, reg)
+    return agg.select(
+        "id", solve("__A", "__bv", "__n").alias("factors")
+    ).localCheckpoint()
+
+
+def _objective(
+    ratings: DataFrame, uf: DataFrame, vf: DataFrame, reg: float,
+) -> float:
+    """Regularized ALS-WR loss: sum (r - u.v)^2 + reg * (sum_u n_u |u|^2
+    + sum_i n_i |v|^2). One join + JVM dot-product fold + two norm
+    aggregates — scalars only to the driver."""
+    dot = F.aggregate(
+        F.zip_with("__u", "__v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    joined = (
+        ratings.join(
+            uf.select(F.col("id").alias("user"), F.col("factors").alias("__u")),
+            "user",
+        )
+        .join(
+            vf.select(F.col("id").alias("item"), F.col("factors").alias("__v")),
+            "item",
+        )
+    )
+    sq = joined.select(
+        ((F.col("rating") - dot) * (F.col("rating") - dot)).alias("e2"),
+        F.aggregate(
+            F.transform("__u", lambda x: x * x), F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("u2"),
+        F.aggregate(
+            F.transform("__v", lambda x: x * x), F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("v2"),
+    ).agg(
+        F.sum("e2").alias("e2"),
+        F.sum("u2").alias("u2"),
+        F.sum("v2").alias("v2"),
+    ).first()
+    # summing |u|^2 once per rating IS the n_u-weighted norm
+    return float(sq["e2"] + reg * (sq["u2"] + sq["v2"]))
+
+
+def als(
+    ratings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    reg: float = 0.1,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    salt: str = "als",
+) -> ALSResult:
+    """ALS-WR matrix factorization — see the module docstring for the
+    update equations and the per-half-step cost structure. `iters` full
+    sweeps (user solve then item solve); factors stay distributed."""
+    r = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    ).persist()
+    vf = _init_factors(
+        r.select("item").distinct(), "item", k, salt + ":item"
+    ).localCheckpoint()
+    uf = _init_factors(
+        r.select("user").distinct(), "user", k, salt + ":user"
+    ).localCheckpoint()
+    objectives: list[float] = []
+    prev_vf = vf
+    for _ in range(int(iters)):
+        prev_vf = vf
+        uf = _half_step(r, vf, "user", "item", k, reg)
+        objectives.append(_objective(r, uf, vf, reg))
+        vf = _half_step(r, uf, "item", "user", k, reg)
+        objectives.append(_objective(r, uf, vf, reg))
+    r.unpersist()
+    return ALSResult(uf, vf, prev_vf, objectives)
+
+
+def predict(
+    result: ALSResult, pairs: DataFrame,
+    user_col: str = "user", item_col: str = "item",
+) -> DataFrame:
+    """Score (user, item) pairs with the learned factors: one join per
+    side + a JVM dot-product fold. Pairs whose user or item was unseen
+    in training are dropped (inner joins) — the caller decides the
+    cold-start fallback."""
+    dot = F.aggregate(
+        F.zip_with("__u", "__v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            result.user_factors.select(
+                F.col("id").alias(user_col), F.col("factors").alias("__u")
+            ),
+            user_col,
+        )
+        .join(
+            result.item_factors.select(
+                F.col("id").alias(item_col), F.col("factors").alias("__v")
+            ),
+            item_col,
+        )
+        .select(user_col, item_col, dot.alias("prediction"))
+    )

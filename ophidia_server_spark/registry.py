@@ -5547,6 +5547,118 @@ def text_chi2_by_source(spark, sf_dir):
 
 
 @q(
+    "ml_als_grade",
+    """SELECT CAST(1 AS INT) AS shape_ok, CAST(1 AS INT) AS normal_eq_ok,
+       CAST(1 AS INT) AS objective_noninc, CAST(1 AS INT) AS beats_baseline""",
+)
+def ml_als_grade(spark, sf_dir):
+    """Invariant grade for distributed ALS-WR matrix factorization
+    (pipeline/als.py als) over the customer x part quantity matrix —
+    the collaborative-filtering iterative entry next to ml_kmeans_grade.
+    Verdicts, each oracle-pinned to 1: (a) one factor row per distinct
+    user and item; (b) the LAST user half-step's ridge normal equations
+    hold against exactly the item factors it solved against — residual
+    sum_i (u.v_i - r_ui) v_i + reg*n_u*u recomputed with JVM array folds
+    (a different arithmetic path than the numpy solves), max normalized
+    coordinate < 1e-6; (c) the regularized objective recorded after
+    every half-step is non-increasing (each half-step exactly minimizes
+    it w.r.t. one side — the ALS contraction law); (d) in-sample RMSE
+    beats the global-mean predictor."""
+    from ophidia_server_spark.pipeline import als as alsm
+
+    li = _t(spark, sf_dir)["lineitem"]
+    orders = _t(spark, sf_dir)["orders"]
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("rating")
+        )
+        .persist()
+    )
+    k, reg = 4, 0.1
+    res = alsm.als(ratings, k=k, iters=3, reg=reg)
+    n_users = ratings.select("user").distinct().count()
+    n_items = ratings.select("item").distinct().count()
+    shape_ok = int(
+        res.user_factors.count() == n_users
+        and res.item_factors.count() == n_items
+    )
+    # (b) independent normal-equation residual for the final user solve
+    dot = F.aggregate(
+        F.zip_with("__u", "__v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    joined = (
+        ratings.join(
+            res.user_factors.select(
+                F.col("id").alias("user"), F.col("factors").alias("__u")
+            ),
+            "user",
+        ).join(
+            res.prev_item_factors.select(
+                F.col("id").alias("item"), F.col("factors").alias("__v")
+            ),
+            "item",
+        )
+        .withColumn("__e", dot - F.col("rating"))
+    )
+    per_user = joined.groupBy("user").agg(
+        *[
+            F.sum(F.col("__e") * F.element_at("__v", i + 1)).alias(f"__r{i}")
+            for i in range(k)
+        ],
+        F.count(F.lit(1)).alias("__n"),
+        F.first("__u").alias("__uf"),
+        *[
+            F.max(F.abs(F.col("rating") * F.element_at("__v", i + 1)))
+            .alias(f"__bs{i}")
+            for i in range(k)
+        ],
+    )
+    res_terms = [
+        F.abs(
+            F.col(f"__r{i}")
+            + F.lit(reg) * F.col("__n") * F.element_at("__uf", i + 1)
+        )
+        for i in range(k)
+    ]
+    bscale = F.greatest(*[F.col(f"__bs{i}") for i in range(k)], F.lit(1.0))
+    worst = per_user.select(
+        (F.greatest(*res_terms) / (F.col("__n") * bscale)).alias("w")
+    ).agg(F.max("w").alias("m")).first()["m"]
+    normal_eq_ok = int(worst < 1e-6)
+    objective_noninc = int(
+        all(
+            b <= a * (1 + 1e-9) + 1e-6
+            for a, b in zip(res.objectives, res.objectives[1:])
+        )
+    )
+    mu = ratings.agg(F.avg("rating").alias("m")).first()["m"]
+    pred = alsm.predict(res, ratings)
+    errs = pred.join(ratings, ["user", "item"]).agg(
+        F.avg(
+            (F.col("prediction") - F.col("rating"))
+            * (F.col("prediction") - F.col("rating"))
+        ).alias("mse_model"),
+        F.avg(
+            (F.lit(mu) - F.col("rating")) * (F.lit(mu) - F.col("rating"))
+        ).alias("mse_base"),
+    ).first()
+    beats_baseline = int(errs["mse_model"] < errs["mse_base"])
+    ratings.unpersist()
+    return spark.createDataFrame(
+        [(shape_ok, normal_eq_ok, objective_noninc, beats_baseline)],
+        "shape_ok int, normal_eq_ok int, objective_noninc int, "
+        "beats_baseline int",
+    )
+
+
+@q(
     "events_forward_fill",
     """SELECT event_id, user_id,
        ROUND(last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
@@ -7531,6 +7643,35 @@ def _bench_kmeans(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.sum("dist2"), 6).alias("sum_dist2"),
     )
+
+
+@_bench_variant("ml_als_grade")
+def _bench_als(spark, sf_dir):
+    """Raw-operator bench twin: train + score, skip the verdict math."""
+    from ophidia_server_spark.pipeline import als as alsm
+
+    li = _t(spark, sf_dir)["lineitem"]
+    orders = _t(spark, sf_dir)["orders"]
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("rating")
+        )
+        .persist()
+    )
+    res = alsm.als(ratings, k=4, iters=3, reg=0.1)
+    out = alsm.predict(res, ratings).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("prediction"), 6).alias("avg_pred"),
+    )
+    out.collect()
+    ratings.unpersist()
+    return out
 
 
 @_bench_variant("pack_bins_grade")

@@ -1,0 +1,59 @@
+"""ALS-WR matrix factorization (pipeline/als.py)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rank1_ratings(spark):
+    # exact rank-1 matrix: r[u, i] = uu[u] * vv[i]
+    uu = {1: 1.0, 2: 2.0, 3: 0.5, 4: 1.5}
+    vv = {10: 2.0, 11: 1.0, 12: 3.0, 13: 0.5, 14: 1.2}
+    rows = [(u, i, uu[u] * vv[i]) for u in uu for i in vv]
+    return spark.createDataFrame(rows, "user long, item long, rating double")
+
+
+def test_als_objective_nonincreasing_and_fits_rank1(rank1_ratings):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.als import als, predict
+
+    res = als(rank1_ratings, k=2, iters=6, reg=0.001)
+    assert all(
+        b <= a * (1 + 1e-9) + 1e-9
+        for a, b in zip(res.objectives, res.objectives[1:])
+    )
+    err = (
+        predict(res, rank1_ratings)
+        .join(rank1_ratings, ["user", "item"])
+        .agg(F.max(F.abs(F.col("prediction") - F.col("rating"))).alias("m"))
+        .first()["m"]
+    )
+    # a rank-1 matrix is exactly representable at k=2; tiny reg -> near fit
+    assert err < 0.05
+
+
+def test_als_factor_shapes_and_unseen_pairs_dropped(spark, rank1_ratings):
+    from ophidia_server_spark.pipeline.als import als, predict
+
+    res = als(rank1_ratings, k=2, iters=2, reg=0.1)
+    assert res.user_factors.count() == 4
+    assert res.item_factors.count() == 5
+    assert len(res.user_factors.first()["factors"]) == 2
+    assert len(res.objectives) == 4  # two per sweep
+    pairs = spark.createDataFrame(
+        [(1, 10), (99, 10), (1, 99)], "user long, item long"
+    )
+    got = predict(res, pairs).collect()
+    assert {(r["user"], r["item"]) for r in got} == {(1, 10)}
+
+
+def test_als_init_is_content_addressed(spark):
+    from ophidia_server_spark.pipeline.als import _init_factors
+
+    df = spark.createDataFrame([(1,), (2,)], "item long")
+    a = {r["id"]: r["factors"] for r in _init_factors(df, "item", 3, "s").collect()}
+    b = {r["id"]: r["factors"] for r in _init_factors(df, "item", 3, "s").collect()}
+    assert a == b
+    assert all(-0.5 <= x < 0.5 for fs in a.values() for x in fs)
+    c = {r["id"]: r["factors"] for r in _init_factors(df, "item", 3, "t").collect()}
+    assert a != c
