@@ -200,6 +200,8 @@ HEADLINE = [
     "events_forward_fill",
     "events_session_stats",
     "ml_als_grade",
+    "dedup_containment_join",
+    "text_ngram_novelty",
 ]
 
 

@@ -411,6 +411,64 @@ def jaccard_join_prefix(
     )
 
 
+def containment_join_prefix(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3,
+    threshold: float = 0.8, id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT directional containment self-join: all ordered pairs (a, b)
+    with |A ∩ B| / |A| >= t — the asymmetric near-dup Jaccard misses (a
+    short document embedded verbatim inside a long one keeps Jaccard low
+    but containment ~1). Lossless prefix filtering on the CONTAINED side
+    only: if |A ∩ B| >= ceil(t*|A|), the common shingles cannot all hide
+    in A's suffix of size ceil(t*|A|) - 1 under the (document frequency
+    ASC, shingle ASC) global order, so every qualifying pair shares one
+    of A's first |A| - ceil(t*|A|) + 1 shingles. The container side is
+    not prunable (any of B's shingles may witness), so A-prefixes join
+    B's full posting list — still sub-quadratic because prefixes are
+    built from RARE shingles. Verification is exact over full sets."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_sets(df, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tok = sh.select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id" else "doc_id",
+        F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("__s"),
+    )
+    freq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("__df", "__s")
+    )
+    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    prefix = (
+        tok.join(freq, "__s")
+        .withColumn("__pos", pos)
+        .filter(F.col("__pos") <= plen)
+        .select(F.col(id_col).alias("id_a"), "__s")
+    )
+    full = tok.select(F.col(id_col).alias("id_b"), "__s")
+    cand = (
+        prefix.join(full, "__s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    cont = inter / F.size("__sa").cast("double")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("__c", cont)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
+    )
+
+
 def dedup_keep_best(
     df: DataFrame, key_col: str, score_col: str, id_col: str = "doc_id",
 ) -> DataFrame:

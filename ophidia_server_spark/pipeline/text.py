@@ -649,6 +649,46 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_novelty(
+    df: DataFrame, ref: DataFrame, text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """N-gram novelty vs a reference corpus: per document, the fraction
+    of its distinct k-token shingles that appear NOWHERE in `ref` — the
+    memorization/freshness audit run before adding a crawl snapshot to a
+    training mix (novelty ~0 means the batch re-states the corpus).
+
+    Shape at scale: the reference collapses to a distinct shingle table
+    once; the batch explodes per-doc distinct shingles and LEFT-joins
+    the reference on the shingle — both sides shuffle keyed on the
+    term, no broadcast of a corpus-sized set — then one per-doc count.
+    Returns (doc_id, n_shingles, n_novel, novelty ROUND(6))."""
+    from ophidia_server_spark.pipeline.dedup import _shingles
+
+    seen = (
+        ref.select(F.explode(_shingles(text_col, shingle_k)).alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("__s"),
+    )
+    return (
+        ex.join(seen, "__s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def collocations(
     df: DataFrame, text_col: str = "text", min_count: int = 5,
 ) -> DataFrame:

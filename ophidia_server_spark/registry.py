@@ -5886,6 +5886,60 @@ def dedup_jaccard_join(spark, sf_dir):
 
 
 @q(
+    "dedup_containment_join",
+    f"""WITH {_SHINGLE_CTE},
+tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         ANY_VALUE(a.n) AS na
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8""",
+)
+def dedup_containment_join(spark, sf_dir):
+    """EXACT directional containment join (pipeline/dedup.py
+    containment_join_prefix): ordered pairs where >= 80% of A's 3-gram
+    shingles appear in B — the asymmetric near-dup (short doc embedded
+    in a long one) that symmetric Jaccard misses. The prefix filter is
+    lossless on the contained side; every (pair, containment) row
+    hash-matches DuckDB's full inverted-index recount."""
+    docs = _t(spark, sf_dir)["documents"]
+    return dd.containment_join_prefix(docs, threshold=0.8)
+
+
+@q(
+    "text_ngram_novelty",
+    f"""WITH {_SHINGLE_CTE},
+seen AS (
+  SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id < 100
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id >= 100)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS novelty
+FROM ex LEFT JOIN seen ON ex.s = seen.s
+GROUP BY ex.doc_id""",
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty audit (pipeline/text.py ngram_novelty): documents
+    with id >= 100 scored by the fraction of their distinct 3-gram
+    shingles absent from the id < 100 reference slice — term-keyed
+    anti-join semantics, no corpus-sized broadcast. Every (doc, counts,
+    novelty) row hash-matches."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.ngram_novelty(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+    )
+
+
+@q(
     "dedup_keep_best_vocab",
     """WITH t AS (
   SELECT doc_id, n_chars,

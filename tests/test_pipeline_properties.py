@@ -302,3 +302,37 @@ def test_dedup_keep_best_picks_highest_score_smallest_id(spark):
     assert got["k1"]["kept_id"] == 2 and got["k1"]["kept_score"] == 30
     assert got["k1"]["n_dropped"] == 2
     assert got["k2"]["kept_id"] == 4 and got["k2"]["n_dropped"] == 0
+
+
+def test_containment_join_prefix_equals_bruteforce_and_is_directional(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.dedup import (
+        containment_join_prefix,
+        shingle_sets,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, big),
+        (1, "alpha beta gamma delta epsilon"),  # contained in 0
+        (2, "zzz yyy xxx www"),
+        (3, big + " " + big),                   # same shingle set as 0 + joins
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join_prefix(df, threshold=0.8).collect()
+    }
+    # brute force over full shingle sets
+    sh = {r["doc_id"]: set(r["shingles"]) for r in shingle_sets(df).collect()}
+    exact = {}
+    for a in sh:
+        for b in sh:
+            if a != b and sh[a]:
+                c = len(sh[a] & sh[b]) / len(sh[a])
+                if c >= 0.8:
+                    exact[(a, b)] = round(c, 6)
+    assert got == exact
+    # directionality: 1 is contained in 0, not vice versa
+    assert (1, 0) in got and (0, 1) not in got

@@ -61,3 +61,22 @@ def test_chi2_token_label_contingency(spark):
     # "y" in every doc: degenerate margin -> guarded to 0
     assert got[("p", "y")]["chi2"] == 0.0
     assert got[("q", "z")]["chi2"] == 10.0
+
+
+def test_ngram_novelty_counts(spark):
+    from ophidia_server_spark.pipeline.text import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    # doc 10 repeats ref shingles (novelty 0); doc 11 is half-new;
+    # doc 12 is all-new
+    batch = spark.createDataFrame(
+        [(10, "a b c d"), (11, "c d e f"), (12, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(batch, ref).collect()}
+    assert got[10]["novelty"] == 0.0 and got[10]["n_shingles"] == 2
+    assert got[11]["n_shingles"] == 2 and got[11]["n_novel"] == 1
+    assert got[11]["novelty"] == 0.5
+    assert got[12]["novelty"] == 1.0
