@@ -202,6 +202,9 @@ HEADLINE = [
     "ml_als_grade",
     "dedup_containment_join",
     "text_ngram_novelty",
+    "orders_abc_classification",
+    "orders_gini_customers",
+    "events_period_deltas",
 ]
 
 

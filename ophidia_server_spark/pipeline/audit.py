@@ -219,6 +219,75 @@ def rate_spikes(
     )
 
 
+def abc_classification(
+    df: DataFrame, key_col: str, value_col: str,
+    a_cut: float = 0.8, b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto analysis: keys ranked by their exact-decimal value
+    share, classed A while the cumulative share (INCLUDING the key) is
+    <= a_cut, B up to b_cut, C above — the 80/20 inventory & revenue
+    concentration report. Ties in value break by key, so the ranking is
+    total. Returns (key, total ROUND(2), share R6, cum_share R6, class).
+
+    Shape at scale: one key aggregate (map-side partials), then one
+    global window over the KEY AGGREGATES — bounded by distinct-key
+    cardinality, never raw rows; the cumulative sum is an exact decimal
+    so the class boundary can never drift with partitioning."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v")
+    )
+    w = Window.orderBy(F.desc("__v"), F.col("key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = F.sum("__v").over(w).cast("double") / F.sum("__v").over(tot).cast(
+        "double"
+    )
+    share = F.col("__v").cast("double") / F.sum("__v").over(tot).cast("double")
+    cls = (
+        F.when(cum <= a_cut, "A").when(cum <= b_cut, "B").otherwise("C")
+    )
+    return per.select(
+        "key",
+        F.round(F.col("__v").cast("double"), 2).alias("total"),
+        F.round(share, 6).alias("share"),
+        F.round(cum, 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+def gini_coefficient(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Gini concentration index of a value across keys (revenue/usage
+    inequality — the whale-dependence audit): with per-key totals x
+    sorted ascending (ties by key) and 1-based rank i,
+    G = (2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n). Exact-decimal
+    sums feed one fixed double expression, so the figure is
+    engine-portable. One key aggregate + one window over key aggregates
+    + a scalar rollup; returns one row (n_keys, total R2, gini R6)."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        # re-narrow to (18,2): keeps rank * value inside DECIMAL(38,x)
+        # exactly in BOTH engines (DuckDB errors when p1+p2 > 38)
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("__v")
+    )
+    i = F.row_number().over(Window.orderBy(F.col("__v"), F.col("key")))
+    ranked = per.select("__v", i.alias("__i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__v").cast("double").alias("__s"),
+        F.sum(F.col("__i") * F.col("__v")).cast("double").alias("__is"),
+    )
+    g = (
+        2.0 * F.col("__is") / (F.col("__n") * F.col("__s"))
+        - (F.col("__n") + 1.0) / F.col("__n")
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_keys"),
+        F.round("__s", 2).alias("total"),
+        F.round(g, 6).alias("gini"),
+    )
+
+
 def benford_digits(df: DataFrame, col: str) -> DataFrame:
     """Benford's-law audit of a positive measure: the distribution of
     first significant digits vs the expected log10(1 + 1/d), plus the

@@ -5547,6 +5547,100 @@ def text_chi2_by_source(spark, sf_dir):
 
 
 @q(
+    "orders_abc_classification",
+    """WITH per AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT key, v,
+         SUM(v) OVER (ORDER BY v DESC, key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cv,
+         SUM(v) OVER () AS tv
+  FROM per
+)
+SELECT key, ROUND(CAST(v AS DOUBLE), 2) AS total,
+       ROUND(CAST(v AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS share,
+       ROUND(CAST(cv AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(cv AS DOUBLE) / CAST(tv AS DOUBLE) <= 0.8 THEN 'A'
+            WHEN CAST(cv AS DOUBLE) / CAST(tv AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM t""",
+)
+def orders_abc_classification(spark, sf_dir):
+    """ABC / Pareto revenue concentration (pipeline/audit.py
+    abc_classification): customers ranked by exact-decimal order-value
+    share, classed A/B/C at cumulative 80%/95% (ties total-ordered by
+    key, cumulative sums exact decimals so the class boundary cannot
+    drift with partitioning). All five columns hash-matched."""
+    from ophidia_server_spark.pipeline.audit import abc_classification
+
+    orders = _t(spark, sf_dir)["orders"]
+    return abc_classification(orders, "o_custkey", "o_totalprice").select(
+        F.col("key").cast("long").alias("key"),
+        "total", "share", "cum_share", "abc_class",
+    )
+
+
+@q(
+    "orders_gini_customers",
+    """WITH per AS (
+  SELECT o_custkey AS key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, key) AS i FROM per
+), a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(v) AS DOUBLE) AS s,
+         CAST(SUM(i * v) AS DOUBLE) AS si
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_keys, ROUND(s, 2) AS total,
+       ROUND(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM a""",
+)
+def orders_gini_customers(spark, sf_dir):
+    """Gini concentration of revenue across customers (pipeline/audit.py
+    gini_coefficient — the whale-dependence audit): exact-decimal rank *
+    value sums feed one fixed double expression. One row, hash-matched."""
+    from ophidia_server_spark.pipeline.audit import gini_coefficient
+
+    orders = _t(spark, sf_dir)["orders"]
+    return gini_coefficient(orders, "o_custkey", "o_totalprice")
+
+
+@q(
+    "events_period_deltas",
+    """WITH per AS (
+  SELECT event_type AS key, date_trunc('day', ts) AS p,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT key, p, v,
+         lag(v) OVER (PARTITION BY key ORDER BY p) AS pv
+  FROM per
+)
+SELECT key, strftime(p, '%Y-%m-%d %H:%M:%S') AS period,
+       ROUND(CAST(v AS DOUBLE), 2) AS value,
+       ROUND(CAST(pv AS DOUBLE), 2) AS prev_value,
+       ROUND(CAST(v AS DOUBLE) - CAST(pv AS DOUBLE), 2) AS delta,
+       CASE WHEN pv IS NOT NULL AND CAST(pv AS DOUBLE) <> 0.0
+            THEN ROUND((CAST(v AS DOUBLE) - CAST(pv AS DOUBLE))
+                       / ABS(CAST(pv AS DOUBLE)), 6)
+            ELSE NULL END AS pct_change
+FROM l""",
+)
+def events_period_deltas(spark, sf_dir):
+    """Period-over-period growth table (streaming/windows.py
+    period_deltas): per event type and day, exact-decimal sums with
+    previous-observed-day delta and guarded percent change. Every row
+    hash-matches DuckDB's lag mirror."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.period_deltas(ev, unit="day")
+
+
+@q(
     "ml_als_grade",
     """SELECT CAST(1 AS INT) AS shape_ok, CAST(1 AS INT) AS normal_eq_ok,
        CAST(1 AS INT) AS objective_noninc, CAST(1 AS INT) AS beats_baseline""",

@@ -1035,6 +1035,39 @@ def attribute_last_touch(
     )
 
 
+def period_deltas(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "day",
+) -> DataFrame:
+    """Period-over-period report: per key and `unit`-truncated period,
+    the exact-decimal value sum, the previous OBSERVED period's sum, the
+    delta, and the percent change (NULL when there is no previous
+    period; 0-denominator guarded) — the growth table behind every BI
+    dashboard. One (key, period) aggregate + one key-partitioned lag
+    window over period AGGREGATES (bounded by periods, not rows)."""
+    day = F.date_trunc(unit, F.col(ts_col).cast("timestamp"))
+    per = df.groupBy(
+        F.col(key_col).alias("key"), day.alias("__p")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v"))
+    w = Window.partitionBy("key").orderBy("__p")
+    prev = F.lag("__v").over(w)
+    v, p = F.col("__v").cast("double"), prev.cast("double")
+    pct = F.when(
+        prev.isNotNull() & (p != 0.0), F.round((v - p) / F.abs(p), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return per.select(
+        "key",
+        F.date_format("__p", TS_FMT).alias("period"),
+        F.round(v, 2).alias("value"),
+        F.round(p, 2).alias("prev_value"),
+        F.round(v - p, 2).alias("delta"),
+        pct.alias("pct_change"),
+    )
+
+
 def forward_fill(
     df: DataFrame,
     key_col: str = "user_id",

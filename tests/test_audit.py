@@ -115,3 +115,33 @@ def test_benford_digits_counts_and_chi2(spark):
     ) / 1e6
     assert rows["1"]["chi2"] == round(chi2, 6)
     assert rows["1"]["chi2"] == rows["9"]["chi2"]
+
+
+def test_abc_classification_hand_ranked(spark):
+    from ophidia_server_spark.pipeline.audit import abc_classification
+
+    # totals: a=70, b=20, c=6, d=4 (grand 100)
+    rows = [("a", 40.0), ("a", 30.0), ("b", 20.0), ("c", 6.0), ("d", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["key"]: r for r in abc_classification(df, "k", "v").collect()}
+    assert got["a"]["abc_class"] == "A" and got["a"]["cum_share"] == 0.7
+    assert got["b"]["abc_class"] == "B" and got["b"]["cum_share"] == 0.9
+    assert got["c"]["abc_class"] == "C" and got["c"]["cum_share"] == 0.96
+    assert got["d"]["abc_class"] == "C" and got["d"]["share"] == 0.04
+
+
+def test_gini_extremes(spark):
+    from ophidia_server_spark.pipeline.audit import gini_coefficient
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame(
+        [(k, 10.0) for k in "abcd"], "k string, v double"
+    )
+    assert gini_coefficient(eq, "k", "v").first()["gini"] == 0.0
+    # total concentration on one of n keys -> (n-1)/n
+    conc = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0), ("d", 100.0)],
+        "k string, v double",
+    )
+    r = gini_coefficient(conc, "k", "v").first()
+    assert r["gini"] == round(3 / 4, 6) and r["n_keys"] == 4

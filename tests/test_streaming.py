@@ -626,3 +626,23 @@ def test_session_stats_bounce_and_dwell(spark):
     assert r["avg_duration_s"] == 200.0  # (600 + 0 + 0) / 3
     assert r["max_duration_s"] == 600
     assert r["avg_events"] == round(5 / 3, 6)
+
+
+def test_period_deltas_first_period_null_and_pct(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import period_deltas
+
+    d0 = dt.datetime(2024, 1, 1, 5)
+    d1 = dt.datetime(2024, 1, 2, 9)
+    d2 = dt.datetime(2024, 1, 4, 1)  # gap day: delta vs last OBSERVED
+    rows = [("k", d0, 10.0), ("k", d0, 10.0), ("k", d1, 30.0),
+            ("k", d2, 15.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["period"][:10]: r for r in period_deltas(df).collect()}
+    assert got["2024-01-01"]["prev_value"] is None
+    assert got["2024-01-01"]["pct_change"] is None
+    assert got["2024-01-02"]["delta"] == 10.0
+    assert got["2024-01-02"]["pct_change"] == 0.5
+    assert got["2024-01-04"]["prev_value"] == 30.0
+    assert got["2024-01-04"]["pct_change"] == -0.5
