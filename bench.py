@@ -205,6 +205,8 @@ HEADLINE = [
     "orders_abc_classification",
     "orders_gini_customers",
     "events_period_deltas",
+    "events_bootstrap_ci",
+    "events_transition_matrix",
 ]
 
 

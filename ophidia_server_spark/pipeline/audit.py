@@ -219,6 +219,101 @@ def rate_spikes(
     )
 
 
+def _poisson1_cdf_literals() -> list:
+    """Cumulative Poisson(1) CDF thresholds P(W <= k), k = 0..6 — shared
+    double literals for the bootstrap weight lookup on both engines."""
+    import math as _m
+
+    cum, out, fact = 0.0, [], 1.0
+    for k in range(7):
+        if k > 0:
+            fact *= k
+        cum += _m.exp(-1.0) / fact
+        out.append(cum)
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 64,
+    salt: str = "boot",
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean via the
+    POISSON bootstrap (the public single-pass formulation used for
+    resampling at scale: multinomial resample weights are approximated
+    by iid Poisson(1) per (row, replicate), so no replicate ever needs a
+    global sample): every row contributes a content-addressed Poisson
+    weight to each of `b` replicates, replicate means use exact-decimal
+    sums, and the CI is the empirical [rank floor(a/2*b)+1, rank
+    b-floor(a/2*b)] band of the b means at a = 0.05. Deterministic end
+    to end: the weight is an inverse-CDF lookup of the md5 coin against
+    shared double literals.
+
+    Shape at scale: one explode by b (map-side), ONE b-row groupBy with
+    map-side partials, then ranking over the b-row table. Returns one
+    row (n_rows, mean, ci_lo, ci_hi, n_replicates)."""
+    # hex-string thresholds (the house md5-coin convention: compare the
+    # first 8 md5 chars against format(int(frac * 16**8), '08x') — no
+    # float division anywhere near the boundary)
+    hexes = [format(int(c * 16 ** 8), "08x") for c in _poisson1_cdf_literals()]
+    rep = F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("__r")
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("__r").cast("string"),
+                F.lit(":" + salt),
+            )
+        ),
+        1, 8,
+    )
+    w = F.lit(7)
+    for k in range(6, -1, -1):
+        w = F.when(h < F.lit(hexes[k]), F.lit(k)).otherwise(w)
+    x = F.col(value_col).cast("decimal(18,2)")
+    reps = (
+        df.select(F.col(id_col), x.alias("__x"), rep)
+        .select("__r", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
+        .groupBy("__r")
+        .agg(
+            F.sum("__wx").alias("__swx"),
+            F.sum("__w").cast("double").alias("__sw"),
+        )
+        .select(
+            F.when(
+                F.col("__sw") > 0,
+                F.col("__swx").cast("double") / F.col("__sw"),
+            ).otherwise(F.lit(0.0)).alias("__m")
+        )
+    )
+    rk = F.row_number().over(Window.orderBy("__m"))
+    lo_rank = int(0.025 * b) + 1
+    hi_rank = b - int(0.025 * b)
+    ranked = reps.select("__m", rk.alias("__rk"))
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(x).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double"), 6
+        ).alias("mean"),
+    )
+    band = ranked.agg(
+        F.round(
+            F.min(F.when(F.col("__rk") == lo_rank, F.col("__m"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("__rk") == hi_rank, F.col("__m"))), 6
+        ).alias("ci_hi"),
+    )
+    return base.crossJoin(F.broadcast(band)).select(
+        "n_rows", "mean", "ci_lo", "ci_hi",
+        F.lit(int(b)).cast("long").alias("n_replicates"),
+    )
+
+
 def abc_classification(
     df: DataFrame, key_col: str, value_col: str,
     a_cut: float = 0.8, b_cut: float = 0.95,

@@ -5546,6 +5546,87 @@ def text_chi2_by_source(spark, sf_dir):
     return tx.chi2_token_label(docs, "source", min_docs=5)
 
 
+def _bootstrap_oracle(b: int = 64) -> str:
+    from ophidia_server_spark.pipeline.audit import _poisson1_cdf_literals
+
+    hexes = [
+        format(int(c * 16 ** 8), "08x") for c in _poisson1_cdf_literals()
+    ]
+    case = (
+        "CASE "
+        + " ".join(f"WHEN h < '{hx}' THEN {k}" for k, hx in enumerate(hexes))
+        + " ELSE 7 END"
+    )
+    lo, hi = int(0.025 * b) + 1, b - int(0.025 * b)
+    return f"""WITH ex AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS x,
+         substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(t.r AS VARCHAR) || ':boot'), 1, 8) AS h,
+         t.r
+  FROM events CROSS JOIN range(0, {b}) t(r)
+), wts AS (SELECT x, r, {case} AS w FROM ex),
+reps AS (
+  SELECT CASE WHEN SUM(w) > 0
+         THEN CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         ELSE 0.0 END AS m
+  FROM wts GROUP BY r
+), ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM reps
+), band AS (
+  SELECT ROUND(MIN(CASE WHEN rk = {lo} THEN m END), 6) AS ci_lo,
+         ROUND(MIN(CASE WHEN rk = {hi} THEN m END), 6) AS ci_hi
+  FROM ranked
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(GREATEST(COUNT(*), 1) AS DOUBLE), 6) AS mean
+  FROM events
+)
+SELECT n_rows, mean, ci_lo, ci_hi, CAST({b} AS BIGINT) AS n_replicates
+FROM base, band"""
+
+
+@q("events_bootstrap_ci", _bootstrap_oracle(64))
+def events_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the mean event value
+    (pipeline/audit.py poisson_bootstrap_ci — the single-pass resampling
+    formulation that scales: per-(row, replicate) Poisson(1) weights
+    from content-addressed hex-threshold coins, exact-decimal weighted
+    sums, empirical rank band over the 64 replicate means). All five
+    figures hash-matched."""
+    from ophidia_server_spark.pipeline.audit import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir)["events"]
+    return poisson_bootstrap_ci(ev, "value", "event_id", b=64)
+
+
+@q(
+    "events_transition_matrix",
+    """WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER w AS ft,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS g
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT ft AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM s WHERE ft IS NOT NULL AND g <= 1800 GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS prob
+FROM p""",
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov behavior model (streaming/windows.py
+    transition_matrix): adjacent in-session event-type transitions (30
+    min gaps break chains; ties order by event_id) normalized per
+    from-state. Every (from, to, count, probability) row hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.transition_matrix(ev, gap_minutes=30)
+
+
 @q(
     "orders_abc_classification",
     """WITH per AS (

@@ -1035,6 +1035,44 @@ def attribute_last_touch(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: within
+    inactivity-gap sessions, count adjacent (from_type -> to_type) steps
+    and normalize per from-state — the navigation-model / what-happens-
+    next table. Ordering is (ts, seq) so same-timestamp ties are
+    deterministic; session boundaries (gap > `gap_minutes`) break
+    chains. Returns (from_type, to_type, n, prob ROUND(6)).
+
+    Shape at scale: one key-partitioned lag window (state = one row)
+    + one pair-keyed count + one from-keyed total join — never a
+    self-join of events."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    gap_ok = ts_long - F.lag(ts_long).over(w) <= gap_minutes * 60
+    pairs = (
+        df.select(
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+            gap_ok.alias("__ok"),
+        )
+        .filter(F.col("__ok") & F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return pairs.join(tot, "from_type").select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
+    )
+
+
 def period_deltas(
     df: DataFrame,
     key_col: str = "event_type",

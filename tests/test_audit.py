@@ -145,3 +145,22 @@ def test_gini_extremes(spark):
     )
     r = gini_coefficient(conc, "k", "v").first()
     assert r["gini"] == round(3 / 4, 6) and r["n_keys"] == 4
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from ophidia_server_spark.pipeline.audit import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(10 + (i % 5))) for i in range(200)], "id long, v double"
+    )
+    r1 = poisson_bootstrap_ci(df, "v", "id", b=64).first()
+    r2 = poisson_bootstrap_ci(df, "v", "id", b=64).first()
+    assert r1 == r2  # content-addressed coins: exact rerun stability
+    assert r1["n_rows"] == 200 and r1["n_replicates"] == 64
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # the band is tight around 12 for this low-variance fixture
+    assert 11.0 < r1["ci_lo"] and r1["ci_hi"] < 13.0
+    # a different salt moves the replicate draws but not the mean
+    r3 = poisson_bootstrap_ci(df, "v", "id", b=64, salt="other").first()
+    assert r3["mean"] == r1["mean"]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])

@@ -646,3 +646,28 @@ def test_period_deltas_first_period_null_and_pct(spark):
     assert got["2024-01-02"]["pct_change"] == 0.5
     assert got["2024-01-04"]["prev_value"] == 30.0
     assert got["2024-01-04"]["pct_change"] == -0.5
+
+
+def test_transition_matrix_counts_and_session_breaks(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import transition_matrix
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session 1: a -> b -> a
+        (1, 1, base, "a"), (2, 1, base + m, "b"), (3, 1, base + 2 * m, "a"),
+        # 2h gap: NO transition across the break; then a -> b
+        (4, 1, base + 122 * m, "a"), (5, 1, base + 123 * m, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_matrix(df, gap_minutes=30).collect()
+    }
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["prob"] == 1.0
+    assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["prob"] == 1.0
+    assert len(got) == 2  # the cross-session (a -> a) pair never counts
