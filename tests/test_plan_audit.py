@@ -48,6 +48,25 @@ BARS = {
     "layout_stream_append": (1, 1),
     "text_strip_markup": (1, 0),
     "multimodal_decode_jpeg": (1, 0),
+    # round-8 second half: ceilings from the measured sf0.001 AQE plans
+    "dedup_jaccard_join": (6, 4),
+    "dedup_containment_join": (5, 2),
+    # +1 shuffle headroom: AQE sometimes BHJs the wedge-closure join and
+    # sometimes exchanges it, depending on runtime stats of the prior run
+    "graph_triangle_counts": (4, 6),
+    "graph_item_similarity": (2, 5),
+    "sim_int8_topk": (2, 1),
+    "sim_random_project": (1, 0),
+    "events_attribution_last_touch": (2, 2),
+    "events_bootstrap_ci": (2, 1),
+    "text_collocations": (3, 2),
+    "text_chi2_by_source": (3, 3),
+    "text_ngram_novelty": (2, 2),
+    "orders_abc_classification": (1, 1),
+    "events_transition_matrix": (1, 3),
+    "events_forward_fill": (1, 1),
+    "events_ewma_daily": (1, 2),
+    "corpus_profile_documents": (8, 8),
 }
 
 
