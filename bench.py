@@ -207,6 +207,7 @@ HEADLINE = [
     "events_period_deltas",
     "events_bootstrap_ci",
     "events_transition_matrix",
+    "events_funnel_latencies",
 ]
 
 

@@ -6467,6 +6467,49 @@ def events_funnel_conversion(spark, sf_dir):
     )
 
 
+@q(
+    "events_funnel_latencies",
+    """WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1, MIN(s1.t0) AS t0
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t0
+    AND e.ts <= s1.t0 + INTERVAL 3600 SECOND
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s2.t1) AS t1
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+    AND e.ts <= s2.t0 + INTERVAL 3600 SECOND
+  GROUP BY 1
+)
+SELECT CAST(2 AS BIGINT) AS step_no, 'view' AS from_step,
+       'click' AS to_step, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(epoch_us(t1) - epoch_us(t0)) AS DOUBLE)
+             / (GREATEST(COUNT(*), 1) * 1e6), 6) AS avg_latency_s,
+       ROUND(CAST(MAX(epoch_us(t1) - epoch_us(t0)) AS DOUBLE) / 1e6, 6)
+         AS max_latency_s
+FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'click', 'purchase', CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+             / (GREATEST(COUNT(*), 1) * 1e6), 6),
+       ROUND(CAST(MAX(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / 1e6, 6)
+FROM s3""",
+)
+def events_funnel_latencies(spark, sf_dir):
+    """Time-to-convert per funnel transition (streaming/windows.py
+    funnel_latencies — the how-long companion to funnel's how-many):
+    exact integer-microsecond latencies between each user's first
+    qualifying step timestamps, one scalar aggregate over the shared
+    per-user chain. Counts, means, and maxima hash-match."""
+    return win.funnel_latencies(
+        _t(spark, sf_dir)["events"], ["view", "click", "purchase"],
+        within="1 hour",
+    )
+
+
 from ophidia_server_spark.functions import sketches as sk  # noqa: E402
 
 # rho (leading-zero bits + 1) of a 16-hex-char tail, as portable string ops

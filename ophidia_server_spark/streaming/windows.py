@@ -612,32 +612,14 @@ def cohort_retention(df: DataFrame, unit: str = "week") -> DataFrame:
     )
 
 
-def funnel(
-    df: DataFrame, steps: list[str], within: str | None = "1 hour",
-    user_col: str = "user_id", type_col: str = "event_type",
-    ts_col: str = "ts",
+def _funnel_per_user(
+    df: DataFrame, steps: list[str], within: str | None,
+    user_col: str, type_col: str, ts_col: str,
 ) -> DataFrame:
-    """Ordered-step conversion funnel: how many users performed step 1, then
-    step 2 strictly after their first step-1 event, then step 3 after that —
-    optionally all within `within` of the first step (the product-analytics
-    funnel primitive; steps must occur in order, re-entries don't reset).
-
-    Returns one row per step: (step_no, step, n_users, frac_of_first).
-
-    Shape at scale: ONE per-user table is built down a single left-join
-    chain — step 1 is a user-keyed min aggregate, and each later step
-    left-joins that step's events and takes the conditional min
-    (`min(ts WHERE ts > prev step's min)`), carrying every earlier step's
-    timestamp column along. Users who stall at step i simply hold NULL in
-    __t{{i}}..__t{{k-1}}, so ALL per-step counts come from ONE final scalar
-    aggregate (`count(__t_i)` skips NULLs) over that single table — each
-    step's events are scanned exactly once (k scans, k-1 user-keyed joins
-    for a k-step funnel), never a union of per-step aggregate branches that
-    would re-execute the chain per step. No window over all events, no
-    driver-side loop over data.
-    """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
+    """The funnel's single left-join chain (see funnel's docstring for the
+    scan/shuffle accounting): one row per step-1 user carrying
+    __t0..__t{k-1} — each step's first qualifying timestamp, NULL where
+    the user stalled. Shared by funnel() and funnel_latencies()."""
     df = _event_time(df, ts_col)
     within_s = _interval_seconds(within) if within else None
     per_user = (
@@ -664,6 +646,86 @@ def funnel(
                 F.min(F.when(ok, F.col("__ts"))).alias(f"__t{i}"),
             )
         )
+    return per_user
+
+
+def funnel_latencies(
+    df: DataFrame, steps: list[str], within: str | None = "1 hour",
+    user_col: str = "user_id", type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert per funnel transition: for every user who reached
+    step i+1, the latency from their step-i timestamp — the how-long-do-
+    drop-offs-take companion to funnel()'s how-many. One row per
+    transition: (step_no, from_step, to_step, n_users, avg_latency_s,
+    max_latency_s). Latencies are exact integer microseconds; the mean
+    divides the exact sum once, so the figures are engine-portable.
+
+    Shape at scale: identical to funnel() (the shared per-user chain —
+    k scans, k-1 user-keyed joins) plus ONE final scalar aggregate."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latencies needs at least two steps")
+    per_user = _funnel_per_user(df, steps, within, user_col, type_col, ts_col)
+    k = len(steps)
+    lats = [
+        (
+            F.unix_micros(F.col(f"__t{i}").cast("timestamp"))
+            - F.unix_micros(F.col(f"__t{i - 1}").cast("timestamp"))
+        ).alias(f"__l{i}")
+        for i in range(1, k)
+    ]
+    one = per_user.select(*lats).agg(
+        *[F.count(f"__l{i}").alias(f"__n{i}") for i in range(1, k)],
+        *[F.sum(f"__l{i}").alias(f"__s{i}") for i in range(1, k)],
+        *[F.max(f"__l{i}").alias(f"__m{i}") for i in range(1, k)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step_no"),
+                F.lit(steps[i - 1]).alias("from_step"),
+                F.lit(steps[i]).alias("to_step"),
+                F.col(f"__n{i}").cast("long").alias("n_users"),
+                F.round(
+                    F.col(f"__s{i}").cast("double")
+                    / (F.greatest(F.col(f"__n{i}"), F.lit(1)) * 1e6), 6
+                ).alias("avg_latency_s"),
+                F.round(F.col(f"__m{i}").cast("double") / 1e6, 6)
+                .alias("max_latency_s"),
+            )
+            for i in range(1, k)
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
+def funnel(
+    df: DataFrame, steps: list[str], within: str | None = "1 hour",
+    user_col: str = "user_id", type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step conversion funnel: how many users performed step 1, then
+    step 2 strictly after their first step-1 event, then step 3 after that —
+    optionally all within `within` of the first step (the product-analytics
+    funnel primitive; steps must occur in order, re-entries don't reset).
+
+    Returns one row per step: (step_no, step, n_users, frac_of_first).
+
+    Shape at scale: ONE per-user table is built down a single left-join
+    chain — step 1 is a user-keyed min aggregate, and each later step
+    left-joins that step's events and takes the conditional min
+    (`min(ts WHERE ts > prev step's min)`), carrying every earlier step's
+    timestamp column along. Users who stall at step i simply hold NULL in
+    __t{{i}}..__t{{k-1}}, so ALL per-step counts come from ONE final scalar
+    aggregate (`count(__t_i)` skips NULLs) over that single table — each
+    step's events are scanned exactly once (k scans, k-1 user-keyed joins
+    for a k-step funnel), never a union of per-step aggregate branches that
+    would re-execute the chain per step. No window over all events, no
+    driver-side loop over data.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    per_user = _funnel_per_user(df, steps, within, user_col, type_col, ts_col)
     one = per_user.agg(
         *[F.count(f"__t{i}").alias(f"__n{i}") for i in range(len(steps))]
     )

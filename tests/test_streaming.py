@@ -671,3 +671,39 @@ def test_transition_matrix_counts_and_session_breaks(spark):
     assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["prob"] == 1.0
     assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["prob"] == 1.0
     assert len(got) == 2  # the cross-session (a -> a) pair never counts
+
+
+def test_funnel_latencies_hand_timed(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import funnel_latencies
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1 completes: view at 0, click at 10s, purchase at 40s
+        (1, base, "view"), (1, base + 10 * s, "click"),
+        (1, base + 40 * s, "purchase"),
+        # user 2 stalls after click (20s latency)
+        (2, base, "view"), (2, base + 20 * s, "click"),
+        # user 3 never clicks
+        (3, base, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step_no"]: r for r in funnel_latencies(
+        df, ["view", "click", "purchase"]).collect()}
+    assert got[2]["n_users"] == 2
+    assert got[2]["from_step"] == "view" and got[2]["to_step"] == "click"
+    assert got[2]["avg_latency_s"] == 15.0 and got[2]["max_latency_s"] == 20.0
+    assert got[3]["n_users"] == 1
+    assert got[3]["avg_latency_s"] == 30.0
+
+
+def test_funnel_latencies_requires_two_steps(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.streaming.windows import funnel_latencies
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError):
+        funnel_latencies(df, ["view"])
