@@ -208,6 +208,7 @@ HEADLINE = [
     "events_bootstrap_ci",
     "events_transition_matrix",
     "events_funnel_latencies",
+    "multimodal_dhash",
 ]
 
 

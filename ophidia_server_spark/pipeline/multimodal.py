@@ -452,3 +452,54 @@ def patchify_rgb(
         "doc_id long, patch_row int, patch_col int, ok int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+def dhash_gray(
+    df: DataFrame, src_w: int = 18, src_h: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference hash (the public dHash recipe: downscale to a
+    9 x 8 grayscale grid, set bit (r, c) when cell (r, c) is brighter
+    than its right neighbor) over raw grayscale payloads — the standard
+    64-bit near-duplicate fingerprint for image corpora; equal or
+    near-equal codes group crops/re-encodes of the same picture.
+    Downscaling is exact block summation (src must be divisible by
+    9 x 8), and brighter-than compares integer BLOCK SUMS (equal block
+    sizes make the /n mean cancel), so the hash is bit-deterministic and
+    recomputable by any engine. Bits pack into two 32-bit words held in
+    BIGINTs (the sign_codes convention). Wrong-length payloads yield
+    ok=0 rows with NULL codes — the shared poison-tolerance contract.
+    One Arrow-batched map, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    if src_w % 9 or src_h % 8:
+        raise ValueError(f"{src_w}x{src_h} not divisible by the 9x8 grid")
+    need = src_w * src_h
+    bw, bh = src_w // 9, src_h // 8
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "ok": [], "code_lo": [], "code_hi": []}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(b)
+                rows["doc_id"].append(did)
+                if len(raw) != need:
+                    rows["ok"].append(0)
+                    rows["code_lo"].append(None)
+                    rows["code_hi"].append(None)
+                    continue
+                img = np.frombuffer(raw, dtype="uint8").reshape(src_h, src_w)
+                sums = img.reshape(8, bh, 9, bw).astype("int64").sum(axis=(1, 3))
+                bits = (sums[:, :-1] > sums[:, 1:]).astype("int64")  # (8, 8)
+                flat = bits.reshape(64)
+                lo = int((flat[:32] << np.arange(32, dtype="int64")).sum())
+                hi = int((flat[32:] << np.arange(32, dtype="int64")).sum())
+                rows["ok"].append(1)
+                rows["code_lo"].append(lo)
+                rows["code_hi"].append(hi)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        hashes, "doc_id long, ok int, code_lo long, code_hi long"
+    )

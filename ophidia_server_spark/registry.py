@@ -9057,6 +9057,75 @@ def multimodal_patchify(spark, sf_dir):
     )
 
 
+def _dhash_oracle() -> str:
+    """DuckDB mirror of dhash_gray over the 18x16 text-byte payloads:
+    block sums from static offset lists (the patchify recipe), bits from
+    integer sum comparisons, packed into the same two 32-bit words."""
+
+    def bs(r: int, c: int) -> str:
+        offs = [
+            (2 * r + dr) * 18 + (2 * c + dc)
+            for dr in range(2)
+            for dc in range(2)
+        ]
+        return (
+            f"list_sum(list_transform({offs}, "
+            "i -> ascii(substr(s, i + 1, 1)) % 256))"
+        )
+
+    def word(rlo: int) -> str:
+        terms = []
+        for r in range(rlo, rlo + 4):
+            for c in range(8):
+                k = (r - rlo) * 8 + c
+                terms.append(
+                    f"(CASE WHEN {bs(r, c)} > {bs(r, c + 1)} "
+                    f"THEN {1 << k} ELSE 0 END)"
+                )
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return f"""WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN text
+              ELSE substr(rpad(text, 288, 'x'), 1, 288) END AS s
+  FROM documents)
+SELECT doc_id, CAST(1 AS INT) AS ok,
+       {word(0)} AS code_lo,
+       {word(4)} AS code_hi
+FROM p WHERE length(s) = 288
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p WHERE length(s) <> 288"""
+
+
+@q("multimodal_dhash", _dhash_oracle())
+def multimodal_dhash(spark, sf_dir):
+    """Perceptual difference hash (pipeline/multimodal.py dhash_gray)
+    over deterministic 18x16 grayscale payloads built from the text
+    bytes: 2x2 exact block sums down to the 9x8 dHash grid, bit (r,c) =
+    block brighter than its right neighbor, packed into two 32-bit
+    words. DuckDB recomputes every block sum from static offsets — both
+    codes hash-matched; every 50th doc keeps its raw length and must
+    degrade to the ok=0 row."""
+    import pandas as pd
+
+    need = 18 * 16
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_raw(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytes(ord(c) % 256 for c in txt)
+                if did % 50 != 0:
+                    raw = (raw + b"x" * need)[:need]
+                payloads.append(raw)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_raw, "doc_id long, payload binary")
+    return mm.dhash_gray(blobs, 18, 16)
+
+
 @q(
     "events_dds_quantiles_by_type",
     """WITH sk AS (

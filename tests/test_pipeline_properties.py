@@ -336,3 +336,43 @@ def test_containment_join_prefix_equals_bruteforce_and_is_directional(spark):
     assert got == exact
     # directionality: 1 is contained in 0, not vice versa
     assert (1, 0) in got and (0, 1) not in got
+
+
+def test_dhash_gray_known_pattern_and_poison(spark):
+    from ophidia_server_spark.pipeline.multimodal import dhash_gray
+
+    # left-bright / right-dark gradient: every brighter-than-right bit
+    # fires -> all 64 bits set -> both words = 2^32 - 1
+    grad = bytes(
+        255 - (c // 2) * 20 for _ in range(16) for c in range(18)
+    )
+    flat = bytes(7 for _ in range(288))  # no bit fires
+    poison = b"short"
+    df = spark.createDataFrame(
+        [(1, grad), (2, flat), (3, poison)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in dhash_gray(df, 18, 16).collect()}
+    assert got[1]["ok"] == 1
+    assert got[1]["code_lo"] == 2**32 - 1 and got[1]["code_hi"] == 2**32 - 1
+    assert got[2]["code_lo"] == 0 and got[2]["code_hi"] == 0
+    assert got[3]["ok"] == 0 and got[3]["code_lo"] is None
+    # near-dup invariance: one-pixel noise keeps the hash
+    noisy = bytearray(grad)
+    noisy[40] = max(0, noisy[40] - 3)
+    df2 = spark.createDataFrame(
+        [(9, bytes(noisy))], "doc_id long, payload binary"
+    )
+    r9 = dhash_gray(df2, 18, 16).first()
+    assert (r9["code_lo"], r9["code_hi"]) == (
+        got[1]["code_lo"], got[1]["code_hi"]
+    )
+
+
+def test_dhash_gray_rejects_bad_grid(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.multimodal import dhash_gray
+
+    df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    with _pytest.raises(ValueError):
+        dhash_gray(df, 10, 16)
