@@ -209,6 +209,9 @@ HEADLINE = [
     "events_transition_matrix",
     "events_funnel_latencies",
     "multimodal_dhash",
+    "text_encoding_artifacts",
+    "text_url_domains",
+    "audit_fd_check",
 ]
 
 

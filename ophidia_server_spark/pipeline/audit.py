@@ -178,6 +178,24 @@ def fk_integrity(
     )
 
 
+def fd_check(df: DataFrame, det_col: str, dep_col: str) -> DataFrame:
+    """Functional-dependency audit (does `det_col` determine `dep_col`?)
+    — the schema-discovery / key-sanity check run before trusting a
+    column as a join key or a dimension attribute. One determinant-keyed
+    exact-distinct aggregate; returns one row (n_keys, n_violating,
+    max_dep_per_key, holds)."""
+    per = df.groupBy(F.col(det_col).alias("__k")).agg(
+        F.countDistinct(F.col(dep_col)).alias("__d")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("__d") > 1).cast("long")).cast("long")
+        .alias("n_violating"),
+        F.max("__d").cast("long").alias("max_dep_per_key"),
+        (F.max("__d") <= 1).cast("int").alias("holds"),
+    )
+
+
 def rate_spikes(
     df: DataFrame,
     ts_col: str = "ts",

@@ -649,6 +649,58 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encoding_artifacts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage detection — the crawl-hygiene pass that
+    catches double-decoded UTF-8 and binary bleed before a document
+    poisons a tokenizer: per doc, counts of U+FFFD replacement chars,
+    the classic UTF-8-as-Latin-1 mojibake markers ('Ã', 'â€', 'Â'),
+    C0 control characters (except tab/newline/CR), the non-ASCII char
+    count, and a `suspect` flag when any damage marker fires. Pure map
+    stage — fixed-string and ASCII-class regex counts only, no Unicode
+    regex classes (RE2/Java \\s semantics differ; see the parity notes).
+    """
+    s = F.col(text_col)
+
+    def cnt_fixed(marker: str) -> Column:
+        return (
+            F.length(s) - F.length(F.replace(s, F.lit(marker), F.lit("")))
+        ) / len(marker)
+
+    ctrl = F.length(s) - F.length(
+        F.regexp_replace(s, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    ascii_kept = F.length(F.regexp_replace(s, "[^\\x20-\\x7e\\t\\r\\n]", ""))
+    non_ascii = F.length(s) - ascii_kept
+    repl = cnt_fixed("�")
+    moji = cnt_fixed("Ã") + cnt_fixed("â€") + cnt_fixed("Â")
+    return df.select(
+        "doc_id",
+        repl.cast("long").alias("n_replacement"),
+        moji.cast("long").alias("n_mojibake"),
+        ctrl.cast("long").alias("n_control"),
+        non_ascii.cast("long").alias("n_non_ascii"),
+        ((repl > 0) | (moji > 0) | (ctrl > 0)).cast("int").alias("suspect"),
+    )
+
+
+def url_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL/domain inventory of a text corpus — the blocklist/source-mix
+    table of every web-crawl pipeline: extract http(s) URLs, lowercase
+    the host, count mentions and distinct documents per domain. One
+    regex-extract map + explode + one domain-keyed count (term-keyed
+    shuffle, no vocabulary broadcast)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://([a-zA-Z0-9.-]+)"), 1
+    )
+    ex = df.select(
+        "doc_id", F.explode(urls).alias("__h")
+    ).select("doc_id", F.lower("__h").alias("domain"))
+    return ex.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame, ref: DataFrame, text_col: str = "text",
     shingle_k: int = 3,

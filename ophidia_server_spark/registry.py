@@ -9057,6 +9057,126 @@ def multimodal_patchify(spark, sf_dir):
     )
 
 
+@q(
+    "text_encoding_artifacts",
+    """WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' Ã© â€™ bad ' || chr(65533) || chr(7)
+              ELSE text END AS s
+  FROM documents)
+SELECT doc_id,
+       CAST((length(s) - length(replace(s, chr(65533), ''))) AS BIGINT)
+         AS n_replacement,
+       CAST((length(s) - length(replace(s, 'Ã', '')))
+            + (length(s) - length(replace(s, 'â€', ''))) / 2
+            + (length(s) - length(replace(s, 'Â', ''))) AS BIGINT)
+         AS n_mojibake,
+       CAST(length(s) - length(regexp_replace(s,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT)
+         AS n_control,
+       CAST(length(s) - length(regexp_replace(s,
+            '[^\\x20-\\x7e\\t\\r\\n]', '', 'g')) AS BIGINT) AS n_non_ascii,
+       CAST((length(s) - length(replace(s, chr(65533), ''))) > 0
+            OR (length(s) - length(replace(s, 'Ã', ''))) > 0
+            OR (length(s) - length(replace(s, 'â€', ''))) / 2 > 0
+            OR (length(s) - length(replace(s, 'Â', ''))) > 0
+            OR (length(s) - length(regexp_replace(s,
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) > 0
+            AS INT) AS suspect
+FROM p""",
+)
+def text_encoding_artifacts(spark, sf_dir):
+    """Mojibake / encoding-damage audit (pipeline/text.py
+    encoding_artifacts): every 10th document gets deterministic damage
+    (mojibake markers, a U+FFFD, a BEL control char) appended and must
+    be flagged with exact artifact counts; clean docs must count zero.
+    All five figures hash-matched."""
+    docs = _t(spark, sf_dir)["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"), F.lit(" Ã© â€™ bad �\x07")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.encoding_artifacts(docs)
+
+
+@q(
+    "text_url_domains",
+    """WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see https://D' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.Example.com/page and http://mirror.net/x'
+              ELSE text END AS s
+  FROM documents
+), u AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(
+           s, 'https?://([a-zA-Z0-9.-]+)', 1))) AS domain
+  FROM p
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain""",
+)
+def text_url_domains(spark, sf_dir):
+    """URL/domain inventory (pipeline/text.py url_domains): every 3rd
+    document gets two deterministic URLs appended (one mixed-case,
+    keyed by doc_id % 7); the domain table must count mentions and
+    distinct documents per lowercased host. Hash-matched."""
+    docs = _t(spark, sf_dir)["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://D"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".Example.com/page and http://mirror.net/x"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.url_domains(docs)
+
+
+@q(
+    "audit_fd_check",
+    """SELECT 'orders.o_orderkey->o_custkey' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(MAX(d) AS BIGINT) AS max_dep_per_key,
+       CAST(MAX(d) <= 1 AS INT) AS holds
+FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
+      FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'events.user_id->event_type',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(d) AS BIGINT), CAST(MAX(d) <= 1 AS INT)
+FROM (SELECT user_id, COUNT(DISTINCT event_type) AS d
+      FROM events GROUP BY 1)""",
+)
+def audit_fd_check(spark, sf_dir):
+    """Functional-dependency audit (pipeline/audit.py fd_check): the
+    order key must determine its customer (holds) while user_id must NOT
+    determine event_type (violating counts reported exactly). Both rows
+    hash-matched."""
+    from ophidia_server_spark.pipeline.audit import fd_check
+
+    t = _t(spark, sf_dir)
+    a = fd_check(t["orders"], "o_orderkey", "o_custkey").select(
+        F.lit("orders.o_orderkey->o_custkey").alias("fd"), "*"
+    )
+    b = fd_check(t["events"], "user_id", "event_type").select(
+        F.lit("events.user_id->event_type").alias("fd"), "*"
+    )
+    return a.unionByName(b)
+
+
 def _dhash_oracle() -> str:
     """DuckDB mirror of dhash_gray over the 18x16 text-byte payloads:
     block sums from static offset lists (the patchify recipe), bits from

@@ -164,3 +164,17 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     r3 = poisson_bootstrap_ci(df, "v", "id", b=64, salt="other").first()
     assert r3["mean"] == r1["mean"]
     assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])
+
+
+def test_fd_check_holds_and_violations(spark):
+    from ophidia_server_spark.pipeline.audit import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, "d")],
+        "k long, v string",
+    )
+    r = fd_check(df, "k", "v").first()
+    assert r["n_keys"] == 3 and r["n_violating"] == 1
+    assert r["max_dep_per_key"] == 2 and r["holds"] == 0
+    ok = fd_check(df.filter("k != 2"), "k", "v").first()
+    assert ok["holds"] == 1 and ok["n_violating"] == 0

@@ -80,3 +80,37 @@ def test_ngram_novelty_counts(spark):
     assert got[11]["n_shingles"] == 2 and got[11]["n_novel"] == 1
     assert got[11]["novelty"] == 0.5
     assert got[12]["novelty"] == 1.0
+
+
+def test_encoding_artifacts_flags_constructed_damage(spark):
+    from ophidia_server_spark.pipeline.text import encoding_artifacts
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "mojibake Ã© here and â€™ there"),
+        (3, "repl � and ctrl \x07"),
+        (4, "café naïve"),  # non-ASCII but NOT damage markers
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_artifacts(df).collect()}
+    assert got[1]["suspect"] == 0 and got[1]["n_non_ascii"] == 0
+    assert got[2]["n_mojibake"] == 2 and got[2]["suspect"] == 1
+    assert got[3]["n_replacement"] == 1 and got[3]["n_control"] == 1
+    assert got[3]["suspect"] == 1
+    assert got[4]["suspect"] == 0 and got[4]["n_non_ascii"] == 2
+
+
+def test_url_domains_extraction(spark):
+    from ophidia_server_spark.pipeline.text import url_domains
+
+    rows = [
+        (1, "go to https://A.Example.com/x and http://b.net/y?z=1"),
+        (2, "again https://a.example.com/other plus no url here"),
+        (3, "nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["domain"]: r for r in url_domains(df).collect()}
+    assert got["a.example.com"]["n_mentions"] == 2
+    assert got["a.example.com"]["n_docs"] == 2
+    assert got["b.net"]["n_mentions"] == 1
+    assert len(got) == 2
