@@ -212,6 +212,8 @@ HEADLINE = [
     "text_encoding_artifacts",
     "text_url_domains",
     "audit_fd_check",
+    "search_hybrid_rrf",
+    "events_grouped_trend",
 ]
 
 

@@ -662,6 +662,46 @@ def sign_codes(
     )
 
 
+def rrf_fuse(
+    rankings: list, k: int = 60, id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.'s public RRF — the standard
+    hybrid-search combiner for lexical + semantic rankings): each input
+    DataFrame is (id, score); ranks come from (score DESC, id) and every
+    list contributes round(1e9 / (k + rank)) INTEGER micro-points, so the
+    cross-list sum is exact regardless of aggregation order (true RRF's
+    double sum is order-sensitive at the last ulp with 3+ lists; the
+    1e-9 quantization trades that away). Returns (id, n_lists,
+    rrf = micro_sum / 1e9).
+
+    Shape at scale: one bounded window per ranking (each is already a
+    top-k table), a union, one id-keyed sum — nothing corpus-sized."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for r in rankings:
+        idc, scorec = r.columns[0], r.columns[1]
+        rank = F.row_number().over(
+            Window.orderBy(F.desc(scorec), F.col(idc))
+        )
+        parts.append(
+            r.select(
+                F.col(idc).alias(id_col),
+                F.round(F.lit(1e9) / (F.lit(int(k)) + rank))
+                .cast("long").alias("__m"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        (F.sum("__m").cast("double") / 1e9).alias("rrf"),
+    )
+
+
 def rademacher_matrix(in_dim: int, out_dim: int, salt: str = "jl") -> list:
     """Deterministic content-addressed ±1 projection matrix: sign(j, i) =
     +1 iff md5(f"{j}:{i}:{salt}") starts in '0'-'7'. Computed once on the

@@ -3076,6 +3076,98 @@ def text_bm25_search(spark, sf_dir):
 
 
 @q(
+    "search_hybrid_rrf",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS t
+  FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('hash', 'merge', 'window')
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+bm AS (
+  SELECT doc_id,
+         SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+  CROSS JOIN scalars
+  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT e FROM qv)) AS s
+  FROM embeddings ORDER BY s DESC, vec_id LIMIT 20
+), ra AS (
+  SELECT doc_id,
+         CAST(ROUND(1e9 / (60 + ROW_NUMBER()
+              OVER (ORDER BY s DESC, doc_id))) AS BIGINT) AS m
+  FROM bm
+), rb AS (
+  SELECT doc_id,
+         CAST(ROUND(1e9 / (60 + ROW_NUMBER()
+              OVER (ORDER BY s DESC, doc_id))) AS BIGINT) AS m
+  FROM cos
+), u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(m) AS DOUBLE) / 1e9 AS rrf
+FROM u GROUP BY doc_id""",
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid search by reciprocal-rank fusion (pipeline/similarity.py
+    rrf_fuse — Cormack et al.): the BM25 top-20 for ('hash', 'merge',
+    'window') fuses with the embedding-cosine top-20 for query vector 0;
+    each list contributes exact integer micro-points round(1e9/(60 +
+    rank)), so the fused score is order-independent. Every (doc,
+    n_lists, rrf) row hash-matches DuckDB's dual-ranking mirror."""
+    docs = _t(spark, sf_dir)["documents"]
+    emb = _t(spark, sf_dir)["embeddings"]
+    bm = tx.bm25_scores(docs, ["hash", "merge", "window"], top_k=20)
+    cos = sim.topk_cosine(emb, _query_vec(spark, sf_dir), k=20)
+    return sim.rrf_fuse([bm, cos])
+
+
+@q(
+    "events_grouped_trend",
+    f"""WITH a AS (
+  SELECT event_type AS key,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) - {win._TREND_EPOCH0}
+              AS DECIMAL(12,0)) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), s AS (
+  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM a GROUP BY 1
+)
+SELECT key, CAST(n AS BIGINT) AS n_points,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             ELSE 0.0 END * 86400.0, 6) AS slope_per_day,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0.0 END, 6) AS pearson_r
+FROM s""",
+)
+def events_grouped_trend(spark, sf_dir):
+    """Per-key OLS trend (streaming/windows.py grouped_trend): slope of
+    value per day and Pearson r per event type from EXACT sufficient
+    statistics (offset integer seconds, decimal value sums) divided once
+    in double. One keyed aggregate; every figure hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.grouped_trend(ev)
+
+
+@q(
     "text_tfidf_keywords",
     r"""WITH toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -1097,6 +1097,54 @@ def attribute_last_touch(
     )
 
 
+_TREND_EPOCH0 = 1_600_000_000  # shared x-offset: keeps x^2 sums small/exact
+
+
+def grouped_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key linear trend of a measure over time ("is this metric
+    drifting?"): ordinary least squares of value against epoch seconds,
+    reported as slope PER DAY plus the Pearson correlation — the
+    trending-metrics table of an ops review. All five sufficient
+    statistics (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT (integer seconds
+    offset by a shared constant so x^2 stays small; DECIMAL value
+    sums), and the slope/correlation divide once in double, so the
+    figures are engine-portable. ONE key-keyed aggregate — no window,
+    no sort. Returns (key, n_points, slope_per_day R6, pearson_r R6)."""
+    x = (
+        F.floor(F.col(ts_col).cast("timestamp").cast("double")).cast("long")
+        - F.lit(_TREND_EPOCH0)
+    ).cast("decimal(12,0)")
+    y = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(dx > 0, num / dx).otherwise(F.lit(0.0))
+    r = F.when(
+        (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "key",
+        n.cast("long").alias("n_points"),
+        F.round(slope * 86400.0, 6).alias("slope_per_day"),
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     gap_minutes: int = 30,

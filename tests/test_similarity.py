@@ -468,3 +468,35 @@ def test_rademacher_matrix_is_deterministic_and_balanced(spark):
     assert all(v in (-1, 1) for row in m1 for v in row)
     # a different salt gives a different matrix
     assert m1 != rademacher_matrix(64, 16, salt="other")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from ophidia_server_spark.pipeline.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+
+    def pts(rank):
+        return round(1e9 / (60 + rank))
+
+    assert got[1]["n_lists"] == 1 and got[1]["rrf"] == pts(1) / 1e9
+    # doc 2: rank 2 in list a, rank 1 in list b
+    assert got[2]["n_lists"] == 2
+    assert got[2]["rrf"] == (pts(2) + pts(1)) / 1e9
+    assert got[4]["rrf"] == pts(2) / 1e9
+    # fused winner is the doc present high in both lists
+    assert max(got, key=lambda d: got[d]["rrf"]) == 2
+
+
+def test_rrf_fuse_rejects_empty_input(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.similarity import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])

@@ -707,3 +707,24 @@ def test_funnel_latencies_requires_two_steps(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pytest.raises(ValueError):
         funnel_latencies(df, ["view"])
+
+
+def test_grouped_trend_exact_line_and_flat(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import grouped_trend
+
+    base = dt.datetime(2024, 1, 1)
+    d = dt.timedelta(days=1)
+    rows = (
+        # key "up": value rises exactly 2.0/day -> slope 2, r = 1
+        [("up", base + i * d, 10.0 + 2.0 * i) for i in range(5)]
+        # key "flat": no variance -> slope 0, r guarded to 0
+        + [("flat", base + i * d, 7.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["key"]: r for r in grouped_trend(df).collect()}
+    assert got["up"]["slope_per_day"] == 2.0 and got["up"]["pearson_r"] == 1.0
+    assert got["flat"]["slope_per_day"] == 0.0
+    assert got["flat"]["pearson_r"] == 0.0
+    assert got["up"]["n_points"] == 5
