@@ -342,73 +342,127 @@ def ngram_jaccard_pairs(
     )
 
 
+def _unique_shingle_sets(
+    df: DataFrame, text_col: str, shingle_k: int, id_col: str,
+):
+    """Collapse documents with IDENTICAL shingle sets before any pair
+    join — the dedup-before-near-dup step that keeps exact similarity
+    joins output-bound: on a corpus with heavy exact duplication the
+    candidate/verify stages would otherwise pay the clone count SQUARED
+    (the round-8 sf1 scale-up measured 40x at 10x replicated data), while
+    the unique-set grain pays it once and re-expands qualifying pairs as
+    pure output. Returns (members (__rk, id), reps (__rk, shingles, n))
+    with __rk = md5 of the sorted set."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_sets(df, text_col, shingle_k)
+    if id_col != "doc_id":
+        sh = sh.withColumnRenamed("doc_id", id_col)
+    keyed = sh.select(
+        F.col(id_col),
+        "shingles",
+        F.md5(F.concat_ws("\x01", F.array_sort("shingles"))).alias("__rk"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    members = keyed.select("__rk", F.col(id_col))
+    # any member's array works as the rep: same SET by construction, and
+    # every consumer is order-insensitive (sizes / array_intersect)
+    reps = keyed.groupBy("__rk").agg(
+        F.first("shingles").alias("shingles"),
+        F.count(F.lit(1)).alias("__nm"),
+    )
+    return members, reps
+
+
+def _rep_prefixes(reps: DataFrame, threshold: float) -> DataFrame:
+    """Frequency-ascending prefix table over UNIQUE shingle sets: first
+    |A| - ceil(t*|A|) + 1 shingles of each set under the (set frequency
+    ASC, shingle ASC) global order — any consistent total order keeps
+    the prefix-filter theorem lossless, and unique-set frequencies make
+    boilerplate-heavy clones count once."""
+    from pyspark.sql import Window
+
+    tok = reps.select(
+        "__rk", F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("__s"),
+    )
+    freq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pos = F.row_number().over(
+        Window.partitionBy("__rk").orderBy("__df", "__s")
+    )
+    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    return (
+        tok.join(freq, "__s")
+        .withColumn("__pos", pos)
+        .filter(F.col("__pos") <= plen)
+        .select("__rk", "__s")
+    )
+
+
 def jaccard_join_prefix(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3,
     threshold: float = 0.5, id_col: str = "doc_id",
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity self-join via prefix filtering
     (the PPJoin-family guarantee: unlike LSH banding, NO qualifying pair
-    can be missed). Shingles get a global total order by (document
-    frequency ASC, shingle ASC); each document's candidate prefix is its
-    first |A| - ceil(t*|A|) + 1 shingles in that order. If J(A,B) >= t
-    then |A∩B| >= ceil(t*|A|), which cannot fit inside the suffix of
-    size ceil(t*|A|) - 1 — so every qualifying pair shares a PREFIX
-    shingle and the candidate join is lossless. Verification computes
-    the exact Jaccard over the full shingle sets.
+    can be missed). If J(A,B) >= t then |A∩B| >= ceil(t*|A|), which
+    cannot fit inside the suffix of size ceil(t*|A|) - 1 under the
+    global (frequency ASC, shingle ASC) shingle order — so every
+    qualifying pair shares a PREFIX shingle and the candidate join is
+    lossless; verification computes exact Jaccard over full sets.
 
-    Shape at scale: frequency-ascending prefixes are built from RARE
-    shingles, so candidate buckets stay small even when boilerplate
-    shingles are corpus-hot (those live in suffixes and never key the
-    join); the per-doc ranking window is bounded by the document's own
-    shingle count. One term-keyed frequency aggregate + one doc-bounded
-    window + one prefix-keyed join + one bounded verify join."""
+    Shape at scale: the join runs at UNIQUE-SHINGLE-SET grain
+    (_unique_shingle_sets) — exact clones collapse before the quadratic
+    stages and qualifying set-pairs re-expand to document pairs as pure
+    output (clone-pairs are J=1.0 by definition). Prefixes are built
+    from RARE shingles, so candidate buckets stay small even when
+    boilerplate shingles are corpus-hot; the per-set ranking window is
+    bounded by the set's own size. One term-keyed frequency aggregate +
+    one set-bounded window + one prefix-keyed join + one bounded verify
+    join + two member-expansion joins."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
-
-    sh = shingle_sets(df, text_col, shingle_k).withColumnRenamed(
-        "doc_id", id_col
-    ) if id_col != "doc_id" else shingle_sets(df, text_col, shingle_k)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    tok = sh.select(
-        id_col, F.size("shingles").alias("__n"),
-        F.explode("shingles").alias("__s"),
+    members, reps = _unique_shingle_sets(
+        df, text_col, shingle_k, id_col
     )
-    freq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("__df", "__s")
-    )
-    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
-    prefix = (
-        tok.join(freq, "__s")
-        .withColumn("__pos", pos)
-        .filter(F.col("__pos") <= plen)
-        .select(id_col, "__s")
-    )
+    prefix = _rep_prefixes(reps, threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rk") < F.col("b.__rk")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.__rk").alias("__ra"), F.col("b.__rk").alias("__rb"))
+        .dropDuplicates(["__ra", "__rb"])
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
+    sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
-    return (
-        cand.join(sa, "id_a").join(sb, "id_b")
+    qual = (
+        cand.join(sa, "__ra").join(sb, "__rb")
         .withColumn("__j", inter / union)
         .filter(F.col("__j") >= threshold)
-        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        .select("__ra", "__rb", "__j")
     )
+    ma = members.select(F.col("__rk").alias("__ra"), F.col(id_col).alias("__xa"))
+    mb = members.select(F.col("__rk").alias("__rb"), F.col(id_col).alias("__xb"))
+    cross = qual.join(ma, "__ra").join(mb, "__rb").select(
+        F.least("__xa", "__xb").alias("id_a"),
+        F.greatest("__xa", "__xb").alias("id_b"),
+        F.round("__j", 6).alias("jaccard"),
+    )
+    m1 = members.select("__rk", F.col(id_col).alias("__xa"))
+    m2 = members.select("__rk", F.col(id_col).alias("__xb"))
+    intra = (
+        m1.join(m2, "__rk")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            F.col("__xa").alias("id_a"), F.col("__xb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def containment_join_prefix(
@@ -425,48 +479,51 @@ def containment_join_prefix(
     of A's first |A| - ceil(t*|A|) + 1 shingles. The container side is
     not prunable (any of B's shingles may witness), so A-prefixes join
     B's full posting list — still sub-quadratic because prefixes are
-    built from RARE shingles. Verification is exact over full sets."""
+    built from RARE shingles. Verification is exact over full sets.
+
+    Shape at scale: like jaccard_join_prefix, the quadratic stages run
+    at UNIQUE-SHINGLE-SET grain (_unique_shingle_sets) — exact clones
+    collapse first and qualifying set-pairs re-expand to ordered
+    document pairs as pure output (same-set pairs have containment 1.0
+    in both directions by definition)."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
-
-    sh = shingle_sets(df, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    members, reps = _unique_shingle_sets(df, text_col, shingle_k, id_col)
+    prefix = _rep_prefixes(reps, threshold).select(
+        F.col("__rk").alias("__ra"), "__s"
     )
-    tok = sh.select(
-        F.col("doc_id").alias(id_col) if id_col != "doc_id" else "doc_id",
-        F.size("shingles").alias("__n"),
-        F.explode("shingles").alias("__s"),
+    full = reps.select(
+        F.col("__rk").alias("__rb"), F.explode("shingles").alias("__s")
     )
-    freq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("__df", "__s")
-    )
-    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
-    prefix = (
-        tok.join(freq, "__s")
-        .withColumn("__pos", pos)
-        .filter(F.col("__pos") <= plen)
-        .select(F.col(id_col).alias("id_a"), "__s")
-    )
-    full = tok.select(F.col(id_col).alias("id_b"), "__s")
     cand = (
         prefix.join(full, "__s")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("__ra") != F.col("__rb"))
+        .select("__ra", "__rb")
+        .dropDuplicates(["__ra", "__rb"])
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
+    sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     cont = inter / F.size("__sa").cast("double")
-    return (
-        cand.join(sa, "id_a").join(sb, "id_b")
+    qual = (
+        cand.join(sa, "__ra").join(sb, "__rb")
         .withColumn("__c", cont)
         .filter(F.col("__c") >= threshold)
-        .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
+        .select("__ra", "__rb", "__c")
     )
+    ma = members.select(F.col("__rk").alias("__ra"), F.col(id_col).alias("id_a"))
+    mb = members.select(F.col("__rk").alias("__rb"), F.col(id_col).alias("id_b"))
+    cross = qual.join(ma, "__ra").join(mb, "__rb").select(
+        "id_a", "id_b", F.round("__c", 6).alias("containment")
+    )
+    m1 = members.select("__rk", F.col(id_col).alias("id_a"))
+    m2 = members.select("__rk", F.col(id_col).alias("id_b"))
+    intra = (
+        m1.join(m2, "__rk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("containment"))
+    )
+    return cross.unionByName(intra)
 
 
 def dedup_keep_best(

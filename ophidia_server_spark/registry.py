@@ -3133,6 +3133,43 @@ def search_hybrid_rrf(spark, sf_dir):
 
 
 @q(
+    "events_autocorrelation",
+    """WITH daily AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT daily.key, t.lag, daily.c AS x,
+         daily.d + CAST(t.lag AS INT) AS dk
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) t
+), pairs AS (
+  SELECT l.key, l.lag, l.x, b.c AS y
+  FROM lagged l JOIN daily b ON l.key = b.key AND l.dk = b.d
+), s AS (
+  SELECT key, lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0.0 END, 6) AS acf
+FROM s""",
+)
+def events_autocorrelation(spark, sf_dir):
+    """Daily-count autocorrelation at lags 1-7 per event type
+    (streaming/windows.py daily_autocorrelation — the weekly-seasonality
+    detector): calendar-aligned pairs, Pearson r from exact integer
+    sums. Every (key, lag, n, acf) row hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.daily_autocorrelation(ev, max_lag=7)
+
+
+@q(
     "events_grouped_trend",
     f"""WITH a AS (
   SELECT event_type AS key,

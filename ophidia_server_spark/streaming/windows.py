@@ -1097,6 +1097,63 @@ def attribute_last_touch(
     )
 
 
+def daily_autocorrelation(
+    df: DataFrame,
+    max_lag: int = 7,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation of each key's DAILY EVENT COUNTS at lags 1..
+    `max_lag` — the seasonality detector (a spike at lag 7 = weekly
+    rhythm) behind capacity planning and anomaly baselines. For each
+    lag k, pairs are (day, day - k) aligned on the CALENDAR (missing
+    days simply produce no pair), and Pearson r comes from exact integer
+    sums divided once in double. Returns (key, lag, n_pairs, acf R6).
+
+    Shape at scale: one (key, day) count, one bounded explode by
+    max_lag, one self-join keyed on (key, day) against the lag-shifted
+    copy — day-grain tables, never raw events."""
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), day.alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    lags = daily.select(
+        "key", "__d", "__c",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).select(
+        "key", "lag", F.col("__c").alias("__x"),
+        F.date_add(F.col("__d").cast("date"), F.col("lag")).alias("__dk"),
+    )
+    base = daily.select(
+        "key", F.col("__d").cast("date").alias("__dk"),
+        F.col("__c").alias("__y"),
+    )
+    pairs = lags.join(base, ["key", "__dk"])
+    agg = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("double").alias("__syy"),
+    )
+    n = F.col("__n")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "key",
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("acf"),
+    )
+
+
 _TREND_EPOCH0 = 1_600_000_000  # shared x-offset: keeps x^2 sums small/exact
 
 

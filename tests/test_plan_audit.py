@@ -49,8 +49,9 @@ BARS = {
     "text_strip_markup": (1, 0),
     "multimodal_decode_jpeg": (1, 0),
     # round-8 second half: ceilings from the measured sf0.001 AQE plans
-    "dedup_jaccard_join": (6, 4),
-    "dedup_containment_join": (5, 2),
+    # unique-set collapse + member expansion (round-8 sf1 fix)
+    "dedup_jaccard_join": (10, 8),
+    "dedup_containment_join": (9, 6),
     # +1 shuffle headroom: AQE sometimes BHJs the wedge-closure join and
     # sometimes exchanges it, depending on runtime stats of the prior run
     "graph_triangle_counts": (4, 6),
