@@ -214,6 +214,7 @@ HEADLINE = [
     "audit_fd_check",
     "search_hybrid_rrf",
     "events_grouped_trend",
+    "events_autocorrelation",
 ]
 
 

@@ -728,3 +728,23 @@ def test_grouped_trend_exact_line_and_flat(spark):
     assert got["flat"]["slope_per_day"] == 0.0
     assert got["flat"]["pearson_r"] == 0.0
     assert got["up"]["n_points"] == 5
+
+
+def test_daily_autocorrelation_weekly_pattern(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import daily_autocorrelation
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 28 days: weekends (day % 7 in {5, 6}) get 1 event, weekdays 5 —
+    # strong positive acf at lag 7, negative-ish at other lags
+    for day in range(28):
+        n = 1 if day % 7 in (5, 6) else 5
+        for i in range(n):
+            rows.append(("k", base + dt.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["lag"]: r for r in daily_autocorrelation(df, max_lag=7).collect()}
+    assert got[7]["acf"] == 1.0  # exactly periodic series
+    assert got[7]["n_pairs"] == 21
+    assert got[1]["acf"] < 0.6
