@@ -155,26 +155,40 @@ def fk_integrity(
     a dimension's primary key — the join-health check a pipeline runs
     before trusting any enrichment join: one row with fact/dim sizes,
     orphan fact rows (fk with no dim match; NULL fks counted separately),
-    and unused dim rows. Two left_anti counts — shuffles keyed on the
-    join key, nothing collected but the report row."""
+    and unused dim rows. ONE fact-side pass (left join + aggregate —
+    never four separate count() rescans of the fact source) plus one
+    dim-side aggregate, combined in-plan; the result stays a lazy
+    one-row DataFrame with nothing collected."""
     fkc = fact.select(F.col(fk).alias("__fk"))
     pkc = dim.select(F.col(pk).alias("__fk")).distinct()
-    n_fact = fkc.count()
-    n_null = fkc.filter(F.col("__fk").isNull()).count()
-    n_orphan = (
-        fkc.filter(F.col("__fk").isNotNull())
-        .join(pkc, "__fk", "left_anti").count()
+    hit = pkc.withColumn("__hit", F.lit(1))
+    fact_agg = (
+        fkc.join(hit, "__fk", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fact"),
+            F.sum(F.col("__fk").isNull().cast("long"))
+            .cast("long").alias("n_null_fk"),
+            F.sum(
+                (F.col("__fk").isNotNull() & F.col("__hit").isNull())
+                .cast("long")
+            ).cast("long").alias("n_orphans"),
+        )
     )
-    n_dim = pkc.count()
-    n_unused = pkc.join(
-        fkc.filter(F.col("__fk").isNotNull()).distinct(), "__fk", "left_anti"
-    ).count()
-    spark = fact.sparkSession
-    return spark.createDataFrame(
-        [(n_fact, n_null, n_orphan,
-          round(n_orphan / max(n_fact - n_null, 1), 6), n_dim, n_unused)],
-        "n_fact long, n_null_fk long, n_orphans long, orphan_frac double, "
-        "n_dim long, n_unused_dim long",
+    used = fkc.filter(F.col("__fk").isNotNull()).distinct().withColumn(
+        "__used", F.lit(1)
+    )
+    dim_agg = pkc.join(used, "__fk", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dim"),
+        F.sum(F.col("__used").isNull().cast("long"))
+        .cast("long").alias("n_unused_dim"),
+    )
+    return fact_agg.crossJoin(F.broadcast(dim_agg)).select(
+        "n_fact", "n_null_fk", "n_orphans",
+        F.round(
+            F.col("n_orphans")
+            / F.greatest(F.col("n_fact") - F.col("n_null_fk"), F.lit(1)), 6
+        ).alias("orphan_frac"),
+        "n_dim", "n_unused_dim",
     )
 
 
@@ -418,11 +432,20 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
         F.col(col).cast("decimal(18,2)").cast("string"), "[^1-9]", ""
     )
     d = F.substring(s, 1, 1)
-    counts = (
+    observed = (
         df.select(d.alias("digit"))
         .filter(F.col("digit") != "")
         .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    # ALWAYS report all nine digits: an ABSENT digit contributes its full
+    # (0 - N*e_d)^2 / (N*e_d) chi-square term — dropping it understates
+    # the statistic exactly when the data is most anomalous
+    all_digits = df.sparkSession.createDataFrame(
+        [(str(dig),) for dig in range(1, 10)], "digit string"
+    )
+    counts = all_digits.join(observed, "digit", "left").select(
+        "digit", F.coalesce("__o", F.lit(0)).cast("long").alias("n")
     )
     expected = F.lit(None).cast("double")
     for dig in range(9, 0, -1):
@@ -433,10 +456,11 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
         "digit", "n", expected.alias("__e"),
         F.sum("n").over(Window.partitionBy()).cast("double").alias("__N"),
     )
-    term = (
+    term = F.when(
+        F.col("__N") > 0,
         (F.col("n").cast("double") - F.col("__N") * F.col("__e")) ** 2
-        / (F.col("__N") * F.col("__e"))
-    )
+        / (F.col("__N") * F.col("__e")),
+    ).otherwise(F.lit(0.0))
     chi2 = (
         F.sum(F.round(term * 1e6).cast("long")).over(Window.partitionBy())
         / 1e6
@@ -444,7 +468,9 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
     return with_exp.select(
         "digit",
         "n",
-        F.round(F.col("n") / F.col("__N"), 6).alias("frac"),
+        F.round(
+            F.col("n") / F.greatest(F.col("__N"), F.lit(1.0)), 6
+        ).alias("frac"),
         F.round("__e", 6).alias("expected_frac"),
         F.round(chi2, 6).alias("chi2"),
     )

@@ -352,17 +352,35 @@ def _unique_shingle_sets(
     (the round-8 sf1 scale-up measured 40x at 10x replicated data), while
     the unique-set grain pays it once and re-expands qualifying pairs as
     pure output. Returns (members (__rk, id), reps (__rk, shingles, n))
-    with __rk = md5 of the sorted set."""
-    from pyspark.storagelevel import StorageLevel
-
-    sh = shingle_sets(df, text_col, shingle_k)
+    with __rk = md5 over the sorted set's PER-SHINGLE md5s (fixed-width
+    elements make the encoding unambiguous — a separator char could
+    legally appear inside a shingle on control-byte-bearing crawl
+    text)."""
+    src = df
+    if id_col != "doc_id":
+        # shingle_sets reads doc_id: map the caller's id in BEFORE
+        # shingling (renaming the OUTPUT would mislabel a pre-existing
+        # doc_id column)
+        src = df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col)
+        )
+    sh = shingle_sets(src, text_col, shingle_k)
     if id_col != "doc_id":
         sh = sh.withColumnRenamed("doc_id", id_col)
     keyed = sh.select(
         F.col(id_col),
         "shingles",
-        F.md5(F.concat_ws("\x01", F.array_sort("shingles"))).alias("__rk"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        F.md5(
+            F.concat_ws(
+                "", F.transform(F.array_sort("shingles"), F.md5)
+            )
+        ).alias("__rk"),
+    )
+    # ONE eager materialization: members/reps both read it, and
+    # localCheckpoint blocks are released by the ContextCleaner when the
+    # result plan is dropped (a persist() here would pin a corpus-sized
+    # cache per call across a long session)
+    keyed = keyed.localCheckpoint()
     members = keyed.select("__rk", F.col(id_col))
     # any member's array works as the rep: same SET by construction, and
     # every consumer is order-insensitive (sizes / array_intersect)
@@ -533,13 +551,18 @@ def dedup_keep_best(
     e.g. a canonical text key or cluster id) keep the row with the
     HIGHEST `score_col` (ties to the smallest id — deterministic), the
     standard 'keep the best copy' policy when duplicates differ in
-    quality metadata. One key-partitioned max_by aggregate — no window
+    quality metadata. One key-partitioned min_by aggregate — no window
     over raw rows, no sort; returns (key, kept id, kept score,
-    n_duplicates dropped)."""
+    n_duplicates dropped). `score_col` must be numeric (it is negated
+    for the composite ordering); ids may be ANY orderable type —
+    strings included."""
     return df.groupBy(F.col(key_col).alias("dup_key")).agg(
-        F.max_by(
+        # min over (-score, id): highest score first, ties to smallest id
+        # — negating the SCORE (numeric by contract) instead of the id
+        # keeps string doc ids working
+        F.min_by(
             F.col(id_col),
-            F.struct(F.col(score_col), -F.col(id_col)),
+            F.struct(-F.col(score_col), F.col(id_col)),
         ).alias("kept_id"),
         F.max(score_col).alias("kept_score"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),

@@ -731,10 +731,14 @@ def random_project(
     out_dim=16 makes the 1/sqrt(m) scale exactly 0.25, a power of two,
     so the projection is bit-deterministic across engines. Each output
     coordinate folds the vector in one fixed left-to-right order —
-    pure JVM array math, one map, no shuffle, no UDF. Returns
+    pure JVM array math, one map, no shuffle, no UDF. Vectors whose
+    width differs from `in_dim` are EXCLUDED (a mismatched zip would
+    otherwise null-pad and silently poison every output coordinate);
+    count them upstream with profile_table if they matter. Returns
     (id, dim, value ROUND(6)) in long form."""
     scale = 1.0 / math.sqrt(out_dim)
     mat = rademacher_matrix(in_dim, out_dim, salt)
+    df = df.filter(F.size(F.col(vec_col)) == in_dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     outs = []
     for j in range(out_dim):
@@ -813,6 +817,9 @@ def int8_topk(
     )
     return (
         codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        # width guard: a corrupt/truncated code would null-pad the
+        # zip_with and poison the similarity — drop it instead
+        .filter(F.size("qcode") == F.size("__qq"))
         .withColumn("__sim", sim8)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

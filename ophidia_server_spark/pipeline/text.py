@@ -685,12 +685,17 @@ def encoding_artifacts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def url_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
     """URL/domain inventory of a text corpus — the blocklist/source-mix
-    table of every web-crawl pipeline: extract http(s) URLs, lowercase
-    the host, count mentions and distinct documents per domain. One
+    table of every web-crawl pipeline: extract http(s) URLs
+    (case-insensitive scheme; optional userinfo@ is skipped so
+    'login@evil.com' counts under evil.com, not login), lowercase the
+    host, count mentions and distinct documents per domain. One
     regex-extract map + explode + one domain-keyed count (term-keyed
-    shuffle, no vocabulary broadcast)."""
+    shuffle, no vocabulary broadcast). ASCII character classes only —
+    RE2 and Java agree on them."""
     urls = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"https?://([a-zA-Z0-9.-]+)"), 1
+        F.col(text_col),
+        F.lit(r"(?i)https?://(?:[a-zA-Z0-9._%:+-]+@)?([a-zA-Z0-9.-]+)"),
+        1,
     )
     ex = df.select(
         "doc_id", F.explode(urls).alias("__h")
@@ -714,7 +719,10 @@ def ngram_novelty(
     once; the batch explodes per-doc distinct shingles and LEFT-joins
     the reference on the shingle — both sides shuffle keyed on the
     term, no broadcast of a corpus-sized set — then one per-doc count.
-    Returns (doc_id, n_shingles, n_novel, novelty ROUND(6))."""
+    EVERY batch document reports, including sub-k-token stubs (they
+    carry n_shingles = 0 and novelty 0.0 — a doc with nothing to judge
+    is not silently missing from the audit). Returns (doc_id,
+    n_shingles, n_novel, novelty ROUND(6))."""
     from ophidia_server_spark.pipeline.dedup import _shingles
 
     seen = (
@@ -726,16 +734,25 @@ def ngram_novelty(
         "doc_id",
         F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("__s"),
     )
-    return (
+    per = (
         ex.join(seen, "__s", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count(F.lit(1)).cast("long").alias("__ns"),
             F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_novel"),
+            .cast("long").alias("__nn"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__ns", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("__nn", F.lit(0)).cast("long").alias("n_novel"),
             F.round(
-                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
-                / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+                F.coalesce("__nn", F.lit(0))
+                / F.greatest(F.coalesce("__ns", F.lit(0)), F.lit(1)), 6
             ).alias("novelty"),
         )
     )

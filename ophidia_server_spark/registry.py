@@ -3090,9 +3090,11 @@ tf AS (
 dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
 scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
 bm AS (
+  -- rank on the ROUNDED score: the Spark side (bm25_scores) rounds to
+  -- 4dp before ordering, and ranking raw here can flip near-ties
   SELECT doc_id,
-         SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
-             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS s
   FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
   CROSS JOIN scalars
   GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20
@@ -3100,8 +3102,8 @@ bm AS (
   SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
 ), cos AS (
   SELECT vec_id AS doc_id,
-         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                (SELECT e FROM qv)) AS s
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT e FROM qv)), 6) AS s
   FROM embeddings ORDER BY s DESC, vec_id LIMIT 20
 ), ra AS (
   SELECT doc_id,
@@ -6220,15 +6222,20 @@ def dedup_containment_join(spark, sf_dir):
     f"""WITH {_SHINGLE_CTE},
 seen AS (
   SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id < 100
-), ex AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id >= 100)
-SELECT ex.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       CAST(SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / GREATEST(COUNT(*), 1), 6) AS novelty
-FROM ex LEFT JOIN seen ON ex.s = seen.s
-GROUP BY ex.doc_id""",
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id >= 100),
+per AS (
+  SELECT ex.doc_id, COUNT(*) AS ns,
+         SUM(CASE WHEN seen.s IS NULL THEN 1 ELSE 0 END) AS nn
+  FROM ex LEFT JOIN seen ON ex.s = seen.s
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ns, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(nn, 0) AS BIGINT) AS n_novel,
+       ROUND(CAST(COALESCE(nn, 0) AS DOUBLE)
+             / GREATEST(COALESCE(ns, 0), 1), 6) AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+LEFT JOIN per ON d.doc_id = per.doc_id""",
 )
 def text_ngram_novelty(spark, sf_dir):
     """N-gram novelty audit (pipeline/text.py ngram_novelty): documents
@@ -8968,19 +8975,27 @@ def _benford_oracle(col: str, table: str) -> str:
            CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR),
            '[^1-9]', '', 'g'), 1, 1) AS digit
   FROM {table}
+), obs AS (
+  SELECT digit, COUNT(*) AS o FROM d WHERE digit <> '' GROUP BY digit
+), alld AS (
+  SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS VARCHAR) AS digit
 ), counts AS (
-  SELECT digit, COUNT(*) AS n FROM d WHERE digit <> '' GROUP BY digit
+  SELECT alld.digit, CAST(COALESCE(o, 0) AS BIGINT) AS n
+  FROM alld LEFT JOIN obs ON alld.digit = obs.digit
 ), e AS (
   SELECT digit, n, CAST(CASE digit {case} END AS DOUBLE) AS ex,
          CAST(SUM(n) OVER () AS DOUBLE) AS nn
   FROM counts
 ), t AS (
   SELECT digit, n, ex, nn,
-         CAST(ROUND(POWER(CAST(n AS DOUBLE) - nn * ex, 2)
-                    / (nn * ex) * 1e6) AS BIGINT) AS tm
+         CASE WHEN nn > 0
+              THEN CAST(ROUND(POWER(CAST(n AS DOUBLE) - nn * ex, 2)
+                              / (nn * ex) * 1e6) AS BIGINT)
+              ELSE 0 END AS tm
   FROM e
 )
-SELECT digit, CAST(n AS BIGINT) AS n, ROUND(n / nn, 6) AS frac,
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n / GREATEST(nn, 1.0), 6) AS frac,
        ROUND(ex, 6) AS expected_frac,
        ROUND(SUM(tm) OVER () / 1e6, 6) AS chi2
 FROM t"""
@@ -9239,12 +9254,14 @@ def text_encoding_artifacts(spark, sf_dir):
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0
               THEN text || ' see https://D' || CAST(doc_id % 7 AS VARCHAR)
-                   || '.Example.com/page and http://mirror.net/x'
+                   || '.Example.com/page and HTTP://mirror.net/x'
+                   || ' plus https://login@evil.com/phish'
               ELSE text END AS s
   FROM documents
 ), u AS (
   SELECT doc_id, lower(unnest(regexp_extract_all(
-           s, 'https?://([a-zA-Z0-9.-]+)', 1))) AS domain
+           s, '(?i)https?://(?:[a-zA-Z0-9._%:+-]+@)?([a-zA-Z0-9.-]+)', 1)))
+           AS domain
   FROM p
 )
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_mentions,
@@ -9253,9 +9270,10 @@ FROM u GROUP BY domain""",
 )
 def text_url_domains(spark, sf_dir):
     """URL/domain inventory (pipeline/text.py url_domains): every 3rd
-    document gets two deterministic URLs appended (one mixed-case,
-    keyed by doc_id % 7); the domain table must count mentions and
-    distinct documents per lowercased host. Hash-matched."""
+    document gets three deterministic URLs appended — a mixed-case host
+    keyed by doc_id % 7, an UPPERCASE-scheme URL, and a userinfo@host
+    phishing shape; the domain table must count mentions and distinct
+    documents per lowercased true host. Hash-matched."""
     docs = _t(spark, sf_dir)["documents"].withColumn(
         "text",
         F.when(
@@ -9264,7 +9282,8 @@ def text_url_domains(spark, sf_dir):
                 F.col("text"),
                 F.lit(" see https://D"),
                 (F.col("doc_id") % 7).cast("string"),
-                F.lit(".Example.com/page and http://mirror.net/x"),
+                F.lit(".Example.com/page and HTTP://mirror.net/x"),
+                F.lit(" plus https://login@evil.com/phish"),
             ),
         ).otherwise(F.col("text")),
     )

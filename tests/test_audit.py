@@ -100,12 +100,16 @@ def test_benford_digits_counts_and_chi2(spark):
     vals = [1.23, 12.0, 0.19, 2.5, 0.02, 900.0, 0.0]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
-    assert set(rows) == {"1", "2", "9"}
+    # all nine digits ALWAYS report — absent ones with n=0 still owe
+    # their (0 - N*e)^2/(N*e) chi-square term
+    assert set(rows) == {str(d) for d in range(1, 10)}
     assert rows["1"]["n"] == 3 and rows["1"]["frac"] == 0.5
     assert rows["2"]["n"] == 2 and rows["9"]["n"] == 1
+    assert rows["3"]["n"] == 0 and rows["3"]["frac"] == 0.0
     assert rows["1"]["expected_frac"] == round(math.log10(2), 6)
-    # chi2 recomputed by hand over ALL nine digit cells that appear
-    n, tot = {"1": 3, "2": 2, "9": 1}, 6
+    # chi2 recomputed by hand over ALL nine digit cells
+    n, tot = {str(d): 0 for d in range(1, 10)}, 6
+    n.update({"1": 3, "2": 2, "9": 1})
     chi2 = sum(
         round(
             (c - tot * math.log10(1 + 1 / int(d))) ** 2

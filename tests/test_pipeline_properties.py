@@ -376,3 +376,56 @@ def test_dhash_gray_rejects_bad_grid(spark):
     df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
     with _pytest.raises(ValueError):
         dhash_gray(df, 10, 16)
+
+
+def test_dedup_keep_best_string_ids(spark):
+    from ophidia_server_spark.pipeline.dedup import dedup_keep_best
+
+    rows = [("docB", "k1", 10), ("docA", "k1", 10), ("docC", "k1", 30)]
+    df = spark.createDataFrame(rows, "doc_id string, key string, score long")
+    r = dedup_keep_best(df, "key", "score").first()
+    assert r["kept_id"] == "docC" and r["kept_score"] == 30
+    # tie among string ids goes to the lexicographically smallest
+    tie = dedup_keep_best(df.filter("doc_id != 'docC'"), "key", "score").first()
+    assert tie["kept_id"] == "docA"
+
+
+def test_unique_shingle_sets_separator_cannot_collide(spark):
+    """Two DIFFERENT shingle sets whose concat could be ambiguous under a
+    separator-based key must land in different rep groups (the key is
+    md5-of-per-shingle-md5s, fixed width per element)."""
+    from ophidia_server_spark.pipeline.dedup import _unique_shingle_sets
+
+    # tokens may legally contain \x01 (whitespace split keeps it)
+    d1 = "a b c\x01d e f g h i"
+    d2 = "a b c d\x01e f g h i"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    members, reps = _unique_shingle_sets(df, "text", 3, "doc_id")
+    assert reps.count() == 2  # distinct sets -> distinct rep keys
+
+
+def test_jaccard_join_prefix_custom_id_col(spark):
+    from ophidia_server_spark.pipeline.dedup import jaccard_join_prefix
+
+    df = spark.createDataFrame(
+        [(100, "one two three four five"), (200, "one two three four five")],
+        "my_id long, text string",
+    )
+    got = jaccard_join_prefix(df, threshold=0.5, id_col="my_id").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["jaccard"]) == (100, 200, 1.0)
+
+
+def test_random_project_excludes_mismatched_width(spark):
+    from ophidia_server_spark.pipeline.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.5] * 63)],  # 2 is corrupt
+        "vec_id long, embedding array<float>",
+    )
+    out = random_project(df, out_dim=16, in_dim=64)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1}

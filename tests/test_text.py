@@ -70,9 +70,9 @@ def test_ngram_novelty_counts(spark):
         [(0, "a b c d e")], "doc_id long, text string"
     )
     # doc 10 repeats ref shingles (novelty 0); doc 11 is half-new;
-    # doc 12 is all-new
+    # doc 12 is all-new; doc 13 is a sub-k stub and must STILL report
     batch = spark.createDataFrame(
-        [(10, "a b c d"), (11, "c d e f"), (12, "x y z w")],
+        [(10, "a b c d"), (11, "c d e f"), (12, "x y z w"), (13, "hi")],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in ngram_novelty(batch, ref).collect()}
@@ -80,6 +80,7 @@ def test_ngram_novelty_counts(spark):
     assert got[11]["n_shingles"] == 2 and got[11]["n_novel"] == 1
     assert got[11]["novelty"] == 0.5
     assert got[12]["novelty"] == 1.0
+    assert got[13]["n_shingles"] == 0 and got[13]["novelty"] == 0.0
 
 
 def test_encoding_artifacts_flags_constructed_damage(spark):
@@ -107,10 +108,15 @@ def test_url_domains_extraction(spark):
         (1, "go to https://A.Example.com/x and http://b.net/y?z=1"),
         (2, "again https://a.example.com/other plus no url here"),
         (3, "nothing"),
+        # adversarial shapes: uppercase scheme, userinfo@host
+        (4, "HTTPS://Evil.com/x and https://login@evil.com/phish"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["domain"]: r for r in url_domains(df).collect()}
     assert got["a.example.com"]["n_mentions"] == 2
     assert got["a.example.com"]["n_docs"] == 2
     assert got["b.net"]["n_mentions"] == 1
-    assert len(got) == 2
+    # scheme case must not hide a URL; userinfo must not become the host
+    assert got["evil.com"]["n_mentions"] == 2 and got["evil.com"]["n_docs"] == 1
+    assert "login" not in got
+    assert len(got) == 3
