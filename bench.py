@@ -215,6 +215,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "events_grouped_trend",
     "events_autocorrelation",
+    "cube_apply_histogram",
 ]
 
 

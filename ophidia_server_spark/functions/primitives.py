@@ -338,6 +338,37 @@ def fit_linear() -> ArrayPrimitive:
     return prim
 
 
+def histogram(nbins: int, lo: float, hi: float) -> ArrayPrimitive:
+    """oph_gsl_histogram (ref primitive: fixed-range equal-width bin
+    counts over each array): returns an nbins-long count array; values
+    below `lo` clamp into bin 0, at-or-above `hi` into the last bin
+    (the GSL include-edges convention flattened to clamping so every
+    value lands somewhere). Bin membership compares exact doubles —
+    one filter fold per bin, O(nbins * n) JVM array ops."""
+    if nbins < 1 or not hi > lo:
+        raise ValueError(f"need nbins >= 1 and hi > lo, got {nbins}, [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / nbins
+
+    def prim(arr: Column) -> Column:
+        ys = F.transform(arr, _dbl)
+
+        def bin_count(b: int) -> Column:
+            lo_b = float(lo) + b * width
+            hi_b = float(lo) + (b + 1) * width
+            cond = lambda y: (y >= lo_b) & (y < hi_b)  # noqa: E731
+            if b == 0:
+                cond = lambda y: y < hi_b  # noqa: E731 — clamp below
+            if b == nbins - 1:
+                cond = lambda y: y >= lo_b  # noqa: E731 — clamp above
+            if nbins == 1:
+                cond = lambda y: F.lit(True)  # noqa: E731
+            return F.size(F.filter(ys, cond)).cast("long")
+
+        return F.array(*[bin_count(b) for b in range(nbins)])
+
+    return prim
+
+
 def find_count(cond: Callable[[Column], Column]) -> Callable[[Column], Column]:
     """oph_find: number of elements satisfying the predicate (scalar)."""
     return lambda arr: F.size(F.filter(arr, cond)).cast("long")
@@ -436,5 +467,6 @@ PRIMITIVES: dict[str, Callable[..., ArrayPrimitive]] = {
     "oph_gsl_sd": sd,
     "oph_gsl_fit_linear": fit_linear,
     "oph_gsl_fit_linear_coeff": fit_linear_coeff,
+    "oph_gsl_histogram": histogram,
     "oph_interpolate": interpolate_nan,
 }

@@ -2753,6 +2753,66 @@ def cube_apply_fit_linear(spark, sf_dir):
 
 
 @q(
+    "cube_apply_histogram",
+    """WITH base AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(month(l_shipdate) AS BIGINT) AS m,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS y
+  FROM lineitem GROUP BY 1, 2, 3
+), binned AS (
+  SELECT rf, ls,
+         CASE WHEN y < 11.0 THEN 0
+              WHEN y >= 41.0 THEN 4
+              WHEN y >= 31.0 THEN 3
+              WHEN y >= 21.0 THEN 2
+              ELSE 1 END AS bin
+  FROM base
+), bins AS (SELECT unnest(range(0, 5)) AS bin),
+keys AS (SELECT DISTINCT rf, ls FROM base)
+SELECT k.rf AS l_returnflag, k.ls AS l_linestatus,
+       CAST(bins.bin AS BIGINT) AS bin,
+       CAST(COALESCE(COUNT(binned.bin), 0) AS BIGINT) AS n
+FROM keys k CROSS JOIN bins
+LEFT JOIN binned ON binned.rf = k.rf AND binned.ls = k.ls
+                AND binned.bin = bins.bin
+GROUP BY 1, 2, 3""",
+)
+def cube_apply_histogram(spark, sf_dir):
+    """oph_gsl_histogram (functions/primitives.py histogram — ref GSL
+    primitive parity): each cube cell's 12 monthly AVG(l_quantity)
+    values (a fixed [1, 51) domain at every scale) bin into 5
+    equal-width counts, below/above clamping to the edge bins. The
+    primitive's per-bin boundary comparisons mirror DuckDB's CASE on
+    the same double literals; empty bins report 0."""
+    li = _t(spark, sf_dir)["lineitem"].withColumn(
+        "m", F.month("l_shipdate")
+    )
+    base = li.groupBy(
+        F.col("l_returnflag"), F.col("l_linestatus"), F.col("m")
+    ).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    arrs = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "y"))),
+            lambda s: s["y"],
+        ).alias("arr")
+    )
+    h = prim.histogram(5, 1.0, 51.0)
+    return arrs.select(
+        "l_returnflag", "l_linestatus",
+        F.posexplode(h(F.col("arr"))).alias("bin", "n"),
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.col("bin").cast("long").alias("bin"), "n",
+    )
+
+
+@q(
     "cube_apply_clip",
     f"""WITH {BASE_QTY}
 SELECT l_returnflag, l_linestatus, month,

@@ -268,3 +268,26 @@ def test_fit_linear_primitive_exact_line_and_coeffs(spark):
     assert co[0]["c"] == [1.0, 2.0]
     assert co[1]["c"] == [2.0, 0.0]
     assert co[2]["c"] == [4.0, 0.0]
+
+
+def test_histogram_primitive_clamps_and_counts(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.functions.primitives import histogram
+
+    df = spark.createDataFrame(
+        [([-5.0, 0.0, 1.0, 2.5, 5.0, 9.99, 10.0, 25.0],)],
+        "arr array<double>",
+    )
+    # [0, 10) in 2 bins of width 5: below-range clamps to bin 0,
+    # at-or-above-range clamps to the last bin
+    got = df.select(histogram(2, 0.0, 10.0)(F.col("arr")).alias("h")).first()
+    # {-5, 0, 1, 2.5} -> bin 0 (y < 5); {5, 9.99, 10, 25} -> bin 1
+    assert got["h"] == [4, 4]
+    one = df.select(histogram(1, 0.0, 10.0)(F.col("arr")).alias("h")).first()
+    assert one["h"] == [8]
+    with _pytest.raises(ValueError):
+        histogram(0, 0.0, 1.0)
+    with _pytest.raises(ValueError):
+        histogram(4, 5.0, 5.0)
