@@ -216,6 +216,8 @@ HEADLINE = [
     "events_grouped_trend",
     "events_autocorrelation",
     "cube_apply_histogram",
+    "events_cube_lattice",
+    "text_zipf_exponent",
 ]
 
 

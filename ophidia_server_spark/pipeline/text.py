@@ -649,6 +649,69 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit of the token frequency distribution: OLS of ln(freq)
+    on ln(rank) over the top `max_rank` tokens — natural language sits
+    near exponent -1, so a corpus whose exponent drifts far from it is
+    template spam, tables, or badly-parsed markup (a standard corpus
+    health number). Every OLS sufficient statistic is accumulated in
+    1e-6-quantized integer units (round(term * 1e6) summed as BIGINT)
+    so the cross-row addition order cannot perturb a bit; the slope and
+    Pearson r divide once in double. Returns ONE row (n_ranked,
+    zipf_exponent R6, pearson_r R6).
+
+    Shape at scale: one term-keyed count, one ranking window over the
+    VOCABULARY table (bounded by distinct tokens, never raw rows),
+    one scalar aggregate."""
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("__c"), F.col("w"))
+    )
+    ranked = (
+        freq.withColumn("__r", rank)
+        .filter(F.col("__r") <= max_rank)
+        .select(
+            F.log(F.col("__r").cast("double")).alias("__x"),
+            F.log(F.col("__c").cast("double")).alias("__y"),
+        )
+    )
+
+    def micro(col):
+        return F.sum(F.round(col * 1e6).cast("long")).cast("double") / 1e6
+
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        micro(F.col("__x")).alias("__sx"),
+        micro(F.col("__y")).alias("__sy"),
+        micro(F.col("__x") * F.col("__y")).alias("__sxy"),
+        micro(F.col("__x") * F.col("__x")).alias("__sxx"),
+        micro(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("__n")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    return s.select(
+        n.cast("long").alias("n_ranked"),
+        F.round(
+            F.when(dx > 0, num / dx).otherwise(F.lit(0.0)), 6
+        ).alias("zipf_exponent"),
+        F.round(
+            F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).otherwise(
+                F.lit(0.0)
+            ), 6
+        ).alias("pearson_r"),
+    )
+
+
 def encoding_artifacts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Mojibake / encoding-damage detection — the crawl-hygiene pass that
     catches double-decoded UTF-8 and binary bleed before a document

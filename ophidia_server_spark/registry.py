@@ -3195,6 +3195,80 @@ def search_hybrid_rrf(spark, sf_dir):
 
 
 @q(
+    "events_cube_lattice",
+    """WITH e AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT event_type, dow,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(v) AS DOUBLE), 2) AS total
+FROM e GROUP BY CUBE (event_type, dow)""",
+)
+def events_cube_lattice(spark, sf_dir):
+    """Full CUBE grouping lattice (Catalyst-native df.cube — all four
+    grouping sets of (event_type, day-of-week) in ONE pass with
+    partial-aggregate replication, no re-scan per subtotal): counts and
+    exact-decimal totals per cell plus grouping_id, hash-matched against
+    DuckDB's GROUP BY CUBE (same MSB-first grouping-bit convention).
+    Day-of-week uses Spark's dayofweek-1 == DuckDB's Sunday-0."""
+    ev = _t(spark, sf_dir)["events"]
+    e = ev.select(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1)
+        .cast("long").alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return e.cube("event_type", "dow").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v").cast("double"), 2).alias("total"),
+    )
+
+
+@q(
+    "text_zipf_exponent",
+    """WITH freq AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(lower(regexp_replace(
+          text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM freq QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w) <= 1000
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+         CAST(SUM(CAST(ROUND(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+         CAST(SUM(CAST(ROUND(x * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy,
+         CAST(SUM(CAST(ROUND(x * x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx,
+         CAST(SUM(CAST(ROUND(y * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_ranked,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             ELSE 0.0 END, 6) AS zipf_exponent,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0.0 END, 6) AS pearson_r
+FROM s""",
+)
+def text_zipf_exponent(spark, sf_dir):
+    """Zipf-law exponent of the token frequency distribution
+    (pipeline/text.py zipf_fit — the template-spam / parse-damage corpus
+    health number): OLS of ln(freq) on ln(rank) over the top-1000
+    vocabulary with every sufficient statistic accumulated in
+    1e-6-quantized integer units. One row, hash-matched."""
+    docs = _t(spark, sf_dir)["documents"]
+    return tx.zipf_fit(docs, max_rank=1000)
+
+
+@q(
     "events_autocorrelation",
     """WITH daily AS (
   SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,

@@ -748,3 +748,18 @@ def test_daily_autocorrelation_weekly_pattern(spark):
     assert got[7]["acf"] == 1.0  # exactly periodic series
     assert got[7]["n_pairs"] == 21
     assert got[1]["acf"] < 0.6
+
+
+def test_cube_lattice_gate_shapes(spark, tables):
+    from ophidia_server_spark.registry import QUERIES
+
+    rows = QUERIES["events_cube_lattice"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["n"] == 1000
+    # per-type subtotals (dow collapsed) sum to the grand total
+    per_type = [r for r in rows if r["gid"] == 1]
+    assert sum(r["n"] for r in per_type) == 1000

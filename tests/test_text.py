@@ -120,3 +120,23 @@ def test_url_domains_extraction(spark):
     assert got["evil.com"]["n_mentions"] == 2 and got["evil.com"]["n_docs"] == 1
     assert "login" not in got
     assert len(got) == 3
+
+
+def test_zipf_fit_exact_power_law(spark):
+    import math
+
+    from ophidia_server_spark.pipeline.text import zipf_fit
+
+    # construct frequencies freq(rank) = round(1000 * rank^-1): an
+    # almost-perfect Zipf corpus -> exponent near -1, r near -1
+    rows = []
+    for rank in range(1, 21):
+        tok = f"w{rank:02d}"
+        for _ in range(round(1000 / rank)):
+            rows.append((tok,))
+    df = spark.createDataFrame(rows, "text string")
+    r = zipf_fit(df, max_rank=20).first()
+    assert r["n_ranked"] == 20
+    assert abs(r["zipf_exponent"] + 1.0) < 0.02
+    assert r["pearson_r"] < -0.999
+    assert math.isfinite(r["zipf_exponent"])
