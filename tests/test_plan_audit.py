@@ -62,7 +62,9 @@ BARS = {
     "events_bootstrap_ci": (2, 1),
     "text_collocations": (3, 2),
     "text_chi2_by_source": (3, 3),
-    "text_ngram_novelty": (2, 2),
+    # +1 scan: the stub-doc left join reads the batch id column once more
+    # (the self-review fix that keeps sub-k-token docs in the report)
+    "text_ngram_novelty": (3, 2),
     "orders_abc_classification": (1, 1),
     "events_transition_matrix": (1, 3),
     "events_forward_fill": (1, 1),
