@@ -5709,7 +5709,9 @@ def dedup_minhash_recall(spark, sf_dir):
     )
 
 
-_TOKS = (
+# normalized tokenizer mirror (lower + strip): DISTINCT from the line-1375
+# _TOKS raw-whitespace mirror — shadowing that name bit once already
+_TOKS_NORM = (
     "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')"
 )
 
@@ -5743,7 +5745,7 @@ def sim_random_project(spark, sf_dir):
 
 @q(
     "text_collocations",
-    f"""WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    f"""WITH t AS (SELECT {_TOKS_NORM} AS toks FROM documents),
 uc AS (
   SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
 ), bi AS (
@@ -5776,7 +5778,7 @@ def text_collocations(spark, sf_dir):
 @q(
     "text_chi2_by_source",
     f"""WITH t AS (
-  SELECT source AS l, list_distinct({_TOKS}) AS toks FROM documents
+  SELECT source AS l, list_distinct({_TOKS_NORM}) AS toks FROM documents
 ), pres AS (SELECT l, unnest(toks) AS token FROM t),
 tok_tot AS (
   SELECT token, COUNT(*) AS nt FROM pres GROUP BY token HAVING COUNT(*) >= 5
@@ -6556,7 +6558,7 @@ _HEX8 = (
     "pack_sequences",
     f"""WITH tk AS (
   SELECT doc_id,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len({_TOKS_NORM}) AS BIGINT) AS n_tokens,
          {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
   FROM documents
 ), w AS (
@@ -6607,7 +6609,7 @@ def train_global_shuffle(spark, sf_dir):
 @q(
     "text_repeated_ngrams",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
 ), g AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
@@ -6636,7 +6638,7 @@ def text_repeated_ngrams(spark, sf_dir):
 @q(
     "text_quality_logistic",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
 ), feat AS (
   SELECT doc_id, len(toks) AS n,
          len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
@@ -7064,7 +7066,7 @@ def io_arrow_roundtrip(spark, sf_dir):
 @q(
     "sample_quality_weighted",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
 ), feat AS (
   SELECT doc_id, len(toks) AS n,
          len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
@@ -7421,7 +7423,7 @@ def io_repack_roundtrip(spark, sf_dir):
 @q(
     "text_remove_repeated_spans",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
 ), g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
@@ -8351,7 +8353,7 @@ from ophidia_server_spark.pipeline import dsir as ds  # noqa: E402
 # hashed unigram+bigram bucket counts per document — the shared CTE text of
 # the dsir_* oracles (m=256, salt 'dsir'; the md5 contract of _HEX8)
 _DSIR_GC = f"""t AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
 ), g AS (
   SELECT doc_id, unnest(toks) AS g FROM t
   UNION ALL
@@ -8494,7 +8496,7 @@ _GOPHER_STOPS = " + ".join(
 @q(
     "text_gopher_rules",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks,
+  SELECT doc_id, {_TOKS_NORM} AS toks,
          list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
          text
   FROM documents
@@ -10268,7 +10270,7 @@ def _dsir_w_cte(src: str) -> str:
 @q(
     "pipeline_release_end_to_end",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS} AS toks,
+  SELECT doc_id, {_TOKS_NORM} AS toks,
          list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
          text
   FROM documents
@@ -10549,7 +10551,7 @@ def events_vocab_index(spark, sf_dir):
     "corpus_datasheet",
     f"""WITH tk AS (
   SELECT doc_id, source, lang, md5(text) AS h,
-         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+         CAST(len({_TOKS_NORM}) AS BIGINT) AS n_tokens
   FROM documents
 ), dup AS (
   SELECT SUM(n) AS dup_docs FROM (
