@@ -218,6 +218,7 @@ HEADLINE = [
     "cube_apply_histogram",
     "events_cube_lattice",
     "text_zipf_exponent",
+    "corpus_source_scorecard",
 ]
 
 

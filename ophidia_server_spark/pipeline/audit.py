@@ -192,6 +192,48 @@ def fk_integrity(
     )
 
 
+def source_scorecard(df: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source corpus scorecard — the one-table answer to "which feed
+    is hurting the training mix": document count, mean quality score,
+    exact-duplicate share (md5(text) groups), encoding-damage share, and
+    mean token count, per source, in ONE lazy plan. Quality scores are
+    averaged through 1e-6-quantized integer sums so partitioning cannot
+    perturb a bit; the other figures are integer-derived.
+
+    Shape at scale: the quality/artifact maps fuse into the same scan;
+    the dup check is one md5-keyed count joined back; the rollup is one
+    source-keyed aggregate."""
+    from ophidia_server_spark.pipeline.text import encoding_artifacts, quality_score
+
+    q = quality_score(df).select("doc_id", "n_tokens", "quality")
+    e = encoding_artifacts(df).select("doc_id", "suspect")
+    dup = (
+        df.groupBy(F.md5("text").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    flagged = df.select(
+        "doc_id", F.col(source_col).alias("source"), F.md5("text").alias("__h")
+    ).join(dup, "__h")
+    joined = flagged.join(q, "doc_id").join(e, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.round(F.col("quality") * 1e6).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * 1e6)
+        ).alias("__aq"),
+        F.sum((F.col("__c") > 1).cast("long")).cast("long").alias("__nd"),
+        F.sum("suspect").cast("long").alias("__ns"),
+        F.sum("n_tokens").cast("long").alias("__nt"),
+    ).select(
+        "source", "n_docs",
+        F.round("__aq", 6).alias("avg_quality"),
+        F.round(F.col("__nd") / F.col("n_docs"), 6).alias("dup_frac"),
+        F.round(F.col("__ns") / F.col("n_docs"), 6).alias("suspect_frac"),
+        F.round(F.col("__nt") / F.col("n_docs"), 6).alias("avg_tokens"),
+    )
+
+
 def fd_check(df: DataFrame, det_col: str, dep_col: str) -> DataFrame:
     """Functional-dependency audit (does `det_col` determine `dep_col`?)
     — the schema-discovery / key-sanity check run before trusting a

@@ -9338,6 +9338,62 @@ def multimodal_patchify(spark, sf_dir):
 
 
 @q(
+    "corpus_source_scorecard",
+    f"""WITH tk AS (
+  SELECT doc_id, source, {_TOKS} AS toks, md5(text) AS h FROM documents
+), feat AS (
+  SELECT doc_id, source, h, len(toks) AS n,
+         len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
+         CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+              AS BIGINT) AS tok_chars
+  FROM tk
+), ratios AS (
+  SELECT doc_id, source, h, n,
+         CASE WHEN n > 0 THEN CAST(stop AS DOUBLE)/n ELSE 0.0 END AS sr,
+         CASE WHEN n > 0 THEN CAST(tok_chars AS DOUBLE)/n ELSE 0.0 END AS mt
+  FROM feat
+), q AS (
+  SELECT doc_id, source, h, n,
+         ROUND(((CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN sr >= 0.01 AND sr <= 0.5 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN mt >= 2.0 AND mt <= 12.0 THEN 1.0 ELSE 0.0 END))
+               / 3.0, 6) AS quality
+  FROM ratios
+), dup AS (SELECT h, COUNT(*) AS c FROM tk GROUP BY h),
+susp AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, chr(65533), ''))) > 0
+           OR (length(text) - length(replace(text, 'Ã', ''))) > 0
+           OR (length(text) - length(replace(text, 'â€', ''))) / 2 > 0
+           OR (length(text) - length(replace(text, 'Â', ''))) > 0
+           OR (length(text) - length(regexp_replace(text,
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) > 0
+           AS INT) AS suspect
+  FROM documents
+)
+SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(quality * 1e6) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1e6), 6) AS avg_quality,
+       ROUND(CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       ROUND(CAST(SUM(susp.suspect) AS DOUBLE) / COUNT(*), 6)
+         AS suspect_frac,
+       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM q JOIN dup ON q.h = dup.h JOIN susp ON q.doc_id = susp.doc_id
+GROUP BY q.source""",
+)
+def corpus_source_scorecard(spark, sf_dir):
+    """Per-source corpus scorecard (pipeline/audit.py source_scorecard):
+    document count, 1e-6-quantized mean quality, exact-duplicate share,
+    encoding-damage share, and mean tokens per source in one plan.
+    Hash-matched."""
+    docs = _t(spark, sf_dir)["documents"]
+    from ophidia_server_spark.pipeline.audit import source_scorecard
+
+    return source_scorecard(docs)
+
+
+@q(
     "text_encoding_artifacts",
     """WITH p AS (
   SELECT doc_id,

@@ -182,3 +182,26 @@ def test_fd_check_holds_and_violations(spark):
     assert r["max_dep_per_key"] == 2 and r["holds"] == 0
     ok = fd_check(df.filter("k != 2"), "k", "v").first()
     assert ok["holds"] == 1 and ok["n_violating"] == 0
+
+
+def test_source_scorecard_hand_built_sources(spark):
+    from ophidia_server_spark.pipeline.audit import source_scorecard
+
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "the a of and to in is it more words here now")
+    rows = [
+        (1, "s1", good),
+        (2, "s1", good),            # exact dup of 1
+        (3, "s1", "mojibake Ã" + " x" * 20),
+        (4, "s2", "unique text " + "y z " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_scorecard(df).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3
+    assert s1["dup_frac"] == round(2 / 3, 6)
+    assert s1["suspect_frac"] == round(1 / 3, 6)
+    s2 = got["s2"]
+    assert s2["n_docs"] == 1 and s2["dup_frac"] == 0.0
+    assert s2["suspect_frac"] == 0.0
+    assert s2["avg_tokens"] == 22.0  # "unique text" + 20 y/z tokens
