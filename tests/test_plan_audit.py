@@ -59,7 +59,9 @@ BARS = {
     "sim_int8_topk": (2, 1),
     "sim_random_project": (1, 0),
     "events_attribution_last_touch": (2, 2),
-    "events_bootstrap_ci": (2, 1),
+    # +1 shuffle: the deliberate fan-out repartition before the b-fold
+    # explode (single-file inputs would otherwise run it on one core)
+    "events_bootstrap_ci": (2, 2),
     "text_collocations": (3, 2),
     "text_chi2_by_source": (3, 3),
     # +1 scan: the stub-doc left join reads the batch id column once more
