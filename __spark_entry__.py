@@ -83,8 +83,8 @@ PRIORITY = [
     "io_nc4_unlimited_roundtrip",
     # round-6: the multi-level v2-B-tree twin of the EA roundtrip (depth-4
     # BTIN index through the whole export/import chain)
-    "io_nc4_btree2_deep_roundtrip",
-    "dedup_embedding_cosine",
+    "ml_als_grade",
+    "dedup_jaccard_join",
     # round-6: SemDeDup — cluster-confined semantic near-dup pruning
     "dedup_semantic",
     # round-5: the Zarr v3 roundtrip (zarr.json layout + zstd codec chain)
@@ -103,7 +103,7 @@ PRIORITY = [
     # semantic check. The raw probe queries stay registered in the tail.
     "sim_lsh_recall",
     "sim_ivf_recall",
-    "sim_pq_recall",
+    "sim_int8_topk",
     "dedup_minhash_recall",
     "text_bm25_search",
     "text_quality",
@@ -117,15 +117,22 @@ PRIORITY = [
     # round-6: training-batch preparation — packing + epoch shuffle
     "pack_sequences",
     "train_global_shuffle",
-    "multimodal_binary_meta",
+    "multimodal_dhash",
     # round-5: the REAL audio decode (RIFF/PCM codec, oracle-exact end to
     # end) replaces the audio_chunk stub in the head (the stub stays graded
     # by the judge's full parity run)
     "multimodal_decode_wav",
     "events_tumbling_1h",
     "events_sessionize",
-    "events_stream_tumbling",
+    "events_bootstrap_ci",
     "events_asof_join",
+    # round-8 session-2 head swaps: five new flagship families enter the
+    # graded head (ALS-WR invariant grade, the lossless exact Jaccard
+    # join, int8 quantized serving, the Poisson bootstrap CI, perceptual
+    # dHash). The demoted rows (sim_pq_recall, events_stream_tumbling,
+    # multimodal_binary_meta, io_nc4_btree2_deep_roundtrip,
+    # dedup_embedding_cosine) keep their families represented in the
+    # head and stay graded by the judge's full parity sweep.
     # round-6: funnel conversion + the deterministic mergeable HLL sketch
     "events_funnel_conversion",
     "events_hll_sketch",
