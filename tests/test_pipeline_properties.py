@@ -429,3 +429,88 @@ def test_random_project_excludes_mismatched_width(spark):
     out = random_project(df, out_dim=16, in_dim=64)
     ids = {r["vec_id"] for r in out.collect()}
     assert ids == {1}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # day offset
+            st.floats(0.5, 99.5),               # value
+        ),
+        min_size=1, max_size=24,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ewma_matches_python_recurrence(spark, points, alpha):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import ewma_by_key
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(days=d), round(v, 2)) for d, v in points
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["day"][:10]: r["ewma"] for r in ewma_by_key(df, alpha=alpha, k=8).collect()}
+    # python recompute over the observed-day series
+    from collections import defaultdict
+    from decimal import Decimal
+
+    daily = defaultdict(Decimal)
+    for d, v in points:
+        daily[d] += Decimal(str(round(v, 2)))
+    days = sorted(daily)
+    series = [float(daily[d]) for d in days]
+    for i, d in enumerate(days):
+        num, den = series[i], 1.0
+        for j in range(1, min(8, i + 1)):
+            w = (1.0 - alpha) ** j
+            num, den = num + series[i - j] * w, den + w
+        key = (base + dt.timedelta(days=d)).strftime("%Y-%m-%d")
+        assert got[key] == round(num / den, 6), (points, alpha, d)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50),
+                  st.sampled_from("abc")),
+        min_size=2, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_transition_matrix_matches_python(spark, events):
+    import datetime as dt
+    from collections import Counter, defaultdict
+
+    from ophidia_server_spark.streaming.windows import transition_matrix
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(df, gap_minutes=30).collect()
+    }
+    # python recompute: per user ordered by (ts, event_id), 30-min gaps break
+    per_user = defaultdict(list)
+    for i, (u, m, t) in enumerate(events):
+        per_user[u].append((m * 60, i, t))
+    counts = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (s0, _, t0), (s1, _, t1) in zip(seq, seq[1:]):
+            if s1 - s0 <= 1800:
+                counts[(t0, t1)] += 1
+    tot = Counter()
+    for (a, _), c in counts.items():
+        tot[a] += c
+    want = {
+        k: (c, round(c / tot[k[0]], 6)) for k, c in counts.items()
+    }
+    assert got == want, events
