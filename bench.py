@@ -219,6 +219,8 @@ HEADLINE = [
     "events_cube_lattice",
     "text_zipf_exponent",
     "corpus_source_scorecard",
+    "events_did_estimate",
+    "events_neyman_allocation",
 ]
 
 

@@ -318,3 +318,55 @@ def interleave_groups(
         )
         .drop("__coin", "__rn", "__gidx", "__ng")
     )
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, value_col: str, total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (the public survey-
+    sampling formula: n_h proportional to N_h * sigma_h, which minimizes
+    the variance of the stratified mean at fixed budget): per stratum,
+    population count, exact population standard deviation (decimal
+    sums), and the integer allocation via largest-remainder rounding
+    (floor the shares, hand the leftover to the largest fractional
+    parts, ties to the smaller stratum). Degenerate corpora where every
+    sigma is 0 fall back to proportional allocation. One stratum-keyed
+    aggregate + two windows over the STRATA table (bounded by stratum
+    cardinality). Returns (stratum, n_pop, sigma R6, n_alloc)."""
+    from pyspark.sql import Window
+
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    x = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__s"),
+        F.sum(x * x).cast("double").alias("__s2"),
+    )
+    var = F.greatest(
+        F.col("__s2") / F.col("__n")
+        - (F.col("__s") / F.col("__n")) * (F.col("__s") / F.col("__n")),
+        F.lit(0.0),
+    )
+    w = per.select(
+        "stratum", "__n", F.sqrt(var).alias("__sig")
+    ).withColumn("__w", F.col("__n") * F.col("__sig"))
+    tot = Window.partitionBy()
+    share = F.when(
+        F.sum("__w").over(tot) > 0, F.col("__w") / F.sum("__w").over(tot)
+    ).otherwise(F.col("__n") / F.sum("__n").over(tot))
+    exact = share * F.lit(float(total_n))
+    based = w.select(
+        "stratum", "__n", "__sig",
+        F.floor(exact).cast("long").alias("__base"),
+        (exact - F.floor(exact)).alias("__frac"),
+    )
+    rem = F.lit(int(total_n)) - F.sum("__base").over(tot)
+    rk = F.row_number().over(Window.orderBy(F.desc("__frac"), F.col("stratum")))
+    return based.select(
+        "stratum",
+        F.col("__n").cast("long").alias("n_pop"),
+        F.round("__sig", 6).alias("sigma"),
+        (F.col("__base") + (rk <= rem).cast("long")).cast("long")
+        .alias("n_alloc"),
+    )

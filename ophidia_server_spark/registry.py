@@ -3195,6 +3195,84 @@ def search_hybrid_rrf(spark, sf_dir):
 
 
 @q(
+    "events_did_estimate",
+    """WITH cells AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 1)
+           IN ('0','1','2','3','4','5','6','7') AS t,
+         ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1, 2
+), m AS (SELECT t, p, n, CAST(s AS DOUBLE) / n AS mv FROM cells),
+agg AS (
+  SELECT SUM(n) AS ne,
+         MIN(CASE WHEN t AND NOT p THEN mv END) AS tpre,
+         MIN(CASE WHEN t AND p THEN mv END) AS tpost,
+         MIN(CASE WHEN NOT t AND NOT p THEN mv END) AS cpre,
+         MIN(CASE WHEN NOT t AND p THEN mv END) AS cpost
+  FROM m
+)
+SELECT CAST(ne AS BIGINT) AS n_events,
+       ROUND(tpre, 6) AS treat_pre, ROUND(tpost, 6) AS treat_post,
+       ROUND(cpre, 6) AS ctrl_pre, ROUND(cpost, 6) AS ctrl_post,
+       ROUND((tpost - tpre) - (cpost - cpre), 6) AS did
+FROM agg""",
+)
+def events_did_estimate(spark, sf_dir):
+    """Difference-in-differences (streaming/windows.py did_estimate):
+    md5-coin treatment arms, periods split at 2024-01-16, effect =
+    (treat post-pre) - (ctrl post-pre) over exact-decimal cell means.
+    One row, all six figures hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.did_estimate(ev, "2024-01-16 00:00:00")
+
+
+@q(
+    "events_neyman_allocation",
+    """WITH per AS (
+  SELECT event_type AS stratum, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), w AS (
+  SELECT stratum, n,
+         SQRT(GREATEST(s2 / n - (s / n) * (s / n), 0.0)) AS sig
+  FROM per
+), sh AS (
+  SELECT *, n * sig AS wt, SUM(n * sig) OVER () AS wtot,
+         SUM(n) OVER () AS ntot
+  FROM w
+), ex AS (
+  SELECT stratum, n, sig,
+         (CASE WHEN wtot > 0 THEN wt / wtot ELSE n / ntot END) * 100.0 AS e
+  FROM sh
+), b AS (
+  SELECT stratum, n, sig, CAST(FLOOR(e) AS BIGINT) AS base,
+         e - FLOOR(e) AS frac
+  FROM ex
+), r AS (
+  SELECT *, 100 - SUM(base) OVER () AS rem,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, stratum) AS rk
+  FROM b
+)
+SELECT stratum, CAST(n AS BIGINT) AS n_pop, ROUND(sig, 6) AS sigma,
+       CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM r""",
+)
+def events_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified allocation (pipeline/sampling.py
+    neyman_allocation): 100 sample slots split across event types
+    proportional to N_h * sigma_h (exact-decimal moments,
+    largest-remainder integer rounding with deterministic ties).
+    Every (stratum, n_pop, sigma, n_alloc) row hash-matches."""
+    from ophidia_server_spark.pipeline import sampling as smp
+
+    ev = _t(spark, sf_dir)["events"]
+    return smp.neyman_allocation(ev, "event_type", "value", 100)
+
+
+@q(
     "events_cube_lattice",
     """WITH e AS (
   SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,

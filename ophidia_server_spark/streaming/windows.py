@@ -1390,6 +1390,65 @@ def out_of_order_stats(
     )
 
 
+def did_estimate(
+    df: DataFrame,
+    split_ts: str,
+    salt: str = "did",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimator over an event stream: users
+    split into treatment/control by the content-addressed md5 coin,
+    periods split at `split_ts` (an ISO timestamp literal), and the
+    effect is (treat_post - treat_pre) - (ctrl_post - ctrl_pre) over
+    per-cell mean values — the standard pre/post causal read-out when
+    randomization happened at `split_ts`. Cell means are exact-decimal
+    sums divided once, so every figure is engine-portable. ONE grouped
+    aggregate over the four (arm, period) cells + one pivot row."""
+    is_t = F.substring(
+        F.md5(F.concat(F.col(user_col).cast("string"), F.lit(":" + salt))),
+        1, 1,
+    ).isin(*list("01234567"))
+    post = F.col(ts_col).cast("timestamp") >= F.lit(split_ts).cast("timestamp")
+    cells = (
+        df.groupBy(is_t.alias("__t"), post.alias("__p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+        )
+        .select(
+            "__t", "__p", "__n",
+            (F.col("__s").cast("double") / F.col("__n")).alias("__m"),
+        )
+    )
+
+    def cell(t: bool, p: bool, col: str):
+        return F.min(
+            F.when((F.col("__t") == t) & (F.col("__p") == p), F.col(col))
+        )
+
+    one = cells.agg(
+        cell(True, False, "__m").alias("treat_pre"),
+        cell(True, True, "__m").alias("treat_post"),
+        cell(False, False, "__m").alias("ctrl_pre"),
+        cell(False, True, "__m").alias("ctrl_post"),
+        F.sum("__n").cast("long").alias("n_events"),
+    )
+    did = (
+        (F.col("treat_post") - F.col("treat_pre"))
+        - (F.col("ctrl_post") - F.col("ctrl_pre"))
+    )
+    return one.select(
+        "n_events",
+        F.round("treat_pre", 6).alias("treat_pre"),
+        F.round("treat_post", 6).alias("treat_post"),
+        F.round("ctrl_pre", 6).alias("ctrl_pre"),
+        F.round("ctrl_post", 6).alias("ctrl_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
 def ewma_by_key(
     df: DataFrame,
     alpha: float = 0.5,

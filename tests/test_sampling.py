@@ -193,3 +193,42 @@ def test_leakage_free_split_keeps_dup_groups_together(spark, tables):
     # and the split is non-degenerate
     names = {r["split"] for r in split.select("split").distinct().collect()}
     assert "train" in names and len(names) >= 2
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    from ophidia_server_spark.pipeline.sampling import neyman_allocation
+
+    rows = (
+        # stratum "wild": 100 rows alternating 0/100 (sigma 50)
+        [("wild", float(0 if i % 2 else 100)) for i in range(100)]
+        # stratum "calm": 100 rows all 10 (sigma 0)
+        + [("calm", 10.0) for _ in range(100)]
+        # stratum "mid": 200 rows alternating 9/11 (sigma 1)
+        + [("mid", float(9 if i % 2 else 11)) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r["stratum"]: r for r in neyman_allocation(df, "s", "v", 100).collect()}
+    assert got["calm"]["n_alloc"] == 0 and got["calm"]["sigma"] == 0.0
+    # weights: wild 100*50=5000, mid 200*1=200 -> ~96/4 split
+    assert got["wild"]["n_alloc"] + got["mid"]["n_alloc"] == 100
+    assert got["wild"]["n_alloc"] >= 95 and got["mid"]["n_alloc"] >= 3
+    assert got["wild"]["sigma"] == 50.0 and got["mid"]["sigma"] == 1.0
+
+
+def test_neyman_allocation_all_flat_falls_back_proportional(spark):
+    from ophidia_server_spark.pipeline.sampling import neyman_allocation
+
+    rows = [("a", 5.0)] * 30 + [("b", 7.0)] * 10
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r["stratum"]: r["n_alloc"] for r in neyman_allocation(df, "s", "v", 8).collect()}
+    assert got == {"a": 6, "b": 2}  # proportional to 30/10
+
+
+def test_neyman_allocation_rejects_negative_budget(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.sampling import neyman_allocation
+
+    df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with _pytest.raises(ValueError):
+        neyman_allocation(df, "s", "v", -1)

@@ -763,3 +763,29 @@ def test_cube_lattice_gate_shapes(spark, tables):
     # per-type subtotals (dow collapsed) sum to the grand total
     per_type = [r for r in rows if r["gid"] == 1]
     assert sum(r["n"] for r in per_type) == 1000
+
+
+def test_did_estimate_constructed_effect(spark):
+    import datetime as dt
+    import hashlib
+
+    from ophidia_server_spark.streaming.windows import did_estimate
+
+    def treated(uid):
+        return hashlib.md5(f"{uid}:did".encode()).hexdigest()[0] in "01234567"
+
+    t_users = [u for u in range(100) if treated(u)][:5]
+    c_users = [u for u in range(100) if not treated(u)][:5]
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in t_users:  # treatment: 10 pre, 25 post (lift 15)
+        rows += [(u, pre, 10.0), (u, post, 25.0)]
+    for u in c_users:  # control: 10 pre, 12 post (trend 2)
+        rows += [(u, pre, 10.0), (u, post, 12.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = did_estimate(df, "2024-01-16 00:00:00").first()
+    assert r["treat_pre"] == 10.0 and r["treat_post"] == 25.0
+    assert r["ctrl_pre"] == 10.0 and r["ctrl_post"] == 12.0
+    assert r["did"] == 13.0  # 15 observed lift minus the 2 ambient trend
+    assert r["n_events"] == 20
