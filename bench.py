@@ -221,6 +221,8 @@ HEADLINE = [
     "corpus_source_scorecard",
     "events_did_estimate",
     "events_neyman_allocation",
+    "events_cuped",
+    "events_kaplan_meier",
 ]
 
 

@@ -3195,6 +3195,120 @@ def search_hybrid_rrf(spark, sf_dir):
 
 
 @q(
+    "events_cuped",
+    """WITH per AS (
+  SELECT user_id,
+         MIN(substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1)
+             IN ('0','1','2','3','4','5','6','7')) AS t,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS sx,
+         COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 END) AS nx,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS sy,
+         COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 END) AS ny
+  FROM events GROUP BY user_id
+), xy AS (
+  SELECT t, CAST(sx AS DOUBLE) / nx AS x, CAST(sy AS DOUBLE) / ny AS y
+  FROM per WHERE nx > 0 AND ny > 0
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS mx,
+         CAST(SUM(CAST(ROUND(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS my,
+         CAST(SUM(CAST(ROUND(x * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS mxy,
+         CAST(SUM(CAST(ROUND(x * x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS mxx,
+         CAST(SUM(CAST(ROUND(y * y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           AS myy
+  FROM xy
+), s AS (
+  SELECT CAST(n AS BIGINT) AS n_users,
+         CASE WHEN mxx / n - (mx / n) * (mx / n) > 0
+              THEN (mxy / n - (mx / n) * (my / n))
+                   / (mxx / n - (mx / n) * (mx / n))
+              ELSE 0.0 END AS theta,
+         myy / n - (my / n) * (my / n) AS vy,
+         mxy / n - (mx / n) * (my / n) AS cov
+  FROM mom
+), arms AS (
+  SELECT t,
+         CAST(SUM(CAST(ROUND(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS ay,
+         CAST(SUM(CAST(ROUND((y - s.theta * x) * 1e6) AS BIGINT))
+              AS DOUBLE) / 1e6 AS aadj,
+         CAST(COUNT(*) AS DOUBLE) AS an
+  FROM xy, s GROUP BY t, s.theta
+), eff AS (
+  SELECT MIN(CASE WHEN t THEN ay / an END)
+           - MIN(CASE WHEN NOT t THEN ay / an END) AS raw,
+         MIN(CASE WHEN t THEN aadj / an END)
+           - MIN(CASE WHEN NOT t THEN aadj / an END) AS adj
+  FROM arms
+)
+SELECT n_users, ROUND(theta, 6) AS theta,
+       ROUND(raw, 6) AS raw_effect, ROUND(adj, 6) AS adjusted_effect,
+       ROUND(CASE WHEN vy > 0
+             THEN 1.0 - GREATEST(vy - theta * cov, 0.0) / vy
+             ELSE 0.0 END, 6) AS var_reduction
+FROM s, eff""",
+)
+def events_cuped(spark, sf_dir):
+    """CUPED variance reduction (streaming/windows.py cuped_adjustment):
+    per-user pre/post exact-decimal means, theta = cov/var of the
+    1e-6-quantized cross-user moments, raw vs adjusted between-arm
+    effects, and the variance-reduction ratio. One row, all five
+    figures hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.cuped_adjustment(ev, "2024-01-16 00:00:00")
+
+
+@q(
+    "events_kaplan_meier",
+    """WITH per AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                    / 86400000000) AS BIGINT) AS d,
+         CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-28 00:00:00'
+              THEN 1 ELSE 0 END AS c
+  FROM events GROUP BY user_id
+), grain AS (
+  SELECT d, CAST(SUM(1 - c) AS BIGINT) AS n_events,
+         CAST(SUM(c) AS BIGINT) AS n_censored,
+         COUNT(*) AS nd
+  FROM per GROUP BY d
+), risk AS (
+  SELECT *, SUM(nd) OVER (ORDER BY d
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM grain
+), step AS (
+  SELECT *, CASE WHEN n_events > 0 AND n_events < n_risk
+                 THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                 WHEN n_events > 0 AND n_events = n_risk THEN -1000.0
+                 ELSE 0.0 END AS st
+  FROM risk
+)
+SELECT d AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       n_events, n_censored,
+       ROUND(EXP(CAST(SUM(CAST(ROUND(st * 1e9) AS BIGINT))
+                      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) / 1e9), 6)
+         AS survival
+FROM step""",
+)
+def events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of user lifetimes (streaming/windows.py
+    kaplan_meier): whole-day first-to-last spans, users active
+    at-or-after 2024-01-28 right-censored, product-limit curve via the
+    1e-9-quantized log-survival running sum. Every (duration, risk set,
+    events, censored, survival) row hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.kaplan_meier(ev, "2024-01-28 00:00:00")
+
+
+@q(
     "events_did_estimate",
     """WITH cells AS (
   SELECT substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 1)

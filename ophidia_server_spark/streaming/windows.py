@@ -1390,6 +1390,165 @@ def out_of_order_stats(
     )
 
 
+def cuped_adjustment(
+    df: DataFrame,
+    split_ts: str,
+    salt: str = "ab",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED variance reduction (the public controlled-experiment
+    technique: regress each user's post-period metric on their
+    PRE-period metric and analyze the residual Y - theta*(X - mean X),
+    which preserves the treatment effect while shrinking variance):
+    users with activity in both periods contribute per-user exact-
+    decimal means; theta = cov(X, Y)/var(X); reports theta, raw and
+    adjusted between-arm effects, and the variance-reduction ratio.
+    Cross-user moment sums are accumulated in 1e-6-quantized integer
+    units so partitioning cannot perturb a bit. Returns ONE row.
+
+    Shape at scale: one user-keyed aggregate (pre/post decimal sums),
+    one scalar moment aggregate, one broadcast of the one-row theta."""
+    is_t = F.substring(
+        F.md5(F.concat(F.col(user_col).cast("string"), F.lit(":" + salt))),
+        1, 1,
+    ).isin(*list("01234567"))
+    post = F.col(ts_col).cast("timestamp") >= F.lit(split_ts).cast("timestamp")
+    per = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.min(is_t).alias("__t"),
+            F.sum(F.when(~post, F.col(value_col).cast("decimal(18,2)")))
+            .alias("__sx"),
+            F.count(F.when(~post, F.lit(1))).alias("__nx"),
+            F.sum(F.when(post, F.col(value_col).cast("decimal(18,2)")))
+            .alias("__sy"),
+            F.count(F.when(post, F.lit(1))).alias("__ny"),
+        )
+        .filter((F.col("__nx") > 0) & (F.col("__ny") > 0))
+        .select(
+            "__t",
+            (F.col("__sx").cast("double") / F.col("__nx")).alias("__x"),
+            (F.col("__sy").cast("double") / F.col("__ny")).alias("__y"),
+        )
+    )
+
+    def micro(col):
+        return F.sum(F.round(col * 1e6).cast("long")).cast("double") / 1e6
+
+    mom = per.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        micro(F.col("__x")).alias("__mx"),
+        micro(F.col("__y")).alias("__my"),
+        micro(F.col("__x") * F.col("__y")).alias("__mxy"),
+        micro(F.col("__x") * F.col("__x")).alias("__mxx"),
+        micro(F.col("__y") * F.col("__y")).alias("__myy"),
+    )
+    n = F.col("__n")
+    varx = F.col("__mxx") / n - (F.col("__mx") / n) * (F.col("__mx") / n)
+    vary = F.col("__myy") / n - (F.col("__my") / n) * (F.col("__my") / n)
+    cov = F.col("__mxy") / n - (F.col("__mx") / n) * (F.col("__my") / n)
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    scalars = mom.select(
+        n.cast("long").alias("n_users"), theta.alias("__theta"),
+        vary.alias("__vy"),
+        F.greatest(vary - theta * cov, F.lit(0.0)).alias("__vadj"),
+    )
+    arms = (
+        per.crossJoin(F.broadcast(scalars))
+        .groupBy("__t")
+        .agg(
+            micro(F.col("__y")).alias("__ay"),
+            micro(F.col("__y") - F.col("__theta") * F.col("__x"))
+            .alias("__aadj"),
+            F.count(F.lit(1)).cast("double").alias("__an"),
+        )
+    )
+
+    def arm(t: bool, col: str):
+        return F.min(F.when(F.col("__t") == t, F.col(col) / F.col("__an")))
+
+    eff = arms.agg(
+        (arm(True, "__ay") - arm(False, "__ay")).alias("__raw"),
+        (arm(True, "__aadj") - arm(False, "__aadj")).alias("__adj"),
+    )
+    return scalars.crossJoin(F.broadcast(eff)).select(
+        "n_users",
+        F.round("__theta", 6).alias("theta"),
+        F.round("__raw", 6).alias("raw_effect"),
+        F.round("__adj", 6).alias("adjusted_effect"),
+        F.round(
+            F.when(
+                F.col("__vy") > 0,
+                1.0 - F.col("__vadj") / F.col("__vy"),
+            ).otherwise(F.lit(0.0)), 6
+        ).alias("var_reduction"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    censor_ts: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes: duration = whole days
+    between a user's first and last event; users still active at-or-
+    after `censor_ts` are right-censored (they survive past their
+    observed duration). S(t) steps down at each uncensored duration by
+    (1 - d_t / n_t) with n_t = users at risk — the product-limit
+    estimator behind every retention curve. The log-survival running
+    sum is accumulated in 1e-9-quantized integers over the ORDERED
+    duration window, so the curve is engine-portable. Returns
+    (duration_days, n_risk, n_events, n_censored, survival R6).
+
+    Shape at scale: one user-keyed min/max aggregate, one duration-
+    grain table (bounded by the day range), two ordered windows over
+    it."""
+    ts = F.col(ts_col).cast("timestamp")
+    per = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.floor(
+            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts)))
+            / F.lit(86400_000_000)
+        ).cast("long").alias("__d"),
+        (
+            F.max(ts) >= F.lit(censor_ts).cast("timestamp")
+        ).cast("long").alias("__c"),
+    )
+    grain = per.groupBy("__d").agg(
+        F.sum(1 - F.col("__c")).cast("long").alias("n_events"),
+        F.sum("__c").cast("long").alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+    )
+    w = Window.orderBy("__d")
+    after = Window.orderBy("__d").rowsBetween(0, Window.unboundedFollowing)
+    n_risk = F.sum("__nd").over(after)
+    # d == n (everyone at risk dies) sends log(0) = -inf through the
+    # quantized cast: a -1000 sentinel makes exp() underflow to exactly
+    # 0.0 on any IEEE engine, which IS the estimator's value there
+    step = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < n_risk),
+        F.log(1.0 - F.col("n_events") / n_risk),
+    ).when(
+        (F.col("n_events") > 0) & (F.col("n_events") == n_risk),
+        F.lit(-1000.0),
+    ).otherwise(F.lit(0.0))
+    cum = (
+        F.sum(F.round(step * 1e9).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("double")
+        / 1e9
+    )
+    return grain.select(
+        F.col("__d").alias("duration_days"),
+        n_risk.cast("long").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        F.round(F.exp(cum), 6).alias("survival"),
+    )
+
+
 def did_estimate(
     df: DataFrame,
     split_ts: str,

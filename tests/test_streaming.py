@@ -789,3 +789,59 @@ def test_did_estimate_constructed_effect(spark):
     assert r["ctrl_pre"] == 10.0 and r["ctrl_post"] == 12.0
     assert r["did"] == 13.0  # 15 observed lift minus the 2 ambient trend
     assert r["n_events"] == 20
+
+
+def test_cuped_reduces_variance_on_correlated_users(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import cuped_adjustment
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    # users have stable personal levels (y ~ x): CUPED should soak up
+    # most of the between-user variance
+    for u in range(60):
+        level = 10.0 + (u % 7) * 5.0
+        rows += [(u, pre, level), (u, post, level + 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = cuped_adjustment(df, "2024-01-16 00:00:00").first()
+    assert r["n_users"] == 60
+    assert abs(r["theta"] - 1.0) < 1e-6  # y = x + 1 exactly
+    assert r["var_reduction"] > 0.999
+    # the (null) effect survives adjustment without bias
+    assert abs(r["adjusted_effect"]) < 1e-6 or abs(r["adjusted_effect"]) < 1.0
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+
+    def span(u, days, end_late=False):
+        last = base + dt.timedelta(days=days)
+        if end_late:
+            last = dt.datetime(2024, 1, 29)
+        return [(u, base), (u, last)]
+
+    rows = []
+    # 4 users die at day 1; 2 die at day 3; 2 censored (active at day 28)
+    for u in range(4):
+        rows += span(u, 1)
+    for u in range(4, 6):
+        rows += span(u, 3)
+    for u in range(6, 8):
+        rows += span(100 + u, 0, end_late=True)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["duration_days"]: r for r in
+           kaplan_meier(df, "2024-01-28 00:00:00").collect()}
+    # day 1: 8 at risk, 4 events -> S = 0.5
+    assert got[1]["n_risk"] == 8 and got[1]["n_events"] == 4
+    assert got[1]["survival"] == 0.5
+    # day 3: 4 at risk, 2 events -> S = 0.25
+    assert got[3]["survival"] == 0.25
+    # day 28: censored only: S unchanged
+    assert got[28]["n_censored"] == 2 and got[28]["n_events"] == 0
+    assert got[28]["survival"] == 0.25
