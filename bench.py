@@ -223,6 +223,8 @@ HEADLINE = [
     "events_neyman_allocation",
     "events_cuped",
     "events_kaplan_meier",
+    "graph_kcore_grade",
+    "events_attribution_position",
 ]
 
 

@@ -70,6 +70,65 @@ def triangle_counts(
     )
 
 
+def kcore(
+    edges: DataFrame, k: int = 3,
+    src_col: str = "src", dst_col: str = "dst",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Maximum k-core of an undirected simple graph (the standard
+    peeling algorithm: repeatedly delete nodes of degree < k until a
+    fixed point — the densest-community skeleton used for spam-ring and
+    engagement-core detection). Returns the surviving nodes with their
+    in-core degree.
+
+    Shape at scale: each peel round is one degree aggregate + one
+    semi-join of the edge set against surviving nodes (both keyed
+    shuffles), with localCheckpoint lineage truncation per round so the
+    loop does not build an unbounded plan; convergence needs at most
+    O(peeling depth) rounds, bounded by `max_iter`. Nothing
+    node- or edge-sized is ever collected — the loop watches one
+    scalar count per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
+        )
+        .filter(F.col("__x") != F.col("__y"))
+        .select(
+            F.least("__x", "__y").alias("__a"),
+            F.greatest("__x", "__y").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    und = e.select("__a", "__b").unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    )
+    cur = und
+    n_prev = -1
+    for _ in range(int(max_iter)):
+        deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("__a").localCheckpoint()
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            break
+        n_prev = n_keep
+        cur = (
+            cur.join(keep, "__a", "left_semi")
+            .join(
+                keep.select(F.col("__a").alias("__b")), "__b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return (
+        cur.groupBy("__a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("__a").alias("node"), "core_degree")
+    )
+
+
 def cooccurrence_similarity(
     df: DataFrame, basket_col: str, item_col: str,
     top_k: int = 5, min_co: int = 1,

@@ -6438,6 +6438,114 @@ def events_out_of_order(spark, sf_dir):
 
 
 @q(
+    "graph_kcore_grade",
+    """SELECT CAST(1 AS INT) AS degree_ok, CAST(1 AS INT) AS maximal_ok,
+       CAST(1 AS INT) AS deterministic, CAST(1 AS INT) AS nonempty""",
+)
+def graph_kcore_grade(spark, sf_dir):
+    """Invariant grade for the maximum k-core (pipeline/graph.py kcore)
+    over the parts-bought-together graph, k=60. Verdicts, each
+    oracle-pinned to 1: (a) every core node has >= k neighbors INSIDE
+    the core, recomputed from the raw edge set + the membership table
+    (independent of the peeling loop's internal degrees); (b)
+    maximality — every NON-core node has < k core neighbors (adding it
+    could not extend the core); (c) a rerun returns the identical
+    membership; (d) the core is non-empty at this k (the graph's
+    average degree is ~90-110 at every scale)."""
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    li = _t(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    k = 60
+    core = kcore(edges, k=k).persist()
+    und = (
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    mem = core.select(F.col("node").alias("x")).withColumn("__in", F.lit(1))
+    memy = core.select(F.col("node").alias("y")).withColumn("__iny", F.lit(1))
+    deg_in_core = (
+        sym.join(memy, "y", "left")
+        .groupBy("x")
+        .agg(F.sum(F.coalesce("__iny", F.lit(0))).alias("__dc"))
+        .join(mem, "x", "left")
+    )
+    degree_ok = int(
+        deg_in_core.filter(
+            (F.col("__in") == 1) & (F.col("__dc") < k)
+        ).count() == 0
+    )
+    maximal_ok = int(
+        deg_in_core.filter(
+            F.col("__in").isNull() & (F.col("__dc") >= k)
+        ).count() == 0
+    )
+    n1 = {r["node"] for r in core.collect()}
+    n2 = {r["node"] for r in kcore(edges, k=k).collect()}
+    deterministic = int(n1 == n2)
+    nonempty = int(len(n1) > 0)
+    core.unpersist()
+    return spark.createDataFrame(
+        [(degree_ok, maximal_ok, deterministic, nonempty)],
+        "degree_ok int, maximal_ok int, deterministic int, nonempty int",
+    )
+
+
+@q(
+    "events_attribution_position",
+    """WITH conv AS (
+  SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, epoch_us(ts) AS tts, event_id AS tid,
+         event_type AS ch
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.cid, t.ch, t.tts, t.tid
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE t.tts <= c.cts AND c.cts - t.tts <= 3600000000
+), ranked AS (
+  SELECT cid, ch,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, tid) AS rk,
+         COUNT(*) OVER (PARTITION BY cid) AS n
+  FROM pairs
+), credited AS (
+  SELECT cid, ch,
+         CAST(ROUND((CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN rk = 1 THEN 0.4
+                          WHEN rk = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END) * 1e9) AS BIGINT) AS cr
+  FROM ranked
+)
+SELECT ch AS channel, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions,
+       ROUND(CAST(SUM(cr) AS DOUBLE) / 1e9, 6) AS credit
+FROM credited GROUP BY ch""",
+)
+def events_attribution_position(spark, sf_dir):
+    """Position-based multi-touch attribution (streaming/windows.py
+    attribute_position): each purchase's in-window click/view touches
+    share credit 40/20/40 U-shaped, ties ordered by event id; channel
+    credit sums accumulate in 1e-9-quantized integers. Hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.attribute_position(
+        ev, ["click", "view"], convert_type="purchase", within="1 hour"
+    )
+
+
+@q(
     "graph_triangle_counts",
     """WITH e0 AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

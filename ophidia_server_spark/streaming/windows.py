@@ -1608,6 +1608,62 @@ def did_estimate(
     )
 
 
+def attribute_position(
+    df: DataFrame,
+    touch_types: list[str],
+    convert_type: str = "purchase",
+    within: str = "1 hour",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the standard
+    alternative to last-touch: each conversion's in-window touches share
+    the credit 40% first / 40% last / 20% split across the middles
+    (one touch takes 1.0, two take 0.5 each). Touches order by
+    (timestamp, event id) within the conversion, microsecond-exact.
+    Per-channel credit sums are accumulated in 1e-9-quantized integers
+    so the fractional credits add identically on any engine. Returns
+    (channel, n_conversions, credit R6).
+
+    Shape at scale: the same user-keyed conversion-x-touch join as
+    attribute_last_touch, one bounded per-conversion window, one
+    channel rollup."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win_us = _interval_seconds(within) * 1_000_000
+    conv = df.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"), us.alias("__cts"),
+        F.col(id_col).alias("__cid"),
+    )
+    touch = df.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"), us.alias("__tts"),
+        F.col(id_col).alias("__tid"), F.col(type_col).alias("__ch"),
+    )
+    ok = (F.col("__tts") <= F.col("__cts")) & (
+        F.col("__cts") - F.col("__tts") <= win_us
+    )
+    pairs = conv.join(touch, "__u").filter(ok)
+    w = Window.partitionBy("__cid")
+    rk = F.row_number().over(w.orderBy("__tts", "__tid"))
+    n = F.count(F.lit(1)).over(w)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(rk == 1, F.lit(0.4))
+        .when(rk == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = pairs.select(
+        "__cid", "__ch",
+        F.round(credit * 1e9).cast("long").alias("__cr"),
+    )
+    return credited.groupBy(F.col("__ch").alias("channel")).agg(
+        F.countDistinct("__cid").cast("long").alias("n_conversions"),
+        F.round(F.sum("__cr").cast("double") / 1e9, 6).alias("credit"),
+    )
+
+
 def ewma_by_key(
     df: DataFrame,
     alpha: float = 0.5,

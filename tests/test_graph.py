@@ -84,3 +84,38 @@ def test_cooccurrence_similarity_hand_computed(spark):
     # min_co filter drops every pair but (1,2)
     filtered = cooccurrence_similarity(df, "o", "i", top_k=5, min_co=2).collect()
     assert {(r["item"], r["neighbor"]) for r in filtered} == {(1, 2), (2, 1)}
+
+
+def test_kcore_peels_constructed_graph(spark):
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    # K4 on {1..4} (3-core) with a pendant chain 4-5-6 that must peel off
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1: everything with an edge survives
+    assert kcore(df, k=1).count() == 6
+    # k=4: the K4 cannot satisfy degree 4 -> empty
+    assert kcore(df, k=4).count() == 0
+
+
+def test_kcore_cascading_peel(spark):
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    # a path 1-2-3-4: k=2 peeling cascades from both ends to empty
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore(df, k=2).count() == 0
+
+
+def test_kcore_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        kcore(df, k=0)

@@ -845,3 +845,31 @@ def test_kaplan_meier_hand_computed_curve(spark):
     # day 28: censored only: S unchanged
     assert got[28]["n_censored"] == 2 and got[28]["n_events"] == 0
     assert got[28]["survival"] == 0.25
+
+
+def test_attribute_position_u_shape(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import attribute_position
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: touches A(click), B(view), C(click), D(view) then buys
+        (1, 1, base - 4 * m, "click"), (2, 1, base - 3 * m, "view"),
+        (3, 1, base - 2 * m, "click"), (4, 1, base - 1 * m, "view"),
+        (5, 1, base, "purchase"),
+        # user 2: single view then buys
+        (6, 2, base - m, "view"), (7, 2, base, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["channel"]: r for r in attribute_position(
+        df, ["click", "view"], "purchase").collect()}
+    # conv 1: click first (0.4) + click middle (0.1) = 0.5;
+    # view middle (0.1) + view last (0.4) = 0.5; conv 2: view 1.0
+    assert got["click"]["credit"] == 0.5
+    assert got["view"]["credit"] == 1.5
+    assert got["click"]["n_conversions"] == 1
+    assert got["view"]["n_conversions"] == 2
