@@ -225,6 +225,8 @@ HEADLINE = [
     "events_kaplan_meier",
     "graph_kcore_grade",
     "events_attribution_position",
+    "sim_label_separation",
+    "corpus_source_overlap",
 ]
 
 

@@ -234,6 +234,29 @@ def source_scorecard(df: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def source_overlap(
+    df: DataFrame, source_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplicate overlap matrix — the mirror-site /
+    re-crawl detector: for every source pair, how many distinct exact
+    texts (md5) both sources carry. One (hash, source) distinct, one
+    hash-keyed self-join (fan-in bounded by sources-per-text), one
+    pair rollup. Returns (source_a, source_b, n_shared_texts) for
+    a < b."""
+    hs = df.select(
+        F.md5(F.col(text_col)).alias("__h"),
+        F.col(source_col).alias("__s"),
+    ).distinct()
+    a = hs.select("__h", F.col("__s").alias("source_a"))
+    b = hs.select("__h", F.col("__s").alias("source_b"))
+    return (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("__h").cast("long").alias("n_shared_texts"))
+    )
+
+
 def fd_check(df: DataFrame, det_col: str, dep_col: str) -> DataFrame:
     """Functional-dependency audit (does `det_col` determine `dep_col`?)
     — the schema-discovery / key-sanity check run before trusting a

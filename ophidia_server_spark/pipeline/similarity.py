@@ -662,6 +662,75 @@ def sign_codes(
     )
 
 
+def label_centroid_separation(
+    df: DataFrame, label_col: str = "label",
+    vec_col: str = "embedding", quant: float = 1e6,
+) -> DataFrame:
+    """Embedding class-separation audit: per-label centroids and the
+    cosine between every label pair — low between-centroid angles mean
+    the classes a sampler or classifier relies on are not separable in
+    this embedding space. Per-dimension sums are accumulated in
+    `quant`-quantized integer units (round(x * quant) summed as BIGINT)
+    so the centroids are bit-identical under any partitioning; the
+    cosine then divides exact-integer-derived doubles once. Returns
+    (label_a, label_b, n_a, n_b, centroid_cosine R6) for a < b.
+
+    Shape at scale: one posexplode + (label, dim)-keyed integer sum
+    (map-side partials), one label-grain array rebuild, one bounded
+    label-pair join — labels x dims rows, never the corpus."""
+    ex = df.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    sums = ex.groupBy("lab", "pos").agg(
+        F.sum(F.round(F.col("x") * quant).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = sums.groupBy("lab").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "__s"))
+            ),
+            lambda s: s["__s"].cast("double"),
+        ).alias("__c"),
+        F.max("__n").cast("long").alias("n"),
+    )
+    a = cent.select(
+        F.col("lab").alias("label_a"), F.col("__c").alias("__ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("lab").alias("label_b"), F.col("__c").alias("__cb"),
+        F.col("n").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda p, q: p * q),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("__ca", lambda p: p * p), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("__cb", lambda p: p * p), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(cos, 6).alias("centroid_cosine"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list, k: int = 60, id_col: str = "doc_id",
 ) -> DataFrame:

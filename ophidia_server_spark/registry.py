@@ -5923,6 +5923,79 @@ FROM embeddings"""
     return " UNION ALL ".join(selects)
 
 
+@q(
+    "sim_label_separation",
+    """WITH ex AS (
+  SELECT label AS lab, t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), sums AS (
+  SELECT lab, pos, SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+), cent AS (
+  SELECT lab, list(CAST(s AS DOUBLE) ORDER BY pos) AS c, MAX(n) AS n
+  FROM sums GROUP BY lab
+), p AS (
+  SELECT a.lab AS label_a, b.lab AS label_b,
+         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             i -> a.c[i] * b.c[i])), (x, y) -> x + y) AS dot,
+         SQRT(list_reduce(list_prepend(0.0, list_transform(a.c,
+             v -> v * v)), (x, y) -> x + y)) AS na,
+         SQRT(list_reduce(list_prepend(0.0, list_transform(b.c,
+             v -> v * v)), (x, y) -> x + y)) AS nb
+  FROM cent a JOIN cent b ON a.lab < b.lab
+)
+SELECT label_a, label_b, n_a, n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+             ELSE 0.0 END, 6) AS centroid_cosine
+FROM p""",
+)
+def sim_label_separation(spark, sf_dir):
+    """Embedding class-separation audit (pipeline/similarity.py
+    label_centroid_separation): per-label centroids from 1e-6-quantized
+    per-dimension integer sums (partitioning cannot perturb a bit; the
+    cosine is scale-invariant so the un-normalized sums suffice),
+    cosine per label pair. Every row hash-matches."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    return sim.label_centroid_separation(emb).select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        "n_a", "n_b", "centroid_cosine",
+    )
+
+
+@q(
+    "corpus_source_overlap",
+    """WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 25 = 0
+), hs AS (
+  SELECT DISTINCT md5(text) AS h, source AS s FROM corpus
+)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+GROUP BY 1, 2""",
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-source duplicate overlap matrix (pipeline/audit.py
+    source_overlap — the mirror-site detector): a deterministic
+    'mirror' source re-hosting every 25th document is unioned in (the
+    base corpus never duplicates texts ACROSS sources) and the matrix
+    must count the shared texts per source pair. Hash-matched."""
+    from ophidia_server_spark.pipeline.audit import source_overlap
+
+    docs = _t(spark, sf_dir)["documents"]
+    corpus = docs.select("text", "source").unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            "text", F.lit("mirror").alias("source")
+        )
+    )
+    return source_overlap(corpus)
+
+
 @q("sim_random_project", _jl_oracle(16))
 def sim_random_project(spark, sf_dir):
     """Johnson-Lindenstrauss projection (pipeline/similarity.py

@@ -205,3 +205,20 @@ def test_source_scorecard_hand_built_sources(spark):
     assert s2["n_docs"] == 1 and s2["dup_frac"] == 0.0
     assert s2["suspect_frac"] == 0.0
     assert s2["avg_tokens"] == 22.0  # "unique text" + 20 y/z tokens
+
+
+def test_source_overlap_counts_shared_texts(spark):
+    from ophidia_server_spark.pipeline.audit import source_overlap
+
+    rows = [
+        ("s1", "shared one"), ("s2", "shared one"),
+        ("s1", "shared two"), ("s2", "shared two"), ("s3", "shared two"),
+        ("s1", "only in s1"),
+        ("s2", "shared one"),  # duplicate within s2: counts once
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in source_overlap(df).collect()}
+    assert got[("s1", "s2")] == 2
+    assert got[("s1", "s3")] == 1 and got[("s2", "s3")] == 1
+    assert len(got) == 3

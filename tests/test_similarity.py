@@ -500,3 +500,25 @@ def test_rrf_fuse_rejects_empty_input(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_label_centroid_separation_constructed_clusters(spark):
+    from ophidia_server_spark.pipeline.similarity import (
+        label_centroid_separation,
+    )
+
+    rows = (
+        # label 0 along +x, label 1 along +y (orthogonal), label 2 = -x
+        [(i, 0, [1.0, 0.0, 0.0, 0.0]) for i in range(4)]
+        + [(10 + i, 1, [0.0, 2.0, 0.0, 0.0]) for i in range(3)]
+        + [(20 + i, 2, [-1.0, 0.0, 0.0, 0.0]) for i in range(2)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {(r["label_a"], r["label_b"]): r
+           for r in label_centroid_separation(df).collect()}
+    assert got[(0, 1)]["centroid_cosine"] == 0.0
+    assert got[(0, 2)]["centroid_cosine"] == -1.0
+    assert got[(1, 2)]["centroid_cosine"] == 0.0
+    assert got[(0, 1)]["n_a"] == 4 and got[(0, 1)]["n_b"] == 3
