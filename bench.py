@@ -227,6 +227,8 @@ HEADLINE = [
     "events_attribution_position",
     "sim_label_separation",
     "corpus_source_overlap",
+    "events_debounce",
+    "parts_price_volume_mix",
 ]
 
 

@@ -234,6 +234,58 @@ def source_scorecard(df: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def price_volume_mix(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    qty_col: str,
+    revenue_col: str,
+) -> DataFrame:
+    """Price-volume-mix decomposition (the standard FP&A bridge between
+    two periods): per key, with p = revenue/qty and periods 0 -> 1,
+
+        delta_revenue = (q1 - q0) * p0   (volume effect)
+                      + (p1 - p0) * q1   (price effect)
+
+    which sums EXACTLY to rev1 - rev0 by construction. Keys present in
+    only one period contribute a pure volume effect (the other period's
+    qty is 0 and its price is taken from the observed side, keeping the
+    identity). All sums are exact decimals; prices divide once in
+    double. Returns (key, rev0 R2, rev1 R2, volume_effect R6,
+    price_effect R6, delta R2). One keyed aggregate + one pivot —
+    nothing beyond the key grain."""
+    per = df.groupBy(
+        F.col(key_col).alias("key"), F.col(period_col).alias("__p")
+    ).agg(
+        F.sum(F.col(qty_col).cast("decimal(18,2)")).alias("__q"),
+        F.sum(F.col(revenue_col).cast("decimal(18,2)")).alias("__r"),
+    )
+
+    def side(p: int, col: str):
+        return F.min(F.when(F.col("__p") == p, F.col(col)))
+
+    piv = per.groupBy("key").agg(
+        F.coalesce(side(0, "__q"), F.lit(0)).cast("double").alias("q0"),
+        F.coalesce(side(0, "__r"), F.lit(0)).cast("double").alias("r0"),
+        F.coalesce(side(1, "__q"), F.lit(0)).cast("double").alias("q1"),
+        F.coalesce(side(1, "__r"), F.lit(0)).cast("double").alias("r1"),
+    )
+    p0 = F.when(F.col("q0") > 0, F.col("r0") / F.col("q0")).otherwise(
+        F.when(F.col("q1") > 0, F.col("r1") / F.col("q1")).otherwise(F.lit(0.0))
+    )
+    p1 = F.when(F.col("q1") > 0, F.col("r1") / F.col("q1")).otherwise(p0)
+    vol = (F.col("q1") - F.col("q0")) * p0
+    price = (p1 - p0) * F.col("q1")
+    return piv.select(
+        "key",
+        F.round("r0", 2).alias("rev0"),
+        F.round("r1", 2).alias("rev1"),
+        F.round(vol, 6).alias("volume_effect"),
+        F.round(price, 6).alias("price_effect"),
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta"),
+    )
+
+
 def source_overlap(
     df: DataFrame, source_col: str = "source", text_col: str = "text",
 ) -> DataFrame:

@@ -3309,6 +3309,75 @@ def events_kaplan_meier(spark, sf_dir):
 
 
 @q(
+    "events_debounce",
+    """SELECT event_id,
+       CAST(CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 60000000
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""",
+)
+def events_debounce(spark, sf_dir):
+    """Per-(user, type) debounce (streaming/windows.py debounce — the
+    double-click / retry-storm cleaner): an event survives when the same
+    user's previous same-type event is over 60s older, microsecond-exact
+    boundaries, ties by event id. Every (event, kept) row
+    hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.debounce(ev, gap_seconds=60).select("event_id", "kept")
+
+
+@q(
+    "parts_price_volume_mix",
+    """WITH per AS (
+  SELECT l_partkey AS key,
+         CASE WHEN year(l_shipdate) <= 1994 THEN 0 ELSE 1 END AS p,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY 1, 2
+), piv AS (
+  SELECT key,
+         CAST(COALESCE(MIN(CASE WHEN p = 0 THEN q END), 0) AS DOUBLE) AS q0,
+         CAST(COALESCE(MIN(CASE WHEN p = 0 THEN r END), 0) AS DOUBLE) AS r0,
+         CAST(COALESCE(MIN(CASE WHEN p = 1 THEN q END), 0) AS DOUBLE) AS q1,
+         CAST(COALESCE(MIN(CASE WHEN p = 1 THEN r END), 0) AS DOUBLE) AS r1
+  FROM per GROUP BY key
+), px AS (
+  SELECT *,
+         CASE WHEN q0 > 0 THEN r0 / q0
+              WHEN q1 > 0 THEN r1 / q1 ELSE 0.0 END AS p0
+  FROM piv
+), px2 AS (
+  SELECT *, CASE WHEN q1 > 0 THEN r1 / q1 ELSE p0 END AS p1 FROM px
+)
+SELECT CAST(key AS BIGINT) AS key,
+       ROUND(r0, 2) AS rev0, ROUND(r1, 2) AS rev1,
+       ROUND((q1 - q0) * p0, 6) AS volume_effect,
+       ROUND((p1 - p0) * q1, 6) AS price_effect,
+       ROUND(r1 - r0, 2) AS delta
+FROM px2""",
+)
+def parts_price_volume_mix(spark, sf_dir):
+    """Price-volume-mix bridge (pipeline/audit.py price_volume_mix — the
+    FP&A revenue decomposition): per part, shipments through 1994 vs
+    after, delta revenue split into volume effect (q1-q0)*p0 and price
+    effect (p1-p0)*q1 from exact decimal sums. Every row
+    hash-matches."""
+    from ophidia_server_spark.pipeline.audit import price_volume_mix
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn(
+        "__period",
+        F.when(F.year("l_shipdate") <= 1994, 0).otherwise(1),
+    )
+    return price_volume_mix(
+        li, "l_partkey", "__period", "l_quantity", "l_extendedprice"
+    ).select(
+        F.col("key").cast("long").alias("key"),
+        "rev0", "rev1", "volume_effect", "price_effect", "delta",
+    )
+
+
+@q(
     "events_did_estimate",
     """WITH cells AS (
   SELECT substr(md5(CAST(user_id AS VARCHAR) || ':did'), 1, 1)

@@ -1608,6 +1608,32 @@ def did_estimate(
     )
 
 
+def debounce(
+    df: DataFrame,
+    gap_seconds: int = 60,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, type) debounce — the double-click / retry-storm cleaner:
+    an event is kept only when the SAME user's previous event of the
+    SAME type is more than `gap_seconds` older (or absent). Boundaries
+    compare exact integer microseconds; ordering ties break by
+    `seq_col`. Note the reference point is the previous RAW event, not
+    the previous kept one — the one-lag formulation that needs no
+    iterative state (a burst longer than the gap re-emits once per gap
+    crossing relative to its predecessor).
+
+    Shape at scale: ONE (key, type)-partitioned lag window — state is a
+    single row; no self-join."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col, type_col).orderBy(ts_col, seq_col)
+    gap = us - F.lag(us).over(w)
+    keep = gap.isNull() | (gap > gap_seconds * 1_000_000)
+    return df.withColumn("kept", keep.cast("int"))
+
+
 def attribute_position(
     df: DataFrame,
     touch_types: list[str],

@@ -222,3 +222,28 @@ def test_source_overlap_counts_shared_texts(spark):
     assert got[("s1", "s2")] == 2
     assert got[("s1", "s3")] == 1 and got[("s2", "s3")] == 1
     assert len(got) == 3
+
+
+def test_price_volume_mix_identity_and_effects(spark):
+    from ophidia_server_spark.pipeline.audit import price_volume_mix
+
+    rows = [
+        # part A: 10 @ 2.0 -> 20 @ 3.0 (volume +10*2=20, price +1*20=20)
+        ("A", 0, 10.0, 20.0), ("A", 1, 20.0, 60.0),
+        # part B: only period 0 (pure negative volume effect at p0)
+        ("B", 0, 5.0, 50.0),
+        # part C: only period 1 (pure positive volume effect at p1)
+        ("C", 1, 4.0, 12.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, p int, q double, r double")
+    got = {r["key"]: r for r in price_volume_mix(df, "k", "p", "q", "r").collect()}
+    a = got["A"]
+    assert a["volume_effect"] == 20.0 and a["price_effect"] == 20.0
+    assert a["delta"] == 40.0
+    b = got["B"]
+    assert b["volume_effect"] == -50.0 and b["price_effect"] == 0.0
+    c = got["C"]
+    assert c["volume_effect"] == 12.0 and c["price_effect"] == 0.0
+    # the bridge closes exactly for every key
+    for r in got.values():
+        assert abs(r["volume_effect"] + r["price_effect"] - r["delta"]) < 1e-6

@@ -873,3 +873,28 @@ def test_attribute_position_u_shape(spark):
     assert got["view"]["credit"] == 1.5
     assert got["click"]["n_conversions"] == 1
     assert got["view"]["n_conversions"] == 2
+
+
+def test_debounce_keeps_first_of_burst(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import debounce
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # burst: 3 clicks inside 60s -> only the first kept
+        (1, 1, base, "click"), (2, 1, base + 10 * s, "click"),
+        (3, 1, base + 50 * s, "click"),
+        # 61s after the previous raw click -> kept again
+        (4, 1, base + 111 * s, "click"),
+        # different TYPE inside the window is independent -> kept
+        (5, 1, base + 5 * s, "view"),
+        # different USER -> kept
+        (6, 2, base + 5 * s, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["event_id"]: r["kept"] for r in debounce(df, 60).collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
