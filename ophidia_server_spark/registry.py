@@ -8660,6 +8660,26 @@ def _bench_als(spark, sf_dir):
     return out
 
 
+@_bench_variant("graph_kcore_grade")
+def _bench_kcore(spark, sf_dir):
+    """Raw-operator bench twin: one peel, skip the verdict recomputes."""
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    li = _t(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return kcore(edges, k=60).groupBy().agg(
+        F.count(F.lit(1)).alias("core_size"),
+        F.sum("core_degree").alias("total_degree"),
+    )
+
+
 @_bench_variant("pack_bins_grade")
 def _bench_pack_bins(spark, sf_dir):
     from ophidia_server_spark.pipeline.packing import pack_bins

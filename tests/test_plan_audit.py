@@ -72,6 +72,16 @@ BARS = {
     "events_forward_fill": (1, 1),
     "events_ewma_daily": (1, 2),
     "corpus_profile_documents": (8, 8),
+    # round-8 final waves, ceilings from the measured sf0.001 AQE plans
+    "events_did_estimate": (2, 2),
+    "events_neyman_allocation": (1, 1),
+    "events_cuped": (2, 3),
+    "events_kaplan_meier": (1, 2),
+    "events_attribution_position": (2, 2),
+    "events_debounce": (1, 1),
+    "parts_price_volume_mix": (1, 2),
+    "sim_label_separation": (1, 2),
+    "corpus_source_overlap": (2, 2),
 }
 
 
