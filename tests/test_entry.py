@@ -38,3 +38,28 @@ def test_priority_head_spans_families():
     # reordering must not lose queries
     from ophidia_server_spark.registry import QUERIES
     assert set(qs) == set(QUERIES)
+
+
+def test_bench_headline_and_priority_names_resolve():
+    import importlib.util
+    import os
+
+    from ophidia_server_spark.registry import BENCH_VARIANTS, ORACLES, QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"bench HEADLINE names not in QUERIES: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate rows"
+    import __spark_entry__ as e
+
+    bad = [n for n in e.PRIORITY if n not in QUERIES]
+    assert not bad, f"PRIORITY names not in QUERIES: {bad}"
+    # every bench variant shadows a real gate entry
+    assert set(BENCH_VARIANTS) <= set(QUERIES)
+    # the driver-graded head must be fully oracle-backed
+    head = list(e.queries())[:50]
+    assert all(n in ORACLES for n in head)
