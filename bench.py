@@ -229,6 +229,8 @@ HEADLINE = [
     "corpus_source_overlap",
     "events_debounce",
     "parts_price_volume_mix",
+    "sim_whiten",
+    "events_behavior_entropy",
 ]
 
 

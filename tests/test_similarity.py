@@ -522,3 +522,38 @@ def test_label_centroid_separation_constructed_clusters(spark):
     assert got[(0, 2)]["centroid_cosine"] == -1.0
     assert got[(1, 2)]["centroid_cosine"] == 0.0
     assert got[(0, 1)]["n_a"] == 4 and got[(0, 1)]["n_b"] == 3
+
+
+def test_whiten_embeddings_zero_mean_unit_variance(spark):
+    import numpy as np
+
+    from ophidia_server_spark.pipeline.similarity import whiten_embeddings
+
+    rng = np.random.RandomState(3)
+    # uneven per-dim scales: dim d has std ~ (d+1)
+    vecs = rng.randn(50, 4) * np.arange(1, 5)[None, :] + 7.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = whiten_embeddings(df).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r["value"])
+    for d, vals in by_dim.items():
+        v = np.array(vals)
+        assert abs(v.mean()) < 1e-3, d
+        assert abs(v.std() - 1.0) < 1e-2, d
+
+
+def test_whiten_embeddings_flat_dim_centers_only(spark):
+    from ophidia_server_spark.pipeline.similarity import whiten_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["vec_id"], r["dim"]): r["value"]
+           for r in whiten_embeddings(df).collect()}
+    assert got[(1, 0)] == 0.0 and got[(2, 0)] == 0.0  # centered, not /0
+    assert got[(1, 1)] == -1.0 and got[(2, 1)] == 1.0

@@ -898,3 +898,22 @@ def test_debounce_keeps_first_of_burst(spark):
     )
     got = {r["event_id"]: r["kept"] for r in debounce(df, 60).collect()}
     assert got == {1: 1, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+
+def test_behavioral_entropy_bounds(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import behavioral_entropy
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        # user 1: single-type bot -> 0 bits
+        [(1, base, "click")] * 8
+        # user 2: perfectly uniform over 4 types -> 2 bits
+        + [(2, base, t) for t in ("a", "b", "c", "d") for _ in range(3)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["key"]: r for r in behavioral_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["n_types"] == 1
+    assert got[2]["entropy_bits"] == 2.0 and got[2]["n_types"] == 4
+    assert got[2]["n_events"] == 12
