@@ -231,6 +231,7 @@ HEADLINE = [
     "parts_price_volume_mix",
     "sim_whiten",
     "events_behavior_entropy",
+    "events_seasonal_naive_error",
 ]
 
 

@@ -3530,6 +3530,36 @@ def text_zipf_exponent(spark, sf_dir):
 
 
 @q(
+    "events_seasonal_naive_error",
+    """WITH daily AS (
+  SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), fc AS (
+  SELECT key, d + CAST(7 AS INT) AS d, v AS f FROM daily
+), scored AS (
+  SELECT daily.key, daily.v, fc.f
+  FROM daily JOIN fc ON daily.key = fc.key AND daily.d = fc.d
+  WHERE daily.v <> 0.0
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(v - f) * 1e6) AS BIGINT)) AS DOUBLE)
+             / 1e6 / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(v - f) / ABS(v) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e6 / COUNT(*), 6) AS mape
+FROM scored GROUP BY key""",
+)
+def events_seasonal_naive_error(spark, sf_dir):
+    """Seasonal-naive forecast backtest (streaming/windows.py
+    seasonal_naive_error): predict each day's per-type value sum with
+    the value 7 days earlier; MAE and MAPE per type from quantized
+    error sums — the baseline every forecasting model must beat.
+    Hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.seasonal_naive_error(ev, season_days=7)
+
+
+@q(
     "events_autocorrelation",
     """WITH daily AS (
   SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,

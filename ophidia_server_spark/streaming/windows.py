@@ -1240,6 +1240,55 @@ def transition_matrix(
     )
 
 
+def seasonal_naive_error(
+    df: DataFrame,
+    season_days: int = 7,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Forecast backtest against the seasonal-naive baseline (predict
+    today = the value `season_days` ago): per key, the MAPE and MAE any
+    real model must beat before it earns a pipeline slot. Daily
+    exact-decimal sums align on the CALENDAR (days with no prior-season
+    observation drop out of the scored set); absolute and percentage
+    errors are accumulated in 1e-6-quantized integer units. Returns
+    (key, n_scored, mae R6, mape R6).
+
+    Shape at scale: one (key, day) aggregate + one calendar-shifted
+    self-join at day grain + one keyed rollup — day-grain tables only."""
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), day.cast("date").alias("__d")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("double").alias("__v")
+    )
+    fc = daily.select(
+        "key",
+        F.date_add(F.col("__d"), season_days).alias("__d"),
+        F.col("__v").alias("__f"),
+    )
+    scored = daily.join(fc, ["key", "__d"]).filter(F.col("__v") != 0.0)
+
+    def micro(col):
+        return F.sum(F.round(col * 1e6).cast("long")).cast("double") / 1e6
+
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(
+            micro(F.abs(F.col("__v") - F.col("__f")))
+            / F.count(F.lit(1)), 6
+        ).alias("mae"),
+        F.round(
+            micro(
+                F.abs(F.col("__v") - F.col("__f")) / F.abs(F.col("__v"))
+            )
+            / F.count(F.lit(1)), 6
+        ).alias("mape"),
+    )
+
+
 def period_deltas(
     df: DataFrame,
     key_col: str = "event_type",

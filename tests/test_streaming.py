@@ -917,3 +917,20 @@ def test_behavioral_entropy_bounds(spark):
     assert got[1]["entropy_bits"] == 0.0 and got[1]["n_types"] == 1
     assert got[2]["entropy_bits"] == 2.0 and got[2]["n_types"] == 4
     assert got[2]["n_events"] == 12
+
+
+def test_seasonal_naive_error_hand_scored(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import seasonal_naive_error
+
+    base = dt.datetime(2024, 1, 1)
+    d = dt.timedelta(days=1)
+    # 14 days: week 1 = 10 each day, week 2 = 12 each day
+    rows = [("k", base + i * d, 10.0 if i < 7 else 12.0) for i in range(14)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = seasonal_naive_error(df, season_days=7).first()
+    # scored days: week 2 (7 days), forecast 10 vs actual 12
+    assert r["n_scored"] == 7
+    assert r["mae"] == 2.0
+    assert r["mape"] == round(2 / 12, 6)
