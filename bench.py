@@ -232,6 +232,7 @@ HEADLINE = [
     "sim_whiten",
     "events_behavior_entropy",
     "events_seasonal_naive_error",
+    "events_interarrival_stats",
 ]
 
 

@@ -3530,6 +3530,37 @@ def text_zipf_exponent(spark, sf_dir):
 
 
 @q(
+    "events_interarrival_stats",
+    """WITH g AS (
+  SELECT event_type AS key,
+         CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000)
+              AS BIGINT) AS gs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), a AS (
+  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(gs) AS DOUBLE) AS s,
+         CAST(SUM(gs * gs) AS DOUBLE) AS s2
+  FROM g WHERE gs IS NOT NULL GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(s / n, 6) AS mean_gap_s,
+       ROUND(CASE WHEN s / n > 0
+             THEN SQRT(GREATEST(s2 / n - (s / n) * (s / n), 0.0)) / (s / n)
+             ELSE 0.0 END, 6) AS cv
+FROM a""",
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Inter-arrival cadence per event type (streaming/windows.py
+    interarrival_stats — the Poisson-vs-bot traffic shape check):
+    whole-second gaps inside each (user, type) partition, exact integer
+    moments, mean gap and coefficient of variation per type.
+    Hash-matched."""
+    ev = _t(spark, sf_dir)["events"]
+    return win.interarrival_stats(ev)
+
+
+@q(
     "events_seasonal_naive_error",
     """WITH daily AS (
   SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,

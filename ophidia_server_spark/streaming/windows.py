@@ -1240,6 +1240,46 @@ def transition_matrix(
     )
 
 
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival cadence per event type: mean gap and coefficient of
+    variation over each USER's consecutive same-type gaps — CV near 1 is
+    Poisson-like organic traffic, CV near 0 is a metronome bot, large CV
+    is bursty. Gaps are WHOLE SECONDS (floored from exact integer
+    microseconds) ordered by (ts, seq) INSIDE each (user, type)
+    partition — the de-skewed grain (a per-type window would sort an
+    sf-proportional slice in one task; per-user partitions stay
+    bounded), and integer-second moments keep every sum exact. Returns
+    (key, n_gaps, mean_gap_s R6, cv R6)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, key_col).orderBy(ts_col, seq_col)
+    gap = F.floor((us - F.lag(us).over(w)) / 1_000_000).cast("long")
+    gaps = df.select(F.col(key_col).alias("key"), gap.alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__g").cast("double").alias("__s"),
+        F.sum(F.col("__g") * F.col("__g")).cast("double").alias("__s2"),
+    )
+    mean_s = F.col("__s") / F.col("__n")
+    var_s = F.greatest(
+        F.col("__s2") / F.col("__n") - mean_s * mean_s, F.lit(0.0)
+    )
+    cv = F.when(mean_s > 0, F.sqrt(var_s) / mean_s).otherwise(F.lit(0.0))
+    return agg.select(
+        "key",
+        F.col("__n").cast("long").alias("n_gaps"),
+        F.round(mean_s, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv"),
+    )
+
+
 def seasonal_naive_error(
     df: DataFrame,
     season_days: int = 7,

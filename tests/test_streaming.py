@@ -934,3 +934,27 @@ def test_seasonal_naive_error_hand_scored(spark):
     assert r["n_scored"] == 7
     assert r["mae"] == 2.0
     assert r["mape"] == round(2 / 12, 6)
+
+
+def test_interarrival_stats_metronome_vs_bursty(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import interarrival_stats
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    # metronome: exactly every 10s -> cv 0
+    for i in range(6):
+        rows.append((i, 1, base + i * 10 * s, "tick"))
+    # bursty: gaps 1s, 1s, 28s (mean 10, high cv)
+    for j, off in enumerate([0, 1, 2, 30]):
+        rows.append((100 + j, 2, base + off * s, "burst"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["key"]: r for r in interarrival_stats(df).collect()}
+    assert got["tick"]["n_gaps"] == 5
+    assert got["tick"]["mean_gap_s"] == 10.0 and got["tick"]["cv"] == 0.0
+    assert got["burst"]["n_gaps"] == 3 and got["burst"]["mean_gap_s"] == 10.0
+    assert got["burst"]["cv"] > 1.0
