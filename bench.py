@@ -233,6 +233,7 @@ HEADLINE = [
     "events_behavior_entropy",
     "events_seasonal_naive_error",
     "events_interarrival_stats",
+    "orders_fulfillment_lag",
 ]
 
 

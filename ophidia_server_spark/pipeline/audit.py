@@ -234,6 +234,42 @@ def source_scorecard(df: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def fulfillment_lag(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    start_col: str,
+    end_col: str,
+    group_expr: Column,
+    sla_days: int = 90,
+) -> DataFrame:
+    """Order-to-ship SLA report: per group (e.g. order month), the exact
+    integer day lag between an order's placement and each line's ship
+    date — mean, max, and the share breaching `sla_days` — the
+    supply-chain health table. Integer datediffs make every figure
+    exact; one fact-dim equi-join + one grouped aggregate. Returns
+    (group, n_lines, mean_lag_days R6, max_lag_days, sla_breach_frac
+    R6)."""
+    j = fact.join(dim, fact[fact_key] == dim[dim_key])
+    lag = F.datediff(F.col(end_col), F.col(start_col))
+    return (
+        j.select(group_expr.alias("grp"), lag.alias("__l"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum("__l") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+            ).alias("mean_lag_days"),
+            F.max("__l").cast("long").alias("max_lag_days"),
+            F.round(
+                F.sum((F.col("__l") > sla_days).cast("long"))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+            ).alias("sla_breach_frac"),
+        )
+    )
+
+
 def price_volume_mix(
     df: DataFrame,
     key_col: str,

@@ -3309,6 +3309,39 @@ def events_kaplan_meier(spark, sf_dir):
 
 
 @q(
+    "orders_fulfillment_lag",
+    """WITH j AS (
+  SELECT strftime(date_trunc('month', o_orderdate),
+                  '%Y-%m-%d %H:%M:%S') AS grp,
+         datediff('day', o_orderdate, l_shipdate) AS l
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(l) AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+         AS mean_lag_days,
+       CAST(MAX(l) AS BIGINT) AS max_lag_days,
+       ROUND(CAST(SUM(CASE WHEN l > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*), 1), 6) AS sla_breach_frac
+FROM j GROUP BY grp""",
+)
+def orders_fulfillment_lag(spark, sf_dir):
+    """Order-to-ship SLA report (pipeline/audit.py fulfillment_lag): per
+    order month, the exact integer day lag from order placement to line
+    shipment — mean, worst case, and the share breaching 90 days.
+    Hash-matched."""
+    from ophidia_server_spark.pipeline.audit import fulfillment_lag
+
+    t = _t(spark, sf_dir)
+    return fulfillment_lag(
+        t["lineitem"], t["orders"], "l_orderkey", "o_orderkey",
+        "o_orderdate", "l_shipdate",
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                      "yyyy-MM-dd HH:mm:ss"),
+        sla_days=90,
+    )
+
+
+@q(
     "events_debounce",
     """SELECT event_id,
        CAST(CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -247,3 +247,29 @@ def test_price_volume_mix_identity_and_effects(spark):
     # the bridge closes exactly for every key
     for r in got.values():
         assert abs(r["volume_effect"] + r["price_effect"] - r["delta"]) < 1e-6
+
+
+def test_fulfillment_lag_hand_computed(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.audit import fulfillment_lag
+
+    d = dt.date
+    orders = spark.createDataFrame(
+        [(1, d(2024, 1, 5)), (2, d(2024, 1, 20))], "ok long, od date"
+    )
+    lines = spark.createDataFrame(
+        [(1, d(2024, 1, 15)), (1, d(2024, 5, 1)), (2, d(2024, 1, 25))],
+        "lk long, sd date",
+    )
+    out = fulfillment_lag(
+        lines, orders, "lk", "ok", "od", "sd",
+        F.lit("all"), sla_days=90,
+    ).first()
+    # lags: 10, 117, 5 -> mean 44, max 117, breach 1/3
+    assert out["n_lines"] == 3
+    assert out["mean_lag_days"] == round(132 / 3, 6)
+    assert out["max_lag_days"] == 117
+    assert out["sla_breach_frac"] == round(1 / 3, 6)
