@@ -343,7 +343,8 @@ def histogram(nbins: int, lo: float, hi: float) -> ArrayPrimitive:
     counts over each array): returns an nbins-long count array; values
     below `lo` clamp into bin 0, at-or-above `hi` into the last bin
     (the GSL include-edges convention flattened to clamping so every
-    value lands somewhere). Bin membership compares exact doubles —
+    NON-NULL value lands somewhere; null elements satisfy no predicate
+    and are not counted — sum(bins) can be less than oph_count). Bin membership compares exact doubles —
     one filter fold per bin, O(nbins * n) JVM array ops."""
     if nbins < 1 or not hi > lo:
         raise ValueError(f"need nbins >= 1 and hi > lo, got {nbins}, [{lo}, {hi})")
@@ -361,7 +362,9 @@ def histogram(nbins: int, lo: float, hi: float) -> ArrayPrimitive:
             if b == nbins - 1:
                 cond = lambda y: y >= lo_b  # noqa: E731 — clamp above
             if nbins == 1:
-                cond = lambda y: F.lit(True)  # noqa: E731
+                # isNotNull (not lit True): nulls must vanish from the
+                # single-bin count exactly as they do from multi-bin ones
+                cond = lambda y: y.isNotNull()  # noqa: E731
             return F.size(F.filter(ys, cond)).cast("long")
 
         return F.array(*[bin_count(b) for b in range(nbins)])

@@ -51,3 +51,17 @@ def skew_stats(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
         .limit(top)
         .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
     )
+
+
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Fan out an under-partitioned input to the session's default
+    parallelism — the guard in front of map-heavy stages (b-fold
+    explodes, per-shingle hashing) that a single-file source would
+    otherwise serialize on one core. A no-op when the input already has
+    enough splits (the real-scale case), so it never adds a shuffle
+    where partitioning is healthy."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

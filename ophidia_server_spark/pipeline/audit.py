@@ -200,9 +200,12 @@ def source_scorecard(df: DataFrame, source_col: str = "source") -> DataFrame:
     averaged through 1e-6-quantized integer sums so partitioning cannot
     perturb a bit; the other figures are integer-derived.
 
-    Shape at scale: the quality/artifact maps fuse into the same scan;
-    the dup check is one md5-keyed count joined back; the rollup is one
-    source-keyed aggregate."""
+    Shape at scale: the explicit price of REUSING the verified
+    quality/artifact primitives is three scans of the corpus and two
+    doc-keyed joins (Catalyst does not fuse self-joins into one scan);
+    the dup check is one md5-keyed count joined back and the rollup one
+    source-keyed aggregate. Inlining the expressions would save the
+    rescans at the cost of duplicating verified logic."""
     from ophidia_server_spark.pipeline.text import encoding_artifacts, quality_score
 
     q = quality_score(df).select("doc_id", "n_tokens", "quality")
@@ -282,14 +285,18 @@ def price_volume_mix(
 
         delta_revenue = (q1 - q0) * p0   (volume effect)
                       + (p1 - p0) * q1   (price effect)
+                      + residual
 
-    which sums EXACTLY to rev1 - rev0 by construction. Keys present in
-    only one period contribute a pure volume effect (the other period's
-    qty is 0 and its price is taken from the observed side, keeping the
-    identity). All sums are exact decimals; prices divide once in
-    double. Returns (key, rev0 R2, rev1 R2, volume_effect R6,
-    price_effect R6, delta R2). One keyed aggregate + one pivot —
-    nothing beyond the key grain."""
+    where the residual is 0 whenever prices are well-defined (every
+    period with revenue has positive quantity) and otherwise absorbs
+    what the decomposition cannot attribute — e.g. a zero-quantity
+    period carrying contra-revenue (returns/credits), where no price
+    exists to split the delta. The three effect columns therefore ALWAYS
+    sum to rev1 - rev0. Keys present in only one period contribute a
+    pure volume effect. All sums are exact decimals; prices divide once
+    in double. Returns (key, rev0 R2, rev1 R2, volume_effect R6,
+    price_effect R6, residual R6, delta R2). One keyed aggregate + one
+    pivot — nothing beyond the key grain."""
     per = df.groupBy(
         F.col(key_col).alias("key"), F.col(period_col).alias("__p")
     ).agg(
@@ -312,12 +319,16 @@ def price_volume_mix(
     p1 = F.when(F.col("q1") > 0, F.col("r1") / F.col("q1")).otherwise(p0)
     vol = (F.col("q1") - F.col("q0")) * p0
     price = (p1 - p0) * F.col("q1")
+    resid = (F.col("r1") - F.col("r0")) - vol - price
     return piv.select(
         "key",
         F.round("r0", 2).alias("rev0"),
         F.round("r1", 2).alias("rev1"),
         F.round(vol, 6).alias("volume_effect"),
         F.round(price, 6).alias("price_effect"),
+        # + 0.0 canonicalizes IEEE -0.0 (DuckDB's ROUND emits it; Spark's
+        # does not — a one-character hash mismatch otherwise)
+        (F.round(resid, 6) + F.lit(0.0)).alias("residual"),
         F.round(F.col("r1") - F.col("r0"), 2).alias("delta"),
     )
 
@@ -444,10 +455,9 @@ def poisson_bootstrap_ci(
     real scale the input already has enough splits and the guard is a
     no-op. Returns one row (n_rows, mean, ci_lo, ci_hi,
     n_replicates)."""
-    spark = df.sparkSession
-    want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        df = df.repartition(want)
+    from ophidia_server_spark.functions.skew import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     # hex-string thresholds (the house md5-coin convention: compare the
     # first 8 md5 chars against format(int(frac * 16**8), '08x') — no
     # float division anywhere near the boundary)

@@ -365,11 +365,10 @@ def _unique_shingle_sets(
             F.col(id_col).alias("doc_id"), F.col(text_col)
         )
     # fan out single-file inputs: shingling + per-shingle hashing would
-    # otherwise run on one core (same guard as poisson_bootstrap_ci)
-    spark = src.sparkSession
-    want = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < want:
-        src = src.repartition(want)
+    # otherwise run on one core
+    from ophidia_server_spark.functions.skew import ensure_min_partitions
+
+    src = ensure_min_partitions(src)
     sh = shingle_sets(src, text_col, shingle_k)
     if id_col != "doc_id":
         sh = sh.withColumnRenamed("doc_id", id_col)

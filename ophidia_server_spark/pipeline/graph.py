@@ -107,11 +107,17 @@ def kcore(
     )
     cur = und
     n_prev = -1
+    converged = False
     for _ in range(int(max_iter)):
         deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
-        keep = deg.filter(F.col("__deg") >= k).select("__a").localCheckpoint()
+        # lazy checkpoint: the count() below materializes it — one job
+        # per round instead of two
+        keep = deg.filter(F.col("__deg") >= k).select("__a").localCheckpoint(
+            eager=False
+        )
         n_keep = keep.count()
         if n_keep == n_prev:
+            converged = True
             break
         n_prev = n_keep
         cur = (
@@ -120,6 +126,14 @@ def kcore(
                 keep.select(F.col("__a").alias("__b")), "__b", "left_semi"
             )
             .localCheckpoint()
+        )
+    if not converged:
+        # a silent partial peel would return nodes whose reported degree
+        # still counts deleted neighbors — not a k-core at all
+        raise RuntimeError(
+            f"kcore did not stabilize within max_iter={max_iter} rounds "
+            "(deep peeling chains — e.g. long paths — need one round per "
+            "layer); raise max_iter"
         )
     return (
         cur.groupBy("__a")

@@ -3387,6 +3387,8 @@ SELECT CAST(key AS BIGINT) AS key,
        ROUND(r0, 2) AS rev0, ROUND(r1, 2) AS rev1,
        ROUND((q1 - q0) * p0, 6) AS volume_effect,
        ROUND((p1 - p0) * q1, 6) AS price_effect,
+       ROUND((r1 - r0) - (q1 - q0) * p0 - (p1 - p0) * q1, 6) + 0.0
+         AS residual,
        ROUND(r1 - r0, 2) AS delta
 FROM px2""",
 )
@@ -3406,7 +3408,8 @@ def parts_price_volume_mix(spark, sf_dir):
         li, "l_partkey", "__period", "l_quantity", "l_extendedprice"
     ).select(
         F.col("key").cast("long").alias("key"),
-        "rev0", "rev1", "volume_effect", "price_effect", "delta",
+        "rev0", "rev1", "volume_effect", "price_effect", "residual",
+        "delta",
     )
 
 
@@ -6064,11 +6067,10 @@ def dedup_minhash_recall(spark, sf_dir):
     )
 
 
-# normalized tokenizer mirror (lower + strip): DISTINCT from the line-1375
-# _TOKS raw-whitespace mirror — shadowing that name bit once already
-_TOKS_NORM = (
-    "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')"
-)
+# Every Spark-side tokenizer in this repo is the RAW whitespace tokens()
+# (no lowercasing/stripping), so every oracle mirrors with the raw _TOKS
+# (line ~1375). A normalized variant lived here until round 8 and was
+# latently mismatched — masked only by the all-lowercase fixture corpus.
 
 
 def _jl_oracle(out_dim: int = 16) -> str:
@@ -6226,7 +6228,7 @@ def sim_random_project(spark, sf_dir):
 
 @q(
     "text_collocations",
-    f"""WITH t AS (SELECT {_TOKS_NORM} AS toks FROM documents),
+    f"""WITH t AS (SELECT {_TOKS} AS toks FROM documents),
 uc AS (
   SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
 ), bi AS (
@@ -6259,7 +6261,7 @@ def text_collocations(spark, sf_dir):
 @q(
     "text_chi2_by_source",
     f"""WITH t AS (
-  SELECT source AS l, list_distinct({_TOKS_NORM}) AS toks FROM documents
+  SELECT source AS l, list_distinct({_TOKS}) AS toks FROM documents
 ), pres AS (SELECT l, unnest(toks) AS token FROM t),
 tok_tot AS (
   SELECT token, COUNT(*) AS nt FROM pres GROUP BY token HAVING COUNT(*) >= 5
@@ -6876,10 +6878,10 @@ def graph_triangle_counts(spark, sf_dir):
     )
 
 
-_SHINGLE_CTE = """t AS (
+_SHINGLE_CTE = r"""t AS (
   SELECT doc_id, n_chars,
-         string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
-                      ' ') AS toks
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     tk -> tk <> '') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -6980,8 +6982,8 @@ def text_ngram_novelty(spark, sf_dir):
     """WITH t AS (
   SELECT doc_id, n_chars,
          md5(array_to_string(list_sort(list_distinct(
-           string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
-                        ' '))), ' ')) AS k
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       tk -> tk <> ''))), ' ')) AS k
   FROM documents
 ), r AS (
   SELECT k, doc_id, n_chars,
@@ -7147,7 +7149,7 @@ _HEX8 = (
     "pack_sequences",
     f"""WITH tk AS (
   SELECT doc_id,
-         CAST(len({_TOKS_NORM}) AS BIGINT) AS n_tokens,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
          {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':pack'")} % 8 AS bucket
   FROM documents
 ), w AS (
@@ -7198,7 +7200,7 @@ def train_global_shuffle(spark, sf_dir):
 @q(
     "text_repeated_ngrams",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents
 ), g AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
@@ -7227,7 +7229,7 @@ def text_repeated_ngrams(spark, sf_dir):
 @q(
     "text_quality_logistic",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents
 ), feat AS (
   SELECT doc_id, len(toks) AS n,
          len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
@@ -7655,7 +7657,7 @@ def io_arrow_roundtrip(spark, sf_dir):
 @q(
     "sample_quality_weighted",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents
 ), feat AS (
   SELECT doc_id, len(toks) AS n,
          len(list_filter(toks, t -> lower(t) IN {_STOP_SQL})) AS stop,
@@ -8012,7 +8014,7 @@ def io_repack_roundtrip(spark, sf_dir):
 @q(
     "text_remove_repeated_spans",
     f"""WITH tk AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents
 ), g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
@@ -8962,7 +8964,7 @@ from ophidia_server_spark.pipeline import dsir as ds  # noqa: E402
 # hashed unigram+bigram bucket counts per document — the shared CTE text of
 # the dsir_* oracles (m=256, salt 'dsir'; the md5 contract of _HEX8)
 _DSIR_GC = f"""t AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+  SELECT doc_id, {_TOKS} AS toks FROM documents
 ), g AS (
   SELECT doc_id, unnest(toks) AS g FROM t
   UNION ALL
@@ -9105,7 +9107,7 @@ _GOPHER_STOPS = " + ".join(
 @q(
     "text_gopher_rules",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks,
+  SELECT doc_id, {_TOKS} AS toks,
          list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
          text
   FROM documents
@@ -10898,7 +10900,7 @@ def ml_logreg_grade(spark, sf_dir):
 # with the stage CTE as the source)
 def _dsir_w_cte(src: str) -> str:
     return f"""t2 AS (
-  SELECT doc_id, {_TOKS.replace('text', 'text')} AS toks FROM {src}
+  SELECT doc_id, {_TOKS} AS toks FROM {src}
 ), g2 AS (
   SELECT doc_id, unnest(toks) AS g FROM t2
   UNION ALL
@@ -10935,7 +10937,7 @@ def _dsir_w_cte(src: str) -> str:
 @q(
     "pipeline_release_end_to_end",
     f"""WITH t AS (
-  SELECT doc_id, {_TOKS_NORM} AS toks,
+  SELECT doc_id, {_TOKS} AS toks,
          list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines,
          text
   FROM documents
@@ -11216,7 +11218,7 @@ def events_vocab_index(spark, sf_dir):
     "corpus_datasheet",
     f"""WITH tk AS (
   SELECT doc_id, source, lang, md5(text) AS h,
-         CAST(len({_TOKS_NORM}) AS BIGINT) AS n_tokens
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
   FROM documents
 ), dup AS (
   SELECT SUM(n) AS dup_docs FROM (

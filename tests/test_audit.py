@@ -244,9 +244,21 @@ def test_price_volume_mix_identity_and_effects(spark):
     assert b["volume_effect"] == -50.0 and b["price_effect"] == 0.0
     c = got["C"]
     assert c["volume_effect"] == 12.0 and c["price_effect"] == 0.0
-    # the bridge closes exactly for every key
+    # the bridge closes exactly for every key (residual 0 here)
     for r in got.values():
+        assert r["residual"] == 0.0
         assert abs(r["volume_effect"] + r["price_effect"] - r["delta"]) < 1e-6
+    # degenerate: contra-revenue with zero quantity -> residual carries it
+    deg = spark.createDataFrame(
+        [("D", 0, 0.0, 50.0), ("D", 1, 10.0, 100.0)],
+        "k string, p int, q double, r double",
+    )
+    rd = price_volume_mix(deg, "k", "p", "q", "r").first()
+    assert rd["delta"] == 50.0
+    assert abs(
+        rd["volume_effect"] + rd["price_effect"] + rd["residual"] - 50.0
+    ) < 1e-6
+    assert rd["residual"] != 0.0  # the unattributable slice is explicit
 
 
 def test_fulfillment_lag_hand_computed(spark):

@@ -119,3 +119,26 @@ def test_kcore_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+def test_kcore_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    # a 12-node path with k=2 peels one layer per round from each end;
+    # max_iter=2 cannot reach the (empty) fixed point -> named error
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not stabilize"):
+        kcore(df, k=2, max_iter=2)
+
+
+def test_histogram_nulls_not_counted(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.functions.primitives import histogram
+
+    df = spark.createDataFrame([([1.0, None, 5.0],)], "arr array<double>")
+    got = df.select(histogram(1, 0.0, 10.0)(F.col("arr")).alias("h")).first()
+    assert got["h"] == [2]  # documented: nulls vanish from the counts
