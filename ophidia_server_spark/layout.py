@@ -306,12 +306,25 @@ def _stat_val(v):
     return None
 
 
+def _norm_path(p: str) -> str:
+    """Canonical stats key for a data file: strip the file:// scheme,
+    URL-decode (input_file_name() percent-encodes specials), and make
+    absolute — so the executor-reported path and the caller-constructed
+    manifest path always agree. Without this, a relative table path (or a
+    space in it) silently disabled pruning: keys never matched,
+    _prune_by_stats kept every file, and nothing signalled it."""
+    import os as _os
+    from urllib.parse import unquote as _unquote
+
+    return _os.path.abspath(_unquote(p.removeprefix("file://")))
+
+
 def _collect_file_stats(spark: SparkSession, files: list[str],
                         stats_cols: list[str]) -> dict:
     """Per-file min/max/count for the manifest — one grouped aggregate over
     the freshly written files (O(new data), the stats-collection cost every
-    table format pays at write time). Keys are the local file paths the
-    manifest stores."""
+    table format pays at write time). Keys are the _norm_path canonical
+    form of the file paths the manifest stores."""
     if not files or not stats_cols:
         return {}
     df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -321,7 +334,7 @@ def _collect_file_stats(spark: SparkSession, files: list[str],
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     out = {}
     for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
-        f = r["__f"].removeprefix("file://")
+        f = _norm_path(r["__f"])
         out[f] = {
             "rows": r["__rows"],
             "cols": {
@@ -346,7 +359,9 @@ def _prune_by_stats(man: dict, ranges: dict) -> list[str]:
     correctness dependency (the caller re-applies the predicate)."""
     import datetime as _dt
 
-    stats = man.get("stats") or {}
+    # Normalize BOTH sides of the key match (older manifests may carry
+    # raw executor paths; man["files"] carries caller-constructed ones).
+    stats = {_norm_path(k): v for k, v in (man.get("stats") or {}).items()}
     norm = {
         c: (_stat_val(lo) if isinstance(lo, (_dt.date, _dt.datetime)) else lo,
             _stat_val(hi) if isinstance(hi, (_dt.date, _dt.datetime)) else hi)
@@ -354,7 +369,7 @@ def _prune_by_stats(man: dict, ranges: dict) -> list[str]:
     }
     keep = []
     for f in man["files"]:
-        st = stats.get(f)
+        st = stats.get(_norm_path(f))
         drop = False
         if st:
             for c, (lo, hi) in norm.items():
@@ -645,9 +660,14 @@ def snapshot_upsert(
     stats_cols = man.get("stats_cols")
     if stats_cols:
         out["stats_cols"] = stats_cols
-        parent_stats = man.get("stats") or {}
+        parent_stats = {
+            _norm_path(k): v for k, v in (man.get("stats") or {}).items()
+        }
         # kept files are immutable: their stats carry over without a scan
-        stats = {f: parent_stats[f] for f in kept if f in parent_stats}
+        stats = {
+            _norm_path(f): parent_stats[_norm_path(f)]
+            for f in kept if _norm_path(f) in parent_stats
+        }
         stats.update(_collect_file_stats(spark, new_files, stats_cols))
         out["stats"] = stats
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
@@ -658,16 +678,22 @@ def snapshot_upsert(
             "files_rewritten": len(touched), "files_written": len(new_files)}
 
 
-def vacuum(path: str, keep_last: int = 1) -> dict:
+def vacuum(path: str, keep_last: int = 1,
+           orphan_grace_seconds: float = 600.0) -> dict:
     """Drop all but the newest `keep_last` manifests and delete every data
     file no retained manifest references — the space-reclaim step that
     turns time travel from an unbounded cost into a retention policy.
     Also sweeps ORPHAN data directories (a crashed writer's uncommitted
-    attempt: writer-unique dirs referenced by no manifest at all) — so do
-    not run vacuum concurrently with an in-flight writer.
+    attempt: writer-unique dirs referenced by no manifest at all). A dir
+    is only swept when it is safely dead: it has no Spark `_temporary`
+    staging subdir AND its newest mtime (dir or any entry) is older than
+    `orphan_grace_seconds` — a writer that started milliseconds before the
+    sweep has an empty-or-staging dir with a fresh mtime and is skipped,
+    so vacuum no longer deletes in-flight work it merely raced.
     Returns {kept_versions, removed_versions, deleted_files, orphan_dirs}."""
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     versions = snapshot_versions(path)
     if keep_last < 1:
@@ -688,16 +714,31 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
                 deleted += 1
         _os.remove(_os.path.join(_manifest_dir(path), f"v{v}.json"))
     orphans = 0
+    now = _time.time()
     for entry in sorted(_os.listdir(path)):
         full = _os.path.join(path, entry)
         if not (entry.startswith("g") and _os.path.isdir(full)):
             continue
-        if not any(
+        listing = _os.listdir(full)
+        if any(
             _os.path.join(full, f) in referenced
-            for f in _os.listdir(full) if f.endswith(".parquet")
+            for f in listing if f.endswith(".parquet")
         ):
-            _shutil.rmtree(full, ignore_errors=True)
-            orphans += 1
+            continue
+        # Liveness guards: a Spark staging subdir means a writer is mid-
+        # flight; a fresh mtime anywhere means the dir may belong to a
+        # writer that has so far only mkdir'd (vacuously unreferenced).
+        if "_temporary" in listing:
+            continue
+        newest = max(
+            [_os.path.getmtime(full)]
+            + [_os.path.getmtime(_os.path.join(full, f))
+               for f in listing if _os.path.exists(_os.path.join(full, f))]
+        )
+        if now - newest < orphan_grace_seconds:
+            continue
+        _shutil.rmtree(full, ignore_errors=True)
+        orphans += 1
     return {"kept_versions": keep, "removed_versions": drop,
             "deleted_files": deleted, "orphan_dirs": orphans}
 

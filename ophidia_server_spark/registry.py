@@ -3527,11 +3527,10 @@ def events_cube_lattice(spark, sf_dir):
 
 @q(
     "text_zipf_exponent",
-    """WITH freq AS (
+    f"""WITH freq AS (
   SELECT w, COUNT(*) AS c
-  FROM (SELECT unnest(string_split(lower(regexp_replace(
-          text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS w FROM documents)
-  WHERE w <> '' GROUP BY w
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
 ), ranked AS (
   SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
          ln(CAST(c AS DOUBLE)) AS y
@@ -6027,9 +6026,8 @@ def sim_ivf_recall(spark, sf_dir):
 
 @q(
     "dedup_minhash_recall",
-    """WITH t AS (
-  SELECT doc_id, string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')
-         AS toks FROM documents WHERE doc_id < 400
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 400
 ), s AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6979,7 +6977,7 @@ def text_ngram_novelty(spark, sf_dir):
 
 @q(
     "dedup_keep_best_vocab",
-    """WITH t AS (
+    r"""WITH t AS (
   SELECT doc_id, n_chars,
          md5(array_to_string(list_sort(list_distinct(
            list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -426,9 +426,31 @@ def test_snapshot_loser_never_clobbers_committed_data(spark, tables, tmp_path):
     # vacuum sweeps it without touching any committed version
     c_dir = _new_data_dir(path, 3)
     base.limit(2).write.mode("overwrite").parquet(c_dir)
+
+    # in-flight writers must survive the sweep: one that has only mkdir'd
+    # (fresh mtime, no files) and one mid-write (Spark _temporary staging)
+    fresh_dir = _new_data_dir(path, 4)
+    os.makedirs(fresh_dir, exist_ok=True)
+    staging_dir = _new_data_dir(path, 5)
+    os.makedirs(os.path.join(staging_dir, "_temporary"), exist_ok=True)
+    old = (0, 0)
+    os.utime(staging_dir, old)  # even an OLD staging dir is protected
+
+    rep = vacuum(path, keep_last=10)  # default grace: c_dir is fresh too
+    assert rep["orphan_dirs"] == 0
+    assert os.path.exists(fresh_dir) and os.path.exists(staging_dir)
+
+    # grace elapsed (simulated by aging mtimes): only the truly dead
+    # crashed-writer dirs go; the _temporary one still survives
+    for d in (c_dir, fresh_dir):
+        for root, _dirs, fs in os.walk(d):
+            os.utime(root, old)
+            for f in fs:
+                os.utime(os.path.join(root, f), old)
     rep = vacuum(path, keep_last=10)
-    assert rep["orphan_dirs"] == 1
-    assert not os.path.exists(c_dir)
+    assert rep["orphan_dirs"] == 2
+    assert not os.path.exists(c_dir) and not os.path.exists(fresh_dir)
+    assert os.path.exists(staging_dir)
     assert snapshot_read(spark, path, 1).count() == base.count()
     assert snapshot_read(spark, path, 2).count() == v2_rows
 
