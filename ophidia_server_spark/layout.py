@@ -570,6 +570,101 @@ def stream_append_to_snapshots(
     )
 
 
+def stream_window_upsert_to_snapshots(
+    spark: SparkSession,
+    src_path: str,
+    schema: str,
+    table_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """The REAL 100 TB ingest shape: watermarked tumbling-window
+    aggregation maintained INTO the versioned store. Each micro-batch
+    emits, in UPDATE output mode, only the windows the batch changed;
+    foreachBatch MERGEs them into the snapshot table keyed on
+    (window_start, key) — late rows inside the watermark land as CDC
+    `update`s to their already-committed window, rows later than the
+    watermark are dropped by the engine before they can corrupt state,
+    and an at-least-once replayed batch (id <= the largest committed
+    batch_id, append OR upsert manifest) re-merges nothing. Crash between
+    data write and manifest commit leaves an orphan dir for vacuum, never
+    a torn version — the exactly-once argument is the same manifest-CAS
+    one as stream_append_to_snapshots', extended to updates.
+
+    Table schema: window_start (string, UTC second grain), <key_col>,
+    n (bigint), total (double R6). availableNow drains and stops;
+    max_files_per_trigger=1 makes each source file its own micro-batch so
+    the watermark ADVANCES between files (how late-data semantics are
+    actually exercised; None lets the engine batch freely)."""
+
+    def _commit(batch_df, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table_path):
+            # replayed batch: commit NOTHING to the table, but still
+            # process every partition — Spark 4 validates that a stateful
+            # query's foreachBatch touched all state partitions
+            # (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise)
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        changed = batch_df.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            key_col, "n", "total",
+        )
+        import os as _os
+
+        # bootstrap on "no committed version yet", NOT on the manifests
+        # dir existing — _manifest_dir() mkdirs as a side effect of the
+        # batch-id lookup above
+        if not snapshot_versions(table_path):
+            snapshot_write(changed, table_path)
+            # re-stamp the bootstrap manifest with the batch id so a
+            # replay of batch 0 is recognized as committed
+            import json as _json
+
+            mpath = _os.path.join(_manifest_dir(table_path), "v1.json")
+            with open(mpath) as fh:
+                man = _json.load(fh)
+            man["batch_id"] = int(batch_id)
+            with open(mpath, "w") as fh:
+                _json.dump(man, fh)
+        else:
+            snapshot_upsert(
+                batch_df.sparkSession, table_path, changed,
+                ["window_start", key_col], batch_id=batch_id,
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    agg = (
+        reader.parquet(src_path)
+        .withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", width).alias("__w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            # exact-decimal accumulation: the committed total must be
+            # byte-identical no matter how many micro-batches / replays
+            # built it (float sums are order-dependent)
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("decimal(38,6)").cast("double").alias("total"),
+        )
+        .select(F.col("__w.start").alias("window_start"), key_col, "n", "total")
+    )
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_commit)
+        .option("checkpointLocation", table_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None,
     ranges: dict | None = None,
@@ -610,6 +705,7 @@ def snapshot_pruned_read(
 
 def snapshot_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str],
+    batch_id: int | None = None,
 ) -> dict:
     """Copy-on-write MERGE that PRESERVES history: like merge_upsert, only
     the files containing a matched key are rewritten — but the replaced
@@ -657,6 +753,8 @@ def snapshot_upsert(
     ]
     out = {"version": v, "op": "upsert", "files": kept + new_files,
            "parent": man["version"]}
+    if batch_id is not None:
+        out["batch_id"] = int(batch_id)
     stats_cols = man.get("stats_cols")
     if stats_cols:
         out["stats_cols"] = stats_cols

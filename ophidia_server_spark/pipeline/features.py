@@ -149,8 +149,19 @@ def string_index(
     return out, vocab
 
 
+class EcdfCardinalityError(RuntimeError):
+    """Raised when an exact ECDF would materialize a distinct-value table
+    above the caller's `max_distinct` budget — the named signal that the
+    data is near-continuous at this scale and the caller should switch to
+    `percentile_rank_bucketed` (bounded window, bounded join) or pass
+    `auto_bucket=True` to let this function switch for them."""
+
+
 def percentile_rank_by_group(
     df: DataFrame, value_col: str, group_col: str,
+    max_distinct: int | None = 50_000_000,
+    auto_bucket: bool = False,
+    buckets: int = 1000,
 ) -> DataFrame:
     """Empirical-CDF feature: each row's percentile within its group
     (cume_dist — the fraction of group rows with value <= this row's).
@@ -168,8 +179,32 @@ def percentile_rank_by_group(
     NEAR-CONTINUOUS values the distinct-value table grows with the data,
     so the per-group running sum grows with it — exact ECDF at 10x data
     measured 6.3x (sub-linear, vs a single full-group task sort before).
-    At truly continuous 100 TB scale, quantize the rank grid first
-    (bucketed ECDF) when approximate ranks are acceptable."""
+    That lever is now EXECUTABLE, not prose: `max_distinct` (default
+    50M, ~a few GB of ECDF state) is checked with one
+    approx_count_distinct pass before the exact plan runs; above it,
+    either EcdfCardinalityError names `percentile_rank_bucketed` as the
+    way out, or — with `auto_bucket=True` — this function runs the
+    bucketed plan itself (result column stays `pct_rank`; `buckets`
+    controls the grid). Pass max_distinct=None to skip the guard pass
+    entirely (exact plan, no extra job)."""
+    if max_distinct is not None:
+        g = F.col(group_col)
+        v0 = F.col(value_col).cast("double")
+        approx = df.agg(
+            F.approx_count_distinct(F.struct(g, v0)).alias("__nd")
+        ).first()["__nd"]
+        if approx > int(max_distinct):
+            if not auto_bucket:
+                raise EcdfCardinalityError(
+                    f"exact ECDF would rank ~{approx:,} distinct "
+                    f"(group, value) pairs (> max_distinct="
+                    f"{int(max_distinct):,}) — near-continuous values at "
+                    "this scale; use percentile_rank_bucketed (bounded "
+                    "window) or pass auto_bucket=True / max_distinct=None"
+                )
+            return percentile_rank_bucketed(
+                df, value_col, group_col, buckets=buckets
+            ).withColumnRenamed("pct_rank_bucketed", "pct_rank").drop("bucket")
     v = F.col(value_col).cast("double")
     ranked = _group_ecdf(df, value_col, group_col).select(
         "__g", "__v",

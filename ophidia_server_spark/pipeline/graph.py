@@ -73,7 +73,7 @@ def triangle_counts(
 def kcore(
     edges: DataFrame, k: int = 3,
     src_col: str = "src", dst_col: str = "dst",
-    max_iter: int = 64,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Maximum k-core of an undirected simple graph (the standard
     peeling algorithm: repeatedly delete nodes of degree < k until a
@@ -81,13 +81,23 @@ def kcore(
     engagement-core detection). Returns the surviving nodes with their
     in-core degree.
 
+    Round budget is AUTO-SCALED from the peel itself: every non-final
+    round strictly shrinks the surviving-node set (the semi-joins only
+    remove edges, so degrees are monotone non-increasing and the
+    keep-set monotone shrinking), which both guarantees termination in
+    at most (#nodes + 1) rounds and makes any fixed iteration cap
+    data-dependent guesswork — a deep peeling chain (a long path needs
+    one round per layer) is legitimate work, not divergence. Pass
+    `max_iter` only to BOUND COST: when set, exceeding it raises loudly
+    (a silent partial peel would return nodes whose reported degree
+    still counts deleted neighbors — not a k-core at all).
+
     Shape at scale: each peel round is one degree aggregate + one
     semi-join of the edge set against surviving nodes (both keyed
     shuffles), with localCheckpoint lineage truncation per round so the
-    loop does not build an unbounded plan; convergence needs at most
-    O(peeling depth) rounds, bounded by `max_iter`. Nothing
-    node- or edge-sized is ever collected — the loop watches one
-    scalar count per round."""
+    loop does not build an unbounded plan; convergence needs exactly
+    O(peeling depth) rounds. Nothing node- or edge-sized is ever
+    collected — the loop watches one scalar count per round."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = (
@@ -107,8 +117,15 @@ def kcore(
     )
     cur = und
     n_prev = -1
-    converged = False
-    for _ in range(int(max_iter)):
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_iter is not None and rounds > int(max_iter):
+            raise RuntimeError(
+                f"kcore exceeded the requested cost cap max_iter={max_iter} "
+                "rounds before stabilizing (deep peeling chains — e.g. long "
+                "paths — need one round per layer); raise or drop max_iter"
+            )
         deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
         # lazy checkpoint: the count() below materializes it — one job
         # per round instead of two
@@ -117,7 +134,6 @@ def kcore(
         )
         n_keep = keep.count()
         if n_keep == n_prev:
-            converged = True
             break
         n_prev = n_keep
         cur = (
@@ -126,14 +142,6 @@ def kcore(
                 keep.select(F.col("__a").alias("__b")), "__b", "left_semi"
             )
             .localCheckpoint()
-        )
-    if not converged:
-        # a silent partial peel would return nodes whose reported degree
-        # still counts deleted neighbors — not a k-core at all
-        raise RuntimeError(
-            f"kcore did not stabilize within max_iter={max_iter} rounds "
-            "(deep peeling chains — e.g. long paths — need one round per "
-            "layer); raise max_iter"
         )
     return (
         cur.groupBy("__a")

