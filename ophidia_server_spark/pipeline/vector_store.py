@@ -61,7 +61,8 @@ def _estimated_input_bytes(df: DataFrame) -> int | None:
 
 
 def _clustered_partitioned_write(
-    df: DataFrame, path: str, part_col: str, salt_col: str, n_buckets: int
+    df: DataFrame, path: str, part_col: str, salt_col: str, n_buckets: int,
+    mode: str = "overwrite",
 ) -> None:
     """Write `df` parquet-partitioned by `part_col`, clustering rows so each
     bucket directory is produced by as few tasks as its size warrants.
@@ -91,7 +92,7 @@ def _clustered_partitioned_write(
         clustered = df.repartition(
             writers, F.col(part_col), F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_mod))
         )
-    clustered.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    clustered.write.mode(mode).partitionBy(part_col).parquet(path)
 
 
 @dataclass
@@ -225,3 +226,90 @@ def lsh_probe(
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(index.id_col)).limit(k)
+
+
+def _part_meta(index: VectorIndex) -> tuple[str, int]:
+    """(partition column, bucket cardinality) for either store kind."""
+    if index.kind == "ivf":
+        return "__cell", int(index.params["n_cells"])
+    return "__sig", 1 << int(index.params["bits"])
+
+
+def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
+    """Grow the store with a NEW embedding batch — the lifecycle step a
+    continuously re-embedding training pipeline needs (the reference's
+    import-once model never re-imports the historical corpus either;
+    compare dedup's minhash_index_append). The batch is assigned with the
+    BUILD's codebook / plane parameters straight from the sidecar, so an
+    append can never use a different geometry than the probes, and ONLY
+    the batch is shuffled: historical partition files are untouched —
+    append cost is O(batch), not O(corpus). New files land inside the
+    same cell/signature directories, so every probe sees appended vectors
+    immediately with the same partition pruning. Ids are the caller's
+    contract: appending an id that already exists stores both rows (a
+    probe may then return the id once per copy — dedup upstream).
+
+    Repeated appends accrete small files per directory; run
+    `index_compact` off-peak to restore ~128 MB files (the same
+    OPTIMIZE-after-ingest discipline as layout.snapshot_optimize)."""
+    if isinstance(index, str):
+        index = load_index(index)
+    if index.kind == "ivf":
+        assigned = sim.ivf_assign(
+            df, index.params["leaders"], index.vec_col
+        ).select(index.id_col, index.vec_col, "__cell")
+    else:
+        assigned = df.withColumn(
+            "__sig",
+            sim.signature_udf(index.params["dim"], index.params["bits"])(
+                F.col(index.vec_col).cast("array<double>")
+            ),
+        ).select(index.id_col, index.vec_col, "__sig")
+    part_col, n_buckets = _part_meta(index)
+    _clustered_partitioned_write(
+        assigned, index.path, part_col, index.id_col, n_buckets, mode="append"
+    )
+    return index
+
+
+def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
+    """Compact the store after a run of appends: ONE clustering shuffle
+    rewrites every partition's accreted small files back to the
+    ~128 MB-file policy of the original build, into a fresh directory
+    that is then swapped in. Row-identical before and after (the gate
+    asserts recall on the compacted store); only file counts change.
+    Probes running strictly before or after the swap are consistent; the
+    swap itself is two directory renames — at lakehouse scale this
+    becomes a manifest flip (layout.snapshot_optimize is that shape), but
+    a filesystem store has no manifest to flip. Returns
+    {files_before, files_after, rows}."""
+    import shutil
+
+    if isinstance(index, str):
+        index = load_index(index)
+    part_col, n_buckets = _part_meta(index)
+    stored = spark.read.parquet(index.path)
+
+    def _count_files(root: str) -> int:
+        n = 0
+        for _, _, fs in os.walk(root):
+            n += sum(1 for f in fs if f.endswith(".parquet"))
+        return n
+
+    files_before = _count_files(index.path)
+    rows = stored.count()
+    tmp = index.path.rstrip("/") + ".compact-tmp"
+    old = index.path.rstrip("/") + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _clustered_partitioned_write(
+        stored, tmp, part_col, index.id_col, n_buckets
+    )
+    # the swap: new dir in, old dir out, sidecar carried over verbatim
+    shutil.copy(os.path.join(index.path, _SIDECAR), os.path.join(tmp, _SIDECAR))
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index.path, old)
+    os.rename(tmp, index.path)
+    shutil.rmtree(old)
+    files_after = _count_files(index.path)
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows}

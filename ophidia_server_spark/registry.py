@@ -6025,6 +6025,59 @@ def sim_ivf_recall(spark, sf_dir):
 
 
 @q(
+    "sim_index_append_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok,
+       CAST(1 AS BIGINT) AS rows_ok
+FROM embeddings WHERE vec_id < 4""",
+)
+def sim_index_append_recall(spark, sf_dir):
+    """Recall grade for the vector store's INCREMENTAL lifecycle
+    (vector_store.py index_append + index_compact — the continuous
+    re-embedding ingest path): the IVF store is built on only the FIRST
+    HALF of the corpus, the second half arrives as an append (assigned
+    with the build's sidecar codebook, historical partitions untouched),
+    the accreted files are compacted (directory swap), and THEN the same
+    recall@10-vs-exact bar as sim_ivf_recall must clear on the MERGED
+    corpus for every probe — appended vectors must be exactly as servable
+    as built ones. rows_ok pins compaction losslessness (row count and
+    distinct ids both equal the corpus)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    half = n // 2
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_vgrow_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = vs.ivf_build(emb.filter(F.col("vec_id") < half), path, n_cells=16)
+    vs.index_append(emb.filter(F.col("vec_id") >= half), idx)
+    rep = vs.index_compact(spark, idx)
+    rows_ok = int(
+        rep["rows"] == n
+        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+    )
+    out = []
+    for pid in range(4):
+        qv = [
+            float(v) for v in
+            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
+        ]
+        got = {r["vec_id"]
+               for r in vs.ivf_probe(spark, idx, qv, k=10, nprobe=4).collect()}
+        exact = {r["vec_id"]
+                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
+        recall = len(got & exact) / max(1, len(exact))
+        out.append((pid, int(recall >= 0.2), rows_ok))
+    return spark.createDataFrame(
+        out, "probe_id long, recall_ok long, rows_ok long"
+    )
+
+
+@q(
     "dedup_minhash_recall",
     f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 400

@@ -132,6 +132,69 @@ def test_lsh_build_probe_lifecycle(spark, tables, tmp_path):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
+def test_index_append_and_compact_lifecycle(spark, tables, tmp_path):
+    # the continuous-ingest lifecycle: build on half the corpus, append the
+    # rest in two batches (same sidecar geometry, historical files
+    # untouched), then compact — rows identical, fewer files, probe results
+    # byte-identical before and after the swap.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    half = n // 2
+    path = str(tmp_path / "grow")
+    idx = vs.ivf_build(emb.filter(F.col("vec_id") < half), path, n_cells=8)
+    for lo, hi in ((half, half + (n - half) // 2), (half + (n - half) // 2, n)):
+        vs.index_append(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), idx
+        )
+    stored = spark.read.parquet(path)
+    assert stored.count() == n
+    assert stored.select("vec_id").distinct().count() == n
+
+    # an appended vector is immediately servable: its own cell is the
+    # argmax leader, always among the probed cells -> exact self-match
+    probe_id = n - 1
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == probe_id)
+          .select("embedding").first()[0]]
+    top = vs.ivf_probe(spark, idx, qv, k=3, nprobe=4).collect()
+    assert top[0]["vec_id"] == probe_id and top[0]["cosine_sim"] == 1.0
+
+    before = [tuple(r) for r in vs.ivf_probe(spark, idx, qv, k=10, nprobe=4).collect()]
+    rep = vs.index_compact(spark, idx)
+    assert rep["rows"] == n
+    assert rep["files_after"] <= rep["files_before"]
+    # sidecar survived the swap; probes unchanged
+    reopened = vs.load_index(path)
+    after = [tuple(r) for r in vs.ivf_probe(spark, reopened, qv, k=10, nprobe=4).collect()]
+    assert after == before
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + ".compact-tmp")
+    assert not os.path.exists(path + ".compact-old")
+
+
+def test_index_append_lsh_self_servable(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    path = str(tmp_path / "growlsh")
+    idx = vs.lsh_build(emb.filter(F.col("vec_id") < n - 5), path, bits=8)
+    vs.index_append(emb.filter(F.col("vec_id") >= n - 5), idx)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == n - 1)
+          .select("embedding").first()[0]]
+    # the appended vector's signature was computed with the build's planes,
+    # so the query's own signature bucket contains it -> exact self-match
+    top = vs.lsh_probe(spark, idx, qv, k=1).collect()
+    assert top[0]["vec_id"] == n - 1 and top[0]["cosine_sim"] == 1.0
+
+
 def test_cluster_pairs_transitive(spark):
     from ophidia_server_spark.pipeline.dedup import cluster_pairs
 
