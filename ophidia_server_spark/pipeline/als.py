@@ -96,12 +96,14 @@ def _solve_udf(k: int, reg: float):
     return F.pandas_udf(_fn, "array<double>")
 
 
-def _half_step(
+def _half_step_plan(
     ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
     k: int, reg: float,
 ) -> DataFrame:
-    """Solve one side given the other: gather-join on the fixed side,
-    k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
+    """The half-step's PLAN, un-checkpointed — factored out so the
+    plan-regression bars can audit the exact per-sweep plan (gather join +
+    one k*k+k+1-wide groupBy reduce + exactly one Arrow solve stage);
+    `_half_step` checkpoints it for the iteration loop."""
     joined = ratings.join(
         fixed.select(
             F.col("id").alias(fixed_col), F.col("factors").alias("__v")
@@ -134,6 +136,17 @@ def _half_step(
     solve = _solve_udf(k, reg)
     return agg.select(
         "id", solve("__A", "__bv", "__n").alias("factors")
+    )
+
+
+def _half_step(
+    ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
+    k: int, reg: float,
+) -> DataFrame:
+    """Solve one side given the other: gather-join on the fixed side,
+    k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
+    return _half_step_plan(
+        ratings, fixed, solve_col, fixed_col, k, reg
     ).localCheckpoint()
 
 

@@ -213,6 +213,46 @@ def cooccurrence_similarity(
     )
 
 
+def _pagerank_iteration(
+    nodes: DataFrame, e: DataFrame, deg: DataFrame, ranks: DataFrame,
+    n_nodes: int, d: float,
+) -> DataFrame:
+    """ONE power-iteration update, un-checkpointed — factored out so the
+    plan-regression bars can audit the exact per-iteration plan the loop
+    executes (the post-checkpoint table's plan is just a checkpoint scan).
+    Shape: rank⋈deg share join, rank-flow join on src + groupBy dst, and
+    the dangling mass as a one-row broadcast scalar inside the plan."""
+    contrib = (
+        ranks.join(deg, ranks["node"] == deg["__s"], "inner")
+        .select(
+            "node", (F.col("rank") / F.col("__deg")).alias("__share")
+        )
+        .join(e, F.col("node") == F.col("__s"))
+        .groupBy(F.col("__d").alias("node"))
+        .agg(F.sum("__share").alias("__in"))
+    )
+    # dangling nodes (no out-edges) spread their whole rank uniformly;
+    # the mass rides as a one-row broadcast scalar INSIDE the plan —
+    # the sanctioned scalar-aggregate pattern, not a driver action
+    dangling = (
+        ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
+        .agg(
+            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes)))
+            .alias("__dm")
+        )
+    )
+    return nodes.join(contrib, "node", "left").crossJoin(
+        F.broadcast(dangling)
+    ).select(
+        "node",
+        (
+            F.lit(1.0 - d)
+            + F.lit(d)
+            * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm"))
+        ).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -255,34 +295,8 @@ def pagerank(
     d = float(damping)
     for _ in range(int(iters)):
         prev = ranks
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["__s"], "inner")
-            .select(
-                "node", (F.col("rank") / F.col("__deg")).alias("__share")
-            )
-            .join(e, F.col("node") == F.col("__s"))
-            .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__share").alias("__in"))
-        )
-        # dangling nodes (no out-edges) spread their whole rank uniformly;
-        # the mass rides as a one-row broadcast scalar INSIDE the plan —
-        # the sanctioned scalar-aggregate pattern, not a driver action
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
-            .agg(
-                (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes)))
-                .alias("__dm")
-            )
-        )
-        ranks = nodes.join(contrib, "node", "left").crossJoin(
-            F.broadcast(dangling)
-        ).select(
-            "node",
-            (
-                F.lit(1.0 - d)
-                + F.lit(d)
-                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm"))
-            ).alias("rank"),
+        ranks = _pagerank_iteration(
+            nodes, e, deg, ranks, n_nodes, d
         ).localCheckpoint()
         res = (
             ranks.join(prev.withColumnRenamed("rank", "__pr"), "node")
