@@ -179,6 +179,7 @@ HEADLINE = [
     "pack_bins_grade",
     "graph_pagerank_grade",
     "layout_stream_append",
+    "layout_stream_backfill",
     # round-8 data-profiling wave
     "corpus_profile_documents",
     "audit_fk_integrity",
@@ -188,6 +189,7 @@ HEADLINE = [
     "events_ewma_daily",
     "orders_benford_digits",
     "sim_int8_topk",
+    "sim_index_append_recall",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

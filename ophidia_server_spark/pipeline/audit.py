@@ -783,3 +783,28 @@ def drift_report(
     )
     total = joined.agg(F.round(F.sum(contrib), 6).alias("psi"))
     return per.join(F.broadcast(total))
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the re-identification
+    risk check a dataset must pass before release (Sweeney 2002): every
+    row whose quasi-identifier combination is shared by fewer than k rows
+    is individually distinguishable. Returns one row per equivalence
+    class: the quasi columns, `n` (class size, bigint) and `at_risk`
+    (1 when n < k). The released-data policy decision (suppress /
+    generalize / drop) stays with the caller; this is the measurement.
+
+    Shape at scale: ONE grouped aggregate keyed on the quasi columns —
+    the class table is bounded by quasi-combination cardinality, never
+    raw rows; no window, no join."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumn(
+        "at_risk", (F.col("n") < k).cast("long")
+    )

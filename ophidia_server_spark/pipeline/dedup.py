@@ -988,3 +988,55 @@ def dedup_incremental(
             F.round("est_jaccard", 4).alias("est_jaccard"),
         )
     )
+
+
+def blocked_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str = "block",
+    id_cols: tuple[str, str] = ("left_id", "right_id"),
+    text_cols: tuple[str, str] = ("left_text", "right_text"),
+    max_edit: int = 2,
+) -> DataFrame:
+    """Record linkage / entity resolution between two tables with BLOCKED
+    candidate generation (the standard blocking-key design, e.g. Fellegi-
+    Sunter pipelines): rows are only compared when they share `block_col`
+    (caller-chosen — a name prefix, a sorted-neighborhood key, phonetic
+    code, zip code...), the candidates are verified with exact JVM-side
+    Levenshtein, and each LEFT row keeps its single best match
+    (min edit distance, min right id tie-break). Returns
+    (left id, right id, edit_distance) for matches <= max_edit.
+
+    Recall is the blocking key's contract, not this operator's: a true
+    match in different blocks is never compared (that trade is the whole
+    point — candidates are sum-of-block-products instead of |L|x|R|).
+    Choose keys the corruption model cannot change, or union several
+    blocking passes.
+
+    Shape at scale: one equi-shuffle join on the block key, per-candidate
+    codegen'd levenshtein, one per-left-id bounded window over candidates
+    that survived the distance cut. A hot block degrades to that block's
+    product — cap or salt pathological keys upstream."""
+    from pyspark.sql import Window
+
+    lid, rid = id_cols
+    ltx, rtx = text_cols
+    a = left.select(
+        F.col(lid), F.col(ltx).alias("__lt"), F.col(block_col).alias("__bk")
+    )
+    b = right.select(
+        F.col(rid), F.col(rtx).alias("__rt"), F.col(block_col).alias("__bk")
+    )
+    cand = (
+        a.join(b, "__bk")
+        .withColumn("edit_distance", F.levenshtein("__lt", "__rt").cast("long"))
+        .filter(F.col("edit_distance") <= int(max_edit))
+    )
+    best = Window.partitionBy(lid).orderBy(
+        F.asc("edit_distance"), F.asc(rid)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(lid, rid, "edit_distance")
+    )

@@ -503,3 +503,64 @@ def dhash_gray(
     return df.mapInPandas(
         hashes, "doc_id long, ok int, code_lo long, code_hi long"
     )
+
+
+def dhash_near_dup(
+    codes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs from dHash codes — LOSSLESS banded
+    search: the 64-bit code (two 32-bit words from `dhash_gray`) splits
+    into four 16-bit bands; by pigeonhole, any pair within Hamming
+    distance <= 3 (< 4 bands) agrees on at least one WHOLE band, so the
+    band-bucket equi-join generates every qualifying pair and the exact
+    `bit_count(xor)` verify keeps no false positives. The standard
+    crop/re-encode collapse for image corpora, as simhash_pairs is for
+    text — but run on the perceptual hash, entirely JVM-side.
+
+    ok=0 rows (undecodable payloads) never pair. Returns
+    (id_a, id_b, hamming), id_a < id_b, each pair once.
+
+    Shape at scale: one explode (x4), one bucket-keyed shuffle join,
+    distinct, verify. A degenerate corpus where one band value dominates
+    (e.g. flat images hashing to 0) degrades to that bucket's product —
+    the same hot-bucket caveat as every LSH family; salt or pre-drop
+    known-flat codes upstream."""
+    if not 0 <= int(max_hamming) <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] for lossless 4-band search "
+            f"(got {max_hamming}); raise the band count for larger radii"
+        )
+    good = codes.filter(F.col("ok") == 1).select(
+        F.col(id_col).alias("__id"), "code_lo", "code_hi"
+    )
+    mask = F.lit(0xFFFF)
+    banded = good.select(
+        "__id", "code_lo", "code_hi",
+        F.posexplode(
+            F.array(
+                F.col("code_lo").bitwiseAND(mask),
+                F.shiftright("code_lo", 16).bitwiseAND(mask),
+                F.col("code_hi").bitwiseAND(mask),
+                F.shiftright("code_hi", 16).bitwiseAND(mask),
+            )
+        ).alias("__band", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.code_lo").bitwiseXOR(F.col("b.code_lo")))
+        + F.bit_count(F.col("a.code_hi").bitwiseXOR(F.col("b.code_hi")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )

@@ -370,3 +370,54 @@ def neyman_allocation(
         (F.col("__base") + (rk <= rem).cast("long")).cast("long")
         .alias("n_alloc"),
     )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    every row draws u ~ U(0,1] from its content-addressed md5 coin and
+    starts an exponential clock -ln(u)/w; the k SMALLEST clocks form an
+    exact-size weighted sample without replacement (P(row first) =
+    w_i / sum w). Complements `weighted_sample` (per-row Bernoulli,
+    random size) when a pipeline needs exactly k quality-weighted
+    documents.
+
+    Deterministic and engine-portable: the coin is (hex8+1)/2^32 so
+    u is never 0, the emitted clock is ROUND(6) and the selection ranks
+    the ROUNDED clock with the id as tie-break (rank what you emit —
+    near-ulp engine drift cannot reorder the boundary). Rows with
+    weight <= 0 can never win (clock = +inf semantics; they are filtered
+    out before ranking).
+
+    Shape at scale: pure map to compute clocks, then a global
+    TakeOrdered-style top-k (orderBy + limit k) — no full sort, no
+    single-partition window; the k-row rank assignment runs on the
+    selected rows only. Returns the winning rows + `clock` R6 +
+    `sample_rank` (1-based)."""
+    from pyspark.sql import Window
+
+    from ophidia_server_spark.functions.hashing import hex8_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (hex8_long(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    clock = F.round(-F.log(u) / w, 6)
+    picked = (
+        df.filter(w > 0)
+        .withColumn("clock", clock)
+        .orderBy(F.asc("clock"), F.asc(key_col))
+        .limit(int(k))
+    )
+    rk = Window.orderBy(F.asc("clock"), F.asc(key_col))
+    return picked.withColumn(
+        "sample_rank", F.row_number().over(rk).cast("long")
+    )

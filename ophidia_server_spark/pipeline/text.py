@@ -985,3 +985,43 @@ def dedup_canonical(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "canon_text", "canon_key")
     )
+
+
+def template_prefixes(
+    df: DataFrame,
+    k_tokens: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Cross-document TEMPLATE detection: documents that open with the same
+    first `k_tokens` tokens within one source are template instances —
+    nav headers, ToS banners, form letters, scraped boilerplate — the
+    cross-doc complement of repetition_signals' within-doc check (and the
+    cheap precursor to full near-dup: a shared opening is how crawl
+    boilerplate usually announces itself). A doc shorter than k_tokens
+    uses its whole token list as the prefix. Adds `n_sharing` (docs of
+    the same source with this prefix, bigint) and `is_template`
+    (n_sharing >= min_docs).
+
+    Shape at scale: one grouped count on (source, prefix) — bounded by
+    distinct prefixes, never raw rows — joined back on the same key; no
+    window, no self-join."""
+    if k_tokens < 1:
+        raise ValueError(f"k_tokens must be >= 1, got {k_tokens}")
+    pre = F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, int(k_tokens)))
+    keyed = df.withColumn("__prefix", pre)
+    counts = keyed.groupBy(
+        F.col(by_col).alias("__src"), F.col("__prefix").alias("__p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sharing"))
+    return (
+        keyed.join(
+            counts,
+            (F.col(by_col) == F.col("__src"))
+            & (F.col("__prefix") == F.col("__p")),
+        )
+        .withColumn(
+            "is_template", (F.col("n_sharing") >= int(min_docs)).cast("long")
+        )
+        .drop("__src", "__p", "__prefix")
+    )

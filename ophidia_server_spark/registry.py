@@ -11707,3 +11707,193 @@ def events_rolling_wau(spark, sf_dir):
 
     ev = _t(spark, sf_dir)["events"]
     return sk.hll_rolling_distinct(ev, "user_id", "ts", days=7, p=8)
+
+
+# ---------------------------------------------------------------------------
+# round 9: governance / linkage / sampling / template-detection wave
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sample_weighted_reservoir",
+    f"""WITH c AS (
+  SELECT doc_id, n_chars,
+         ROUND(-ln(({_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':reservoir'")} + 1.0)
+                   / 4294967296.0) / CAST(n_chars AS DOUBLE), 6) AS clock
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, clock,
+       CAST(ROW_NUMBER() OVER (ORDER BY clock, doc_id) AS BIGINT) AS sample_rank
+FROM c
+QUALIFY ROW_NUMBER() OVER (ORDER BY clock, doc_id) <= 50""",
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Efraimidis-Spirakis A-ES weighted reservoir (pipeline/sampling.py
+    weighted_reservoir_topk): exactly 50 documents sampled WITHOUT
+    replacement with probability proportional to n_chars — every winner,
+    its R6 exponential clock, and its rank hash-match DuckDB running the
+    identical content-addressed coin + clock arithmetic (selection ranks
+    the ROUNDED clock with id tie-break, so near-ulp ln() drift between
+    engines cannot reorder the boundary)."""
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    return smp.weighted_reservoir_topk(docs, "n_chars", 50)
+
+
+@q(
+    "audit_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) < 5 AS BIGINT) AS at_risk
+FROM customer GROUP BY 1, 2, 3""",
+)
+def audit_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (pipeline/audit.py k_anonymity) over the
+    customer quasi-identifier set (nation, market segment, account-balance
+    band): every equivalence class's size and its below-k re-identification
+    flag hash-match DuckDB's direct grouped count — the release-readiness
+    measurement a training-data governance pass runs before shipping
+    user-derived tables."""
+    from ophidia_server_spark.pipeline.audit import k_anonymity
+
+    cust = _t(spark, sf_dir)["customer"].select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 100)
+        .cast("long").alias("bal_band"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+@q(
+    "dedup_blocked_link",
+    """WITH dirty AS (
+  SELECT c_custkey + 1000000 AS right_id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, length(c_name) - 2) || 'XY'
+              ELSE substr(c_name, 1, length(c_name) - 1) || 'X' END AS rtext
+  FROM customer
+), L AS (
+  SELECT c_custkey AS left_id, c_name AS ltext, substr(c_name, 13, 4) AS bk
+  FROM customer
+), R AS (
+  SELECT right_id, rtext, substr(rtext, 13, 4) AS bk FROM dirty
+), cand AS (
+  SELECT left_id, right_id,
+         CAST(levenshtein(ltext, rtext) AS BIGINT) AS edit_distance
+  FROM L JOIN R USING (bk)
+  WHERE levenshtein(ltext, rtext) <= 2
+)
+SELECT left_id, right_id, edit_distance FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY left_id
+                           ORDER BY edit_distance, right_id) = 1""",
+)
+def dedup_blocked_link(spark, sf_dir):
+    """Record linkage with blocked candidate generation (pipeline/dedup.py
+    blocked_link): customers link against a deterministically corrupted
+    registry copy (last one or two name characters replaced — the classic
+    typo model), blocking on four stable middle digits so candidates are
+    ~100-row blocks instead of |L|x|R|. Every left record's best match
+    (min Levenshtein, min id) hash-matches DuckDB's identical
+    block + verify + rank pipeline — including the collision structure
+    the corruption induces (ten names collapsing to one dirty string)."""
+    cust = _t(spark, sf_dir)["customer"]
+    left = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        F.col("c_name").alias("left_text"),
+        F.substring("c_name", 13, 4).alias("block"),
+    )
+    rtext = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 2)"), F.lit("XY")
+        ),
+    ).otherwise(
+        F.concat(F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X"))
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("right_id"),
+        rtext.alias("right_text"),
+    ).withColumn("block", F.substring("right_text", 13, 4))
+    return dd.blocked_link(
+        left, right, block_col="block",
+        id_cols=("left_id", "right_id"),
+        text_cols=("left_text", "right_text"), max_edit=2,
+    )
+
+
+def _dhash_pairs_oracle() -> str:
+    return f"""WITH codes AS ({_dhash_oracle()}),
+g AS (SELECT doc_id, code_lo, code_hi FROM codes WHERE ok = 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.code_lo, b.code_lo))
+            + bit_count(xor(a.code_hi, b.code_hi)) AS BIGINT) AS hamming
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code_lo, b.code_lo))
+      + bit_count(xor(a.code_hi, b.code_hi)) <= 3"""
+
+
+@q("multimodal_dhash_pairs", _dhash_pairs_oracle())
+def multimodal_dhash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs from perceptual dHash codes
+    (pipeline/multimodal.py dhash_near_dup): the 64-bit code splits into
+    four 16-bit bands, band-bucket join generates candidates (lossless
+    for Hamming <= 3 by pigeonhole), exact bit_count(xor) verifies. The
+    emitted pair set hash-matches DuckDB's brute-force ALL-PAIRS Hamming
+    join over independently recomputed codes — proving the banded search
+    lost nothing and invented nothing. Undecodable (ok=0) payloads never
+    pair."""
+    import pandas as pd
+
+    need = 18 * 16
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def to_raw(batches):
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = bytes(ord(c) % 256 for c in txt)
+                if did % 50 != 0:
+                    raw = (raw + b"x" * need)[:need]
+                payloads.append(raw)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(to_raw, "doc_id long, payload binary")
+    codes = mm.dhash_gray(blobs, 18, 16)
+    return mm.dhash_near_dup(codes, max_hamming=3)
+
+
+@q(
+    "text_template_prefixes",
+    f"""WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN 'terms of service apply ' || text
+              ELSE text END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id, source, array_to_string(({_TOKS})[1:4], ' ') AS p FROM d
+), c AS (
+  SELECT source, p, COUNT(*) AS ns FROM tk GROUP BY 1, 2
+)
+SELECT tk.doc_id, tk.source, CAST(c.ns AS BIGINT) AS n_sharing,
+       CAST(c.ns >= 3 AS BIGINT) AS is_template
+FROM tk JOIN c ON tk.source = c.source AND tk.p = c.p""",
+)
+def text_template_prefixes(spark, sf_dir):
+    """Cross-document template detection (pipeline/text.py
+    template_prefixes): documents opening with the same first-4-token
+    prefix within a source are crawl boilerplate instances. A
+    deterministic 'terms of service apply' banner is prepended to every
+    7th document (the same injection both engines see — the
+    encoding_artifacts pattern), and every doc's sharing count + template
+    flag hash-match DuckDB's grouped prefix count."""
+    docs = _t(spark, sf_dir)["documents"]
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("terms of service apply "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return tx.template_prefixes(
+        injected, k_tokens=4, min_docs=3
+    ).select("doc_id", "source", "n_sharing", "is_template")

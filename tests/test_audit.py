@@ -285,3 +285,27 @@ def test_fulfillment_lag_hand_computed(spark):
     assert out["mean_lag_days"] == round(132 / 3, 6)
     assert out["max_lag_days"] == 117
     assert out["sla_breach_frac"] == round(1 / 3, 6)
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.audit import k_anonymity
+
+    rows = (
+        [("us", "a")] * 6 + [("us", "b")] * 2 + [("de", "a")] * 5
+        + [("de", "c")]
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = {
+        (r["country"], r["seg"]): (r["n"], r["at_risk"])
+        for r in k_anonymity(df, ["country", "seg"], k=5).collect()
+    }
+    assert got == {
+        ("us", "a"): (6, 0), ("us", "b"): (2, 1),
+        ("de", "a"): (5, 0), ("de", "c"): (1, 1),
+    }
+    with _pytest.raises(ValueError):
+        k_anonymity(df, [], k=5)
+    with _pytest.raises(ValueError):
+        k_anonymity(df, ["country"], k=1)

@@ -514,3 +514,105 @@ def test_transition_matrix_matches_python(spark, events):
         k: (c, round(c / tot[k[0]], 6)) for k, c in counts.items()
     }
     assert got == want, events
+
+
+def test_blocked_link_best_match_and_blocking_contract(spark):
+    from ophidia_server_spark.pipeline.dedup import blocked_link
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith", "j"), (2, "mary jones", "m"),
+         (3, "zz totally unique", "z")],
+        "left_id long, left_text string, block string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan smyth", "j"),   # dist 1 to left 1
+         (11, "jonathan smith", "j"),   # dist 0 to left 1 -> best
+         (12, "mary jonez", "m"),       # dist 1 to left 2
+         (13, "mary jones", "x"),       # TRUE match, WRONG block: unseen
+         (14, "zz wholly distinct", "z")],  # dist > 2: cut
+        "right_id long, right_text string, block string",
+    )
+    got = {
+        r["left_id"]: (r["right_id"], r["edit_distance"])
+        for r in blocked_link(left, right, max_edit=2).collect()
+    }
+    # best match per left row: exact beats dist-1; ties broken by right id
+    assert got == {1: (11, 0), 2: (12, 1)}
+    # left 3's only same-block candidate is beyond max_edit -> no row;
+    # left 2's PERFECT match in another block was never compared (the
+    # documented blocking contract)
+    assert 3 not in got
+
+
+def test_blocked_link_tiebreak_min_right_id(spark):
+    from ophidia_server_spark.pipeline.dedup import blocked_link
+
+    left = spark.createDataFrame(
+        [(1, "abcd", "b")], "left_id long, left_text string, block string"
+    )
+    right = spark.createDataFrame(
+        [(20, "abcx", "b"), (10, "abcy", "b")],
+        "right_id long, right_text string, block string",
+    )
+    got = blocked_link(left, right, max_edit=2).collect()
+    assert [(r["left_id"], r["right_id"], r["edit_distance"]) for r in got] == [
+        (1, 10, 1)
+    ]
+
+
+def test_dhash_near_dup_lossless_bands(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.multimodal import dhash_near_dup
+
+    # constructed 64-bit codes with known pairwise Hamming distances:
+    #   1 vs 2: 0   (identical)
+    #   1 vs 3: 3   (three bits in ONE band — the worst case banding must
+    #                still catch via the other three equal bands)
+    #   1 vs 4: 4   (one bit flipped in EVERY band -> no equal band, and
+    #                correctly outside the <=3 radius anyway)
+    #   5: ok=0 poison — never pairs despite being identical to 1
+    base_lo, base_hi = 0x12345678, 0x0ABCDEF0
+    rows = [
+        (1, 1, base_lo, base_hi),
+        (2, 1, base_lo, base_hi),
+        (3, 1, base_lo ^ 0b111, base_hi),
+        (4, 1, base_lo ^ 0x00010001, base_hi ^ 0x00010001),
+        (5, 0, base_lo, base_hi),
+    ]
+    codes = spark.createDataFrame(
+        rows, "doc_id long, ok int, code_lo long, code_hi long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_dup(codes, max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
+    with _pytest.raises(ValueError, match="lossless"):
+        dhash_near_dup(codes, max_hamming=4)
+
+
+def test_template_prefixes_counts_and_short_docs(spark):
+    from ophidia_server_spark.pipeline.text import template_prefixes
+
+    rows = [
+        (1, "terms of service apply to everything here", "a"),
+        (2, "terms of service apply again and again", "a"),
+        (3, "terms of service apply forever", "a"),
+        (4, "terms of service apply elsewhere", "b"),  # other source
+        (5, "completely original writing", "a"),
+        (6, "tiny doc", "a"),   # shorter than k_tokens: whole text is prefix
+        (7, "tiny doc", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_sharing"], r["is_template"])
+        for r in template_prefixes(df, k_tokens=4, min_docs=3).collect()
+    }
+    # the three source-a banner docs share the 4-token prefix; source b's
+    # copy counts separately (per-source grouping)
+    assert got[1] == (3, 1) and got[2] == (3, 1) and got[3] == (3, 1)
+    assert got[4] == (1, 0)
+    assert got[5] == (1, 0)
+    # short docs: whole token list as prefix; two copies < min_docs
+    assert got[6] == (2, 0) and got[7] == (2, 0)

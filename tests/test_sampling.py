@@ -232,3 +232,56 @@ def test_neyman_allocation_rejects_negative_budget(spark):
     df = spark.createDataFrame([("a", 1.0)], "s string, v double")
     with _pytest.raises(ValueError):
         neyman_allocation(df, "s", "v", -1)
+
+
+def test_weighted_reservoir_topk_laws(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.sampling import weighted_reservoir_topk
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1.0).alias("w")
+    )
+    out = weighted_reservoir_topk(df, "w", 20, key_col="doc_id")
+    rows = out.collect()
+    # exactly k winners, ranks 1..k aligned with (clock, id) order
+    assert len(rows) == 20
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 21))
+    ordered = sorted(rows, key=lambda r: (r["clock"], r["doc_id"]))
+    assert [r["sample_rank"] for r in ordered] == list(range(1, 21))
+    # deterministic: a rerun returns byte-identical winners
+    again = weighted_reservoir_topk(df, "w", 20, key_col="doc_id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a row with overwhelming weight is (essentially) always selected:
+    # its clock is -ln(u)/1e9 ~ 0
+    boosted = df.withColumn(
+        "w", F.when(F.col("doc_id") == 137, 1e9).otherwise(F.col("w"))
+    )
+    top = weighted_reservoir_topk(boosted, "w", 5, key_col="doc_id").collect()
+    assert any(r["doc_id"] == 137 for r in top)
+    # weight <= 0 can never win
+    z = df.withColumn(
+        "w", F.when(F.col("doc_id") < 190, 0.0).otherwise(F.col("w"))
+    )
+    zw = weighted_reservoir_topk(z, "w", 20, key_col="doc_id").collect()
+    assert len(zw) == 10 and all(r["doc_id"] >= 190 for r in zw)
+    with _pytest.raises(ValueError):
+        weighted_reservoir_topk(df, "w", 0)
+
+
+def test_weighted_reservoir_inclusion_is_weight_biased(spark):
+    # statistical sanity at fixed seed-space: among 1000 rows where ids
+    # >= 500 carry 10x the weight, the heavy half must dominate the
+    # k=100 sample (binomial argument: p_light << p_heavy)
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.sampling import weighted_reservoir_topk
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, 10.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_reservoir_topk(df, "w", 100, key_col="doc_id").collect()
+    heavy = sum(1 for r in got if r["doc_id"] >= 500)
+    assert heavy >= 75  # E[heavy] ~ 91 under A-ES; 75 is ~5 sigma slack
