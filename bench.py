@@ -190,6 +190,11 @@ HEADLINE = [
     "orders_benford_digits",
     "sim_int8_topk",
     "sim_index_append_recall",
+    "sample_weighted_reservoir",
+    "audit_k_anonymity",
+    "dedup_blocked_link",
+    "multimodal_dhash_pairs",
+    "text_template_prefixes",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

@@ -82,6 +82,13 @@ BARS = {
     "parts_price_volume_mix": (1, 2),
     "sim_label_separation": (1, 2),
     "corpus_source_overlap": (2, 2),
+    # round-9 wave: measured sf0.001 AQE plans (+shuffle headroom where an
+    # AQE BHJ->SMJ flip would add exchanges)
+    "sample_weighted_reservoir": (1, 0),   # TakeOrdered top-k: NO shuffle
+    "audit_k_anonymity": (1, 1),
+    "dedup_blocked_link": (2, 3),
+    "multimodal_dhash_pairs": (2, 3),
+    "text_template_prefixes": (2, 3),
 }
 
 
