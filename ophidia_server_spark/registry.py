@@ -11769,14 +11769,14 @@ def audit_k_anonymity(spark, sf_dir):
     """WITH dirty AS (
   SELECT c_custkey + 1000000 AS right_id,
          CASE WHEN c_custkey % 3 = 0
-              THEN substr(c_name, 1, length(c_name) - 2) || 'XY'
+              THEN substr(c_name, 1, length(c_name) - 1) || 'XQ'
               ELSE substr(c_name, 1, length(c_name) - 1) || 'X' END AS rtext
   FROM customer
 ), L AS (
-  SELECT c_custkey AS left_id, c_name AS ltext, substr(c_name, 13, 4) AS bk
+  SELECT c_custkey AS left_id, c_name AS ltext, substr(c_name, 11, 7) AS bk
   FROM customer
 ), R AS (
-  SELECT right_id, rtext, substr(rtext, 13, 4) AS bk FROM dirty
+  SELECT right_id, rtext, substr(rtext, 11, 7) AS bk FROM dirty
 ), cand AS (
   SELECT left_id, right_id,
          CAST(levenshtein(ltext, rtext) AS BIGINT) AS edit_distance
@@ -11790,9 +11790,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY left_id
 def dedup_blocked_link(spark, sf_dir):
     """Record linkage with blocked candidate generation (pipeline/dedup.py
     blocked_link): customers link against a deterministically corrupted
-    registry copy (last one or two name characters replaced — the classic
-    typo model), blocking on four stable middle digits so candidates are
-    ~100-row blocks instead of |L|x|R|. Every left record's best match
+    registry copy (last char substituted, every third row also gaining an
+    appended char — substitution + insertion, the classic typo model),
+    blocking on SEVEN stable middle digits so blocks stay ~10 rows at
+    every scale factor. Sized by measurement: a 4-digit key saturated at
+    sf1 (blocks grew with n/10^4, candidates quadratic, 95 s), 6 digits
+    was linear but heavy (15M levenshteins), 7 digits keeps the verify
+    volume at ~10 candidates per record — the blocking-key sizing lesson
+    itself is the point of the fixture. Every left record's best match
     (min Levenshtein, min id) hash-matches DuckDB's identical
     block + verify + rank pipeline — including the collision structure
     the corruption induces (ten names collapsing to one dirty string)."""
@@ -11800,12 +11805,12 @@ def dedup_blocked_link(spark, sf_dir):
     left = cust.select(
         F.col("c_custkey").alias("left_id"),
         F.col("c_name").alias("left_text"),
-        F.substring("c_name", 13, 4).alias("block"),
+        F.substring("c_name", 11, 7).alias("block"),
     )
     rtext = F.when(
         F.col("c_custkey") % 3 == 0,
         F.concat(
-            F.expr("substr(c_name, 1, length(c_name) - 2)"), F.lit("XY")
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("XQ")
         ),
     ).otherwise(
         F.concat(F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X"))
@@ -11813,7 +11818,7 @@ def dedup_blocked_link(spark, sf_dir):
     right = cust.select(
         (F.col("c_custkey") + 1000000).alias("right_id"),
         rtext.alias("right_text"),
-    ).withColumn("block", F.substring("right_text", 13, 4))
+    ).withColumn("block", F.substring("right_text", 11, 7))
     return dd.blocked_link(
         left, right, block_col="block",
         id_cols=("left_id", "right_id"),
