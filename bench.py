@@ -195,6 +195,8 @@ HEADLINE = [
     "dedup_blocked_link",
     "multimodal_dhash_pairs",
     "text_template_prefixes",
+    "layout_snapshot_analyze",
+    "events_interpolate_linear",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

@@ -1016,3 +1016,66 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type", diffs.alias("changed_cols"), *carry)
     )
+
+
+def snapshot_analyze(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ANALYZE for the snapshot store — the table-level statistics pass
+    every cost-based planner wants (row count, per-column null count,
+    EXACT distinct count, min, max) over exactly ONE version's files.
+    Complements the per-FILE min-max stats the writer collects (those
+    prune scans; these size joins and pick build sides). Exact NDV is a
+    deliberate choice here: it is one shuffle per ANALYZE (a maintenance
+    job), engine-portable, and the gate can hash-match it — a production
+    knob could swap approx_count_distinct for the same plan shape at a
+    fraction of the cost. Persists the result as
+    `_manifests/stats_v{N}.json` so planners (and humans) read it without
+    re-scanning, and returns it as a DataFrame:
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str) — min/max
+    rendered as strings so one schema serves every column type.
+
+    Shape at scale: ONE pass computing count/nulls/min/max for all
+    columns (grouped-aggregate free), plus one multi-distinct aggregate
+    (Spark expands it into a union of per-column distincts — k column
+    shuffles over projected single columns, not k table scans)."""
+    import json as _json
+    import os as _os
+
+    man = _read_manifest(path, version)
+    df = spark.read.option("mergeSchema", "true").parquet(*man["files"])
+    cols = [c for c in (columns or df.columns)]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    r = df.agg(*aggs).first()
+    rows = [
+        (c, int(r["__rows"]), int(r[f"__nn_{c}"]), int(r[f"__nd_{c}"]),
+         r[f"__mn_{c}"], r[f"__mx_{c}"])
+        for c in cols
+    ]
+    out = {
+        "version": man["version"],
+        "columns": {
+            c: {"n_rows": n, "n_nulls": nn, "n_distinct": nd,
+                "min": mn, "max": mx}
+            for c, n, nn, nd, mn, mx in rows
+        },
+    }
+    with open(
+        _os.path.join(_manifest_dir(path), f"stats_v{man['version']}.json"), "w"
+    ) as fh:
+        _json.dump(out, fh)
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, n_nulls long, n_distinct long, "
+        "min_str string, max_str string",
+    )

@@ -11902,3 +11902,109 @@ def text_template_prefixes(spark, sf_dir):
     return tx.template_prefixes(
         injected, k_tokens=4, min_docs=3
     ).select("doc_id", "source", "n_sharing", "is_template")
+
+
+def _analyze_col_sql(c: str) -> str:
+    return f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM s"""
+
+
+@q(
+    "layout_snapshot_analyze",
+    f"""WITH s AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_returnflag,
+         CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_linestatus END
+           AS l_linestatus
+  FROM lineitem WHERE l_orderkey < 3000
+)
+{_analyze_col_sql("l_orderkey")}
+UNION ALL
+{_analyze_col_sql("l_linenumber")}
+UNION ALL
+{_analyze_col_sql("l_returnflag")}
+UNION ALL
+{_analyze_col_sql("l_linestatus")}""",
+)
+def layout_snapshot_analyze(spark, sf_dir):
+    """ANALYZE for the snapshot store (layout.py snapshot_analyze): a
+    lineitem slice (with a deterministically nulled column) is written as
+    a snapshot version and analyzed — per-column row/null/EXACT-distinct
+    counts and stringified min/max hash-match DuckDB's direct statistics
+    over the same slice, proving the one-pass multi-aggregate reads the
+    version's files exactly. The stats land in the version's
+    _manifests/stats_v{{N}}.json sidecar for planners to read without a
+    rescan."""
+    import shutil
+    import tempfile
+    import os as _os
+
+    from ophidia_server_spark import layout as lay2
+
+    li = _t(spark, sf_dir)["lineitem"].filter("l_orderkey < 3000").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("l_linestatus")).alias("l_linestatus"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = _os.path.join(tempfile.gettempdir(), f"ophidia_analyze_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    lay2.snapshot_write(li, path)
+    return lay2.snapshot_analyze(spark, path)
+
+
+@q(
+    "events_interpolate_linear",
+    """WITH e AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(value AS DOUBLE) END AS v
+  FROM events
+), w AS (
+  SELECT event_id, user_id, t, v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+         first_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM e
+)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv) * (CASE WHEN nt - pt > 0
+                         THEN CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+                         ELSE 0.0 END)
+             END, 6) AS interpolated
+FROM w""",
+)
+def events_interpolate_linear(spark, sf_dir):
+    """Linear-interpolation gap repair (streaming/windows.py
+    interpolate_linear — forward_fill's trend-line upgrade): every 7th
+    event's value is deterministically nulled and must land on the
+    time-weighted line between its user's nearest surviving neighbors
+    (exact integer-microsecond time axis, one double blend, R6);
+    leading/trailing gaps stay NULL. Every row hash-matches DuckDB's
+    IGNORE NULLS window mirror."""
+    ev = _t(spark, sf_dir)["events"].withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return win.interpolate_linear(ev).select(
+        "event_id", "user_id", "interpolated"
+    )

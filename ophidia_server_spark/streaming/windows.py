@@ -1914,3 +1914,61 @@ def next_event_pairs(
         F.array_join(prefix, ">").alias("prefix"),
         F.element_at("__seq", F.col("step")).alias("label"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = "event_id",
+) -> DataFrame:
+    """Gap repair by LINEAR interpolation: every NULL value takes the
+    time-weighted blend of its key's nearest non-NULL neighbors,
+
+        v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+
+    — the standard upgrade over forward_fill (LOCF) when the series is a
+    measurement rather than a state: dropout rows land ON the trend line
+    instead of holding stale readings. Leading/trailing gaps (no neighbor
+    on one side) stay NULL — extrapolation is a modeling decision this
+    operator refuses to make silently. Same-timestamp neighbors
+    (t_next == t_prev) take v_prev. Ordering is (ts, seq) so ties are
+    deterministic; time runs in exact integer microseconds and only the
+    final blend divides in double (ROUND(6) — engine-portable, no
+    transcendentals). Adds `interpolated` next to the original column.
+
+    Shape at scale: TWO key-partitioned windows (last non-NULL
+    (t, v) at-or-before, first non-NULL at-or-after), each a streaming
+    frame with one struct of state — no self-join, no explode, the same
+    cost family as forward_fill."""
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    obs = F.when(v.isNotNull(), F.struct(t_us.alias("t"), v.alias("v")))
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(back)
+    nxt = F.first(obs, ignorenulls=True).over(fwd)
+    dt = (nxt["t"] - prev["t"]).cast("double")
+    frac = F.when(dt > 0, (t_us - prev["t"]).cast("double") / dt).otherwise(
+        F.lit(0.0)
+    )
+    blended = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    return df.withColumn(
+        "interpolated",
+        F.round(
+            F.when(v.isNotNull(), v)
+            .when(prev.isNotNull() & nxt.isNotNull(), blended)
+            .otherwise(F.lit(None).cast("double")),
+            6,
+        ),
+    )

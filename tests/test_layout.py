@@ -703,3 +703,31 @@ def test_stream_window_upsert_backfill_late_and_replay(spark, tmp_path):
     # and a plain re-run against the surviving checkpoint is also a no-op
     run()
     assert len(snapshot_versions(tbl)) == n_versions
+
+
+def test_snapshot_analyze_exact_stats_and_sidecar(spark, tmp_path):
+    import json
+    import os
+
+    from ophidia_server_spark.layout import snapshot_analyze, snapshot_write
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, "b")], "k long, s string"
+    )
+    path = str(tmp_path / "an")
+    snapshot_write(df, path)
+    got = {r["col_name"]: r.asDict() for r in
+           snapshot_analyze(spark, path).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_str"], got["k"]["max_str"]) == ("1", "3")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+    # stats persisted beside the manifest for planner reads
+    side = os.path.join(path, "_manifests", "stats_v1.json")
+    with open(side) as fh:
+        persisted = json.load(fh)
+    assert persisted["columns"]["k"]["n_distinct"] == 3
+    # column subset
+    only = snapshot_analyze(spark, path, columns=["s"]).collect()
+    assert [r["col_name"] for r in only] == ["s"]

@@ -89,6 +89,9 @@ BARS = {
     "dedup_blocked_link": (2, 3),
     "multimodal_dhash_pairs": (2, 3),
     "text_template_prefixes": (2, 3),
+    # one key-partitioned window pair over one scan (the analyze query's
+    # returned frame is driver-built rows — nothing to bar there)
+    "events_interpolate_linear": (1, 2),
 }
 
 

@@ -958,3 +958,32 @@ def test_interarrival_stats_metronome_vs_bursty(spark):
     assert got["tick"]["mean_gap_s"] == 10.0 and got["tick"]["cv"] == 0.0
     assert got["burst"]["n_gaps"] == 3 and got["burst"]["mean_gap_s"] == 10.0
     assert got["burst"]["cv"] > 1.0
+
+
+def test_interpolate_linear_blends_and_refuses_extrapolation(spark):
+    import datetime as dt
+
+    from ophidia_server_spark.streaming.windows import interpolate_linear
+
+    T = dt.datetime
+    rows = [
+        # user u: leading gap, interior gaps (even + uneven spacing), trail
+        ("u", 1, T(2024, 1, 1, 0, 0, 0), None),    # leading -> stays NULL
+        ("u", 2, T(2024, 1, 1, 0, 0, 10), 10.0),
+        ("u", 3, T(2024, 1, 1, 0, 0, 20), None),   # midpoint of 10..30
+        ("u", 4, T(2024, 1, 1, 0, 0, 30), 30.0),
+        ("u", 5, T(2024, 1, 1, 0, 0, 31), None),   # 1/10 of the way 30..12
+        ("u", 6, T(2024, 1, 1, 0, 0, 40), 12.0),
+        ("u", 7, T(2024, 1, 1, 0, 0, 50), None),   # trailing -> stays NULL
+        # user w: isolated all-null key
+        ("w", 8, T(2024, 1, 1, 0, 0, 0), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["interpolated"]
+           for r in interpolate_linear(df).collect()}
+    assert got[1] is None and got[7] is None and got[8] is None
+    assert got[2] == 10.0 and got[4] == 30.0 and got[6] == 12.0
+    assert got[3] == 20.0                       # exact midpoint
+    assert got[5] == round(30 + (12 - 30) * 0.1, 6)  # uneven spacing weight
