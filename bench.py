@@ -197,6 +197,8 @@ HEADLINE = [
     "text_template_prefixes",
     "layout_snapshot_analyze",
     "events_interpolate_linear",
+    "sample_token_budget",
+    "text_canonical_urls",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

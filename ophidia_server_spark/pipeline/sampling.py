@@ -421,3 +421,50 @@ def weighted_reservoir_topk(
     return picked.withColumn(
         "sample_rank", F.row_number().over(rk).cast("long")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    quality_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-source selection under a TOKEN budget — the data-mixing
+    primitive behind "x billion tokens of source S, best first": within
+    each source, documents rank by (quality desc, id) and are kept while
+    the running token total stays within `budget_tokens`; the first
+    overflow document is also kept when the budget is not yet exhausted
+    (standard knapsack-greedy closure, so every source reaches >= its
+    budget unless it runs out of documents). Without a quality column the
+    ranking is id order (reproducible corpus order). Adds `cum_tokens`
+    and `selected` (0/1); callers filter on selected.
+
+    Shape at scale: ONE per-source window (rank + running sum). A source
+    IS an sf-proportional partition, so this window grows with the data —
+    the same trade as the exact ECDF family, and the same escape hatch
+    applies: at true 100 TB, pre-aggregate to (source, quality-bucket)
+    grain, pick the budget-crossing bucket from the bounded cumulative
+    table, and run this exact selection only inside the boundary bucket.
+    The greedy-closure semantics here are the contract either path must
+    reproduce."""
+    from pyspark.sql import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    order = (
+        [F.desc(quality_col)] if quality_col else []
+    ) + [F.asc(key_col)]
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    out = df.withColumn("cum_tokens", cum)
+    prev = F.col("cum_tokens") - F.col(tokens_col).cast("long")
+    return out.withColumn(
+        "selected",
+        (prev < F.lit(int(budget_tokens))).cast("long"),
+    )

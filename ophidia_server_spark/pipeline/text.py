@@ -1025,3 +1025,50 @@ def template_prefixes(
         )
         .drop("__src", "__p", "__prefix")
     )
+
+
+def canonical_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL canonicalization — the dedup/blocklist normalizer every
+    web-crawl pipeline runs before keying on URLs: extract http(s) URLs,
+    lowercase scheme+host (path/query case is preserved — it is
+    significant), drop the #fragment, strip the tracking parameters
+    (utm_*, gclid, fbclid, msclkid, ref), and drop an emptied query
+    string entirely — so 'HTTP://Example.com/A?utm_source=x#top' and
+    'http://example.com/A' key identically while '/A?id=3' keeps its
+    meaningful parameter. Returns exploded (doc_id, url, canon_url).
+
+    All JVM column algebra (regexp_extract_all + higher-order
+    filter/transform over the split query string); ASCII character
+    classes only, so RE2 (DuckDB) and Java regex agree. One map +
+    explode, no shuffle."""
+    url_re = r"(?i)https?://[a-zA-Z0-9._%:@+/?&=#~-]+"
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(url_re), 0)
+    ex = df.select("doc_id", F.explode(urls).alias("url"))
+    nofrag = F.substring_index(F.col("url"), "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    # scheme://host[:port] lowercased; everything after stays verbatim
+    head = F.regexp_extract(base, r"(?i)^(https?://[a-zA-Z0-9._%:@-]+)", 1)
+    path = F.expr(
+        "substr(substring_index(substring_index(url, '#', 1), '?', 1),"
+        " length(regexp_extract(substring_index(substring_index(url, '#', 1),"
+        " '?', 1), '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1)) + 1)"
+    )
+    has_q = F.instr(nofrag, "?") > 0
+    query = F.when(has_q, F.expr(
+        "substr(substring_index(url, '#', 1),"
+        " instr(substring_index(url, '#', 1), '?') + 1)"
+    )).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(
+            "^(?i)(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)="
+        ),
+    )
+    canon = F.concat(
+        F.lower(head),
+        path,
+        F.when(F.size(kept) > 0,
+               F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return ex.select("doc_id", "url", canon.alias("canon_url"))

@@ -12008,3 +12008,103 @@ def events_interpolate_linear(spark, sf_dir):
     return win.interpolate_linear(ev).select(
         "event_id", "user_id", "interpolated"
     )
+
+
+@q(
+    "sample_token_budget",
+    f"""WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS q,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM tk
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(cum_tokens - n_tokens < 20000 AS BIGINT) AS selected
+FROM w""",
+)
+def sample_token_budget(spark, sf_dir):
+    """Greedy token-budget corpus mixing (pipeline/sampling.py
+    token_budget_select): within each source, documents rank by
+    (n_chars desc, id) and are selected while the running whitespace-token
+    total stays under a 20k-token budget, with the standard greedy closure
+    on the boundary document. Every doc's cumulative count and selection
+    flag hash-match DuckDB's window mirror."""
+    from ophidia_server_spark.pipeline.sampling import token_budget_select
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("q"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return token_budget_select(
+        docs, 20000, source_col="source", tokens_col="n_tokens",
+        quality_col="q", key_col="doc_id",
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "selected")
+
+
+@q(
+    "text_canonical_urls",
+    """WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see HTTP://Example.COM/Path/Page?utm_source=news&id='
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || '&fbclid=zz#frag plus https://b.org/x?utm_campaign=q'
+                   || ' and http://c.net/p#s'
+              ELSE text END AS s
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           s, '(?i)https?://[a-zA-Z0-9._%:@+/?&=#~-]+', 0)) AS url
+  FROM p
+), s1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u
+), s2 AS (
+  SELECT doc_id, url, split_part(nofrag, '?', 1) AS base,
+         CASE WHEN strpos(nofrag, '?') > 0
+              THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS qs
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url,
+         regexp_extract(base, '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1) AS head,
+         substr(base, length(regexp_extract(
+             base, '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1)) + 1) AS pth,
+         list_filter(string_split(qs, '&'),
+             x -> x <> '' AND NOT regexp_matches(
+                 x, '(?i)^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)='))
+           AS kept
+  FROM s2
+)
+SELECT doc_id, url,
+       lower(head) || pth
+       || CASE WHEN len(kept) > 0
+               THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url
+FROM s3""",
+)
+def text_canonical_urls(spark, sf_dir):
+    """URL canonicalization (pipeline/text.py canonical_urls): every 3rd
+    document gets three deterministic URLs — a MIXED-case host carrying a
+    meaningful id= among utm_/fbclid tracking params, a tracking-only
+    query string, and a fragment-bearing plain URL. The canonical forms
+    must lowercase scheme+host, keep path/query case, drop fragments,
+    strip exactly the tracking params (the id= survives), and drop
+    emptied query strings — every (doc, url, canon_url) row hash-matches
+    DuckDB's mirror of the same algebra."""
+    docs = _t(spark, sf_dir)["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see HTTP://Example.COM/Path/Page?utm_source=news&id="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&fbclid=zz#frag plus https://b.org/x?utm_campaign=q"),
+                F.lit(" and http://c.net/p#s"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.canonical_urls(docs)

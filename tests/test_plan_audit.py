@@ -92,6 +92,8 @@ BARS = {
     # one key-partitioned window pair over one scan (the analyze query's
     # returned frame is driver-built rows — nothing to bar there)
     "events_interpolate_linear": (1, 2),
+    "sample_token_budget": (1, 2),
+    "text_canonical_urls": (1, 0),   # pure map + explode: NO shuffle
 }
 
 

@@ -285,3 +285,31 @@ def test_weighted_reservoir_inclusion_is_weight_biased(spark):
     got = weighted_reservoir_topk(df, "w", 100, key_col="doc_id").collect()
     heavy = sum(1 for r in got if r["doc_id"] >= 500)
     assert heavy >= 75  # E[heavy] ~ 91 under A-ES; 75 is ~5 sigma slack
+
+
+def test_token_budget_select_greedy_closure(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.sampling import token_budget_select
+
+    rows = [
+        # source a, quality-ordered tokens: 40, 30, 50, 10
+        (1, "a", 40, 9.0), (2, "a", 30, 8.0), (3, "a", 50, 7.0), (4, "a", 10, 6.0),
+        # source b: single huge doc still selected (budget not yet touched)
+        (5, "b", 999, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long, q double")
+    got = {r["doc_id"]: (r["cum_tokens"], r["selected"]) for r in
+           token_budget_select(df, 100, quality_col="q").collect()}
+    # a: 40 (in), 70 (in), 120 (in — crosses the line, greedy closure),
+    #    130 (out — budget already exhausted before it)
+    assert got[1] == (40, 1) and got[2] == (70, 1)
+    assert got[3] == (120, 1) and got[4] == (130, 0)
+    # b: first doc always in while budget > 0
+    assert got[5] == (999, 1)
+    # zero budget selects nothing
+    none = token_budget_select(df, 0, quality_col="q").collect()
+    assert all(r["selected"] == 0 for r in none)
+    with _pytest.raises(ValueError):
+        token_budget_select(df, -1)

@@ -140,3 +140,30 @@ def test_zipf_fit_exact_power_law(spark):
     assert abs(r["zipf_exponent"] + 1.0) < 0.02
     assert r["pearson_r"] < -0.999
     assert math.isfinite(r["zipf_exponent"])
+
+
+def test_canonical_urls_normalization_rules(spark):
+    from ophidia_server_spark.pipeline.text import canonical_urls
+
+    df = spark.createDataFrame(
+        [(1, "x HTTP://Ex.COM/KeepCase?utm_source=a&id=3&gclid=z#f y"),
+         (2, "see https://a.org/p?utm_campaign=q only"),
+         (3, "plain http://b.net/q#frag end"),
+         (4, "no urls at all here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["canon_url"] for r in canonical_urls(df).collect()}
+    # host lowercased, path case kept, tracking stripped, real param kept
+    assert got[1] == "http://ex.com/KeepCase?id=3"
+    # emptied query string dropped entirely
+    assert got[2] == "https://a.org/p"
+    # fragment dropped
+    assert got[3] == "http://b.net/q"
+    assert 4 not in got
+    # identical canon for visually-different trackers (the dedup key claim)
+    two = spark.createDataFrame(
+        [(1, "http://s.io/a?utm_x=1"), (2, "HTTP://S.IO/a#top")],
+        "doc_id long, text string",
+    )
+    urls = canonical_urls(two).collect()
+    assert urls[0]["canon_url"] == urls[1]["canon_url"] == "http://s.io/a"
