@@ -199,6 +199,7 @@ HEADLINE = [
     "events_interpolate_linear",
     "sample_token_budget",
     "text_canonical_urls",
+    "audit_l_diversity",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

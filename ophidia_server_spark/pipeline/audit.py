@@ -808,3 +808,31 @@ def k_anonymity(
     ).withColumn(
         "at_risk", (F.col("n") < k).cast("long")
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a class can be large (k-anonymous) yet leak the
+    sensitive attribute completely when every member shares one value
+    (the homogeneity attack). Reports, per quasi-identifier equivalence
+    class, the class size, the number of DISTINCT sensitive values, and
+    `at_risk` (1 when distinct sensitive values < l). NULL sensitive
+    values count as a value of their own (knowing "it is missing" is
+    itself a disclosure).
+
+    Shape at scale: one exact distinct-aggregate keyed on the quasi
+    columns — the class table is bounded by quasi-combination
+    cardinality; no window, no join."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    s = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("__null__")
+    )
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(s).cast("long").alias("n_sensitive"),
+    ).withColumn("at_risk", (F.col("n_sensitive") < l).cast("long"))

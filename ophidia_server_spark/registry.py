@@ -12108,3 +12108,33 @@ def text_canonical_urls(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return tx.canonical_urls(docs)
+
+
+@q(
+    "audit_l_diversity",
+    """SELECT c_nationkey,
+       CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT COALESCE(c_mktsegment, '__null__')) AS BIGINT)
+         AS n_sensitive,
+       CAST(COUNT(DISTINCT COALESCE(c_mktsegment, '__null__')) < 3 AS BIGINT)
+         AS at_risk
+FROM customer GROUP BY 1, 2""",
+)
+def audit_l_diversity(spark, sf_dir):
+    """l-diversity audit (pipeline/audit.py l_diversity — k-anonymity's
+    homogeneity-attack complement): per (nation, balance-band) class, the
+    count of DISTINCT market segments must reach l=3 or the class is
+    flagged — a large class whose members all share the sensitive value
+    is still a disclosure. Every class row hash-matches DuckDB."""
+    from ophidia_server_spark.pipeline.audit import l_diversity
+
+    cust = _t(spark, sf_dir)["customer"].select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 500)
+        .cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )

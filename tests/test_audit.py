@@ -309,3 +309,23 @@ def test_k_anonymity_flags_small_classes(spark):
         k_anonymity(df, [], k=5)
     with _pytest.raises(ValueError):
         k_anonymity(df, ["country"], k=1)
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.audit import l_diversity
+
+    rows = (
+        [("us", "cancer")] * 5            # k-anonymous but homogeneous
+        + [("de", "flu"), ("de", "cold"), ("de", "flu")]
+        + [("fr", None), ("fr", None)]    # NULL is itself a value
+    )
+    df = spark.createDataFrame(rows, "country string, dx string")
+    got = {r["country"]: (r["n"], r["n_sensitive"], r["at_risk"])
+           for r in l_diversity(df, ["country"], "dx", l=2).collect()}
+    assert got["us"] == (5, 1, 1)   # big class, one value -> at risk
+    assert got["de"] == (3, 2, 0)
+    assert got["fr"] == (2, 1, 1)   # all-NULL is homogeneous too
+    with _pytest.raises(ValueError):
+        l_diversity(df, ["country"], "dx", l=1)

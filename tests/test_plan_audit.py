@@ -94,6 +94,7 @@ BARS = {
     "events_interpolate_linear": (1, 2),
     "sample_token_budget": (1, 2),
     "text_canonical_urls": (1, 0),   # pure map + explode: NO shuffle
+    "audit_l_diversity": (1, 2),     # one distinct-aggregate (expand)
 }
 
 
