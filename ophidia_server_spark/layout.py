@@ -614,23 +614,13 @@ def stream_window_upsert_to_snapshots(
             .alias("window_start"),
             key_col, "n", "total",
         )
-        import os as _os
-
         # bootstrap on "no committed version yet", NOT on the manifests
         # dir existing — _manifest_dir() mkdirs as a side effect of the
-        # batch-id lookup above
+        # batch-id lookup above. The batch id rides INSIDE snapshot_write's
+        # exclusive commit (a marker amended after the commit would reopen
+        # both the torn-manifest and the batch-0-replay windows).
         if not snapshot_versions(table_path):
-            snapshot_write(changed, table_path)
-            # re-stamp the bootstrap manifest with the batch id so a
-            # replay of batch 0 is recognized as committed
-            import json as _json
-
-            mpath = _os.path.join(_manifest_dir(table_path), "v1.json")
-            with open(mpath) as fh:
-                man = _json.load(fh)
-            man["batch_id"] = int(batch_id)
-            with open(mpath, "w") as fh:
-                _json.dump(man, fh)
+            snapshot_write(changed, table_path, batch_id=int(batch_id))
         else:
             snapshot_upsert(
                 batch_df.sparkSession, table_path, changed,
@@ -724,8 +714,13 @@ def snapshot_upsert(
     store = spark.read.parquet(*man["files"])
     upd_keys = updates.select(*key_cols).distinct()
     tagged = store.withColumn("__file", F.input_file_name())
+    # _norm_path on BOTH sides of every file-identity comparison below:
+    # executor paths are absolute + percent-encoded, manifest paths are
+    # caller-constructed — with a relative table path the raw strings
+    # never match, `kept` would retain the rewritten files too, and every
+    # upserted key would silently read back duplicated
     touched = sorted(
-        r["__file"].removeprefix("file://")
+        _norm_path(r["__file"])
         for r in tagged.join(upd_keys, key_cols, "left_semi")
         .select("__file").distinct().collect()
     )
@@ -749,7 +744,7 @@ def snapshot_upsert(
     touched_set = set(touched)
     kept = [
         f for f in man["files"]
-        if f.removeprefix("file://") not in touched_set
+        if _norm_path(f) not in touched_set
     ]
     out = {"version": v, "op": "upsert", "files": kept + new_files,
            "parent": man["version"]}
@@ -811,6 +806,11 @@ def vacuum(path: str, keep_last: int = 1,
                 _os.remove(local)
                 deleted += 1
         _os.remove(_os.path.join(_manifest_dir(path), f"v{v}.json"))
+        # the version's ANALYZE sidecar goes with it — stale statistics
+        # describing deleted files must not outlive the retention policy
+        stats_side = _os.path.join(_manifest_dir(path), f"stats_v{v}.json")
+        if _os.path.exists(stats_side):
+            _os.remove(stats_side)
     orphans = 0
     now = _time.time()
     for entry in sorted(_os.listdir(path)):
@@ -1058,8 +1058,10 @@ def snapshot_analyze(
         ]
     r = df.agg(*aggs).first()
     rows = [
-        (c, int(r["__rows"]), int(r[f"__nn_{c}"]), int(r[f"__nd_{c}"]),
-         r[f"__mn_{c}"], r[f"__mx_{c}"])
+        # `or 0`: over a ZERO-ROW version F.sum returns NULL — the
+        # degenerate table a planner most needs stats for must not crash
+        (c, int(r["__rows"] or 0), int(r[f"__nn_{c}"] or 0),
+         int(r[f"__nd_{c}"] or 0), r[f"__mn_{c}"], r[f"__mx_{c}"])
         for c in cols
     ]
     out = {

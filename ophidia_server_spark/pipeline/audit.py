@@ -829,10 +829,14 @@ def l_diversity(
         raise ValueError("need at least one quasi-identifier column")
     if l < 2:
         raise ValueError(f"l must be >= 2, got {l}")
-    s = F.coalesce(
-        F.col(sensitive_col).cast("string"), F.lit("__null__")
-    )
+    # NULL counts as its own value WITHOUT a string sentinel (a sentinel
+    # would collide with a genuine value equal to it): exact distinct over
+    # the non-NULLs, plus 1 when the class contains any NULL
+    s = F.col(sensitive_col)
     return df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct(s).cast("long").alias("n_sensitive"),
+        (
+            F.countDistinct(s)
+            + F.max(s.isNull().cast("long"))
+        ).cast("long").alias("n_sensitive"),
     ).withColumn("at_risk", (F.col("n_sensitive") < l).cast("long"))

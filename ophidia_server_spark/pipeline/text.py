@@ -1017,8 +1017,10 @@ def template_prefixes(
     return (
         keyed.join(
             counts,
-            (F.col(by_col) == F.col("__src"))
-            & (F.col("__prefix") == F.col("__p")),
+            # eqNullSafe: a NULL source (missing provenance) is a real
+            # group — plain equality would silently DROP those documents
+            F.col(by_col).eqNullSafe(F.col("__src"))
+            & F.col("__prefix").eqNullSafe(F.col("__p")),
         )
         .withColumn(
             "is_template", (F.col("n_sharing") >= int(min_docs)).cast("long")
@@ -1046,18 +1048,15 @@ def canonical_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
     ex = df.select("doc_id", F.explode(urls).alias("url"))
     nofrag = F.substring_index(F.col("url"), "#", 1)
     base = F.substring_index(nofrag, "?", 1)
-    # scheme://host[:port] lowercased; everything after stays verbatim
+    # scheme://host[:port] lowercased; everything after stays verbatim.
+    # path/query are carved from the SAME nofrag/base/head columns (one
+    # spelling of each regex — an edited host class cannot desync offsets)
     head = F.regexp_extract(base, r"(?i)^(https?://[a-zA-Z0-9._%:@-]+)", 1)
-    path = F.expr(
-        "substr(substring_index(substring_index(url, '#', 1), '?', 1),"
-        " length(regexp_extract(substring_index(substring_index(url, '#', 1),"
-        " '?', 1), '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1)) + 1)"
-    )
+    path = base.substr(F.length(head) + F.lit(1), F.length(base))
     has_q = F.instr(nofrag, "?") > 0
-    query = F.when(has_q, F.expr(
-        "substr(substring_index(url, '#', 1),"
-        " instr(substring_index(url, '#', 1), '?') + 1)"
-    )).otherwise(F.lit(""))
+    query = F.when(
+        has_q, nofrag.substr(F.instr(nofrag, "?") + F.lit(1), F.length(nofrag))
+    ).otherwise(F.lit(""))
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(

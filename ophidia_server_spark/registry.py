@@ -12115,10 +12115,12 @@ def text_canonical_urls(spark, sf_dir):
     """SELECT c_nationkey,
        CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 500) AS BIGINT) AS bal_band,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(COUNT(DISTINCT COALESCE(c_mktsegment, '__null__')) AS BIGINT)
-         AS n_sensitive,
-       CAST(COUNT(DISTINCT COALESCE(c_mktsegment, '__null__')) < 3 AS BIGINT)
-         AS at_risk
+       CAST(COUNT(DISTINCT c_mktsegment)
+            + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sensitive,
+       CAST(COUNT(DISTINCT c_mktsegment)
+            + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            < 3 AS BIGINT) AS at_risk
 FROM customer GROUP BY 1, 2""",
 )
 def audit_l_diversity(spark, sf_dir):

@@ -329,3 +329,16 @@ def test_l_diversity_homogeneity_attack(spark):
     assert got["fr"] == (2, 1, 1)   # all-NULL is homogeneous too
     with _pytest.raises(ValueError):
         l_diversity(df, ["country"], "dx", l=1)
+
+
+def test_l_diversity_sentinel_collision(spark):
+    from ophidia_server_spark.pipeline.audit import l_diversity
+
+    # NULL and the literal string '__null__' are DIFFERENT disclosures —
+    # a string sentinel would merge them (review finding, round 9)
+    rows = [("g", None), ("g", "__null__"), ("h", None), ("h", None)]
+    df = spark.createDataFrame(rows, "country string, dx string")
+    got = {r["country"]: (r["n_sensitive"], r["at_risk"])
+           for r in l_diversity(df, ["country"], "dx", l=2).collect()}
+    assert got["g"] == (2, 0)
+    assert got["h"] == (1, 1)

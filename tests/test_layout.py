@@ -731,3 +731,58 @@ def test_snapshot_analyze_exact_stats_and_sidecar(spark, tmp_path):
     # column subset
     only = snapshot_analyze(spark, path, columns=["s"]).collect()
     assert [r["col_name"] for r in only] == ["s"]
+
+
+def test_snapshot_analyze_zero_row_version(spark, tmp_path):
+    from ophidia_server_spark.layout import snapshot_analyze, snapshot_write
+
+    df = spark.createDataFrame([], "k long, s string")
+    path = str(tmp_path / "empty")
+    snapshot_write(df, path)
+    got = {r["col_name"]: r.asDict() for r in
+           snapshot_analyze(spark, path).collect()}
+    assert got["k"]["n_rows"] == 0 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 0
+    assert got["k"]["min_str"] is None and got["k"]["max_str"] is None
+
+
+def test_snapshot_upsert_relative_path_no_duplicates(spark, tmp_path):
+    # review finding: executor paths (absolute, URL-encoded) vs manifest
+    # paths (caller-constructed) must normalize on BOTH sides of the
+    # touched-file match, or a relative table path duplicates every
+    # upserted key
+    import os
+
+    from ophidia_server_spark.layout import snapshot_read, snapshot_upsert, snapshot_write
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    rel = os.path.relpath(str(tmp_path / "relstore"), os.getcwd())
+    snapshot_write(base.repartition(2, "k"), rel)
+    upd = spark.createDataFrame([(2, 99.0)], "k long, v double")
+    snapshot_upsert(spark, rel, upd, ["k"])
+    got = sorted(tuple(r) for r in snapshot_read(spark, rel).collect())
+    assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]
+
+
+def test_vacuum_removes_analyze_sidecars(spark, tables, tmp_path):
+    import os
+
+    from ophidia_server_spark.layout import (
+        snapshot_analyze, snapshot_append, snapshot_write, vacuum,
+    )
+
+    path = str(tmp_path / "vs")
+    r = tables["region"].select("r_regionkey", "r_name")
+    snapshot_write(r, path)
+    snapshot_append(r.limit(2), path)
+    snapshot_analyze(spark, path, version=1)
+    snapshot_analyze(spark, path, version=2)
+    s1 = os.path.join(path, "_manifests", "stats_v1.json")
+    s2 = os.path.join(path, "_manifests", "stats_v2.json")
+    assert os.path.exists(s1) and os.path.exists(s2)
+    vacuum(path, keep_last=1)
+    # dropped version's stale stats go with its manifest; kept one stays
+    assert not os.path.exists(s1)
+    assert os.path.exists(s2)

@@ -167,3 +167,21 @@ def test_canonical_urls_normalization_rules(spark):
     )
     urls = canonical_urls(two).collect()
     assert urls[0]["canon_url"] == urls[1]["canon_url"] == "http://s.io/a"
+
+
+def test_template_prefixes_keeps_null_source_rows(spark):
+    from ophidia_server_spark.pipeline.text import template_prefixes
+
+    rows = [
+        (1, "terms of service apply here", None),
+        (2, "terms of service apply there", None),
+        (3, "terms of service apply anywhere", None),
+        (4, "something else entirely written", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: (r["n_sharing"], r["is_template"])
+           for r in template_prefixes(df, k_tokens=4, min_docs=3).collect()}
+    # NULL source is a real provenance group, not dropped rows
+    assert len(got) == 4
+    assert got[1] == (3, 1) and got[2] == (3, 1) and got[3] == (3, 1)
+    assert got[4] == (1, 0)
