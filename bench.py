@@ -200,6 +200,7 @@ HEADLINE = [
     "sample_token_budget",
     "text_canonical_urls",
     "audit_l_diversity",
+    "graph_bfs_distances",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

@@ -306,3 +306,64 @@ def pagerank(
         residuals.append(float(res))
     nodes.unpersist()
     return ranks, prev, residuals
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances on an undirected graph — the
+    reachability/radius primitive (influence spheres, contamination
+    blast-radius, link-distance features). Returns (node, dist) for every
+    node reachable from ANY source (sources themselves at 0); unreachable
+    nodes are absent, and `max_depth` truncates the expansion (a frontier
+    cap, not an error — reachability-within-k is its own question).
+
+    Scale shape per round: ONE semi-join of the edge set against the
+    current frontier + one anti-join against the visited set (both keyed
+    shuffles), localCheckpoint per round so the loop's plan stays flat.
+    Rounds = graph diameter (bounded by max_depth). The visited set is
+    node-sized, never collected; the loop watches one scalar count.
+    This is the canonical iterative-semi-join BFS — the same loop shape
+    as kcore's peel, with the frontier growing instead of shrinking."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(s,) for s in sources], ["node"]
+    ).distinct().localCheckpoint()
+    visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    visited = visited.localCheckpoint()
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= int(max_depth):
+            break
+        nxt = (
+            und.join(
+                frontier.select(F.col("node").alias("__a")), "__a", "left_semi"
+            )
+            .select(F.col("__b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        depth += 1
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(depth).cast("long").alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -12140,3 +12140,44 @@ def audit_l_diversity(spark, sf_dir):
     return l_diversity(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
     )
+
+
+@q(
+    "graph_bfs_distances",
+    """WITH RECURSIVE und AS (
+  SELECT l_orderkey AS a, l_partkey + 10000000 AS b FROM lineitem
+  UNION
+  SELECT l_partkey + 10000000 AS a, l_orderkey AS b FROM lineitem
+), bfs AS (
+  SELECT DISTINCT l_orderkey AS node, 0 AS dist
+  FROM lineitem WHERE l_orderkey < 10
+  UNION
+  SELECT u.b AS node, bfs.dist + 1 AS dist
+  FROM bfs JOIN und u ON u.a = bfs.node
+  WHERE bfs.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY node""",
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances (pipeline/graph.py bfs_distances —
+    the iterative frontier semi-join, kcore's loop shape with a growing
+    set) over the order<->part bipartite graph, anchored at the orderkeys
+    under 10 and truncated at 4 hops. Every (node, min-hop) row
+    hash-matches DuckDB's RECURSIVE-CTE breadth expansion — a genuinely
+    independent formulation of the same reachability (level-wise UNION
+    dedup + MIN over path lengths), so a frontier bug (revisit, off-by-one
+    depth, missed parity level) cannot agree by construction."""
+    from ophidia_server_spark.pipeline.graph import bfs_distances
+
+    li = _t(spark, sf_dir)["lineitem"]
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    sources = [
+        r["l_orderkey"]
+        for r in li.filter("l_orderkey < 10")
+        .select("l_orderkey").distinct().collect()
+    ]
+    return bfs_distances(edges, sources, max_depth=4)

@@ -158,3 +158,22 @@ def test_histogram_nulls_not_counted(spark):
     df = spark.createDataFrame([([1.0, None, 5.0],)], "arr array<double>")
     got = df.select(histogram(1, 0.0, 10.0)(F.col("arr")).alias("h")).first()
     assert got["h"] == [2]  # documented: nulls vanish from the counts
+
+
+def test_bfs_distances_hand_graph(spark):
+    from ophidia_server_spark.pipeline.graph import bfs_distances
+
+    # path 1-2-3-4-5 with a branch 3-10, island 99-100
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 10), (99, 100)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1]).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 3, 5: 4}  # island absent
+    # multi-source takes the nearer anchor; max_depth truncates
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(edges, [1, 5], max_depth=1).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1}
+    # undirected: distances are symmetric from the other end
+    got3 = {r["node"]: r["dist"] for r in bfs_distances(edges, [5]).collect()}
+    assert got3[1] == 4 and got3[10] == 3
