@@ -201,6 +201,7 @@ HEADLINE = [
     "text_canonical_urls",
     "audit_l_diversity",
     "graph_bfs_distances",
+    "events_quantile_normalize",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

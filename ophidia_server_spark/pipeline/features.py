@@ -407,3 +407,70 @@ def target_encode(
     return df.join(enc, cat_col).withColumn(
         f"te_{cat_col}", F.round("__te", 6)
     ).drop("__te")
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups — map every row's value to the
+    GLOBAL distribution's value at the same within-group quantile, so all
+    groups share one distribution afterwards (the microarray-normalization
+    classic, and the cross-source feature aligner: source A's "score 0.8"
+    and source B's "score 3.1" both become whatever the pooled corpus has
+    at that rank). Exact and deterministic: within-group rank is the
+    distinct-value ECDF (cume_dist semantics, ties share a rank), the
+    global target position k = ceil(rank * N_global) is computed in
+    DECIMAL integer arithmetic (no float near the ceil boundary), and the
+    mapped value is the k-th global order statistic. NULLs pass through
+    unmapped. Adds `qnorm` (double R6).
+
+    Shape at scale: two bounded distinct-value ECDF tables (group and
+    global), one positions table exploded to N rows (the one linear-sized
+    intermediate — an equi-join on the integer position instead of a
+    range join), and two keyed joins. For near-continuous values at true
+    100 TB, quantize first (percentile_rank_bucketed's grid) — same
+    contract, bounded tables."""
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    src = _group_ecdf(nn, value_col, group_col).select(
+        "__g", "__v",
+        F.col("__cum").cast("decimal(38,0)").alias("__cs"),
+        F.col("__tot").cast("decimal(38,0)").alias("__ts"),
+    )
+    glob = _group_ecdf(nn, value_col, F.lit(0)).select(
+        F.col("__v").alias("__gv"), "__c", "__cum", "__tot"
+    )
+    # k-th order statistic lookup table: global value at positions
+    # (cum - c + 1) .. cum — N rows, one integer-keyed equi-join
+    pos = glob.select(
+        "__gv",
+        F.explode(
+            F.sequence(
+                (F.col("__cum") - F.col("__c") + 1).cast("long"),
+                F.col("__cum").cast("long"),
+            )
+        ).alias("__k"),
+    )
+    n_glob = glob.agg(F.max("__tot").cast("decimal(38,0)").alias("__n"))
+    # k = ceil(cum * N / tot) in EXACT integer arithmetic: subtract the
+    # remainder first so the final decimal division is exact — a plain
+    # floor(a/b) on decimals rounds the quotient to scale 6 before
+    # flooring, which can cross an integer boundary once tot > 2e6
+    num = F.col("__cs") * F.col("__n") + F.col("__ts") - 1
+    k = ((num - F.pmod(num, F.col("__ts"))) / F.col("__ts")).cast("long")
+    mapped = (
+        src.crossJoin(F.broadcast(n_glob))
+        .select("__g", "__v", k.alias("__k"))
+        .join(pos, "__k")
+        .select(
+            "__g", "__v", F.round(F.col("__gv").cast("double"), 6).alias("qnorm")
+        )
+    )
+    return (
+        df.join(
+            mapped,
+            F.col(group_col).eqNullSafe(F.col("__g")) & v.eqNullSafe(F.col("__v")),
+            "left",
+        )
+        .drop("__g", "__v")
+    )

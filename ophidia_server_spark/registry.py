@@ -12181,3 +12181,60 @@ def graph_bfs_distances(spark, sf_dir):
         .select("l_orderkey").distinct().collect()
     ]
     return bfs_distances(edges, sources, max_depth=4)
+
+
+@q(
+    "events_quantile_normalize",
+    """WITH nn AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL
+), src AS (
+  SELECT g, v, COUNT(*) AS c FROM nn GROUP BY 1, 2
+), srcw AS (
+  SELECT g, v,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cs,
+         CAST(SUM(c) OVER (PARTITION BY g) AS HUGEINT) AS ts
+  FROM src
+), gl AS (
+  SELECT v AS gv, COUNT(*) AS c FROM nn GROUP BY 1
+), glw AS (
+  SELECT gv, c,
+         SUM(c) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(SUM(c) OVER () AS HUGEINT) AS n
+  FROM gl
+), pos AS (
+  SELECT gv, unnest(range(CAST(cum - c + 1 AS BIGINT), CAST(cum + 1 AS BIGINT))) AS k FROM glw
+), keyed AS (
+  SELECT s.g, s.v,
+         CAST((s.cs * nt.n + s.ts - 1
+               - ((s.cs * nt.n + s.ts - 1) % s.ts)) // s.ts AS BIGINT) AS k
+  FROM srcw s
+  CROSS JOIN (SELECT MAX(n) AS n FROM glw) nt
+), mapped AS (
+  SELECT keyed.g, keyed.v, ROUND(p.gv, 6) AS qnorm
+  FROM keyed JOIN pos p USING (k)
+)
+SELECT e.event_id, e.event_type, m.qnorm
+FROM events e
+LEFT JOIN mapped m
+  ON e.event_type = m.g AND CAST(e.value AS DOUBLE) = m.v""",
+)
+def events_quantile_normalize(spark, sf_dir):
+    """Exact quantile normalization across event types (pipeline/
+    features.py quantile_normalize — every type's value distribution is
+    mapped onto the pooled global distribution via within-group ECDF rank
+    -> global order statistic, the microarray classic as a cross-source
+    feature aligner). The target position is computed in exact integer
+    arithmetic (remainder-subtracted ceil-division — no float or decimal
+    rounding near the boundary at any scale) and the k-th order statistic
+    comes from an integer-keyed positions table, not a range join. Every
+    row hash-matches DuckDB's window + HUGEINT mirror."""
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    return quantile_normalize(ev, "value", "event_type").select(
+        "event_id", "event_type", "qnorm"
+    )

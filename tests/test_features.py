@@ -243,3 +243,33 @@ def test_rate_spikes_flags_the_constructed_burst(spark):
     assert sum(r["is_spike"] for r in rows.values()) == 1
     assert all(abs(r["zscore"]) < 3 for b, r in rows.items()
                if b != burst_bucket)
+
+
+def test_quantile_normalize_aligns_groups_exactly(spark):
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["v"]): r["qnorm"]
+           for r in quantile_normalize(df, "v", "g").collect()}
+    # global sorted: [1,2,3,10,20,30]; within-group ranks 1/3, 2/3, 1
+    # -> order statistics at positions 2, 4, 6 for BOTH groups: after
+    # normalization the two groups share one distribution exactly
+    assert [got[("a", v)] for v in (1.0, 2.0, 3.0)] == [2.0, 10.0, 30.0]
+    assert [got[("b", v)] for v in (10.0, 20.0, 30.0)] == [2.0, 10.0, 30.0]
+
+
+def test_quantile_normalize_ties_and_nulls(spark):
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    rows = [("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", None), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, "v", "g").collect()
+    got = {(r["g"], r["v"]): r["qnorm"] for r in out}
+    # group a: tied 1.0s share rank 2/3 -> k = ceil(2/3 * 4) = 3 -> 3.0;
+    # 3.0 at rank 1 -> k=4 -> 5.0. group b: 5.0 at rank 1 -> 5.0.
+    assert got[("a", 1.0)] == 3.0 and got[("a", 3.0)] == 5.0
+    assert got[("b", 5.0)] == 5.0
+    # NULL passes through unmapped and the row is kept
+    assert got[("b", None)] is None and len(out) == 5

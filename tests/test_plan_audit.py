@@ -95,6 +95,8 @@ BARS = {
     "sample_token_budget": (1, 2),
     "text_canonical_urls": (1, 0),   # pure map + explode: NO shuffle
     "audit_l_diversity": (1, 2),     # one distinct-aggregate (expand)
+    # two ECDF tables + positions equi-join + map-back; no range join
+    "events_quantile_normalize": (4, 8),
 }
 
 
