@@ -411,6 +411,7 @@ def target_encode(
 
 def quantile_normalize(
     df: DataFrame, value_col: str, group_col: str,
+    max_distinct: int | None = 50_000_000,
 ) -> DataFrame:
     """Quantile normalization across groups — map every row's value to the
     GLOBAL distribution's value at the same within-group quantile, so all
@@ -427,11 +428,28 @@ def quantile_normalize(
     Shape at scale: two bounded distinct-value ECDF tables (group and
     global), one positions table exploded to N rows (the one linear-sized
     intermediate — an equi-join on the integer position instead of a
-    range join), and two keyed joins. For near-continuous values at true
-    100 TB, quantize first (percentile_rank_bucketed's grid) — same
-    contract, bounded tables."""
+    range join), and two keyed joins. The GLOBAL running sum is one
+    unpartitioned window over the distinct-value table, so the same
+    `max_distinct` guard as percentile_rank_by_group runs first (one
+    approx_count_distinct pass): above budget, EcdfCardinalityError says
+    to pre-quantize the values (percentile_rank_bucketed's grid) before
+    normalizing — same contract, bounded tables. max_distinct=None skips
+    the guard pass."""
     v = F.col(value_col).cast("double")
     nn = df.filter(v.isNotNull())
+    if max_distinct is not None:
+        approx = nn.agg(
+            F.approx_count_distinct(v).alias("__nd")
+        ).first()["__nd"]
+        if approx > int(max_distinct):
+            raise EcdfCardinalityError(
+                f"quantile_normalize would run a single-task global "
+                f"running sum over ~{approx:,} distinct values (> "
+                f"max_distinct={int(max_distinct):,}) — near-continuous "
+                "at this scale; pre-quantize the values (see "
+                "percentile_rank_bucketed's grid) or pass "
+                "max_distinct=None"
+            )
     src = _group_ecdf(nn, value_col, group_col).select(
         "__g", "__v",
         F.col("__cum").cast("decimal(38,0)").alias("__cs"),

@@ -329,11 +329,24 @@ def bfs_distances(
     node-sized, never collected; the loop watches one scalar count.
     This is the canonical iterative-semi-join BFS — the same loop shape
     as kcore's peel, with the frontier growing instead of shrinking."""
+    if not sources:
+        # empty anchor set: an empty result with the right schema, not a
+        # schema-inference crash from createDataFrame([])
+        return edges.select(F.col(src_col).alias("node")).limit(0).select(
+            "node", F.lit(0).cast("long").alias("dist")
+        )
+    # canonicalize to (min, max) BEFORE mirroring (kcore's pattern): an
+    # edge list storing both directions would otherwise carry every edge
+    # 4x through each round's checkpointed semi-join
     e = (
         edges.select(
-            F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+            F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
         )
-        .filter(F.col("__a") != F.col("__b"))
+        .filter(F.col("__x") != F.col("__y"))
+        .select(
+            F.least("__x", "__y").alias("__a"),
+            F.greatest("__x", "__y").alias("__b"),
+        )
         .distinct()
     )
     und = e.unionByName(

@@ -12218,7 +12218,8 @@ def graph_bfs_distances(spark, sf_dir):
 SELECT e.event_id, e.event_type, m.qnorm
 FROM events e
 LEFT JOIN mapped m
-  ON e.event_type = m.g AND CAST(e.value AS DOUBLE) = m.v""",
+  ON e.event_type IS NOT DISTINCT FROM m.g
+ AND CAST(e.value AS DOUBLE) = m.v""",
 )
 def events_quantile_normalize(spark, sf_dir):
     """Exact quantile normalization across event types (pipeline/

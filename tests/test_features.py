@@ -273,3 +273,20 @@ def test_quantile_normalize_ties_and_nulls(spark):
     assert got[("b", 5.0)] == 5.0
     # NULL passes through unmapped and the row is kept
     assert got[("b", None)] is None and len(out) == 5
+
+
+def test_quantile_normalize_cardinality_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import (
+        EcdfCardinalityError, quantile_normalize,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    with _pytest.raises(EcdfCardinalityError, match="pre-quantize"):
+        quantile_normalize(df, "v", "g", max_distinct=1000)
+    assert quantile_normalize(df, "v", "g", max_distinct=None).count() == 5000

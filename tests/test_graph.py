@@ -177,3 +177,17 @@ def test_bfs_distances_hand_graph(spark):
     # undirected: distances are symmetric from the other end
     got3 = {r["node"]: r["dist"] for r in bfs_distances(edges, [5]).collect()}
     assert got3[1] == 4 and got3[10] == 3
+
+
+def test_bfs_distances_empty_sources_and_bidirectional_edges(spark):
+    from ophidia_server_spark.pipeline.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    # empty anchors: empty result with the right schema, not a crash
+    empty = bfs_distances(edges, [])
+    assert empty.count() == 0 and empty.columns == ["node", "dist"]
+    # both-direction storage canonicalizes: distances unchanged
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1]).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
