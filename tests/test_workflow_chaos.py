@@ -207,3 +207,27 @@ def test_chaos_skip_policy_isolates_branch(spark, tables, tmp_path):
     # dependents of the skipped task did not run their operators
     for n in ("meta", "elements"):
         assert run.results[n].status != "OPH_ODB_STATUS_COMPLETED"
+
+
+def test_chaos_converges_under_concurrent_waves(spark, tables, tmp_path):
+    # same DAG executed with max_workers=4: wave members run concurrently,
+    # so cube CREATION ORDER differs — the ledger statuses and the
+    # order-free cube inventory must still converge to the serial run's.
+    eng_s, store_s, src_s = _mk_env(spark, tables, tmp_path, "serial")
+    serial = eng_s.run(
+        _chaos_workflow(src_s, str(tmp_path / "out_serial")), max_workers=1
+    )
+    assert serial.status == "OPH_ODB_STATUS_COMPLETED", _ledger(serial)
+
+    eng_c, store_c, src_c = _mk_env(spark, tables, tmp_path, "conc")
+    counters = {}
+    _wrap_flaky(eng_c, "oph_subset", 1, counters)  # one transient failure
+    wf = _chaos_workflow(src_c, str(tmp_path / "out_conc"))
+    for t in wf["tasks"]:
+        if t["name"] == "sub":
+            t["retry"] = 3
+            t["backoff_time"] = 0.01
+    conc = eng_c.run(wf, max_workers=4)
+    assert conc.status == "OPH_ODB_STATUS_COMPLETED", _ledger(conc)
+    assert _ledger(conc) == _ledger(serial)
+    assert _cube_inventory(store_c) == _cube_inventory(store_s)
