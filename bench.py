@@ -202,6 +202,8 @@ HEADLINE = [
     "audit_l_diversity",
     "graph_bfs_distances",
     "events_quantile_normalize",
+    "sim_index_append_lsh_recall",
+    "dedup_url_groups",
     "dedup_jaccard_join",
     "dedup_keep_best_vocab",
     "graph_triangle_counts",

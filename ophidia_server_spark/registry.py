@@ -12239,3 +12239,126 @@ def events_quantile_normalize(spark, sf_dir):
     return quantile_normalize(ev, "value", "event_type").select(
         "event_id", "event_type", "qnorm"
     )
+
+
+@q(
+    "sim_index_append_lsh_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok,
+       CAST(1 AS BIGINT) AS rows_ok
+FROM embeddings WHERE vec_id < 4""",
+)
+def sim_index_append_lsh_recall(spark, sf_dir):
+    """LSH twin of sim_index_append_recall: the hyperplane store is built
+    on the first half of the corpus, the second half appends through the
+    sidecar's planes (signatures can never drift from the probes),
+    compaction swaps directories, and the multi-probe recall@10 bar must
+    clear on the merged corpus for every probe; rows_ok pins compaction
+    losslessness."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    half = n // 2
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"ophspark_vgrowl_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    idx = vs.lsh_build(emb.filter(F.col("vec_id") < half), path, bits=8)
+    vs.index_append(emb.filter(F.col("vec_id") >= half), idx)
+    rep = vs.index_compact(spark, idx)
+    rows_ok = int(
+        rep["rows"] == n
+        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+    )
+    out = []
+    for pid in range(4):
+        qv = [
+            float(v) for v in
+            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
+        ]
+        got = {r["vec_id"]
+               for r in vs.lsh_probe(spark, idx, qv, k=10).collect()}
+        exact = {r["vec_id"]
+                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
+        recall = len(got & exact) / max(1, len(exact))
+        out.append((pid, int(recall >= 0.1), rows_ok))
+    return spark.createDataFrame(
+        out, "probe_id long, recall_ok long, rows_ok long"
+    )
+
+
+@q(
+    "dedup_url_groups",
+    """WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see HTTP://Example.COM/Path/Page?utm_source=news&id='
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || '&fbclid=zz#frag plus https://b.org/x?utm_campaign=q'
+                   || ' and http://c.net/p#s'
+              ELSE text END AS s
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           s, '(?i)https?://[a-zA-Z0-9._%:@+/?&=#~-]+', 0)) AS url
+  FROM p
+), s1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u
+), s2 AS (
+  SELECT doc_id, url, split_part(nofrag, '?', 1) AS base,
+         CASE WHEN strpos(nofrag, '?') > 0
+              THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS qs
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url,
+         regexp_extract(base, '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1) AS head,
+         substr(base, length(regexp_extract(
+             base, '(?i)^(https?://[a-zA-Z0-9._%:@-]+)', 1)) + 1) AS pth,
+         list_filter(string_split(qs, '&'),
+             x -> x <> '' AND NOT regexp_matches(
+                 x, '(?i)^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)='))
+           AS kept
+  FROM s2
+), canon AS (
+  SELECT doc_id,
+         lower(head) || pth
+         || CASE WHEN len(kept) > 0
+                 THEN '?' || array_to_string(kept, '&') ELSE '' END AS cu
+  FROM s3
+)
+SELECT cu AS canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY cu""",
+)
+def dedup_url_groups(spark, sf_dir):
+    """URL-keyed dedup groups (canonical_urls composed into the dedup
+    family): after canonicalization, visually-different tracker/fragment/
+    case variants key identically — the group table (mentions, distinct
+    docs, first-seen doc per canonical URL) is what a crawl frontier
+    dedups against. Same deterministic injection as text_canonical_urls;
+    hash-matched."""
+    docs = _t(spark, sf_dir)["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see HTTP://Example.COM/Path/Page?utm_source=news&id="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&fbclid=zz#frag plus https://b.org/x?utm_campaign=q"),
+                F.lit(" and http://c.net/p#s"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return tx.canonical_urls(docs).groupBy(
+        F.col("canon_url")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
