@@ -307,12 +307,27 @@ def _stat_val(v):
 
 
 def _norm_path(p: str) -> str:
-    """Canonical stats key for a data file: strip the file:// scheme,
-    URL-decode (input_file_name() percent-encodes specials), and make
-    absolute — so the executor-reported path and the caller-constructed
-    manifest path always agree. Without this, a relative table path (or a
-    space in it) silently disabled pruning: keys never matched,
-    _prune_by_stats kept every file, and nothing signalled it."""
+    """Canonical stats key for a MANIFEST-side data file path: strip the
+    file:// scheme and make absolute. No URL-decoding here — manifest paths
+    are raw local strings the writer constructed, so a literal percent
+    sequence in a table path ('/data/100%20backup') must survive verbatim;
+    decoding it would turn it into '/data/100 backup' and every
+    file-identity comparison against the (correctly round-tripped)
+    executor-reported key would silently miss. Executor-reported
+    input_file_name() values go through _norm_executor_path instead."""
+    import os as _os
+
+    return _os.path.abspath(p.removeprefix("file://"))
+
+
+def _norm_executor_path(p: str) -> str:
+    """Canonical stats key for an EXECUTOR-reported path:
+    input_file_name() percent-encodes specials (a space becomes %20, a
+    literal % becomes %25), so unquote exactly inverts that encoding and
+    recovers the on-disk spelling; then abspath matches the manifest-side
+    _norm_path form. Without this, a relative table path (or a space in
+    it) silently disabled pruning: keys never matched, _prune_by_stats
+    kept every file, and nothing signalled it."""
     import os as _os
     from urllib.parse import unquote as _unquote
 
@@ -334,7 +349,7 @@ def _collect_file_stats(spark: SparkSession, files: list[str],
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     out = {}
     for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
-        f = _norm_path(r["__f"])
+        f = _norm_executor_path(r["__f"])
         out[f] = {
             "rows": r["__rows"],
             "cols": {
@@ -714,13 +729,14 @@ def snapshot_upsert(
     store = spark.read.parquet(*man["files"])
     upd_keys = updates.select(*key_cols).distinct()
     tagged = store.withColumn("__file", F.input_file_name())
-    # _norm_path on BOTH sides of every file-identity comparison below:
-    # executor paths are absolute + percent-encoded, manifest paths are
-    # caller-constructed — with a relative table path the raw strings
-    # never match, `kept` would retain the rewritten files too, and every
-    # upserted key would silently read back duplicated
+    # Normalize BOTH sides of every file-identity comparison below —
+    # executor paths via _norm_executor_path (absolute + percent-encoded),
+    # manifest paths via _norm_path (caller-constructed raw strings, NO
+    # decode). With a relative table path the raw strings never match,
+    # `kept` would retain the rewritten files too, and every upserted key
+    # would silently read back duplicated.
     touched = sorted(
-        _norm_path(r["__file"])
+        _norm_executor_path(r["__file"])
         for r in tagged.join(upd_keys, key_cols, "left_semi")
         .select("__file").distinct().collect()
     )
@@ -793,15 +809,20 @@ def vacuum(path: str, keep_last: int = 1,
         raise ValueError("keep_last must be >= 1")
     keep = versions[-keep_last:]
     drop = [v for v in versions if v not in keep]
+    # _norm_path on BOTH sides of every membership test below: manifests
+    # store whatever spelling the writer used (relative or absolute), and
+    # vacuum's own `path` argument may use a different one — comparing raw
+    # strings would make every LIVE data dir look unreferenced and rmtree
+    # it once past the grace window (total data loss, not a missed prune).
     referenced: set[str] = set()
     for v in keep:
         referenced.update(
-            f.removeprefix("file://") for f in _read_manifest(path, v)["files"]
+            _norm_path(f) for f in _read_manifest(path, v)["files"]
         )
     deleted = 0
     for v in drop:
         for f in _read_manifest(path, v)["files"]:
-            local = f.removeprefix("file://")
+            local = _norm_path(f)
             if local not in referenced and _os.path.exists(local):
                 _os.remove(local)
                 deleted += 1
@@ -819,7 +840,7 @@ def vacuum(path: str, keep_last: int = 1,
             continue
         listing = _os.listdir(full)
         if any(
-            _os.path.join(full, f) in referenced
+            _norm_path(_os.path.join(full, f)) in referenced
             for f in listing if f.endswith(".parquet")
         ):
             continue

@@ -73,7 +73,7 @@ def triangle_counts(
 def kcore(
     edges: DataFrame, k: int = 3,
     src_col: str = "src", dst_col: str = "dst",
-    max_iter: int | None = None,
+    max_iter: int | None = 4096,
 ) -> DataFrame:
     """Maximum k-core of an undirected simple graph (the standard
     peeling algorithm: repeatedly delete nodes of degree < k until a
@@ -85,12 +85,16 @@ def kcore(
     round strictly shrinks the surviving-node set (the semi-joins only
     remove edges, so degrees are monotone non-increasing and the
     keep-set monotone shrinking), which both guarantees termination in
-    at most (#nodes + 1) rounds and makes any fixed iteration cap
+    at most (#nodes + 1) rounds and makes any small fixed iteration cap
     data-dependent guesswork — a deep peeling chain (a long path needs
-    one round per layer) is legitimate work, not divergence. Pass
-    `max_iter` only to BOUND COST: when set, exceeding it raises loudly
-    (a silent partial peel would return nodes whose reported degree
-    still counts deleted neighbors — not a k-core at all).
+    one round per layer) is legitimate work, not divergence. `max_iter`
+    BOUNDS COST, never correctness: exceeding it raises loudly (a silent
+    partial peel would return nodes whose reported degree still counts
+    deleted neighbors — not a k-core at all). The default is a LARGE
+    finite cap (4096 rounds) so an unattended job on an adversarial/
+    degenerate graph (a path graph peels one layer per round — O(n) full
+    Spark jobs) cannot run an effectively unbounded driver loop; pass
+    max_iter=None explicitly to opt into unbounded peeling.
 
     Shape at scale: each peel round is one degree aggregate + one
     semi-join of the edge set against surviving nodes (both keyed

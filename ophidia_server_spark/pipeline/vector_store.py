@@ -119,8 +119,35 @@ class VectorIndex:
             )
 
 
+def _recover_compact(path: str) -> None:
+    """Crash recovery for index_compact's directory swap. The swap is two
+    renames (live → .compact-old, then .compact-tmp → live); a crash in the
+    gap leaves NO store at `path`. Recovery prefers the tmp dir when it is
+    complete (its sidecar was the last thing copied in before the swap
+    began — a sidecar-bearing tmp is row-identical to the old store and
+    compacted), else falls back to .compact-old. Leftover dirs from crashes
+    before the swap (live store still in place) are retired lazily by the
+    next index_compact run."""
+    import shutil
+
+    if os.path.exists(os.path.join(path, _SIDECAR)):
+        return
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.exists(os.path.join(tmp, _SIDECAR)):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(os.path.join(old, _SIDECAR)):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(old, path)
+
+
 def load_index(path: str) -> VectorIndex:
-    """Re-open a store built earlier (possibly by another process/cluster)."""
+    """Re-open a store built earlier (possibly by another process/cluster).
+    Detects and repairs a half-finished index_compact swap first (leftover
+    .compact-old/.compact-tmp with no live sidecar)."""
+    _recover_compact(path)
     with open(os.path.join(path, _SIDECAR)) as fh:
         meta = json.load(fh)
     return VectorIndex(
@@ -281,8 +308,18 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
     Probes running strictly before or after the swap are consistent; the
     swap itself is two directory renames — at lakehouse scale this
     becomes a manifest flip (layout.snapshot_optimize is that shape), but
-    a filesystem store has no manifest to flip. Returns
-    {files_before, files_after, rows}."""
+    a filesystem store has no manifest to flip.
+
+    CONCURRENCY CONTRACT — compaction is WRITER-EXCLUSIVE: no index_append
+    may run concurrently with index_compact. An append that lands after
+    `stored` materializes into the tmp dir is silently dropped by the
+    swap, and one landing between the two renames hits a missing
+    directory. Serialize appends and compactions externally (the same
+    single-writer discipline every filesystem-only table store requires).
+    Crash safety IS handled: a crash between the two renames leaves a
+    complete sidecar-bearing .compact-tmp (or the retired .compact-old),
+    which load_index detects and swaps back in (_recover_compact).
+    Returns {files_before, files_after, rows}."""
     import shutil
 
     if isinstance(index, str):

@@ -10414,6 +10414,7 @@ def layout_stream_backfill(spark, sf_dir):
     late-data DROP semantics are pinned by the pytest e2e
     (test_stream_window_upsert_backfill_late_and_replay), where arrival
     order is controlled."""
+    import os
     import shutil
 
     from ophidia_server_spark import layout as lay2
@@ -10422,7 +10423,9 @@ def layout_stream_backfill(spark, sf_dir):
         "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").cast("double").alias("value"),
     )
-    tag = sf_dir.strip("/").replace("/", "_")
+    # pid in the scratch tag (like sim_index_append_recall): two concurrent
+    # runs at the same scale must not clobber each other's source/table/ckpt
+    tag = sf_dir.strip("/").replace("/", "_") + f"_{os.getpid()}"
     src = f"/tmp/ophidia_wstream_src_{tag}"
     table = f"/tmp/ophidia_wstream_tbl_{tag}"
     for p in (src, table, table + "_ckpt"):

@@ -14,21 +14,24 @@ that netCDF-4 files actually use is implemented directly:
          IEEE float, fixed string, vlen string, object reference, vlen
          sequence, compound (struct columns, v1-v3 member encodings);
          data layout v3 compact/contiguous/chunked (v1 chunk
-         B-tree) and v4 (libver-latest chunk indexes: single-chunk,
-         implicit, and fixed-array incl. filtered elements and paged data
-         blocks; extensible-array and v2-B-tree indexes raise named
-         errors); filters deflate (zlib), shuffle, fletcher32 with per-chunk
+         B-tree) and v4 (ALL five libver-latest chunk indexes:
+         single-chunk, implicit, fixed-array incl. filtered elements and
+         paged data blocks, extensible-array incl. super blocks and
+         secondary data-block pages, and v2 B-tree at any depth incl.
+         internal nodes); filters deflate (zlib), shuffle, fletcher32 with per-chunk
          filter masks; attributes v1/v2/v3 incl. global-heap vlen payloads
          and dense storage (ATTRINFO -> fractal heap + name-index v2
          B-tree); the netCDF-4 dimension mapping (CLASS=DIMENSION_SCALE
          datasets, DIMENSION_LIST object references, phony "this is a
          netCDF dimension" scales).
   write: superblock v0, v1 object headers, symbol-table root group,
-         contiguous or single-level-chunked (+deflate/shuffle) datasets, the
-         netCDF-4 dimension-scale convention (CLASS/NAME/DIMENSION_LIST/
-         _Netcdf4Dimid attributes, vlen references through a global heap) —
-         enough that the files we write are valid netCDF-4 for any reader
-         and roundtrip byte-exactly through read().
+         contiguous or single-level-chunked (+deflate/shuffle) datasets
+         (v1-B-tree, extensible-array, or v2-B-tree chunk indexes via
+         index=), the netCDF-4 dimension-scale convention
+         (CLASS/NAME/DIMENSION_LIST/_Netcdf4Dimid attributes, vlen
+         references through a global heap) — enough that the files we
+         write are valid netCDF-4 for any reader and roundtrip
+         byte-exactly through read().
 
 The API mirrors sources/netcdf3.py: read(path) -> netcdf3.Dataset and
 write(path, ds), so operators/io_ops.py dispatches on the file magic and the

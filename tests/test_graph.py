@@ -191,3 +191,19 @@ def test_bfs_distances_empty_sources_and_bidirectional_edges(spark):
     # both-direction storage canonicalizes: distances unchanged
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, [1]).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_kcore_default_cap_finite_none_unbounded(spark):
+    # round-9 review finding: the unbounded default let a degenerate graph
+    # run O(n) Spark jobs unattended. Default is a LARGE finite cap;
+    # explicit None opts into unbounded peeling.
+    import inspect
+
+    from ophidia_server_spark.pipeline.graph import kcore
+
+    assert inspect.signature(kcore).parameters["max_iter"].default == 4096
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {r["node"] for r in kcore(df, k=2, max_iter=None).collect()}
+    assert got == {0, 1, 2}

@@ -786,3 +786,50 @@ def test_vacuum_removes_analyze_sidecars(spark, tables, tmp_path):
     # dropped version's stale stats go with its manifest; kept one stays
     assert not os.path.exists(s1)
     assert os.path.exists(s2)
+
+
+def test_snapshot_upsert_literal_percent_in_path(spark, tmp_path):
+    # round-9 review finding: _norm_path URL-decoded BOTH sides, but only
+    # executor-reported input_file_name() values are percent-encoded — a
+    # table path with a LITERAL percent sequence ('100%20backup')
+    # double-decoded on the manifest side, the touched-file keys never
+    # matched, and every upserted key silently read back duplicated.
+    from ophidia_server_spark.layout import (
+        snapshot_read, snapshot_upsert, snapshot_write,
+    )
+
+    path = str(tmp_path / "100%20backup" / "store")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    snapshot_write(base.repartition(2, "k"), path, stats_cols=["k"])
+    upd = spark.createDataFrame([(2, 99.0)], "k long, v double")
+    rep = snapshot_upsert(spark, path, upd, ["k"])
+    assert rep["files_rewritten"] >= 1
+    got = sorted(tuple(r) for r in snapshot_read(spark, path).collect())
+    assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]
+
+
+def test_vacuum_spelling_mismatch_never_deletes_live_data(spark, tmp_path):
+    # round-9 review finding: vacuum compared manifest-stored spellings
+    # against paths built from its OWN `path` argument without
+    # normalization — written relative, vacuumed absolute, every live data
+    # dir looked unreferenced and was rmtree'd past the grace window
+    # (total data loss). Both sides now go through _norm_path.
+    import os
+
+    from ophidia_server_spark.layout import (
+        snapshot_append, snapshot_read, snapshot_write, vacuum,
+    )
+
+    rel = os.path.relpath(str(tmp_path / "vspell"), os.getcwd())
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    snapshot_write(df, rel)
+    snapshot_append(df.limit(1), rel)
+    # vacuum with the ABSOLUTE spelling, zero grace: a normalization bug
+    # would sweep every live dir as an orphan right here
+    rep = vacuum(str(tmp_path / "vspell"), keep_last=1,
+                 orphan_grace_seconds=0.0)
+    assert rep["orphan_dirs"] == 0
+    got = sorted(tuple(r) for r in snapshot_read(spark, rel).collect())
+    assert got == [(1, 10.0), (1, 10.0), (2, 20.0)]

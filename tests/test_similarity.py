@@ -620,3 +620,44 @@ def test_whiten_embeddings_flat_dim_centers_only(spark):
            for r in whiten_embeddings(df).collect()}
     assert got[(1, 0)] == 0.0 and got[(2, 0)] == 0.0  # centered, not /0
     assert got[(1, 1)] == -1.0 and got[(2, 1)] == 1.0
+
+
+def test_index_compact_crash_recovery(spark, tables, tmp_path):
+    # round-9 review finding: a crash between index_compact's two swap
+    # renames left NO store at index.path. load_index now detects the
+    # half-finished swap and prefers the complete (sidecar-bearing) tmp,
+    # falling back to .compact-old.
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "crash")
+    idx = vs.ivf_build(emb, path, n_cells=8)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0]]
+    before = [tuple(r)
+              for r in vs.ivf_probe(spark, idx, qv, k=5, nprobe=4).collect()]
+
+    # crash AFTER rename(path, old), BEFORE rename(tmp, path): complete
+    # tmp (sidecar copied in last before the swap) + retired old, no live
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    shutil.copytree(path, tmp)
+    os.rename(path, old)
+    reopened = vs.load_index(path)
+    after = [tuple(r)
+             for r in vs.ivf_probe(spark, reopened, qv, k=5, nprobe=4).collect()]
+    assert after == before
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+
+    # crash BEFORE the tmp's sidecar copy (incomplete tmp): fall back to old
+    shutil.copytree(path, tmp)
+    os.remove(os.path.join(tmp, "_vector_index.json"))
+    os.rename(path, old)
+    reopened = vs.load_index(path)
+    after = [tuple(r)
+             for r in vs.ivf_probe(spark, reopened, qv, k=5, nprobe=4).collect()]
+    assert after == before
