@@ -35,6 +35,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ophidia_server_spark.ckpt import checkpoint as _ckpt
+
 
 class ALSResult(NamedTuple):
     """user_factors / item_factors: (id, factors array<double>).
@@ -145,9 +147,9 @@ def _half_step(
 ) -> DataFrame:
     """Solve one side given the other: gather-join on the fixed side,
     k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
-    return _half_step_plan(
+    return _ckpt(_half_step_plan(
         ratings, fixed, solve_col, fixed_col, k, reg
-    ).localCheckpoint()
+    ))
 
 
 def _objective(
@@ -207,12 +209,12 @@ def als(
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
     ).persist()
-    vf = _init_factors(
+    vf = _ckpt(_init_factors(
         r.select("item").distinct(), "item", k, salt + ":item"
-    ).localCheckpoint()
-    uf = _init_factors(
+    ))
+    uf = _ckpt(_init_factors(
         r.select("user").distinct(), "user", k, salt + ":user"
-    ).localCheckpoint()
+    ))
     objectives: list[float] = []
     prev_vf = vf
     for _ in range(int(iters)):

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ophidia_server_spark.ckpt import checkpoint as _ckpt
 from ophidia_server_spark.pipeline.text import tokens
 
 
@@ -385,7 +386,7 @@ def _unique_shingle_sets(
     # localCheckpoint blocks are released by the ContextCleaner when the
     # result plan is dropped (a persist() here would pin a corpus-sized
     # cache per call across a long session)
-    keyed = keyed.localCheckpoint()
+    keyed = _ckpt(keyed)
     members = keyed.select("__rk", F.col(id_col))
     # any member's array works as the rep: same SET by construction, and
     # every consumer is order-insensitive (sizes / array_intersect)
@@ -664,7 +665,7 @@ def _cc_distributed(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         # truncate lineage each round (iterative plans otherwise grow
         # exponentially in Catalyst), then fixpoint-check via an
         # order-independent signature
-        e = e.localCheckpoint(eager=True)
+        e = _ckpt(e, eager=True)
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = e
@@ -763,8 +764,8 @@ def cluster_pairs(
             .select(
                 F.col("__doc").alias("doc_id"), F.col("__rep").alias("cluster_rep")
             )
-            .localCheckpoint(eager=True)
         )
+        back = _ckpt(back, eager=True)
         id_map.unpersist()
         ids.unpersist()
         return back
@@ -794,8 +795,8 @@ def cluster_pairs(
             F.col("u").alias("doc_id"),
             F.coalesce("rep", "u").alias("cluster_rep"),
         )
-        .localCheckpoint(eager=True)
     )
+    out = _ckpt(out, eager=True)
     star.unpersist()
     edges.unpersist()
     return out

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ophidia_server_spark.ckpt import checkpoint as _ckpt
 from ophidia_server_spark.functions.incremental import aggregate_state
 
 
@@ -95,15 +96,14 @@ def string_index(
     paths assign IDENTICAL ids."""
     from pyspark.sql import Window
 
-    # localCheckpoint (eager), not persist: the count/offset collects and
+    # checkpoint (eager), not persist: the count/offset collects and
     # every later consumer read the SAME materialized snapshot (no
     # recompute-drift risk for the offset math), and the blocks free with
     # the DataFrame instead of pinning executor storage forever
-    counts = (
+    counts = _ckpt(
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
     )
     n_vocab = counts.count()
     if n_vocab <= max_window_vocab:
@@ -115,10 +115,9 @@ def string_index(
         )
     else:
         spark = df.sparkSession
-        ranged = (
+        ranged = _ckpt(
             counts.repartitionByRange(F.desc("n"), F.asc("value"))
             .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint()
         )
         per_part = {
             r["__pid"]: r["cnt"]

@@ -5,7 +5,9 @@ large-star/small-star dedup clustering); this module holds the rank-style
 iterative algorithms. Everything is expressed as joins + grouped
 aggregates on the edge table — the PREGEL-on-DataFrames shape: an
 iteration is one shuffle on src (send rank/degree along edges) and one on
-dst (sum incoming), with localCheckpoint lineage truncation so ten
+dst (sum incoming), with per-round lineage truncation (ckpt.checkpoint:
+localCheckpoint by default, reliable checkpoint when the context has a
+checkpoint dir — the preemptible-cluster story) so ten
 iterations do not build a thousand-node plan.
 """
 
@@ -13,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ophidia_server_spark.ckpt import checkpoint as _ckpt
 
 
 def triangle_counts(
@@ -98,7 +102,7 @@ def kcore(
 
     Shape at scale: each peel round is one degree aggregate + one
     semi-join of the edge set against surviving nodes (both keyed
-    shuffles), with localCheckpoint lineage truncation per round so the
+    shuffles), with ckpt.checkpoint lineage truncation per round so the
     loop does not build an unbounded plan; convergence needs exactly
     O(peeling depth) rounds. Nothing node- or edge-sized is ever
     collected — the loop watches one scalar count per round."""
@@ -114,8 +118,8 @@ def kcore(
             F.greatest("__x", "__y").alias("__b"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    e = _ckpt(e)
     und = e.select("__a", "__b").unionByName(
         e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     )
@@ -133,19 +137,18 @@ def kcore(
         deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
         # lazy checkpoint: the count() below materializes it — one job
         # per round instead of two
-        keep = deg.filter(F.col("__deg") >= k).select("__a").localCheckpoint(
-            eager=False
+        keep = _ckpt(
+            deg.filter(F.col("__deg") >= k).select("__a"), eager=False
         )
         n_keep = keep.count()
         if n_keep == n_prev:
             break
         n_prev = n_keep
-        cur = (
+        cur = _ckpt(
             cur.join(keep, "__a", "left_semi")
             .join(
                 keep.select(F.col("__a").alias("__b")), "__b", "left_semi"
             )
-            .localCheckpoint()
         )
     return (
         cur.groupBy("__a")
@@ -279,7 +282,7 @@ def pagerank(
     table on src (shuffle on src), one groupBy dst (shuffle on dst), and
     the dangling mass as a ONE-ROW broadcast scalar kept inside the plan
     (never a separate driver action). The new rank table is
-    localCheckpoint'd EVERY iteration (an O(nodes) materialization — the
+    checkpointed EVERY iteration (an O(nodes) materialization — the
     single job per iteration), and the residual is one cheap scan of the
     checkpointed table. Edges are never materialized to the driver."""
     e = edges.select(
@@ -299,9 +302,9 @@ def pagerank(
     d = float(damping)
     for _ in range(int(iters)):
         prev = ranks
-        ranks = _pagerank_iteration(
+        ranks = _ckpt(_pagerank_iteration(
             nodes, e, deg, ranks, n_nodes, d
-        ).localCheckpoint()
+        ))
         res = (
             ranks.join(prev.withColumnRenamed("rank", "__pr"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"))
@@ -328,7 +331,7 @@ def bfs_distances(
 
     Scale shape per round: ONE semi-join of the edge set against the
     current frontier + one anti-join against the visited set (both keyed
-    shuffles), localCheckpoint per round so the loop's plan stays flat.
+    shuffles), ckpt.checkpoint per round so the loop's plan stays flat.
     Rounds = graph diameter (bounded by max_depth). The visited set is
     node-sized, never collected; the loop watches one scalar count.
     This is the canonical iterative-semi-join BFS — the same loop shape
@@ -353,15 +356,15 @@ def bfs_distances(
         )
         .distinct()
     )
-    und = e.unionByName(
+    und = _ckpt(e.unionByName(
         e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    ).localCheckpoint()
+    ))
     spark = edges.sparkSession
-    frontier = spark.createDataFrame(
+    frontier = _ckpt(spark.createDataFrame(
         [(s,) for s in sources], ["node"]
-    ).distinct().localCheckpoint()
+    ).distinct())
     visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))
-    visited = visited.localCheckpoint()
+    visited = _ckpt(visited)
     depth = 0
     while True:
         if max_depth is not None and depth >= int(max_depth):
@@ -373,14 +376,14 @@ def bfs_distances(
             .select(F.col("__b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
+        nxt = _ckpt(nxt, eager=False)
         n_new = nxt.count()
         if n_new == 0:
             break
         depth += 1
-        visited = visited.unionByName(
+        visited = _ckpt(visited.unionByName(
             nxt.select("node", F.lit(depth).cast("long").alias("dist"))
-        ).localCheckpoint()
+        ))
         frontier = nxt
     return visited
