@@ -991,6 +991,16 @@ def dedup_incremental(
     )
 
 
+class BlockCardinalityError(RuntimeError):
+    """Raised when blocked_link's candidate set (sum over co-occurring
+    blocks of |left block| x |right block|) exceeds the caller's
+    `max_block_product` budget — the named signal that the blocking key is
+    too coarse at this scale (the message lists the hottest keys and their
+    sizes so the caller can re-key, union finer blocking passes, or opt
+    into `cap_blocks=`). The same executable-guard contract as
+    features.EcdfCardinalityError."""
+
+
 def blocked_link(
     left: DataFrame,
     right: DataFrame,
@@ -998,6 +1008,8 @@ def blocked_link(
     id_cols: tuple[str, str] = ("left_id", "right_id"),
     text_cols: tuple[str, str] = ("left_text", "right_text"),
     max_edit: int = 2,
+    max_block_product: int | None = 100_000_000,
+    cap_blocks: int | None = None,
 ) -> DataFrame:
     """Record linkage / entity resolution between two tables with BLOCKED
     candidate generation (the standard blocking-key design, e.g. Fellegi-
@@ -1017,7 +1029,21 @@ def blocked_link(
     Shape at scale: one equi-shuffle join on the block key, per-candidate
     codegen'd levenshtein, one per-left-id bounded window over candidates
     that survived the distance cut. A hot block degrades to that block's
-    product — cap or salt pathological keys upstream."""
+    product — and that hazard is GUARDED, not prose: one cheap
+    O(#blocks) size pre-pass (two grouped counts + one join) totals the
+    candidate product before the quadratic join runs. Above
+    `max_block_product` (default 100M candidate pairs), a named
+    BlockCardinalityError reports the hottest keys and their sizes —
+    re-key, union finer blocking passes, or opt into `cap_blocks=k`,
+    which deterministically truncates every block to its k
+    smallest-id rows PER SIDE (block product <= k^2) and warns with the
+    exact dropped-candidate count (recall explicitly traded for a bound,
+    the same contract as features' bucketed-ECDF alternative). The
+    budget check runs on the CAPPED sizes, so cap_blocks also satisfies
+    the budget it restores. Pass max_block_product=None, cap_blocks=None
+    to skip the pre-pass entirely."""
+    import warnings
+
     from pyspark.sql import Window
 
     lid, rid = id_cols
@@ -1028,6 +1054,72 @@ def blocked_link(
     b = right.select(
         F.col(rid), F.col(rtx).alias("__rt"), F.col(block_col).alias("__bk")
     )
+    if max_block_product is not None or cap_blocks is not None:
+        sizes = (
+            a.groupBy("__bk").agg(F.count(F.lit(1)).alias("__la"))
+            .join(
+                b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__lb")),
+                "__bk",
+            )
+        )
+        dropped = 0
+        if cap_blocks is not None:
+            c = int(cap_blocks)
+            if c < 1:
+                raise ValueError(f"cap_blocks must be >= 1, got {cap_blocks}")
+            sizes = sizes.select(
+                "__bk", "__la", "__lb",
+                F.least("__la", F.lit(c)).alias("__ea"),
+                F.least("__lb", F.lit(c)).alias("__eb"),
+            )
+            tot = sizes.agg(
+                F.sum(F.col("__la") * F.col("__lb")).alias("raw"),
+                F.sum(F.col("__ea") * F.col("__eb")).alias("capped"),
+            ).first()
+            effective = int(tot["capped"] or 0)
+            dropped = int(tot["raw"] or 0) - effective
+        else:
+            tot = sizes.agg(
+                F.sum(F.col("__la") * F.col("__lb")).alias("raw")
+            ).first()
+            effective = int(tot["raw"] or 0)
+        if max_block_product is not None and effective > int(max_block_product):
+            hot = (
+                sizes.withColumn("__prod", F.col("__la") * F.col("__lb"))
+                .orderBy(F.desc("__prod"), F.asc("__bk"))
+                .limit(10)
+                .collect()
+            )
+            listing = "; ".join(
+                f"{r['__bk']!r}: {r['__la']:,} x {r['__lb']:,}" for r in hot
+            )
+            raise BlockCardinalityError(
+                f"blocked_link would verify ~{effective:,} candidate pairs "
+                f"(> max_block_product={int(max_block_product):,}) — the "
+                f"blocking key is too coarse at this scale. Hottest blocks: "
+                f"{listing}. Re-key, union finer blocking passes, pass "
+                "cap_blocks= to bound every block (recall trade, dropped "
+                "candidates are counted), or max_block_product=None to "
+                "accept the cost"
+            )
+        if dropped > 0:
+            warnings.warn(
+                f"blocked_link cap_blocks={int(cap_blocks)} truncated hot "
+                f"blocks: {dropped:,} candidate pairs dropped (each block "
+                "keeps its cap_blocks smallest-id rows per side) — missed "
+                "matches in truncated blocks are the explicit recall trade",
+                stacklevel=2,
+            )
+            wa = Window.partitionBy("__bk").orderBy(F.asc(lid))
+            wb = Window.partitionBy("__bk").orderBy(F.asc(rid))
+            a = (
+                a.withColumn("__rn", F.row_number().over(wa))
+                .filter(F.col("__rn") <= int(cap_blocks)).drop("__rn")
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(wb))
+                .filter(F.col("__rn") <= int(cap_blocks)).drop("__rn")
+            )
     cand = (
         a.join(b, "__bk")
         .withColumn("edit_distance", F.levenshtein("__lt", "__rt").cast("long"))

@@ -616,3 +616,80 @@ def test_template_prefixes_counts_and_short_docs(spark):
     assert got[5] == (1, 0)
     # short docs: whole token list as prefix; two copies < min_docs
     assert got[6] == (2, 0) and got[7] == (2, 0)
+
+
+def test_blocked_link_hot_block_guard_raises(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.dedup import (
+        BlockCardinalityError, blocked_link,
+    )
+
+    # one hot block: 40 x 40 = 1600 candidates, budget 1000 -> named error
+    left = spark.createDataFrame(
+        [(i, f"name {i}", "hot") for i in range(40)],
+        "left_id long, left_text string, block string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"name {i}", "hot") for i in range(40)],
+        "right_id long, right_text string, block string",
+    )
+    with _pytest.raises(BlockCardinalityError, match="'hot': 40 x 40"):
+        blocked_link(left, right, max_block_product=1000)
+
+
+def test_blocked_link_cap_blocks_restores_budget_and_warns(spark):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline.dedup import blocked_link
+
+    # hot block (40x40) + a small clean block; cap_blocks=5 bounds the hot
+    # block to 5x5 — capped total 25 + 1 <= budget, the warning carries the
+    # exact dropped count, and the clean block's match is untouched
+    left = spark.createDataFrame(
+        [(i, f"aaaa{i:02d}", "hot") for i in range(40)]
+        + [(100, "mary jones", "m")],
+        "left_id long, left_text string, block string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"aaaa{i:02d}", "hot") for i in range(40)]
+        + [(200, "mary jonez", "m")],
+        "right_id long, right_text string, block string",
+    )
+    with _pytest.warns(UserWarning, match="1,575 candidate pairs dropped"):
+        got = {
+            r["left_id"]: (r["right_id"], r["edit_distance"])
+            for r in blocked_link(
+                left, right, max_block_product=1000, cap_blocks=5
+            ).collect()
+        }
+    # clean block unaffected; hot block keeps its 5 smallest-id rows per
+    # side (ids 0-4 on both), whose exact matches survive
+    assert got[100] == (200, 1)
+    assert {k for k in got if k < 100} == {0, 1, 2, 3, 4}
+    assert all(got[k] == (k, 0) for k in range(5))
+
+
+def test_blocked_link_guard_under_budget_is_invisible(spark):
+    from ophidia_server_spark.pipeline.dedup import blocked_link
+
+    # default budget never trips on sane blocks, and results are identical
+    # with the guard disabled entirely
+    left = spark.createDataFrame(
+        [(1, "jonathan smith", "j"), (2, "mary jones", "m")],
+        "left_id long, left_text string, block string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan smyth", "j"), (12, "mary jonez", "m")],
+        "right_id long, right_text string, block string",
+    )
+    guarded = sorted(
+        tuple(r) for r in blocked_link(left, right).collect()
+    )
+    unguarded = sorted(
+        tuple(r)
+        for r in blocked_link(
+            left, right, max_block_product=None, cap_blocks=None
+        ).collect()
+    )
+    assert guarded == unguarded == [(1, 10, 1), (2, 12, 1)]
