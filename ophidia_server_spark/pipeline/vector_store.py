@@ -210,23 +210,91 @@ def ivf_probe(
     return scored.orderBy(F.desc("cosine_sim"), F.col(index.id_col)).limit(k)
 
 
+def _lsh_bucketize(
+    df: DataFrame, dim: int, bits: int, tables: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """All `tables` hash tables' bucket ids in ONE Arrow matmul: the
+    (dim, tables*bits) plane matrix's global bit t*bits+j is table t's
+    local bit j, so table 0 of a multi-table store signs IDENTICALLY to a
+    single-table store (backward compatible by construction), and the
+    whole family costs one signature pass however many tables there are.
+    Bucket id = (t << bits) | sig_t — a single partition column keeps
+    partition pruning, the clustered write policy, and append/compact
+    working unchanged. Requires tables*bits <= 63 (one packed long)."""
+    if tables * bits > 63:
+        raise ValueError(
+            f"tables*bits must fit a packed long (<= 63), got "
+            f"{tables}*{bits}={tables * bits}"
+        )
+    full = sim.signature_udf(dim, bits * tables)(
+        F.col(vec_col).cast("array<double>")
+    )
+    if tables == 1:
+        return df.withColumn("__sig", full).select(id_col, vec_col, "__sig")
+    mask = (1 << bits) - 1
+    buckets = F.array(*[
+        F.shiftright(F.col("__full"), t * bits).bitwiseAND(F.lit(mask))
+        + F.lit(t << bits)
+        for t in range(tables)
+    ])
+    return (
+        df.withColumn("__full", full)
+        .withColumn("__sig", F.explode(buckets))
+        .select(id_col, vec_col, "__sig")
+    )
+
+
+def _lsh_probe_buckets(
+    query_vec: list[float], bits: int, tables: int, hamming: int,
+) -> list[int]:
+    """Driver-side probe-bucket list: per table, the query's bucket plus
+    every bucket within the `hamming` multiprobe radius. len = tables *
+    sum_{h<=hamming} C(bits, h) — the RECALL-COST DIAL in one formula:
+    more tables / wider hamming = more buckets read = higher recall."""
+    from itertools import combinations
+
+    full = sim.signature_of(query_vec, bits * tables)
+    mask = (1 << bits) - 1
+    out: list[int] = []
+    for t in range(tables):
+        qs = (full >> (t * bits)) & mask
+        flips = [0]
+        for h in range(1, int(hamming) + 1):
+            flips += [
+                sum(1 << j for j in js) for js in combinations(range(bits), h)
+            ]
+        out += [(t << bits) | (qs ^ fl) for fl in flips]
+    return out
+
+
 def lsh_build(
     df: DataFrame, path: str, bits: int = 8, dim: int | None = None,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", tables: int = 1,
 ) -> VectorIndex:
     """Build the LSH store: hyperplane-sign every vector once, write parquet
-    partitioned by `__sig` (2^bits directories)."""
+    partitioned by `__sig` (tables * 2^bits directories; each vector is
+    stored once per table — the standard multi-table LSH space trade).
+
+    `tables`/`bits` plus lsh_probe's `hamming` are the recall-cost dial:
+    per-neighbor hit probability per table is ~agreement^bits (agreement =
+    1 - angle/pi), unioned across tables as 1-(1-p)^tables; buckets read
+    per probe = tables * sum_{h<=hamming} C(bits, h) of tables * 2^bits.
+    On a clustered real corpus (near-dup mining), few tables at high bits
+    read a tiny fraction; on a structureless corpus whose exact top-10 sit
+    near cosine ~0.3 (the synthetic test fixture), clearing recall >= 0.5
+    genuinely requires a wide dial (e.g. bits=5, tables=12, hamming=2) —
+    that cost is the corpus's property, not the store's."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    signed = df.withColumn(
-        "__sig", sim.signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
-    ).select(id_col, vec_col, "__sig")
+    signed = _lsh_bucketize(df, dim, bits, int(tables), id_col, vec_col)
     # same small-files rationale as ivf_build: writer count scales with
     # corpus bytes instead of tasks x 2^bits fragments
-    _clustered_partitioned_write(signed, path, "__sig", id_col, 1 << bits)
+    _clustered_partitioned_write(signed, path, "__sig", id_col,
+                                 int(tables) << bits)
     idx = VectorIndex(
         kind="lsh", path=path, id_col=id_col, vec_col=vec_col,
-        params={"bits": bits, "dim": dim},
+        params={"bits": bits, "dim": dim, "tables": int(tables)},
     )
     idx.save_sidecar()
     return idx
@@ -234,24 +302,31 @@ def lsh_build(
 
 def lsh_probe(
     spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
-    k: int = 10,
+    k: int = 10, hamming: int = 1,
 ) -> DataFrame:
-    """Probe the materialized LSH store: the query's signature plus its
-    hamming-1 neighbors (multi-probe) form the partition filter; only those
-    (bits+1) of 2^bits directories are read, then exact cosine + TakeOrdered.
-    The deterministic plane matrix means the driver-side `signature_of` can
-    never drift from the build-time corpus signatures."""
+    """Probe the materialized LSH store: per table, the query's bucket plus
+    its hamming<=`hamming` multiprobe neighbors form the partition filter;
+    only those directories are read, then exact cosine + TakeOrdered. With
+    tables > 1 a vector found in several tables is deduplicated by id
+    (its cosine is identical in every copy). The deterministic plane
+    matrix means the driver-side `signature_of` can never drift from the
+    build-time corpus signatures."""
     if isinstance(index, str):
         index = load_index(index)
     bits = index.params["bits"]
-    qsig = sim.signature_of(query_vec, bits)
-    probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)]
+    tables = int(index.params.get("tables", 1))
+    probe_sigs = _lsh_probe_buckets(query_vec, bits, tables, hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     stored = spark.read.parquet(index.path)
     scored = stored.filter(F.col("__sig").isin(probe_sigs)).select(
         F.col(index.id_col),
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
     )
+    if tables > 1:
+        # same vector, identical cosine in every table copy -> keep one
+        scored = scored.groupBy(index.id_col).agg(
+            F.max("cosine_sim").alias("cosine_sim")
+        )
     return scored.orderBy(F.desc("cosine_sim"), F.col(index.id_col)).limit(k)
 
 
@@ -259,7 +334,9 @@ def _part_meta(index: VectorIndex) -> tuple[str, int]:
     """(partition column, bucket cardinality) for either store kind."""
     if index.kind == "ivf":
         return "__cell", int(index.params["n_cells"])
-    return "__sig", 1 << int(index.params["bits"])
+    return "__sig", (
+        int(index.params.get("tables", 1)) << int(index.params["bits"])
+    )
 
 
 def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
@@ -286,12 +363,10 @@ def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
             df, index.params["leaders"], index.vec_col
         ).select(index.id_col, index.vec_col, "__cell")
     else:
-        assigned = df.withColumn(
-            "__sig",
-            sim.signature_udf(index.params["dim"], index.params["bits"])(
-                F.col(index.vec_col).cast("array<double>")
-            ),
-        ).select(index.id_col, index.vec_col, "__sig")
+        assigned = _lsh_bucketize(
+            df, index.params["dim"], index.params["bits"],
+            int(index.params.get("tables", 1)), index.id_col, index.vec_col,
+        )
     part_col, n_buckets = _part_meta(index)
     _clustered_partitioned_write(
         assigned, index.path, part_col, index.id_col, n_buckets, mode="append"

@@ -1756,6 +1756,12 @@ def _vstore(spark, sf_dir, kind: str):
         emb = _t(spark, sf_dir)["embeddings"]
         if kind == "ivf":
             _VSTORE_CACHE[key] = vs.ivf_build(emb, path, n_cells=16)
+        elif kind == "lsh_mt":
+            # the multi-table dial (see lsh_build docstring): this corpus
+            # is structureless (exact top-10 sit near cosine ~0.3), so the
+            # >= 0.5 recall bar costs a wide dial — 12 tables of 5 bits,
+            # hamming-2 multiprobe at query time
+            _VSTORE_CACHE[key] = vs.lsh_build(emb, path, bits=5, tables=12)
         else:
             _VSTORE_CACHE[key] = vs.lsh_build(emb, path, bits=8)
     return _VSTORE_CACHE[key]
@@ -5987,7 +5993,9 @@ def _probe_recall_rows(spark, sf_dir, kind: str, floor: float, nprobe: int = 4):
             float(v) for v in
             emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
         ]
-        if kind == "lsh":
+        if kind == "lsh_mt":
+            approx = vs.lsh_probe(spark, idx, qv, k=10, hamming=2)
+        elif kind == "lsh":
             approx = vs.lsh_probe(spark, idx, qv, k=10)
         else:
             approx = vs.ivf_probe(spark, idx, qv, k=10, nprobe=nprobe)
@@ -6005,11 +6013,15 @@ FROM embeddings WHERE vec_id < 4""",
 )
 def sim_lsh_recall(spark, sf_dir):
     """Semantic grade for the approximate LSH probe (the rows-only
-    sim_lsh_topk's graded twin): recall@10 vs the exact top-k must clear the
-    floor for every probe. Multi-probe LSH reads bits+1 of 2^bits buckets
-    (~1/3 of a structureless random corpus), so the floor is the
-    useful-approximation bar, not a near-exact one."""
-    return _probe_recall_rows(spark, sf_dir, "lsh", floor=0.1)
+    sim_lsh_topk's graded twin): recall@10 vs the exact top-k must clear
+    0.5 for EVERY probe — the round-10 bar replacing the old nearly-
+    vacuous 0.1 floor. The store is the multi-table dial (12 tables x
+    5 bits, hamming-2 multiprobe): on this structureless corpus (exact
+    top-10 near cosine ~0.3) that width is what >= 0.5 recall genuinely
+    costs — measured min recall 0.8-1.0 across the three test scales; on
+    a clustered real corpus the same dial reads a small bucket fraction
+    (lsh_build's docstring carries the formula)."""
+    return _probe_recall_rows(spark, sf_dir, "lsh_mt", floor=0.5)
 
 
 @q(
@@ -12251,12 +12263,16 @@ def events_quantile_normalize(spark, sf_dir):
 FROM embeddings WHERE vec_id < 4""",
 )
 def sim_index_append_lsh_recall(spark, sf_dir):
-    """LSH twin of sim_index_append_recall: the hyperplane store is built
-    on the first half of the corpus, the second half appends through the
-    sidecar's planes (signatures can never drift from the probes),
-    compaction swaps directories, and the multi-probe recall@10 bar must
-    clear on the merged corpus for every probe; rows_ok pins compaction
-    losslessness."""
+    """LSH twin of sim_index_append_recall: the MULTI-TABLE hyperplane
+    store (12 tables x 5 bits — the round-10 recall dial) is built on the
+    first half of the corpus, the second half appends through the
+    sidecar's planes AND table count (bucket ids can never drift from the
+    probes), compaction swaps directories, and the hamming-2 multiprobe
+    recall@10 must clear 0.5 on the merged corpus for every probe —
+    retiring the old nearly-vacuous 0.1 floor. rows: the store holds
+    tables x n rows (each vector once per table — the multi-table space
+    trade); rows_ok pins compaction losslessness as n x tables stored
+    rows AND n distinct ids."""
     import os as _os
     import shutil
     import tempfile
@@ -12264,16 +12280,19 @@ def sim_index_append_lsh_recall(spark, sf_dir):
     emb = _t(spark, sf_dir)["embeddings"]
     n = emb.count()
     half = n // 2
+    tables = 12
     path = _os.path.join(
         tempfile.gettempdir(),
         f"ophspark_vgrowl_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
-    idx = vs.lsh_build(emb.filter(F.col("vec_id") < half), path, bits=8)
+    idx = vs.lsh_build(
+        emb.filter(F.col("vec_id") < half), path, bits=5, tables=tables
+    )
     vs.index_append(emb.filter(F.col("vec_id") >= half), idx)
     rep = vs.index_compact(spark, idx)
     rows_ok = int(
-        rep["rows"] == n
+        rep["rows"] == n * tables
         and spark.read.parquet(path).select("vec_id").distinct().count() == n
     )
     out = []
@@ -12283,11 +12302,11 @@ def sim_index_append_lsh_recall(spark, sf_dir):
             emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
         ]
         got = {r["vec_id"]
-               for r in vs.lsh_probe(spark, idx, qv, k=10).collect()}
+               for r in vs.lsh_probe(spark, idx, qv, k=10, hamming=2).collect()}
         exact = {r["vec_id"]
                  for r in sim.topk_cosine(emb, qv, k=10).collect()}
         recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= 0.1), rows_ok))
+        out.append((pid, int(recall >= 0.5), rows_ok))
     return spark.createDataFrame(
         out, "probe_id long, recall_ok long, rows_ok long"
     )

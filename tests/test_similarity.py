@@ -661,3 +661,74 @@ def test_index_compact_crash_recovery(spark, tables, tmp_path):
     after = [tuple(r)
              for r in vs.ivf_probe(spark, reopened, qv, k=5, nprobe=4).collect()]
     assert after == before
+
+
+def test_lsh_multitable_store_lifecycle(spark, tables, tmp_path):
+    # round-10: multi-table LSH — build/append/compact with tables=4, each
+    # vector stored once per table, probes deduplicate by id, and recall
+    # can only improve on the single-table store (candidate superset by
+    # construction when probing the same bits... here: vs exact top-10)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    half = n // 2
+    path = str(tmp_path / "mt")
+    idx = vs.lsh_build(
+        emb.filter(F.col("vec_id") < half), path, bits=5, tables=4
+    )
+    vs.index_append(emb.filter(F.col("vec_id") >= half), idx)
+    stored = spark.read.parquet(path)
+    assert stored.count() == n * 4               # one copy per table
+    assert stored.select("vec_id").distinct().count() == n
+    # bucket ids live in table-sized bands: table t owns [t<<5, (t+1)<<5)
+    bands = stored.select(
+        F.shiftright("__sig", 5).alias("t")
+    ).distinct().collect()
+    assert {r["t"] for r in bands} == {0, 1, 2, 3}
+    rep = vs.index_compact(spark, idx)
+    assert rep["rows"] == n * 4
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0]]
+    got = vs.lsh_probe(spark, vs.load_index(path), qv, k=10, hamming=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 10       # deduped by id, full k
+    assert got[0]["vec_id"] == 0 and got[0]["cosine_sim"] == 1.0
+
+
+def test_lsh_multitable_table0_matches_single_table(spark, tables, tmp_path):
+    # the compatibility pin: a multi-table store's table-0 buckets are the
+    # single-table store's signatures verbatim (global plane bits 0..bits-1
+    # are table 0), so the upgrade can never re-hash existing geometry
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 50)
+    single = vs.lsh_build(emb, str(tmp_path / "s"), bits=5, tables=1)
+    multi = vs.lsh_build(emb, str(tmp_path / "m"), bits=5, tables=3)
+    s_sigs = {
+        r["vec_id"]: r["__sig"]
+        for r in spark.read.parquet(single.path).collect()
+    }
+    m_t0 = {
+        r["vec_id"]: r["__sig"]
+        for r in spark.read.parquet(multi.path)
+        .filter(F.col("__sig") < (1 << 5)).collect()
+    }
+    assert m_t0 == s_sigs
+
+
+def test_lsh_bucketize_rejects_overwide_signature(spark, tables):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    with _pytest.raises(ValueError, match="<= 63"):
+        vs._lsh_bucketize(
+            tables["embeddings"], 64, 8, 8, "vec_id", "embedding"
+        )
