@@ -99,3 +99,106 @@ CATALOG_SQL_LINEAGE = """
 SELECT p_partkey AS out_cube, 'derive' AS task, p_partkey - 100 AS in_cube
 FROM part WHERE p_partkey > 100
 """
+
+
+# --- Snapshot-store catalog backend (round 10) -----------------------------
+#
+# At 100 TB the catalog is not a fixture: millions of cubes, continuous
+# registration from ingest jobs, and every massive-filter expansion hitting
+# it. That is exactly the shape layout.py's snapshot store already solves —
+# versioned exactly-once appends, min-max file stats, pruned reads — so the
+# catalog rides it instead of growing a second metadata engine. The cubes
+# table records per-file (container, level, path, cube_id) stats; the
+# massive-filter compiler derives a predicate rectangle from each bracket
+# group (filters.group_prune_ranges) and reads only intersecting files,
+# with compile_group re-applying the exact predicates afterward — pruning
+# is a performance lever, never a correctness dependency (layout.py's
+# standing contract).
+
+CUBES_STATS_COLS = ["container", "level", "path", "cube_id"]
+
+
+def snapshot_catalog_write(cat: Catalog, base_path: str,
+                           files: int = 8) -> dict:
+    """Persist `cat` as three snapshot tables under base_path/{cubes,
+    metadata,lineage}. The cubes table is range-clustered on (level,
+    container) into `files` range partitions before the write so
+    file-level min/max stats actually separate (a random row order gives
+    every file the full value range and min-max pruning skips nothing —
+    the same reason lakehouse tables cluster before collecting stats); at
+    millions of cubes size `files` for ~128 MB each. Returns
+    {table: version}."""
+    import os as _os
+
+    from ophidia_server_spark import layout
+
+    clustered = cat.cubes.repartitionByRange(
+        max(2, int(files)), F.asc("level"), F.asc("container"),
+    )
+    return {
+        "cubes": layout.snapshot_write(
+            clustered, _os.path.join(base_path, "cubes"),
+            stats_cols=CUBES_STATS_COLS,
+        ),
+        "metadata": layout.snapshot_write(
+            cat.metadata, _os.path.join(base_path, "metadata"),
+            stats_cols=["cube_id", "key"],
+        ),
+        "lineage": layout.snapshot_write(
+            cat.lineage, _os.path.join(base_path, "lineage"),
+            stats_cols=["in_cube", "out_cube"],
+        ),
+    }
+
+
+def snapshot_catalog_append(
+    base_path: str,
+    cubes: DataFrame | None = None,
+    metadata: DataFrame | None = None,
+    lineage: DataFrame | None = None,
+) -> dict:
+    """Continuous registration: append newly created cubes (and their
+    metadata/lineage rows) as new snapshot versions — the operator-wrapper
+    hook an ingest pipeline calls once per imported cube batch. Each table
+    appended independently; stats for the new files are collected under
+    the chain's standing stats_cols. Returns {table: new_version}."""
+    import os as _os
+
+    from ophidia_server_spark import layout
+
+    out = {}
+    for name, df in (("cubes", cubes), ("metadata", metadata),
+                     ("lineage", lineage)):
+        if df is not None:
+            out[name] = layout.snapshot_append(
+                df, _os.path.join(base_path, name)
+            )
+    return out
+
+
+def load_snapshot_catalog(
+    spark: SparkSession, base_path: str,
+    session_prefix: str = SESSION_PREFIX,
+    version: int | None = None,
+) -> Catalog:
+    """Open the snapshot-backed catalog (latest version, or a time-travel
+    `version` applied to every table). Full reads — the massive-filter
+    compiler's pruned path goes through filters.compile_massive_snapshot
+    instead, which reads only the files each bracket group's predicate
+    rectangle intersects."""
+    import os as _os
+
+    from ophidia_server_spark import layout
+
+    return Catalog(
+        cubes=layout.snapshot_read(
+            spark, _os.path.join(base_path, "cubes"), version
+        ),
+        metadata=layout.snapshot_read(
+            spark, _os.path.join(base_path, "metadata"), version
+        ),
+        lineage=layout.snapshot_read(
+            spark, _os.path.join(base_path, "lineage"), version
+        ),
+        session_prefix=session_prefix,
+    )

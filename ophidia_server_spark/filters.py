@@ -247,3 +247,141 @@ def compile_massive(cat: Catalog, arg: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+# --- Snapshot-backed compilation (round 10) ---------------------------------
+
+def _subset_envelope(value: str) -> tuple[int, int] | None:
+    """Conservative [lo, hi] integer envelope of a cube_filter subset
+    string ('1:7:150,180:185' -> (1, 185)). None when any segment is not a
+    pure index range (open ends, '*', 'end' keywords) — no envelope means
+    no pruning, never a wrong one."""
+    lo: int | None = None
+    hi: int | None = None
+    for item in str(value).split(","):
+        parts = [p.strip() for p in item.split(":")]
+        if not parts or any(not p.lstrip("-").isdigit() for p in parts):
+            return None
+        a, b = int(parts[0]), int(parts[-1])
+        if b < a:
+            return None
+        lo = a if lo is None else min(lo, a)
+        hi = b if hi is None else max(hi, b)
+    return None if lo is None else (lo, hi)
+
+
+def group_prune_ranges(kv: dict[str, str], session_prefix: str) -> dict:
+    """The predicate rectangle a bracket group IMPLIES on the cubes table —
+    the min-max file-skipping lever for the snapshot-backed catalog.
+    Only non-negated keys contribute (a negation implies no bound); a
+    multivalue list contributes its envelope. Keys map to the stats
+    columns snapshot_catalog_write records: level (numeric), container
+    (string), path (string prefix range), cube_filter -> cube_id
+    (integer envelope). Everything else contributes nothing — pruning
+    must only ever be narrower than compile_group's exact predicates,
+    which re-apply afterward."""
+    ranges: dict = {}
+    sp = (session_prefix or "").rstrip("/")
+    # session scoping is structural (compile_group enforces it for every
+    # query), so the path envelope starts at the session prefix
+    if sp:
+        ranges["path"] = (sp, sp + "￿")
+    for rawk, value in kv.items():
+        key, neg = _split_neg(rawk)
+        if neg:
+            continue
+        if key == "level":
+            items = [i.strip() for i in str(value).split("|")]
+            if all(i.lstrip("-").isdigit() for i in items) and items:
+                vals = [int(i) for i in items]
+                ranges["level"] = (min(vals), max(vals))
+        elif key == "container":
+            items = [i for i in str(value).split("|") if i]
+            if items:
+                ranges["container"] = (min(items), max(items))
+        elif key == "path":
+            base = value if value.startswith(sp) else sp + (
+                "" if value.startswith("/") else "/"
+            ) + value
+            base = base.rstrip("/")
+            recursive = kv.get("recursive", "no").lower() == "yes"
+            ranges["path"] = (base, base + "￿") if recursive else (
+                base, base
+            )
+        elif key == "cube_filter":
+            if str(value).strip().lower() in ("*", "all"):
+                continue
+            env = _subset_envelope(value)
+            if env is not None:
+                ranges["cube_id"] = env
+    return ranges
+
+
+def compile_massive_snapshot(
+    spark,
+    base_path: str,
+    arg: str,
+    session_prefix: str | None = None,
+    version: int | None = None,
+    prune_report: list | None = None,
+) -> DataFrame:
+    """compile_massive over the snapshot-store catalog backend
+    (catalog.snapshot_catalog_write layout): per bracket group, the cubes
+    table is opened as a PRUNED snapshot read — only files whose recorded
+    (container, level, path, cube_id) min-max envelope intersects the
+    group's predicate rectangle are scanned — then the ordinary
+    compile_group applies the exact filter semantics on what survived.
+    Same rows as the in-memory backend by construction (pruning is
+    layout.py's conservative contract); at millions of cubes the win is
+    reading O(matching files) of a continuously-appended catalog instead
+    of all of it. The lineage table prunes on in_cube when the group names
+    a non-negated parent_cube; metadata reads stay full (semi-joined,
+    broadcast). `prune_report` (when a list) receives one
+    (group_index, files_read, files_total) triple per group — the pruning
+    visibility hook the plan-assertion tests use."""
+    import os as _os
+
+    from ophidia_server_spark import layout
+    from ophidia_server_spark.catalog import SESSION_PREFIX
+
+    sp = SESSION_PREFIX if session_prefix is None else session_prefix
+    groups, pids = parse_massive(arg)
+    metadata = layout.snapshot_read(
+        spark, _os.path.join(base_path, "metadata"), version
+    )
+    parts: list[DataFrame] = []
+    for gi, g in enumerate(groups):
+        ranges = group_prune_ranges(g, sp)
+        cubes, fr, ft = layout.snapshot_pruned_read(
+            spark, _os.path.join(base_path, "cubes"), ranges, version
+        )
+        if prune_report is not None:
+            prune_report.append((gi, fr, ft))
+        parent = next(
+            (v for k, v in g.items() if _split_neg(k) == ("parent_cube", False)),
+            None,
+        )
+        if parent is not None:
+            pid = pid_cube_id(parent)
+            lineage, _, _ = layout.snapshot_pruned_read(
+                spark, _os.path.join(base_path, "lineage"),
+                {"in_cube": (pid, pid)}, version,
+            )
+        else:
+            lineage = layout.snapshot_read(
+                spark, _os.path.join(base_path, "lineage"), version
+            )
+        cat = Catalog(
+            cubes=cubes, metadata=metadata, lineage=lineage,
+            session_prefix=sp,
+        )
+        parts.append(compile_group(cat, g))
+    if pids:
+        ids = [pid_cube_id(p) for p in pids]
+        parts.append(spark.createDataFrame([(i,) for i in ids], "cube_id long"))
+    if not parts:
+        raise ValueError(f"empty massive argument {arg!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

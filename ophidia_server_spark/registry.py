@@ -1194,6 +1194,32 @@ def _mf(spark, sf_dir, arg: str) -> DataFrame:
     return flt.compile_massive(cat, arg).select(F.col("cube_id").cast("long").alias("cube_id"))
 
 
+_SNAPCAT_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _snapcat(spark, sf_dir) -> str:
+    """Write-once snapshot-store catalog per (session, dataset) — the
+    persistent, continuously-appendable backend the 100 TB deployment
+    registers cubes into (catalog.snapshot_catalog_write over layout.py's
+    versioned store, file stats on container/level/path/cube_id)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _SNAPCAT_CACHE:
+        base = _os.path.join(
+            tempfile.gettempdir(),
+            f"ophspark_snapcat_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        cat_mod.snapshot_catalog_write(
+            catalog_from_part(_t(spark, sf_dir)["part"]), base
+        )
+        _SNAPCAT_CACHE[key] = base
+    return _SNAPCAT_CACHE[key]
+
+
 @q(
     "mf_level_container",
     f"WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes "
@@ -1201,6 +1227,25 @@ def _mf(spark, sf_dir, arg: str) -> DataFrame:
 )
 def mf_level_container(spark, sf_dir):
     return _mf(spark, sf_dir, "[level=1|2;container=Brand#13]")
+
+
+@q(
+    "mf_snapshot_pruned",
+    f"WITH {_CAT_CTE} SELECT DISTINCT CAST(cube_id AS BIGINT) AS cube_id FROM cubes "
+    "WHERE level IN (1, 2) AND container = 'Brand#13'",
+)
+def mf_snapshot_pruned(spark, sf_dir):
+    """mf_level_container's oracle on the SNAPSHOT-STORE catalog backend
+    (round 10): the catalog persisted via layout.py's versioned store, the
+    bracket group's (level, container) predicate rectangle pruning cube
+    files by manifest min-max stats, compile_group re-applying the exact
+    semantics — identical expansion to the in-memory backend, asserted
+    here by the shared oracle and in pytest by a 9-arg two-backend corpus
+    plus a files_read < files_total pruning assertion."""
+    base = _snapcat(spark, sf_dir)
+    return flt.compile_massive_snapshot(
+        spark, base, "[level=1|2;container=Brand#13]"
+    ).select(F.col("cube_id").cast("long").alias("cube_id"))
 
 
 @q(

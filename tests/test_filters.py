@@ -423,3 +423,109 @@ def test_oph_fs_glob_that_is_also_valid_regex(tmp_path):
         (tmp_path / f).write_text("")
     names = [e["name"] for e in oph_fs(str(tmp_path), file_filter="data*")]
     assert names == ["data1.txt", "database.txt"]
+
+
+# --- snapshot-store catalog backend (round 10) ------------------------------
+
+@pytest.fixture(scope="module")
+def snap_cat(spark, cat, tmp_path_factory):
+    from ophidia_server_spark.catalog import snapshot_catalog_write
+
+    base = str(tmp_path_factory.mktemp("snapcat"))
+    snapshot_catalog_write(cat, base)
+    return base
+
+
+MF_BACKEND_CORPUS = [
+    "[level=1|2;container=Brand#13]",
+    "[measure!=economy;level=3]",
+    "[cube_filter=1:7:150,180:185]",
+    "[metadata_key=brand;metadata_value=Brand#2]",
+    "[path=/sess1/economy;recursive=yes]",
+    "[parent_cube=http://srv/0/5]|http://srv/0/7",
+    "[size=3]",
+    "[level=0;container!=Brand#13|Brand#21]",
+    "[cube_filter=*]",
+]
+
+
+@pytest.mark.parametrize("arg", MF_BACKEND_CORPUS)
+def test_snapshot_backend_matches_in_memory(spark, cat, snap_cat, arg):
+    # the mf_* oracle contract on the new backend: every massive filter
+    # expands to the same cube set whether the catalog is an in-memory
+    # DataFrame or the snapshot store with pruned reads
+    from ophidia_server_spark.filters import (
+        compile_massive, compile_massive_snapshot,
+    )
+
+    mem = {r["cube_id"] for r in compile_massive(cat, arg).collect()}
+    snap = {
+        r["cube_id"]
+        for r in compile_massive_snapshot(spark, snap_cat, arg).collect()
+    }
+    assert snap == mem and mem
+
+
+def test_snapshot_backend_prunes_files(spark, snap_cat):
+    # the pruned-read plan assertion: a level+container group's predicate
+    # rectangle must skip files (the write range-clusters on exactly those
+    # columns, so per-file min-max envelopes separate)
+    from ophidia_server_spark.filters import compile_massive_snapshot
+
+    report = []
+    compile_massive_snapshot(
+        spark, snap_cat, "[level=1|2;container=Brand#13]",
+        prune_report=report,
+    ).collect()
+    (gi, files_read, files_total), = report
+    assert gi == 0
+    assert 0 < files_read < files_total
+
+
+def test_snapshot_backend_continuous_registration(spark, cat, snap_cat):
+    # continuous registration + time travel: appended cubes appear in the
+    # latest expansion, and a pinned earlier version never sees them
+    from ophidia_server_spark.catalog import snapshot_catalog_append
+    from ophidia_server_spark.filters import compile_massive_snapshot
+
+    before = {
+        r["cube_id"] for r in compile_massive_snapshot(
+            spark, snap_cat, "[level=9]"
+        ).collect()
+    }
+    assert before == set()
+    new = spark.createDataFrame(
+        [(900001, 40, "Brand#99", "/sess1/new/brand_99", 9, "newmeasure")],
+        "cube_id long, container_id long, container string, path string, "
+        "level long, measure string",
+    )
+    snapshot_catalog_append(snap_cat, cubes=new)
+    after = {
+        r["cube_id"] for r in compile_massive_snapshot(
+            spark, snap_cat, "[level=9]"
+        ).collect()
+    }
+    assert after == {900001}
+    pinned = {
+        r["cube_id"] for r in compile_massive_snapshot(
+            spark, snap_cat, "[level=9]", version=1
+        ).collect()
+    }
+    assert pinned == set()
+
+
+def test_group_prune_ranges_only_implied_bounds(spark):
+    from ophidia_server_spark.filters import group_prune_ranges
+
+    r = group_prune_ranges(
+        {"level": "1|2", "container": "Brand#13", "measure!": "economy"},
+        "/sess1",
+    )
+    assert r["level"] == (1, 2)
+    assert r["container"] == ("Brand#13", "Brand#13")
+    assert "measure" not in r
+    assert r["path"][0] == "/sess1"
+    # negated / non-integer / wildcard keys contribute nothing
+    assert "level" not in group_prune_ranges({"level!": "3"}, "/sess1")
+    assert "cube_id" not in group_prune_ranges({"cube_filter": "*"}, "/sess1")
+    assert group_prune_ranges({"cube_filter": "5:3"}, "/sess1").get("cube_id") is None
