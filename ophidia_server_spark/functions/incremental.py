@@ -272,6 +272,7 @@ def stream_maintain_state(
     keys: list[str],
     value_col: str,
     value_decimals: int = 2,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Structured-Streaming maintenance of the rollup state: a parquet
     file stream feeds foreachBatch, each micro-batch computes ITS OWN
@@ -291,8 +292,14 @@ def stream_maintain_state(
     newest COMMITTED generation, and overwrite the remnant. A separate
     last-batch marker would reintroduce the double-merge window between
     the data write and the marker write (ADVICE r7)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # one source file per micro-batch: the sustained-ingest bench (and
+        # any latency measurement) needs the per-batch commit cadence, not
+        # one availableNow mega-batch over the whole backlog
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     (
-        spark.readStream.schema(schema).parquet(src_path)
+        reader.parquet(src_path)
         .writeStream.foreachBatch(
             make_batch_folder(state_path, keys, value_col, value_decimals)
         )
