@@ -250,6 +250,10 @@ HEADLINE = [
     "events_seasonal_naive_error",
     "events_interarrival_stats",
     "orders_fulfillment_lag",
+    # round-10: the snapshot-backed massive-filter catalog, the quantized
+    # qnorm scale lever (the sf10 protocol's flattening twin)
+    "mf_snapshot_pruned",
+    "events_qnorm_quantized",
 ]
 
 

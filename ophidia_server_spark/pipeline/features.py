@@ -411,6 +411,7 @@ def target_encode(
 def quantile_normalize(
     df: DataFrame, value_col: str, group_col: str,
     max_distinct: int | None = 50_000_000,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Quantile normalization across groups — map every row's value to the
     GLOBAL distribution's value at the same within-group quantile, so all
@@ -430,11 +431,36 @@ def quantile_normalize(
     range join), and two keyed joins. The GLOBAL running sum is one
     unpartitioned window over the distinct-value table, so the same
     `max_distinct` guard as percentile_rank_by_group runs first (one
-    approx_count_distinct pass): above budget, EcdfCardinalityError says
-    to pre-quantize the values (percentile_rank_bucketed's grid) before
-    normalizing — same contract, bounded tables. max_distinct=None skips
-    the guard pass."""
+    approx_count_distinct pass): above budget, EcdfCardinalityError names
+    the way out — and that lever is EXECUTABLE: `quantize=B` snaps every
+    value to the midpoint of its cell on a GLOBAL equal-width B-cell grid
+    (percentile_rank_bucketed's grid shape) BEFORE the exact machinery
+    runs, so every distinct-value table is bounded by B+1 rows no matter
+    the data; the result is the exact quantile normalization of the
+    coarsened values (error bounded by cell mass, like the bucketed ECDF
+    twin). max_distinct=None skips the guard pass."""
     v = F.col(value_col).cast("double")
+    if quantize is not None:
+        b = int(quantize)
+        if b < 1:
+            raise ValueError(f"quantize must be >= 1, got {quantize}")
+        rng = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi")).first()
+        lo, hi = rng["__lo"], rng["__hi"]
+        span = (hi - lo) if (lo is not None and hi is not None) else 0.0
+        if span and span > 0:
+            cell = F.least(F.lit(b - 1), F.floor((v - F.lit(lo)) / F.lit(span) * b))
+            rep = F.round(
+                F.lit(lo) + (cell.cast("double") + F.lit(0.5)) * F.lit(span) / F.lit(b),
+                6,
+            )
+            qdf = df.withColumn(
+                "__qv", F.when(v.isNull(), F.lit(None)).otherwise(rep)
+            )
+            out = quantile_normalize(
+                qdf, "__qv", group_col, max_distinct=None
+            )
+            return out.drop("__qv")
+        # degenerate range (all-equal or all-null): exact path is bounded
     nn = df.filter(v.isNotNull())
     if max_distinct is not None:
         approx = nn.agg(
@@ -445,8 +471,8 @@ def quantile_normalize(
                 f"quantile_normalize would run a single-task global "
                 f"running sum over ~{approx:,} distinct values (> "
                 f"max_distinct={int(max_distinct):,}) — near-continuous "
-                "at this scale; pre-quantize the values (see "
-                "percentile_rank_bucketed's grid) or pass "
+                "at this scale; pass quantize= (the bounded global-grid "
+                "coarsening, percentile_rank_bucketed's shape) or "
                 "max_distinct=None"
             )
     src = _group_ecdf(nn, value_col, group_col).select(

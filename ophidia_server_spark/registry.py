@@ -12302,6 +12302,72 @@ def events_quantile_normalize(spark, sf_dir):
 
 
 @q(
+    "events_qnorm_quantized",
+    """WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v0 FROM events
+), rng AS (
+  SELECT MIN(v0) AS lo, MAX(v0) AS hi FROM base WHERE v0 IS NOT NULL
+), qz AS (
+  SELECT event_id, event_type,
+         CASE WHEN v0 IS NULL THEN NULL
+              ELSE ROUND(rng.lo + (LEAST(31, FLOOR((v0 - rng.lo) / (rng.hi - rng.lo) * 32))
+                   + 0.5) * (rng.hi - rng.lo) / 32, 6) END AS v
+  FROM base CROSS JOIN rng
+), nn AS (
+  SELECT event_type AS g, v FROM qz WHERE v IS NOT NULL
+), src AS (
+  SELECT g, v, COUNT(*) AS c FROM nn GROUP BY 1, 2
+), srcw AS (
+  SELECT g, v,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cs,
+         CAST(SUM(c) OVER (PARTITION BY g) AS HUGEINT) AS ts
+  FROM src
+), gl AS (
+  SELECT v AS gv, COUNT(*) AS c FROM nn GROUP BY 1
+), glw AS (
+  SELECT gv, c,
+         SUM(c) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(SUM(c) OVER () AS HUGEINT) AS n
+  FROM gl
+), pos AS (
+  SELECT gv, unnest(range(CAST(cum - c + 1 AS BIGINT), CAST(cum + 1 AS BIGINT))) AS k FROM glw
+), keyed AS (
+  SELECT s.g, s.v,
+         CAST((s.cs * nt.n + s.ts - 1
+               - ((s.cs * nt.n + s.ts - 1) % s.ts)) // s.ts AS BIGINT) AS k
+  FROM srcw s
+  CROSS JOIN (SELECT MAX(n) AS n FROM glw) nt
+), mapped AS (
+  SELECT keyed.g, keyed.v, ROUND(p.gv, 6) AS qnorm
+  FROM keyed JOIN pos p USING (k)
+)
+SELECT qz.event_id, qz.event_type, m.qnorm
+FROM qz
+LEFT JOIN mapped m
+  ON qz.event_type IS NOT DISTINCT FROM m.g
+ AND qz.v = m.v""",
+)
+def events_qnorm_quantized(spark, sf_dir):
+    """quantile_normalize's EXECUTABLE scale lever (quantize=32 — the
+    round-10 answer to 'pre-quantize the values' being prose): every value
+    snaps to its cell midpoint on a global 32-cell equal-width grid, then
+    the same exact integer-arithmetic machinery runs over distinct-value
+    tables bounded by 33 rows regardless of data size. This is the twin
+    the sf10 decade protocol measures against the exact path to prove the
+    lever flattens the curve; the oracle mirrors the grid + pipeline in
+    DuckDB and every row hash-matches."""
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    return quantile_normalize(
+        ev, "value", "event_type", quantize=32
+    ).select("event_id", "event_type", "qnorm")
+
+
+@q(
     "sim_index_append_lsh_recall",
     """SELECT CAST(vec_id AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS recall_ok,
        CAST(1 AS BIGINT) AS rows_ok

@@ -287,6 +287,58 @@ def test_quantile_normalize_cardinality_guard(spark):
         (F.col("id") % 2).cast("string").alias("g"),
         (F.col("id") * 1.0).alias("v"),
     )
-    with _pytest.raises(EcdfCardinalityError, match="pre-quantize"):
+    with _pytest.raises(EcdfCardinalityError, match="pass quantize="):
         quantile_normalize(df, "v", "g", max_distinct=1000)
     assert quantile_normalize(df, "v", "g", max_distinct=None).count() == 5000
+
+
+def test_quantile_normalize_quantize_lever(spark):
+    # round-10: the 'pre-quantize' lever is executable — quantize=B runs
+    # the exact machinery over a bounded global grid; results equal the
+    # exact path run on the hand-quantized values, NULLs pass through,
+    # and a tiny max_distinct budget no longer trips (the whole point)
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import (
+        EcdfCardinalityError, quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b",
+          float(i) + (0.001 * i if i % 3 else 0.0)) for i in range(200)]
+        + [(900, "a", None)],
+        "id long, g string, v double",
+    )
+    # exact path over-budget: names quantize= as the way out
+    with _pytest.raises(EcdfCardinalityError, match="quantize"):
+        quantile_normalize(df, "v", "g", max_distinct=10)
+    got = quantile_normalize(df, "v", "g", max_distinct=10, quantize=8)
+    rows = {r["id"]: r["qnorm"] for r in got.collect()}
+    assert rows[900] is None            # NULL passes through unmapped
+    assert len(rows) == 201
+    # self-consistency: equals the exact path on hand-quantized values
+    lo, hi = df.agg(F.min("v"), F.max("v")).first()
+    span = hi - lo
+    cell = F.least(F.lit(7), F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * 8))
+    rep = F.round(F.lit(lo) + (cell.cast("double") + F.lit(0.5)) * F.lit(span) / F.lit(8), 6)
+    hand = df.withColumn("qv", F.when(F.col("v").isNull(), None).otherwise(rep))
+    expect = {
+        r["id"]: r["qnorm"]
+        for r in quantile_normalize(hand, "qv", "g").collect()
+    }
+    assert rows == expect
+    # boundedness: at most 8 distinct qnorm outputs (global grid cells)
+    assert len({v for v in rows.values() if v is not None}) <= 8
+
+
+def test_quantile_normalize_quantize_degenerate_range(spark):
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 5.0)], "id long, g string, v double"
+    )
+    got = {r["id"]: r["qnorm"]
+           for r in quantile_normalize(df, "v", "g", quantize=4).collect()}
+    assert got == {1: 5.0, 2: 5.0}
