@@ -159,20 +159,31 @@ def snapshot_catalog_append(
 ) -> dict:
     """Continuous registration: append newly created cubes (and their
     metadata/lineage rows) as new snapshot versions — the operator-wrapper
-    hook an ingest pipeline calls once per imported cube batch. Each table
-    appended independently; stats for the new files are collected under
-    the chain's standing stats_cols. Returns {table: new_version}."""
+    hook an ingest pipeline calls once per imported cube batch. ALL THREE
+    tables advance together (a table with no new rows gets an empty
+    append), so one catalog version number always denotes one consistent
+    catalog state — load_snapshot_catalog/compile_massive_snapshot's
+    `version` pin would otherwise crash on whichever tables a partial
+    append skipped. Stats for new files are collected under each chain's
+    standing stats_cols. Returns {table: new_version}."""
     import os as _os
 
     from ophidia_server_spark import layout
 
+    given = {"cubes": cubes, "metadata": metadata, "lineage": lineage}
+    spark = next(
+        (df.sparkSession for df in given.values() if df is not None), None
+    )
+    if spark is None:
+        raise ValueError("snapshot_catalog_append needs at least one table")
     out = {}
-    for name, df in (("cubes", cubes), ("metadata", metadata),
-                     ("lineage", lineage)):
-        if df is not None:
-            out[name] = layout.snapshot_append(
-                df, _os.path.join(base_path, name)
-            )
+    for name, df in given.items():
+        tbl = _os.path.join(base_path, name)
+        if df is None:
+            # empty append in the parent's schema: keeps every version
+            # number meaning one consistent catalog-wide state
+            df = layout.snapshot_read(spark, tbl).limit(0)
+        out[name] = layout.snapshot_append(df, tbl)
     return out
 
 

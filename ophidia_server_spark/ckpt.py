@@ -38,8 +38,30 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     (``sc.setCheckpointDir`` was called), else ``df.localCheckpoint``.
     `eager=False` defers materialization to the first action — callers use
     it when the very next statement is a count() that materializes anyway
-    (one job per round instead of two)."""
+    (one job per round instead of two); the deferral applies to the LOCAL
+    backend only (see below).
+
+    Reliable-mode cost shape: a bare ``df.checkpoint()`` computes the plan
+    TWICE (the caller's action plus ReliableRDDCheckpointData's separate
+    file-write job), so the reliable branch persists first — the
+    checkpoint write job then reads the cached blocks — and unpersists as
+    soon as the files are down. That forces eager materialization (the
+    persist must be released deterministically), which is why eager=False
+    is a local-mode-only optimization.
+
+    Reliable-mode retention: checkpoint files are deleted by Spark's
+    ContextCleaner when the checkpointed RDD is garbage-collected ONLY
+    under ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (default false). session.get_spark sets it; a deployment that builds
+    its own SparkSession must set it too, or every iteration of the
+    graph/ALS/dedup family leaks one O(state) directory to the checkpoint
+    store for the life of the application."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)

@@ -237,10 +237,20 @@ def compile_massive(cat: Catalog, arg: str) -> DataFrame:
     (oph_filters.c:718-721). Returns DataFrame[cube_id]."""
     groups, pids = parse_massive(arg)
     parts: list[DataFrame] = [compile_group(cat, g) for g in groups]
+    return _finish_expansion(cat.cubes.sparkSession, parts, pids, arg)
+
+
+def _finish_expansion(spark, parts: list[DataFrame], pids: list[str],
+                      arg: str) -> DataFrame:
+    """Shared expansion tail for both catalog backends: explicit PIDs
+    union in as literal ids, empty expansions are caller errors, and the
+    result is DISTINCT cube_ids — `SELECT DISTINCT datacube.iddatacube`
+    (oph_filters.c:718-721) either way."""
     if pids:
         ids = [pid_cube_id(p) for p in pids]
-        spark = cat.cubes.sparkSession
-        parts.append(spark.createDataFrame([(i,) for i in ids], "cube_id long"))
+        parts = parts + [
+            spark.createDataFrame([(i,) for i in ids], "cube_id long")
+        ]
     if not parts:
         raise ValueError(f"empty massive argument {arg!r}")
     out = parts[0]
@@ -296,8 +306,11 @@ def group_prune_ranges(kv: dict[str, str], session_prefix: str) -> dict:
                 vals = [int(i) for i in items]
                 ranges["level"] = (min(vals), max(vals))
         elif key == "container":
-            items = [i for i in str(value).split("|") if i]
-            if items:
+            # all-or-nothing like level: dropping empty items before the
+            # envelope would exclude empty-string containers the exact
+            # isin matches (missing rows, not an error)
+            items = str(value).split("|")
+            if items and all(items):
                 ranges["container"] = (min(items), max(items))
         elif key == "path":
             base = value if value.startswith(sp) else sp + (
@@ -357,11 +370,15 @@ def compile_massive_snapshot(
         )
         if prune_report is not None:
             prune_report.append((gi, fr, ft))
+        pc = {k: v for k, v in g.items() if _split_neg(k)[0] == "parent_cube"}
         parent = next(
-            (v for k, v in g.items() if _split_neg(k) == ("parent_cube", False)),
-            None,
+            (v for k, v in pc.items() if not _split_neg(k)[1]), None
         )
-        if parent is not None:
+        # prune ONLY when the group's sole parent_cube use is the positive
+        # one: a co-present negated parent_cube! needs the OTHER parent's
+        # lineage rows for its left_anti — a row-filtered read would hand
+        # it an empty kids set and silently keep cubes it must exclude
+        if parent is not None and len(pc) == 1:
             pid = pid_cube_id(parent)
             lineage, _, _ = layout.snapshot_pruned_read(
                 spark, _os.path.join(base_path, "lineage"),
@@ -376,12 +393,4 @@ def compile_massive_snapshot(
             session_prefix=sp,
         )
         parts.append(compile_group(cat, g))
-    if pids:
-        ids = [pid_cube_id(p) for p in pids]
-        parts.append(spark.createDataFrame([(i,) for i in ids], "cube_id long"))
-    if not parts:
-        raise ValueError(f"empty massive argument {arg!r}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return _finish_expansion(spark, parts, pids, arg)

@@ -444,7 +444,15 @@ def quantile_normalize(
         b = int(quantize)
         if b < 1:
             raise ValueError(f"quantize must be >= 1, got {quantize}")
-        rng = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi")).first()
+        # NaN-safe range: double max() returns NaN if ANY value is NaN,
+        # which would silently dead-end the lever into the exact path —
+        # whose guard then tells the caller to pass the quantize= they
+        # already passed. NaNs keep their NaN rep below (one extra
+        # distinct value; the exact path already orders NaN last).
+        finite = ~F.isnan(v) & v.isNotNull()
+        rng = df.filter(finite).agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        ).first()
         lo, hi = rng["__lo"], rng["__hi"]
         span = (hi - lo) if (lo is not None and hi is not None) else 0.0
         if span and span > 0:
@@ -460,7 +468,8 @@ def quantile_normalize(
                 qdf, "__qv", group_col, max_distinct=None
             )
             return out.drop("__qv")
-        # degenerate range (all-equal or all-null): exact path is bounded
+        # degenerate range (all-equal, all-null, or all-NaN): exact path
+        # is bounded by construction
     nn = df.filter(v.isNotNull())
     if max_distinct is not None:
         approx = nn.agg(

@@ -127,20 +127,37 @@ def _recover_compact(path: str) -> None:
     began — a sidecar-bearing tmp is row-identical to the old store and
     compacted), else falls back to .compact-old. Leftover dirs from crashes
     before the swap (live store still in place) are retired lazily by the
-    next index_compact run."""
+    next index_compact run.
+
+    Concurrency-safe for READERS: the restore is one atomic os.rename onto
+    a missing `path` — never an rmtree of anything that could be live. Two
+    probes racing the same recovery serialize on the rename: the loser's
+    rename fails (target exists / source gone), it re-checks the live
+    sidecar the winner just installed, and proceeds read-only."""
     import shutil
 
     if os.path.exists(os.path.join(path, _SIDECAR)):
         return
     tmp = path.rstrip("/") + ".compact-tmp"
     old = path.rstrip("/") + ".compact-old"
-    if os.path.exists(os.path.join(tmp, _SIDECAR)):
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
+    src = tmp if os.path.exists(os.path.join(tmp, _SIDECAR)) else (
+        old if os.path.exists(os.path.join(old, _SIDECAR)) else None
+    )
+    if src is None:
+        return  # nothing to recover from; load_index will fail loudly
+    try:
+        os.rename(src, path)
+    except OSError:
+        # lost the race: another recoverer (or a finishing compaction)
+        # installed a live store between our check and the rename
+        if not os.path.exists(os.path.join(path, _SIDECAR)):
+            raise
+        return
+    if src == tmp:
+        # the compacted tmp won; the superseded old copy can go — the
+        # winner alone reaches this line, so the rmtree target is never
+        # a directory another process just installed as live
         shutil.rmtree(old, ignore_errors=True)
-    elif os.path.exists(os.path.join(old, _SIDECAR)):
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(old, path)
 
 
 def load_index(path: str) -> VectorIndex:

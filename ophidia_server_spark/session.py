@@ -94,6 +94,13 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         # driver testdata uses parquet TIMESTAMP(NANOS); read as int64 nanos and
         # convert in load_tables (Spark has no native nanos timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-checkpoint retention (ckpt.py): without this, checkpoint
+        # files written when a checkpoint dir is set are NEVER deleted —
+        # every iteration of the graph/ALS/dedup family would leak one
+        # O(state) directory to HDFS/S3 for the application's lifetime.
+        # With it, the ContextCleaner removes a checkpoint's files when its
+        # RDD is garbage-collected (loop iterations free automatically).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -342,3 +342,27 @@ def test_quantile_normalize_quantize_degenerate_range(spark):
     got = {r["id"]: r["qnorm"]
            for r in quantile_normalize(df, "v", "g", quantize=4).collect()}
     assert got == {1: 5.0, 2: 5.0}
+
+
+def test_quantile_normalize_quantize_survives_nan(spark):
+    # NaN in the column must not dead-end the lever (double max() is NaN):
+    # the grid comes from the finite values; NaN rows keep a NaN-derived
+    # rep and the call succeeds under a tiny exact-path budget
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline.features import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(50)],
+        "id long, g string, v double",
+    ).union(
+        spark.createDataFrame([(999, "a", float("nan"))],
+                              "id long, g string, v double")
+    )
+    got = {r["id"]: r["qnorm"]
+           for r in quantile_normalize(df, "v", "g", max_distinct=5,
+                                       quantize=4).collect()}
+    assert len(got) == 51
+    finite = {v for k, v in got.items() if k != 999}
+    assert all(v is not None for v in finite)
+    assert len(finite) <= 4

@@ -497,7 +497,7 @@ def test_snapshot_backend_continuous_registration(spark, cat, snap_cat):
     new = spark.createDataFrame(
         [(900001, 40, "Brand#99", "/sess1/new/brand_99", 9, "newmeasure")],
         "cube_id long, container_id long, container string, path string, "
-        "level long, measure string",
+        "level int, measure string",
     )
     snapshot_catalog_append(snap_cat, cubes=new)
     after = {
@@ -529,3 +529,96 @@ def test_group_prune_ranges_only_implied_bounds(spark):
     assert "level" not in group_prune_ranges({"level!": "3"}, "/sess1")
     assert "cube_id" not in group_prune_ranges({"cube_filter": "*"}, "/sess1")
     assert group_prune_ranges({"cube_filter": "5:3"}, "/sess1").get("cube_id") is None
+
+
+def test_snapshot_backend_negated_parent_not_pruned(spark, tmp_path):
+    # review finding: a co-present parent_cube! must see the FULL lineage
+    # table — pruning the read to the positive parent's rows would hand
+    # the negation an empty kids set and silently keep cubes it excludes.
+    # Constructed multi-parent lineage (cube 300 descends from BOTH 5 and
+    # 7): [parent_cube=5; parent_cube!=7] must exclude 300.
+    from ophidia_server_spark.catalog import Catalog, snapshot_catalog_write
+    from ophidia_server_spark.filters import (
+        compile_massive, compile_massive_snapshot,
+    )
+
+    cubes = spark.createDataFrame(
+        [(300, 1, "c", "/sess1/x", 0, "m"), (301, 1, "c", "/sess1/x", 0, "m")],
+        "cube_id long, container_id long, container string, path string, "
+        "level long, measure string",
+    )
+    lineage = spark.createDataFrame(
+        [(300, "derive", 5), (300, "derive", 7), (301, "derive", 5)],
+        "out_cube long, task string, in_cube long",
+    )
+    metadata = spark.createDataFrame(
+        [], "cube_id long, key string, value string"
+    )
+    cat = Catalog(cubes=cubes, metadata=metadata, lineage=lineage)
+    base = str(tmp_path / "mpcat")
+    snapshot_catalog_write(cat, base)
+    arg = "[parent_cube=http://srv/0/5;parent_cube!=http://srv/0/7]"
+    mem = {r["cube_id"] for r in compile_massive(cat, arg).collect()}
+    snap = {
+        r["cube_id"]
+        for r in compile_massive_snapshot(spark, base, arg).collect()
+    }
+    assert mem == snap == {301}
+
+
+def test_snapshot_backend_empty_container_not_pruned_away(spark, tmp_path):
+    # review finding: '[container=|Brand#13]' must keep empty-string
+    # containers on the snapshot backend (the envelope is dropped, not
+    # narrowed past them)
+    from ophidia_server_spark.catalog import Catalog, snapshot_catalog_write
+    from ophidia_server_spark.filters import (
+        compile_massive, compile_massive_snapshot, group_prune_ranges,
+    )
+
+    assert "container" not in group_prune_ranges(
+        {"container": "|Brand#13"}, "/sess1"
+    )
+    cubes = spark.createDataFrame(
+        [(1, 1, "", "/sess1/x", 0, "m"), (2, 1, "Brand#13", "/sess1/x", 0, "m"),
+         (3, 1, "Brand#99", "/sess1/x", 0, "m")],
+        "cube_id long, container_id long, container string, path string, "
+        "level long, measure string",
+    )
+    empty_md = spark.createDataFrame([], "cube_id long, key string, value string")
+    empty_lg = spark.createDataFrame([], "out_cube long, task string, in_cube long")
+    cat = Catalog(cubes=cubes, metadata=empty_md, lineage=empty_lg)
+    base = str(tmp_path / "emptycont")
+    snapshot_catalog_write(cat, base)
+    arg = "[container=|Brand#13]"
+    mem = {r["cube_id"] for r in compile_massive(cat, arg).collect()}
+    snap = {
+        r["cube_id"]
+        for r in compile_massive_snapshot(spark, base, arg).collect()
+    }
+    assert mem == snap == {1, 2}
+
+
+def test_snapshot_catalog_append_keeps_versions_aligned(spark, cat, tmp_path):
+    # review finding: a partial append must advance ALL tables (empty
+    # appends for the rest) so one version number = one catalog state
+    from ophidia_server_spark import layout
+    from ophidia_server_spark.catalog import (
+        load_snapshot_catalog, snapshot_catalog_append, snapshot_catalog_write,
+    )
+
+    base = str(tmp_path / "aligned")
+    snapshot_catalog_write(cat, base)
+    new = spark.createDataFrame(
+        [(910001, 40, "Brand#98", "/sess1/new/b98", 8, "m8")],
+        "cube_id long, container_id long, container string, path string, "
+        "level int, measure string",
+    )
+    vs = snapshot_catalog_append(base, cubes=new)
+    assert vs == {"cubes": 2, "metadata": 2, "lineage": 2}
+    # the pinned post-append version opens every table without error and
+    # row counts are consistent (metadata/lineage unchanged)
+    got = load_snapshot_catalog(spark, base, version=2)
+    assert got.cubes.filter("cube_id = 910001").count() == 1
+    assert got.metadata.count() == cat.metadata.count()
+    import os
+    assert layout.snapshot_versions(os.path.join(base, "lineage")) == [1, 2]
