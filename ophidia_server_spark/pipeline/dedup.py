@@ -382,10 +382,11 @@ def _unique_shingle_sets(
             )
         ).alias("__rk"),
     )
-    # ONE eager materialization: members/reps both read it, and
-    # localCheckpoint blocks are released by the ContextCleaner when the
-    # result plan is dropped (a persist() here would pin a corpus-sized
-    # cache per call across a long session)
+    # ONE eager materialization: members/reps both read it, and the
+    # checkpoint (local blocks, or reliable files under cleanCheckpoints)
+    # is released by the ContextCleaner when the result plan is dropped
+    # (a persist() here would pin a corpus-sized cache per call across a
+    # long session)
     keyed = _ckpt(keyed)
     members = keyed.select("__rk", F.col(id_col))
     # any member's array works as the rep: same SET by construction, and
