@@ -254,6 +254,8 @@ HEADLINE = [
     # qnorm scale lever (the sf10 protocol's flattening twin)
     "mf_snapshot_pruned",
     "events_qnorm_quantized",
+    "dedup_duplicate_spans",
+    "dedup_span_coverage",
 ]
 
 

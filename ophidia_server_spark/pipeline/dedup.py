@@ -1134,3 +1134,245 @@ def blocked_link(
         .filter(F.col("__rn") == 1)
         .select(lid, rid, "edit_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate spans (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    doc_col: str = "doc_id",
+    hash_key: bool = False,
+) -> DataFrame:
+    """Cross-document duplicate SPANS — the sub-document complement of the
+    doc-level dedup ladder (ref: the corpus-dedup use case behind
+    oph_intercube-style provenance in the reference has no analogue;
+    public motivation is Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": verbatim passages repeated across a
+    corpus drive memorization even when no FULL document is a duplicate,
+    so removal decisions need token spans, not doc hashes).
+
+    A k-token shingle occurring in >= `min_docs` distinct documents marks
+    every one of its occurrences; marked offsets whose token coverage
+    overlaps or adjoins (next_start - prev_start <= k) merge into MAXIMAL
+    spans per document. Returns one row per span: (doc_col, span_start,
+    span_end, span_tokens, n_dup_grams) — 0-based token offsets, end
+    exclusive, n_dup_grams = how many duplicated k-grams the span merged.
+    Documents with no duplicated shingle produce no rows. Deterministic,
+    so every span is DuckDB-oracle checkable.
+
+    Scale shape: one explode to (doc, offset, shingle) — n_tokens rows per
+    document, a pure map stage; duplication is a shingle-keyed aggregate +
+    semi-join back (both shuffle on the shingle, uniformly keyed by
+    construction, no broadcast of any corpus-sized set); the island merge
+    runs two same-partitioning windows over each document's MARKED offsets
+    only — bounded by document length, never by corpus size, and the
+    second window reuses the first's shuffle+sort. `hash_key=True` is the
+    100 TB byte-volume lever: shuffle 8-byte xxhash64 codes instead of
+    k-token strings (exact modulo 64-bit collisions; the default string
+    key is collision-free and is what the oracle mirrors)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    occ = df.select(
+        F.col(doc_col).alias("__d"),
+        F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
+    )
+    if hash_key:
+        occ = occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
+    else:
+        occ = occ.withColumnRenamed("__s", "__key")
+    dup = (
+        occ.groupBy("__key")
+        .agg(F.count_distinct("__d").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__key")
+    )
+    marked = occ.join(dup, "__key", "semi").select("__d", "__pos")
+    w = Window.partitionBy("__d").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    isl = marked.withColumn(
+        "__new",
+        F.when(prev.isNull() | (F.col("__pos") - prev > k), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("__d", "__isl")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("__d").alias(doc_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    doc_col: str = "doc_id",
+    hash_key: bool = False,
+) -> DataFrame:
+    """Per-document duplicate-token coverage — the removal-decision metric
+    on top of `duplicate_spans`: what fraction of each document's tokens
+    sits inside a cross-document duplicate span. EVERY input document
+    reports (coverage 0.0 when clean — a clean doc is not silently missing
+    from the audit). Returns (doc_col, n_tokens, dup_tokens, dup_fraction
+    ROUND(6)).
+
+    Maximal spans from `duplicate_spans` never overlap within a document
+    (overlapping runs merge by construction), so dup_tokens is a plain sum
+    of span lengths — one extra per-doc aggregate + left join against the
+    token counts; same scale shape as the span pass it composes."""
+    spans = duplicate_spans(
+        df, text_col=text_col, k=k, min_docs=min_docs,
+        doc_col=doc_col, hash_key=hash_key,
+    )
+    per = spans.groupBy(doc_col).agg(
+        F.sum("span_tokens").cast("long").alias("__dt")
+    )
+    n_tok = df.select(
+        F.col(doc_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        n_tok.join(per, doc_col, "left")
+        .select(
+            doc_col,
+            "n_tokens",
+            F.coalesce("__dt", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("__dt", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    doc_col: str = "doc_id",
+    hash_key: bool = False,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the action on top of `duplicate_spans`'
+    detection: every duplicated k-gram keeps exactly one owning document
+    (the min doc id among the documents containing it); every OTHER
+    document's occurrences are marked, merged into maximal spans, and cut
+    out of the text. One copy of each repeated passage survives in the
+    corpus; the keeper document is untouched for that passage.
+
+    Returns every input document: (doc_col, text_clean, n_tokens,
+    n_removed) — n_removed tokens were excised, text_clean is the
+    remaining tokens re-joined with single spaces (the tokenizer's
+    canonical form; offsets are token-grain, so sub-token whitespace is
+    not preserved — matching the rest of the token-based dedup family).
+
+    Scale shape: duplicate_spans' explode/aggregate/semi-join plan with
+    one extra min-doc aggregate, then the cut is a per-document
+    collect_list of that document's OWN spans (bounded by doc length)
+    joined back and applied as a JVM higher-order filter over the token
+    array — no Python stage, no corpus-sized broadcast."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    occ = df.select(
+        F.col(doc_col).alias("__d"),
+        F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
+    )
+    if hash_key:
+        occ = occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
+    else:
+        occ = occ.withColumnRenamed("__s", "__key")
+    dup = (
+        occ.groupBy("__key")
+        .agg(
+            F.count_distinct("__d").alias("__nd"),
+            F.min("__d").alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__key", "__keeper")
+    )
+    marked = (
+        occ.join(dup, "__key")
+        .filter(F.col("__d") != F.col("__keeper"))
+        .select("__d", "__pos")
+    )
+    w = Window.partitionBy("__d").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    isl = marked.withColumn(
+        "__new",
+        F.when(prev.isNull() | (F.col("__pos") - prev > k), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        isl.groupBy("__d", "__isl")
+        .agg(
+            F.min("__pos").alias("__a"),
+            (F.max("__pos") + F.lit(k)).alias("__b"),
+        )
+        .groupBy("__d")
+        .agg(
+            F.collect_list(F.struct("__a", "__b")).alias("__spans")
+        )
+    )
+    toks = tokens(F.col(text_col))
+    cut = (
+        df.select(F.col(doc_col), F.col(text_col))
+        .join(spans, F.col(doc_col) == F.col("__d"), "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__kept",
+            F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
+                # index each token, drop the ones inside any excised span
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.col("__toks"),
+                            lambda t, i: F.struct(
+                                t.alias("t"), i.alias("i")
+                            ),
+                        ),
+                        lambda x: ~F.exists(
+                            F.col("__spans"),
+                            lambda s: (x["i"] >= s["__a"])
+                            & (x["i"] < s["__b"]),
+                        ),
+                    ),
+                    lambda x: x["t"],
+                )
+            ),
+        )
+    )
+    return cut.select(
+        F.col(doc_col),
+        F.array_join("__kept", " ").alias("text_clean"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_removed"),
+    )

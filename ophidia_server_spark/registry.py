@@ -12495,3 +12495,174 @@ def dedup_url_groups(spark, sf_dir):
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# Shared fixture for the duplicate-span gates: the base corpus plus, for
+# every 10th document (with >= 17 tokens), a "remix" doc that copies tokens
+# 3..17 — a PROPER substring overlap, so spans (not whole-doc dups) are what
+# the operator must find. Deterministic in both engines.
+_DUP_SPAN_OCC_SQL = r"""WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(toks[3:17], ' ') AS text
+  FROM base WHERE doc_id % 10 = 0 AND len(toks) >= 17
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM corpus
+), pos0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  FROM tk
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS sh
+  FROM pos0
+)"""
+
+_DUP_SPAN_CORPUS_SQL = _DUP_SPAN_OCC_SQL + r""", dup AS (
+  SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM occ WHERE sh IN (SELECT sh FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos)
+                       OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS nw
+  FROM marked
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+         COUNT(*) AS n_dup_grams
+  FROM grp GROUP BY doc_id, g
+)"""
+
+
+def _dup_span_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = tx.tokens(F.col("text"))
+    remix = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(toks) >= 17)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 3, 15), " ").alias("text"),
+    )
+    return docs.unionByName(remix)
+
+
+@q(
+    "dedup_duplicate_spans",
+    _DUP_SPAN_CORPUS_SQL
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start AS BIGINT) AS span_tokens,
+       CAST(n_dup_grams AS BIGINT) AS n_dup_grams
+FROM spans""",
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicate spans (pipeline/dedup.py duplicate_spans):
+    exact substring dedup at the token-span grain — every 8-gram shared by
+    >= 2 docs marks its occurrences, overlapping/adjoining marks merge to
+    maximal spans. The fixture plants proper substring overlaps (token
+    3..17 remixes of every 10th doc), so the expected output is SPANS
+    inside documents, not whole-doc groups; every span hash-matched
+    against DuckDB's independent window-mirror."""
+    from ophidia_server_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(_dup_span_corpus(spark, sf_dir), k=8, min_docs=2)
+
+
+@q(
+    "dedup_span_coverage",
+    _DUP_SPAN_CORPUS_SQL
+    + """, cov AS (
+  SELECT doc_id, SUM(span_end - span_start) AS dt
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dt, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(dt, 0) AS DOUBLE)
+             / GREATEST(len(toks), 1), 6) AS dup_fraction
+FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id""",
+)
+def dedup_span_coverage(spark, sf_dir):
+    """Per-document duplicate-token coverage (pipeline/dedup.py
+    duplicate_span_coverage) — the removal-decision metric over
+    duplicate_spans: the fraction of each doc's tokens inside a
+    cross-document duplicate span; EVERY doc reports (clean docs carry
+    0.0). Hash-matched per document."""
+    from ophidia_server_spark.pipeline.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(_dup_span_corpus(spark, sf_dir), k=8,
+                                   min_docs=2)
+
+
+@q(
+    "dedup_excise_spans",
+    _DUP_SPAN_OCC_SQL
+    + """, dup AS (
+  SELECT sh, MIN(doc_id) AS keeper FROM occ GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (sh)
+  WHERE occ.doc_id <> dup.keeper
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos)
+                       OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS nw
+  FROM marked
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) + 8 AS b
+  FROM grp GROUP BY doc_id, g
+), toked AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS pos
+  FROM tk
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos FROM toked t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos >= s.a AND t.pos < s.b)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+       COALESCE(clean, '') AS text_clean,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM tk LEFT JOIN rebuilt ON tk.doc_id = rebuilt.doc_id""",
+)
+def dedup_excise_spans(spark, sf_dir):
+    """Duplicate-span removal (pipeline/dedup.py excise_duplicate_spans):
+    each duplicated 8-gram keeps its min-doc owner; every other doc's
+    occurrences merge to maximal spans and are CUT from the token stream.
+    The rebuilt text of every document (keeper docs untouched, remix docs
+    losing their copied passage) is hash-matched against DuckDB's
+    independent unnest + NOT EXISTS range mirror."""
+    from ophidia_server_spark.pipeline.dedup import excise_duplicate_spans
+
+    return excise_duplicate_spans(_dup_span_corpus(spark, sf_dir), k=8,
+                                  min_docs=2)

@@ -12,9 +12,14 @@ quadratic-law outlier cannot eat the session.
 
 Usage:
   SPARK_GRAFT_SF_DIR=/tmp/ophidia_sf10 SPARK_GRAFT_CPUS=32 \
-  python scripts/sfn_probe.py q1,q2,... [--no-warm]
+  python scripts/sfn_probe.py q1,q2,... [--no-warm] [--timeout=SEC]
 
-Prints one JSON line {"queries": {name: sec}, "sf_dir": ..., "warm": bool}.
+Prints one JSON line {"queries": {name: sec}, "errors": {name: msg},
+"skipped": [...], "sf_dir": ..., "warm": bool}. `errors` records queries
+whose run raised (a named scale guard firing IS a probe result — e.g.
+BlockCardinalityError at a decade the blocking key wasn't sized for);
+`skipped` lists the queries abandoned after one query's warm-up+timed wall
+time exceeded the --timeout budget.
 """
 
 from __future__ import annotations
@@ -35,6 +40,10 @@ def main() -> None:
 
     names = [n for n in sys.argv[1].split(",") if n]
     warm = "--no-warm" not in sys.argv[2:]
+    timeout = None
+    for arg in sys.argv[2:]:
+        if arg.startswith("--timeout="):
+            timeout = float(arg.split("=", 1)[1])
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
@@ -45,14 +54,34 @@ def main() -> None:
         return BENCH_VARIANTS.get(name, QUERIES[name])
 
     out: dict[str, float] = {}
-    for name in names:
-        if warm:
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
+    for pos, name in enumerate(names):
+        wall0 = time.perf_counter()
+        try:
+            if warm:
+                fn(name)(spark, sf_dir).collect()
+            t0 = time.perf_counter()
             fn(name)(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        fn(name)(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — a named guard firing at
+            # this scale IS a probe result (e.g. BlockCardinalityError);
+            # record it and keep probing the rest of the list
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"## {name}: ERROR {errors[name][:200]}",
+                  file=sys.stderr, flush=True)
+            continue
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"## {name}: {out[name]}s", file=sys.stderr, flush=True)
-    print(json.dumps({"queries": out, "sf_dir": sf_dir, "warm": warm}))
+        # budget check AFTER the query completes (never abort mid-query):
+        # one quadratic-law outlier forfeits the rest of the list, loudly
+        if timeout is not None and time.perf_counter() - wall0 > timeout:
+            skipped = names[pos + 1:]
+            if skipped:
+                print(f"## budget exceeded by {name}; skipping {skipped}",
+                      file=sys.stderr, flush=True)
+            break
+    print(json.dumps({"queries": out, "errors": errors, "skipped": skipped,
+                      "sf_dir": sf_dir, "warm": warm}))
 
 
 if __name__ == "__main__":
