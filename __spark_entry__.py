@@ -103,7 +103,10 @@ PRIORITY = [
     # semantic check. The raw probe queries stay registered in the tail.
     "sim_lsh_recall",
     "sim_ivf_recall",
-    "sim_int8_topk",
+    # round-10 head swap: the ANN family kept three graded rows; one cedes
+    # its seat to the new duplicate-SPAN dedup flagship (sub-document
+    # substring dedup). sim_int8_topk stays judge-graded in the tail.
+    "dedup_duplicate_spans",
     "dedup_minhash_recall",
     "text_bm25_search",
     "text_quality",

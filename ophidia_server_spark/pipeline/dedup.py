@@ -1141,6 +1141,47 @@ def blocked_link(
 # ---------------------------------------------------------------------------
 
 
+def _occurrences(
+    df: DataFrame, text_col: str, k: int, doc_col: str, hash_key: bool,
+) -> DataFrame:
+    """(__d, __pos, __key) k-gram occurrence table: one explode per doc,
+    key = the shingle string or its xxhash64 code (the byte-volume lever)."""
+    occ = df.select(
+        F.col(doc_col).alias("__d"),
+        F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
+    )
+    if hash_key:
+        return occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
+    return occ.withColumnRenamed("__s", "__key")
+
+
+def _merge_marked_offsets(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of marked k-gram offsets into maximal spans.
+
+    Two marked offsets p < q cover overlapping-or-adjoining tokens iff
+    q - p <= k ([p, p+k) and [q, q+k) leave no uncovered gap), so a new
+    island starts where the offset step exceeds k. Input (__d, __pos);
+    output one row per maximal span (__d, span_start, span_end exclusive,
+    n_dup_grams). Two windows over the same (__d, __pos) partitioning —
+    the second reuses the first's shuffle+sort."""
+    w = Window.partitionBy("__d").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    isl = marked.withColumn(
+        "__new",
+        F.when(prev.isNull() | (F.col("__pos") - prev > k), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("__d", "__isl").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + F.lit(k)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1180,14 +1221,7 @@ def duplicate_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    occ = df.select(
-        F.col(doc_col).alias("__d"),
-        F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
-    )
-    if hash_key:
-        occ = occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
-    else:
-        occ = occ.withColumnRenamed("__s", "__key")
+    occ = _occurrences(df, text_col, k, doc_col, hash_key)
     dup = (
         occ.groupBy("__key")
         .agg(F.count_distinct("__d").alias("__nd"))
@@ -1195,31 +1229,12 @@ def duplicate_spans(
         .select("__key")
     )
     marked = occ.join(dup, "__key", "semi").select("__d", "__pos")
-    w = Window.partitionBy("__d").orderBy("__pos")
-    prev = F.lag("__pos").over(w)
-    isl = marked.withColumn(
-        "__new",
-        F.when(prev.isNull() | (F.col("__pos") - prev > k), 1).otherwise(0),
-    ).withColumn(
-        "__isl",
-        F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        isl.groupBy("__d", "__isl")
-        .agg(
-            F.min("__pos").cast("long").alias("span_start"),
-            (F.max("__pos") + F.lit(k)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
-        )
-        .select(
-            F.col("__d").alias(doc_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-            "n_dup_grams",
-        )
+    return _merge_marked_offsets(marked, k).select(
+        F.col("__d").alias(doc_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        "n_dup_grams",
     )
 
 
@@ -1298,14 +1313,7 @@ def excise_duplicate_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    occ = df.select(
-        F.col(doc_col).alias("__d"),
-        F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
-    )
-    if hash_key:
-        occ = occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
-    else:
-        occ = occ.withColumnRenamed("__s", "__key")
+    occ = _occurrences(df, text_col, k, doc_col, hash_key)
     dup = (
         occ.groupBy("__key")
         .agg(
@@ -1320,22 +1328,12 @@ def excise_duplicate_spans(
         .filter(F.col("__d") != F.col("__keeper"))
         .select("__d", "__pos")
     )
-    w = Window.partitionBy("__d").orderBy("__pos")
-    prev = F.lag("__pos").over(w)
-    isl = marked.withColumn(
-        "__new",
-        F.when(prev.isNull() | (F.col("__pos") - prev > k), 1).otherwise(0),
-    ).withColumn(
-        "__isl",
-        F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
     spans = (
-        isl.groupBy("__d", "__isl")
-        .agg(
-            F.min("__pos").alias("__a"),
-            (F.max("__pos") + F.lit(k)).alias("__b"),
+        _merge_marked_offsets(marked, k)
+        .select(
+            "__d",
+            F.col("span_start").alias("__a"),
+            F.col("span_end").alias("__b"),
         )
         .groupBy("__d")
         .agg(

@@ -182,6 +182,52 @@ def contamination_flags(
     )
 
 
+def contamination_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    doc_col: str = "doc_id",
+    hash_key: bool = False,
+) -> DataFrame:
+    """WHERE the contamination is: maximal token spans of each batch
+    document covered by k-gram shingles that appear anywhere in `ref`
+    (the eval/benchmark corpus) — the span-grain sibling of
+    `contamination_flags` (which only says THAT a doc is contaminated).
+    The spans feed targeted excision or human review instead of dropping
+    whole documents whose overlap is one quoted sentence.
+
+    Returns (doc_col, span_start, span_end, span_tokens, n_hit_grams) —
+    0-based token offsets, end exclusive; clean docs produce no rows.
+
+    Scale shape: the reference collapses to a distinct-shingle table once
+    (eval sets are small, but the plan does not rely on it: the mark is a
+    shingle-keyed semi-join, both sides shuffled on the key, no broadcast
+    requirement); the island merge is dedup.py's per-document window over
+    marked offsets only. `hash_key=True` shuffles xxhash64 codes instead
+    of k-token strings, same lever as duplicate_spans."""
+    from ophidia_server_spark.pipeline.dedup import (
+        _merge_marked_offsets,
+        _occurrences,
+    )
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    occ = _occurrences(df, text_col, k, doc_col, hash_key)
+    ref_occ = _occurrences(
+        ref.select(F.lit(0).alias("__rid"), F.col(text_col)),
+        text_col, k, "__rid", hash_key,
+    ).select("__key").distinct()
+    marked = occ.join(ref_occ, "__key", "semi").select("__d", "__pos")
+    return _merge_marked_offsets(marked, k).select(
+        F.col("__d").alias(doc_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        F.col("n_dup_grams").alias("n_hit_grams"),
+    )
+
+
 def chunk_documents(
     df: DataFrame, chunk_tokens: int = 64, overlap_tokens: int = 16,
     text_col: str = "text",

@@ -12666,3 +12666,67 @@ def dedup_excise_spans(spark, sf_dir):
 
     return excise_duplicate_spans(_dup_span_corpus(spark, sf_dir), k=8,
                                   min_docs=2)
+
+
+@q(
+    "text_contamination_spans",
+    r"""WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), rtk AS (
+  SELECT list_filter(regexp_split_to_array(trim(
+             array_to_string(toks[5:24], ' ')), '\s+'),
+                     t -> t <> '') AS toks
+  FROM base WHERE doc_id % 25 = 0 AND len(toks) >= 24
+), rpos AS (
+  SELECT toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  FROM rtk
+), rocc AS (
+  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS sh FROM rpos
+), pos0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+  FROM base
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS sh
+  FROM pos0
+), marked AS (
+  SELECT doc_id, pos FROM occ WHERE sh IN (SELECT sh FROM rocc)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos)
+                       OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS nw
+  FROM marked
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM grp GROUP BY doc_id, g""",
+)
+def text_contamination_spans(spark, sf_dir):
+    """Span-grain eval-set contamination (pipeline/text.py
+    contamination_spans): every 25th document donates tokens 5..24 as a
+    deterministic 'benchmark passage'; the operator must locate exactly
+    that window (and any incidental shared grams) in every batch document
+    — each span hash-matched against DuckDB's independent mirror. The
+    span output is what targeted excision consumes, vs
+    text_contamination's doc-level verdicts."""
+    from ophidia_server_spark.pipeline.text import contamination_spans
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = tx.tokens(F.col("text"))
+    ref = docs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.size(toks) >= 24)
+    ).select(F.array_join(F.slice(toks, 5, 20), " ").alias("text"))
+    return contamination_spans(docs, ref, k=8)

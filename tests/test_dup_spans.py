@@ -162,3 +162,46 @@ def test_excise_validation(spark):
         excise_duplicate_spans(df, k=1)
     with pytest.raises(ValueError, match="min_docs must be >= 2"):
         excise_duplicate_spans(df, min_docs=1)
+
+
+def _cspans(spark, batch_rows, ref_texts, **kw):
+    from ophidia_server_spark.pipeline.text import contamination_spans
+
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    out = contamination_spans(_df(spark, batch_rows), ref, **kw)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_hit_grams)
+        for r in out.collect()
+    )
+
+
+def test_contamination_span_locates_the_quoted_passage(spark):
+    # doc 1 quotes the eval passage "a b c d e" at token offset 3: with
+    # k=3 the three hit grams merge into exactly that window
+    got = _cspans(spark, [
+        (1, "x y z a b c d e q q"),
+        (2, "totally clean content here now"),
+    ], ["a b c d e"], k=3)
+    assert got == [(1, 3, 8, 5, 3)]
+
+
+def test_contamination_two_passages_two_spans(spark):
+    got = _cspans(spark, [
+        (1, "a b c m m m m x y z"),
+    ], ["a b c", "x y z"], k=3)
+    assert got == [(1, 0, 3, 3, 1), (1, 7, 10, 3, 1)]
+
+
+def test_contamination_hash_key_matches(spark):
+    rows = [(1, "x y z a b c d e q q"), (2, "clean here")]
+    assert _cspans(spark, rows, ["a b c d e"], k=3, hash_key=True) == \
+        _cspans(spark, rows, ["a b c d e"], k=3)
+
+
+def test_contamination_validation(spark):
+    from ophidia_server_spark.pipeline.text import contamination_spans
+
+    df = _df(spark, [(1, "a b c")])
+    ref = _df(spark, [(9, "a b c")]).select("text")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        contamination_spans(df, ref, k=1)
