@@ -1486,20 +1486,24 @@ def text_fingerprint(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # dedup  (LLM pipeline) — synthetic duplicates injected: every doc_id % 10 == 0
-# is re-added with doc_id+100000 so dedup finds real groups
+# is re-added with doc_id+100000000 so dedup finds real groups
 # ---------------------------------------------------------------------------
 
+# clone ids sit FAR above any real doc_id at every probed scale: the
+# original +100000 offset collided with genuine ids on the sf10 replica
+# (doc_id stride 5000 x 100 copies reaches 499999), silently merging a
+# clone with an unrelated real document
 _DUP_CTE = """dup_input AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 10 = 0
 )"""
 
 
 def _dup_input(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir)["documents"].select("doc_id", "text")
     extra = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + 100000000).alias("doc_id"), "text"
     )
     return d.unionByName(extra)
 
@@ -1556,8 +1560,8 @@ def _grade_pairs(spark, docs, pairs, twin_exact, within):
             pairs.groupBy("doc_a", "doc_b").count().filter(F.col("count") > 1)
             .count() == 0
         )
-        injected = docs.filter(F.col("doc_id") >= 100000).select(
-            (F.col("doc_id") - 100000).alias("doc_a"),
+        injected = docs.filter(F.col("doc_id") >= 100000000).select(
+            (F.col("doc_id") - 100000000).alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
         )
         n_inj = injected.count()
@@ -1604,8 +1608,8 @@ def dedup_simhash(spark, sf_dir):
     sigs = dd.simhash(docs).persist()
     try:
         one_per_doc = int(sigs.count() == docs.count())
-        twins = sigs.filter(F.col("doc_id") >= 100000).select(
-            (F.col("doc_id") - 100000).alias("doc_id"),
+        twins = sigs.filter(F.col("doc_id") >= 100000000).select(
+            (F.col("doc_id") - 100000000).alias("doc_id"),
             F.col("simhash").alias("__dup_sig"),
         )
         n_inj = twins.count()
@@ -1672,7 +1676,7 @@ def dedup_simhash_removal(spark, sf_dir):
         partition_ok = int(n_kept + n_losers == n_docs)
         reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
         reps_kept = int(reps.join(kept, "doc_id", "left_anti").count() == 0)
-        injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+        injected = docs.filter(F.col("doc_id") >= 100000000).select("doc_id")
         n_injected = injected.count()
         dups_removed = int(
             n_injected > 0
@@ -4722,7 +4726,7 @@ def dedup_minhash_clusters(spark, sf_dir):
     rows-only dump of LSH-dependent output:
       rep_is_min          every cluster's representative IS its min doc_id;
       one_cluster_per_doc a doc belongs to exactly one cluster;
-      injected_clustered  every injected verbatim copy (doc_id + 100000)
+      injected_clustered  every injected verbatim copy (doc_id + 1e8)
                           shares a cluster with its twin — identical text
                           gives identical signatures, so LSH banding pairs
                           them deterministically;
@@ -4742,11 +4746,11 @@ def dedup_minhash_clusters(spark, sf_dir):
             clusters.groupBy("doc_id").count().filter(F.col("count") > 1).count()
             == 0
         )
-        twins = clusters.filter(F.col("doc_id") >= 100000).select(
-            (F.col("doc_id") - 100000).alias("doc_id"),
+        twins = clusters.filter(F.col("doc_id") >= 100000000).select(
+            (F.col("doc_id") - 100000000).alias("doc_id"),
             F.col("cluster_rep").alias("__rep_dup"),
         )
-        n_injected = docs.filter(F.col("doc_id") >= 100000).count()
+        n_injected = docs.filter(F.col("doc_id") >= 100000000).count()
         injected_ok = int(
             n_injected > 0
             and twins.join(clusters, "doc_id")
@@ -4790,7 +4794,7 @@ def dedup_near_removal(spark, sf_dir):
         partition_ok = int(n_kept + n_losers == n_docs)
         reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
         reps_kept = int(reps.join(kept, "doc_id", "left_anti").count() == 0)
-        injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+        injected = docs.filter(F.col("doc_id") >= 100000000).select("doc_id")
         n_injected = injected.count()
         dups_removed = int(
             n_injected > 0
@@ -8396,7 +8400,7 @@ def dedup_removal_grade(spark, sf_dir):
     as the ANN recall grades): for each ladder over the injected-duplicate
     corpus, assert (a) kept + dropped partitions the input exactly, (b)
     every cluster's min-id representative is kept, and (c) every injected
-    verbatim duplicate (doc_id + 100000) was dropped. The oracle pins the
+    verbatim duplicate (doc_id + 1e8) was dropped. The oracle pins the
     expected all-ones verdict; any invariant break hash-mismatches."""
     docs = _dup_input(spark, sf_dir)
     n_docs = docs.count()
@@ -8416,9 +8420,9 @@ def dedup_removal_grade(spark, sf_dir):
         # every representative is kept (reps never appear in losers)
         reps = clusters.select(F.col("cluster_rep").alias("doc_id")).distinct()
         reps_kept = int(reps.join(losers, "doc_id", "left_semi").count() == 0)
-        # injected verbatim copies (id >= 100000) must all be dropped:
-        # each has an exact twin at id - 100000, always in its cluster
-        injected = docs.filter(F.col("doc_id") >= 100000).select("doc_id")
+        # injected verbatim copies (id >= 100000000) must all be dropped:
+        # each has an exact twin at id - 100000000, always in its cluster
+        injected = docs.filter(F.col("doc_id") >= 100000000).select("doc_id")
         n_injected = injected.count()
         n_injected_dropped = injected.join(losers, "doc_id", "left_semi").count()
         dups_removed = int(n_injected_dropped == n_injected and n_injected > 0)
@@ -11505,7 +11509,7 @@ def sample_leakage_free_split(spark, sf_dir):
     hash), so exact duplicates can never straddle splits — the
     contamination-by-duplication failure a naive per-doc split causes.
     Over the injected-twin corpus every %10==0 doc shares its group's
-    fate with its +100000 twin, which the oracle reproduces exactly
+    fate with its +1e8 twin, which the oracle reproduces exactly
     (10%% val / 10%% test carved from the unit interval). One content-hash
     aggregate + a key join; the split itself is a pure map."""
     from ophidia_server_spark.pipeline.sampling import split_column
