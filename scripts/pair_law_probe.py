@@ -75,10 +75,23 @@ def main() -> None:
         .first()["c"]
     )
 
-    # --- MinHash LSH: the dedup_minhash_pairs bucketing (band signatures)
-    sigs = dd.minhash_signatures(docs)
+    # --- MinHash LSH: dedup_minhash_pairs' exact corpus and banding
+    # (num_hashes=32, bands=8 -> r=4; bucket = hash of each 4-slice of the
+    # signature — the same expressions minhash_lsh_pairs joins on)
+    from ophidia_server_spark.registry import _dup_input
+
+    corpus = _dup_input(spark, sf_dir)
+    sigs = dd.minhash_signatures(corpus, "text", 32, 3).filter(
+        F.col("sig").isNotNull()
+    )
+    r, bands = 4, 8
     buckets = sigs.select(
-        F.posexplode(dd.band_keys(F.col("signature"))).alias("__band", "__key")
+        F.posexplode(
+            F.array(*[
+                F.hash(F.slice(F.col("sig"), i * r + 1, r))
+                for i in range(bands)
+            ])
+        ).alias("__band", "__key")
     )
     mh_cand = (
         buckets.groupBy("__band", "__key")
