@@ -21,6 +21,7 @@ from ophidia_server_spark.ckpt import checkpoint as _ckpt
 
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+    chunks: int = 1,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph (edges in
     either direction; self-loops and duplicates are cleaned first) — the
@@ -35,7 +36,21 @@ def triangle_counts(
     graphs. Wedges (a<b, a<c) self-join on a, close against the oriented
     edge set (b,c), and each closed triangle credits all three corners
     through one explode + count. Three shuffles (degree agg, wedge join,
-    closure join) — no driver materialization."""
+    closure join) — no driver materialization.
+
+    `chunks=K` bounds the PEAK intermediate footprint, not the total
+    work: the closure join must sort O(total wedges) rows, and that sort's
+    spill is the disk high-water mark — the sf10 decade probe measured it
+    exceeding a single box's ~80 GB scratch while the sf1 run fit
+    (BASELINE.md round-10 decade protocol). With K > 1 the wedge CENTERS
+    hash-split into K rounds (pmod(xxhash64(lo), K)); each round
+    materializes only its share of the wedge table, its per-node partial
+    counts (bounded by node count) are truncated out of the round's
+    lineage, and a JVM GC nudge lets Spark's ContextCleaner drop the
+    round's shuffle files before the next round begins. Exact same
+    counts at any K — every wedge lands in exactly one round. On a
+    cluster the equivalent knob is executor count x local disk; chunks
+    is the one-box expression of the same bound."""
     raw = edges.select(
         F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
     ).filter(F.col("__x") != F.col("__y"))
@@ -56,21 +71,60 @@ def triangle_counts(
         F.when(fwd, F.col("__a")).otherwise(F.col("__b")).alias("__lo"),
         F.when(fwd, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
     )
-    w1 = oriented.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
-    w2 = oriented.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
-    wedges = w1.join(w2, "__p").filter(F.col("__q") < F.col("__r"))
-    # close the wedge against the undirected edge set (q,r) with q < r —
-    # und is already stored in (min, max) order, so one equi-join suffices
-    tri = wedges.join(
-        und,
-        (F.col("__q") == F.col("__a")) & (F.col("__r") == F.col("__b")),
-    ).select("__p", "__q", "__r")
-    return (
-        tri.select(
-            F.explode(F.array("__p", "__q", "__r")).alias("node")
+    def _count_for(ori: DataFrame) -> DataFrame:
+        w1 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
+        w2 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
+        wedges = w1.join(w2, "__p").filter(F.col("__q") < F.col("__r"))
+        # close the wedge against the undirected edge set (q,r) with q < r —
+        # und is already stored in (min, max) order, so one equi-join suffices
+        tri = wedges.join(
+            und,
+            (F.col("__q") == F.col("__a")) & (F.col("__r") == F.col("__b")),
+        ).select("__p", "__q", "__r")
+        return (
+            tri.select(
+                F.explode(F.array("__p", "__q", "__r")).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+    if int(chunks) <= 1:
+        return _count_for(oriented)
+
+    from pyspark.storagelevel import StorageLevel
+
+    spark = edges.sparkSession
+    # DISK_ONLY, deliberately: chunked mode exists to run wedge volumes
+    # that DON'T fit the box, so the edge cache must not compete with the
+    # rounds' sort/join execution memory (MEMORY_AND_DISK here OOMed the
+    # 8g local heap at sf10 — 120M cached edge rows plus 32 concurrent
+    # sorters). Reading the edge set back from local disk per round is
+    # noise next to the round's wedge sort.
+    oriented = oriented.persist(StorageLevel.DISK_ONLY)
+    und = und.persist(StorageLevel.DISK_ONLY)
+    totals: DataFrame | None = None
+    for i in range(int(chunks)):
+        part = oriented.filter(
+            F.pmod(F.xxhash64("__lo"), F.lit(int(chunks))) == i
+        )
+        # eager truncation materializes this round's partial counts NOW,
+        # so the round's wedge-sort spill becomes collectable...
+        cnt = _ckpt(_count_for(part))
+        totals = cnt if totals is None else totals.unionByName(cnt)
+        # ...and the GC nudge hands the dead shuffle references to
+        # ContextCleaner before the next round allocates its own spill
+        # (cleaner is reference-queue driven; without the nudge cleanup
+        # waits for an organic full GC and rounds stack on disk)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    oriented.unpersist()
+    und.unpersist()
+    return (
+        totals.groupBy("node")
+        .agg(F.sum("n_triangles").cast("long").alias("n_triangles"))
     )
 
 

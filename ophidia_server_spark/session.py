@@ -14,7 +14,15 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from thread count:
+# the sf10 decade probe measured the per-event window/join family at 2x the
+# family ratio purely from 32 fixed partitions (310k rows each) — 128
+# partitions at the same 32 threads halved those queries (BASELINE.md
+# round-10 decade protocol). A cluster gets this from AQE's
+# initialPartitionNum; this env var is the one-box expression of it.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+)
 
 PKG_ZIP_NAME = "ophidia_server_spark_pkg.zip"
 

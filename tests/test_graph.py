@@ -52,6 +52,24 @@ def test_triangle_counts_handcrafted_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_counts_chunked_rounds_are_exact(spark):
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    # two K4s sharing node 4 plus a pendant: chunked execution must
+    # reproduce the single-pass counts exactly for any K, including K
+    # larger than the number of wedge centers (empty rounds)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 6), (4, 7), (4, 8), (6, 7), (6, 8), (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+    assert base == {1: 3, 2: 3, 3: 3, 4: 6, 6: 3, 7: 3, 8: 3}
+    for k in (2, 3, 64):
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df, chunks=k).collect()}
+        assert got == base, f"chunks={k} diverged"
+
+
 def test_triangle_counts_triangle_free_graph_is_empty(spark):
     from ophidia_server_spark.pipeline.graph import triangle_counts
 
