@@ -1303,6 +1303,10 @@ def excise_duplicate_spans(
     remaining tokens re-joined with single spaces (the tokenizer's
     canonical form; offsets are token-grain, so sub-token whitespace is
     not preserved — matching the rest of the token-based dedup family).
+    Single-pass by design: tokens that become adjacent across a cut can
+    in principle form NEW shared k-grams (the same property as the
+    public reference implementations of this transform); re-run to a
+    fixed point if that matters for the corpus.
 
     Scale shape: duplicate_spans' explode/aggregate/semi-join plan with
     one extra min-doc aggregate, then the cut is a per-document
