@@ -256,6 +256,9 @@ HEADLINE = [
     "events_qnorm_quantized",
     "dedup_duplicate_spans",
     "dedup_span_coverage",
+    "dedup_excise_spans",
+    "text_contamination_spans",
+    "pack_fim_split",
 ]
 
 

@@ -1207,6 +1207,14 @@ def duplicate_spans(
     Documents with no duplicated shingle produce no rows. Deterministic,
     so every span is DuckDB-oracle checkable.
 
+    Family map (all built on the same mark-and-merge core):
+    this function REPORTS spans; `duplicate_span_coverage` scores docs by
+    them; `excise_duplicate_spans` cuts them keeping ONE surviving copy
+    per passage; packing.remove_repeated_spans is the remove-EVERYWHERE
+    variant (no keeper — the passage leaves the corpus entirely);
+    text.contamination_spans marks against a reference corpus instead of
+    self-duplication.
+
     Scale shape: one explode to (doc, offset, shingle) — n_tokens rows per
     document, a pure map stage; duplication is a shingle-keyed aggregate +
     semi-join back (both shuffle on the shingle, uniformly keyed by

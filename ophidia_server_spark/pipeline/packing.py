@@ -334,6 +334,11 @@ def remove_repeated_spans(
     documents, and rebuild the text from the surviving tokens. Unlike
     whole-document dedup this cuts the repeated SPANS (boilerplate headers,
     license blocks, templated fragments) while keeping the unique remainder.
+    This is the remove-EVERYWHERE policy (the passage leaves the corpus
+    entirely — right for boilerplate); dedup.excise_duplicate_spans is the
+    keep-one-copy sibling (the min-doc owner's occurrence survives — right
+    for legitimate content that happens to be syndicated), and
+    dedup.duplicate_spans reports the spans without cutting.
 
     Shape at scale: one posexplode to (doc, pos, gram); gram document
     frequency over distinct (doc, gram) pairs (term-keyed, never
@@ -459,4 +464,67 @@ def dedup_lines(
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
+    )
+
+
+def fim_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    middle_frac: float = 0.3,
+    min_tokens: int = 8,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle training samples (the public FIM formulation —
+    Bavarian et al. 2022, "Efficient Training of Language Models to Fill
+    in the Middle"): split each document's token stream into
+    (prefix, middle, suffix) around a deterministically chosen span, so
+    the loader can emit PSM/SPM permutations. The span is content-
+    addressed — start offset = md5-coin(id, salt) % (n - m + 1), middle
+    length m = max(1, floor(n * middle_frac)) — so the dataset is
+    byte-reproducible across runs and engines (change `salt` for a fresh
+    epoch of cuts; compose with sampling.hash_sample upstream to apply a
+    FIM rate < 1).
+
+    Documents shorter than `min_tokens` pass through whole (fim = false,
+    text in `prefix`, empty middle/suffix) — nothing is silently dropped.
+    Returns (id_col, n_tokens, fim, prefix, middle, suffix). Pure map
+    stage: one md5 + three array slices per row, zero shuffle at any
+    corpus size."""
+    if not 0.0 < float(middle_frac) < 1.0:
+        raise ValueError(
+            f"middle_frac must be in (0, 1), got {middle_frac}"
+        )
+    if int(min_tokens) < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from ophidia_server_spark.functions.hashing import hex8_long
+    from ophidia_server_spark.pipeline.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    m = F.greatest(
+        F.lit(1), F.floor(n * F.lit(float(middle_frac))).cast("int")
+    )
+    eligible = n >= int(min_tokens)
+    # the If branch is evaluated lazily, so the pmod divisor (n - m + 1)
+    # is only touched when eligible (it is 0 for empty docs, which ANSI
+    # mode would reject)
+    s = F.when(
+        eligible, F.pmod(hex8_long(F.col(id_col), salt), n - m + 1)
+    ).otherwise(F.lit(0)).cast("int")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        eligible.alias("fim"),
+        F.when(eligible, F.concat_ws(" ", F.slice(toks, 1, s)))
+        .otherwise(F.concat_ws(" ", toks)).alias("prefix"),
+        F.when(eligible, F.concat_ws(" ", F.slice(toks, s + 1, m)))
+        .otherwise(F.lit("")).alias("middle"),
+        F.when(
+            eligible,
+            F.concat_ws(
+                " ",
+                F.slice(toks, s + m + 1, F.greatest(n - s - m, F.lit(0))),
+            ),
+        ).otherwise(F.lit("")).alias("suffix"),
     )

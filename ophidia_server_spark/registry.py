@@ -7310,6 +7310,46 @@ def train_global_shuffle(spark, sf_dir):
 
 
 @q(
+    "pack_fim_split",
+    f"""WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         GREATEST(1, CAST(FLOOR(len(toks) * 0.3) AS BIGINT)) AS m,
+         {_HEX8.format(key="CAST(doc_id AS VARCHAR) || ':fim'")} AS coin
+  FROM tk
+), pos AS (
+  SELECT doc_id, toks, n, m,
+         CASE WHEN n >= 8 THEN coin % (n - m + 1) ELSE 0 END AS s
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       n >= 8 AS fim,
+       CASE WHEN n >= 8
+            THEN COALESCE(array_to_string(toks[1:CAST(s AS BIGINT)], ' '), '')
+            ELSE array_to_string(toks, ' ') END AS prefix,
+       CASE WHEN n >= 8
+            THEN COALESCE(array_to_string(
+                toks[CAST(s + 1 AS BIGINT):CAST(s + m AS BIGINT)], ' '), '')
+            ELSE '' END AS middle,
+       CASE WHEN n >= 8
+            THEN COALESCE(array_to_string(
+                toks[CAST(s + m + 1 AS BIGINT):CAST(n AS BIGINT)], ' '), '')
+            ELSE '' END AS suffix
+FROM pos""",
+)
+def pack_fim_split(spark, sf_dir):
+    """Fill-in-the-middle sample construction (pipeline/packing.py
+    fim_split): deterministic (prefix, middle, suffix) cut around a
+    content-addressed span — start = md5-coin(id,'fim') % (n - m + 1),
+    m = max(1, floor(0.3 n)). Every split string hash-matches DuckDB's
+    independent slice mirror; sub-8-token docs pass through whole with
+    fim = false."""
+    return pk.fim_split(_t(spark, sf_dir)["documents"])
+
+
+@q(
     "text_repeated_ngrams",
     f"""WITH t AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
