@@ -117,3 +117,25 @@ def test_lazy_checkpoint_defers_in_both_modes(spark, reliable_dir):
     # materializes it (kcore's one-job-per-round pattern)
     out = checkpoint(_pipeline(spark), eager=False)
     assert out.count() == 7
+
+
+def test_chunked_triangles_identical_across_backends(spark, tmp_path):
+    # round-10 interaction: chunked triangle counting truncates each
+    # round's partial counts through the same helper — both backends must
+    # produce the single-pass counts exactly
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 6), (4, 7), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = sorted(tuple(r) for r in triangle_counts(df).collect())
+    local = sorted(tuple(r) for r in triangle_counts(df, chunks=3).collect())
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "tri_ckpt"))
+    try:
+        reliable = sorted(
+            tuple(r) for r in triangle_counts(df, chunks=3).collect()
+        )
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert local == reliable == base
+    assert dict(base) == {1: 3, 2: 3, 3: 3, 4: 4, 6: 1, 7: 1}
