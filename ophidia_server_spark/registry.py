@@ -12553,7 +12553,7 @@ _DUP_SPAN_OCC_SQL = r"""WITH base AS (
 ), corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + 100000000 AS doc_id,
          array_to_string(toks[3:17], ' ') AS text
   FROM base WHERE doc_id % 10 = 0 AND len(toks) >= 17
 ), tk AS (
@@ -12599,7 +12599,7 @@ def _dup_span_corpus(spark, sf_dir):
     remix = docs.filter(
         (F.col("doc_id") % 10 == 0) & (F.size(toks) >= 17)
     ).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + 100000000).alias("doc_id"),
         F.array_join(F.slice(toks, 3, 15), " ").alias("text"),
     )
     return docs.unionByName(remix)

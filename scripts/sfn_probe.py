@@ -69,11 +69,14 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"
             print(f"## {name}: ERROR {errors[name][:200]}",
                   file=sys.stderr, flush=True)
-            continue
-        out[name] = round(time.perf_counter() - t0, 3)
-        print(f"## {name}: {out[name]}s", file=sys.stderr, flush=True)
-        # budget check AFTER the query completes (never abort mid-query):
-        # one quadratic-law outlier forfeits the rest of the list, loudly
+        else:
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"## {name}: {out[name]}s", file=sys.stderr, flush=True)
+        # budget check AFTER the query completes OR raises (never abort
+        # mid-query): an erroring query can burn just as much wall time as a
+        # completing one — e.g. a spill-bound join that dies on disk-full
+        # after 20 minutes — so both paths count against the budget and
+        # forfeit the rest of the list, loudly
         if timeout is not None and time.perf_counter() - wall0 > timeout:
             skipped = names[pos + 1:]
             if skipped:
