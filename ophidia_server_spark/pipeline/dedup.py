@@ -116,6 +116,104 @@ def minhash_signatures(
     return _sigs_from_shingle_sets(sh, num_hashes)
 
 
+class BucketCardinalityError(RuntimeError):
+    """Raised when a banded-LSH pair API's candidate volume — the sum over
+    band buckets of C(n, 2) — exceeds the caller's `max_candidates` budget:
+    the named signal that the corpus has hot buckets (boilerplate shingles,
+    flat images, clone cliques) that would make the bucket self-join
+    quadratic at this scale. The message lists the hottest buckets and
+    their sizes so the caller can pre-drop degenerate content, raise the
+    band count, or opt into `cap_bucket=`. The same executable-guard
+    contract as BlockCardinalityError / features.EcdfCardinalityError."""
+
+
+def _guard_banded_candidates(
+    banded: DataFrame,
+    bucket_cols: list,
+    id_col: str,
+    max_candidates: int | None,
+    cap_bucket: int | None,
+    api: str,
+) -> DataFrame:
+    """O(buckets) candidate-volume pre-pass for banded self-join pair APIs.
+
+    Sums C(n, 2) over every band bucket — the EXACT number of candidate
+    rows the `a.id < b.id` bucket self-join will emit (a pair colliding in
+    k bands counts k times, which is the real shuffle/verify volume before
+    dropDuplicates) — with one grouped count + one scalar aggregate, before
+    any quadratic work runs. The sf10 lesson promoted to code: at that
+    decade dHash generated 19.5B candidates under clone cliques, a fact
+    previously discoverable only via a side probe script
+    (scripts/pair_law_probe.py); now every banded API totals it up front.
+
+    Above `max_candidates`, raises BucketCardinalityError naming the ten
+    hottest buckets. `cap_bucket=k` deterministically truncates every
+    bucket to its k smallest-`id_col` rows (per-bucket candidates <=
+    C(k, 2)) and warns with the exact dropped-candidate count — recall
+    explicitly traded for a bound, mirroring blocked_link's `cap_blocks`.
+    The budget check runs on the CAPPED sizes, so cap_bucket also
+    satisfies the budget it restores. Both None skips the pre-pass (and
+    this function is not called at all).
+
+    Returns the (possibly truncated) banded table."""
+    import warnings
+
+    pairs_of = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # noqa: E731
+    sizes = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    dropped = 0
+    if cap_bucket is not None:
+        c = int(cap_bucket)
+        if c < 1:
+            raise ValueError(f"cap_bucket must be >= 1, got {cap_bucket}")
+        tot = sizes.agg(
+            F.sum(pairs_of(F.col("__n"))).alias("raw"),
+            F.sum(pairs_of(F.least(F.col("__n"), F.lit(c)))).alias("capped"),
+        ).first()
+        effective = int(tot["capped"] or 0)
+        dropped = int(tot["raw"] or 0) - effective
+    else:
+        tot = sizes.agg(F.sum(pairs_of(F.col("__n"))).alias("raw")).first()
+        effective = int(tot["raw"] or 0)
+    if max_candidates is not None and effective > int(max_candidates):
+        hot = (
+            sizes.orderBy(F.desc("__n"), *[F.asc(k) for k in bucket_cols])
+            .limit(10)
+            .collect()
+        )
+        listing = "; ".join(
+            "(" + ", ".join(f"{k}={r[k]!r}" for k in bucket_cols)
+            + f"): {r['__n']:,} rows" for r in hot
+        )
+        raise BucketCardinalityError(
+            f"{api} would generate ~{effective:,} candidate pairs "
+            f"(> max_candidates={int(max_candidates):,}) — hot band buckets "
+            f"make the self-join quadratic at this scale. Hottest buckets: "
+            f"{listing}. Pre-drop degenerate content (boilerplate, flat "
+            "images), raise bands/num_hashes, pass cap_bucket= to bound "
+            "every bucket (recall trade, dropped candidates are counted), "
+            "or max_candidates=None to accept the cost"
+        )
+    if dropped > 0:
+        warnings.warn(
+            f"{api} cap_bucket={int(cap_bucket)} truncated hot buckets: "
+            f"{dropped:,} candidate pairs dropped (each bucket keeps its "
+            f"cap_bucket smallest-{id_col} rows) — near-dups whose every "
+            "shared bucket was truncated are the explicit recall trade",
+            stacklevel=3,
+        )
+        w = Window.partitionBy(*bucket_cols).orderBy(F.asc(id_col))
+        return (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(cap_bucket))
+            .drop("__rn")
+        )
+    return banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -123,6 +221,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_candidates: int | None = 100_000_000,
+    cap_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature-estimated
     Jaccard. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
@@ -130,6 +230,14 @@ def minhash_lsh_pairs(
     bands × rows_per_band = num_hashes; docs sharing any band bucket become
     candidates (bucket self-join — sub-quadratic); candidates are scored by
     fraction of matching minhashes.
+
+    Candidate volume is GUARDED, not prose: an O(buckets) Σ C(n, 2)
+    pre-pass (one grouped count over the banded table, which reads the
+    already-persisted signatures) totals the self-join's output before it
+    runs; above `max_candidates` (default 100M) a named
+    BucketCardinalityError lists the hottest buckets, and `cap_bucket=k`
+    bounds every bucket with an exact dropped-candidate count — see
+    _guard_banded_candidates.
     """
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_k).filter(
@@ -150,6 +258,11 @@ def minhash_lsh_pairs(
             F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
         ).alias("band", "bucket"),
     )
+    if max_candidates is not None or cap_bucket is not None:
+        banded = _guard_banded_candidates(
+            banded, ["band", "bucket"], "doc_id", max_candidates, cap_bucket,
+            "minhash_lsh_pairs",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     # score BEFORE deduplicating candidates: a pair colliding in k bands is
@@ -235,6 +348,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3,
     bands: int | None = None,
+    max_candidates: int | None = 100_000_000,
+    cap_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from SimHash signatures: band the 64-bit
     signature into `bands` contiguous chunks (pigeonhole: two signatures
@@ -247,14 +362,22 @@ def simhash_pairs(
     O(docs x bands), never O(docs^2). The exact-verify step is bounded by
     candidate count. bands defaults to max_hamming + 1 (the smallest count
     with a recall guarantee); band widths tile all 64 bits even when 64 %
-    bands != 0."""
+    bands != 0.
+
+    Clone cliques / degenerate corpora (every empty doc simhashes to 0)
+    concentrate one band value — that hazard is guarded by the same
+    Σ C(n, 2) pre-pass + BucketCardinalityError + `cap_bucket` contract as
+    minhash_lsh_pairs (the pre-pass reads the persisted signature table,
+    which the self-join needs anyway)."""
     if bands is None:
         bands = max_hamming + 1
     if max_hamming >= bands:
         raise ValueError("pigeonhole requires max_hamming < bands")
     if bands > 64:
         raise ValueError("at most 64 bands over a 64-bit signature")
-    sigs = simhash(df, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = simhash(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     base_w, extra = divmod(64, bands)
     chunks = []
     off = 0
@@ -279,6 +402,11 @@ def simhash_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if max_candidates is not None or cap_bucket is not None:
+        banded = _guard_banded_candidates(
+            banded, ["band", "val"], "doc_id", max_candidates, cap_bucket,
+            "simhash_pairs",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -298,6 +426,8 @@ def simhash_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.8,
     num_hashes: int = 16, bands: int = 4,
+    max_candidates: int | None = 100_000_000,
+    cap_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over LSH-blocked candidate pairs.
 
@@ -323,6 +453,13 @@ def ngram_jaccard_pairs(
             F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
         ).alias("bucket"),
     )
+    if max_candidates is not None or cap_bucket is not None:
+        # column pruning drops the heavy shingle arrays from the count
+        # pre-pass; only (bucket, doc_id) flow into the guard's aggregates
+        banded = _guard_banded_candidates(
+            banded, ["bucket"], "doc_id", max_candidates, cap_bucket,
+            "ngram_jaccard_pairs",
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))

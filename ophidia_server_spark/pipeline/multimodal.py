@@ -507,6 +507,8 @@ def dhash_gray(
 
 def dhash_near_dup(
     codes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    max_candidates: int | None = 100_000_000,
+    cap_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs from dHash codes — LOSSLESS banded
     search: the 64-bit code (two 32-bit words from `dhash_gray`) splits
@@ -523,8 +525,13 @@ def dhash_near_dup(
     Shape at scale: one explode (x4), one bucket-keyed shuffle join,
     distinct, verify. A degenerate corpus where one band value dominates
     (e.g. flat images hashing to 0) degrades to that bucket's product —
-    the same hot-bucket caveat as every LSH family; salt or pre-drop
-    known-flat codes upstream."""
+    and that hazard is GUARDED, not prose (the sf10 lesson: clone cliques
+    put 19.5B candidates behind this join, discoverable only by a side
+    probe): the same O(buckets) Σ C(n, 2) pre-pass + named
+    BucketCardinalityError + `cap_bucket` contract as
+    dedup.minhash_lsh_pairs runs before the self-join. The code table
+    (3 longs/row) is persisted so the pre-pass never re-runs an upstream
+    decode pipeline."""
     if not 0 <= int(max_hamming) <= 3:
         raise ValueError(
             f"max_hamming must be in [0, 3] for lossless 4-band search "
@@ -533,6 +540,10 @@ def dhash_near_dup(
     good = codes.filter(F.col("ok") == 1).select(
         F.col(id_col).alias("__id"), "code_lo", "code_hi"
     )
+    if max_candidates is not None or cap_bucket is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        good = good.persist(StorageLevel.MEMORY_AND_DISK)
     mask = F.lit(0xFFFF)
     banded = good.select(
         "__id", "code_lo", "code_hi",
@@ -545,6 +556,13 @@ def dhash_near_dup(
             )
         ).alias("__band", "__val"),
     )
+    if max_candidates is not None or cap_bucket is not None:
+        from ophidia_server_spark.pipeline.dedup import _guard_banded_candidates
+
+        banded = _guard_banded_candidates(
+            banded, ["__band", "__val"], "__id", max_candidates, cap_bucket,
+            "dhash_near_dup",
+        )
     a, b = banded.alias("a"), banded.alias("b")
     ham = (
         F.bit_count(F.col("a.code_lo").bitwiseXOR(F.col("b.code_lo")))
