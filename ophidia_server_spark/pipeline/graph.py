@@ -19,9 +19,13 @@ from pyspark.sql import functions as F
 from ophidia_server_spark.ckpt import checkpoint as _ckpt
 
 
+_WEDGE_SPILL_BYTES = 64  # measured: sf10 probe, 4.1B wedges / 12 rounds
+# spilled ~20 GB -> ~59 B per wedge through the closure sort; 64 rounds up
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
-    chunks: int = 1,
+    chunks: int | str = "auto",
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph (edges in
     either direction; self-loops and duplicates are cleaned first) — the
@@ -38,11 +42,21 @@ def triangle_counts(
     through one explode + count. Three shuffles (degree agg, wedge join,
     closure join) — no driver materialization.
 
-    `chunks=K` bounds the PEAK intermediate footprint, not the total
+    `chunks` bounds the PEAK intermediate footprint, not the total
     work: the closure join must sort O(total wedges) rows, and that sort's
     spill is the disk high-water mark — the sf10 decade probe measured it
     exceeding a single box's ~80 GB scratch while the sf1 run fit
-    (BASELINE.md round-10 decade protocol). With K > 1 the wedge CENTERS
+    (BASELINE.md round-10 decade protocol). The default `chunks="auto"`
+    sizes K itself (round 11, retiring the hand knob the sf10 run
+    needed): the exact wedge total is one cheap aggregate over the
+    oriented out-degree table the algorithm already builds
+    (Σ d·(d−1)/2), and K = ceil(wedges × ~64 B/wedge ÷ scratch budget),
+    where the budget defaults to 32 GB and is overridable via
+    SPARK_GRAFT_TRIANGLE_SCRATCH_GB (on a cluster: per-executor local
+    disk × executor count). When the estimate fits the budget, K=1 —
+    single-pass, no rounds (the oriented edge set is persisted either
+    way in auto mode: the estimate pre-pass materializes it, and both
+    the wedge and closure sides re-read it). With K > 1 the wedge CENTERS
     hash-split into K rounds (pmod(xxhash64(lo), K)); each round
     materializes only its share of the wedge table, its per-node partial
     counts (bounded by node count) are truncated out of the round's
@@ -89,10 +103,39 @@ def triangle_counts(
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         )
 
+    from pyspark.storagelevel import StorageLevel
+
+    if isinstance(chunks, str):
+        if chunks != "auto":
+            raise ValueError(f"chunks must be an int or 'auto', got {chunks!r}")
+        import math
+        import os
+
+        # DISK_ONLY for the same reason as the chunked rounds below; the
+        # estimate action materializes the cache the counting passes reuse
+        oriented = oriented.persist(StorageLevel.DISK_ONLY)
+        wedge_total = (
+            oriented.groupBy("__lo")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .agg(
+                F.sum(
+                    F.col("__d") * (F.col("__d") - 1) / F.lit(2)
+                ).alias("__w")
+            )
+            .first()["__w"]
+        )
+        budget_gb = float(
+            os.environ.get("SPARK_GRAFT_TRIANGLE_SCRATCH_GB", "32")
+        )
+        chunks = max(
+            1,
+            math.ceil(
+                float(wedge_total or 0) * _WEDGE_SPILL_BYTES
+                / (budget_gb * 1e9)
+            ),
+        )
     if int(chunks) <= 1:
         return _count_for(oriented)
-
-    from pyspark.storagelevel import StorageLevel
 
     spark = edges.sparkSession
     # DISK_ONLY, deliberately: chunked mode exists to run wedge volumes
@@ -101,7 +144,8 @@ def triangle_counts(
     # 8g local heap at sf10 — 120M cached edge rows plus 32 concurrent
     # sorters). Reading the edge set back from local disk per round is
     # noise next to the round's wedge sort.
-    oriented = oriented.persist(StorageLevel.DISK_ONLY)
+    if not oriented.is_cached:
+        oriented = oriented.persist(StorageLevel.DISK_ONLY)
     und = und.persist(StorageLevel.DISK_ONLY)
     totals: DataFrame | None = None
     for i in range(int(chunks)):

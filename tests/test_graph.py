@@ -70,6 +70,30 @@ def test_triangle_counts_chunked_rounds_are_exact(spark):
         assert got == base, f"chunks={k} diverged"
 
 
+def test_triangle_counts_auto_chunks(spark, monkeypatch):
+    from ophidia_server_spark.pipeline.graph import triangle_counts
+
+    # same two-K4 graph: auto must equal manual at any budget. The default
+    # budget (32 GB) keeps this 13-wedge graph single-pass; a ~1 KB budget
+    # forces K > 1 and the rounds must still reproduce exact counts
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 6), (4, 7), (4, 8), (6, 7), (6, 8), (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df, chunks=1).collect()}
+    auto = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+    assert auto == base
+    monkeypatch.setenv("SPARK_GRAFT_TRIANGLE_SCRATCH_GB", "0.000001")
+    tiny = {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df, chunks="auto").collect()}
+    assert tiny == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunks must be an int or 'auto'"):
+        triangle_counts(df, chunks="all")
+
+
 def test_triangle_counts_triangle_free_graph_is_empty(spark):
     from ophidia_server_spark.pipeline.graph import triangle_counts
 
