@@ -259,6 +259,12 @@ HEADLINE = [
     "dedup_excise_spans",
     "text_contamination_spans",
     "pack_fim_split",
+    # round-11: the composed IVF-PQ store — the build row pays PQ training
+    # + encode + partitioned write; the topk row is the pruned code-column
+    # ADC scan + shortlist rerank, to be read against sim_ivf_topk (same
+    # nprobe — the code-scan-vs-float-scan comparison)
+    "sim_ivfpq_build",
+    "sim_ivfpq_topk",
 ]
 
 
@@ -320,22 +326,38 @@ def main() -> None:
     from ophidia_server_spark import registry as _registry
 
     _registry._VSTORE_CACHE.clear()
-    # Two timed passes, per-query minimum: this microVM's CPU allocation
-    # swings run-to-run (identical code has measured 26-72 s for the same
-    # suite across a day — see BASELINE.md); the min of two passes is the
-    # standard steady-state estimator and halves that noise without hiding
-    # real cost. The build rows (sim_*_build) stay single-pass: the second
-    # pass would hit the build-once cache and time a no-op.
-    timings: dict[str, float] = {}
-    once = {"sim_ivf_build", "sim_lsh_build"}
-    for rep in range(2):
+    # SPARK_GRAFT_BENCH_REPEATS=k timed interleaved passes (default 2),
+    # per-query minimum as the headline number: this microVM's CPU
+    # allocation swings run-to-run (identical code has measured 26-72 s for
+    # the same suite across a day — see BASELINE.md), and single-record
+    # tails have whipsawed 0.91x-1.72x across rounds on ~1.0x real change.
+    # The min of k passes is the standard steady-state estimator; the
+    # per-query min/median/max spread is ALSO emitted ("spread" key) so a
+    # regression ruling can be checked against the measured variance band
+    # (BASELINE.md "Variance band") instead of a coin flip. The build rows
+    # (sim_*_build) stay single-pass: a second pass would hit the
+    # build-once cache and time a no-op.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    once = {"sim_ivf_build", "sim_lsh_build", "sim_ivfpq_build"}
+    for rep in range(repeats):
         for name in HEADLINE:
             if rep and name in once:
                 continue
             t0 = time.perf_counter()
             _bench_fn(name)(spark, sf_dir).collect()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    timings = {n: min(s) for n, s in samples.items()}
+
+    def _median(s: list[float]) -> float:
+        s = sorted(s)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+    spread = {
+        n: {"min": min(s), "median": _median(s), "max": max(s), "n": len(s)}
+        for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -344,6 +366,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -18,11 +18,28 @@ from pyspark.sql import SparkSession
 # the sf10 decade probe measured the per-event window/join family at 2x the
 # family ratio purely from 32 fixed partitions (310k rows each) — 128
 # partitions at the same 32 threads halved those queries (BASELINE.md
-# round-10 decade protocol). A cluster gets this from AQE's
-# initialPartitionNum; this env var is the one-box expression of it.
+# round-10 decade protocol). Round 11 makes that fix ADAPTIVE instead of a
+# knob the operator must know about: AQE's
+# coalescePartitions.initialPartitionNum defaults to 4x the thread count
+# (the measured sf10 sweet spot), so big shuffles start wide and AQE's
+# coalescing shrinks small-scale plans back to ~advisory-sized partitions
+# at runtime. The env var remains as an explicit override of BOTH the
+# static width and the AQE initial width.
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
     "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
 )
+
+
+def _initial_partition_num(explicit: str | None) -> str:
+    """AQE initial shuffle width: the explicit override verbatim, else 4x
+    the local thread count (cluster configs should instead size it to
+    cores x a wave factor via spark-submit)."""
+    if explicit:
+        return explicit
+    try:
+        return str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return "128"
 
 PKG_ZIP_NAME = "ophidia_server_spark_pkg.zip"
 
@@ -71,12 +88,24 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
     initial value cheap, so production configs should raise it (or rely on
     `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
     """
-    cpus = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    explicit = shuffle_partitions or os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+    )
+    cpus = explicit or DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles WIDE and let AQE coalesce down: the sf10 probe
+        # measured the window/join family at 2x cost under 32 fixed
+        # partitions, recovered at 128 — 4x threads is the default initial
+        # width; small-scale shuffles coalesce back to advisory size at
+        # runtime so sf0.1 plans are unchanged in effective width
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            _initial_partition_num(explicit),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
