@@ -635,7 +635,15 @@ def stream_window_upsert_to_snapshots(
         # exclusive commit (a marker amended after the commit would reopen
         # both the torn-manifest and the batch-0-replay windows).
         if not snapshot_versions(table_path):
-            snapshot_write(changed, table_path, batch_id=int(batch_id))
+            # stats on the merge keys from the FIRST commit: every later
+            # micro-batch's snapshot_upsert then prunes its touched-file
+            # scan to the files whose (window_start, key) envelopes the
+            # batch actually hits — the commit cost tracks the batch's
+            # window span, not the table's lifetime file count
+            snapshot_write(
+                changed, table_path, batch_id=int(batch_id),
+                stats_cols=["window_start", key_col],
+            )
         else:
             snapshot_upsert(
                 batch_df.sparkSession, table_path, changed,
@@ -722,24 +730,54 @@ def snapshot_upsert(
     immutable, so their stats COPY over for free; only the rewritten files
     get a fresh stats pass.
 
+    The touched-file SCAN is itself stats-pruned (round 11 — the
+    streaming-commit-floor fix): when the manifest records stats on any
+    key column, one tiny aggregate over `updates` yields the batch's key
+    bounds, and only files whose [min, max] envelope intersects them are
+    scanned for the exact semi-join. A matched key's value lies inside
+    the batch bounds on every covered column, so the pruned candidate set
+    is a superset of the truly-touched files — correctness never depends
+    on the stats (files without stats are conservatively scanned). Before
+    this, every micro-batch commit re-read the WHOLE state table to find
+    touched files — the fixed overhead that capped the windowed-ingest
+    sink at ~0.2 Hz regardless of cluster size (BASELINE.md "Sustained
+    streaming ingest", round-10 table).
+
     Returns {version, files_total, files_rewritten, files_written}."""
     import os as _os
 
     man = _read_manifest(path)
-    store = spark.read.parquet(*man["files"])
     upd_keys = updates.select(*key_cols).distinct()
-    tagged = store.withColumn("__file", F.input_file_name())
-    # Normalize BOTH sides of every file-identity comparison below —
-    # executor paths via _norm_executor_path (absolute + percent-encoded),
-    # manifest paths via _norm_path (caller-constructed raw strings, NO
-    # decode). With a relative table path the raw strings never match,
-    # `kept` would retain the rewritten files too, and every upserted key
-    # would silently read back duplicated.
-    touched = sorted(
-        _norm_executor_path(r["__file"])
-        for r in tagged.join(upd_keys, key_cols, "left_semi")
-        .select("__file").distinct().collect()
-    )
+    covered = [c for c in key_cols if c in (man.get("stats_cols") or [])]
+    candidates = man["files"]
+    if covered and man.get("stats"):
+        bounds = upd_keys.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in covered],
+            *[F.max(c).alias(f"__hi_{c}") for c in covered],
+        ).first()
+        ranges = {
+            c: (bounds[f"__lo_{c}"], bounds[f"__hi_{c}"])
+            for c in covered if bounds[f"__lo_{c}"] is not None
+        }
+        if ranges:
+            candidates = _prune_by_stats(man, ranges)
+    if candidates:
+        store = spark.read.option("mergeSchema", "true").parquet(*candidates)
+        tagged = store.withColumn("__file", F.input_file_name())
+        # Normalize BOTH sides of every file-identity comparison below —
+        # executor paths via _norm_executor_path (absolute +
+        # percent-encoded), manifest paths via _norm_path
+        # (caller-constructed raw strings, NO decode). With a relative
+        # table path the raw strings never match, `kept` would retain the
+        # rewritten files too, and every upserted key would silently read
+        # back duplicated.
+        touched = sorted(
+            _norm_executor_path(r["__file"])
+            for r in tagged.join(upd_keys, key_cols, "left_semi")
+            .select("__file").distinct().collect()
+        )
+    else:
+        touched = []
     if touched:
         survivors = spark.read.option("mergeSchema", "true").parquet(
             *touched
