@@ -452,11 +452,14 @@ def pq_codebooks(
 
 
 def pq_encode(
-    df: DataFrame, books: list, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame, books: list, vec_col: str = "embedding",
+    id_col: str = "vec_id", keep: tuple = (),
 ) -> DataFrame:
     """Encode each vector to m uint8 codes (argmin centroid per subspace) —
     a dense batched matmul per subspace inside an Arrow Pandas UDF. Output
-    is ~dim*4/m bytes per vector smaller (e.g. 64-dim float -> 8 bytes)."""
+    is ~dim*4/m bytes per vector smaller (e.g. 64-dim float -> 8 bytes).
+    `keep` passes extra columns through unchanged (the IVF-PQ build keeps
+    the cell assignment and the float vector alongside the codes)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -477,19 +480,18 @@ def pq_encode(
 
     _enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
     enc = F.pandas_udf(_enc, T.ArrayType(T.ShortType()))
-    return df.select(id_col, enc(F.col(vec_col).cast("array<double>")).alias("pq_codes"))
+    return df.select(
+        id_col, *keep,
+        enc(F.col(vec_col).cast("array<double>")).alias("pq_codes"),
+    )
 
 
-def pq_topk(
-    codes: DataFrame, books: list, query_vec: list, k: int = 10,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: the (m x k) lookup table of
-    squared distances query-subvector -> centroid is built driver-side
-    (tiny), then scoring is PURE JVM — transform-with-index over the code
-    array reads the flattened table literal, aggregate sums it. No Python in
-    the scan, so the compressed corpus scores at full codegen speed;
-    orderBy+limit is Spark's TakeOrdered (k per partition, driver merge)."""
+def pq_adc_dist(books: list, query_vec: list) -> Column:
+    """The asymmetric-distance-computation expression over a `pq_codes`
+    array column: the (m x k) lookup table of squared distances
+    query-subvector -> centroid is built driver-side (tiny literal), and
+    the per-row sum is PURE JVM (transform-with-index + aggregate). Shared
+    by the corpus-wide pq_topk scan and the IVF-PQ pruned probe."""
     import numpy as np
 
     m = len(books)
@@ -507,7 +509,20 @@ def pq_topk(
         F.col("pq_codes"),
         lambda c, i: F.element_at(tbl, (i * kcent + c.cast("int") + 1).cast("int")),
     )
-    dist = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+
+
+def pq_topk(
+    codes: DataFrame, books: list, query_vec: list, k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the (m x k) lookup table of
+    squared distances query-subvector -> centroid is built driver-side
+    (tiny), then scoring is PURE JVM — transform-with-index over the code
+    array reads the flattened table literal, aggregate sums it. No Python in
+    the scan, so the compressed corpus scores at full codegen speed;
+    orderBy+limit is Spark's TakeOrdered (k per partition, driver merge)."""
+    dist = pq_adc_dist(books, query_vec)
     return (
         codes.select(id_col, F.round(dist, 6).alias("pq_dist"))
         .orderBy("pq_dist", id_col)

@@ -176,18 +176,42 @@ def load_index(path: str) -> VectorIndex:
 def ivf_build(
     df: DataFrame, path: str, n_cells: int = 16, codebook: str = "kmeans",
     leaders: list | None = None, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", codes: str = "float",
+    pq_m: int = 8, pq_k: int = 16,
 ) -> VectorIndex:
     """Build the IVF store: train (or accept) the codebook, cell-assign every
     vector, write parquet partitioned by `__cell` (one build-time shuffle to
     cluster rows by cell — each vector moves once, ever).
-    """
+
+    `codes="pq"` composes PQ INSIDE the IVF cells — the standard
+    100 TB serving shape (FAISS IVFPQ): per-subspace PQ codebooks train on
+    a bounded sample, every row stores an extra `pq_codes` array
+    (~pq_m bytes) next to its float vector, and `ivf_probe` then scans
+    ONLY the code column in the nprobe pruned partitions, exact-reranking
+    just the ADC shortlist's float vectors. Probe byte volume drops from
+    (pruned rows x float dim x 4) to (pruned rows x pq_m) + (shortlist x
+    dim x 4); the parquet column projection is what delivers it, so one
+    store serves both the compressed scan and the exact rerank."""
     if leaders is None:
         if codebook == "kmeans":
             leaders = sim.ivf_kmeans_codebook(df, n_cells, vec_col, id_col)
         else:
             leaders = sim.ivf_leaders(df, n_cells, id_col, vec_col)
     assigned = sim.ivf_assign(df, leaders, vec_col).select(id_col, vec_col, "__cell")
+    params = {
+        "n_cells": len(leaders),
+        "leaders": [list(map(float, L)) for L in leaders],
+    }
+    if codes == "pq":
+        books = sim.pq_codebooks(df, m=pq_m, k=pq_k, vec_col=vec_col,
+                                 id_col=id_col)
+        assigned = sim.pq_encode(
+            assigned, books, vec_col=vec_col, id_col=id_col,
+            keep=(vec_col, "__cell"),
+        )
+        params["pq_books"] = [[list(map(float, c)) for c in B] for B in books]
+    elif codes != "float":
+        raise ValueError(f"codes must be 'float' or 'pq', got {codes!r}")
     # cluster rows by cell before the partitioned write: without this every
     # input task writes a file into every cell directory (tasks x cells small
     # files — 8k at local scale, millions at 100 TB); after it each cell is
@@ -195,21 +219,34 @@ def ivf_build(
     # over all probes.
     _clustered_partitioned_write(assigned, path, "__cell", id_col, len(leaders))
     idx = VectorIndex(
-        kind="ivf", path=path, id_col=id_col, vec_col=vec_col,
-        params={"n_cells": len(leaders), "leaders": [list(map(float, L)) for L in leaders]},
+        kind="ivf", path=path, id_col=id_col, vec_col=vec_col, params=params,
     )
     idx.save_sidecar()
     return idx
 
 
+def _pq_books(index: VectorIndex):
+    import numpy as np
+
+    return [np.asarray(B, dtype="float64") for B in index.params["pq_books"]]
+
+
 def ivf_probe(
     spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
-    k: int = 10, nprobe: int = 4,
+    k: int = 10, nprobe: int = 4, shortlist: int | None = None,
 ) -> DataFrame:
     """Probe the materialized IVF store: pick the nprobe closest cells
     driver-side (n_cells dot products on the tiny codebook), read ONLY those
     parquet partitions, score exact cosine inside them.  Plan: pruned scan ->
-    JVM cosine fold -> TakeOrdered.  No Python stage, no full-corpus read."""
+    JVM cosine fold -> TakeOrdered.  No Python stage, no full-corpus read.
+
+    On a `codes="pq"` store the pruned scan reads the 8-byte PQ code
+    column instead of the float vectors: ADC (sim.pq_adc_dist, pure JVM)
+    ranks the pruned rows, the top `shortlist` (default 5k) candidate ids
+    broadcast-semi-join back against the SAME pruned partitions for the
+    exact-cosine rerank — two column-pruned scans of nprobe partitions,
+    never a full-corpus read, and the heavy column is only decoded for
+    shortlist rows."""
     if isinstance(index, str):
         index = load_index(index)
     leaders = index.params["leaders"]
@@ -220,7 +257,19 @@ def ivf_probe(
     ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     stored = spark.read.parquet(index.path)
-    scored = stored.filter(F.col("__cell").isin(probe_cells)).select(
+    pruned = stored.filter(F.col("__cell").isin(probe_cells))
+    if index.params.get("pq_books"):
+        books = _pq_books(index)
+        cand = (
+            pruned.select(
+                index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
+            )
+            .orderBy("__d", index.id_col)
+            .limit(int(shortlist or 5 * k))
+            .select(index.id_col)
+        )
+        pruned = pruned.join(F.broadcast(cand), index.id_col)
+    scored = pruned.select(
         F.col(index.id_col),
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
     )
@@ -379,6 +428,13 @@ def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
         assigned = sim.ivf_assign(
             df, index.params["leaders"], index.vec_col
         ).select(index.id_col, index.vec_col, "__cell")
+        if index.params.get("pq_books"):
+            # the BUILD's PQ codebooks, straight from the sidecar — an
+            # appended batch is encoded with the exact geometry probes use
+            assigned = sim.pq_encode(
+                assigned, _pq_books(index), vec_col=index.vec_col,
+                id_col=index.id_col, keep=(index.vec_col, "__cell"),
+            )
     else:
         assigned = _lsh_bucketize(
             df, index.params["dim"], index.params["bits"],
