@@ -596,6 +596,7 @@ def stream_window_upsert_to_snapshots(
     width: str = "1 hour",
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = 1,
+    state_partitions: int | None = None,
 ) -> None:
     """The REAL 100 TB ingest shape: watermarked tumbling-window
     aggregation maintained INTO the versioned store. Each micro-batch
@@ -614,7 +615,15 @@ def stream_window_upsert_to_snapshots(
     n (bigint), total (double R6). availableNow drains and stops;
     max_files_per_trigger=1 makes each source file its own micro-batch so
     the watermark ADVANCES between files (how late-data semantics are
-    actually exercised; None lets the engine batch freely)."""
+    actually exercised; None lets the engine batch freely).
+
+    `state_partitions` sizes the streaming state store (the number is
+    frozen into the checkpoint at first start — Spark's standard
+    micro-batch latency knob): per-batch cost carries one task per state
+    partition regardless of rows, so a small windowed state behind a
+    fast cadence wants FEWER partitions than the session's shuffle
+    default, while a 100 TB key space wants more. None keeps the session
+    conf; the session conf is restored after the stream drains."""
 
     def _commit(batch_df, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_path):
@@ -628,27 +637,44 @@ def stream_window_upsert_to_snapshots(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),
             key_col, "n", "total",
-        )
+        ).persist()  # the MERGE reads the batch three times (key bounds,
+        # touched-file semi-join, rewrite union); one state-store
+        # evaluation instead of three
         # bootstrap on "no committed version yet", NOT on the manifests
         # dir existing — _manifest_dir() mkdirs as a side effect of the
         # batch-id lookup above. The batch id rides INSIDE snapshot_write's
         # exclusive commit (a marker amended after the commit would reopen
         # both the torn-manifest and the batch-0-replay windows).
-        if not snapshot_versions(table_path):
-            # stats on the merge keys from the FIRST commit: every later
-            # micro-batch's snapshot_upsert then prunes its touched-file
-            # scan to the files whose (window_start, key) envelopes the
-            # batch actually hits — the commit cost tracks the batch's
-            # window span, not the table's lifetime file count
-            snapshot_write(
-                changed, table_path, batch_id=int(batch_id),
-                stats_cols=["window_start", key_col],
-            )
-        else:
-            snapshot_upsert(
-                batch_df.sparkSession, table_path, changed,
-                ["window_start", key_col], batch_id=batch_id,
-            )
+        try:
+            if not snapshot_versions(table_path):
+                # stats on the merge keys + range-split files from the
+                # FIRST commit: every later micro-batch's snapshot_upsert
+                # prunes its touched-file scan to the files whose
+                # window_start slice the batch actually hits, so the
+                # commit cost tracks the batch's window span, not the
+                # state table's size (the round-11 commit-floor fix — a
+                # single all-windows bootstrap file would be "touched" by
+                # every batch forever)
+                n_split = int(
+                    batch_df.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                )
+                snapshot_write(
+                    changed.repartitionByRange(
+                        n_split, F.col("window_start")
+                    ),
+                    table_path, batch_id=int(batch_id),
+                    stats_cols=["window_start", key_col],
+                )
+            else:
+                snapshot_upsert(
+                    batch_df.sparkSession, table_path, changed,
+                    ["window_start", key_col], batch_id=batch_id,
+                    range_split="window_start", touched_by="stats",
+                )
+        finally:
+            changed.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -668,14 +694,22 @@ def stream_window_upsert_to_snapshots(
         )
         .select(F.col("__w.start").alias("window_start"), key_col, "n", "total")
     )
-    (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(_commit)
-        .option("checkpointLocation", table_path + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(_commit)
+            .option("checkpointLocation", table_path + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def snapshot_read(
@@ -718,7 +752,8 @@ def snapshot_pruned_read(
 
 def snapshot_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str],
-    batch_id: int | None = None,
+    batch_id: int | None = None, range_split: str | None = None,
+    touched_by: str = "exact",
 ) -> dict:
     """Copy-on-write MERGE that PRESERVES history: like merge_upsert, only
     the files containing a matched key are rewritten — but the replaced
@@ -743,6 +778,24 @@ def snapshot_upsert(
     sink at ~0.2 Hz regardless of cluster size (BASELINE.md "Sustained
     streaming ingest", round-10 table).
 
+    Pruning only pays if files have NARROW key envelopes: a file spanning
+    the table's whole key range is touched by every batch and the rewrite
+    degenerates to a full-table copy-on-write. `range_split` names a
+    column to range-repartition the rewritten data on before writing, so
+    each new file covers a contiguous key slice (AQE coalescing merges
+    NEIGHBORING range partitions, keeping envelopes tight at any batch
+    size) — the recipe that holds the windowed streaming sink's commit
+    cost to the batch's window span at steady state.
+
+    `touched_by="stats"` goes one step further for latency-critical
+    commits: the stat-pruned candidate set IS the touched set — no exact
+    semi-join job at all. Rewriting a candidate that holds no matched key
+    is merely wasted copy-on-write (its rows pass through the anti-join
+    unchanged into the new file), never a correctness issue; with
+    range-split files the candidates and the true touched set coincide
+    anyway. Falls back to the exact scan when no key column has stats
+    (candidates would be every file).
+
     Returns {version, files_total, files_rewritten, files_written}."""
     import os as _os
 
@@ -750,6 +803,7 @@ def snapshot_upsert(
     upd_keys = updates.select(*key_cols).distinct()
     covered = [c for c in key_cols if c in (man.get("stats_cols") or [])]
     candidates = man["files"]
+    pruned = False
     if covered and man.get("stats"):
         bounds = upd_keys.agg(
             *[F.min(c).alias(f"__lo_{c}") for c in covered],
@@ -761,7 +815,10 @@ def snapshot_upsert(
         }
         if ranges:
             candidates = _prune_by_stats(man, ranges)
-    if candidates:
+            pruned = True
+    if touched_by == "stats" and pruned:
+        touched = sorted(_norm_path(f) for f in candidates)
+    elif candidates:
         store = spark.read.option("mergeSchema", "true").parquet(*candidates)
         tagged = store.withColumn("__file", F.input_file_name())
         # Normalize BOTH sides of every file-identity comparison below —
@@ -788,6 +845,46 @@ def snapshot_upsert(
 
     import json as _json
 
+    stats_cols = man.get("stats_cols")
+    obs = None
+    if range_split is not None:
+        if len(touched) <= 8:
+            # steady-state micro-batch: everything being rewritten already
+            # lies inside the batch's key envelope (touched files overlap
+            # it, updates define it), so any packing of these rows yields
+            # narrow-envelope files — skip repartitionByRange's sampling
+            # job and coalesce to one file per replaced file
+            n_out = max(1, len(touched))
+            new_data = new_data.coalesce(n_out)
+            if n_out == 1 and stats_cols:
+                # exactly one output file -> its per-file stats ARE the
+                # global aggregates, so they ride the write job itself
+                # (Observation) instead of a follow-up stats scan —
+                # one fewer job on the latency-critical commit path
+                from pyspark.sql import Observation
+
+                present = [c for c in stats_cols if c in new_data.columns]
+                obs = Observation()
+                new_data = new_data.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("__rows"),
+                    *[
+                        a
+                        for c in present
+                        for a in (
+                            F.min(c).alias(f"__mn_{c}"),
+                            F.max(c).alias(f"__mx_{c}"),
+                        )
+                    ],
+                )
+                obs_cols = present
+        else:
+            # big rewrite: re-cluster into contiguous key slices; the
+            # EXPLICIT partition count stops AQE coalescing from merging
+            # the range partitions back into one wide-envelope file
+            new_data = new_data.repartitionByRange(
+                max(2, len(touched)), F.col(range_split)
+            )
     v = man["version"] + 1
     data_dir = _new_data_dir(path, v)
     new_data.write.mode("overwrite").parquet(data_dir)
@@ -804,7 +901,6 @@ def snapshot_upsert(
            "parent": man["version"]}
     if batch_id is not None:
         out["batch_id"] = int(batch_id)
-    stats_cols = man.get("stats_cols")
     if stats_cols:
         out["stats_cols"] = stats_cols
         parent_stats = {
@@ -815,7 +911,20 @@ def snapshot_upsert(
             _norm_path(f): parent_stats[_norm_path(f)]
             for f in kept if _norm_path(f) in parent_stats
         }
-        stats.update(_collect_file_stats(spark, new_files, stats_cols))
+        if obs is not None and len(new_files) == 1:
+            row = obs.get
+            stats[_norm_path(new_files[0])] = {
+                "rows": row["__rows"],
+                "cols": {
+                    c: [
+                        _stat_val(row[f"__mn_{c}"]),
+                        _stat_val(row[f"__mx_{c}"]),
+                    ]
+                    for c in obs_cols
+                },
+            }
+        else:
+            stats.update(_collect_file_stats(spark, new_files, stats_cols))
         out["stats"] = stats
     tmp = _os.path.join(_manifest_dir(path), f".v{v}.json.tmp")
     with open(tmp, "w") as fh:

@@ -243,6 +243,55 @@ def test_snapshot_upsert_untouched_files_are_shared(spark, tables, tmp_path):
     assert len(shared) > 0
 
 
+def test_snapshot_upsert_stats_mode_and_observed_stats(spark, tmp_path):
+    """The round-11 commit-floor path: stats-pruned candidates AS the
+    touched set (no exact semi-join job), range-split files, and the new
+    single file's manifest stats fused into the write job (Observation).
+    Rows must equal the exact-mode merge; the new file must carry stats."""
+    from ophidia_server_spark.layout import (
+        _read_manifest, snapshot_read, snapshot_upsert, snapshot_write,
+    )
+
+    rows = [(f"2024-01-{d:02d} 00:00:00", f"k{j}", d * 10 + j, float(d))
+            for d in range(1, 11) for j in range(3)]
+    base = spark.createDataFrame(
+        rows, "window_start string, key string, n long, total double"
+    ).repartitionByRange(5, F.col("window_start"))
+    for mode in ("exact", "stats"):
+        path = str(tmp_path / mode)
+        snapshot_write(base, path, stats_cols=["window_start", "key"])
+        upd = spark.createDataFrame(
+            [("2024-01-09 00:00:00", "k1", 999, 9.9),
+             ("2024-01-10 00:00:00", "k9", 1, 1.0)],
+            "window_start string, key string, n long, total double",
+        )
+        res = snapshot_upsert(
+            spark, path, upd, ["window_start", "key"],
+            range_split="window_start", touched_by=mode,
+        )
+        got = {
+            (r["window_start"], r["key"]): (r["n"], r["total"])
+            for r in snapshot_read(spark, path).collect()
+        }
+        assert got[("2024-01-09 00:00:00", "k1")] == (999, 9.9)
+        assert got[("2024-01-10 00:00:00", "k9")] == (1, 1.0)
+        assert got[("2024-01-01 00:00:00", "k0")] == (10, 1.0)
+        assert len(got) == 31  # 30 originals + 1 brand-new key
+        # stats-pruned: only the file(s) covering days 9-10 were touched
+        assert res["files_rewritten"] < 5
+        man = _read_manifest(path)
+        # every file in the new manifest carries usable window_start stats
+        # (the observe-fused single-file path included)
+        for f in man["files"]:
+            st = man["stats"][f]["cols"]["window_start"]
+            assert st[0] is not None and st[1] is not None
+    # same touched files both modes on range-split files (candidates ==
+    # truly touched here)
+    m_exact = _read_manifest(str(tmp_path / "exact"))
+    m_stats = _read_manifest(str(tmp_path / "stats"))
+    assert len(m_exact["files"]) == len(m_stats["files"])
+
+
 def test_snapshot_schema_evolution_on_upsert(spark, tables, tmp_path):
     from ophidia_server_spark.layout import (
         snapshot_read, snapshot_upsert, snapshot_write,
