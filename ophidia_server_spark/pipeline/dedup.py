@@ -158,7 +158,11 @@ def _guard_banded_candidates(
     Returns the (possibly truncated) banded table."""
     import warnings
 
-    pairs_of = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # noqa: E731
+    # 2*C(n,2) = n*(n-1) stays in exact BIGINT arithmetic (each term is
+    # even, so the final //2 is exact); a double `/2` inside the sum would
+    # silently lose precision exactly at the candidate volumes this guard
+    # exists to count
+    pairs2_of = lambda c: c * (c - F.lit(1))  # noqa: E731
     sizes = (
         banded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -170,14 +174,14 @@ def _guard_banded_candidates(
         if c < 1:
             raise ValueError(f"cap_bucket must be >= 1, got {cap_bucket}")
         tot = sizes.agg(
-            F.sum(pairs_of(F.col("__n"))).alias("raw"),
-            F.sum(pairs_of(F.least(F.col("__n"), F.lit(c)))).alias("capped"),
+            F.sum(pairs2_of(F.col("__n"))).alias("raw"),
+            F.sum(pairs2_of(F.least(F.col("__n"), F.lit(c)))).alias("capped"),
         ).first()
-        effective = int(tot["capped"] or 0)
-        dropped = int(tot["raw"] or 0) - effective
+        effective = int(tot["capped"] or 0) // 2
+        dropped = int(tot["raw"] or 0) // 2 - effective
     else:
-        tot = sizes.agg(F.sum(pairs_of(F.col("__n"))).alias("raw")).first()
-        effective = int(tot["raw"] or 0)
+        tot = sizes.agg(F.sum(pairs2_of(F.col("__n"))).alias("raw")).first()
+        effective = int(tot["raw"] or 0) // 2
     if max_candidates is not None and effective > int(max_candidates):
         hot = (
             sizes.orderBy(F.desc("__n"), *[F.asc(k) for k in bucket_cols])
