@@ -637,9 +637,9 @@ def stream_window_upsert_to_snapshots(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
             .alias("window_start"),
             key_col, "n", "total",
-        ).persist()  # the MERGE reads the batch three times (key bounds,
-        # touched-file semi-join, rewrite union); one state-store
-        # evaluation instead of three
+        ).persist()  # the MERGE reads the batch more than once (key
+        # bounds, rewrite union — plus the touched-file semi-join in
+        # exact mode); one state-store evaluation instead of several
         # bootstrap on "no committed version yet", NOT on the manifests
         # dir existing — _manifest_dir() mkdirs as a side effect of the
         # batch-id lookup above. The batch id rides INSIDE snapshot_write's
