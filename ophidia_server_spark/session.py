@@ -18,28 +18,20 @@ from pyspark.sql import SparkSession
 # the sf10 decade probe measured the per-event window/join family at 2x the
 # family ratio purely from 32 fixed partitions (310k rows each) — 128
 # partitions at the same 32 threads halved those queries (BASELINE.md
-# round-10 decade protocol). Round 11 makes that fix ADAPTIVE instead of a
-# knob the operator must know about: AQE's
-# coalescePartitions.initialPartitionNum defaults to 4x the thread count
-# (the measured sf10 sweet spot), so big shuffles start wide and AQE's
-# coalescing shrinks small-scale plans back to ~advisory-sized partitions
-# at runtime. The env var remains as an explicit override of BOTH the
-# static width and the AQE initial width.
+# round-10 decade protocol). Round 11 made that fix adaptive at the
+# OPERATOR level (windows.py _sized / advise_shuffle_partitions: the
+# affected window operators repartition on their own keys from input
+# bytes) after measuring that a session-wide wide AQE
+# initialPartitionNum is NOT the answer here: the iterative family's
+# lineage truncations (ckpt.py localCheckpoint) MATERIALIZE whatever
+# width the shuffle started at, so AQE coalescing never shrinks the
+# post-checkpoint stages and a 4x initial width cost ml_als_grade ~3x at
+# sf0.1 (54-69 s vs the 19 s bar — measured this round, then reverted).
+# On a real cluster, set initialPartitionNum via spark-submit where jobs
+# are non-iterative; here the env var stays the explicit override.
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
     "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
 )
-
-
-def _initial_partition_num(explicit: str | None) -> str:
-    """AQE initial shuffle width: the explicit override verbatim, else 4x
-    the local thread count (cluster configs should instead size it to
-    cores x a wave factor via spark-submit)."""
-    if explicit:
-        return explicit
-    try:
-        return str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    except ValueError:
-        return "128"
 
 PKG_ZIP_NAME = "ophidia_server_spark_pkg.zip"
 
@@ -88,24 +80,12 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
     initial value cheap, so production configs should raise it (or rely on
     `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
     """
-    explicit = shuffle_partitions or os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS"
-    )
-    cpus = explicit or DEFAULT_SHUFFLE_PARTITIONS
+    cpus = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # start shuffles WIDE and let AQE coalesce down: the sf10 probe
-        # measured the window/join family at 2x cost under 32 fixed
-        # partitions, recovered at 128 — 4x threads is the default initial
-        # width; small-scale shuffles coalesce back to advisory size at
-        # runtime so sf0.1 plans are unchanged in effective width
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            _initial_partition_num(explicit),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -214,3 +194,56 @@ def advise_shuffle_partitions(
         return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     want = est // (target_partition_mb * 1024 * 1024) + 1
     return max(min_partitions, min(max_partitions, int(want)))
+
+
+def input_rows_from_footers(df) -> int | None:
+    """Exact input row count from the parquet FOOTERS of the plan's leaf
+    files — a driver-side metadata read (pyarrow), no Spark job. None when
+    the plan isn't file-backed or a footer is unreadable. Rows are counted
+    BEFORE any filter in the plan, so the estimate is an upper bound —
+    conservative for width sizing."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
+def sized_repartition(df, *cols, target_rows: int = 100_000):
+    """CPU-aware shuffle width for row-cost-dominated operators (per-event
+    window frames, wide equi-joins): width = input rows / target_rows,
+    applied as a repartition on the operator's own partitioning columns so
+    the downstream window/join REUSES the exchange. Only ever WIDENS past
+    the session's spark.sql.shuffle.partitions — at bench scale the row
+    count stays under target and the plan is untouched; at the decade the
+    width grows with the data (the sf10 lesson: the window/join family ran
+    2x slow purely from 32 fixed partitions = 310k rows each, and a
+    session-wide wide AQE initialPartitionNum is NOT the fix because the
+    iterative family's checkpoints materialize it — see the
+    DEFAULT_SHUFFLE_PARTITIONS note). Byte-based sizing
+    (advise_shuffle_partitions) cannot see this: 310k-row partitions are
+    only ~8 MB of compressed parquet; the cost is per-ROW window state,
+    not spill."""
+    n = input_rows_from_footers(df)
+    if n is None:
+        return df
+    cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    want = n // int(target_rows) + 1
+    if want <= cur:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(int(want), *[F.col(c) for c in cols])
