@@ -1329,7 +1329,7 @@ def duplicate_spans(
     k: int = 8,
     min_docs: int = 2,
     doc_col: str = "doc_id",
-    hash_key: bool = False,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate SPANS — the sub-document complement of the
     doc-level dedup ladder (ref: the corpus-dedup use case behind
@@ -1362,10 +1362,14 @@ def duplicate_spans(
     construction, no broadcast of any corpus-sized set); the island merge
     runs two same-partitioning windows over each document's MARKED offsets
     only — bounded by document length, never by corpus size, and the
-    second window reuses the first's shuffle+sort. `hash_key=True` is the
-    100 TB byte-volume lever: shuffle 8-byte xxhash64 codes instead of
-    k-token strings (exact modulo 64-bit collisions; the default string
-    key is collision-free and is what the oracle mirrors)."""
+    second window reuses the first's shuffle+sort. `hash_key=True` (the
+    DEFAULT since round 11) shuffles 8-byte xxhash64 codes instead of
+    k-token strings — the sf10 probe measured the string keys at 5.4x the
+    key bytes and 2.1x the wall time for byte-identical spans
+    (scripts/span_hashkey_probe.py, BASELINE.md round-11 decade section).
+    Exact modulo 64-bit collisions (~n_grams²/2^65 — vanishing below
+    trillions of distinct grams); pass hash_key=False for the
+    collision-free string keys when auditing."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
@@ -1393,7 +1397,7 @@ def duplicate_span_coverage(
     k: int = 8,
     min_docs: int = 2,
     doc_col: str = "doc_id",
-    hash_key: bool = False,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Per-document duplicate-token coverage — the removal-decision metric
     on top of `duplicate_spans`: what fraction of each document's tokens
@@ -1438,7 +1442,7 @@ def excise_duplicate_spans(
     k: int = 8,
     min_docs: int = 2,
     doc_col: str = "doc_id",
-    hash_key: bool = False,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Duplicate-span REMOVAL — the action on top of `duplicate_spans`'
     detection: every duplicated k-gram keeps exactly one owning document

@@ -188,7 +188,7 @@ def contamination_spans(
     text_col: str = "text",
     k: int = 8,
     doc_col: str = "doc_id",
-    hash_key: bool = False,
+    hash_key: bool = True,
 ) -> DataFrame:
     """WHERE the contamination is: maximal token spans of each batch
     document covered by k-gram shingles that appear anywhere in `ref`
@@ -204,8 +204,10 @@ def contamination_spans(
     (eval sets are small, but the plan does not rely on it: the mark is a
     shingle-keyed semi-join, both sides shuffled on the key, no broadcast
     requirement); the island merge is dedup.py's per-document window over
-    marked offsets only. `hash_key=True` shuffles xxhash64 codes instead
-    of k-token strings, same lever as duplicate_spans."""
+    marked offsets only. `hash_key=True` (default since round 11, same
+    measured lever as duplicate_spans — 5.4x fewer key bytes, 2.1x faster
+    at sf10) shuffles xxhash64 codes instead of k-token strings;
+    hash_key=False restores collision-free string keys."""
     from ophidia_server_spark.pipeline.dedup import (
         _merge_marked_offsets,
         _occurrences,
