@@ -1,0 +1,61 @@
+"""Trained char-n-gram language ID (pipeline/langid.py)."""
+
+from pyspark.sql import functions as F
+
+from ophidia_server_spark.pipeline import langid
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(40):
+        en = f"the quick brown fox number {i} jumps over the lazy dog"
+        rows.append((i * 2, "en", en))
+        rows.append((i * 2 + 1, "rev", " ".join(t[::-1] for t in en.split())))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_nb_train_predict_separates_languages(spark):
+    corpus = _corpus(spark)
+    model = langid.nb_train(corpus.filter(F.col("doc_id") % 5 != 0))
+    assert model["langs"] == ["en", "rev"]
+    assert all(len(model["weights"][lang]) == 256 for lang in model["langs"])
+    evl = corpus.filter(F.col("doc_id") % 5 == 0)
+    joined = evl.join(langid.nb_predict(evl, model), "doc_id")
+    rows = joined.collect()
+    assert rows and all(r["lang"] == r["pred_lang"] for r in rows)
+    assert all(r["margin"] > 0 for r in rows)
+
+
+def test_nb_predict_empty_text_uses_prior_and_tiebreak(spark):
+    corpus = _corpus(spark)
+    model = langid.nb_train(corpus)
+    empty = spark.createDataFrame([(999, "")], "doc_id long, text string")
+    got = langid.nb_predict(empty, model).collect()[0]
+    # no grams -> prior-only scores; equal class sizes -> tie -> the
+    # heuristic can't vote 'en' on empty text -> alphabetically first lang
+    assert got["pred_lang"] == "en" and got["margin"] == 0
+
+
+def test_char_gram_buckets_short_text_has_no_phantom_grams(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(langid.char_gram_buckets(F.col("text"))).alias("n"),
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_nb_predict_is_pure_map(spark):
+    corpus = _corpus(spark)
+    model = langid.nb_train(corpus)
+    plan = (
+        langid.nb_predict(corpus, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

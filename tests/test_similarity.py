@@ -732,3 +732,55 @@ def test_lsh_bucketize_rejects_overwide_signature(spark, tables):
         vs._lsh_bucketize(
             tables["embeddings"], 64, 8, 8, "vec_id", "embedding"
         )
+
+
+def test_ivfpq_store_lifecycle(spark, tables, tmp_path):
+    """IVF-PQ composition (round 11): codes live inside the cell
+    partitions; the probe ADC-scans ONLY the code column of the pruned
+    partitions then exact-reranks the shortlist; appends encode with the
+    sidecar codebooks; a full-shortlist probe equals the float probe."""
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    emb = tables["embeddings"]
+    q = _qvec(tables)
+    n = emb.count()
+    half = n // 2
+    idx = vs.ivf_build(
+        emb.filter(F.col("vec_id") < half), str(tmp_path / "ivfpq"),
+        n_cells=8, codes="pq",
+    )
+    vs.index_append(emb.filter(F.col("vec_id") >= half), idx)
+    rep = vs.index_compact(spark, idx)
+    assert rep["rows"] == n
+    stored = spark.read.parquet(idx.path)
+    assert "pq_codes" in stored.columns and stored.count() == n
+    # shortlist covering the whole pruned set -> rerank == exact float
+    # probe over the same cells (ADC can then lose nothing)
+    probed = vs.ivf_probe(spark, idx, q, k=10, nprobe=4, shortlist=n)
+    reopened = vs.load_index(idx.path)  # sidecar roundtrip incl. books
+    float_idx = vs.ivf_build(
+        emb, str(tmp_path / "ivffloat"), n_cells=8,
+        leaders=reopened.params["leaders"],
+    )
+    float_probe = vs.ivf_probe(spark, float_idx, q, k=10, nprobe=4)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in float_probe.collect()
+    ]
+    # the ADC stage reads codes, not embeddings, from pruned partitions
+    plan = vs.ivf_probe(
+        spark, reopened, q, k=10, nprobe=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "pq_codes:array<smallint>" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_ivfpq_build_validation(spark, tables, tmp_path):
+    import pytest as _pytest
+
+    from ophidia_server_spark.pipeline import vector_store as vs
+
+    with _pytest.raises(ValueError, match="codes must be 'float' or 'pq'"):
+        vs.ivf_build(tables["embeddings"], str(tmp_path / "bad"), codes="x")
