@@ -381,6 +381,11 @@ def simhash_pairs(
         raise ValueError("at most 64 bands over a 64-bit signature")
     from pyspark.storagelevel import StorageLevel
 
+    # deliberately left cached (same contract as minhash_lsh_pairs' sigs):
+    # the table is two longs per doc, the guard pre-pass and both self-join
+    # sides read it, and Spark's CacheManager dedups identical plans across
+    # repeated calls — at production scale this boundary is a signatures
+    # table on disk
     sigs = simhash(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     base_w, extra = divmod(64, bands)
     chunks = []
@@ -448,8 +453,13 @@ def ngram_jaccard_pairs(
     r = num_hashes // bands
     sh = shingle_sets(df, text_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     # signatures via the codegen min-agg path, joined back to the persisted
-    # shingle sets (join key = doc_id; both sides read the cached sh)
-    sigs = sh.join(_sigs_from_shingle_sets(sh, num_hashes), "doc_id")
+    # shingle sets (join key = doc_id; both sides read the cached sh).
+    # sigs is ALSO persisted: the candidate guard's pre-pass, both sides
+    # of the bucket self-join, and the cap path would otherwise each
+    # re-run the explode + min-agg signature pass (the dominant stage)
+    sigs = sh.join(_sigs_from_shingle_sets(sh, num_hashes), "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -458,8 +468,8 @@ def ngram_jaccard_pairs(
         ).alias("bucket"),
     )
     if max_candidates is not None or cap_bucket is not None:
-        # column pruning drops the heavy shingle arrays from the count
-        # pre-pass; only (bucket, doc_id) flow into the guard's aggregates
+        # the pre-pass reads the persisted sigs cache (column-pruned to
+        # (doc_id, bucket) by the InMemoryTableScan) — no signature recompute
         banded = _guard_banded_candidates(
             banded, ["bucket"], "doc_id", max_candidates, cap_bucket,
             "ngram_jaccard_pairs",

@@ -261,8 +261,13 @@ def quantile_bins(
     # CPU-size the (group, value) shuffle from the input row count: the
     # binning join and the ECDF aggregate both reuse this one exchange,
     # and the sf10 decade measured this query 2x slow purely from the
-    # session's fixed width (only ever widens; no-op at bench scale)
-    df = sized_repartition(df, group_col, value_col)
+    # session's fixed width (only ever widens; no-op at bench scale).
+    # The value leg carries the SAME cast the ECDF groupBy key uses, so
+    # the partitioning satisfies the aggregate's clustering for any
+    # numeric value type, not just doubles.
+    df = sized_repartition(
+        df, F.col(group_col), F.col(value_col).cast("double")
+    )
     ecdf = _group_ecdf(df, value_col, group_col)
     binned = ecdf.select(
         "__g", "__v",

@@ -54,9 +54,9 @@ def triangle_counts(
     where the budget defaults to 32 GB and is overridable via
     SPARK_GRAFT_TRIANGLE_SCRATCH_GB (on a cluster: per-executor local
     disk × executor count). When the estimate fits the budget, K=1 —
-    single-pass, no rounds (the oriented edge set is persisted either
-    way in auto mode: the estimate pre-pass materializes it, and both
-    the wedge and closure sides re-read it). With K > 1 the wedge CENTERS
+    single-pass, no rounds, and the estimate's temporary edge cache is
+    released before returning (auto costs exactly one extra pass over
+    the oriented edge set vs a hand chunks=1). With K > 1 the wedge CENTERS
     hash-split into K rounds (pmod(xxhash64(lo), K)); each round
     materializes only its share of the wedge table, its per-node partial
     counts (bounded by node count) are truncated out of the round's
@@ -135,6 +135,15 @@ def triangle_counts(
             ),
         )
     if int(chunks) <= 1:
+        if oriented.is_cached:
+            # auto mode materialized the cache for the estimate; release
+            # it before returning the lazy single-pass plan — holding a
+            # per-call DISK_ONLY edge cache for the session's lifetime is
+            # the K>1 path's own cleanup discipline violated (at sf10
+            # that cache is the ~120M-row edge set). The counting passes
+            # recompute the orientation join lazily, as chunks=1 always
+            # did.
+            oriented.unpersist()
         return _count_for(oriented)
 
     spark = edges.sparkSession

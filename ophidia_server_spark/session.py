@@ -244,6 +244,12 @@ def sized_repartition(df, *cols, target_rows: int = 100_000):
     want = n // int(target_rows) + 1
     if want <= cur:
         return df
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    return df.repartition(int(want), *[F.col(c) for c in cols])
+    # cols may be names OR Column expressions: exchange reuse requires
+    # hash-partitioning on the EXACT expressions the downstream
+    # window/join clusters on (e.g. a cast(value as double) groupBy key —
+    # partitioning on the raw column would add a second full shuffle)
+    exprs = [c if isinstance(c, Column) else F.col(c) for c in cols]
+    return df.repartition(int(want), *exprs)

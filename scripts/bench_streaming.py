@@ -77,8 +77,14 @@ def main() -> None:
     # stream starts (a fixed backlog — arrival jitter is not what this
     # measures) and are written oldest-first, so the file source's
     # mtime-ordered listing replays them chronologically.
-    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    lo, hi = b["lo"].timestamp(), b["hi"].timestamp()
+    # epoch bounds computed IN SPARK (UTC session): collecting naive
+    # datetimes and calling .timestamp() would re-interpret them in the
+    # OS timezone and silently mis-slot (or drop) rows on non-UTC hosts
+    b = ev.agg(
+        F.min(F.col("ts").cast("double")).alias("lo"),
+        F.max(F.col("ts").cast("double")).alias("hi"),
+    ).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
     span = (hi - lo) or 1.0
     slot = F.least(
         F.lit(N_BATCHES - 1),

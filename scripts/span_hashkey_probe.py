@@ -38,9 +38,11 @@ def main() -> None:
 
     # exact key-byte volumes from the occurrence table (one aggregate)
     occ_str = _occurrences(docs, "text", 8, "doc_id", hash_key=False)
+    # octet_length, not length: shuffled string keys are UTF-8 bytes, and
+    # char counts would understate the volume up to 4x on CJK-heavy text
     vol = occ_str.agg(
         F.count(F.lit(1)).alias("occ"),
-        F.sum(F.length("__key")).alias("str_bytes"),
+        F.sum(F.octet_length("__key")).alias("str_bytes"),
     ).first()
     out = {
         "sf_dir": sf_dir,
