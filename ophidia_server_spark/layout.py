@@ -239,6 +239,24 @@ def merge_upsert(
 # Versioned snapshots: manifest-tracked table state (time travel + vacuum)
 # ---------------------------------------------------------------------------
 
+# Below this many manifest files, snapshot_upsert's EXACT mode skips the
+# stats prune: the key-bounds aggregate is one extra Spark job per commit,
+# and with a handful of files the semi-join it would trim scans them all
+# anyway — on a 16-batch replay over a 2-file table the prune only ever
+# added cost (the round-11 layout_stream_backfill perf flag).
+PRUNE_MIN_FILES = 16
+
+# Bounded-roll cap for snapshot_upsert's cheap coalesce pack: a touched
+# boundary file may keep absorbing neighboring batches (its envelope is
+# NOT contained in the batch bounds) only while the files being rewritten
+# hold at most this many times the update row count — past that, the
+# commit re-clusters by range, which re-tightens the file envelopes and
+# resets the roll. Keeps the steady-state streaming commit O(batch) both
+# ways: no per-commit range-repartition sampling job, and no O(table)
+# rolling file (the ADVICE r11 snowball).
+ROLL_CAP_FACTOR = 4
+
+
 def _manifest_dir(path: str) -> str:
     import os as _os
 
@@ -365,6 +383,56 @@ def _comparable(a, b) -> bool:
     return (isinstance(a, num) and isinstance(b, num)) or (
         isinstance(a, str) and isinstance(b, str)
     )
+
+
+def _envelopes_contained(
+    man: dict, touched: list[str], col: str, lo_hi: tuple
+) -> bool:
+    """True when every touched file's recorded [min, max] envelope on `col`
+    lies INSIDE [lo, hi] — the precondition for snapshot_upsert's cheap
+    coalesce pack to be envelope-safe. A file that merely OVERLAPS the
+    batch bounds carries rows outside them; coalescing those rows together
+    with the batch would give the output file the UNION envelope, the next
+    boundary-sharing batch would touch it again, and one rolling file
+    would accumulate the whole table while len(touched) stays 1 (the
+    ADVICE r11 snowball). Files without comparable stats on `col` return
+    False — the caller then re-clusters by range, which re-tightens the
+    envelopes instead of compounding them."""
+    import datetime as _dt
+
+    lo, hi = (
+        _stat_val(v) if isinstance(v, (_dt.date, _dt.datetime)) else v
+        for v in lo_hi
+    )
+    if lo is None or hi is None:
+        return False
+    stats = {_norm_path(k): v for k, v in (man.get("stats") or {}).items()}
+    for f in touched:
+        st = stats.get(_norm_path(f))
+        cs = ((st or {}).get("cols") or {}).get(col)
+        if not cs or cs[0] is None or cs[1] is None:
+            return False
+        mn, mx = cs
+        if not (_comparable(mn, lo) and _comparable(mx, hi)):
+            return False
+        if mn < lo or mx > hi:
+            return False
+    return True
+
+
+def _touched_rows(man: dict, touched: list[str]) -> int | None:
+    """Combined manifest-recorded row count of the touched files — the
+    driver-side (job-free) input to snapshot_upsert's bounded-roll rule.
+    None when any touched file lacks stats: the roll size is then unknown
+    and the caller must take the conservative range-split path."""
+    stats = {_norm_path(k): v for k, v in (man.get("stats") or {}).items()}
+    total = 0
+    for f in touched:
+        st = stats.get(_norm_path(f))
+        if not st or not isinstance(st.get("rows"), int):
+            return None
+        total += st["rows"]
+    return total
 
 
 def _prune_by_stats(man: dict, ranges: dict) -> list[str]:
@@ -646,6 +714,20 @@ def stream_window_upsert_to_snapshots(
         # exclusive commit (a marker amended after the commit would reopen
         # both the torn-manifest and the batch-0-replay windows).
         try:
+            # this count is the batch's ONLY full evaluation (persisted);
+            # it doubles as the empty-batch gate and the first-commit file
+            # sizing below
+            n_changed = changed.count()
+            if n_changed == 0:
+                # availableNow's trailing flush emits no changed windows
+                # (update mode, nothing new past the watermark) — commit
+                # NOTHING. A skipped empty batch replays as another no-op,
+                # so idempotency is untouched, and the table never pays a
+                # snapshot version (plus a full touched-file scan, because
+                # empty key bounds disable pruning) for zero rows — at
+                # sf0.1 this one commit was ~35% of the whole backfill
+                # gate's runtime.
+                return
             if not snapshot_versions(table_path):
                 # stats on the merge keys + range-split files from the
                 # FIRST commit: every later micro-batch's snapshot_upsert
@@ -654,11 +736,24 @@ def stream_window_upsert_to_snapshots(
                 # commit cost tracks the batch's window span, not the
                 # state table's size (the round-11 commit-floor fix — a
                 # single all-windows bootstrap file would be "touched" by
-                # every batch forever)
-                n_split = int(
-                    batch_df.sparkSession.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    )
+                # every batch forever). The width is sized by the BATCH'S
+                # ROWS (ceil(rows / 100k), same density as
+                # session.sized_repartition), capped at the session
+                # shuffle width: pruning works on per-file ENVELOPES, not
+                # file count, so splitting a few thousand bootstrap rows
+                # the session-width 32 ways only manufactured 30 tiny
+                # files for the next overlapping batch to rewrite — a
+                # huge bootstrap batch still splits wide.
+                n_split = max(
+                    1,
+                    min(
+                        int(
+                            batch_df.sparkSession.conf.get(
+                                "spark.sql.shuffle.partitions"
+                            )
+                        ),
+                        -(-n_changed // 100_000),
+                    ),
                 )
                 snapshot_write(
                     changed.repartitionByRange(
@@ -672,6 +767,7 @@ def stream_window_upsert_to_snapshots(
                     batch_df.sparkSession, table_path, changed,
                     ["window_start", key_col], batch_id=batch_id,
                     range_split="window_start", touched_by="stats",
+                    n_updates=n_changed,
                 )
         finally:
             changed.unpersist()
@@ -753,7 +849,7 @@ def snapshot_pruned_read(
 def snapshot_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str],
     batch_id: int | None = None, range_split: str | None = None,
-    touched_by: str = "exact",
+    touched_by: str = "exact", n_updates: int | None = None,
 ) -> dict:
     """Copy-on-write MERGE that PRESERVES history: like merge_upsert, only
     the files containing a matched key are rewritten — but the replaced
@@ -796,6 +892,21 @@ def snapshot_upsert(
     anyway. Falls back to the exact scan when no key column has stats
     (candidates would be every file).
 
+    `n_updates` (optional) is the caller's row count for `updates` — the
+    streaming sink already counts its persisted batch, so passing it here
+    costs nothing and enables the bounded-roll rule on the cheap coalesce
+    pack (see ROLL_CAP_FACTOR): without it, a touched file whose envelope
+    is not contained in the batch bounds always takes the range-split
+    path.
+
+    In EXACT mode the prune is skipped when the manifest lists at most
+    `PRUNE_MIN_FILES` files: the semi-join has to scan the touched files
+    anyway, so on a handful of files the key-bounds aggregate is a pure
+    extra job per commit that can never pay for itself (the round-11
+    backfill regression — a 16-batch replay re-paid it 16 times on a
+    2-file table). Stats mode keeps the bounds pass at any size: there it
+    REPLACES the semi-join job, so it pays even on tiny tables.
+
     Returns {version, files_total, files_rewritten, files_written}."""
     import os as _os
 
@@ -804,7 +915,11 @@ def snapshot_upsert(
     covered = [c for c in key_cols if c in (man.get("stats_cols") or [])]
     candidates = man["files"]
     pruned = False
-    if covered and man.get("stats"):
+    ranges: dict = {}
+    worth_pruning = (
+        touched_by == "stats" or len(man["files"]) > PRUNE_MIN_FILES
+    )
+    if worth_pruning and covered and man.get("stats"):
         bounds = upd_keys.agg(
             *[F.min(c).alias(f"__lo_{c}") for c in covered],
             *[F.max(c).alias(f"__hi_{c}") for c in covered],
@@ -848,12 +963,46 @@ def snapshot_upsert(
     stats_cols = man.get("stats_cols")
     obs = None
     if range_split is not None:
-        if len(touched) <= 8:
+        cheap_pack = len(touched) <= 8
+        if cheap_pack and touched:
+            # envelope-safety gate on the cheap pack (ADVICE r11): the
+            # coalesce is unconditionally safe when every touched file's
+            # recorded envelope on the range_split column is CONTAINED in
+            # the batch bounds — survivors and updates alike then lie
+            # inside the batch span and any packing yields narrow-envelope
+            # files. A boundary file that merely OVERLAPS the bounds rolls
+            # rows from outside the batch span into the output file; left
+            # unchecked, one rolling file would absorb the table while
+            # len(touched) stays 1 (commit cost degrades to O(table)). The
+            # bounded-roll rule below makes that growth self-limiting
+            # instead of paying a range-repartition every boundary-sharing
+            # commit (which is EVERY steady-state streaming commit): roll
+            # while the rewrite stays O(batch) — touched rows within
+            # ROLL_CAP_FACTOR x the update count, both known driver-side —
+            # and re-cluster by range the moment it exceeds the cap, which
+            # re-tightens the envelopes and resets the roll.
+            lo_hi = ranges.get(range_split)
+            if lo_hi is None and range_split in key_cols:
+                b = upd_keys.agg(
+                    F.min(range_split).alias("__lo"),
+                    F.max(range_split).alias("__hi"),
+                ).first()
+                lo_hi = (b["__lo"], b["__hi"])
+            cheap_pack = lo_hi is not None and _envelopes_contained(
+                man, touched, range_split, lo_hi
+            )
+            if not cheap_pack and n_updates:
+                trows = _touched_rows(man, touched)
+                cheap_pack = (
+                    trows is not None
+                    and trows <= ROLL_CAP_FACTOR * n_updates
+                )
+        if cheap_pack:
             # steady-state micro-batch: everything being rewritten already
-            # lies inside the batch's key envelope (touched files overlap
-            # it, updates define it), so any packing of these rows yields
-            # narrow-envelope files — skip repartitionByRange's sampling
-            # job and coalesce to one file per replaced file
+            # lies inside the batch's key envelope (touched files are
+            # contained in it, updates define it), so any packing of these
+            # rows yields narrow-envelope files — skip repartitionByRange's
+            # sampling job and coalesce to one file per replaced file
             n_out = max(1, len(touched))
             new_data = new_data.coalesce(n_out)
             if n_out == 1 and stats_cols:

@@ -882,3 +882,107 @@ def test_vacuum_spelling_mismatch_never_deletes_live_data(spark, tmp_path):
     assert rep["orphan_dirs"] == 0
     got = sorted(tuple(r) for r in snapshot_read(spark, rel).collect())
     assert got == [(1, 10.0), (1, 10.0), (2, 20.0)]
+
+
+def test_snapshot_upsert_bounded_roll_resplits_snowball(spark, tmp_path):
+    """ADVICE r11 snowball: every batch shares a boundary key slice with
+    the newest file, so the file's envelope is never CONTAINED in the
+    batch bounds and the cheap coalesce would roll the whole table into
+    one ever-rewritten file (commit cost degrades to O(table) while
+    len(touched) stays 1). The bounded-roll rule must let the file absorb
+    at most ROLL_CAP_FACTOR x the batch row count, then re-split by range
+    so envelopes re-tighten — commits stay O(batch) forever."""
+    from ophidia_server_spark.layout import (
+        ROLL_CAP_FACTOR, _read_manifest, snapshot_read, snapshot_upsert,
+        snapshot_write,
+    )
+
+    def day(d):
+        return f"2024-01-{d:02d} 00:00:00"
+
+    base = spark.createDataFrame(
+        [(day(1), "k0", 1, 1.0), (day(1), "k1", 1, 1.0),
+         (day(2), "k0", 1, 1.0), (day(2), "k1", 1, 1.0)],
+        "window_start string, key string, n long, total double",
+    ).coalesce(1)
+    path = str(tmp_path / "roll")
+    snapshot_write(base, path, stats_cols=["window_start", "key"])
+
+    n_upd = 3  # rows per batch -> roll cap = ROLL_CAP_FACTOR * 3 rows
+    split_commits = 0
+    for i in range(2, 13):
+        # update the BOUNDARY day (always inside the newest file) +
+        # insert the next day: bounds [day i, day i+1] overlap the
+        # rolling file's envelope but never contain it
+        upd = spark.createDataFrame(
+            [(day(i), "k0", 100 + i, 1.0),
+             (day(i + 1), "k0", i, 1.0), (day(i + 1), "k1", i, 1.0)],
+            "window_start string, key string, n long, total double",
+        )
+        rep = snapshot_upsert(
+            spark, path, upd, ["window_start", "key"],
+            range_split="window_start", touched_by="stats",
+            n_updates=n_upd,
+        )
+        if rep["files_written"] > 1:
+            split_commits += 1
+    # the roll must have been cut at least once (r11 behavior: never)
+    assert split_commits >= 1
+    man = _read_manifest(path)
+    # no file may hold more than the cap's worth of rows plus one batch
+    # (the commit that trips the cap writes cap + batch rows, then splits)
+    max_rows = max(man["stats"][f]["rows"] for f in man["files"])
+    assert max_rows <= (ROLL_CAP_FACTOR + 1) * n_upd
+    assert len(man["files"]) >= 2
+    got = {
+        (r["window_start"], r["key"]): r["n"]
+        for r in snapshot_read(spark, path).collect()
+    }
+    # every boundary update took; every insert landed exactly once
+    for i in range(2, 13):
+        assert got[(day(i), "k0")] == 100 + i
+    assert got[(day(13), "k0")] == 12 and got[(day(13), "k1")] == 12
+    assert got[(day(1), "k0")] == 1
+    assert len(got) == 2 + 11 * 2 + 2  # days 1-2 base pairs + inserts
+
+
+def test_stream_window_upsert_skips_empty_flush_commit(spark, tmp_path):
+    """availableNow's trailing flush emits zero changed windows; the sink
+    must commit NOTHING for it (no empty snapshot version, no full
+    touched-file scan) — at sf0.1 that one commit was ~35% of the backfill
+    gate's runtime. Versions == data batches, and the replayed stream
+    still commits nothing."""
+    import shutil
+
+    from ophidia_server_spark.layout import (
+        snapshot_read, snapshot_versions, stream_window_upsert_to_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    rows = [(i, "a", f"2024-01-01 {i:02d}:30:00", 1.0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    for p in (0, 1):
+        df.filter(F.pmod("event_id", F.lit(2)) == p).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    run = lambda: stream_window_upsert_to_snapshots(  # noqa: E731
+        spark, src, schema, table, watermark="3650 days",
+    )
+    run()
+    vs = snapshot_versions(table)
+    assert len(vs) == 2  # two data micro-batches, NO empty flush version
+    shutil.rmtree(table + "_ckpt")
+    run()
+    assert snapshot_versions(table) == vs  # full replay commits nothing
+    got = sorted(
+        tuple(r) for r in snapshot_read(spark, table)
+        .select("window_start", "event_type", "n").collect()
+    )
+    assert got == [(f"2024-01-01 {i:02d}:00:00", "a", 1) for i in range(6)]
