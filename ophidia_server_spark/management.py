@@ -513,6 +513,93 @@ class ManagementService:
         return subprocess.run(cmd, capture_output=True, text=True, check=True, env=env).stdout
 
 
+# -- generic / cdo workflow task execution ------------------------------------
+#
+# The reference accepts workflow tasks typed "cdo" and "generic" besides
+# "ophidia"/"control" (oph_workflow_define.h:109-112): its parser rewrites
+# them to operator oph_cdo / oph_generic with the original operator string
+# as the `command` argument (oph_workflow_parsing.c:970-1002) and forwards
+# them through the normal task path (oph_known_operators.c:128-131); the
+# command itself runs on the compute side. The engine analogue executes
+# driver-side under the same trust model as oph_script: ONLY commands an
+# administrator registered run (first token looked up here — arbitrary
+# shell strings are rejected), with the session context exported as OPH_*
+# environment variables and stdout/stderr captured into the task response.
+ALLOWED_COMMANDS: dict[str, list[str]] = {
+    "echo": ["echo"],
+    # `cdo` resolves only where a deployment registered the real binary:
+    # register_command("cdo", ["/usr/bin/cdo"]) — absent here by default.
+}
+
+
+def register_command(name: str, argv: list[str]) -> None:
+    """Register (or replace) an allow-listed command template for
+    generic/cdo workflow tasks — the deployment hook a site uses to expose
+    its CDO install or local tools."""
+    if not name or not argv:
+        raise ValueError("register_command needs a name and a non-empty argv")
+    ALLOWED_COMMANDS[name] = list(argv)
+
+
+def run_command(
+    command: str,
+    src_path: str | None = None,
+    session_id: str = "",
+    workflow_id: int = 0,
+    marker_id: int = 0,
+    timeout: float = 600.0,
+) -> dict:
+    """Execute one allow-listed generic/cdo task command.
+
+    `command` is the task's original operator string, e.g.
+    ``"cdo -selname,tas in.nc out.nc"``: the FIRST token must name a
+    registered template (PermissionError otherwise, mirroring oph_script's
+    gate); the remaining tokens are passed as arguments. When the task was
+    file-massive-expanded, each light task's `src_path` is appended as the
+    final argument and exported as OPH_FILE, so one template processes one
+    file per light task.
+
+    Returns {"command", "args", "file", "returncode", "stdout", "stderr"};
+    a non-zero exit raises RuntimeError carrying the stderr tail, so the
+    workflow engine's retry/backoff/on_error policy applies unchanged."""
+    import shlex
+
+    tokens = shlex.split(command)
+    if not tokens:
+        raise ValueError("generic/cdo task with an empty command")
+    name, tail = tokens[0], tokens[1:]
+    if name not in ALLOWED_COMMANDS:
+        raise PermissionError(
+            f"command {name!r} not registered (allow-listed: "
+            f"{sorted(ALLOWED_COMMANDS)})"
+        )
+    argv = ALLOWED_COMMANDS[name] + tail
+    if src_path:
+        argv = argv + [str(src_path)]
+    env = {
+        **os.environ,
+        "OPH_SESSION_ID": session_id,
+        "OPH_WORKFLOW_ID": str(workflow_id),
+        "OPH_MARKER_ID": str(marker_id),
+    }
+    if src_path:
+        env["OPH_FILE"] = str(src_path)
+    proc = subprocess.run(
+        argv, capture_output=True, text=True, env=env, timeout=timeout,
+    )
+    out = {
+        "command": name, "args": tail, "file": src_path,
+        "returncode": proc.returncode,
+        "stdout": proc.stdout, "stderr": proc.stderr,
+    }
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"command {name!r} exited {proc.returncode}: "
+            f"{proc.stderr.strip()[-500:]}"
+        )
+    return out
+
+
 # -- operator registry docs (oph_man / operators_list) -----------------------
 
 def _descriptor_args(name: str) -> list[dict] | None:

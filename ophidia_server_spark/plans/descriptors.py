@@ -349,6 +349,26 @@ _d("oph_wait", "Wait until an event occurs (clock/input/file).",
    _p("time_filter", default="yes", values=YN),
    _p("offset", type="real", default="0", multivalue=True))
 
+_GENERIC_SPECS = (
+    _p("command", mandatory=True,
+       doc="allow-listed command line (first token must be registered "
+           "via management.register_command; set automatically from the "
+           "task's operator string for type=generic|cdo tasks)"),
+    _p("src_path", default="-", multivalue=True,
+       doc="input file(s); [massive-filter] fans out one light task per "
+           "matched file (appended to argv, exported as OPH_FILE)"),
+    _p("sessionid", default=""),
+    _p("workflowid", type="int", default="0", minvalue=0),
+    _p("markerid", type="int", default="0", minvalue=0),
+)
+
+# generic/cdo tasks (oph_workflow_define.h:110-111): the parser rewrite
+# (workflow.rewrite_task_types) targets these two operators
+_d("oph_generic", "Run an allow-listed external command as a task.",
+   *_GENERIC_SPECS, permission="execute")
+_d("oph_cdo", "Run an allow-listed CDO command chain as a task.",
+   *_GENERIC_SPECS, permission="execute")
+
 _d("oph_cancel", "Stop the execution of a running workflow.",
    _p("id", type="int", mandatory=True, minvalue=1),
    _p("type", default="kill", values=("kill", "abort", "stop")),

@@ -45,6 +45,64 @@ FLOW_OPERATORS = {
     "oph_set", "oph_input", "oph_wait",
 }
 
+# Task types the reference's parser accepts (oph_workflow_define.h:109-112;
+# anything else is rejected at parse time, oph_workflow_parsing.c:405).
+TASK_TYPES = {"ophidia", "cdo", "generic", "control"}
+
+
+def rewrite_task_types(tasks: list[dict]) -> list[dict]:
+    """Task-type normalization, mirroring oph_workflow_parsing.c:
+    - unknown types are rejected (:405);
+    - type "cdo"/"generic": the task's operator string becomes the
+      `command` argument and the operator is rewritten to oph_cdo /
+      oph_generic, then the task proceeds as an ordinary one (:970-1002 —
+      the original type is kept under `rtype` for the extended response);
+    - type "control": the operator is written WITHOUT the oph_ prefix
+      ("for", "if", ...) and gets it prepended (:1003-1010).
+    Rewritten tasks are copies; untouched tasks pass through by reference."""
+    out = []
+    for t in tasks:
+        ttype = str(t.get("type", "ophidia")).lower()
+        if ttype not in TASK_TYPES:
+            raise WorkflowError(
+                f"task {t.get('name')!r}: unknown type {ttype!r} "
+                f"(one of {sorted(TASK_TYPES)})"
+            )
+        op = str(t.get("operator", ""))
+        if ttype in ("cdo", "generic"):
+            t = dict(t)
+            t["arguments"] = {**t.get("arguments", {}), "command": op}
+            t["rtype"] = ttype
+            t["operator"] = f"oph_{ttype}"
+            t["type"] = "ophidia"
+        elif ttype == "control" and not op.startswith("oph_"):
+            t = dict(t)
+            t["operator"] = f"oph_{op}"
+        out.append(t)
+    return out
+
+
+def _op_external_command(engine, args: dict, inputs: dict) -> dict:
+    """oph_generic / oph_cdo: allow-listed external command execution
+    (management.run_command — the oph_script trust model). Composes with
+    the engine's massive expansion: `src_path=[...]` fans out one light
+    task per matched file, each appending its file to the command's argv
+    and exporting it as OPH_FILE. stdout/stderr land in the task response;
+    a non-zero exit flows through retry/backoff/on_error like any task
+    error."""
+    from ophidia_server_spark import management as _mgmt
+
+    cmd = str(args.get("command", "")).strip()
+    if not cmd:
+        raise WorkflowError("generic/cdo task without a command")
+    return _mgmt.run_command(
+        cmd,
+        src_path=args.get("src_path"),
+        session_id=str(args.get("sessionid", "")),
+        workflow_id=int(args.get("workflowid", 0) or 0),
+        marker_id=int(args.get("markerid", 0) or 0),
+    )
+
 
 class WorkflowError(Exception):
     pass
@@ -421,6 +479,10 @@ class WorkflowEngine:
                  pid_resolver: Callable[[str], str] | None = None,
                  responses: list | dict | None = None):
         self.operators = dict(operators or {})
+        # oph_generic / oph_cdo are engine built-ins (every deployment gets
+        # the allow-listed command path); an explicit registration wins
+        self.operators.setdefault("oph_generic", _op_external_command)
+        self.operators.setdefault("oph_cdo", _op_external_command)
         self.catalog = catalog  # Catalog for massive `cube=[...]` expansion
         # maps expanded cube ids to full PIDs (the reference renders PID URLs
         # for light tasks, oph_massive_operations.c:342-348)
@@ -896,7 +958,8 @@ class WorkflowEngine:
             workflow = parse_request(workflow)
         run = WorkflowRun(variables=dict(workflow.get("variables", {})))
         ops = {**self.operators, **(extra_operators or {})}
-        tasks = self._select_branches(list(workflow.get("tasks", [])), run.variables)
+        tasks = rewrite_task_types(list(workflow.get("tasks", [])))
+        tasks = self._select_branches(tasks, run.variables)
         tasks = self._expand_loops(tasks, run.variables)
         order = validate_dag(tasks)
         by_name = {t["name"]: t for t in tasks}
