@@ -123,8 +123,13 @@ def _half_step_plan(
     rv = F.array(
         *[F.col("rating") * F.element_at(v, i + 1) for i in range(k)]
     )
+    v2 = sum(
+        (F.element_at(v, i + 1) * F.element_at(v, i + 1) for i in range(k)),
+        F.lit(0.0),
+    )
     rows = joined.select(
-        F.col(solve_col).alias("id"), outer.alias("__o"), rv.alias("__b")
+        F.col(solve_col).alias("id"), outer.alias("__o"), rv.alias("__b"),
+        (F.col("rating") * F.col("rating")).alias("__r2"), v2.alias("__v2"),
     )
     agg = rows.groupBy("id").agg(
         F.array(
@@ -134,11 +139,48 @@ def _half_step_plan(
             *[F.sum(F.element_at("__b", i + 1)) for i in range(k)]
         ).alias("__bv"),
         F.count(F.lit(1)).alias("__n"),
+        F.sum("__r2").alias("__r2"),
+        F.sum("__v2").alias("__v2"),
     )
     solve = _solve_udf(k, reg)
-    return agg.select(
-        "id", solve("__A", "__bv", "__n").alias("factors")
+    solved = agg.select(
+        "id", "__A", "__bv", "__n", "__r2", "__v2",
+        solve("__A", "__bv", "__n").alias("factors"),
     )
+    # Fused per-id objective contribution — the round-12 ALS speedup: the
+    # squared error over one id's ratings expands exactly through the same
+    # normal-equation aggregates the solve consumed,
+    #   sum_i (r_ui - u.v_i)^2 = sum r^2 - 2 u.b + u^T A u,
+    # and the fixed side's count-weighted norm sum_i n_i |v_i|^2 telescopes
+    # to sum over ratings of |v_i|^2 (aggregated above as __v2) — so the
+    # full ALS-WR objective is ONE tiny sum over this (already
+    # checkpointed) frame instead of a separate ratings-join-both-factors
+    # job per half-step (that was ~half the jobs of a full als() run).
+    # The expansion is algebraically exact; it differs from a per-rating
+    # evaluation only in float summation order, far below the objective
+    # deltas of any unconverged sweep.
+    f = F.col("factors")
+    ub = sum(
+        (F.element_at(f, i + 1) * F.element_at("__bv", i + 1)
+         for i in range(k)),
+        F.lit(0.0),
+    )
+    uau = sum(
+        (F.element_at(f, i + 1)
+         * F.element_at("__A", i * k + j + 1)
+         * F.element_at(f, j + 1)
+         for i in range(k) for j in range(k)),
+        F.lit(0.0),
+    )
+    u2 = sum(
+        (F.element_at(f, i + 1) * F.element_at(f, i + 1) for i in range(k)),
+        F.lit(0.0),
+    )
+    obj = (
+        F.col("__r2") - 2.0 * ub + uau
+        + F.lit(reg) * (F.col("__n") * u2 + F.col("__v2"))
+    )
+    return solved.select("id", "factors", obj.alias("__obj"))
 
 
 def _half_step(
@@ -150,45 +192,6 @@ def _half_step(
     return _ckpt(_half_step_plan(
         ratings, fixed, solve_col, fixed_col, k, reg
     ))
-
-
-def _objective(
-    ratings: DataFrame, uf: DataFrame, vf: DataFrame, reg: float,
-) -> float:
-    """Regularized ALS-WR loss: sum (r - u.v)^2 + reg * (sum_u n_u |u|^2
-    + sum_i n_i |v|^2). One join + JVM dot-product fold + two norm
-    aggregates — scalars only to the driver."""
-    dot = F.aggregate(
-        F.zip_with("__u", "__v", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    joined = (
-        ratings.join(
-            uf.select(F.col("id").alias("user"), F.col("factors").alias("__u")),
-            "user",
-        )
-        .join(
-            vf.select(F.col("id").alias("item"), F.col("factors").alias("__v")),
-            "item",
-        )
-    )
-    sq = joined.select(
-        ((F.col("rating") - dot) * (F.col("rating") - dot)).alias("e2"),
-        F.aggregate(
-            F.transform("__u", lambda x: x * x), F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("u2"),
-        F.aggregate(
-            F.transform("__v", lambda x: x * x), F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("v2"),
-    ).agg(
-        F.sum("e2").alias("e2"),
-        F.sum("u2").alias("u2"),
-        F.sum("v2").alias("v2"),
-    ).first()
-    # summing |u|^2 once per rating IS the n_u-weighted norm
-    return float(sq["e2"] + reg * (sq["u2"] + sq["v2"]))
 
 
 def als(
@@ -220,9 +223,13 @@ def als(
     for _ in range(int(iters)):
         prev_vf = vf
         uf = _half_step(r, vf, "user", "item", k, reg)
-        objectives.append(_objective(r, uf, vf, reg))
+        # the fused objective: one scalar aggregate over the half-step's
+        # own (checkpointed) output — see _half_step_plan's expansion note
+        objectives.append(float(uf.agg(F.sum("__obj")).first()[0]))
+        uf = uf.drop("__obj")
         vf = _half_step(r, uf, "item", "user", k, reg)
-        objectives.append(_objective(r, uf, vf, reg))
+        objectives.append(float(vf.agg(F.sum("__obj")).first()[0]))
+        vf = vf.drop("__obj")
     r.unpersist()
     return ALSResult(uf, vf, prev_vf, objectives)
 
