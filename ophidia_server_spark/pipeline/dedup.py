@@ -127,6 +127,27 @@ class BucketCardinalityError(RuntimeError):
     contract as BlockCardinalityError / features.EcdfCardinalityError."""
 
 
+def _bucket_salt(bucket_cols: list, id_col: str, s: int):
+    """Sub-bucket salt for hot-but-LEGITIMATE band buckets (a genuine
+    near-dup clique is quadratic in its clique size; capping it drops real
+    pairs deterministically). Salting re-bands instead: each banded row
+    gets sub-bucket xxhash64(bucket_cols..., id) % s, so a bucket of n
+    rows splits into ~s sub-buckets of n/s and its candidate volume falls
+    ~s-fold. Because the hash covers the BUCKET columns too, the salt a
+    row draws is independent across the different bands a pair shares: a
+    true pair colliding in k band buckets survives salting in at least
+    one of them with probability 1 - (1 - 1/s)^k — a uniform, unbiased
+    recall dial (cap_bucket by contrast excludes every pair touching a
+    row past the cap in ALL its buckets). tests/test_bucket_guard.py pins
+    the measured recall on the fixture clique against this formula."""
+    if int(s) < 2:
+        raise ValueError(f"salt_bucket must be >= 2, got {s}")
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in bucket_cols], F.col(id_col)),
+        F.lit(int(s)),
+    )
+
+
 def _guard_banded_candidates(
     banded: DataFrame,
     bucket_cols: list,
@@ -197,9 +218,13 @@ def _guard_banded_candidates(
             f"(> max_candidates={int(max_candidates):,}) — hot band buckets "
             f"make the self-join quadratic at this scale. Hottest buckets: "
             f"{listing}. Pre-drop degenerate content (boilerplate, flat "
-            "images), raise bands/num_hashes, pass cap_bucket= to bound "
-            "every bucket (recall trade, dropped candidates are counted), "
-            "or max_candidates=None to accept the cost"
+            "images), raise bands/num_hashes, pass salt_bucket=s to "
+            "re-band hot buckets (~s-fold volume cut; a pair sharing k "
+            "buckets survives with probability 1-(1-1/s)^k — the right "
+            "lever for legitimate near-dup cliques), pass cap_bucket= to "
+            "bound every bucket (deterministic recall trade, dropped "
+            "candidates are counted), or max_candidates=None to accept "
+            "the cost"
         )
     if dropped > 0:
         warnings.warn(
@@ -227,6 +252,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
+    salt_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature-estimated
     Jaccard. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
@@ -262,9 +288,18 @@ def minhash_lsh_pairs(
             F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
         ).alias("band", "bucket"),
     )
+    bucket_cols = ["band", "bucket"]
+    if salt_bucket is not None:
+        # recall-dialed re-banding of hot buckets (see _bucket_salt):
+        # applied BEFORE the guard so the budget check runs on the salted
+        # (s-fold smaller) volumes, like cap_bucket
+        banded = banded.withColumn(
+            "__salt", _bucket_salt(bucket_cols, "doc_id", salt_bucket)
+        )
+        bucket_cols = [*bucket_cols, "__salt"]
     if max_candidates is not None or cap_bucket is not None:
         banded = _guard_banded_candidates(
-            banded, ["band", "bucket"], "doc_id", max_candidates, cap_bucket,
+            banded, bucket_cols, "doc_id", max_candidates, cap_bucket,
             "minhash_lsh_pairs",
         )
     a = banded.alias("a")
@@ -278,11 +313,15 @@ def minhash_lsh_pairs(
             lambda m: m,
         )
     ).cast("double") / F.lit(num_hashes)
-    cand = a.join(
-        b,
+    same_bucket = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if salt_bucket is not None:
+        same_bucket = same_bucket & (F.col("a.__salt") == F.col("b.__salt"))
+    cand = a.join(
+        b,
+        same_bucket & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -354,6 +393,7 @@ def simhash_pairs(
     bands: int | None = None,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
+    salt_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from SimHash signatures: band the 64-bit
     signature into `bands` contiguous chunks (pigeonhole: two signatures
@@ -411,16 +451,22 @@ def simhash_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    join_cols = ["band", "val"]
+    if salt_bucket is not None:
+        banded = banded.withColumn(
+            "__salt", _bucket_salt(join_cols, "doc_id", salt_bucket)
+        )
+        join_cols = [*join_cols, "__salt"]
     if max_candidates is not None or cap_bucket is not None:
         banded = _guard_banded_candidates(
-            banded, ["band", "val"], "doc_id", max_candidates, cap_bucket,
+            banded, join_cols, "doc_id", max_candidates, cap_bucket,
             "simhash_pairs",
         )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, ["band", "val"])
+        a.join(b, join_cols)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -437,6 +483,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 16, bands: int = 4,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
+    salt_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over LSH-blocked candidate pairs.
 
@@ -467,16 +514,28 @@ def ngram_jaccard_pairs(
             F.array(*[F.hash(F.slice(F.col("sig"), i * r + 1, r)) for i in range(bands)])
         ).alias("bucket"),
     )
+    bucket_cols = ["bucket"]
+    if salt_bucket is not None:
+        # per-band independence holds even with the single bucket column:
+        # different bands hash different signature slices, so the salt's
+        # hash input differs per band (see _bucket_salt)
+        banded = banded.withColumn(
+            "__salt", _bucket_salt(bucket_cols, "doc_id", salt_bucket)
+        )
+        bucket_cols = [*bucket_cols, "__salt"]
     if max_candidates is not None or cap_bucket is not None:
         # the pre-pass reads the persisted sigs cache (column-pruned to
         # (doc_id, bucket) by the InMemoryTableScan) — no signature recompute
         banded = _guard_banded_candidates(
-            banded, ["bucket"], "doc_id", max_candidates, cap_bucket,
+            banded, bucket_cols, "doc_id", max_candidates, cap_bucket,
             "ngram_jaccard_pairs",
         )
     a, b = banded.alias("a"), banded.alias("b")
+    same_bucket = F.col("a.bucket") == F.col("b.bucket")
+    if salt_bucket is not None:
+        same_bucket = same_bucket & (F.col("a.__salt") == F.col("b.__salt"))
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, same_bucket & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

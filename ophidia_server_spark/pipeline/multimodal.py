@@ -509,6 +509,7 @@ def dhash_near_dup(
     codes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
+    salt_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs from dHash codes — LOSSLESS banded
     search: the 64-bit code (two 32-bit words from `dhash_gray`) splits
@@ -556,11 +557,19 @@ def dhash_near_dup(
             )
         ).alias("__band", "__val"),
     )
+    bucket_cols = ["__band", "__val"]
+    if salt_bucket is not None:
+        from ophidia_server_spark.pipeline.dedup import _bucket_salt
+
+        banded = banded.withColumn(
+            "__salt", _bucket_salt(bucket_cols, "__id", salt_bucket)
+        )
+        bucket_cols = [*bucket_cols, "__salt"]
     if max_candidates is not None or cap_bucket is not None:
         from ophidia_server_spark.pipeline.dedup import _guard_banded_candidates
 
         banded = _guard_banded_candidates(
-            banded, ["__band", "__val"], "__id", max_candidates, cap_bucket,
+            banded, bucket_cols, "__id", max_candidates, cap_bucket,
             "dhash_near_dup",
         )
     a, b = banded.alias("a"), banded.alias("b")
@@ -568,12 +577,16 @@ def dhash_near_dup(
         F.bit_count(F.col("a.code_lo").bitwiseXOR(F.col("b.code_lo")))
         + F.bit_count(F.col("a.code_hi").bitwiseXOR(F.col("b.code_hi")))
     ).cast("long")
+    same_bucket = (
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__val") == F.col("b.__val"))
+    )
+    if salt_bucket is not None:
+        same_bucket = same_bucket & (F.col("a.__salt") == F.col("b.__salt"))
     return (
         a.join(
             b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__val") == F.col("b.__val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            same_bucket & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),

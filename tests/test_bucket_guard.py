@@ -151,3 +151,96 @@ def test_cap_bucket_validation(spark):
     docs = _clone_docs(spark, n=3)
     with pytest.raises(ValueError, match="cap_bucket must be >= 1"):
         dd.minhash_lsh_pairs(docs, cap_bucket=0)
+
+
+def test_salt_bucket_restores_budget_and_keeps_clique_recall(spark):
+    """The round-12 lever for hot-but-LEGITIMATE buckets: 30 identical
+    docs are a real near-dup clique; cap_bucket=5 keeps only the C(5,2)
+    pairs among the 5 smallest ids (10 of 435 clique pairs — the
+    documented deterministic loss), while salt_bucket=4 re-bands the
+    bucket so the budget holds AND every pair still collides in >= 1 of
+    its 8 shared bands with probability 1-(3/4)^8 ~ 0.90 — measured here
+    on the fixed ids (xxhash64 is deterministic), not asserted."""
+    docs = _clone_docs(spark)  # 435 true pairs; unsalted volume 3,480
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, max_candidates=1000, salt_bucket=4
+        ).collect()
+    }
+    all_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    assert pairs <= all_pairs
+    recall = len(pairs) / len(all_pairs)
+    # expected 0.899 at s=4, k=8; the deterministic fixture draw must sit
+    # well inside [0.75, 1.0] — far above cap_bucket=5's 10/435 = 0.023
+    assert recall >= 0.75
+    # the salted volume must actually clear the 1,000 budget that the
+    # unsalted run (3,480) violates — proven by it NOT raising above
+
+
+def test_salt_bucket_composes_with_cap_and_validates(spark):
+    docs = _clone_docs(spark, n=10)
+    with pytest.raises(ValueError, match="salt_bucket must be >= 2"):
+        dd.minhash_lsh_pairs(docs, salt_bucket=1)
+    # salting + cap: budget check runs on the salted-then-capped sizes
+    pairs = dd.minhash_lsh_pairs(
+        docs, max_candidates=None, cap_bucket=3, salt_bucket=2
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got <= {(a, b) for a in range(10) for b in range(a + 1, 10)}
+
+
+def test_salt_bucket_no_false_positives_on_varied_docs(spark):
+    """Salting only ever REMOVES candidates: the salted pair set is a
+    subset of the unsalted one on a mixed corpus."""
+    docs = _varied_docs(spark)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, max_candidates=None
+        ).collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, max_candidates=None, salt_bucket=3
+        ).collect()
+    }
+    assert salted <= base
+
+
+def test_salt_bucket_simhash_and_dhash_paths(spark):
+    docs = _clone_docs(spark)
+    # simhash: clique volume 1,740 > budget 1,000; salt_bucket=4 restores
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_pairs(
+            docs, max_candidates=1000, salt_bucket=4
+        ).collect()
+    }
+    all_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    assert pairs and pairs <= all_pairs
+    # dhash: 30 identical codes, 4 bands -> 1,740 candidates > 1,000
+    codes = spark.createDataFrame(
+        [(i, 12345, 67890, 1) for i in range(30)],
+        "doc_id long, code_lo long, code_hi long, ok int",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dhash_near_dup(
+            codes, max_candidates=1000, salt_bucket=4
+        ).collect()
+    }
+    assert got and got <= all_pairs
+
+
+def test_salt_bucket_ngram_jaccard_path(spark):
+    docs = _clone_docs(spark)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(
+            docs, max_candidates=700, salt_bucket=4
+        ).collect()
+    }
+    all_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    assert got and got <= all_pairs
