@@ -242,11 +242,15 @@ def ivf_probe(
 
     On a `codes="pq"` store the pruned scan reads the 8-byte PQ code
     column instead of the float vectors: ADC (sim.pq_adc_dist, pure JVM)
-    ranks the pruned rows, the top `shortlist` (default 5k) candidate ids
-    broadcast-semi-join back against the SAME pruned partitions for the
-    exact-cosine rerank — two column-pruned scans of nprobe partitions,
-    never a full-corpus read, and the heavy column is only decoded for
-    shortlist rows."""
+    ranks the pruned rows, the top `shortlist` (default 5*k) candidate
+    ids broadcast-semi-join back against the SAME pruned partitions for
+    the exact-cosine rerank — two column-pruned scans of nprobe
+    partitions, never a full-corpus read, and the heavy column is only
+    decoded for shortlist rows."""
+    if shortlist is None:
+        shortlist = 5 * k
+    if int(shortlist) < 1:
+        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
     if isinstance(index, str):
         index = load_index(index)
     leaders = index.params["leaders"]
@@ -265,7 +269,7 @@ def ivf_probe(
                 index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
             )
             .orderBy("__d", index.id_col)
-            .limit(int(shortlist or 5 * k))
+            .limit(int(shortlist))
             .select(index.id_col)
         )
         pruned = pruned.join(F.broadcast(cand), index.id_col)
@@ -278,7 +282,7 @@ def ivf_probe(
 
 def _lsh_bucketize(
     df: DataFrame, dim: int, bits: int, tables: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, extra_cols: tuple = (),
 ) -> DataFrame:
     """All `tables` hash tables' bucket ids in ONE Arrow matmul: the
     (dim, tables*bits) plane matrix's global bit t*bits+j is table t's
@@ -296,8 +300,9 @@ def _lsh_bucketize(
     full = sim.signature_udf(dim, bits * tables)(
         F.col(vec_col).cast("array<double>")
     )
+    cols = [id_col, vec_col, *extra_cols, "__sig"]
     if tables == 1:
-        return df.withColumn("__sig", full).select(id_col, vec_col, "__sig")
+        return df.withColumn("__sig", full).select(*cols)
     mask = (1 << bits) - 1
     buckets = F.array(*[
         F.shiftright(F.col("__full"), t * bits).bitwiseAND(F.lit(mask))
@@ -307,7 +312,7 @@ def _lsh_bucketize(
     return (
         df.withColumn("__full", full)
         .withColumn("__sig", F.explode(buckets))
-        .select(id_col, vec_col, "__sig")
+        .select(*cols)
     )
 
 
@@ -337,6 +342,7 @@ def _lsh_probe_buckets(
 def lsh_build(
     df: DataFrame, path: str, bits: int = 8, dim: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", tables: int = 1,
+    codes: str = "float", pq_m: int = 8, pq_k: int = 16,
 ) -> VectorIndex:
     """Build the LSH store: hyperplane-sign every vector once, write parquet
     partitioned by `__sig` (tables * 2^bits directories; each vector is
@@ -350,17 +356,34 @@ def lsh_build(
     read a tiny fraction; on a structureless corpus whose exact top-10 sit
     near cosine ~0.3 (the synthetic test fixture), clearing recall >= 0.5
     genuinely requires a wide dial (e.g. bits=5, tables=12, hamming=2) —
-    that cost is the corpus's property, not the store's."""
+    that cost is the corpus's property, not the store's.
+
+    `codes="pq"` composes PQ inside the LSH buckets exactly as ivf_build
+    does inside cells (same sidecar key, same ADC + rerank probe path):
+    the multiprobe bucket scan reads ~pq_m bytes per row instead of the
+    float vectors — the lever that matters precisely when a wide
+    tables/hamming dial makes the probed fraction large. With tables > 1
+    each table copy of a row carries the same pq_codes (encoded once,
+    before the bucket explode replicates the row)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    signed = _lsh_bucketize(df, dim, bits, int(tables), id_col, vec_col)
+    params: dict = {"bits": bits, "dim": dim, "tables": int(tables)}
+    if codes == "pq":
+        books = sim.pq_codebooks(df, m=pq_m, k=pq_k, vec_col=vec_col,
+                                 id_col=id_col)
+        df = sim.pq_encode(df, books, vec_col=vec_col, id_col=id_col,
+                           keep=(vec_col,))
+        params["pq_books"] = [[list(map(float, c)) for c in B] for B in books]
+    elif codes != "float":
+        raise ValueError(f"codes must be 'float' or 'pq', got {codes!r}")
+    signed = _lsh_bucketize(df, dim, bits, int(tables), id_col, vec_col,
+                            extra_cols=("pq_codes",) if codes == "pq" else ())
     # same small-files rationale as ivf_build: writer count scales with
     # corpus bytes instead of tasks x 2^bits fragments
     _clustered_partitioned_write(signed, path, "__sig", id_col,
                                  int(tables) << bits)
     idx = VectorIndex(
-        kind="lsh", path=path, id_col=id_col, vec_col=vec_col,
-        params={"bits": bits, "dim": dim, "tables": int(tables)},
+        kind="lsh", path=path, id_col=id_col, vec_col=vec_col, params=params,
     )
     idx.save_sidecar()
     return idx
@@ -368,7 +391,7 @@ def lsh_build(
 
 def lsh_probe(
     spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
-    k: int = 10, hamming: int = 1,
+    k: int = 10, hamming: int = 1, shortlist: int | None = None,
 ) -> DataFrame:
     """Probe the materialized LSH store: per table, the query's bucket plus
     its hamming<=`hamming` multiprobe neighbors form the partition filter;
@@ -376,7 +399,17 @@ def lsh_probe(
     tables > 1 a vector found in several tables is deduplicated by id
     (its cosine is identical in every copy). The deterministic plane
     matrix means the driver-side `signature_of` can never drift from the
-    build-time corpus signatures."""
+    build-time corpus signatures.
+
+    On a `codes="pq"` store the probed buckets are ADC-ranked over the
+    ~pq_m-byte code column first (pure JVM, sim.pq_adc_dist — the same
+    path ivf_probe uses), and only the top `shortlist` (default 5*k) ids
+    join back for the exact-cosine rerank — the float vectors decode for
+    shortlist rows only."""
+    if shortlist is None:
+        shortlist = 5 * k
+    if int(shortlist) < 1:
+        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
     if isinstance(index, str):
         index = load_index(index)
     bits = index.params["bits"]
@@ -384,7 +417,22 @@ def lsh_probe(
     probe_sigs = _lsh_probe_buckets(query_vec, bits, tables, hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     stored = spark.read.parquet(index.path)
-    scored = stored.filter(F.col("__sig").isin(probe_sigs)).select(
+    pruned = stored.filter(F.col("__sig").isin(probe_sigs))
+    if index.params.get("pq_books"):
+        books = _pq_books(index)
+        cand = (
+            pruned.select(
+                index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
+            )
+            # a multi-table copy carries identical codes -> identical __d;
+            # the dedup keeps the shortlist budget spent on DISTINCT ids
+            .groupBy(index.id_col).agg(F.min("__d").alias("__d"))
+            .orderBy("__d", index.id_col)
+            .limit(int(shortlist))
+            .select(index.id_col)
+        )
+        pruned = pruned.join(F.broadcast(cand), index.id_col)
+    scored = pruned.select(
         F.col(index.id_col),
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
     )
@@ -436,9 +484,20 @@ def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
                 id_col=index.id_col, keep=(index.vec_col, "__cell"),
             )
     else:
+        lsh_df = df
+        extra: tuple = ()
+        if index.params.get("pq_books"):
+            # same re-encode contract as the IVF branch: the batch gets
+            # the BUILD's codebooks from the sidecar
+            lsh_df = sim.pq_encode(
+                df, _pq_books(index), vec_col=index.vec_col,
+                id_col=index.id_col, keep=(index.vec_col,),
+            )
+            extra = ("pq_codes",)
         assigned = _lsh_bucketize(
-            df, index.params["dim"], index.params["bits"],
+            lsh_df, index.params["dim"], index.params["bits"],
             int(index.params.get("tables", 1)), index.id_col, index.vec_col,
+            extra_cols=extra,
         )
     part_col, n_buckets = _part_meta(index)
     _clustered_partitioned_write(
