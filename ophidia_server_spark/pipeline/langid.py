@@ -101,10 +101,19 @@ def nb_predict(
     model: dict,
     text_col: str = "text",
     id_col: str = "doc_id",
+    abstain_margin: int | None = None,
 ) -> DataFrame:
     """Score every document against every language — pure map, weights as
     plan literals. Returns (id, pred_lang, margin): margin is the
     integer micro-logit gap between the best and second-best language.
+
+    `abstain_margin` (round-12 hardening): a prediction whose integer
+    margin falls below it is relabeled 'und' — the honest output for
+    short/degenerate texts where the model is guessing, and what a
+    corpus mix table should count rather than a coin-flip language. The
+    margin column keeps the raw gap either way, so the caller can audit
+    the abstention boundary. Purely a map over the integer margin — the
+    oracle mirrors it with one CASE.
 
     Tie-break is the HEURISTIC'S VOTE (the round-11 contract: the old
     stop-word rule survives as fallback): languages rank by
@@ -152,8 +161,13 @@ def nb_predict(
         if len(langs) > 1
         else F.lit(0).cast("long")
     )
+    pred = F.element_at(langs_lit, -ranked["negidx"] + 1)
+    if abstain_margin is not None:
+        pred = F.when(
+            margin < F.lit(int(abstain_margin)), F.lit("und")
+        ).otherwise(pred)
     return df.select(
         F.col(id_col),
-        F.element_at(langs_lit, -ranked["negidx"] + 1).alias("pred_lang"),
+        pred.alias("pred_lang"),
         margin.alias("margin"),
     )

@@ -59,3 +59,42 @@ def test_nb_predict_is_pure_map(spark):
     )
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_nb_separates_non_latin_script(spark):
+    # round-12 hardening: Cyrillic-mapped docs (multi-byte UTF-8 chars
+    # through the byte-level md5 gram hash) must classify cleanly
+    cyr_map = str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", "абвгдежзийклмнопрстуфхцчшщ"
+    )
+    rows = []
+    for i in range(40):
+        en = f"the quick brown fox number {i} jumps over the lazy dog"
+        rows.append((i * 2, "en", en))
+        rows.append((i * 2 + 1, "cyr", en.translate(cyr_map)))
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = langid.nb_train(corpus.filter(F.col("doc_id") % 5 != 0))
+    assert model["langs"] == ["cyr", "en"]
+    evl = corpus.filter(F.col("doc_id") % 5 == 0)
+    got = evl.join(langid.nb_predict(evl, model), "doc_id").collect()
+    assert got and all(r["lang"] == r["pred_lang"] for r in got)
+
+
+def test_nb_predict_abstain_margin(spark):
+    corpus = _corpus(spark)
+    model = langid.nb_train(corpus)
+    mixed = spark.createDataFrame(
+        [(999, ""), (1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in langid.nb_predict(mixed, model, abstain_margin=100_000)
+        .collect()
+    }
+    # empty text: prior-only scores, margin 0 (equal class sizes) -> und;
+    # the raw margin column still carries the gap for auditing
+    assert got[999]["pred_lang"] == "und" and got[999]["margin"] == 0
+    # a real sentence's margin is orders of magnitude above the threshold
+    assert got[1000]["pred_lang"] == "en"
+    assert got[1000]["margin"] > 1_000_000
