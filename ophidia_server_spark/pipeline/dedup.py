@@ -176,6 +176,19 @@ def _guard_banded_candidates(
     satisfies the budget it restores. Both None skips the pre-pass (and
     this function is not called at all).
 
+    EAGERNESS CONTRACT (ADVICE r11): the pre-pass is a blocking Spark job
+    at DataFrame-CONSTRUCTION time — the whole point is to count the
+    hazard before any quadratic plan exists, so the pair APIs are eager
+    whenever the guard is on. Passing max_candidates=None AND
+    cap_bucket=None restores fully lazy construction. The signature/code
+    tables the callers persist for the pre-pass are deliberately LEFT
+    CACHED (Spark's CacheManager dedups identical plans, so repeated
+    calls on the same input reuse one entry; the returned pair DataFrame
+    still reads them lazily, so unpersisting here would silently
+    recompute the dominant stage). Long-lived sessions scanning MANY
+    DISTINCT corpora accumulate one ~2-3-longs-per-doc cache entry per
+    corpus — `spark.catalog.clearCache()` is the session-level release.
+
     Returns the (possibly truncated) banded table."""
     import warnings
 

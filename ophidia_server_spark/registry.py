@@ -13156,7 +13156,16 @@ def dedup_duplicate_spans(spark, sf_dir):
     maximal spans. The fixture plants proper substring overlaps (token
     3..17 remixes of every 10th doc), so the expected output is SPANS
     inside documents, not whole-doc groups; every span hash-matched
-    against DuckDB's independent window-mirror."""
+    against DuckDB's independent window-mirror.
+
+    Collision caveat (ADVICE r11, applies to the whole span family —
+    coverage, excise, contamination): the Spark side shuffles 8-byte
+    xxhash64 gram keys (hash_key=True, the measured sf10 default) while
+    the oracle computes with collision-free string keys, so these
+    'hash-exact' gates are exact modulo 64-bit gram-key collisions —
+    probability ~n_grams²/2^65, vanishing below trillions of distinct
+    grams and zero observed at every test scale. hash_key=False restores
+    the collision-free keys for audits."""
     from ophidia_server_spark.pipeline.dedup import duplicate_spans
 
     return duplicate_spans(_dup_span_corpus(spark, sf_dir), k=8, min_docs=2)
