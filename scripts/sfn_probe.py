@@ -53,6 +53,17 @@ def main() -> None:
     def fn(name):
         return BENCH_VARIANTS.get(name, QUERIES[name])
 
+    def drain(df) -> None:
+        # round-12 decade lesson: gate results can be DATA-PROPORTIONAL
+        # (events_interpolate_linear returns the interpolated series —
+        # ~100M rows at sf100), and .collect() then measures
+        # driver-serialization until spark.driver.maxResultSize kills it,
+        # not the engine. The noop sink computes every operator and drops
+        # rows executor-side — the same drain a real 100 TB job's sink
+        # provides. Ratios stay probe-vs-probe: all decade numbers from
+        # round 12 on use this drain at every scale.
+        df.write.format("noop").mode("overwrite").save()
+
     out: dict[str, float] = {}
     errors: dict[str, str] = {}
     skipped: list[str] = []
@@ -60,9 +71,9 @@ def main() -> None:
         wall0 = time.perf_counter()
         try:
             if warm:
-                fn(name)(spark, sf_dir).collect()
+                drain(fn(name)(spark, sf_dir))
             t0 = time.perf_counter()
-            fn(name)(spark, sf_dir).collect()
+            drain(fn(name)(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — a named guard firing at
             # this scale IS a probe result (e.g. BlockCardinalityError);
             # record it and keep probing the rest of the list
