@@ -176,10 +176,13 @@ def _half_step_plan(
         (F.element_at(f, i + 1) * F.element_at(f, i + 1) for i in range(k)),
         F.lit(0.0),
     )
-    obj = (
-        F.col("__r2") - 2.0 * ub + uau
-        + F.lit(reg) * (F.col("__n") * u2 + F.col("__v2"))
-    )
+    # e2 is a difference of same-magnitude aggregates: on a near-perfectly
+    # fit id (e2 ~ 0 while sum r^2 is large) float cancellation can leave
+    # a tiny NEGATIVE residue where the per-rating sum of squares is
+    # non-negative by construction — clamp it (the reg terms below are
+    # exactly non-negative already)
+    e2 = F.greatest(F.lit(0.0), F.col("__r2") - 2.0 * ub + uau)
+    obj = e2 + F.lit(reg) * (F.col("__n") * u2 + F.col("__v2"))
     return solved.select("id", "factors", obj.alias("__obj"))
 
 

@@ -23,6 +23,69 @@ _WEDGE_SPILL_BYTES = 64  # measured: sf10 probe, 4.1B wedges / 12 rounds
 # spilled ~20 GB -> ~59 B per wedge through the closure sort; 64 rounds up
 
 
+def clean_and_orient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Triangle prelude, shared by `triangle_counts` and the decade
+    probe's estimate pass (scripts/triangle_estimate_probe.py) so the two
+    can never drift: drop self-loops, canonicalize direction + dedup
+    (`und`: (__a < __b)), then degree-orient every edge from the
+    lower-(degree, id) endpoint (`oriented`: (__lo, __hi)) — the Suri &
+    Vassilvitskii skew bound. Returns (und, oriented), both lazy."""
+    raw = edges.select(
+        F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
+    ).filter(F.col("__x") != F.col("__y"))
+    und = raw.select(
+        F.least("__x", "__y").alias("__a"), F.greatest("__x", "__y").alias("__b")
+    ).distinct()
+    deg = (
+        und.select(F.col("__a").alias("node"))
+        .unionByName(und.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    da = deg.select(F.col("node").alias("__a"), F.col("__deg").alias("__dega"))
+    db = deg.select(F.col("node").alias("__b"), F.col("__deg").alias("__degb"))
+    keyed = und.join(da, "__a").join(db, "__b")
+    fwd = F.struct("__dega", "__a") < F.struct("__degb", "__b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("__a")).otherwise(F.col("__b")).alias("__lo"),
+        F.when(fwd, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
+    )
+    return und, oriented
+
+
+def wedge_total(oriented: DataFrame) -> float:
+    """Exact total wedge count of a degree-oriented edge set — one cheap
+    aggregate (Σ d·(d−1)/2 over the oriented out-degrees). The auto-chunk
+    estimate's action: running it on a persisted `oriented` materializes
+    the cache the counting passes reuse."""
+    return float(
+        oriented.groupBy("__lo")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(
+            F.sum(F.col("__d") * (F.col("__d") - 1) / F.lit(2)).alias("__w")
+        )
+        .first()["__w"] or 0
+    )
+
+
+def auto_chunks(wedges: float, budget_gb: float | None = None) -> int:
+    """K = ceil(wedges × ~64 B/wedge ÷ scratch budget) — the chunks="auto"
+    sizing rule, exposed so probes report the exact K the operator would
+    pick. Budget defaults to SPARK_GRAFT_TRIANGLE_SCRATCH_GB (32)."""
+    import math
+    import os
+
+    if budget_gb is None:
+        budget_gb = float(
+            os.environ.get("SPARK_GRAFT_TRIANGLE_SCRATCH_GB", "32")
+        )
+    return max(
+        1, math.ceil(float(wedges) * _WEDGE_SPILL_BYTES / (budget_gb * 1e9))
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     chunks: int | str = "auto",
@@ -65,26 +128,7 @@ def triangle_counts(
     counts at any K — every wedge lands in exactly one round. On a
     cluster the equivalent knob is executor count x local disk; chunks
     is the one-box expression of the same bound."""
-    raw = edges.select(
-        F.col(src_col).alias("__x"), F.col(dst_col).alias("__y")
-    ).filter(F.col("__x") != F.col("__y"))
-    und = raw.select(
-        F.least("__x", "__y").alias("__a"), F.greatest("__x", "__y").alias("__b")
-    ).distinct()
-    deg = (
-        und.select(F.col("__a").alias("node"))
-        .unionByName(und.select(F.col("__b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-    )
-    da = deg.select(F.col("node").alias("__a"), F.col("__deg").alias("__dega"))
-    db = deg.select(F.col("node").alias("__b"), F.col("__deg").alias("__degb"))
-    keyed = und.join(da, "__a").join(db, "__b")
-    fwd = F.struct("__dega", "__a") < F.struct("__degb", "__b")
-    oriented = keyed.select(
-        F.when(fwd, F.col("__a")).otherwise(F.col("__b")).alias("__lo"),
-        F.when(fwd, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
-    )
+    und, oriented = clean_and_orient(edges, src_col, dst_col)
     def _count_for(ori: DataFrame) -> DataFrame:
         w1 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
         w2 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
@@ -108,32 +152,10 @@ def triangle_counts(
     if isinstance(chunks, str):
         if chunks != "auto":
             raise ValueError(f"chunks must be an int or 'auto', got {chunks!r}")
-        import math
-        import os
-
         # DISK_ONLY for the same reason as the chunked rounds below; the
         # estimate action materializes the cache the counting passes reuse
         oriented = oriented.persist(StorageLevel.DISK_ONLY)
-        wedge_total = (
-            oriented.groupBy("__lo")
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .agg(
-                F.sum(
-                    F.col("__d") * (F.col("__d") - 1) / F.lit(2)
-                ).alias("__w")
-            )
-            .first()["__w"]
-        )
-        budget_gb = float(
-            os.environ.get("SPARK_GRAFT_TRIANGLE_SCRATCH_GB", "32")
-        )
-        chunks = max(
-            1,
-            math.ceil(
-                float(wedge_total or 0) * _WEDGE_SPILL_BYTES
-                / (budget_gb * 1e9)
-            ),
-        )
+        chunks = auto_chunks(wedge_total(oriented))
     if int(chunks) <= 1:
         # the estimate's cache is deliberately KEPT for the returned lazy
         # plan: the wedge and closure passes both read `oriented`, and

@@ -162,7 +162,10 @@ def nb_predict(
         else F.lit(0).cast("long")
     )
     pred = F.element_at(langs_lit, -ranked["negidx"] + 1)
-    if abstain_margin is not None:
+    # abstention needs a COMPETING language to measure confidence against:
+    # a single-language model's margin is degenerately 0 (no second-best),
+    # and relabeling its every prediction 'und' would be absurd
+    if abstain_margin is not None and len(langs) > 1:
         pred = F.when(
             margin < F.lit(int(abstain_margin)), F.lit("und")
         ).otherwise(pred)

@@ -231,6 +231,40 @@ def _pq_books(index: VectorIndex):
     return [np.asarray(B, dtype="float64") for B in index.params["pq_books"]]
 
 
+def _resolve_shortlist(shortlist: int | None, k: int) -> int:
+    """Default 5*k; an explicit value must be >= 1 (an accidental 0 must
+    error, not silently fall back — ADVICE r11)."""
+    if shortlist is None:
+        shortlist = 5 * k
+    if int(shortlist) < 1:
+        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
+    return int(shortlist)
+
+
+def _adc_shortlist(
+    pruned: DataFrame, index: VectorIndex, query_vec: list[float],
+    shortlist: int, dedup: bool,
+) -> DataFrame:
+    """The shared PQ probe step (ivf_probe and lsh_probe): ADC-rank the
+    pruned rows over the ~pq_m-byte code column (sim.pq_adc_dist, pure
+    JVM), keep the `shortlist` best ids, and broadcast-join them back so
+    the caller's exact-cosine rerank decodes float vectors for shortlist
+    rows only. `dedup=True` collapses multi-table copies (identical codes
+    -> identical __d) first, so the shortlist budget buys DISTINCT ids."""
+    books = _pq_books(index)
+    cand = pruned.select(
+        index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
+    )
+    if dedup:
+        cand = cand.groupBy(index.id_col).agg(F.min("__d").alias("__d"))
+    cand = (
+        cand.orderBy("__d", index.id_col)
+        .limit(int(shortlist))
+        .select(index.id_col)
+    )
+    return pruned.join(F.broadcast(cand), index.id_col)
+
+
 def ivf_probe(
     spark: SparkSession, index: VectorIndex | str, query_vec: list[float],
     k: int = 10, nprobe: int = 4, shortlist: int | None = None,
@@ -247,10 +281,7 @@ def ivf_probe(
     the exact-cosine rerank — two column-pruned scans of nprobe
     partitions, never a full-corpus read, and the heavy column is only
     decoded for shortlist rows."""
-    if shortlist is None:
-        shortlist = 5 * k
-    if int(shortlist) < 1:
-        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
+    shortlist = _resolve_shortlist(shortlist, k)
     if isinstance(index, str):
         index = load_index(index)
     leaders = index.params["leaders"]
@@ -263,16 +294,8 @@ def ivf_probe(
     stored = spark.read.parquet(index.path)
     pruned = stored.filter(F.col("__cell").isin(probe_cells))
     if index.params.get("pq_books"):
-        books = _pq_books(index)
-        cand = (
-            pruned.select(
-                index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
-            )
-            .orderBy("__d", index.id_col)
-            .limit(int(shortlist))
-            .select(index.id_col)
-        )
-        pruned = pruned.join(F.broadcast(cand), index.id_col)
+        pruned = _adc_shortlist(pruned, index, query_vec, shortlist,
+                                dedup=False)
     scored = pruned.select(
         F.col(index.id_col),
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),
@@ -406,10 +429,7 @@ def lsh_probe(
     path ivf_probe uses), and only the top `shortlist` (default 5*k) ids
     join back for the exact-cosine rerank — the float vectors decode for
     shortlist rows only."""
-    if shortlist is None:
-        shortlist = 5 * k
-    if int(shortlist) < 1:
-        raise ValueError(f"shortlist must be >= 1, got {shortlist}")
+    shortlist = _resolve_shortlist(shortlist, k)
     if isinstance(index, str):
         index = load_index(index)
     bits = index.params["bits"]
@@ -419,19 +439,8 @@ def lsh_probe(
     stored = spark.read.parquet(index.path)
     pruned = stored.filter(F.col("__sig").isin(probe_sigs))
     if index.params.get("pq_books"):
-        books = _pq_books(index)
-        cand = (
-            pruned.select(
-                index.id_col, sim.pq_adc_dist(books, query_vec).alias("__d")
-            )
-            # a multi-table copy carries identical codes -> identical __d;
-            # the dedup keeps the shortlist budget spent on DISTINCT ids
-            .groupBy(index.id_col).agg(F.min("__d").alias("__d"))
-            .orderBy("__d", index.id_col)
-            .limit(int(shortlist))
-            .select(index.id_col)
-        )
-        pruned = pruned.join(F.broadcast(cand), index.id_col)
+        pruned = _adc_shortlist(pruned, index, query_vec, shortlist,
+                                dedup=tables > 1)
     scored = pruned.select(
         F.col(index.id_col),
         F.round(sim.cosine(F.col(index.vec_col), q), 6).alias("cosine_sim"),

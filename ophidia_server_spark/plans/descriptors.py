@@ -360,6 +360,13 @@ _GENERIC_SPECS = (
     _p("sessionid", default=""),
     _p("workflowid", type="int", default="0", minvalue=0),
     _p("markerid", type="int", default="0", minvalue=0),
+    # engine massive-expansion contract, same as the import operators:
+    # run=no lists the expansion without executing; convention=cmip5
+    # applies the filename-measure rule to expanded files
+    _p("run", default="yes", values=YN),
+    _p("convention", default="-"),
+    _p("measure", default="-",
+       doc="set per light task by convention=cmip5 expansion"),
 )
 
 # generic/cdo tasks (oph_workflow_define.h:110-111): the parser rewrite

@@ -95,9 +95,15 @@ def _op_external_command(engine, args: dict, inputs: dict) -> dict:
     cmd = str(args.get("command", "")).strip()
     if not cmd:
         raise WorkflowError("generic/cdo task without a command")
+    # "-" is this engine's declared unset sentinel (the descriptor default;
+    # cf. _wait_carry's unset tuple) — appending it would hand the command
+    # a literal "-" argument (stdin to most tools)
+    src = args.get("src_path")
+    if src in ("", "-", None):
+        src = None
     return _mgmt.run_command(
         cmd,
-        src_path=args.get("src_path"),
+        src_path=src,
         session_id=str(args.get("sessionid", "")),
         workflow_id=int(args.get("workflowid", 0) or 0),
         marker_id=int(args.get("markerid", 0) or 0),

@@ -7130,6 +7130,21 @@ def events_attribution_position(spark, sf_dir):
     )
 
 
+def triangle_gate_edges(spark, sf_dir):
+    """The triangle gate's parts-bought-together edge list (parts sharing
+    an order) — shared with scripts/triangle_estimate_probe.py so the
+    decade probe can never drift from what the gate actually counts."""
+    li = _t(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+
+
 @q(
     "graph_triangle_counts",
     """WITH e0 AS (
@@ -7158,16 +7173,7 @@ def graph_triangle_counts(spark, sf_dir):
     hash-match."""
     from ophidia_server_spark.pipeline.graph import triangle_counts
 
-    li = _t(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
-    return triangle_counts(edges).select(
+    return triangle_counts(triangle_gate_edges(spark, sf_dir)).select(
         F.col("node").cast("long").alias("node"), "n_triangles"
     )
 
