@@ -359,18 +359,48 @@ def main() -> None:
         for n, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+    }
+    # Full record (incl. per-query spread) goes to a sidecar the driver /
+    # next round can read whole (BENCH_r11/r12 carried "parsed": null
+    # because the driver only captured a truncated stdout tail); stdout
+    # gets ONE compact totals-first line WITHOUT the spread map so the
+    # headline survives any tail truncation.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(record, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError:
+        pass
+    line = dict(record)
+    del line["spread"]
+    sys.stdout.flush()
+    print(json.dumps(line, separators=(",", ":")), flush=True)
+    # The driver records only the LAST 2000 stdout chars; the full line
+    # above (~90 queries) exceeds that, so its head — metric/value — is
+    # what gets truncated away. Emit a guaranteed-small FINAL line: the
+    # totals plus the heaviest queries, trimmed to always fit the window.
+    heavy = sorted(timings.items(), key=lambda kv: -kv[1])
+    summary = {
+        "metric": record["metric"], "value": total, "unit": "sec",
+        "sf": record["sf"], "repeats": repeats,
+        "n_queries": len(timings), "queries_file": "BENCH.json",
+        "queries": {},
+    }
+    for k, v in heavy:
+        summary["queries"][k] = v
+        if len(json.dumps(summary, separators=(",", ":"))) > 1800:
+            del summary["queries"][k]
+            break
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -919,6 +919,15 @@ def snapshot_upsert(
     worth_pruning = (
         touched_by == "stats" or len(man["files"]) > PRUNE_MIN_FILES
     )
+    # On a small exact-mode table the prune is skipped, but the cheap-pack
+    # envelope gate below still needs the batch's range_split bounds — if
+    # that column has stats coverage, run the ONE bounds job here so prune
+    # decision and gate share it (ADVICE r12: the gate used to re-pay a
+    # fresh agg per commit, partially undoing the PRUNE_MIN_FILES skip);
+    # once the bounds exist, the by-stats prune is a free driver-side
+    # comparison, so it is applied too.
+    if range_split in covered:
+        worth_pruning = True
     if worth_pruning and covered and man.get("stats"):
         bounds = upd_keys.agg(
             *[F.min(c).alias(f"__lo_{c}") for c in covered],
@@ -981,13 +990,11 @@ def snapshot_upsert(
             # ROLL_CAP_FACTOR x the update count, both known driver-side —
             # and re-cluster by range the moment it exceeds the cap, which
             # re-tightens the envelopes and resets the roll.
+            # `ranges` already holds the batch bounds whenever range_split
+            # has stats coverage (the shared bounds job above); when it
+            # does not, _envelopes_contained could only return False (no
+            # per-file stats on the column), so no fallback agg is run
             lo_hi = ranges.get(range_split)
-            if lo_hi is None and range_split in key_cols:
-                b = upd_keys.agg(
-                    F.min(range_split).alias("__lo"),
-                    F.max(range_split).alias("__hi"),
-                ).first()
-                lo_hi = (b["__lo"], b["__hi"])
             cheap_pack = lo_hi is not None and _envelopes_contained(
                 man, touched, range_split, lo_hi
             )

@@ -20,6 +20,26 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+# Environment variables forwarded from the server process into external
+# commands (oph_script / generic / cdo tasks). The reference runs these on
+# the COMPUTE side, where the server's own secrets are not in scope
+# (oph_workflow_parsing.c:970-1002 rewrites, executed by the framework);
+# the driver-side analogue must therefore NOT spread os.environ — a
+# registered template's arguments are submitter-controlled, and the child
+# would otherwise see every server credential. Only the exec basics and
+# locale survive; session context is added as OPH_* per call.
+_CHILD_ENV_KEEP = ("PATH", "HOME", "TMPDIR", "LANG", "LC_ALL", "TZ", "JAVA_HOME")
+
+
+def _child_env(session_id: str, workflow_id: int, marker_id: int) -> dict[str, str]:
+    env = {k: os.environ[k] for k in _CHILD_ENV_KEEP if k in os.environ}
+    env.update(
+        OPH_SESSION_ID=session_id,
+        OPH_WORKFLOW_ID=str(workflow_id),
+        OPH_MARKER_ID=str(marker_id),
+    )
+    return env
+
 
 @dataclass
 class Session:
@@ -504,12 +524,7 @@ class ManagementService:
         if name not in self.ALLOWED_SCRIPTS:
             raise PermissionError(f"script {name!r} not registered")
         cmd = self.ALLOWED_SCRIPTS[name] + list(args or [])
-        env = {
-            **os.environ,
-            "OPH_SESSION_ID": session_id,
-            "OPH_WORKFLOW_ID": str(workflow_id),
-            "OPH_MARKER_ID": str(marker_id),
-        }
+        env = _child_env(session_id, workflow_id, marker_id)
         return subprocess.run(cmd, capture_output=True, text=True, check=True, env=env).stdout
 
 
@@ -541,6 +556,25 @@ def register_command(name: str, argv: list[str]) -> None:
     ALLOWED_COMMANDS[name] = list(argv)
 
 
+def resolve_command(command: str) -> tuple[str, list[str]]:
+    """Validate a generic/cdo command string against the allow-list and
+    return (template name, remaining argv tokens). Shared by run_command
+    and the workflow engine's run=no dry-run path, so a dry run exercises
+    the same gate that a real run would."""
+    import shlex
+
+    tokens = shlex.split(command)
+    if not tokens:
+        raise ValueError("generic/cdo task with an empty command")
+    name, tail = tokens[0], tokens[1:]
+    if name not in ALLOWED_COMMANDS:
+        raise PermissionError(
+            f"command {name!r} not registered (allow-listed: "
+            f"{sorted(ALLOWED_COMMANDS)})"
+        )
+    return name, tail
+
+
 def run_command(
     command: str,
     src_path: str | None = None,
@@ -562,26 +596,11 @@ def run_command(
     Returns {"command", "args", "file", "returncode", "stdout", "stderr"};
     a non-zero exit raises RuntimeError carrying the stderr tail, so the
     workflow engine's retry/backoff/on_error policy applies unchanged."""
-    import shlex
-
-    tokens = shlex.split(command)
-    if not tokens:
-        raise ValueError("generic/cdo task with an empty command")
-    name, tail = tokens[0], tokens[1:]
-    if name not in ALLOWED_COMMANDS:
-        raise PermissionError(
-            f"command {name!r} not registered (allow-listed: "
-            f"{sorted(ALLOWED_COMMANDS)})"
-        )
+    name, tail = resolve_command(command)
     argv = ALLOWED_COMMANDS[name] + tail
     if src_path:
         argv = argv + [str(src_path)]
-    env = {
-        **os.environ,
-        "OPH_SESSION_ID": session_id,
-        "OPH_WORKFLOW_ID": str(workflow_id),
-        "OPH_MARKER_ID": str(marker_id),
-    }
+    env = _child_env(session_id, workflow_id, marker_id)
     if src_path:
         env["OPH_FILE"] = str(src_path)
     proc = subprocess.run(

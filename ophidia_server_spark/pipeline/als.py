@@ -227,11 +227,14 @@ def als(
         prev_vf = vf
         uf = _half_step(r, vf, "user", "item", k, reg)
         # the fused objective: one scalar aggregate over the half-step's
-        # own (checkpointed) output — see _half_step_plan's expansion note
-        objectives.append(float(uf.agg(F.sum("__obj")).first()[0]))
+        # own (checkpointed) output — see _half_step_plan's expansion note.
+        # coalesce: SUM over zero rows is NULL (empty ratings frame)
+        _obj = lambda f: float(  # noqa: E731
+            f.agg(F.coalesce(F.sum("__obj"), F.lit(0.0))).first()[0])
+        objectives.append(_obj(uf))
         uf = uf.drop("__obj")
         vf = _half_step(r, uf, "item", "user", k, reg)
-        objectives.append(float(vf.agg(F.sum("__obj")).first()[0]))
+        objectives.append(_obj(vf))
         vf = vf.drop("__obj")
     r.unpersist()
     return ALSResult(uf, vf, prev_vf, objectives)

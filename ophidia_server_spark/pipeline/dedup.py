@@ -148,6 +148,80 @@ def _bucket_salt(bucket_cols: list, id_col: str, s: int):
     )
 
 
+def _resolve_salt(
+    banded: DataFrame,
+    bucket_cols: list,
+    salt_bucket,
+    max_candidates: int | None,
+    api: str,
+):
+    """Resolve ``salt_bucket="auto"`` to a concrete sub-bucket count.
+
+    Auto mode runs the same O(buckets) grouped count the guard pre-pass
+    runs (over the UNSALTED banded table, which reads the caller's
+    persisted signature/code cache) and totals the exact candidate volume
+    Σ C(n, 2). Under `max_candidates` it returns None — no salt, no
+    recall loss. Over it, the expected volume after salting with s is
+    EXACTLY raw/s (a pair shares a uniform sub-bucket with probability
+    1/s), so the smallest power of two >= raw/budget brings the expected
+    volume under budget with <= 2x headroom; the guard then re-checks the
+    ACTUAL salted volume, so a pathological hash landing over budget
+    still raises rather than running quadratic. Chosen s is surfaced via
+    warnings so the recall dial (1 - (1 - 1/s)^k per k-bucket pair) is
+    never silent. The sf100 lesson promoted to code: choosing s was
+    manual (s=64 cleared a 1B budget); now `salt_bucket="auto"` derives
+    it from the same pre-pass numbers."""
+    if salt_bucket is None:
+        return None
+    if salt_bucket != "auto":
+        return int(salt_bucket)
+    if max_candidates is None:
+        raise ValueError(
+            "salt_bucket='auto' needs a max_candidates budget to target"
+        )
+    import warnings
+
+    tot = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.sum(F.col("__n") * (F.col("__n") - F.lit(1))).alias("raw2"))
+        .first()
+    )
+    raw = int(tot["raw2"] or 0) // 2
+    budget = int(max_candidates)
+    if raw <= budget:
+        return None
+    s = 2
+    while s * budget < raw:
+        s *= 2
+    warnings.warn(
+        f"{api} salt_bucket='auto': {raw:,} raw candidates > budget "
+        f"{budget:,}; salting hot buckets with s={s} (expected volume "
+        f"~{raw // s:,}; a pair sharing k band buckets survives with "
+        f"probability 1-(1-1/{s})^k)",
+        stacklevel=3,
+    )
+    return s
+
+
+def _attach_cleanup(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Expose `out.cleanup()` releasing the pre-pass signature/code caches
+    the pair APIs deliberately leave persisted (the guard-eagerness
+    contract, ADVICE r11/r12): batch jobs never need it (the process
+    exits), but a long-lived session scanning many distinct corpora can
+    call it after draining `out` to drop the per-corpus cache entries.
+    After cleanup() the returned frame stays CORRECT — re-running an
+    action just recomputes the signature stage lazily."""
+
+    def cleanup() -> None:
+        for c in cached:
+            c.unpersist()
+
+    out.cleanup = cleanup
+    return out
+
+
 def _guard_banded_candidates(
     banded: DataFrame,
     bucket_cols: list,
@@ -265,10 +339,13 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
-    salt_bucket: int | None = None,
+    salt_bucket: "int | str | None" = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature-estimated
     Jaccard. Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    `salt_bucket="auto"` derives the sub-bucket count from the guard
+    pre-pass (see _resolve_salt); the returned frame exposes `.cleanup()`
+    to release the persisted signature cache (see _attach_cleanup).
 
     bands × rows_per_band = num_hashes; docs sharing any band bucket become
     candidates (bucket self-join — sub-quadratic); candidates are scored by
@@ -302,6 +379,9 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
     bucket_cols = ["band", "bucket"]
+    salt_bucket = _resolve_salt(
+        banded, bucket_cols, salt_bucket, max_candidates, "minhash_lsh_pairs"
+    )
     if salt_bucket is not None:
         # recall-dialed re-banding of hot buckets (see _bucket_salt):
         # applied BEFORE the guard so the budget check runs on the salted
@@ -340,9 +420,10 @@ def minhash_lsh_pairs(
         F.col("b.doc_id").alias("doc_b"),
         est.alias("est_jaccard"),
     )
-    return (
+    return _attach_cleanup(
         cand.filter(F.col("est_jaccard") >= jaccard_threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"]),
+        sigs,
     )
 
 
@@ -406,7 +487,7 @@ def simhash_pairs(
     bands: int | None = None,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
-    salt_bucket: int | None = None,
+    salt_bucket: "int | str | None" = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from SimHash signatures: band the 64-bit
     signature into `bands` contiguous chunks (pigeonhole: two signatures
@@ -465,6 +546,9 @@ def simhash_pairs(
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     join_cols = ["band", "val"]
+    salt_bucket = _resolve_salt(
+        banded, join_cols, salt_bucket, max_candidates, "simhash_pairs"
+    )
     if salt_bucket is not None:
         banded = banded.withColumn(
             "__salt", _bucket_salt(join_cols, "doc_id", salt_bucket)
@@ -478,7 +562,7 @@ def simhash_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    return _attach_cleanup(
         a.join(b, join_cols)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -487,7 +571,8 @@ def simhash_pairs(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct(),
+        sigs,
     )
 
 
@@ -496,7 +581,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 16, bands: int = 4,
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
-    salt_bucket: int | None = None,
+    salt_bucket: "int | str | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over LSH-blocked candidate pairs.
 
@@ -528,6 +613,9 @@ def ngram_jaccard_pairs(
         ).alias("bucket"),
     )
     bucket_cols = ["bucket"]
+    salt_bucket = _resolve_salt(
+        banded, bucket_cols, salt_bucket, max_candidates, "ngram_jaccard_pairs"
+    )
     if salt_bucket is not None:
         # per-band independence holds even with the single bucket column:
         # different bands hash different signature slices, so the salt's
@@ -559,10 +647,12 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
-    return (
+    return _attach_cleanup(
         cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        sh,
+        sigs,
     )
 
 

@@ -509,7 +509,7 @@ def dhash_near_dup(
     codes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     max_candidates: int | None = 100_000_000,
     cap_bucket: int | None = None,
-    salt_bucket: int | None = None,
+    salt_bucket: "int | str | None" = None,
 ) -> DataFrame:
     """Image near-duplicate pairs from dHash codes — LOSSLESS banded
     search: the 64-bit code (two 32-bit words from `dhash_gray`) splits
@@ -558,9 +558,12 @@ def dhash_near_dup(
         ).alias("__band", "__val"),
     )
     bucket_cols = ["__band", "__val"]
-    if salt_bucket is not None:
-        from ophidia_server_spark.pipeline.dedup import _bucket_salt
+    from ophidia_server_spark.pipeline.dedup import _bucket_salt, _resolve_salt
 
+    salt_bucket = _resolve_salt(
+        banded, bucket_cols, salt_bucket, max_candidates, "dhash_near_dup"
+    )
+    if salt_bucket is not None:
         banded = banded.withColumn(
             "__salt", _bucket_salt(bucket_cols, "__id", salt_bucket)
         )
@@ -583,7 +586,7 @@ def dhash_near_dup(
     )
     if salt_bucket is not None:
         same_bucket = same_bucket & (F.col("a.__salt") == F.col("b.__salt"))
-    return (
+    out = (
         a.join(
             b,
             same_bucket & (F.col("a.__id") < F.col("b.__id")),
@@ -595,3 +598,8 @@ def dhash_near_dup(
         .filter(F.col("hamming") <= int(max_hamming))
         .distinct()
     )
+    if max_candidates is not None or cap_bucket is not None:
+        from ophidia_server_spark.pipeline.dedup import _attach_cleanup
+
+        out = _attach_cleanup(out, good)
+    return out

@@ -101,6 +101,21 @@ def _op_external_command(engine, args: dict, inputs: dict) -> dict:
     src = args.get("src_path")
     if src in ("", "-", None):
         src = None
+    if src is not None and "|" in str(src):
+        # multivalue src_path only fans out through the massive [] grammar;
+        # a bare 'a.nc|b.nc' here would otherwise be appended verbatim as
+        # ONE argv token — reject instead of mis-executing
+        raise WorkflowError(
+            "generic/cdo src_path with '|' must use massive [...] syntax "
+            "(e.g. src_path=[path=...;file=...]) to fan out per file"
+        )
+    if str(args.get("run", "yes")).lower() == "no":
+        # dry run: validate the allow-list gate without executing
+        _mgmt.resolve_command(cmd)
+        return {
+            "command": cmd, "args": [], "file": src,
+            "returncode": 0, "stdout": "", "stderr": "", "dry_run": True,
+        }
     return _mgmt.run_command(
         cmd,
         src_path=src,

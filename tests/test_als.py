@@ -57,3 +57,16 @@ def test_als_init_is_content_addressed(spark):
     assert all(-0.5 <= x < 0.5 for fs in a.values() for x in fs)
     c = {r["id"]: r["factors"] for r in _init_factors(df, "item", 3, "t").collect()}
     assert a != c
+
+
+def test_als_empty_ratings_zero_objective(spark):
+    """SUM over zero rows is NULL: an empty ratings frame must yield 0.0
+    objectives, not a TypeError (ADVICE r12)."""
+    from ophidia_server_spark.pipeline.als import als
+
+    empty = spark.createDataFrame(
+        [], "user long, item long, rating double"
+    )
+    res = als(empty, k=2, iters=1)
+    assert res.objectives == [0.0, 0.0]
+    assert res.user_factors.count() == 0

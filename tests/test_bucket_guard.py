@@ -244,3 +244,122 @@ def test_salt_bucket_ngram_jaccard_path(spark):
     }
     all_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
     assert got and got <= all_pairs
+
+
+def test_salt_bucket_auto_matches_manual_on_clique(spark):
+    """salt_bucket="auto" (round 13): the pre-pass totals 3,480 raw
+    candidates against budget 1,000; the smallest power of two with
+    raw/s <= budget is s=4 — exactly the manual choice the round-12
+    recall test pins — so auto and manual must return the SAME pairs
+    (xxhash64 salting is deterministic)."""
+    docs = _clone_docs(spark)
+    with pytest.warns(UserWarning, match=r"salting hot buckets with s=4"):
+        auto = {
+            (r.doc_a, r.doc_b)
+            for r in dd.minhash_lsh_pairs(
+                docs, max_candidates=1000, salt_bucket="auto"
+            ).collect()
+        }
+    manual = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, max_candidates=1000, salt_bucket=4
+        ).collect()
+    }
+    assert auto == manual
+    # clique recall stays the salted dial, not the cap cliff
+    assert len(auto) / 435 >= 0.75
+
+
+def test_salt_bucket_auto_is_noop_under_budget(spark):
+    """Under budget auto applies NO salt: result identical to unsalted."""
+    docs = _varied_docs(spark)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, salt_bucket="auto"
+        ).collect()
+    }
+    assert auto == base and base
+
+
+def test_salt_bucket_auto_requires_budget(spark):
+    docs = _clone_docs(spark, n=3)
+    with pytest.raises(ValueError, match="needs a max_candidates budget"):
+        dd.minhash_lsh_pairs(
+            docs, max_candidates=None, salt_bucket="auto"
+        )
+
+
+def test_salt_bucket_auto_all_four_apis(spark):
+    """Auto mode must clear the same budgets manual salting clears on all
+    four banded pair APIs (simhash/dhash cliques: 1,740 raw; s=2)."""
+    docs = _clone_docs(spark)
+    all_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_pairs(
+            docs, max_candidates=1000, salt_bucket="auto"
+        ).collect()
+    }
+    assert sh and sh <= all_pairs
+    ng = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(
+            docs, max_candidates=700, salt_bucket="auto"
+        ).collect()
+    }
+    assert ng and ng <= all_pairs
+    codes = spark.createDataFrame(
+        [(i, 0, 0, 1) for i in range(30)],
+        "doc_id long, code_lo int, code_hi int, ok int",
+    )
+    dh = {
+        (r.id_a, r.id_b)
+        for r in dhash_near_dup(
+            codes, max_candidates=1000, salt_bucket="auto"
+        ).collect()
+    }
+    assert dh and dh <= all_pairs
+
+
+def test_pair_api_cleanup_releases_prepass_cache(spark):
+    """The guard-eagerness contract keeps the pre-pass signature cache
+    persisted; round 13 adds the release handle: after draining the
+    returned frame, .cleanup() empties the cache manager, and re-running
+    an action on the frame stays correct (lazy recompute)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = _varied_docs(spark)
+    out = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    n = out.count()
+    assert not cm.isEmpty()
+    out.cleanup()
+    assert cm.isEmpty()
+    assert out.count() == n  # correct after release
+
+
+def test_pair_api_cleanup_on_simhash_ngram_dhash(spark):
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = _varied_docs(spark)
+    codes = spark.createDataFrame(
+        [(0, 7, 9, 1), (1, 7, 9, 1), (2, 7, 8, 1)],
+        "doc_id long, code_lo int, code_hi int, ok int",
+    )
+    # built one at a time: guard eagerness persists at CONSTRUCTION, so
+    # building all three up front would overlap their cache lifetimes
+    for build in (
+        lambda: dd.simhash_pairs(docs, max_hamming=20),
+        lambda: dd.ngram_jaccard_pairs(docs, threshold=0.2),
+        lambda: dhash_near_dup(codes, max_hamming=3),
+    ):
+        out = build()
+        out.count()
+        assert not cm.isEmpty()
+        out.cleanup()
+        assert cm.isEmpty()

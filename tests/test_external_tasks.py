@@ -168,3 +168,59 @@ def test_generic_requires_execute_role(commands):
     ]}, role="read")
     assert run.results["say"].status == "OPH_ODB_STATUS_ERROR"
     assert "PermissionError" in run.results["say"].error
+
+
+def test_generic_task_plain_run_no_is_dry(commands, tmp_path):
+    """run=no on a NON-massive generic task must validate the gate
+    without executing (round-13 fix: only the massive-expansion path
+    honored it before)."""
+    marker = tmp_path / "ran"
+    commands["touchit"] = ["sh", "-c", f'touch "{marker}"', "touchit"]
+    eng = WorkflowEngine({})
+    run = eng.run({"name": "w", "tasks": [
+        {"name": "t", "type": "generic", "operator": "touchit",
+         "arguments": {"run": "no"}},
+    ]})
+    res = run.results["t"]
+    assert res.status == "OPH_ODB_STATUS_COMPLETED"
+    assert res.value.get("dry_run") is True
+    assert not marker.exists()
+    # the dry run still exercises the allow-list gate
+    run2 = eng.run({"name": "w2", "tasks": [
+        {"name": "t", "type": "generic", "operator": "not_registered",
+         "arguments": {"run": "no"}},
+    ]})
+    assert run2.results["t"].status == "OPH_ODB_STATUS_ERROR"
+    assert "PermissionError" in run2.results["t"].error
+
+
+def test_generic_task_pipe_src_path_rejected(commands):
+    """A bare multivalue src_path ('a.nc|b.nc') bypasses massive []
+    expansion; it must be rejected, not appended verbatim as one argv
+    token (round-13 fix)."""
+    eng = WorkflowEngine({})
+    run = eng.run({"name": "w", "tasks": [
+        {"name": "t", "type": "generic", "operator": "echo",
+         "arguments": {"src_path": "a.nc|b.nc"}},
+    ]})
+    res = run.results["t"]
+    assert res.status == "OPH_ODB_STATUS_ERROR"
+    assert "massive" in res.error
+
+
+def test_child_env_is_minimal(commands, tmp_path):
+    """External commands must NOT inherit the server's full environment
+    (round-13 fix per ADVICE r12): a sentinel secret in os.environ stays
+    invisible; PATH and the OPH_* context survive."""
+    os.environ["SPARK_GRAFT_TEST_SECRET"] = "hunter2"
+    try:
+        commands["env_probe"] = [
+            "sh", "-c",
+            'echo "sec=${SPARK_GRAFT_TEST_SECRET:-unset} path=${PATH:+set} '
+            'sid=$OPH_SESSION_ID"',
+            "env_probe",
+        ]
+        out = mgmt.run_command("env_probe", session_id="s1")
+        assert out["stdout"].strip() == "sec=unset path=set sid=s1"
+    finally:
+        del os.environ["SPARK_GRAFT_TEST_SECRET"]
