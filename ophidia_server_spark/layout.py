@@ -275,13 +275,20 @@ class SnapshotConflictError(RuntimeError):
 def _commit_manifest(path: str, v: int, tmp: str, data_dir: str | None = None) -> None:
     """Exclusive manifest commit; on conflict the LOSING writer also removes
     its own (writer-unique, uncommitted) data directory so no orphan can
-    shadow or outlive the winner's files."""
+    shadow or outlive the winner's files.
+
+    The publication primitive is scheme-aware (commitio.publish_exclusive):
+    hardlink create-exclusive on posix/HDFS-class stores, conditional put
+    on S3-class stores — never a rename, which is copy+delete (non-atomic)
+    on object stores."""
     import os as _os
     import shutil as _shutil
 
+    from ophidia_server_spark import commitio
+
     final = _os.path.join(_manifest_dir(path), f"v{v}.json")
     try:
-        _os.link(tmp, final)  # atomic create-exclusive: EEXIST on conflict
+        commitio.publish_exclusive(tmp, final, commitio.commit_scheme(path))
     except FileExistsError:
         _os.unlink(tmp)
         if data_dir is not None:
@@ -290,7 +297,6 @@ def _commit_manifest(path: str, v: int, tmp: str, data_dir: str | None = None) -
             f"version {v} of {path} was committed concurrently; "
             "re-read the latest version and retry"
         ) from None
-    _os.unlink(tmp)
 
 
 def _new_data_dir(path: str, v: int) -> str:

@@ -100,11 +100,19 @@ class VectorIndex:
     """Handle to a materialized, partition-pruned vector store."""
 
     kind: str           # 'ivf' | 'lsh'
-    path: str           # parquet root, partitioned by __cell / __sig
+    path: str           # ACTIVE parquet data dir, partitioned by __cell / __sig
     id_col: str
     vec_col: str
     params: dict = field(default_factory=dict)
     # ivf: {'n_cells': int, 'leaders': [[float]]}; lsh: {'bits': int, 'dim': int}
+    # Store ROOT. Equal to `path` until an object-scheme index_compact
+    # redirects the active data dir through a generation pointer
+    # (_GEN_DIR manifests under the root); posix compaction swaps
+    # directories in place, so root == path there forever.
+    root: str | None = None
+
+    def store_root(self) -> str:
+        return self.root or self.path
 
     def save_sidecar(self) -> None:
         with open(os.path.join(self.path, _SIDECAR), "w") as fh:
@@ -160,16 +168,46 @@ def _recover_compact(path: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+_GEN_DIR = "_gen"        # generation-pointer manifests (object-scheme compaction)
+_GEN_DATA = "_gendata"   # generation data dirs (underscore => invisible to Spark)
+
+
+def _gen_versions(root: str) -> list[int]:
+    d = os.path.join(root, _GEN_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _resolve_generation(root: str) -> str:
+    """The active data dir for a store root: the latest generation
+    pointer's target when object-scheme compactions have run, else the
+    root itself. Pointer publication is atomic (commitio), so this read
+    always lands on a COMPLETE generation."""
+    vs = _gen_versions(root)
+    if not vs:
+        return root
+    with open(os.path.join(root, _GEN_DIR, f"v{vs[-1]}.json")) as fh:
+        rel = json.load(fh)["data"]
+    return root if rel == "." else os.path.join(root, rel)
+
+
 def load_index(path: str) -> VectorIndex:
     """Re-open a store built earlier (possibly by another process/cluster).
-    Detects and repairs a half-finished index_compact swap first (leftover
-    .compact-old/.compact-tmp with no live sidecar)."""
+    Detects and repairs a half-finished posix index_compact swap first
+    (leftover .compact-old/.compact-tmp with no live sidecar), then
+    resolves the generation pointer if object-scheme compactions
+    redirected the active data dir."""
     _recover_compact(path)
-    with open(os.path.join(path, _SIDECAR)) as fh:
+    data = _resolve_generation(path)
+    with open(os.path.join(data, _SIDECAR)) as fh:
         meta = json.load(fh)
     return VectorIndex(
-        kind=meta["kind"], path=path, id_col=meta["id_col"],
-        vec_col=meta["vec_col"], params=meta["params"],
+        kind=meta["kind"], path=data, id_col=meta["id_col"],
+        vec_col=meta["vec_col"], params=meta["params"], root=path,
     )
 
 
@@ -535,22 +573,45 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
     Crash safety IS handled: a crash between the two renames leaves a
     complete sidecar-bearing .compact-tmp (or the retired .compact-old),
     which load_index detects and swaps back in (_recover_compact).
+
+    COMMIT PROTOCOL IS SCHEME-AWARE (commitio): the rename swap above is
+    the posix/HDFS strategy — rename there is atomic. On object-store
+    schemes (s3/gs/abfs/... — or when SPARK_GRAFT_COMMIT_BACKEND=object)
+    rename is copy+delete with a long non-atomic window, so compaction
+    NEVER renames: it writes the compacted store into a fresh
+    writer-unique generation dir under <root>/_gendata/ and atomically
+    publishes a generation pointer (<root>/_gen/v{N}.json, conditional
+    put). Readers resolve the pointer at load_index time and always see
+    a complete generation; a crash anywhere leaves either the old
+    pointer (old store fully live, the orphan data dir is swept by the
+    next compact) or the new pointer (new store fully live). The
+    generation BEFORE the new one is retained as an in-flight-reader
+    grace window; older ones are retired at commit.
+
     Returns {files_before, files_after, rows}."""
     import shutil
+
+    from ophidia_server_spark import commitio
 
     if isinstance(index, str):
         index = load_index(index)
     part_col, n_buckets = _part_meta(index)
+    root = index.store_root()
     stored = spark.read.parquet(index.path)
 
-    def _count_files(root: str) -> int:
+    def _count_files(root_: str) -> int:
         n = 0
-        for _, _, fs in os.walk(root):
+        for _, _, fs in os.walk(root_):
             n += sum(1 for f in fs if f.endswith(".parquet"))
         return n
 
     files_before = _count_files(index.path)
     rows = stored.count()
+    if commitio.commit_scheme(root) == "object":
+        return _compact_by_generation(
+            index, stored, root, part_col, n_buckets, files_before, rows,
+            _count_files,
+        )
     tmp = index.path.rstrip("/") + ".compact-tmp"
     old = index.path.rstrip("/") + ".compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -566,3 +627,68 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
     files_after = _count_files(index.path)
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows}
+
+
+def _compact_by_generation(
+    index: VectorIndex, stored, root: str, part_col: str, n_buckets: int,
+    files_before: int, rows: int, _count_files,
+) -> dict:
+    """Object-scheme compaction: fresh generation dir + atomic pointer
+    publish; no rename anywhere on the commit path (see index_compact)."""
+    import json as _json
+    import shutil
+    import uuid
+
+    from ophidia_server_spark import commitio
+
+    gen_dir = os.path.join(root, _GEN_DIR)
+    os.makedirs(gen_dir, exist_ok=True)
+    vs = _gen_versions(root)
+    referenced = set()
+    for v in vs:
+        with open(os.path.join(gen_dir, f"v{v}.json")) as fh:
+            referenced.add(_json.load(fh)["data"])
+    data_root = os.path.join(root, _GEN_DATA)
+    if os.path.isdir(data_root):
+        # compaction is writer-exclusive (the documented contract), so an
+        # unreferenced generation dir at start is a crashed writer's
+        # orphan — sweep it before paying the write
+        for d in os.listdir(data_root):
+            if os.path.join(_GEN_DATA, d) not in referenced:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+    n = (vs[-1] + 1) if vs else 1
+    rel = os.path.join(_GEN_DATA, f"g{n:05d}-{uuid.uuid4().hex[:8]}")
+    new_data = os.path.join(root, rel)
+    _clustered_partitioned_write(
+        stored, new_data, part_col, index.id_col, n_buckets
+    )
+    shutil.copy(
+        os.path.join(index.path, _SIDECAR), os.path.join(new_data, _SIDECAR)
+    )
+    tmp = os.path.join(gen_dir, f".v{n}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        _json.dump({"data": rel}, fh)
+    try:
+        commitio.publish_exclusive(
+            tmp, os.path.join(gen_dir, f"v{n}.json"), "object"
+        )
+    except FileExistsError:
+        os.unlink(tmp)
+        shutil.rmtree(new_data, ignore_errors=True)
+        raise RuntimeError(
+            f"generation {n} of {root} was committed concurrently — "
+            "compaction requires a single writer"
+        ) from None
+    # retire generations older than the PREVIOUS one (kept as the
+    # in-flight-reader grace window); the pre-pointer root-level data of
+    # generation 0 is left in place — it doubles as the recovery floor
+    # and is invisible to pointer-resolved readers
+    for v in vs[:-1]:
+        with open(os.path.join(gen_dir, f"v{v}.json")) as fh:
+            old_rel = _json.load(fh)["data"]
+        if old_rel.startswith(_GEN_DATA):
+            shutil.rmtree(os.path.join(root, old_rel), ignore_errors=True)
+    index.path = new_data
+    index.root = root
+    return {"files_before": files_before,
+            "files_after": _count_files(new_data), "rows": rows}

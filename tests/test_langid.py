@@ -98,3 +98,47 @@ def test_nb_predict_abstain_margin(spark):
     # a real sentence's margin is orders of magnitude above the threshold
     assert got[1000]["pred_lang"] == "en"
     assert got[1000]["margin"] > 1_000_000
+
+
+def test_lang12_fixture_accuracy_and_abstention(spark):
+    """The 12-language corpus-realism fixture (round 13): held-out
+    accuracy 1.0 on every class INCLUDING the en/vsw vowel-shift
+    confusable; zero-evidence snippets abstain at the re-pinned 100k
+    margin while every full-length doc clears it with orders-of-magnitude
+    headroom (the measured floor is 4.7e7)."""
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark.pipeline import langid
+    from ophidia_server_spark.registry import (
+        _LANG12_ABSTAIN, _lang12_corpus, _lang12_degenerates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _lang12_corpus(spark, sf).persist()
+    model = langid.nb_train(corpus.filter(F.col("doc_id") % 5 != 0))
+    assert len(model["langs"]) == 12 and "vsw" in model["langs"]
+    evl = corpus.filter(F.col("doc_id") % 5 == 0)
+    pred = langid.nb_predict(evl, model, abstain_margin=_LANG12_ABSTAIN)
+    joined = evl.select("doc_id", F.col("lang").alias("t")).join(pred, "doc_id")
+    per = {
+        r["t"]: (r["ok"], r["n"], r["mn"])
+        for r in joined.groupBy("t").agg(
+            F.sum((F.col("t") == F.col("pred_lang")).cast("long")).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("margin").alias("mn"),
+        ).collect()
+    }
+    assert set(per) == set(model["langs"])
+    for lang, (ok, n, mn) in per.items():
+        assert ok == n, f"{lang}: {ok}/{n}"
+        # no full-length doc ever abstains: margins clear the pin hugely
+        assert mn > 100 * _LANG12_ABSTAIN, f"{lang}: min margin {mn}"
+    deg = _lang12_degenerates(spark, sf)
+    dp = langid.nb_predict(deg, model, abstain_margin=_LANG12_ABSTAIN).join(
+        deg.select("doc_id", F.col("lang").alias("t")), "doc_id"
+    )
+    # every 1-char snippet (zero bigrams -> prior-only evidence) abstains
+    snip = dp.filter(F.col("t") == "und")
+    assert snip.filter(F.col("pred_lang") != "und").count() == 0
+    assert snip.count() > 0
+    corpus.unpersist()
