@@ -179,6 +179,11 @@ def merge_upsert(
     rewrites a handful of files instead of the table, and the win
     compounds on Z-ordered stores where key-adjacent rows share files.
 
+    POSIX-ONLY: this is the in-place (manifest-less) table op — its file
+    moves/removes assume atomic local rename. On object-store schemes use
+    snapshot_upsert, whose manifest commit goes through the scheme-aware
+    commitio protocol (see BASELINE.md "Commit protocol").
+
     Duplicate-key stores converge: every copy of a matched key is removed
     and the update row is inserted exactly once per update row.
 
