@@ -75,7 +75,19 @@ def _conditional_put(tmp: str, final: str) -> None:
             data = src.read()
         os.write(fd, data)
         os.fsync(fd)
-    finally:
+    except BaseException:
+        # a failed content write (disk full, interrupt) must not leave a
+        # PARTIAL object claiming the version: later retries would lose
+        # the create-exclusive race to a corrupt winner forever. A real
+        # object store cannot hit this (the put is all-or-nothing); the
+        # local emulation repairs it by withdrawing the claimed name.
+        os.close(fd)
+        try:
+            os.unlink(final)
+        except OSError:
+            pass
+        raise
+    else:
         os.close(fd)
 
 

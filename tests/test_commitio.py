@@ -204,3 +204,22 @@ def test_vector_compact_crash_before_pointer_serves_old(
     # the crashed writer's orphan was swept; the committed gen remains
     left = os.listdir(os.path.join(path, "_gendata"))
     assert len(left) == 1 and left != orphans
+
+
+def test_conditional_put_failed_write_withdraws_claim(tmp_path, monkeypatch):
+    """A content-write failure after the O_EXCL create (disk full) must
+    not leave a partial object claiming the version — retries would lose
+    the create-exclusive race to a corrupt winner forever."""
+    tmp, final = tmp_path / ".t", tmp_path / "v1.json"
+    tmp.write_text("payload")
+
+    def no_space(fd, data):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(os, "write", no_space)
+    with pytest.raises(OSError, match="No space left"):
+        commitio._conditional_put(str(tmp), str(final))
+    monkeypatch.undo()
+    assert not final.exists()
+    commitio.publish_exclusive(str(tmp), str(final), "object")
+    assert final.read_text() == "payload"
