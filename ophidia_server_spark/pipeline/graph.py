@@ -73,7 +73,18 @@ def wedge_total(oriented: DataFrame) -> float:
 def auto_chunks(wedges: float, budget_gb: float | None = None) -> int:
     """K = ceil(wedges × ~64 B/wedge ÷ scratch budget) — the chunks="auto"
     sizing rule, exposed so probes report the exact K the operator would
-    pick. Budget defaults to SPARK_GRAFT_TRIANGLE_SCRATCH_GB (32)."""
+    pick. Budget defaults to SPARK_GRAFT_TRIANGLE_SCRATCH_GB (32).
+
+    The budget models the PER-ROUND closure-sort spill. The measured
+    TOTAL disk high-water exceeds it by a fixed overhead: the DISK_ONLY
+    oriented+undirected edge caches (~32 B x edges) plus up to one round
+    of ContextCleaner lag — the round-13 sf30 end-to-end run (12.33B
+    wedges, K=25, BASELINE.md) measured 59.25 GB peak against the 32 GB
+    budget, i.e. ~1.85x. Size SPARK_GRAFT_TRIANGLE_SCRATCH_GB to about
+    HALF the scratch you can actually spare; the run also needs ~24 GB
+    JVM heap per 32 local threads at that scale (8 g OOMed in round ~20,
+    24 g completed — on a cluster this is ordinary executor-memory
+    sizing)."""
     import math
     import os
 
