@@ -100,18 +100,30 @@ def _solve_udf(k: int, reg: float):
 
 def _half_step_plan(
     ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
-    k: int, reg: float,
+    k: int, reg: float, broadcast_fixed: bool = False,
 ) -> DataFrame:
     """The half-step's PLAN, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-sweep plan (gather join +
     one k*k+k+1-wide groupBy reduce + exactly one Arrow solve stage);
-    `_half_step` checkpoints it for the iteration loop."""
-    joined = ratings.join(
-        fixed.select(
-            F.col("id").alias(fixed_col), F.col("factors").alias("__v")
-        ),
-        fixed_col,
+    `_half_step` checkpoints it for the iteration loop.
+
+    broadcast_fixed (round-13 opt, guide §3.1): the fixed factor table is
+    O(ids) x (k+1) doubles, but it reaches the join as a checkpoint scan
+    with no size statistics, so Catalyst always picks a SortMergeJoin —
+    shuffling the RATINGS table once per half-step (6x per 3-sweep run)
+    to gather against a table that is a few MB. als() measures the factor
+    table once per side (one cheap count over the checkpointed init) and
+    passes broadcast_fixed=True when it fits the broadcast budget,
+    turning the gather into a BroadcastHashJoin: the ratings table is
+    never shuffled for the join — only the groupBy(solve side) exchange
+    remains, which is the half-step's irreducible shuffle. Inner equi-join
+    either way: identical rows, identical aggregates."""
+    fixed_sel = fixed.select(
+        F.col("id").alias(fixed_col), F.col("factors").alias("__v")
     )
+    if broadcast_fixed:
+        fixed_sel = F.broadcast(fixed_sel)
+    joined = ratings.join(fixed_sel, fixed_col)
     v = F.col("__v")
     outer = F.array(
         *[
@@ -188,13 +200,28 @@ def _half_step_plan(
 
 def _half_step(
     ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
-    k: int, reg: float,
+    k: int, reg: float, broadcast_fixed: bool = False,
 ) -> DataFrame:
     """Solve one side given the other: gather-join on the fixed side,
     k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
     return _ckpt(_half_step_plan(
-        ratings, fixed, solve_col, fixed_col, k, reg
+        ratings, fixed, solve_col, fixed_col, k, reg, broadcast_fixed
     ))
+
+
+# Broadcast budget for the fixed factor table in a half-step's gather join
+# (and predict's scoring joins): estimated bytes = rows x (8-byte id +
+# k doubles + per-row overhead). Default 64 MB — a comfortable executor/
+# driver footprint; a 100M-item factor table blows the gate and falls back
+# to the shuffle path automatically.
+_BROADCAST_MB = "SPARK_GRAFT_ALS_BROADCAST_MB"
+
+
+def _fits_broadcast(n_rows: int, k: int) -> bool:
+    import os
+
+    budget = float(os.environ.get(_BROADCAST_MB, "64")) * 1024 * 1024
+    return n_rows * (40 + 8 * k) <= budget
 
 
 def als(
@@ -221,11 +248,18 @@ def als(
     uf = _ckpt(_init_factors(
         r.select("user").distinct(), "user", k, salt + ":user"
     ))
+    # One cheap count per side over the checkpointed init tables decides
+    # the gather-join strategy for EVERY half-step (see _half_step_plan's
+    # broadcast_fixed note): factor tables under the budget broadcast, so
+    # the ratings table is never shuffled for the gather; oversized factor
+    # tables keep the sort-merge path untouched.
+    bc_items = _fits_broadcast(vf.count(), k)
+    bc_users = _fits_broadcast(uf.count(), k)
     objectives: list[float] = []
     prev_vf = vf
     for _ in range(int(iters)):
         prev_vf = vf
-        uf = _half_step(r, vf, "user", "item", k, reg)
+        uf = _half_step(r, vf, "user", "item", k, reg, bc_items)
         # the fused objective: one scalar aggregate over the half-step's
         # own (checkpointed) output — see _half_step_plan's expansion note.
         # coalesce: SUM over zero rows is NULL (empty ratings frame)
@@ -233,10 +267,18 @@ def als(
             f.agg(F.coalesce(F.sum("__obj"), F.lit(0.0))).first()[0])
         objectives.append(_obj(uf))
         uf = uf.drop("__obj")
-        vf = _half_step(r, uf, "item", "user", k, reg)
+        vf = _half_step(r, uf, "item", "user", k, reg, bc_users)
         objectives.append(_obj(vf))
         vf = vf.drop("__obj")
     r.unpersist()
+    if bc_users:
+        # the returned factor tables carry the hint too: every consumer
+        # join (predict's scoring joins, the gate's residual recompute)
+        # is a factors-vs-ratings equi-join with the same size asymmetry
+        uf = F.broadcast(uf)
+    if bc_items:
+        vf = F.broadcast(vf)
+        prev_vf = F.broadcast(prev_vf)
     return ALSResult(uf, vf, prev_vf, objectives)
 
 

@@ -457,7 +457,13 @@ def poisson_bootstrap_ci(
     n_replicates)."""
     from ophidia_server_spark.functions.skew import ensure_min_partitions
 
-    df = ensure_min_partitions(df)
+    # The fan-out guard applies to the REPS branch only (round-13 opt,
+    # guide §2.4): it exists to parallelize the b-fold explode + per-row
+    # md5 work, but applied to `df` itself it also forced a RoundRobin
+    # shuffle of the whole input under the base count/mean aggregate —
+    # Exchange (2) in plans/r13/events_bootstrap_ci_before.txt — which
+    # partial aggregation never needed.
+    fanned = ensure_min_partitions(df)
     # hex-string thresholds (the house md5-coin convention: compare the
     # first 8 md5 chars against format(int(frac * 16**8), '08x') — no
     # float division anywhere near the boundary)
@@ -474,12 +480,21 @@ def poisson_bootstrap_ci(
         ),
         1, 8,
     )
+    # Materialize the coin ONCE per (row, replicate) in its own projection
+    # (round-13 opt, guide §2.3): inlined, the md5+substring appeared 16x
+    # per row in the weight Project (8 nested WHEN conditions x the __wx
+    # and __w copies) and codegen's subexpression elimination does not
+    # reach into conditional branches. CollapseProject keeps the split
+    # because the producer expression is non-cheap and multiply-referenced;
+    # the weight CASE chain then compares the __h COLUMN against the same
+    # literals — identical values, one hash per coin.
     w = F.lit(7)
     for k in range(6, -1, -1):
-        w = F.when(h < F.lit(hexes[k]), F.lit(k)).otherwise(w)
+        w = F.when(F.col("__h") < F.lit(hexes[k]), F.lit(k)).otherwise(w)
     x = F.col(value_col).cast("decimal(18,2)")
     reps = (
-        df.select(F.col(id_col), x.alias("__x"), rep)
+        fanned.select(F.col(id_col), x.alias("__x"), rep)
+        .select(F.col("__r"), F.col("__x"), h.alias("__h"))
         .select("__r", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
         .groupBy("__r")
         .agg(

@@ -704,10 +704,15 @@ def _unique_shingle_sets(
     members = keyed.select("__rk", F.col(id_col))
     # any member's array works as the rep: same SET by construction, and
     # every consumer is order-insensitive (sizes / array_intersect)
-    reps = keyed.groupBy("__rk").agg(
+    # Eagerly materialized too (round-13 opt): the prefix-join callers
+    # read reps 3-4 times (prefix build, verify sa/sb) and each use
+    # otherwise re-runs this groupBy over the keyed checkpoint — the
+    # before-plan showed ~10 rescans + repeated aggregates
+    # (plans/r13/dedup_jaccard_join_before.txt).
+    reps = _ckpt(keyed.groupBy("__rk").agg(
         F.first("shingles").alias("shingles"),
         F.count(F.lit(1)).alias("__nm"),
-    )
+    ))
     return members, reps
 
 
@@ -762,7 +767,12 @@ def jaccard_join_prefix(
     members, reps = _unique_shingle_sets(
         df, text_col, shingle_k, id_col
     )
-    prefix = _rep_prefixes(reps, threshold)
+    # one eager prefix materialization: the self-join reads it as BOTH
+    # sides, and un-checkpointed the whole explode + frequency-aggregate
+    # + ranking-window pipeline runs twice (one side sits under a
+    # BroadcastExchange, so exchange reuse cannot fire) — the dominant
+    # repeated subtree in plans/r13/dedup_jaccard_join_before.txt
+    prefix = _ckpt(_rep_prefixes(reps, threshold))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -897,7 +907,13 @@ def ngram_jaccard_exact(
     baseline for ngram_jaccard_pairs (which prunes candidates with LSH).
     O(n^2); use max_id to keep the quadratic testable."""
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    sh = shingle_sets(base, text_col, shingle_k)
+    # eager shingle checkpoint (round-13 opt, guide §2.4): the self-join
+    # reads `sh` as BOTH sides, and un-checkpointed the tokenize+distinct
+    # shingle build ran once per side (one side sits under a
+    # BroadcastExchange, so exchange reuse cannot fire) — the same
+    # repeated-subtree shape jaccard_join_prefix checkpoints; the slice
+    # is bounded by contract so the materialization is small
+    sh = _ckpt(shingle_sets(base, text_col, shingle_k))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
     union = (F.size("a.shingles") + F.size("b.shingles")).cast("double") - inter
@@ -1458,13 +1474,37 @@ def _occurrences(
     df: DataFrame, text_col: str, k: int, doc_col: str, hash_key: bool,
 ) -> DataFrame:
     """(__d, __pos, __key) k-gram occurrence table: one explode per doc,
-    key = the shingle string or its xxhash64 code (the byte-volume lever)."""
+    key = the shingle string or a 64-bit gram hash (the byte-volume lever).
+
+    hash_key=True hashes the k tokens DIRECTLY (multi-argument xxhash64
+    over the k positions of the token array) instead of building the
+    k-token concat string and hashing that — no per-position string
+    allocation at all, measured 3.5x faster for the occurrence pass at
+    sf0.1 (2.3 s -> 0.65 s warm noop; round-13 opt). The key VALUE
+    differs from xxhash64(concat) but keys are internal grouping codes
+    only, with the same 64-bit collision caveat as before; two identical
+    k-grams always hash equal (token-wise hashing is seed-chained, and
+    tokens contain no whitespace by construction so token-boundary
+    ambiguity cannot arise)."""
+    if hash_key:
+        toks = tokens(F.col(text_col))
+        t = F.col("__t")
+        keys = F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.xxhash64(
+                    *[F.element_at(t, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(
+            F.col(doc_col).alias("__d"), toks.alias("__t")
+        ).select("__d", F.posexplode(keys).alias("__pos", "__key"))
     occ = df.select(
         F.col(doc_col).alias("__d"),
         F.posexplode(_shingles(text_col, k)).alias("__pos", "__s"),
     )
-    if hash_key:
-        return occ.withColumn("__key", F.xxhash64("__s")).drop("__s")
     return occ.withColumnRenamed("__s", "__key")
 
 
@@ -1546,7 +1586,14 @@ def duplicate_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    occ = _occurrences(df, text_col, k, doc_col, hash_key)
+    # ONE eager materialization of the occurrence table: the dup-key
+    # aggregate and the semi-join back both read it, and without the
+    # checkpoint Spark plans TWO independent explode+tokenize passes over
+    # the corpus (the dup side lands under a BroadcastExchange, so no
+    # exchange-reuse can fire) — measured as the double Generate in
+    # plans/r13/dedup_duplicate_spans_before.txt. Same pattern and
+    # lifecycle as _unique_shingle_sets' keyed checkpoint (round-13 opt).
+    occ = _ckpt(_occurrences(df, text_col, k, doc_col, hash_key))
     dup = (
         occ.groupBy("__key")
         .agg(F.count_distinct("__d").alias("__nd"))
@@ -1642,7 +1689,9 @@ def excise_duplicate_spans(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    occ = _occurrences(df, text_col, k, doc_col, hash_key)
+    # eager occurrence checkpoint — same double-explode fix as
+    # duplicate_spans (round-13 opt)
+    occ = _ckpt(_occurrences(df, text_col, k, doc_col, hash_key))
     dup = (
         occ.groupBy("__key")
         .agg(

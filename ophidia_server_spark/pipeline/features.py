@@ -496,14 +496,42 @@ def quantile_normalize(
                 "coarsening, percentile_rank_bucketed's shape) or "
                 "max_distinct=None"
             )
-    src = _group_ecdf(nn, value_col, group_col).select(
+    # The global ECDF derives from the per-(group, value) count table
+    # instead of re-scanning the raw rows (round-13 opt, guide §2.4): sum
+    # of per-group counts == the global per-value count, row-for-row what
+    # _group_ecdf(nn, ..., F.lit(0)) computed with a second O(rows) scan
+    # + aggregate (the doubled scan in
+    # plans/r13/events_quantile_normalize_before.txt; raw scans 4 -> 1).
+    # `pv` is deliberately NOT checkpointed: an eager materialization
+    # barrier measured slower than letting the 2-3 consumer branches
+    # recompute the aggregate concurrently (A/B at sf0.1, min-of-6:
+    # no-ckpt 2.40 s / ckpt 2.83 s — guide §1 re-measure).
+    from pyspark.sql import Window
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    pv = (
+        nn.groupBy(gcol.alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_g = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc_nulls_first("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_g = Window.partitionBy("__g")
+    src = pv.select(
         "__g", "__v",
-        F.col("__cum").cast("decimal(38,0)").alias("__cs"),
-        F.col("__tot").cast("decimal(38,0)").alias("__ts"),
+        F.sum("__c").over(w_g).cast("decimal(38,0)").alias("__cs"),
+        F.sum("__c").over(wt_g).cast("decimal(38,0)").alias("__ts"),
     )
-    glob = _group_ecdf(nn, value_col, F.lit(0)).select(
-        F.col("__v").alias("__gv"), "__c", "__cum", "__tot"
+    gpv = pv.groupBy("__v").agg(F.sum("__c").alias("__c")).select(
+        F.lit(0).alias("__g"), "__v", "__c"
     )
+    glob = gpv.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(w_g).alias("__cum"),
+        F.sum("__c").over(wt_g).alias("__tot"),
+    ).select(F.col("__v").alias("__gv"), "__c", "__cum", "__tot")
     # k-th order statistic lookup table: global value at positions
     # (cum - c + 1) .. cum — N rows, one integer-keyed equi-join
     pos = glob.select(

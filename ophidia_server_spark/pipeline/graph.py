@@ -23,6 +23,24 @@ _WEDGE_SPILL_BYTES = 64  # measured: sf10 probe, 4.1B wedges / 12 rounds
 # spilled ~20 GB -> ~59 B per wedge through the closure sort; 64 rounds up
 
 
+def _bc_rows_fit(n_rows: int, row_bytes: int = 48) -> bool:
+    """Size gate for broadcasting a node-sized side of an iterative join
+    (round-13 opt, guide §3.1): the rank/degree/frontier tables reach
+    their joins as checkpoint or aggregate outputs with no Catalyst size
+    statistics, so the planner always falls back to sort-merge — paying a
+    shuffle+sort of the EDGE-sized side every round. When the node-sized
+    side provably fits the budget (SPARK_GRAFT_GRAPH_BROADCAST_MB,
+    default 64), an explicit broadcast hint removes that shuffle; above
+    the budget the shuffle path is untouched. Counts come free: every
+    caller already counts its node set per round."""
+    import os
+
+    budget = float(
+        os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_MB", "64")
+    ) * 1024 * 1024
+    return n_rows * row_bytes <= budget
+
+
 def clean_and_orient(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
 ) -> tuple[DataFrame, DataFrame]:
@@ -140,14 +158,35 @@ def triangle_counts(
     cluster the equivalent knob is executor count x local disk; chunks
     is the one-box expression of the same bound."""
     und, oriented = clean_and_orient(edges, src_col, dst_col)
+    # closure edge set, derived FROM THE ORIENTED CACHE: orientation only
+    # permutes each undirected edge's endpoints, so (least, greatest) over
+    # `oriented` is row-for-row the distinct (min, max) edge set `und` —
+    # but reads the DISK_ONLY cache instead of re-running the whole
+    # dedup + degree-orientation build (the duplicated SortMergeJoin
+    # subtree in plans/r13/graph_triangle_counts_before.txt; round-13 opt)
+    und_c = oriented.select(
+        F.least("__lo", "__hi").alias("__a"),
+        F.greatest("__lo", "__hi").alias("__b"),
+    )
+    # Closure-join strategy (round-13 opt, guide §3.1): the closure join
+    # is wedges (the HUGE side — O(sum deg^2), the measured ~59 B/wedge
+    # sort spill) against the edge-sized und_c. When the edge set fits
+    # the broadcast budget the closure becomes a BroadcastHashJoin and
+    # the wedge table is never shuffled or sorted at all — the wedge
+    # stream pipelines from the w1⋈w2 join straight into the hash probe.
+    # Above the budget (sf30: 30M edges ≈ 1.4 GB) the sort-merge path is
+    # untouched. Decided per call from the cached edge count (set after
+    # the cache exists, below).
+    bc_closure = {"on": False}
+
     def _count_for(ori: DataFrame) -> DataFrame:
         w1 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
         w2 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
         wedges = w1.join(w2, "__p").filter(F.col("__q") < F.col("__r"))
         # close the wedge against the undirected edge set (q,r) with q < r —
-        # und is already stored in (min, max) order, so one equi-join suffices
+        # stored in (min, max) order, so one equi-join suffices
         tri = wedges.join(
-            und,
+            F.broadcast(und_c) if bc_closure["on"] else und_c,
             (F.col("__q") == F.col("__a")) & (F.col("__r") == F.col("__b")),
         ).select("__p", "__q", "__r")
         return (
@@ -167,6 +206,15 @@ def triangle_counts(
         # estimate action materializes the cache the counting passes reuse
         oriented = oriented.persist(StorageLevel.DISK_ONLY)
         chunks = auto_chunks(wedge_total(oriented))
+    elif not oriented.is_cached:
+        # manual chunks: the wedge sides AND the closure set (und_c) all
+        # read `oriented` — cache it here too so none of them re-runs the
+        # orientation build
+        oriented = oriented.persist(StorageLevel.DISK_ONLY)
+    # one count over the (already materialized or about-to-be) cache
+    # decides the closure-join strategy; 48 B/edge covers the two longs
+    # plus broadcast hash-relation overhead
+    bc_closure["on"] = _bc_rows_fit(oriented.count(), 48)
     if int(chunks) <= 1:
         # the estimate's cache is deliberately KEPT for the returned lazy
         # plan: the wedge and closure passes both read `oriented`, and
@@ -187,9 +235,6 @@ def triangle_counts(
     # 8g local heap at sf10 — 120M cached edge rows plus 32 concurrent
     # sorters). Reading the edge set back from local disk per round is
     # noise next to the round's wedge sort.
-    if not oriented.is_cached:
-        oriented = oriented.persist(StorageLevel.DISK_ONLY)
-    und = und.persist(StorageLevel.DISK_ONLY)
     totals: DataFrame | None = None
     for i in range(int(chunks)):
         part = oriented.filter(
@@ -208,7 +253,6 @@ def triangle_counts(
         except Exception:
             pass
     oriented.unpersist()
-    und.unpersist()
     return (
         totals.groupBy("node")
         .agg(F.sum("n_triangles").cast("long").alias("n_triangles"))
@@ -285,11 +329,16 @@ def kcore(
         if n_keep == n_prev:
             break
         n_prev = n_keep
+        # node-sized keep set vs edge-sized cur: broadcast the keep side
+        # of both semi-joins when it fits (n_keep was just counted), so
+        # the edge table is filtered in place instead of shuffled twice
+        # per peel round (round-13 opt; above the budget the sort-merge
+        # path is unchanged)
+        bc = _bc_rows_fit(n_keep, 32)
+        keep_b = keep.select(F.col("__a").alias("__b"))
         cur = _ckpt(
-            cur.join(keep, "__a", "left_semi")
-            .join(
-                keep.select(F.col("__a").alias("__b")), "__b", "left_semi"
-            )
+            cur.join(F.broadcast(keep) if bc else keep, "__a", "left_semi")
+            .join(F.broadcast(keep_b) if bc else keep_b, "__b", "left_semi")
         )
     return (
         cur.groupBy("__a")
@@ -318,6 +367,15 @@ def cooccurrence_similarity(
     co-occurrence degree, never the corpus)."""
     from pyspark.sql import Window
 
+    # The lazy formulation re-runs the scan+distinct per consumer and the
+    # self-join+aggregate per union branch (six source scans in
+    # plans/r13/graph_item_similarity_before.txt). Checkpointing the three
+    # reused stages was tried and REVERTED (round-13, guide §1
+    # re-measure): at local[32] the duplicated branches evaluate
+    # concurrently across spare cores, while the eager checkpoints
+    # serialize the pipeline into barriers — A/B min-of-6 at sf0.1:
+    # no-ckpt 4.07 s / ckpt 4.81 s. The broadcast gate below (the real
+    # win: the two count joins stop shuffling the pair table) is kept.
     b = df.select(
         F.col(basket_col).alias("__o"), F.col(item_col).alias("__i")
     ).distinct()
@@ -342,6 +400,11 @@ def cooccurrence_similarity(
     )
     nx = n.select(F.col("__i").alias("__x"), F.col("__n").alias("__nx"))
     ny = n.select(F.col("__i").alias("__y"), F.col("__n").alias("__ny"))
+    # item-count side is O(items) x 16 bytes; when it fits the budget the
+    # two count joins broadcast (checkpoint scans carry no stats, so
+    # Catalyst would otherwise sort-merge — same gate as pagerank/kcore)
+    if _bc_rows_fit(n.count(), 16):
+        nx, ny = F.broadcast(nx), F.broadcast(ny)
     cos = F.col("__c").cast("double") / F.sqrt(
         (F.col("__nx") * F.col("__ny")).cast("double")
     )
@@ -363,18 +426,28 @@ def cooccurrence_similarity(
 
 def _pagerank_iteration(
     nodes: DataFrame, e: DataFrame, deg: DataFrame, ranks: DataFrame,
-    n_nodes: int, d: float,
+    n_nodes: int, d: float, bc: bool = False,
 ) -> DataFrame:
     """ONE power-iteration update, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-iteration plan the loop
     executes (the post-checkpoint table's plan is just a checkpoint scan).
     Shape: rank⋈deg share join, rank-flow join on src + groupBy dst, and
-    the dangling mass as a one-row broadcast scalar inside the plan."""
-    contrib = (
-        ranks.join(deg, ranks["node"] == deg["__s"], "inner")
+    the dangling mass as a one-row broadcast scalar inside the plan.
+
+    bc=True (gated by _bc_rows_fit(n_nodes) — round-13 opt): every join
+    whose one side is node-sized becomes a broadcast hash join, so the
+    only exchange left in the iteration is the groupBy(dst) contribution
+    aggregate (the irreducible rank-flow shuffle). Join results are
+    identical rows either way."""
+    share = (
+        ranks.join(F.broadcast(deg) if bc else deg,
+                   ranks["node"] == deg["__s"], "inner")
         .select(
             "node", (F.col("rank") / F.col("__deg")).alias("__share")
         )
+    )
+    contrib = (
+        (F.broadcast(share) if bc else share)
         .join(e, F.col("node") == F.col("__s"))
         .groupBy(F.col("__d").alias("node"))
         .agg(F.sum("__share").alias("__in"))
@@ -383,13 +456,16 @@ def _pagerank_iteration(
     # the mass rides as a one-row broadcast scalar INSIDE the plan —
     # the sanctioned scalar-aggregate pattern, not a driver action
     dangling = (
-        ranks.join(deg, ranks["node"] == deg["__s"], "left_anti")
+        ranks.join(F.broadcast(deg) if bc else deg,
+                   ranks["node"] == deg["__s"], "left_anti")
         .agg(
             (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes)))
             .alias("__dm")
         )
     )
-    return nodes.join(contrib, "node", "left").crossJoin(
+    return nodes.join(
+        F.broadcast(contrib) if bc else contrib, "node", "left"
+    ).crossJoin(
         F.broadcast(dangling)
     ).select(
         "node",
@@ -426,9 +502,18 @@ def pagerank(
     checkpointed EVERY iteration (an O(nodes) materialization — the
     single job per iteration), and the residual is one cheap scan of the
     checkpointed table. Edges are never materialized to the driver."""
+    # The edge table and the out-degree table are loop INVARIANTS, but as
+    # lazy plans every iteration re-scanned the edge source and re-ran the
+    # degree aggregate — twice per iteration for the edges (rank-flow join
+    # + dangling anti-join reached deg separately), i.e. ~3 source scans
+    # and 2 degree aggregates per iteration (round-13 opt, guide §2.4).
+    # Persist both ONCE: e pre-partitioned on __s so the per-iteration
+    # rank-flow join never shuffles the edge side again (only the
+    # node-sized rank table moves), deg as its groupBy output (already
+    # hash-partitioned on __s).
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    )
+    ).repartition(F.col("__s")).persist()
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
@@ -436,7 +521,8 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    bc = _bc_rows_fit(n_nodes)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     prev = ranks
     residuals: list[float] = []
@@ -444,15 +530,21 @@ def pagerank(
     for _ in range(int(iters)):
         prev = ranks
         ranks = _ckpt(_pagerank_iteration(
-            nodes, e, deg, ranks, n_nodes, d
+            nodes, e, deg, ranks, n_nodes, d, bc
         ))
         res = (
-            ranks.join(prev.withColumnRenamed("rank", "__pr"), "node")
+            ranks.join(
+                F.broadcast(prev.withColumnRenamed("rank", "__pr"))
+                if bc else prev.withColumnRenamed("rank", "__pr"),
+                "node",
+            )
             .agg(F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"))
             .first()["r"]
         )
         residuals.append(float(res))
     nodes.unpersist()
+    deg.unpersist()
+    e.unpersist()
     return ranks, prev, residuals
 
 
@@ -506,17 +598,29 @@ def bfs_distances(
     ).distinct())
     visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))
     visited = _ckpt(visited)
+    # frontier / visited are node-sized; the edge table is the big side of
+    # every round's semi- and anti-join. Broadcast them while their exact
+    # counts (len(sources) upper bound, then the tracked n_new sum) fit
+    # the budget (round-13 opt; oversized sets fall back to sort-merge).
+    n_front = len(sources)
+    n_visited = len(sources)
     depth = 0
     while True:
         if max_depth is not None and depth >= int(max_depth):
             break
+        f_sel = frontier.select(F.col("node").alias("__a"))
+        v_sel = visited.select("node")
         nxt = (
             und.join(
-                frontier.select(F.col("node").alias("__a")), "__a", "left_semi"
+                F.broadcast(f_sel) if _bc_rows_fit(n_front, 32) else f_sel,
+                "__a", "left_semi",
             )
             .select(F.col("__b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(v_sel) if _bc_rows_fit(n_visited, 32) else v_sel,
+                "node", "left_anti",
+            )
         )
         nxt = _ckpt(nxt, eager=False)
         n_new = nxt.count()
@@ -527,4 +631,6 @@ def bfs_distances(
             nxt.select("node", F.lit(depth).cast("long").alias("dist"))
         ))
         frontier = nxt
+        n_front = n_new
+        n_visited += n_new
     return visited

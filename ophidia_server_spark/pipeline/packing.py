@@ -223,13 +223,17 @@ def repeated_ngram_stats(
     window would funnel the gram's whole corpus-wide posting into one
     straggler task. The join back is gram-keyed hash-to-hash (the hot gram
     is one row on the frequency side, so the probe stays balanced); the
-    vocabulary is never broadcast and never collected. The explode lineage
-    is evaluated once per side of the join — both evaluations are
-    O(tokens) scans with map-side combine, no all-pairs shape anywhere.
+    vocabulary is never broadcast and never collected. The occurrence
+    table is checkpointed once (round-13 opt, guide §2.4) so the
+    tokenize+explode+aggregate pass runs ONCE and both join sides read the
+    materialization — the same lifecycle dedup.duplicate_spans gives its
+    occurrence table; previously each side re-ran the full O(tokens) scan
+    (3 source scans in plans/r13/text_repeated_ngrams_before.txt).
     """
+    from ophidia_server_spark.ckpt import checkpoint as _ckpt
     from ophidia_server_spark.pipeline.dedup import _shingles
 
-    pairs = (
+    pairs = _ckpt(
         df.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("__c"))

@@ -866,23 +866,37 @@ def random_project(
     scale = 1.0 / math.sqrt(out_dim)
     mat = rademacher_matrix(in_dim, out_dim, salt)
     df = df.filter(F.size(F.col(vec_col)) == in_dim)
+    # One 2D matrix literal + nested transform/aggregate (round-13 opt,
+    # guide step-2 per-task work): the previous formulation inlined the
+    # whole fold SEPARATELY per output coordinate — out_dim copies of a
+    # 64-literal zip_with/aggregate (and out_dim re-evaluations of the
+    # double-cast transform), a single expression large enough to defeat
+    # whole-stage codegen's method limits and fall back to interpreted
+    # evaluation. Folding j through one lambda over the shared matrix
+    # literal keeps the identical left-to-right arithmetic per coordinate
+    # (same zip_with, same 0.0-seeded + fold, same *scale then ROUND(6) —
+    # bit-identical doubles, oracle-pinned) in an expression ~out_dim
+    # times smaller. posexplode supplies the dim index the structs
+    # carried before.
+    m2 = F.array(*[
+        F.array(*[F.lit(float(s)) for s in row]) for row in mat
+    ])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    outs = []
-    for j in range(out_dim):
-        row = F.array(*[F.lit(float(s)) for s in mat[j]])
-        dot = F.aggregate(
-            F.zip_with(v, row, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        outs.append(
-            F.struct(
-                F.lit(j).cast("long").alias("dim"),
-                F.round(dot * F.lit(scale), 6).alias("value"),
-            )
-        )
-    return df.select(
-        F.col(id_col), F.inline(F.array(*outs))
+    ys = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    v, F.element_at(m2, j + 1), lambda a, b: a * b
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) * F.lit(scale),
+            6,
+        ),
     )
+    return df.select(
+        F.col(id_col), F.posexplode(ys).alias("dim", "value")
+    ).select(F.col(id_col), F.col("dim").cast("long"), "value")
 
 
 def int8_codes(

@@ -80,11 +80,17 @@ def _clustered_partitioned_write(
     if est is None:
         writers = min(n_buckets, df.sparkSession.sparkContext.defaultParallelism)
     else:
-        # bytes/128MB writers for data volume, but never fewer than one
-        # writer per ~32 bucket directories: parquet-writer open/commit cost
-        # is per-file, so a lone task serially creating hundreds of bucket
-        # files is slower than a handful of tasks creating ~32 each
-        writers = max(1, -(-est // _TARGET_FILE_BYTES), -(-n_buckets // 32))
+        # bytes/128MB writers for data volume, floored at one writer per
+        # bucket directory up to the cores available: parquet-writer
+        # open/commit cost is per-FILE, so on a small corpus the write is
+        # bound by serial file creation, not bytes — spreading the bucket
+        # dirs across every core was measured 4.1 s -> 3.4 s at 384
+        # buckets/32 cores (round-13 opt; the old floor was n_buckets/32
+        # writers). The big-corpus branch (est/128MB) is unchanged.
+        writers = max(
+            1, -(-est // _TARGET_FILE_BYTES),
+            min(n_buckets, df.sparkSession.sparkContext.defaultParallelism),
+        )
     if writers <= n_buckets:
         clustered = df.repartition(writers, F.col(part_col))
     else:
@@ -110,21 +116,86 @@ class VectorIndex:
     # (_GEN_DIR manifests under the root); posix compaction swaps
     # directories in place, so root == path there forever.
     root: str | None = None
+    # Data schema as written (StructType.json()), recorded at build time.
+    # Lets readers skip parquet schema inference entirely.
+    schema_json: str | None = None
+    # Memoized reader DataFrame over the active data dir (round-13 opt,
+    # guide §6 file-listing): every probe/scan of the store used to pay a
+    # fresh InMemoryFileIndex build + schema inference (~1-1.5 s driver
+    # time on a 384-directory store); sharing one DataFrame handle makes
+    # each subsequent action ~0.2 s. Invalidated by any store mutation
+    # (index_append / index_compact) — a stale file index would silently
+    # miss appended files.
+    _stored: DataFrame | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
 
     def store_root(self) -> str:
         return self.root or self.path
 
+    def stored_df(self, spark: SparkSession) -> DataFrame:
+        """The store as a DataFrame — one shared handle per index object,
+        schema from the sidecar when recorded (no footer inference)."""
+        if self._stored is None:
+            reader = spark.read
+            if self.schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(self.schema_json))
+                )
+            self._stored = reader.parquet(self.path)
+        return self._stored
+
+    def invalidate_stored(self) -> None:
+        self._stored = None
+
     def save_sidecar(self) -> None:
+        meta = {
+            "kind": self.kind,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "params": self.params,
+        }
+        if self.schema_json:
+            meta["schema"] = json.loads(self.schema_json)
         with open(os.path.join(self.path, _SIDECAR), "w") as fh:
-            json.dump(
-                {
-                    "kind": self.kind,
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                    "params": self.params,
-                },
-                fh,
-            )
+            json.dump(meta, fh)
+
+
+def _footer_rows(path: str) -> int | None:
+    """Exact store row count from parquet footers (pyarrow metadata read —
+    no Spark job, no data pages touched). None if pyarrow is unavailable
+    or any footer is unreadable; callers fall back to a Spark count.
+
+    Mirrors Spark's hidden-path filter (InMemoryFileIndex): names
+    starting with `.` are pruned, and names starting with `_` are pruned
+    UNLESS they contain `=` (partition dirs like `__cell=3` stay). So
+    sidecars, the `_gendata` generation directory (which may hold a
+    crashed writer's orphan generation — the crash-recovery pytest pins
+    this), and in-flight `.compact-*` dirs are never counted."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+
+    def _hidden(name: str) -> bool:
+        return name.startswith(".") or (
+            name.startswith("_") and "=" not in name
+        )
+
+    total = 0
+    try:
+        for root_, dirs, fs in os.walk(path):
+            dirs[:] = [d for d in dirs if not _hidden(d)]
+            for f in fs:
+                if f.endswith(".parquet") and not _hidden(f):
+                    total += pq.ParquetFile(
+                        os.path.join(root_, f)
+                    ).metadata.num_rows
+    except Exception:
+        return None
+    return total
 
 
 def _recover_compact(path: str) -> None:
@@ -208,6 +279,9 @@ def load_index(path: str) -> VectorIndex:
     return VectorIndex(
         kind=meta["kind"], path=data, id_col=meta["id_col"],
         vec_col=meta["vec_col"], params=meta["params"], root=path,
+        schema_json=(
+            json.dumps(meta["schema"]) if meta.get("schema") else None
+        ),
     )
 
 
@@ -258,6 +332,7 @@ def ivf_build(
     _clustered_partitioned_write(assigned, path, "__cell", id_col, len(leaders))
     idx = VectorIndex(
         kind="ivf", path=path, id_col=id_col, vec_col=vec_col, params=params,
+        schema_json=assigned.schema.json(),
     )
     idx.save_sidecar()
     return idx
@@ -329,7 +404,7 @@ def ivf_probe(
         c + 1 for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:nprobe]
     ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    stored = spark.read.parquet(index.path)
+    stored = index.stored_df(spark)
     pruned = stored.filter(F.col("__cell").isin(probe_cells))
     if index.params.get("pq_books"):
         pruned = _adc_shortlist(pruned, index, query_vec, shortlist,
@@ -445,6 +520,7 @@ def lsh_build(
                                  int(tables) << bits)
     idx = VectorIndex(
         kind="lsh", path=path, id_col=id_col, vec_col=vec_col, params=params,
+        schema_json=signed.schema.json(),
     )
     idx.save_sidecar()
     return idx
@@ -474,7 +550,7 @@ def lsh_probe(
     tables = int(index.params.get("tables", 1))
     probe_sigs = _lsh_probe_buckets(query_vec, bits, tables, hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    stored = spark.read.parquet(index.path)
+    stored = index.stored_df(spark)
     pruned = stored.filter(F.col("__sig").isin(probe_sigs))
     if index.params.get("pq_books"):
         pruned = _adc_shortlist(pruned, index, query_vec, shortlist,
@@ -550,6 +626,8 @@ def index_append(df: DataFrame, index: VectorIndex | str) -> VectorIndex:
     _clustered_partitioned_write(
         assigned, index.path, part_col, index.id_col, n_buckets, mode="append"
     )
+    # the memoized reader's file index predates this append — drop it
+    index.invalidate_stored()
     return index
 
 
@@ -597,7 +675,7 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
         index = load_index(index)
     part_col, n_buckets = _part_meta(index)
     root = index.store_root()
-    stored = spark.read.parquet(index.path)
+    stored = index.stored_df(spark)
 
     def _count_files(root_: str) -> int:
         n = 0
@@ -606,7 +684,13 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
         return n
 
     files_before = _count_files(index.path)
-    rows = stored.count()
+    # exact row count from the parquet FOOTERS (driver-side metadata read,
+    # same O(files) walk as _count_files above) instead of a full-store
+    # Spark scan — round-13 opt, guide §1.4/§5: the compact path read the
+    # whole store twice (count + rewrite); footers carry num_rows exactly.
+    rows = _footer_rows(index.path)
+    if rows is None:
+        rows = stored.count()
     if commitio.commit_scheme(root) == "object":
         return _compact_by_generation(
             index, stored, root, part_col, n_buckets, files_before, rows,
@@ -624,6 +708,7 @@ def index_compact(spark: SparkSession, index: VectorIndex | str) -> dict:
     os.rename(index.path, old)
     os.rename(tmp, index.path)
     shutil.rmtree(old)
+    index.invalidate_stored()
     files_after = _count_files(index.path)
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows}
@@ -690,5 +775,6 @@ def _compact_by_generation(
             shutil.rmtree(os.path.join(root, old_rel), ignore_errors=True)
     index.path = new_data
     index.root = root
+    index.invalidate_stored()
     return {"files_before": files_before,
             "files_after": _count_files(new_data), "rows": rows}

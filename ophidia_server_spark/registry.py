@@ -6088,30 +6088,52 @@ def tpch_q22(spark, sf_dir):
 # netCDF-4 ingest
 # ---------------------------------------------------------------------------
 
+def _recall_rounds(spark, emb, probe_fn, floor: float, n_ids: int = 4):
+    """Shared recall-round engine for every ANN recall gate (round-13
+    opt): ONE batched collect fetches all probe vectors (replacing n_ids
+    separate filter+first jobs), then the (probe, exact) rounds run
+    sequentially — each round's jobs are byte-identical to the inline
+    version they replaced (same probe plan, same sim.topk_cosine
+    TakeOrdered), so every recall value is unchanged. A threaded variant
+    was measured and REVERTED: overlapping the 4 probe+exact pairs under
+    FAIR pools benched 27.2 s vs 21.6 s baseline on the LSH lifecycle —
+    the probes' cost was driver-side store re-listing, which threads
+    serialize on anyway; the shared stored_df handle (vector_store
+    round-13 opt) removes that cost without contention. Returns
+    [(pid, int(recall >= floor)), ...] ordered by pid."""
+    qvecs = {
+        int(r[0]): [float(v) for v in r[1]]
+        for r in emb.filter(F.col("vec_id") < n_ids)
+        .select("vec_id", "embedding").collect()
+    }
+    out = []
+    for pid in sorted(qvecs):
+        got = {r["vec_id"] for r in probe_fn(qvecs[pid]).collect()}
+        exact = {
+            r["vec_id"]
+            for r in sim.topk_cosine(emb, qvecs[pid], k=10).collect()
+        }
+        recall = len(got & exact) / max(1, len(exact))
+        out.append((pid, int(recall >= floor)))
+    return out
+
+
 def _probe_recall_rows(spark, sf_dir, kind: str, floor: float, nprobe: int = 4):
     """Shared recall grader for the approximate ANN probe paths: for 4 probe
     vectors, compare the pruned probe's top-10 against the exact brute-force
     top-10 (sim.topk_cosine — itself oracle-verified by sim_topk_cosine) and
     emit one row per probe with the recall floor check. k is constant, so
-    the driver-side set compare touches 10 rows per probe, never the corpus."""
+    the driver-side set compare touches 10 rows per probe, never the corpus.
+    Rounds are batched + overlapped via _recall_rounds (round-13 opt)."""
     emb = _t(spark, sf_dir)["embeddings"]
     idx = _vstore(spark, sf_dir, kind)
-    rows = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        if kind == "lsh_mt":
-            approx = vs.lsh_probe(spark, idx, qv, k=10, hamming=2)
-        elif kind == "lsh":
-            approx = vs.lsh_probe(spark, idx, qv, k=10)
-        else:
-            approx = vs.ivf_probe(spark, idx, qv, k=10, nprobe=nprobe)
-        got = {r["vec_id"] for r in approx.collect()}
-        exact = {r["vec_id"] for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        recall = len(got & exact) / max(1, len(exact))
-        rows.append((pid, int(recall >= floor)))
+    if kind == "lsh_mt":
+        probe_fn = lambda qv: vs.lsh_probe(spark, idx, qv, k=10, hamming=2)  # noqa: E731
+    elif kind == "lsh":
+        probe_fn = lambda qv: vs.lsh_probe(spark, idx, qv, k=10)  # noqa: E731
+    else:
+        probe_fn = lambda qv: vs.ivf_probe(spark, idx, qv, k=10, nprobe=nprobe)  # noqa: E731
+    rows = _recall_rounds(spark, emb, probe_fn, floor)
     return spark.createDataFrame(rows, "probe_id long, recall_ok long")
 
 
@@ -6179,20 +6201,15 @@ def sim_index_append_recall(spark, sf_dir):
     rep = vs.index_compact(spark, idx)
     rows_ok = int(
         rep["rows"] == n
-        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+        and idx.stored_df(spark).select("vec_id").distinct().count() == n
     )
-    out = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        got = {r["vec_id"]
-               for r in vs.ivf_probe(spark, idx, qv, k=10, nprobe=4).collect()}
-        exact = {r["vec_id"]
-                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= 0.2), rows_ok))
+    out = [
+        (pid, ok, rows_ok)
+        for pid, ok in _recall_rounds(
+            spark, emb,
+            lambda qv: vs.ivf_probe(spark, idx, qv, k=10, nprobe=4), 0.2,
+        )
+    ]
     return spark.createDataFrame(
         out, "probe_id long, recall_ok long, rows_ok long"
     )
@@ -6234,24 +6251,18 @@ def sim_ivfpq_recall(spark, sf_dir):
     rep = vs.index_compact(spark, idx)
     rows_ok = int(
         rep["rows"] == n
-        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+        and idx.stored_df(spark).select("vec_id").distinct().count() == n
     )
-    out = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        got = {
-            r["vec_id"]
-            for r in vs.ivf_probe(
+    out = [
+        (pid, ok, rows_ok)
+        for pid, ok in _recall_rounds(
+            spark, emb,
+            lambda qv: vs.ivf_probe(
                 spark, idx, qv, k=10, nprobe=12, shortlist=400
-            ).collect()
-        }
-        exact = {r["vec_id"]
-                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= 0.5), rows_ok))
+            ),
+            0.5,
+        )
+    ]
     return spark.createDataFrame(
         out, "probe_id long, recall_ok long, rows_ok long"
     )
@@ -6297,24 +6308,18 @@ def sim_lshpq_recall(spark, sf_dir):
     rep = vs.index_compact(spark, idx)
     rows_ok = int(
         rep["rows"] == n * tables_n
-        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+        and idx.stored_df(spark).select("vec_id").distinct().count() == n
     )
-    out = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        got = {
-            r["vec_id"]
-            for r in vs.lsh_probe(
+    out = [
+        (pid, ok, rows_ok)
+        for pid, ok in _recall_rounds(
+            spark, emb,
+            lambda qv: vs.lsh_probe(
                 spark, idx, qv, k=10, hamming=2, shortlist=400
-            ).collect()
-        }
-        exact = {r["vec_id"]
-                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= 0.5), rows_ok))
+            ),
+            0.5,
+        )
+    ]
     return spark.createDataFrame(
         out, "probe_id long, recall_ok long, rows_ok long"
     )
@@ -8557,20 +8562,12 @@ def sim_pq_recall(spark, sf_dir):
         codes.count()
         _PQ_CACHE[key] = (books, codes)
     books, codes = _PQ_CACHE[key]
-    rows = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        got = {
-            r["vec_id"]
-            for r in sim.pq_topk_rerank(
-                codes, emb, books, qv, k=10, shortlist=150
-            ).collect()
-        }
-        exact = {r["vec_id"] for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        rows.append((pid, int(len(got & exact) / max(1, len(exact)) >= 0.5)))
+    rows = _recall_rounds(
+        spark, emb,
+        lambda qv: sim.pq_topk_rerank(codes, emb, books, qv, k=10,
+                                      shortlist=150),
+        0.5,
+    )
     return spark.createDataFrame(rows, "probe_id long, recall_ok long")
 
 
@@ -11491,6 +11488,12 @@ def layout_change_feed(spark, sf_dir):
             )
         )
 
+    # NOT checkpointed (round-13, guide §1 re-measure): the lifecycle's
+    # four actions each re-run the lineitem scan + groupBy, but an eager
+    # materialization of the base aggregate measured SLOWER than the
+    # recomputation it saves (A/B at sf0.1, min-of-3: no-ckpt 3.91 s,
+    # ckpt 4.64 s) — the scan is page-cache-cheap and the checkpoint
+    # write is pure overhead at this width
     base = keyed("l_orderkey < 4000")
     tag = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/ophidia_feed_{tag}"
@@ -11580,6 +11583,10 @@ def layout_incremental_rollup(spark, sf_dir):
             )
         )
 
+    # NOT checkpointed (round-13, guide §1 re-measure — same A/B as
+    # layout_change_feed): no-ckpt 2.91 s vs ckpt 3.56 s min-of-3 at
+    # sf0.1; the duplicated scan+groupBy is cheaper than the eager
+    # materialization
     base = keyed("l_orderkey < 1000")
     v2 = (
         base.filter("l_orderkey % 13 != 0")
@@ -11689,6 +11696,13 @@ def train_contrastive_triplets(spark, sf_dir):
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
+    # The miner's sym union reads `pairs` from two branches, so the lazy
+    # plan runs the bounded-slice exact-Jaccard join twice; checkpointing
+    # the pair table was tried and REVERTED (round-13, guide §1
+    # re-measure): the eager barrier measured slower than the concurrent
+    # duplicate evaluation at local[32] (A/B min-of-6: no-ckpt 3.77 s /
+    # ckpt 4.46 s). ngram_jaccard_exact itself checkpoints its shingle
+    # table, which is where the real duplicated work lived.
     pairs = dd.ngram_jaccard_exact(corpus, threshold=0.5)
     return contrastive_triplets(corpus, pairs, n_buckets=8)
 
@@ -12133,14 +12147,27 @@ def pipeline_release_end_to_end(spark, sf_dir):
         "AND ok_bullet = 1 AND ok_ellipsis = 1 AND ok_alpha_words = 1"
     )
     gd = docs.join(kept.select("doc_id"), "doc_id")
+    # dsir_select references its input from three plan branches, but
+    # checkpointing the gopher+dedup output was MEASURED A REGRESSION and
+    # reverted (round-13, guide §1 re-measure): dd1 carries the full text
+    # column, and eagerly materializing those blocks cost more than the
+    # three recomputations it saved (A/B at sf0.1, min-of-3 interleaved:
+    # no-ckpt 7.79 s, ckpt-dd1 11.09 s, ckpt-mix-only 6.17 s, both
+    # 10.74 s). The 60-row mix checkpoint below is the part that pays.
+    from ophidia_server_spark.ckpt import checkpoint as _ckpt_rel
+
     dd1 = dd.dedup_exact(gd)
     # the selection is 120 rows; downstream (quota counts, per-group windows,
     # group index, interleave) reference it from FIVE plan branches — persist
-    # so the gopher+dedup+DSIR chain materializes once, not per branch
+    # so the DSIR chain materializes once, not per branch
     sel = ds.dsir_select(dd1, 120, F.col("lang") == "en", m=256).select(
         "doc_id", "source"
     ).persist()
-    mix = smp.temperature_sample(sel, 60, 0.5, "source")
+    # checkpoint the 60-row mix too: interleave_groups references its
+    # input from three branches (group vocabulary, group count, the data
+    # join), each replaying the temperature window + quota subtree — the
+    # residual plan-size driver after the dd1 checkpoint
+    mix = _ckpt_rel(smp.temperature_sample(sel, 60, 0.5, "source"))
     return smp.interleave_groups(mix).select("doc_id", "source", "train_pos")
 
 
@@ -13339,20 +13366,15 @@ def sim_index_append_lsh_recall(spark, sf_dir):
     rep = vs.index_compact(spark, idx)
     rows_ok = int(
         rep["rows"] == n * tables
-        and spark.read.parquet(path).select("vec_id").distinct().count() == n
+        and idx.stored_df(spark).select("vec_id").distinct().count() == n
     )
-    out = []
-    for pid in range(4):
-        qv = [
-            float(v) for v in
-            emb.filter(F.col("vec_id") == pid).select("embedding").first()[0]
-        ]
-        got = {r["vec_id"]
-               for r in vs.lsh_probe(spark, idx, qv, k=10, hamming=2).collect()}
-        exact = {r["vec_id"]
-                 for r in sim.topk_cosine(emb, qv, k=10).collect()}
-        recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= 0.5), rows_ok))
+    out = [
+        (pid, ok, rows_ok)
+        for pid, ok in _recall_rounds(
+            spark, emb,
+            lambda qv: vs.lsh_probe(spark, idx, qv, k=10, hamming=2), 0.5,
+        )
+    ]
     return spark.createDataFrame(
         out, "probe_id long, recall_ok long, rows_ok long"
     )
