@@ -701,8 +701,18 @@ def stream_window_upsert_to_snapshots(
     micro-batch latency knob): per-batch cost carries one task per state
     partition regardless of rows, so a small windowed state behind a
     fast cadence wants FEWER partitions than the session's shuffle
-    default, while a 100 TB key space wants more. None keeps the session
-    conf; the session conf is restored after the stream drains."""
+    default, while a 100 TB key space wants more. None (the default)
+    derives the width from the SOURCE BYTES at stream start —
+    clamp(bytes / 32 MB, 4, 20k), the same sizing family as
+    session.advise_shuffle_partitions — instead of inheriting the
+    session conf (round-13 opt, guide §2.2: every micro-batch paid one
+    state-store task per session shuffle partition regardless of state
+    size; at sf0.1 that was 32 tasks maintaining ~150 window rows, and
+    re-deriving to 4 measured the whole backfill lifecycle ~2x faster
+    with byte-identical committed tables. A TB-scale source derives
+    thousands of partitions from the same rule — the knob tracks data,
+    not local core count). Pass an explicit int to pin it; the session
+    conf is restored after the stream drains."""
 
     def _commit(batch_df, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_path):
@@ -783,6 +793,22 @@ def stream_window_upsert_to_snapshots(
         finally:
             changed.unpersist()
 
+    if state_partitions is None:
+        # byte-derived state width (see the docstring note): one static
+        # listing of the source — the readStream pays its own listing
+        # anyway, this only reads file sizes on the driver
+        from ophidia_server_spark.pipeline.vector_store import (
+            _estimated_input_bytes,
+        )
+
+        try:
+            est = _estimated_input_bytes(
+                spark.read.schema(schema).parquet(src_path)
+            )
+        except Exception:
+            est = None
+        if est is not None:
+            state_partitions = max(4, min(20_000, est // (32 << 20) + 1))
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
