@@ -78,14 +78,25 @@ def wedge_total(oriented: DataFrame) -> float:
     aggregate (Σ d·(d−1)/2 over the oriented out-degrees). The auto-chunk
     estimate's action: running it on a persisted `oriented` materializes
     the cache the counting passes reuse."""
-    return float(
+    return _wedge_and_edge_total(oriented)[0]
+
+
+def _wedge_and_edge_total(oriented: DataFrame) -> tuple[float, int]:
+    """(total wedges, total edges) in ONE aggregate pass: Σ d over the
+    oriented out-degrees IS the edge count, so the closure-join broadcast
+    gate and the auto-chunk estimate share a single job over the cache
+    instead of an estimate pass plus a separate count() (round-13 opt,
+    guide §2.4 — at scale each pass is a full read of the edge cache)."""
+    row = (
         oriented.groupBy("__lo")
         .agg(F.count(F.lit(1)).alias("__d"))
         .agg(
-            F.sum(F.col("__d") * (F.col("__d") - 1) / F.lit(2)).alias("__w")
+            F.sum(F.col("__d") * (F.col("__d") - 1) / F.lit(2)).alias("__w"),
+            F.sum("__d").alias("__m"),
         )
-        .first()["__w"] or 0
+        .first()
     )
+    return float(row["__w"] or 0), int(row["__m"] or 0)
 
 
 def auto_chunks(wedges: float, budget_gb: float | None = None) -> int:
@@ -203,18 +214,22 @@ def triangle_counts(
         if chunks != "auto":
             raise ValueError(f"chunks must be an int or 'auto', got {chunks!r}")
         # DISK_ONLY for the same reason as the chunked rounds below; the
-        # estimate action materializes the cache the counting passes reuse
+        # estimate action materializes the cache the counting passes reuse.
+        # ONE pass returns both the wedge estimate and the edge count the
+        # broadcast gate needs (was estimate + count(), two cache scans)
         oriented = oriented.persist(StorageLevel.DISK_ONLY)
-        chunks = auto_chunks(wedge_total(oriented))
-    elif not oriented.is_cached:
-        # manual chunks: the wedge sides AND the closure set (und_c) all
-        # read `oriented` — cache it here too so none of them re-runs the
-        # orientation build
-        oriented = oriented.persist(StorageLevel.DISK_ONLY)
-    # one count over the (already materialized or about-to-be) cache
-    # decides the closure-join strategy; 48 B/edge covers the two longs
-    # plus broadcast hash-relation overhead
-    bc_closure["on"] = _bc_rows_fit(oriented.count(), 48)
+        wedges, n_edges = _wedge_and_edge_total(oriented)
+        chunks = auto_chunks(wedges)
+    else:
+        if not oriented.is_cached:
+            # manual chunks: the wedge sides AND the closure set (und_c)
+            # all read `oriented` — cache it here too so none of them
+            # re-runs the orientation build
+            oriented = oriented.persist(StorageLevel.DISK_ONLY)
+        n_edges = oriented.count()
+    # the cached edge count decides the closure-join strategy; 48 B/edge
+    # covers the two longs plus broadcast hash-relation overhead
+    bc_closure["on"] = _bc_rows_fit(n_edges, 48)
     if int(chunks) <= 1:
         # the estimate's cache is deliberately KEPT for the returned lazy
         # plan: the wedge and closure passes both read `oriented`, and

@@ -5591,15 +5591,41 @@ def tpch_q9(spark, sf_dir):
     revenue minus cost of the parts matching a name pattern. The quantity
     cast stays at DECIMAL(9,2) so the cost product's precision fits both
     engines' exact-DECIMAL paths (a (18,2) cast would push the subtraction
-    past DuckDB's 38-digit cap and silently demote it to double)."""
+    past DuckDB's 38-digit cap and silently demote it to double).
+
+    The partsupp stand-in's lineitem scan is pre-filtered by a broadcast
+    semi-join on the widget part keys (round-13 opt, guide §3.2): the
+    downstream equi-join keeps only ps groups whose ps_partkey matches a
+    widget part, and the semi-join filters whole groups by that same group
+    key — every retained (partkey, suppkey) group aggregates the identical
+    row set, so ps_supplycost/ps_availqty are unchanged. The ps-side
+    aggregate (and its exchange) now sees only the selective fraction."""
     t = _t(spark, sf_dir)
+    widget_keys = (
+        t["part"].filter(F.col("p_name").contains("widget")).select("p_partkey")
+    )
+    ps = (
+        t["lineitem"]
+        .join(
+            F.broadcast(widget_keys),
+            F.col("l_partkey") == F.col("p_partkey"), "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_supplycost"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast(DEC).alias("ps_availqty"),
+        )
+    )
     j = (
         t["lineitem"]
         .join(
             t["part"].filter(F.col("p_name").contains("widget")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(_ps(t), (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey")) & (F.col("l_suppkey") == F.col("ps_suppkey")))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
