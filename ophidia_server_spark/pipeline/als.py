@@ -17,8 +17,9 @@ Cost structure per half-step — the canonical distributed ALS plan:
   gather : join ratings with the fixed side's factors (shuffle keyed on
            that side's id), build the k*k outer-product row terms as JVM
            array math.
-  reduce : ONE groupBy on the solved side aggregating k*k + k + 1
-           doubles — map-side partials; width is k^2 per key, not data.
+  reduce : ONE groupBy on the solved side aggregating the PACKED
+           k(k+1)/2 Gram triangle + k + 3 doubles — map-side partials;
+           width is O(k^2) per key, not data.
   solve  : an Arrow-batched numpy batched solve over the aggregated
            rows (k x k systems; k is a parameter, so each task's matrix
            stack is bounded by its row batch).
@@ -76,15 +77,103 @@ def _init_factors(df: DataFrame, id_col: str, k: int, salt: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.array(*dims).alias("factors"))
 
 
+def _packed_pairs(k: int) -> list[tuple[int, int]]:
+    """Upper-triangle (i <= j) index pairs in row-major order — the packed
+    layout of the symmetric Gram matrix (round-13 opt, guide §2.3): the
+    outer product v v^T is symmetric, so only k(k+1)/2 of its k^2 entries
+    are distinct. Packing them halves (k=4: 16 -> 10) the per-row array
+    build, the map-side partial-sum count, AND the shuffled aggregate
+    width. Bit-exact: each packed column sums the identical value sequence
+    the full column (and its mirror) summed, so the reconstructed matrix —
+    hence the solve, the factors, and the objective — is unchanged to the
+    last ulp."""
+    return [(i, j) for i in range(k) for j in range(i, k)]
+
+
+def _packed_at(k: int, i: int, j: int) -> int:
+    """Flat index of (i, j) in the packed upper-triangle layout."""
+    lo, hi = (i, j) if i <= j else (j, i)
+    return lo * k - lo * (lo - 1) // 2 + (hi - lo)
+
+
+# The ridge system (A + reg*n*I) x = b is symmetric POSITIVE DEFINITE
+# whenever reg > 0 (A = sum of outer products is PSD; the ridge term is
+# PD), so for small k the solve is a closed-form Cholesky — expressible
+# as pure JVM Column arithmetic, removing the per-half-step Python
+# boundary entirely (round-13 opt, guide §4.1 built-ins over UDFs: the
+# ArrowEvalPython stage measured ~0.45 s of each ~1.2 s half-step at
+# sf0.1, all serialization overhead for 4x4 systems). Expression count
+# grows O(k^3), so the JVM path is gated to k <= _JVM_SOLVE_MAX_K (and
+# reg > 0 — at reg == 0 a rank-deficient Gram matrix must keep numpy's
+# loud LinAlgError instead of Cholesky's silent NaN).
+_JVM_SOLVE_MAX_K = 8
+
+
+def _jvm_solve_col(k: int, reg: float) -> list:
+    """Cholesky factorization + forward/back substitution of
+    (A + reg*n*I) x = b over the packed-Gram columns, as a list of
+    (name, Column) steps in dependency order; the final step is
+    ("factors", array<double>). Built as SEPARATE withColumn steps so
+    each intermediate (L entries, y, x) is computed once — Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases in their
+    own projection instead of re-expanding the expression tree."""
+    steps: list = []
+
+    def m_at(i: int, j: int):
+        e = F.element_at(F.col("__A"), F.lit(_packed_at(k, i, j) + 1))
+        if i == j:
+            e = e + F.lit(reg) * F.col("__n").cast("double")
+        return e
+
+    L = {}
+    for j in range(k):
+        diag = m_at(j, j) - sum(
+            (F.col(f"__l_{j}_{p}") * F.col(f"__l_{j}_{p}") for p in range(j)),
+            F.lit(0.0),
+        )
+        steps.append((f"__l_{j}_{j}", F.sqrt(diag)))
+        L[(j, j)] = F.col(f"__l_{j}_{j}")
+        for i in range(j + 1, k):
+            off = m_at(i, j) - sum(
+                (F.col(f"__l_{i}_{p}") * F.col(f"__l_{j}_{p}")
+                 for p in range(j)),
+                F.lit(0.0),
+            )
+            steps.append((f"__l_{i}_{j}", off / F.col(f"__l_{j}_{j}")))
+            L[(i, j)] = F.col(f"__l_{i}_{j}")
+    for i in range(k):
+        fwd = F.element_at(F.col("__bv"), F.lit(i + 1)) - sum(
+            (F.col(f"__l_{i}_{p}") * F.col(f"__y_{p}") for p in range(i)),
+            F.lit(0.0),
+        )
+        steps.append((f"__y_{i}", fwd / F.col(f"__l_{i}_{i}")))
+    for i in reversed(range(k)):
+        back = F.col(f"__y_{i}") - sum(
+            (F.col(f"__l_{p}_{i}") * F.col(f"__x_{p}")
+             for p in range(i + 1, k)),
+            F.lit(0.0),
+        )
+        steps.append((f"__x_{i}", back / F.col(f"__l_{i}_{i}")))
+    steps.append(("factors", F.array(*[F.col(f"__x_{i}") for i in range(k)])))
+    return steps
+
+
 def _solve_udf(k: int, reg: float):
-    """Arrow-batched ridge solve: each aggregated row carries the flattened
-    k x k Gram matrix, the k-vector b, and the rating count n; the batch
-    solves (A + reg * n * I) x = b as one stacked numpy linalg.solve."""
+    """Arrow-batched ridge solve: each aggregated row carries the PACKED
+    upper triangle of the k x k Gram matrix (see _packed_pairs), the
+    k-vector b, and the rating count n; the batch unpacks via one fancy
+    index and solves (A + reg * n * I) x = b as one stacked numpy
+    linalg.solve."""
     import numpy as np
     import pandas as pd
 
+    unpack = np.array(
+        [[_packed_at(k, i, j) for j in range(k)] for i in range(k)]
+    )
+
     def _fn(aa, bb, nn):
-        A = np.stack(aa.to_numpy()).reshape(len(aa), k, k).astype("float64")
+        P = np.stack(aa.to_numpy()).astype("float64")
+        A = P[:, unpack]  # (n, k, k) — symmetric reconstruction, bit-exact
         b = np.stack(bb.to_numpy()).astype("float64")
         n = nn.to_numpy().astype("float64")
         A = A + reg * n[:, None, None] * np.eye(k)[None, :, :]
@@ -104,7 +193,7 @@ def _half_step_plan(
 ) -> DataFrame:
     """The half-step's PLAN, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-sweep plan (gather join +
-    one k*k+k+1-wide groupBy reduce + exactly one Arrow solve stage);
+    one packed-Gram-wide groupBy reduce + exactly one Arrow solve stage);
     `_half_step` checkpoints it for the iteration loop.
 
     broadcast_fixed (round-13 opt, guide §3.1): the fixed factor table is
@@ -125,11 +214,14 @@ def _half_step_plan(
         fixed_sel = F.broadcast(fixed_sel)
     joined = ratings.join(fixed_sel, fixed_col)
     v = F.col("__v")
+    # packed symmetric outer product — k(k+1)/2 entries instead of k^2
+    # (guide §2.3 shuffle-fewer-bytes; see _packed_pairs for the bit-exact
+    # reconstruction argument)
+    pairs = _packed_pairs(k)
     outer = F.array(
         *[
             F.element_at(v, i + 1) * F.element_at(v, j + 1)
-            for i in range(k)
-            for j in range(k)
+            for i, j in pairs
         ]
     )
     rv = F.array(
@@ -145,7 +237,7 @@ def _half_step_plan(
     )
     agg = rows.groupBy("id").agg(
         F.array(
-            *[F.sum(F.element_at("__o", i + 1)) for i in range(k * k)]
+            *[F.sum(F.element_at("__o", p + 1)) for p in range(len(pairs))]
         ).alias("__A"),
         F.array(
             *[F.sum(F.element_at("__b", i + 1)) for i in range(k)]
@@ -154,11 +246,20 @@ def _half_step_plan(
         F.sum("__r2").alias("__r2"),
         F.sum("__v2").alias("__v2"),
     )
-    solve = _solve_udf(k, reg)
-    solved = agg.select(
-        "id", "__A", "__bv", "__n", "__r2", "__v2",
-        solve("__A", "__bv", "__n").alias("factors"),
-    )
+    if reg > 0 and k <= _JVM_SOLVE_MAX_K:
+        # closed-form JVM Cholesky — no Python stage (see _jvm_solve_col)
+        solved = agg
+        for name, col in _jvm_solve_col(k, reg):
+            solved = solved.withColumn(name, col)
+        solved = solved.select(
+            "id", "__A", "__bv", "__n", "__r2", "__v2", "factors"
+        )
+    else:
+        solve = _solve_udf(k, reg)
+        solved = agg.select(
+            "id", "__A", "__bv", "__n", "__r2", "__v2",
+            solve("__A", "__bv", "__n").alias("factors"),
+        )
     # Fused per-id objective contribution — the round-12 ALS speedup: the
     # squared error over one id's ratings expands exactly through the same
     # normal-equation aggregates the solve consumed,
@@ -177,9 +278,12 @@ def _half_step_plan(
          for i in range(k)),
         F.lit(0.0),
     )
+    # same (i, j) row-major term order as the pre-packed formulation; each
+    # A entry is the packed slot of (min, max) — bit-identical values in a
+    # bit-identical addition order, so __obj is unchanged to the last ulp
     uau = sum(
         (F.element_at(f, i + 1)
-         * F.element_at("__A", i * k + j + 1)
+         * F.element_at("__A", _packed_at(k, i, j) + 1)
          * F.element_at(f, j + 1)
          for i in range(k) for j in range(k)),
         F.lit(0.0),
@@ -203,10 +307,15 @@ def _half_step(
     k: int, reg: float, broadcast_fixed: bool = False,
 ) -> DataFrame:
     """Solve one side given the other: gather-join on the fixed side,
-    k*k+k+1-wide groupBy reduce on the solved side, batched ridge solve."""
+    packed-Gram-wide groupBy reduce on the solved side, batched ridge solve.
+
+    LAZY checkpoint (round-13 opt, kcore's ckpt+count pattern): the very
+    next statement in als() is the fused-objective sum over every row of
+    this frame, which materializes the truncation in the same job — one
+    job per half-step instead of two."""
     return _ckpt(_half_step_plan(
         ratings, fixed, solve_col, fixed_col, k, reg, broadcast_fixed
-    ))
+    ), eager=False)
 
 
 # Broadcast budget for the fixed factor table in a half-step's gather join
@@ -242,12 +351,14 @@ def als(
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
     ).persist()
+    # lazy init checkpoints: the broadcast-gate counts right below are the
+    # materializing actions (one job per side instead of two)
     vf = _ckpt(_init_factors(
         r.select("item").distinct(), "item", k, salt + ":item"
-    ))
+    ), eager=False)
     uf = _ckpt(_init_factors(
         r.select("user").distinct(), "user", k, salt + ":user"
-    ))
+    ), eager=False)
     # One cheap count per side over the checkpointed init tables decides
     # the gather-join strategy for EVERY half-step (see _half_step_plan's
     # broadcast_fixed note): factor tables under the budget broadcast, so

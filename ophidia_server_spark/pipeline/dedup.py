@@ -716,6 +716,41 @@ def _unique_shingle_sets(
     return members, reps
 
 
+def _reps_fit_broadcast(reps: DataFrame) -> bool:
+    """Size gate for broadcasting the unique-set rep table into the
+    verify joins (round-13 opt, guide §3.1): reps reaches the verify
+    join as a checkpoint scan with no Catalyst statistics, so the
+    planner always sort-merges — shuffling the CANDIDATE-PAIR table
+    (the big side) by __ra and again by __rb. One aggregate over the
+    already-checkpointed reps estimates its broadcast footprint (row
+    overhead + per-shingle array overhead + actual string bytes);
+    under SPARK_GRAFT_DEDUP_BROADCAST_MB (default 64) both verify
+    sides broadcast and the candidate table is never shuffled. Above
+    the budget the sort-merge path is untouched — the gate is
+    scale-adaptive, not a local fixture constant."""
+    import os
+
+    row = reps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("shingles")), F.lit(0)).alias("toks"),
+        F.coalesce(
+            F.sum(
+                F.aggregate(
+                    F.transform("shingles", F.octet_length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chars"),
+    ).first()
+    est = int(row["n"]) * 64 + int(row["toks"]) * 24 + int(row["chars"])
+    budget = float(
+        os.environ.get("SPARK_GRAFT_DEDUP_BROADCAST_MB", "64")
+    ) * 1024 * 1024
+    return est <= budget
+
+
 def _rep_prefixes(reps: DataFrame, threshold: float) -> DataFrame:
     """Frequency-ascending prefix table over UNIQUE shingle sets: first
     |A| - ceil(t*|A|) + 1 shingles of each set under the (set frequency
@@ -785,6 +820,8 @@ def jaccard_join_prefix(
     )
     sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
     sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
+    if _reps_fit_broadcast(reps):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
     qual = (
@@ -851,6 +888,8 @@ def containment_join_prefix(
     )
     sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
     sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
+    if _reps_fit_broadcast(reps):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     cont = inter / F.size("__sa").cast("double")
     qual = (

@@ -522,22 +522,28 @@ def pagerank(
     # degree aggregate — twice per iteration for the edges (rank-flow join
     # + dangling anti-join reached deg separately), i.e. ~3 source scans
     # and 2 degree aggregates per iteration (round-13 opt, guide §2.4).
-    # Persist both ONCE: e pre-partitioned on __s so the per-iteration
+    # Persist both ONCE. The broadcast gate is decided FIRST (nodes come
+    # straight off the raw edge projection): on the broadcast path the
+    # rank-flow join probes the cached edge table in place, so
+    # pre-partitioning e on __s would be one wholly wasted full-edge
+    # shuffle (guide §2.4 remove shuffles outright) — e is cached
+    # as-scanned. On the sort-merge path (node set over budget) e is
+    # cached pre-partitioned on __s as before, so the per-iteration
     # rank-flow join never shuffles the edge side again (only the
-    # node-sized rank table moves), deg as its groupBy output (already
-    # hash-partitioned on __s).
-    e = edges.select(
+    # node-sized rank table moves). deg persists as its groupBy output.
+    raw = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).repartition(F.col("__s")).persist()
+    )
     nodes = (
-        e.select(F.col("__s").alias("node"))
-        .unionByName(e.select(F.col("__d").alias("node")))
+        raw.select(F.col("__s").alias("node"))
+        .unionByName(raw.select(F.col("__d").alias("node")))
         .distinct()
         .persist()
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).persist()
     bc = _bc_rows_fit(n_nodes)
+    e = (raw if bc else raw.repartition(F.col("__s"))).persist()
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).persist()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     prev = ranks
     residuals: list[float] = []

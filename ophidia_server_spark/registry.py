@@ -10276,7 +10276,15 @@ def join_cardinality_cms(spark, sf_dir):
     ska = sk.cms_sketch(o, "k", d=4, w=1024, salt="cmsj")
     skb = sk.cms_sketch(li, "k", d=4, w=1024, salt="cmsj")
     est = sk.cms_join_cardinality(ska, skb)
-    exact = o.join(li, "k").agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    # exact ground truth joins on the RAW bigint keys (round-13 opt, guide
+    # §2.3 narrower types): the string cast is the SKETCHES' hash contract,
+    # but a bigint->string cast is injective, so the join count is
+    # identical while the exchange carries 8-byte keys instead of strings
+    exact = (
+        t["orders"].select(F.col("o_orderkey").alias("kk"))
+        .join(t["lineitem"].select(F.col("l_orderkey").alias("kk")), "kk")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
     return est.join(F.broadcast(exact)).select(
         "est_join_rows", "exact_rows",
         (F.col("est_join_rows") - F.col("exact_rows")).cast("long").alias("overcount"),

@@ -59,6 +59,26 @@ def test_als_init_is_content_addressed(spark):
     assert a != c
 
 
+def test_als_jvm_cholesky_matches_arrow_solve(spark, rank1_ratings, monkeypatch):
+    """The closed-form JVM Cholesky path (round-13 opt, k <= max gate) and
+    the Arrow/numpy solve path must produce the same factors to float
+    round-off — forcing the UDF path by shrinking the gate and comparing
+    a full run proves the two solvers are interchangeable."""
+    from ophidia_server_spark.pipeline import als as A
+
+    res_jvm = A.als(rank1_ratings, k=2, iters=2, reg=0.05)
+    jvm = {r["id"]: r["factors"] for r in res_jvm.user_factors.collect()}
+    monkeypatch.setattr(A, "_JVM_SOLVE_MAX_K", 0)
+    res_udf = A.als(rank1_ratings, k=2, iters=2, reg=0.05)
+    udf = {r["id"]: r["factors"] for r in res_udf.user_factors.collect()}
+    assert jvm.keys() == udf.keys()
+    for i in jvm:
+        for a, b in zip(jvm[i], udf[i]):
+            assert abs(a - b) < 1e-12, (i, jvm[i], udf[i])
+    for a, b in zip(res_jvm.objectives, res_udf.objectives):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(a))
+
+
 def test_als_empty_ratings_zero_objective(spark):
     """SUM over zero rows is NULL: an empty ratings frame must yield 0.0
     objectives, not a TypeError (ADVICE r12)."""

@@ -220,9 +220,11 @@ def test_als_half_step_plan_bar(spark, tables):
     m = audit_plan(hp)
     assert m["scans"] <= ALS_HALF_BAR[0], m
     assert m["shuffles"] <= ALS_HALF_BAR[1], m
-    # exactly ONE Arrow stage: the batched ridge solve — a second python
-    # stage (or a row-at-a-time UDF creeping in) fails here first
-    assert m["python"] == 1, m
+    # ZERO python stages (round-13 opt): at gate k the ridge solve is the
+    # closed-form JVM Cholesky (als._jvm_solve_col) — the bar tightened
+    # from the one sanctioned Arrow stage to none; any Python stage
+    # creeping back in fails here first
+    assert m["python"] == 0, m
 
 
 def test_als_half_step_bar_catches_deliberate_regression(spark, tables):
