@@ -116,7 +116,14 @@ def _jvm_solve_col(k: int, reg: float) -> list:
     ("factors", array<double>). Built as SEPARATE withColumn steps so
     each intermediate (L entries, y, x) is computed once — Catalyst's
     CollapseProject keeps multiply-referenced non-cheap aliases in their
-    own projection instead of re-expanding the expression tree."""
+    own projection instead of re-expanding the expression tree.
+
+    Numerical note: the Cholesky remainder diagonal is mathematically
+    >= reg*n, so with any practical reg (the library default is 0.1) the
+    float-cancellation error of the subtracted sums can never drive it
+    negative; a pathologically tiny reg (~1e-300) on a near-singular Gram
+    could — which is one more reason the reg == 0 guard routes through
+    numpy's loud LinAlgError path instead."""
     steps: list = []
 
     def m_at(i: int, j: int):
@@ -193,7 +200,8 @@ def _half_step_plan(
 ) -> DataFrame:
     """The half-step's PLAN, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-sweep plan (gather join +
-    one packed-Gram-wide groupBy reduce + exactly one Arrow solve stage);
+    one packed-Gram-wide groupBy reduce + the ridge solve: closed-form JVM
+    Cholesky at k <= _JVM_SOLVE_MAX_K with reg > 0, else one Arrow stage);
     `_half_step` checkpoints it for the iteration loop.
 
     broadcast_fixed (round-13 opt, guide §3.1): the fixed factor table is
