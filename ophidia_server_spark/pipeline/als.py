@@ -103,10 +103,15 @@ def _packed_at(k: int, i: int, j: int) -> int:
 # boundary entirely (round-13 opt, guide §4.1 built-ins over UDFs: the
 # ArrowEvalPython stage measured ~0.45 s of each ~1.2 s half-step at
 # sf0.1, all serialization overhead for 4x4 systems). Expression count
-# grows O(k^3), so the JVM path is gated to k <= _JVM_SOLVE_MAX_K (and
-# reg > 0 — at reg == 0 a rank-deficient Gram matrix must keep numpy's
-# loud LinAlgError instead of Cholesky's silent NaN).
+# grows O(k^3), so the JVM path is gated to k <= _JVM_SOLVE_MAX_K and
+# reg >= _JVM_SOLVE_MIN_REG: at reg == 0 a rank-deficient Gram matrix
+# must keep numpy's loud LinAlgError instead of Cholesky's silent NaN,
+# and a pathologically tiny positive reg on a near-singular Gram could
+# let float cancellation drive the Cholesky remainder diagonal negative
+# (silent NaN through F.sqrt) — the numpy path raises loudly there too
+# (ADVICE r13).
 _JVM_SOLVE_MAX_K = 8
+_JVM_SOLVE_MIN_REG = 1e-8
 
 
 def _jvm_solve_col(k: int, reg: float) -> list:
@@ -121,9 +126,9 @@ def _jvm_solve_col(k: int, reg: float) -> list:
     Numerical note: the Cholesky remainder diagonal is mathematically
     >= reg*n, so with any practical reg (the library default is 0.1) the
     float-cancellation error of the subtracted sums can never drive it
-    negative; a pathologically tiny reg (~1e-300) on a near-singular Gram
-    could — which is one more reason the reg == 0 guard routes through
-    numpy's loud LinAlgError path instead."""
+    negative; a pathologically tiny reg on a near-singular Gram could —
+    which is why the gate requires reg >= _JVM_SOLVE_MIN_REG (reg below
+    it, including 0, routes through numpy's loud-error path)."""
     steps: list = []
 
     def m_at(i: int, j: int):
@@ -254,7 +259,7 @@ def _half_step_plan(
         F.sum("__r2").alias("__r2"),
         F.sum("__v2").alias("__v2"),
     )
-    if reg > 0 and k <= _JVM_SOLVE_MAX_K:
+    if reg >= _JVM_SOLVE_MIN_REG and k <= _JVM_SOLVE_MAX_K:
         # closed-form JVM Cholesky — no Python stage (see _jvm_solve_col)
         solved = agg
         for name, col in _jvm_solve_col(k, reg):
@@ -353,7 +358,17 @@ def als(
 ) -> ALSResult:
     """ALS-WR matrix factorization — see the module docstring for the
     update equations and the per-half-step cost structure. `iters` full
-    sweeps (user solve then item solve); factors stay distributed."""
+    sweeps (user solve then item solve); factors stay distributed.
+
+    Round-14 measured REVERT (guide §1 re-measure): a driver-local factor
+    mode — collect each half-step's solved factors and re-ship them as a
+    LocalTableScan for the next gather join, size-gated by the same
+    broadcast budget — benched 14.0 s vs 10.4 s min interleaved at sf0.1.
+    The collect/createDataFrame round-trip (20k-row pickling plus
+    analyzing/optimizing plans that embed a 20k-row literal relation six
+    times) costs MORE than the checkpoint-materialization jobs it removes;
+    the lazy-checkpoint + fused-objective shape below (one job per
+    half-step) stands as the floor."""
     r = ratings.select(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),

@@ -695,24 +695,27 @@ def _unique_shingle_sets(
             )
         ).alias("__rk"),
     )
-    # ONE eager materialization: members/reps both read it, and the
-    # checkpoint (local blocks, or reliable files under cleanCheckpoints)
-    # is released by the ContextCleaner when the result plan is dropped
-    # (a persist() here would pin a corpus-sized cache per call across a
-    # long session)
-    keyed = _ckpt(keyed)
+    # ONE materialization for keyed AND reps, LAZY (round-14 opt, the
+    # kcore/ALS ckpt+count pattern): both callers' very next action is the
+    # _reps_fit_broadcast size aggregate over reps, which materializes the
+    # keyed -> reps chain in a single job — the eager variant paid two
+    # dedicated materialization jobs (full tokenize+shingle pass, then the
+    # groupBy) before that gate ran the same scan again. Checkpoint (local
+    # blocks, or reliable files under cleanCheckpoints) rather than
+    # persist(): blocks are released by the ContextCleaner when the result
+    # plan is dropped instead of pinning a corpus-sized cache per call.
+    # CONTRACT: the caller must run one reps action (the fit gate) before
+    # fanning out consumers — members/prefix/verify all read these
+    # checkpoints 3-4 times (the round-13 before-plan showed ~10 rescans
+    # when they were plain lazy plans).
+    keyed = _ckpt(keyed, eager=False)
     members = keyed.select("__rk", F.col(id_col))
     # any member's array works as the rep: same SET by construction, and
     # every consumer is order-insensitive (sizes / array_intersect)
-    # Eagerly materialized too (round-13 opt): the prefix-join callers
-    # read reps 3-4 times (prefix build, verify sa/sb) and each use
-    # otherwise re-runs this groupBy over the keyed checkpoint — the
-    # before-plan showed ~10 rescans + repeated aggregates
-    # (plans/r13/dedup_jaccard_join_before.txt).
     reps = _ckpt(keyed.groupBy("__rk").agg(
         F.first("shingles").alias("shingles"),
         F.count(F.lit(1)).alias("__nm"),
-    ))
+    ), eager=False)
     return members, reps
 
 
@@ -748,7 +751,10 @@ def _reps_fit_broadcast(reps: DataFrame) -> bool:
     budget = float(
         os.environ.get("SPARK_GRAFT_DEDUP_BROADCAST_MB", "64")
     ) * 1024 * 1024
-    return est <= budget
+    # BOTH verify sides (sa and sb) are broadcast as separate relations
+    # built from reps, so the realized executor/driver footprint is ~2x
+    # one copy's estimate — gate on the doubled figure (ADVICE r13)
+    return 2 * est <= budget
 
 
 def _rep_prefixes(reps: DataFrame, threshold: float) -> DataFrame:
@@ -802,6 +808,11 @@ def jaccard_join_prefix(
     members, reps = _unique_shingle_sets(
         df, text_col, shingle_k, id_col
     )
+    # the broadcast gate runs FIRST (round-14 opt): its one aggregate is
+    # the action that materializes the lazy keyed -> reps checkpoint chain
+    # (_unique_shingle_sets' contract), so the whole tokenize + shingle +
+    # groupBy pipeline runs exactly once before any consumer fans out
+    bc_reps = _reps_fit_broadcast(reps)
     # one eager prefix materialization: the self-join reads it as BOTH
     # sides, and un-checkpointed the whole explode + frequency-aggregate
     # + ranking-window pipeline runs twice (one side sits under a
@@ -820,7 +831,7 @@ def jaccard_join_prefix(
     )
     sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
     sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
-    if _reps_fit_broadcast(reps):
+    if bc_reps:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
@@ -874,6 +885,9 @@ def containment_join_prefix(
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     members, reps = _unique_shingle_sets(df, text_col, shingle_k, id_col)
+    # gate first — the one action that materializes the lazy keyed -> reps
+    # chain before prefix/full/verify all fan out over it (round-14 opt)
+    bc_reps = _reps_fit_broadcast(reps)
     prefix = _rep_prefixes(reps, threshold).select(
         F.col("__rk").alias("__ra"), "__s"
     )
@@ -888,7 +902,7 @@ def containment_join_prefix(
     )
     sa = reps.select(F.col("__rk").alias("__ra"), F.col("shingles").alias("__sa"))
     sb = reps.select(F.col("__rk").alias("__rb"), F.col("shingles").alias("__sb"))
-    if _reps_fit_broadcast(reps):
+    if bc_reps:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     cont = inter / F.size("__sa").cast("double")

@@ -193,7 +193,16 @@ def triangle_counts(
     def _count_for(ori: DataFrame) -> DataFrame:
         w1 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__q"))
         w2 = ori.select(F.col("__lo").alias("__p"), F.col("__hi").alias("__r"))
-        wedges = w1.join(w2, "__p").filter(F.col("__q") < F.col("__r"))
+        # The wedge self-join's sides are both edge-sized cache scans with
+        # no Catalyst stats, so the planner sort-merges — shuffling the
+        # edge set twice before any wedge exists. Under the SAME size gate
+        # as the closure join (round-14 opt, guide §3.1), broadcast one
+        # side: the wedge stream then pipelines cache-scan -> hash-probe ->
+        # closure-probe with ZERO exchanges before the final count
+        # aggregate. Above the budget the sort-merge path is untouched.
+        wedges = w1.join(
+            F.broadcast(w2) if bc_closure["on"] else w2, "__p"
+        ).filter(F.col("__q") < F.col("__r"))
         # close the wedge against the undirected edge set (q,r) with q < r —
         # stored in (min, max) order, so one equi-join suffices
         tri = wedges.join(
@@ -336,7 +345,9 @@ def kcore(
             )
         deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
         # lazy checkpoint: the count() below materializes it — one job
-        # per round instead of two
+        # per round instead of two. `cur` is lazy too (round-14), so the
+        # SAME count job materializes the previous round's peeled edge
+        # set en route: one job per peel round total.
         keep = _ckpt(
             deg.filter(F.col("__deg") >= k).select("__a"), eager=False
         )
@@ -351,9 +362,14 @@ def kcore(
         # path is unchanged)
         bc = _bc_rows_fit(n_keep, 32)
         keep_b = keep.select(F.col("__a").alias("__b"))
+        # lazy: the next round's keep-count (or the caller's action on the
+        # returned frame) materializes this truncation in its own job —
+        # the eager variant paid a dedicated materialization job per round
+        # (round-14 opt; result rows identical, pure set algebra)
         cur = _ckpt(
             cur.join(F.broadcast(keep) if bc else keep, "__a", "left_semi")
-            .join(F.broadcast(keep_b) if bc else keep_b, "__b", "left_semi")
+            .join(F.broadcast(keep_b) if bc else keep_b, "__b", "left_semi"),
+            eager=False,
         )
     return (
         cur.groupBy("__a")
@@ -442,12 +458,21 @@ def cooccurrence_similarity(
 def _pagerank_iteration(
     nodes: DataFrame, e: DataFrame, deg: DataFrame, ranks: DataFrame,
     n_nodes: int, d: float, bc: bool = False,
+    dangling_mass: float | None = None,
 ) -> DataFrame:
     """ONE power-iteration update, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-iteration plan the loop
     executes (the post-checkpoint table's plan is just a checkpoint scan).
     Shape: rank⋈deg share join, rank-flow join on src + groupBy dst, and
-    the dangling mass as a one-row broadcast scalar inside the plan.
+    the dangling mass either as a one-row broadcast scalar inside the plan
+    (dangling_mass=None) or as a plan LITERAL when the loop already knows
+    it (round-14 opt): the in-plan variant costs a full anti-join +
+    aggregate pass over the node set PER ITERATION just to build the
+    one-row broadcast, while the loop can pick the same number up for free
+    in the previous iteration's residual job (pagerank() below). Both
+    variants are the identical update formula; the literal differs from
+    the in-plan aggregate only in float partial-sum order (~1 ulp), orders
+    of magnitude below the grade tolerances.
 
     bc=True (gated by _bc_rows_fit(n_nodes) — round-13 opt): every join
     whose one side is node-sized becomes a broadcast hash join, so the
@@ -467,27 +492,33 @@ def _pagerank_iteration(
         .groupBy(F.col("__d").alias("node"))
         .agg(F.sum("__share").alias("__in"))
     )
-    # dangling nodes (no out-edges) spread their whole rank uniformly;
-    # the mass rides as a one-row broadcast scalar INSIDE the plan —
-    # the sanctioned scalar-aggregate pattern, not a driver action
-    dangling = (
-        ranks.join(F.broadcast(deg) if bc else deg,
-                   ranks["node"] == deg["__s"], "left_anti")
-        .agg(
-            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n_nodes)))
-            .alias("__dm")
-        )
-    )
-    return nodes.join(
+    base = nodes.join(
         F.broadcast(contrib) if bc else contrib, "node", "left"
-    ).crossJoin(
-        F.broadcast(dangling)
-    ).select(
+    )
+    if dangling_mass is None:
+        # dangling nodes (no out-edges) spread their whole rank uniformly;
+        # the mass rides as a one-row broadcast scalar INSIDE the plan —
+        # the sanctioned scalar-aggregate pattern, not a driver action
+        dangling = (
+            ranks.join(F.broadcast(deg) if bc else deg,
+                       ranks["node"] == deg["__s"], "left_anti")
+            .agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0))
+                 / F.lit(float(n_nodes))).alias("__dm")
+            )
+        )
+        base = base.crossJoin(F.broadcast(dangling))
+        dm_col = F.col("__dm")
+    else:
+        dm_col = F.lit(
+            float(dangling_mass) / float(n_nodes) if n_nodes else 0.0
+        )
+    return base.select(
         "node",
         (
             F.lit(1.0 - d)
             + F.lit(d)
-            * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm"))
+            * (F.coalesce(F.col("__in"), F.lit(0.0)) + dm_col)
         ).alias("rank"),
     )
 
@@ -544,25 +575,54 @@ def pagerank(
     bc = _bc_rows_fit(n_nodes)
     e = (raw if bc else raw.repartition(F.col("__s"))).persist()
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    # Dangling mass as a loop-carried SCALAR (round-14 opt): iteration t+1
+    # needs sum(rank_t over nodes with no out-edges). The in-plan one-row
+    # broadcast paid a full node-set anti-join + aggregate pass per
+    # iteration just to rebuild that scalar; instead the residual job —
+    # which already scans ranks_t — picks the next mass up as one more
+    # aggregate column. The initial mass is exact from counts: every rank
+    # is 1.0, so it is the dangling-node COUNT (a float sum of m ones is
+    # exactly m). deg.count() here also materializes the degree cache the
+    # first iteration needed anyway.
+    dm = float(n_nodes - deg.count())
+    deg_keys = deg.select(F.col("__s").alias("node"), "__deg")
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     prev = ranks
     residuals: list[float] = []
     d = float(damping)
     for _ in range(int(iters)):
         prev = ranks
+        # lazy: the residual aggregate right below is the materializing
+        # action — one job per iteration instead of a dedicated
+        # checkpoint-materialization job plus the residual job (round-14
+        # opt, the kcore/ALS ckpt+count pattern; rank values identical —
+        # the truncation backend never changes the plan's arithmetic)
         ranks = _ckpt(_pagerank_iteration(
-            nodes, e, deg, ranks, n_nodes, d, bc
-        ))
-        res = (
+            nodes, e, deg, ranks, n_nodes, d, bc, dangling_mass=dm
+        ), eager=False)
+        row = (
             ranks.join(
                 F.broadcast(prev.withColumnRenamed("rank", "__pr"))
                 if bc else prev.withColumnRenamed("rank", "__pr"),
                 "node",
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"))
-            .first()["r"]
+            .join(
+                F.broadcast(deg_keys) if bc else deg_keys, "node", "left"
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"),
+                # next iteration's dangling mass: rank sum over nodes with
+                # no out-degree (the left join's null-__deg rows are
+                # exactly the old anti-join's row set)
+                F.coalesce(
+                    F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dm"),
+            )
+            .first()
         )
-        residuals.append(float(res))
+        residuals.append(float(row["r"]))
+        dm = float(row["dm"])
     nodes.unpersist()
     deg.unpersist()
     e.unpersist()
@@ -648,9 +708,13 @@ def bfs_distances(
         if n_new == 0:
             break
         depth += 1
+        # lazy: the next round's frontier-count job (whose anti-join
+        # broadcasts the visited set) materializes this union — the eager
+        # variant paid a dedicated job per round (round-14 opt; visited is
+        # pure set algebra, rows identical)
         visited = _ckpt(visited.unionByName(
             nxt.select("node", F.lit(depth).cast("long").alias("dist"))
-        ))
+        ), eager=False)
         frontier = nxt
         n_front = n_new
         n_visited += n_new

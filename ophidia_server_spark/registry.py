@@ -6115,33 +6115,49 @@ def tpch_q22(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _recall_rounds(spark, emb, probe_fn, floor: float, n_ids: int = 4):
-    """Shared recall-round engine for every ANN recall gate (round-13
-    opt): ONE batched collect fetches all probe vectors (replacing n_ids
-    separate filter+first jobs), then the (probe, exact) rounds run
-    sequentially — each round's jobs are byte-identical to the inline
-    version they replaced (same probe plan, same sim.topk_cosine
-    TakeOrdered), so every recall value is unchanged. A threaded variant
-    was measured and REVERTED: overlapping the 4 probe+exact pairs under
-    FAIR pools benched 27.2 s vs 21.6 s baseline on the LSH lifecycle —
-    the probes' cost was driver-side store re-listing, which threads
-    serialize on anyway; the shared stored_df handle (vector_store
-    round-13 opt) removes that cost without contention. Returns
+    """Shared recall-round engine for every ANN recall gate: ONE batched
+    collect fetches all probe vectors (round-13 opt, replacing n_ids
+    separate filter+first jobs), then ALL probe top-ks run as ONE job and
+    all exact top-ks as ONE more (round-14 opt): `orderBy().limit(k)`
+    composes per-branch under a union — each branch keeps its own
+    TakeOrderedAndProject — so the per-probe result SETS are byte-identical
+    to the 2*n_ids sequential jobs they replace; the union only lets one
+    action schedule every branch's tasks together (guide §2.6 idle-capacity
+    backfill, without threads: a prior THREADED variant was measured and
+    REVERTED at 27.2 s vs 21.6 s baseline on the LSH lifecycle). Returns
     [(pid, int(recall >= floor)), ...] ordered by pid."""
+    from functools import reduce
+
     qvecs = {
         int(r[0]): [float(v) for v in r[1]]
         for r in emb.filter(F.col("vec_id") < n_ids)
         .select("vec_id", "embedding").collect()
     }
-    out = []
-    for pid in sorted(qvecs):
-        got = {r["vec_id"] for r in probe_fn(qvecs[pid]).collect()}
-        exact = {
-            r["vec_id"]
-            for r in sim.topk_cosine(emb, qvecs[pid], k=10).collect()
-        }
-        recall = len(got & exact) / max(1, len(exact))
-        out.append((pid, int(recall >= floor)))
-    return out
+    pids = sorted(qvecs)
+    got: dict[int, set] = {pid: set() for pid in pids}
+    exact: dict[int, set] = {pid: set() for pid in pids}
+    probe_u = reduce(DataFrame.unionByName, [
+        probe_fn(qvecs[pid]).select(
+            F.lit(pid).alias("__pid"), F.col("vec_id").cast("long")
+        )
+        for pid in pids
+    ])
+    for r in probe_u.collect():
+        got[r["__pid"]].add(r["vec_id"])
+    exact_u = reduce(DataFrame.unionByName, [
+        sim.topk_cosine(emb, qvecs[pid], k=10).select(
+            F.lit(pid).alias("__pid"), F.col("vec_id").cast("long")
+        )
+        for pid in pids
+    ])
+    for r in exact_u.collect():
+        exact[r["__pid"]].add(r["vec_id"])
+    return [
+        (pid, int(
+            len(got[pid] & exact[pid]) / max(1, len(exact[pid])) >= floor
+        ))
+        for pid in pids
+    ]
 
 
 def _probe_recall_rows(spark, sf_dir, kind: str, floor: float, nprobe: int = 4):
@@ -6214,8 +6230,15 @@ def sim_index_append_recall(spark, sf_dir):
     import shutil
     import tempfile
 
+    from ophidia_server_spark.session import input_rows_from_footers
+
     emb = _t(spark, sf_dir)["embeddings"]
-    n = emb.count()
+    # exact corpus size from the parquet footers (driver-side metadata
+    # read, no Spark job — round-14 opt, guide §1.4/§5); emb is the raw
+    # unfiltered table so footer rows == count()
+    n = input_rows_from_footers(emb)
+    if n is None:
+        n = emb.count()
     half = n // 2
     path = _os.path.join(
         tempfile.gettempdir(),
@@ -13384,8 +13407,14 @@ def sim_index_append_lsh_recall(spark, sf_dir):
     import shutil
     import tempfile
 
+    from ophidia_server_spark.session import input_rows_from_footers
+
     emb = _t(spark, sf_dir)["embeddings"]
-    n = emb.count()
+    # footer-exact corpus size, no Spark job (same note as
+    # sim_index_append_recall)
+    n = input_rows_from_footers(emb)
+    if n is None:
+        n = emb.count()
     half = n // 2
     tables = 12
     path = _os.path.join(

@@ -90,6 +90,20 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition-discovery listing: the ANN stores are parquet dirs with
+        # hundreds of partition directories (384 at the LSH dial), and the
+        # default threshold (32 paths) makes EVERY fresh store open launch
+        # a distributed listing job — 384 near-empty tasks whose scheduling
+        # dwarfs the actual metadata reads on any low-latency filesystem
+        # (measured: post-compact store open 1.1 -> 0.45 s, whole LSH
+        # lifecycle -1.3 s at sf0.1). Driver-side listing stays cheap up to
+        # ~1k paths; above it (object stores with tens of thousands of
+        # partitions) the distributed listing still engages. Env-tunable
+        # for deployments where driver metadata latency is high.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "1024"),
+        )
         # zstd parquet writes: at 100 TB the dominant costs are shuffle/store
         # bytes, and zstd's ratio beats snappy's at comparable CPU (measured
         # here: vector-store build 2.0-2.3 s zstd vs 2.7 s snappy warm at
@@ -144,6 +158,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # same listing-threshold rationale as get_spark (the driver may
+        # hand us a session built without it); runtime-settable
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "1024"),
+        )
     except Exception:
         pass
     out = {}

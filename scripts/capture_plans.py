@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/<tag>/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <tag-dir-suffix> <query> [query ...]
-Writes plans/r13/<query>_<tag>.txt (tag = "before" / "after").
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (round defaults to
+r14; tag = "before" / "after").
 
 Uses the BENCH variant when one exists (that is the plan the bench times);
 multi-action lifecycle queries capture the plan of the RETURNED DataFrame
@@ -24,7 +25,8 @@ def main() -> int:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     for name in names:

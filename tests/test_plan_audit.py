@@ -185,7 +185,6 @@ def test_pagerank_iteration_plan_bar(spark, tables):
     it1 = G._pagerank_iteration(nodes, e, deg, ranks, n, 0.85)
     it1.collect()
     m = audit_plan(it1)
-    nodes.unpersist()
     # measured sf0.001 AQE plan: 2 scans / 1 shuffle (+headroom for AQE
     # join-strategy flips at runtime); the crossJoin is the sanctioned
     # one-row dangling-mass broadcast — exactly one, never more
@@ -193,6 +192,18 @@ def test_pagerank_iteration_plan_bar(spark, tables):
     assert m["shuffles"] <= 3, m
     assert m["cartesian"] <= 1, m
     assert m["python"] == 0, f"pagerank iteration must stay JVM-side: {m}"
+    # the loop's ACTUAL shape (round-14): the dangling mass arrives as a
+    # plan literal carried by the previous residual job — the per-iteration
+    # anti-join+aggregate subtree and its one-row crossJoin must be GONE
+    it2 = G._pagerank_iteration(nodes, e, deg, ranks, n, 0.85,
+                                dangling_mass=float(n))
+    it2.collect()
+    m2 = audit_plan(it2)
+    nodes.unpersist()
+    assert m2["cartesian"] == 0, m2
+    assert m2["scans"] <= m["scans"], (m2, m)
+    assert m2["shuffles"] <= m["shuffles"], (m2, m)
+    assert m2["python"] == 0, m2
 
 
 def _als_half_plan(spark, tables, regress=False):
