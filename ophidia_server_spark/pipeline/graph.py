@@ -345,9 +345,7 @@ def kcore(
             )
         deg = cur.groupBy("__a").agg(F.count(F.lit(1)).alias("__deg"))
         # lazy checkpoint: the count() below materializes it — one job
-        # per round instead of two. `cur` is lazy too (round-14), so the
-        # SAME count job materializes the previous round's peeled edge
-        # set en route: one job per peel round total.
+        # per round instead of two
         keep = _ckpt(
             deg.filter(F.col("__deg") >= k).select("__a"), eager=False
         )
@@ -362,14 +360,16 @@ def kcore(
         # path is unchanged)
         bc = _bc_rows_fit(n_keep, 32)
         keep_b = keep.select(F.col("__a").alias("__b"))
-        # lazy: the next round's keep-count (or the caller's action on the
-        # returned frame) materializes this truncation in its own job —
-        # the eager variant paid a dedicated materialization job per round
-        # (round-14 opt; result rows identical, pure set algebra)
+        # EAGER, deliberately (round-14 measured lesson): a lazy
+        # checkpoint here is never truncated — RDD.doCheckpoint stops at
+        # the FIRST marked RDD on each path, and the next round's
+        # materializing job tops out at `keep`, so a lazy `cur` keeps its
+        # whole join lineage and a deep peel (one layer per round on a
+        # long path) overflows task serialization at ~100 rounds
+        # (test_kcore_auto_budget_deep_peel caught it).
         cur = _ckpt(
             cur.join(F.broadcast(keep) if bc else keep, "__a", "left_semi")
-            .join(F.broadcast(keep_b) if bc else keep_b, "__b", "left_semi"),
-            eager=False,
+            .join(F.broadcast(keep_b) if bc else keep_b, "__b", "left_semi")
         )
     return (
         cur.groupBy("__a")
@@ -424,10 +424,20 @@ def cooccurrence_similarity(
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= min_co)
     )
-    sym = co.unionByName(
-        co.select(
-            F.col("__y").alias("__x"), F.col("__x").alias("__y"), "__c"
-        )
+    # Both directions from ONE aggregate (round-14 opt, guide §2.4): the
+    # old co ∪ swap(co) union referenced the self-join+aggregate subtree
+    # TWICE — Catalyst re-ran it per branch (no exchange reuse across the
+    # union). An explode of the (x,y)/(y,x) struct pair emits the same
+    # row multiset from a single subtree instance, with no checkpoint
+    # barrier (the r13 ckpt A/B measured eager barriers SLOWER here).
+    sym = co.select(
+        F.explode(F.array(
+            F.struct(F.col("__x"), F.col("__y")),
+            F.struct(F.col("__y").alias("__x"), F.col("__x").alias("__y")),
+        )).alias("__p"),
+        "__c",
+    ).select(
+        F.col("__p.__x").alias("__x"), F.col("__p.__y").alias("__y"), "__c"
     )
     nx = n.select(F.col("__i").alias("__x"), F.col("__n").alias("__nx"))
     ny = n.select(F.col("__i").alias("__y"), F.col("__n").alias("__ny"))
@@ -463,29 +473,46 @@ def _pagerank_iteration(
     """ONE power-iteration update, un-checkpointed — factored out so the
     plan-regression bars can audit the exact per-iteration plan the loop
     executes (the post-checkpoint table's plan is just a checkpoint scan).
-    Shape: rank⋈deg share join, rank-flow join on src + groupBy dst, and
-    the dangling mass either as a one-row broadcast scalar inside the plan
-    (dangling_mass=None) or as a plan LITERAL when the loop already knows
-    it (round-14 opt): the in-plan variant costs a full anti-join +
-    aggregate pass over the node set PER ITERATION just to build the
-    one-row broadcast, while the loop can pick the same number up for free
-    in the previous iteration's residual job (pagerank() below). Both
-    variants are the identical update formula; the literal differs from
-    the in-plan aggregate only in float partial-sum order (~1 ulp), orders
-    of magnitude below the grade tolerances.
+    Shape: share projection (or rank⋈deg join — see below), rank-flow
+    join on src + groupBy dst, and the dangling mass either as a one-row
+    broadcast scalar inside the plan (dangling_mass=None) or as a plan
+    LITERAL when the loop already knows it (round-14 opt): the in-plan
+    variant costs a full anti-join + aggregate pass over the node set PER
+    ITERATION just to rebuild that one number, while the loop picks it up
+    for free in the previous iteration's residual job (pagerank() below).
+    Both variants are the identical update formula; the literal differs
+    from the in-plan aggregate only in float partial-sum order (~1 ulp),
+    orders of magnitude below the grade tolerances.
+
+    DEGREE-CARRYING STATE (round-14 opt): when `ranks` already carries a
+    nullable `__deg` column (the loop threads it through every iteration;
+    `nodes` must then carry it too so the output re-attaches it), the
+    share table is a pure FILTER+PROJECTION over the rank checkpoint and
+    the deg table is never joined at all — the old shape paid a broadcast
+    BUILD JOB of the degree table per iteration (plus one more in the
+    residual job) just to divide by a loop-invariant number. Passing
+    ranks without `__deg` keeps the original rank⋈deg join (the shape the
+    plan bar also audits). Share VALUES are identical: filter
+    __deg-not-null ≡ the old inner join's row set, and rank/__deg is the
+    same division over the same doubles.
 
     bc=True (gated by _bc_rows_fit(n_nodes) — round-13 opt): every join
     whose one side is node-sized becomes a broadcast hash join, so the
     only exchange left in the iteration is the groupBy(dst) contribution
     aggregate (the irreducible rank-flow shuffle). Join results are
     identical rows either way."""
-    share = (
-        ranks.join(F.broadcast(deg) if bc else deg,
-                   ranks["node"] == deg["__s"], "inner")
-        .select(
+    if "__deg" in ranks.columns:
+        share = ranks.filter(F.col("__deg").isNotNull()).select(
             "node", (F.col("rank") / F.col("__deg")).alias("__share")
         )
-    )
+    else:
+        share = (
+            ranks.join(F.broadcast(deg) if bc else deg,
+                       ranks["node"] == deg["__s"], "inner")
+            .select(
+                "node", (F.col("rank") / F.col("__deg")).alias("__share")
+            )
+        )
     contrib = (
         (F.broadcast(share) if bc else share)
         .join(e, F.col("node") == F.col("__s"))
@@ -513,8 +540,9 @@ def _pagerank_iteration(
         dm_col = F.lit(
             float(dangling_mass) / float(n_nodes) if n_nodes else 0.0
         )
+    out_cols = ["node"] + (["__deg"] if "__deg" in nodes.columns else [])
     return base.select(
-        "node",
+        *out_cols,
         (
             F.lit(1.0 - d)
             + F.lit(d)
@@ -565,16 +593,26 @@ def pagerank(
     raw = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
-    nodes = (
+    bare_nodes = (
         raw.select(F.col("__s").alias("node"))
         .unionByName(raw.select(F.col("__d").alias("node")))
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
+    n_nodes = bare_nodes.count()
     bc = _bc_rows_fit(n_nodes)
     e = (raw if bc else raw.repartition(F.col("__s"))).persist()
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    # DEGREE-CARRYING node table (round-14 opt): the out-degree is a loop
+    # INVARIANT, so it is attached to the node set ONCE here and threaded
+    # through every iteration's rank state — the share table and the
+    # residual's dangling-mass pickup become pure projections over the
+    # rank checkpoint, where the old shape re-joined (and re-broadcast)
+    # the degree table twice per iteration.
+    dk = deg.select(F.col("__s").alias("node"), "__deg")
+    nodes = bare_nodes.join(
+        F.broadcast(dk) if bc else dk, "node", "left"
+    ).persist()
     # Dangling mass as a loop-carried SCALAR (round-14 opt): iteration t+1
     # needs sum(rank_t over nodes with no out-edges). The in-plan one-row
     # broadcast paid a full node-set anti-join + aggregate pass per
@@ -582,11 +620,10 @@ def pagerank(
     # which already scans ranks_t — picks the next mass up as one more
     # aggregate column. The initial mass is exact from counts: every rank
     # is 1.0, so it is the dangling-node COUNT (a float sum of m ones is
-    # exactly m). deg.count() here also materializes the degree cache the
-    # first iteration needed anyway.
+    # exactly m). deg.count() here also materializes the degree cache and
+    # the node table the first iteration needed anyway.
     dm = float(n_nodes - deg.count())
-    deg_keys = deg.select(F.col("__s").alias("node"), "__deg")
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    ranks = nodes.select("node", "__deg", F.lit(1.0).alias("rank"))
     prev = ranks
     residuals: list[float] = []
     d = float(damping)
@@ -600,20 +637,15 @@ def pagerank(
         ranks = _ckpt(_pagerank_iteration(
             nodes, e, deg, ranks, n_nodes, d, bc, dangling_mass=dm
         ), eager=False)
+        prev_r = prev.select("node", F.col("rank").alias("__pr"))
         row = (
-            ranks.join(
-                F.broadcast(prev.withColumnRenamed("rank", "__pr"))
-                if bc else prev.withColumnRenamed("rank", "__pr"),
-                "node",
-            )
-            .join(
-                F.broadcast(deg_keys) if bc else deg_keys, "node", "left"
-            )
+            ranks.join(F.broadcast(prev_r) if bc else prev_r, "node")
             .agg(
                 F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("r"),
                 # next iteration's dangling mass: rank sum over nodes with
-                # no out-degree (the left join's null-__deg rows are
-                # exactly the old anti-join's row set)
+                # no out-degree — the carried __deg makes this a pure
+                # conditional sum, no join (same row set as the old
+                # anti-join against deg)
                 F.coalesce(
                     F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))),
                     F.lit(0.0),
@@ -624,9 +656,14 @@ def pagerank(
         residuals.append(float(row["r"]))
         dm = float(row["dm"])
     nodes.unpersist()
+    bare_nodes.unpersist()
     deg.unpersist()
     e.unpersist()
-    return ranks, prev, residuals
+    return (
+        ranks.select("node", "rank"),
+        prev.select("node", "rank"),
+        residuals,
+    )
 
 
 def bfs_distances(

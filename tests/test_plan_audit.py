@@ -192,14 +192,22 @@ def test_pagerank_iteration_plan_bar(spark, tables):
     assert m["shuffles"] <= 3, m
     assert m["cartesian"] <= 1, m
     assert m["python"] == 0, f"pagerank iteration must stay JVM-side: {m}"
-    # the loop's ACTUAL shape (round-14): the dangling mass arrives as a
-    # plan literal carried by the previous residual job — the per-iteration
-    # anti-join+aggregate subtree and its one-row crossJoin must be GONE
-    it2 = G._pagerank_iteration(nodes, e, deg, ranks, n, 0.85,
+    # the loop's ACTUAL shape (round-14): degree-carrying rank state and
+    # the dangling mass as a plan literal picked up by the previous
+    # residual job — the per-iteration deg joins AND the anti-join
+    # +aggregate subtree with its one-row crossJoin must be GONE
+    nodes_deg = nodes.join(
+        deg.select(F.col("__s").alias("node"), "__deg"), "node", "left"
+    ).persist()
+    ranks2 = nodes_deg.select(
+        "node", "__deg", F.lit(1.0).alias("rank")
+    ).localCheckpoint()
+    it2 = G._pagerank_iteration(nodes_deg, e, deg, ranks2, n, 0.85,
                                 dangling_mass=float(n))
     it2.collect()
     m2 = audit_plan(it2)
     nodes.unpersist()
+    nodes_deg.unpersist()
     assert m2["cartesian"] == 0, m2
     assert m2["scans"] <= m["scans"], (m2, m)
     assert m2["shuffles"] <= m["shuffles"], (m2, m)
