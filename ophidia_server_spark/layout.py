@@ -363,14 +363,91 @@ def _norm_executor_path(p: str) -> str:
     return _os.path.abspath(_unquote(p.removeprefix("file://")))
 
 
+def _footer_file_stats(files: list[str], stats_cols: list[str]) -> dict | None:
+    """Per-file min/max/count straight from the parquet FOOTERS — a
+    driver-side metadata read replacing _collect_file_stats' Spark job
+    (round-14 opt, guide §1.4/§5: every stats-enabled commit paid one
+    scan job over the freshly written files just to re-derive numbers the
+    writer already put in the footers).
+
+    Returns None — and the caller falls back to the Spark aggregate —
+    unless every requested column in every file is PROVABLY exact from
+    footer statistics: plain INT32/INT64 physical type with no or integer
+    logical annotation, min/max present on every non-empty row group.
+    Strings are excluded (writers may truncate binary stats), floats are
+    excluded (footer stats omit NaN while Spark's max sorts NaN greatest),
+    timestamps/decimals are excluded (decoded representation differs from
+    the Spark aggregate's). For the allowlisted types the values are the
+    identical Python ints the collect() produced, so the manifest JSON is
+    byte-identical."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    out: dict = {}
+    any_present: set[str] = set()
+    metas = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        metas.append((f, md))
+        sch = md.schema
+        for i in range(len(sch)):
+            col = sch.column(i)
+            if col.path in stats_cols:
+                any_present.add(col.path)
+    for f, md in metas:
+        sch = md.schema
+        idx = {}
+        for i in range(len(sch)):
+            col = sch.column(i)
+            if col.path in any_present:
+                if col.physical_type not in ("INT32", "INT64"):
+                    return None
+                lt = str(col.logical_type.type).upper()
+                if lt not in ("NONE", "INT", "UNDEFINED"):
+                    return None
+                idx[col.path] = i
+        cols: dict = {}
+        for c in any_present:
+            i = idx.get(c)
+            if i is None:
+                cols[c] = [None, None]  # file lacks the column (mergeSchema)
+                continue
+            mn = mx = None
+            for g in range(md.num_row_groups):
+                ch = md.row_group(g).column(i)
+                st = ch.statistics
+                if st is None or st.num_values == 0:
+                    if st is None and ch.num_values:
+                        return None  # values present but no stats recorded
+                    continue
+                if not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                if not isinstance(lo, int) or not isinstance(hi, int):
+                    return None
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            cols[c] = [mn, mx]
+        out[_norm_path(f)] = {"rows": md.num_rows, "cols": cols}
+    return out
+
+
 def _collect_file_stats(spark: SparkSession, files: list[str],
                         stats_cols: list[str]) -> dict:
-    """Per-file min/max/count for the manifest — one grouped aggregate over
-    the freshly written files (O(new data), the stats-collection cost every
-    table format pays at write time). Keys are the _norm_path canonical
-    form of the file paths the manifest stores."""
+    """Per-file min/max/count for the manifest — from the parquet footers
+    when provably exact (_footer_file_stats, no Spark job), else one
+    grouped aggregate over the freshly written files (O(new data), the
+    stats-collection cost every table format pays at write time). Keys are
+    the _norm_path canonical form of the file paths the manifest stores."""
     if not files or not stats_cols:
         return {}
+    footer = _footer_file_stats(files, stats_cols)
+    if footer is not None:
+        return footer
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     present = [c for c in stats_cols if c in df.columns]
     aggs = [F.count(F.lit(1)).alias("__rows")]

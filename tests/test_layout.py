@@ -986,3 +986,53 @@ def test_stream_window_upsert_skips_empty_flush_commit(spark, tmp_path):
         .select("window_start", "event_type", "n").collect()
     )
     assert got == [(f"2024-01-01 {i:02d}:00:00", "a", 1) for i in range(6)]
+
+
+def test_footer_stats_match_spark_aggregate(spark, tmp_path):
+    """Round-14: _collect_file_stats serves plain-integer stats straight
+    from the parquet footers (no Spark job). The footer path must produce
+    the IDENTICAL manifest dict the Spark aggregate produces, and must
+    refuse (return None -> fallback) when any requested column is outside
+    the exactness allowlist (strings may truncate, floats drop NaN)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ophidia_server_spark import layout as L
+
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).cast("int").alias("m"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    d = str(tmp_path / "fst")
+    df.repartition(3, "k").write.parquet(d)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    footer = L._footer_file_stats(files, ["k", "m"])
+    assert footer is not None
+
+    # the Spark-aggregate ground truth, keyed the same way
+    def spark_stats(cols):
+        sdf = spark.read.option("mergeSchema", "true").parquet(*files)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        out = {}
+        for r in (
+            sdf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        ):
+            out[L._norm_executor_path(r["__f"])] = {
+                "rows": r["__rows"],
+                "cols": {c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols},
+            }
+        return out
+
+    assert footer == spark_stats(["k", "m"])
+    # outside the allowlist -> refuse, so _collect_file_stats falls back
+    assert L._footer_file_stats(files, ["k", "s"]) is None
+    assert L._footer_file_stats(files, ["x"]) is None
+    # and the public entry point agrees with the aggregate either way
+    assert L._collect_file_stats(spark, files, ["k", "m"]) == footer
