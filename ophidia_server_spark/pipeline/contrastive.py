@@ -60,17 +60,25 @@ def contrastive_triplets(
     corpora), not with a fixed shortlist."""
     from pyspark.sql import Window
 
+    # both pair directions from ONE evaluation of the pair subtree
+    # (round-14 opt, guide §2.4 — same explode-over-union fix as
+    # graph.cooccurrence_similarity): the union referenced `pairs` twice,
+    # and with an expensive pair source (the exact-Jaccard self-join) the
+    # whole subtree ran once per branch; the struct explode emits the
+    # identical row multiset from a single instance, no barrier needed
     sym = pairs.select(
-        F.col("id_a").alias("anchor"),
-        F.col("id_b").alias("positive"),
+        F.explode(F.array(
+            F.struct(
+                F.col("id_a").alias("anchor"),
+                F.col("id_b").alias("positive"),
+            ),
+            F.struct(
+                F.col("id_b").alias("anchor"),
+                F.col("id_a").alias("positive"),
+            ),
+        )).alias("__p"),
         F.col("jaccard").alias("pos_jaccard"),
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("anchor"),
-            F.col("id_a").alias("positive"),
-            F.col("jaccard").alias("pos_jaccard"),
-        )
-    )
+    ).select("__p.anchor", "__p.positive", "pos_jaccard")
     w = Window.partitionBy("anchor").orderBy(
         F.desc("pos_jaccard"), F.asc("positive")
     )
@@ -132,17 +140,19 @@ def contrastive_triplets_hard(
     from pyspark.sql import Window
 
     base = contrastive_triplets(df, pairs, id_col, n_buckets, salt)
+    # single-evaluation symmetric expansion — same explode-over-union
+    # rationale as contrastive_triplets above
     sym = hard_pairs.select(
-        F.col("id_a").alias("anchor"),
-        F.col("id_b").alias("__hn"),
+        F.explode(F.array(
+            F.struct(
+                F.col("id_a").alias("anchor"), F.col("id_b").alias("__hn")
+            ),
+            F.struct(
+                F.col("id_b").alias("anchor"), F.col("id_a").alias("__hn")
+            ),
+        )).alias("__p"),
         F.col("jaccard").alias("__hj"),
-    ).unionByName(
-        hard_pairs.select(
-            F.col("id_b").alias("anchor"),
-            F.col("id_a").alias("__hn"),
-            F.col("jaccard").alias("__hj"),
-        )
-    )
+    ).select("__p.anchor", "__p.__hn", "__hj")
     w = Window.partitionBy("anchor").orderBy(F.desc("__hj"), F.asc("__hn"))
     best_hard = (
         sym.withColumn("__rn", F.row_number().over(w))

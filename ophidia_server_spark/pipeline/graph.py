@@ -56,9 +56,11 @@ def clean_and_orient(
     und = raw.select(
         F.least("__x", "__y").alias("__a"), F.greatest("__x", "__y").alias("__b")
     ).distinct()
+    # one evaluation of the dedup'd edge set instead of one per union
+    # branch (round-14 opt, guide §2.4): the old two-projection union ran
+    # `und`'s distinct (exchange + aggregate) twice inside the degree job
     deg = (
-        und.select(F.col("__a").alias("node"))
-        .unionByName(und.select(F.col("__b").alias("node")))
+        und.select(F.explode(F.array("__a", "__b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__deg"))
     )
@@ -329,9 +331,14 @@ def kcore(
         .distinct()
     )
     e = _ckpt(e)
-    und = e.select("__a", "__b").unionByName(
-        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    )
+    # both edge directions from ONE checkpoint scan (round-14 explode-
+    # over-union pattern; the union read the blocks once per branch)
+    und = e.select(
+        F.explode(F.array(
+            F.struct(F.col("__a"), F.col("__b")),
+            F.struct(F.col("__b").alias("__a"), F.col("__a").alias("__b")),
+        )).alias("__e")
+    ).select(F.col("__e.__a").alias("__a"), F.col("__e.__b").alias("__b"))
     cur = und
     n_prev = -1
     rounds = 0
@@ -593,9 +600,10 @@ def pagerank(
     raw = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
+    # one scan of the edge source instead of one per union branch
+    # (round-14 explode-over-union pattern)
     bare_nodes = (
-        raw.select(F.col("__s").alias("node"))
-        .unionByName(raw.select(F.col("__d").alias("node")))
+        raw.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
         .persist()
     )
@@ -707,9 +715,15 @@ def bfs_distances(
         )
         .distinct()
     )
-    und = _ckpt(e.unionByName(
-        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    ))
+    # both directions from ONE evaluation of the dedup'd edge set — the
+    # union ran e's distinct (exchange + aggregate) once per branch inside
+    # this eager checkpoint job (round-14 explode-over-union pattern)
+    und = _ckpt(e.select(
+        F.explode(F.array(
+            F.struct(F.col("__a"), F.col("__b")),
+            F.struct(F.col("__b").alias("__a"), F.col("__a").alias("__b")),
+        )).alias("__e")
+    ).select(F.col("__e.__a").alias("__a"), F.col("__e.__b").alias("__b")))
     spark = edges.sparkSession
     frontier = _ckpt(spark.createDataFrame(
         [(s,) for s in sources], ["node"]
