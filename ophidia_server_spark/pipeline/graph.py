@@ -628,8 +628,9 @@ def pagerank(
     # which already scans ranks_t — picks the next mass up as one more
     # aggregate column. The initial mass is exact from counts: every rank
     # is 1.0, so it is the dangling-node COUNT (a float sum of m ones is
-    # exactly m). deg.count() here also materializes the degree cache and
-    # the node table the first iteration needed anyway.
+    # exactly m). deg.count() here also materializes the edge and degree
+    # caches the first iteration needed anyway (the joined node table
+    # materializes in the first residual job).
     dm = float(n_nodes - deg.count())
     ranks = nodes.select("node", "__deg", F.lit(1.0).alias("rank"))
     prev = ranks
