@@ -374,21 +374,31 @@ def als(
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
     ).persist()
-    # lazy init checkpoints: the broadcast-gate counts right below are the
-    # materializing actions (one job per side instead of two)
+    # lazy init checkpoints: the item-side broadcast-gate count right
+    # below materializes vf (one job, not two); uf's init is only ever
+    # computed when iters == 0 leaves it as the returned user factors
     vf = _ckpt(_init_factors(
         r.select("item").distinct(), "item", k, salt + ":item"
     ), eager=False)
     uf = _ckpt(_init_factors(
         r.select("user").distinct(), "user", k, salt + ":user"
     ), eager=False)
-    # One cheap count per side over the checkpointed init tables decides
-    # the gather-join strategy for EVERY half-step (see _half_step_plan's
-    # broadcast_fixed note): factor tables under the budget broadcast, so
-    # the ratings table is never shuffled for the gather; oversized factor
-    # tables keep the sort-merge path untouched.
+    # One cheap count per side decides the gather-join strategy for EVERY
+    # half-step (see _half_step_plan's broadcast_fixed note): factor
+    # tables under the budget broadcast, so the ratings table is never
+    # shuffled for the gather; oversized factor tables keep the sort-merge
+    # path untouched. The ITEM count runs over the checkpointed init —
+    # its second purpose is materializing the blocks the first half-step's
+    # gather build reads. The USER count runs over the bare distinct
+    # instead of the init checkpoint (round-14 opt): the loop overwrites
+    # uf before any use, so counting the init table computed and cached
+    # k md5-derived factor columns per user that nothing ever read (an
+    # un-checkpointed count prunes them; a marked RDD's count cannot).
+    # Same row count either way; a fused single-job countDistinct gate
+    # was A/B-measured equal-to-slightly-worse (it recomputes the item
+    # distinct inside the broadcast build) and not kept.
     bc_items = _fits_broadcast(vf.count(), k)
-    bc_users = _fits_broadcast(uf.count(), k)
+    bc_users = _fits_broadcast(r.select("user").distinct().count(), k)
     objectives: list[float] = []
     prev_vf = vf
     for _ in range(int(iters)):
