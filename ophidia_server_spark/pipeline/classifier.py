@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ophidia_server_spark.functions.lits import const_double_array
 
 
 class LogRegResult(NamedTuple):
@@ -52,7 +53,7 @@ def _scores(features: DataFrame, weights: list, bias: float,
             id_col: str) -> DataFrame:
     """(id, score): sum_b c_b * w[b] + bias via a literal weight array —
     one grouped aggregate, no join."""
-    warr = F.array(*[F.lit(float(x)) for x in weights])
+    warr = const_double_array(weights)
     term = F.col("c").cast("double") * F.element_at(warr, F.col("bucket").cast("int") + 1)
     return features.groupBy(id_col).agg(
         (F.sum(term) + F.lit(float(bias))).alias("score")

@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ophidia_server_spark.functions.lits import const_double_array
 
 
 class KMeansResult(NamedTuple):
@@ -165,7 +166,7 @@ def kmeans_recompute_dist2(
     dists = F.array(
         *[
             F.aggregate(
-                F.zip_with(arr, F.array(*[F.lit(float(x)) for x in c]),
+                F.zip_with(arr, const_double_array(c),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

@@ -19,6 +19,10 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ophidia_server_spark.functions.lits import (
+    const_double_array, const_double_matrix,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,7 +56,7 @@ def topk_cosine(
     is one map stage; `orderBy ... limit k` compiles to TakeOrdered — each
     partition keeps k candidates, driver merges. Scales to any corpus size.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
@@ -137,7 +141,7 @@ def lsh_topk_cosine(
     dim = len(query_vec)
     qsig = signature_of(query_vec, bits)
     probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     scored = (
         df.withColumn(
             "__sig", signature_udf(dim, bits)(F.col(vec_col).cast("array<double>"))
@@ -323,7 +327,7 @@ def ivf_topk_cosine(
         c + 1  # array_position is 1-based
         for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:nprobe]
     ]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     assigned = ivf_assign(df, leaders, vec_col)
     scored = assigned.filter(F.col("__cell").isin(probe_cells)).select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
@@ -504,7 +508,7 @@ def pq_adc_dist(books: list, query_vec: list) -> Column:
     for j in range(m):
         qs = q[j * sub : (j + 1) * sub]
         flat.extend(((books[j] - qs[None, :]) ** 2).sum(axis=1).tolist())
-    tbl = F.array(*[F.lit(float(x)) for x in flat])
+    tbl = const_double_array(flat)
     contrib = F.transform(
         F.col("pq_codes"),
         lambda c, i: F.element_at(tbl, (i * kcent + c.cast("int") + 1).cast("int")),
@@ -542,7 +546,7 @@ def pq_topk_rerank(
     touches `shortlist` rows regardless of corpus size."""
     shortlist = shortlist or 5 * k
     cand = pq_topk(codes, books, query_vec, k=shortlist, id_col=id_col).select(id_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     scored = (
         vectors.join(F.broadcast(cand), id_col)
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
@@ -601,7 +605,7 @@ def semantic_dedup(
     # last ulp still agree on the assignment.
     v = F.col(vec_col)
     dots = [
-        F.round(_dot(v, F.array(*[F.lit(float(x)) for x in c])), 9).alias(f"__d{cid}")
+        F.round(_dot(v, const_double_array(c)), 9).alias(f"__d{cid}")
         for cid, c in lead
     ]
     scored = df.select(F.col(id_col), v.alias(vec_col), *dots)
@@ -878,9 +882,7 @@ def random_project(
     # bit-identical doubles, oracle-pinned) in an expression ~out_dim
     # times smaller. posexplode supplies the dim index the structs
     # carried before.
-    m2 = F.array(*[
-        F.array(*[F.lit(float(s)) for s in row]) for row in mat
-    ])
+    m2 = const_double_matrix(mat)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ys = F.transform(
         F.sequence(F.lit(0), F.lit(out_dim - 1)),

@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ophidia_server_spark.functions.lits import const_double_array
 
 from ophidia_server_spark.pipeline import similarity as sim
 
@@ -403,7 +404,7 @@ def ivf_probe(
     probe_cells = [
         c + 1 for c in sorted(range(len(leaders)), key=lambda c: -qsims[c])[:nprobe]
     ]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     stored = index.stored_df(spark)
     pruned = stored.filter(F.col("__cell").isin(probe_cells))
     if index.params.get("pq_books"):
@@ -549,7 +550,7 @@ def lsh_probe(
     bits = index.params["bits"]
     tables = int(index.params.get("tables", 1))
     probe_sigs = _lsh_probe_buckets(query_vec, bits, tables, hamming)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     stored = index.stored_df(spark)
     pruned = stored.filter(F.col("__sig").isin(probe_sigs))
     if index.params.get("pq_books"):

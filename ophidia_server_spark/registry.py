@@ -21,6 +21,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ophidia_server_spark.functions.lits import const_double_array
 
 from ophidia_server_spark import catalog as cat_mod
 from ophidia_server_spark import filters as flt
@@ -1840,7 +1841,7 @@ def _topk_grade(spark, sf_dir, out, query_vec, k):
         for a, b in zip(sims, sims[1:])
     ))
     emb = _t(spark, sf_dir)["embeddings"]
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    qcol = const_double_array(query_vec)
     served = spark.createDataFrame(
         [(i, s) for s, i in sims], "vec_id long, served double"
     )
