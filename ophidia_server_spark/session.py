@@ -132,6 +132,18 @@ def get_spark(app_name: str = "ophidia_server_spark", shuffle_partitions: str | 
         # With it, the ContextCleaner removes a checkpoint's files when its
         # RDD is garbage-collected (loop iterations free automatically).
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # Per-call Python call-site capture (DataFrame debugging, default
+        # on in Spark 4) walks the Python stack and makes extra py4j
+        # round-trips on EVERY DataFrame/Column API call — measured ~2x on
+        # plan-construction-heavy paths (the ALS half-step builder, probe
+        # plans). The engine's error surface is the oracle/parity gates,
+        # not interactive notebooks, so the production default is off;
+        # SPARK_GRAFT_DF_DEBUGGING=true restores call-site context when
+        # debugging a query interactively.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
