@@ -32,6 +32,7 @@ resumed jobs regenerate identical starting points.
 from __future__ import annotations
 
 from typing import NamedTuple
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -199,33 +200,34 @@ def _solve_udf(k: int, reg: float):
     return F.pandas_udf(_fn, "array<double>")
 
 
-def _half_step_plan(
-    ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
-    k: int, reg: float, broadcast_fixed: bool = False,
-) -> DataFrame:
-    """The half-step's PLAN, un-checkpointed — factored out so the
-    plan-regression bars can audit the exact per-sweep plan (gather join +
-    one packed-Gram-wide groupBy reduce + the ridge solve: closed-form JVM
-    Cholesky at k <= _JVM_SOLVE_MAX_K with reg > 0, else one Arrow stage);
-    `_half_step` checkpoints it for the iteration loop.
+class _ExprBundle(NamedTuple):
+    """The (k, reg)-only Column expression trees of a half-step plan —
+    everything except the per-call id/side columns. See _expr_bundle."""
 
-    broadcast_fixed (round-13 opt, guide §3.1): the fixed factor table is
-    O(ids) x (k+1) doubles, but it reaches the join as a checkpoint scan
-    with no size statistics, so Catalyst always picks a SortMergeJoin —
-    shuffling the RATINGS table once per half-step (6x per 3-sweep run)
-    to gather against a table that is a few MB. als() measures the factor
-    table once per side (one cheap count over the checkpointed init) and
-    passes broadcast_fixed=True when it fits the broadcast budget,
-    turning the gather into a BroadcastHashJoin: the ratings table is
-    never shuffled for the join — only the groupBy(solve side) exchange
-    remains, which is the half-step's irreducible shuffle. Inner equi-join
-    either way: identical rows, identical aggregates."""
-    fixed_sel = fixed.select(
-        F.col("id").alias(fixed_col), F.col("factors").alias("__v")
-    )
-    if broadcast_fixed:
-        fixed_sel = F.broadcast(fixed_sel)
-    joined = ratings.join(fixed_sel, fixed_col)
+    row_cols: list    # gather-select payload: __o, __b, __r2, __v2
+    agg_cols: list    # packed-Gram groupBy aggregates
+    solve_steps: list | None   # JVM Cholesky (name, Column) steps, or None
+    udf_col: object | None     # aliased Arrow-solve column when steps is None
+    obj_col: object   # fused objective, aliased __obj
+
+
+# One bundle per (k, reg) per LIVE session (round-14 opt, guide §1.2):
+# cProfile with DataFrame debugging already off still measured ~0.5 s of
+# pure py4j expression construction per _half_step_plan call — ~3 s of a
+# 10 s als() run at sf0.1 spent rebuilding the SAME O(k^3) expression
+# trees six times on the driver, serial and un-parallelizable. Unresolved
+# Column objects are immutable descriptors, so reusing them across
+# half-step plans is exactly equivalent to rebuilding them. Keyed WEAKLY
+# by session: Columns hold py4j references into that session's JVM, so a
+# stopped session's bundle must die with it (and does, with the key).
+_BUNDLES: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _expr_bundle(spark, k: int, reg: float) -> _ExprBundle:
+    per_session = _BUNDLES.setdefault(spark, {})
+    bundle = per_session.get((k, reg))
+    if bundle is not None:
+        return bundle
     v = F.col("__v")
     # packed symmetric outer product — k(k+1)/2 entries instead of k^2
     # (guide §2.3 shuffle-fewer-bytes; see _packed_pairs for the bit-exact
@@ -244,11 +246,11 @@ def _half_step_plan(
         (F.element_at(v, i + 1) * F.element_at(v, i + 1) for i in range(k)),
         F.lit(0.0),
     )
-    rows = joined.select(
-        F.col(solve_col).alias("id"), outer.alias("__o"), rv.alias("__b"),
+    row_cols = [
+        outer.alias("__o"), rv.alias("__b"),
         (F.col("rating") * F.col("rating")).alias("__r2"), v2.alias("__v2"),
-    )
-    agg = rows.groupBy("id").agg(
+    ]
+    agg_cols = [
         F.array(
             *[F.sum(F.element_at("__o", p + 1)) for p in range(len(pairs))]
         ).alias("__A"),
@@ -258,31 +260,23 @@ def _half_step_plan(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__r2").alias("__r2"),
         F.sum("__v2").alias("__v2"),
-    )
+    ]
     if reg >= _JVM_SOLVE_MIN_REG and k <= _JVM_SOLVE_MAX_K:
         # closed-form JVM Cholesky — no Python stage (see _jvm_solve_col)
-        solved = agg
-        for name, col in _jvm_solve_col(k, reg):
-            solved = solved.withColumn(name, col)
-        solved = solved.select(
-            "id", "__A", "__bv", "__n", "__r2", "__v2", "factors"
-        )
+        solve_steps, udf_col = _jvm_solve_col(k, reg), None
     else:
-        solve = _solve_udf(k, reg)
-        solved = agg.select(
-            "id", "__A", "__bv", "__n", "__r2", "__v2",
-            solve("__A", "__bv", "__n").alias("factors"),
-        )
+        solve_steps = None
+        udf_col = _solve_udf(k, reg)("__A", "__bv", "__n").alias("factors")
     # Fused per-id objective contribution — the round-12 ALS speedup: the
     # squared error over one id's ratings expands exactly through the same
     # normal-equation aggregates the solve consumed,
     #   sum_i (r_ui - u.v_i)^2 = sum r^2 - 2 u.b + u^T A u,
     # and the fixed side's count-weighted norm sum_i n_i |v_i|^2 telescopes
     # to sum over ratings of |v_i|^2 (aggregated above as __v2) — so the
-    # full ALS-WR objective is ONE tiny sum over this (already
-    # checkpointed) frame instead of a separate ratings-join-both-factors
-    # job per half-step (that was ~half the jobs of a full als() run).
-    # The expansion is algebraically exact; it differs from a per-rating
+    # full ALS-WR objective is ONE tiny sum over the (already checkpointed)
+    # half-step frame instead of a separate ratings-join-both-factors job
+    # per half-step (that was ~half the jobs of a full als() run). The
+    # expansion is algebraically exact; it differs from a per-rating
     # evaluation only in float summation order, far below the objective
     # deltas of any unconverged sweep.
     f = F.col("factors")
@@ -312,7 +306,57 @@ def _half_step_plan(
     # exactly non-negative already)
     e2 = F.greatest(F.lit(0.0), F.col("__r2") - 2.0 * ub + uau)
     obj = e2 + F.lit(reg) * (F.col("__n") * u2 + F.col("__v2"))
-    return solved.select("id", "factors", obj.alias("__obj"))
+    bundle = _ExprBundle(
+        row_cols, agg_cols, solve_steps, udf_col, obj.alias("__obj")
+    )
+    per_session[(k, reg)] = bundle
+    return bundle
+
+
+def _half_step_plan(
+    ratings: DataFrame, fixed: DataFrame, solve_col: str, fixed_col: str,
+    k: int, reg: float, broadcast_fixed: bool = False,
+) -> DataFrame:
+    """The half-step's PLAN, un-checkpointed — factored out so the
+    plan-regression bars can audit the exact per-sweep plan (gather join +
+    one packed-Gram-wide groupBy reduce + the ridge solve: closed-form JVM
+    Cholesky at k <= _JVM_SOLVE_MAX_K with reg > 0, else one Arrow stage);
+    `_half_step` checkpoints it for the iteration loop. The (k, reg)-only
+    expression trees come from the per-session _expr_bundle cache — only
+    the id/side columns are built per call.
+
+    broadcast_fixed (round-13 opt, guide §3.1): the fixed factor table is
+    O(ids) x (k+1) doubles, but it reaches the join as a checkpoint scan
+    with no size statistics, so Catalyst always picks a SortMergeJoin —
+    shuffling the RATINGS table once per half-step (6x per 3-sweep run)
+    to gather against a table that is a few MB. als() measures the factor
+    table once per side (one cheap count over the checkpointed init) and
+    passes broadcast_fixed=True when it fits the broadcast budget,
+    turning the gather into a BroadcastHashJoin: the ratings table is
+    never shuffled for the join — only the groupBy(solve side) exchange
+    remains, which is the half-step's irreducible shuffle. Inner equi-join
+    either way: identical rows, identical aggregates."""
+    b = _expr_bundle(ratings.sparkSession, k, reg)
+    fixed_sel = fixed.select(
+        F.col("id").alias(fixed_col), F.col("factors").alias("__v")
+    )
+    if broadcast_fixed:
+        fixed_sel = F.broadcast(fixed_sel)
+    joined = ratings.join(fixed_sel, fixed_col)
+    rows = joined.select(F.col(solve_col).alias("id"), *b.row_cols)
+    agg = rows.groupBy("id").agg(*b.agg_cols)
+    if b.solve_steps is not None:
+        solved = agg
+        for name, col in b.solve_steps:
+            solved = solved.withColumn(name, col)
+        solved = solved.select(
+            "id", "__A", "__bv", "__n", "__r2", "__v2", "factors"
+        )
+    else:
+        solved = agg.select(
+            "id", "__A", "__bv", "__n", "__r2", "__v2", b.udf_col
+        )
+    return solved.select("id", "factors", b.obj_col)
 
 
 def _half_step(
