@@ -224,8 +224,12 @@ _BUNDLES: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _expr_bundle(spark, k: int, reg: float) -> _ExprBundle:
+    # The solver gate is part of the key: _JVM_SOLVE_MAX_K / _MIN_REG are
+    # module-level (tests monkeypatch them to force the Arrow path), so a
+    # bundle built under one gate outcome must never serve the other.
+    use_jvm = reg >= _JVM_SOLVE_MIN_REG and k <= _JVM_SOLVE_MAX_K
     per_session = _BUNDLES.setdefault(spark, {})
-    bundle = per_session.get((k, reg))
+    bundle = per_session.get((k, reg, use_jvm))
     if bundle is not None:
         return bundle
     v = F.col("__v")
@@ -261,7 +265,7 @@ def _expr_bundle(spark, k: int, reg: float) -> _ExprBundle:
         F.sum("__r2").alias("__r2"),
         F.sum("__v2").alias("__v2"),
     ]
-    if reg >= _JVM_SOLVE_MIN_REG and k <= _JVM_SOLVE_MAX_K:
+    if use_jvm:
         # closed-form JVM Cholesky — no Python stage (see _jvm_solve_col)
         solve_steps, udf_col = _jvm_solve_col(k, reg), None
     else:
@@ -309,7 +313,7 @@ def _expr_bundle(spark, k: int, reg: float) -> _ExprBundle:
     bundle = _ExprBundle(
         row_cols, agg_cols, solve_steps, udf_col, obj.alias("__obj")
     )
-    per_session[(k, reg)] = bundle
+    per_session[(k, reg, use_jvm)] = bundle
     return bundle
 
 
